@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BucketAggregate, Finalize, IntervalJoin, MetricTransforms}
+import graft.sources.Readers
+
+/** End-to-end pipeline wiring (SURVEY.md §3): raw node CSVs → FRESCO long →
+  * interval join with accounting → bucketed wide table → finalized output.
+  * The reference spreads this over three OS-process stages with filesystem
+  * handoff; here it is one logical plan per stage with parquet boundaries
+  * only where the reference's data contract requires them.
+  */
+object Pipeline {
+
+  /** Step 1: the four raw CSV families of one or many nodes → FRESCO long.
+    * Paths may contain globs; Spark parallelizes over file splits. */
+  def step1(spark: SparkSession, blockPath: String, cpuPath: String,
+            llitePath: String, memPath: String): DataFrame = {
+    import graft.schemas.Schemas._
+    MetricTransforms.allFamilies(
+      Readers.csv(spark, blockPath, block),
+      Readers.csv(spark, cpuPath, cpu),
+      Readers.csv(spark, llitePath, llite),
+      Readers.csv(spark, memPath, mem))
+  }
+
+  /** Daily-partitioned zstd sink (SURVEY.md §2.1 S5/S7) — replaces the
+    * reference's split-by-strftime + one-file-per-day writes
+    * (`step-1/transformer.py:265-338`). Partitioning by date gives step-2
+    * partition pruning for month-scoped reads. */
+  def writeDaily(fresco: DataFrame, outDir: String): Unit =
+    fresco
+      .withColumn("date", to_date(col("Timestamp")))
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .partitionBy("date")
+      .parquet(outDir)
+
+  /** Step 2: FRESCO metrics ⋈ accounting → 1-minute bucketed wide table. */
+  def step2(metrics: DataFrame, accounting: DataFrame): DataFrame =
+    BucketAggregate(IntervalJoin(metrics, accounting))
+
+  /** Step 2 from paths. */
+  def step2(spark: SparkSession, metricsPath: String, accountingPath: String): DataFrame =
+    step2(Readers.frescoMetrics(spark, metricsPath),
+      Readers.accounting(spark, accountingPath))
+
+  /** Step 3: final string standardization. */
+  def step3(wide: DataFrame): DataFrame = Finalize(wide)
+}

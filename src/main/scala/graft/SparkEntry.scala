@@ -1,13 +1,372 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exprs._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry exercises one operator family from SURVEY.md §2 on
+  * the driver testdata (TESTDATA.md); `oracleSql` holds the equivalent
+  * DuckDB SQL. Column names/types are aligned on both sides (the driver
+  * sorts columns by name before hashing). Float aggregates are rounded
+  * identically on both sides so the hash compare is stable across
+  * summation orders.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Load a testdata table. The `events` table stores `ts` as parquet
+    * TIMESTAMP(NANOS), which Spark does not support natively; sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Sessions]]) and the
+    * loader converts long-nanos → µs timestamp (lossless: the data is
+    * µs-precision; integer `div` avoids double rounding on >2^53 values). */
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+        d.withColumn("ts", timestamp_micros(expr(s"`${f.name}` div 1000")))
+      else d
+    }
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Interval-containment join (J1) + bucketed aggregation — the
+    * reference's core step-2 shape on the testdata tables. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_interval_join")(spark, "/root/testdata/sf0.001")
+
+  // ---- SURVEY §2 operator inventory over testdata ----
+
+  /** S1-S3/P1/P5: scan + pushed-down filter + projection. */
+  private def qFilterProject(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1998-01-01") &&
+        col("l_shipdate") < lit("1999-01-01") && col("l_discount") > 0.05)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+  /** A1: hash aggregation, sum + count per group. */
+  private def qAggSum(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+
+  /** A2/A4: multi-column aggregate (sums, mean, min/max) per group. */
+  private def qAggMulti(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        min("l_shipdate").as("min_ship"),
+        max("l_shipdate").as("max_ship"),
+        count(lit(1)).as("n_rows"))
+
+  /** A3: mean aggregation (the step-2 per-bucket mean). */
+  private def qAggMean(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .groupBy("event_type")
+      .agg(round(avg("value"), 6).as("avg_value"), count(lit(1)).as("n_events"))
+
+  /** A5: distinct values. */
+  private def qDistinct(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+  /** A6: sorted comma-joined distinct strings per group (host_list). */
+  private def qCollectStr(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer")
+      .groupBy(col("c_nationkey").cast("long").as("nation"))
+      .agg(hostList(col("c_mktsegment")).as("segments"),
+        count(lit(1)).as("n_customers"))
+
+  /** A8: pivot (events → columns), the step-2 wide-table shape. */
+  private def qPivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = tbl(s, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(round(avg(col("value")), 6))
+    p.select(col("user_id") +: types.map(t => col(t).as(s"avg_$t")): _*)
+  }
+
+  /** W1/W4 + P6: lag-difference rate derivation with validity filter —
+    * the step-1 counter-rate pattern on the events stream. */
+  private def qWindowLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tbl(s, dir, "events")
+      .withColumn("delta_value", col("value") - lag(col("value"), 1).over(w))
+      .withColumn("dt_sec", secondsBetween(col("ts"), lag(col("ts"), 1).over(w)))
+      .filter(col("dt_sec") >= 0.1 && col("delta_value") >= 0.0)
+      .select("user_id", "event_id", "delta_value", "dt_sec")
+  }
+
+  /** J1: interval-containment join (equi-key + time-range condition) +
+    * aggregation — the reference's metrics⋈accounting join shape.
+    * The orders side is the small dimension: broadcast. */
+  private def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+    val o = tbl(s, dir, "orders")
+    li.join(broadcast(o),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 90 DAY"),
+        "inner")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"), round(sum("l_quantity"), 4).as("sum_qty"))
+  }
+
+  /** Multi-way broadcast join: customer ⋈ nation ⋈ region + aggregate. */
+  private def qJoin3(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer")
+      .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(tbl(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum("c_acctbal"), 4).as("total_acctbal"))
+
+  /** J3: left-semi join (EXISTS). */
+  private def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = tbl(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+    tbl(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+  }
+
+  /** P8/U4: left-anti join (NOT EXISTS) — customers with no orders since
+    * 2000. */
+  private def qAntiJoin(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer")
+      .join(tbl(s, dir, "orders").filter(col("o_orderdate") >= lit("2000-01-01")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  /** U2/U3: union + full-row dedup. */
+  private def qUnionDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "events")
+    e.filter(col("value") > 150)
+      .union(e.filter(col("event_type") === "error"))
+      .dropDuplicates()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** F1-F4: job-id standardization / normalization / suffixing over the
+    * variant zoo (`123`, `jobID123`, `JOB123`, `task-123`). */
+  private def qJidNormalize(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    val raw = when(k % 4 === 0, concat(lit("jobID"), k.cast("string")))
+      .when(k % 4 === 1, concat(lit("JOB"), k.cast("string")))
+      .when(k % 4 === 2, k.cast("string"))
+      .otherwise(concat(lit("task-"), k.cast("string")))
+    tbl(s, dir, "orders")
+      .withColumn("raw_id", raw)
+      .select(
+        col("o_orderkey"),
+        col("raw_id"),
+        standardizeJobId(col("raw_id")).as("std_id"),
+        normalizeJobId(col("raw_id")).as("jid"),
+        suffixS(standardizeJobId(col("raw_id"))).as("suffixed"))
+  }
+
+  /** F7-F11: date formatting and part extraction. */
+  private def qDates(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day_str"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month_str"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"))
+
+  /** T4: start-aligned tumbling buckets — per-user session buckets of
+    * 10 minutes anchored at each user's first event (NOT epoch-aligned),
+    * the reference's job-start-aligned windowing on testdata. */
+  private def qSessionBucket(s: SparkSession, dir: String): DataFrame = {
+    val widthUs = 600L * 1000000L
+    val w = Window.partitionBy("user_id")
+    tbl(s, dir, "events")
+      .withColumn("session_start", min(col("ts")).over(w))
+      .withColumn("bucket", bucketIndex(col("ts"), col("session_start"), widthUs))
+      .groupBy("user_id", "bucket")
+      .agg(count(lit(1)).as("n_events"), round(avg("value"), 6).as("avg_value"))
+      .withColumn("user_id", col("user_id").cast("long"))
+  }
+
+  /** A9 + exact dedup: distinct-text counts per language. */
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .groupBy("lang")
+      .agg(countDistinct(col("text")).as("n_distinct_docs"),
+        sum("n_chars").as("total_chars"),
+        count(lit(1)).as("n_docs"))
+
+  /** O2/O5: global sort + limit (top-k). */
+  private def qTopK(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** P9/P10: safe division + clamp expression helpers. */
+  private def qSafeDivClamp(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        round(clampMetric(safeDiv(col("l_extendedprice"), col("l_quantity")), 0.0, 1500.0), 6)
+          .as("unit_price_clamped"))
+
+  /** JSON extraction from the events `props` column. */
+  private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter_project" -> qFilterProject,
+    "q_agg_sum" -> qAggSum,
+    "q_agg_multi" -> qAggMulti,
+    "q_agg_mean" -> qAggMean,
+    "q_distinct" -> qDistinct,
+    "q_collect_str" -> qCollectStr,
+    "q_pivot" -> qPivot,
+    "q_window_lag" -> qWindowLag,
+    "q_interval_join" -> qIntervalJoin,
+    "q_join3" -> qJoin3,
+    "q_semi_join" -> qSemiJoin,
+    "q_anti_join" -> qAntiJoin,
+    "q_union_dedup" -> qUnionDedup,
+    "q_jid_normalize" -> qJidNormalize,
+    "q_dates" -> qDates,
+    "q_session_bucket" -> qSessionBucket,
+    "q_dedup_exact" -> qDedupExact,
+    "q_topk" -> qTopK,
+    "q_safediv_clamp" -> qSafeDivClamp,
+    "q_json_extract" -> qJsonExtract)
+
+  def oracleSql: Map[String, String] = Map(
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+        |  AND l_discount > 0.05""".stripMargin,
+    "q_agg_sum" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_multi" ->
+      """SELECT l_returnflag,
+        |       round(CAST(sum(l_quantity) AS DOUBLE), 4) AS sum_qty,
+        |       round(CAST(sum(l_extendedprice) AS DOUBLE), 4) AS sum_price,
+        |       round(CAST(avg(l_discount) AS DOUBLE), 6) AS avg_disc,
+        |       min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+        |       count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_agg_mean" ->
+      """SELECT event_type, round(CAST(avg(value) AS DOUBLE), 6) AS avg_value,
+        |       count(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_distinct" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "q_collect_str" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+        |       count(*) AS n_customers
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |       round(CAST(avg(CASE WHEN event_type='click' THEN value END) AS DOUBLE), 6) AS avg_click,
+        |       round(CAST(avg(CASE WHEN event_type='error' THEN value END) AS DOUBLE), 6) AS avg_error,
+        |       round(CAST(avg(CASE WHEN event_type='purchase' THEN value END) AS DOUBLE), 6) AS avg_purchase,
+        |       round(CAST(avg(CASE WHEN event_type='signup' THEN value END) AS DOUBLE), 6) AS avg_signup,
+        |       round(CAST(avg(CASE WHEN event_type='view' THEN value END) AS DOUBLE), 6) AS avg_view
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_window_lag" ->
+      """SELECT user_id, event_id,
+        |       value - lag(value) OVER w AS delta_value,
+        |       (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1e6 AS dt_sec
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |QUALIFY dt_sec >= 0.1 AND delta_value >= 0.0""".stripMargin,
+    "q_interval_join" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        |       round(CAST(sum(l_quantity) AS DOUBLE), 4) AS sum_qty
+        |FROM lineitem JOIN orders
+        |  ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_join3" ->
+      """SELECT r_name, count(*) AS n_customers,
+        |       round(CAST(sum(c_acctbal) AS DOUBLE), 4) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "q_semi_join" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')""".stripMargin,
+    "q_union_dedup" ->
+      """SELECT event_type, count(*) AS n_rows FROM (
+        |  SELECT * FROM events WHERE value > 150
+        |  UNION
+        |  SELECT * FROM events WHERE event_type = 'error'
+        |) GROUP BY event_type""".stripMargin,
+    "q_jid_normalize" ->
+      """WITH t AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 4 = 0 THEN 'jobID' || o_orderkey
+        |              WHEN o_orderkey % 4 = 1 THEN 'JOB' || o_orderkey
+        |              WHEN o_orderkey % 4 = 2 THEN CAST(o_orderkey AS VARCHAR)
+        |              ELSE 'task-' || o_orderkey END AS raw_id
+        |  FROM orders)
+        |SELECT o_orderkey, raw_id,
+        |       replace(replace(raw_id, 'jobID', 'JOB'), 'job', 'JOB') AS std_id,
+        |       coalesce(nullif(regexp_extract(raw_id, '([0-9]+)$', 1), ''), raw_id) AS jid,
+        |       replace(replace(raw_id, 'jobID', 'JOB'), 'job', 'JOB') || '_S' AS suffixed
+        |FROM t""".stripMargin,
+    "q_dates" ->
+      """SELECT o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS day_str,
+        |       strftime(o_orderdate, '%Y-%m') AS month_str,
+        |       CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |       CAST(day(o_orderdate) AS BIGINT) AS dom
+        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
+    "q_session_bucket" ->
+      """WITH b AS (
+        |  SELECT CAST(user_id AS BIGINT) AS user_id, value,
+        |         CAST(floor((epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id))
+        |                    / 600000000) AS BIGINT) AS bucket
+        |  FROM events)
+        |SELECT user_id, bucket, count(*) AS n_events,
+        |       round(CAST(avg(value) AS DOUBLE), 6) AS avg_value
+        |FROM b GROUP BY user_id, bucket""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT lang, count(DISTINCT text) AS n_distinct_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars, count(*) AS n_docs
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_safediv_clamp" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       round(least(greatest(
+        |         CASE WHEN l_quantity <> 0 THEN l_extendedprice / l_quantity ELSE 0.0 END,
+        |         0.0), 1500.0), 6) AS unit_price_clamped
+        |FROM lineitem""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events""".stripMargin)
 }

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Reusable expression helpers (`Column => Column`, never `udf()`), so
+  * Catalyst sees through them and whole-stage codegen stays intact
+  * (SURVEY.md §2.10).
+  */
+object Exprs {
+
+  /** `when(denom != 0, num/denom).otherwise(default)` — reference
+    * `step-1/data_processor.py:29-31` (`safe_division`). */
+  def safeDiv(num: Column, denom: Column, default: Column = lit(0.0)): Column =
+    when(denom =!= 0.0, num / denom).otherwise(default)
+
+  /** Clamp to `[lo, hi]` with `lo` as the null-default — reference
+    * `step-1/data_processor.py:34-36` (`validate_metric`). */
+  def clampMetric(c: Column, lo: Double, hi: Double): Column =
+    coalesce(least(greatest(c, lit(lo)), lit(hi)), lit(lo))
+
+  /** Clamp below at `lo` (memory metrics) — reference
+    * `step-1/data_processor.py:330-332`. */
+  def clampMin(c: Column, lo: Double): Column = greatest(c, lit(lo))
+
+  /** Step-1 job-id standardization: literal `jobID`→`JOB`, then
+    * `job`→`JOB` (chained, order matters: `jobID123`→`JOB123`) —
+    * reference `step-1/data_processor.py:133-134`. */
+  def standardizeJobId(c: Column): Column =
+    regexp_replace(regexp_replace(c, lit("jobID"), lit("JOB")), lit("job"), lit("JOB"))
+
+  /** Step-2 job-id normalization: trailing digits, falling back to the
+    * original value when there are none — reference
+    * `step-2/consumer.py:161-174`. Spark's `regexp_extract` returns `""`
+    * on miss (not null), hence the `nullif` wrap (SURVEY.md §7.4.5). */
+  def normalizeJobId(c: Column): Column = {
+    val s = c.cast("string")
+    coalesce(nullif(regexp_extract(s, "(\\d+)$", 1), lit("")), s)
+  }
+
+  /** Step-3 jid cleanup + `_S` suffix: drop literal `ID`, `job`→`JOB`,
+    * append `_S` — reference `step-3/final_cleanup.py:34-54`. */
+  def finalizeJid(c: Column): Column =
+    concat(
+      regexp_replace(regexp_replace(c.cast("string"), lit("ID"), lit("")),
+        lit("job"), lit("JOB")),
+      lit("_S"))
+
+  /** Append `_S` (host / host_list / username) — reference
+    * `step-3/final_cleanup.py:59-75`. Nulls stay null. */
+  def suffixS(c: Column): Column = concat(c.cast("string"), lit("_S"))
+
+  /** Parse `MM/DD/YYYY HH:MM:SS`, null on failure — reference
+    * `step-1/data_processor.py:102` (`strict=False`). */
+  def parseRawTs(c: Column): Column = to_timestamp(c, "MM/dd/yyyy HH:mm:ss")
+
+  /** Multi-format fallback parse, first format that succeeds wins —
+    * reference `step-3.1/old/consumer_2.py:175-215`. */
+  def parseTsMulti(c: Column, formats: Seq[String]): Column =
+    coalesce(formats.map(f => to_timestamp(c, f)): _*)
+
+  /** Seconds between `ts` and its lag within the window, as fractional
+    * seconds with µs fidelity — reference `step-1/data_processor.py:119`
+    * (`dt.total_seconds()` of a diff). */
+  def secondsBetween(later: Column, earlier: Column): Column =
+    (unix_micros(later) - unix_micros(earlier)) / 1e6
+
+  /** Job-start-aligned tumbling bucket index: `floor((ts - start)/width)`
+    * in whole µs — reference `step-2/consumer.py:406-420` (SURVEY §2.9 T4).
+    * Spark's `window()` is epoch-aligned and cannot express this. */
+  def bucketIndex(ts: Column, start: Column, widthMicros: Long): Column =
+    floor((unix_micros(ts) - unix_micros(start)) / lit(widthMicros)).cast("long")
+
+  /** Bucket start = `start + k*width` (µs integer arithmetic). */
+  def bucketStart(start: Column, idx: Column, widthMicros: Long): Column =
+    timestamp_micros(unix_micros(start) + idx * lit(widthMicros))
+
+  /** Bucket end clipped at the job's `end` — reference
+    * `step-2/consumer.py:409` (`min(current + 1min, end)`). */
+  def bucketEnd(start: Column, idx: Column, widthMicros: Long, end: Column): Column =
+    least(timestamp_micros(unix_micros(start) + (idx + 1) * lit(widthMicros)), end)
+
+  /** Interval midpoint `lo + (hi-lo) // 2` in µs — reference
+    * `step-2/consumer.py:412-414`. */
+  def intervalMidpoint(lo: Column, hi: Column): Column =
+    timestamp_micros(
+      unix_micros(lo) + floor((unix_micros(hi) - unix_micros(lo)) / lit(2L)).cast("long"))
+
+  /** Sorted comma-joined distinct values — reference
+    * `step-2/consumer.py:404` (`",".join(sorted(hosts))`); used as an
+    * aggregate: `hostList(col("Host"))`. */
+  def hostList(c: Column): Column =
+    array_join(array_sort(collect_set(c)), ",")
+
+  /** Horizontal (row-wise) sum — reference
+    * `step-1/data_processor.py:192-194` (`sum_horizontal`). */
+  def rowSum(cols: Seq[Column]): Column = cols.reduce(_ + _)
+}

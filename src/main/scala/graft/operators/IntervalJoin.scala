@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's one conceptual join (SURVEY.md §2.3 J1): metrics ⋈
+  * accounting by job-id equality AND timestamp containment in the job's
+  * `[start, end)` interval — hand-rolled in the reference as batched
+  * per-row Python filtering (`step-2/consumer.py:329-394`), expressed here
+  * as one declarative join.
+  *
+  * Physical shape: the equi-key `jid` makes this a hash join with the range
+  * condition evaluated as a post-probe filter. Accounting (job-scheduler
+  * records) is orders of magnitude smaller than the metric stream, so the
+  * build side is broadcast — at 100 TB of metrics this is a map-side join
+  * with zero shuffle of the big side. If accounting ever outgrows the
+  * broadcast threshold, Catalyst falls back to a shuffled hash/sort-merge
+  * join on `jid`, which remains correct.
+  */
+object IntervalJoin {
+
+  /** `metrics` must carry `jid` and `Timestamp`; `accounting` must carry
+    * `jid`, `start`, `end`. Boundary convention is `[start, end)` — the
+    * step-2 semantics (`consumer.py:393`), not the 3.1 inclusive variant
+    * (SURVEY.md §7.4.2). Jobs with `start >= end` are dropped
+    * (`consumer.py:384-385`). */
+  def apply(metrics: DataFrame, accounting: DataFrame,
+            broadcastAccounting: Boolean = true): DataFrame = {
+    val acct = accounting.filter(col("start") < col("end"))
+    val build = if (broadcastAccounting) broadcast(acct) else acct
+    metrics.alias("m").join(build.alias("a"),
+      col("m.jid") === col("a.jid") &&
+        col("m.Timestamp") >= col("a.start") &&
+        col("m.Timestamp") < col("a.end"),
+      "inner")
+      .drop(col("a.jid"))
+  }
+}

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exprs._
+import graft.schemas.Schemas
+
+/** Step-1 metric-family transforms: raw node counters → FRESCO long format
+  * `(Job Id, Host, Timestamp, Event, Value, Units)`.
+  *
+  * Each is a pure `DataFrame => DataFrame` over the schemas in
+  * [[graft.schemas.Schemas]]; rate derivation uses lag windows partitioned
+  * by `(jobID, node)` ordered by `Timestamp` — the Spark-native form of the
+  * reference's sort + `diff().over()` (reference
+  * `step-1/data_processor.py:86-363`, SURVEY.md §2.5 W1-W4).
+  *
+  * Scale note: the window shuffle partitions by `(jobID, node)` — at 100 TB
+  * that is millions of small groups, which hash-distributes evenly; no
+  * global sort is ever required (SURVEY.md §2.6 O1).
+  */
+object MetricTransforms {
+
+  /** Minimum seconds between samples for a valid rate — reference
+    * `step-1/data_processor.py:23` (`MIN_TIME_DELTA`). */
+  val MinTimeDelta = 0.1
+
+  private val SectorBytes = 512.0
+  private val BytesPerGiB = math.pow(2, 30)
+  private val BytesPerMiB = math.pow(2, 20)
+
+  private val grp = Window.partitionBy("jobID", "node").orderBy("Timestamp")
+
+  /** Shared head: parse timestamp, fill numeric nulls with 0 — reference
+    * `step-1/data_processor.py:100-106`. */
+  private def prep(df: DataFrame, numericCols: Seq[String]): DataFrame =
+    df.withColumn("Timestamp", parseRawTs(col("timestamp")))
+      .na.fill(0.0, numericCols)
+      .filter(col("Timestamp").isNotNull &&
+        col("jobID").isNotNull && col("node").isNotNull)
+
+  private def toFresco(df: DataFrame, event: String, units: String): DataFrame =
+    df.select(
+      standardizeJobId(col("jobID")).as("Job Id"),
+      col("node").as("Host"),
+      col("Timestamp"),
+      lit(event).as("Event"),
+      col("Value"),
+      lit(units).as("Units"))
+
+  /** Per-(group) lag deltas of a counter plus the sampling gap in seconds,
+    * keeping only valid rate rows: gap ≥ [[MinTimeDelta]] and non-negative
+    * delta (drops counter resets and duplicate timestamps — reference
+    * `step-1/data_processor.py:113-122`). */
+  private def counterDelta(df: DataFrame, counter: String): DataFrame =
+    df.withColumn("delta", col(counter) - lag(col(counter), 1).over(grp))
+      .withColumn("dt", secondsBetween(col("Timestamp"), lag(col("Timestamp"), 1).over(grp)))
+      .filter(col("dt") >= MinTimeDelta && col("delta") >= 0.0)
+
+  /** block.csv → `block` event, GB/s — reference
+    * `step-1/data_processor.py:86-144` (rate expr `:117-129`). */
+  def block(raw: DataFrame): DataFrame = {
+    val summed = prep(raw, Seq("rd_sectors", "wr_sectors"))
+      .withColumn("total_sectors", col("rd_sectors") + col("wr_sectors"))
+      .groupBy("jobID", "node", "Timestamp")
+      .agg(sum("total_sectors").as("total_sectors"))
+    val rated = counterDelta(summed, "total_sectors")
+      .withColumn("Value",
+        clampMin(col("delta") * SectorBytes / col("dt") / BytesPerGiB, 0.0))
+    toFresco(rated, "block", "GB/s")
+  }
+
+  /** cpu.csv → `cpuuser` event, CPU % — reference
+    * `step-1/data_processor.py:146-230`: per-core jiffy counters summed to
+    * node level, lag-diffed per column, `Δuser / Δtotal · 100` clamped to
+    * [0,100]; rows with non-positive total-jiffy delta dropped. */
+  def cpu(raw: DataFrame): DataFrame = {
+    val cols = Schemas.cpuCounterCols
+    val summed = prep(raw, cols)
+      .groupBy("jobID", "node", "Timestamp")
+      .agg(sum(cols.head).as(cols.head), cols.tail.map(c => sum(c).as(c)): _*)
+    val diffed = cols.foldLeft(summed) { (df, c) =>
+      df.withColumn(s"${c}_d", col(c) - lag(col(c), 1).over(grp))
+    }
+    val total = rowSum(cols.map(c => col(s"${c}_d")))
+    val rated = diffed
+      .withColumn("total_d", total)
+      .filter(col("total_d").isNotNull && col("total_d") > 0.0)
+      .withColumn("Value",
+        clampMetric(safeDiv(col("user_d"), col("total_d")) * 100.0, 0.0, 100.0))
+    toFresco(rated, "cpuuser", "CPU %")
+  }
+
+  /** llite.csv → `nfs` event, MB/s — reference
+    * `step-1/data_processor.py:232-296` (Lustre traffic published under the
+    * historical `nfs` event name). */
+  def llite(raw: DataFrame): DataFrame = {
+    val summed = prep(raw, Seq("read_bytes", "write_bytes"))
+      .withColumn("total_bytes", col("read_bytes") + col("write_bytes"))
+      .groupBy("jobID", "node", "Timestamp")
+      .agg(sum("total_bytes").as("total_bytes"))
+    val rated = counterDelta(summed, "total_bytes")
+      .withColumn("Value", clampMin(col("delta") / col("dt") / BytesPerMiB, 0.0))
+    toFresco(rated, "nfs", "MB/s")
+  }
+
+  /** mem.csv → `memused` + `memused_minus_diskcache` events, GB — reference
+    * `step-1/data_processor.py:298-363`. `MemUsed` is treated as bytes
+    * (`:330`); when it is missing/null the fallback is
+    * `MemTotal − MemFree` (`:318-327`); both metrics clip at ≥ 0. */
+  def mem(raw: DataFrame): DataFrame = {
+    val base = prep(raw, Seq("MemTotal", "MemFree", "FilePages"))
+      .withColumn("mem_used",
+        coalesce(col("MemUsed"), col("MemTotal") - col("MemFree")))
+    val used = base
+      .withColumn("Value", clampMin(col("mem_used") / BytesPerGiB, 0.0))
+    val minusCache = base
+      .withColumn("Value",
+        clampMin((col("mem_used") - col("FilePages")) / BytesPerGiB, 0.0))
+    toFresco(used, "memused", "GB")
+      .unionByName(toFresco(minusCache, "memused_minus_diskcache", "GB"))
+  }
+
+  /** Full step-1 node transform: all four families unioned — reference
+    * `step-1/data_processor.py:365-439` (`vertical_relaxed` concat). */
+  def allFamilies(blockDf: DataFrame, cpuDf: DataFrame,
+                  lliteDf: DataFrame, memDf: DataFrame): DataFrame =
+    block(blockDf)
+      .unionByName(cpu(cpuDf))
+      .unionByName(llite(lliteDf))
+      .unionByName(mem(memDf))
+}
