@@ -51,13 +51,14 @@ object Exprs {
   def suffixS(c: Column): Column = concat(c.cast("string"), lit("_S"))
 
   /** Parse `MM/DD/YYYY HH:MM:SS`, null on failure — reference
-    * `step-1/data_processor.py:102` (`strict=False`). */
-  def parseRawTs(c: Column): Column = to_timestamp(c, "MM/dd/yyyy HH:mm:ss")
+    * `step-1/data_processor.py:102` (`strict=False`). `try_to_timestamp`
+    * keeps the null-on-garbage semantics under Spark 4's default ANSI mode. */
+  def parseRawTs(c: Column): Column = try_to_timestamp(c, lit("MM/dd/yyyy HH:mm:ss"))
 
   /** Multi-format fallback parse, first format that succeeds wins —
     * reference `step-3.1/old/consumer_2.py:175-215`. */
   def parseTsMulti(c: Column, formats: Seq[String]): Column =
-    coalesce(formats.map(f => to_timestamp(c, f)): _*)
+    coalesce(formats.map(f => try_to_timestamp(c, lit(f))): _*)
 
   /** Seconds between `ts` and its lag within the window, as fractional
     * seconds with µs fidelity — reference `step-1/data_processor.py:119`

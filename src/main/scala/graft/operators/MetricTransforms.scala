@@ -96,11 +96,12 @@ object MetricTransforms {
     * `step-1/data_processor.py:232-296` (Lustre traffic published under the
     * historical `nfs` event name). */
   def llite(raw: DataFrame): DataFrame = {
-    val summed = prep(raw, Seq("read_bytes", "write_bytes"))
+    // no device dimension → no pre-aggregation (unlike block/cpu); duplicate
+    // timestamps are dropped by the Δt ≥ 0.1 s filter, matching the
+    // reference's sort+diff (`data_processor.py:265-274`)
+    val perRow = prep(raw, Seq("read_bytes", "write_bytes"))
       .withColumn("total_bytes", col("read_bytes") + col("write_bytes"))
-      .groupBy("jobID", "node", "Timestamp")
-      .agg(sum("total_bytes").as("total_bytes"))
-    val rated = counterDelta(summed, "total_bytes")
+    val rated = counterDelta(perRow, "total_bytes")
       .withColumn("Value", clampMin(col("delta") / col("dt") / BytesPerMiB, 0.0))
     toFresco(rated, "nfs", "MB/s")
   }

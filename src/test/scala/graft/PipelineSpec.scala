@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.operators.{Finalize, MetricTransforms}
+import graft.schemas.Schemas
+import graft.sources.Readers
+
+/** Golden end-to-end spec over handcrafted fixtures — covers every scenario
+  * of FIXTURES.md §5: counter reset, duplicate timestamp, jid zoo (in
+  * ExprsSpec), interval boundary at `end`, partial events, missing input
+  * column fallback, multi-host host_list, and the step-3 suffix pass. */
+class PipelineSpec extends SparkSpec {
+
+  private val T = "01/01/2013"
+
+  private lazy val blockCsv = tmpCsv("block.csv",
+    "jobID,node,timestamp,device,rd_sectors,wr_sectors",
+    s"job1,N1,$T 10:00:00,sda,0,0",
+    s"job1,N1,$T 10:00:00,sdb,0,0",
+    s"job1,N1,$T 10:01:00,sda,1048576,1048576",
+    s"job1,N1,$T 10:01:00,sdb,0,0",
+    s"job1,N1,$T 10:02:00,sda,1048576,1048576",
+    s"job1,N1,$T 10:02:00,sdb,0,0",
+    s"job1,N1,$T 10:03:00,sda,0,0", // counter reset → dropped
+    s"job1,N1,$T 10:03:00,sdb,0,0")
+
+  private lazy val cpuCsv = tmpCsv("cpu.csv",
+    "jobID,node,timestamp,device,user,nice,system,idle,iowait,irq,softirq",
+    s"job1,N1,$T 10:00:00,cpu0,100,0,0,900,0,0,0",
+    s"job1,N1,$T 10:01:00,cpu0,200,0,0,1800,0,0,0",
+    s"job1,N1,$T 10:02:00,cpu0,200,0,0,1800,0,0,0") // Δtotal=0 → dropped
+
+  private lazy val lliteCsv = tmpCsv("llite.csv",
+    "jobID,node,timestamp,read_bytes,write_bytes",
+    s"job1,N1,$T 10:00:00,0,0",
+    s"job1,N1,$T 10:00:00,0,0", // duplicate timestamp → Δt<0.1 dropped
+    s"job1,N1,$T 10:01:00,52428800,52428800")
+
+  private lazy val memCsv = tmpCsv("mem.csv",
+    "jobID,node,timestamp,MemTotal,MemFree,MemUsed,FilePages",
+    s"job1,N1,$T 10:00:00,2147483648,1073741824,1073741824,536870912",
+    s"job1,N1,$T 10:01:00,2147483648,1073741824,1073741824,536870912",
+    s"job2,N1,$T 10:00:30,2147483648,1073741824,1073741824,536870912",
+    s"job2,N2,$T 10:00:30,2147483648,1073741824,2147483648,536870912")
+
+  private lazy val acctCsv = tmpCsv("accounting.csv",
+    "jobID,user,account,jobname,queue,nnodes,ncpus,walltime,start,end,submit,exit_status",
+    s"job1,alice,acctA,sim,normal,1,16,3600,$T 10:00:00,$T 10:02:00,$T 09:59:00,0",
+    s"job2,bob,acctB,train,gpu,2,32,7200,$T 10:00:00,$T 10:01:00,$T 09:58:00,0")
+
+  private lazy val fresco = Pipeline.step1(spark, blockCsv, cpuCsv, lliteCsv, memCsv)
+
+  private def valuesFor(event: String): Map[String, Double] =
+    fresco.filter(org.apache.spark.sql.functions.col("Event") === event)
+      .collect().map(r => r.getTimestamp(2).toString -> r.getDouble(4)).toMap
+
+  test("step1 block: device sum, rate derivation, counter reset dropped") {
+    val v = valuesFor("block")
+    assert(v.keySet == Set("2013-01-01 10:01:00.0", "2013-01-01 10:02:00.0"))
+    assert(math.abs(v("2013-01-01 10:01:00.0") - 1.0 / 60.0) < 1e-12) // 1 GiB / 60 s
+    assert(v("2013-01-01 10:02:00.0") == 0.0)
+  }
+
+  test("step1 cpu: jiffy deltas → user %, zero-total dropped") {
+    val v = valuesFor("cpuuser")
+    assert(v == Map("2013-01-01 10:01:00.0" -> 10.0))
+  }
+
+  test("step1 llite: byte rate in MB/s, duplicate timestamp dropped") {
+    val v = valuesFor("nfs")
+    assert(v.keySet == Set("2013-01-01 10:01:00.0"))
+    assert(math.abs(v("2013-01-01 10:01:00.0") - 100.0 / 60.0) < 1e-9)
+  }
+
+  test("step1 mem: gauges in GB, memused minus diskcache") {
+    val used = valuesFor("memused")
+    assert(used("2013-01-01 10:00:00.0") == 1.0)
+    val mmdc = valuesFor("memused_minus_diskcache")
+    assert(mmdc("2013-01-01 10:00:00.0") == 0.5)
+  }
+
+  test("step1 output conforms to the FRESCO schema, jid standardized") {
+    assert(fresco.schema.fieldNames.toSeq == Schemas.fresco.fieldNames.toSeq)
+    val ids = fresco.select("Job Id").distinct().collect().map(_.getString(0)).toSet
+    assert(ids == Set("JOB1", "JOB2"))
+    val units = fresco.select("Event", "Units").distinct().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(units == Map("block" -> "GB/s", "cpuuser" -> "CPU %", "nfs" -> "MB/s",
+      "memused" -> "GB", "memused_minus_diskcache" -> "GB"))
+  }
+
+  private lazy val wide = {
+    val metrics = fresco.withColumn("jid",
+      graft.functions.Exprs.normalizeJobId(org.apache.spark.sql.functions.col("Job Id")))
+    Pipeline.step2(metrics, Readers.accounting(spark, acctCsv))
+  }
+
+  test("step2: wide output schema matches OUTPUT_COLUMNS exactly") {
+    assert(wide.schema.fieldNames.toSeq == Schemas.outputColumns)
+  }
+
+  test("step2: buckets start-aligned, end-exclusive, midpoint time") {
+    val rows = wide.collect().map(r =>
+      (r.getAs[String]("jid"), r.getAs[String]("host"),
+        r.getAs[java.sql.Timestamp]("time").toString) -> r).toMap
+    // job1: bucket0 midpoint 10:00:30, bucket1 midpoint 10:01:30; the
+    // block sample AT end (10:02:00) is excluded → no bucket 2
+    assert(rows.keySet == Set(
+      ("1", "N1", "2013-01-01 10:00:30.0"),
+      ("1", "N1", "2013-01-01 10:01:30.0"),
+      ("2", "N1", "2013-01-01 10:00:30.0"),
+      ("2", "N2", "2013-01-01 10:00:30.0")))
+  }
+
+  test("step2: partial events are nulls, value_gpu always null") {
+    val r = wide.filter("jid = '1' AND time = timestamp'2013-01-01 10:00:30'")
+      .collect()(0)
+    // bucket0 has only mem gauges
+    assert(r.getAs[Double]("value_memused") == 1.0)
+    assert(r.getAs[Double]("value_memused_minus_diskcache") == 0.5)
+    assert(r.isNullAt(r.fieldIndex("value_block")))
+    assert(r.isNullAt(r.fieldIndex("value_cpuuser")))
+    assert(r.isNullAt(r.fieldIndex("value_nfs")))
+    assert(r.isNullAt(r.fieldIndex("value_gpu")))
+    val r1 = wide.filter("jid = '1' AND time = timestamp'2013-01-01 10:01:30'")
+      .collect()(0)
+    assert(r1.getAs[Double]("value_cpuuser") == 10.0)
+    assert(math.abs(r1.getAs[Double]("value_block") - 1.0 / 60.0) < 1e-12)
+    assert(math.abs(r1.getAs[Double]("value_nfs") - 100.0 / 60.0) < 1e-9)
+  }
+
+  test("step2: job metadata carried through; multi-host host_list sorted") {
+    val j2 = wide.filter("jid = '2'").collect()
+    assert(j2.length == 2)
+    j2.foreach { r =>
+      assert(r.getAs[String]("host_list") == "N1,N2")
+      assert(r.getAs[String]("username") == "bob")
+      assert(r.getAs[Long]("nhosts") == 2L)
+      assert(r.getAs[Long]("ncores") == 32L)
+      assert(r.getAs[Long]("timelimit") == 7200L)
+      assert(r.getAs[String]("queue") == "gpu")
+      assert(r.getAs[java.sql.Timestamp]("submit_time").toString == "2013-01-01 09:58:00.0")
+    }
+    assert(j2.map(_.getAs[String]("host")).toSet == Set("N1", "N2"))
+    assert(j2.map(_.getAs[Double]("value_memused")).toSet == Set(1.0, 2.0))
+  }
+
+  test("step3: suffix pass on jid/host/host_list/username") {
+    val f = Finalize(wide).filter("host = 'N2_S'").collect()(0)
+    assert(f.getAs[String]("jid") == "2_S")
+    assert(f.getAs[String]("host_list") == "N1,N2_S")
+    assert(f.getAs[String]("username") == "bob_S")
+    assert(f.getAs[String]("account") == "acctB") // untouched
+  }
+
+  test("readers: missing MemUsed column tolerated, fallback to MemTotal-MemFree") {
+    val mem2 = tmpCsv("mem2.csv",
+      "jobID,node,timestamp,MemTotal,MemFree,FilePages",
+      s"job3,N1,$T 10:00:00,2147483648,1073741824,0")
+    val df = Readers.csv(spark, mem2, Schemas.mem)
+    assert(df.schema.fieldNames.toSeq == Schemas.mem.fieldNames.toSeq)
+    val v = MetricTransforms.mem(df)
+      .filter("Event = 'memused'").collect()(0).getDouble(4)
+    assert(v == 1.0) // (2 GiB − 1 GiB) / 2^30
+  }
+
+  test("readers: null sentinels NA/NULL/empty parsed as null") {
+    val p = tmpCsv("block2.csv",
+      "jobID,node,timestamp,device,rd_sectors,wr_sectors",
+      s"job4,N1,$T 10:00:00,sda,NA,NULL",
+      s"job4,N1,$T 10:01:00,sda,,5")
+    val df = Readers.csv(spark, p, Schemas.block)
+    val rows = df.collect()
+    assert(rows.forall(r => r.isNullAt(r.fieldIndex("rd_sectors"))))
+    assert(rows.count(r => r.isNullAt(r.fieldIndex("wr_sectors"))) == 1)
+  }
+
+  test("accounting reader: dates parsed, jid normalized, null keys dropped") {
+    val acct = Readers.accounting(spark, acctCsv)
+    val r = acct.filter("jobID = 'job1'").collect()(0)
+    assert(r.getAs[String]("jid") == "1")
+    assert(r.getAs[java.sql.Timestamp]("start").toString == "2013-01-01 10:00:00.0")
+    assert(r.getAs[Long]("ncpus") == 16L)
+  }
+}
