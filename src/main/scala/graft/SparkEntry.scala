@@ -227,7 +227,110 @@ object SparkEntry {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k_val"))
 
+  // ---- training-data pipeline operators (dedup / similarity / text / multimodal) ----
+
+  import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+  /** Exact dedup: representative (min id) per distinct text. */
+  private def qDedupRep(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(tbl(s, dir, "documents"), "doc_id", "text")
+
+  /** Exact all-pairs word-3-gram Jaccard near-dup pairs (verification
+    * baseline for the LSH path). */
+  private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Dedup.wordShingles(tbl(s, dir, "documents"), "doc_id", "text"), 0.8)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+
+  /** MinHash-LSH near-dup pipeline (candidate-generate-verify). With 128
+    * hashes / 32 bands, P[miss] < 1e-7 at jaccard 0.8, so the output is
+    * oracle-checked against the exact all-pairs SQL. */
+  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDuplicates(
+        Dedup.wordShingles(tbl(s, dir, "documents"), "doc_id", "text"), 0.8)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+
+  /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit token simhash);
+    * hash-function-specific, so rows-only check. */
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+    Dedup.simhashPairs(Dedup.simhash(d, "doc_id", "text"), 3)
+      .withColumn("hamming", col("hamming").cast("long"))
+  }
+
+  /** Embedding near-dup: all pairs with cosine ≥ 0.4. */
+  private def qEmbedCosinePairs(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairs(tbl(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+      .withColumn("cosine", round(col("cosine"), 6))
+
+  /** Brute-force cosine top-5 for the first 10 vectors. */
+  private def qAnnTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      .withColumn("cosine", round(col("cosine"), 6))
+  }
+
+  /** IVF-style top-3 restricted to the query's coarse partition (label). */
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", "label", 3)
+      .withColumn("cosine", round(col("cosine"), 6))
+  }
+
+  /** Token counts + quality-score features. */
+  private def qTextStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withQuality(tbl(s, dir, "documents"), "text")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("punct_ratio"), 6).as("punct_ratio"),
+        round(col("stopword_ratio"), 6).as("stopword_ratio"),
+        round(col("mean_word_len"), 6).as("mean_word_len"),
+        round(col("quality_score"), 6).as("quality_score"))
+
+  /** Marker-token language-ID heuristic. */
+  private def qTextLangId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withLangId(tbl(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("lang"), col("pred_lang"),
+        round(col("lang_score"), 6).as("lang_score"))
+
+  /** Document fingerprints: md5 of normalized text + min-shingle rolling
+    * fingerprint. */
+  private def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withFingerprints(tbl(s, dir, "documents"), "text")
+      .select("doc_id", "md5_fp", "min_shingle_fp")
+
+  /** Multimodal asset plumbing: binary payload + typed metadata. */
+  private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.toAssets(tbl(s, dir, "documents"), "doc_id", "text", "text/plain")
+    assets.select(
+      col("asset_id"),
+      col("meta.mime").as("mime"),
+      col("meta.n_bytes").as("n_bytes"),
+      md5(col("content")).as("content_md5"))
+  }
+
+  /** Multimodal feature extraction (stubbed decode, real batch plumbing);
+    * rows-only check. */
+  private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.toAssets(tbl(s, dir, "documents"), "doc_id", "text", "text/plain")
+    Multimodal.extractFeatures(assets, 16)
+      .select(col("asset_id"), size(col("feature")).as("feat_dim"),
+        round(element_at(col("feature"), 1).cast("double"), 6).as("feat0"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_rep" -> qDedupRep,
+    "q_ngram_jaccard" -> qNgramJaccard,
+    "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_simhash" -> qDedupSimhash,
+    "q_embed_cosine_pairs" -> qEmbedCosinePairs,
+    "q_ann_topk" -> qAnnTopK,
+    "q_ann_ivf" -> qAnnIvf,
+    "q_text_stats" -> qTextStats,
+    "q_text_langid" -> qTextLangId,
+    "q_text_fingerprint" -> qTextFingerprint,
+    "q_multimodal_meta" -> qMultimodalMeta,
+    "q_multimodal_features" -> qMultimodalFeatures,
     "q_filter_project" -> qFilterProject,
     "q_agg_sum" -> qAggSum,
     "q_agg_multi" -> qAggMulti,
@@ -249,7 +352,111 @@ object SparkEntry {
     "q_safediv_clamp" -> qSafeDivClamp,
     "q_json_extract" -> qJsonExtract)
 
+  /** Word-3-gram jaccard pairs ≥ 0.8 in DuckDB SQL — oracle for both the
+    * exact all-pairs query and the MinHash-LSH pipeline (recall ≈ 1 at
+    * this threshold with 128 hashes / 32 bands). */
+  private val ngramJaccardSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(w[CAST(i AS INT):CAST(i+2 AS INT)], ' ') AS s
+      |       FROM toks, LATERAL unnest(range(1, greatest(len(w)-1, 2))) AS t(i)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT id_a, id_b, round(i*1.0/(sa.sz+sb.sz-i), 6) AS jaccard
+      |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE i*1.0/(sa.sz+sb.sz-i) >= 0.8""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_rep" ->
+      """SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+    "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_dedup_minhash" -> ngramJaccardSql,
+    "q_embed_cosine_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
+    "q_ann_topk" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+        |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                CAST(c.embedding AS DOUBLE[])) AS cos
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10)
+        |SELECT query_id, nn_id, round(cos, 6) AS cosine,
+        |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS INT) AS rank
+        |FROM scored QUALIFY rank <= 5""".stripMargin,
+    "q_ann_ivf" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+        |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                CAST(c.embedding AS DOUBLE[])) AS cos
+        |  FROM embeddings q JOIN embeddings c ON c.label = q.label AND c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 20)
+        |SELECT query_id, nn_id, round(cos, 6) AS cosine,
+        |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS INT) AS rank
+        |FROM scored QUALIFY rank <= 3""".stripMargin,
+    "q_text_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks,
+        |         (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))*1.0
+        |           / greatest(length(text), 1) AS pr,
+        |         len(list_filter(string_split_regex(trim(text), '\s+'),
+        |             w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+        |                        'on','for','with','as','at','by','from','that','this')))*1.0
+        |           / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS sr
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+        |       round(pr, 6) AS punct_ratio,
+        |       round(sr, 6) AS stopword_ratio,
+        |       round((length(text) - (len(toks) - 1))*1.0 / greatest(len(toks), 1), 6) AS mean_word_len,
+        |       round(least(greatest(
+        |         0.4 * least(len(toks)/64.0, 1.0) + 0.4 * least(sr*4.0, 1.0)
+        |           + 0.2 * (1.0 - least(pr*5.0, 1.0)), 0.0), 1.0), 6) AS quality_score
+        |FROM t""".stripMargin,
+    "q_text_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        w -> w IN ('der','die','das','und','ist','nicht','ein')))*1.0
+        |      / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS s_de,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+        |                   'on','for','with','as','at','by','from','that','this')))*1.0
+        |      / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS s_en,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        w -> w IN ('el','la','los','de','que','y','un','una')))*1.0
+        |      / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS s_es,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        w -> w IN ('le','la','les','et','des','un','une','est')))*1.0
+        |      / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS s_fr,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        w -> w IN ('的','是','不','了','在')))*1.0
+        |      / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS s_zh
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |       CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) <= 0.0 THEN 'und'
+        |            WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+        |            WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+        |            WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+        |            WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+        |            ELSE 'zh' END AS pred_lang,
+        |       round(greatest(s_de,s_en,s_es,s_fr,s_zh), 6) AS lang_score
+        |FROM s""".stripMargin,
+    "q_text_fingerprint" ->
+      """WITH n AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+        |           FROM documents)
+        |SELECT doc_id, md5(norm) AS md5_fp,
+        |       (SELECT min(md5(substring(norm, CAST(i AS INT), 8)))
+        |        FROM unnest(range(1, greatest(length(norm)-6, 2))) AS t(i)) AS min_shingle_fp
+        |FROM n""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS asset_id, 'text/plain' AS mime,
+        |       octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5
+        |FROM documents""".stripMargin,
     "q_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem

@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines: exact,
+  * n-gram Jaccard, MinHash+LSH, and SimHash near-dup detection.
+  *
+  * All are pure DataFrame transforms built from codegen'd built-ins — no
+  * UDFs. Scale design (100 TB): the LSH path is the scalable one — shingle
+  * explosion and signature aggregation are map-side + one shuffle per
+  * groupBy; candidate generation shuffles by (band, bandHash) so only
+  * colliding docs meet; exact verification joins only candidate pairs.
+  * The all-pairs exact path is for oracle-sized data and verification.
+  */
+object Dedup {
+
+  /** Exact dedup: one representative (min id) per identical value of
+    * `textCol` — the hash-groupBy formulation (shuffle on text hash). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(idCol, textCol, "n_copies")
+
+  /** Character k-shingles (distinct) per document: `(id, shingle)` rows.
+    * Built from `sequence`+`transform`+`explode` — fully codegen'd, no UDF. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    df.select(col(idCol).as("sh_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(length(col(textCol)) - (k - 1), lit(1))),
+          i => col(textCol).substr(i, lit(k))))).as("shingle"))
+      .filter(length(col("shingle")) === k)
+      .distinct()
+
+  /** Word k-shingles (distinct) per document. Far more selective than
+    * character shingles — at corpus scale the shingle self-join degenerates
+    * on common character trigrams, while word k-grams keep per-shingle doc
+    * lists short. Preferred for the 100 TB path. */
+  def wordShingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    df.select(col(idCol).as("sh_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), greatest(size(toks) - k, lit(0))),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k)))))).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
+    * Output: `(id_a, id_b, jaccard)` with `id_a < id_b`. The shingle
+    * self-join computes |A∩B| per pair; set sizes give the union. */
+  def jaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame = {
+    val sizes = sh.groupBy("sh_id").agg(count(lit(1)).as("sz")).cache()
+    val a = sh.select(col("sh_id").as("id_a"), col("shingle"))
+    val b = sh.select(col("sh_id").as("id_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("sh_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("sh_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded xxhash64 functions,
+    * the min over the doc's shingles. Output: `(sh_id, sig: array<long>)`.
+    * One shuffle (groupBy id); `numHashes` min-aggregates, all codegen'd. */
+  def minhashSignatures(sh: DataFrame, numHashes: Int = 128): DataFrame = {
+    val aggs = (0 until numHashes)
+      .map(i => min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    sh.groupBy("sh_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("sh_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: split the signature into `bands` bands of
+    * `numHashes/bands` rows, hash each band, emit `(band, bandHash, sh_id)`.
+    * Docs colliding on any band are near-dup candidates. */
+  def lshCandidatePairs(sigs: DataFrame, bands: Int): DataFrame = {
+    val rowsPerBand = ceil(size(col("sig")) / lit(bands))
+    val banded = sigs.select(col("sh_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), b))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+    val l = banded.select(col("band"), col("band_hash"), col("sh_id").as("id_a"))
+    val r = banded.select(col("band"), col("band_hash"), col("sh_id").as("id_b"))
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard for a given pair list only — the verification step of
+    * candidate-generate-verify: cost scales with |pairs|·|shingles per
+    * doc|, never with all-pairs. */
+  def jaccardFor(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("sh_id").agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("sh_id").as("id_a"), col("shingle"))
+    val b = sh.select(col("sh_id").as("id_b"), col("shingle"))
+    pairs
+      .join(a, Seq("id_a"))
+      .join(b, Seq("id_b", "shingle")) // inner on (id_b, shingle) ⇒ |A∩B| rows per pair
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("sh_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("sh_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: candidates from signature banding,
+    * verified with exact Jaccard restricted to the candidate pairs —
+    * the scalable candidate-generate-verify shape. */
+  def minhashDuplicates(sh: DataFrame, minJaccard: Double = 0.8,
+                        numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    val cands = lshCandidatePairs(minhashSignatures(sh, numHashes), bands)
+    jaccardFor(cands, sh).filter(col("jaccard") >= minJaccard)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per bit, sum +1/−1 weighted by
+    * the token-hash bit; the sign vector packs into one long. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("sh_id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .withColumn("th", xxhash64(col("token")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("th"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+    val packed = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)): Column)
+      .reduce(_.bitwiseOR(_))
+    tok.groupBy("sh_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("sh_id"), packed.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, found by
+    * banding the 64-bit hash into 4 × 16-bit chunks (pigeonhole: distance
+    * ≤ 3 ⇒ at least one chunk equal), then verifying with `bit_count`. */
+  def simhashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole guarantees recall only for distance <= 3")
+    val banded = hashes.select(col("sh_id"), col("simhash"),
+        posexplode(array((0 until 4).map(i =>
+          shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
+    val l = banded.select(col("chunk"), col("chunk_val"),
+      col("sh_id").as("id_a"), col("simhash").as("sim_a"))
+    val r = banded.select(col("chunk"), col("chunk_val"),
+      col("sh_id").as("id_b"), col("simhash").as("sim_b"))
+    l.join(r, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: token counting, quality
+  * scoring, language identification, and document fingerprinting — all
+  * narrow per-row transforms (no shuffle), codegen'd built-ins only.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Token count (whitespace) plus a BPE-ish subword-regex count: words,
+    * numbers, and single punctuation marks counted separately. */
+  def withTokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_tokens", size(tokens(col(textCol))))
+      .withColumn("n_bpeish",
+        size(filter(split(col(textCol), "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+          t => length(trim(t)) > 0)))
+
+  /** Quality-score features: length, punctuation ratio, stopword ratio,
+    * mean word length — and a [0,1] composite. Deterministic closed-form
+    * (no model), so it is oracle-checkable in plain SQL. */
+  def withQuality(df: DataFrame, textCol: String,
+                  stopwords: Seq[String] = DefaultStopwords): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks)
+    val punct = length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))
+    df.withColumn("n_tokens", nTok)
+      .withColumn("punct_ratio", punct.cast("double") / greatest(length(t), lit(1)))
+      .withColumn("stopword_ratio",
+        size(filter(toks, w => w.isin(stopwords.map(lit): _*)))
+          .cast("double") / greatest(nTok, lit(1)))
+      .withColumn("mean_word_len",
+        (length(t) - (nTok - 1)).cast("double") / greatest(nTok, lit(1)))
+      .withColumn("quality_score",
+        least(greatest(
+          lit(0.4) * least(nTok.cast("double") / 64.0, lit(1.0)) +
+            lit(0.4) * least(col("stopword_ratio") * 4.0, lit(1.0)) +
+            lit(0.2) * (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))),
+          lit(0.0)), lit(1.0)))
+  }
+
+  val DefaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "on", "for", "with", "as", "at", "by", "from", "that", "this")
+
+  /** Tiny n-gram/stopword language-ID heuristic: score each candidate
+    * language by its marker-token hit rate; highest score wins (ties by
+    * language code order). `und` when nothing matches. */
+  def withLangId(df: DataFrame, textCol: String): DataFrame = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+      "en" -> DefaultStopwords,
+      "es" -> Seq("el", "la", "los", "de", "que", "y", "un", "una"),
+      "fr" -> Seq("le", "la", "les", "et", "des", "un", "une", "est"),
+      "zh" -> Seq("的", "是", "不", "了", "在"))
+    val toks = tokens(col(textCol))
+    val n = greatest(size(toks), lit(1))
+    val scored = df.withColumns(markers.map { case (code, ws) =>
+      s"score_$code" ->
+        (size(filter(toks, w => w.isin(ws.map(lit): _*))).cast("double") / n)
+    }.toMap)
+    val best = markers.map(_._1).foldLeft((lit("und"), lit(0.0))) {
+      case ((bestLang, bestScore), code) =>
+        val s = col(s"score_$code")
+        (when(s > bestScore, lit(code)).otherwise(bestLang),
+          when(s > bestScore, s).otherwise(bestScore))
+    }
+    scored.withColumn("pred_lang", best._1)
+      .withColumn("lang_score", best._2)
+      .drop(markers.map { case (c, _) => s"score_$c" }: _*)
+  }
+
+  /** Document fingerprints: `md5_fp` of whitespace-normalized lowercase
+    * text (exact-dup key), and `min_shingle_fp` — the minimum md5 over the
+    * document's k-shingles (a 1-hash MinHash / winnowing-style rolling
+    * fingerprint usable as a cheap near-dup prefilter). */
+  def withFingerprints(df: DataFrame, textCol: String, k: Int = 8): DataFrame = {
+    val norm = lower(regexp_replace(trim(col(textCol)), "\\s+", " "))
+    df.withColumn("md5_fp", md5(norm.cast("binary")))
+      .withColumn("min_shingle_fp",
+        array_min(transform(
+          sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
+          i => md5(norm.substr(i, lit(k)).cast("binary")))))
+  }
+}

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Specs for the training-data pipeline operators (dedup, similarity,
+  * text analysis, multimodal plumbing). */
+class TrainingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "spark shuffles partitions across the cluster"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "completely different words here entirely")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length == 4)
+    val dup = out.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("doc_id") == 1L)
+  }
+
+  test("word shingles: distinct k-grams") {
+    val sh = Dedup.wordShingles(docs.filter($"doc_id" === 1), "doc_id", "text", 3)
+      .collect().map(_.getString(1)).toSet
+    assert(sh.contains("the quick brown"))
+    assert(sh.contains("the lazy dog"))
+    assert(sh.size == 7) // 9 tokens → 7 trigrams, all distinct
+  }
+
+  test("jaccard pairs finds near-dups and exact dups") {
+    val pairs = Dedup.jaccardPairs(
+        Dedup.wordShingles(docs, "doc_id", "text", 3), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 4L)) == 1.0) // exact dup
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) > 0.5 && pairs((1L, 2L)) < 1.0)
+    assert(pairs.contains((2L, 4L)))
+    assert(pairs.size == 3)
+  }
+
+  test("minhash-LSH pipeline reproduces exact jaccard pairs at high threshold") {
+    val sh = Dedup.wordShingles(docs, "doc_id", "text", 3)
+    val lsh = Dedup.minhashDuplicates(sh, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Dedup.jaccardPairs(sh, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical texts distance 0; near-dups within small hamming") {
+    val h = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(4L))
+    val d12 = java.lang.Long.bitCount(h(1L) ^ h(2L))
+    assert(d12 <= 10, s"near-dup simhash distance $d12")
+    val pairs = Dedup.simhashPairs(Dedup.simhash(docs, "doc_id", "text"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f), 0),
+    (2L, Array(0.0f, 1.0f, 0.0f), 1),
+    (3L, Array(0.0f, 0.9f, 0.1f), 1),
+    (4L, Array(-1.0f, 0.0f, 0.0f), 0)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("brute-force top-k: nearest first, self excluded, ties by id") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", 2)
+      .orderBy("rank").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("nn_id") == 1L) // closest
+    assert(out(0).getAs[Int]("rank") == 1)
+    assert(math.abs(out(0).getAs[Double]("cosine") - 0.9 / math.sqrt(0.82)) < 1e-9)
+  }
+
+  test("ivf top-k only searches the query's partition") {
+    val out = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", "label", 4)
+      .collect().map(_.getAs[Long]("nn_id")).toSet
+    assert(out == Set(1L, 4L)) // label-0 corpus only
+  }
+
+  test("cosine pairs: symmetric threshold filter") {
+    val out = Similarity.cosinePairs(vecs, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 1L), (2L, 3L)))
+  }
+
+  test("text quality features on a known sentence") {
+    val r = TextAnalysis.withQuality(Seq((1L, "the cat sat, on the mat!")).toDF("id", "text"), "text")
+      .collect()(0)
+    assert(r.getAs[Int]("n_tokens") == 6)
+    assert(math.abs(r.getAs[Double]("punct_ratio") - 2.0 / 24.0) < 1e-9)
+    // tokens: the, cat, "sat,", on, the, "mat!" → stopwords the/on/the
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 3.0 / 6.0) < 1e-9)
+    val q = r.getAs[Double]("quality_score")
+    assert(q > 0.0 && q <= 1.0)
+  }
+
+  test("langid picks the language with most marker hits") {
+    val d = Seq(
+      (1L, "the cat is on the mat and it is happy"),
+      (2L, "el gato que vive en la casa y un perro"),
+      (3L, "xyzzy plugh qwerty")).toDF("id", "text")
+    val out = TextAnalysis.withLangId(d, "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("pred_lang")).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "und")
+  }
+
+  test("fingerprints: whitespace/case-insensitive md5, stable min-shingle") {
+    val d = Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "other text"))
+      .toDF("id", "text")
+    val out = TextAnalysis.withFingerprints(d, "text", 4)
+      .collect().map(r => r.getAs[Long]("id") -> (r.getString(2), r.getString(3))).toMap
+    assert(out(1L) == out(2L)) // normalization collapses case+whitespace
+    assert(out(1L) != out(3L))
+  }
+
+  test("multimodal: asset schema, deterministic features, frame sampling") {
+    val assets = Multimodal.toAssets(docs, "doc_id", "text", "text/plain")
+    // compare field names (nullability differs: lit() columns are non-null)
+    assert(assets.schema.fieldNames.toSeq == Multimodal.assetSchema.fieldNames.toSeq)
+    assert(assets.schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Multimodal.metadataType.fieldNames.toSeq)
+    val m = assets.filter($"asset_id" === 1).select("meta.n_bytes").collect()(0).getLong(0)
+    assert(m == "the quick brown fox jumps over the lazy dog".getBytes.length)
+    val f1 = Multimodal.extractFeatures(assets, 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f1.values.forall(_.length == 8))
+    assert(f1(1L) == f1(4L)) // same bytes → same features
+    assert(f1(1L) != f1(3L))
+    val frames = Multimodal.sampleFrames(assets.filter($"asset_id" === 1), 8, 2)
+    assert(frames.columns.toSeq == Seq("asset_id", "meta", "frame_idx", "frame"))
+    assert(frames.count() >= 2)
+  }
+}
