@@ -48,8 +48,9 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
     * Output: `(id_a, id_b, jaccard)` with `id_a < id_b`. The shingle
     * self-join computes |A∩B| per pair; set sizes give the union. */
-  def jaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame = {
-    val sizes = sh.groupBy("sh_id").agg(count(lit(1)).as("sz")).cache()
+  def jaccardPairs(sh0: DataFrame, minJaccard: Double): DataFrame = {
+    val sh = sh0.cache() // used three times below
+    val sizes = sh.groupBy("sh_id").agg(count(lit(1)).as("sz"))
     val a = sh.select(col("sh_id").as("id_a"), col("shingle"))
     val b = sh.select(col("sh_id").as("id_b"), col("shingle"))
     val inter = a.join(b, Seq("shingle"))
@@ -112,8 +113,11 @@ object Dedup {
   /** Full MinHash-LSH near-dup pipeline: candidates from signature banding,
     * verified with exact Jaccard restricted to the candidate pairs —
     * the scalable candidate-generate-verify shape. */
-  def minhashDuplicates(sh: DataFrame, minJaccard: Double = 0.8,
+  def minhashDuplicates(sh0: DataFrame, minJaccard: Double = 0.8,
                         numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    // the shingle set feeds signatures AND both sides of verification —
+    // cache once or the explode+distinct shuffle runs four times
+    val sh = sh0.cache()
     val cands = lshCandidatePairs(minhashSignatures(sh, numHashes), bands)
     jaccardFor(cands, sh).filter(col("jaccard") >= minJaccard)
   }

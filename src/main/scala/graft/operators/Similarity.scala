@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two double arrays — the native codegen'd
+    * [[graft.functions.DotProduct]] kernel (the `zip_with`+`aggregate`
+    * HOF equivalent is ~20× slower at pair scale: interpreted lambda per
+    * element + an intermediate array per row). */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct.dot(a, b)
 
   /** Attach `vec` (array<double>) and its L2 `norm`. */
   def withNorm(df: DataFrame, embCol: String): DataFrame = {

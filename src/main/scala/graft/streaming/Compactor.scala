@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming file compactor (SURVEY.md §2.9 T1/T2): replaces the
+  * reference's watchdog + mover + appender processes
+  * (`step-1/mover.py:27-113`, `step-1/appender.py:215-323`) with one
+  * Structured Streaming query.
+  *
+  * The reference's per-target locks and temp-file + atomic-rename dance
+  * exist to make concurrent appends safe; here exactly-once comes from the
+  * streaming checkpoint + parquet commit protocol, and the daily layout
+  * from `partitionBy(date)`. Backlog files present at start are picked up
+  * automatically by the file source.
+  */
+object Compactor {
+
+  /** Schema guard — the appender's column-set equality check before any
+    * append (`step-1/appender.py:241-249` → `SchemaMismatchError`). */
+  def requireSameColumns(incoming: StructType, target: StructType): Unit = {
+    val in = incoming.fieldNames.toSet
+    val tgt = target.fieldNames.toSet
+    require(in == tgt,
+      s"schema mismatch on append: incoming ${in.toSeq.sorted} vs target ${tgt.toSeq.sorted}")
+  }
+
+  /** Watch `landingDir` for FRESCO parquet files; append each micro-batch
+    * to `outDir` partitioned by day. Caller stops the query (or it runs
+    * until terminated). */
+  def start(spark: SparkSession, landingDir: String, outDir: String,
+            checkpointDir: String, schema: StructType,
+            trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1000)
+      .parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        requireSameColumns(batch.schema, schema)
+        batch
+          .withColumn("date", to_date(col("Timestamp")))
+          .write.mode("append")
+          .option("compression", "zstd")
+          .partitionBy("date")
+          .parquet(outDir)
+      }
+      .start()
+}
