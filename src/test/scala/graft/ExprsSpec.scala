@@ -61,6 +61,15 @@ class ExprsSpec extends SparkSpec {
     assert(got.toSeq == Seq("N1,N2"))
   }
 
+  test("parseTsMulti: first matching format wins, null when none match") {
+    val formats = Seq("MM/dd/yyyy HH:mm:ss", "yyyy-MM-dd HH:mm:ss")
+    val got = Seq("02/27/2013 13:05:00", "2013-02-27 13:05:00", "27.02.2013")
+      .toDF("t").select(parseTsMulti($"t", formats).as("ts")).collect()
+    assert(got(0).getTimestamp(0).toString == "2013-02-27 13:05:00.0")
+    assert(got(1).getTimestamp(0).toString == "2013-02-27 13:05:00.0")
+    assert(got(2).isNullAt(0))
+  }
+
   test("parseRawTs: MM/dd/yyyy, null on garbage") {
     val got = Seq("02/27/2013 13:05:00", "garbage")
       .toDF("t").select(parseRawTs($"t").as("ts")).collect()

@@ -176,6 +176,17 @@ class PipelineSpec extends SparkSpec {
     assert(rows.count(r => r.isNullAt(r.fieldIndex("wr_sectors"))) == 1)
   }
 
+  test("writeDaily: zstd parquet partitioned by date, readable with pruning") {
+    val out = java.nio.file.Files.createTempDirectory("daily").toFile.getAbsolutePath
+    Pipeline.writeDaily(fresco, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == fresco.count())
+    assert(back.columns.contains("date"))
+    // one physical partition dir per day present in the fixture
+    val days = new java.io.File(out).listFiles().filter(_.getName.startsWith("date=")).map(_.getName)
+    assert(days.toSet == Set("date=2013-01-01"))
+  }
+
   test("accounting reader: dates parsed, jid normalized, null keys dropped") {
     val acct = Readers.accounting(spark, acctCsv)
     val r = acct.filter("jobID = 'job1'").collect()(0)
