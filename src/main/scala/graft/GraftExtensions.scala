@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProduct, SimHash64}
+
+/** Session extensions: registers the engine's native Catalyst expressions
+  * for SQL use (`SELECT dot_product(a.vec, b.vec)`, `simhash64(text)`), so
+  * `spark.sql(...)` users get the same codegen'd kernels as the DataFrame
+  * API. Install with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` (done by
+  * [[Sessions.local]]) or
+  * `--conf spark.sql.extensions=graft.GraftExtensions` on a cluster. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - dot product of two array<double>"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(text) - 64-bit whitespace-token SimHash"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+  }
+}

@@ -10,6 +10,7 @@ import org.apache.spark.sql.SparkSession
 object Sessions {
   def local(cpus: String): SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

@@ -123,20 +123,13 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens: per bit, sum +1/−1 weighted by
-    * the token-hash bit; the sign vector packs into one long. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("sh_id"),
-      explode(split(trim(col(textCol)), "\\s+")).as("token"))
-      .withColumn("th", xxhash64(col("token")))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(shiftright(col("th"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
-    val packed = (0 until 64).map(i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)): Column)
-      .reduce(_.bitwiseOR(_))
-    tok.groupBy("sh_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("sh_id"), packed.as("simhash"))
-  }
+    * the token-hash bit; the sign vector packs into one long. One narrow
+    * pass via the native [[graft.functions.SimHash64]] expression (the
+    * compose-from-built-ins version — explode + 64 conditional-sum
+    * aggregates — costs a token-row shuffle for the same bits). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("sh_id"),
+      graft.functions.SimHash64.simhash64(col(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, found by
     * banding the 64-bit hash into 4 × 16-bit chunks (pigeonhole: distance

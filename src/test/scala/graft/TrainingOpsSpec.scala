@@ -140,4 +140,16 @@ class TrainingOpsSpec extends SparkSpec {
     assert(frames.columns.toSeq == Seq("asset_id", "meta", "frame_idx", "frame"))
     assert(frames.count() >= 2)
   }
+
+  test("SQL registration: dot_product and simhash64 usable from spark.sql") {
+    vecs.createOrReplaceTempView("v")
+    val d = spark.sql(
+      "SELECT dot_product(CAST(a.embedding AS ARRAY<DOUBLE>), CAST(b.embedding AS ARRAY<DOUBLE>)) AS d " +
+        "FROM v a JOIN v b ON a.vec_id = 0 AND b.vec_id = 1").collect()(0).getDouble(0)
+    assert(math.abs(d - 0.9) < 1e-7)
+    docs.createOrReplaceTempView("d")
+    val hs = spark.sql("SELECT doc_id, simhash64(text) AS h FROM d").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(4L) && hs(1L) != hs(3L))
+  }
 }
