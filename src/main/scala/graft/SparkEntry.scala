@@ -238,7 +238,8 @@ object SparkEntry {
   /** Exact all-pairs word-3-gram Jaccard near-dup pairs (verification
     * baseline for the LSH path). */
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(Dedup.wordShingles(tbl(s, dir, "documents"), "doc_id", "text"), 0.8)
+    Dedup.jaccardPairs(
+        Dedup.hashShingles(Dedup.wordShingles(tbl(s, dir, "documents"), "doc_id", "text")), 0.8)
       .withColumn("jaccard", round(col("jaccard"), 6))
 
   /** MinHash-LSH near-dup pipeline (candidate-generate-verify). With 128
@@ -246,7 +247,7 @@ object SparkEntry {
     * oracle-checked against the exact all-pairs SQL. */
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashDuplicates(
-        Dedup.wordShingles(tbl(s, dir, "documents"), "doc_id", "text"), 0.8)
+        Dedup.hashShingles(Dedup.wordShingles(tbl(s, dir, "documents"), "doc_id", "text")), 0.8)
       .withColumn("jaccard", round(col("jaccard"), 6))
 
   /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit token simhash);

@@ -92,6 +92,13 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Replace shingle strings with their xxhash64 — Jaccard counts are
+    * preserved (collision probability over a corpus' distinct shingles is
+    * ~|S|²/2⁶⁴), and every downstream shuffle/join moves 8-byte keys
+    * instead of strings. Apply before signatures/verification at scale. */
+  def hashShingles(sh: DataFrame): DataFrame =
+    sh.select(col("sh_id"), xxhash64(col("shingle")).as("shingle"))
+
   /** Exact Jaccard for a given pair list only — the verification step of
     * candidate-generate-verify: cost scales with |pairs|·|shingles per
     * doc|, never with all-pairs. */

@@ -1,0 +1,98 @@
+package graft
+
+import org.scalacheck.Gen
+
+import graft.operators.{Dedup, MetricTransforms}
+import graft.schemas.Schemas
+import graft.sources.Readers
+
+/** Property-based invariants (SURVEY.md §5.4): rate derivation, interval
+  * join containment, and jaccard bounds hold for arbitrary generated
+  * inputs. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** scalatestplus isn't on the (offline) classpath — drive ScalaCheck
+    * generators directly: N sampled cases per property (Spark jobs per
+    * case are slow, so N is small). */
+  private def forAll[A](gen: Gen[A], n: Int = 5)(body: A => Unit): Unit = {
+    val seed0 = org.scalacheck.rng.Seed(42L)
+    Iterator.iterate(seed0)(_.next).take(n).foreach { seed =>
+      gen.apply(Gen.Parameters.default, seed).foreach(body)
+    }
+  }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  private val counterSeries: Gen[List[Double]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(0.0, 1e9)).map(_.take(30))
+
+  test("block rate: output rows < input rows per group; values ≥ 0; " +
+    "monotonic counters are never dropped by the reset filter") {
+    forAll(counterSeries) { series =>
+      val rows = series.zipWithIndex.map { case (v, i) =>
+        (f"job1", "N1", f"01/01/2013 10:${i / 60}%02d:${i % 60}%02d", "sda", v, 0.0)
+      }
+      val df = rows.toDF("jobID", "node", "timestamp", "device", "rd_sectors", "wr_sectors")
+      val out = MetricTransforms.block(df).collect()
+      assert(out.length < series.length || series.isEmpty)
+      assert(out.forall(_.getDouble(4) >= 0.0))
+      val sorted = series.sorted
+      if (series == sorted) // monotonic ⇒ only the first row (null lag) drops
+        assert(out.length == series.length - 1)
+    }
+  }
+
+  test("interval join: every joined timestamp lies in [start, end)") {
+    val gen = for {
+      start <- Gen.chooseNum(0, 3000)
+      len <- Gen.chooseNum(1, 600)
+      ts <- Gen.listOfN(40, Gen.chooseNum(0, 4000))
+    } yield (start, start + len, ts)
+    forAll(gen) { case (startS, endS, tsOffsets) =>
+      def ts(s: Int) = java.sql.Timestamp.valueOf(s"2013-01-01 00:00:00").toInstant
+        .plusSeconds(s.toLong)
+      val metrics = tsOffsets.map(o => ("1", java.sql.Timestamp.from(ts(o))))
+        .toDF("jid", "Timestamp")
+      val acct = Seq(("1", java.sql.Timestamp.from(ts(startS)), java.sql.Timestamp.from(ts(endS))))
+        .toDF("jid", "start", "end")
+      val joined = graft.operators.IntervalJoin(metrics, acct).collect()
+      val expected = tsOffsets.count(o => o >= startS && o < endS)
+      assert(joined.length == expected)
+      assert(joined.forall { r =>
+        val t = r.getAs[java.sql.Timestamp]("Timestamp")
+        !t.before(r.getAs[java.sql.Timestamp]("start")) &&
+          t.before(r.getAs[java.sql.Timestamp]("end"))
+      })
+    }
+  }
+
+  test("jaccard pairs: values in (0,1]; symmetric id ordering; exact dups = 1.0") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val doc = Gen.listOfN(12, word).map(_.mkString(" "))
+    forAll(Gen.listOfN(6, doc)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val pairs = Dedup.jaccardPairs(Dedup.wordShingles(df, "doc_id", "text"), 0.0).collect()
+      assert(pairs.forall(r => r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0))
+      assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+      for {
+        i <- texts.indices; j <- texts.indices
+        if i < j && texts(i) == texts(j)
+      } assert(pairs.exists(r =>
+        r.getLong(0) == i && r.getLong(1) == j && r.getDouble(2) == 1.0))
+    }
+  }
+
+  test("ensureColumns: arbitrary column subsets conform to the full schema") {
+    forAll(Gen.someOf(Schemas.mem.fieldNames.toSeq)) { keep =>
+      whenever(keep.nonEmpty) {
+        val base = Seq(("job1", "N1", "01/01/2013 10:00:00", 1.0, 2.0, 3.0, 4.0))
+          .toDF(Schemas.mem.fieldNames.toIndexedSeq: _*)
+        val subset = base.select(keep.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+        val fixed = Readers.ensureColumns(subset, Schemas.mem)
+        assert(fixed.schema.fieldNames.toSeq == Schemas.mem.fieldNames.toSeq)
+        assert(fixed.count() == 1)
+      }
+    }
+  }
+}
