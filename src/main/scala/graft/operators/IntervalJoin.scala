@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The reference's one conceptual join (SURVEY.md §2.3 J1): metrics ⋈
@@ -34,5 +34,36 @@ object IntervalJoin {
         col("m.Timestamp") < col("a.end"),
       "inner")
       .drop(col("a.jid"))
+  }
+
+  /** Scale-out variant for when the interval side outgrows the broadcast
+    * threshold (SURVEY.md §4's "interval join planning rule" — realized as
+    * an explicit operator): both sides map into fixed time buckets — each
+    * interval explodes into every bucket it overlaps, each metric row into
+    * exactly one — turning the range condition into an equi-join on
+    * `(jid, bucket)` with a residual containment filter. Shuffle-partitioned
+    * hash join, no broadcast, no all-pairs-per-jid blowup: a metric row
+    * meets only the intervals overlapping its own bucket.
+    *
+    * `bucketMicros` should be ≥ the typical interval length (one explode
+    * row per covered bucket per interval). Result is row-identical to
+    * [[apply]]. */
+  def bucketed(metrics: DataFrame, accounting: DataFrame,
+               bucketMicros: Long = 24L * 3600L * 1000000L): DataFrame = {
+    require(bucketMicros > 0)
+    def bucketOf(c: Column): Column =
+      floor(unix_micros(c) / lit(bucketMicros)).cast("long")
+    val acct = accounting.filter(col("start") < col("end"))
+      .withColumn("__bucket",
+        explode(sequence(bucketOf(col("start")),
+          floor((unix_micros(col("end")) - 1) / lit(bucketMicros)).cast("long"))))
+    val met = metrics.withColumn("__bucket", bucketOf(col("Timestamp")))
+    met.alias("m").join(acct.alias("a"),
+        col("m.__bucket") === col("a.__bucket") &&
+          col("m.jid") === col("a.jid") &&
+          col("m.Timestamp") >= col("a.start") &&
+          col("m.Timestamp") < col("a.end"),
+        "inner")
+      .drop(col("a.jid")).drop(col("a.__bucket")).drop(col("m.__bucket"))
   }
 }

@@ -67,6 +67,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bucketed interval join is row-identical to the broadcast join") {
+    val gen = for {
+      nJobs <- Gen.chooseNum(1, 4)
+      jobs <- Gen.listOfN(nJobs, for {
+        s <- Gen.chooseNum(0, 5000); l <- Gen.chooseNum(1, 2000)
+      } yield (s, s + l))
+      ts <- Gen.listOfN(60, Gen.chooseNum(0, 8000))
+    } yield (jobs, ts)
+    forAll(gen) { case (jobs, tsOffsets) =>
+      def ts(s: Int) = java.sql.Timestamp.from(
+        java.sql.Timestamp.valueOf("2013-01-01 00:00:00").toInstant.plusSeconds(s.toLong))
+      val metrics = tsOffsets.zipWithIndex
+        .map { case (o, i) => ((i % jobs.length + 1).toString, ts(o)) }
+        .toDF("jid", "Timestamp")
+      val acct = jobs.zipWithIndex
+        .map { case ((s, e), i) => ((i + 1).toString, ts(s), ts(e)) }
+        .toDF("jid", "start", "end")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[String]("jid"), r.getAs[java.sql.Timestamp]("Timestamp"),
+          r.getAs[java.sql.Timestamp]("start"))
+      val broad = graft.operators.IntervalJoin(metrics, acct).collect().map(key).sorted
+      // bucket width (10 min) deliberately smaller than many intervals →
+      // multi-bucket explode paths are exercised
+      val buck = graft.operators.IntervalJoin.bucketed(metrics, acct, 600L * 1000000L)
+        .collect().map(key).sorted
+      assert(buck.toSeq == broad.toSeq)
+    }
+  }
+
   test("jaccard pairs: values in (0,1]; symmetric id ordering; exact dups = 1.0") {
     val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
     val doc = Gen.listOfN(12, word).map(_.mkString(" "))
