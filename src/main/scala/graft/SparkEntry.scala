@@ -319,7 +319,22 @@ object SparkEntry {
         round(element_at(col("feature"), 1).cast("double"), 6).as("feat0"))
   }
 
+  /** Capstone curation pipeline: quality-filter the corpus and drop the
+    * lower-id'd member of every near-duplicate pair — the composed
+    * dedup + quality flow of a real training-data pipeline. */
+  private def qCurate(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val dupLosers = Dedup.jaccardPairs(
+        Dedup.hashShingles(Dedup.wordShingles(docs, "doc_id", "text")), 0.8)
+      .select(col("id_b").as("doc_id"))
+    TextAnalysis.withQuality(docs, "text")
+      .filter(col("quality_score") >= 0.5)
+      .join(dupLosers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), round(col("quality_score"), 6).as("quality_score"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curate" -> qCurate,
     "q_dedup_rep" -> qDedupRep,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_dedup_minhash" -> qDedupMinhash,
@@ -368,6 +383,25 @@ object SparkEntry {
       |WHERE i*1.0/(sa.sz+sb.sz-i) >= 0.8""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_curate" ->
+      s"""WITH dup_losers AS (SELECT id_b AS doc_id FROM ($ngramJaccardSql)),
+         |q AS (
+         |  SELECT doc_id, lang,
+         |         string_split_regex(trim(text), '\\s+') AS toks,
+         |         (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))*1.0
+         |           / greatest(length(text), 1) AS pr,
+         |         len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |             w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+         |                        'on','for','with','as','at','by','from','that','this')))*1.0
+         |           / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS sr
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |         least(greatest(0.4 * least(len(toks)/64.0, 1.0) + 0.4 * least(sr*4.0, 1.0)
+         |           + 0.2 * (1.0 - least(pr*5.0, 1.0)), 0.0), 1.0) AS qs
+         |  FROM q)
+         |SELECT doc_id, lang, round(qs, 6) AS quality_score FROM scored
+         |WHERE qs >= 0.5 AND doc_id NOT IN (SELECT doc_id FROM dup_losers)""".stripMargin,
     "q_dedup_rep" ->
       """SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
