@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming aggregation beyond the reference's file-arrival
+  * micro-batches: watermarked tumbling-window aggregates and a stateful
+  * sessionizer via `flatMapGroupsWithState` — the Structured Streaming
+  * surface a telemetry pipeline needs once inputs become true streams
+  * rather than dropped files.
+  */
+object EventAggregator {
+
+  /** Watermarked tumbling-window counts/means per (window, Event). Late
+    * rows beyond `watermark` are dropped; output is append-mode ready. */
+  def windowedMetrics(events: DataFrame, window_ : String = "1 minute",
+                      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("Timestamp", watermark)
+      .groupBy(window(col("Timestamp"), window_), col("Event"))
+      .agg(count(lit(1)).as("n"), avg(col("Value")).as("avg_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("Event"), col("n"), col("avg_value"))
+
+  case class HostEvent(host: String, ts: java.sql.Timestamp, value: Double)
+  case class HostSession(host: String, nEvents: Long, first: java.sql.Timestamp,
+                         last: java.sql.Timestamp, meanValue: Double)
+  /** Internal session accumulator (public: the state Encoder's generated
+    * code constructs it reflectively from another package). */
+  case class SessionState(n: Long, sum: Double,
+                          first: java.sql.Timestamp, last: java.sql.Timestamp)
+
+  /** Stateful sessionization: one open session per host, closed (emitted)
+    * once the event-time watermark passes the session's last event +
+    * `gapMs` — the custom-state shape (`flatMapGroupsWithState`) a pipeline
+    * uses when windows can't express the semantics. Event-time timeouts
+    * keep the operator deterministic and replayable (processing-time
+    * timeouts would tie session boundaries to wall clock). Input must
+    * carry a watermark on `ts`. */
+  def sessionize(events: Dataset[HostEvent], gapMs: Long,
+                 watermarkDelay: String = "0 seconds"): Dataset[HostSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.host)
+      .flatMapGroupsWithState[SessionState, HostSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (host: String, rows: Iterator[HostEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(HostSession(host, s.n, s.first, s.last, s.sum / s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            if (sorted.isEmpty) Iterator.empty
+            else {
+              val prev = state.getOption.getOrElse(
+                SessionState(0L, 0.0, sorted.head.ts, sorted.head.ts))
+              val next = sorted.foldLeft(prev) { (s, e) =>
+                SessionState(s.n + 1, s.sum + e.value,
+                  if (e.ts.before(s.first)) e.ts else s.first,
+                  if (e.ts.after(s.last)) e.ts else s.last)
+              }
+              state.update(next)
+              state.setTimeoutTimestamp(next.last.getTime + gapMs)
+              Iterator.empty
+            }
+          }
+      }
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.EventAggregator
+import graft.streaming.EventAggregator.HostEvent
+
+/** Streaming event-time aggregation specs driven synchronously through
+  * MemoryStream + processAllAvailable. */
+class EventAggregatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked tumbling window aggregates per event") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp, Double)]
+    val events = in.toDF().toDF("Event", "Timestamp", "Value")
+    val q = EventAggregator.windowedMetrics(events, "1 minute", "5 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+
+    in.addData(
+      ("cpuuser", ts("2013-01-01 10:00:10"), 10.0),
+      ("cpuuser", ts("2013-01-01 10:00:50"), 30.0),
+      ("block", ts("2013-01-01 10:00:20"), 1.0),
+      ("cpuuser", ts("2013-01-01 10:01:10"), 50.0),
+      // advance watermark far enough to close the 10:00 and 10:01 windows
+      ("cpuuser", ts("2013-01-01 10:30:00"), 0.0))
+    q.processAllAvailable()
+    in.addData(("cpuuser", ts("2013-01-01 11:00:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("win_out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(2)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    assert(rows(("2013-01-01 10:00:00.0", "cpuuser")) == (2L, 20.0))
+    assert(rows(("2013-01-01 10:00:00.0", "block")) == (1L, 1.0))
+    assert(rows(("2013-01-01 10:01:00.0", "cpuuser")) == (1L, 50.0))
+  }
+
+  test("stateful sessionization closes sessions when the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[HostEvent]
+    val q = EventAggregator.sessionize(in.toDS(), gapMs = 60000)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+
+    in.addData(
+      HostEvent("N1", ts("2013-01-01 10:00:00"), 10.0),
+      HostEvent("N1", ts("2013-01-01 10:00:30"), 30.0),
+      HostEvent("N2", ts("2013-01-01 10:00:05"), 5.0))
+    q.processAllAvailable()
+    assert(spark.table("sess_out").isEmpty) // sessions still open
+    // a much later event advances the watermark beyond last+gap → both
+    // open sessions time out on the following batch
+    in.addData(HostEvent("N9", ts("2013-01-01 11:00:00"), 0.0))
+    q.processAllAvailable()
+    in.addData(HostEvent("N9", ts("2013-01-01 11:00:01"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("sess_out").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(4))).toMap
+    assert(out.keySet == Set("N1", "N2"))
+    assert(out("N1") == (2L, 20.0))
+    assert(out("N2") == (1L, 5.0))
+  }
+}
