@@ -49,4 +49,17 @@ object Pipeline {
 
   /** Step 3: final string standardization. */
   def step3(wide: DataFrame): DataFrame = Finalize(wide)
+
+  /** Attach per-stage audit metrics (SURVEY §2.4 A10 — the reference logs
+    * row counts at every stage): returns the observed frame and an
+    * `Observation` whose `get` yields `rows` / `null_values` after the
+    * next action, without a second scan. */
+  def observed(df: DataFrame, name: String): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val valueNulls =
+      if (df.columns.contains("Value"))
+        sum(when(col("Value").isNull, 1L).otherwise(0L))
+      else lit(0L)
+    (df.observe(obs, count(lit(1)).as("rows"), valueNulls.as("null_values")), obs)
+  }
 }

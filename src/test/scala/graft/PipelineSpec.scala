@@ -187,6 +187,13 @@ class PipelineSpec extends SparkSpec {
     assert(days.toSet == Set("date=2013-01-01"))
   }
 
+  test("observe: audit row counts piggyback on the action (A10)") {
+    val (df, obs) = Pipeline.observed(fresco, "step1_audit")
+    val n = df.count()
+    assert(obs.get("rows") == n)
+    assert(obs.get("null_values") == 0L)
+  }
+
   test("accounting reader: dates parsed, jid normalized, null keys dropped") {
     val acct = Readers.accounting(spark, acctCsv)
     val r = acct.filter("jobID = 'job1'").collect()(0)
