@@ -65,16 +65,17 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signature: for each of `numHashes` seeded xxhash64 functions,
-    * the min over the doc's shingles. Output: `(sh_id, sig: array<long>)`.
-    * One shuffle (groupBy id); `numHashes` min-aggregates, all codegen'd. */
-  def minhashSignatures(sh: DataFrame, numHashes: Int = 128): DataFrame = {
-    val aggs = (0 until numHashes)
-      .map(i => min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * min over the doc's shingles. Output: `(sh_id, sig: array<long>)`.
+    * One shuffle (groupBy id) and ONE aggregate — the custom
+    * [[graft.functions.MinHashSignature]] buffer aggregate (the
+    * compose-from-built-ins alternative is `numHashes` separate
+    * `min(xxhash64(shingle, i))` expressions, which blows past the
+    * aggregate codegen width and evaluates 128 expression trees per row). */
+  def minhashSignatures(sh: DataFrame, numHashes: Int = 128): DataFrame =
     sh.groupBy("sh_id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("sh_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-  }
+      .agg(graft.functions.MinHashSignature
+        .minhashSignature(col("shingle"), numHashes).as("sig"))
 
   /** LSH banding: split the signature into `bands` bands of
     * `numHashes/bands` rows, hash each band, emit `(band, bandHash, sh_id)`.
