@@ -33,6 +33,10 @@ object Pipeline {
   def writeDaily(fresco: DataFrame, outDir: String): Unit =
     fresco
       .withColumn("date", to_date(col("Timestamp")))
+      // sorted files give step-2 readers row-group locality per job/time
+      // (the reference's `sorted-*.parquet` contract, SURVEY §2.6 O4,
+      // without requiring pre-sorted input)
+      .sortWithinPartitions(col("date"), col("Job Id"), col("Timestamp"))
       .write.mode("overwrite")
       .option("compression", "zstd")
       .partitionBy("date")

@@ -37,6 +37,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_interval_join")(spark, "/root/testdata/sf0.001")
 
+  /** Engine-portable rounding: floor(x·10^d + 0.5)/10^d in plain IEEE
+    * double arithmetic, so Spark and the DuckDB oracle compute the exact
+    * same bits even on decimal-boundary values (engine round() functions
+    * disagree there: Spark rounds the shortest decimal repr HALF_UP,
+    * DuckDB rounds an fp-scaled value). */
+  private def rq(c: Column, digits: Int): Column = {
+    val f = math.pow(10, digits)
+    floor(c * f + lit(0.5)) / f
+  }
+  private def rq(c: Column): Column = rq(c, 6)
+
   // ---- SURVEY §2 operator inventory over testdata ----
 
   /** S1-S3/P1/P5: scan + pushed-down filter + projection. */
@@ -57,9 +68,9 @@ object SparkEntry {
     tbl(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        round(sum("l_quantity"), 4).as("sum_qty"),
-        round(sum("l_extendedprice"), 4).as("sum_price"),
-        round(avg("l_discount"), 6).as("avg_disc"),
+        rq(sum("l_quantity"), 4).as("sum_qty"),
+        rq(sum("l_extendedprice"), 4).as("sum_price"),
+        rq(avg("l_discount"), 6).as("avg_disc"),
         min("l_shipdate").as("min_ship"),
         max("l_shipdate").as("max_ship"),
         count(lit(1)).as("n_rows"))
@@ -68,7 +79,7 @@ object SparkEntry {
   private def qAggMean(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "events")
       .groupBy("event_type")
-      .agg(round(avg("value"), 6).as("avg_value"), count(lit(1)).as("n_events"))
+      .agg(rq(avg("value"), 6).as("avg_value"), count(lit(1)).as("n_events"))
 
   /** A5: distinct values. */
   private def qDistinct(s: SparkSession, dir: String): DataFrame =
@@ -87,7 +98,7 @@ object SparkEntry {
     val p = tbl(s, dir, "events")
       .groupBy("user_id")
       .pivot("event_type", types)
-      .agg(round(avg(col("value")), 6))
+      .agg(rq(avg(col("value")), 6))
     p.select(col("user_id") +: types.map(t => col(t).as(s"avg_$t")): _*)
   }
 
@@ -114,7 +125,7 @@ object SparkEntry {
           col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 90 DAY"),
         "inner")
       .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n_rows"), round(sum("l_quantity"), 4).as("sum_qty"))
+      .agg(count(lit(1)).as("n_rows"), rq(sum("l_quantity"), 4).as("sum_qty"))
   }
 
   /** Multi-way broadcast join: customer ⋈ nation ⋈ region + aggregate. */
@@ -124,7 +135,7 @@ object SparkEntry {
       .join(broadcast(tbl(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name")
       .agg(count(lit(1)).as("n_customers"),
-        round(sum("c_acctbal"), 4).as("total_acctbal"))
+        rq(sum("c_acctbal"), 4).as("total_acctbal"))
 
   /** J3: left-semi join (EXISTS). */
   private def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
@@ -192,7 +203,7 @@ object SparkEntry {
       .withColumn("session_start", min(col("ts")).over(w))
       .withColumn("bucket", bucketIndex(col("ts"), col("session_start"), widthUs))
       .groupBy("user_id", "bucket")
-      .agg(count(lit(1)).as("n_events"), round(avg("value"), 6).as("avg_value"))
+      .agg(count(lit(1)).as("n_events"), rq(avg("value"), 6).as("avg_value"))
       .withColumn("user_id", col("user_id").cast("long"))
   }
 
@@ -217,7 +228,7 @@ object SparkEntry {
       .select(
         col("l_orderkey"),
         col("l_linenumber"),
-        round(clampMetric(safeDiv(col("l_extendedprice"), col("l_quantity")), 0.0, 1500.0), 6)
+        rq(clampMetric(safeDiv(col("l_extendedprice"), col("l_quantity")), 0.0, 1500.0), 6)
           .as("unit_price_clamped"))
 
   /** JSON extraction from the events `props` column. */
@@ -240,7 +251,7 @@ object SparkEntry {
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(
         Dedup.hashShingles(Dedup.wordShingles(tbl(s, dir, "documents"), "doc_id", "text")), 0.8)
-      .withColumn("jaccard", round(col("jaccard"), 6))
+      .withColumn("jaccard", rq(col("jaccard"), 6))
 
   /** MinHash-LSH near-dup pipeline (candidate-generate-verify). With 128
     * hashes / 32 bands, P[miss] < 1e-7 at jaccard 0.8, so the output is
@@ -248,7 +259,7 @@ object SparkEntry {
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashDuplicates(
         Dedup.hashShingles(Dedup.wordShingles(tbl(s, dir, "documents"), "doc_id", "text")), 0.8)
-      .withColumn("jaccard", round(col("jaccard"), 6))
+      .withColumn("jaccard", rq(col("jaccard"), 6))
 
   /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit token simhash);
     * hash-function-specific, so rows-only check. */
@@ -261,20 +272,20 @@ object SparkEntry {
   /** Embedding near-dup: all pairs with cosine ≥ 0.4. */
   private def qEmbedCosinePairs(s: SparkSession, dir: String): DataFrame =
     Similarity.cosinePairs(tbl(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
-      .withColumn("cosine", round(col("cosine"), 6))
+      .withColumn("cosine", rq(col("cosine"), 6))
 
   /** Brute-force cosine top-5 for the first 10 vectors. */
   private def qAnnTopK(s: SparkSession, dir: String): DataFrame = {
     val e = tbl(s, dir, "embeddings")
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
-      .withColumn("cosine", round(col("cosine"), 6))
+      .withColumn("cosine", rq(col("cosine"), 6))
   }
 
   /** IVF-style top-3 restricted to the query's coarse partition (label). */
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = tbl(s, dir, "embeddings")
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", "label", 3)
-      .withColumn("cosine", round(col("cosine"), 6))
+      .withColumn("cosine", rq(col("cosine"), 6))
   }
 
   /** Token counts + quality-score features. */
@@ -283,16 +294,16 @@ object SparkEntry {
       .select(
         col("doc_id"),
         col("n_tokens"),
-        round(col("punct_ratio"), 6).as("punct_ratio"),
-        round(col("stopword_ratio"), 6).as("stopword_ratio"),
-        round(col("mean_word_len"), 6).as("mean_word_len"),
-        round(col("quality_score"), 6).as("quality_score"))
+        rq(col("punct_ratio"), 6).as("punct_ratio"),
+        rq(col("stopword_ratio"), 6).as("stopword_ratio"),
+        rq(col("mean_word_len"), 6).as("mean_word_len"),
+        rq(col("quality_score"), 6).as("quality_score"))
 
   /** Marker-token language-ID heuristic. */
   private def qTextLangId(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.withLangId(tbl(s, dir, "documents"), "text")
       .select(col("doc_id"), col("lang"), col("pred_lang"),
-        round(col("lang_score"), 6).as("lang_score"))
+        rq(col("lang_score"), 6).as("lang_score"))
 
   /** Document fingerprints: md5 of normalized text + min-shingle rolling
     * fingerprint. */
@@ -316,7 +327,7 @@ object SparkEntry {
     val assets = Multimodal.toAssets(tbl(s, dir, "documents"), "doc_id", "text", "text/plain")
     Multimodal.extractFeatures(assets, 16)
       .select(col("asset_id"), size(col("feature")).as("feat_dim"),
-        round(element_at(col("feature"), 1).cast("double"), 6).as("feat0"))
+        rq(element_at(col("feature"), 1).cast("double"), 6).as("feat0"))
   }
 
   /** Capstone curation pipeline: quality-filter the corpus and drop the
@@ -330,10 +341,26 @@ object SparkEntry {
     TextAnalysis.withQuality(docs, "text")
       .filter(col("quality_score") >= 0.5)
       .join(dupLosers, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("lang"), round(col("quality_score"), 6).as("quality_score"))
+      .select(col("doc_id"), col("lang"), rq(col("quality_score"), 6).as("quality_score"))
+  }
+
+  /** SQL frontend: the same engine drives `spark.sql` over temp views
+    * (with the graft-registered functions available) — TPC-H Q4 shape. */
+  private def qSqlFrontend(s: SparkSession, dir: String): DataFrame = {
+    tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    tbl(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_frontend" -> qSqlFrontend,
     "q_curate" -> qCurate,
     "q_dedup_rep" -> qDedupRep,
     "q_ngram_jaccard" -> qNgramJaccard,
@@ -378,11 +405,19 @@ object SparkEntry {
       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-      |SELECT id_a, id_b, round(i*1.0/(sa.sz+sb.sz-i), 6) AS jaccard
+      |SELECT id_a, id_b, floor((i*1.0/(sa.sz+sb.sz-i))*1000000.0 + 0.5)/1000000.0 AS jaccard
       |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
       |WHERE i*1.0/(sa.sz+sb.sz-i) >= 0.8""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_sql_frontend" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
     "q_curate" ->
       s"""WITH dup_losers AS (SELECT id_b AS doc_id FROM ($ngramJaccardSql)),
          |q AS (
@@ -400,7 +435,7 @@ object SparkEntry {
          |         least(greatest(0.4 * least(len(toks)/64.0, 1.0) + 0.4 * least(sr*4.0, 1.0)
          |           + 0.2 * (1.0 - least(pr*5.0, 1.0)), 0.0), 1.0) AS qs
          |  FROM q)
-         |SELECT doc_id, lang, round(qs, 6) AS quality_score FROM scored
+         |SELECT doc_id, lang, floor((qs)*1000000.0 + 0.5)/1000000.0 AS quality_score FROM scored
          |WHERE qs >= 0.5 AND doc_id NOT IN (SELECT doc_id FROM dup_losers)""".stripMargin,
     "q_dedup_rep" ->
       """SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies
@@ -409,8 +444,8 @@ object SparkEntry {
     "q_dedup_minhash" -> ngramJaccardSql,
     "q_embed_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |       floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                    CAST(b.embedding AS DOUBLE[])))*1000000.0 + 0.5)/1000000.0 AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
@@ -421,7 +456,7 @@ object SparkEntry {
         |                                CAST(c.embedding AS DOUBLE[])) AS cos
         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
         |  WHERE q.vec_id < 10)
-        |SELECT query_id, nn_id, round(cos, 6) AS cosine,
+        |SELECT query_id, nn_id, floor((cos)*1000000.0 + 0.5)/1000000.0 AS cosine,
         |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS INT) AS rank
         |FROM scored QUALIFY rank <= 5""".stripMargin,
     "q_ann_ivf" ->
@@ -431,7 +466,7 @@ object SparkEntry {
         |                                CAST(c.embedding AS DOUBLE[])) AS cos
         |  FROM embeddings q JOIN embeddings c ON c.label = q.label AND c.vec_id <> q.vec_id
         |  WHERE q.vec_id < 20)
-        |SELECT query_id, nn_id, round(cos, 6) AS cosine,
+        |SELECT query_id, nn_id, floor((cos)*1000000.0 + 0.5)/1000000.0 AS cosine,
         |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS INT) AS rank
         |FROM scored QUALIFY rank <= 3""".stripMargin,
     "q_text_stats" ->
@@ -445,12 +480,12 @@ object SparkEntry {
         |           / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS sr
         |  FROM documents)
         |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
-        |       round(pr, 6) AS punct_ratio,
-        |       round(sr, 6) AS stopword_ratio,
-        |       round((length(text) - (len(toks) - 1))*1.0 / greatest(len(toks), 1), 6) AS mean_word_len,
-        |       round(least(greatest(
+        |       floor((pr)*1000000.0 + 0.5)/1000000.0 AS punct_ratio,
+        |       floor((sr)*1000000.0 + 0.5)/1000000.0 AS stopword_ratio,
+        |       floor(((length(text) - (len(toks) - 1))*1.0 / greatest(len(toks), 1))*1000000.0 + 0.5)/1000000.0 AS mean_word_len,
+        |       floor((least(greatest(
         |         0.4 * least(len(toks)/64.0, 1.0) + 0.4 * least(sr*4.0, 1.0)
-        |           + 0.2 * (1.0 - least(pr*5.0, 1.0)), 0.0), 1.0), 6) AS quality_score
+        |           + 0.2 * (1.0 - least(pr*5.0, 1.0)), 0.0), 1.0))*1000000.0 + 0.5)/1000000.0 AS quality_score
         |FROM t""".stripMargin,
     "q_text_langid" ->
       """WITH s AS (
@@ -479,7 +514,7 @@ object SparkEntry {
         |            WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
         |            WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
         |            ELSE 'zh' END AS pred_lang,
-        |       round(greatest(s_de,s_en,s_es,s_fr,s_zh), 6) AS lang_score
+        |       floor((greatest(s_de,s_en,s_es,s_fr,s_zh))*1000000.0 + 0.5)/1000000.0 AS lang_score
         |FROM s""".stripMargin,
     "q_text_fingerprint" ->
       """WITH n AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
@@ -503,14 +538,14 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q_agg_multi" ->
       """SELECT l_returnflag,
-        |       round(CAST(sum(l_quantity) AS DOUBLE), 4) AS sum_qty,
-        |       round(CAST(sum(l_extendedprice) AS DOUBLE), 4) AS sum_price,
-        |       round(CAST(avg(l_discount) AS DOUBLE), 6) AS avg_disc,
+        |       floor((CAST(sum(l_quantity) AS DOUBLE))*10000.0 + 0.5)/10000.0 AS sum_qty,
+        |       floor((CAST(sum(l_extendedprice) AS DOUBLE))*10000.0 + 0.5)/10000.0 AS sum_price,
+        |       floor((CAST(avg(l_discount) AS DOUBLE))*1000000.0 + 0.5)/1000000.0 AS avg_disc,
         |       min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
         |       count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_agg_mean" ->
-      """SELECT event_type, round(CAST(avg(value) AS DOUBLE), 6) AS avg_value,
+      """SELECT event_type, floor((CAST(avg(value) AS DOUBLE))*1000000.0 + 0.5)/1000000.0 AS avg_value,
         |       count(*) AS n_events
         |FROM events GROUP BY event_type""".stripMargin,
     "q_distinct" ->
@@ -522,11 +557,11 @@ object SparkEntry {
         |FROM customer GROUP BY c_nationkey""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
-        |       round(CAST(avg(CASE WHEN event_type='click' THEN value END) AS DOUBLE), 6) AS avg_click,
-        |       round(CAST(avg(CASE WHEN event_type='error' THEN value END) AS DOUBLE), 6) AS avg_error,
-        |       round(CAST(avg(CASE WHEN event_type='purchase' THEN value END) AS DOUBLE), 6) AS avg_purchase,
-        |       round(CAST(avg(CASE WHEN event_type='signup' THEN value END) AS DOUBLE), 6) AS avg_signup,
-        |       round(CAST(avg(CASE WHEN event_type='view' THEN value END) AS DOUBLE), 6) AS avg_view
+        |       floor((CAST(avg(CASE WHEN event_type='click' THEN value END) AS DOUBLE))*1000000.0 + 0.5)/1000000.0 AS avg_click,
+        |       floor((CAST(avg(CASE WHEN event_type='error' THEN value END) AS DOUBLE))*1000000.0 + 0.5)/1000000.0 AS avg_error,
+        |       floor((CAST(avg(CASE WHEN event_type='purchase' THEN value END) AS DOUBLE))*1000000.0 + 0.5)/1000000.0 AS avg_purchase,
+        |       floor((CAST(avg(CASE WHEN event_type='signup' THEN value END) AS DOUBLE))*1000000.0 + 0.5)/1000000.0 AS avg_signup,
+        |       floor((CAST(avg(CASE WHEN event_type='view' THEN value END) AS DOUBLE))*1000000.0 + 0.5)/1000000.0 AS avg_view
         |FROM events GROUP BY user_id""".stripMargin,
     "q_window_lag" ->
       """SELECT user_id, event_id,
@@ -537,7 +572,7 @@ object SparkEntry {
         |QUALIFY dt_sec >= 0.1 AND delta_value >= 0.0""".stripMargin,
     "q_interval_join" ->
       """SELECT o_orderpriority, count(*) AS n_rows,
-        |       round(CAST(sum(l_quantity) AS DOUBLE), 4) AS sum_qty
+        |       floor((CAST(sum(l_quantity) AS DOUBLE))*10000.0 + 0.5)/10000.0 AS sum_qty
         |FROM lineitem JOIN orders
         |  ON l_orderkey = o_orderkey
         | AND l_shipdate >= o_orderdate
@@ -545,7 +580,7 @@ object SparkEntry {
         |GROUP BY o_orderpriority""".stripMargin,
     "q_join3" ->
       """SELECT r_name, count(*) AS n_customers,
-        |       round(CAST(sum(c_acctbal) AS DOUBLE), 4) AS total_acctbal
+        |       floor((CAST(sum(c_acctbal) AS DOUBLE))*10000.0 + 0.5)/10000.0 AS total_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -592,7 +627,7 @@ object SparkEntry {
         |                    / 600000000) AS BIGINT) AS bucket
         |  FROM events)
         |SELECT user_id, bucket, count(*) AS n_events,
-        |       round(CAST(avg(value) AS DOUBLE), 6) AS avg_value
+        |       floor((CAST(avg(value) AS DOUBLE))*1000000.0 + 0.5)/1000000.0 AS avg_value
         |FROM b GROUP BY user_id, bucket""".stripMargin,
     "q_dedup_exact" ->
       """SELECT lang, count(DISTINCT text) AS n_distinct_docs,
@@ -603,9 +638,9 @@ object SparkEntry {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
     "q_safediv_clamp" ->
       """SELECT l_orderkey, l_linenumber,
-        |       round(least(greatest(
+        |       floor((least(greatest(
         |         CASE WHEN l_quantity <> 0 THEN l_extendedprice / l_quantity ELSE 0.0 END,
-        |         0.0), 1500.0), 6) AS unit_price_clamped
+        |         0.0), 1500.0))*1000000.0 + 0.5)/1000000.0 AS unit_price_clamped
         |FROM lineitem""".stripMargin,
     "q_json_extract" ->
       """SELECT event_id,
