@@ -187,6 +187,21 @@ class PipelineSpec extends SparkSpec {
     assert(days.toSet == Set("date=2013-01-01"))
   }
 
+  test("writeDaily output gives partition pruning for day-scoped reads") {
+    val out = java.nio.file.Files.createTempDirectory("daily-prune").toFile.getAbsolutePath
+    // two distinct days so pruning has something to skip
+    val twoDays = fresco.unionByName(
+      fresco.withColumn("Timestamp",
+        org.apache.spark.sql.functions.col("Timestamp") +
+          org.apache.spark.sql.functions.expr("INTERVAL 1 DAY")))
+    Pipeline.writeDaily(twoDays, out)
+    val q = spark.read.parquet(out).filter("date = date'2013-01-01'")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("2013-01-01"),
+      s"no partition filter in scan:\n$scan")
+    assert(q.count() == fresco.count())
+  }
+
   test("observe: audit row counts piggyback on the action (A10)") {
     val (df, obs) = Pipeline.observed(fresco, "step1_audit")
     val n = df.count()
