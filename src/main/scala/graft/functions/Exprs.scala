@@ -38,12 +38,17 @@ object Exprs {
     coalesce(nullif(regexp_extract(s, "(\\d+)$", 1), lit("")), s)
   }
 
-  /** Step-3 jid cleanup + `_S` suffix: drop literal `ID`, `job`→`JOB`,
-    * append `_S` — reference `step-3/final_cleanup.py:34-54`. */
+  /** Step-3 jid cleanup + `_S` suffix: drop the FIRST literal `ID`, then
+    * FIRST `job`→`JOB`, append `_S` — reference
+    * `step-3/final_cleanup.py:34-54` uses Polars `str.replace(...,
+    * literal=True)`, which replaces only the first occurrence (unlike
+    * step-1's `replace_all`). The anchored non-greedy pattern makes
+    * `regexp_replace` first-occurrence-only. */
   def finalizeJid(c: Column): Column =
     concat(
-      regexp_replace(regexp_replace(c.cast("string"), lit("ID"), lit("")),
-        lit("job"), lit("JOB")),
+      regexp_replace(
+        regexp_replace(c.cast("string"), lit("^((?s).*?)ID"), lit("$1")),
+        lit("^((?s).*?)job"), lit("$1JOB")),
       lit("_S"))
 
   /** Append `_S` (host / host_list / username) — reference

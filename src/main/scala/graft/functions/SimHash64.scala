@@ -23,15 +23,21 @@ case class SimHash64(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
+  /** Exactly the character class of Java regex `\s` — so tokenization is
+    * bit-identical to the engine's `split(text, "\\s+")` (Character
+    * .isWhitespace would additionally split on Unicode spaces). */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   override protected def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
     val counts = new Array[Int](64)
     var start = 0
     val n = text.length
     while (start < n) {
-      while (start < n && Character.isWhitespace(text.charAt(start))) start += 1
+      while (start < n && isWs(text.charAt(start))) start += 1
       var end = start
-      while (end < n && !Character.isWhitespace(text.charAt(end))) end += 1
+      while (end < n && !isWs(text.charAt(end))) end += 1
       if (end > start) {
         val h = XxHash64Function.hash(
           UTF8String.fromString(text.substring(start, end)), StringType, 42L)

@@ -81,7 +81,9 @@ object Dedup {
     * `numHashes/bands` rows, hash each band, emit `(band, bandHash, sh_id)`.
     * Docs colliding on any band are near-dup candidates. */
   def lshCandidatePairs(sigs: DataFrame, bands: Int): DataFrame = {
-    val rowsPerBand = ceil(size(col("sig")) / lit(bands))
+    // a non-divisible signature would give trailing bands an empty slice —
+    // the same constant hash for every doc, i.e. an accidental cross join
+    val rowsPerBand = floor(size(col("sig")) / lit(bands)).cast("int")
     val banded = sigs.select(col("sh_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), b))))
@@ -123,6 +125,8 @@ object Dedup {
     * the scalable candidate-generate-verify shape. */
   def minhashDuplicates(sh0: DataFrame, minJaccard: Double = 0.8,
                         numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a multiple of bands ($bands)")
     // the shingle set feeds signatures AND both sides of verification —
     // cache once or the explode+distinct shuffle runs four times
     val sh = sh0.cache()

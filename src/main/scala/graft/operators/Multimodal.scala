@@ -94,8 +94,11 @@ object Multimodal {
 
   private def split_part_frames(content: org.apache.spark.sql.Column,
                                 frameBytes: Int, stride: Int) = {
-    val nFrames = greatest(floor(length(content) / lit(frameBytes * stride)), lit(0))
-    transform(sequence(lit(0), nFrames.cast("int")),
-      i => substring(content, lit(1) + i * (frameBytes * stride), lit(frameBytes)))
+    val step = frameBytes * stride
+    // frames whose first byte exists: i ∈ [0, ceil(len/step) - 1]
+    val nFrames = ceil(length(content) / lit(step.toDouble)).cast("int")
+    when(nFrames <= 0, array().cast("array<binary>"))
+      .otherwise(transform(sequence(lit(0), nFrames - 1),
+        i => substring(content, lit(1) + i * step, lit(frameBytes))))
   }
 }

@@ -39,6 +39,12 @@ object Skew {
     * (key, salt), splitting each hot key across `buckets` tasks. */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
                  buckets: Int, joinType: String = "inner"): DataFrame = {
+    // build rows are replicated once per salt, so only probe-preserving
+    // join types are sound (a right/full outer would emit every unmatched
+    // build row `buckets` times)
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti", "cross")(joinType.toLowerCase),
+      s"saltedJoin does not support build-preserving join type '$joinType'")
     val saltedProbe = probe.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(buckets)))
     val replicatedBuild = build

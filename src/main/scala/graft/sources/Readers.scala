@@ -15,39 +15,36 @@ object Readers {
 
   /** Add any schema columns absent from `df` as typed nulls (missing-column
     * tolerance — reference `step-1/data_processor.py:70-79`), then project
-    * to exactly the schema's columns in order. */
+    * to exactly the schema's columns in order. Casting uses `try_cast` so a
+    * malformed cell becomes null (the reference's lenient-read semantics)
+    * instead of an ANSI runtime error. */
   def ensureColumns(df: DataFrame, schema: StructType): DataFrame = {
-    val present = df.columns.map(_.toLowerCase).toSet
+    val byLower = df.columns.map(c => c.toLowerCase -> c).toMap
     val cols = schema.fields.map { f =>
-      if (present(f.name.toLowerCase)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      byLower.get(f.name.toLowerCase) match {
+        case Some(actual) =>
+          expr(s"try_cast(`$actual` AS ${f.dataType.sql})").as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
     }
     df.select(cols.toIndexedSeq: _*)
   }
 
-  /** Robust CSV read (S1): explicit schema, header, PERMISSIVE mode, null
+  /** Robust CSV read (S1): explicit schema, header, PERMISSIVE parse, null
     * sentinels `["", "NA", "NULL"]` — reference
-    * `step-1/data_processor.py:53-84`. Missing columns tolerated via a
-    * header-only probe + [[ensureColumns]]. */
+    * `step-1/data_processor.py:53-84`. One tolerant path: every cell is
+    * read as string, sentinels become null, then [[ensureColumns]]
+    * `try_cast`s to the declared types (null on garbage, never an ANSI
+    * error) and back-fills missing columns as typed nulls. */
   def csv(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    // Read with the declared schema directly when the file's header matches;
-    // otherwise read leniently and conform. A header-only inferSchema=false
-    // read is one tiny file-listing job — no data scan.
-    val header = spark.read.option("header", "true").csv(path).schema.fieldNames
-      .map(_.toLowerCase).toSet
-    val declared = schema.fieldNames.map(_.toLowerCase).toSet
-    val base = spark.read
+    val raw = spark.read
       .option("header", "true")
       .option("mode", "PERMISSIVE")
-      .option("nullValue", "NA")
-      .option("emptyValue", "")
-    if (header == declared) {
-      base.schema(schema).csv(path).na.replace(
-        schema.fields.filter(_.dataType.typeName == "string").map(_.name),
-        Map("NULL" -> null, "NA" -> null))
-    } else {
-      ensureColumns(base.csv(path), schema)
-    }
+      .csv(path)
+    val deSentineled = raw.select(raw.columns.map { c =>
+      when(col(c).isin(Schemas.NullSentinels: _*), lit(null)).otherwise(col(c)).as(c)
+    }.toIndexedSeq: _*)
+    ensureColumns(deSentineled, schema)
   }
 
   /** Lazy parquet scan of FRESCO metric files (S3) with case-insensitive

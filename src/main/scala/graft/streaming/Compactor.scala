@@ -29,7 +29,12 @@ object Compactor {
 
   /** Watch `landingDir` for FRESCO parquet files; append each micro-batch
     * to `outDir` partitioned by day. Caller stops the query (or it runs
-    * until terminated). */
+    * until terminated).
+    *
+    * Uses the native parquet streaming sink, whose `_spark_metadata`
+    * commit log gives true exactly-once on restart. (A `foreachBatch` +
+    * batch `append` would be at-least-once: a crash between the parquet
+    * commit and the checkpoint offset commit replays the batch.) */
   def start(spark: SparkSession, landingDir: String, outDir: String,
             checkpointDir: String, schema: StructType,
             trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
@@ -37,17 +42,13 @@ object Compactor {
       .schema(schema)
       .option("maxFilesPerTrigger", 1000)
       .parquet(landingDir)
+      .withColumn("date", to_date(col("Timestamp")))
       .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("compression", "zstd")
+      .partitionBy("date")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        requireSameColumns(batch.schema, schema)
-        batch
-          .withColumn("date", to_date(col("Timestamp")))
-          .write.mode("append")
-          .option("compression", "zstd")
-          .partitionBy("date")
-          .parquet(outDir)
-      }
       .start()
 }

@@ -56,16 +56,31 @@ object EventAggregator {
             val sorted = rows.toSeq.sortBy(_.ts.getTime)
             if (sorted.isEmpty) Iterator.empty
             else {
-              val prev = state.getOption.getOrElse(
-                SessionState(0L, 0.0, sorted.head.ts, sorted.head.ts))
-              val next = sorted.foldLeft(prev) { (s, e) =>
-                SessionState(s.n + 1, s.sum + e.value,
-                  if (e.ts.before(s.first)) e.ts else s.first,
-                  if (e.ts.after(s.last)) e.ts else s.last)
+              // fold events in time order, CLOSING the open session whenever
+              // the gap is exceeded inside the batch — a replayed backlog
+              // must yield the same sessions as live arrival
+              var closed = List.empty[HostSession]
+              var open = state.getOption
+              sorted.foreach { e =>
+                open match {
+                  case Some(s) if e.ts.getTime - s.last.getTime > gapMs =>
+                    closed ::= HostSession(host, s.n, s.first, s.last, s.sum / s.n)
+                    open = Some(SessionState(1L, e.value, e.ts, e.ts))
+                  case Some(s) =>
+                    open = Some(SessionState(s.n + 1, s.sum + e.value,
+                      if (e.ts.before(s.first)) e.ts else s.first,
+                      if (e.ts.after(s.last)) e.ts else s.last))
+                  case None =>
+                    open = Some(SessionState(1L, e.value, e.ts, e.ts))
+                }
               }
+              val next = open.get
               state.update(next)
-              state.setTimeoutTimestamp(next.last.getTime + gapMs)
-              Iterator.empty
+              // a late straggler can put last+gap behind the watermark,
+              // which setTimeoutTimestamp rejects — clamp just past it
+              state.setTimeoutTimestamp(
+                math.max(next.last.getTime + gapMs, state.getCurrentWatermarkMs() + 1))
+              closed.reverseIterator
             }
           }
       }

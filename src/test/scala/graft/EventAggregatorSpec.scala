@@ -42,6 +42,24 @@ class EventAggregatorSpec extends SparkSpec {
     assert(rows(("2013-01-01 10:01:00.0", "cpuuser")) == (1L, 50.0))
   }
 
+  test("sessionization splits sessions on intra-batch gaps (replay == live)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[HostEvent]
+    val q = EventAggregator.sessionize(in.toDS(), gapMs = 60000)
+      .writeStream.format("memory").queryName("sess_split")
+      .outputMode("append").start()
+    // one batch carrying TWO sessions for N1 (10:00-10:00:30, then 12:00)
+    in.addData(
+      HostEvent("N1", ts("2013-01-01 10:00:00"), 10.0),
+      HostEvent("N1", ts("2013-01-01 10:00:30"), 30.0),
+      HostEvent("N1", ts("2013-01-01 12:00:00"), 99.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_split").collect()
+      .map(r => (r.getLong(1), r.getDouble(4)))
+    assert(out.toSeq == Seq((2L, 20.0))) // first session closed in-batch
+  }
+
   test("stateful sessionization closes sessions when the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[HostEvent]

@@ -24,11 +24,14 @@ class ExprsSpec extends SparkSpec {
     assert(got.toSeq == Seq("JOB123", "JOB123", "JOB123", "JOB45ID7"))
   }
 
-  test("finalizeJid: drop ID, job→JOB, append _S") {
-    val got = Seq("jobID123", "JOB123", "1238067", "job45ID7")
+  test("finalizeJid: drop FIRST ID, FIRST job→JOB, append _S") {
+    val got = Seq("jobID123", "JOB123", "1238067", "job45ID7", "jobID12job", "aIDbIDc")
       .toDF("id").select(finalizeJid($"id").as("s")).as[String].collect()
-    // "jobID123": drop literal "ID" -> "job123" -> "JOB123" -> "JOB123_S"
-    assert(got.toSeq == Seq("JOB123_S", "JOB123_S", "1238067_S", "JOB457_S"))
+    // Polars str.replace(literal=True) is first-occurrence-only:
+    // "jobID12job" -> drop first "ID" -> "job12job" -> first "job"->"JOB"
+    // -> "JOB12job_S"; second occurrences untouched
+    assert(got.toSeq == Seq("JOB123_S", "JOB123_S", "1238067_S", "JOB457_S",
+      "JOB12job_S", "abIDc_S"))
   }
 
   test("safeDiv: zero denominator yields default") {
