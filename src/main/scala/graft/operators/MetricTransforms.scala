@@ -108,12 +108,18 @@ object MetricTransforms {
 
   /** mem.csv → `memused` + `memused_minus_diskcache` events, GB — reference
     * `step-1/data_processor.py:298-363`. `MemUsed` is treated as bytes
-    * (`:330`); when it is missing/null the fallback is
-    * `MemTotal − MemFree` (`:318-327`); both metrics clip at ≥ 0. */
+    * (`:330`); the `MemTotal − MemFree` fallback applies only when the
+    * MemUsed COLUMN is absent from the source (`:316-327`) — a null cell
+    * in a present column becomes 0 via `fill_null(0)` (`:309-311`), not
+    * the fallback. Column absence is carried by the reader's back-fill
+    * metadata. Both metrics clip at ≥ 0. */
   def mem(raw: DataFrame): DataFrame = {
-    val base = prep(raw, Seq("MemTotal", "MemFree", "FilePages"))
+    val memUsedAbsent = graft.sources.Readers.isBackfilled(raw, "MemUsed")
+    val base = prep(raw,
+        if (memUsedAbsent) Seq("MemTotal", "MemFree", "FilePages")
+        else Seq("MemTotal", "MemFree", "FilePages", "MemUsed"))
       .withColumn("mem_used",
-        coalesce(col("MemUsed"), col("MemTotal") - col("MemFree")))
+        if (memUsedAbsent) col("MemTotal") - col("MemFree") else col("MemUsed"))
     val used = base
       .withColumn("Value", clampMin(col("mem_used") / BytesPerGiB, 0.0))
     val minusCache = base

@@ -13,6 +13,15 @@ import graft.schemas.Schemas
   */
 object Readers {
 
+  /** Column-metadata key marking schema columns that were absent from the
+    * source and back-filled as typed nulls by [[ensureColumns]]. */
+  val Backfilled = "graft.backfilled"
+
+  /** True when `df`'s column `name` was back-filled (source didn't have it). */
+  def isBackfilled(df: DataFrame, name: String): Boolean =
+    df.schema.fields.find(_.name == name)
+      .exists(f => f.metadata.contains(Backfilled) && f.metadata.getBoolean(Backfilled))
+
   /** Add any schema columns absent from `df` as typed nulls (missing-column
     * tolerance — reference `step-1/data_processor.py:70-79`), then project
     * to exactly the schema's columns in order. Casting uses `try_cast` so a
@@ -24,7 +33,14 @@ object Readers {
       byLower.get(f.name.toLowerCase) match {
         case Some(actual) =>
           expr(s"try_cast(`$actual` AS ${f.dataType.sql})").as(f.name)
-        case None => lit(null).cast(f.dataType).as(f.name)
+        case None =>
+          // mark back-filled columns so transforms can distinguish
+          // "column absent from the source" from "present but null"
+          // (the reference branches on column presence, e.g. the MemUsed
+          // fallback in `step-1/data_processor.py:316-327`)
+          lit(null).cast(f.dataType).as(f.name,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putBoolean(Backfilled, true).build())
       }
     }
     df.select(cols.toIndexedSeq: _*)

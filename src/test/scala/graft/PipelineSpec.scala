@@ -160,9 +160,22 @@ class PipelineSpec extends SparkSpec {
       s"job3,N1,$T 10:00:00,2147483648,1073741824,0")
     val df = Readers.csv(spark, mem2, Schemas.mem)
     assert(df.schema.fieldNames.toSeq == Schemas.mem.fieldNames.toSeq)
+    assert(Readers.isBackfilled(df, "MemUsed"))
     val v = MetricTransforms.mem(df)
       .filter("Event = 'memused'").collect()(0).getDouble(4)
     assert(v == 1.0) // (2 GiB − 1 GiB) / 2^30
+  }
+
+  test("mem: null MemUsed cell in a PRESENT column is 0, not the fallback") {
+    val mem3 = tmpCsv("mem3.csv",
+      "jobID,node,timestamp,MemTotal,MemFree,MemUsed,FilePages",
+      s"job5,N1,$T 10:00:00,2147483648,1073741824,NA,0")
+    val df = Readers.csv(spark, mem3, Schemas.mem)
+    assert(!Readers.isBackfilled(df, "MemUsed"))
+    // reference fill_null(0): value = 0·2^-30 = 0.0 (NOT MemTotal−MemFree)
+    val v = MetricTransforms.mem(df)
+      .filter("Event = 'memused'").collect()(0).getDouble(4)
+    assert(v == 0.0)
   }
 
   test("readers: null sentinels NA/NULL/empty parsed as null") {
