@@ -57,8 +57,12 @@ object Exprs {
 
   /** Parse `MM/DD/YYYY HH:MM:SS`, null on failure — reference
     * `step-1/data_processor.py:102` (`strict=False`). `try_to_timestamp`
-    * keeps the null-on-garbage semantics under Spark 4's default ANSI mode. */
-  def parseRawTs(c: Column): Column = try_to_timestamp(c, lit("MM/dd/yyyy HH:mm:ss"))
+    * keeps the null-on-garbage semantics under Spark 4's default ANSI
+    * mode; the single-letter fallback pattern accepts unpadded fields
+    * (`1/5/2013 3:04:05`) like the reference's chrono-based strptime. */
+  def parseRawTs(c: Column): Column =
+    coalesce(try_to_timestamp(c, lit("MM/dd/yyyy HH:mm:ss")),
+      try_to_timestamp(c, lit("M/d/yyyy H:m:s")))
 
   /** Multi-format fallback parse, first format that succeeds wins —
     * reference `step-3.1/old/consumer_2.py:175-215`. */
@@ -92,11 +96,16 @@ object Exprs {
     timestamp_micros(
       unix_micros(lo) + floor((unix_micros(hi) - unix_micros(lo)) / lit(2L)).cast("long"))
 
-  /** Sorted comma-joined distinct values — reference
-    * `step-2/consumer.py:404` (`",".join(sorted(hosts))`); used as an
-    * aggregate: `hostList(col("Host"))`. */
+  /** Sorted comma-joined distinct non-empty values — reference
+    * `step-2/consumer.py:404` (`",".join(sorted(filter(None, hosts)))`;
+    * nulls are excluded by `collect_set`, empty strings by the filter);
+    * used as an aggregate: `hostList(col("Host"))`. */
   def hostList(c: Column): Column =
-    array_join(array_sort(collect_set(c)), ",")
+    array_join(array_sort(filter(collect_set(c), h => length(h) > 0)), ",")
+
+  /** [[hostList]] as a window function (per-window sorted distinct list). */
+  def hostListOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    array_join(array_sort(filter(collect_set(c).over(w), h => length(h) > 0)), ",")
 
   /** Horizontal (row-wise) sum — reference
     * `step-1/data_processor.py:192-194` (`sum_horizontal`). */

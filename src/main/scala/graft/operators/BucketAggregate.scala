@@ -34,22 +34,28 @@ object BucketAggregate {
     * `ncpus`, `walltime`, `exit_status`). */
   def apply(joined: DataFrame, bucketMicros: Long = DefaultBucketMicros): DataFrame = {
     val withBucket = joined
+      // empty/null hosts are excluded from output rows (consumer.py:455)
+      .filter(col("Host").isNotNull && col("Host") =!= "")
       .withColumn("bucket", bucketIndex(col("Timestamp"), col("start"), bucketMicros))
-      // host_list = sorted distinct hosts of the whole job (consumer.py:403-404)
-      .withColumn("host_list",
-        array_join(array_sort(collect_set(col("Host")).over(Window.partitionBy(col("jid")))), ","))
 
     val pivoted = withBucket
       .groupBy(
         col("jid"), col("Host").as("host"), col("bucket"),
         col("start"), col("end"), col("submit"),
         col("user"), col("account"), col("jobname"), col("queue"),
-        col("nnodes"), col("ncpus"), col("walltime"), col("exit_status"),
-        col("host_list"))
+        col("nnodes"), col("ncpus"), col("walltime"), col("exit_status"))
       // explicit value list → stable schema even for never-seen events
       // (consumer.py:528-548, SURVEY.md §7.4.9)
       .pivot("Event", Schemas.frescoEvents)
       .agg(avg(col("Value")))
+      // host_list = sorted distinct hosts of THIS accounting record
+      // (consumer.py:403-404 — keyed by (jid, start, end) so resubmitted
+      // jobs sharing a normalized jid don't pool hosts). Computed AFTER the
+      // pivot: the window then shuffles one row per (job, host, bucket)
+      // instead of the full metric stream, preserving map-side partial
+      // aggregation and avoiding a whale-jid straggler partition.
+      .withColumn("host_list",
+        hostListOver(col("host"), Window.partitionBy(col("jid"), col("start"), col("end"))))
 
     pivoted.select(
       intervalMidpoint(

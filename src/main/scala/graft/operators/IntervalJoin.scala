@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   * condition evaluated as a post-probe filter. Accounting (job-scheduler
   * records) is orders of magnitude smaller than the metric stream, so the
   * build side is broadcast — at 100 TB of metrics this is a map-side join
-  * with zero shuffle of the big side. If accounting ever outgrows the
-  * broadcast threshold, Catalyst falls back to a shuffled hash/sort-merge
-  * join on `jid`, which remains correct.
+  * with zero shuffle of the big side. The broadcast hint is EXPLICIT and
+  * Catalyst will not demote it: if accounting outgrows broadcastable size,
+  * pass `broadcastAccounting = false` (planner then picks a shuffled
+  * hash/sort-merge join on `jid`) or use [[IntervalJoin.bucketed]].
   */
 object IntervalJoin {
 

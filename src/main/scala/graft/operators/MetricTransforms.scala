@@ -32,13 +32,20 @@ object MetricTransforms {
 
   private val grp = Window.partitionBy("jobID", "node").orderBy("Timestamp")
 
-  /** Shared head: parse timestamp, fill numeric nulls with 0 — reference
-    * `step-1/data_processor.py:100-106`. */
-  private def prep(df: DataFrame, numericCols: Seq[String]): DataFrame =
-    df.withColumn("Timestamp", parseRawTs(col("timestamp")))
-      .na.fill(0.0, numericCols)
+  /** Shared head: parse timestamp, fill numeric NULLS with 0 — reference
+    * `step-1/data_processor.py:100-106`. Uses `coalesce`, NOT `na.fill`:
+    * Spark's fill would also replace NaN with 0, fabricating a counter
+    * reset-and-jump (a giant bogus rate on the following sample), whereas
+    * the reference's `fill_null` leaves NaN intact so it propagates
+    * through the diff and both rows drop at the `delta >= 0` filter. */
+  private def prep(df: DataFrame, numericCols: Seq[String]): DataFrame = {
+    val filled = numericCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, coalesce(col(c), lit(0.0)))
+    }
+    filled.withColumn("Timestamp", parseRawTs(col("timestamp")))
       .filter(col("Timestamp").isNotNull &&
         col("jobID").isNotNull && col("node").isNotNull)
+  }
 
   private def toFresco(df: DataFrame, event: String, units: String): DataFrame =
     df.select(
@@ -52,11 +59,15 @@ object MetricTransforms {
   /** Per-(group) lag deltas of a counter plus the sampling gap in seconds,
     * keeping only valid rate rows: gap ≥ [[MinTimeDelta]] and non-negative
     * delta (drops counter resets and duplicate timestamps — reference
-    * `step-1/data_processor.py:113-122`). */
-  private def counterDelta(df: DataFrame, counter: String): DataFrame =
-    df.withColumn("delta", col(counter) - lag(col(counter), 1).over(grp))
-      .withColumn("dt", secondsBetween(col("Timestamp"), lag(col("Timestamp"), 1).over(grp)))
+    * `step-1/data_processor.py:113-122`). The counter value itself breaks
+    * timestamp ties so the lag pairing is deterministic (the reference
+    * inherits whatever file order Polars' stable sort preserved). */
+  private def counterDelta(df: DataFrame, counter: String): DataFrame = {
+    val w = Window.partitionBy("jobID", "node").orderBy(col("Timestamp"), col(counter))
+    df.withColumn("delta", col(counter) - lag(col(counter), 1).over(w))
+      .withColumn("dt", secondsBetween(col("Timestamp"), lag(col("Timestamp"), 1).over(w)))
       .filter(col("dt") >= MinTimeDelta && col("delta") >= 0.0)
+  }
 
   /** block.csv → `block` event, GB/s — reference
     * `step-1/data_processor.py:86-144` (rate expr `:117-129`). */
@@ -78,6 +89,9 @@ object MetricTransforms {
   def cpu(raw: DataFrame): DataFrame = {
     val cols = Schemas.cpuCounterCols
     val summed = prep(raw, cols)
+      // cpu (alone among the families) drops null-device rows before the
+      // node-level sum — reference `data_processor.py:165`
+      .filter(col("device").isNotNull)
       .groupBy("jobID", "node", "Timestamp")
       .agg(sum(cols.head).as(cols.head), cols.tail.map(c => sum(c).as(c)): _*)
     val diffed = cols.foldLeft(summed) { (df, c) =>
@@ -120,13 +134,21 @@ object MetricTransforms {
         else Seq("MemTotal", "MemFree", "FilePages", "MemUsed"))
       .withColumn("mem_used",
         if (memUsedAbsent) col("MemTotal") - col("MemFree") else col("MemUsed"))
-    val used = base
-      .withColumn("Value", clampMin(col("mem_used") / BytesPerGiB, 0.0))
-    val minusCache = base
-      .withColumn("Value",
-        clampMin((col("mem_used") - col("FilePages")) / BytesPerGiB, 0.0))
-    toFresco(used, "memused", "GB")
-      .unionByName(toFresco(minusCache, "memused_minus_diskcache", "GB"))
+    // both events in ONE pass (a union of two projections would scan and
+    // parse the source twice)
+    base.select(
+        standardizeJobId(col("jobID")).as("Job Id"),
+        col("node").as("Host"),
+        col("Timestamp"),
+        explode(array(
+          struct(lit("memused").as("Event"),
+            clampMin(col("mem_used") / BytesPerGiB, 0.0).as("Value")),
+          struct(lit("memused_minus_diskcache").as("Event"),
+            clampMin((col("mem_used") - col("FilePages")) / BytesPerGiB, 0.0).as("Value"))))
+          .as("ev"))
+      .select(col("Job Id"), col("Host"), col("Timestamp"),
+        col("ev.Event").as("Event"), col("ev.Value").as("Value"),
+        lit("GB").as("Units"))
   }
 
   /** Full step-1 node transform: all four families unioned — reference

@@ -57,11 +57,17 @@ class ExprsSpec extends SparkSpec {
     assert(one(intervalMidpoint(start, end)).toString == "2013-01-01 10:00:45.0")
   }
 
-  test("hostList: sorted comma-joined distinct") {
-    val got = Seq(("j", "N2"), ("j", "N1"), ("j", "N2"))
+  test("hostList: sorted comma-joined distinct, empties and nulls excluded") {
+    val got = Seq(("j", "N2"), ("j", "N1"), ("j", "N2"), ("j", ""), ("j", null))
       .toDF("job", "host").groupBy("job").agg(hostList($"host").as("hl"))
       .select("hl").as[String].collect()
     assert(got.toSeq == Seq("N1,N2"))
+  }
+
+  test("parseRawTs accepts unpadded month/day/hour fields") {
+    val got = Seq("1/5/2013 3:04:05")
+      .toDF("t").select(parseRawTs($"t").as("ts")).collect()
+    assert(got(0).getTimestamp(0).toString == "2013-01-05 03:04:05.0")
   }
 
   test("parseTsMulti: first matching format wins, null when none match") {

@@ -146,6 +146,31 @@ class PipelineSpec extends SparkSpec {
     assert(j2.map(_.getAs[Double]("value_memused")).toSet == Set(1.0, 2.0))
   }
 
+  test("host_list is per accounting record, not pooled across same-jid records") {
+    import org.apache.spark.sql.functions.{col => c, lit => l}
+    import spark.implicits._
+    // two accounting records normalizing to the same jid, disjoint windows,
+    // disjoint host sets
+    val metrics = Seq(
+      ("7", "A1", java.sql.Timestamp.valueOf("2013-01-01 10:00:30")),
+      ("7", "B1", java.sql.Timestamp.valueOf("2013-01-01 12:00:30"))
+    ).toDF("jid", "Host", "Timestamp")
+      .withColumn("Event", l("memused")).withColumn("Value", l(1.0))
+    val acct = Seq(
+      ("7", "2013-01-01 10:00:00", "2013-01-01 11:00:00"),
+      ("7", "2013-01-01 12:00:00", "2013-01-01 13:00:00")
+    ).toDF("jid", "s", "e")
+      .select(c("jid"), c("s").cast("timestamp").as("start"), c("e").cast("timestamp").as("end"))
+      .withColumn("submit", c("start"))
+      .withColumn("user", l("u")).withColumn("account", l("a"))
+      .withColumn("jobname", l("j")).withColumn("queue", l("q"))
+      .withColumn("nnodes", l(1L)).withColumn("ncpus", l(1L))
+      .withColumn("walltime", l(1L)).withColumn("exit_status", l("0"))
+    val out = Pipeline.step2(metrics, acct).collect()
+      .map(r => r.getAs[String]("host") -> r.getAs[String]("host_list")).toMap
+    assert(out == Map("A1" -> "A1", "B1" -> "B1")) // not pooled into "A1,B1"
+  }
+
   test("step3: suffix pass on jid/host/host_list/username") {
     val f = Finalize(wide).filter("host = 'N2_S'").collect()(0)
     assert(f.getAs[String]("jid") == "2_S")
