@@ -331,8 +331,10 @@ object SparkEntry {
   }
 
   /** Capstone curation pipeline: quality-filter the corpus and drop the
-    * lower-id'd member of every near-duplicate pair — the composed
-    * dedup + quality flow of a real training-data pipeline. */
+    * HIGHER-id'd member of every near-duplicate pair (jaccardPairs
+    * guarantees id_a < id_b, so keeping id_a keeps the min-id
+    * representative) — the composed dedup + quality flow of a real
+    * training-data pipeline. */
   private def qCurate(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents")
     val dupLosers = Dedup.jaccardPairs(

@@ -12,6 +12,12 @@ import org.apache.spark.sql.functions._
   * groupBy; candidate generation shuffles by (band, bandHash) so only
   * colliding docs meet; exact verification joins only candidate pairs.
   * The all-pairs exact path is for oracle-sized data and verification.
+  *
+  * Caching: pipelines that reuse the shingle set (`jaccardPairs`,
+  * `minhashDuplicates`) cache it at MEMORY_AND_DISK (evictable, LRU).
+  * Long-lived sessions running many pipelines should
+  * `spark.catalog.clearCache()` between them or persist/unpersist the
+  * shingle frame explicitly and pass it in.
   */
 object Dedup {
 
@@ -23,45 +29,59 @@ object Dedup {
       .select(idCol, textCol, "n_copies")
 
   /** Character k-shingles (distinct) per document: `(id, shingle)` rows.
-    * Built from `sequence`+`transform`+`explode` — fully codegen'd, no UDF. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    * Built from `sequence`+`transform`+`explode` — fully codegen'd, no UDF.
+    * A document shorter than `k` contributes its whole text as one shingle
+    * (so short exact duplicates are still detectable); blank documents
+    * contribute nothing. Requires unique ids (one row per id) — rows are
+    * already distinct then, no extra shuffle. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val t = col(textCol)
     df.select(col(idCol).as("sh_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), greatest(length(col(textCol)) - (k - 1), lit(1))),
-          i => col(textCol).substr(i, lit(k))))).as("shingle"))
-      .filter(length(col("shingle")) === k)
-      .distinct()
+        explode(when(length(t) < k, array(t)).otherwise(
+          array_distinct(transform(
+            sequence(lit(1), length(t) - (k - 1)),
+            i => t.substr(i, lit(k)))))).as("shingle"))
+      .filter(length(col("shingle")) > 0)
+  }
 
   /** Word k-shingles (distinct) per document. Far more selective than
     * character shingles — at corpus scale the shingle self-join degenerates
     * on common character trigrams, while word k-grams keep per-shingle doc
     * lists short. Preferred for the 100 TB path. */
   def wordShingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
-    val toks = split(trim(col(textCol)), "\\s+")
+    // the ONE tokenizer definition (TextAnalysis.tokens) — SimHash64's
+    // native expression is bit-matched to it
+    val toks = TextAnalysis.tokens(col(textCol))
     df.select(col(idCol).as("sh_id"),
         explode(array_distinct(transform(
           sequence(lit(0), greatest(size(toks) - k, lit(0))),
           i => concat_ws(" ", slice(toks, i + 1, lit(k)))))).as("shingle"))
-      .distinct()
+      .filter(length(col("shingle")) > 0) // blank docs contribute nothing
   }
 
   /** Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
     * Output: `(id_a, id_b, jaccard)` with `id_a < id_b`. The shingle
     * self-join computes |A∩B| per pair; set sizes give the union. */
   def jaccardPairs(sh0: DataFrame, minJaccard: Double): DataFrame = {
-    val sh = sh0.cache() // used three times below
-    val sizes = sh.groupBy("sh_id").agg(count(lit(1)).as("sz"))
+    val sh = sh0.cache() // used three times below (see caching note above)
     val a = sh.select(col("sh_id").as("id_a"), col("shingle"))
     val b = sh.select(col("sh_id").as("id_b"), col("shingle"))
     val inter = a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    attachJaccard(inter, sh)
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Shared tail of the exact and verify paths: join per-doc set sizes to
+    * an `(id_a, id_b, inter)` frame and compute `|A∩B| / |A∪B|`. */
+  private def attachJaccard(inter: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("sh_id").agg(count(lit(1)).as("sz"))
     inter
       .join(sizes.withColumnRenamed("sh_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed("sh_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
 
@@ -80,13 +100,16 @@ object Dedup {
   /** LSH banding: split the signature into `bands` bands of
     * `numHashes/bands` rows, hash each band, emit `(band, bandHash, sh_id)`.
     * Docs colliding on any band are near-dup candidates. */
-  def lshCandidatePairs(sigs: DataFrame, bands: Int): DataFrame = {
-    // a non-divisible signature would give trailing bands an empty slice —
-    // the same constant hash for every doc, i.e. an accidental cross join
-    val rowsPerBand = floor(size(col("sig")) / lit(bands)).cast("int")
+  def lshCandidatePairs(sigs: DataFrame, bands: Int,
+                        numHashes: Int = 128): DataFrame = {
+    // an empty band slice would hash identically for every doc — an
+    // accidental O(n²) cross join — so the geometry is validated up front
+    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    val rowsPerBand = numHashes / bands
     val banded = sigs.select(col("sh_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), b))))
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
     val l = banded.select(col("band"), col("band_hash"), col("sh_id").as("id_a"))
     val r = banded.select(col("band"), col("band_hash"), col("sh_id").as("id_b"))
@@ -106,18 +129,13 @@ object Dedup {
     * candidate-generate-verify: cost scales with |pairs|·|shingles per
     * doc|, never with all-pairs. */
   def jaccardFor(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("sh_id").agg(count(lit(1)).as("sz"))
     val a = sh.select(col("sh_id").as("id_a"), col("shingle"))
     val b = sh.select(col("sh_id").as("id_b"), col("shingle"))
-    pairs
+    val inter = pairs
       .join(a, Seq("id_a"))
       .join(b, Seq("id_b", "shingle")) // inner on (id_b, shingle) ⇒ |A∩B| rows per pair
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("sh_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("sh_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-      .select("id_a", "id_b", "jaccard")
+    attachJaccard(inter, sh)
   }
 
   /** Full MinHash-LSH near-dup pipeline: candidates from signature banding,
@@ -130,7 +148,7 @@ object Dedup {
     // the shingle set feeds signatures AND both sides of verification —
     // cache once or the explode+distinct shuffle runs four times
     val sh = sh0.cache()
-    val cands = lshCandidatePairs(minhashSignatures(sh, numHashes), bands)
+    val cands = lshCandidatePairs(minhashSignatures(sh, numHashes), bands, numHashes)
     jaccardFor(cands, sh).filter(col("jaccard") >= minJaccard)
   }
 

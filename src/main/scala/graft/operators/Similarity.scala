@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions._
   * cosine top-k as the exact baseline, and an IVF-style partitioned variant
   * as the scale path.
   *
-  * Dot products use `zip_with` + `aggregate` — codegen'd higher-order
-  * functions, no UDF. Scale design: brute force is O(n·q) and exists for
+  * Dot products use the native codegen'd [[graft.functions.DotProduct]]
+  * kernel. Scale design: brute force is O(n·q) and exists for
   * verification and small n; IVF restricts each probe to its coarse
   * partition, turning the cross join into an equi-join on the partition key
   * (shuffle-partitioned both sides, no broadcast of the corpus).
@@ -39,7 +39,14 @@ object Similarity {
       .select(col(idCol).as("nn_id"), col("vec").as("cv"), col("norm").as("cn"))
     val q = withNorm(queries, embCol)
       .select(col(idCol).as("query_id"), col("vec").as("qv"), col("norm").as("qn"))
-    val scored = q.crossJoin(c)
+    rankTopK(q.crossJoin(c), k)
+  }
+
+  /** Shared scoring + ranking tail of the exact and IVF paths: score each
+    * (query, candidate) row, keep the top `k` per query (ties break on
+    * corpus id ascending, self-matches excluded). */
+  private def rankTopK(joined: DataFrame, k: Int): DataFrame = {
+    val scored = joined
       .filter(col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("nn_id"),
         cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("cosine"))
@@ -61,15 +68,7 @@ object Similarity {
     val q = withNorm(queries, embCol)
       .select(col(partCol).as("part"), col(idCol).as("query_id"),
         col("vec").as("qv"), col("norm").as("qn"))
-    val scored = q.join(c, Seq("part"))
-      .filter(col("query_id") =!= col("nn_id"))
-      .select(col("query_id"), col("nn_id"),
-        cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("cosine"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cosine").desc, col("nn_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "nn_id", "cosine", "rank")
+    rankTopK(q.join(c, Seq("part")), k)
   }
 
   /** All pairs with cosine ≥ `minCosine` (embedding near-dup detection).
@@ -89,13 +88,17 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket (sign bits of `nbits` deterministic
     * pseudo-random projections): equal buckets ⇒ candidate neighbors. The
-    * hyperplanes derive from xxhash64(seed, dim) — deterministic, no RNG. */
-  def lshBucket(embCol: Column, dim: Int, nbits: Int): Column = {
+    * hyperplanes derive from xxhash64(seed, dim) — deterministic, no RNG.
+    * Plane length follows the vector itself, so dimension mismatches
+    * cannot silently null out projections. */
+  def lshBucket(embCol: Column, nbits: Int): Column = {
+    require(nbits >= 1 && nbits <= 63, s"nbits must be in [1, 63], got $nbits")
+    val v = embCol.cast("array<double>")
     val planes = (0 until nbits).map { b =>
       // pseudo-random ±1 plane component per (bit, dimension)
       val proj = aggregate(
-        zip_with(embCol.cast("array<double>"),
-          transform(sequence(lit(0), lit(dim - 1)),
+        zip_with(v,
+          transform(sequence(lit(0), size(v) - 1),
             d => when(pmod(xxhash64(lit(b), d), lit(2)) === 0, 1.0).otherwise(-1.0)),
           (x, s) => x * s),
         lit(0.0), (acc, x) => acc + x)

@@ -9,8 +9,13 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokens — THE tokenizer definition shared by
+    * [[Dedup.wordShingles]] and bit-matched by the native
+    * [[graft.functions.SimHash64]] expression. Blank/whitespace-only text
+    * yields an empty array (a bare `split` would yield `[""]`, crediting
+    * phantom tokens and making all blank docs mutual duplicates). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
 
   /** Token count (whitespace) plus a BPE-ish subword-regex count: words,
     * numbers, and single punctuation marks counted separately. */

@@ -91,6 +91,32 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out == Set((0L, 1L), (2L, 3L)))
   }
 
+  test("lshBucket: deterministic, bucket-equal for identical vectors") {
+    val b = vecs.select($"vec_id", Similarity.lshBucket($"embedding", 16).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = vecs.select($"vec_id", Similarity.lshBucket($"embedding", 16).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b == b2) // deterministic across runs
+    // opposite vectors land in complementary buckets, never the same
+    assert(b(0L) != b(4L))
+    intercept[IllegalArgumentException](Similarity.lshBucket($"embedding", 0))
+  }
+
+  test("blank documents: no tokens, no shingles, no phantom duplicates") {
+    val d = Seq((1L, ""), (2L, "   "), (3L, "real text here")).toDF("doc_id", "text")
+    assert(TextAnalysis.withTokenCounts(d, "text").filter($"doc_id" < 3)
+      .collect().forall(_.getAs[Int]("n_tokens") == 0))
+    assert(Dedup.wordShingles(d, "doc_id", "text").filter($"sh_id" < 3).count() == 0)
+    assert(Dedup.jaccardPairs(Dedup.wordShingles(d, "doc_id", "text"), 0.1).count() == 0)
+  }
+
+  test("short documents still dedup via whole-text char shingle") {
+    val d = Seq((1L, "hi"), (2L, "hi"), (3L, "yo")).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(Dedup.shingles(d, "doc_id", "text", 3), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
   test("text quality features on a known sentence") {
     val r = TextAnalysis.withQuality(Seq((1L, "the cat sat, on the mat!")).toDF("id", "text"), "text")
       .collect()(0)
