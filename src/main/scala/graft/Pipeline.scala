@@ -30,17 +30,26 @@ object Pipeline {
     * reference's split-by-strftime + one-file-per-day writes
     * (`step-1/transformer.py:265-338`). Partitioning by date gives step-2
     * partition pruning for month-scoped reads. */
-  def writeDaily(fresco: DataFrame, outDir: String): Unit =
-    fresco
+  def writeDaily(fresco: DataFrame, outDir: String,
+                 overwrite: Boolean = false): Unit = {
+    val base = fresco
       .withColumn("date", to_date(col("Timestamp")))
       // sorted files give step-2 readers row-group locality per job/time
       // (the reference's `sorted-*.parquet` contract, SURVEY §2.6 O4,
       // without requiring pre-sorted input)
       .sortWithinPartitions(col("date"), col("Job Id"), col("Timestamp"))
-      .write.mode("overwrite")
+      .write
       .option("compression", "zstd")
       .partitionBy("date")
+    // default APPEND: successive node batches add to existing days (the
+    // reference appender's contract). overwrite=true replaces only the
+    // days present in THIS batch (dynamic overwrite) — a full-output wipe
+    // (static overwrite) would silently drop earlier batches' days.
+    (if (overwrite)
+       base.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+     else base.mode("append"))
       .parquet(outDir)
+  }
 
   /** Step 2: FRESCO metrics ⋈ accounting → 1-minute bucketed wide table. */
   def step2(metrics: DataFrame, accounting: DataFrame): DataFrame =

@@ -2,9 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native dot product over two `array<double>` columns with whole-stage
   * codegen — a tight scalar loop instead of the interpreted
@@ -18,6 +19,19 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // analysis-time type contract: reject anything but array<double> with a
+  // clean error — getDouble() on a differently-typed UnsafeArrayData would
+  // silently read garbage bytes. (ExpectsInputTypes is private[sql].)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product requires two array<double> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 

@@ -107,7 +107,10 @@ object Exprs {
   def hostListOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
     array_join(array_sort(filter(collect_set(c).over(w), h => length(h) > 0)), ",")
 
-  /** Horizontal (row-wise) sum — reference
-    * `step-1/data_processor.py:192-194` (`sum_horizontal`). */
-  def rowSum(cols: Seq[Column]): Column = cols.reduce(_ + _)
+  /** Horizontal (row-wise) sum, nulls counted as 0 — reference
+    * `step-1/data_processor.py:192-194`: Polars `sum_horizontal` ignores
+    * nulls (a plain `+` reduce would null the whole row on one null cell,
+    * silently dropping rows the reference keeps). */
+  def rowSum(cols: Seq[Column]): Column =
+    cols.map(c => coalesce(c, lit(0.0))).reduce(_ + _)
 }

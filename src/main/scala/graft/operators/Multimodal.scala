@@ -39,7 +39,9 @@ object Multimodal {
                mime: String): DataFrame = {
     val content = col(payloadCol).cast("binary")
     df.select(
-      col(idCol).cast("long").as("asset_id"),
+      // try_cast: a non-numeric id yields null instead of an ANSI runtime
+      // error (the repo's lenient-input policy, cf. Readers.ensureColumns)
+      expr(s"try_cast(`$idCol` AS BIGINT)").as("asset_id"),
       content.as("content"),
       struct(
         lit(mime).as("mime"),
@@ -79,17 +81,20 @@ object Multimodal {
     assets.select("asset_id", "content").mapPartitions { it =>
       // per-partition setup (codec/model init) would happen here once
       it.map { r =>
-        Row(r.getLong(0), decodeBytes(r.getAs[Array[Byte]](1), dim).toSeq)
+        val bytes = r.getAs[Array[Byte]](1) // null payload -> empty decode
+        Row(r.getLong(0),
+          decodeBytes(if (bytes == null) Array.emptyByteArray else bytes, dim).toSeq)
       }
     }(enc)
   }
 
   /** Frame sampling stub for video-like assets: emit every `stride`-th
     * "frame" as an offset slice of the payload — real plumbing (explode →
-    * one row per frame, repartitionable), fake frames. */
+    * one row per frame, repartitionable), fake frames. Null-content assets
+    * keep one row with a null frame (outer explode) rather than vanishing. */
   def sampleFrames(assets: DataFrame, frameBytes: Int, stride: Int): DataFrame =
     assets.select(col("asset_id"), col("meta"),
-        posexplode(split_part_frames(col("content"), frameBytes, stride)))
+        posexplode_outer(split_part_frames(col("content"), frameBytes, stride)))
       .withColumnsRenamed(Map("pos" -> "frame_idx", "col" -> "frame"))
 
   private def split_part_frames(content: org.apache.spark.sql.Column,

@@ -25,7 +25,12 @@ object Skew {
   def saltedAgg(df: DataFrame, keys: Seq[String], buckets: Int,
                 partials: (String, (org.apache.spark.sql.Column,
                   org.apache.spark.sql.Column => org.apache.spark.sql.Column))*): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    // salt must be DETERMINISTIC per row (hash of the row content, never
+    // monotonically_increasing_id/rand): a task recomputed after a fetch
+    // failure would otherwise re-salt rows into different reducers and
+    // double-count/drop them
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col): _*), lit(buckets)))
     val p1Aggs = partials.map { case (name, (agg, _)) => agg.as(s"__p_$name") }
     val phase1 = salted.groupBy((keys :+ "__salt").map(col): _*)
       .agg(p1Aggs.head, p1Aggs.tail: _*)
@@ -45,8 +50,9 @@ object Skew {
     require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
       "leftsemi", "left_anti", "leftanti", "cross")(joinType.toLowerCase),
       s"saltedJoin does not support build-preserving join type '$joinType'")
+    // deterministic per-row salt (see saltedAgg note on task retries)
     val saltedProbe = probe.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(buckets)))
+      pmod(xxhash64(probe.columns.map(col): _*), lit(buckets)))
     val replicatedBuild = build
       .withColumn("__salt", explode(sequence(lit(0L), lit(buckets - 1L))))
     saltedProbe.join(replicatedBuild, Seq(key, "__salt"), joinType).drop("__salt")

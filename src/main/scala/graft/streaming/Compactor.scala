@@ -37,7 +37,14 @@ object Compactor {
     * commit and the checkpoint offset commit replays the batch.) */
   def start(spark: SparkSession, landingDir: String, outDir: String,
             checkpointDir: String, schema: StructType,
-            trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+            trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+    // schema-drift guard on the landing backlog (the appender's
+    // SchemaMismatchError): the file source would otherwise silently
+    // null-fill drifted files. Files arriving later with a drifted schema
+    // are still null-filled (file-source limitation) — this catches the
+    // drift at every (re)start.
+    scala.util.Try(spark.read.parquet(landingDir).schema)
+      .foreach(actual => requireSameColumns(actual, schema))
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1000)
@@ -51,4 +58,5 @@ object Compactor {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+  }
 }
