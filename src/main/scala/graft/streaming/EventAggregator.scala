@@ -53,7 +53,12 @@ object EventAggregator {
             state.remove()
             Iterator.single(HostSession(host, s.n, s.first, s.last, s.sum / s.n))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            // drop events below the watermark: Spark does NOT pre-filter
+            // late rows for flatMapGroupsWithState, and merging a straggler
+            // older than the open session would make replay diverge from
+            // live arrival. Within the watermark, determinism holds.
+            val wm = state.getCurrentWatermarkMs()
+            val sorted = rows.toSeq.filter(_.ts.getTime >= wm).sortBy(_.ts.getTime)
             if (sorted.isEmpty) Iterator.empty
             else {
               // fold events in time order, CLOSING the open session whenever
