@@ -361,7 +361,16 @@ object SparkEntry {
         |GROUP BY o_orderpriority""".stripMargin)
   }
 
+  /** Duplicate-cluster resolution: connected components over the near-dup
+    * pair graph; every member labeled with its component's min doc id. */
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardPairs(
+      Dedup.hashShingles(Dedup.wordShingles(tbl(s, dir, "documents"), "doc_id", "text")), 0.8)
+    Dedup.duplicateClusters(pairs)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_clusters" -> qDedupClusters,
     "q_sql_frontend" -> qSqlFrontend,
     "q_curate" -> qCurate,
     "q_dedup_rep" -> qDedupRep,
@@ -412,6 +421,18 @@ object SparkEntry {
       |WHERE i*1.0/(sa.sz+sb.sz-i) >= 0.8""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_clusters" ->
+      s"""WITH pairs AS ($ngramJaccardSql),
+         |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |r AS (
+         |  WITH RECURSIVE reach(u, v) AS (
+         |    SELECT u, v FROM e
+         |    UNION
+         |    SELECT reach.u, e.v FROM reach JOIN e ON reach.v = e.u)
+         |  SELECT u, v FROM reach)
+         |SELECT u AS doc_id, least(u, min(v)) AS cluster_rep
+         |FROM r GROUP BY u""".stripMargin,
     "q_sql_frontend" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

@@ -152,6 +152,42 @@ object Dedup {
     jaccardFor(cands, sh).filter(col("jaccard") >= minJaccard)
   }
 
+  /** Resolve duplicate PAIRS into clusters: connected components over the
+    * pair graph, labeling every member with the minimum doc id of its
+    * component (the canonical representative a curation pipeline keeps).
+    * Output: `(doc_id, cluster_rep)` for every doc appearing in a pair.
+    *
+    * Iterative min-label propagation — O(log(diameter)) joined rounds,
+    * each a shuffle on `id`; near-dup components are tiny (pairs/chains),
+    * so this converges in 2-3 rounds. The driver-side loop only reads a
+    * convergence count per round, never the data. */
+  def duplicateClusters(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.select("id_a", "id_b").cache()
+    val edges = pairs
+      .union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("id", "peer")
+      .cache()
+    var labels = edges.select(col("id")).distinct()
+      .withColumn("cluster_rep", col("id"))
+      .cache()
+    var converged = false
+    while (!converged) {
+      // each node adopts the min rep among itself and its neighbors
+      val next = edges
+        .join(labels.withColumnsRenamed(Map("id" -> "peer", "cluster_rep" -> "peer_rep")), "peer")
+        .groupBy("id").agg(min(col("peer_rep")).as("neighbor_rep"))
+        .join(labels, "id")
+        .select(col("id"), least(col("cluster_rep"), col("neighbor_rep")).as("cluster_rep"))
+        .cache()
+      val changed = next.alias("n").join(labels.alias("l"), "id")
+        .filter(col("n.cluster_rep") =!= col("l.cluster_rep")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+    }
+    labels.select(col("id").as("doc_id"), col("cluster_rep"))
+  }
+
   /** 64-bit SimHash over whitespace tokens: per bit, sum +1/−1 weighted by
     * the token-hash bit; the sign vector packs into one long. One narrow
     * pass via the native [[graft.functions.SimHash64]] expression (the

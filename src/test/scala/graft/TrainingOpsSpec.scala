@@ -51,6 +51,14 @@ class TrainingOpsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("duplicateClusters: transitive chains collapse to the min id") {
+    // chain 1-2-6 (via pairs (1,2),(2,6)), island (8,9), singleton 3 absent
+    val pairs = Seq((1L, 2L), (2L, 6L), (8L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 6L -> 1L, 8L -> 8L, 9L -> 8L))
+  }
+
   test("simhash: identical texts distance 0; near-dups within small hamming") {
     val h = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
