@@ -369,7 +369,39 @@ object SparkEntry {
     Dedup.duplicateClusters(pairs)
   }
 
+  /** TPC-H Q1 shape: the canonical wide aggregate (8 aggregates, 2 keys). */
+  private def qTpchQ1(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2001-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        rq(sum("l_quantity"), 4).as("sum_qty"),
+        rq(sum("l_extendedprice"), 4).as("sum_base_price"),
+        rq(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        rq(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+        rq(avg("l_quantity"), 6).as("avg_qty"),
+        rq(avg("l_extendedprice"), 6).as("avg_price"),
+        rq(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3 shape: segment filter ⋈ orders ⋈ lineitem → top revenue. */
+  private def qTpchQ3(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .filter(col("o_orderdate") < lit("1998-01-01") && col("l_shipdate") > lit("1998-01-01"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+        rq(col("revenue"), 4).as("revenue"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q1" -> qTpchQ1,
+    "q_tpch_q3" -> qTpchQ3,
     "q_dedup_clusters" -> qDedupClusters,
     "q_sql_frontend" -> qSqlFrontend,
     "q_curate" -> qCurate,
@@ -421,6 +453,30 @@ object SparkEntry {
       |WHERE i*1.0/(sa.sz+sb.sz-i) >= 0.8""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  floor((CAST(sum(l_quantity) AS DOUBLE))*10000.0 + 0.5)/10000.0 AS sum_qty,
+        |  floor((CAST(sum(l_extendedprice) AS DOUBLE))*10000.0 + 0.5)/10000.0 AS sum_base_price,
+        |  floor((CAST(sum(l_extendedprice*(1-l_discount)) AS DOUBLE))*10000.0 + 0.5)/10000.0 AS sum_disc_price,
+        |  floor((CAST(sum(l_extendedprice*(1-l_discount)*(1+l_tax)) AS DOUBLE))*10000.0 + 0.5)/10000.0 AS sum_charge,
+        |  floor((CAST(avg(l_quantity) AS DOUBLE))*1000000.0 + 0.5)/1000000.0 AS avg_qty,
+        |  floor((CAST(avg(l_extendedprice) AS DOUBLE))*1000000.0 + 0.5)/1000000.0 AS avg_price,
+        |  floor((CAST(avg(l_discount) AS DOUBLE))*1000000.0 + 0.5)/1000000.0 AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  floor((CAST(sum(l_extendedprice*(1-l_discount)) AS DOUBLE))*10000.0 + 0.5)/10000.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY sum(l_extendedprice*(1-l_discount)) DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH pairs AS ($ngramJaccardSql),
          |e AS (SELECT id_a AS u, id_b AS v FROM pairs
