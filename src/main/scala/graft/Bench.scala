@@ -13,12 +13,25 @@ object Bench {
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     val spark = Sessions.local(cpus)
 
+    // Drop ALL persisted state — CacheManager entries (df.cache) and
+    // localCheckpoint blocks (dedup/CC internals). Between queries the
+    // prior query's frames are dead, so unpersisting their truncated-
+    // lineage blocks is safe, and each timing is attributable to its own
+    // query instead of inheriting (or re-populating) a predecessor's cache.
+    def dropPersistedState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    ordered.foreach { case (_, fn) =>
-      try fn(spark, warmupDir).count() catch { case _: Throwable => () }
+    ordered.foreach { case (name, fn) =>
+      try fn(spark, warmupDir).count() catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+      }
     }
 
     val results = ordered.map { case (name, fn) =>
+      dropPersistedState()
       val t0 = System.nanoTime()
       // a failed query is reported as -1, never as a (fast) fake timing
       val secs =

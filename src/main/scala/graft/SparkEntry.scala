@@ -331,13 +331,15 @@ object SparkEntry {
   }
 
   /** Capstone curation pipeline: quality-filter the corpus and drop the
-    * HIGHER-id'd member of every near-duplicate pair (jaccardPairs
-    * guarantees id_a < id_b, so keeping id_a keeps the min-id
-    * representative) — the composed dedup + quality flow of a real
-    * training-data pipeline. */
+    * HIGHER-id'd member of every near-duplicate pair (pairs carry
+    * id_a < id_b, so keeping id_a keeps the min-id representative) — the
+    * composed dedup + quality flow of a real training-data pipeline.
+    * Near-dups come from the MinHash-LSH candidate-generate-verify path
+    * (the 100 TB shape — oracle-proven ≡ exact all-pairs at threshold 0.8
+    * by q_dedup_minhash), NOT the quadratic all-pairs baseline. */
   private def qCurate(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents")
-    val dupLosers = Dedup.jaccardPairs(
+    val dupLosers = Dedup.minhashDuplicates(
         Dedup.hashShingles(Dedup.wordShingles(docs, "doc_id", "text")), 0.8)
       .select(col("id_b").as("doc_id"))
     TextAnalysis.withQuality(docs, "text")

@@ -13,19 +13,27 @@ import org.apache.spark.sql.functions._
   * colliding docs meet; exact verification joins only candidate pairs.
   * The all-pairs exact path is for oracle-sized data and verification.
   *
-  * Caching: pipelines that reuse the shingle set (`jaccardPairs`,
-  * `minhashDuplicates`) cache it at MEMORY_AND_DISK (evictable, LRU).
-  * Long-lived sessions running many pipelines should
-  * `spark.catalog.clearCache()` between them or persist/unpersist the
-  * shingle frame explicitly and pass it in.
+  * Materialization: pipelines that reuse the shingle set (`jaccardPairs`,
+  * `minhashDuplicates`) `localCheckpoint` it — eager, lineage-truncating,
+  * and NOT registered in the CacheManager, so nothing leaks across
+  * pipelines (blocks are released by the ContextCleaner once the returned
+  * frame is unreferenced). On a multi-executor cluster with dynamic
+  * allocation / executor loss, prefer a reliable `checkpoint` dir; in that
+  * mode a lost executor loses local checkpoint blocks irrecoverably.
   */
 object Dedup {
 
   /** Exact dedup: one representative (min id) per identical value of
-    * `textCol` — the hash-groupBy formulation (shuffle on text hash). */
+    * `textCol`. Groups on `xxhash64(textCol)` so the shuffle key is 8
+    * bytes, not the document body; the representative text rides in the
+    * map-side partial-aggregation buffer (once per partition-distinct
+    * hash, all values identical within a group). A 64-bit collision would
+    * merge two distinct texts — probability ~|corpus|²/2⁶⁵; chain a
+    * second seeded hash into the key if the corpus approaches 2³² docs. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(col(textCol))
-      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+    df.groupBy(xxhash64(col(textCol)).as("__text_hash"))
+      .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol),
+        count(lit(1)).as("n_copies"))
       .select(idCol, textCol, "n_copies")
 
   /** Character k-shingles (distinct) per document: `(id, shingle)` rows.
@@ -63,7 +71,8 @@ object Dedup {
     * Output: `(id_a, id_b, jaccard)` with `id_a < id_b`. The shingle
     * self-join computes |A∩B| per pair; set sizes give the union. */
   def jaccardPairs(sh0: DataFrame, minJaccard: Double): DataFrame = {
-    val sh = sh0.cache() // used three times below (see caching note above)
+    // used three times below; eager + self-cleaning (see header note)
+    val sh = sh0.localCheckpoint()
     val a = sh.select(col("sh_id").as("id_a"), col("shingle"))
     val b = sh.select(col("sh_id").as("id_b"), col("shingle"))
     val inter = a.join(b, Seq("shingle"))
@@ -146,10 +155,48 @@ object Dedup {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be a multiple of bands ($bands)")
     // the shingle set feeds signatures AND both sides of verification —
-    // cache once or the explode+distinct shuffle runs four times
-    val sh = sh0.cache()
+    // materialize once or the explode+distinct shuffle runs four times
+    val sh = sh0.localCheckpoint()
     val cands = lshCandidatePairs(minhashSignatures(sh, numHashes), bands, numHashes)
     jaccardFor(cands, sh).filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Large-star round (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14): for every node `u`, connect each strictly
+    * LARGER neighbor to `m(u) = min(N(u) ∪ {u})`. Preserves connectivity
+    * and strictly lowers the component's potential. Input/output edges are
+    * canonical `(u, v)` with `u > v`. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u")) // emit (v, m(u)) for larger neighbors
+      .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m ⇒ canonical
+      .distinct()
+  }
+
+  /** Small-star round: with edges oriented `u > v`, connect every SMALLER
+    * neighbor of `u` (and `u` itself) to `m(u) = min(N<(u))`. Turns shallow
+    * trees into stars. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val mins = edges.groupBy("u").agg(min("v").as("m")) // m < u by orientation
+    edges.join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v")) // (v, m) for v ∈ N<(u)
+      .union(mins.select(col("u"), col("m").as("v"))) // and (u, m)
+      .filter(col("u") =!= col("v")) // drop (m, m) self-loop
+      .distinct()
+  }
+
+  /** Order-insensitive edge-set signature `(count, hash-xor)` — one cheap
+    * job over a checkpointed frame; equal signatures across rounds ⇒ the
+    * alternation reached its fixed point. XOR (not sum: ANSI mode throws
+    * on long overflow) is safe because edges are distinct, so no pair can
+    * self-cancel; collision between DIFFERENT consecutive edge sets is
+    * ~2⁻⁶⁴, and the count must match too. */
+  private def edgeSignature(edges: DataFrame): (Long, Long) = {
+    val r = edges.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
   }
 
   /** Resolve duplicate PAIRS into clusters: connected components over the
@@ -157,35 +204,33 @@ object Dedup {
     * component (the canonical representative a curation pipeline keeps).
     * Output: `(doc_id, cluster_rep)` for every doc appearing in a pair.
     *
-    * Iterative min-label propagation — O(log(diameter)) joined rounds,
-    * each a shuffle on `id`; near-dup components are tiny (pairs/chains),
-    * so this converges in 2-3 rounds. The driver-side loop only reads a
-    * convergence count per round, never the data. */
+    * Alternating large-star/small-star (Kiveris et al.) — converges to
+    * per-component stars in O(log n) rounds regardless of component
+    * diameter (min-label propagation is O(diameter): a chain of near-dups
+    * degrades badly). Each round is two keyed shuffles followed by an
+    * eager `localCheckpoint`, so lineage never chains across rounds and an
+    * eviction cannot trigger a recompute cascade; the driver reads only a
+    * two-long signature per round, never the data. */
   def duplicateClusters(pairs0: DataFrame): DataFrame = {
-    val pairs = pairs0.select("id_a", "id_b").cache()
-    val edges = pairs
-      .union(pairs.select(col("id_b"), col("id_a")))
-      .toDF("id", "peer")
-      .cache()
-    var labels = edges.select(col("id")).distinct()
-      .withColumn("cluster_rep", col("id"))
-      .cache()
-    var converged = false
+    var edges = pairs0
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var sig = edgeSignature(edges)
+    var converged = sig._1 == 0L // no edges ⇒ no clusters
     while (!converged) {
-      // each node adopts the min rep among itself and its neighbors
-      val next = edges
-        .join(labels.withColumnsRenamed(Map("id" -> "peer", "cluster_rep" -> "peer_rep")), "peer")
-        .groupBy("id").agg(min(col("peer_rep")).as("neighbor_rep"))
-        .join(labels, "id")
-        .select(col("id"), least(col("cluster_rep"), col("neighbor_rep")).as("cluster_rep"))
-        .cache()
-      val changed = next.alias("n").join(labels.alias("l"), "id")
-        .filter(col("n.cluster_rep") =!= col("l.cluster_rep")).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = edgeSignature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = next
     }
-    labels.select(col("id").as("doc_id"), col("cluster_rep"))
+    // at the fixed point every edge is (member, component-min root)
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_rep"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_rep")))
+      .groupBy("doc_id").agg(min("cluster_rep").as("cluster_rep"))
   }
 
   /** 64-bit SimHash over whitespace tokens: per bit, sum +1/−1 weighted by
