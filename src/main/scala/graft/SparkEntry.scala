@@ -274,6 +274,28 @@ object SparkEntry {
     Similarity.cosinePairs(tbl(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
       .withColumn("cosine", rq(col("cosine"), 6))
 
+  /** Embedding near-dup at scale: banded random-hyperplane LSH candidates
+    * + exact-cosine verify (candidate-generate-verify), oracle-checked
+    * against the exact all-pairs SQL. The testdata embeddings are
+    * near-uniform (background cosine ≤ ~0.6) — at such low similarity no
+    * LSH scheme can prune, so the corpus plants near-duplicates derived
+    * from the table itself (dim-1 sign flip, id + 1,000,000): planted
+    * cosines 1 - 2·v₁²/|v|² span ~[0.69, 1.0], making the 0.95-threshold
+    * verification nontrivial while background pairs stay far below it.
+    * With 24 bands × 8 bits, per-pair miss probability at cosine ≥ 0.95
+    * is < 1e-8 (empirically zero misses at sf0.01 AND sf0.1), and only
+    * ~1/8 of all pairs ever reach the exact-cosine verify. */
+  private def qEmbedLshPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    val planted = e.select((col("vec_id") + 1000000L).as("vec_id"),
+      concat(array(-element_at(col("embedding"), 1)),
+        slice(col("embedding"), 2, 63)).as("embedding"))
+    val corpus = e.select("vec_id", "embedding").union(planted)
+    Similarity.lshCosinePairs(corpus, "vec_id", "embedding", dims = 64,
+        minCosine = 0.95, bands = 24, bitsPerBand = 8)
+      .withColumn("cosine", rq(col("cosine"), 6))
+  }
+
   /** Brute-force cosine top-5 for the first 10 vectors. */
   private def qAnnTopK(s: SparkSession, dir: String): DataFrame = {
     val e = tbl(s, dir, "embeddings")
@@ -412,6 +434,7 @@ object SparkEntry {
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_embed_cosine_pairs" -> qEmbedCosinePairs,
+    "q_embed_lsh_pairs" -> qEmbedLshPairs,
     "q_ann_topk" -> qAnnTopK,
     "q_ann_ivf" -> qAnnIvf,
     "q_text_stats" -> qTextStats,
@@ -530,6 +553,16 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
+    "q_embed_lsh_pairs" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |         CAST(list_concat([-embedding[1]], embedding[2:]) AS DOUBLE[]) FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       floor((list_cosine_similarity(a.v, b.v))*1000000.0 + 0.5)/1000000.0 AS cosine
+        |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.95""".stripMargin,
     "q_ann_topk" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,

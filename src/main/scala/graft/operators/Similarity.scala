@@ -86,24 +86,76 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
   }
 
-  /** Random-hyperplane LSH bucket (sign bits of `nbits` deterministic
-    * pseudo-random projections): equal buckets ⇒ candidate neighbors. The
-    * hyperplanes derive from xxhash64(seed, dim) — deterministic, no RNG.
-    * Plane length follows the vector itself, so dimension mismatches
-    * cannot silently null out projections. */
-  def lshBucket(embCol: Column, nbits: Int): Column = {
-    require(nbits >= 1 && nbits <= 63, s"nbits must be in [1, 63], got $nbits")
+  /** Deterministic Rademacher (±1) hyperplane component for (bit, dim):
+    * a splitmix64 finalizer over the packed key — fixed across runs and
+    * sessions, no RNG state, so LSH buckets are reproducible. */
+  private def planeSign(bit: Int, dim: Int): Double = {
+    var z = ((bit.toLong << 32) | (dim.toLong & 0xFFFFFFFFL)) + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^= (z >>> 31)
+    if ((z & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** All `bands` LSH band buckets for a `dims`-dimensional embedding: band
+    * `b` packs the sign bits of `bitsPerBand` projections against fixed ±1
+    * hyperplanes into one long. The hyperplanes are literal arrays baked
+    * into the plan and every projection is the codegen'd
+    * [[graft.functions.DotProduct]] kernel — no interpreted per-element
+    * lambdas in the hot path. Two vectors are near-dup CANDIDATES iff they
+    * collide on at least one band; P[candidate] = 1-(1-p^r)^B with
+    * p = 1 - θ/π, so recall amplifies with bands while near-orthogonal
+    * background pairs collide on a given band with probability ~2^-r. */
+  def lshBandBuckets(embCol: Column, dims: Int, bands: Int, bitsPerBand: Int): Column = {
+    require(dims >= 1, s"dims must be positive, got $dims")
+    require(bands >= 1, s"bands must be positive, got $bands")
+    require(bitsPerBand >= 1 && bitsPerBand <= 63,
+      s"bitsPerBand must be in [1, 63], got $bitsPerBand")
     val v = embCol.cast("array<double>")
-    val planes = (0 until nbits).map { b =>
-      // pseudo-random ±1 plane component per (bit, dimension)
-      val proj = aggregate(
-        zip_with(v,
-          transform(sequence(lit(0), size(v) - 1),
-            d => when(pmod(xxhash64(lit(b), d), lit(2)) === 0, 1.0).otherwise(-1.0)),
-          (x, s) => x * s),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)): Column
+    val buckets = (0 until bands).map { b =>
+      (0 until bitsPerBand).map { i =>
+        val plane = lit((0 until dims).map(d => planeSign(b * bitsPerBand + i, d)).toArray)
+        when(dot(v, plane) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce[Column](_.bitwiseOR(_))
     }
-    planes.reduce(_.bitwiseOR(_))
+    array(buckets: _*)
+  }
+
+  /** Random-hyperplane LSH bucket (sign bits of `nbits` fixed ±1
+    * projections packed into one long) — the single-band special case of
+    * [[lshBandBuckets]]: equal buckets ⇒ candidate neighbors. */
+  def lshBucket(embCol: Column, dims: Int, nbits: Int): Column =
+    element_at(lshBandBuckets(embCol, dims, 1, nbits), 1)
+
+  /** Banded-LSH cosine near-dup pairs — the 100 TB path for
+    * [[cosinePairs]]'s all-pairs baseline: candidates collide on ≥ 1 of
+    * `bands` buckets (a `(band, bucket)`-keyed equi-join, so only
+    * colliding vectors ever meet), then exact cosine is computed for
+    * candidates ONLY and filtered at `minCosine` —
+    * candidate-generate-verify, like [[Dedup.minhashDuplicates]].
+    * Output `(id_a, id_b, cosine)`, `id_a < id_b`, identical to
+    * `cosinePairs` up to the per-pair miss probability `(1-p^r)^B`
+    * (< 1e-8 at cosine 0.95 with the 24×8 default geometry). */
+  def lshCosinePairs(df: DataFrame, idCol: String, embCol: String, dims: Int,
+                     minCosine: Double, bands: Int = 24, bitsPerBand: Int = 8): DataFrame = {
+    // vec+norm+buckets feed candidate generation AND both verify sides —
+    // materialize once (eager, self-cleaning; see Dedup's header note)
+    val n = withNorm(df, embCol)
+      .select(col(idCol).as("nid"), col("vec"), col("norm"),
+        lshBandBuckets(col(embCol), dims, bands, bitsPerBand).as("bk"))
+      .localCheckpoint()
+    val banded = n.select(col("nid"), posexplode(col("bk")))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    val cands = banded.select(col("band"), col("bucket"), col("nid").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("nid").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(n.select(col("nid").as("id_a"), col("vec").as("va"), col("norm").as("na")), "id_a")
+      .join(n.select(col("nid").as("id_b"), col("vec").as("vb"), col("norm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosine(col("va"), col("vb"), col("na"), col("nb")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
   }
 }

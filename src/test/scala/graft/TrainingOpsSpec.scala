@@ -100,14 +100,23 @@ class TrainingOpsSpec extends SparkSpec {
   }
 
   test("lshBucket: deterministic, bucket-equal for identical vectors") {
-    val b = vecs.select($"vec_id", Similarity.lshBucket($"embedding", 16).as("bucket"))
+    val b = vecs.select($"vec_id", Similarity.lshBucket($"embedding", 3, 16).as("bucket"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val b2 = vecs.select($"vec_id", Similarity.lshBucket($"embedding", 16).as("bucket"))
+    val b2 = vecs.select($"vec_id", Similarity.lshBucket($"embedding", 3, 16).as("bucket"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(b == b2) // deterministic across runs
     // opposite vectors land in complementary buckets, never the same
     assert(b(0L) != b(4L))
-    intercept[IllegalArgumentException](Similarity.lshBucket($"embedding", 0))
+    intercept[IllegalArgumentException](Similarity.lshBucket($"embedding", 3, 0))
+  }
+
+  test("lshCosinePairs reproduces exact cosinePairs at high threshold") {
+    val lsh = Similarity.lshCosinePairs(vecs, "vec_id", "embedding", dims = 3, minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Similarity.cosinePairs(vecs, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh == exact) // at cos ≈ 0.994, P[miss] per pair < 1e-14 over 24 bands
+    assert(lsh.keySet == Set((0L, 1L), (2L, 3L)))
   }
 
   test("blank documents: no tokens, no shingles, no phantom duplicates") {
