@@ -1,0 +1,127 @@
+package graft.runner
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.{GraftExtensions, Pipeline}
+import graft.schemas.Schemas
+import graft.streaming.Compactor
+
+/** `spark-submit`-able entry point mirroring the reference's executable
+  * stages plus its appender/mover daemon pair:
+  *
+  *  - `step1`: raw node CSV families → FRESCO long parquet, daily
+  *    partitioned (reference `step-1/transformer.py:342`).
+  *  - `step2`: FRESCO metrics ⋈ accounting CSV → 1-minute bucketed wide
+  *    table (`step-2/consumer.py:815`).
+  *  - `step3`: wide table → finalized strings (`step-3/final_cleanup.py:156`).
+  *  - `compact`: watch a landing dir, append exactly-once into a daily
+  *    layout (`step-1/appender.py:215` + `mover.py:27`); `--once` drains
+  *    the backlog and exits (Trigger.AvailableNow), otherwise runs until
+  *    terminated.
+  *
+  * Usage:
+  * {{{
+  * spark-submit --class graft.runner.Main graft.jar step1 \
+  *   --block 'block-*.csv' --cpu 'cpu-*.csv' --llite 'llite-*.csv' \
+  *   --mem 'mem-*.csv' --out fresco/ [--overwrite]
+  * spark-submit --class graft.runner.Main graft.jar step2 \
+  *   --metrics fresco/ --accounting acct.csv --out wide/
+  * spark-submit --class graft.runner.Main graft.jar step3 --in wide/ --out final/
+  * spark-submit --class graft.runner.Main graft.jar compact \
+  *   --landing incoming/ --out daily/ --checkpoint ckpt/ [--once]
+  * }}}
+  */
+object Main {
+
+  private val Usage =
+    """usage: graft.runner.Main <command> [options]
+      |  step1   --block <glob> --cpu <glob> --llite <glob> --mem <glob> --out <dir> [--overwrite]
+      |  step2   --metrics <path> --accounting <csv> --out <dir>
+      |  step3   --in <wide-parquet> --out <dir>
+      |  compact --landing <dir> --out <dir> --checkpoint <dir> [--once]""".stripMargin
+
+  def main(args: Array[String]): Unit = {
+    val spark = session()
+    try run(args.toIndexedSeq, spark)
+    finally spark.stop()
+  }
+
+  /** Session for `spark-submit` (master/deploy conf comes from the
+    * submitter); falls back to `local[*]` for direct invocation. */
+  private def session(): SparkSession = {
+    val b = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    (if (sys.props.contains("spark.master")) b
+     else b.master("local[*]")
+       .config("spark.sql.shuffle.partitions",
+         Runtime.getRuntime.availableProcessors.toString))
+      .getOrCreate()
+  }
+
+  /** CLI body, separated from `main` so tests drive the exact arg-parse +
+    * execution path against the suite's session (which must outlive the
+    * call). */
+  def run(args: Seq[String], spark: SparkSession): Unit = args.headOption match {
+    case Some("step1") =>
+      val (opt, flags) = parse(args.tail)
+      Pipeline.writeDaily(
+        Pipeline.step1(spark, req(opt, "block"), req(opt, "cpu"),
+          req(opt, "llite"), req(opt, "mem")),
+        req(opt, "out"), overwrite = flags("overwrite"))
+
+    case Some("step2") =>
+      val (opt, _) = parse(args.tail)
+      // resolve every required option before touching IO — bad args fail
+      // fast instead of after a partial read
+      val (metrics, acct, out) = (req(opt, "metrics"), req(opt, "accounting"), req(opt, "out"))
+      Pipeline.step2(spark, metrics, acct)
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(out)
+
+    case Some("step3") =>
+      val (opt, _) = parse(args.tail)
+      val (in, out) = (req(opt, "in"), req(opt, "out"))
+      Pipeline.step3(spark.read.parquet(in))
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(out)
+
+    case Some("compact") =>
+      val (opt, flags) = parse(args.tail)
+      val trigger =
+        if (flags("once")) Trigger.AvailableNow()
+        else Trigger.ProcessingTime("5 seconds")
+      val q = Compactor.start(spark, req(opt, "landing"), req(opt, "out"),
+        req(opt, "checkpoint"), Schemas.fresco, trigger)
+      q.awaitTermination() // AvailableNow self-terminates after the drain
+
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown command ${other.getOrElse("<none>")}\n$Usage")
+  }
+
+  /** `--key value` options and bare `--flag` switches. */
+  private def parse(args: Seq[String]): (Map[String, String], String => Boolean) = {
+    val bareFlags = Set("overwrite", "once")
+    val (opts, flags) = args.foldLeft((Map.empty[String, String], Set.empty[String], Option.empty[String])) {
+      case ((m, f, Some(key)), v) => (m + (key -> v), f, None)
+      case ((m, f, None), a) if a.startsWith("--") =>
+        val k = a.drop(2)
+        if (bareFlags(k)) (m, f + k, None) else (m, f, Some(k))
+      case (_, a) =>
+        throw new IllegalArgumentException(s"unexpected argument $a\n$Usage")
+    } match {
+      case (_, _, Some(dangling)) =>
+        throw new IllegalArgumentException(s"missing value for --$dangling\n$Usage")
+      case (m, f, None) => (m, f)
+    }
+    (opts, flags.contains)
+  }
+
+  private def req(opts: Map[String, String], key: String): String =
+    opts.getOrElse(key,
+      throw new IllegalArgumentException(s"missing required --$key\n$Usage"))
+}

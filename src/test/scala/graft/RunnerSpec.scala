@@ -1,0 +1,97 @@
+package graft
+
+import graft.runner.Main
+
+/** CLI smoke: drives raw CSVs → daily FRESCO parquet → bucketed wide table
+  * → finalized output through `Main.run`'s exact arg-parse + execution
+  * path (the `spark-submit` surface), plus the compactor's drain-and-exit
+  * mode. */
+class RunnerSpec extends SparkSpec {
+
+  private val T = "01/01/2013"
+
+  private def outDir(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toFile.getAbsolutePath
+
+  test("step1 → step2 → step3 CLI round trip produces the finalized wide table") {
+    val block = tmpCsv("block.csv",
+      "jobID,node,timestamp,device,rd_sectors,wr_sectors",
+      s"job1,N1,$T 10:00:00,sda,0,0",
+      s"job1,N1,$T 10:01:00,sda,1048576,1048576")
+    val cpu = tmpCsv("cpu.csv",
+      "jobID,node,timestamp,device,user,nice,system,idle,iowait,irq,softirq",
+      s"job1,N1,$T 10:00:00,cpu0,100,0,0,900,0,0,0",
+      s"job1,N1,$T 10:01:00,cpu0,200,0,0,1800,0,0,0")
+    val llite = tmpCsv("llite.csv",
+      "jobID,node,timestamp,read_bytes,write_bytes",
+      s"job1,N1,$T 10:00:00,0,0",
+      s"job1,N1,$T 10:01:00,52428800,52428800")
+    val mem = tmpCsv("mem.csv",
+      "jobID,node,timestamp,MemTotal,MemFree,MemUsed,FilePages",
+      s"job1,N1,$T 10:00:00,2147483648,1073741824,1073741824,536870912")
+    val acct = tmpCsv("accounting.csv",
+      "jobID,user,account,jobname,queue,nnodes,ncpus,walltime,start,end,submit,exit_status",
+      s"job1,alice,acctA,sim,normal,1,16,3600,$T 10:00:00,$T 10:02:00,$T 09:59:00,0")
+
+    val fresco = outDir("cli-fresco")
+    val wide = outDir("cli-wide")
+    val fin = outDir("cli-final")
+
+    Main.run(Seq("step1", "--block", block, "--cpu", cpu, "--llite", llite,
+      "--mem", mem, "--out", fresco, "--overwrite"), spark)
+    val frescoBack = spark.read.parquet(fresco)
+    assert(frescoBack.count() > 0)
+    assert(frescoBack.columns.contains("date")) // daily partitioned
+
+    Main.run(Seq("step2", "--metrics", fresco, "--accounting", acct,
+      "--out", wide), spark)
+    val wideBack = spark.read.parquet(wide)
+    assert(wideBack.schema.fieldNames.toSeq == schemas.Schemas.outputColumns)
+    assert(wideBack.count() == 2) // job1: buckets 0 and 1
+
+    Main.run(Seq("step3", "--in", wide, "--out", fin), spark)
+    val finBack = spark.read.parquet(fin).collect()
+    assert(finBack.forall(_.getAs[String]("host") == "N1_S"))
+    assert(finBack.forall(_.getAs[String]("jid") == "1_S"))
+    assert(finBack.forall(_.getAs[String]("username") == "alice_S"))
+  }
+
+  test("compact --once drains the landing backlog exactly-once and exits") {
+    val landing = outDir("cli-landing")
+    val out = outDir("cli-compacted")
+    val ckpt = outDir("cli-ckpt")
+    val fresco = Pipeline.step1(spark,
+      tmpCsv("b.csv",
+        "jobID,node,timestamp,device,rd_sectors,wr_sectors",
+        s"job9,N1,$T 10:00:00,sda,0,0",
+        s"job9,N1,$T 10:01:00,sda,2048,2048"),
+      tmpCsv("c.csv",
+        "jobID,node,timestamp,device,user,nice,system,idle,iowait,irq,softirq",
+        s"job9,N1,$T 10:00:00,cpu0,1,0,0,9,0,0,0",
+        s"job9,N1,$T 10:01:00,cpu0,2,0,0,18,0,0,0"),
+      tmpCsv("l.csv",
+        "jobID,node,timestamp,read_bytes,write_bytes",
+        s"job9,N1,$T 10:00:00,0,0",
+        s"job9,N1,$T 10:01:00,1024,1024"),
+      tmpCsv("m.csv",
+        "jobID,node,timestamp,MemTotal,MemFree,MemUsed,FilePages",
+        s"job9,N1,$T 10:00:00,1048576,524288,524288,0"))
+    fresco.write.mode("overwrite").parquet(landing)
+    val n = fresco.count()
+
+    Main.run(Seq("compact", "--landing", landing, "--out", out,
+      "--checkpoint", ckpt, "--once"), spark)
+    assert(spark.read.parquet(out).count() == n)
+
+    // a second drain with the same checkpoint must not duplicate rows
+    Main.run(Seq("compact", "--landing", landing, "--out", out,
+      "--checkpoint", ckpt, "--once"), spark)
+    assert(spark.read.parquet(out).count() == n)
+  }
+
+  test("bad CLI input fails fast with usage") {
+    intercept[IllegalArgumentException](Main.run(Seq("nope"), spark))
+    intercept[IllegalArgumentException](Main.run(Seq("step3", "--in", "x"), spark))
+    intercept[IllegalArgumentException](Main.run(Seq("step3", "--in"), spark))
+  }
+}
