@@ -370,6 +370,51 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), rq(col("quality_score"), 6).as("quality_score"))
   }
 
+  /** Composed FRESCO pipeline — IntervalJoin → BucketAggregate → Finalize
+    * (the real `Pipeline.step2`/`step3` operators), oracle-checked END TO
+    * END rather than per-part: synthesizes a FRESCO-long metric stream and
+    * an accounting frame from `events` (jid = user_id; the five event
+    * types → the five FRESCO metrics; three synthetic hosts; one
+    * 30-minute job per user starting at that user's first event). Covers
+    * the composition's seams: `[start, end)` containment boundary,
+    * start-aligned 1-minute bucketing, explicit-value pivot, per-record
+    * host_list, µs midpoint time, and the step-3 `_S` pass. */
+  private def qFrescoPipeline(s: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(s, dir, "events")
+    val metrics = ev.select(
+      concat(lit("NODE"), pmod(col("event_id"), lit(3)).cast("string")).as("Host"),
+      col("ts").as("Timestamp"),
+      when(col("event_type") === "click", "block")
+        .when(col("event_type") === "error", "cpuuser")
+        .when(col("event_type") === "purchase", "memused")
+        .when(col("event_type") === "signup", "memused_minus_diskcache")
+        .otherwise("nfs").as("Event"),
+      col("value").as("Value"),
+      col("user_id").cast("string").as("jid"))
+    val acct = ev.groupBy(col("user_id").cast("string").as("jid"))
+      .agg(min(col("ts")).as("start"))
+      .select(col("jid"), col("start"),
+        timestamp_micros(unix_micros(col("start")) + 1800L * 1000000L).as("end"),
+        timestamp_micros(unix_micros(col("start")) - 60L * 1000000L).as("submit"),
+        concat(lit("u"), col("jid")).as("user"),
+        lit("research").as("account"),
+        concat(lit("job"), col("jid")).as("jobname"),
+        lit("normal").as("queue"),
+        lit(3L).as("nnodes"), lit(96L).as("ncpus"),
+        lit(1800L).as("walltime"), lit("0").as("exit_status"))
+    Pipeline.step3(Pipeline.step2(metrics, acct)).select(
+      col("time"), col("submit_time"), col("start_time"), col("end_time"),
+      col("timelimit"), col("nhosts"), col("ncores"),
+      col("account"), col("queue"), col("host"), col("jid"), col("jobname"),
+      col("exitcode"), col("host_list"), col("username"),
+      rq(col("value_cpuuser"), 6).as("value_cpuuser"),
+      col("value_gpu"),
+      rq(col("value_memused"), 6).as("value_memused"),
+      rq(col("value_memused_minus_diskcache"), 6).as("value_memused_minus_diskcache"),
+      rq(col("value_nfs"), 6).as("value_nfs"),
+      rq(col("value_block"), 6).as("value_block"))
+  }
+
   /** SQL frontend: the same engine drives `spark.sql` over temp views
     * (with the graft-registered functions available) — TPC-H Q4 shape. */
   private def qSqlFrontend(s: SparkSession, dir: String): DataFrame = {
@@ -428,6 +473,7 @@ object SparkEntry {
     "q_tpch_q3" -> qTpchQ3,
     "q_dedup_clusters" -> qDedupClusters,
     "q_sql_frontend" -> qSqlFrontend,
+    "q_fresco_pipeline" -> qFrescoPipeline,
     "q_curate" -> qCurate,
     "q_dedup_rep" -> qDedupRep,
     "q_ngram_jaccard" -> qNgramJaccard,
@@ -514,6 +560,58 @@ object SparkEntry {
          |  SELECT u, v FROM reach)
          |SELECT u AS doc_id, least(u, min(v)) AS cluster_rep
          |FROM r GROUP BY u""".stripMargin,
+    "q_fresco_pipeline" ->
+      """WITH m AS (
+        |  SELECT 'NODE' || CAST(event_id % 3 AS VARCHAR) AS host, ts,
+        |         CASE event_type WHEN 'click' THEN 'block' WHEN 'error' THEN 'cpuuser'
+        |              WHEN 'purchase' THEN 'memused' WHEN 'signup' THEN 'memused_minus_diskcache'
+        |              ELSE 'nfs' END AS event,
+        |         value, CAST(user_id AS VARCHAR) AS jid
+        |  FROM events),
+        |a AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS jid, min(ts) AS jstart,
+        |         min(ts) + INTERVAL 30 MINUTE AS jend
+        |  FROM events GROUP BY 1),
+        |j AS (
+        |  SELECT m.host, m.event, m.value, m.jid, a.jstart, a.jend,
+        |         CAST(floor((epoch_us(m.ts) - epoch_us(a.jstart)) / 60000000) AS BIGINT) AS bucket
+        |  FROM m JOIN a ON m.jid = a.jid AND m.ts >= a.jstart AND m.ts < a.jend),
+        |p AS (
+        |  SELECT jid, host, bucket, jstart, jend,
+        |         avg(CASE WHEN event = 'cpuuser' THEN value END) AS v_cpuuser,
+        |         avg(CASE WHEN event = 'memused' THEN value END) AS v_memused,
+        |         avg(CASE WHEN event = 'memused_minus_diskcache' THEN value END) AS v_mmdc,
+        |         avg(CASE WHEN event = 'nfs' THEN value END) AS v_nfs,
+        |         avg(CASE WHEN event = 'block' THEN value END) AS v_block
+        |  FROM j GROUP BY 1, 2, 3, 4, 5),
+        |hl AS (
+        |  SELECT jid, jstart, jend, string_agg(DISTINCT host, ',' ORDER BY host) AS host_list
+        |  FROM p GROUP BY 1, 2, 3)
+        |SELECT
+        |  make_timestamp(epoch_us(p.jstart) + p.bucket*60000000
+        |    + CAST(floor((least(epoch_us(p.jstart) + (p.bucket+1)*60000000, epoch_us(p.jend))
+        |                  - (epoch_us(p.jstart) + p.bucket*60000000)) / 2) AS BIGINT)) AS time,
+        |  p.jstart - INTERVAL 60 SECOND AS submit_time,
+        |  p.jstart AS start_time,
+        |  p.jend AS end_time,
+        |  CAST(1800 AS BIGINT) AS timelimit,
+        |  CAST(3 AS BIGINT) AS nhosts,
+        |  CAST(96 AS BIGINT) AS ncores,
+        |  'research' AS account,
+        |  'normal' AS queue,
+        |  p.host || '_S' AS host,
+        |  p.jid || '_S' AS jid,
+        |  'job' || p.jid AS jobname,
+        |  '0' AS exitcode,
+        |  hl.host_list || '_S' AS host_list,
+        |  'u' || p.jid || '_S' AS username,
+        |  floor((v_cpuuser)*1000000.0 + 0.5)/1000000.0 AS value_cpuuser,
+        |  CAST(NULL AS DOUBLE) AS value_gpu,
+        |  floor((v_memused)*1000000.0 + 0.5)/1000000.0 AS value_memused,
+        |  floor((v_mmdc)*1000000.0 + 0.5)/1000000.0 AS value_memused_minus_diskcache,
+        |  floor((v_nfs)*1000000.0 + 0.5)/1000000.0 AS value_nfs,
+        |  floor((v_block)*1000000.0 + 0.5)/1000000.0 AS value_block
+        |FROM p JOIN hl ON p.jid = hl.jid AND p.jstart = hl.jstart AND p.jend = hl.jend""".stripMargin,
     "q_sql_frontend" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders
