@@ -69,6 +69,17 @@ object Exprs {
   def parseTsMulti(c: Column, formats: Seq[String]): Column =
     coalesce(formats.map(f => try_to_timestamp(c, lit(f))): _*)
 
+  /** Date (`yyyy-MM-dd`) embedded in the current input file's NAME —
+    * reference `step-1/appender.py:72-83` routes rows to daily targets by
+    * the date in names like `NODE1_('2013-02-27',).parquet`. Null when the
+    * name carries no (valid) date — the reference's `unknown_date`
+    * fallback path; `try_to_timestamp` keeps a regex-shaped but invalid
+    * date (`9999-99-99`) null instead of an ANSI error. */
+  def fileDate(name: Column = input_file_name()): Column =
+    try_to_timestamp(
+      nullif(regexp_extract(name, "(\\d{4}-\\d{2}-\\d{2})", 1), lit("")),
+      lit("yyyy-MM-dd")).cast("date")
+
   /** Seconds between `ts` and its lag within the window, as fractional
     * seconds with µs fidelity — reference `step-1/data_processor.py:119`
     * (`dt.total_seconds()` of a diff). */

@@ -28,11 +28,28 @@ object BucketAggregate {
 
   val DefaultBucketMicros: Long = 60L * 1000000L // 1 minute (consumer.py:27)
 
+  /** Which instant the output `time` column carries per bucket. */
+  sealed trait TimeMode
+  object TimeMode {
+    /** Bucket midpoint — step-2 canonical (`consumer.py:412-414`). */
+    case object Midpoint extends TimeMode
+    /** Bucket start — the step-3.1 variant, which stamps each row with the
+      * chunk's start instant (`step-3.1/old/consumer_2.py:489`). */
+    case object BucketStart extends TimeMode
+  }
+
   /** Input: output of [[IntervalJoin]] — FRESCO columns (`Host`,
     * `Timestamp`, `Event`, `Value`) + accounting columns (`jid`, `start`,
     * `end`, `submit`, `user`, `account`, `jobname`, `queue`, `nnodes`,
-    * `ncpus`, `walltime`, `exit_status`). */
-  def apply(joined: DataFrame, bucketMicros: Long = DefaultBucketMicros): DataFrame = {
+    * `ncpus`, `walltime`, `exit_status`).
+    *
+    * `timeMode` selects midpoint vs bucket-start `time`; `mixedUnitColumn`
+    * appends the step-3.1 `unit = "Mixed"` placeholder column
+    * (`consumer_2.py:510`) after the canonical 21 (step-3.1 runs 5-minute
+    * buckets — pass `bucketMicros = 300s` for the full 3.1 shape). */
+  def apply(joined: DataFrame, bucketMicros: Long = DefaultBucketMicros,
+            timeMode: TimeMode = TimeMode.Midpoint,
+            mixedUnitColumn: Boolean = false): DataFrame = {
     val withBucket = joined
       // empty/null hosts are excluded from output rows (consumer.py:455)
       .filter(col("Host").isNotNull && col("Host") =!= "")
@@ -57,10 +74,16 @@ object BucketAggregate {
       .withColumn("host_list",
         hostListOver(col("host"), Window.partitionBy(col("jid"), col("start"), col("end"))))
 
-    pivoted.select(
-      intervalMidpoint(
-        bucketStart(col("start"), col("bucket"), bucketMicros),
-        bucketEnd(col("start"), col("bucket"), bucketMicros, col("end"))).as("time"),
+    val time = timeMode match {
+      case TimeMode.Midpoint =>
+        intervalMidpoint(
+          bucketStart(col("start"), col("bucket"), bucketMicros),
+          bucketEnd(col("start"), col("bucket"), bucketMicros, col("end")))
+      case TimeMode.BucketStart =>
+        bucketStart(col("start"), col("bucket"), bucketMicros)
+    }
+    val out = pivoted.select(
+      time.as("time"),
       col("submit").as("submit_time"),
       col("start").as("start_time"),
       col("end").as("end_time"),
@@ -81,5 +104,6 @@ object BucketAggregate {
       col("memused_minus_diskcache").as("value_memused_minus_diskcache"),
       col("nfs").as("value_nfs"),
       col("block").as("value_block"))
+    if (mixedUnitColumn) out.withColumn("unit", lit("Mixed")) else out
   }
 }

@@ -126,14 +126,23 @@ object MetricTransforms {
     * MemUsed COLUMN is absent from the source (`:316-327`) — a null cell
     * in a present column becomes 0 via `fill_null(0)` (`:309-311`), not
     * the fallback. Column absence is carried by the reader's back-fill
-    * metadata. Both metrics clip at ≥ 0. */
-  def mem(raw: DataFrame): DataFrame = {
+    * metadata. Both metrics clip at ≥ 0.
+    *
+    * `memUnitFactor` converts the source's memory unit to bytes before the
+    * GB division: 1.0 for byte-valued sources (current semantics), 1024.0
+    * for the legacy KB-valued `/proc/meminfo` feeds (reference
+    * `rough-drafts/old/transform_all_csv_to_parquet_v2.py:293-297`,
+    * SURVEY.md §7.4.7). */
+  def mem(raw: DataFrame, memUnitFactor: Double = 1.0): DataFrame = {
+    def scaled(c: org.apache.spark.sql.Column) =
+      if (memUnitFactor == 1.0) c else c * lit(memUnitFactor)
     val memUsedAbsent = graft.sources.Readers.isBackfilled(raw, "MemUsed")
     val base = prep(raw,
         if (memUsedAbsent) Seq("MemTotal", "MemFree", "FilePages")
         else Seq("MemTotal", "MemFree", "FilePages", "MemUsed"))
       .withColumn("mem_used",
-        if (memUsedAbsent) col("MemTotal") - col("MemFree") else col("MemUsed"))
+        scaled(if (memUsedAbsent) col("MemTotal") - col("MemFree") else col("MemUsed")))
+      .withColumn("FilePages", scaled(col("FilePages")))
     // both events in ONE pass (a union of two projections would scan and
     // parse the source twice)
     base.select(

@@ -179,6 +179,54 @@ class PipelineSpec extends SparkSpec {
     assert(f.getAs[String]("account") == "acctB") // untouched
   }
 
+  test("variant: step-3.1 bucket-start time + unit=Mixed column") {
+    import org.apache.spark.sql.functions.col
+    val metrics = fresco.withColumn("jid",
+      graft.functions.Exprs.normalizeJobId(col("Job Id")))
+    val joined = graft.operators.IntervalJoin(metrics, Readers.accounting(spark, acctCsv))
+    val v = graft.operators.BucketAggregate(joined,
+      timeMode = graft.operators.BucketAggregate.TimeMode.BucketStart,
+      mixedUnitColumn = true)
+    assert(v.schema.fieldNames.toSeq == Schemas.outputColumns :+ "unit")
+    val rows = v.collect()
+    assert(rows.forall(_.getAs[String]("unit") == "Mixed"))
+    // time stamps the bucket START (10:00:00 / 10:01:00), not the midpoint
+    val times = rows.filter(_.getAs[String]("jid") == "1")
+      .map(_.getAs[java.sql.Timestamp]("time").toString).toSet
+    assert(times == Set("2013-01-01 10:00:00.0", "2013-01-01 10:01:00.0"))
+  }
+
+  test("variant: legacy KB memory unit factor (rough-drafts v2)") {
+    // same instants as the byte fixture but every memory cell in KB
+    val memKb = tmpCsv("memkb.csv",
+      "jobID,node,timestamp,MemTotal,MemFree,MemUsed,FilePages",
+      s"job1,N1,$T 10:00:00,2097152,1048576,1048576,524288")
+    val out = MetricTransforms.mem(
+        Readers.csv(spark, memKb, Schemas.mem), memUnitFactor = 1024.0)
+      .collect().map(r => r.getString(3) -> r.getDouble(4)).toMap
+    assert(out("memused") == 1.0) // 1048576 KB × 1024 / 2^30 = 1 GB
+    assert(out("memused_minus_diskcache") == 0.5) // FilePages scaled too
+  }
+
+  test("F5: date extracted from the input file name; no date → null") {
+    import org.apache.spark.sql.functions.col
+    val dated = tmpCsv("node1_2013-02-27.csv", "v", "1", "2")
+    val d = spark.read.option("header", "true").csv(dated)
+      .withColumn("fdate", graft.functions.Exprs.fileDate())
+      .select("fdate").distinct().collect()
+    assert(d.map(_.getDate(0).toString).toSeq == Seq("2013-02-27"))
+    val undated = tmpCsv("nodate.csv", "v", "1")
+    val u = spark.read.option("header", "true").csv(undated)
+      .withColumn("fdate", graft.functions.Exprs.fileDate())
+      .select("fdate").collect()
+    assert(u.forall(_.isNullAt(0)))
+    // regex-shaped but invalid date → null, not an ANSI error
+    val bogus = spark.range(1).select(
+      graft.functions.Exprs.fileDate(org.apache.spark.sql.functions.lit("x_9999-99-99.csv")).as("d"))
+      .collect()
+    assert(bogus.forall(_.isNullAt(0)))
+  }
+
   test("readers: missing MemUsed column tolerated, fallback to MemTotal-MemFree") {
     val mem2 = tmpCsv("mem2.csv",
       "jobID,node,timestamp,MemTotal,MemFree,FilePages",
