@@ -207,6 +207,17 @@ object SparkEntry {
       .withColumn("user_id", col("user_id").cast("long"))
   }
 
+  /** Gap-based sessionization (batch form of the streaming
+    * `EventAggregator.sessionize` gap rule — the two are asserted
+    * equivalent in EventAggregatorSpec): per-user sessions split at
+    * 10-minute silences. */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessionize(tbl(s, dir, "events"), "user_id", "ts", "value",
+        gapMs = 10L * 60L * 1000L)
+      .select(col("user_id").cast("long").as("user_id"), col("session_idx"),
+        col("n_events"), col("first_ts"), col("last_ts"),
+        rq(col("mean_value"), 6).as("mean_value"))
+
   /** A9 + exact dedup: distinct-text counts per language. */
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
@@ -504,6 +515,7 @@ object SparkEntry {
     "q_jid_normalize" -> qJidNormalize,
     "q_dates" -> qDates,
     "q_session_bucket" -> qSessionBucket,
+    "q_sessionize" -> qSessionize,
     "q_dedup_exact" -> qDedupExact,
     "q_topk" -> qTopK,
     "q_safediv_clamp" -> qSafeDivClamp,
@@ -841,6 +853,22 @@ object SparkEntry {
         |SELECT user_id, bucket, count(*) AS n_events,
         |       floor((CAST(avg(value) AS DOUBLE))*1000000.0 + 0.5)/1000000.0 AS avg_value
         |FROM b GROUP BY user_id, bucket""".stripMargin,
+    "q_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM o)
+        |SELECT CAST(user_id AS BIGINT) AS user_id, CAST(sess AS BIGINT) AS session_idx,
+        |       count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts,
+        |       floor((avg(value))*1000000.0 + 0.5)/1000000.0 AS mean_value
+        |FROM s GROUP BY user_id, sess""".stripMargin,
     "q_dedup_exact" ->
       """SELECT lang, count(DISTINCT text) AS n_distinct_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars, count(*) AS n_docs

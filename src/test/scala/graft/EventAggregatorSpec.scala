@@ -60,6 +60,39 @@ class EventAggregatorSpec extends SparkSpec {
     assert(out.toSeq == Seq((2L, 20.0))) // first session closed in-batch
   }
 
+  test("streaming sessionize == batch Sessionize on the same events") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      HostEvent("N1", ts("2013-01-01 10:00:00"), 10.0),
+      HostEvent("N1", ts("2013-01-01 10:00:30"), 30.0),
+      HostEvent("N1", ts("2013-01-01 10:05:00"), 50.0), // gap > 1 min → new session
+      HostEvent("N2", ts("2013-01-01 10:00:05"), 5.0),
+      HostEvent("N2", ts("2013-01-01 10:00:05"), 7.0)) // duplicate ts, same session
+    val in = MemoryStream[HostEvent]
+    val q = EventAggregator.sessionize(in.toDS(), gapMs = 60000)
+      .writeStream.format("memory").queryName("sess_eq")
+      .outputMode("append").start()
+    in.addData(data: _*)
+    q.processAllAvailable()
+    // advance the watermark so every open session times out and emits
+    in.addData(HostEvent("N9", ts("2013-01-01 12:00:00"), 0.0))
+    q.processAllAvailable()
+    in.addData(HostEvent("N9", ts("2013-01-01 12:00:01"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streaming = spark.table("sess_eq").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3),
+        r.getDouble(4))).toSet
+
+    val batch = graft.operators.Sessionize(
+        data.toDF("host", "ts", "value"), "host", "ts", "value", gapMs = 60000)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_events"),
+        r.getAs[java.sql.Timestamp]("first_ts"), r.getAs[java.sql.Timestamp]("last_ts"),
+        r.getAs[Double]("mean_value"))).toSet
+    assert(streaming == batch) // same gap rule, two execution models
+  }
+
   test("stateful sessionization closes sessions when the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[HostEvent]
