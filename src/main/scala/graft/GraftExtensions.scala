@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, SimHash64}
+import graft.functions.{DotProduct, ShingleHashes, SimHash64}
 
 /** Session extensions: registers the engine's native Catalyst expressions
   * for SQL use (`SELECT dot_product(a.vec, b.vec)`, `simhash64(text)`), so
@@ -28,5 +28,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(text) - 64-bit whitespace-token SimHash"),
       (args: Seq[Expression]) => SimHash64(args.head)))
+    e.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes",
+        "shingle_hashes(text, k) - distinct xxhash64 of word k-gram shingles"),
+      (args: Seq[Expression]) => {
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"shingle_hashes k must be an integer literal, got $other")
+        }
+        ShingleHashes(args.head, k)
+      }))
   }
 }

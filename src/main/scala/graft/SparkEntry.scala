@@ -261,7 +261,7 @@ object SparkEntry {
     * baseline for the LSH path). */
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(
-        Dedup.hashShingles(Dedup.wordShingles(tbl(s, dir, "documents"), "doc_id", "text")), 0.8)
+        Dedup.hashedWordShingles(tbl(s, dir, "documents"), "doc_id", "text"), 0.8)
       .withColumn("jaccard", rq(col("jaccard"), 6))
 
   /** MinHash-LSH near-dup pipeline (candidate-generate-verify). With 128
@@ -269,7 +269,7 @@ object SparkEntry {
     * oracle-checked against the exact all-pairs SQL. */
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashDuplicates(
-        Dedup.hashShingles(Dedup.wordShingles(tbl(s, dir, "documents"), "doc_id", "text")), 0.8)
+        Dedup.hashedWordShingles(tbl(s, dir, "documents"), "doc_id", "text"), 0.8)
       .withColumn("jaccard", rq(col("jaccard"), 6))
 
   /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit token simhash);
@@ -373,7 +373,7 @@ object SparkEntry {
   private def qCurate(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents")
     val dupLosers = Dedup.minhashDuplicates(
-        Dedup.hashShingles(Dedup.wordShingles(docs, "doc_id", "text")), 0.8)
+        Dedup.hashedWordShingles(docs, "doc_id", "text"), 0.8)
       .select(col("id_b").as("doc_id"))
     TextAnalysis.withQuality(docs, "text")
       .filter(col("quality_score") >= 0.5)
@@ -445,7 +445,7 @@ object SparkEntry {
     * pair graph; every member labeled with its component's min doc id. */
   private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.jaccardPairs(
-      Dedup.hashShingles(Dedup.wordShingles(tbl(s, dir, "documents"), "doc_id", "text")), 0.8)
+      Dedup.hashedWordShingles(tbl(s, dir, "documents"), "doc_id", "text"), 0.8)
     Dedup.duplicateClusters(pairs)
   }
 

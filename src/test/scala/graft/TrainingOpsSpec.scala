@@ -51,6 +51,25 @@ class TrainingOpsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("hashedWordShingles == hashShingles(wordShingles) — fixture, edge cases, real data") {
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val edge = Seq((1L, ""), (2L, "   "), (3L, "hi"), (4L, "one two"),
+      (5L, "a  b\tc\nd a  b\tc")).toDF("doc_id", "text")
+    for (d <- Seq(docs, edge)) {
+      assert(asSet(Dedup.hashedWordShingles(d, "doc_id", "text")) ==
+        asSet(Dedup.hashShingles(Dedup.wordShingles(d, "doc_id", "text"))))
+    }
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert(asSet(Dedup.hashedWordShingles(real, "doc_id", "text")) ==
+      asSet(Dedup.hashShingles(Dedup.wordShingles(real, "doc_id", "text"))))
+    // SQL registration
+    docs.createOrReplaceTempView("shdocs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, explode(shingle_hashes(text, 3)) AS shingle FROM shdocs")
+    assert(asSet(viaSql) == asSet(Dedup.hashedWordShingles(docs, "doc_id", "text")))
+  }
+
   test("duplicateClusters: transitive chains collapse to the min id") {
     // chain 1-2-6 (via pairs (1,2),(2,6)), island (8,9), singleton 3 absent
     val pairs = Seq((1L, 2L), (2L, 6L), (8L, 9L)).toDF("id_a", "id_b")
