@@ -86,39 +86,24 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
   }
 
-  /** Deterministic Rademacher (±1) hyperplane component for (bit, dim):
-    * a splitmix64 finalizer over the packed key — fixed across runs and
-    * sessions, no RNG state, so LSH buckets are reproducible. */
-  private def planeSign(bit: Int, dim: Int): Double = {
-    var z = ((bit.toLong << 32) | (dim.toLong & 0xFFFFFFFFL)) + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^= (z >>> 31)
-    if ((z & 1L) == 0L) 1.0 else -1.0
-  }
-
   /** All `bands` LSH band buckets for a `dims`-dimensional embedding: band
     * `b` packs the sign bits of `bitsPerBand` projections against fixed ±1
-    * hyperplanes into one long. The hyperplanes are literal arrays baked
-    * into the plan and every projection is the codegen'd
-    * [[graft.functions.DotProduct]] kernel — no interpreted per-element
-    * lambdas in the hot path. Two vectors are near-dup CANDIDATES iff they
-    * collide on at least one band; P[candidate] = 1-(1-p^r)^B with
-    * p = 1 - θ/π, so recall amplifies with bands while near-orthogonal
-    * background pairs collide on a given band with probability ~2^-r. */
+    * (Rademacher) hyperplanes into one long — the native
+    * [[graft.functions.LshBandBuckets]] expression, one compiled
+    * multiply-add loop per row (the compose-from-built-ins form — one
+    * DotProduct per bit against a literal plane array — builds a
+    * plan-sized expression tree that dominated the profile). Two vectors
+    * are near-dup CANDIDATES iff they collide on at least one band;
+    * P[candidate] = 1-(1-p^r)^B with p = 1 - θ/π, so recall amplifies
+    * with bands while near-orthogonal background pairs collide on a given
+    * band with probability ~2^-r. */
   def lshBandBuckets(embCol: Column, dims: Int, bands: Int, bitsPerBand: Int): Column = {
     require(dims >= 1, s"dims must be positive, got $dims")
     require(bands >= 1, s"bands must be positive, got $bands")
     require(bitsPerBand >= 1 && bitsPerBand <= 63,
       s"bitsPerBand must be in [1, 63], got $bitsPerBand")
-    val v = embCol.cast("array<double>")
-    val buckets = (0 until bands).map { b =>
-      (0 until bitsPerBand).map { i =>
-        val plane = lit((0 until dims).map(d => planeSign(b * bitsPerBand + i, d)).toArray)
-        when(dot(v, plane) > 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce[Column](_.bitwiseOR(_))
-    }
-    array(buckets: _*)
+    graft.functions.LshBandBuckets.lshBandBuckets(
+      embCol.cast("array<double>"), dims, bands, bitsPerBand)
   }
 
   /** Random-hyperplane LSH bucket (sign bits of `nbits` fixed ±1
