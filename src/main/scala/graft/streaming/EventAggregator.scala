@@ -58,6 +58,11 @@ object EventAggregator {
             // older than the open session would make replay diverge from
             // live arrival. Within the watermark, determinism holds.
             val wm = state.getCurrentWatermarkMs()
+            // materializes one (host, micro-batch) group to sort it — bounded
+            // by per-host per-trigger volume, not the stream. A pathological
+            // hot host could make this buffer large; cap exposure upstream
+            // with trigger sizing (maxFilesPerTrigger / maxOffsetsPerTrigger)
+            // or pre-aggregate per (host, second) before sessionizing.
             val sorted = rows.toSeq.filter(_.ts.getTime >= wm).sortBy(_.ts.getTime)
             if (sorted.isEmpty) Iterator.empty
             else {

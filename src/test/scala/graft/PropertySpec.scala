@@ -112,6 +112,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("duplicateClusters == driver-side union-find on random graphs " +
+    "(incl. deep chains)") {
+    // random edge lists over a small id space produce long chains and
+    // multi-component graphs — exactly where star-contraction subtleties
+    // (connectivity preservation, fixed-point detection) would bite
+    val edgesGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.chooseNum(2, 60)
+      m <- Gen.chooseNum(1, 80)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n.toLong)
+        b <- Gen.chooseNum(0L, n.toLong)
+      } yield (a, b))
+    } yield es
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) if a != b =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      case _ => ()
+      }
+      // label every node touching an edge (self-loops excluded, like the op)
+      edges.filter(e => e._1 != e._2).flatMap(e => Seq(e._1, e._2))
+        .distinct.map(x => x -> find(x)).toMap
+    }
+    // one deterministic worst case: a 40-node chain (diameter 39)
+    val chain = (0L until 39L).map(i => (i, i + 1)).toList
+    forAll(Gen.oneOf(Gen.const(chain), edgesGen), n = 6) { edges =>
+      val expected = unionFind(edges)
+      val got = Dedup.duplicateClusters(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected)
+    }
+  }
+
   test("ensureColumns: arbitrary column subsets conform to the full schema") {
     forAll(Gen.someOf(Schemas.mem.fieldNames.toSeq)) { keep =>
       whenever(keep.nonEmpty) {
