@@ -20,7 +20,10 @@ object Bench {
     // query instead of inheriting (or re-populating) a predecessor's cache.
     def dropPersistedState(): Unit = {
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // blocking: eviction must FINISH before the next query's timer
+      // starts, or the drop work (and still-occupied memory) bleeds into
+      // the timed window — this call sits off the timed path
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)

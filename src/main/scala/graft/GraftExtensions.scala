@@ -33,10 +33,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("shingle_hashes",
         "shingle_hashes(text, k) - distinct xxhash64 of word k-gram shingles"),
       (args: Seq[Expression]) => {
+        if (args.size != 2)
+          throw new IllegalArgumentException(
+            s"shingle_hashes expects 2 arguments (text, k), got ${args.size}")
         val k = args(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          // any foldable integral constant (3, 3L, 1+2) works — k shapes
+          // the expression itself, so it must be plan-time constant
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case s: Short => s.toInt
+            case b: Byte => b.toInt
+            case other => throw new IllegalArgumentException(
+              s"shingle_hashes k must be an integer constant, got $other")
+          }
           case other => throw new IllegalArgumentException(
-            s"shingle_hashes k must be an integer literal, got $other")
+            s"shingle_hashes k must be a constant, got non-foldable $other")
         }
         ShingleHashes(args.head, k)
       }))

@@ -574,7 +574,7 @@ object SparkEntry {
          |FROM r GROUP BY u""".stripMargin,
     "q_fresco_pipeline" ->
       """WITH m AS (
-        |  SELECT 'NODE' || CAST(event_id % 3 AS VARCHAR) AS host, ts,
+        |  SELECT 'NODE' || CAST(((event_id % 3) + 3) % 3 AS VARCHAR) AS host, ts,
         |         CASE event_type WHEN 'click' THEN 'block' WHEN 'error' THEN 'cpuuser'
         |              WHEN 'purchase' THEN 'memused' WHEN 'signup' THEN 'memused_minus_diskcache'
         |              ELSE 'nfs' END AS event,

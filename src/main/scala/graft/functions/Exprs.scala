@@ -71,13 +71,17 @@ object Exprs {
 
   /** Date (`yyyy-MM-dd`) embedded in the current input file's NAME —
     * reference `step-1/appender.py:72-83` routes rows to daily targets by
-    * the date in names like `NODE1_('2013-02-27',).parquet`. Null when the
-    * name carries no (valid) date — the reference's `unknown_date`
-    * fallback path; `try_to_timestamp` keeps a regex-shaped but invalid
-    * date (`9999-99-99`) null instead of an ANSI error. */
+    * the date in names like `NODE1_('2013-02-27',).parquet`. Only the
+    * last path segment is searched (`input_file_name()` returns the full
+    * URI; a dated ancestor DIRECTORY must not shadow the file's own
+    * name). Null when the name carries no (valid) date — the reference's
+    * `unknown_date` fallback path; `try_to_timestamp` keeps a
+    * regex-shaped but invalid date (`9999-99-99`) null instead of an
+    * ANSI error. */
   def fileDate(name: Column = input_file_name()): Column =
     try_to_timestamp(
-      nullif(regexp_extract(name, "(\\d{4}-\\d{2}-\\d{2})", 1), lit("")),
+      nullif(regexp_extract(substring_index(name, "/", -1),
+        "(\\d{4}-\\d{2}-\\d{2})", 1), lit("")),
       lit("yyyy-MM-dd")).cast("date")
 
   /** Seconds between `ts` and its lag within the window, as fractional

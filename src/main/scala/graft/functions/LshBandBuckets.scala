@@ -57,7 +57,13 @@ case class LshBandBuckets(child: Expression, dims: Int, bands: Int, bitsPerBand:
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val n = math.min(v.numElements(), dims)
+    // fail fast on dimension drift: silently truncating (or zero-padding)
+    // would decorrelate buckets from full-vector cosine — recall loss with
+    // no error, the worst failure mode for a candidate generator
+    if (v.numElements() != dims)
+      throw new IllegalArgumentException(
+        s"lsh_band_buckets: vector has ${v.numElements()} dims, expected $dims")
+    val n = dims
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {

@@ -207,6 +207,15 @@ object Dedup {
     * sum: ANSI mode throws on long overflow) is safe because edges are
     * distinct, so no pair can self-cancel; collision between DIFFERENT
     * consecutive edge sets is ~2⁻⁶⁴, and the count must match too. */
+  /** Release the persisted blocks behind a `localCheckpoint`ed frame
+    * (they live on the internal `LogicalRDD`, not in the CacheManager, so
+    * neither `unpersist()` nor `clearCache()` reaches them). Only safe
+    * once nothing will read the frame again. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   private def checkpointWithSignature(edges: DataFrame): (DataFrame, (Long, Long)) = {
     val obs = org.apache.spark.sql.Observation()
     val ck = edges
@@ -220,7 +229,10 @@ object Dedup {
   /** Resolve duplicate PAIRS into clusters: connected components over the
     * pair graph, labeling every member with the minimum doc id of its
     * component (the canonical representative a curation pipeline keeps).
-    * Output: `(doc_id, cluster_rep)` for every doc appearing in a pair.
+    * Output: `(doc_id, cluster_rep)` for every doc appearing in a
+    * NON-self pair — self-pairs (`id_a == id_b`) carry no duplicate
+    * information and are ignored (the engine's pair generators never emit
+    * them: all guarantee `id_a < id_b`).
     *
     * Alternating large-star/small-star (Kiveris et al.) — converges to
     * per-component stars in O(log n) rounds regardless of component
@@ -238,6 +250,10 @@ object Dedup {
     var converged = sig._1 == 0L // no edges ⇒ no clusters
     while (!converged) {
       val (next, nextSig) = checkpointWithSignature(smallStar(largeStar(edges)))
+      // `next` is fully materialized and lineage-free, so the superseded
+      // round's blocks can drop NOW — bounded storage across many rounds,
+      // instead of waiting on driver GC + ContextCleaner
+      unpersistCheckpoint(edges)
       converged = nextSig == sig
       sig = nextSig
       edges = next

@@ -24,6 +24,11 @@ object Sessionize {
   def apply(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
             gapMs: Long): DataFrame = {
     require(gapMs > 0, s"gapMs must be positive, got $gapMs")
+    // withColumn would silently clobber same-named input columns
+    Seq("__new", "session_idx").foreach { c =>
+      require(!df.columns.contains(c),
+        s"Sessionize reserves column name '$c'; rename it in the input")
+    }
     val w = Window.partitionBy(keyCol).orderBy(tsCol)
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prev: Column = lag(col(tsCol), 1).over(w)

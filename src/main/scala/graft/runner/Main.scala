@@ -107,6 +107,11 @@ object Main {
   private def parse(args: Seq[String]): (Map[String, String], String => Boolean) = {
     val bareFlags = Set("overwrite", "once")
     val (opts, flags) = args.foldLeft((Map.empty[String, String], Set.empty[String], Option.empty[String])) {
+      case ((_, _, Some(key)), v) if v.startsWith("--") =>
+        // another option where a value was expected: fail loudly instead of
+        // binding "--flag" as the value (which would drop the flag AND
+        // corrupt the path option)
+        throw new IllegalArgumentException(s"missing value for --$key\n$Usage")
       case ((m, f, Some(key)), v) => (m + (key -> v), f, None)
       case ((m, f, None), a) if a.startsWith("--") =>
         val k = a.drop(2)

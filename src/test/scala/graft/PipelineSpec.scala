@@ -225,6 +225,16 @@ class PipelineSpec extends SparkSpec {
       graft.functions.Exprs.fileDate(org.apache.spark.sql.functions.lit("x_9999-99-99.csv")).as("d"))
       .collect()
     assert(bogus.forall(_.isNullAt(0)))
+    // only the FILE NAME is searched — a dated ancestor directory must not
+    // shadow the file's own date (or fabricate one for an undated file)
+    val shadow = spark.range(1).select(
+      graft.functions.Exprs.fileDate(
+        org.apache.spark.sql.functions.lit("/runs/2026-01-01/NODE1_('2013-02-27',).parquet")).as("d"),
+      graft.functions.Exprs.fileDate(
+        org.apache.spark.sql.functions.lit("/runs/2026-01-01/nodate.parquet")).as("u"))
+      .collect()(0)
+    assert(shadow.getDate(0).toString == "2013-02-27")
+    assert(shadow.isNullAt(1))
   }
 
   test("readers: missing MemUsed column tolerated, fallback to MemTotal-MemFree") {

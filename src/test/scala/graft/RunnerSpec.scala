@@ -93,5 +93,9 @@ class RunnerSpec extends SparkSpec {
     intercept[IllegalArgumentException](Main.run(Seq("nope"), spark))
     intercept[IllegalArgumentException](Main.run(Seq("step3", "--in", "x"), spark))
     intercept[IllegalArgumentException](Main.run(Seq("step3", "--in"), spark))
+    // a flag where a value was expected must error, not bind "--once" as
+    // the checkpoint path
+    intercept[IllegalArgumentException](Main.run(
+      Seq("compact", "--landing", "l", "--out", "o", "--checkpoint", "--once"), spark))
   }
 }

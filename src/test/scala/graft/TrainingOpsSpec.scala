@@ -127,6 +127,11 @@ class TrainingOpsSpec extends SparkSpec {
     // opposite vectors land in complementary buckets, never the same
     assert(b(0L) != b(4L))
     intercept[IllegalArgumentException](Similarity.lshBucket($"embedding", 3, 0))
+    // dimension drift fails fast instead of silently truncating (recall
+    // loss with no error would be the worst candidate-generator bug)
+    val e = intercept[Exception](
+      vecs.select(Similarity.lshBucket($"embedding", 5, 16)).collect())
+    assert(e.getMessage != null || e.getCause != null) // wrapped SparkException
   }
 
   test("lshCosinePairs reproduces exact cosinePairs at high threshold") {
