@@ -29,6 +29,16 @@ object Exprs {
   def standardizeJobId(c: Column): Column =
     regexp_replace(regexp_replace(c, lit("jobID"), lit("JOB")), lit("job"), lit("JOB"))
 
+  /** LEGACY draft job-id standardization (SURVEY §2.8 F2): replace-all
+    * `job`→`JOB` case-INSENSITIVELY, then strip every literal `ID`
+    * (case-sensitive) — reference
+    * `rough-drafts/rough_transform_stampede_to_fresco_ts_data.py:18,41`.
+    * Faithful including its quirks: `jobid42`→`JOBid42` (lowercase `id`
+    * survives), `GRID7`→`GR7` (any `ID` is stripped) — which is why
+    * step-1 switched to the literal chain ([[standardizeJobId]]). */
+  def standardizeJobIdLegacy(c: Column): Column =
+    regexp_replace(regexp_replace(c, "(?i)job", "JOB"), "ID", "")
+
   /** Step-2 job-id normalization: trailing digits, falling back to the
     * original value when there are none — reference
     * `step-2/consumer.py:161-174`. Spark's `regexp_extract` returns `""`

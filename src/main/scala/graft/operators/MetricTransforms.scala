@@ -168,4 +168,50 @@ object MetricTransforms {
       .unionByName(cpu(cpuDf))
       .unionByName(llite(lliteDf))
       .unionByName(mem(memDf))
+
+  // ---- LEGACY draft variants (SURVEY §2.8 F2/F15/F17/F19) ----
+  // Opt-in reprocessing of archives produced by the rough-draft
+  // transformer (`rough-drafts/rough_transform_stampede_to_fresco_ts_data
+  // .py`): per-ROW instantaneous formulas that predate the lag-delta rate
+  // derivation — no validity filters, no clamps, Inf/NaN pass through on
+  // zero denominators exactly like the pandas originals, and job ids get
+  // the F2 case-insensitive standardization instead of F1's literal chain.
+
+  private def toFrescoLegacy(df: DataFrame, event: String, units: String): DataFrame =
+    df.select(
+      standardizeJobIdLegacy(col("jobID")).as("Job Id"),
+      col("node").as("Host"),
+      col("Timestamp"),
+      lit(event).as("Event"),
+      col("Value"),
+      lit(units).as("Units"))
+
+  /** LEGACY block (F15): `(rd+wr sectors)·512 / (rd_ticks+wr_ticks) / 2³⁰`
+    * per row — reference draft `:11-14`. Input: [[Schemas.blockLegacy]]. */
+  def blockLegacy(raw: DataFrame): DataFrame =
+    toFrescoLegacy(
+      prep(raw, Seq("rd_sectors", "wr_sectors", "rd_ticks", "wr_ticks"))
+        .withColumn("Value",
+          (col("rd_sectors") + col("wr_sectors")) * SectorBytes /
+            (col("rd_ticks") + col("wr_ticks")) / BytesPerGiB),
+      "block", "GB/s")
+
+  /** LEGACY cpu (F17): `(user+nice)/total · 100` per row, NO deltas and no
+    * clamp — reference draft `:36-38`. Input: [[Schemas.cpu]]. */
+  def cpuLegacy(raw: DataFrame): DataFrame = {
+    val total = Schemas.cpuCounterCols.map(col).reduce(_ + _)
+    toFrescoLegacy(
+      prep(raw, Schemas.cpuCounterCols)
+        .withColumn("Value", (col("user") + col("nice")) / total * 100.0),
+      "cpuuser", "CPU %")
+  }
+
+  /** LEGACY nfs (F19): `(direct_read+direct_write) / 2²⁰` per row —
+    * reference draft `:60-61`. Input: [[Schemas.nfsLegacy]]. */
+  def nfsLegacy(raw: DataFrame): DataFrame =
+    toFrescoLegacy(
+      prep(raw, Seq("direct_read", "direct_write"))
+        .withColumn("Value",
+          (col("direct_read") + col("direct_write")) / BytesPerMiB),
+      "nfs", "MB/s")
 }

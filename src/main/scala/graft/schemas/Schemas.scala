@@ -51,6 +51,23 @@ object Schemas {
     StructField("read_bytes", DoubleType),
     StructField("write_bytes", DoubleType)))
 
+  // ---- legacy draft inputs (SURVEY §2.8 F15/F19; the rough-draft
+  // transformer consumed block files carrying tick counters and an
+  // `nfs.csv` with direct read/write columns —
+  // `rough-drafts/rough_transform_stampede_to_fresco_ts_data.py:12,61`) ----
+
+  val blockLegacy: StructType = StructType(
+    block.fields ++ Seq(
+      StructField("rd_ticks", DoubleType),
+      StructField("wr_ticks", DoubleType)))
+
+  val nfsLegacy: StructType = StructType(Seq(
+    StructField("jobID", StringType),
+    StructField("node", StringType),
+    StructField("timestamp", StringType),
+    StructField("direct_read", DoubleType),
+    StructField("direct_write", DoubleType)))
+
   val mem: StructType = StructType(Seq(
     StructField("jobID", StringType),
     StructField("node", StringType),

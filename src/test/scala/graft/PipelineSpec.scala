@@ -208,6 +208,39 @@ class PipelineSpec extends SparkSpec {
     assert(out("memused_minus_diskcache") == 0.5) // FilePages scaled too
   }
 
+  test("variant: legacy draft formulas F2/F15/F17/F19 (rough drafts)") {
+    // F15 block: (1024+1024)*512 / (2+2) / 2^30; F2 jid: jobID1 → JOB1
+    val blk = tmpCsv("blocklegacy.csv",
+      "jobID,node,timestamp,device,rd_sectors,wr_sectors,rd_ticks,wr_ticks",
+      s"jobID1,N1,$T 10:00:00,sda,1024,1024,2,2")
+    val b = MetricTransforms.blockLegacy(
+      Readers.csv(spark, blk, Schemas.blockLegacy)).collect()(0)
+    assert(b.getString(0) == "JOB1") // F2: case-insensitive job→JOB, ID stripped
+    assert(math.abs(b.getDouble(4) - 2048.0 * 512 / 4.0 / math.pow(2, 30)) < 1e-18)
+    // F17 cpu: (user+nice)/total*100 with NO deltas, first row included
+    val c = MetricTransforms.cpuLegacy(
+      Readers.csv(spark, cpuCsv, Schemas.cpu)).orderBy("Timestamp").collect()
+    assert(c.length == 3) // every row transforms (the delta path drops two)
+    assert(math.abs(c(0).getDouble(4) - 100.0 / 1000.0 * 100.0) < 1e-12)
+    // F19 nfs: (direct_read+direct_write)/2^20 instantaneous
+    val nfs = tmpCsv("nfslegacy.csv",
+      "jobID,node,timestamp,direct_read,direct_write",
+      s"JOB2,N1,$T 10:00:00,1048576,1048576")
+    val n = MetricTransforms.nfsLegacy(
+      Readers.csv(spark, nfs, Schemas.nfsLegacy)).collect()(0)
+    assert(n.getDouble(4) == 2.0)
+    // F2 quirks are faithful to the draft: lowercase id survives the
+    // case-SENSITIVE strip; any literal ID is stripped
+    import org.apache.spark.sql.functions.lit
+    val z = spark.range(1).select(
+      graft.functions.Exprs.standardizeJobIdLegacy(lit("jobid42")).as("a"),
+      graft.functions.Exprs.standardizeJobIdLegacy(lit("GRID7")).as("b"),
+      graft.functions.Exprs.standardizeJobIdLegacy(lit("jobID123")).as("c")).collect()(0)
+    assert(z.getString(0) == "JOBid42")
+    assert(z.getString(1) == "GR7")
+    assert(z.getString(2) == "JOB123")
+  }
+
   test("F5: date extracted from the input file name; no date → null") {
     import org.apache.spark.sql.functions.col
     val dated = tmpCsv("node1_2013-02-27.csv", "v", "1", "2")
