@@ -218,6 +218,16 @@ object SparkEntry {
         col("n_events"), col("first_ts"), col("last_ts"),
         rq(col("mean_value"), 6).as("mean_value"))
 
+  /** Skew-mitigated two-phase aggregation: the hot-key salted groupBy
+    * (phase 1 on (key, salt), phase 2 combine) must produce exactly the
+    * single-phase answer — oracle-checked against the plain GROUP BY. */
+  private def qSkewSalted(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedAgg(
+        tbl(s, dir, "events").select("event_type", "value"), Seq("event_type"), 32,
+        "n_events" -> (count(lit(1)), (ps: Column) => sum(ps)),
+        "total_value" -> (sum(col("value")), (ps: Column) => sum(ps)))
+      .withColumn("total_value", rq(col("total_value"), 4))
+
   /** A9 + exact dedup: distinct-text counts per language. */
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
@@ -516,6 +526,7 @@ object SparkEntry {
     "q_dates" -> qDates,
     "q_session_bucket" -> qSessionBucket,
     "q_sessionize" -> qSessionize,
+    "q_skew_salted" -> qSkewSalted,
     "q_dedup_exact" -> qDedupExact,
     "q_topk" -> qTopK,
     "q_safediv_clamp" -> qSafeDivClamp,
@@ -853,6 +864,10 @@ object SparkEntry {
         |SELECT user_id, bucket, count(*) AS n_events,
         |       floor((CAST(avg(value) AS DOUBLE))*1000000.0 + 0.5)/1000000.0 AS avg_value
         |FROM b GROUP BY user_id, bucket""".stripMargin,
+    "q_skew_salted" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       floor((CAST(sum(value) AS DOUBLE))*10000.0 + 0.5)/10000.0 AS total_value
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, ts, value,
