@@ -128,6 +128,25 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_rows"), rq(sum("l_quantity"), 4).as("sum_qty"))
   }
 
+  /** J1 scale path: the broadcast-free bucketed interval join (intervals
+    * explode into 30-day buckets, range condition becomes equi-join on
+    * (jid, bucket) + residual) — must produce exactly the broadcast
+    * join's answer, so it shares q_interval_join's oracle SQL. */
+  private def qIntervalJoinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val metrics = tbl(s, dir, "lineitem")
+      .select(col("l_orderkey").cast("string").as("jid"),
+        col("l_shipdate").as("Timestamp"), col("l_quantity"))
+    val acct = tbl(s, dir, "orders")
+      .select(col("o_orderkey").cast("string").as("jid"),
+        col("o_orderdate").as("start"),
+        (col("o_orderdate") + expr("INTERVAL 90 DAY")).as("end"),
+        col("o_orderpriority"))
+    graft.operators.IntervalJoin
+      .bucketed(metrics, acct, bucketMicros = 30L * 86400L * 1000000L)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"), rq(sum("l_quantity"), 4).as("sum_qty"))
+  }
+
   /** Multi-way broadcast join: customer ⋈ nation ⋈ region + aggregate. */
   private def qJoin3(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "customer")
@@ -518,6 +537,7 @@ object SparkEntry {
     "q_pivot" -> qPivot,
     "q_window_lag" -> qWindowLag,
     "q_interval_join" -> qIntervalJoin,
+    "q_interval_join_bucketed" -> qIntervalJoinBucketed,
     "q_join3" -> qJoin3,
     "q_semi_join" -> qSemiJoin,
     "q_anti_join" -> qAntiJoin,
@@ -545,6 +565,17 @@ object SparkEntry {
       |SELECT id_a, id_b, floor((i*1.0/(sa.sz+sb.sz-i))*1000000.0 + 0.5)/1000000.0 AS jaccard
       |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
       |WHERE i*1.0/(sa.sz+sb.sz-i) >= 0.8""".stripMargin
+
+  /** Shared by q_interval_join (broadcast) and q_interval_join_bucketed
+    * (scale path) — the two plans must agree exactly. */
+  private val intervalJoinSql: String =
+    """SELECT o_orderpriority, count(*) AS n_rows,
+      |       floor((CAST(sum(l_quantity) AS DOUBLE))*10000.0 + 0.5)/10000.0 AS sum_qty
+      |FROM lineitem JOIN orders
+      |  ON l_orderkey = o_orderkey
+      | AND l_shipdate >= o_orderdate
+      | AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+      |GROUP BY o_orderpriority""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_tpch_q1" ->
@@ -805,14 +836,8 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |QUALIFY dt_sec >= 0.1 AND delta_value >= 0.0""".stripMargin,
-    "q_interval_join" ->
-      """SELECT o_orderpriority, count(*) AS n_rows,
-        |       floor((CAST(sum(l_quantity) AS DOUBLE))*10000.0 + 0.5)/10000.0 AS sum_qty
-        |FROM lineitem JOIN orders
-        |  ON l_orderkey = o_orderkey
-        | AND l_shipdate >= o_orderdate
-        | AND l_shipdate < o_orderdate + INTERVAL 90 DAY
-        |GROUP BY o_orderpriority""".stripMargin,
+    "q_interval_join" -> intervalJoinSql,
+    "q_interval_join_bucketed" -> intervalJoinSql, // bucketed ≡ broadcast by design
     "q_join3" ->
       """SELECT r_name, count(*) AS n_customers,
         |       floor((CAST(sum(c_acctbal) AS DOUBLE))*10000.0 + 0.5)/10000.0 AS total_acctbal

@@ -52,12 +52,17 @@ object IntervalJoin {
   def bucketed(metrics: DataFrame, accounting: DataFrame,
                bucketMicros: Long = 24L * 3600L * 1000000L): DataFrame = {
     require(bucketMicros > 0)
+    // NTZ-tolerant µs extraction: no-op for TIMESTAMP, session-TZ
+    // interpretation for TIMESTAMP_NTZ — applied to BOTH sides, so bucket
+    // assignment stays consistent and the residual containment filter
+    // still compares the original columns
+    def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
     def bucketOf(c: Column): Column =
-      floor(unix_micros(c) / lit(bucketMicros)).cast("long")
+      floor(micros(c) / lit(bucketMicros)).cast("long")
     val acct = accounting.filter(col("start") < col("end"))
       .withColumn("__bucket",
         explode(sequence(bucketOf(col("start")),
-          floor((unix_micros(col("end")) - 1) / lit(bucketMicros)).cast("long"))))
+          floor((micros(col("end")) - 1) / lit(bucketMicros)).cast("long"))))
     val met = metrics.withColumn("__bucket", bucketOf(col("Timestamp")))
     met.alias("m").join(acct.alias("a"),
         col("m.__bucket") === col("a.__bucket") &&
