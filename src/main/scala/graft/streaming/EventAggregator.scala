@@ -24,6 +24,19 @@ object EventAggregator {
         col("window.end").as("window_end"),
         col("Event"), col("n"), col("avg_value"))
 
+  /** Watermarked streaming exact dedup — ingest-time deduplication for a
+    * training-data stream, keyed on e.g. a content hash: a row whose keys
+    * were already seen within the watermark horizon is dropped.
+    * `dropDuplicatesWithinWatermark` bounds the dedup state by the
+    * watermark (plain `dropDuplicates` on a stream grows state forever);
+    * the tradeoff is that a duplicate arriving after its original's state
+    * expired is re-emitted — at 100 TB/day unbounded state is the bigger
+    * hazard, and downstream batch dedup catches stragglers. */
+  def dedupStream(events: DataFrame, watermarkCol: String, delay: String,
+                  keys: Seq[String]): DataFrame =
+    events.withWatermark(watermarkCol, delay)
+      .dropDuplicatesWithinWatermark(keys)
+
   case class HostEvent(host: String, ts: java.sql.Timestamp, value: Double)
   case class HostSession(host: String, nEvents: Long, first: java.sql.Timestamp,
                          last: java.sql.Timestamp, meanValue: Double)

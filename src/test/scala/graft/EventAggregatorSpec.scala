@@ -60,6 +60,27 @@ class EventAggregatorSpec extends SparkSpec {
     assert(out.toSeq == Seq((2L, 20.0))) // first session closed in-batch
   }
 
+  test("streaming dedup drops repeats within the watermark, in and across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp, Double)]
+    val q = EventAggregator.dedupStream(
+        in.toDF().toDF("content_hash", "ts", "value"), "ts", "10 minutes",
+        Seq("content_hash"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    in.addData(
+      ("hA", ts("2013-01-01 10:00:00"), 1.0),
+      ("hA", ts("2013-01-01 10:00:05"), 2.0), // dup within batch
+      ("hB", ts("2013-01-01 10:00:10"), 3.0))
+    q.processAllAvailable()
+    in.addData(("hA", ts("2013-01-01 10:01:00"), 4.0)) // dup across batches
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out == Map("hA" -> 1.0, "hB" -> 3.0)) // first arrival wins
+  }
+
   test("streaming sessionize == batch Sessionize on the same events") {
     implicit val sqlCtx = spark.sqlContext
     val data = Seq(
