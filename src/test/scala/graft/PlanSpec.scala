@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan shape assertions for the scale-critical operators — the
+  * properties that make these plans survive a 100× scale-up, pinned so a
+  * refactor cannot silently regress them. */
+class PlanSpec extends SparkSpec {
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  /** Full traversal including materialized AQE stages — `collect` stops at
+    * `QueryStageExec` boundaries, hiding their exchanges. */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p.children ++ (p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case _ => Nil
+    })
+    p +: kids.flatMap(flatten)
+  }
+
+  private def countShuffles(p: SparkPlan): Int =
+    flatten(p).count {
+      case _: ShuffleExchangeLike => true
+      case _ => false
+    }
+
+  private def countBroadcasts(p: SparkPlan): Int =
+    flatten(p).count {
+      case _: BroadcastExchangeLike => true
+      case _ => false
+    }
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q_sessionize: exactly ONE shuffle (windows + final agg reuse the key partitioning)") {
+    val p = executed(SparkEntry.queries("q_sessionize")(spark, sf))
+    assert(countShuffles(p) == 1, s"expected 1 shuffle, plan:\n$p")
+  }
+
+  test("q_fresco_pipeline: accounting is broadcast — the metric stream never shuffles for the join") {
+    val p = executed(SparkEntry.queries("q_fresco_pipeline")(spark, sf))
+    assert(countBroadcasts(p) >= 1, s"expected a broadcast join, plan:\n$p")
+    // shuffles: accounting derivation agg + two-phase pivot + host_list
+    // window — NOT one per metric-stream join side
+    assert(countShuffles(p) <= 4, s"expected ≤4 shuffles, plan:\n$p")
+  }
+
+  test("q_interval_join: big side joins map-side against broadcast orders") {
+    val p = executed(SparkEntry.queries("q_interval_join")(spark, sf))
+    assert(countBroadcasts(p) == 1, s"expected exactly 1 broadcast, plan:\n$p")
+    assert(countShuffles(p) <= 1, s"only the final groupBy may shuffle, plan:\n$p")
+  }
+
+  test("q_filter_project: predicates and projection reach the parquet scan") {
+    val df = SparkEntry.queries("q_filter_project")(spark, sf)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && !scan.contains("PushedFilters: []"),
+      s"no pushed filters in scan:\n$scan")
+    assert(scan.contains("ReadSchema"))
+    // projection pruning: the 16-column lineitem scan reads only what the
+    // query needs (4 output + 2 filter columns)
+    assert(!scan.contains("l_comment"), s"unpruned scan:\n$scan")
+  }
+}
