@@ -55,7 +55,20 @@ object IntervalJoin {
     // NTZ-tolerant µs extraction: no-op for TIMESTAMP, session-TZ
     // interpretation for TIMESTAMP_NTZ — applied to BOTH sides, so bucket
     // assignment stays consistent and the residual containment filter
-    // still compares the original columns
+    // still compares the original columns. NTZ wall times are ambiguous
+    // under a DST-shifting zone (a spring-forward gap collapses two wall
+    // clocks onto one instant, which can mis-bucket a row across a bucket
+    // boundary and silently drop it from the equi-join), so NTZ inputs
+    // require a fixed-offset session timezone (UTC, the engine default).
+    val hasNtz = (Seq("Timestamp").map(metrics.schema(_)) ++
+      Seq("start", "end").map(accounting.schema(_)))
+      .exists(_.dataType == org.apache.spark.sql.types.TimestampNTZType)
+    if (hasNtz) {
+      val tz = metrics.sparkSession.conf.get("spark.sql.session.timeZone")
+      require(java.time.ZoneId.of(tz).getRules.isFixedOffset,
+        s"IntervalJoin.bucketed with TIMESTAMP_NTZ inputs requires a fixed-offset " +
+          s"session timezone (got '$tz'): DST gaps make wall-clock bucketing ambiguous")
+    }
     def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
     def bucketOf(c: Column): Column =
       floor(micros(c) / lit(bucketMicros)).cast("long")

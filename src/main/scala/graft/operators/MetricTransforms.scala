@@ -47,9 +47,11 @@ object MetricTransforms {
         col("jobID").isNotNull && col("node").isNotNull)
   }
 
-  private def toFresco(df: DataFrame, event: String, units: String): DataFrame =
+  private def toFresco(df: DataFrame, event: String, units: String,
+                       jidStandardize: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                         standardizeJobId): DataFrame =
     df.select(
-      standardizeJobId(col("jobID")).as("Job Id"),
+      jidStandardize(col("jobID")).as("Job Id"),
       col("node").as("Host"),
       col("Timestamp"),
       lit(event).as("Event"),
@@ -173,45 +175,45 @@ object MetricTransforms {
   // Opt-in reprocessing of archives produced by the rough-draft
   // transformer (`rough-drafts/rough_transform_stampede_to_fresco_ts_data
   // .py`): per-ROW instantaneous formulas that predate the lag-delta rate
-  // derivation — no validity filters, no clamps, Inf/NaN pass through on
-  // zero denominators exactly like the pandas originals, and job ids get
-  // the F2 case-insensitive standardization instead of F1's literal chain.
+  // derivation — no validity filters, no clamps, no zero-fill and no
+  // key-null row drops (unlike `prep`): a blank counter cell propagates
+  // to a null Value (the pandas drafts propagate NaN — Spark's null is
+  // the engine-native missing marker) and Inf/NaN on zero denominators
+  // pass through exactly like the originals. Job ids get the F2
+  // case-insensitive standardization instead of F1's literal chain. The
+  // one deliberate divergence: an unparseable timestamp becomes a null
+  // Timestamp instead of raising, matching the engine's lenient-read
+  // contract rather than pandas' errors='raise'.
 
-  private def toFrescoLegacy(df: DataFrame, event: String, units: String): DataFrame =
-    df.select(
-      standardizeJobIdLegacy(col("jobID")).as("Job Id"),
-      col("node").as("Host"),
-      col("Timestamp"),
-      lit(event).as("Event"),
-      col("Value"),
-      lit(units).as("Units"))
+  private def prepLegacy(df: DataFrame): DataFrame =
+    df.withColumn("Timestamp", parseRawTs(col("timestamp")))
 
   /** LEGACY block (F15): `(rd+wr sectors)·512 / (rd_ticks+wr_ticks) / 2³⁰`
     * per row — reference draft `:11-14`. Input: [[Schemas.blockLegacy]]. */
   def blockLegacy(raw: DataFrame): DataFrame =
-    toFrescoLegacy(
-      prep(raw, Seq("rd_sectors", "wr_sectors", "rd_ticks", "wr_ticks"))
+    toFresco(
+      prepLegacy(raw)
         .withColumn("Value",
           (col("rd_sectors") + col("wr_sectors")) * SectorBytes /
             (col("rd_ticks") + col("wr_ticks")) / BytesPerGiB),
-      "block", "GB/s")
+      "block", "GB/s", standardizeJobIdLegacy)
 
   /** LEGACY cpu (F17): `(user+nice)/total · 100` per row, NO deltas and no
     * clamp — reference draft `:36-38`. Input: [[Schemas.cpu]]. */
   def cpuLegacy(raw: DataFrame): DataFrame = {
     val total = Schemas.cpuCounterCols.map(col).reduce(_ + _)
-    toFrescoLegacy(
-      prep(raw, Schemas.cpuCounterCols)
+    toFresco(
+      prepLegacy(raw)
         .withColumn("Value", (col("user") + col("nice")) / total * 100.0),
-      "cpuuser", "CPU %")
+      "cpuuser", "CPU %", standardizeJobIdLegacy)
   }
 
   /** LEGACY nfs (F19): `(direct_read+direct_write) / 2²⁰` per row —
     * reference draft `:60-61`. Input: [[Schemas.nfsLegacy]]. */
   def nfsLegacy(raw: DataFrame): DataFrame =
-    toFrescoLegacy(
-      prep(raw, Seq("direct_read", "direct_write"))
+    toFresco(
+      prepLegacy(raw)
         .withColumn("Value",
           (col("direct_read") + col("direct_write")) / BytesPerMiB),
-      "nfs", "MB/s")
+      "nfs", "MB/s", standardizeJobIdLegacy)
 }

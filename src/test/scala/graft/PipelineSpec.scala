@@ -229,6 +229,18 @@ class PipelineSpec extends SparkSpec {
     val n = MetricTransforms.nfsLegacy(
       Readers.csv(spark, nfs, Schemas.nfsLegacy)).collect()(0)
     assert(n.getDouble(4) == 2.0)
+    // quirk fidelity: a blank counter cell propagates (null Value, the
+    // engine-native form of the drafts' NaN) — NOT zero-filled into a
+    // wrong finite value; and key-null rows are kept, not dropped
+    val blk2 = tmpCsv("blocklegacy2.csv",
+      "jobID,node,timestamp,device,rd_sectors,wr_sectors,rd_ticks,wr_ticks",
+      s"jobID9,N1,$T 10:00:00,sda,1024,NA,2,2",
+      s",N1,$T 10:00:00,sda,1024,1024,2,2")
+    val rows2 = MetricTransforms.blockLegacy(
+      Readers.csv(spark, blk2, Schemas.blockLegacy)).collect()
+    assert(rows2.length == 2)
+    assert(rows2.exists(r => r.isNullAt(4))) // blank wr_sectors → null Value
+    assert(rows2.exists(r => r.isNullAt(0))) // null jobID row survives
     // F2 quirks are faithful to the draft: lowercase id survives the
     // case-SENSITIVE strip; any literal ID is stripped
     import org.apache.spark.sql.functions.lit

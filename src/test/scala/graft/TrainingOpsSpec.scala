@@ -78,6 +78,17 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 6L -> 1L, 8L -> 8L, 9L -> 8L))
   }
 
+  test("duplicateClusters frees every superseded round's checkpoint blocks") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // a 60-node chain forces several contraction rounds
+    val pairs = (0L until 59L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    assert(Dedup.duplicateClusters(pairs).count() == 60)
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // only the FINAL round's checkpoint may remain (it backs the returned
+    // frame); all superseded rounds must have been unpersisted eagerly
+    assert(added.size <= 1, s"leaked checkpoint blocks: $added")
+  }
+
   test("simhash: identical texts distance 0; near-dups within small hamming") {
     val h = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
