@@ -30,7 +30,7 @@ object Skew {
     // failure would otherwise re-salt rows into different reducers and
     // double-count/drop them
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(buckets)))
+      pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(buckets)))
     val p1Aggs = partials.map { case (name, (agg, _)) => agg.as(s"__p_$name") }
     val phase1 = salted.groupBy((keys :+ "__salt").map(col): _*)
       .agg(p1Aggs.head, p1Aggs.tail: _*)
@@ -52,7 +52,7 @@ object Skew {
       s"saltedJoin does not support build-preserving join type '$joinType'")
     // deterministic per-row salt (see saltedAgg note on task retries)
     val saltedProbe = probe.withColumn("__salt",
-      pmod(xxhash64(probe.columns.map(col): _*), lit(buckets)))
+      pmod(xxhash64(probe.columns.toIndexedSeq.map(col): _*), lit(buckets)))
     val replicatedBuild = build
       .withColumn("__salt", explode(sequence(lit(0L), lit(buckets - 1L))))
     saltedProbe.join(replicatedBuild, Seq(key, "__salt"), joinType).drop("__salt")
