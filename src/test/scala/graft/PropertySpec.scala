@@ -150,6 +150,72 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Sessionize == driver-side reference sessionizer on random event sets") {
+    import graft.operators.Sessionize
+    val eventsGen: Gen[List[(Long, Long, Double)]] = for {
+      n <- Gen.chooseNum(1, 80)
+      es <- Gen.listOfN(n, for {
+        key <- Gen.chooseNum(0L, 3L)
+        tsSec <- Gen.chooseNum(0L, 5000L) // gaps straddle the 600s threshold
+        v <- Gen.chooseNum(0.0, 100.0)
+      } yield (key, tsSec, v))
+    } yield es
+    def reference(events: Seq[(Long, Long, Double)], gapSec: Long) =
+      events.groupBy(_._1).toSeq.flatMap { case (key, evs) =>
+        // sort by time; split where the gap exceeds the threshold
+        val sorted = evs.map(e => (e._2, e._3)).sortBy(_._1)
+        val sessions = sorted.tail.foldLeft(List(List(sorted.head))) {
+          case (acc @ cur :: rest, e) =>
+            if (e._1 - cur.head._1 > gapSec) List(e) :: acc
+            else (e :: cur) :: rest
+          case (Nil, e) => List(List(e))
+        }.reverse.map(_.reverse)
+        sessions.zipWithIndex.map { case (s, i) =>
+          (key, i + 1L, s.size.toLong, s.map(_._1).min, s.map(_._1).max,
+            s.map(_._2).sum / s.size)
+        }
+      }.toSet
+    forAll(eventsGen, n = 5) { events =>
+      val df = events.map { case (k, sec, v) =>
+        (k, new java.sql.Timestamp(sec * 1000L), v)
+      }.toDF("key", "ts", "value")
+      val got = Sessionize(df, "key", "ts", "value", gapMs = 600 * 1000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getTimestamp(3).getTime / 1000L, r.getTimestamp(4).getTime / 1000L,
+          r.getDouble(5))).toSet
+      val exp = reference(events, 600L)
+      // compare means with tolerance (summation order differs)
+      def canon(s: Set[(Long, Long, Long, Long, Long, Double)]) =
+        s.map(t => (t._1, t._2, t._3, t._4, t._5, math.round(t._6 * 1e9)))
+      assert(canon(got) == canon(exp))
+    }
+  }
+
+  test("lshCosinePairs recall == exact cosinePairs on random clustered vectors") {
+    import graft.operators.Similarity
+    val clusteredGen: Gen[List[(Long, Array[Float])]] = for {
+      nClusters <- Gen.chooseNum(2, 4)
+      centers <- Gen.listOfN(nClusters,
+        Gen.listOfN(16, Gen.chooseNum(-1.0, 1.0)).map(_.toArray))
+      n <- Gen.chooseNum(10, 40)
+      vecs <- Gen.listOfN(n, for {
+        c <- Gen.chooseNum(0, nClusters - 1)
+        noise <- Gen.listOfN(16, Gen.chooseNum(-0.05, 0.05))
+      } yield centers(c).zip(noise).map { case (x, e) => (x + e).toFloat })
+    } yield vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    forAll(clusteredGen, n = 4) { vecs =>
+      val df = vecs.toDF("vec_id", "embedding")
+      // same-cluster pairs land near cosine 1; cross-cluster well below —
+      // at 0.9 the 24×8 default geometry has per-pair miss < 1e-10
+      val lsh = Similarity.lshCosinePairs(df, "vec_id", "embedding",
+          dims = 16, minCosine = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = Similarity.cosinePairs(df, "vec_id", "embedding", 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(lsh == exact)
+    }
+  }
+
   test("ensureColumns: arbitrary column subsets conform to the full schema") {
     forAll(Gen.someOf(Schemas.mem.fieldNames.toSeq)) { keep =>
       whenever(keep.nonEmpty) {
