@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, ShingleHashes, SimHash64}
+import graft.functions.{DotProduct, LshBandBuckets, ShingleHashes, SimHash64}
 
 /** Session extensions: registers the engine's native Catalyst expressions
   * for SQL use (`SELECT dot_product(a.vec, b.vec)`, `simhash64(text)`), so
@@ -33,24 +33,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("shingle_hashes",
         "shingle_hashes(text, k) - distinct xxhash64 of word k-gram shingles"),
       (args: Seq[Expression]) => {
-        if (args.size != 2)
-          throw new IllegalArgumentException(
-            s"shingle_hashes expects 2 arguments (text, k), got ${args.size}")
-        val k = args(1) match {
-          // any foldable integral constant (3, 3L, 1+2) works — k shapes
-          // the expression itself, so it must be plan-time constant
-          case e if e.foldable => e.eval() match {
-            case i: Int => i
-            case l: Long => l.toInt
-            case s: Short => s.toInt
-            case b: Byte => b.toInt
-            case other => throw new IllegalArgumentException(
-              s"shingle_hashes k must be an integer constant, got $other")
-          }
-          case other => throw new IllegalArgumentException(
-            s"shingle_hashes k must be a constant, got non-foldable $other")
-        }
-        ShingleHashes(args.head, k)
+        requireArity("shingle_hashes", args, 2)
+        ShingleHashes(args.head, constInt("shingle_hashes", "k", args(1)))
       }))
+    e.injectFunction((
+      FunctionIdentifier("lsh_band_buckets"),
+      info("lsh_band_buckets",
+        "lsh_band_buckets(vec, dims, bands, bits) - hyperplane LSH band buckets"),
+      (args: Seq[Expression]) => {
+        requireArity("lsh_band_buckets", args, 4)
+        LshBandBuckets(args.head,
+          constInt("lsh_band_buckets", "dims", args(1)),
+          constInt("lsh_band_buckets", "bands", args(2)),
+          constInt("lsh_band_buckets", "bitsPerBand", args(3)))
+      }))
+  }
+
+  private def requireArity(name: String, args: Seq[Expression], n: Int): Unit =
+    if (args.size != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n arguments, got ${args.size}")
+
+  /** Plan-time integral constant — these parameters shape the expression
+    * itself. Any foldable integral (3, 3L, 1+2) works; null and
+    * non-integral constants get a clean error, not a MatchError. */
+  private def constInt(fn: String, param: String, e: Expression): Int = e match {
+    case c if c.foldable => c.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case null => throw new IllegalArgumentException(
+        s"$fn $param must not be null")
+      case other => throw new IllegalArgumentException(
+        s"$fn $param must be an integer constant, got $other")
+    }
+    case other => throw new IllegalArgumentException(
+      s"$fn $param must be a constant, got non-foldable $other")
   }
 }

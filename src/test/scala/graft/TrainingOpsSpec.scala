@@ -219,6 +219,23 @@ class TrainingOpsSpec extends SparkSpec {
     assert(frames.count() >= 2)
   }
 
+  test("SQL registration: lsh_band_buckets matches the Column API; bad k errors cleanly") {
+    vecs.createOrReplaceTempView("lshv")
+    val viaSql = spark.sql(
+      "SELECT vec_id, lsh_band_buckets(CAST(embedding AS ARRAY<DOUBLE>), 3, 4, 8) AS bk FROM lshv")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaCol = vecs.select($"vec_id",
+        Similarity.lshBandBuckets($"embedding", 3, 4, 8).as("bk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSql == viaCol)
+    val bad = intercept[Exception](
+      spark.sql("SELECT shingle_hashes('a b c', CAST(NULL AS INT))").collect())
+    assert(bad.getMessage.contains("must not be null"))
+    val badArity = intercept[Exception](
+      spark.sql("SELECT shingle_hashes('a b c')").collect())
+    assert(badArity.getMessage.contains("expects 2 arguments"))
+  }
+
   test("SQL registration: dot_product and simhash64 usable from spark.sql") {
     vecs.createOrReplaceTempView("v")
     val d = spark.sql(
