@@ -81,4 +81,31 @@ object Readers {
       .withColumn("submit", parseRawTs(col("submit")))
       .withColumn("jid", normalizeJobId(col("jobID")))
       .na.drop(Seq("jid", "start", "end"))
+
+  /** JSONL corpus reader — the interchange format web-scale text corpora
+    * arrive in (one JSON document per line). Explicit schema (no
+    * inference scan over 100 TB), PERMISSIVE parse with malformed lines
+    * captured in `_corrupt_record` instead of failing the job — a
+    * thousand broken lines in a billion-document crawl must never kill
+    * the pipeline, and keeping them lets a quarantine sink audit them. */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val withCorrupt =
+      if (schema.fieldNames.contains("_corrupt_record")) schema
+      else schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+  }
+
+  /** One-document-per-file text corpus: one row per file (`wholetext`),
+    * document id = the file name. Parallelism is the file count — fine
+    * for document corpora (many small files), wrong for a few huge files
+    * (no intra-file splits); compact such corpora to JSONL/parquet first. */
+  def textDocs(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("wholetext", "true").text(path)
+      .select(
+        substring_index(input_file_name(), "/", -1).as("doc_name"),
+        col("value").as("text"))
 }

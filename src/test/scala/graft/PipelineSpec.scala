@@ -306,6 +306,35 @@ class PipelineSpec extends SparkSpec {
     assert(v == 0.0)
   }
 
+  test("readers: JSONL corpus — typed rows, corrupt lines quarantined not fatal") {
+    import org.apache.spark.sql.types._
+    val p = tmpCsv("docs.jsonl",
+      """{"doc_id": 1, "text": "hello world", "lang": "en"}""",
+      """{"doc_id": 2, "text": "hola mundo", "lang": "es"}""",
+      """{"doc_id": broken not json""",
+      """{"doc_id": 3, "text": "ok", "lang": "en"}""")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val df = Readers.jsonl(spark, p, schema)
+    val good = df.filter("_corrupt_record IS NULL").collect()
+    assert(good.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 3L))
+    val bad = df.filter("_corrupt_record IS NOT NULL").collect()
+    assert(bad.length == 1 && bad(0).getAs[String]("_corrupt_record").contains("broken"))
+  }
+
+  test("readers: one-document-per-file text corpus keeps whole files") {
+    val dir = java.nio.file.Files.createTempDirectory("textdocs").toFile
+    dir.deleteOnExit()
+    for ((name, body) <- Seq("a.txt" -> "line one\nline two", "b.txt" -> "solo")) {
+      val w = new java.io.PrintWriter(new java.io.File(dir, name))
+      try w.print(body) finally w.close()
+    }
+    val out = Readers.textDocs(spark, dir.getAbsolutePath).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("a.txt" -> "line one\nline two", "b.txt" -> "solo"))
+  }
+
   test("readers: null sentinels NA/NULL/empty parsed as null") {
     val p = tmpCsv("block2.csv",
       "jobID,node,timestamp,device,rd_sectors,wr_sectors",
