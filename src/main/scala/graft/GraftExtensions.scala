@@ -60,7 +60,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def constInt(fn: String, param: String, e: Expression): Int = e match {
     case c if c.foldable => c.eval() match {
       case i: Int => i
-      case l: Long => l.toInt
+      case l: Long =>
+        // silently truncating (shingle_hashes(t, 4294967299L) → k=3) would
+        // run the wrong geometry with no error — range-check instead
+        if (l.isValidInt) l.toInt
+        else throw new IllegalArgumentException(
+          s"$fn $param must be an integer constant in Int range, got $l")
       case s: Short => s.toInt
       case b: Byte => b.toInt
       case null => throw new IllegalArgumentException(

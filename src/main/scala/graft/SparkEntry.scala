@@ -471,12 +471,22 @@ object SparkEntry {
   }
 
   /** Duplicate-cluster resolution: connected components over the near-dup
-    * pair graph; every member labeled with its component's min doc id. */
-  private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.jaccardPairs(
+    * pair graph; every member labeled with its component's min doc id.
+    * Pairs come from the LSH candidate-generate-verify path
+    * (`minhashDuplicates`), not the quadratic shingle self-join — this is
+    * the full 100 TB shape end to end. At threshold 0.8 with 128 hashes /
+    * 32 bands, LSH recall is oracle-proven ≡ the exact all-pairs SQL
+    * (`q_dedup_minhash` shares the same oracle). */
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateClusters(dedupClusterPairs(s, dir))
+
+  /** The cluster query's pair input, exposed because `duplicateClusters`
+    * eagerly checkpoints it (lineage truncation hides the pair plan from
+    * the final frame) — PlanSpec asserts on THIS frame that candidate
+    * generation is LSH banding, not the quadratic shingle self-join. */
+  private[graft] def dedupClusterPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDuplicates(
       Dedup.hashedWordShingles(tbl(s, dir, "documents"), "doc_id", "text"), 0.8)
-    Dedup.duplicateClusters(pairs)
-  }
 
   /** TPC-H Q1 shape: the canonical wide aggregate (8 aggregates, 2 keys). */
   private def qTpchQ1(s: SparkSession, dir: String): DataFrame =

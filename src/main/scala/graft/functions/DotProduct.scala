@@ -35,13 +35,31 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
+  // parquet-sourced arrays typically DECLARE containsNull=true even when no
+  // element is null, so nullability is enforced per row at eval; the static
+  // flag keeps the branch out of codegen for provably-dense arrays
+  @transient private lazy val anyElemNullable: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // silently dot-producting a prefix of mismatched vectors is a wrong
+    // cosine with no error — fail fast, mirroring lsh_band_buckets' guard
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"dot_product: mismatched dims: $n vs ${y.numElements()}")
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (anyElemNullable && (x.isNullAt(i) || y.isNullAt(i)))
+        throw new IllegalArgumentException(
+          s"dot_product: null element at index $i; embeddings must be dense")
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -50,10 +68,21 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val nullCheck = if (anyElemNullable)
+        s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+           |  throw new IllegalArgumentException(
+           |    "dot_product: null element at index " + $i + "; embeddings must be dense");
+           |}""".stripMargin
+      else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_product: mismatched dims: " + $n + " vs " + $b.numElements());
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $s;

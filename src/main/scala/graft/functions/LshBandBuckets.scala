@@ -55,6 +55,12 @@ case class LshBandBuckets(child: Expression, dims: Int, bands: Int, bitsPerBand:
     p
   }
 
+  // parquet-sourced arrays typically DECLARE containsNull=true even when no
+  // element is null, so nullability is enforced per row at eval, not at
+  // analysis; the static flag keeps the check out of non-nullable plans
+  @transient private lazy val elemNullable: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     // fail fast on dimension drift: silently truncating (or zero-padding)
@@ -63,6 +69,17 @@ case class LshBandBuckets(child: Expression, dims: Int, bands: Int, bitsPerBand:
     if (v.numElements() != dims)
       throw new IllegalArgumentException(
         s"lsh_band_buckets: vector has ${v.numElements()} dims, expected $dims")
+    // same silent-recall-loss class: getDouble on a null slot reads 0.0 and
+    // decorrelates every band from the true vector — reject it loudly
+    if (elemNullable) {
+      var d = 0
+      while (d < dims) {
+        if (v.isNullAt(d))
+          throw new IllegalArgumentException(
+            s"lsh_band_buckets: null element at index $d; embeddings must be dense")
+        d += 1
+      }
+    }
     val n = dims
     val out = new Array[Long](bands)
     var b = 0

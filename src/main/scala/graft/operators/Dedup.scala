@@ -24,14 +24,16 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup: one representative (min id) per identical value of
-    * `textCol`. Groups on `xxhash64(textCol)` so the shuffle key is 8
-    * bytes, not the document body; the representative text rides in the
-    * map-side partial-aggregation buffer (once per partition-distinct
-    * hash, all values identical within a group). A 64-bit collision would
-    * merge two distinct texts — probability ~|corpus|²/2⁶⁵; chain a
-    * second seeded hash into the key if the corpus approaches 2³² docs. */
+    * `textCol`. Groups on a 16-byte composite of two independently-seeded
+    * `xxhash64`s of the text, so the shuffle key is fixed-width, not the
+    * document body; the representative text rides in the map-side
+    * partial-aggregation buffer (once per partition-distinct hash, all
+    * values identical within a group). A single 64-bit key reaches
+    * percent-level collision odds near 2³² docs (birthday ~n²/2⁶⁵); the
+    * composite pushes that to ~n²/2¹²⁹ — negligible at any real scale. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(xxhash64(col(textCol)).as("__text_hash"))
+    df.groupBy(xxhash64(col(textCol)).as("__text_hash"),
+        xxhash64(lit(1), col(textCol)).as("__text_hash2"))
       .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol),
         count(lit(1)).as("n_copies"))
       .select(idCol, textCol, "n_copies")

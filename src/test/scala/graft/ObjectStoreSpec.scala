@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.ObjectStore
+
+/** S11/S12: the engine's object-store path, exercised end to end through
+  * `s3a://` URIs served by [[graft.sources.StubS3FileSystem]] — the same
+  * `FileSystem` calls the real hadoop-aws connector would serve (which
+  * cannot be vendored in this zero-egress build; see ObjectStore docs).
+  * The stub emulates object-store semantics: non-atomic copy+delete
+  * rename, no append — so the commit protocol is proven NOT to rely on
+  * POSIX atomicity. */
+class ObjectStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val root = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stubs3").toFile
+    dir.deleteOnExit()
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.impl", "graft.sources.StubS3FileSystem")
+    hc.set("fs.stubs3.root", dir.getAbsolutePath)
+    // hadoop core-default pre-wires the s3a SCHEME to S3ACommitterFactory
+    // (hadoop-aws); point it back at the rename-based default so the stub
+    // exercises the classic commit dance
+    hc.set("mapreduce.outputcommitter.factory.scheme.s3a",
+      "org.apache.hadoop.mapreduce.lib.output.FileOutputCommitterFactory")
+    dir
+  }
+
+  test("parquet round-trip through s3a: committer rename dance on object-store semantics") {
+    root // force registration
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+      .toDF("id", "name", "v")
+    df.write.mode("overwrite").parquet("s3a://test-bucket/warehouse/t1")
+    val back = spark.read.parquet("s3a://test-bucket/warehouse/t1")
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq == Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)))
+    // overwrite replaces, not merges
+    df.filter($"id" === 1).write.mode("overwrite")
+      .parquet("s3a://test-bucket/warehouse/t1")
+    assert(spark.read.parquet("s3a://test-bucket/warehouse/t1").count() == 1)
+  }
+
+  test("uploadFolder: every file in a local dir lands in the bucket, key = basename") {
+    root
+    val local = java.nio.file.Files.createTempDirectory("graft-up").toFile
+    for (n <- Seq("a.csv", "b.csv", "c.csv")) {
+      val w = new java.io.PrintWriter(new java.io.File(local, n))
+      try { w.println("Host,v"); w.println(s"h-$n,1") } finally w.close()
+    }
+    val n = ObjectStore.uploadFolder(spark, local.getAbsolutePath,
+      "s3a://test-bucket/incoming")
+    assert(n == 3)
+    val keys = spark.read.option("header", "true")
+      .csv("s3a://test-bucket/incoming")
+      .select(input_file_name()).distinct().as[String].collect()
+    assert(keys.length == 3 && keys.forall(_.contains("test-bucket/incoming/")))
+  }
+
+  test("readFilterWriteback: drops matching rows in place, survivors intact") {
+    root
+    // reference semantics (s3_data_cleanup.py): remove rows whose Host
+    // equals the node being scrubbed, keep everything else byte-equal
+    Seq(("NODE404", 1), ("keep-1", 2), ("NODE404", 3), ("keep-2", 4))
+      .toDF("Host", "v")
+      .write.mode("overwrite").option("header", "true")
+      .csv("s3a://test-bucket/metrics")
+    val (before, after) = ObjectStore.readFilterWriteback(spark,
+      "s3a://test-bucket/metrics", col("Host") === "NODE404")
+    assert(before == 4 && after == 2)
+    val left = spark.read.option("header", "true")
+      .csv("s3a://test-bucket/metrics")
+      .select("Host", "v").as[(String, String)].collect().toSet
+    assert(left == Set(("keep-1", "2"), ("keep-2", "4")))
+    // no temp prefix left behind after the swap
+    val fs = new org.apache.hadoop.fs.Path("s3a://test-bucket/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path("s3a://test-bucket/metrics_graft_tmp")))
+  }
+
+  test("object-store semantics enforced: append rejected, rename non-destructive") {
+    root
+    val fs = new org.apache.hadoop.fs.Path("s3a://test-bucket/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path("s3a://test-bucket/x/file1")
+    val out = fs.create(p, true)
+    out.write("hello".getBytes); out.close()
+    intercept[UnsupportedOperationException](fs.append(p))
+    // rename onto an existing target returns false (no clobber)
+    val p2 = new org.apache.hadoop.fs.Path("s3a://test-bucket/x/file2")
+    val o2 = fs.create(p2, true); o2.write("x".getBytes); o2.close()
+    assert(!fs.rename(p, p2))
+    assert(fs.exists(p) && fs.exists(p2))
+  }
+}

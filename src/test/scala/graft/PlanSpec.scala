@@ -61,6 +61,31 @@ class PlanSpec extends SparkSpec {
     assert(countShuffles(p) <= 1, s"only the final groupBy may shuffle, plan:\n$p")
   }
 
+  /** Per-join distinct referenced key-column names on the left side. */
+  private def joinKeyNames(df: DataFrame): Seq[Seq[String]] =
+    flatten(executed(df)).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        j.leftKeys.flatMap(_.references.map(_.name)).distinct.toSeq
+    }
+
+  test("q_dedup_clusters: pairs come from LSH banding — no quadratic shingle self-join") {
+    // the quadratic oracle-baseline join keys on the shingle column ALONE;
+    // the LSH path joins on (band, band_hash) for candidates and
+    // (id, shingle) for verification — assert no single-key shingle join
+    // in the pair frame feeding CC (the cluster query checkpoints it, so
+    // the final plan hides it — SparkEntry exposes the frame for this)
+    def hasShingleSelfJoin(df: DataFrame): Boolean =
+      joinKeyNames(df).exists(keys => keys == Seq("shingle"))
+    assert(!hasShingleSelfJoin(SparkEntry.dedupClusterPairs(spark, sf)),
+      "quadratic shingle self-join present in the cluster pair input")
+    // detector sanity: the quadratic baseline DOES trip it
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(hasShingleSelfJoin(operators.Dedup.jaccardPairs(
+      operators.Dedup.hashedWordShingles(docs, "doc_id", "text"), 0.8)
+      .filter(col("jaccard") >= 0.8)))
+  }
+
   test("q_filter_project: predicates and projection reach the parquet scan") {
     val df = SparkEntry.queries("q_filter_project")(spark, sf)
     val scan = df.queryExecution.executedPlan.collectLeaves().head.toString

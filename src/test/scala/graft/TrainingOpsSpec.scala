@@ -236,6 +236,57 @@ class TrainingOpsSpec extends SparkSpec {
     assert(badArity.getMessage.contains("expects 2 arguments"))
   }
 
+  /** All messages down an exception's cause chain (eval errors surface
+    * wrapped in SparkException, sometimes two levels deep). */
+  private def messages(t: Throwable): String = {
+    val sb = new StringBuilder
+    var cur: Throwable = t
+    while (cur != null) { sb.append(cur.getMessage).append('\n'); cur = cur.getCause }
+    sb.toString
+  }
+
+  test("dot_product fails fast on mismatched dims — no silent prefix product") {
+    val d = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+    val e = intercept[Exception](
+      d.select(graft.functions.DotProduct.dot($"a", $"b")).collect())
+    assert(messages(e).contains("mismatched dims"), messages(e))
+  }
+
+  test("null vector elements fail loudly in dot_product and lsh_band_buckets") {
+    // SQL array literals with NULL declare containsNull=true — the guard path
+    val d = spark.sql(
+      "SELECT array(1.0D, CAST(NULL AS DOUBLE), 3.0D) AS v, array(1.0D, 2.0D, 3.0D) AS w")
+    val e1 = intercept[Exception](
+      d.selectExpr("dot_product(v, w)").collect())
+    assert(messages(e1).contains("null element"), messages(e1))
+    val e2 = intercept[Exception](
+      d.selectExpr("lsh_band_buckets(v, 3, 4, 8)").collect())
+    assert(messages(e2).contains("null element"), messages(e2))
+    // dense nullable-typed vectors still evaluate fine (declared vs actual)
+    assert(d.selectExpr("dot_product(w, w)").collect()(0).getDouble(0) == 14.0)
+  }
+
+  test("constant args out of Int range error instead of truncating") {
+    // 2^32+3 wraps to 3 under toInt — must be rejected, not silently run k=3
+    val e = intercept[Exception](
+      spark.sql("SELECT shingle_hashes('a b c d', 4294967299)").collect())
+    assert(messages(e).contains("Int range"), messages(e))
+  }
+
+  test("exact dedup composite key: two seeded hashes, no body in shuffle key") {
+    // behavior is pinned by the exact-dedup test above; here pin the KEY
+    // shape — two 8-byte hash columns, not the document text
+    val keys = Dedup.exact(docs, "doc_id", "text")
+      .queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+          a.groupingExpressions
+      }.flatten
+    assert(keys.nonEmpty &&
+      keys.forall(_.dataType == org.apache.spark.sql.types.LongType),
+      s"group keys should be long hashes, got $keys")
+    assert(keys.distinct.size == 2, s"expected 2 independent hash keys: $keys")
+  }
+
   test("SQL registration: dot_product and simhash64 usable from spark.sql") {
     vecs.createOrReplaceTempView("v")
     val d = spark.sql(
