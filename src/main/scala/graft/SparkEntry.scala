@@ -373,14 +373,66 @@ object SparkEntry {
     TextAnalysis.withFingerprints(tbl(s, dir, "documents"), "text")
       .select("doc_id", "md5_fp", "min_shingle_fp")
 
-  /** Multimodal asset plumbing: binary payload + typed metadata. */
+  /** Multimodal asset plumbing: binary payload + typed metadata. Non-image
+    * mime ⇒ width/height are null (header sniffing is image-only). */
   private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame = {
     val assets = Multimodal.toAssets(tbl(s, dir, "documents"), "doc_id", "text", "text/plain")
     assets.select(
       col("asset_id"),
       col("meta.mime").as("mime"),
       col("meta.n_bytes").as("n_bytes"),
+      col("meta.width").as("width"),
+      col("meta.height").as("height"),
       md5(col("content")).as("content_md5"))
+  }
+
+  /** Real container-header parsing: PNG/GIF/BMP payloads are SYNTHESIZED
+    * per document from its doc_id with byte-construction built-ins, then
+    * parsed back by `Multimodal.toAssets`' header reader. The oracle
+    * computes the planted dimensions arithmetically — a parse bug (endian
+    * swap, offset slip, sign error) breaks the hash match. BMP heights are
+    * stored NEGATIVE for even ids (top-down row order) to pin the
+    * two's-complement little-endian path. */
+  private def qMultimodalDims(s: SparkSession, dir: String): DataFrame = {
+    // little/big-endian byte construction: arithmetic shift + mask works
+    // for negative values too (two's complement bytes fall out directly)
+    def byteAt(v: Column, i: Int): Column =
+      unhex(lpad(hex(shiftright(v, 8 * i).bitwiseAND(lit(255L))), 2, "0"))
+    def be32(v: Column) = concat(byteAt(v, 3), byteAt(v, 2), byteAt(v, 1), byteAt(v, 0))
+    def le16(v: Column) = concat(byteAt(v, 0), byteAt(v, 1))
+    def le32(v: Column) = concat(byteAt(v, 0), byteAt(v, 1), byteAt(v, 2), byteAt(v, 3))
+
+    val id = col("doc_id")
+    val w = pmod(id, lit(1920)) + 1
+    val h = pmod(id, lit(1080)) + 1
+    val hBmpRaw = when(pmod(id, lit(2)) === 0, -h).otherwise(h)
+
+    val pngSig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    val png = concat(
+      lit(pngSig ++ Array[Byte](0, 0, 0, 13) ++ "IHDR".getBytes("US-ASCII")),
+      be32(w), be32(h),
+      lit(Array[Byte](8, 6, 0, 0, 0, 0, 0, 0, 0))) // depth/color/crc filler
+    val gif = concat(
+      lit("GIF89a".getBytes("US-ASCII")),
+      le16(w), le16(h), lit(Array[Byte](0, 0, 0)))
+    val bmp = concat(
+      lit("BM".getBytes("US-ASCII") ++ Array.fill[Byte](12)(0) ++
+        Array[Byte](40, 0, 0, 0)), // BITMAPINFOHEADER size
+      le32(w), le32(hBmpRaw))
+
+    val payload = when(pmod(id, lit(3)) === 0, png)
+      .when(pmod(id, lit(3)) === 1, gif)
+      .otherwise(bmp)
+    val assets = Multimodal.toAssets(
+      tbl(s, dir, "documents").select(id, payload.as("img")),
+      "doc_id", "img", "image/sniffed")
+    assets.select(
+      col("asset_id"),
+      when(pmod(col("asset_id"), lit(3)) === 0, "png")
+        .when(pmod(col("asset_id"), lit(3)) === 1, "gif")
+        .otherwise("bmp").as("fmt"),
+      col("meta.width").as("width"),
+      col("meta.height").as("height"))
   }
 
   /** Multimodal feature extraction (stubbed decode, real batch plumbing);
@@ -537,6 +589,7 @@ object SparkEntry {
     "q_text_langid" -> qTextLangId,
     "q_text_fingerprint" -> qTextFingerprint,
     "q_multimodal_meta" -> qMultimodalMeta,
+    "q_multimodal_dims" -> qMultimodalDims,
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_filter_project" -> qFilterProject,
     "q_agg_sum" -> qAggSum,
@@ -801,7 +854,16 @@ object SparkEntry {
         |FROM n""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id AS asset_id, 'text/plain' AS mime,
-        |       octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5
+        |       octet_length(encode(text)) AS n_bytes,
+        |       CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+        |       md5(text) AS content_md5
+        |FROM documents""".stripMargin,
+    "q_multimodal_dims" ->
+      """SELECT doc_id AS asset_id,
+        |       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png'
+        |            WHEN 1 THEN 'gif' ELSE 'bmp' END AS fmt,
+        |       CAST(doc_id % 1920 + 1 AS INTEGER) AS width,
+        |       CAST(doc_id % 1080 + 1 AS INTEGER) AS height
         |FROM documents""".stripMargin,
     "q_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

@@ -14,14 +14,34 @@ import org.apache.spark.sql.functions._
   * The all-pairs exact path is for oracle-sized data and verification.
   *
   * Materialization: pipelines that reuse the shingle set (`jaccardPairs`,
-  * `minhashDuplicates`) `localCheckpoint` it — eager, lineage-truncating,
-  * and NOT registered in the CacheManager, so nothing leaks across
-  * pipelines (blocks are released by the ContextCleaner once the returned
-  * frame is unreferenced). On a multi-executor cluster with dynamic
-  * allocation / executor loss, prefer a reliable `checkpoint` dir; in that
-  * mode a lost executor loses local checkpoint blocks irrecoverably.
+  * `minhashDuplicates`) eagerly checkpoint it — lineage-truncating, and
+  * NOT registered in the CacheManager, so nothing leaks across pipelines.
+  * Two modes, chosen by [[Dedup.ReliableCheckpointKey]]:
+  *  - default `localCheckpoint` (single-node / static executors): blocks
+  *    live on executors and are released by the ContextCleaner; a lost
+  *    executor loses its blocks irrecoverably.
+  *  - reliable `checkpoint` (cluster with dynamic allocation / executor
+  *    loss): set the conf to `true` AND call
+  *    `spark.sparkContext.setCheckpointDir(<shared fs path>)`; each
+  *    round's edge set is written to the shared filesystem (computed a
+  *    second time for the write — the standard RDD-checkpoint cost), and
+  *    file cleanup follows `spark.cleaner.referenceTracking.cleanCheckpoints`.
   */
 object Dedup {
+
+  /** Session conf key: `true` switches the dedup/CC internal
+    * materialization from `localCheckpoint` to reliable `checkpoint`. */
+  val ReliableCheckpointKey = "spark.graft.dedup.reliableCheckpoint"
+
+  /** Eager lineage-truncating materialization in the configured mode. */
+  private def eagerCheckpoint(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    if (s.conf.get(ReliableCheckpointKey, "false").toBoolean) {
+      require(s.sparkContext.getCheckpointDir.isDefined,
+        s"$ReliableCheckpointKey=true requires spark.sparkContext.setCheckpointDir(...)")
+      df.checkpoint()
+    } else df.localCheckpoint()
+  }
 
   /** Exact dedup: one representative (min id) per identical value of
     * `textCol`. Groups on a 16-byte composite of two independently-seeded
@@ -74,7 +94,7 @@ object Dedup {
     * self-join computes |A∩B| per pair; set sizes give the union. */
   def jaccardPairs(sh0: DataFrame, minJaccard: Double): DataFrame = {
     // used three times below; eager + self-cleaning (see header note)
-    val sh = sh0.localCheckpoint()
+    val sh = eagerCheckpoint(sh0)
     val a = sh.select(col("sh_id").as("id_a"), col("shingle"))
     val b = sh.select(col("sh_id").as("id_b"), col("shingle"))
     val inter = a.join(b, Seq("shingle"))
@@ -169,7 +189,7 @@ object Dedup {
       s"numHashes ($numHashes) must be a multiple of bands ($bands)")
     // the shingle set feeds signatures AND both sides of verification —
     // materialize once or the explode+distinct shuffle runs four times
-    val sh = sh0.localCheckpoint()
+    val sh = eagerCheckpoint(sh0)
     val cands = lshCandidatePairs(minhashSignatures(sh, numHashes), bands, numHashes)
     jaccardFor(cands, sh).filter(col("jaccard") >= minJaccard)
   }
@@ -220,10 +240,9 @@ object Dedup {
 
   private def checkpointWithSignature(edges: DataFrame): (DataFrame, (Long, Long)) = {
     val obs = org.apache.spark.sql.Observation()
-    val ck = edges
+    val ck = eagerCheckpoint(edges
       .observe(obs, count(lit(1)).as("n"),
-        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("x"))
-      .localCheckpoint()
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("x")))
     val m = obs.get
     (ck, (m("n").asInstanceOf[Long], m("x").asInstanceOf[Long]))
   }

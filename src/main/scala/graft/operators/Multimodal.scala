@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -10,11 +10,12 @@ import org.apache.spark.sql.types._
   * plumbing.
   *
   * The Spark-side plumbing (schema, partitioning, batch shape) is real and
-  * tested; the actual media decode is STUBBED with a deterministic fake —
-  * this container has no image/audio codecs. The stub boundary is
-  * `decodeBytes` below: swap it for a real decoder (JavaCPP/ffmpeg or a
-  * `mapInPandas`-equivalent Arrow batch UDF) without touching the plan
-  * shape around it.
+  * tested, and container-header METADATA (width/height for PNG/GIF/BMP)
+  * is parsed for real — pure byte reads need no codec. Only the pixel
+  * DECODE is stubbed with a deterministic fake, because this container
+  * has no image/audio codecs. The stub boundary is `decodeBytes` below:
+  * swap it for a real decoder (JavaCPP/ffmpeg or a `mapInPandas`-
+  * equivalent Arrow batch UDF) without touching the plan shape around it.
   */
 object Multimodal {
 
@@ -32,12 +33,18 @@ object Multimodal {
     StructField("meta", metadataType)))
 
   /** Wrap a source column as a multimodal asset: opaque bytes + metadata.
-    * Width/height here are deterministic pseudo-values derived from the
-    * content hash (STUB — a real pipeline reads them from the container
-    * format header). */
+    * Width/height are parsed from the payload's REAL container header when
+    * the bytes are a recognized image format (PNG/GIF/BMP — pure byte
+    * reads, no codec needed; see [[imageWidth]]/[[imageHeight]]), and null
+    * otherwise — non-image payloads carry no dimensions. */
   def toAssets(df: DataFrame, idCol: String, payloadCol: String,
                mime: String): DataFrame = {
     val content = col(payloadCol).cast("binary")
+    // header sniffing only runs for declared images: a text payload that
+    // happens to start with image magic bytes must not grow phantom dims
+    val (w, h) =
+      if (mime.startsWith("image/")) (imageWidth(content), imageHeight(content))
+      else (lit(null).cast("int"), lit(null).cast("int"))
     df.select(
       // try_cast: a non-numeric id yields null instead of an ANSI runtime
       // error (the repo's lenient-input policy, cf. Readers.ensureColumns)
@@ -46,10 +53,67 @@ object Multimodal {
       struct(
         lit(mime).as("mime"),
         length(content).cast("long").as("n_bytes"),
-        (pmod(xxhash64(content), lit(1920)) + 1).cast("int").as("width"),
-        (pmod(xxhash64(content, lit(1)), lit(1080)) + 1).cast("int").as("height"),
+        w.as("width"),
+        h.as("height"),
         lit(null).cast("long").as("duration_ms")).as("meta"))
   }
+
+  // ---- image container-header parsing (format sniffing by magic bytes) ----
+  // Pure byte reads composed from codegen'd built-ins over the binary
+  // column (substring → hex → conv): no UDF, no codec, fully pushed into
+  // whole-stage codegen. Formats whose headers need no decompression:
+  //   PNG  — IHDR width/height, big-endian u32 at offsets 16/20
+  //   GIF  — logical-screen width/height, little-endian u16 at offsets 6/8
+  //   BMP  — BITMAPINFOHEADER width/height, little-endian i32 at offsets
+  //          18/22 (height may be negative = top-down; dimensions are |h|)
+  // Unknown formats yield null, never a guess.
+
+  /** Unsigned byte at 0-based `off` as a long column. */
+  private def u8(c: Column, off: Int): Column =
+    conv(hex(substring(c, off + 1, 1)), 16, 10).cast("long")
+
+  private def be32(c: Column, off: Int): Column =
+    conv(hex(substring(c, off + 1, 4)), 16, 10).cast("long")
+
+  private def le16(c: Column, off: Int): Column =
+    u8(c, off + 1) * 256 + u8(c, off)
+
+  /** Little-endian SIGNED i32 (two's complement) at 0-based `off`. */
+  private def le32s(c: Column, off: Int): Column = {
+    val v = ((u8(c, off + 3) * 256 + u8(c, off + 2)) * 256 +
+      u8(c, off + 1)) * 256 + u8(c, off)
+    when(v >= 2147483648L, v - 4294967296L).otherwise(v)
+  }
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  private def isPng(c: Column): Column =
+    length(c) >= 24 && substring(c, 1, 8) === lit(PngSig) &&
+      substring(c, 13, 4) === lit("IHDR".getBytes("US-ASCII"))
+
+  private def isGif(c: Column): Column =
+    length(c) >= 10 &&
+      (substring(c, 1, 6) === lit("GIF87a".getBytes("US-ASCII")) ||
+        substring(c, 1, 6) === lit("GIF89a".getBytes("US-ASCII")))
+
+  private def isBmp(c: Column): Column =
+    length(c) >= 26 && substring(c, 1, 2) === lit("BM".getBytes("US-ASCII"))
+
+  /** Parsed pixel width of a PNG/GIF/BMP payload; null if not one. */
+  def imageWidth(c: Column): Column =
+    when(isPng(c), be32(c, 16))
+      .when(isGif(c), le16(c, 6))
+      .when(isBmp(c), abs(le32s(c, 18)))
+      .cast("int")
+
+  /** Parsed pixel height of a PNG/GIF/BMP payload; null if not one.
+    * BMP height is |raw|: negative raw just means top-down row order. */
+  def imageHeight(c: Column): Column =
+    when(isPng(c), be32(c, 20))
+      .when(isGif(c), le16(c, 8))
+      .when(isBmp(c), abs(le32s(c, 22)))
+      .cast("int")
 
   /** STUB decoder: a real implementation would decode the media container
     * and return pixel/sample data. The fake is deterministic in the bytes

@@ -59,4 +59,49 @@ object Compactor {
       .trigger(trigger)
       .start()
   }
+
+  /** Strict variant of [[start]]: enforces the appender's column-set check
+    * PER MICRO-BATCH, per file — a drifted file arriving MID-STREAM kills
+    * the query with `schema mismatch` instead of being silently null-filled
+    * (the file source projects everything onto the declared schema, so
+    * drift detection needs the files' own footers).
+    *
+    * Tradeoffs vs [[start]], both inherent to `foreachBatch`:
+    *  - at-least-once, not exactly-once: a crash between the batch append
+    *    and the checkpoint offset commit replays the batch on restart
+    *    (the reference appender has the same window between its parquet
+    *    write and manifest update);
+    *  - per-batch footer reads: one driver-side metadata read per new file
+    *    (bounded by `maxFilesPerTrigger`), the price of the guard.
+    * Use [[start]] when throughput matters more than loud drift. */
+  def startStrict(spark: SparkSession, landingDir: String, outDir: String,
+                  checkpointDir: String, schema: StructType,
+                  trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1000)
+      .parquet(landingDir)
+      .select(col("*"), col("_metadata.file_path").as("__src_file"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val files = batch.select("__src_file").distinct()
+          .collect().map(_.getString(0)) // ≤ maxFilesPerTrigger entries
+        // per-file footer check — a union schema would mask a file MISSING
+        // a column (union = superset), the drift the reference fails on
+        files.foreach { f =>
+          requireSameColumns(spark.read.parquet(f).schema, schema)
+        }
+        if (files.nonEmpty) {
+          batch.drop("__src_file")
+            .withColumn("date", to_date(col("Timestamp")))
+            .write.mode("append")
+            .option("compression", "zstd")
+            .partitionBy("date")
+            .parquet(outDir)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
 }

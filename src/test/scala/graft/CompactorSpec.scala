@@ -56,4 +56,26 @@ class CompactorSpec extends SparkSpec {
       Compactor.requireSameColumns(drifted.schema, Schemas.fresco)
     }
   }
+
+  test("strict compactor: a drifted file arriving MID-STREAM fails loudly") {
+    val base = Files.createTempDirectory("compactor-strict").toFile.getAbsolutePath
+    val landing = s"$base/landing"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    landFile(frescoRows("2013-01-01", 3), landing, "good1.parquet")
+
+    val q = Compactor.startStrict(spark, landing, out, ckpt, Schemas.fresco)
+    q.processAllAvailable()
+    assert(spark.read.parquet(out).count() == 3)
+
+    // drift lands while the query is RUNNING — the plain file source would
+    // silently null-fill the missing column; strict mode must kill the query
+    landFile(frescoRows("2013-01-01", 2).drop("Value"), landing, "drifted.parquet")
+    val e = intercept[Exception](q.processAllAvailable())
+    var msgs = ""; var c: Throwable = e
+    while (c != null) { msgs += c.getMessage + "\n"; c = c.getCause }
+    val fromQuery = q.exception.map(_.toString).getOrElse("")
+    assert((msgs + fromQuery).contains("schema mismatch"), msgs + fromQuery)
+    q.stop()
+    // the drifted batch must NOT have been appended
+    assert(spark.read.parquet(out).count() == 3)
+  }
 }

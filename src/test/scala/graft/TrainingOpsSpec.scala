@@ -89,6 +89,23 @@ class TrainingOpsSpec extends SparkSpec {
     assert(added.size <= 1, s"leaked checkpoint blocks: $added")
   }
 
+  test("reliable-checkpoint mode: same clusters, rounds persisted to the checkpoint dir") {
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    spark.sparkContext.setCheckpointDir(ckptDir.getAbsolutePath)
+    spark.conf.set(Dedup.ReliableCheckpointKey, "true")
+    try {
+      val pairs = Seq((1L, 2L), (2L, 6L), (8L, 9L)).toDF("id_a", "id_b")
+      val got = Dedup.duplicateClusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 6L -> 1L, 8L -> 8L, 9L -> 8L))
+      // evidence the rounds actually went through the reliable path
+      def files(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap(f =>
+          if (f.isDirectory) files(f) else Seq(f))
+      assert(files(ckptDir).nonEmpty, "no checkpoint files written")
+    } finally spark.conf.set(Dedup.ReliableCheckpointKey, "false")
+  }
+
   test("simhash: identical texts distance 0; near-dups within small hamming") {
     val h = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -217,6 +234,48 @@ class TrainingOpsSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(assets.filter($"asset_id" === 1), 8, 2)
     assert(frames.columns.toSeq == Seq("asset_id", "meta", "frame_idx", "frame"))
     assert(frames.count() >= 2)
+  }
+
+  test("image header parsing: PNG/GIF/BMP dims from real byte fixtures; mime-gated") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // fixtures built with ByteBuffer, independent of the engine's
+    // column-expression construction path
+    def png(w: Int, h: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(33).order(ByteOrder.BIG_ENDIAN)
+      b.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+      b.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h)
+      b.put(Array[Byte](8, 6, 0, 0, 0, 0, 0, 0, 0)).array()
+    }
+    def gif(w: Int, h: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(13).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("GIF89a".getBytes).putShort(w.toShort).putShort(h.toShort)
+      b.put(Array[Byte](0, 0, 0)).array()
+    }
+    def bmp(w: Int, hRaw: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(26).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("BM".getBytes).put(new Array[Byte](12))
+      b.putInt(40).putInt(w).putInt(hRaw).array()
+    }
+    val assets = Multimodal.toAssets(Seq(
+      (1L, png(640, 480)),
+      (2L, gif(320, 200)),
+      (3L, bmp(1024, 768)),
+      (4L, bmp(800, -600)), // top-down BMP: dims are |h|
+      // JPEG: real image, but not in the no-codec set → null, never a guess
+      (5L, Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte) ++ new Array[Byte](30))
+    ).toDF("id", "payload"), "id", "payload", "image/sniffed")
+    val dims = assets.select($"asset_id", $"meta.width", $"meta.height")
+      .collect().map(r => r.getLong(0) -> (r.get(1), r.get(2))).toMap
+    assert(dims(1L) == ((640, 480)))
+    assert(dims(2L) == ((320, 200)))
+    assert(dims(3L) == ((1024, 768)))
+    assert(dims(4L) == ((800, 600)))
+    assert(dims(5L) == ((null, null)))
+    // non-image mime: sniffing disabled even for REAL image bytes
+    val textMime = Multimodal.toAssets(Seq((9L, png(10, 20))).toDF("id", "p"),
+      "id", "p", "text/plain")
+      .select($"meta.width", $"meta.height").collect()(0)
+    assert(textMime.isNullAt(0) && textMime.isNullAt(1))
   }
 
   test("SQL registration: lsh_band_buckets matches the Column API; bad k errors cleanly") {
