@@ -108,12 +108,13 @@ object Bench {
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"io":$io,"sf":"$sfDir"}"""
     // full record (timings + io) goes to DISK so no tail-capture of stdout
-    // can ever clip it; stdout gets io first, then the REQUIRED compact
-    // timing line LAST (harness contract: last line = the timing JSON)
+    // can ever clip it; stdout keeps the contract's ONE compact JSON line,
+    // printed LAST so a tail capture always retains it (io metrics live in
+    // bench_full.json and, for humans, on stderr)
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] bench_full.json: ${e.getMessage}") }
-    println(s"""{"metric":"io","io":$io,"sf":"$sfDir"}""")
+    System.err.println(s"""[bench] io: $io""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -200,6 +200,10 @@ object Dedup {
     * and strictly lowers the component's potential. Input/output edges are
     * canonical `(u, v)` with `u > v`. */
   private def largeStar(edges: DataFrame): DataFrame = {
+    // NOT pre-partitioned by u: the groupBy's map-side partial aggregation
+    // shrinks what shuffles to one (u, min) row per map partition, and AQE
+    // then broadcasts the small mins side — an explicit repartition(u)
+    // would shuffle the FULL edge set and forfeit both (measured 2x slower)
     val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
     val mins = sym.groupBy("u").agg(min("v").as("mn"))
       .select(col("u"), least(col("u"), col("mn")).as("m"))

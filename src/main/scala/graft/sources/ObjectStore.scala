@@ -87,11 +87,20 @@ object ObjectStore {
     val fs = dir.getFileSystem(conf)
     val tmp = new Path(dir.getParent, dir.getName + "_graft_tmp")
 
-    val before = spark.read.option("header", "true").csv(prefix)
-    val kept = before.filter(!drop)
-    val nBefore = before.count()
-    kept.write.mode("overwrite").option("header", "true").csv(tmp.toString)
-    val nAfter = spark.read.option("header", "true").csv(tmp.toString).count()
+    // both row counts ride the ONE write job as observe metrics — no
+    // separate count scans (at object-store scale every extra pass is a
+    // full re-read of the prefix)
+    val obsIn = org.apache.spark.sql.Observation()
+    val obsOut = org.apache.spark.sql.Observation()
+    spark.read.option("header", "true").csv(prefix)
+      .observe(obsIn, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .filter(!drop)
+      .observe(obsOut, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .write.mode("overwrite").option("header", "true").csv(tmp.toString)
+    val nBefore = obsIn.get("n").asInstanceOf[Long]
+    val nAfter = obsOut.get("n").asInstanceOf[Long]
 
     fs.delete(dir, true)
     if (!fs.rename(tmp, dir))

@@ -386,4 +386,16 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[java.sql.Timestamp]("start").toString == "2013-01-01 10:00:00.0")
     assert(r.getAs[Long]("ncpus") == 16L)
   }
+
+  test("csv sink (S6): header round-trip, nulls survive as empty cells") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("csv-sink").toString + "/t"
+    Seq(("a", Some(1.5)), ("b", None), ("c", Some(-2.0)))
+      .toDF("k", "v")
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val back = spark.read.option("header", "true")
+      .schema("k STRING, v DOUBLE").csv(out)
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(back == Map("a" -> Some(1.5), "b" -> None, "c" -> Some(-2.0)))
+  }
 }

@@ -216,6 +216,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("image header parse inverts construction across byte boundaries, all formats") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import graft.operators.Multimodal
+    def png(w: Int, h: Int) = {
+      val b = ByteBuffer.allocate(33).order(ByteOrder.BIG_ENDIAN)
+      b.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+      b.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h)
+      b.put(new Array[Byte](9)).array()
+    }
+    def gif(w: Int, h: Int) = {
+      val b = ByteBuffer.allocate(13).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("GIF89a".getBytes).putShort(w.toShort).putShort(h.toShort)
+      b.put(new Array[Byte](3)).array()
+    }
+    def bmp(w: Int, hRaw: Int) = {
+      val b = ByteBuffer.allocate(26).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("BM".getBytes).put(new Array[Byte](12)).putInt(40)
+      b.putInt(w).putInt(hRaw).array()
+    }
+    // every byte-boundary value the endianness/offset arithmetic could trip
+    // on: single-byte, carry into 2nd/3rd/4th byte, format maxima
+    val u16 = Seq(1, 2, 127, 128, 255, 256, 257, 32767, 32768, 65535)
+    val u32 = u16 ++ Seq(65536, 16777215, 16777216, Int.MaxValue)
+    val fixtures =
+      u32.map(v => (s"png-$v", png(v, (v % 1080) + 1), v.toLong, ((v % 1080) + 1).toLong)) ++
+      u16.map(v => (s"gif-$v", gif(v, (v % 65535) + 1), v.toLong, ((v % 65535) + 1).toLong)) ++
+      u32.map(v => (s"bmp-$v", bmp(v, (v % 1080) + 1), v.toLong, ((v % 1080) + 1).toLong)) ++
+      u32.map(v => (s"bmpneg-$v", bmp(v, -((v % 1080) + 1)), v.toLong, ((v % 1080) + 1).toLong))
+    val got = fixtures.map { case (k, bytes, _, _) => (k, bytes) }
+      .toDF("k", "payload")
+      .select($"k", Multimodal.imageWidth($"payload").as("w"),
+        Multimodal.imageHeight($"payload").as("h"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1).toLong, r.getInt(2).toLong)).toMap
+    fixtures.foreach { case (k, _, w, h) =>
+      assert(got(k) == ((w, h)), s"$k parsed as ${got(k)}, expected ($w, $h)")
+    }
+  }
+
   test("ensureColumns: arbitrary column subsets conform to the full schema") {
     forAll(Gen.someOf(Schemas.mem.fieldNames.toSeq)) { keep =>
       whenever(keep.nonEmpty) {
