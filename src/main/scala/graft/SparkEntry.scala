@@ -373,6 +373,24 @@ object SparkEntry {
     TextAnalysis.withFingerprints(tbl(s, dir, "documents"), "text")
       .select("doc_id", "md5_fp", "min_shingle_fp")
 
+  /** Gopher-style repetition quality signals: duplicate-line and
+    * duplicate-bigram fractions — boilerplate/spam flags that corpus-level
+    * dedup cannot catch (nothing ELSE shares the text). */
+  private def qTextRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.withRepetition(tbl(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("n_lines"),
+        rq(col("dup_line_frac"), 6).as("dup_line_frac"),
+        rq(col("dup_bigram_frac"), 6).as("dup_bigram_frac"))
+
+  /** Context-window chunking: overlapping 64-token windows every 48
+    * tokens — the sequence-packing front end of a training pipeline.
+    * Chunk text rides as md5 to keep the dump compact. */
+  private def qTextChunks(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkTokens(tbl(s, dir, "documents"), "doc_id", "text", 64, 48)
+      .select(col("doc_id"), col("chunk_idx"),
+        md5(col("chunk_text").cast("binary")).as("chunk_md5"),
+        col("chunk_tokens"))
+
   /** Multimodal asset plumbing: binary payload + typed metadata. Non-image
     * mime ⇒ width/height are null (header sniffing is image-only). */
   private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame = {
@@ -588,6 +606,8 @@ object SparkEntry {
     "q_text_stats" -> qTextStats,
     "q_text_langid" -> qTextLangId,
     "q_text_fingerprint" -> qTextFingerprint,
+    "q_text_repetition" -> qTextRepetition,
+    "q_text_chunks" -> qTextChunks,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_dims" -> qMultimodalDims,
     "q_multimodal_features" -> qMultimodalFeatures,
@@ -852,6 +872,32 @@ object SparkEntry {
         |       (SELECT min(md5(substring(norm, CAST(i AS INT), 8)))
         |        FROM unnest(range(1, greatest(length(norm)-6, 2))) AS t(i)) AS min_shingle_fp
         |FROM n""".stripMargin,
+    "q_text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lines,
+        |         list_filter(string_split_regex(trim(text), '\s+'), w -> length(w) > 0) AS toks
+        |  FROM documents),
+        | b AS (
+        |  SELECT doc_id, lines,
+        |         list_transform(range(1, greatest(len(toks), 1)), i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+        |  FROM t)
+        |SELECT doc_id, CAST(len(lines) AS INT) AS n_lines,
+        |       floor((CASE WHEN len(lines)=0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)/len(lines) END)*1000000.0 + 0.5)/1000000.0 AS dup_line_frac,
+        |       floor((CASE WHEN len(bigrams)=0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)/len(bigrams) END)*1000000.0 + 0.5)/1000000.0 AS dup_bigram_frac
+        |FROM b""".stripMargin,
+    "q_text_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), w -> length(w) > 0) AS toks
+        |  FROM documents),
+        | c AS (
+        |  SELECT doc_id, toks, CAST(ceil(greatest(len(toks) - 64, 0) / 48.0) + 1 AS INT) AS n_chunks
+        |  FROM t WHERE len(toks) > 0)
+        |SELECT doc_id,
+        |  CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_idx,
+        |  unnest(list_transform(range(0, n_chunks), i -> md5(array_to_string(list_slice(toks, i*48+1, i*48+64), ' ')))) AS chunk_md5,
+        |  CAST(unnest(list_transform(range(0, n_chunks), i -> len(list_slice(toks, i*48+1, i*48+64)))) AS INT) AS chunk_tokens
+        |FROM c""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id AS asset_id, 'text/plain' AS mime,
         |       octet_length(encode(text)) AS n_bytes,

@@ -80,6 +80,50 @@ object TextAnalysis {
       .drop(markers.map { case (c, _) => s"score_$c" }: _*)
   }
 
+  /** Repetition statistics (Gopher-style repetition quality signals —
+    * Rae et al. 2021, "Scaling Language Models", §A1.1.2): fraction of
+    * duplicate lines and duplicate whitespace-token 2-grams per document.
+    * High values flag boilerplate/spam that dedup misses because no OTHER
+    * document shares it. Narrow per-row transform, no shuffle. */
+  def withRepetition(df: DataFrame, textCol: String): DataFrame = {
+    val lines = filter(split(col(textCol), "\n"), l => length(trim(l)) > 0)
+    val toks = tokens(col(textCol))
+    val bigrams = when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+    def dupFrac(xs: Column): Column =
+      when(size(xs) === 0, lit(0.0)) // nothing present ⇒ nothing duplicated
+        .otherwise(lit(1.0) - size(array_distinct(xs)).cast("double") / size(xs))
+    df.withColumn("n_lines", size(lines))
+      .withColumn("dup_line_frac", dupFrac(lines))
+      .withColumn("dup_bigram_frac", dupFrac(bigrams))
+  }
+
+  /** Context-window chunking: split each document's whitespace tokens into
+    * overlapping chunks of `chunkSize` tokens starting every `stride`
+    * tokens — the sequence-packing front end of a training pipeline.
+    * Chunk starts are 0, stride, 2·stride, …, with the LAST start the
+    * first one whose chunk reaches the end (no degenerate tail chunks):
+    * nChunks = 1 + ceil(max(n − chunkSize, 0) / stride). Blank documents
+    * yield no rows. Output: `(idCol, chunk_idx, chunk_text, chunk_tokens)`. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      s"need 1 <= stride ($stride) <= chunkSize ($chunkSize)")
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    // exact for any realistic n: doubles are exact integers below 2^53
+    val nChunks = (ceil(greatest(n - chunkSize, lit(0)).cast("double")
+      / stride) + 1).cast("int")
+    df.select(col(idCol),
+        posexplode(when(n === 0, array().cast("array<array<string>>"))
+          .otherwise(transform(sequence(lit(0), nChunks - 1),
+            i => slice(toks, i * stride + 1, lit(chunkSize))))))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        concat_ws(" ", col("col")).as("chunk_text"),
+        size(col("col")).as("chunk_tokens"))
+  }
+
   /** Document fingerprints: `md5_fp` of whitespace-normalized lowercase
     * text (exact-dup key), and `min_shingle_fp` — the minimum md5 over the
     * document's k-shingles (a 1-hash MinHash / winnowing-style rolling

@@ -209,6 +209,42 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out(3L) == "und")
   }
 
+  test("repetition stats: duplicate lines and bigrams, empty docs are 0") {
+    val d = Seq(
+      (1L, "spam line\nspam line\nspam line\nreal line"), // 3 of 4 lines dup
+      (2L, "buy now buy now buy now"),                    // bigrams: 5, distinct 2
+      (3L, "all lines distinct\nno repetition here"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withRepetition(d, "text")
+      .select($"doc_id", $"n_lines", $"dup_line_frac", $"dup_bigram_frac")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L)._1 == 4)
+    assert(math.abs(out(1L)._2 - 0.5) < 1e-9) // 2 distinct / 4 lines
+    assert(out(2L)._2 == 0.0)
+    assert(math.abs(out(2L)._3 - 0.6) < 1e-9) // 2 distinct / 5 bigrams
+    assert(out(3L)._2 == 0.0 && out(3L)._3 == 0.0)
+    assert(out(4L) == ((0, 0.0, 0.0))) // empty: no phantom duplication
+  }
+
+  test("token chunking: stride windows, short tail kept, blank docs vanish") {
+    val text10 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, text10), (2L, "one two three"), (3L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(d, "doc_id", "text", 4, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getInt(3)))).toMap
+    // doc 1: n=10, starts 0,3,6 → ceil((10-4)/3)+1 = 3 chunks
+    assert(out((1L, 0)) == (("w1 w2 w3 w4", 4)))
+    assert(out((1L, 1)) == (("w4 w5 w6 w7", 4)))
+    assert(out((1L, 2)) == (("w7 w8 w9 w10", 4)))
+    // doc 2: n=3 < chunkSize → exactly one (short) chunk
+    assert(out((2L, 0)) == (("one two three", 3)))
+    // blank doc contributes nothing
+    assert(!out.keySet.exists(_._1 == 3L))
+    assert(out.size == 4)
+    intercept[IllegalArgumentException](
+      TextAnalysis.chunkTokens(d, "doc_id", "text", 4, 5)) // stride > chunk
+  }
+
   test("fingerprints: whitespace/case-insensitive md5, stable min-shingle") {
     val d = Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "other text"))
       .toDF("id", "text")
