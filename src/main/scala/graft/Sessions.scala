@@ -8,6 +8,36 @@ import org.apache.spark.sql.SparkSession
   * inputs (testdata `events.ts`) are readable — the loader converts them
   * back to µs timestamps. */
 object Sessions {
+
+  /** The engine's recommended large-cluster configuration — the knobs that
+    * matter at the 100 TB target, as one reviewable map. Apply via
+    * [[cluster]] or `--conf` flags; values are starting points, not laws:
+    *  - AQE owns runtime re-planning (coalesce, skew-join, local reads);
+    *    advisory 64 MB keeps post-shuffle tasks in executor memory.
+    *  - shuffle.partitions is a pre-AQE ceiling — size for the LARGEST
+    *    stage (≈ total shuffle bytes / advisory size), AQE coalesces down.
+    *  - 256 MB scan splits amortize parquet footer/open cost; zstd output
+    *    trades CPU for the storage + network that dominate at fleet scale.
+    *  - reliable dedup/CC checkpoints (plus `setCheckpointDir`) survive
+    *    executor loss, which local checkpoints do not. */
+  def clusterConf(shufflePartitions: Int = 2000): Map[String, String] = Map(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64m",
+    "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
+    "spark.sql.files.maxPartitionBytes" -> "256m",
+    "spark.sql.parquet.compression.codec" -> "zstd",
+    "spark.sql.session.timeZone" -> "UTC",
+    graft.operators.Dedup.ReliableCheckpointKey -> "true")
+
+  /** Builder pre-loaded with [[clusterConf]] and the graft extensions —
+    * caller adds master/deploy specifics and `getOrCreate()`s. */
+  def cluster(shufflePartitions: Int = 2000): SparkSession.Builder =
+    clusterConf(shufflePartitions).foldLeft(
+      SparkSession.builder().withExtensions(new GraftExtensions)) {
+      case (b, (k, v)) => b.config(k, v)
+    }
+
   def local(cpus: String): SparkSession = {
     val s = SparkSession.builder()
       .withExtensions(new GraftExtensions)

@@ -387,6 +387,17 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[Long]("ncpus") == 16L)
   }
 
+  test("cluster conf: the 100 TB knob set is coherent") {
+    val c = Sessions.clusterConf(shufflePartitions = 4096)
+    assert(c("spark.sql.shuffle.partitions") == "4096")
+    assert(c("spark.sql.adaptive.enabled") == "true")
+    assert(c("spark.sql.adaptive.skewJoin.enabled") == "true")
+    assert(c("spark.sql.parquet.compression.codec") == "zstd")
+    assert(c(graft.operators.Dedup.ReliableCheckpointKey) == "true")
+    // builder accepts the full map without clashing keys
+    Sessions.cluster() // must construct
+  }
+
   test("csv sink (S6): header round-trip, nulls survive as empty cells") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("csv-sink").toString + "/t"
