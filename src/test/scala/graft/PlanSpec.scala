@@ -86,6 +86,22 @@ class PlanSpec extends SparkSpec {
       .filter(col("jaccard") >= 0.8)))
   }
 
+  test("q_topk: sort+limit fuse into TakeOrderedAndProject — no global sort") {
+    val p = executed(SparkEntry.queries("q_topk")(spark, sf))
+    assert(flatten(p).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      s"expected TakeOrderedAndProject, plan:\n$p")
+    assert(!flatten(p).exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      s"global sort present, plan:\n$p")
+  }
+
+  test("per-row text ops are shuffle-free: chunking and repetition stats") {
+    for (q <- Seq("q_text_chunks", "q_text_repetition")) {
+      val p = executed(SparkEntry.queries(q)(spark, sf))
+      assert(countShuffles(p) == 0, s"$q should be narrow, plan:\n$p")
+    }
+  }
+
   test("q_filter_project: predicates and projection reach the parquet scan") {
     val df = SparkEntry.queries("q_filter_project")(spark, sf)
     val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
