@@ -158,11 +158,12 @@ object Bench {
       val pairSecs = (System.nanoTime() - t0) / 1e9
       dropState()
       val t1 = System.nanoTime()
-      val nClusters = Dedup.duplicateClusters(
-        Dedup.minhashDuplicates(sh, 0.8)).count()
+      val (clusters, ccRounds) = Dedup.duplicateClustersWithRounds(
+        Dedup.minhashDuplicates(sh, 0.8))
+      val nClusters = clusters.count()
       val e2eSecs = (System.nanoTime() - t1) / 1e9
       dropState()
-      (n, nDocs, nPairs, nClusters, pairSecs, e2eSecs)
+      (n, nDocs, nPairs, nClusters, pairSecs, e2eSecs, ccRounds)
     }
     def slope(ys: Seq[Double]): Double = {
       val lx = sizes.map(n => math.log(n.toDouble))
@@ -171,12 +172,16 @@ object Bench {
       lx.zip(ly).map { case (a, b) => (a - mx) * (b - my) }.sum /
         lx.map(a => (a - mx) * (a - mx)).sum
     }
-    def arr[T](f: ((Int, Long, Long, Long, Double, Double)) => T): String =
+    def arr[T](f: ((Int, Long, Long, Long, Double, Double, Int)) => T): String =
       rows.map(f).mkString("[", ",", "]")
+    // cc_rounds: large/small-star rounds to the fixed point per size — the
+    // empirical side of the O(log n) convergence claim (flat-ish growth
+    // across 8× replicas, never proportional to size)
     val line =
       f"""{"metric":"lsh_scale_slope","sizes":${arr(_._1)},"docs":${arr(_._2)},""" +
         f""""pairs":${arr(_._3)},"clusters":${arr(_._4)},""" +
         f""""pair_secs":${arr(r => f"${r._5}%.3f")},"e2e_secs":${arr(r => f"${r._6}%.3f")},""" +
+        f""""cc_rounds":${arr(_._7)},""" +
         f""""slope_pairs":${slope(rows.map(_._5))}%.3f,""" +
         f""""slope_e2e":${slope(rows.map(_._6))}%.3f,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_scale.json"),

@@ -301,11 +301,21 @@ object SparkEntry {
         Dedup.hashedWordShingles(tbl(s, dir, "documents"), "doc_id", "text"), 0.8)
       .withColumn("jaccard", rq(col("jaccard"), 6))
 
-  /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit token simhash);
-    * hash-function-specific, so rows-only check. */
+  /** Fixture parquet the DuckDB oracle reads back for q_dedup_simhash —
+    * the 64-bit simhash itself is engine-specific (seeded xxhash64 per
+    * token, no DuckDB equivalent), but GIVEN the per-doc hashes, the
+    * banding + Hamming-distance pair derivation is plain SQL. The query
+    * dumps the hashes here and builds its pairs from the SAME dump, so
+    * the oracle checks the full pair logic on identical inputs. */
+  private val SimhashFixture = "/root/repo/target/verify-fixtures/simhash_hashes"
+
+  /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit token simhash).
+    * Oracle-checked on the pair set: banding + `bit_count` Hamming
+    * filtering are reproduced in DuckDB from the dumped hashes. */
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val d = tbl(s, dir, "documents")
-    Dedup.simhashPairs(Dedup.simhash(d, "doc_id", "text"), 3)
+    Dedup.simhash(tbl(s, dir, "documents"), "doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(SimhashFixture)
+    Dedup.simhashPairs(s.read.parquet(SimhashFixture), 3)
       .withColumn("hamming", col("hamming").cast("long"))
   }
 
@@ -348,6 +358,30 @@ object SparkEntry {
     val e = tbl(s, dir, "embeddings")
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", "label", 3)
       .withColumn("cosine", rq(col("cosine"), 6))
+  }
+
+  /** IVF top-3 over the int8-quantized index with exact re-scoring — must
+    * return exactly the full-precision answer (recall@k = 1.0 at these
+    * settings), so it shares q_ann_ivf's exact-top-k oracle. */
+  private def qAnnIvfQ8(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    Similarity.ivfTopKQuantized(e, e.filter(col("vec_id") < 20), "vec_id",
+        "embedding", "label", 3, candidateFactor = 4)
+      .withColumn("cosine", rq(col("cosine"), 6))
+  }
+
+  /** Int8 quantization round-trip, exploded per element so the oracle
+    * compares code-for-code: the half-up `floor(x/s + 0.5)` formula is
+    * closed-form IEEE arithmetic both engines compute bit-identically,
+    * and `in_bound` pins the dequantization error ≤ s/2 guarantee. */
+  private def qEmbedQuantize(s: SparkSession, dir: String): DataFrame = {
+    val q = Similarity.quantizeInt8(tbl(s, dir, "embeddings"), "embedding")
+      .select(col("vec_id"), col("q8_scale"),
+        col("embedding").cast("array<double>").as("v"), posexplode(col("q8")))
+    q.select(col("vec_id"), col("pos"), col("col").as("code"), col("q8_scale"),
+      (abs(col("col").cast("double") * col("q8_scale") -
+        element_at(col("v"), col("pos") + 1)) <= col("q8_scale") / 2)
+        .cast("int").as("in_bound"))
   }
 
   /** Token counts + quality-score features. */
@@ -603,6 +637,8 @@ object SparkEntry {
     "q_embed_lsh_pairs" -> qEmbedLshPairs,
     "q_ann_topk" -> qAnnTopK,
     "q_ann_ivf" -> qAnnIvf,
+    "q_ann_ivf_q8" -> qAnnIvfQ8,
+    "q_embed_quantize" -> qEmbedQuantize,
     "q_text_stats" -> qTextStats,
     "q_text_langid" -> qTextLangId,
     "q_text_fingerprint" -> qTextFingerprint,
@@ -648,6 +684,20 @@ object SparkEntry {
       |SELECT id_a, id_b, floor((i*1.0/(sa.sz+sb.sz-i))*1000000.0 + 0.5)/1000000.0 AS jaccard
       |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
       |WHERE i*1.0/(sa.sz+sb.sz-i) >= 0.8""".stripMargin
+
+  /** Shared by q_ann_ivf (full-precision) and q_ann_ivf_q8 (int8 index +
+    * exact re-scoring) — the quantized path must reproduce the exact
+    * top-k answer bit-for-bit at these settings. */
+  private val annIvfSql: String =
+    """WITH scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+      |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                CAST(c.embedding AS DOUBLE[])) AS cos
+      |  FROM embeddings q JOIN embeddings c ON c.label = q.label AND c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 20)
+      |SELECT query_id, nn_id, floor((cos)*1000000.0 + 0.5)/1000000.0 AS cosine,
+      |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS INT) AS rank
+      |FROM scored QUALIFY rank <= 3""".stripMargin
 
   /** Shared by q_interval_join (broadcast) and q_interval_join_bucketed
     * (scale path) — the two plans must agree exactly. */
@@ -781,6 +831,19 @@ object SparkEntry {
         |FROM documents GROUP BY text""".stripMargin,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_dedup_minhash" -> ngramJaccardSql,
+    "q_dedup_simhash" ->
+      """WITH h AS (
+        |  SELECT sh_id, simhash
+        |  FROM read_parquet('/root/repo/target/verify-fixtures/simhash_hashes/*.parquet')),
+        | b AS (
+        |  SELECT sh_id, simhash, c.chunk, (simhash >> (c.chunk*16)) & 65535 AS chunk_val
+        |  FROM h CROSS JOIN (SELECT unnest([0,1,2,3]) AS chunk) c),
+        | p AS (
+        |  SELECT DISTINCT a.sh_id AS id_a, b2.sh_id AS id_b,
+        |         bit_count(xor(a.simhash, b2.simhash)) AS hamming
+        |  FROM b a JOIN b b2 ON a.chunk = b2.chunk AND a.chunk_val = b2.chunk_val
+        |   AND a.sh_id < b2.sh_id)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM p WHERE hamming <= 3""".stripMargin,
     "q_embed_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -808,16 +871,23 @@ object SparkEntry {
         |SELECT query_id, nn_id, floor((cos)*1000000.0 + 0.5)/1000000.0 AS cosine,
         |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS INT) AS rank
         |FROM scored QUALIFY rank <= 5""".stripMargin,
-    "q_ann_ivf" ->
-      """WITH scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
-        |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-        |                                CAST(c.embedding AS DOUBLE[])) AS cos
-        |  FROM embeddings q JOIN embeddings c ON c.label = q.label AND c.vec_id <> q.vec_id
-        |  WHERE q.vec_id < 20)
-        |SELECT query_id, nn_id, floor((cos)*1000000.0 + 0.5)/1000000.0 AS cosine,
-        |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS INT) AS rank
-        |FROM scored QUALIFY rank <= 3""".stripMargin,
+    "q_ann_ivf" -> annIvfSql,
+    "q_ann_ivf_q8" -> annIvfSql, // quantized index + exact re-score ≡ exact by design
+    "q_embed_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))/127.0 AS s
+        |  FROM embeddings),
+        | e AS (
+        |  SELECT vec_id, s,
+        |         CAST(unnest(range(0, len(v))) AS INT) AS pos,
+        |         unnest(v) AS x
+        |  FROM q)
+        |SELECT vec_id, pos,
+        |       CASE WHEN s = 0 THEN 0 ELSE CAST(floor(x/s + 0.5) AS INT) END AS code,
+        |       s AS q8_scale,
+        |       CAST(abs((CASE WHEN s = 0 THEN 0 ELSE CAST(floor(x/s + 0.5) AS INT) END) * s - x) <= s/2 AS INT) AS in_bound
+        |FROM e""".stripMargin,
     "q_text_stats" ->
       """WITH t AS (
         |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks,

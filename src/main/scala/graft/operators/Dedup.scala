@@ -33,13 +33,21 @@ object Dedup {
     * materialization from `localCheckpoint` to reliable `checkpoint`. */
   val ReliableCheckpointKey = "spark.graft.dedup.reliableCheckpoint"
 
-  /** Eager lineage-truncating materialization in the configured mode. */
+  private def reliableMode(df: DataFrame): Boolean =
+    df.sparkSession.conf.get(ReliableCheckpointKey, "false").toBoolean
+
+  /** Eager lineage-truncating materialization in the configured mode.
+    * Reliable `checkpoint()` runs a SECOND job to write the checkpoint
+    * files; the frame is persisted first so that write job reads cached
+    * blocks instead of recomputing the whole plan (then unpersisted — the
+    * checkpoint files are the durable copy). */
   private def eagerCheckpoint(df: DataFrame): DataFrame = {
     val s = df.sparkSession
-    if (s.conf.get(ReliableCheckpointKey, "false").toBoolean) {
+    if (reliableMode(df)) {
       require(s.sparkContext.getCheckpointDir.isDefined,
         s"$ReliableCheckpointKey=true requires spark.sparkContext.setCheckpointDir(...)")
-      df.checkpoint()
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try df.checkpoint() finally df.unpersist(blocking = false)
     } else df.localCheckpoint()
   }
 
@@ -242,13 +250,30 @@ object Dedup {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }.foreach(_.unpersist(blocking = false))
 
-  private def checkpointWithSignature(edges: DataFrame): (DataFrame, (Long, Long)) = {
-    val obs = org.apache.spark.sql.Observation()
-    val ck = eagerCheckpoint(edges
-      .observe(obs, count(lit(1)).as("n"),
-        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("x")))
-    val m = obs.get
-    (ck, (m("n").asInstanceOf[Long], m("x").asInstanceOf[Long]))
+  private[graft] def checkpointWithSignature(edges: DataFrame): (DataFrame, (Long, Long)) = {
+    if (reliableMode(edges)) {
+      // reliable checkpoint() may recompute partitions (cached-block loss is
+      // the exact failure mode the mode exists for), and each recompute
+      // re-fires observe() accumulators: count doubles and the xor
+      // self-cancels to 0, silently degrading convergence to a count-only
+      // test. The signature is instead a separate aggregation over the
+      // ALREADY-checkpointed frame — one cheap extra job per round over
+      // fixed-width edges, correct under any recompute.
+      val ck = eagerCheckpoint(edges)
+      val row = ck.agg(count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("x")).head()
+      (ck, (row.getLong(0), row.getLong(1)))
+    } else {
+      // localCheckpoint computes the plan exactly once (persist-backed), so
+      // the signature can ride the same job as observe() metrics — one job
+      // per CC round, no rescan.
+      val obs = org.apache.spark.sql.Observation()
+      val ck = eagerCheckpoint(edges
+        .observe(obs, count(lit(1)).as("n"),
+          coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("x")))
+      val m = obs.get
+      (ck, (m("n").asInstanceOf[Long], m("x").asInstanceOf[Long]))
+    }
   }
 
   /** Resolve duplicate PAIRS into clusters: connected components over the
@@ -266,13 +291,21 @@ object Dedup {
     * eager `localCheckpoint`, so lineage never chains across rounds and an
     * eviction cannot trigger a recompute cascade; the driver reads only a
     * two-long signature per round, never the data. */
-  def duplicateClusters(pairs0: DataFrame): DataFrame = {
+  def duplicateClusters(pairs0: DataFrame): DataFrame =
+    duplicateClustersWithRounds(pairs0)._1
+
+  /** [[duplicateClusters]] plus the number of large/small-star rounds the
+    * alternation ran before the edge-set signature fixed — the empirical
+    * counterpart of the O(log n) convergence claim (bench_scale.json
+    * reports it per replica size). */
+  def duplicateClustersWithRounds(pairs0: DataFrame): (DataFrame, Int) = {
     var (edges, sig) = checkpointWithSignature(pairs0
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct())
     var converged = sig._1 == 0L // no edges ⇒ no clusters
+    var rounds = 0
     while (!converged) {
       val (next, nextSig) = checkpointWithSignature(smallStar(largeStar(edges)))
       // `next` is fully materialized and lineage-free, so the superseded
@@ -282,11 +315,12 @@ object Dedup {
       converged = nextSig == sig
       sig = nextSig
       edges = next
+      rounds += 1
     }
     // at the fixed point every edge is (member, component-min root)
-    edges.select(col("u").as("doc_id"), col("v").as("cluster_rep"))
+    (edges.select(col("u").as("doc_id"), col("v").as("cluster_rep"))
       .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_rep")))
-      .groupBy("doc_id").agg(min("cluster_rep").as("cluster_rep"))
+      .groupBy("doc_id").agg(min("cluster_rep").as("cluster_rep")), rounds)
   }
 
   /** 64-bit SimHash over whitespace tokens: per bit, sum +1/−1 weighted by

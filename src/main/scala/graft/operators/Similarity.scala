@@ -155,11 +155,64 @@ object Similarity {
   def quantizeInt8(df: DataFrame, embCol: String): DataFrame = {
     val v = col(embCol).cast("array<double>")
     val maxAbs = array_max(transform(v, x => abs(x)))
-    val scale = maxAbs / 127.0
+    // fail fast on empty or null-element vectors, matching the dense-vector
+    // policy of DotProduct / LshBandBuckets — array_max would otherwise
+    // yield a silent null scale and all-null codes; a NULL array row stays
+    // NULL like any other expression input.
+    val scale = when(v.isNull, lit(null).cast("double"))
+      .when(size(v) === 0 || exists(v, _.isNull),
+        raise_error(lit("quantize_int8: empty or null-element embedding")))
+      .otherwise(maxAbs / 127.0)
     df.withColumn("q8_scale", scale)
       .withColumn("q8",
         when(col("q8_scale") === 0.0, transform(v, _ => lit(0)))
           .otherwise(transform(v,
             x => floor(x / col("q8_scale") + 0.5).cast("int"))))
+  }
+
+  /** IVF top-k over the int8-quantized index with exact re-scoring — the
+    * quantizer's product form. Stage 1 ranks each query's coarse partition
+    * by the cosine of the CODE vectors (for symmetric per-vector scaling
+    * the scales cancel out of the cosine, so the score needs only the
+    * 4×-smaller `q8` codes — at 100 TB that index, not the fp32 vectors,
+    * is the resident working set) and keeps the top `k·candidateFactor`
+    * candidates; stage 2 joins ONLY those candidates back to the
+    * full-precision vectors by id — the shortlist page-in of a real
+    * deployment — and returns the exact-cosine top `k`. Quantization
+    * perturbs each cosine by O(1/127), far below typical inter-rank gaps;
+    * `candidateFactor` buys slack where gaps are tight (recall vs the
+    * exact path is asserted 1.0 at test settings in TrainingOpsSpec and
+    * oracle-checked by q_ann_ivf_q8). */
+  def ivfTopKQuantized(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       embCol: String, partCol: String, k: Int,
+                       candidateFactor: Int = 4): DataFrame = {
+    def index(df: DataFrame, as: String): DataFrame =
+      quantizeInt8(df, embCol)
+        .select(col(partCol).as("part"), col(idCol).as(as),
+          col("q8").cast("array<double>").as(s"${as}_q8"))
+        .withColumn(s"${as}_n8", sqrt(dot(col(s"${as}_q8"), col(s"${as}_q8"))))
+    val approx = index(queries, "query_id").join(index(corpus, "nn_id"), Seq("part"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"),
+        when(col("query_id_n8") === 0.0 || col("nn_id_n8") === 0.0, 0.0)
+          .otherwise(dot(col("query_id_q8"), col("nn_id_q8")) /
+            (col("query_id_n8") * col("nn_id_n8"))).as("approx_cosine"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("approx_cosine").desc, col("nn_id"))
+    val shortlist = approx.withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= k * candidateFactor)
+      .select("query_id", "nn_id")
+    val cx = withNorm(corpus, embCol)
+      .select(col(idCol).as("nn_id"), col("vec").as("cv"), col("norm").as("cn"))
+    val qx = withNorm(queries, embCol)
+      .select(col(idCol).as("query_id"), col("vec").as("qv"), col("norm").as("qn"))
+    val rescored = shortlist.join(qx, "query_id").join(cx, "nn_id")
+      .select(col("query_id"), col("nn_id"),
+        cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("cosine"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("nn_id"))
+    rescored.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select("query_id", "nn_id", "cosine", "rank")
   }
 }

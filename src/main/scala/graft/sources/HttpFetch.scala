@@ -72,19 +72,30 @@ object HttpFetch {
   }
 
   /** Stream a URL to `dest`: staged as `dest.part`, atomically renamed
-    * only after the full body is on disk. */
+    * only after the full body is on disk. Each attempt TRUNCATES the stage
+    * file (the default `ofFile` handler opens CREATE+WRITE only, so a
+    * retry after a failed longer attempt — an error body, an interrupted
+    * download — would leave trailing garbage that then gets renamed in as
+    * a "complete" file); the stage file is removed after the final failed
+    * attempt so no orphan `.part` lingers in the landing tree. */
   def downloadFile(url: String, dest: Path, retries: Int = 3,
-                   waitMillis: Long = 2000): Unit =
-    withRetries(url, retries, waitMillis) {
-      Files.createDirectories(dest.getParent)
-      val tmp = dest.resolveSibling(dest.getFileName.toString + ".part")
+                   waitMillis: Long = 2000): Unit = {
+    Files.createDirectories(dest.getParent)
+    val tmp = dest.resolveSibling(dest.getFileName.toString + ".part")
+    try withRetries(url, retries, waitMillis) {
       val resp = client.send(
         HttpRequest.newBuilder(URI.create(url)).GET().build(),
-        HttpResponse.BodyHandlers.ofFile(tmp))
+        HttpResponse.BodyHandlers.ofFile(tmp,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
+          java.nio.file.StandardOpenOption.WRITE))
       require(resp.statusCode() / 100 == 2, s"HTTP ${resp.statusCode()} for $url")
       Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
+    } catch {
+      case e: Throwable => Files.deleteIfExists(tmp); throw e
     }
+  }
 
   /** The composed acquisition loop: for every node dir under `baseUrl`
     * with ALL `required` files present, download them to

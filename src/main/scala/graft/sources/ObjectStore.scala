@@ -74,18 +74,31 @@ object ObjectStore {
     files.length
   }
 
-  /** S12: read every CSV object under `prefix`, drop rows matching
-    * `drop`, write the survivors back under the same prefix. The rewrite
-    * goes to a sibling `_graft_tmp` prefix first and swaps only after the
-    * new objects are fully committed, so a failure mid-job leaves the
-    * original data intact (write-validate-rename, S14, applied to the
-    * object store). Returns (rowsBefore, rowsAfter). */
+  /** S12: read every CSV object under `prefix`, drop rows POSITIVELY
+    * matching `drop` (a NULL predicate — e.g. a missing Host cell — keeps
+    * the row, matching the reference's `!= node` semantics), write the
+    * survivors back under the same prefix. The rewrite goes to a sibling
+    * `_graft_tmp` prefix first, and the swap renames the original aside to
+    * `_graft_old` BEFORE the new data moves in, so the original bytes
+    * exist on the store until the new prefix is fully in place
+    * (write-validate-rename, S14, applied to the object store).
+    *
+    * Crash recovery (the swap is three non-atomic steps on s3a-style
+    * stores): a crash before the swap leaves the live prefix untouched
+    * (`_graft_tmp` is residue, delete it); between the two renames, the
+    * live prefix is absent but the original survives complete at
+    * `_graft_old` (rename it back) and the new data at `_graft_tmp`;
+    * mid-`rename(tmp, dir)` (copy-then-delete on s3a) the copy restarts
+    * cleanly after deleting the partial `dir` — no state loses data.
+    * Returns (rowsBefore, rowsAfter). */
   def readFilterWriteback(spark: SparkSession, prefix: String,
                           drop: Column): (Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, count, lit}
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(prefix)
     val fs = dir.getFileSystem(conf)
     val tmp = new Path(dir.getParent, dir.getName + "_graft_tmp")
+    val old = new Path(dir.getParent, dir.getName + "_graft_old")
 
     // both row counts ride the ONE write job as observe metrics — no
     // separate count scans (at object-store scale every extra pass is a
@@ -93,18 +106,20 @@ object ObjectStore {
     val obsIn = org.apache.spark.sql.Observation()
     val obsOut = org.apache.spark.sql.Observation()
     spark.read.option("header", "true").csv(prefix)
-      .observe(obsIn, org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("n"))
-      .filter(!drop)
-      .observe(obsOut, org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .observe(obsIn, count(lit(1)).as("n"))
+      .filter(!coalesce(drop, lit(false)))
+      .observe(obsOut, count(lit(1)).as("n"))
       .write.mode("overwrite").option("header", "true").csv(tmp.toString)
     val nBefore = obsIn.get("n").asInstanceOf[Long]
     val nAfter = obsOut.get("n").asInstanceOf[Long]
 
-    fs.delete(dir, true)
+    fs.delete(old, true) // residue of an earlier crashed swap
+    if (fs.exists(dir) && !fs.rename(dir, old))
+      throw new IOException(s"writeback swap failed: $dir -> $old")
     if (!fs.rename(tmp, dir))
-      throw new IOException(s"writeback swap failed: $tmp -> $dir")
+      throw new IOException(
+        s"writeback swap failed: $tmp -> $dir (original preserved at $old)")
+    fs.delete(old, true)
     (nBefore, nAfter)
   }
 }

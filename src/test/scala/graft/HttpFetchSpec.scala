@@ -77,6 +77,34 @@ class HttpFetchSpec extends AnyFunSuite {
     }
   }
 
+  test("downloadFile truncates a stale longer .part — no trailing garbage lands") {
+    withServer { base =>
+      val landing = Files.createTempDirectory("landing-trunc")
+      val dest = landing.resolve("cpu.csv")
+      // residue of a failed earlier attempt, LONGER than the real body: a
+      // CREATE+WRITE-only handler would overwrite the prefix and rename
+      // the trailing garbage in as part of a "complete" file
+      Files.write(dest.resolveSibling("cpu.csv.part"),
+        ("X" * 500).getBytes("UTF-8"))
+      HttpFetch.downloadFile(base + "NODE2/cpu.csv", dest)
+      val got = new String(Files.readAllBytes(dest), "UTF-8")
+      assert(got == "Host,user\nn2,9\n", s"stale bytes leaked: ${got.length} bytes")
+      assert(!Files.exists(dest.resolveSibling("cpu.csv.part")))
+    }
+  }
+
+  test("downloadFile cleans up .part after the final failed attempt") {
+    withServer { base =>
+      val landing = Files.createTempDirectory("landing-fail")
+      val dest = landing.resolve("gone.csv")
+      intercept[java.io.IOException](
+        HttpFetch.downloadFile(base + "missing.csv", dest, retries = 2, waitMillis = 10))
+      assert(!Files.exists(dest))
+      assert(!Files.exists(dest.resolveSibling("gone.csv.part")),
+        "orphan .part residue after exhausted retries")
+    }
+  }
+
   test("fetchHtml: exhausted retries raise, not hang") {
     withServer { base =>
       val e = intercept[java.io.IOException](

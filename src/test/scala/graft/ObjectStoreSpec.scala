@@ -79,6 +79,51 @@ class ObjectStoreSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path("s3a://test-bucket/metrics_graft_tmp")))
   }
 
+  test("readFilterWriteback keeps NULL-keyed rows (NULL predicate is not a match)") {
+    root
+    // a missing Host cell reads back as NULL; NULL === 'NODE404' is NULL and
+    // the reference keeps such rows — a bare filter(!drop) would drop them
+    val df = Seq(("NODE404", "1"), (null, "2"), ("keep", "3")).toDF("Host", "v")
+    df.write.mode("overwrite").option("header", "true")
+      .csv("s3a://test-bucket/nullmetrics")
+    val (before, after) = ObjectStore.readFilterWriteback(spark,
+      "s3a://test-bucket/nullmetrics", col("Host") === "NODE404")
+    assert(before == 3 && after == 2)
+    val left = spark.read.option("header", "true")
+      .csv("s3a://test-bucket/nullmetrics")
+      .select("v").as[String].collect().toSet
+    assert(left == Set("2", "3"), "the NULL-Host row must survive the writeback")
+  }
+
+  test("writeback swap: original survives a crash between the two renames") {
+    root
+    val fs = new org.apache.hadoop.fs.Path("s3a://test-bucket/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"s3a://test-bucket/$s")
+    // replay the swap protocol readFilterWriteback performs, crashing
+    // after step 1: the original must exist COMPLETE at _graft_old and the
+    // new data at _graft_tmp — nothing is lost, both recovery paths work
+    Seq(("orig", 1)).toDF("Host", "v").write.mode("overwrite")
+      .option("header", "true").csv("s3a://test-bucket/swap")
+    Seq(("new", 2)).toDF("Host", "v").write.mode("overwrite")
+      .option("header", "true").csv("s3a://test-bucket/swap_graft_tmp")
+    assert(fs.rename(p("swap"), p("swap_graft_old"))) // step 1, then "crash"
+    assert(!fs.exists(p("swap")))
+    assert(spark.read.option("header", "true").csv("s3a://test-bucket/swap_graft_old")
+      .select("Host").as[String].collect().toSeq == Seq("orig"),
+      "original bytes must survive the crash window complete")
+    // recovery path A: roll forward (what a re-run's swap tail does)
+    assert(fs.rename(p("swap_graft_tmp"), p("swap")))
+    fs.delete(p("swap_graft_old"), true)
+    assert(spark.read.option("header", "true").csv("s3a://test-bucket/swap")
+      .select("Host").as[String].collect().toSeq == Seq("new"))
+    // and a fresh full readFilterWriteback leaves neither staging prefix
+    val (_, after) = ObjectStore.readFilterWriteback(spark,
+      "s3a://test-bucket/swap", col("Host") === "nomatch")
+    assert(after == 1)
+    assert(!fs.exists(p("swap_graft_tmp")) && !fs.exists(p("swap_graft_old")))
+  }
+
   test("object-store semantics enforced: append rejected, rename non-destructive") {
     root
     val fs = new org.apache.hadoop.fs.Path("s3a://test-bucket/")

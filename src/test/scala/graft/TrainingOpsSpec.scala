@@ -106,6 +106,44 @@ class TrainingOpsSpec extends SparkSpec {
     } finally spark.conf.set(Dedup.ReliableCheckpointKey, "false")
   }
 
+  test("reliable-checkpoint CC signature is single-fire: exact count, xor not self-cancelled") {
+    // reliable checkpoint() can recompute the plan to write its files; if
+    // observe() accumulators rode that plan they would fire per compute —
+    // count doubles and the xor cancels to 0, silently degrading the CC
+    // convergence test to count-only (ADVICE r4, high). The signature must
+    // be the frame's true (n, xor) in BOTH modes.
+    val edges = Seq((3L, 1L), (5L, 2L), (7L, 4L)).toDF("u", "v")
+    val expectedX = edges
+      .agg(coalesce(bit_xor(xxhash64($"u", $"v")), lit(0L)))
+      .collect()(0).getLong(0)
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt-sig")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
+    spark.conf.set(Dedup.ReliableCheckpointKey, "true")
+    try {
+      val (ck, sig) = Dedup.checkpointWithSignature(edges)
+      assert(sig._1 == 3L, s"count must be single-fire, got ${sig._1}")
+      assert(sig._2 == expectedX && sig._2 != 0L,
+        s"xor must not self-cancel, got ${sig._2}")
+      assert(ck.count() == 3)
+    } finally spark.conf.set(Dedup.ReliableCheckpointKey, "false")
+    // and the default localCheckpoint mode reports the same signature
+    val (_, sigLocal) = Dedup.checkpointWithSignature(edges)
+    assert(sigLocal == ((3L, expectedX)))
+  }
+
+  test("duplicateClustersWithRounds: round count grows ~log, not linearly, with chain length") {
+    def rounds(n: Long): Int = {
+      val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val (out, r) = Dedup.duplicateClustersWithRounds(pairs)
+      assert(out.filter($"cluster_rep" === 0L).count() == n) // one component
+      r
+    }
+    val r16 = rounds(16)
+    val r128 = rounds(128) // 8× the diameter
+    assert(r128 <= r16 + 4, // O(log n): doubling the chain adds ~1 round
+      s"rounds grew too fast: chain16=$r16 chain128=$r128")
+  }
+
   test("simhash: identical texts distance 0; near-dups within small hamming") {
     val h = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -169,6 +207,58 @@ class TrainingOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(lsh == exact) // at cos ≈ 0.994, P[miss] per pair < 1e-14 over 24 bands
     assert(lsh.keySet == Set((0L, 1L), (2L, 3L)))
+  }
+
+  test("quantizeInt8: half-up codes, ±127 saturation, zero vector, fail-fast edges") {
+    // 62.5 pins HALF-UP (half-even would give 62); ±maxAbs pins saturation
+    val d = Seq(
+      (1L, Array(127.0f, -127.0f, 62.5f, 0.0f)), // scale exactly 1.0
+      (2L, Array(0.0f, 0.0f))                    // zero vector
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(d, "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Double]("q8_scale"), r.getAs[Seq[Int]]("q8")))).toMap
+    assert(out(1L) == ((1.0, Seq(127, -127, 63, 0))))
+    assert(out(2L) == ((0.0, Seq(0, 0)))) // zero vector: scale 0, zero codes
+    // all codes in [-127, 127] and |dequant error| <= scale/2 on real data
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Similarity.quantizeInt8(real, "embedding")
+      .select($"q8_scale", explode($"q8").as("code"))
+    assert(q.filter($"code" < -127 || $"code" > 127).count() == 0)
+    // empty array fails fast (not a silent null scale)
+    val eEmpty = intercept[Exception](Similarity.quantizeInt8(
+      Seq((1L, Array.empty[Float])).toDF("vec_id", "embedding"), "embedding")
+      .select("q8_scale").collect())
+    assert(messages(eEmpty).contains("quantize_int8"), messages(eEmpty))
+    // null element fails fast; NULL array row stays NULL
+    val nd = spark.sql(
+      """SELECT 1L AS vec_id, array(1.0D, CAST(NULL AS DOUBLE)) AS embedding
+        |UNION ALL SELECT 2L, CAST(NULL AS ARRAY<DOUBLE>)""".stripMargin)
+    val eNull = intercept[Exception](Similarity.quantizeInt8(
+      nd.filter($"vec_id" === 1), "embedding").select("q8").collect())
+    assert(messages(eNull).contains("quantize_int8"), messages(eNull))
+    val nullRow = Similarity.quantizeInt8(nd.filter($"vec_id" === 2), "embedding")
+      .select("q8_scale", "q8").collect()(0)
+    assert(nullRow.isNullAt(0) && nullRow.isNullAt(1))
+  }
+
+  test("ivfTopKQuantized == exact ivfTopK (recall 1.0 via exact re-scoring)") {
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("nn_id"), math.rint(r.getAs[Double]("cosine") * 1e9)))).toMap
+    // fixture vectors
+    val exactF = asMap(Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 0),
+      "vec_id", "embedding", "label", 2))
+    val q8F = asMap(Similarity.ivfTopKQuantized(vecs, vecs.filter($"vec_id" === 0),
+      "vec_id", "embedding", "label", 2))
+    assert(q8F == exactF)
+    // real embeddings at sf0.001, the q_ann_ivf_q8 shape
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = real.filter($"vec_id" < 20)
+    val exactR = asMap(Similarity.ivfTopK(real, queries, "vec_id", "embedding", "label", 3))
+    val q8R = asMap(Similarity.ivfTopKQuantized(real, queries, "vec_id", "embedding",
+      "label", 3, candidateFactor = 4))
+    assert(q8R == exactR, "quantized index + exact re-scoring must reproduce exact top-k")
   }
 
   test("blank documents: no tokens, no shingles, no phantom duplicates") {
