@@ -124,6 +124,32 @@ class ObjectStoreSpec extends SparkSpec {
     assert(!fs.exists(p("swap_graft_tmp")) && !fs.exists(p("swap_graft_old")))
   }
 
+  test("reliable CC checkpoints write to s3a:// and clusters stay correct") {
+    // composes the two cluster features: Dedup's reliable-checkpoint mode
+    // (executor-loss survival) against object-store rename semantics —
+    // the checkpoint story a 1000-executor deployment actually runs
+    // (setCheckpointDir on a shared store, not executor-local disk)
+    root
+    import graft.operators.Dedup
+    spark.sparkContext.setCheckpointDir("s3a://test-bucket/cc-ckpt")
+    spark.conf.set(Dedup.ReliableCheckpointKey, "true")
+    try {
+      val pairs = Seq((1L, 2L), (2L, 6L), (8L, 9L)).toDF("id_a", "id_b")
+      val got = Dedup.duplicateClusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 6L -> 1L, 8L -> 8L, 9L -> 8L))
+      val fs = new org.apache.hadoop.fs.Path("s3a://test-bucket/")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val ckpt = new org.apache.hadoop.fs.Path("s3a://test-bucket/cc-ckpt")
+      assert(fs.exists(ckpt) && fs.listStatus(ckpt).nonEmpty,
+        "checkpoint rounds must land on the object store")
+    } finally {
+      spark.conf.set(Dedup.ReliableCheckpointKey, "false")
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt-local").toString)
+    }
+  }
+
   test("object-store semantics enforced: append rejected, rename non-destructive") {
     root
     val fs = new org.apache.hadoop.fs.Path("s3a://test-bucket/")
