@@ -425,6 +425,40 @@ object SparkEntry {
         md5(col("chunk_text").cast("binary")).as("chunk_md5"),
         col("chunk_tokens"))
 
+  /** Train-eval decontamination: distinct shared word-3-grams per training
+    * doc against a synthetic eval slice (doc_id % 97 == 0) — the GPT-3 /
+    * Dolma leakage check as a broadcast-semi-join over hashed shingles. */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    Dedup.contamination(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+      "doc_id", "text", 3)
+  }
+
+  /** Deterministic md5 train/val/test split — reproducible membership with
+    * no rand(), no shuffle; the oracle recomputes the same hex cutoffs. */
+  private def qHashSplit(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hashSplit(tbl(s, dir, "documents"), "doc_id")
+      .select("doc_id", "split")
+
+  /** PII scrubbing: plant a deterministic email/phone/IPv4 per document,
+    * then count and redact — RE2-compatible patterns, so the oracle runs
+    * the literal same regexes. Redacted text rides as md5. */
+  private def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val planted = tbl(s, dir, "documents").withColumn("text2",
+      concat(col("text"),
+        lit(" contact u"), id.cast("string"), lit("@mail.example.com or 555-"),
+        lpad(pmod(id, lit(1000)).cast("string"), 3, "0"), lit("-"),
+        lpad(pmod(id, lit(10000)).cast("string"), 4, "0"),
+        lit(" from 10.0."), pmod(id, lit(256)).cast("string"), lit("."),
+        pmod(id * 7, lit(256)).cast("string")))
+    TextAnalysis.withPiiRedaction(planted, "text2")
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+        md5(col("redacted").cast("binary")).as("red_md5"))
+  }
+
   /** Multimodal asset plumbing: binary payload + typed metadata. Non-image
     * mime ⇒ width/height are null (header sniffing is image-only). */
   private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame = {
@@ -644,6 +678,9 @@ object SparkEntry {
     "q_text_fingerprint" -> qTextFingerprint,
     "q_text_repetition" -> qTextRepetition,
     "q_text_chunks" -> qTextChunks,
+    "q_decontaminate" -> qDecontaminate,
+    "q_hash_split" -> qHashSplit,
+    "q_pii_redact" -> qPiiRedact,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_dims" -> qMultimodalDims,
     "q_multimodal_features" -> qMultimodalFeatures,
@@ -968,6 +1005,39 @@ object SparkEntry {
         |  unnest(list_transform(range(0, n_chunks), i -> md5(array_to_string(list_slice(toks, i*48+1, i*48+64), ' ')))) AS chunk_md5,
         |  CAST(unnest(list_transform(range(0, n_chunks), i -> len(list_slice(toks, i*48+1, i*48+64)))) AS INT) AS chunk_tokens
         |FROM c""".stripMargin,
+    "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[CAST(i AS INT):CAST(i+2 AS INT)], ' ') AS s
+        |       FROM toks, LATERAL unnest(range(1, greatest(len(w)-1, 2))) AS t(i)),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
+        |SELECT tr.doc_id, count(*) AS n_contaminated_ngrams
+        |FROM tr JOIN ev ON tr.s = ev.s
+        |GROUP BY tr.doc_id""".stripMargin,
+    "q_hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "q_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com or 555-' ||
+        |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |    ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+        |    CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+        |  CAST(len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')) AS red_md5
+        |FROM p""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id AS asset_id, 'text/plain' AS mime,
         |       octet_length(encode(text)) AS n_bytes,

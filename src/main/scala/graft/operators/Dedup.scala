@@ -323,6 +323,32 @@ object Dedup {
       .groupBy("doc_id").agg(min("cluster_rep").as("cluster_rep")), rounds)
   }
 
+  /** Train-eval decontamination (the n-gram-overlap leakage check of
+    * GPT-3 appendix C / Dolma): for every training document, count the
+    * distinct word `k`-grams it shares with ANY eval document. Output:
+    * `(<idCol>, n_contaminated_ngrams)` — one row per contaminated doc;
+    * clean docs are absent. Scale shape: shingles are hashed to 8-byte
+    * keys ([[hashedWordShingles]]) and the EVAL side — benchmarks, tiny
+    * next to a training corpus — is distinct-reduced and broadcast, so
+    * the 100 TB training side never shuffles for the check; drop the
+    * broadcast hint if the eval corpus is genuinely large. */
+  def contamination(train: DataFrame, evalDocs: DataFrame, idCol: String,
+                    textCol: String, k: Int = 8): DataFrame = {
+    val trainSh = hashedWordShingles(train, idCol, textCol, k)
+    val evalSh = hashedWordShingles(evalDocs, idCol, textCol, k)
+      .select("shingle").distinct()
+    trainSh.join(broadcast(evalSh), Seq("shingle"))
+      .groupBy("sh_id").agg(count(lit(1)).as("n_contaminated_ngrams"))
+      .withColumnRenamed("sh_id", idCol)
+  }
+
+  /** [[contamination]] applied: training docs with any shared `k`-gram
+    * removed (left-anti on the contaminated id set). */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame, idCol: String,
+                    textCol: String, k: Int = 8): DataFrame =
+    train.join(contamination(train, evalDocs, idCol, textCol, k)
+      .select(idCol), Seq(idCol), "left_anti")
+
   /** 64-bit SimHash over whitespace tokens: per bit, sum +1/−1 weighted by
     * the token-hash bit; the sign vector packs into one long. One narrow
     * pass via the native [[graft.functions.SimHash64]] expression (the

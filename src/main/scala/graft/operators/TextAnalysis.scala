@@ -124,6 +124,62 @@ object TextAnalysis {
         size(col("col")).as("chunk_tokens"))
   }
 
+  /** Deterministic corpus split (train/val/test): assign each row to a
+    * named split by the md5 of its id (optionally salted) — stable across
+    * runs, engines, partitionings and cluster sizes, unlike `rand()`-based
+    * sampling, so split membership is reproducible anywhere and costs no
+    * shuffle (narrow per-row transform). Fractions are realized as hex
+    * cutoffs on the first 4 md5 nibbles (granularity 1/65536); rows route
+    * to the first split whose cutoff exceeds their prefix. */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Double)] =
+                  Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+                salt: String = ""): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0.0) &&
+      math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must be positive and sum to 1: $splits")
+    val pfx = substring(
+      md5(concat(col(idCol).cast("string"), lit(salt)).cast("binary")), 1, 4)
+    val bounds = splits.init
+      .scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+      .map(c => f"${math.floor(c * 65536).toLong}%04x")
+    val chain = splits.init.zip(bounds).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), b)) =>
+        Some(acc.fold(when(pfx < b, name))(_.when(pfx < b, name)))
+    }
+    df.withColumn("split",
+      chain.fold(lit(splits.last._1): Column)(_.otherwise(splits.last._1)))
+  }
+
+  // PII patterns: RE2-compatible (no lookaround), so the exact same
+  // regexes run on Spark (java.util.regex) and RE2-based engines alike.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** PII redaction: emails, IPv4 addresses, and NANP-style phone numbers
+    * replaced with typed placeholder tokens (email first so its digits/
+    * dots can't be half-eaten by the narrower patterns; IP before phone —
+    * neither can match inside the other's replacement). Narrow per-row
+    * transform; a deterministic closed form of the scrubbing pass every
+    * training pipeline runs before tokenization. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-type PII match counts alongside the redacted text — the audit
+    * trail (how much was scrubbed) a curation run reports. */
+  def withPiiRedaction(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", size(regexp_extract_all(t, lit(EmailRe), lit(0))))
+      .withColumn("n_ips", size(regexp_extract_all(t, lit(Ipv4Re), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(t, lit(PhoneRe), lit(0))))
+      .withColumn("redacted", redactPii(t))
+  }
+
   /** Document fingerprints: `md5_fp` of whitespace-normalized lowercase
     * text (exact-dup key), and `min_shingle_fp` — the minimum md5 over the
     * document's k-shingles (a 1-hash MinHash / winnowing-style rolling

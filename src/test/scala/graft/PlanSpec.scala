@@ -95,11 +95,20 @@ class PlanSpec extends SparkSpec {
       s"global sort present, plan:\n$p")
   }
 
-  test("per-row text ops are shuffle-free: chunking and repetition stats") {
-    for (q <- Seq("q_text_chunks", "q_text_repetition")) {
+  test("per-row text ops are shuffle-free: chunking, repetition, quantize, split, redact") {
+    for (q <- Seq("q_text_chunks", "q_text_repetition", "q_embed_quantize",
+        "q_hash_split", "q_pii_redact")) {
       val p = executed(SparkEntry.queries(q)(spark, sf))
       assert(countShuffles(p) == 0, s"$q should be narrow, plan:\n$p")
     }
+  }
+
+  test("q_decontaminate: eval shingles broadcast — the training corpus never shuffles for the check") {
+    val p = executed(SparkEntry.queries("q_decontaminate")(spark, sf))
+    assert(countBroadcasts(p) >= 1, s"expected broadcast eval side, plan:\n$p")
+    // shuffles: the eval-side distinct + the final per-doc count — the
+    // training shingle stream itself must not shuffle for the join
+    assert(countShuffles(p) <= 2, s"expected ≤2 shuffles, plan:\n$p")
   }
 
   test("q_filter_project: predicates and projection reach the parquet scan") {

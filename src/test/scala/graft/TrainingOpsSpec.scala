@@ -276,6 +276,67 @@ class TrainingOpsSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("contamination counts shared n-grams; decontaminate removes exactly the hits") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the fence"), // shares "the quick brown"
+      (2L, "entirely unrelated content goes here"),
+      (3L, "benchmark question one verbatim copy")       // exact eval text
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "the quick brown dog"),
+      (101L, "benchmark question one verbatim copy")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.contamination(train, eval_, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits(1L) == 1L) // only "the quick brown"
+    assert(hits(3L) == 3L) // 5 tokens → 3 trigrams, all shared
+    assert(!hits.contains(2L))
+    val clean = Dedup.decontaminate(train, eval_, "doc_id", "text", 3)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(clean == Set(2L))
+  }
+
+  test("hashSplit: deterministic partition into named splits, fractions honored") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextAnalysis.hashSplit(docs, "doc_id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = out.values.sum
+    assert(out.keySet == Set("train", "val", "test")) // every row in exactly one
+    assert(out("train").toDouble / n > 0.7 && out("train").toDouble / n < 0.9)
+    // stable across recomputation AND partitioning (no rand() anywhere)
+    val a = TextAnalysis.hashSplit(docs, "doc_id").select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = TextAnalysis.hashSplit(docs.repartition(7), "doc_id")
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    // a salt re-deals the assignment; bad fractions fail fast
+    val salted = TextAnalysis.hashSplit(docs, "doc_id", salt = "v2")
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(salted != a)
+    intercept[IllegalArgumentException](
+      TextAnalysis.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4)))
+  }
+
+  test("redactPii: emails, IPv4s, phones replaced; counts audit the scrub") {
+    val d = Seq(
+      (1L, "mail a.user+tag@sub.example.co.uk or call 555-123-4567 from 10.0.0.1"),
+      (2L, "no pii at all, just 12-34 and 1.5 numbers"),
+      (3L, "two mails: x@y.io and z@w.dev")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withPiiRedaction(d, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_emails"), r.getAs[Int]("n_ips"),
+          r.getAs[Int]("n_phones"), r.getAs[String]("redacted")))).toMap
+    assert(out(1L) == ((1, 1, 1,
+      "mail <EMAIL> or call <PHONE> from <IP>")))
+    assert(out(2L) == ((0, 0, 0, "no pii at all, just 12-34 and 1.5 numbers")))
+    assert(out(3L)._1 == 2)
+    assert(out(3L)._4 == "two mails: <EMAIL> and <EMAIL>")
+  }
+
   test("text quality features on a known sentence") {
     val r = TextAnalysis.withQuality(Seq((1L, "the cat sat, on the mat!")).toDF("id", "text"), "text")
       .collect()(0)
