@@ -375,13 +375,17 @@ object SparkEntry {
     * closed-form IEEE arithmetic both engines compute bit-identically,
     * and `in_bound` pins the dequantization error ≤ s/2 guarantee. */
   private def qEmbedQuantize(s: SparkSession, dir: String): DataFrame = {
+    // zip code+element BEFORE exploding: each exploded row then carries one
+    // (code, x) struct instead of the whole 64-element source array (the
+    // element_at(v, pos) form materializes the full vector per output row —
+    // 64× the bytes through the explode)
     val q = Similarity.quantizeInt8(tbl(s, dir, "embeddings"), "embedding")
       .select(col("vec_id"), col("q8_scale"),
-        col("embedding").cast("array<double>").as("v"), posexplode(col("q8")))
-    q.select(col("vec_id"), col("pos"), col("col").as("code"), col("q8_scale"),
-      (abs(col("col").cast("double") * col("q8_scale") -
-        element_at(col("v"), col("pos") + 1)) <= col("q8_scale") / 2)
-        .cast("int").as("in_bound"))
+        posexplode(arrays_zip(col("q8"),
+          col("embedding").cast("array<double>").as("x"))))
+    q.select(col("vec_id"), col("pos"), col("col.q8").as("code"), col("q8_scale"),
+      (abs(col("col.q8").cast("double") * col("q8_scale") - col("col.x")) <=
+        col("q8_scale") / 2).cast("int").as("in_bound"))
   }
 
   /** Token counts + quality-score features. */
