@@ -271,6 +271,23 @@ object SparkEntry {
         rq(clampMetric(safeDiv(col("l_extendedprice"), col("l_quantity")), 0.0, 1500.0), 6)
           .as("unit_price_clamped"))
 
+  /** Column profiling: per-group count / distinct / min / max / EXACT
+    * linear-interpolation percentiles — the data-profiling pass a pipeline
+    * runs before committing to a curation config. Spark's `percentile`
+    * and DuckDB's `quantile_cont` share the same rank = p·(n−1)
+    * interpolation definition, so the profile is hash-checkable. */
+  private def qProfile(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        rq(min("value"), 6).as("min_v"),
+        rq(max("value"), 6).as("max_v"),
+        rq(expr("percentile(value, 0.25)"), 6).as("p25"),
+        rq(expr("percentile(value, 0.5)"), 6).as("p50"),
+        rq(expr("percentile(value, 0.75)"), 6).as("p75"))
+
   /** JSON extraction from the events `props` column. */
   private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "events")
@@ -710,6 +727,7 @@ object SparkEntry {
     "q_dedup_exact" -> qDedupExact,
     "q_topk" -> qTopK,
     "q_safediv_clamp" -> qSafeDivClamp,
+    "q_profile" -> qProfile,
     "q_json_extract" -> qJsonExtract)
 
   /** Word-3-gram jaccard pairs ≥ 0.8 in DuckDB SQL — oracle for both the
@@ -1184,6 +1202,15 @@ object SparkEntry {
         |         CASE WHEN l_quantity <> 0 THEN l_extendedprice / l_quantity ELSE 0.0 END,
         |         0.0), 1500.0))*1000000.0 + 0.5)/1000000.0 AS unit_price_clamped
         |FROM lineitem""".stripMargin,
+    "q_profile" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  floor((min(value))*1000000.0 + 0.5)/1000000.0 AS min_v,
+        |  floor((max(value))*1000000.0 + 0.5)/1000000.0 AS max_v,
+        |  floor((quantile_cont(value, 0.25))*1000000.0 + 0.5)/1000000.0 AS p25,
+        |  floor((quantile_cont(value, 0.5))*1000000.0 + 0.5)/1000000.0 AS p50,
+        |  floor((quantile_cont(value, 0.75))*1000000.0 + 0.5)/1000000.0 AS p75
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_json_extract" ->
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val

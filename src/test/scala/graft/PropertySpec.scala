@@ -216,6 +216,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("quantizeInt8 invariants on random vectors: range, saturation, error bound") {
+    import graft.operators.Similarity
+    val vecGen: Gen[List[Array[Float]]] = for {
+      n <- Gen.chooseNum(1, 15)
+      vs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.listOfN(8, Gen.chooseNum(-1e3, 1e3)).map(_.map(_.toFloat).toArray),
+        Gen.const(Array.fill(8)(0.0f)), // zero vector
+        Gen.listOfN(8, Gen.chooseNum(-1e-6, 1e-6)).map(_.map(_.toFloat).toArray)))
+    } yield vs
+    forAll(vecGen, n = 4) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      Similarity.quantizeInt8(df, "embedding").collect().foreach { r =>
+        val scale = r.getAs[Double]("q8_scale")
+        val codes = r.getAs[scala.collection.Seq[Int]]("q8").toSeq
+        val orig = r.getAs[scala.collection.Seq[Float]]("embedding").toSeq.map(_.toDouble)
+        assert(codes.forall(c => c >= -127 && c <= 127))
+        if (scale == 0.0) assert(codes.forall(_ == 0)) // zero vector path
+        else {
+          // dequantization error bound |c·s − x| ≤ s/2 (+ fp slack)
+          codes.zip(orig).foreach { case (c, x) =>
+            assert(math.abs(c * scale - x) <= scale / 2 + scale * 1e-9,
+              s"err ${math.abs(c * scale - x)} vs bound ${scale / 2}")
+          }
+          // the max-|x| element always saturates to ±127
+          assert(codes.exists(c => math.abs(c) == 127))
+        }
+      }
+    }
+  }
+
   test("image header parse inverts construction across byte boundaries, all formats") {
     import java.nio.{ByteBuffer, ByteOrder}
     import graft.operators.Multimodal
