@@ -20,6 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // optimizer rule: interval-containment joins → bucketed equi-join
+    // (gated on spark.graft.rewrite.intervalJoin; see the rule's docs)
+    e.injectOptimizerRule(graft.plans.IntervalJoinRewrite)
     e.injectFunction((
       FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - dot product of two array<double>"),

@@ -1,0 +1,132 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
+
+/** Catalyst optimizer rule (SURVEY.md §4's "interval join planning rule",
+  * realized at the plan level): an inner join whose condition contains a
+  * two-sided containment `ts >= start AND ts < end` — the reference's
+  * metrics ⋈ accounting shape, and the general range join — is rewritten
+  * into the bucketed equi-join form of
+  * [[graft.operators.IntervalJoin.bucketed]]: the interval side explodes
+  * into the fixed-width time buckets it overlaps (a `Generate` node), the
+  * probe side computes its single bucket, and `bucket = bucket` joins the
+  * equi-key set. The original containment conjuncts remain as the residual
+  * filter, so results are row-identical to the un-rewritten join.
+  *
+  * Why: Catalyst extracts any `key = key` conjunct and hash-joins on it,
+  * but every row of a key still meets EVERY interval of that key (per-key
+  * all-pairs); with no equi conjunct at all the planner falls back to a
+  * broadcast-nested-loop or cartesian product. Bucketing bounds the blowup
+  * to intervals overlapping the row's own bucket — the difference between
+  * a 100 TB range join finishing and not.
+  *
+  * Scope guards (each bail keeps the original join):
+  *  - inner joins with no user join hint (an explicit `broadcast()` is
+  *    respected — the map-side plan is already optimal);
+  *  - `ts`/`start`/`end` are plain `TimestampType` attributes, `ts` from
+  *    one side, both bounds from the other (TIMESTAMP_NTZ is skipped: its
+  *    wall-clock bucketing is DST-ambiguous — see `IntervalJoin.bucketed`);
+  *  - conditions already referencing a `__`-prefixed attribute are skipped
+  *    (prevents re-bucketing this rule's own output or the explicit
+  *    bucketed operator's).
+  *
+  * `spark.graft.rewrite.intervalJoin` (default true) gates the rule;
+  * `spark.graft.rewrite.intervalJoin.bucketMicros` (default 1 day) sets
+  * the bucket width — size it at or above the typical interval length:
+  * each interval emits one row per overlapped bucket, so width ≪ interval
+  * trades join fan-in for explode fan-out. */
+case class IntervalJoinRewrite(session: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
+
+  import IntervalJoinRewrite._
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!session.conf.get(EnabledKey, "true").toBoolean) plan
+    else plan.transformUp {
+      case j @ Join(_, _, Inner, Some(cond), hint)
+          if hint == JoinHint.NONE &&
+            !cond.references.exists(_.name.startsWith("__")) =>
+        rewrite(j).getOrElse(j)
+    }
+
+  private def rewrite(j: Join): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(j.condition.get)
+    def sideOf(a: Attribute): Option[Boolean] = // Some(true) = left side
+      if (j.left.outputSet.contains(a)) Some(true)
+      else if (j.right.outputSet.contains(a)) Some(false) else None
+
+    // normalize range conjuncts to (ts, bound, isLowerBound)
+    def asBound(e: Expression): Option[(Attribute, Attribute, Boolean)] = e match {
+      case GreaterThanOrEqual(t: Attribute, s: Attribute) => Some((t, s, true))
+      case LessThanOrEqual(s: Attribute, t: Attribute) => Some((t, s, true))
+      case LessThan(t: Attribute, e2: Attribute) => Some((t, e2, false))
+      case GreaterThan(e2: Attribute, t: Attribute) => Some((t, e2, false))
+      case _ => None
+    }
+    val bounds = conjuncts.flatMap(asBound).filter { case (t, b, _) =>
+      t.dataType == TimestampType && b.dataType == TimestampType &&
+        sideOf(t).isDefined && sideOf(b).isDefined && sideOf(t) != sideOf(b)
+    }
+    val containment = (for {
+      (t1, start, true) <- bounds
+      (t2, end, false) <- bounds
+      if t1.semanticEquals(t2) && sideOf(start) == sideOf(end)
+    } yield (t1, start, end)).headOption
+
+    containment.map { case (ts, start, end) =>
+      val w = session.conf
+        .get(BucketMicrosKey, DefaultBucketMicros.toString).toLong
+      require(w > 0, s"$BucketMicrosKey must be positive, got $w")
+      // floor over double division: exact below 2^53 µs (~year 2255) and
+      // floor (not truncate-toward-zero) for pre-epoch timestamps —
+      // bit-matches IntervalJoin.bucketed's bucket assignment
+      def bucketOf(e: Expression): Expression =
+        Cast(Floor(Divide(Cast(UnixMicros(e), DoubleType),
+          Literal(w.toDouble))), LongType)
+      val lastBucket = Cast(Floor(Divide(
+        Cast(Subtract(UnixMicros(end), Literal(1L)), DoubleType),
+        Literal(w.toDouble))), LongType)
+      // this rule runs post-analysis, so ResolveTimeZone has already
+      // passed: timezone-aware expressions built HERE must be bound
+      // explicitly or the plan flips back to unresolved
+      def withTz(e: Expression): Expression = e.transformUp {
+        case t: TimeZoneAwareExpression if t.timeZoneId.isEmpty =>
+          t.withTimeZone(session.sessionState.conf.sessionLocalTimeZone)
+      }
+      // explicit step 1: Sequence's auto-step would count DOWN for an
+      // inverted (start >= end) interval instead of yielding no buckets —
+      // and with the explicit step it THROWS on inverted boundaries, so
+      // degenerate/NULL intervals route to an empty bucket list instead
+      // (the original join yields nothing for them; the rewrite must too)
+      val seq = Sequence(bucketOf(start), lastBucket, Some(Literal(1L)))
+      val emptyBuckets = Literal.create(Seq.empty[Long], seq.dataType)
+      val explode = Explode(withTz(
+        If(LessThan(start, end), seq, emptyBuckets)))
+      val elem = explode.elementSchema.fields.head
+      val bucketAttr = AttributeReference("__graft_bucket", elem.dataType,
+        elem.nullable)()
+      val tsOnLeft = sideOf(ts).contains(true)
+      val intervalSide = if (tsOnLeft) j.right else j.left
+      val gen = Generate(explode, unrequiredChildIndex = Nil, outer = false,
+        qualifier = None, generatorOutput = Seq(bucketAttr), child = intervalSide)
+      val newCond = And(j.condition.get,
+        EqualTo(withTz(bucketOf(ts)), bucketAttr))
+      val newJoin =
+        if (tsOnLeft) Join(j.left, gen, Inner, Some(newCond), j.hint)
+        else Join(gen, j.right, Inner, Some(newCond), j.hint)
+      // restore the original output (order and no __graft_bucket)
+      Project(j.output, newJoin)
+    }
+  }
+}
+
+object IntervalJoinRewrite {
+  val EnabledKey = "spark.graft.rewrite.intervalJoin"
+  val BucketMicrosKey = "spark.graft.rewrite.intervalJoin.bucketMicros"
+  val DefaultBucketMicros: Long = 24L * 3600L * 1000000L
+}

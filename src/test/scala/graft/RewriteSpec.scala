@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.plans.IntervalJoinRewrite
+
+/** The interval-join optimizer rule: a natural `ts >= start AND ts < end`
+  * join — DataFrame or SQL, with or without an equi key — is rewritten to
+  * the bucketed equi-join shape, row-identically, and every scope guard
+  * (hints, NTZ, already-bucketed, disabled) bails to the original plan. */
+class RewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private lazy val metrics = Seq(
+    ("j1", ts("2013-01-01 10:00:30"), 1.0),
+    ("j1", ts("2013-01-01 11:59:59"), 2.0),
+    ("j1", ts("2013-01-02 10:00:00"), 3.0), // next day: other bucket
+    ("j2", ts("2013-01-01 10:30:00"), 4.0),
+    ("j9", ts("2013-01-01 10:00:00"), 5.0)  // no interval
+  ).toDF("jid", "ts", "v")
+
+  private lazy val intervals = Seq(
+    ("j1", ts("2013-01-01 10:00:00"), ts("2013-01-01 12:00:00")),
+    ("j1", ts("2013-01-02 00:00:00"), ts("2013-01-03 00:00:00")),
+    ("j2", ts("2013-01-01 00:00:00"), ts("2013-01-01 10:00:00")) // excludes 10:30
+  ).toDF("ijid", "start", "end")
+
+  private def bucketGenerates(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+          if g.generatorOutput.exists(_.name == "__graft_bucket") => g
+    }.size
+
+  private def rows(df: DataFrame): Set[(String, java.sql.Timestamp, Double)] =
+    df.select("jid", "ts", "v").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSet
+
+  test("pure range join (no equi key) is rewritten and row-identical to cross+filter") {
+    val joined = metrics.join(intervals,
+      $"ts" >= $"start" && $"ts" < $"end")
+    assert(bucketGenerates(joined) == 1, "rewrite must fire for a pure range join")
+    // reference: brute-force cross join + filter, rule disabled
+    spark.conf.set(IntervalJoinRewrite.EnabledKey, "false")
+    val expected = try rows(metrics.crossJoin(intervals)
+      .filter($"ts" >= $"start" && $"ts" < $"end"))
+    finally spark.conf.set(IntervalJoinRewrite.EnabledKey, "true")
+    assert(rows(joined) == expected && expected.size == 5)
+    // and no nested-loop/cartesian fallback survives in the physical plan
+    joined.collect()
+    val phys = joined.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"),
+      s"range join fell back to all-pairs:\n$phys")
+  }
+
+  test("equi + range join is rewritten and matches the broadcast interval join") {
+    val joined = metrics.join(intervals,
+      $"jid" === $"ijid" && $"ts" >= $"start" && $"ts" < $"end")
+    assert(bucketGenerates(joined) == 1)
+    val viaOperator = graft.operators.IntervalJoin(
+      metrics.withColumnRenamed("ts", "Timestamp"),
+      intervals.withColumnRenamed("ijid", "jid"))
+      .select(col("jid"), col("Timestamp").as("ts"), col("v"))
+    assert(rows(joined) == rows(viaOperator) && rows(joined).size == 3)
+  }
+
+  test("SQL range joins get the same rewrite") {
+    metrics.createOrReplaceTempView("rw_m")
+    intervals.createOrReplaceTempView("rw_i")
+    val joined = spark.sql(
+      """SELECT m.jid, m.ts, m.v FROM rw_m m JOIN rw_i i
+        |ON m.jid = i.ijid AND m.ts >= i.start AND m.ts < i.end""".stripMargin)
+    assert(bucketGenerates(joined) == 1)
+    assert(rows(joined).size == 3)
+  }
+
+  test("guards: hinted, NTZ, already-bucketed, null bounds, and disabled all bail safely") {
+    // explicit broadcast hint is respected — no rewrite
+    val hinted = metrics.join(broadcast(intervals),
+      $"ts" >= $"start" && $"ts" < $"end")
+    assert(bucketGenerates(hinted) == 0)
+    assert(rows(hinted).size == 5) // still correct via BNLJ
+    // NTZ timestamps: DST-ambiguous bucketing — no rewrite
+    val ntz = metrics.withColumn("ts", $"ts".cast("timestamp_ntz")).join(
+      intervals.withColumn("start", $"start".cast("timestamp_ntz"))
+        .withColumn("end", $"end".cast("timestamp_ntz")),
+      $"ts" >= $"start" && $"ts" < $"end")
+    assert(bucketGenerates(ntz) == 0)
+    // the explicit bucketed operator is not re-bucketed on top
+    val bucketed = graft.operators.IntervalJoin.bucketed(
+      metrics.withColumnRenamed("ts", "Timestamp"),
+      intervals.withColumnRenamed("ijid", "jid"))
+    assert(bucketGenerates(bucketed) == 0)
+    // null interval bounds produce no matches and no crash
+    val withNull = intervals.union(
+      Seq(("j9", null.asInstanceOf[java.sql.Timestamp], ts("2013-01-02 00:00:00")))
+        .toDF("ijid", "start", "end"))
+    val joined = metrics.join(withNull,
+      $"jid" === $"ijid" && $"ts" >= $"start" && $"ts" < $"end")
+    assert(bucketGenerates(joined) == 1)
+    assert(!rows(joined).exists(_._1 == "j9"))
+    // kill switch
+    spark.conf.set(IntervalJoinRewrite.EnabledKey, "false")
+    try assert(bucketGenerates(metrics.join(intervals,
+      $"ts" >= $"start" && $"ts" < $"end")) == 0)
+    finally spark.conf.set(IntervalJoinRewrite.EnabledKey, "true")
+  }
+
+  test("inverted and degenerate intervals yield no rows (explicit +1 sequence step)") {
+    val bad = Seq(
+      ("j1", ts("2013-01-05 00:00:00"), ts("2013-01-01 00:00:00")), // inverted
+      ("j1", ts("2013-01-01 10:00:30"), ts("2013-01-01 10:00:30"))  // empty
+    ).toDF("ijid", "start", "end")
+    val joined = metrics.join(bad,
+      $"jid" === $"ijid" && $"ts" >= $"start" && $"ts" < $"end")
+    assert(bucketGenerates(joined) == 1)
+    assert(joined.count() == 0) // auto-step would have counted DOWN and exploded rows
+  }
+}
