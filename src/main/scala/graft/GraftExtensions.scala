@@ -40,6 +40,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ShingleHashes(args.head, constInt("shingle_hashes", "k", args(1)))
       }))
     e.injectFunction((
+      FunctionIdentifier("redact_pii"),
+      info("redact_pii",
+        "redact_pii(text) - emails/IPv4s/phones replaced with typed placeholders"),
+      (args: Seq[Expression]) => {
+        requireArity("redact_pii", args, 1)
+        // the same chain (and order) as TextAnalysis.redactPii, built from
+        // Catalyst's codegen'd RegExpReplace — SQL ≡ Column API
+        import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace}
+        import graft.operators.TextAnalysis.{EmailRe, Ipv4Re, PhoneRe}
+        RegExpReplace(
+          RegExpReplace(
+            RegExpReplace(args.head,
+              Literal(EmailRe), Literal("<EMAIL>")),
+            Literal(Ipv4Re), Literal("<IP>")),
+          Literal(PhoneRe), Literal("<PHONE>"))
+      }))
+    e.injectFunction((
       FunctionIdentifier("lsh_band_buckets"),
       info("lsh_band_buckets",
         "lsh_band_buckets(vec, dims, bands, bits) - hyperplane LSH band buckets"),

@@ -51,6 +51,64 @@ object Pipeline {
       .parquet(outDir)
   }
 
+  /** Batch small-file compaction of a partitioned store (the lakehouse
+    * OPTIMIZE shape; the reference appender's consolidation goal as an
+    * on-demand maintenance pass): every `k=v` partition directory whose
+    * file count exceeds `ceil(bytes / targetBytes)` is rewritten to that
+    * many zstd files and swapped in via rename-aside (original moves to a
+    * dot-prefixed sibling until the new files are fully in place — same
+    * protocol as the object-store writeback, safe on s3a-style non-atomic
+    * renames). Driver work is directory listings only; the rewrite is a
+    * distributed read-repartition-write per oversized partition.
+    *
+    * Refuses a directory carrying a `_spark_metadata` commit log: the
+    * streaming sink tracks its files BY NAME there, and rewriting them
+    * underneath it would corrupt every log-driven read. Compact batch
+    * stores ([[writeDaily]] output); let the streaming sink's own
+    * exactly-once appends stand.
+    *
+    * Returns one `(partition, filesBefore, filesAfter)` row per rewritten
+    * partition; untouched partitions are absent. */
+  def compactDaily(spark: SparkSession, dir: String,
+                   targetBytes: Long = 128L * 1024 * 1024): Seq[(String, Int, Int)] = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(base, "_spark_metadata")),
+      s"refusing to compact $dir: a _spark_metadata commit log tracks these " +
+        "files by name (streaming sink output); rewriting them would corrupt " +
+        "log-driven reads. Compact batch stores only.")
+    def dataFiles(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).filter(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+    fs.listStatus(base)
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .toSeq.flatMap { st =>
+        val files = dataFiles(st.getPath)
+        val want = math.max(1,
+          math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)
+        if (files.length <= want) None
+        else {
+          val tmp = new org.apache.hadoop.fs.Path(base,
+            "." + st.getPath.getName + "_graft_compact_tmp")
+          val old = new org.apache.hadoop.fs.Path(base,
+            "." + st.getPath.getName + "_graft_compact_old")
+          spark.read.parquet(st.getPath.toString)
+            .repartition(want)
+            .write.mode("overwrite").option("compression", "zstd")
+            .parquet(tmp.toString)
+          fs.delete(old, true) // residue of an earlier crashed swap
+          if (!fs.rename(st.getPath, old))
+            throw new java.io.IOException(s"compaction swap failed: ${st.getPath} -> $old")
+          if (!fs.rename(tmp, st.getPath))
+            throw new java.io.IOException(
+              s"compaction swap failed: $tmp -> ${st.getPath} (original preserved at $old)")
+          fs.delete(old, true)
+          Some((st.getPath.getName, files.length, dataFiles(st.getPath).length))
+        }
+      }
+  }
+
   /** Step 2: FRESCO metrics ⋈ accounting → 1-minute bucketed wide table. */
   def step2(metrics: DataFrame, accounting: DataFrame): DataFrame =
     BucketAggregate(IntervalJoin(metrics, accounting))

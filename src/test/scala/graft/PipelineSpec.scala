@@ -372,6 +372,35 @@ class PipelineSpec extends SparkSpec {
     assert(q.count() == fresco.count())
   }
 
+  test("compactDaily: oversized partitions rewritten to target file count, rows intact") {
+    val out = java.nio.file.Files.createTempDirectory("daily-compact").toFile.getAbsolutePath
+    // force many small files per day partition
+    fresco.repartition(6).withColumn("date",
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("Timestamp")))
+      .write.mode("overwrite").partitionBy("date").parquet(out)
+    val part = new java.io.File(out, "date=2013-01-01")
+    def nFiles = part.listFiles().count(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(nFiles > 1)
+    val before = spark.read.parquet(out).collect().toSeq.map(_.toString).sorted
+    // generous target: every partition should shrink to exactly one file
+    val report = Pipeline.compactDaily(spark, out, targetBytes = 1L << 30)
+    assert(report.map(_._1) == Seq("date=2013-01-01"))
+    assert(report.head._2 > 1 && report.head._3 == 1 && nFiles == 1)
+    // rows byte-identical, no staging residue, second pass is a no-op
+    val after = spark.read.parquet(out).collect().toSeq.map(_.toString).sorted
+    assert(after == before)
+    assert(!new java.io.File(out).listFiles().exists(_.getName.contains("_graft_compact")))
+    assert(Pipeline.compactDaily(spark, out, targetBytes = 1L << 30).isEmpty)
+    // streaming-sink outputs are refused: their commit log tracks files by name
+    val streamed = java.nio.file.Files.createTempDirectory("daily-streamed").toFile
+    new java.io.File(streamed, "_spark_metadata").mkdirs()
+    val e = intercept[IllegalArgumentException](
+      Pipeline.compactDaily(spark, streamed.getAbsolutePath))
+    assert(e.getMessage.contains("_spark_metadata"))
+  }
+
   test("observe: audit row counts piggyback on the action (A10)") {
     val (df, obs) = Pipeline.observed(fresco, "step1_audit")
     val n = df.count()

@@ -337,6 +337,20 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out(3L)._4 == "two mails: <EMAIL> and <EMAIL>")
   }
 
+  test("SQL registration: redact_pii matches the Column API chain") {
+    val d = Seq((1L, "mail x@y.io, call 555-123-4567, host 10.0.0.1"))
+      .toDF("id", "text")
+    d.createOrReplaceTempView("piidocs")
+    val viaSql = spark.sql("SELECT redact_pii(text) AS r FROM piidocs")
+      .collect()(0).getString(0)
+    val viaCol = d.select(TextAnalysis.redactPii($"text").as("r"))
+      .collect()(0).getString(0)
+    assert(viaSql == viaCol)
+    assert(viaSql == "mail <EMAIL>, call <PHONE>, host <IP>")
+    val badArity = intercept[Exception](spark.sql("SELECT redact_pii('a', 'b')").collect())
+    assert(badArity.getMessage.contains("expects 1 arguments"))
+  }
+
   test("text quality features on a known sentence") {
     val r = TextAnalysis.withQuality(Seq((1L, "the cat sat, on the mat!")).toDF("id", "text"), "text")
       .collect()(0)
