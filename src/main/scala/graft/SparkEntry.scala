@@ -147,6 +147,26 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_rows"), rq(sum("l_quantity"), 4).as("sum_qty"))
   }
 
+  /** J1c: the NATURAL interval join — no hint, no explicit bucketing —
+    * relying on the [[graft.plans.IntervalJoinRewrite]] optimizer rule
+    * (default on) to plan the bucketed equi-join; shares the broadcast
+    * form's oracle, so the rule sits inside the correctness gate.
+    * PlanSpec pins that the rewrite actually fired. */
+  private def qIntervalJoinAuto(s: SparkSession, dir: String): DataFrame = {
+    val metrics = tbl(s, dir, "lineitem")
+      .select(col("l_orderkey").as("mkey"), col("l_shipdate").as("ts"),
+        col("l_quantity"))
+    val acct = tbl(s, dir, "orders")
+      .select(col("o_orderkey").as("akey"), col("o_orderdate").as("start"),
+        (col("o_orderdate") + expr("INTERVAL 90 DAY")).as("end"),
+        col("o_orderpriority"))
+    metrics.join(acct,
+        col("mkey") === col("akey") &&
+          col("ts") >= col("start") && col("ts") < col("end"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"), rq(sum("l_quantity"), 4).as("sum_qty"))
+  }
+
   /** Multi-way broadcast join: customer ⋈ nation ⋈ region + aggregate. */
   private def qJoin3(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "customer")
@@ -715,6 +735,7 @@ object SparkEntry {
     "q_window_lag" -> qWindowLag,
     "q_interval_join" -> qIntervalJoin,
     "q_interval_join_bucketed" -> qIntervalJoinBucketed,
+    "q_interval_join_auto" -> qIntervalJoinAuto,
     "q_join3" -> qJoin3,
     "q_semi_join" -> qSemiJoin,
     "q_anti_join" -> qAntiJoin,
@@ -1118,6 +1139,7 @@ object SparkEntry {
         |QUALIFY dt_sec >= 0.1 AND delta_value >= 0.0""".stripMargin,
     "q_interval_join" -> intervalJoinSql,
     "q_interval_join_bucketed" -> intervalJoinSql, // bucketed ≡ broadcast by design
+    "q_interval_join_auto" -> intervalJoinSql, // optimizer-rewritten ≡ broadcast too
     "q_join3" ->
       """SELECT r_name, count(*) AS n_customers,
         |       floor((CAST(sum(c_acctbal) AS DOUBLE))*10000.0 + 0.5)/10000.0 AS total_acctbal

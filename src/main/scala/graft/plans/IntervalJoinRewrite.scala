@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
+import org.apache.spark.sql.types.{DoubleType, LongType, TimestampNTZType, TimestampType}
 
 /** Catalyst optimizer rule (SURVEY.md §4's "interval join planning rule",
   * realized at the plan level): an inner join whose condition contains a
@@ -28,9 +28,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
   * Scope guards (each bail keeps the original join):
   *  - inner joins with no user join hint (an explicit `broadcast()` is
   *    respected — the map-side plan is already optimal);
-  *  - `ts`/`start`/`end` are plain `TimestampType` attributes, `ts` from
-  *    one side, both bounds from the other (TIMESTAMP_NTZ is skipped: its
-  *    wall-clock bucketing is DST-ambiguous — see `IntervalJoin.bucketed`);
+  *  - `ts`/`start`/`end` are plain timestamp attributes, `ts` from one
+  *    side, both bounds from the other; TIMESTAMP_NTZ (the type parquet
+  *    `isAdjustedToUTC=false` reads as) qualifies only under a
+  *    fixed-offset session timezone — wall-clock bucketing is
+  *    DST-ambiguous, see `IntervalJoin.bucketed`;
   *  - conditions already referencing a `__`-prefixed attribute are skipped
   *    (prevents re-bucketing this rule's own output or the explicit
   *    bucketed operator's).
@@ -68,8 +70,20 @@ case class IntervalJoinRewrite(session: SparkSession)
       case GreaterThan(e2: Attribute, t: Attribute) => Some((t, e2, false))
       case _ => None
     }
+    // TIMESTAMP always qualifies; TIMESTAMP_NTZ (what parquet with
+    // isAdjustedToUTC=false reads as) only under a fixed-offset session
+    // timezone — wall-clock bucketing is ambiguous across DST gaps (same
+    // contract as IntervalJoin.bucketed, which REQUIREs; a silent planning
+    // rule must bail instead)
+    val tzFixed = java.time.ZoneId
+      .of(session.sessionState.conf.sessionLocalTimeZone).getRules.isFixedOffset
+    def bucketable(a: Attribute): Boolean = a.dataType match {
+      case TimestampType => true
+      case TimestampNTZType => tzFixed
+      case _ => false
+    }
     val bounds = conjuncts.flatMap(asBound).filter { case (t, b, _) =>
-      t.dataType == TimestampType && b.dataType == TimestampType &&
+      bucketable(t) && bucketable(b) &&
         sideOf(t).isDefined && sideOf(b).isDefined && sideOf(t) != sideOf(b)
     }
     val containment = (for {
@@ -84,12 +98,18 @@ case class IntervalJoinRewrite(session: SparkSession)
       require(w > 0, s"$BucketMicrosKey must be positive, got $w")
       // floor over double division: exact below 2^53 µs (~year 2255) and
       // floor (not truncate-toward-zero) for pre-epoch timestamps —
-      // bit-matches IntervalJoin.bucketed's bucket assignment
+      // bit-matches IntervalJoin.bucketed's bucket assignment (including
+      // the NTZ→TIMESTAMP cast applied to BOTH sides, so bucket
+      // assignment stays consistent)
+      def micros(e: Expression): Expression = e.dataType match {
+        case TimestampType => UnixMicros(e)
+        case _ => UnixMicros(Cast(e, TimestampType))
+      }
       def bucketOf(e: Expression): Expression =
-        Cast(Floor(Divide(Cast(UnixMicros(e), DoubleType),
+        Cast(Floor(Divide(Cast(micros(e), DoubleType),
           Literal(w.toDouble))), LongType)
       val lastBucket = Cast(Floor(Divide(
-        Cast(Subtract(UnixMicros(end), Literal(1L)), DoubleType),
+        Cast(Subtract(micros(end), Literal(1L)), DoubleType),
         Literal(w.toDouble))), LongType)
       // this rule runs post-analysis, so ResolveTimeZone has already
       // passed: timezone-aware expressions built HERE must be bound

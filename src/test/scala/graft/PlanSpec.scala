@@ -103,6 +103,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_interval_join_auto: the optimizer rule fired — bucket Generate present, no nested loop") {
+    val df = SparkEntry.queries("q_interval_join_auto")(spark, sf)
+    val gens = df.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+          if g.generatorOutput.exists(_.name == "__graft_bucket") => g
+    }
+    assert(gens.size == 1, s"rewrite did not fire:\n${df.queryExecution.optimizedPlan}")
+    val phys = executed(df).toString
+    assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"))
+  }
+
   test("q_decontaminate: eval shingles broadcast — the training corpus never shuffles for the check") {
     val p = executed(SparkEntry.queries("q_decontaminate")(spark, sf))
     assert(countBroadcasts(p) >= 1, s"expected broadcast eval side, plan:\n$p")

@@ -82,12 +82,19 @@ class RewriteSpec extends SparkSpec {
       $"ts" >= $"start" && $"ts" < $"end")
     assert(bucketGenerates(hinted) == 0)
     assert(rows(hinted).size == 5) // still correct via BNLJ
-    // NTZ timestamps: DST-ambiguous bucketing — no rewrite
-    val ntz = metrics.withColumn("ts", $"ts".cast("timestamp_ntz")).join(
+    // NTZ timestamps (what the parquet testdata reads as): rewritten under
+    // the fixed-offset default UTC session...
+    def ntzJoin = metrics.withColumn("ts", $"ts".cast("timestamp_ntz")).join(
       intervals.withColumn("start", $"start".cast("timestamp_ntz"))
         .withColumn("end", $"end".cast("timestamp_ntz")),
       $"ts" >= $"start" && $"ts" < $"end")
-    assert(bucketGenerates(ntz) == 0)
+    assert(bucketGenerates(ntzJoin) == 1)
+    assert(rows(ntzJoin.withColumn("ts", $"ts".cast("timestamp"))).size == 5)
+    // ...but NOT under a DST-shifting zone, where wall-clock bucketing is
+    // ambiguous (the explicit operator REQUIREs; a silent rule must bail)
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try assert(bucketGenerates(ntzJoin) == 0)
+    finally spark.conf.set("spark.sql.session.timeZone", "UTC")
     // the explicit bucketed operator is not re-bucketed on top
     val bucketed = graft.operators.IntervalJoin.bucketed(
       metrics.withColumnRenamed("ts", "Timestamp"),
