@@ -138,6 +138,8 @@ object TextAnalysis {
     require(splits.nonEmpty && splits.forall(_._2 > 0.0) &&
       math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must be positive and sum to 1: $splits")
+    require(splits.forall(_._2 >= 1.0 / 65536),
+      s"fractions below the 1/65536 cutoff granularity would yield a silently empty split: $splits")
     val pfx = substring(
       md5(concat(col(idCol).cast("string"), lit(salt)).cast("binary")), 1, 4)
     val bounds = splits.init

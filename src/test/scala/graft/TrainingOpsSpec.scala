@@ -318,6 +318,9 @@ class TrainingOpsSpec extends SparkSpec {
     assert(salted != a)
     intercept[IllegalArgumentException](
       TextAnalysis.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4)))
+    intercept[IllegalArgumentException]( // below cutoff granularity
+      TextAnalysis.hashSplit(docs, "doc_id",
+        Seq("a" -> (1.0 - 1e-6), "b" -> 1e-6)))
   }
 
   test("redactPii: emails, IPv4s, phones replaced; counts audit the scrub") {
