@@ -589,6 +589,31 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), rq(col("quality_score"), 6).as("quality_score"))
   }
 
+  /** Capstone curation pipeline v2 — the FULL composition a training-data
+    * run executes, oracle-checked END TO END in one result: eval holdout
+    * carve-out → train-eval decontamination (shared 3-grams) → quality
+    * filter → near-dup loser removal (MinHash-LSH path) → PII redaction →
+    * deterministic hash split. Every stage is individually oracle-proven;
+    * this pins their composition (filter ordering, join seams, column
+    * flow). */
+  private def qCurateFull(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val evalSet = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val train = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    val dupLosers = Dedup.minhashDuplicates(
+        Dedup.hashedWordShingles(docs, "doc_id", "text"), 0.8)
+      .select(col("id_b").as("doc_id"))
+    val kept = TextAnalysis.withQuality(
+        Dedup.decontaminate(train, evalSet, "doc_id", "text", 3), "text")
+      .filter(col("quality_score") >= 0.5)
+      .join(dupLosers, Seq("doc_id"), "left_anti")
+    TextAnalysis.hashSplit(TextAnalysis.withPiiRedaction(kept, "text"), "doc_id")
+      .select(col("doc_id"), col("lang"),
+        rq(col("quality_score"), 6).as("quality_score"), col("split"),
+        (col("n_emails") + col("n_ips") + col("n_phones")).as("n_pii"),
+        md5(col("redacted").cast("binary")).as("red_md5"))
+  }
+
   /** Composed FRESCO pipeline — IntervalJoin → BucketAggregate → Finalize
     * (the real `Pipeline.step2`/`step3` operators), oracle-checked END TO
     * END rather than per-part: synthesizes a FRESCO-long metric stream and
@@ -704,6 +729,7 @@ object SparkEntry {
     "q_sql_frontend" -> qSqlFrontend,
     "q_fresco_pipeline" -> qFrescoPipeline,
     "q_curate" -> qCurate,
+    "q_curate_full" -> qCurateFull,
     "q_dedup_rep" -> qDedupRep,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_dedup_minhash" -> qDedupMinhash,
@@ -906,6 +932,45 @@ object SparkEntry {
          |  FROM q)
          |SELECT doc_id, lang, floor((qs)*1000000.0 + 0.5)/1000000.0 AS quality_score FROM scored
          |WHERE qs >= 0.5 AND doc_id NOT IN (SELECT doc_id FROM dup_losers)""".stripMargin,
+    "q_curate_full" ->
+      s"""WITH toks0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id, array_to_string(w[CAST(i AS INT):CAST(i+2 AS INT)], ' ') AS s
+         |        FROM toks0, LATERAL unnest(range(1, greatest(len(w)-1, 2))) AS t(i)),
+         |ev AS (SELECT DISTINCT s FROM sh0 WHERE doc_id % 97 = 0),
+         |contaminated AS (SELECT DISTINCT sh0.doc_id FROM sh0 JOIN ev ON sh0.s = ev.s
+         |                 WHERE sh0.doc_id % 97 <> 0),
+         |dup_losers AS (SELECT id_b AS doc_id FROM ($ngramJaccardSql)),
+         |q AS (
+         |  SELECT doc_id, lang, text,
+         |         string_split_regex(trim(text), '\\s+') AS toks,
+         |         (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))*1.0
+         |           / greatest(length(text), 1) AS pr,
+         |         len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |             w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+         |                        'on','for','with','as','at','by','from','that','this')))*1.0
+         |           / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS sr
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, lang, text,
+         |         least(greatest(0.4 * least(len(toks)/64.0, 1.0) + 0.4 * least(sr*4.0, 1.0)
+         |           + 0.2 * (1.0 - least(pr*5.0, 1.0)), 0.0), 1.0) AS qs
+         |  FROM q)
+         |SELECT doc_id, lang, floor((qs)*1000000.0 + 0.5)/1000000.0 AS quality_score,
+         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+         |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+         |     + len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+         |     + len(regexp_extract_all(text, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS INT) AS n_pii,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+         |      '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g')) AS red_md5
+         |FROM scored
+         |WHERE doc_id % 97 <> 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |  AND qs >= 0.5
+         |  AND doc_id NOT IN (SELECT doc_id FROM dup_losers)""".stripMargin,
     "q_dedup_rep" ->
       """SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
