@@ -153,6 +153,11 @@ object SparkEntry {
     * form's oracle, so the rule sits inside the correctness gate.
     * PlanSpec pins that the rewrite actually fired. */
   private def qIntervalJoinAuto(s: SparkSession, dir: String): DataFrame = {
+    // width ≥ the 90-day intervals / 3 (matching q_interval_join_bucketed's
+    // geometry): the 1-day default would explode each order into ~91
+    // buckets — the conf is the per-workload knob the rule documents
+    s.conf.set(graft.plans.IntervalJoinRewrite.BucketMicrosKey,
+      (30L * 86400L * 1000000L).toString)
     val metrics = tbl(s, dir, "lineitem")
       .select(col("l_orderkey").as("mkey"), col("l_shipdate").as("ts"),
         col("l_quantity"))
