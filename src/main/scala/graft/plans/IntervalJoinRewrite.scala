@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, LongType, TimestampNTZType, TimestampType}
@@ -26,8 +26,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType, TimestampNTZType, Times
   * a 100 TB range join finishing and not.
   *
   * Scope guards (each bail keeps the original join):
-  *  - inner joins with no user join hint (an explicit `broadcast()` is
-  *    respected — the map-side plan is already optimal);
+  *  - inner joins, plus LEFT SEMI / LEFT ANTI (EXISTS / NOT EXISTS range
+  *    predicates) when the interval side is the RIGHT side — existence
+  *    tests are multiplicity-blind to the exploded side, but exploding
+  *    the preserved left would corrupt the output; no user join hint (an
+  *    explicit `broadcast()` is respected — that plan is already optimal);
   *  - `ts`/`start`/`end` are plain timestamp attributes, `ts` from one
   *    side, both bounds from the other; TIMESTAMP_NTZ (the type parquet
   *    `isAdjustedToUTC=false` reads as) qualifies only under a
@@ -50,7 +53,13 @@ case class IntervalJoinRewrite(session: SparkSession)
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!session.conf.get(EnabledKey, "true").toBoolean) plan
     else plan.transformUp {
-      case j @ Join(_, _, Inner, Some(cond), hint)
+      // Inner joins, plus LEFT SEMI/ANTI (EXISTS / NOT EXISTS range
+      // predicates): semi/anti only test MATCH EXISTENCE against the right
+      // side, so exploding the right into buckets cannot change the
+      // output — but only when the interval side IS the right side
+      // (exploding the preserved left would duplicate/drop result rows);
+      // `rewrite` enforces that orientation per join type.
+      case j @ Join(_, _, Inner | LeftSemi | LeftAnti, Some(cond), hint)
           if hint == JoinHint.NONE &&
             !cond.references.exists(_.name.startsWith("__")) =>
         rewrite(j).getOrElse(j)
@@ -90,6 +99,9 @@ case class IntervalJoinRewrite(session: SparkSession)
       (t1, start, true) <- bounds
       (t2, end, false) <- bounds
       if t1.semanticEquals(t2) && sideOf(start) == sideOf(end)
+      // semi/anti preserve the left side as-is: the exploded interval side
+      // must be the right (ts on the left); inner accepts either
+      if j.joinType == Inner || sideOf(t1).contains(true)
     } yield (t1, start, end)).headOption
 
     containment.map { case (ts, start, end) =>
@@ -137,8 +149,8 @@ case class IntervalJoinRewrite(session: SparkSession)
       val newCond = And(j.condition.get,
         EqualTo(withTz(bucketOf(ts)), bucketAttr))
       val newJoin =
-        if (tsOnLeft) Join(j.left, gen, Inner, Some(newCond), j.hint)
-        else Join(gen, j.right, Inner, Some(newCond), j.hint)
+        if (tsOnLeft) Join(j.left, gen, j.joinType, Some(newCond), j.hint)
+        else Join(gen, j.right, j.joinType, Some(newCond), j.hint)
       // restore the original output (order and no __graft_bucket)
       Project(j.output, newJoin)
     }

@@ -115,6 +115,33 @@ class RewriteSpec extends SparkSpec {
     finally spark.conf.set(IntervalJoinRewrite.EnabledKey, "true")
   }
 
+  test("LEFT SEMI/ANTI range joins rewrite when intervals are on the right; never when left") {
+    // semi: metrics rows falling in ANY interval
+    val semi = metrics.join(intervals,
+      $"ts" >= $"start" && $"ts" < $"end", "left_semi")
+    assert(bucketGenerates(semi) == 1)
+    spark.conf.set(IntervalJoinRewrite.EnabledKey, "false")
+    val (semiExp, antiExp) = try (
+      metrics.join(intervals, $"ts" >= $"start" && $"ts" < $"end", "left_semi")
+        .collect().map(_.getString(0)).toSeq.sorted,
+      metrics.join(intervals, $"ts" >= $"start" && $"ts" < $"end", "left_anti")
+        .collect().map(_.getString(0)).toSeq.sorted)
+    finally spark.conf.set(IntervalJoinRewrite.EnabledKey, "true")
+    assert(semi.collect().map(_.getString(0)).toSeq.sorted == semiExp)
+    // anti: metrics rows in NO interval — multiplicity of the exploded
+    // side must not matter
+    val anti = metrics.join(intervals,
+      $"ts" >= $"start" && $"ts" < $"end", "left_anti")
+    assert(bucketGenerates(anti) == 1)
+    assert(anti.collect().map(_.getString(0)).toSeq.sorted == antiExp)
+    // intervals on the LEFT (preserved) side: exploding it would duplicate
+    // result rows — the rule must NOT fire
+    val semiFlipped = intervals.join(metrics,
+      $"ts" >= $"start" && $"ts" < $"end", "left_semi")
+    assert(bucketGenerates(semiFlipped) == 0)
+    assert(semiFlipped.count() == 2) // intervals containing >= 1 metric row
+  }
+
   test("inverted and degenerate intervals yield no rows (explicit +1 sequence step)") {
     val bad = Seq(
       ("j1", ts("2013-01-05 00:00:00"), ts("2013-01-01 00:00:00")), // inverted
