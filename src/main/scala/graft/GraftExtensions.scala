@@ -45,16 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "redact_pii(text) - emails/IPv4s/phones replaced with typed placeholders"),
       (args: Seq[Expression]) => {
         requireArity("redact_pii", args, 1)
-        // the same chain (and order) as TextAnalysis.redactPii, built from
-        // Catalyst's codegen'd RegExpReplace — SQL ≡ Column API
-        import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace}
-        import graft.operators.TextAnalysis.{EmailRe, Ipv4Re, PhoneRe}
-        RegExpReplace(
-          RegExpReplace(
-            RegExpReplace(args.head,
-              Literal(EmailRe), Literal("<EMAIL>")),
-            Literal(Ipv4Re), Literal("<IP>")),
-          Literal(PhoneRe), Literal("<PHONE>"))
+        // the ONE chain definition — shared with the Column API, so
+        // SQL ≡ Column API holds by construction
+        graft.operators.TextAnalysis.redactPiiExpr(args.head)
       }))
     e.injectFunction((
       FunctionIdentifier("lsh_band_buckets"),

@@ -61,6 +61,11 @@ object Pipeline {
     * renames). Driver work is directory listings only; the rewrite is a
     * distributed read-repartition-write per oversized partition.
     *
+    * Crash safety: each run first repairs residue of a previously crashed
+    * swap — an original preserved aside whose live partition is missing is
+    * rolled back, completed-swap leftovers and incomplete rewrites are
+    * deleted — so no crash point loses data or poisons a rerun.
+    *
     * Refuses a directory carrying a `_spark_metadata` commit log: the
     * streaming sink tracks its files BY NAME there, and rewriting them
     * underneath it would corrupt every log-driven read. Compact batch
@@ -81,8 +86,26 @@ object Pipeline {
     def dataFiles(p: org.apache.hadoop.fs.Path) =
       fs.listStatus(p).filter(f => f.isFile &&
         !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+    // recover residue of an earlier crashed run BEFORE listing partitions:
+    //  - `.P_graft_compact_old` with live P missing = crash between the two
+    //    swap renames → roll the original back (silent data loss otherwise);
+    //    with live P present = crash before the final cleanup → delete it;
+    //  - `.P_graft_compact_tmp` = incomplete rewrite → delete it (the live
+    //    partition is intact or was just restored above).
+    val entries = fs.listStatus(base)
+    entries.filter(_.getPath.getName.endsWith("_graft_compact_old")).foreach { st =>
+      val live = new org.apache.hadoop.fs.Path(base,
+        st.getPath.getName.stripPrefix(".").stripSuffix("_graft_compact_old"))
+      if (!fs.exists(live)) {
+        if (!fs.rename(st.getPath, live))
+          throw new java.io.IOException(s"crash recovery failed: ${st.getPath} -> $live")
+      } else fs.delete(st.getPath, true)
+    }
+    entries.filter(_.getPath.getName.endsWith("_graft_compact_tmp"))
+      .foreach(st => fs.delete(st.getPath, true))
     fs.listStatus(base)
-      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .filter(st => st.isDirectory && st.getPath.getName.contains("=") &&
+        !st.getPath.getName.startsWith(".")) // never treat swap residue as a partition
       .toSeq.flatMap { st =>
         val files = dataFiles(st.getPath)
         val want = math.max(1,

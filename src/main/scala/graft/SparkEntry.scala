@@ -149,27 +149,22 @@ object SparkEntry {
 
   /** J1c: the NATURAL interval join — no hint, no explicit bucketing —
     * relying on the [[graft.plans.IntervalJoinRewrite]] optimizer rule
-    * (default on) to plan the bucketed equi-join; shares the broadcast
-    * form's oracle, so the rule sits inside the correctness gate.
-    * PlanSpec pins that the rewrite actually fired. */
+    * (default on) to plan the bucketed equi-join; the rule thereby sits
+    * inside the correctness gate, and PlanSpec pins that it actually
+    * fired. The intervals (per-user 30-minute session jobs) are shorter
+    * than the rule's 1-day default bucket, so no width conf is touched —
+    * the session state is exactly as every other query leaves it. */
   private def qIntervalJoinAuto(s: SparkSession, dir: String): DataFrame = {
-    // width ≥ the 90-day intervals / 3 (matching q_interval_join_bucketed's
-    // geometry): the 1-day default would explode each order into ~91
-    // buckets — the conf is the per-workload knob the rule documents
-    s.conf.set(graft.plans.IntervalJoinRewrite.BucketMicrosKey,
-      (30L * 86400L * 1000000L).toString)
-    val metrics = tbl(s, dir, "lineitem")
-      .select(col("l_orderkey").as("mkey"), col("l_shipdate").as("ts"),
-        col("l_quantity"))
-    val acct = tbl(s, dir, "orders")
-      .select(col("o_orderkey").as("akey"), col("o_orderdate").as("start"),
-        (col("o_orderdate") + expr("INTERVAL 90 DAY")).as("end"),
-        col("o_orderpriority"))
-    metrics.join(acct,
-        col("mkey") === col("akey") &&
+    val ev = tbl(s, dir, "events")
+    val acct = ev.groupBy(col("user_id").as("auid"))
+      .agg(min(col("ts")).as("start"))
+      .withColumn("end",
+        timestamp_micros(unix_micros(col("start")) + 1800L * 1000000L))
+    ev.join(acct,
+        col("user_id") === col("auid") &&
           col("ts") >= col("start") && col("ts") < col("end"))
-      .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n_rows"), rq(sum("l_quantity"), 4).as("sum_qty"))
+      .groupBy(col("user_id").cast("long").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"), rq(sum("value"), 4).as("sum_v"))
   }
 
   /** Multi-way broadcast join: customer ⋈ nation ⋈ region + aggregate. */
@@ -982,9 +977,9 @@ object SparkEntry {
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_dedup_minhash" -> ngramJaccardSql,
     "q_dedup_simhash" ->
-      """WITH h AS (
+      s"""WITH h AS (
         |  SELECT sh_id, simhash
-        |  FROM read_parquet('/root/repo/target/verify-fixtures/simhash_hashes/*.parquet')),
+        |  FROM read_parquet('$SimhashFixture/*.parquet')),
         | b AS (
         |  SELECT sh_id, simhash, c.chunk, (simhash >> (c.chunk*16)) & 65535 AS chunk_val
         |  FROM h CROSS JOIN (SELECT unnest([0,1,2,3]) AS chunk) c),
@@ -1209,7 +1204,13 @@ object SparkEntry {
         |QUALIFY dt_sec >= 0.1 AND delta_value >= 0.0""".stripMargin,
     "q_interval_join" -> intervalJoinSql,
     "q_interval_join_bucketed" -> intervalJoinSql, // bucketed ≡ broadcast by design
-    "q_interval_join_auto" -> intervalJoinSql, // optimizer-rewritten ≡ broadcast too
+    "q_interval_join_auto" ->
+      """WITH a AS (SELECT user_id, min(ts) AS s, min(ts) + INTERVAL 30 MINUTE AS e
+        |           FROM events GROUP BY user_id)
+        |SELECT CAST(ev.user_id AS BIGINT) AS user_id, count(*) AS n_rows,
+        |       floor((CAST(sum(ev.value) AS DOUBLE))*10000.0 + 0.5)/10000.0 AS sum_v
+        |FROM events ev JOIN a ON ev.user_id = a.user_id AND ev.ts >= a.s AND ev.ts < a.e
+        |GROUP BY ev.user_id""".stripMargin,
     "q_join3" ->
       """SELECT r_name, count(*) AS n_customers,
         |       floor((CAST(sum(c_acctbal) AS DOUBLE))*10000.0 + 0.5)/10000.0 AS total_acctbal

@@ -206,13 +206,9 @@ object Similarity {
       .select(col(idCol).as("nn_id"), col("vec").as("cv"), col("norm").as("cn"))
     val qx = withNorm(queries, embCol)
       .select(col(idCol).as("query_id"), col("vec").as("qv"), col("norm").as("qn"))
-    val rescored = shortlist.join(qx, "query_id").join(cx, "nn_id")
-      .select(col("query_id"), col("nn_id"),
-        cosine(col("qv"), col("cv"), col("qn"), col("cn")).as("cosine"))
-    val w2 = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cosine").desc, col("nn_id"))
-    rescored.withColumn("rank", row_number().over(w2))
-      .filter(col("rank") <= k)
-      .select("query_id", "nn_id", "cosine", "rank")
+    // exact re-scoring + final ranking is EXACTLY the shared tail of the
+    // other top-k paths (its self-pair filter is a no-op here — stage 1
+    // already excluded them)
+    rankTopK(shortlist.join(qx, "query_id").join(cx, "nn_id"), k)
   }
 }

@@ -140,8 +140,13 @@ object TextAnalysis {
       s"split fractions must be positive and sum to 1: $splits")
     require(splits.forall(_._2 >= 1.0 / 65536),
       s"fractions below the 1/65536 cutoff granularity would yield a silently empty split: $splits")
-    val pfx = substring(
-      md5(concat(col(idCol).cast("string"), lit(salt)).cast("binary")), 1, 4)
+    // a NULL id would null every cutoff comparison and fall through to the
+    // LAST split — silent, non-hash-derived membership; fail fast instead
+    // (the repo's policy for degenerate inputs, cf. quantizeInt8)
+    val pfx = when(col(idCol).isNull,
+        raise_error(lit(s"hash_split: null $idCol")))
+      .otherwise(substring(
+        md5(concat(col(idCol).cast("string"), lit(salt)).cast("binary")), 1, 4))
     val bounds = splits.init
       .scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
       .map(c => f"${math.floor(c * 65536).toLong}%04x")
@@ -159,18 +164,29 @@ object TextAnalysis {
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
 
+  /** The ONE definition of the redaction chain, at expression level so the
+    * SQL registration (`redact_pii` in [[graft.GraftExtensions]]) and the
+    * Column API below share it verbatim — order matters (email first so
+    * its digits/dots can't be half-eaten by the narrower patterns; IP
+    * before phone — neither can match inside the other's replacement). */
+  def redactPiiExpr(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace}
+    RegExpReplace(
+      RegExpReplace(
+        RegExpReplace(e, Literal(EmailRe), Literal("<EMAIL>")),
+        Literal(Ipv4Re), Literal("<IP>")),
+      Literal(PhoneRe), Literal("<PHONE>"))
+  }
+
   /** PII redaction: emails, IPv4 addresses, and NANP-style phone numbers
-    * replaced with typed placeholder tokens (email first so its digits/
-    * dots can't be half-eaten by the narrower patterns; IP before phone —
-    * neither can match inside the other's replacement). Narrow per-row
-    * transform; a deterministic closed form of the scrubbing pass every
-    * training pipeline runs before tokenization. */
-  def redactPii(text: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(text, EmailRe, "<EMAIL>"),
-        Ipv4Re, "<IP>"),
-      PhoneRe, "<PHONE>")
+    * replaced with typed placeholder tokens. Narrow per-row transform; a
+    * deterministic closed form of the scrubbing pass every training
+    * pipeline runs before tokenization. */
+  def redactPii(text: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(redactPiiExpr(Bridge.expression(text)))
+  }
 
   /** Per-type PII match counts alongside the redacted text — the audit
     * trail (how much was scrubbed) a curation run reports. */

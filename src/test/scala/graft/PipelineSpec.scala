@@ -401,6 +401,28 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("_spark_metadata"))
   }
 
+  test("compactDaily: crashed swap is repaired, residue never treated as a partition") {
+    val out = java.nio.file.Files.createTempDirectory("daily-crash").toFile
+    val outPath = out.getAbsolutePath
+    fresco.repartition(4).withColumn("date",
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("Timestamp")))
+      .write.mode("overwrite").partitionBy("date").parquet(outPath)
+    val rows = spark.read.parquet(outPath).collect().toSeq.map(_.toString).sorted
+    // simulate a crash BETWEEN the two swap renames: live partition moved
+    // aside, a stale rewrite left behind
+    val live = new java.io.File(out, "date=2013-01-01")
+    val old = new java.io.File(out, ".date=2013-01-01_graft_compact_old")
+    val tmp = new java.io.File(out, ".date=2013-01-01_graft_compact_tmp")
+    assert(live.renameTo(old))
+    tmp.mkdirs()
+    // the next run must roll the original back and clear the residue — and
+    // must NOT list dot-prefixed residue dirs as partitions to compact
+    Pipeline.compactDaily(spark, outPath, targetBytes = 1L << 30)
+    assert(live.isDirectory && !old.exists && !tmp.exists)
+    assert(spark.read.parquet(outPath).collect().toSeq.map(_.toString).sorted == rows)
+  }
+
   test("observe: audit row counts piggyback on the action (A10)") {
     val (df, obs) = Pipeline.observed(fresco, "step1_audit")
     val n = df.count()

@@ -321,6 +321,11 @@ class TrainingOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException]( // below cutoff granularity
       TextAnalysis.hashSplit(docs, "doc_id",
         Seq("a" -> (1.0 - 1e-6), "b" -> 1e-6)))
+    // a NULL id must fail fast, not silently land in the last split
+    val withNull = spark.sql("SELECT CAST(NULL AS BIGINT) AS doc_id")
+    val eNull = intercept[Exception](
+      TextAnalysis.hashSplit(withNull, "doc_id").select("split").collect())
+    assert(messages(eNull).contains("hash_split"), messages(eNull))
   }
 
   test("redactPii: emails, IPv4s, phones replaced; counts audit the scrub") {
