@@ -96,6 +96,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("IntervalJoinRewrite: rewritten ≡ un-rewritten on random interval sets") {
+    import graft.plans.IntervalJoinRewrite
+    val gen = for {
+      nJobs <- Gen.chooseNum(1, 4)
+      jobs <- Gen.listOfN(nJobs, for {
+        s <- Gen.chooseNum(0, 5000); l <- Gen.chooseNum(0, 2000) // l=0: degenerate
+      } yield (s, s + l))
+      ts <- Gen.listOfN(50, Gen.chooseNum(0, 8000))
+    } yield (jobs, ts)
+    // 10-minute buckets, far smaller than many intervals: multi-bucket
+    // explode paths and cross-bucket containment boundaries all exercised
+    spark.conf.set(IntervalJoinRewrite.BucketMicrosKey, (600L * 1000000L).toString)
+    try forAll(gen, n = 5) { case (jobs, tsOffsets) =>
+      def ts(s: Int) = java.sql.Timestamp.from(
+        java.sql.Timestamp.valueOf("2013-01-01 00:00:00").toInstant.plusSeconds(s.toLong))
+      val metrics = tsOffsets.zipWithIndex
+        .map { case (o, i) => ((i % jobs.length + 1).toString, ts(o)) }
+        .toDF("jid", "mts")
+      val acct = jobs.zipWithIndex
+        .map { case ((s, e), i) => ((i + 1).toString, ts(s), ts(e)) }
+        .toDF("ajid", "start", "end")
+      import org.apache.spark.sql.functions.col
+      def joined = metrics.join(acct,
+        col("jid") === col("ajid") &&
+          col("mts") >= col("start") && col("mts") < col("end"))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[String]("jid"), r.getAs[java.sql.Timestamp]("mts"),
+          r.getAs[java.sql.Timestamp]("start"))
+      val got = joined.collect().map(key).sorted.toSeq
+      // the rule fired (this is not a vacuous comparison)...
+      assert(joined.queryExecution.optimizedPlan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+            if g.generatorOutput.exists(_.name == "__graft_bucket") => g
+      }.size == 1)
+      // ...and the un-rewritten join agrees row for row
+      spark.conf.set(IntervalJoinRewrite.EnabledKey, "false")
+      val expected = try joined.collect().map(key).sorted.toSeq
+      finally spark.conf.set(IntervalJoinRewrite.EnabledKey, "true")
+      assert(got == expected)
+    } finally spark.conf.unset(IntervalJoinRewrite.BucketMicrosKey)
+  }
+
   test("jaccard pairs: values in (0,1]; symmetric id ordering; exact dups = 1.0") {
     val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
     val doc = Gen.listOfN(12, word).map(_.mkString(" "))
