@@ -333,11 +333,16 @@ object Dedup {
     * the 100 TB training side never shuffles for the check; drop the
     * broadcast hint if the eval corpus is genuinely large. */
   def contamination(train: DataFrame, evalDocs: DataFrame, idCol: String,
-                    textCol: String, k: Int = 8): DataFrame = {
+                    textCol: String, k: Int = 8,
+                    broadcastEval: Boolean = true): DataFrame = {
     val trainSh = hashedWordShingles(train, idCol, textCol, k)
     val evalSh = hashedWordShingles(evalDocs, idCol, textCol, k)
       .select("shingle").distinct()
-    trainSh.join(broadcast(evalSh), Seq("shingle"))
+    // the hint is explicit and Catalyst won't demote it: an eval corpus
+    // that outgrows driver memory must pass broadcastEval = false (the
+    // planner then shuffles both sides on the 8-byte shingle hash)
+    val build = if (broadcastEval) broadcast(evalSh) else evalSh
+    trainSh.join(build, Seq("shingle"))
       .groupBy("sh_id").agg(count(lit(1)).as("n_contaminated_ngrams"))
       .withColumnRenamed("sh_id", idCol)
   }
@@ -345,8 +350,9 @@ object Dedup {
   /** [[contamination]] applied: training docs with any shared `k`-gram
     * removed (left-anti on the contaminated id set). */
   def decontaminate(train: DataFrame, evalDocs: DataFrame, idCol: String,
-                    textCol: String, k: Int = 8): DataFrame =
-    train.join(contamination(train, evalDocs, idCol, textCol, k)
+                    textCol: String, k: Int = 8,
+                    broadcastEval: Boolean = true): DataFrame =
+    train.join(contamination(train, evalDocs, idCol, textCol, k, broadcastEval)
       .select(idCol), Seq(idCol), "left_anti")
 
   /** 64-bit SimHash over whitespace tokens: per bit, sum +1/−1 weighted by

@@ -294,6 +294,11 @@ class TrainingOpsSpec extends SparkSpec {
     val clean = Dedup.decontaminate(train, eval_, "doc_id", "text", 3)
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(clean == Set(2L))
+    // shuffle-join fallback (eval too big to broadcast): same answer
+    val hits2 = Dedup.contamination(train, eval_, "doc_id", "text", 3,
+        broadcastEval = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits2 == hits)
   }
 
   test("hashSplit: deterministic partition into named splits, fractions honored") {
