@@ -61,10 +61,15 @@ object Pipeline {
     * renames). Driver work is directory listings only; the rewrite is a
     * distributed read-repartition-write per oversized partition.
     *
-    * Crash safety: each run first repairs residue of a previously crashed
-    * swap — an original preserved aside whose live partition is missing is
-    * rolled back, completed-swap leftovers and incomplete rewrites are
-    * deleted — so no crash point loses data or poisons a rerun.
+    * Crash safety: each run first examines residue of a previously crashed
+    * swap. Unambiguous states repair automatically (an original preserved
+    * aside whose live partition is fully gone rolls back; incomplete
+    * rewrites are deleted); a state where both the live partition and the
+    * preserved original exist — reachable only mid-rename on non-atomic
+    * stores or just before cleanup — fails LOUDLY with both paths named,
+    * because the complete copy could be either and guessing risks silent
+    * loss. No crash point loses data; at worst a rerun demands one manual
+    * comparison.
     *
     * Refuses a directory carrying a `_spark_metadata` commit log: the
     * streaming sink tracks its files BY NAME there, and rewriting them
@@ -87,11 +92,15 @@ object Pipeline {
       fs.listStatus(p).filter(f => f.isFile &&
         !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
     // recover residue of an earlier crashed run BEFORE listing partitions:
-    //  - `.P_graft_compact_old` with live P missing = crash between the two
-    //    swap renames → roll the original back (silent data loss otherwise);
-    //    with live P present = crash before the final cleanup → delete it;
-    //  - `.P_graft_compact_tmp` = incomplete rewrite → delete it (the live
-    //    partition is intact or was just restored above).
+    //  - `.P_graft_compact_old` with live P fully gone: the rename-away
+    //    completed (on copy-then-delete stores, live only vanishes after
+    //    every file was copied into old) → roll the original back;
+    //  - `.P_graft_compact_old` with live P ALSO present: ambiguous on a
+    //    non-atomic-rename store (mid rename-away, mid rename-in, or
+    //    pre-cleanup — the complete copy could be either dir) → FAIL
+    //    LOUDLY with the dirs listed; every byte still exists, and
+    //    guessing here is how data gets lost silently;
+    //  - `.P_graft_compact_tmp` alone = incomplete rewrite → delete it.
     val entries = fs.listStatus(base)
     entries.filter(_.getPath.getName.endsWith("_graft_compact_old")).foreach { st =>
       val live = new org.apache.hadoop.fs.Path(base,
@@ -99,7 +108,10 @@ object Pipeline {
       if (!fs.exists(live)) {
         if (!fs.rename(st.getPath, live))
           throw new java.io.IOException(s"crash recovery failed: ${st.getPath} -> $live")
-      } else fs.delete(st.getPath, true)
+      } else throw new java.io.IOException(
+        s"ambiguous crashed compaction swap: BOTH $live and ${st.getPath} exist. " +
+          "No data is lost - compare the two (row counts / _SUCCESS) and delete " +
+          "the incomplete one, then re-run compaction.")
     }
     entries.filter(_.getPath.getName.endsWith("_graft_compact_tmp"))
       .foreach(st => fs.delete(st.getPath, true))

@@ -330,18 +330,20 @@ object Dedup {
     * clean docs are absent. Scale shape: shingles are hashed to 8-byte
     * keys ([[hashedWordShingles]]) and the EVAL side — benchmarks, tiny
     * next to a training corpus — is distinct-reduced and broadcast, so
-    * the 100 TB training side never shuffles for the check; drop the
-    * broadcast hint if the eval corpus is genuinely large. */
+    * the 100 TB training side never shuffles for the check; pass
+    * `broadcastEval = false` if the eval corpus outgrows driver memory. */
   def contamination(train: DataFrame, evalDocs: DataFrame, idCol: String,
                     textCol: String, k: Int = 8,
                     broadcastEval: Boolean = true): DataFrame = {
     val trainSh = hashedWordShingles(train, idCol, textCol, k)
     val evalSh = hashedWordShingles(evalDocs, idCol, textCol, k)
       .select("shingle").distinct()
-    // the hint is explicit and Catalyst won't demote it: an eval corpus
-    // that outgrows driver memory must pass broadcastEval = false (the
-    // planner then shuffles both sides on the 8-byte shingle hash)
-    val build = if (broadcastEval) broadcast(evalSh) else evalSh
+    // both hints are explicit because stats can't be trusted here: the
+    // size estimator doesn't model the shingle explode's fan-out, so with
+    // no hint Catalyst may still AUTO-broadcast a hundreds-of-MB distinct
+    // shingle set it estimated under the 10 MB threshold — shuffle_hash
+    // guarantees the shuffled plan broadcastEval = false asks for
+    val build = if (broadcastEval) broadcast(evalSh) else evalSh.hint("shuffle_hash")
     trainSh.join(build, Seq("shingle"))
       .groupBy("sh_id").agg(count(lit(1)).as("n_contaminated_ngrams"))
       .withColumnRenamed("sh_id", idCol)

@@ -140,13 +140,8 @@ object TextAnalysis {
       s"split fractions must be positive and sum to 1: $splits")
     require(splits.forall(_._2 >= 1.0 / 65536),
       s"fractions below the 1/65536 cutoff granularity would yield a silently empty split: $splits")
-    // a NULL id would null every cutoff comparison and fall through to the
-    // LAST split — silent, non-hash-derived membership; fail fast instead
-    // (the repo's policy for degenerate inputs, cf. quantizeInt8)
-    val pfx = when(col(idCol).isNull,
-        raise_error(lit(s"hash_split: null $idCol")))
-      .otherwise(substring(
-        md5(concat(col(idCol).cast("string"), lit(salt)).cast("binary")), 1, 4))
+    val pfx = substring(
+      md5(concat(col(idCol).cast("string"), lit(salt)).cast("binary")), 1, 4)
     val bounds = splits.init
       .scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
       .map(c => f"${math.floor(c * 65536).toLong}%04x")
@@ -154,8 +149,15 @@ object TextAnalysis {
       case (acc, ((name, _), b)) =>
         Some(acc.fold(when(pfx < b, name))(_.when(pfx < b, name)))
     }
+    // a NULL id would null every cutoff comparison and fall through to the
+    // LAST split — silent, non-hash-derived membership; fail fast instead
+    // (the repo's policy for degenerate inputs, cf. quantizeInt8). Applied
+    // on the OUTPUT column so it also guards the single-split chain, where
+    // no cutoff comparison would ever evaluate the hash.
+    val assigned = chain.fold(lit(splits.last._1): Column)(_.otherwise(splits.last._1))
     df.withColumn("split",
-      chain.fold(lit(splits.last._1): Column)(_.otherwise(splits.last._1)))
+      when(col(idCol).isNull, raise_error(lit(s"hash_split: null $idCol")))
+        .otherwise(assigned))
   }
 
   // PII patterns: RE2-compatible (no lookaround), so the exact same

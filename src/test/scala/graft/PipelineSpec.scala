@@ -421,6 +421,14 @@ class PipelineSpec extends SparkSpec {
     Pipeline.compactDaily(spark, outPath, targetBytes = 1L << 30)
     assert(live.isDirectory && !old.exists && !tmp.exists)
     assert(spark.read.parquet(outPath).collect().toSeq.map(_.toString).sorted == rows)
+    // ambiguous residue (live AND preserved both present — only reachable
+    // mid-rename on non-atomic stores): refuse loudly, never guess
+    old.mkdirs()
+    val amb = intercept[java.io.IOException](
+      Pipeline.compactDaily(spark, outPath, targetBytes = 1L << 30))
+    assert(amb.getMessage.contains("ambiguous"), amb.getMessage)
+    assert(live.isDirectory && old.isDirectory, "no dir may be deleted on ambiguity")
+    old.delete()
   }
 
   test("observe: audit row counts piggyback on the action (A10)") {

@@ -326,11 +326,16 @@ class TrainingOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException]( // below cutoff granularity
       TextAnalysis.hashSplit(docs, "doc_id",
         Seq("a" -> (1.0 - 1e-6), "b" -> 1e-6)))
-    // a NULL id must fail fast, not silently land in the last split
+    // a NULL id must fail fast, not silently land in the last split —
+    // including the single-split config, where no cutoff comparison exists
     val withNull = spark.sql("SELECT CAST(NULL AS BIGINT) AS doc_id")
     val eNull = intercept[Exception](
       TextAnalysis.hashSplit(withNull, "doc_id").select("split").collect())
     assert(messages(eNull).contains("hash_split"), messages(eNull))
+    val eNull1 = intercept[Exception](
+      TextAnalysis.hashSplit(withNull, "doc_id", Seq("all" -> 1.0))
+        .select("split").collect())
+    assert(messages(eNull1).contains("hash_split"), messages(eNull1))
   }
 
   test("redactPii: emails, IPv4s, phones replaced; counts audit the scrub") {
