@@ -167,6 +167,27 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_rows"), rq(sum("value"), 4).as("sum_v"))
   }
 
+  /** J1d: the INCLUSIVE-bound natural interval join — `ts BETWEEN start
+    * AND end` (`Column.between` desugars to `>= AND <=`), the reference
+    * step-3.1 boundary semantics. Each user's interval ends EXACTLY at
+    * their 5th event's timestamp, so the inclusive upper bound genuinely
+    * matters: every user's boundary event is in the answer iff `<=` is
+    * honored. Relies on [[graft.plans.IntervalJoinRewrite]] planning the
+    * bucketed equi-join for the `<=` shape (PlanSpec pins it fired). */
+  private def qIntervalJoinIncl(s: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(s, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val acct = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy(col("user_id").as("auid"))
+      .agg(min(col("ts")).as("start"), max(col("ts")).as("end"))
+    ev.join(acct,
+        col("user_id") === col("auid") &&
+          col("ts").between(col("start"), col("end")))
+      .groupBy(col("user_id").cast("long").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"), rq(sum("value"), 4).as("sum_v"))
+  }
+
   /** Multi-way broadcast join: customer ⋈ nation ⋈ region + aggregate. */
   private def qJoin3(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "customer")
@@ -762,6 +783,7 @@ object SparkEntry {
     "q_interval_join" -> qIntervalJoin,
     "q_interval_join_bucketed" -> qIntervalJoinBucketed,
     "q_interval_join_auto" -> qIntervalJoinAuto,
+    "q_interval_join_incl" -> qIntervalJoinIncl,
     "q_join3" -> qJoin3,
     "q_semi_join" -> qSemiJoin,
     "q_anti_join" -> qAntiJoin,
@@ -1210,6 +1232,16 @@ object SparkEntry {
         |SELECT CAST(ev.user_id AS BIGINT) AS user_id, count(*) AS n_rows,
         |       floor((CAST(sum(ev.value) AS DOUBLE))*10000.0 + 0.5)/10000.0 AS sum_v
         |FROM events ev JOIN a ON ev.user_id = a.user_id AND ev.ts >= a.s AND ev.ts < a.e
+        |GROUP BY ev.user_id""".stripMargin,
+    "q_interval_join_incl" ->
+      """WITH r AS (SELECT user_id, ts,
+        |            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |           FROM events),
+        |a AS (SELECT user_id AS auid, min(ts) AS s, max(ts) AS e
+        |      FROM r WHERE rn <= 5 GROUP BY user_id)
+        |SELECT CAST(ev.user_id AS BIGINT) AS user_id, count(*) AS n_rows,
+        |       floor((CAST(sum(ev.value) AS DOUBLE))*10000.0 + 0.5)/10000.0 AS sum_v
+        |FROM events ev JOIN a ON ev.user_id = a.auid AND ev.ts >= a.s AND ev.ts <= a.e
         |GROUP BY ev.user_id""".stripMargin,
     "q_join3" ->
       """SELECT r_name, count(*) AS n_customers,

@@ -7,9 +7,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // dev loop: SPARK_GRAFT_ONLY=q_a,q_b restricts the dump (same contract
+    // as Bench); the driver never sets it, so the gate always runs all
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
     val spark = Sessions.local(cpus)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    only.fold(SparkEntry.queries)(f => SparkEntry.queries.view.filterKeys(f).toMap)
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -48,9 +48,17 @@ object IntervalJoin {
     *
     * `bucketMicros` should be ≥ the typical interval length (one explode
     * row per covered bucket per interval). Result is row-identical to
-    * [[apply]]. */
+    * [[apply]].
+    *
+    * `inclusiveEnd = true` switches the containment to `[start, end]` —
+    * the reference's step-3.1 boundary semantics
+    * (`step-3.1/old/consumer_2.py:388,426`) and what SQL `BETWEEN`
+    * means: the end instant itself matches, the last covered bucket is
+    * `floor(end/w)` (no −1), and the point interval `start == end` is
+    * valid rather than dropped. */
   def bucketed(metrics: DataFrame, accounting: DataFrame,
-               bucketMicros: Long = 24L * 3600L * 1000000L): DataFrame = {
+               bucketMicros: Long = 24L * 3600L * 1000000L,
+               inclusiveEnd: Boolean = false): DataFrame = {
     require(bucketMicros > 0)
     // NTZ-tolerant µs extraction: no-op for TIMESTAMP, session-TZ
     // interpretation for TIMESTAMP_NTZ — applied to BOTH sides, so bucket
@@ -72,16 +80,23 @@ object IntervalJoin {
     def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
     def bucketOf(c: Column): Column =
       floor(micros(c) / lit(bucketMicros)).cast("long")
-    val acct = accounting.filter(col("start") < col("end"))
+    val validInterval =
+      if (inclusiveEnd) col("start") <= col("end") else col("start") < col("end")
+    val lastBucket =
+      if (inclusiveEnd) bucketOf(col("end"))
+      else floor((micros(col("end")) - 1) / lit(bucketMicros)).cast("long")
+    val upperCond =
+      if (inclusiveEnd) col("m.Timestamp") <= col("a.end")
+      else col("m.Timestamp") < col("a.end")
+    val acct = accounting.filter(validInterval)
       .withColumn("__bucket",
-        explode(sequence(bucketOf(col("start")),
-          floor((micros(col("end")) - 1) / lit(bucketMicros)).cast("long"))))
+        explode(sequence(bucketOf(col("start")), lastBucket)))
     val met = metrics.withColumn("__bucket", bucketOf(col("Timestamp")))
     met.alias("m").join(acct.alias("a"),
         col("m.__bucket") === col("a.__bucket") &&
           col("m.jid") === col("a.jid") &&
           col("m.Timestamp") >= col("a.start") &&
-          col("m.Timestamp") < col("a.end"),
+          upperCond,
         "inner")
       .drop(col("a.jid")).drop(col("a.__bucket")).drop(col("m.__bucket"))
   }

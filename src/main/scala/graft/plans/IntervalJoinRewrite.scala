@@ -10,8 +10,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType, TimestampNTZType, Times
 /** Catalyst optimizer rule (SURVEY.md §4's "interval join planning rule",
   * realized at the plan level): an inner join whose condition contains a
   * two-sided containment `ts >= start AND ts < end` — the reference's
-  * metrics ⋈ accounting shape, and the general range join — is rewritten
-  * into the bucketed equi-join form of
+  * metrics ⋈ accounting shape, and the general range join — OR its
+  * inclusive-upper variant `ts >= start AND ts <= end` (the reference
+  * step-3.1 semantics, `step-3.1/old/consumer_2.py:388,426`, and what a
+  * SQL `BETWEEN` desugars to) is rewritten into the bucketed equi-join
+  * form of
   * [[graft.operators.IntervalJoin.bucketed]]: the interval side explodes
   * into the fixed-width time buckets it overlaps (a `Generate` node), the
   * probe side computes its single bucket, and `bucket = bucket` joins the
@@ -44,7 +47,16 @@ import org.apache.spark.sql.types.{DoubleType, LongType, TimestampNTZType, Times
   * `spark.graft.rewrite.intervalJoin.bucketMicros` (default 1 day) sets
   * the bucket width — size it at or above the typical interval length:
   * each interval emits one row per overlapped bucket, so width ≪ interval
-  * trades join fan-in for explode fan-out. */
+  * trades join fan-in for explode fan-out.
+  * `spark.graft.rewrite.intervalJoin.smallSideBytes` (default −1 = off):
+  * when ≥ 0, the rule bails if the interval side's estimated plan size is
+  * at or under that many bytes — a side small enough to broadcast is
+  * served optimally by the hash/BNLJ plan Catalyst already picks, and
+  * skipping it also sidesteps explode fan-out from open-ended sentinel
+  * intervals, which tend to live in small dimension tables (set it to
+  * `spark.sql.autoBroadcastJoinThreshold` for symmetric behavior). Every
+  * fired rewrite is `logInfo`'d with the interval side's size estimate so
+  * runaway fan-out is attributable to the rule. */
 case class IntervalJoinRewrite(session: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -71,13 +83,20 @@ case class IntervalJoinRewrite(session: SparkSession)
       if (j.left.outputSet.contains(a)) Some(true)
       else if (j.right.outputSet.contains(a)) Some(false) else None
 
-    // normalize range conjuncts to (ts, bound, isLowerBound)
-    def asBound(e: Expression): Option[(Attribute, Attribute, Boolean)] = e match {
-      case GreaterThanOrEqual(t: Attribute, s: Attribute) => Some((t, s, true))
-      case LessThanOrEqual(s: Attribute, t: Attribute) => Some((t, s, true))
-      case LessThan(t: Attribute, e2: Attribute) => Some((t, e2, false))
-      case GreaterThan(e2: Attribute, t: Attribute) => Some((t, e2, false))
-      case _ => None
+    // Normalize range conjuncts to (ts, bound, kind) candidates. A `<=`
+    // between two plain attributes is AMBIGUOUS in isolation — `a <= b` is
+    // both "a lower-bounds ts=b" and "ts=a upper-bounds at b inclusive" —
+    // so both readings are emitted and the pairing step below disambiguates
+    // (the ts attribute must be the SAME in the lower and upper conjunct,
+    // and both bounds must come from the side opposite it).
+    def asBounds(e: Expression): Seq[(Attribute, Attribute, Int)] = e match {
+      case GreaterThanOrEqual(a: Attribute, b: Attribute) =>
+        Seq((a, b, KLower), (b, a, KUpperIncl))
+      case LessThanOrEqual(a: Attribute, b: Attribute) =>
+        Seq((b, a, KLower), (a, b, KUpperIncl))
+      case LessThan(t: Attribute, e2: Attribute) => Seq((t, e2, KUpperExcl))
+      case GreaterThan(e2: Attribute, t: Attribute) => Seq((t, e2, KUpperExcl))
+      case _ => Nil
     }
     // TIMESTAMP always qualifies; TIMESTAMP_NTZ (what parquet with
     // isAdjustedToUTC=false reads as) only under a fixed-offset session
@@ -91,20 +110,21 @@ case class IntervalJoinRewrite(session: SparkSession)
       case TimestampNTZType => tzFixed
       case _ => false
     }
-    val bounds = conjuncts.flatMap(asBound).filter { case (t, b, _) =>
+    val bounds = conjuncts.flatMap(asBounds).filter { case (t, b, _) =>
       bucketable(t) && bucketable(b) &&
         sideOf(t).isDefined && sideOf(b).isDefined && sideOf(t) != sideOf(b)
     }
     val containment = (for {
-      (t1, start, true) <- bounds
-      (t2, end, false) <- bounds
+      (t1, start, KLower) <- bounds
+      (t2, end, ku) <- bounds
+      if ku != KLower
       if t1.semanticEquals(t2) && sideOf(start) == sideOf(end)
       // semi/anti preserve the left side as-is: the exploded interval side
       // must be the right (ts on the left); inner accepts either
       if j.joinType == Inner || sideOf(t1).contains(true)
-    } yield (t1, start, end)).headOption
+    } yield (t1, start, end, ku == KUpperIncl)).headOption
 
-    containment.map { case (ts, start, end) =>
+    containment.flatMap { case (ts, start, end, inclusive) =>
       val w = session.conf
         .get(BucketMicrosKey, DefaultBucketMicros.toString).toLong
       require(w > 0, s"$BucketMicrosKey must be positive, got $w")
@@ -120,9 +140,13 @@ case class IntervalJoinRewrite(session: SparkSession)
       def bucketOf(e: Expression): Expression =
         Cast(Floor(Divide(Cast(micros(e), DoubleType),
           Literal(w.toDouble))), LongType)
-      val lastBucket = Cast(Floor(Divide(
-        Cast(Subtract(micros(end), Literal(1L)), DoubleType),
-        Literal(w.toDouble))), LongType)
+      // exclusive `[start, end)`: the last covered instant is end−1µs;
+      // inclusive `[start, end]`: end itself is covered, so no −1
+      val lastBucket =
+        if (inclusive) bucketOf(end)
+        else Cast(Floor(Divide(
+          Cast(Subtract(micros(end), Literal(1L)), DoubleType),
+          Literal(w.toDouble))), LongType)
       // this rule runs post-analysis, so ResolveTimeZone has already
       // passed: timezone-aware expressions built HERE must be bound
       // explicitly or the plan flips back to unresolved
@@ -134,25 +158,42 @@ case class IntervalJoinRewrite(session: SparkSession)
       // inverted (start >= end) interval instead of yielding no buckets —
       // and with the explicit step it THROWS on inverted boundaries, so
       // degenerate/NULL intervals route to an empty bucket list instead
-      // (the original join yields nothing for them; the rewrite must too)
+      // (the original join yields nothing for them; the rewrite must too).
+      // Inclusive bounds admit the point interval start == end (one
+      // bucket); the original join matches ts == start there, so must we.
       val seq = Sequence(bucketOf(start), lastBucket, Some(Literal(1L)))
       val emptyBuckets = Literal.create(Seq.empty[Long], seq.dataType)
-      val explode = Explode(withTz(
-        If(LessThan(start, end), seq, emptyBuckets)))
+      val nonDegenerate =
+        if (inclusive) LessThanOrEqual(start, end) else LessThan(start, end)
+      val explode = Explode(withTz(If(nonDegenerate, seq, emptyBuckets)))
       val elem = explode.elementSchema.fields.head
       val bucketAttr = AttributeReference("__graft_bucket", elem.dataType,
         elem.nullable)()
       val tsOnLeft = sideOf(ts).contains(true)
       val intervalSide = if (tsOnLeft) j.right else j.left
-      val gen = Generate(explode, unrequiredChildIndex = Nil, outer = false,
-        qualifier = None, generatorOutput = Seq(bucketAttr), child = intervalSide)
-      val newCond = And(j.condition.get,
-        EqualTo(withTz(bucketOf(ts)), bucketAttr))
-      val newJoin =
-        if (tsOnLeft) Join(j.left, gen, j.joinType, Some(newCond), j.hint)
-        else Join(gen, j.right, j.joinType, Some(newCond), j.hint)
-      // restore the original output (order and no __graft_bucket)
-      Project(j.output, newJoin)
+      // opt-in small-side bail: a broadcastable interval side is already
+      // served optimally by the plan Catalyst picks without us, and the
+      // explode fan-out (one row per covered bucket) buys nothing there
+      val smallSide = session.conf.get(SmallSideBytesKey, "-1").toLong
+      if (smallSide >= 0 && intervalSide.stats.sizeInBytes <= smallSide) {
+        logInfo(s"IntervalJoinRewrite: NOT rewriting — interval side " +
+          s"estimated at ${intervalSide.stats.sizeInBytes} bytes <= " +
+          s"$SmallSideBytesKey=$smallSide")
+        None
+      } else {
+        logInfo(s"IntervalJoinRewrite: bucketing ${if (inclusive) "[start, end]"
+          else "[start, end)"} containment on '${ts.name}' (bucket ${w}µs, " +
+          s"interval side estimated at ${intervalSide.stats.sizeInBytes} bytes)")
+        val gen = Generate(explode, unrequiredChildIndex = Nil, outer = false,
+          qualifier = None, generatorOutput = Seq(bucketAttr), child = intervalSide)
+        val newCond = And(j.condition.get,
+          EqualTo(withTz(bucketOf(ts)), bucketAttr))
+        val newJoin =
+          if (tsOnLeft) Join(j.left, gen, j.joinType, Some(newCond), j.hint)
+          else Join(gen, j.right, j.joinType, Some(newCond), j.hint)
+        // restore the original output (order and no __graft_bucket)
+        Some(Project(j.output, newJoin))
+      }
     }
   }
 }
@@ -160,5 +201,11 @@ case class IntervalJoinRewrite(session: SparkSession)
 object IntervalJoinRewrite {
   val EnabledKey = "spark.graft.rewrite.intervalJoin"
   val BucketMicrosKey = "spark.graft.rewrite.intervalJoin.bucketMicros"
+  val SmallSideBytesKey = "spark.graft.rewrite.intervalJoin.smallSideBytes"
   val DefaultBucketMicros: Long = 24L * 3600L * 1000000L
+
+  // bound-candidate kinds for the containment extraction
+  private[plans] final val KLower = 0
+  private[plans] final val KUpperExcl = 1
+  private[plans] final val KUpperIncl = 2
 }

@@ -114,6 +114,17 @@ class PlanSpec extends SparkSpec {
     assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"))
   }
 
+  test("q_interval_join_incl: the <= (BETWEEN) shape also plans the bucketed equi-join") {
+    val df = SparkEntry.queries("q_interval_join_incl")(spark, sf)
+    val gens = df.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+          if g.generatorOutput.exists(_.name == "__graft_bucket") => g
+    }
+    assert(gens.size == 1, s"rewrite did not fire:\n${df.queryExecution.optimizedPlan}")
+    val phys = executed(df).toString
+    assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"))
+  }
+
   test("q_decontaminate: eval shingles broadcast — the training corpus never shuffles for the check") {
     val p = executed(SparkEntry.queries("q_decontaminate")(spark, sf))
     assert(countBroadcasts(p) >= 1, s"expected broadcast eval side, plan:\n$p")

@@ -93,6 +93,21 @@ class PropertySpec extends SparkSpec {
       val buck = graft.operators.IntervalJoin.bucketed(metrics, acct, 600L * 1000000L)
         .collect().map(key).sorted
       assert(buck.toSeq == broad.toSeq)
+      // inclusive mode ≡ brute-force [start, end] containment — intervals
+      // end exactly on second boundaries, so ts == end rows exist and the
+      // two modes genuinely differ. The reference is computed with the
+      // rewrite RULE disabled so the comparison is non-circular.
+      import org.apache.spark.sql.functions.col
+      spark.conf.set(graft.plans.IntervalJoinRewrite.EnabledKey, "false")
+      val inclExpected = try metrics.crossJoin(acct.withColumnRenamed("jid", "ajid"))
+        .filter(col("jid") === col("ajid") &&
+          col("Timestamp") >= col("start") && col("Timestamp") <= col("end"))
+        .collect().map(key).sorted
+      finally spark.conf.set(graft.plans.IntervalJoinRewrite.EnabledKey, "true")
+      val inclBuck = graft.operators.IntervalJoin
+        .bucketed(metrics, acct, 600L * 1000000L, inclusiveEnd = true)
+        .collect().map(key).sorted
+      assert(inclBuck.toSeq == inclExpected.toSeq)
     }
   }
 
@@ -118,23 +133,27 @@ class PropertySpec extends SparkSpec {
         .map { case ((s, e), i) => ((i + 1).toString, ts(s), ts(e)) }
         .toDF("ajid", "start", "end")
       import org.apache.spark.sql.functions.col
-      def joined = metrics.join(acct,
-        col("jid") === col("ajid") &&
-          col("mts") >= col("start") && col("mts") < col("end"))
+      // both boundary conventions, same property: rewritten ≡ un-rewritten
+      def joinedWith(upper: org.apache.spark.sql.Column) = metrics.join(acct,
+        col("jid") === col("ajid") && col("mts") >= col("start") && upper)
       def key(r: org.apache.spark.sql.Row) =
         (r.getAs[String]("jid"), r.getAs[java.sql.Timestamp]("mts"),
           r.getAs[java.sql.Timestamp]("start"))
-      val got = joined.collect().map(key).sorted.toSeq
-      // the rule fired (this is not a vacuous comparison)...
-      assert(joined.queryExecution.optimizedPlan.collect {
-        case g: org.apache.spark.sql.catalyst.plans.logical.Generate
-            if g.generatorOutput.exists(_.name == "__graft_bucket") => g
-      }.size == 1)
-      // ...and the un-rewritten join agrees row for row
-      spark.conf.set(IntervalJoinRewrite.EnabledKey, "false")
-      val expected = try joined.collect().map(key).sorted.toSeq
-      finally spark.conf.set(IntervalJoinRewrite.EnabledKey, "true")
-      assert(got == expected)
+      for (inclusive <- Seq(false, true)) {
+        def joined = joinedWith(
+          if (inclusive) col("mts") <= col("end") else col("mts") < col("end"))
+        val got = joined.collect().map(key).sorted.toSeq
+        // the rule fired (this is not a vacuous comparison)...
+        assert(joined.queryExecution.optimizedPlan.collect {
+          case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+              if g.generatorOutput.exists(_.name == "__graft_bucket") => g
+        }.size == 1, s"rewrite must fire (inclusive=$inclusive)")
+        // ...and the un-rewritten join agrees row for row
+        spark.conf.set(IntervalJoinRewrite.EnabledKey, "false")
+        val expected = try joined.collect().map(key).sorted.toSeq
+        finally spark.conf.set(IntervalJoinRewrite.EnabledKey, "true")
+        assert(got == expected, s"mismatch (inclusive=$inclusive)")
+      }
     } finally spark.conf.unset(IntervalJoinRewrite.BucketMicrosKey)
   }
 

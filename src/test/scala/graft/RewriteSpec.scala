@@ -142,6 +142,47 @@ class RewriteSpec extends SparkSpec {
     assert(semiFlipped.count() == 2) // intervals containing >= 1 metric row
   }
 
+  test("inclusive upper bound (BETWEEN) is rewritten and keeps the boundary row") {
+    // interval ending EXACTLY on a metric timestamp: `<=` must keep it
+    val incl = Seq(
+      ("j1", ts("2013-01-01 10:00:00"), ts("2013-01-01 11:59:59")), // ends ON row 2
+      ("j2", ts("2013-01-01 00:00:00"), ts("2013-01-01 10:30:00"))  // ends ON the 10:30 row
+    ).toDF("ijid", "start", "end")
+    val joined = metrics.join(incl,
+      $"jid" === $"ijid" && $"ts".between($"start", $"end"))
+    assert(bucketGenerates(joined) == 1, "rewrite must fire for BETWEEN / <= bounds")
+    spark.conf.set(IntervalJoinRewrite.EnabledKey, "false")
+    val expected = try rows(metrics.join(incl,
+      $"jid" === $"ijid" && $"ts" >= $"start" && $"ts" <= $"end"))
+    finally spark.conf.set(IntervalJoinRewrite.EnabledKey, "true")
+    val got = rows(joined)
+    assert(got == expected)
+    // the boundary rows themselves are present — the exclusive form would
+    // have dropped both
+    assert(got.contains(("j1", ts("2013-01-01 11:59:59"), 2.0)))
+    assert(got.contains(("j2", ts("2013-01-01 10:30:00"), 4.0)))
+    // point interval start == end is VALID under inclusive bounds: it
+    // matches exactly the row at that instant (the exclusive guard would
+    // have routed it to the empty bucket list)
+    val point = Seq(("j1", ts("2013-01-01 10:00:30"), ts("2013-01-01 10:00:30")))
+      .toDF("ijid", "start", "end")
+    val pj = metrics.join(point, $"jid" === $"ijid" && $"ts" >= $"start" && $"ts" <= $"end")
+    assert(bucketGenerates(pj) == 1)
+    assert(rows(pj) == Set(("j1", ts("2013-01-01 10:00:30"), 1.0)))
+  }
+
+  test("small-side bail: a sub-threshold interval side keeps the original plan when opted in") {
+    val joined = () => metrics.join(intervals, $"ts" >= $"start" && $"ts" < $"end")
+    // opt-in with a huge threshold: the tiny local relation is under it → bail
+    spark.conf.set(IntervalJoinRewrite.SmallSideBytesKey, (64L * 1024 * 1024).toString)
+    try {
+      assert(bucketGenerates(joined()) == 0, "rule must bail on a broadcastable side")
+      assert(rows(joined()).size == 5) // still correct via the un-rewritten plan
+    } finally spark.conf.unset(IntervalJoinRewrite.SmallSideBytesKey)
+    // default (-1) = no bail: same join rewrites again
+    assert(bucketGenerates(joined()) == 1)
+  }
+
   test("inverted and degenerate intervals yield no rows (explicit +1 sequence step)") {
     val bad = Seq(
       ("j1", ts("2013-01-05 00:00:00"), ts("2013-01-01 00:00:00")), // inverted
