@@ -8,7 +8,10 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every SparkEntry query against
   * `SPARK_GRAFT_SF_DIR`, prints one JSON line. A warmup pass at sf0.001
   * first forces classloading / codegen so timings measure the queries, not
-  * JVM startup.
+  * JVM startup. Each query is timed `SPARK_GRAFT_REPS` times (default 3)
+  * and the MEDIAN is reported, with per-query min/max spread in
+  * `bench_full.json` — single-shot numbers on a shared host cannot
+  * distinguish a regression from interference.
   *
   * Isolation: before each timed query ALL persisted state is dropped and
   * the JVM is settled (GC + a pause for the ContextCleaner to drain its
@@ -85,28 +88,51 @@ object Bench {
       }
     }
 
+    // median-of-N timings (default 3): single-shot numbers on a noisy
+    // shared host have swung ±40% round-to-round with identical code, so
+    // one measurement cannot adjudicate a regression. The median defeats
+    // one-off interference; the per-query min/max spread (bench_full.json)
+    // lets a reader separate real plan changes from host noise.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
+    val mb = 1024.0 * 1024.0
+    // per query: (name, median, min, max, io-from-median-run)
     val results = ordered.map { case (name, fn) =>
-      dropPersistedState()
-      listener.reset()
-      val t0 = System.nanoTime()
-      // a failed query is reported as -1, never as a (fast) fake timing
-      val secs =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+      val runs = collection.mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
+      var failed = false
+      var i = 0
+      while (i < reps && !failed) {
+        dropPersistedState()
+        listener.reset()
+        val t0 = System.nanoTime()
+        // a failed query is reported as -1, never as a (fast) fake timing
+        try {
+          fn(spark, sfDir).count()
+          runs += (((System.nanoTime() - t0) / 1e9, listener.shuffleWrite.get / mb,
+            listener.memSpill.get / mb, listener.diskSpill.get / mb))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); failed = true
         }
-      val mb = 1024.0 * 1024.0
-      (name, secs, listener.shuffleWrite.get / mb,
-        listener.memSpill.get / mb, listener.diskSpill.get / mb)
+        i += 1
+      }
+      if (failed) (name, -1.0, -1.0, -1.0, (0.0, 0.0, 0.0))
+      else {
+        val byTime = runs.sortBy(_._1)
+        val med = byTime(byTime.size / 2) // upper median for even sizes
+        (name, med._1, byTime.head._1, byTime.last._1, (med._2, med._3, med._4))
+      }
     }
     val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val io = results.map { case (k, _, sw, ms, ds) =>
+    val spread = results.map { case (k, _, mn, mx, _) =>
+      f""""$k":{"min":$mn%.4f,"max":$mx%.4f}"""
+    }.mkString("{", ",", "}")
+    val io = results.map { case (k, _, _, _, (sw, ms, ds)) =>
       f""""$k":{"shuffle_write_mb":$sw%.2f,"mem_spill_mb":$ms%.2f,"disk_spill_mb":$ds%.2f}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"io":$io,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+        s""""queries":$qs,"spread":$spread,"io":$io,"sf":"$sfDir"}"""
     // full record (timings + io) goes to DISK so no tail-capture of stdout
     // can ever clip it; stdout keeps the contract's ONE compact JSON line,
     // printed LAST so a tail capture always retains it (io metrics live in
@@ -115,7 +141,8 @@ object Bench {
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] bench_full.json: ${e.getMessage}") }
     System.err.println(s"""[bench] io: $io""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.err.println(s"""[bench] spread: $spread""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -132,7 +132,8 @@ object Pipeline {
             .repartition(want)
             .write.mode("overwrite").option("compression", "zstd")
             .parquet(tmp.toString)
-          fs.delete(old, true) // residue of an earlier crashed swap
+          // entry-time recovery guarantees `old` does not exist here (any
+          // `_graft_compact_old` was rolled back or threw before listing)
           if (!fs.rename(st.getPath, old))
             throw new java.io.IOException(s"compaction swap failed: ${st.getPath} -> $old")
           if (!fs.rename(tmp, st.getPath))

@@ -362,20 +362,30 @@ object SparkEntry {
   /** Fixture parquet the DuckDB oracle reads back for q_dedup_simhash —
     * the 64-bit simhash itself is engine-specific (seeded xxhash64 per
     * token, no DuckDB equivalent), but GIVEN the per-doc hashes, the
-    * banding + Hamming-distance pair derivation is plain SQL. The query
-    * dumps the hashes here and builds its pairs from the SAME dump, so
-    * the oracle checks the full pair logic on identical inputs. */
-  private val SimhashFixture = "/root/repo/target/verify-fixtures/simhash_hashes"
+    * banding + Hamming-distance pair derivation is plain SQL. The Verify
+    * harness dumps the hashes here via [[prepareOracleFixtures]]; the
+    * query recomputes them from the same deterministic expression, so the
+    * oracle checks the full pair logic on identical inputs. Resolved
+    * against the working directory (not a hardcoded checkout path) so any
+    * clone location works; the oracle SQL interpolates the same value. */
+  private lazy val SimhashFixture =
+    new java.io.File("target/verify-fixtures/simhash_hashes").getAbsolutePath
+
+  /** Oracle-side fixture dump, called by the Verify harness (NOT by the
+    * queries themselves — the bench must time operators, not fixture
+    * I/O). Written distributed; DuckDB globs the part files. */
+  def prepareOracleFixtures(s: SparkSession, dir: String): Unit =
+    Dedup.simhash(tbl(s, dir, "documents"), "doc_id", "text")
+      .write.mode("overwrite").parquet(SimhashFixture)
 
   /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit token simhash).
     * Oracle-checked on the pair set: banding + `bit_count` Hamming
-    * filtering are reproduced in DuckDB from the dumped hashes. */
-  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    Dedup.simhash(tbl(s, dir, "documents"), "doc_id", "text")
-      .coalesce(1).write.mode("overwrite").parquet(SimhashFixture)
-    Dedup.simhashPairs(s.read.parquet(SimhashFixture), 3)
+    * filtering are reproduced in DuckDB from the fixture dumped by
+    * [[prepareOracleFixtures]] — `simhash64` is deterministic, so the
+    * recomputed hashes here and the dump are value-identical. */
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Dedup.simhash(tbl(s, dir, "documents"), "doc_id", "text"), 3)
       .withColumn("hamming", col("hamming").cast("long"))
-  }
 
   /** Embedding near-dup: all pairs with cosine ≥ 0.4. */
   private def qEmbedCosinePairs(s: SparkSession, dir: String): DataFrame =

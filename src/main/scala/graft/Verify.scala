@@ -12,6 +12,9 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
     val spark = Sessions.local(cpus)
     new java.io.File(outDir).mkdirs()
+    // oracle-side fixtures (e.g. the simhash hash dump DuckDB reads) are
+    // written here, outside any timed query
+    SparkEntry.prepareOracleFixtures(spark, sfDir)
     only.fold(SparkEntry.queries)(f => SparkEntry.queries.view.filterKeys(f).toMap)
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

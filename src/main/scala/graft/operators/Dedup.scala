@@ -16,40 +16,23 @@ import org.apache.spark.sql.functions._
   * Materialization: pipelines that reuse the shingle set (`jaccardPairs`,
   * `minhashDuplicates`) eagerly checkpoint it — lineage-truncating, and
   * NOT registered in the CacheManager, so nothing leaks across pipelines.
-  * Two modes, chosen by [[Dedup.ReliableCheckpointKey]]:
-  *  - default `localCheckpoint` (single-node / static executors): blocks
-  *    live on executors and are released by the ContextCleaner; a lost
-  *    executor loses its blocks irrecoverably.
-  *  - reliable `checkpoint` (cluster with dynamic allocation / executor
-  *    loss): set the conf to `true` AND call
-  *    `spark.sparkContext.setCheckpointDir(<shared fs path>)`; each
-  *    round's edge set is written to the shared filesystem (computed a
-  *    second time for the write — the standard RDD-checkpoint cost), and
-  *    file cleanup follows `spark.cleaner.referenceTracking.cleanCheckpoints`.
+  * Two modes, chosen by [[Materialize.ReliableCheckpointKey]] — the
+  * mechanics live in [[Materialize]], shared with [[Similarity]] so the
+  * durability story is uniform across the scale paths.
   */
 object Dedup {
 
   /** Session conf key: `true` switches the dedup/CC internal
-    * materialization from `localCheckpoint` to reliable `checkpoint`. */
-  val ReliableCheckpointKey = "spark.graft.dedup.reliableCheckpoint"
+    * materialization from `localCheckpoint` to reliable `checkpoint`.
+    * Alias of [[Materialize.ReliableCheckpointKey]] — one key governs
+    * every graft pipeline. */
+  val ReliableCheckpointKey: String = Materialize.ReliableCheckpointKey
+
+  private def eagerCheckpoint(df: DataFrame): DataFrame =
+    Materialize.eagerCheckpoint(df)
 
   private def reliableMode(df: DataFrame): Boolean =
-    df.sparkSession.conf.get(ReliableCheckpointKey, "false").toBoolean
-
-  /** Eager lineage-truncating materialization in the configured mode.
-    * Reliable `checkpoint()` runs a SECOND job to write the checkpoint
-    * files; the frame is persisted first so that write job reads cached
-    * blocks instead of recomputing the whole plan (then unpersisted — the
-    * checkpoint files are the durable copy). */
-  private def eagerCheckpoint(df: DataFrame): DataFrame = {
-    val s = df.sparkSession
-    if (reliableMode(df)) {
-      require(s.sparkContext.getCheckpointDir.isDefined,
-        s"$ReliableCheckpointKey=true requires spark.sparkContext.setCheckpointDir(...)")
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try df.checkpoint() finally df.unpersist(blocking = false)
-    } else df.localCheckpoint()
-  }
+    Materialize.reliableMode(df)
 
   /** Exact dedup: one representative (min id) per identical value of
     * `textCol`. Groups on a 16-byte composite of two independently-seeded
@@ -369,8 +352,13 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, found by
     * banding the 64-bit hash into 4 × 16-bit chunks (pigeonhole: distance
     * ≤ 3 ⇒ at least one chunk equal), then verifying with `bit_count`. */
-  def simhashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(hashes0: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band pigeonhole guarantees recall only for distance <= 3")
+    // the banding self-join reads `hashes` on both sides — materialize once
+    // (16 bytes/doc) so an expensive upstream (the full-text simhash scan)
+    // isn't evaluated twice; same pattern as the shingle set in
+    // minhashDuplicates
+    val hashes = Materialize.eagerCheckpoint(hashes0)
     val banded = hashes.select(col("sh_id"), col("simhash"),
         posexplode(array((0 until 4).map(i =>
           shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)))

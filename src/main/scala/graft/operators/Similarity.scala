@@ -124,11 +124,12 @@ object Similarity {
   def lshCosinePairs(df: DataFrame, idCol: String, embCol: String, dims: Int,
                      minCosine: Double, bands: Int = 24, bitsPerBand: Int = 8): DataFrame = {
     // vec+norm+buckets feed candidate generation AND both verify sides —
-    // materialize once (eager, self-cleaning; see Dedup's header note)
-    val n = withNorm(df, embCol)
+    // materialize once (eager, self-cleaning), honoring the shared
+    // reliable-checkpoint mode so this path survives executor loss
+    // exactly like the shingle-dedup pipeline (see Materialize)
+    val n = Materialize.eagerCheckpoint(withNorm(df, embCol)
       .select(col(idCol).as("nid"), col("vec"), col("norm"),
-        lshBandBuckets(col(embCol), dims, bands, bitsPerBand).as("bk"))
-      .localCheckpoint()
+        lshBandBuckets(col(embCol), dims, bands, bitsPerBand).as("bk")))
     val banded = n.select(col("nid"), posexplode(col("bk")))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
     val cands = banded.select(col("band"), col("bucket"), col("nid").as("id_a"))

@@ -84,13 +84,16 @@ object ObjectStore {
     * (write-validate-rename, S14, applied to the object store).
     *
     * Crash recovery (the swap is three non-atomic steps on s3a-style
-    * stores): a crash before the swap leaves the live prefix untouched
-    * (`_graft_tmp` is residue, delete it); between the two renames, the
-    * live prefix is absent but the original survives complete at
-    * `_graft_old` (rename it back) and the new data at `_graft_tmp`;
-    * mid-`rename(tmp, dir)` (copy-then-delete on s3a) the copy restarts
-    * cleanly after deleting the partial `dir` — no state loses data.
-    * Returns (rowsBefore, rowsAfter). */
+    * stores), performed AT ENTRY like [[graft.Pipeline.compactDaily]] so a
+    * plain re-run self-heals: `_graft_old` present with the live prefix
+    * gone means the rename-aside completed (on copy-then-delete stores,
+    * live only vanishes after every object was copied) → the original is
+    * rolled back before reading; BOTH present is ambiguous on a
+    * non-atomic-rename store (mid rename-aside, mid rename-in, or
+    * pre-cleanup) → fail loudly naming both prefixes — every byte still
+    * exists, and guessing is how data gets lost silently. `_graft_tmp`
+    * alone is pre-swap residue and is simply overwritten by the new
+    * write. Returns (rowsBefore, rowsAfter). */
   def readFilterWriteback(spark: SparkSession, prefix: String,
                           drop: Column): (Long, Long) = {
     import org.apache.spark.sql.functions.{coalesce, count, lit}
@@ -99,6 +102,16 @@ object ObjectStore {
     val fs = dir.getFileSystem(conf)
     val tmp = new Path(dir.getParent, dir.getName + "_graft_tmp")
     val old = new Path(dir.getParent, dir.getName + "_graft_old")
+
+    if (fs.exists(old)) {
+      if (!fs.exists(dir)) {
+        if (!fs.rename(old, dir))
+          throw new IOException(s"crash recovery failed: $old -> $dir")
+      } else throw new IOException(
+        s"ambiguous crashed writeback swap: BOTH $dir and $old exist. " +
+          "No data is lost - compare the two and delete the incomplete " +
+          "one, then re-run.")
+    }
 
     // both row counts ride the ONE write job as observe metrics — no
     // separate count scans (at object-store scale every extra pass is a
@@ -113,7 +126,7 @@ object ObjectStore {
     val nBefore = obsIn.get("n").asInstanceOf[Long]
     val nAfter = obsOut.get("n").asInstanceOf[Long]
 
-    fs.delete(old, true) // residue of an earlier crashed swap
+    // entry-time recovery guarantees `old` does not exist here
     if (fs.exists(dir) && !fs.rename(dir, old))
       throw new IOException(s"writeback swap failed: $dir -> $old")
     if (!fs.rename(tmp, dir))

@@ -124,6 +124,34 @@ class ObjectStoreSpec extends SparkSpec {
     assert(!fs.exists(p("swap_graft_tmp")) && !fs.exists(p("swap_graft_old")))
   }
 
+  test("readFilterWriteback self-heals a crashed swap at entry; ambiguous state fails loudly") {
+    root
+    val fs = new org.apache.hadoop.fs.Path("s3a://test-bucket/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"s3a://test-bucket/$s")
+    // simulate the crash BETWEEN the two renames: live prefix gone, the
+    // original complete at _graft_old — a plain re-run must roll it back
+    // and then run normally (compactDaily's entry-time repair, mirrored)
+    Seq(("NODE404", "1"), ("keep", "2")).toDF("Host", "v")
+      .write.mode("overwrite").option("header", "true")
+      .csv("s3a://test-bucket/heal_graft_old")
+    assert(!fs.exists(p("heal")))
+    val (before, after) = ObjectStore.readFilterWriteback(spark,
+      "s3a://test-bucket/heal", col("Host") === "NODE404")
+    assert(before == 2 && after == 1, "repair must restore the original, then filter it")
+    assert(!fs.exists(p("heal_graft_old")))
+    // BOTH live and _graft_old present is ambiguous: refuse, name both
+    Seq(("a", "1")).toDF("Host", "v").write.mode("overwrite")
+      .option("header", "true").csv("s3a://test-bucket/amb")
+    Seq(("b", "2")).toDF("Host", "v").write.mode("overwrite")
+      .option("header", "true").csv("s3a://test-bucket/amb_graft_old")
+    val e = intercept[java.io.IOException](ObjectStore.readFilterWriteback(
+      spark, "s3a://test-bucket/amb", col("Host") === "a"))
+    assert(e.getMessage.contains("amb") && e.getMessage.contains("amb_graft_old"))
+    // nothing was touched by the refusal
+    assert(fs.exists(p("amb")) && fs.exists(p("amb_graft_old")))
+  }
+
   test("reliable CC checkpoints write to s3a:// and clusters stay correct") {
     // composes the two cluster features: Dedup's reliable-checkpoint mode
     // (executor-loss survival) against object-store rename semantics —
@@ -147,6 +175,35 @@ class ObjectStoreSpec extends SparkSpec {
       spark.conf.set(Dedup.ReliableCheckpointKey, "false")
       spark.sparkContext.setCheckpointDir(
         java.nio.file.Files.createTempDirectory("graft-ckpt-local").toString)
+    }
+  }
+
+  test("reliable cosine-LSH index checkpoints to s3a:// and pairs stay correct") {
+    // same composition for the OTHER flagship scale path: Similarity's
+    // LSH index goes through Materialize, so the one conf key gives the
+    // embedding near-dup pipeline the identical object-store durability
+    root
+    import graft.operators.{Dedup, Similarity}
+    spark.sparkContext.setCheckpointDir("s3a://test-bucket/lsh-ckpt")
+    spark.conf.set(Dedup.ReliableCheckpointKey, "true")
+    try {
+      val vecs = Seq(
+        (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.9f, 0.1f, 0.0f)),
+        (2L, Array(0.0f, 1.0f, 0.0f)), (3L, Array(0.0f, 0.9f, 0.1f)),
+        (4L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+      val got = Similarity.lshCosinePairs(vecs, "vec_id", "embedding",
+          dims = 3, minCosine = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((0L, 1L), (2L, 3L)))
+      val fs = new org.apache.hadoop.fs.Path("s3a://test-bucket/")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val ckpt = new org.apache.hadoop.fs.Path("s3a://test-bucket/lsh-ckpt")
+      assert(fs.exists(ckpt) && fs.listStatus(ckpt).nonEmpty,
+        "LSH index checkpoint must land on the object store")
+    } finally {
+      spark.conf.set(Dedup.ReliableCheckpointKey, "false")
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt-local2").toString)
     }
   }
 

@@ -209,6 +209,24 @@ class TrainingOpsSpec extends SparkSpec {
     assert(lsh.keySet == Set((0L, 1L), (2L, 3L)))
   }
 
+  test("reliable-checkpoint mode: lshCosinePairs same pairs, index persisted to the checkpoint dir") {
+    // the cosine-LSH index must honor the SAME durability switch as the
+    // shingle-dedup pipeline (Materialize) — before the hoist it
+    // hard-coded localCheckpoint and lost blocks on executor loss
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt-lsh").toFile
+    spark.sparkContext.setCheckpointDir(ckptDir.getAbsolutePath)
+    spark.conf.set(Dedup.ReliableCheckpointKey, "true")
+    try {
+      val lsh = Similarity.lshCosinePairs(vecs, "vec_id", "embedding", dims = 3, minCosine = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(lsh == Set((0L, 1L), (2L, 3L)))
+      def files(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap(f =>
+          if (f.isDirectory) files(f) else Seq(f))
+      assert(files(ckptDir).nonEmpty, "LSH index not written to the checkpoint dir")
+    } finally spark.conf.set(Dedup.ReliableCheckpointKey, "false")
+  }
+
   test("quantizeInt8: half-up codes, ±127 saturation, zero vector, fail-fast edges") {
     // 62.5 pins HALF-UP (half-even would give 62); ±maxAbs pins saturation
     val d = Seq(
