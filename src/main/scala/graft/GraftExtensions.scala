@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, LshBandBuckets, ShingleHashes, SimHash64}
+import graft.functions.{DotProduct, JpegDims, LshBandBuckets, ShingleHashes, SimHash64}
 
 /** Session extensions: registers the engine's native Catalyst expressions
   * for SQL use (`SELECT dot_product(a.vec, b.vec)`, `simhash64(text)`), so
@@ -48,6 +48,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // the ONE chain definition — shared with the Column API, so
         // SQL ≡ Column API holds by construction
         graft.operators.TextAnalysis.redactPiiExpr(args.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("jpeg_dims"),
+      info("jpeg_dims",
+        "jpeg_dims(bytes) - struct(width, height) from a JPEG SOF header, null if not JPEG"),
+      (args: Seq[Expression]) => {
+        requireArity("jpeg_dims", args, 1)
+        JpegDims(args.head)
       }))
     e.injectFunction((
       FunctionIdentifier("lsh_band_buckets"),

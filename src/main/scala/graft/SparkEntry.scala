@@ -544,19 +544,23 @@ object SparkEntry {
       md5(col("content")).as("content_md5"))
   }
 
-  /** Real container-header parsing: PNG/GIF/BMP payloads are SYNTHESIZED
-    * per document from its doc_id with byte-construction built-ins, then
-    * parsed back by `Multimodal.toAssets`' header reader. The oracle
-    * computes the planted dimensions arithmetically — a parse bug (endian
-    * swap, offset slip, sign error) breaks the hash match. BMP heights are
-    * stored NEGATIVE for even ids (top-down row order) to pin the
-    * two's-complement little-endian path. */
+  /** Real container-header parsing: PNG/GIF/BMP/JPEG payloads are
+    * SYNTHESIZED per document from its doc_id with byte-construction
+    * built-ins, then parsed back by `Multimodal.toAssets`' header reader.
+    * The oracle computes the planted dimensions arithmetically — a parse
+    * bug (endian swap, offset slip, sign error, segment-hop slip) breaks
+    * the hash match. BMP heights are stored NEGATIVE for even ids
+    * (top-down row order) to pin the two's-complement little-endian path;
+    * JPEG dims sit in a SOF segment BEHIND real APP0+COM segments (so the
+    * hash only matches if the segment walk hops lengths correctly), with
+    * baseline SOF0 for even ids and progressive SOF2 for odd. */
   private def qMultimodalDims(s: SparkSession, dir: String): DataFrame = {
     // little/big-endian byte construction: arithmetic shift + mask works
     // for negative values too (two's complement bytes fall out directly)
     def byteAt(v: Column, i: Int): Column =
       unhex(lpad(hex(shiftright(v, 8 * i).bitwiseAND(lit(255L))), 2, "0"))
     def be32(v: Column) = concat(byteAt(v, 3), byteAt(v, 2), byteAt(v, 1), byteAt(v, 0))
+    def be16(v: Column) = concat(byteAt(v, 1), byteAt(v, 0))
     def le16(v: Column) = concat(byteAt(v, 0), byteAt(v, 1))
     def le32(v: Column) = concat(byteAt(v, 0), byteAt(v, 1), byteAt(v, 2), byteAt(v, 3))
 
@@ -577,18 +581,31 @@ object SparkEntry {
       lit("BM".getBytes("US-ASCII") ++ Array.fill[Byte](12)(0) ++
         Array[Byte](40, 0, 0, 0)), // BITMAPINFOHEADER size
       le32(w), le32(hBmpRaw))
+    val jpeg = concat(
+      lit(Array(0xFF, 0xD8).map(_.toByte) ++                  // SOI
+        Array(0xFF, 0xE0, 0x00, 0x10).map(_.toByte) ++        // APP0, len 16
+        "JFIF".getBytes("US-ASCII") ++ Array[Byte](0) ++ Array.fill[Byte](9)(1) ++
+        Array(0xFF, 0xFE, 0x00, 0x04).map(_.toByte) ++        // COM, len 4
+        "hi".getBytes("US-ASCII")),
+      when(pmod(id, lit(2)) === 0, lit(Array(0xFF, 0xC0).map(_.toByte)))
+        .otherwise(lit(Array(0xFF, 0xC2).map(_.toByte))),     // SOF0 / SOF2
+      lit(Array[Byte](0x00, 0x11, 8)),                        // len 17, precision
+      be16(h), be16(w),
+      lit(Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))) // 3 components
 
-    val payload = when(pmod(id, lit(3)) === 0, png)
-      .when(pmod(id, lit(3)) === 1, gif)
-      .otherwise(bmp)
+    val payload = when(pmod(id, lit(4)) === 0, png)
+      .when(pmod(id, lit(4)) === 1, gif)
+      .when(pmod(id, lit(4)) === 2, bmp)
+      .otherwise(jpeg)
     val assets = Multimodal.toAssets(
       tbl(s, dir, "documents").select(id, payload.as("img")),
       "doc_id", "img", "image/sniffed")
     assets.select(
       col("asset_id"),
-      when(pmod(col("asset_id"), lit(3)) === 0, "png")
-        .when(pmod(col("asset_id"), lit(3)) === 1, "gif")
-        .otherwise("bmp").as("fmt"),
+      when(pmod(col("asset_id"), lit(4)) === 0, "png")
+        .when(pmod(col("asset_id"), lit(4)) === 1, "gif")
+        .when(pmod(col("asset_id"), lit(4)) === 2, "bmp")
+        .otherwise("jpeg").as("fmt"),
       col("meta.width").as("width"),
       col("meta.height").as("height"))
   }
@@ -1186,8 +1203,8 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q_multimodal_dims" ->
       """SELECT doc_id AS asset_id,
-        |       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png'
-        |            WHEN 1 THEN 'gif' ELSE 'bmp' END AS fmt,
+        |       CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'png'
+        |            WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS fmt,
         |       CAST(doc_id % 1920 + 1 AS INTEGER) AS width,
         |       CAST(doc_id % 1080 + 1 AS INTEGER) AS height
         |FROM documents""".stripMargin,

@@ -10,8 +10,9 @@ import org.apache.spark.sql.types._
   * plumbing.
   *
   * The Spark-side plumbing (schema, partitioning, batch shape) is real and
-  * tested, and container-header METADATA (width/height for PNG/GIF/BMP)
-  * is parsed for real — pure byte reads need no codec. Only the pixel
+  * tested, and container-header METADATA (width/height for
+  * PNG/GIF/BMP/JPEG) is parsed for real — header reads need no codec. Only
+  * the pixel
   * DECODE is stubbed with a deterministic fake, because this container
   * has no image/audio codecs. The stub boundary is `decodeBytes` below:
   * swap it for a real decoder (JavaCPP/ffmpeg or a `mapInPandas`-
@@ -34,7 +35,7 @@ object Multimodal {
 
   /** Wrap a source column as a multimodal asset: opaque bytes + metadata.
     * Width/height are parsed from the payload's REAL container header when
-    * the bytes are a recognized image format (PNG/GIF/BMP — pure byte
+    * the bytes are a recognized image format (PNG/GIF/BMP/JPEG — header
     * reads, no codec needed; see [[imageWidth]]/[[imageHeight]]), and null
     * otherwise — non-image payloads carry no dimensions. */
   def toAssets(df: DataFrame, idCol: String, payloadCol: String,
@@ -100,19 +101,27 @@ object Multimodal {
   private def isBmp(c: Column): Column =
     length(c) >= 26 && substring(c, 1, 2) === lit("BM".getBytes("US-ASCII"))
 
-  /** Parsed pixel width of a PNG/GIF/BMP payload; null if not one. */
+  private def isJpeg(c: Column): Column =
+    length(c) >= 4 && substring(c, 1, 2) === lit(Array(0xFF, 0xD8).map(_.toByte))
+
+  /** Parsed pixel width of a PNG/GIF/BMP/JPEG payload; null if not one.
+    * JPEG needs a segment walk to its SOF marker — that lives in the
+    * native [[graft.functions.JpegDims]] expression; the fixed-offset
+    * formats stay composed from codegen'd built-ins. */
   def imageWidth(c: Column): Column =
     when(isPng(c), be32(c, 16))
       .when(isGif(c), le16(c, 6))
       .when(isBmp(c), abs(le32s(c, 18)))
+      .when(isJpeg(c), graft.functions.JpegDims.jpegDims(c).getField("width"))
       .cast("int")
 
-  /** Parsed pixel height of a PNG/GIF/BMP payload; null if not one.
+  /** Parsed pixel height of a PNG/GIF/BMP/JPEG payload; null if not one.
     * BMP height is |raw|: negative raw just means top-down row order. */
   def imageHeight(c: Column): Column =
     when(isPng(c), be32(c, 20))
       .when(isGif(c), le16(c, 8))
       .when(isBmp(c), abs(le32s(c, 22)))
+      .when(isJpeg(c), graft.functions.JpegDims.jpegDims(c).getField("height"))
       .cast("int")
 
   /** STUB decoder: a real implementation would decode the media container

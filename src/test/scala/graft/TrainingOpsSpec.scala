@@ -473,7 +473,7 @@ class TrainingOpsSpec extends SparkSpec {
     assert(frames.count() >= 2)
   }
 
-  test("image header parsing: PNG/GIF/BMP dims from real byte fixtures; mime-gated") {
+  test("image header parsing: PNG/GIF/BMP/JPEG dims from real byte fixtures; mime-gated") {
     import java.nio.{ByteBuffer, ByteOrder}
     // fixtures built with ByteBuffer, independent of the engine's
     // column-expression construction path
@@ -493,13 +493,24 @@ class TrainingOpsSpec extends SparkSpec {
       b.put("BM".getBytes).put(new Array[Byte](12))
       b.putInt(40).putInt(w).putInt(hRaw).array()
     }
+    def jpeg(w: Int, h: Int, sof: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(41).order(ByteOrder.BIG_ENDIAN)
+      b.put(Array(0xFF, 0xD8).map(_.toByte))                        // SOI
+      b.put(Array(0xFF, 0xE0, 0x00, 0x10).map(_.toByte))            // APP0 len 16
+      b.put("JFIF".getBytes).put(0.toByte).put(new Array[Byte](9))
+      b.put(Array(0xFF, sof).map(_.toByte)).putShort(17)            // SOF, len 17
+      b.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+      b.put(Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)).array()
+    }
     val assets = Multimodal.toAssets(Seq(
       (1L, png(640, 480)),
       (2L, gif(320, 200)),
       (3L, bmp(1024, 768)),
       (4L, bmp(800, -600)), // top-down BMP: dims are |h|
-      // JPEG: real image, but not in the no-codec set → null, never a guess
-      (5L, Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte) ++ new Array[Byte](30))
+      // malformed JPEG (APP0 claims length 0) → null, never a guess
+      (5L, Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte) ++ new Array[Byte](30)),
+      (6L, jpeg(1280, 720, 0xC0)), // baseline
+      (7L, jpeg(4032, 3024, 0xC2)) // progressive
     ).toDF("id", "payload"), "id", "payload", "image/sniffed")
     val dims = assets.select($"asset_id", $"meta.width", $"meta.height")
       .collect().map(r => r.getLong(0) -> (r.get(1), r.get(2))).toMap
@@ -508,11 +519,52 @@ class TrainingOpsSpec extends SparkSpec {
     assert(dims(3L) == ((1024, 768)))
     assert(dims(4L) == ((800, 600)))
     assert(dims(5L) == ((null, null)))
+    assert(dims(6L) == ((1280, 720)))
+    assert(dims(7L) == ((4032, 3024)))
     // non-image mime: sniffing disabled even for REAL image bytes
     val textMime = Multimodal.toAssets(Seq((9L, png(10, 20))).toDF("id", "p"),
       "id", "p", "text/plain")
       .select($"meta.width", $"meta.height").collect()(0)
     assert(textMime.isNullAt(0) && textMime.isNullAt(1))
+  }
+
+  test("jpeg_dims segment walk: fill bytes, standalone markers, SOS/EOI cutoff, truncation") {
+    import graft.functions.JpegDims.jpegDims
+    def soi = Array(0xFF, 0xD8)
+    def sof0(w: Int, h: Int) =
+      Array(0xFF, 0xC0, 0x00, 0x0B, 8, h >> 8, h & 0xFF, w >> 8, w & 0xFF, 1, 0x11) // 1 component, len 11
+    def bytes(xs: Array[Int]*): Array[Byte] = xs.flatten.map(_.toByte).toArray
+    def dimsOf(payload: Array[Byte]): Option[(Int, Int)] = {
+      val r = Seq(Tuple1(payload)).toDF("p")
+        .select(jpegDims($"p").as("d")).select("d.width", "d.height").collect()(0)
+      if (r.isNullAt(0)) None else Some((r.getInt(0), r.getInt(1)))
+    }
+    // fill bytes before the marker code are legal padding
+    assert(dimsOf(bytes(soi, Array(0xFF, 0xFF, 0xFF), sof0(640, 480).drop(1)))
+      == Some((640, 480)))
+    // standalone markers (TEM, RSTn) carry no length and must be hopped
+    assert(dimsOf(bytes(soi, Array(0xFF, 0x01), Array(0xFF, 0xD5), sof0(33, 44)))
+      == Some((33, 44)))
+    // SOS before any SOF: dims unknowable from the header → null
+    assert(dimsOf(bytes(soi, Array(0xFF, 0xDA, 0x00, 0x02), sof0(1, 1))).isEmpty)
+    // EOI before any SOF → null
+    assert(dimsOf(bytes(soi, Array(0xFF, 0xD9))).isEmpty)
+    // SOF truncated mid-dimensions → null, not a garbage read
+    assert(dimsOf(bytes(soi, Array(0xFF, 0xC0, 0x00, 0x0B, 8, 0))).isEmpty)
+    // skip-segment length running past the buffer → null
+    assert(dimsOf(bytes(soi, Array(0xFF, 0xFE, 0x7F, 0xFF, 1, 2))).isEmpty)
+    // DHT (C4) is NOT a SOF even though it's in C0-CF; walk continues past it
+    assert(dimsOf(bytes(soi, Array(0xFF, 0xC4, 0x00, 0x03, 0), sof0(12, 34)))
+      == Some((12, 34)))
+    // DNL-deferred height comes back as the honest 0
+    assert(dimsOf(bytes(soi, sof0(100, 0))) == Some((100, 0)))
+    // not a JPEG at all
+    assert(dimsOf("plain text".getBytes("UTF-8")).isEmpty)
+    // SQL registration ≡ Column API
+    Seq((1L, bytes(soi, sof0(640, 480)))).toDF("id", "p").createOrReplaceTempView("jp")
+    val viaSql = spark.sql("SELECT jpeg_dims(p) AS d FROM jp")
+      .select("d.width", "d.height").collect()(0)
+    assert((viaSql.getInt(0), viaSql.getInt(1)) == ((640, 480)))
   }
 
   test("SQL registration: lsh_band_buckets matches the Column API; bad k errors cleanly") {
