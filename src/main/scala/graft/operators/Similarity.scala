@@ -186,13 +186,35 @@ object Similarity {
     * oracle-checked by q_ann_ivf_q8). */
   def ivfTopKQuantized(corpus: DataFrame, queries: DataFrame, idCol: String,
                        embCol: String, partCol: String, k: Int,
-                       candidateFactor: Int = 4): DataFrame = {
-    def index(df: DataFrame, as: String): DataFrame =
-      quantizeInt8(df, embCol)
-        .select(col(partCol).as("part"), col(idCol).as(as),
+                       candidateFactor: Int = 4): DataFrame =
+    ivfTopKQuantized(buildQuantizedIndex(corpus, idCol, embCol, partCol),
+      corpus, queries, idCol, embCol, partCol, k, candidateFactor)
+
+  /** The int8 index as a persistable frame: `(idCol, partCol, q8, q8_scale)`.
+    * A real deployment quantizes the corpus ONCE, writes this to parquet,
+    * and serves every query batch from it via the index-taking
+    * [[ivfTopKQuantized]] overload — re-quantizing 100 TB per query batch
+    * would dwarf the search itself. Codes are integers, so the parquet
+    * round-trip is exact and the served top-k is bit-identical to the
+    * inline path (pinned by TrainingOpsSpec). */
+  def buildQuantizedIndex(df: DataFrame, idCol: String, embCol: String,
+                          partCol: String): DataFrame =
+    quantizeInt8(df, embCol)
+      .select(col(idCol), col(partCol), col("q8"), col("q8_scale"))
+
+  /** [[ivfTopKQuantized]] over a prebuilt [[buildQuantizedIndex]] frame
+    * (e.g. read back from parquet). `corpus` supplies the fp32 vectors for
+    * the exact re-scoring of the shortlist only — the index is the
+    * resident set; queries are quantized inline (they're the small side). */
+  def ivfTopKQuantized(index: DataFrame, corpus: DataFrame, queries: DataFrame,
+                       idCol: String, embCol: String, partCol: String, k: Int,
+                       candidateFactor: Int): DataFrame = {
+    def side(ix: DataFrame, as: String): DataFrame =
+      ix.select(col(partCol).as("part"), col(idCol).as(as),
           col("q8").cast("array<double>").as(s"${as}_q8"))
         .withColumn(s"${as}_n8", sqrt(dot(col(s"${as}_q8"), col(s"${as}_q8"))))
-    val approx = index(queries, "query_id").join(index(corpus, "nn_id"), Seq("part"))
+    val approx = side(buildQuantizedIndex(queries, idCol, embCol, partCol), "query_id")
+      .join(side(index, "nn_id"), Seq("part"))
       .filter(col("query_id") =!= col("nn_id"))
       .select(col("query_id"), col("nn_id"),
         when(col("query_id_n8") === 0.0 || col("nn_id_n8") === 0.0, 0.0)

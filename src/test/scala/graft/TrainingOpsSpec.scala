@@ -279,6 +279,26 @@ class TrainingOpsSpec extends SparkSpec {
     assert(q8R == exactR, "quantized index + exact re-scoring must reproduce exact top-k")
   }
 
+  test("parquet-round-tripped quantized index serves bit-identical top-k to the inline path") {
+    // the deployment shape: build the int8 index ONCE, persist, serve query
+    // batches from the read-back frame — must equal inline re-quantization
+    // down to the cosine bits (int codes survive parquet exactly)
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = real.filter($"vec_id" < 20)
+    val ixPath = java.nio.file.Files.createTempDirectory("graft-q8ix").toString + "/ix"
+    Similarity.buildQuantizedIndex(real, "vec_id", "embedding", "label")
+      .write.parquet(ixPath)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("nn_id"), r.getAs[Double]("cosine"))).sortBy(t => (t._1, t._2))
+    val inline = rows(Similarity.ivfTopKQuantized(real, queries,
+      "vec_id", "embedding", "label", 3))
+    val served = rows(Similarity.ivfTopKQuantized(spark.read.parquet(ixPath),
+      real, queries, "vec_id", "embedding", "label", 3, candidateFactor = 4))
+    assert(served.sameElements(inline),  // exact Double equality — BIT-identical
+      "served top-k must be bit-identical to the inline quantized path")
+  }
+
   test("blank documents: no tokens, no shingles, no phantom duplicates") {
     val d = Seq((1L, ""), (2L, "   "), (3L, "real text here")).toDF("doc_id", "text")
     assert(TextAnalysis.withTokenCounts(d, "text").filter($"doc_id" < 3)
