@@ -350,18 +350,28 @@ object Dedup {
       graft.functions.SimHash64.simhash64(col(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, found by
-    * banding the 64-bit hash into 4 × 16-bit chunks (pigeonhole: distance
-    * ≤ 3 ⇒ at least one chunk equal), then verifying with `bit_count`. */
-  def simhashPairs(hashes0: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4-band pigeonhole guarantees recall only for distance <= 3")
+    * banding the 64-bit hash into `bands` equal-width chunks (pigeonhole:
+    * distance ≤ bands−1 ⇒ at least one chunk equal), then verifying with
+    * `bit_count`. More bands buy a larger guaranteed radius at the cost of
+    * more candidate collisions per doc (each band is narrower), so pick
+    * the smallest `bands` whose radius covers the target `maxHamming` —
+    * the 4 × 16-bit default covers the classic ≤ 3 near-dup setting. */
+  def simhashPairs(hashes0: DataFrame, maxHamming: Int = 3,
+                   bands: Int = 4): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0,
+      s"bands must divide 64 evenly, got $bands")
+    require(maxHamming <= bands - 1,
+      s"$bands-band pigeonhole guarantees recall only for distance <= ${bands - 1}")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
     // the banding self-join reads `hashes` on both sides — materialize once
     // (16 bytes/doc) so an expensive upstream (the full-text simhash scan)
     // isn't evaluated twice; same pattern as the shingle set in
     // minhashDuplicates
     val hashes = Materialize.eagerCheckpoint(hashes0)
     val banded = hashes.select(col("sh_id"), col("simhash"),
-        posexplode(array((0 until 4).map(i =>
-          shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)))
+        posexplode(array((0 until bands).map(i =>
+          shiftright(col("simhash"), i * width).bitwiseAND(mask)): _*)))
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
     val l = banded.select(col("chunk"), col("chunk_val"),
       col("sh_id").as("id_a"), col("simhash").as("sim_a"))

@@ -173,6 +173,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("simhashPairs banding at b ∈ {4, 8}: pairs == driver brute force at radius b−1") {
+    // clustered hashes: a few random bases, each derivative flips ≤ 8 bits,
+    // so distances 0..8 all occur and BOTH radii (3 and 7) bite
+    val gen = for {
+      bases <- Gen.listOfN(5, Gen.long)
+      derived <- Gen.listOfN(25, for {
+        b <- Gen.chooseNum(0, 4)
+        nf <- Gen.chooseNum(0, 8)
+        pos <- Gen.listOfN(nf, Gen.chooseNum(0, 63))
+      } yield (b, pos))
+    } yield derived.map { case (b, pos) =>
+      pos.foldLeft(bases(b))((h, p) => h ^ (1L << p))
+    }
+    forAll(gen, n = 3) { hs =>
+      val df = hs.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+        .toDF("sh_id", "simhash")
+      for (bands <- Seq(4, 8)) {
+        val radius = bands - 1 // the pigeonhole-guaranteed recall radius
+        val got = Dedup.simhashPairs(df, radius, bands).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        val expect = (for {
+          i <- hs.indices; j <- hs.indices if i < j
+          d = java.lang.Long.bitCount(hs(i) ^ hs(j)) if d <= radius
+        } yield (i.toLong, j.toLong, d)).toSet
+        assert(got == expect, s"bands=$bands radius=$radius")
+      }
+    }
+    // geometry guards: non-divisor band count and an over-radius ask fail fast
+    val one = Seq((1L, 0L)).toDF("sh_id", "simhash")
+    intercept[IllegalArgumentException](Dedup.simhashPairs(one, 3, bands = 5))
+    intercept[IllegalArgumentException](Dedup.simhashPairs(one, 4, bands = 4))
+  }
+
   test("duplicateClusters == driver-side union-find on random graphs " +
     "(incl. deep chains)") {
     // random edge lists over a small id space produce long chains and
