@@ -37,6 +37,23 @@ object EventAggregator {
     events.withWatermark(watermarkCol, delay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-static interval enrichment — the reference's step-1 (landing
+    * stream) → step-2 (accounting join) seam as ONE continuous flow: each
+    * micro-batch of the metric stream joins the static accounting table by
+    * jid equality + `[start, end)` containment, exactly
+    * [[graft.operators.IntervalJoin]]'s batch semantics (it IS the same
+    * operator — stream-static inner joins are stateless, so the batch plan
+    * applies per micro-batch with no state store and no watermark;
+    * EventAggregatorSpec pins streaming ≡ batch on the same rows). With
+    * the broadcast default every micro-batch probes the accounting build
+    * side map-side: the metric stream itself never shuffles, which is the
+    * posture that survives a 100 TB/day stream. Compose with
+    * [[Compactor]]'s landing-dir source for the continuous flavor of the
+    * reference's file-dropping step-1 → step-2 handoff. */
+  def enrichWithAccounting(metricStream: DataFrame, accounting: DataFrame,
+                           broadcastAccounting: Boolean = true): DataFrame =
+    graft.operators.IntervalJoin(metricStream, accounting, broadcastAccounting)
+
   case class HostEvent(host: String, ts: java.sql.Timestamp, value: Double)
   case class HostSession(host: String, nEvents: Long, first: java.sql.Timestamp,
                          last: java.sql.Timestamp, meanValue: Double)

@@ -42,6 +42,44 @@ class EventAggregatorSpec extends SparkSpec {
     assert(rows(("2013-01-01 10:01:00.0", "cpuuser")) == (1L, 50.0))
   }
 
+  test("stream-static interval enrichment ≡ batch IntervalJoin; stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.IntervalJoin
+    val in = MemoryStream[(String, Timestamp, Double)]
+    val metrics = in.toDF().toDF("jid", "Timestamp", "value")
+    val acct = Seq(
+      ("j1", ts("2013-01-01 10:00:00"), ts("2013-01-01 11:00:00")),
+      ("j2", ts("2013-01-01 10:30:00"), ts("2013-01-01 10:30:00")), // degenerate: dropped
+      ("j3", ts("2013-01-01 09:00:00"), ts("2013-01-01 09:30:00"))
+    ).toDF("jid", "start", "end")
+    val q = EventAggregator.enrichWithAccounting(metrics, acct)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    val rows = Seq(
+      ("j1", ts("2013-01-01 10:00:00"), 1.0), // == start: in
+      ("j1", ts("2013-01-01 10:59:59"), 2.0), // in
+      ("j1", ts("2013-01-01 11:00:00"), 3.0), // == end: out ([start, end))
+      ("j2", ts("2013-01-01 10:30:00"), 4.0), // degenerate interval: out
+      ("j3", ts("2013-01-01 09:15:00"), 5.0), // in
+      ("jX", ts("2013-01-01 10:15:00"), 6.0)) // unmatched jid: out
+    in.addData(rows.take(3))
+    q.processAllAvailable()
+    // no state store: the join must be stateless micro-batch probing
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "stream-static inner join must not allocate a state store")
+    in.addData(rows.drop(3)) // rest arrives in a LATER micro-batch
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getTimestamp(1), r.getDouble(2),
+        r.getTimestamp(3), r.getTimestamp(4))
+    val streamed = spark.table("enrich_out").collect().map(key).toSet
+    val batch = IntervalJoin(rows.toDF("jid", "Timestamp", "value"), acct)
+      .collect().map(key).toSet
+    assert(streamed == batch, "streaming enrichment must equal the batch join")
+    assert(streamed.map(_._3) == Set(1.0, 2.0, 5.0))
+  }
+
   test("sessionization splits sessions on intra-batch gaps (replay == live)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[HostEvent]
