@@ -360,6 +360,19 @@ class PropertySpec extends SparkSpec {
       b.put("BM".getBytes).put(new Array[Byte](12)).putInt(40)
       b.putInt(w).putInt(hRaw).array()
     }
+    def jpeg(w: Int, h: Int, nPadSegs: Int) = {
+      // dims behind a VARIABLE number of skip segments, so the parse only
+      // succeeds if the segment walk hops every length correctly
+      val b = ByteBuffer.allocate(2 + nPadSegs * 6 + 11).order(ByteOrder.BIG_ENDIAN)
+      b.put(Array(0xFF, 0xD8).map(_.toByte))
+      (0 until nPadSegs).foreach { i =>
+        b.put(Array(0xFF, 0xE1 + (i % 14)).map(_.toByte)).putShort(4)
+        b.putShort(i.toShort)
+      }
+      b.put(Array(0xFF, 0xC0).map(_.toByte)).putShort(11).put(8.toByte)
+      b.putShort(h.toShort).putShort(w.toShort)
+      b.put(Array[Byte](1, 0x11)).array()
+    }
     // every byte-boundary value the endianness/offset arithmetic could trip
     // on: single-byte, carry into 2nd/3rd/4th byte, format maxima
     val u16 = Seq(1, 2, 127, 128, 255, 256, 257, 32767, 32768, 65535)
@@ -368,7 +381,10 @@ class PropertySpec extends SparkSpec {
       u32.map(v => (s"png-$v", png(v, (v % 1080) + 1), v.toLong, ((v % 1080) + 1).toLong)) ++
       u16.map(v => (s"gif-$v", gif(v, (v % 65535) + 1), v.toLong, ((v % 65535) + 1).toLong)) ++
       u32.map(v => (s"bmp-$v", bmp(v, (v % 1080) + 1), v.toLong, ((v % 1080) + 1).toLong)) ++
-      u32.map(v => (s"bmpneg-$v", bmp(v, -((v % 1080) + 1)), v.toLong, ((v % 1080) + 1).toLong))
+      u32.map(v => (s"bmpneg-$v", bmp(v, -((v % 1080) + 1)), v.toLong, ((v % 1080) + 1).toLong)) ++
+      u16.zipWithIndex.map { case (v, i) =>
+        (s"jpeg-$v", jpeg(v, (v % 65535) + 1, i), v.toLong, ((v % 65535) + 1).toLong)
+      }
     val got = fixtures.map { case (k, bytes, _, _) => (k, bytes) }
       .toDF("k", "payload")
       .select($"k", Multimodal.imageWidth($"payload").as("w"),
