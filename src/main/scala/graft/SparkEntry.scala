@@ -414,6 +414,29 @@ object SparkEntry {
       .withColumn("cosine", rq(col("cosine"), 6))
   }
 
+  /** Embedding near-dup CLUSTERS end to end: [[qEmbedLshPairs]]'s
+    * candidate-generate-verify pair path composed with the alternating-star
+    * connected-components resolution — the actual curation product of
+    * embedding dedup (one canonical representative per near-dup group).
+    * Same planted corpus; the oracle recomputes exact all-pairs edges at
+    * ≥ 0.95 and resolves components with a recursive CTE, so BOTH the LSH
+    * recall and the CC labeling are inside one hash check. */
+  private def qEmbedClusters(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    val planted = e.select((col("vec_id") + 1000000L).as("vec_id"),
+      concat(array(-element_at(col("embedding"), 1)),
+        slice(col("embedding"), 2, 63)).as("embedding"))
+    val corpus = e.select("vec_id", "embedding").union(planted)
+    val pairs = Similarity.lshCosinePairs(corpus, "vec_id", "embedding",
+      dims = 64, minCosine = 0.95, bands = 24, bitsPerBand = 8)
+    Dedup.duplicateClusters(pairs.select("id_a", "id_b"))
+      .withColumnRenamed("doc_id", "vec_id")
+  }
+
+  /** Corpus vocabulary: top-100 tokens by frequency (ties by token). */
+  private def qVocab(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topTokens(tbl(s, dir, "documents"), "text", 100)
+
   /** Brute-force cosine top-5 for the first 10 vectors. */
   private def qAnnTopK(s: SparkSession, dir: String): DataFrame = {
     val e = tbl(s, dir, "embeddings")
@@ -784,6 +807,8 @@ object SparkEntry {
     "q_dedup_simhash" -> qDedupSimhash,
     "q_embed_cosine_pairs" -> qEmbedCosinePairs,
     "q_embed_lsh_pairs" -> qEmbedLshPairs,
+    "q_embed_clusters" -> qEmbedClusters,
+    "q_vocab" -> qVocab,
     "q_ann_topk" -> qAnnTopK,
     "q_ann_ivf" -> qAnnIvf,
     "q_ann_ivf_q8" -> qAnnIvfQ8,
@@ -1055,6 +1080,31 @@ object SparkEntry {
         |       floor((list_cosine_similarity(a.v, b.v))*1000000.0 + 0.5)/1000000.0 AS cosine
         |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.95""".stripMargin,
+    "q_embed_clusters" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |         CAST(list_concat([-embedding[1]], embedding[2:]) AS DOUBLE[]) FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.95),
+        |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |      UNION SELECT id_b, id_a FROM pairs),
+        |r AS (
+        |  WITH RECURSIVE reach(u, v) AS (
+        |    SELECT u, v FROM e
+        |    UNION
+        |    SELECT reach.u, e.v FROM reach JOIN e ON reach.v = e.u)
+        |  SELECT u, v FROM reach)
+        |SELECT u AS vec_id, least(u, min(v)) AS cluster_rep
+        |FROM r GROUP BY u""".stripMargin,
+    "q_vocab" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS n FROM toks WHERE token <> '' GROUP BY token)
+        |SELECT token, n FROM c ORDER BY n DESC, token LIMIT 100""".stripMargin,
     "q_ann_topk" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,

@@ -25,6 +25,22 @@ object TextAnalysis {
         size(filter(split(col(textCol), "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
           t => length(trim(t)) > 0)))
 
+  /** Corpus vocabulary: the `k` most frequent whitespace tokens with
+    * their counts, ties broken by token order so the cut is
+    * deterministic. Scale shape: explode → map-side partial count → ONE
+    * shuffle on the token key → global top-k fused to
+    * `TakeOrderedAndProject` (no full sort ever materializes; the sorted
+    * set held anywhere is k rows, not the vocabulary). The [[tokens]]
+    * definition is shared, so vocab, shingles, and simhash all agree on
+    * what a token is. */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+  }
+
   /** Quality-score features: length, punctuation ratio, stopword ratio,
     * mean word length — and a [0,1] composite. Deterministic closed-form
     * (no model), so it is oracle-checkable in plain SQL. */

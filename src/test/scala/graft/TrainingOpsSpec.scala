@@ -299,6 +299,15 @@ class TrainingOpsSpec extends SparkSpec {
       "served top-k must be bit-identical to the inline quantized path")
   }
 
+  test("topTokens: frequency order, deterministic tie-break, blanks ignored") {
+    val d = Seq((1L, "b a a"), (2L, "  "), (3L, "c b"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.topTokens(d, "text", 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a", 2L), ("b", 2L))) // c=1 cut; a before b on the tie
+    intercept[IllegalArgumentException](TextAnalysis.topTokens(d, "text", 0))
+  }
+
   test("blank documents: no tokens, no shingles, no phantom duplicates") {
     val d = Seq((1L, ""), (2L, "   "), (3L, "real text here")).toDF("doc_id", "text")
     assert(TextAnalysis.withTokenCounts(d, "text").filter($"doc_id" < 3)
