@@ -437,6 +437,14 @@ object SparkEntry {
   private def qVocab(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.topTokens(tbl(s, dir, "documents"), "text", 100)
 
+  /** Deterministic stratified sampling by `source` (corpus mixing): keep
+    * src0 wholesale, src1 at 1/2, src2 at 1/4, everything else at 1/10 —
+    * the oracle reproduces the md5-cutoff membership row for row. */
+  private def qSampleStratified(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sampleStratified(tbl(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), default = 0.1)
+      .select("doc_id", "source")
+
   /** Brute-force cosine top-5 for the first 10 vectors. */
   private def qAnnTopK(s: SparkSession, dir: String): DataFrame = {
     val e = tbl(s, dir, "embeddings")
@@ -809,6 +817,7 @@ object SparkEntry {
     "q_embed_lsh_pairs" -> qEmbedLshPairs,
     "q_embed_clusters" -> qEmbedClusters,
     "q_vocab" -> qVocab,
+    "q_sample_stratified" -> qSampleStratified,
     "q_ann_topk" -> qAnnTopK,
     "q_ann_ivf" -> qAnnIvf,
     "q_ann_ivf_q8" -> qAnnIvfQ8,
@@ -1100,6 +1109,11 @@ object SparkEntry {
         |  SELECT u, v FROM reach)
         |SELECT u AS vec_id, least(u, min(v)) AS cluster_rep
         |FROM r GROUP BY u""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT <
+        |  CASE source WHEN 'src0' THEN 65536 WHEN 'src1' THEN 32768
+        |              WHEN 'src2' THEN 16384 ELSE 6553 END""".stripMargin,
     "q_vocab" ->
       """WITH toks AS (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),

@@ -140,6 +140,35 @@ object TextAnalysis {
         size(col("col")).as("chunk_tokens"))
   }
 
+  /** Deterministic stratified sampling for corpus MIXING (upweight code,
+    * downweight crawl, …): keep each row of stratum `s` with probability
+    * `fractions(s)` — strata absent from the map, including NULL, take
+    * `default` — decided by the md5 of the row's id, the same stable-hash
+    * mechanism as [[hashSplit]]: membership is reproducible across runs,
+    * engines, partitionings and cluster sizes (no `rand()`), and the
+    * filter is a narrow per-row transform (no shuffle; at 100 TB the
+    * sample costs one scan). Fractions realize as cutoffs on the first 4
+    * md5 nibbles (granularity 1/65536); 1.0 keeps a stratum wholesale,
+    * 0.0 drops it. Change `salt` to re-deal every stratum independently
+    * of earlier samples. */
+  def sampleStratified(df: DataFrame, idCol: String, strataCol: String,
+                       fractions: Map[String, Double], default: Double = 0.0,
+                       salt: String = ""): DataFrame = {
+    require((fractions.values.toSeq :+ default).forall(f => f >= 0.0 && f <= 1.0),
+      s"fractions must be in [0, 1]: $fractions default=$default")
+    val pfx = conv(substring(
+      md5(concat(col(idCol).cast("string"), lit(salt)).cast("binary")), 1, 4),
+      16, 10).cast("long")
+    def keepBelow(f: Double): Column = pfx < lit(math.floor(f * 65536).toLong)
+    // sorted fold so the when-chain (and thus the plan) is deterministic
+    // regardless of Map iteration order
+    val keep = fractions.toSeq.sortBy(_._1).foldLeft(keepBelow(default)) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, keepBelow(f)).otherwise(acc)
+    }
+    df.filter(keep)
+  }
+
   /** Deterministic corpus split (train/val/test): assign each row to a
     * named split by the md5 of its id (optionally salted) — stable across
     * runs, engines, partitionings and cluster sizes, unlike `rand()`-based

@@ -97,10 +97,20 @@ class PlanSpec extends SparkSpec {
 
   test("per-row text ops are shuffle-free: chunking, repetition, quantize, split, redact") {
     for (q <- Seq("q_text_chunks", "q_text_repetition", "q_embed_quantize",
-        "q_hash_split", "q_pii_redact")) {
+        "q_hash_split", "q_pii_redact", "q_sample_stratified")) {
       val p = executed(SparkEntry.queries(q)(spark, sf))
       assert(countShuffles(p) == 0, s"$q should be narrow, plan:\n$p")
     }
+  }
+
+  test("q_vocab: one token shuffle, top-k fused — no global sort of the vocabulary") {
+    val p = executed(SparkEntry.queries("q_vocab")(spark, sf))
+    assert(flatten(p).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      s"expected TakeOrderedAndProject, plan:\n$p")
+    assert(!flatten(p).exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      s"global sort present, plan:\n$p")
+    assert(countShuffles(p) == 1, s"expected exactly the token-count shuffle, plan:\n$p")
   }
 
   test("q_interval_join_auto: the optimizer rule fired — bucket Generate present, no nested loop") {

@@ -299,6 +299,33 @@ class TrainingOpsSpec extends SparkSpec {
       "served top-k must be bit-identical to the inline quantized path")
   }
 
+  test("sampleStratified: per-stratum fractions, determinism, null strata, salt re-deal") {
+    val d = (0L until 400L).map(i =>
+      (i, if (i % 4 == 3) null else s"s${i % 4}")).toDF("doc_id", "source")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    val out = TextAnalysis.sampleStratified(d, "doc_id", "source",
+      Map("s0" -> 1.0, "s1" -> 0.5, "s2" -> 0.0), default = 0.2)
+    val got = ids(out)
+    // fraction 1.0 keeps the stratum wholesale, 0.0 drops it entirely
+    assert((0L until 400L by 4).forall(got.contains))
+    assert(!(2L until 400L by 4).exists(got.contains))
+    // 0.5 thins s1 without emptying it; NULL strata take the default
+    val s1 = got.count(_ % 4 == 1)
+    assert(s1 > 0 && s1 < 100, s"s1 kept $s1 of 100")
+    val nulls = got.count(_ % 4 == 3)
+    assert(nulls > 0 && nulls < 60, s"null-strata kept $nulls of 100")
+    // deterministic: identical re-run, membership unchanged
+    assert(ids(TextAnalysis.sampleStratified(d, "doc_id", "source",
+      Map("s0" -> 1.0, "s1" -> 0.5, "s2" -> 0.0), default = 0.2)) == got)
+    // a different salt re-deals membership (same mechanism as hashSplit)
+    assert(ids(TextAnalysis.sampleStratified(d, "doc_id", "source",
+      Map("s0" -> 1.0, "s1" -> 0.5, "s2" -> 0.0), default = 0.2,
+      salt = "v2")) != got)
+    intercept[IllegalArgumentException](TextAnalysis.sampleStratified(
+      d, "doc_id", "source", Map("s0" -> 1.5)))
+  }
+
   test("topTokens: frequency order, deterministic tie-break, blanks ignored") {
     val d = Seq((1L, "b a a"), (2L, "  "), (3L, "c b"), (4L, ""))
       .toDF("doc_id", "text")
