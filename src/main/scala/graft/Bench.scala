@@ -79,6 +79,11 @@ object Bench {
       spark.stop()
       return
     }
+    if (sys.env.contains("SPARK_GRAFT_SCALE_SLOPE_EMBED")) {
+      scaleSlopeEmbed(spark, sfDir, () => dropPersistedState())
+      spark.stop()
+      return
+    }
 
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
     val ordered = only.fold(all)(f => all.filter(kv => f(kv._1)))
@@ -144,6 +149,77 @@ object Bench {
     System.err.println(s"""[bench] spread: $spread""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Cosine-LSH scale-slope harness — the embedding twin of [[scaleSlope]]:
+    * replicate the embeddings corpus k×, flipping each replica's vectors
+    * by a per-replica deterministic ±1 diagonal (an orthogonal transform:
+    * within-replica pairwise cosines are EXACTLY preserved, so each
+    * replica contributes the same near-dup structure, while cross-replica
+    * cosines decorrelate — pair counts grow linearly in k). Planted
+    * near-dups per replica follow the q_embed_lsh_pairs construction.
+    * Slope near 1 on log-log wall time = banded candidate-generate-verify;
+    * near 2 = an all-pairs path crept in. Writes `bench_scale_embed.json`. */
+  private def scaleSlopeEmbed(spark: SparkSession, sfDir: String,
+                              dropState: () => Unit): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val idSpan = base.agg(max("vec_id")).head().getLong(0) + 1
+    def replica(k: Int) = {
+      // deterministic per-(replica, dimension) sign; replica 0 = identity
+      // so the 1x point is the untransformed corpus
+      val signs =
+        if (k == 0) transform(sequence(lit(1), lit(64)), _ => lit(1.0))
+        else transform(sequence(lit(1), lit(64)),
+          i => when(pmod(xxhash64(lit(k), i), lit(2)) === 0, 1.0).otherwise(-1.0))
+      val flipped = zip_with(col("embedding").cast("array<double>"), signs,
+        (x, s) => x * s)
+      val withPlanted = base.select(col("vec_id"), flipped.as("v"))
+      withPlanted.select(col("vec_id"), col("v"))
+        .unionByName(withPlanted.select((col("vec_id") + idSpan).as("vec_id"),
+          concat(array(-element_at(col("v"), 1)), slice(col("v"), 2, 63)).as("v")))
+        .select((col("vec_id") + lit(k * 2 * idSpan)).as("vec_id"), col("v").as("embedding"))
+    }
+    val sizes = Seq(1, 2, 4, 8)
+    // untimed warmup (codegen/JIT/shuffle init)
+    Similarity.lshCosinePairs(replica(0), "vec_id", "embedding",
+      dims = 64, minCosine = 0.95).count()
+    dropState()
+    val rows = sizes.map { n =>
+      val corpus = (0 until n).map(replica).reduce(_ union _)
+      val nVecs = corpus.count()
+      // geometry sized to the corpus — the sizing rule under test: with
+      // bits ≈ log₂ n the candidate set stays linear; the fixed default
+      // 24×8 measurably goes quadratic here (slope ~2 at 32k vectors)
+      val (bands, bits) = Similarity.lshGeometryFor(nVecs, 0.95)
+      dropState()
+      val t0 = System.nanoTime()
+      val nPairs = Similarity.lshCosinePairs(corpus, "vec_id", "embedding",
+        dims = 64, minCosine = 0.95, bands = bands, bitsPerBand = bits).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      dropState()
+      (n, nVecs, nPairs, secs)
+    }
+    def slope(ys: Seq[Double]): Double = {
+      val lx = sizes.map(n => math.log(n.toDouble))
+      val ly = ys.map(math.log)
+      val mx = lx.sum / lx.size; val my = ly.sum / ly.size
+      lx.zip(ly).map { case (a, b) => (a - mx) * (b - my) }.sum /
+        lx.map(a => (a - mx) * (a - mx)).sum
+    }
+    def arr[T](f: ((Int, Long, Long, Double)) => T): String =
+      rows.map(f).mkString("[", ",", "]")
+    val line =
+      f"""{"metric":"cosine_lsh_scale_slope","sizes":${arr(_._1)},""" +
+        f""""vecs":${arr(_._2)},"pairs":${arr(_._3)},""" +
+        f""""secs":${arr(r => f"${r._4}%.3f")},""" +
+        f""""slope":${slope(rows.map(_._4))}%.3f,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_scale_embed.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] bench_scale_embed.json: ${e.getMessage}") }
+    println(line)
   }
 
   /** LSH scale-slope harness: replicate the documents corpus k× with a

@@ -123,6 +123,12 @@ object Similarity {
     * (< 1e-8 at cosine 0.95 with the 24×8 default geometry). */
   def lshCosinePairs(df: DataFrame, idCol: String, embCol: String, dims: Int,
                      minCosine: Double, bands: Int = 24, bitsPerBand: Int = 8): DataFrame = {
+    // NOTE on sizing: the default 24×8 geometry has 256 buckets per band,
+    // so UNRELATED pairs collide at ~bands/2^bits — fine for oracle-scale
+    // corpora, but candidates grow as n²·bands/2^bits, i.e. quadratic with
+    // a fixed geometry (the bench_scale_embed harness measures slope ~2 at
+    // 32k vectors under 24×8). Size bitsPerBand with the corpus via
+    // [[lshGeometryFor]] (bits ≈ log₂ n ⇒ candidates O(bands·n), linear).
     // vec+norm+buckets feed candidate generation AND both verify sides —
     // materialize once (eager, self-cleaning), honoring the shared
     // reliable-checkpoint mode so this path survives executor loss
@@ -143,6 +149,32 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         cosine(col("va"), col("vb"), col("na"), col("nb")).as("cosine"))
       .filter(col("cosine") >= minCosine)
+  }
+
+  /** [[lshCosinePairs]] geometry sized to the corpus — the 100 TB sizing
+    * rule made executable. `bitsPerBand ≈ log₂ n` keeps per-band bucket
+    * count ≳ n, so the expected candidates from UNRELATED pairs stay
+    * `O(bands · n)` (each vector meets ~`n/2^bits ≈ 1` others per band)
+    * instead of the `O(bands · n²/2^bits)` blowup of a fixed geometry;
+    * `bands` then buys recall: per-pair miss ≤ `(1 − p^bits)^bands` with
+    * `p = 1 − arccos(minCosine)/π` (Goemans–Williamson sign-agreement).
+    * Returns `(bands, bitsPerBand)` for the requested miss probability.
+    * The verify stage is exact, so geometry affects RECALL and COST only,
+    * never precision. */
+  def lshGeometryFor(n: Long, minCosine: Double,
+                     missProb: Double = 1e-6): (Int, Int) = {
+    require(n >= 1, s"corpus size must be positive, got $n")
+    require(minCosine > 0.0 && minCosine < 1.0,
+      s"minCosine must be in (0, 1), got $minCosine")
+    require(missProb > 0.0 && missProb < 1.0,
+      s"missProb must be in (0, 1), got $missProb")
+    val bits = math.max(8, math.min(24,
+      math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt))
+    val pBit = 1.0 - math.acos(minCosine) / math.Pi
+    val pBand = math.pow(pBit, bits)
+    val bands = math.max(1,
+      math.ceil(math.log(missProb) / math.log1p(-pBand)).toInt)
+    (bands, bits)
   }
 
   /** Symmetric int8 quantization of an embedding column: per-vector scale

@@ -209,6 +209,23 @@ class TrainingOpsSpec extends SparkSpec {
     assert(lsh.keySet == Set((0L, 1L), (2L, 3L)))
   }
 
+  test("lshGeometryFor: bits tracks log2(n); recall intact under sized geometry") {
+    val (b1k, bits1k) = Similarity.lshGeometryFor(1000, 0.95)
+    assert(bits1k == 10)
+    val (b1m, bits1m) = Similarity.lshGeometryFor(1L << 20, 0.95)
+    assert(bits1m == 20 && b1m > b1k) // narrower bands need more of them
+    assert(Similarity.lshGeometryFor(10, 0.95)._2 == 8)           // floor
+    assert(Similarity.lshGeometryFor(Long.MaxValue, 0.95)._2 == 24) // cap
+    intercept[IllegalArgumentException](Similarity.lshGeometryFor(0, 0.95))
+    intercept[IllegalArgumentException](Similarity.lshGeometryFor(10, 1.0))
+    // the sized geometry still reproduces the exact pair set
+    val (bands, bits) = Similarity.lshGeometryFor(5, 0.9)
+    val lsh = Similarity.lshCosinePairs(vecs, "vec_id", "embedding", dims = 3,
+        minCosine = 0.9, bands = bands, bitsPerBand = bits)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == Set((0L, 1L), (2L, 3L)))
+  }
+
   test("reliable-checkpoint mode: lshCosinePairs same pairs, index persisted to the checkpoint dir") {
     // the cosine-LSH index must honor the SAME durability switch as the
     // shingle-dedup pipeline (Materialize) — before the hoist it
