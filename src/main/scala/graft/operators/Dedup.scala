@@ -355,7 +355,17 @@ object Dedup {
     * `bit_count`. More bands buy a larger guaranteed radius at the cost of
     * more candidate collisions per doc (each band is narrower), so pick
     * the smallest `bands` whose radius covers the target `maxHamming` —
-    * the 4 × 16-bit default covers the classic ≤ 3 near-dup setting. */
+    * the 4 × 16-bit default covers the classic ≤ 3 near-dup setting.
+    *
+    * Scale honesty: unlike cosine LSH (where [[Similarity.lshGeometryFor]]
+    * widens buckets with the corpus), the chunk width here is PINNED by
+    * the recall guarantee (width = 64/bands), so the per-chunk bucket
+    * space is fixed at `2^width` and random-pair candidates grow as
+    * `bands · n²/2^width` once `n ≫ 2^width` (~65k docs at the default).
+    * Candidates only face a cheap codegen'd `bit_count`, but for corpora
+    * orders beyond that, either pre-partition by an exact sub-key (e.g.
+    * length bucket or another chunk) before pairing, or use the MinHash
+    * path, whose bucket space is the full 64-bit hash range. */
   def simhashPairs(hashes0: DataFrame, maxHamming: Int = 3,
                    bands: Int = 4): DataFrame = {
     require(bands >= 1 && 64 % bands == 0,
