@@ -409,8 +409,12 @@ object SparkEntry {
       concat(array(-element_at(col("embedding"), 1)),
         slice(col("embedding"), 2, 63)).as("embedding"))
     val corpus = e.select("vec_id", "embedding").union(planted)
+    // geometry sized to the corpus (the lshGeometryFor sizing rule, inside
+    // the correctness gate): the count is a parquet-metadata job, and the
+    // per-pair miss bound (1e-6) keeps the oracle hash-exact
+    val (bands, bits) = Similarity.lshGeometryFor(2 * e.count(), 0.95)
     Similarity.lshCosinePairs(corpus, "vec_id", "embedding", dims = 64,
-        minCosine = 0.95, bands = 24, bitsPerBand = 8)
+        minCosine = 0.95, bands = bands, bitsPerBand = bits)
       .withColumn("cosine", rq(col("cosine"), 6))
   }
 
@@ -427,8 +431,9 @@ object SparkEntry {
       concat(array(-element_at(col("embedding"), 1)),
         slice(col("embedding"), 2, 63)).as("embedding"))
     val corpus = e.select("vec_id", "embedding").union(planted)
+    val (bands, bits) = Similarity.lshGeometryFor(2 * e.count(), 0.95)
     val pairs = Similarity.lshCosinePairs(corpus, "vec_id", "embedding",
-      dims = 64, minCosine = 0.95, bands = 24, bitsPerBand = 8)
+      dims = 64, minCosine = 0.95, bands = bands, bitsPerBand = bits)
     Dedup.duplicateClusters(pairs.select("id_a", "id_b"))
       .withColumnRenamed("doc_id", "vec_id")
   }
