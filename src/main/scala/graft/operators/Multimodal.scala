@@ -161,6 +161,42 @@ object Multimodal {
     }(enc)
   }
 
+  /** Image resize over asset batches: REAL plumbing — same `mapPartitions`
+    * decoder-amortization boundary as [[extractFeatures]], typed metadata
+    * updated for real (width/height become the targets, `n_bytes` the new
+    * payload length, mime and duration preserved) — around the STUB pixel
+    * path: the "resized" payload is a deterministic fake derived from the
+    * source bytes at the target raster (see [[decodeBytes]]'s boundary
+    * note; a real decoder/encoder slots into this method without touching
+    * the plan shape). Null payloads resize to null, metadata still
+    * updated. */
+  def resizeImages(assets: DataFrame, width: Int, height: Int): DataFrame = {
+    require(width >= 1 && height >= 1,
+      s"target dimensions must be positive, got ${width}x$height")
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(assetSchema)
+    assets.select("asset_id", "content", "meta").mapPartitions { it =>
+      // per-partition setup (codec init) would happen here once
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val resized: Array[Byte] =
+          if (bytes == null) null
+          else {
+            val px = decodeBytes(bytes, width * height) // stub decode at target raster
+            val out = new Array[Byte](px.length) // fake re-encode: 8-bit quantize
+            var i = 0
+            while (i < px.length) { out(i) = (px(i) * 255).toByte; i += 1 }
+            out
+          }
+        val m = r.getStruct(2)
+        Row(r.get(0), resized, Row(
+          if (m == null) null else m.get(0),
+          if (resized == null) null else resized.length.toLong,
+          width, height,
+          if (m == null) null else m.get(4)))
+      }
+    }(enc)
+  }
+
   /** Frame sampling stub for video-like assets: emit every `stride`-th
     * "frame" as an offset slice of the payload — real plumbing (explode →
     * one row per frame, repartitionable), fake frames. Null-content assets

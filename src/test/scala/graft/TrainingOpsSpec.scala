@@ -546,6 +546,30 @@ class TrainingOpsSpec extends SparkSpec {
     assert(frames.count() >= 2)
   }
 
+  test("resizeImages: meta dims/bytes updated, mime preserved, deterministic, null-safe") {
+    val assets = Multimodal.toAssets(Seq(
+      (1L, "payload one".getBytes("UTF-8")),
+      (2L, "a different payload".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "payload"), "id", "payload", "image/sniffed")
+    def run() = Multimodal.resizeImages(assets, 32, 16).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val out = run()
+    assert(out.keySet == Set(1L, 2L, 3L))
+    val m1 = out(1L).getStruct(2)
+    assert(m1.getString(0) == "image/sniffed") // mime preserved
+    assert(m1.getInt(2) == 32 && m1.getInt(3) == 16) // meta reflects target dims
+    assert(m1.getLong(1) == out(1L).getAs[Array[Byte]](1).length.toLong)
+    // stub is deterministic in the bytes: same input, same payload; and
+    // different inputs diverge
+    assert(out(1L).getAs[Array[Byte]](1).sameElements(run()(1L).getAs[Array[Byte]](1)))
+    assert(!out(1L).getAs[Array[Byte]](1).sameElements(out(2L).getAs[Array[Byte]](1)))
+    // null payload stays null, metadata still updated
+    assert(out(3L).isNullAt(1))
+    assert(out(3L).getStruct(2).getInt(2) == 32 && out(3L).getStruct(2).isNullAt(1))
+    intercept[IllegalArgumentException](Multimodal.resizeImages(assets, 0, 16))
+  }
+
   test("image header parsing: PNG/GIF/BMP/JPEG dims from real byte fixtures; mime-gated") {
     import java.nio.{ByteBuffer, ByteOrder}
     // fixtures built with ByteBuffer, independent of the engine's
