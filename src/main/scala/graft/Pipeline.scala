@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BucketAggregate, Finalize, IntervalJoin, MetricTransforms}
+import graft.operators.{BucketAggregate, Dedup, Finalize, IntervalJoin, MetricTransforms, TextAnalysis}
 import graft.sources.Readers
 
 /** End-to-end pipeline wiring (SURVEY.md §3): raw node CSVs → FRESCO long →
@@ -143,6 +143,32 @@ object Pipeline {
           Some((st.getPath.getName, files.length, dataFiles(st.getPath).length))
         }
       }
+  }
+
+  /** The training-data curation pipeline as ONE entry point (the batch
+    * composition `q_curate_full` oracle-checks, productized): training docs
+    * are decontaminated against the eval corpus (shared word-`shingleK`-
+    * gram check), low-quality docs dropped, near-dup LOSERS removed
+    * (MinHash-LSH at `minJaccard` — losers are computed on the full input
+    * corpus up front, so membership never depends on the other filters'
+    * outcome), PII redacted, and a deterministic md5 split dealt. Output:
+    * the input columns plus `quality_score`, redaction columns
+    * (`redacted`, `n_emails`, `n_ips`, `n_phones`) and `split`. Every
+    * stage is the oracle-checked operator; the composition is exactly one
+    * logical plan (plus the LSH candidate pipeline's internal
+    * checkpoints), so Catalyst prunes/pushes across stage seams. */
+  def curate(docs: DataFrame, evalDocs: DataFrame,
+             idCol: String = "doc_id", textCol: String = "text",
+             minQuality: Double = 0.5, minJaccard: Double = 0.8,
+             shingleK: Int = 8): DataFrame = {
+    val dupLosers = Dedup.minhashDuplicates(
+        Dedup.hashedWordShingles(docs, idCol, textCol), minJaccard)
+      .select(col("id_b").as(idCol))
+    val kept = TextAnalysis.withQuality(
+        Dedup.decontaminate(docs, evalDocs, idCol, textCol, shingleK), textCol)
+      .filter(col("quality_score") >= minQuality)
+      .join(dupLosers, Seq(idCol), "left_anti")
+    TextAnalysis.hashSplit(TextAnalysis.withPiiRedaction(kept, textCol), idCol)
   }
 
   /** Step 2: FRESCO metrics ⋈ accounting → 1-minute bucketed wide table. */

@@ -412,7 +412,7 @@ object SparkEntry {
     // geometry sized to the corpus (the lshGeometryFor sizing rule, inside
     // the correctness gate): the count is a parquet-metadata job, and the
     // per-pair miss bound (1e-6) keeps the oracle hash-exact
-    val (bands, bits) = Similarity.lshGeometryFor(2 * e.count(), 0.95)
+    val (bands, bits) = Similarity.lshGeometryFor(math.max(1L, 2 * e.count()), 0.95)
     Similarity.lshCosinePairs(corpus, "vec_id", "embedding", dims = 64,
         minCosine = 0.95, bands = bands, bitsPerBand = bits)
       .withColumn("cosine", rq(col("cosine"), 6))
@@ -431,7 +431,7 @@ object SparkEntry {
       concat(array(-element_at(col("embedding"), 1)),
         slice(col("embedding"), 2, 63)).as("embedding"))
     val corpus = e.select("vec_id", "embedding").union(planted)
-    val (bands, bits) = Similarity.lshGeometryFor(2 * e.count(), 0.95)
+    val (bands, bits) = Similarity.lshGeometryFor(math.max(1L, 2 * e.count()), 0.95)
     val pairs = Similarity.lshCosinePairs(corpus, "vec_id", "embedding",
       dims = 64, minCosine = 0.95, bands = bands, bitsPerBand = bits)
     Dedup.duplicateClusters(pairs.select("id_a", "id_b"))

@@ -19,6 +19,9 @@ import graft.streaming.Compactor
   *    layout (`step-1/appender.py:215` + `mover.py:27`); `--once` drains
   *    the backlog and exits (Trigger.AvailableNow), otherwise runs until
   *    terminated.
+  *  - `curate`: the training-data curation pipeline (decontaminate →
+  *    quality filter → near-dup removal → PII redaction → hash split) over
+  *    a documents parquet — [[graft.Pipeline.curate]] as a CLI.
   *
   * Usage:
   * {{{
@@ -39,7 +42,9 @@ object Main {
       |  step1   --block <glob> --cpu <glob> --llite <glob> --mem <glob> --out <dir> [--overwrite]
       |  step2   --metrics <path> --accounting <csv> --out <dir>
       |  step3   --in <wide-parquet> --out <dir>
-      |  compact --landing <dir> --out <dir> --checkpoint <dir> [--once]""".stripMargin
+      |  compact --landing <dir> --out <dir> --checkpoint <dir> [--once]
+      |  curate  --in <docs-parquet> --eval <eval-parquet> --out <dir>
+      |          [--id doc_id] [--text text] [--quality 0.5] [--jaccard 0.8] [--shingle-k 8]""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val spark = session()
@@ -97,6 +102,20 @@ object Main {
       val q = Compactor.start(spark, req(opt, "landing"), req(opt, "out"),
         req(opt, "checkpoint"), Schemas.fresco, trigger)
       q.awaitTermination() // AvailableNow self-terminates after the drain
+
+    case Some("curate") =>
+      val (opt, _) = parse(args.tail)
+      // resolve required options before touching IO (fail fast, like step2)
+      val (in, evalIn, out) = (req(opt, "in"), req(opt, "eval"), req(opt, "out"))
+      Pipeline.curate(
+          spark.read.parquet(in), spark.read.parquet(evalIn),
+          idCol = opt.getOrElse("id", "doc_id"),
+          textCol = opt.getOrElse("text", "text"),
+          minQuality = opt.getOrElse("quality", "0.5").toDouble,
+          minJaccard = opt.getOrElse("jaccard", "0.8").toDouble,
+          shingleK = opt.getOrElse("shingle-k", "8").toInt)
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(out)
 
     case other =>
       throw new IllegalArgumentException(

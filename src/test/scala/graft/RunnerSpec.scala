@@ -56,6 +56,34 @@ class RunnerSpec extends SparkSpec {
     assert(finBack.forall(_.getAs[String]("username") == "alice_S"))
   }
 
+  test("curate CLI: decontaminate + quality + dup-removal + redact + split end to end") {
+    import spark.implicits._
+    val stop = "the alpha and the beta of the gamma in the delta"
+    val dupText = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, stop),                                             // keeper
+      (2L, dupText),                                          // dup winner (min id)
+      (3L, dupText),                                          // dup LOSER -> removed
+      (4L, "xxxxx yyyyy"),                                    // low quality -> removed
+      (5L, "the totally unique eval sequence inside the train and the rest")
+    ).toDF("doc_id", "text")                                  // 5: contaminated -> removed
+    val evalDocs = Seq((100L, "unique eval sequence words here"))
+      .toDF("doc_id", "text")
+    val in = outDir("cli-docs"); val ev = outDir("cli-eval"); val out = outDir("cli-curated")
+    docs.write.mode("overwrite").parquet(in)
+    evalDocs.write.mode("overwrite").parquet(ev)
+    Main.run(Seq("curate", "--in", in, "--eval", ev, "--out", out,
+      "--shingle-k", "3"), spark)
+    val back = spark.read.parquet(out)
+    val ids = back.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L),
+      s"expected the keeper and the dup winner only, got $ids")
+    assert(Set("redacted", "split", "quality_score")
+      .subsetOf(back.columns.toSet))
+    assert(back.select("split").as[String].collect()
+      .forall(Set("train", "val", "test")))
+  }
+
   test("compact --once drains the landing backlog exactly-once and exits") {
     val landing = outDir("cli-landing")
     val out = outDir("cli-compacted")
