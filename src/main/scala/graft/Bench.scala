@@ -84,6 +84,11 @@ object Bench {
       spark.stop()
       return
     }
+    if (sys.env.contains("SPARK_GRAFT_SCALE_SLOPE_INTERVAL")) {
+      scaleSlopeInterval(spark, sfDir, () => dropPersistedState())
+      spark.stop()
+      return
+    }
 
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
     val ordered = only.fold(all)(f => all.filter(kv => f(kv._1)))
@@ -219,6 +224,65 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_scale_embed.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] bench_scale_embed.json: ${e.getMessage}") }
+    println(line)
+  }
+
+  /** Interval-join scale-slope harness — the third measured scale path:
+    * replicate the events table k× with per-replica user-id shifts (join
+    * keys never cross replicas, so joined-row counts grow linearly),
+    * derive each user's `[first, first+30min)` interval, and time the
+    * BUCKETED interval join — the broadcast-free 100 TB shape — at each
+    * size. The `(jid, bucket)` equi-join should be near-linear; slope
+    * near 2 would mean a per-key all-pairs blowup crept back in. Writes
+    * `bench_scale_interval.json`. */
+  private def scaleSlopeInterval(spark: SparkSession, sfDir: String,
+                                 dropState: () => Unit): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.IntervalJoin
+    val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id"), col("ts"), col("value"))
+    val idSpan = ev0.agg(max("user_id")).head().getLong(0) + 1
+    def replica(k: Int) = ev0.select(
+      (col("user_id") + lit(k * idSpan)).as("user_id"), col("ts"), col("value"))
+    def joined(ev: org.apache.spark.sql.DataFrame) = {
+      val acct = ev.groupBy(col("user_id").as("jid"))
+        .agg(min("ts").as("start"))
+        .withColumn("end", col("start") + expr("INTERVAL 30 MINUTES"))
+      IntervalJoin.bucketed(
+        ev.select(col("user_id").as("jid"), col("ts").as("Timestamp"), col("value")),
+        acct, bucketMicros = 3600L * 1000000L)
+    }
+    val sizes = Seq(1, 2, 4, 8)
+    joined(replica(0)).count() // untimed warmup
+    dropState()
+    val rows = sizes.map { n =>
+      val ev = (0 until n).map(replica).reduce(_ unionByName _)
+      val nEvents = ev.count()
+      dropState()
+      val t0 = System.nanoTime()
+      val nJoined = joined(ev).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      dropState()
+      (n, nEvents, nJoined, secs)
+    }
+    def slope(ys: Seq[Double]): Double = {
+      val lx = sizes.map(n => math.log(n.toDouble))
+      val ly = ys.map(math.log)
+      val mx = lx.sum / lx.size; val my = ly.sum / ly.size
+      lx.zip(ly).map { case (a, b) => (a - mx) * (b - my) }.sum /
+        lx.map(a => (a - mx) * (a - mx)).sum
+    }
+    def arr[T](f: ((Int, Long, Long, Double)) => T): String =
+      rows.map(f).mkString("[", ",", "]")
+    val line =
+      f"""{"metric":"interval_join_scale_slope","sizes":${arr(_._1)},""" +
+        f""""events":${arr(_._2)},"joined":${arr(_._3)},""" +
+        f""""secs":${arr(r => f"${r._4}%.3f")},""" +
+        f""""slope":${slope(rows.map(_._4))}%.3f,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_scale_interval.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] bench_scale_interval.json: ${e.getMessage}") }
     println(line)
   }
 

@@ -113,6 +113,12 @@ class PlanSpec extends SparkSpec {
     assert(countShuffles(p) == 1, s"expected exactly the token-count shuffle, plan:\n$p")
   }
 
+  test("q_embed_clusters: banded candidate equi-join — no cartesian/nested-loop anywhere") {
+    val phys = executed(SparkEntry.queries("q_embed_clusters")(spark, sf)).toString
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoopJoin"),
+      s"embedding clusters must stay on the banded equi-join path:\n$phys")
+  }
+
   test("q_interval_join_auto: the optimizer rule fired — bucket Generate present, no nested loop") {
     val df = SparkEntry.queries("q_interval_join_auto")(spark, sf)
     val gens = df.queryExecution.optimizedPlan.collect {
