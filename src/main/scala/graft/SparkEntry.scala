@@ -450,6 +450,12 @@ object SparkEntry {
         Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), default = 0.1)
       .select("doc_id", "source")
 
+  /** Sequence packing: docs → fixed-capacity token bins, 8 shards. */
+  private def qPackBins(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packBins(tbl(s, dir, "documents"), "doc_id", "text",
+        capacity = 256, shards = 8)
+      .select("doc_id", "n_tokens", "bin")
+
   /** Brute-force cosine top-5 for the first 10 vectors. */
   private def qAnnTopK(s: SparkSession, dir: String): DataFrame = {
     val e = tbl(s, dir, "embeddings")
@@ -823,6 +829,7 @@ object SparkEntry {
     "q_embed_clusters" -> qEmbedClusters,
     "q_vocab" -> qVocab,
     "q_sample_stratified" -> qSampleStratified,
+    "q_pack_bins" -> qPackBins,
     "q_ann_topk" -> qAnnTopK,
     "q_ann_ivf" -> qAnnIvf,
     "q_ann_ivf_q8" -> qAnnIvfQ8,
@@ -1114,6 +1121,22 @@ object SparkEntry {
         |  SELECT u, v FROM reach)
         |SELECT u AS vec_id, least(u, min(v)) AS cluster_rep
         |FROM r GROUP BY u""".stripMargin,
+    "q_pack_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                              w -> w <> '')) AS INT) AS n_tokens,
+        |         md5(CAST(doc_id AS VARCHAR)) AS h,
+        |         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 8 AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens, shard,
+        |         COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |       shard * 1099511627776 + CAST(floor(cum / 256.0) AS BIGINT) AS bin
+        |FROM c""".stripMargin,
     "q_sample_stratified" ->
       """SELECT doc_id, source FROM documents
         |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT <

@@ -140,6 +140,35 @@ object TextAnalysis {
         size(col("col")).as("chunk_tokens"))
   }
 
+  /** Sequence packing (training-batch assembly): assign each document to a
+    * fixed token-capacity bin — greedy sequential fill in a deterministic
+    * hash order, with spillover: a doc straddling a capacity boundary
+    * stays whole in the bin its cumulative offset starts in, so a bin can
+    * overflow by at most one document (capacity is a soft target, the
+    * standard packing approximation). Scale shape: docs are dealt to
+    * `shards` by an md5-derived key and packed WITHIN each shard — the
+    * cumulative-sum window partitions by shard, so there is one keyed
+    * shuffle and never a global sort or single-partition window. Bin ids
+    * are globally unique (`shard · 2⁴⁰ + index-within-shard`). Output
+    * adds `n_tokens` and `bin`. */
+  def packBins(df: DataFrame, idCol: String, textCol: String,
+               capacity: Int, shards: Int = 1024): DataFrame = {
+    require(capacity >= 1, s"capacity must be positive, got $capacity")
+    require(shards >= 1 && shards <= (1 << 20),
+      s"shards must be in [1, 2^20], got $shards")
+    val h = md5(col(idCol).cast("string").cast("binary"))
+    val shard = pmod(conv(substring(h, 1, 2), 16, 10).cast("long"), lit(shards))
+    val n = size(tokens(col(textCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shard).orderBy(h, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cumBefore = coalesce(sum(n).over(w), lit(0L))
+    df.withColumn("n_tokens", n)
+      .withColumn("bin",
+        shard * lit(1L << 40) +
+          floor(cumBefore / lit(capacity.toDouble)).cast("long"))
+  }
+
   /** Deterministic stratified sampling for corpus MIXING (upweight code,
     * downweight crawl, …): keep each row of stratum `s` with probability
     * `fractions(s)` — strata absent from the map, including NULL, take

@@ -343,6 +343,32 @@ class TrainingOpsSpec extends SparkSpec {
       d, "doc_id", "source", Map("s0" -> 1.5)))
   }
 
+  test("packBins: greedy spillover fill matches a driver-side reference packer") {
+    val docs = (0L until 60L)
+      .map(i => (i, Seq.fill(((i % 7) + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.packBins(docs, "doc_id", "text", capacity = 10, shards = 4)
+      .select("doc_id", "n_tokens", "bin").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // independent reference: same deal-order-fill rule, plain Scala
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ref = (0L until 60L).map { i =>
+      val h = md5hex(i.toString)
+      (i, ((i % 7) + 1).toInt, h, java.lang.Long.parseLong(h.take(2), 16) % 4)
+    }.groupBy(_._4).flatMap { case (shard, ds) =>
+      var cum = 0L
+      ds.sortBy(d => (d._3, d._1)).map { d =>
+        val bin = shard * (1L << 40) + cum / 10
+        cum += d._2
+        (d._1, d._2, bin)
+      }
+    }.toSet
+    assert(out == ref)
+    intercept[IllegalArgumentException](
+      TextAnalysis.packBins(docs, "doc_id", "text", capacity = 0))
+  }
+
   test("topTokens: frequency order, deterministic tie-break, blanks ignored") {
     val d = Seq((1L, "b a a"), (2L, "  "), (3L, "c b"), (4L, ""))
       .toDF("doc_id", "text")
