@@ -156,6 +156,19 @@ object Bench {
     spark.stop()
   }
 
+  /** Log-log least-squares slope, shared by the three scale harnesses so
+    * their artifacts stay comparable by construction. */
+  private def logLogSlope(sizes: Seq[Int], ys: Seq[Double]): Double = {
+    val lx = sizes.map(n => math.log(n.toDouble))
+    val ly = ys.map(math.log)
+    val mx = lx.sum / lx.size; val my = ly.sum / ly.size
+    lx.zip(ly).map { case (a, b) => (a - mx) * (b - my) }.sum /
+      lx.map(a => (a - mx) * (a - mx)).sum
+  }
+
+  private def jsonArr[A](xs: Seq[A])(f: A => Any): String =
+    xs.map(f).mkString("[", ",", "]")
+
   /** Cosine-LSH scale-slope harness — the embedding twin of [[scaleSlope]]:
     * replicate the embeddings corpus k×, flipping each replica's vectors
     * by a per-replica deterministic ±1 diagonal (an orthogonal transform:
@@ -207,20 +220,12 @@ object Bench {
       dropState()
       (n, nVecs, nPairs, secs)
     }
-    def slope(ys: Seq[Double]): Double = {
-      val lx = sizes.map(n => math.log(n.toDouble))
-      val ly = ys.map(math.log)
-      val mx = lx.sum / lx.size; val my = ly.sum / ly.size
-      lx.zip(ly).map { case (a, b) => (a - mx) * (b - my) }.sum /
-        lx.map(a => (a - mx) * (a - mx)).sum
-    }
-    def arr[T](f: ((Int, Long, Long, Double)) => T): String =
-      rows.map(f).mkString("[", ",", "]")
+    def arr[T](f: ((Int, Long, Long, Double)) => T): String = jsonArr(rows)(f)
     val line =
       f"""{"metric":"cosine_lsh_scale_slope","sizes":${arr(_._1)},""" +
         f""""vecs":${arr(_._2)},"pairs":${arr(_._3)},""" +
         f""""secs":${arr(r => f"${r._4}%.3f")},""" +
-        f""""slope":${slope(rows.map(_._4))}%.3f,"sf":"$sfDir"}"""
+        f""""slope":${logLogSlope(sizes, rows.map(_._4))}%.3f,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_scale_embed.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] bench_scale_embed.json: ${e.getMessage}") }
@@ -266,20 +271,12 @@ object Bench {
       dropState()
       (n, nEvents, nJoined, secs)
     }
-    def slope(ys: Seq[Double]): Double = {
-      val lx = sizes.map(n => math.log(n.toDouble))
-      val ly = ys.map(math.log)
-      val mx = lx.sum / lx.size; val my = ly.sum / ly.size
-      lx.zip(ly).map { case (a, b) => (a - mx) * (b - my) }.sum /
-        lx.map(a => (a - mx) * (a - mx)).sum
-    }
-    def arr[T](f: ((Int, Long, Long, Double)) => T): String =
-      rows.map(f).mkString("[", ",", "]")
+    def arr[T](f: ((Int, Long, Long, Double)) => T): String = jsonArr(rows)(f)
     val line =
       f"""{"metric":"interval_join_scale_slope","sizes":${arr(_._1)},""" +
         f""""events":${arr(_._2)},"joined":${arr(_._3)},""" +
         f""""secs":${arr(r => f"${r._4}%.3f")},""" +
-        f""""slope":${slope(rows.map(_._4))}%.3f,"sf":"$sfDir"}"""
+        f""""slope":${logLogSlope(sizes, rows.map(_._4))}%.3f,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_scale_interval.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] bench_scale_interval.json: ${e.getMessage}") }
@@ -332,15 +329,9 @@ object Bench {
       dropState()
       (n, nDocs, nPairs, nClusters, pairSecs, e2eSecs, ccRounds)
     }
-    def slope(ys: Seq[Double]): Double = {
-      val lx = sizes.map(n => math.log(n.toDouble))
-      val ly = ys.map(math.log)
-      val mx = lx.sum / lx.size; val my = ly.sum / ly.size
-      lx.zip(ly).map { case (a, b) => (a - mx) * (b - my) }.sum /
-        lx.map(a => (a - mx) * (a - mx)).sum
-    }
+    def slope(ys: Seq[Double]): Double = logLogSlope(sizes, ys)
     def arr[T](f: ((Int, Long, Long, Long, Double, Double, Int)) => T): String =
-      rows.map(f).mkString("[", ",", "]")
+      jsonArr(rows)(f)
     // cc_rounds: large/small-star rounds to the fixed point per size — the
     // empirical side of the O(log n) convergence claim (flat-ish growth
     // across 8× replicas, never proportional to size)

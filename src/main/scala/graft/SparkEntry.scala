@@ -425,18 +425,13 @@ object SparkEntry {
     * Same planted corpus; the oracle recomputes exact all-pairs edges at
     * ≥ 0.95 and resolves components with a recursive CTE, so BOTH the LSH
     * recall and the CC labeling are inside one hash check. */
-  private def qEmbedClusters(s: SparkSession, dir: String): DataFrame = {
-    val e = tbl(s, dir, "embeddings")
-    val planted = e.select((col("vec_id") + 1000000L).as("vec_id"),
-      concat(array(-element_at(col("embedding"), 1)),
-        slice(col("embedding"), 2, 63)).as("embedding"))
-    val corpus = e.select("vec_id", "embedding").union(planted)
-    val (bands, bits) = Similarity.lshGeometryFor(math.max(1L, 2 * e.count()), 0.95)
-    val pairs = Similarity.lshCosinePairs(corpus, "vec_id", "embedding",
-      dims = 64, minCosine = 0.95, bands = bands, bitsPerBand = bits)
-    Dedup.duplicateClusters(pairs.select("id_a", "id_b"))
+  private def qEmbedClusters(s: SparkSession, dir: String): DataFrame =
+    // the SAME pair frame q_embed_lsh_pairs oracle-checks (corpus planting
+    // and sized geometry included by construction, not duplicated), with
+    // CC resolution on top — the cosine rounding is projected away
+    Dedup.duplicateClusters(
+        qEmbedLshPairs(s, dir).select("id_a", "id_b"))
       .withColumnRenamed("doc_id", "vec_id")
-  }
 
   /** Corpus vocabulary: top-100 tokens by frequency (ties by token). */
   private def qVocab(s: SparkSession, dir: String): DataFrame =
@@ -1127,7 +1122,7 @@ object SparkEntry {
         |         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
         |                              w -> w <> '')) AS INT) AS n_tokens,
         |         md5(CAST(doc_id AS VARCHAR)) AS h,
-        |         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 8 AS shard
+        |         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 5))::BIGINT % 8 AS shard
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, n_tokens, shard,

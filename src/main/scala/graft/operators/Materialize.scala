@@ -26,8 +26,17 @@ object Materialize {
     * across all scale paths. */
   val ReliableCheckpointKey = "spark.graft.reliableCheckpoint"
 
-  private[graft] def reliableMode(df: DataFrame): Boolean =
-    df.sparkSession.conf.get(ReliableCheckpointKey, "false").toBoolean
+  /** The dedup-scoped key this conf was first published under. Still
+    * honored: silently ignoring it would downgrade an existing
+    * deployment's durability to `localCheckpoint` — the exact
+    * executor-loss failure the conf exists to prevent. */
+  val LegacyReliableCheckpointKey = "spark.graft.dedup.reliableCheckpoint"
+
+  private[graft] def reliableMode(df: DataFrame): Boolean = {
+    val conf = df.sparkSession.conf
+    conf.get(ReliableCheckpointKey,
+      conf.get(LegacyReliableCheckpointKey, "false")).toBoolean
+  }
 
   /** Eager lineage-truncating materialization in the configured mode.
     * Reliable `checkpoint()` runs a SECOND job to write the checkpoint

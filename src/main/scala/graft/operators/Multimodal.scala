@@ -42,21 +42,31 @@ object Multimodal {
                mime: String): DataFrame = {
     val content = col(payloadCol).cast("binary")
     // header sniffing only runs for declared images: a text payload that
-    // happens to start with image magic bytes must not grow phantom dims
-    val (w, h) =
-      if (mime.startsWith("image/")) (imageWidth(content), imageHeight(content))
-      else (lit(null).cast("int"), lit(null).cast("int"))
+    // happens to start with image magic bytes must not grow phantom dims.
+    // Dims are computed ONCE in a staging projection: the JPEG segment
+    // walk is the expensive sniff and CodegenFallback expressions are not
+    // reliably merged by subexpression elimination, so referencing
+    // imageWidth AND imageHeight in one projection would walk the header
+    // twice (CollapseProject keeps the stage because `__dims` is used
+    // twice and non-cheap).
+    val dims =
+      if (mime.startsWith("image/")) imageDims(content)
+      else lit(null).cast("struct<width:int,height:int>")
     df.select(
       // try_cast: a non-numeric id yields null instead of an ANSI runtime
       // error (the repo's lenient-input policy, cf. Readers.ensureColumns)
       expr(s"try_cast(`$idCol` AS BIGINT)").as("asset_id"),
       content.as("content"),
-      struct(
-        lit(mime).as("mime"),
-        length(content).cast("long").as("n_bytes"),
-        w.as("width"),
-        h.as("height"),
-        lit(null).cast("long").as("duration_ms")).as("meta"))
+      dims.as("__dims"))
+      .select(
+        col("asset_id"),
+        col("content"),
+        struct(
+          lit(mime).as("mime"),
+          length(col("content")).cast("long").as("n_bytes"),
+          col("__dims.width").as("width"),
+          col("__dims.height").as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta"))
   }
 
   // ---- image container-header parsing (format sniffing by magic bytes) ----
@@ -103,6 +113,20 @@ object Multimodal {
 
   private def isJpeg(c: Column): Column =
     length(c) >= 4 && substring(c, 1, 2) === lit(Array(0xFF, 0xD8).map(_.toByte))
+
+  /** Dims of a PNG/GIF/BMP/JPEG payload as `struct<width, height>`, null
+    * when unrecognized — the single-evaluation form [[toAssets]] uses.
+    * Prefer this over separate [[imageWidth]]+[[imageHeight]] when both
+    * are needed: it runs each format sniff (in particular the JPEG
+    * segment walk) once per row instead of once per field. */
+  def imageDims(c: Column): Column =
+    when(isPng(c), struct(
+        be32(c, 16).cast("int").as("width"), be32(c, 20).cast("int").as("height")))
+      .when(isGif(c), struct(
+        le16(c, 6).cast("int").as("width"), le16(c, 8).cast("int").as("height")))
+      .when(isBmp(c), struct(
+        abs(le32s(c, 18)).cast("int").as("width"), abs(le32s(c, 22)).cast("int").as("height")))
+      .when(isJpeg(c), graft.functions.JpegDims.jpegDims(c))
 
   /** Parsed pixel width of a PNG/GIF/BMP/JPEG payload; null if not one.
     * JPEG needs a segment walk to its SOF marker — that lives in the
@@ -173,6 +197,12 @@ object Multimodal {
   def resizeImages(assets: DataFrame, width: Int, height: Int): DataFrame = {
     require(width >= 1 && height >= 1,
       s"target dimensions must be positive, got ${width}x$height")
+    // Int raster arithmetic: 65536x65536 would wrap to 0 (silent empty
+    // payloads) and 65536x49152 to a NegativeArraySizeException per task;
+    // 2^28 elements (~1 GiB of float) is already past any sane per-row
+    // decode target
+    require(width.toLong * height.toLong <= (1L << 28),
+      s"target raster ${width}x$height exceeds 2^28 elements")
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(assetSchema)
     assets.select("asset_id", "content", "meta").mapPartitions { it =>
       // per-partition setup (codec init) would happen here once

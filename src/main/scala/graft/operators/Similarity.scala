@@ -174,6 +174,15 @@ object Similarity {
     val pBand = math.pow(pBit, bits)
     val bands = math.max(1,
       math.ceil(math.log(missProb) / math.log1p(-pBand)).toInt)
+    // low thresholds make per-band collision so improbable that recall
+    // needs absurd band counts (minCosine 0.5 at 16m vectors → ~230k
+    // bands, i.e. a 230k-element bucket explode per row) — at that point
+    // LSH cannot prune and silently planning it would be the real bug
+    require(bands <= 1024,
+      s"lshGeometryFor: $bands bands needed for miss<=$missProb at " +
+        s"cosine>=$minCosine with $bits-bit bands - this similarity " +
+        "threshold is too low for hyperplane-LSH pruning at this corpus " +
+        "size; raise minCosine or missProb, or use the exact cosinePairs")
     (bands, bits)
   }
 

@@ -157,7 +157,10 @@ object TextAnalysis {
     require(shards >= 1 && shards <= (1 << 20),
       s"shards must be in [1, 2^20], got $shards")
     val h = md5(col(idCol).cast("string").cast("binary"))
-    val shard = pmod(conv(substring(h, 1, 2), 16, 10).cast("long"), lit(shards))
+    // 5 hex nibbles = 20 bits of shard key — covers the full 2^20 shard
+    // cap (2 nibbles would silently collapse any shards > 256 onto 256
+    // window partitions)
+    val shard = pmod(conv(substring(h, 1, 5), 16, 10).cast("long"), lit(shards))
     val n = size(tokens(col(textCol)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(shard).orderBy(h, col(idCol))

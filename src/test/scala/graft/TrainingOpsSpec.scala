@@ -226,6 +226,26 @@ class TrainingOpsSpec extends SparkSpec {
     assert(lsh == Set((0L, 1L), (2L, 3L)))
   }
 
+  test("legacy conf key spark.graft.dedup.reliableCheckpoint still engages reliable mode") {
+    // renaming the key must not silently downgrade an existing deployment
+    // to localCheckpoint — the old name keeps working
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt-legacy").toFile
+    spark.sparkContext.setCheckpointDir(ckptDir.getAbsolutePath)
+    // an explicitly-set NEW key wins over the legacy one (earlier tests
+    // leave it at "false") — clear it so the legacy fallback is what's read
+    spark.conf.unset(graft.operators.Materialize.ReliableCheckpointKey)
+    spark.conf.set(graft.operators.Materialize.LegacyReliableCheckpointKey, "true")
+    try {
+      val pairs = Seq((1L, 2L), (2L, 6L)).toDF("id_a", "id_b")
+      assert(Dedup.duplicateClusters(pairs).count() == 3)
+      def files(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap(f =>
+          if (f.isDirectory) files(f) else Seq(f))
+      assert(files(ckptDir).nonEmpty,
+        "legacy key must still route through reliable checkpoint files")
+    } finally spark.conf.unset(graft.operators.Materialize.LegacyReliableCheckpointKey)
+  }
+
   test("reliable-checkpoint mode: lshCosinePairs same pairs, index persisted to the checkpoint dir") {
     // the cosine-LSH index must honor the SAME durability switch as the
     // shingle-dedup pipeline (Materialize) — before the hoist it
@@ -355,7 +375,7 @@ class TrainingOpsSpec extends SparkSpec {
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val ref = (0L until 60L).map { i =>
       val h = md5hex(i.toString)
-      (i, ((i % 7) + 1).toInt, h, java.lang.Long.parseLong(h.take(2), 16) % 4)
+      (i, ((i % 7) + 1).toInt, h, java.lang.Long.parseLong(h.take(5), 16) % 4)
     }.groupBy(_._4).flatMap { case (shard, ds) =>
       var cum = 0L
       ds.sortBy(d => (d._3, d._1)).map { d =>
@@ -594,6 +614,9 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out(3L).isNullAt(1))
     assert(out(3L).getStruct(2).getInt(2) == 32 && out(3L).getStruct(2).isNullAt(1))
     intercept[IllegalArgumentException](Multimodal.resizeImages(assets, 0, 16))
+    // Int raster overflow (65536*65536 wraps to 0) must be rejected, not
+    // silently produce empty payloads
+    intercept[IllegalArgumentException](Multimodal.resizeImages(assets, 65536, 65536))
   }
 
   test("image header parsing: PNG/GIF/BMP/JPEG dims from real byte fixtures; mime-gated") {
