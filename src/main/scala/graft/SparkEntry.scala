@@ -1122,7 +1122,7 @@ object SparkEntry {
         |         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
         |                              w -> w <> '')) AS INT) AS n_tokens,
         |         md5(CAST(doc_id AS VARCHAR)) AS h,
-        |         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 5))::BIGINT % 8 AS shard
+        |         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, n_tokens, shard,

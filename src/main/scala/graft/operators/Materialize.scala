@@ -47,7 +47,9 @@ object Materialize {
     val s = df.sparkSession
     if (reliableMode(df)) {
       require(s.sparkContext.getCheckpointDir.isDefined,
-        s"$ReliableCheckpointKey=true requires spark.sparkContext.setCheckpointDir(...)")
+        s"$ReliableCheckpointKey=true (or the legacy " +
+          s"$LegacyReliableCheckpointKey) requires " +
+          "spark.sparkContext.setCheckpointDir(...)")
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try df.checkpoint() finally df.unpersist(blocking = false)
     } else df.localCheckpoint()

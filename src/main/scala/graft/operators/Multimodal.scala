@@ -129,24 +129,13 @@ object Multimodal {
       .when(isJpeg(c), graft.functions.JpegDims.jpegDims(c))
 
   /** Parsed pixel width of a PNG/GIF/BMP/JPEG payload; null if not one.
-    * JPEG needs a segment walk to its SOF marker — that lives in the
-    * native [[graft.functions.JpegDims]] expression; the fixed-offset
-    * formats stay composed from codegen'd built-ins. */
-  def imageWidth(c: Column): Column =
-    when(isPng(c), be32(c, 16))
-      .when(isGif(c), le16(c, 6))
-      .when(isBmp(c), abs(le32s(c, 18)))
-      .when(isJpeg(c), graft.functions.JpegDims.jpegDims(c).getField("width"))
-      .cast("int")
+    * A projection of [[imageDims]] (the one offset table) — a null struct
+    * propagates a null field, so semantics match a per-format chain. */
+  def imageWidth(c: Column): Column = imageDims(c).getField("width")
 
   /** Parsed pixel height of a PNG/GIF/BMP/JPEG payload; null if not one.
     * BMP height is |raw|: negative raw just means top-down row order. */
-  def imageHeight(c: Column): Column =
-    when(isPng(c), be32(c, 20))
-      .when(isGif(c), le16(c, 8))
-      .when(isBmp(c), abs(le32s(c, 22)))
-      .when(isJpeg(c), graft.functions.JpegDims.jpegDims(c).getField("height"))
-      .cast("int")
+  def imageHeight(c: Column): Column = imageDims(c).getField("height")
 
   /** STUB decoder: a real implementation would decode the media container
     * and return pixel/sample data. The fake is deterministic in the bytes

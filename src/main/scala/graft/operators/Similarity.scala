@@ -162,12 +162,13 @@ object Similarity {
     * The verify stage is exact, so geometry affects RECALL and COST only,
     * never precision. */
   def lshGeometryFor(n: Long, minCosine: Double,
-                     missProb: Double = 1e-6): (Int, Int) = {
+                     missProb: Double = 1e-6, maxBands: Int = 1024): (Int, Int) = {
     require(n >= 1, s"corpus size must be positive, got $n")
     require(minCosine > 0.0 && minCosine < 1.0,
       s"minCosine must be in (0, 1), got $minCosine")
     require(missProb > 0.0 && missProb < 1.0,
       s"missProb must be in (0, 1), got $missProb")
+    require(maxBands >= 1, s"maxBands must be positive, got $maxBands")
     val bits = math.max(8, math.min(24,
       math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt))
     val pBit = 1.0 - math.acos(minCosine) / math.Pi
@@ -177,12 +178,16 @@ object Similarity {
     // low thresholds make per-band collision so improbable that recall
     // needs absurd band counts (minCosine 0.5 at 16m vectors → ~230k
     // bands, i.e. a 230k-element bucket explode per row) — at that point
-    // LSH cannot prune and silently planning it would be the real bug
-    require(bands <= 1024,
+    // LSH cannot prune and silently planning it would be the real bug.
+    // The cap is a parameter: moderate thresholds (~0.86 at 16m vectors)
+    // legitimately land just past 1024, and a caller prepared to pay for
+    // the bands can raise it.
+    require(bands <= maxBands,
       s"lshGeometryFor: $bands bands needed for miss<=$missProb at " +
-        s"cosine>=$minCosine with $bits-bit bands - this similarity " +
-        "threshold is too low for hyperplane-LSH pruning at this corpus " +
-        "size; raise minCosine or missProb, or use the exact cosinePairs")
+        s"cosine>=$minCosine with $bits-bit bands (cap $maxBands) - " +
+        "this similarity threshold is too low for hyperplane-LSH pruning " +
+        "at this corpus size; raise minCosine, missProb, or maxBands, " +
+        "or use the exact cosinePairs")
     (bands, bits)
   }
 

@@ -157,10 +157,12 @@ object TextAnalysis {
     require(shards >= 1 && shards <= (1 << 20),
       s"shards must be in [1, 2^20], got $shards")
     val h = md5(col(idCol).cast("string").cast("binary"))
-    // 5 hex nibbles = 20 bits of shard key — covers the full 2^20 shard
-    // cap (2 nibbles would silently collapse any shards > 256 onto 256
-    // window partitions)
-    val shard = pmod(conv(substring(h, 1, 5), 16, 10).cast("long"), lit(shards))
+    // 8 hex nibbles = 32 bits of shard key: far above the 2^20 shard cap,
+    // so the pmod bias for non-power-of-two shard counts is ≤ 2^-12 (a
+    // narrower key — e.g. 2 nibbles — would silently collapse shards
+    // beyond its range, and an exactly-2^20-bit key would carry up to 2:1
+    // skew at large non-power-of-two counts)
+    val shard = pmod(conv(substring(h, 1, 8), 16, 10).cast("long"), lit(shards))
     val n = size(tokens(col(textCol)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(shard).orderBy(h, col(idCol))

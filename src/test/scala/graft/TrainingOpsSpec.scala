@@ -9,6 +9,11 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 class TrainingOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Recursive file lister, shared by the reliable-checkpoint tests. */
+  private def ckptFiles(d: java.io.File): Seq[java.io.File] =
+    Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap(f =>
+      if (f.isDirectory) ckptFiles(f) else Seq(f))
+
   private lazy val docs = Seq(
     (1L, "the quick brown fox jumps over the lazy dog"),
     (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
@@ -99,10 +104,7 @@ class TrainingOpsSpec extends SparkSpec {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == Map(1L -> 1L, 2L -> 1L, 6L -> 1L, 8L -> 8L, 9L -> 8L))
       // evidence the rounds actually went through the reliable path
-      def files(d: java.io.File): Seq[java.io.File] =
-        Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap(f =>
-          if (f.isDirectory) files(f) else Seq(f))
-      assert(files(ckptDir).nonEmpty, "no checkpoint files written")
+      assert(ckptFiles(ckptDir).nonEmpty, "no checkpoint files written")
     } finally spark.conf.set(Dedup.ReliableCheckpointKey, "false")
   }
 
@@ -238,10 +240,7 @@ class TrainingOpsSpec extends SparkSpec {
     try {
       val pairs = Seq((1L, 2L), (2L, 6L)).toDF("id_a", "id_b")
       assert(Dedup.duplicateClusters(pairs).count() == 3)
-      def files(d: java.io.File): Seq[java.io.File] =
-        Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap(f =>
-          if (f.isDirectory) files(f) else Seq(f))
-      assert(files(ckptDir).nonEmpty,
+      assert(ckptFiles(ckptDir).nonEmpty,
         "legacy key must still route through reliable checkpoint files")
     } finally spark.conf.unset(graft.operators.Materialize.LegacyReliableCheckpointKey)
   }
@@ -257,10 +256,7 @@ class TrainingOpsSpec extends SparkSpec {
       val lsh = Similarity.lshCosinePairs(vecs, "vec_id", "embedding", dims = 3, minCosine = 0.9)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(lsh == Set((0L, 1L), (2L, 3L)))
-      def files(d: java.io.File): Seq[java.io.File] =
-        Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap(f =>
-          if (f.isDirectory) files(f) else Seq(f))
-      assert(files(ckptDir).nonEmpty, "LSH index not written to the checkpoint dir")
+      assert(ckptFiles(ckptDir).nonEmpty, "LSH index not written to the checkpoint dir")
     } finally spark.conf.set(Dedup.ReliableCheckpointKey, "false")
   }
 
@@ -375,7 +371,7 @@ class TrainingOpsSpec extends SparkSpec {
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val ref = (0L until 60L).map { i =>
       val h = md5hex(i.toString)
-      (i, ((i % 7) + 1).toInt, h, java.lang.Long.parseLong(h.take(5), 16) % 4)
+      (i, ((i % 7) + 1).toInt, h, java.lang.Long.parseLong(h.take(8), 16) % 4)
     }.groupBy(_._4).flatMap { case (shard, ds) =>
       var cum = 0L
       ds.sortBy(d => (d._3, d._1)).map { d =>
