@@ -445,6 +445,10 @@ object SparkEntry {
         Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), default = 0.1)
       .select("doc_id", "source")
 
+  /** Grouped vocabulary: top-5 tokens per language (window rank). */
+  private def qVocabByLang(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topTokensByGroup(tbl(s, dir, "documents"), "text", "lang", 5)
+
   /** Sequence packing: docs → fixed-capacity token bins, 8 shards. */
   private def qPackBins(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.packBins(tbl(s, dir, "documents"), "doc_id", "text",
@@ -825,6 +829,7 @@ object SparkEntry {
     "q_vocab" -> qVocab,
     "q_sample_stratified" -> qSampleStratified,
     "q_pack_bins" -> qPackBins,
+    "q_vocab_by_lang" -> qVocabByLang,
     "q_ann_topk" -> qAnnTopK,
     "q_ann_ivf" -> qAnnIvf,
     "q_ann_ivf_q8" -> qAnnIvfQ8,
@@ -1116,6 +1121,13 @@ object SparkEntry {
         |  SELECT u, v FROM reach)
         |SELECT u AS vec_id, least(u, min(v)) AS cluster_rep
         |FROM r GROUP BY u""".stripMargin,
+    "q_vocab_by_lang" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+        |c AS (SELECT lang, token, count(*) AS n FROM toks WHERE token <> '' GROUP BY lang, token)
+        |SELECT lang, token, n,
+        |       CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS INT) AS rank
+        |FROM c QUALIFY rank <= 5""".stripMargin,
     "q_pack_bins" ->
       """WITH t AS (
         |  SELECT doc_id,

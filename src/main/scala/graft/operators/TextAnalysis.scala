@@ -140,6 +140,24 @@ object TextAnalysis {
         size(col("col")).as("chunk_tokens"))
   }
 
+  /** Per-group vocabulary — the grouped twin of [[topTokens]]: the `k`
+    * most frequent tokens per value of `groupCol` (ties by token), via
+    * window ranking over the `(group, token)` counts. Scale shape:
+    * map-side partial count → one shuffle on `(group, token)` → window
+    * repartitioned by group only for the rank — no global sort, and
+    * nothing holds more than one group's token counts. Output:
+    * `(groupCol, token, n, rank)`. */
+  def topTokensByGroup(df: DataFrame, textCol: String, groupCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val counts = df
+      .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(groupCol, "token").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("n").desc, col("token"))
+    counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Sequence packing (training-batch assembly): assign each document to a
     * fixed token-capacity bin — greedy sequential fill in a deterministic
     * hash order, with spillover: a doc straddling a capacity boundary

@@ -359,6 +359,17 @@ class TrainingOpsSpec extends SparkSpec {
       d, "doc_id", "source", Map("s0" -> 1.5)))
   }
 
+  test("topTokensByGroup: per-group ranks, group isolation, tie-break") {
+    val d = Seq((1L, "en", "b a a"), (2L, "fr", "x x y"), (3L, "en", "c b"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.topTokensByGroup(d, "text", "lang", 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    assert(out == Set(
+      ("en", "a", 2L, 1), ("en", "b", 2L, 2), // a<b on the count tie
+      ("fr", "x", 2L, 1), ("fr", "y", 1L, 2)))
+    intercept[IllegalArgumentException](TextAnalysis.topTokensByGroup(d, "text", "lang", 0))
+  }
+
   test("packBins: greedy spillover fill matches a driver-side reference packer") {
     val docs = (0L until 60L)
       .map(i => (i, Seq.fill(((i % 7) + 1).toInt)("w").mkString(" ")))
