@@ -359,6 +359,15 @@ class TrainingOpsSpec extends SparkSpec {
       d, "doc_id", "source", Map("s0" -> 1.5)))
   }
 
+  test("new text ops on an empty corpus: empty result, no errors") {
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    assert(TextAnalysis.topTokens(empty, "text", 5).count() == 0)
+    assert(TextAnalysis.topTokensByGroup(empty, "text", "lang", 5).count() == 0)
+    assert(TextAnalysis.packBins(empty, "doc_id", "text", 128).count() == 0)
+    assert(TextAnalysis.sampleStratified(empty, "doc_id", "lang",
+      Map("en" -> 0.5)).count() == 0)
+  }
+
   test("topTokensByGroup: per-group ranks, group isolation, tie-break") {
     val d = Seq((1L, "en", "b a a"), (2L, "fr", "x x y"), (3L, "en", "c b"))
       .toDF("doc_id", "lang", "text")
