@@ -103,7 +103,10 @@ object Bench {
     // one measurement cannot adjudicate a regression. The median defeats
     // one-off interference; the per-query min/max spread (bench_full.json)
     // lets a reader separate real plan changes from host noise.
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
+    // Try-parse: a malformed SPARK_GRAFT_REPS must degrade to the default,
+    // not crash the whole bench before any query runs
+    val reps = math.max(1, sys.env.get("SPARK_GRAFT_REPS")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(3))
     val mb = 1024.0 * 1024.0
     // per query: (name, median, min, max, io-from-median-run)
     val results = ordered.map { case (name, fn) =>
@@ -124,7 +127,10 @@ object Bench {
         }
         i += 1
       }
-      if (failed) (name, -1.0, -1.0, -1.0, (0.0, 0.0, 0.0))
+      // a query with NO successful rep reports -1 (never a fake timing);
+      // one that failed on a LATER rep keeps the median of its completed
+      // runs — a partial measurement beats discarding real timings
+      if (runs.isEmpty) (name, -1.0, -1.0, -1.0, (0.0, 0.0, 0.0))
       else {
         val byTime = runs.sortBy(_._1)
         val med = byTime(byTime.size / 2) // upper median for even sizes

@@ -95,23 +95,30 @@ object Pipeline {
     //  - `.P_graft_compact_old` with live P fully gone: the rename-away
     //    completed (on copy-then-delete stores, live only vanishes after
     //    every file was copied into old) → roll the original back;
-    //  - `.P_graft_compact_old` with live P ALSO present: ambiguous on a
-    //    non-atomic-rename store (mid rename-away, mid rename-in, or
-    //    pre-cleanup — the complete copy could be either dir) → FAIL
-    //    LOUDLY with the dirs listed; every byte still exists, and
-    //    guessing here is how data gets lost silently;
+    //  - `.P_graft_compact_old` with live P present but the partition's
+    //    tmp fully GONE: rename(tmp, live) completed (same vanish-last
+    //    argument), so live IS the rewrite and the crash hit before
+    //    delete(old) — the completed-swap state self-heals by dropping old;
+    //  - `.P_graft_compact_old` with live P AND tmp present: genuinely
+    //    ambiguous on a non-atomic-rename store (mid rename-away or mid
+    //    rename-in — the complete copy could be either dir) → FAIL LOUDLY
+    //    with the dirs listed; every byte still exists, and guessing here
+    //    is how data gets lost silently;
     //  - `.P_graft_compact_tmp` alone = incomplete rewrite → delete it.
     val entries = fs.listStatus(base)
     entries.filter(_.getPath.getName.endsWith("_graft_compact_old")).foreach { st =>
-      val live = new org.apache.hadoop.fs.Path(base,
-        st.getPath.getName.stripPrefix(".").stripSuffix("_graft_compact_old"))
+      val part = st.getPath.getName.stripPrefix(".").stripSuffix("_graft_compact_old")
+      val live = new org.apache.hadoop.fs.Path(base, part)
+      val partTmp = new org.apache.hadoop.fs.Path(base, "." + part + "_graft_compact_tmp")
       if (!fs.exists(live)) {
         if (!fs.rename(st.getPath, live))
           throw new java.io.IOException(s"crash recovery failed: ${st.getPath} -> $live")
+      } else if (!fs.exists(partTmp)) {
+        fs.delete(st.getPath, true) // completed swap: live is the rewrite
       } else throw new java.io.IOException(
-        s"ambiguous crashed compaction swap: BOTH $live and ${st.getPath} exist. " +
-          "No data is lost - compare the two (row counts / _SUCCESS) and delete " +
-          "the incomplete one, then re-run compaction.")
+        s"ambiguous crashed compaction swap: $live, ${st.getPath} AND $partTmp " +
+          "all exist. No data is lost - compare them (row counts / _SUCCESS) and " +
+          "delete the incomplete ones, then re-run compaction.")
     }
     entries.filter(_.getPath.getName.endsWith("_graft_compact_tmp"))
       .foreach(st => fs.delete(st.getPath, true))

@@ -1194,7 +1194,9 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
         |       floor((pr)*1000000.0 + 0.5)/1000000.0 AS punct_ratio,
         |       floor((sr)*1000000.0 + 0.5)/1000000.0 AS stopword_ratio,
-        |       floor(((length(text) - (len(toks) - 1))*1.0 / greatest(len(toks), 1))*1000000.0 + 0.5)/1000000.0 AS mean_word_len,
+        |       floor((COALESCE(list_sum(list_transform(list_filter(toks, w -> w <> ''),
+        |                w -> length(w))), 0)*1.0
+        |              / greatest(len(list_filter(toks, w -> w <> '')), 1))*1000000.0 + 0.5)/1000000.0 AS mean_word_len,
         |       floor((least(greatest(
         |         0.4 * least(len(toks)/64.0, 1.0) + 0.4 * least(sr*4.0, 1.0)
         |           + 0.2 * (1.0 - least(pr*5.0, 1.0)), 0.0), 1.0))*1000000.0 + 0.5)/1000000.0 AS quality_score

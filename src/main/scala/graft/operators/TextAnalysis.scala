@@ -55,8 +55,13 @@ object TextAnalysis {
       .withColumn("stopword_ratio",
         size(filter(toks, w => w.isin(stopwords.map(lit): _*)))
           .cast("double") / greatest(nTok, lit(1)))
+      // exact mean token length, summed over the token array itself —
+      // the (len − (nTok−1))/nTok shortcut over-credits words when tokens
+      // are separated by RUNS of whitespace (every extra separator char
+      // counts toward some word's length)
       .withColumn("mean_word_len",
-        (length(t) - (nTok - 1)).cast("double") / greatest(nTok, lit(1)))
+        aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double")
+          / greatest(nTok, lit(1)))
       .withColumn("quality_score",
         least(greatest(
           lit(0.4) * least(nTok.cast("double") / 64.0, lit(1.0)) +
@@ -141,21 +146,45 @@ object TextAnalysis {
   }
 
   /** Per-group vocabulary — the grouped twin of [[topTokens]]: the `k`
-    * most frequent tokens per value of `groupCol` (ties by token), via
-    * window ranking over the `(group, token)` counts. Scale shape:
-    * map-side partial count → one shuffle on `(group, token)` → window
-    * repartitioned by group only for the rank — no global sort, and
-    * nothing holds more than one group's token counts. Output:
-    * `(groupCol, token, n, rank)`. */
+    * most frequent tokens per value of `groupCol` (ties by token), via a
+    * salted TWO-STAGE top-k. Scale shape: map-side partial count → one
+    * shuffle on `(group, token)` → stage 1 ranks within `(group, salt)`
+    * where the salt is a deterministic hash of the token, keeping `k` per
+    * cell — so no task ever sorts more than one SALT CELL of one group's
+    * histogram (≈ 1/`salts` of it), not the whole group — → stage 2
+    * re-ranks the ≤ `k·salts` survivors per group. A single-stage
+    * `partitionBy(group)` window would funnel a skewed group's entire
+    * distinct vocabulary (tens of millions of rows for a dominant
+    * language) through one task; here that group's histogram is spread
+    * across `salts` cells and the only per-group sort is over the bounded
+    * survivor set. Exactness: a token in a group's true top `k` ranks ≤ k
+    * within its salt cell too (the cell is a subset of the group ordered
+    * by the same total order), so stage 1 never discards a winner.
+    * Output: `(groupCol, token, n, rank)`. */
   def topTokensByGroup(df: DataFrame, textCol: String, groupCol: String,
-                       k: Int): DataFrame = {
+                       k: Int, salts: Int = 64): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     val counts = df
       .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(groupCol, "token").agg(count(lit(1)).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
+    val w2 = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(col("n").desc, col("token"))
-    counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    saltedTopKSurvivors(counts, groupCol, k, salts)
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+  }
+
+  /** Stage 1 of [[topTokensByGroup]]'s two-stage top-k, exposed for the
+    * spec that pins the bound: per `(group, salt-of-token)` cell, the top
+    * `k` of the `(group, token, n)` counts — at most `k·salts` rows per
+    * group survive into the final per-group rank. */
+  private[graft] def saltedTopKSurvivors(counts: DataFrame, groupCol: String,
+                                         k: Int, salts: Int): DataFrame = {
+    require(salts >= 1, s"salts must be positive, got $salts")
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), pmod(xxhash64(col("token")), lit(salts)))
+      .orderBy(col("n").desc, col("token"))
+    counts.withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= k).drop("__r1")
   }
 
   /** Sequence packing (training-batch assembly): assign each document to a

@@ -107,10 +107,17 @@ object ObjectStore {
       if (!fs.exists(dir)) {
         if (!fs.rename(old, dir))
           throw new IOException(s"crash recovery failed: $old -> $dir")
+      } else if (!fs.exists(tmp)) {
+        // BOTH exist but tmp is fully gone: rename(tmp, dir) completed (on
+        // copy-then-delete stores the source only vanishes after every
+        // object landed), so `dir` IS the new data and the crash hit
+        // between the swap and delete(old) — the benign completed-swap
+        // state self-heals rather than demanding manual triage
+        fs.delete(old, true)
       } else throw new IOException(
-        s"ambiguous crashed writeback swap: BOTH $dir and $old exist. " +
-          "No data is lost - compare the two and delete the incomplete " +
-          "one, then re-run.")
+        s"ambiguous crashed writeback swap: $dir, $old AND $tmp all exist " +
+          "(mid rename-aside or mid rename-in). No data is lost - compare " +
+          "them and delete the incomplete ones, then re-run.")
     }
 
     // both row counts ride the ONE write job as observe metrics — no

@@ -140,16 +140,31 @@ class ObjectStoreSpec extends SparkSpec {
       "s3a://test-bucket/heal", col("Host") === "NODE404")
     assert(before == 2 && after == 1, "repair must restore the original, then filter it")
     assert(!fs.exists(p("heal_graft_old")))
-    // BOTH live and _graft_old present is ambiguous: refuse, name both
+    // live + _graft_old with _graft_tmp fully GONE = the swap completed
+    // and the crash hit before delete(old): live IS the new data, so a
+    // re-run self-heals (drops old) and proceeds against live
+    Seq(("a", "1"), ("keepme", "2")).toDF("Host", "v").write.mode("overwrite")
+      .option("header", "true").csv("s3a://test-bucket/done")
+    Seq(("stale", "9")).toDF("Host", "v").write.mode("overwrite")
+      .option("header", "true").csv("s3a://test-bucket/done_graft_old")
+    val (b2, a2) = ObjectStore.readFilterWriteback(
+      spark, "s3a://test-bucket/done", col("Host") === "a")
+    assert(b2 == 2 && a2 == 1, "completed-swap state must proceed from live")
+    assert(!fs.exists(p("done_graft_old")))
+    // live + _graft_old + _graft_tmp ALL present is genuinely ambiguous
+    // (mid rename-aside or mid rename-in): refuse, name the prefixes
     Seq(("a", "1")).toDF("Host", "v").write.mode("overwrite")
       .option("header", "true").csv("s3a://test-bucket/amb")
     Seq(("b", "2")).toDF("Host", "v").write.mode("overwrite")
       .option("header", "true").csv("s3a://test-bucket/amb_graft_old")
+    Seq(("c", "3")).toDF("Host", "v").write.mode("overwrite")
+      .option("header", "true").csv("s3a://test-bucket/amb_graft_tmp")
     val e = intercept[java.io.IOException](ObjectStore.readFilterWriteback(
       spark, "s3a://test-bucket/amb", col("Host") === "a"))
     assert(e.getMessage.contains("amb") && e.getMessage.contains("amb_graft_old"))
     // nothing was touched by the refusal
-    assert(fs.exists(p("amb")) && fs.exists(p("amb_graft_old")))
+    assert(fs.exists(p("amb")) && fs.exists(p("amb_graft_old")) &&
+      fs.exists(p("amb_graft_tmp")))
   }
 
   test("reliable CC checkpoints write to s3a:// and clusters stay correct") {

@@ -421,14 +421,22 @@ class PipelineSpec extends SparkSpec {
     Pipeline.compactDaily(spark, outPath, targetBytes = 1L << 30)
     assert(live.isDirectory && !old.exists && !tmp.exists)
     assert(spark.read.parquet(outPath).collect().toSeq.map(_.toString).sorted == rows)
-    // ambiguous residue (live AND preserved both present — only reachable
-    // mid-rename on non-atomic stores): refuse loudly, never guess
+    // live + preserved with the partition's tmp fully GONE = the swap
+    // completed and the crash hit before delete(old): live is the rewrite,
+    // so a re-run self-heals by dropping the preserved original
     old.mkdirs()
+    Pipeline.compactDaily(spark, outPath, targetBytes = 1L << 30)
+    assert(live.isDirectory && !old.exists,
+      "completed-swap residue must self-heal, not demand manual triage")
+    assert(spark.read.parquet(outPath).collect().toSeq.map(_.toString).sorted == rows)
+    // live + preserved + tmp ALL present is genuinely ambiguous (mid
+    // rename-away or mid rename-in): refuse loudly, never guess
+    old.mkdirs(); tmp.mkdirs()
     val amb = intercept[java.io.IOException](
       Pipeline.compactDaily(spark, outPath, targetBytes = 1L << 30))
     assert(amb.getMessage.contains("ambiguous"), amb.getMessage)
     assert(live.isDirectory && old.isDirectory, "no dir may be deleted on ambiguity")
-    old.delete()
+    old.delete(); tmp.delete()
   }
 
   test("observe: audit row counts piggyback on the action (A10)") {

@@ -368,6 +368,38 @@ class TrainingOpsSpec extends SparkSpec {
       Map("en" -> 0.5)).count() == 0)
   }
 
+  test("topTokensByGroup: skewed group — salted survivors bounded by k·salts, " +
+    "result matches the naive single-window rank") {
+    // skew fixture: one dominant group carries a vocabulary two orders
+    // larger than the other (the one-language-is-90%-of-the-web shape)
+    val big = (0 until 400).map(i => (i.toLong, "big", s"tok$i and tok$i again"))
+    val small = Seq((9000L, "small", "x y"), (9001L, "small", "x"))
+    val d = (big ++ small).toDF("doc_id", "lang", "text")
+    val k = 5; val salts = 8
+    val out = TextAnalysis.topTokensByGroup(d, "text", "lang", k, salts)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    // independent reference: the naive (skew-unsafe) single-window rank
+    val counts = d.select($"lang", explode(TextAnalysis.tokens($"text")).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy($"n".desc, $"token")
+    val ref = counts.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    assert(out == ref, "two-stage top-k must be exact, not approximate")
+    // the bound that makes it skew-safe: the per-group final sort sees at
+    // most k·salts survivors, never the group's full histogram (big has
+    // 402 distinct tokens; its survivor set must be ≤ 40)
+    val surv = TextAnalysis.saltedTopKSurvivors(counts, "lang", k, salts)
+      .groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(surv("big") <= k.toLong * salts, s"survivors: $surv")
+    assert(surv("small") <= k.toLong * salts)
+    intercept[IllegalArgumentException](
+      TextAnalysis.topTokensByGroup(d, "text", "lang", k, salts = 0))
+  }
+
   test("topTokensByGroup: per-group ranks, group isolation, tie-break") {
     val d = Seq((1L, "en", "b a a"), (2L, "fr", "x x y"), (3L, "en", "c b"))
       .toDF("doc_id", "lang", "text")
@@ -531,6 +563,25 @@ class TrainingOpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("stopword_ratio") - 3.0 / 6.0) < 1e-9)
     val q = r.getAs[Double]("quality_score")
     assert(q > 0.0 && q <= 1.0)
+    // exact mean word length: "the cat sat, on the mat!" = 3+3+4+2+3+4 = 19
+    assert(math.abs(r.getAs[Double]("mean_word_len") - 19.0 / 6.0) < 1e-9)
+  }
+
+  test("mean_word_len is exact under whitespace runs and newlines") {
+    // separator runs used to be attributed to word length by the
+    // (len − (nTok−1))/nTok shortcut; the token-array sum is exact
+    val d = Seq(
+      (1L, "ab   cd"),        // run of 3 spaces: words 2+2, mean 2.0
+      (2L, "a\n\n\nbb\t\tc"), // newline/tab runs: 1+2+1, mean 4/3
+      (3L, "  padded  "),     // leading/trailing runs: one 6-char word
+      (4L, "")                // no tokens: 0, not NaN
+    ).toDF("id", "text")
+    val m = TextAnalysis.withQuality(d, "text").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("mean_word_len")).toMap
+    assert(math.abs(m(1L) - 2.0) < 1e-9, s"got ${m(1L)}")
+    assert(math.abs(m(2L) - 4.0 / 3.0) < 1e-9, s"got ${m(2L)}")
+    assert(math.abs(m(3L) - 6.0) < 1e-9, s"got ${m(3L)}")
+    assert(m(4L) == 0.0)
   }
 
   test("langid picks the language with most marker hits") {
