@@ -89,6 +89,11 @@ object Bench {
       spark.stop()
       return
     }
+    if (sys.env.contains("SPARK_GRAFT_SCALE_SLOPE_SIMHASH")) {
+      scaleSlopeSimhash(spark, sfDir, () => dropPersistedState())
+      spark.stop()
+      return
+    }
 
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
     val ordered = only.fold(all)(f => all.filter(kv => f(kv._1)))
@@ -286,6 +291,77 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_scale_interval.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] bench_scale_interval.json: ${e.getMessage}") }
+    println(line)
+  }
+
+  /** SimHash scale-slope harness — the saturation-mitigation evidence:
+    * replicate the documents corpus k× (per-replica character rotation,
+    * as in [[scaleSlope]]) and band at 8 so the 2⁸-value chunk space is
+    * saturated at bench scale — the same regime the production 4×16
+    * geometry hits past ~65k docs, reachable here. At each size the
+    * PLAIN pinned-width path and the length-PARTITIONED path
+    * ([[graft.operators.Dedup.simhashPairsPartitioned]]) are timed and
+    * their raw candidate volumes (pre-verify band-join rows, the actual
+    * cost driver) recorded untimed. Expected shape: plain candidates grow
+    * ~n² once n ≫ 2^width and its time slope trends toward 2; the
+    * partition divides the quadratic coefficient by the populated
+    * length-bucket factor, deferring the takeover — while the pair sets
+    * stay identical. Writes `bench_scale_simhash.json`. */
+  private def scaleSlopeSimhash(spark: SparkSession, sfDir: String,
+                                dropState: () => Unit): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val idSpan = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def replica(k: Int) = {
+      val rot = alpha.drop(k % 26) + alpha.take(k % 26)
+      docs.select((col("doc_id") + lit(k * idSpan)).as("doc_id"),
+        translate(col("text"), alpha + alpha.toUpperCase,
+          rot + rot.toUpperCase).as("text"))
+    }
+    val bands = 8; val bucketWidth = 10L
+    val sizes = Seq(1, 2, 4, 8)
+    Dedup.simhashPairs(Dedup.simhash(replica(0), "doc_id", "text"),
+      maxHamming = 3, bands = bands).count() // untimed warmup
+    dropState()
+    val rows = sizes.map { n =>
+      val corpus = (0 until n).map(replica).reduce(_ union _)
+      val nDocs = corpus.count()
+      def h = Dedup.simhashWithTokenCount(corpus, "doc_id", "text")
+      dropState()
+      val t0 = System.nanoTime()
+      val nPlain = Dedup.simhashPairs(h.select("sh_id", "simhash"),
+        maxHamming = 3, bands = bands).count()
+      val plainSecs = (System.nanoTime() - t0) / 1e9
+      dropState()
+      val t1 = System.nanoTime()
+      val nPart = Dedup.simhashPairsPartitioned(h, "n_tokens", bucketWidth,
+        maxHamming = 3, bands = bands).count()
+      val partSecs = (System.nanoTime() - t1) / 1e9
+      dropState()
+      // candidate volumes, untimed — the attribution for the slopes above
+      val candPlain = Dedup.simhashBandJoin(h.select("sh_id", "simhash"),
+        bands, None).count()
+      val candPart = Dedup.simhashBandJoin(h, bands,
+        Some(("n_tokens", bucketWidth))).count()
+      dropState()
+      (n, nDocs, nPlain, nPart, plainSecs, partSecs, candPlain, candPart)
+    }
+    def arr[T](f: ((Int, Long, Long, Long, Double, Double, Long, Long)) => T): String =
+      jsonArr(rows)(f)
+    val line =
+      f"""{"metric":"simhash_scale_slope","bands":$bands,"bucket_width":$bucketWidth,""" +
+        f""""sizes":${arr(_._1)},"docs":${arr(_._2)},""" +
+        f""""pairs_plain":${arr(_._3)},"pairs_part":${arr(_._4)},""" +
+        f""""cand_plain":${arr(_._7)},"cand_part":${arr(_._8)},""" +
+        f""""secs_plain":${arr(r => f"${r._5}%.3f")},"secs_part":${arr(r => f"${r._6}%.3f")},""" +
+        f""""slope_plain":${logLogSlope(sizes, rows.map(_._5))}%.3f,""" +
+        f""""slope_part":${logLogSlope(sizes, rows.map(_._6))}%.3f,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_scale_simhash.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] bench_scale_simhash.json: ${e.getMessage}") }
     println(line)
   }
 

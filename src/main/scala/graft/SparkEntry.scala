@@ -371,12 +371,26 @@ object SparkEntry {
   private lazy val SimhashFixture =
     new java.io.File("target/verify-fixtures/simhash_hashes").getAbsolutePath
 
+  /** Fixture parquet the DuckDB oracle reads back for
+    * q_multimodal_features — same pattern as [[SimhashFixture]]: the
+    * stubbed decode is deterministic in the payload bytes but engine-bound
+    * (no DuckDB equivalent), so the Verify harness dumps the full feature
+    * vectors here and the oracle reproduces the query's downstream
+    * projection (dimension count, first-element extraction, rounding)
+    * from them in plain SQL. */
+  private lazy val MultimodalFixture =
+    new java.io.File("target/verify-fixtures/multimodal_features").getAbsolutePath
+
   /** Oracle-side fixture dump, called by the Verify harness (NOT by the
     * queries themselves — the bench must time operators, not fixture
     * I/O). Written distributed; DuckDB globs the part files. */
-  def prepareOracleFixtures(s: SparkSession, dir: String): Unit =
+  def prepareOracleFixtures(s: SparkSession, dir: String): Unit = {
     Dedup.simhash(tbl(s, dir, "documents"), "doc_id", "text")
       .write.mode("overwrite").parquet(SimhashFixture)
+    Multimodal.extractFeatures(
+        Multimodal.toAssets(tbl(s, dir, "documents"), "doc_id", "text", "text/plain"), 16)
+      .write.mode("overwrite").parquet(MultimodalFixture)
+  }
 
   /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit token simhash).
     * Oracle-checked on the pair set: banding + `bit_count` Hamming
@@ -651,8 +665,11 @@ object SparkEntry {
       col("meta.height").as("height"))
   }
 
-  /** Multimodal feature extraction (stubbed decode, real batch plumbing);
-    * rows-only check. */
+  /** Multimodal feature extraction (stubbed decode, real batch plumbing).
+    * Oracle-checked via [[MultimodalFixture]]: the Verify harness dumps
+    * the deterministic feature vectors and DuckDB reproduces the
+    * dimension-count/first-element/rounding projection from them — the
+    * same given-the-engine-bound-values pattern as q_dedup_simhash. */
   private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val assets = Multimodal.toAssets(tbl(s, dir, "documents"), "doc_id", "text", "text/plain")
     Multimodal.extractFeatures(assets, 16)
@@ -1309,6 +1326,10 @@ object SparkEntry {
         |       CAST(doc_id % 1920 + 1 AS INTEGER) AS width,
         |       CAST(doc_id % 1080 + 1 AS INTEGER) AS height
         |FROM documents""".stripMargin,
+    "q_multimodal_features" ->
+      s"""SELECT asset_id, CAST(len(feature) AS INT) AS feat_dim,
+        |       floor((CAST(feature[1] AS DOUBLE))*1000000.0 + 0.5)/1000000.0 AS feat0
+        |FROM read_parquet('$MultimodalFixture/*.parquet')""".stripMargin,
     "q_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem

@@ -368,6 +368,41 @@ class TrainingOpsSpec extends SparkSpec {
       Map("en" -> 0.5)).count() == 0)
   }
 
+  test("simhashPairsPartitioned: saturation regime — identical pairs, candidate " +
+    "volume cut by the length partition") {
+    // emulate n ≫ 2^width cheaply by SHRINKING the chunk width: 16 bands of
+    // 4 bits give a 16-value per-chunk bucket space, which a 600-doc corpus
+    // saturates the way the production 4×16-bit geometry saturates past
+    // ~65k docs — same regime, unit-test scale
+    val rnd = new scala.util.Random(7)
+    val n = 600
+    val base = (0 until n).map { i =>
+      val words = (0 until 5 + (i % 40)).map(_ => s"w${rnd.nextInt(5000)}")
+      (i.toLong, words.mkString(" "))
+    }
+    // planted exact dup (hamming 0, same token count) — must survive both paths
+    val d = (base :+ ((n.toLong, base.head._2))).toDF("doc_id", "text")
+    val h = Dedup.simhashWithTokenCount(d, "doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue)).toSet
+    val plain = pairSet(Dedup.simhashPairs(
+      h.select("sh_id", "simhash"), maxHamming = 3, bands = 16))
+    val part = pairSet(Dedup.simhashPairsPartitioned(
+      h, "n_tokens", bucketWidth = 5, maxHamming = 3, bands = 16))
+    assert(plain.contains((0L, n.toLong, 0)), "planted exact dup must be found")
+    assert(part == plain, "the partition must not change the pair set here " +
+      "(every hamming<=3 pair sits within one bucketWidth of token count)")
+    // the bound the partition buys: raw candidate volume (the actual cost
+    // driver, pre-verify pre-distinct) drops by the populated-bucket factor
+    val candPlain = Dedup.simhashBandJoin(
+      h.select("sh_id", "simhash"), 16, None).count()
+    val candPart = Dedup.simhashBandJoin(h, 16, Some(("n_tokens", 5L))).count()
+    assert(candPart * 2 < candPlain,
+      s"partitioned candidates ($candPart) must be well under plain ($candPlain)")
+    intercept[IllegalArgumentException](Dedup.simhashPairsPartitioned(
+      h, "n_tokens", bucketWidth = 0))
+  }
+
   test("topTokensByGroup: skewed group — salted survivors bounded by k·salts, " +
     "result matches the naive single-window rank") {
     // skew fixture: one dominant group carries a vocabulary two orders
