@@ -129,27 +129,47 @@ object Similarity {
     // a fixed geometry (the bench_scale_embed harness measures slope ~2 at
     // 32k vectors under 24×8). Size bitsPerBand with the corpus via
     // [[lshGeometryFor]] (bits ≈ log₂ n ⇒ candidates O(bands·n), linear).
-    // vec+norm+buckets feed candidate generation AND both verify sides —
-    // materialize once (eager, self-cleaning), honoring the shared
-    // reliable-checkpoint mode so this path survives executor loss
-    // exactly like the shingle-dedup pipeline (see Materialize)
-    val n = Materialize.eagerCheckpoint(withNorm(df, embCol)
+    val n = lshPrepared(df, idCol, embCol, dims, bands, bitsPerBand)
+    lshVerify(n, lshCandidates(n), minCosine)
+  }
+
+  /** Stage 1 of [[lshCosinePairs]], exposed (`private[graft]`) so the
+    * scale harness can time stages separately: vec+norm+band-buckets per
+    * row, materialized ONCE (eager, self-cleaning) because it feeds
+    * candidate generation AND both verify sides — honoring the shared
+    * reliable-checkpoint mode so this path survives executor loss exactly
+    * like the shingle-dedup pipeline (see Materialize). Per-row cost is
+    * `bands·bitsPerBand` projections of `dims` — under [[lshGeometryFor]]
+    * both factors grow with log n, the log² work term the harness's
+    * stage timings attribute. */
+  private[graft] def lshPrepared(df: DataFrame, idCol: String, embCol: String,
+                                 dims: Int, bands: Int, bitsPerBand: Int): DataFrame =
+    Materialize.eagerCheckpoint(withNorm(df, embCol)
       .select(col(idCol).as("nid"), col("vec"), col("norm"),
         lshBandBuckets(col(embCol), dims, bands, bitsPerBand).as("bk")))
-    val banded = n.select(col("nid"), posexplode(col("bk")))
+
+  /** Stage 2 of [[lshCosinePairs]]: band explode + `(band, bucket)`
+    * self-join + pair distinct — only bucket-colliding vectors ever meet. */
+  private[graft] def lshCandidates(prepared: DataFrame): DataFrame = {
+    val banded = prepared.select(col("nid"), posexplode(col("bk")))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-    val cands = banded.select(col("band"), col("bucket"), col("nid").as("id_a"))
+    banded.select(col("band"), col("bucket"), col("nid").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("nid").as("id_b")),
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** Stage 3 of [[lshCosinePairs]]: exact-cosine verification of the
+    * candidate pairs only, thresholded at `minCosine`. */
+  private[graft] def lshVerify(prepared: DataFrame, cands: DataFrame,
+                               minCosine: Double): DataFrame =
     cands
-      .join(n.select(col("nid").as("id_a"), col("vec").as("va"), col("norm").as("na")), "id_a")
-      .join(n.select(col("nid").as("id_b"), col("vec").as("vb"), col("norm").as("nb")), "id_b")
+      .join(prepared.select(col("nid").as("id_a"), col("vec").as("va"), col("norm").as("na")), "id_a")
+      .join(prepared.select(col("nid").as("id_b"), col("vec").as("vb"), col("norm").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
         cosine(col("va"), col("vb"), col("na"), col("nb")).as("cosine"))
       .filter(col("cosine") >= minCosine)
-  }
 
   /** [[lshCosinePairs]] geometry sized to the corpus — the 100 TB sizing
     * rule made executable. `bitsPerBand ≈ log₂ n` keeps per-band bucket

@@ -32,7 +32,17 @@ object TextAnalysis {
     * `TakeOrderedAndProject` (no full sort ever materializes; the sorted
     * set held anywhere is k rows, not the vocabulary). The [[tokens]]
     * definition is shared, so vocab, shingles, and simhash all agree on
-    * what a token is. */
+    * what a token is.
+    *
+    * On "two-level pre-aggregation for heavy hitters": the partial hash
+    * aggregate IS the two-level scheme — each map task emits one row per
+    * ITS-OWN distinct tokens (heavy hitters collapse map-side), so the
+    * shuffle carries Σ per-partition-distinct rows, not token
+    * occurrences. Measured at bench scale: q_vocab shuffle write ≈ 0 MB
+    * (bench_full.json) — an `approx_count_distinct`-guarded extra level
+    * would add a pass to save a shuffle that is already negligible; it
+    * becomes worth revisiting only if a corpus's PER-PARTITION distinct
+    * vocabulary itself outgrows task memory. */
   def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     df.select(explode(tokens(col(textCol))).as("token"))

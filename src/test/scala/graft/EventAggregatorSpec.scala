@@ -80,6 +80,53 @@ class EventAggregatorSpec extends SparkSpec {
     assert(streamed.map(_._3) == Set(1.0, 2.0, 5.0))
   }
 
+  test("stream-static enrichment with broadcast OFF ≡ batch (shuffled join path)") {
+    // the non-broadcast posture for when accounting outgrows the broadcast
+    // threshold: stream-static INNER joins are stateless per micro-batch
+    // under any join strategy, so the shuffled-hash/SMJ plan must work and
+    // match the batch operator row for row
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.IntervalJoin
+    val in = MemoryStream[(String, Timestamp, Double)]
+    val metrics = in.toDF().toDF("jid", "Timestamp", "value")
+    val acct = Seq(
+      ("j1", ts("2013-01-01 10:00:00"), ts("2013-01-01 11:00:00")),
+      ("j3", ts("2013-01-01 09:00:00"), ts("2013-01-01 09:30:00"))
+    ).toDF("jid", "start", "end")
+    val q = EventAggregator.enrichWithAccounting(metrics, acct,
+        broadcastAccounting = false)
+      .writeStream.format("memory").queryName("enrich_shuffled_out")
+      .outputMode("append").start()
+    val rows = Seq(
+      ("j1", ts("2013-01-01 10:00:00"), 1.0), // == start: in
+      ("j1", ts("2013-01-01 11:00:00"), 2.0), // == end: out ([start, end))
+      ("j3", ts("2013-01-01 09:15:00"), 3.0), // in
+      ("jX", ts("2013-01-01 10:15:00"), 4.0)) // unmatched jid: out
+    in.addData(rows.take(2))
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "non-broadcast stream-static inner join must stay stateless")
+    in.addData(rows.drop(2))
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getTimestamp(1), r.getDouble(2),
+        r.getTimestamp(3), r.getTimestamp(4))
+    val streamed = spark.table("enrich_shuffled_out").collect().map(key).toSet
+    val batchDf = IntervalJoin(rows.toDF("jid", "Timestamp", "value"), acct,
+      broadcastAccounting = false)
+    assert(streamed == batchDf.collect().map(key).toSet)
+    assert(streamed.map(_._3) == Set(1.0, 3.0))
+    // with the explicit broadcast hint off, the IntervalJoinRewrite rule
+    // takes the plan to the bucketed `(jid, bucket)` equi-join — the
+    // non-broadcast 100 TB shape (AQE is then free to broadcast the tiny
+    // exploded side at THIS scale; at real scale it shuffles): pin that
+    // the rewrite fired, not a strategy choice AQE owns
+    val phys = batchDf.queryExecution.executedPlan.toString
+    assert(phys.contains("__graft_bucket"),
+      s"broadcastAccounting=false should auto-rewrite to the bucketed form:\n$phys")
+  }
+
   test("sessionization splits sessions on intra-batch gaps (replay == live)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[HostEvent]
