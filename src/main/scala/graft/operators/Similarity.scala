@@ -71,6 +71,112 @@ object Similarity {
     rankTopK(q.join(c, Seq("part")), k)
   }
 
+  /** Lloyd's k-means over the embedding column — trains the coarse
+    * quantizer a real IVF deployment builds ONCE and serves from, so
+    * [[ivfTopK]]/[[buildQuantizedIndex]] no longer depend on a
+    * caller-supplied partition column. Deterministic by construction
+    * (reproducible across runs, partitionings, and cluster sizes):
+    * seeding is farthest-first traversal (Gonzalez) from the md5-minimal
+    * row — each next seed maximizes its distance to the chosen set, ties
+    * broken by id — so well-separated clusters each receive a seed
+    * (random init can drop two seeds into one cluster, a state Lloyd
+    * cannot split its way out of; the classic farthest-first caveat is
+    * that extreme outliers can claim seeds — for large `k` seed on a
+    * deterministic md5-prefix sample first). Each of the `iters` Lloyd
+    * rounds assigns per-row against centroid LITERALS (no shuffle of the
+    * corpus) then recomputes means with one k-keyed aggregation — the
+    * only shuffle, and map-side partials collapse it to `k·dims` doubles
+    * per partition. Driver holds `k·dims` doubles (the centroid set —
+    * KB, not data); seeding costs `k−1` extra scans, each a one-row
+    * result. An empty cluster keeps its previous centroid (the standard
+    * Lloyd degeneracy patch, deterministic). Returns the centroid
+    * matrix, row index = cluster id.
+    *
+    * Assignment cost is `k·dims` interpreted HOF ops per row; at serving
+    * scale that is one pass over the corpus per round with `iters` fixed
+    * and small. Profile before reaching for a native codegen'd argmin —
+    * the aggregation shuffle is already negligible. */
+  def kmeansFit(df: DataFrame, idCol: String, embCol: String, k: Int,
+                iters: Int = 5): Array[Array[Double]] = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(iters >= 1, s"iters must be positive, got $iters")
+    val v = col(embCol).cast("array<double>")
+    val seed0 = df
+      .select(v.as("v"), md5(col(idCol).cast("string").cast("binary")).as("h"))
+      .orderBy("h").limit(1)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(seed0.nonEmpty, "k-means needs a non-empty corpus")
+    val seeds = collection.mutable.ArrayBuffer(seed0.head)
+    while (seeds.size < k) {
+      val next = df
+        .select(col(idCol).as("__id"), v.as("v"),
+          distExprs(v, seeds.toArray).reduce(least(_, _)).as("__d"))
+        .orderBy(col("__d").desc, col("__id")).limit(1)
+        .collect()
+      require(next.nonEmpty && next.head.getDouble(2) > 0.0,
+        s"k-means needs at least $k distinct vectors for $k clusters")
+      seeds += next.head.getSeq[Double](1).toArray
+    }
+    var centroids: Array[Array[Double]] = seeds.toArray
+    val dims = centroids.head.length
+    // fail fast on null/ragged/null-element vectors (the dense-vector
+    // policy of quantizeInt8/DotProduct): a silent null distance would
+    // otherwise dump every bad row into cluster 0 AND skew its mean
+    val vChecked = when(
+      v.isNull || size(v) =!= dims || exists(v, _.isNull),
+      raise_error(lit("kmeans_fit: null or ragged embedding"))).otherwise(v)
+    for (_ <- 0 until iters) {
+      val sums = df
+        .select(assignExpr(vChecked, centroids).as("cid"), vChecked.as("v"))
+        .groupBy("cid")
+        // element-wise member-vector sums as `dims` scalar sum aggregates:
+        // map-side partial aggregation collapses each partition to ≤ k
+        // rows, so the one shuffle carries k·dims doubles per partition —
+        // never the corpus
+        .agg(count(lit(1)).as("n"),
+          array((0 until centroids.head.length).map(j =>
+            sum(element_at(col("v"), j + 1))): _*).as("vsum"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        val cid = r.getInt(0); val n = r.getLong(1)
+        if (n > 0) next(cid) = r.getSeq[Double](2).map(_ / n).toArray
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Squared-L2 distance of `v` to each literal centroid — per-row,
+    * shuffle-free; shared by seeding and assignment. */
+  private def distExprs(v: Column, centroids: Array[Array[Double]]): Seq[Column] =
+    centroids.toSeq.map { c =>
+      val cLit = array(c.map(lit): _*)
+      aggregate(zip_with(v, cLit, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    }
+
+  /** Nearest-centroid id (squared-L2 argmin, ties to the lower id) against
+    * literal centroids — per-row, shuffle-free. */
+  private def assignExpr(v: Column, centroids: Array[Array[Double]]): Column = {
+    val dists = distExprs(v, centroids)
+    dists.zipWithIndex.drop(1).foldLeft((lit(0).cast("int"), dists.head)) {
+      case ((bestId, bestDist), (d, i)) =>
+        (when(d < bestDist, lit(i)).otherwise(bestId),
+          when(d < bestDist, d).otherwise(bestDist))
+    }._1
+  }
+
+  /** Attach the learned coarse-partition label (`coarse`): nearest
+    * [[kmeansFit]] centroid per row. Feed the SAME centroids to corpus
+    * and queries and the result is [[ivfTopK]]'s `partCol` — the learned
+    * IVF, end to end. */
+  def withCoarseLabel(df: DataFrame, embCol: String,
+                      centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    df.withColumn("coarse", assignExpr(col(embCol).cast("array<double>"), centroids))
+  }
+
   /** All pairs with cosine ≥ `minCosine` (embedding near-dup detection).
     * Brute force for oracle-scale; at scale, pre-bucket with random
     * hyperplane LSH and restrict pairs to equal buckets. */

@@ -368,6 +368,50 @@ class TrainingOpsSpec extends SparkSpec {
       Map("en" -> 0.5)).count() == 0)
   }
 
+  test("kmeansFit: deterministic learned IVF — planted clusters recovered, " +
+    "learned-partition ivfTopK equals brute force") {
+    val rnd = new scala.util.Random(11)
+    val centers = Seq(
+      Array.fill(8)(10.0),
+      Array.fill(8)(-10.0),
+      Array.tabulate(8)(i => if (i % 2 == 0) 10.0 else -10.0))
+    val data = (0 until 300).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.5).toFloat).toSeq)
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(df, "vec_id", "embedding", k = 3, iters = 5)
+    assert(cents.length == 3)
+    // purity: each planted cluster maps to exactly ONE learned label and
+    // the three labels are distinct (farthest-first seeding makes this
+    // deterministic — random init could drop two seeds in one cluster)
+    val labeled = Similarity.withCoarseLabel(df, "embedding", cents)
+    val lab = labeled.select($"vec_id", $"coarse").collect()
+      .map(r => (r.getLong(0) % 3, r.getInt(1)))
+    val byPlanted = lab.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byPlanted.values.forall(_.size == 1), s"impure clusters: $byPlanted")
+    assert(byPlanted.values.flatten.toSet.size == 3, s"merged clusters: $byPlanted")
+    // deterministic: identical re-fit bit for bit
+    val refit = Similarity.kmeansFit(df, "vec_id", "embedding", k = 3, iters = 5)
+    assert(cents.map(_.toSeq).toSeq == refit.map(_.toSeq).toSeq)
+    // the learned coarse partition serves ivfTopK exactly like the
+    // caller-supplied label on well-separated data: equals brute force
+    val queries = df.filter($"vec_id" < 9)
+    def key(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val learned = Similarity.ivfTopK(labeled,
+      Similarity.withCoarseLabel(queries, "embedding", cents),
+      "vec_id", "embedding", "coarse", 3)
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 3)
+    assert(key(learned) == key(exact))
+    // degenerate inputs fail fast
+    intercept[IllegalArgumentException](
+      Similarity.kmeansFit(df, "vec_id", "embedding", k = 0))
+    intercept[IllegalArgumentException](Similarity.kmeansFit(
+      Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 3))
+  }
+
   test("simhashPairsPartitioned: saturation regime — identical pairs, candidate " +
     "volume cut by the length partition") {
     // emulate n ≫ 2^width cheaply by SHRINKING the chunk width: 16 bands of
