@@ -177,6 +177,28 @@ object Similarity {
     df.withColumn("coarse", assignExpr(col(embCol).cast("array<double>"), centroids))
   }
 
+  /** Multi-probe QUERY labels — the IVF recall knob: each row fans out to
+    * its `nprobe` nearest centroids (explode), so a boundary query whose
+    * true neighbor sits across a Voronoi edge probes the adjacent cells
+    * too. Corpus rows always keep their ONE [[withCoarseLabel]] cell; a
+    * probed query meets each corpus row at most once (the corpus row has
+    * one label), so [[ivfTopK]] needs no dedup — its per-query rank just
+    * sees the union of the probed cells' candidates. Cost scales linearly
+    * in `nprobe` on the QUERY side only, the classic recall/latency dial
+    * of a served IVF. Ranking ties (equal distance) break to the lower
+    * centroid id — deterministic. */
+  def withProbeLabels(df: DataFrame, embCol: String,
+                      centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    require(nprobe >= 1 && nprobe <= centroids.length,
+      s"nprobe must be in [1, ${centroids.length}], got $nprobe")
+    val v = col(embCol).cast("array<double>")
+    val ranked = array_sort(array(distExprs(v, centroids).zipWithIndex.map {
+      case (d, i) => struct(d.as("d"), lit(i).as("i")) }: _*))
+    df.withColumn("coarse",
+      explode(transform(slice(ranked, 1, nprobe), s => s.getField("i"))))
+  }
+
   /** All pairs with cosine ≥ `minCosine` (embedding near-dup detection).
     * Brute force for oracle-scale; at scale, pre-bucket with random
     * hyperplane LSH and restrict pairs to equal buckets. */

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Ingest-time curation of a document STREAM — the continuous front half
+  * of the training-data pipeline (the reference's batch curation is
+  * `Pipeline.curate`; this is what a 100 TB/day feed runs BEFORE anything
+  * lands).
+  *
+  * The lambda split, stated explicitly: ingest curates what a row can
+  * decide about itself — exact dedup within the watermark horizon,
+  * decontamination against a FIXED eval corpus, quality scoring, PII
+  * redaction, split assignment — all stateless or watermark-bounded, so
+  * the stream never blocks on the corpus. Near-dup (MinHash-LSH) removal
+  * is corpus-GLOBAL (a self-join no stream can legally express) and
+  * belongs to the periodic batch compaction pass (`Pipeline.curate`),
+  * which also catches exact dups whose originals had aged out of the
+  * dedup state.
+  *
+  * Decontamination is the interesting piece: the batch operator
+  * ([[graft.operators.Dedup.decontaminate]]) is a shingle join, but a
+  * stream cannot anti-join against its own derived aggregate. Instead the
+  * eval corpus's shingle set is compiled ONCE into a Bloom filter
+  * ([[evalShingleBloom]]) and carried into every micro-batch as a binary
+  * LITERAL — the probe is `O(shingles per doc)` per row with no join and
+  * no state, the standard runtime-filter trick (Spark's own join
+  * pruning uses the same `BloomFilterMightContain` expression).
+  * Probabilistic by design: false positives (rate `fpp`) drop a CLEAN doc
+  * — the conservative direction for decontamination; false negatives do
+  * not exist, so nothing contaminated survives that the batch operator
+  * would have caught at the same `k`.
+  */
+object StreamingCurate {
+
+  /** Serialized Bloom filter over the eval corpus's distinct hashed word
+    * `k`-shingles — built batch-side once, shipped as a literal. Size is
+    * `expectedItems = |distinct shingles|` at `fpp`; for benchmark-scale
+    * eval corpora (millions of shingles) that is a few MB of filter bits
+    * riding the task broadcast, vs a per-batch shuffle of the stream. */
+  def evalShingleBloom(evalDocs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 8, fpp: Double = 0.001): Array[Byte] = {
+    val sh = Dedup.hashedWordShingles(evalDocs, idCol, textCol, k)
+      .select("shingle").distinct()
+    val n = math.max(sh.count(), 1L)
+    val bf = sh.stat.bloomFilter("shingle", n, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Bloom membership probe as a Column — the native
+    * `BloomFilterMightContain` expression over a literal filter, usable
+    * inside higher-order lambdas (the element variable passes straight
+    * through as the value expression). `h` must be a LONG (the hashed
+    * shingle). */
+  def mightContain(bloom: Array[Byte], h: Column): Column =
+    Bridge.column(BloomFilterMightContain(
+      Bridge.expression(lit(bloom)), Bridge.expression(h)))
+
+  /** True iff ANY word-`k`-shingle of `text` hits the eval Bloom filter —
+    * the per-row streaming form of the contamination predicate. */
+  def contaminated(text: Column, evalBloom: Array[Byte], k: Int): Column =
+    exists(graft.functions.ShingleHashes.shingleHashes(text, k),
+      h => mightContain(evalBloom, h))
+
+  /** The streaming curation flow. `docs` must carry `idCol`, `textCol`
+    * and an event-time `tsCol`. Stages, in order:
+    *  1. watermarked exact dedup on a 16-byte two-seed content hash
+    *     (state bounded by `watermarkDelay`; a dup arriving after its
+    *     original's state expired re-emits — the batch pass catches it);
+    *  2. Bloom decontamination against `evalBloom` at word-`shingleK`;
+    *  3. quality scoring, rows below `minQuality` dropped;
+    *  4. PII redaction (adds `redacted` + per-type counts);
+    *  5. deterministic md5 `split` assignment.
+    * Output: input columns + quality/redaction columns + `split`, as an
+    * append-mode-ready stream. */
+  def curateStream(docs: DataFrame, idCol: String, textCol: String,
+                   tsCol: String, evalBloom: Array[Byte],
+                   watermarkDelay: String = "10 minutes",
+                   minQuality: Double = 0.5, shingleK: Int = 8): DataFrame = {
+    val deduped = docs
+      .withColumn("__h1", xxhash64(col(textCol)))
+      .withColumn("__h2", xxhash64(lit(1), col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__h1", "__h2")
+      .drop("__h1", "__h2")
+    val clean = deduped.filter(!contaminated(col(textCol), evalBloom, shingleK))
+    val scored = TextAnalysis.withQuality(clean, textCol)
+      .filter(col("quality_score") >= minQuality)
+    TextAnalysis.hashSplit(TextAnalysis.withPiiRedaction(scored, textCol), idCol)
+  }
+}

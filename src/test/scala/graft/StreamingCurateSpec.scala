@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.streaming.StreamingCurate
+
+/** Ingest-time streaming curation: Bloom decontamination semantics vs the
+  * exact batch operator, and the full stream flow end to end. */
+class StreamingCurateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val evalDocs = Seq(
+    (900L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (901L, "one two three four five six seven eight nine ten eleven")
+  ).toDF("doc_id", "text")
+
+  test("evalShingleBloom: no false negatives vs the exact contamination join") {
+    val bloom = StreamingCurate.evalShingleBloom(evalDocs, "doc_id", "text", k = 8)
+    val train = Seq(
+      // contains the eval 8-gram "alpha..theta" inside other text
+      (1L, "intro words alpha beta gamma delta epsilon zeta eta theta and more"),
+      (2L, "the quick brown fox jumps over the lazy dog today again"), // clean
+      (3L, "one two three four five six seven eight wrapped in noise") // contaminated via 901
+    ).toDF("doc_id", "text")
+    val streamed = train
+      .filter(StreamingCurate.contaminated(col("text"), bloom, 8))
+      .select("doc_id").as[Long].collect().toSet
+    val exact = Dedup.contamination(train, evalDocs, "doc_id", "text", 8)
+      .select("doc_id").as[Long].collect().toSet
+    // Bloom has NO false negatives: everything the exact join flags is
+    // flagged; at fpp=0.001 on this fixture there are no false positives
+    // either, so the sets coincide
+    assert(exact.subsetOf(streamed), s"missed contamination: ${exact -- streamed}")
+    assert(streamed == exact)
+    assert(streamed == Set(1L, 3L))
+  }
+
+  test("curateStream: dedup within watermark, Bloom decontamination, quality, " +
+    "redaction, split — append stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val bloom = StreamingCurate.evalShingleBloom(evalDocs, "doc_id", "text", k = 8)
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val docs = in.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingCurate.curateStream(docs, "doc_id", "text", "ts", bloom,
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("curate_stream_out")
+      .outputMode("append").start()
+
+    val good = "the quick brown fox jumps over the lazy dog near the river " +
+      "and it naps in the sun for a while mail me at a@b.co"
+    in.addData(
+      (1L, good, ts("2013-01-01 10:00:00")),
+      (2L, good, ts("2013-01-01 10:00:05")), // exact dup within watermark: dropped
+      (3L, "intro words alpha beta gamma delta epsilon zeta eta theta tail",
+        ts("2013-01-01 10:00:10")), // contaminated: dropped
+      (4L, "!!! ??? ### $$$", ts("2013-01-01 10:00:15"))) // low quality: dropped
+    q.processAllAvailable()
+    in.addData((5L, good + " but different tail words entirely here",
+      ts("2013-01-01 10:00:20"))) // distinct text in a later batch: kept
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("curate_stream_out")
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 5L), s"kept: $kept")
+    val r1 = out.filter($"doc_id" === 1L).collect().head
+    assert(r1.getAs[Int]("n_emails") == 1)
+    assert(r1.getAs[String]("redacted").contains("<EMAIL>"))
+    assert(Set("train", "val", "test").contains(r1.getAs[String]("split")))
+    assert(r1.getAs[Double]("quality_score") >= 0.5)
+    // the kept rows match the batch operators applied to the same rows:
+    // same quality score and same split for the same doc
+    val batch = graft.operators.TextAnalysis.hashSplit(
+      graft.operators.TextAnalysis.withPiiRedaction(
+        graft.operators.TextAnalysis.withQuality(
+          Seq((1L, good)).toDF("doc_id", "text"), "text"), "text"), "doc_id")
+      .collect().head
+    assert(batch.getAs[String]("split") == r1.getAs[String]("split"))
+    assert(batch.getAs[Double]("quality_score") == r1.getAs[Double]("quality_score"))
+  }
+}

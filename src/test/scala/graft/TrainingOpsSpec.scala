@@ -412,6 +412,35 @@ class TrainingOpsSpec extends SparkSpec {
       "vec_id", "embedding", k = 3))
   }
 
+  test("withProbeLabels: nprobe=2 recovers the cross-cell neighbor nprobe=1 misses") {
+    // two cells; the query lives in cell 0 by L2 but its COSINE-nearest
+    // corpus vector lives in cell 1 — the boundary case multi-probe exists
+    // for. Single probe returns the in-cell vector; two probes return the
+    // true (brute-force) neighbor.
+    val cents = Array(Array(10.0, 0.0), Array(-10.0, 0.0))
+    val corpus = Seq(
+      (1L, Seq(9.0f, 1.0f)),   // cell 0
+      (2L, Seq(-0.1f, 1.0f))   // cell 1; cosine-nearest to the query
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((100L, Seq(0.5f, 0.86f))).toDF("vec_id", "embedding")
+    val labeledCorpus = Similarity.withCoarseLabel(corpus, "embedding", cents)
+    // sanity: the fixture really straddles the edge
+    assert(labeledCorpus.select("vec_id", "coarse").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap == Map(1L -> 0, 2L -> 1))
+    def top1(nprobe: Int) = Similarity.ivfTopK(labeledCorpus,
+        Similarity.withProbeLabels(queries, "embedding", cents, nprobe),
+        "vec_id", "embedding", "coarse", 1)
+      .select("nn_id").as[Long].collect().toSeq
+    assert(top1(1) == Seq(1L), "single probe is confined to the query's own cell")
+    assert(top1(2) == Seq(2L), "two probes must recover the cross-cell neighbor")
+    assert(top1(2) == Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", 1).select("nn_id").as[Long].collect().toSeq)
+    intercept[IllegalArgumentException](
+      Similarity.withProbeLabels(queries, "embedding", cents, 3))
+    intercept[IllegalArgumentException](
+      Similarity.withProbeLabels(queries, "embedding", cents, 0))
+  }
+
   test("simhashPairsPartitioned: saturation regime — identical pairs, candidate " +
     "volume cut by the length partition") {
     // emulate n ≫ 2^width cheaply by SHRINKING the chunk width: 16 bands of
