@@ -44,7 +44,10 @@ object Main {
       |  step3   --in <wide-parquet> --out <dir>
       |  compact --landing <dir> --out <dir> --checkpoint <dir> [--once]
       |  curate  --in <docs-parquet> --eval <eval-parquet> --out <dir>
-      |          [--id doc_id] [--text text] [--quality 0.5] [--jaccard 0.8] [--shingle-k 8]""".stripMargin
+      |          [--id doc_id] [--text text] [--quality 0.5] [--jaccard 0.8] [--shingle-k 8]
+      |  curate-stream --landing <dir> --eval <eval-parquet> --out <dir> --checkpoint <dir>
+      |          [--id doc_id] [--text text] [--ts ts] [--watermark '10 minutes']
+      |          [--quality 0.5] [--shingle-k 8] [--once]""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val spark = session()
@@ -116,6 +119,37 @@ object Main {
           shingleK = opt.getOrElse("shingle-k", "8").toInt)
         .write.mode("overwrite").option("compression", "zstd")
         .parquet(out)
+
+    case Some("curate-stream") =>
+      // the continuous flavor of `curate`: watch a landing dir of document
+      // parquet, curate each micro-batch (watermarked exact dedup + Bloom
+      // decontamination + quality + redaction + split), append exactly-once
+      // via the checkpointed parquet sink. Near-dup removal stays with the
+      // batch `curate` pass over the landed output (see StreamingCurate).
+      val (opt, flags) = parse(args.tail)
+      val (landing, evalIn, out, ckpt) =
+        (req(opt, "landing"), req(opt, "eval"), req(opt, "out"), req(opt, "checkpoint"))
+      val (idCol, textCol, tsCol) = (opt.getOrElse("id", "doc_id"),
+        opt.getOrElse("text", "text"), opt.getOrElse("ts", "ts"))
+      val shingleK = opt.getOrElse("shingle-k", "8").toInt
+      val bloom = graft.streaming.StreamingCurate.evalShingleBloom(
+        spark.read.parquet(evalIn), idCol, textCol, k = shingleK)
+      // file streaming sources need an explicit schema: snapshot it from
+      // the landing dir's existing files (seed the dir before starting)
+      val schema = spark.read.parquet(landing).schema
+      val trigger =
+        if (flags("once")) Trigger.AvailableNow()
+        else Trigger.ProcessingTime("5 seconds")
+      val q = graft.streaming.StreamingCurate.curateStream(
+          spark.readStream.schema(schema).parquet(landing),
+          idCol, textCol, tsCol, bloom,
+          watermarkDelay = opt.getOrElse("watermark", "10 minutes"),
+          minQuality = opt.getOrElse("quality", "0.5").toDouble,
+          shingleK = shingleK)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(trigger).start()
+      q.awaitTermination() // AvailableNow self-terminates after the drain
 
     case other =>
       throw new IllegalArgumentException(

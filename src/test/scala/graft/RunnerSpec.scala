@@ -84,6 +84,30 @@ class RunnerSpec extends SparkSpec {
       .forall(Set("train", "val", "test")))
   }
 
+  test("curate-stream --once: landing backlog curated through the streaming flow") {
+    import spark.implicits._
+    val landing = outDir("cli-stream-docs"); val ev = outDir("cli-stream-eval")
+    val out = outDir("cli-stream-curated"); val ckpt = outDir("cli-stream-ckpt")
+    val good = "the quick brown fox jumps over the lazy dog near the river " +
+      "and it naps in the sun for a while mail me at a@b.co"
+    Seq(
+      (1L, good, java.sql.Timestamp.valueOf("2013-01-01 10:00:00")),
+      (2L, good, java.sql.Timestamp.valueOf("2013-01-01 10:00:05")), // exact dup
+      (3L, "the totally unique eval sequence inside the train and the rest",
+        java.sql.Timestamp.valueOf("2013-01-01 10:00:10")), // contaminated
+      (4L, "!!! ??? ###", java.sql.Timestamp.valueOf("2013-01-01 10:00:15")) // low quality
+    ).toDF("doc_id", "text", "ts").write.mode("overwrite").parquet(landing)
+    Seq((100L, "unique eval sequence words here")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(ev)
+    Main.run(Seq("curate-stream", "--landing", landing, "--eval", ev,
+      "--out", out, "--checkpoint", ckpt, "--shingle-k", "3", "--once"), spark)
+    val back = spark.read.parquet(out)
+    assert(back.select("doc_id").as[Long].collect().toSet == Set(1L))
+    val r = back.collect().head
+    assert(r.getAs[String]("redacted").contains("<EMAIL>"))
+    assert(Set("train", "val", "test").contains(r.getAs[String]("split")))
+  }
+
   test("compact --once drains the landing backlog exactly-once and exits") {
     val landing = outDir("cli-landing")
     val out = outDir("cli-compacted")
