@@ -113,12 +113,9 @@ object Bench {
     // one measurement cannot adjudicate a regression. The median defeats
     // one-off interference; the per-query min/max spread (bench_full.json)
     // lets a reader separate real plan changes from host noise.
-    // Try-parse: a malformed SPARK_GRAFT_REPS must degrade to the default,
-    // not crash the whole bench before any query runs
-    val reps = math.max(1, sys.env.get("SPARK_GRAFT_REPS")
-      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(3))
+    val reps = repsFromEnv()
     val mb = 1024.0 * 1024.0
-    // per query: (name, median, min, max, io-from-median-run)
+    // per query: (name, median, min, max, completed-run count, io-from-median-run)
     val results = ordered.map { case (name, fn) =>
       val runs = collection.mutable.ArrayBuffer.empty[(Double, Double, Double, Double)]
       var failed = false
@@ -139,20 +136,23 @@ object Bench {
       }
       // a query with NO successful rep reports -1 (never a fake timing);
       // one that failed on a LATER rep keeps the median of its completed
-      // runs — a partial measurement beats discarding real timings
-      if (runs.isEmpty) (name, -1.0, -1.0, -1.0, (0.0, 0.0, 0.0))
+      // runs — a partial measurement beats discarding real timings, and
+      // the per-query `runs` count below marks it as partial so the
+      // spread record can't masquerade as a stable full median
+      if (runs.isEmpty) (name, -1.0, -1.0, -1.0, 0, (0.0, 0.0, 0.0))
       else {
         val byTime = runs.sortBy(_._1)
         val med = byTime(byTime.size / 2) // upper median for even sizes
-        (name, med._1, byTime.head._1, byTime.last._1, (med._2, med._3, med._4))
+        (name, med._1, byTime.head._1, byTime.last._1, runs.size,
+          (med._2, med._3, med._4))
       }
     }
-    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val spread = results.map { case (k, _, mn, mx, _) =>
-      f""""$k":{"min":$mn%.4f,"max":$mx%.4f}"""
+    val spread = results.map { case (k, _, mn, mx, n, _) =>
+      f""""$k":{"min":$mn%.4f,"max":$mx%.4f,"runs":$n}"""
     }.mkString("{", ",", "}")
-    val io = results.map { case (k, _, _, _, (sw, ms, ds)) =>
+    val io = results.map { case (k, _, _, _, _, (sw, ms, ds)) =>
       f""""$k":{"shuffle_write_mb":$sw%.2f,"mem_spill_mb":$ms%.2f,"disk_spill_mb":$ds%.2f}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -184,6 +184,34 @@ object Bench {
 
   private def jsonArr[A](xs: Seq[A])(f: A => Any): String =
     xs.map(f).mkString("[", ",", "]")
+
+  /** Try-parse SPARK_GRAFT_REPS: a malformed value degrades to the
+    * default instead of crashing the run before any query executes. */
+  private def repsFromEnv(default: Int = 3): Int =
+    math.max(1, sys.env.get("SPARK_GRAFT_REPS")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(default))
+
+  /** Per-replica bijective character rotation over a `(doc_id, text)`
+    * frame — shared by the text scale harnesses: within-replica
+    * near-dup/shingle structure is preserved exactly, cross-replica
+    * overlap destroyed, so pair/contamination counts grow linearly in
+    * the replica count. */
+  private def rotatedReplica(docs: org.apache.spark.sql.DataFrame,
+                             idSpan: Long, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val rot = alpha.drop(k % 26) + alpha.take(k % 26)
+    docs.select((col("doc_id") + lit(k * idSpan)).as("doc_id"),
+      translate(col("text"), alpha + alpha.toUpperCase,
+        rot + rot.toUpperCase).as("text"))
+  }
+
+  /** Per-segment log-log slopes between consecutive ladder points as a
+    * JSON array — a healthy overall fit can hide a super-linear tail. */
+  private def segmentSlopesJson(sizes: Seq[Int], meds: Seq[Double]): String =
+    sizes.zip(meds).sliding(2).map { case Seq((n1, t1), (n2, t2)) =>
+      f"${math.log(t2 / t1) / math.log(n2.toDouble / n1)}%.3f"
+    }.mkString("[", ",", "]")
 
   /** Cosine-LSH scale-slope harness — the embedding twin of [[scaleSlope]]:
     * replicate the embeddings corpus k×, flipping each replica's vectors
@@ -228,8 +256,7 @@ object Bench {
         .select((col("vec_id") + lit(k * 2 * idSpan)).as("vec_id"), col("v").as("embedding"))
     }
     val sizes = Seq(1, 2, 4, 8, 16)
-    val reps = math.max(1, sys.env.get("SPARK_GRAFT_REPS")
-      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(3))
+    val reps = repsFromEnv()
     // untimed warmup (codegen/JIT/shuffle init)
     Similarity.lshCosinePairs(replica(0), "vec_id", "embedding",
       dims = 64, minCosine = 0.95).count()
@@ -271,9 +298,7 @@ object Bench {
     type R = (Int, Long, Long, Long, Int, Int, Double, Double, Double, Double, Double, Double)
     def arr[T](f: R => T): String = jsonArr(rows)(f)
     val meds = rows.map(_._7)
-    val segSlopes = sizes.zip(meds).sliding(2).map { case Seq((n1, t1), (n2, t2)) =>
-      f"${math.log(t2 / t1) / math.log(n2.toDouble / n1)}%.3f"
-    }.mkString("[", ",", "]")
+    val segSlopes = segmentSlopesJson(sizes, meds)
     val line =
       f"""{"metric":"cosine_lsh_scale_slope","reps":$reps,"sizes":${arr(_._1)},""" +
         f""""vecs":${arr(_._2)},"pairs":${arr(_._3)},"cands":${arr(_._4)},""" +
@@ -359,21 +384,14 @@ object Bench {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
     val idSpan = docs.agg(max("doc_id")).head().getLong(0) + 1
-    val alpha = "abcdefghijklmnopqrstuvwxyz"
-    def replica(k: Int) = {
-      val rot = alpha.drop(k % 26) + alpha.take(k % 26)
-      docs.select((col("doc_id") + lit(k * idSpan)).as("doc_id"),
-        translate(col("text"), alpha + alpha.toUpperCase,
-          rot + rot.toUpperCase).as("text"))
-    }
+    def replica(k: Int) = rotatedReplica(docs, idSpan, k)
     def curated(corpus: org.apache.spark.sql.DataFrame) = {
       val evalSet = corpus.filter(pmod(col("doc_id"), lit(97)) === 0)
       val train = corpus.filter(pmod(col("doc_id"), lit(97)) =!= 0)
       Pipeline.curate(train, evalSet)
     }
     val sizes = Seq(1, 2, 4, 8)
-    val reps = math.max(1, sys.env.get("SPARK_GRAFT_REPS")
-      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(3))
+    val reps = repsFromEnv()
     curated(replica(0)).count() // untimed warmup
     dropState()
     val rows = sizes.map { n =>
@@ -392,9 +410,7 @@ object Bench {
     def arr[T](f: ((Int, Long, Long, Double, Double, Double)) => T): String =
       jsonArr(rows)(f)
     val meds = rows.map(_._4)
-    val segSlopes = sizes.zip(meds).sliding(2).map { case Seq((n1, t1), (n2, t2)) =>
-      f"${math.log(t2 / t1) / math.log(n2.toDouble / n1)}%.3f"
-    }.mkString("[", ",", "]")
+    val segSlopes = segmentSlopesJson(sizes, meds)
     val line =
       f"""{"metric":"curate_scale_slope","reps":$reps,"sizes":${arr(_._1)},""" +
         f""""docs":${arr(_._2)},"kept":${arr(_._3)},""" +
@@ -428,13 +444,7 @@ object Bench {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
     val idSpan = docs.agg(max("doc_id")).head().getLong(0) + 1
-    val alpha = "abcdefghijklmnopqrstuvwxyz"
-    def replica(k: Int) = {
-      val rot = alpha.drop(k % 26) + alpha.take(k % 26)
-      docs.select((col("doc_id") + lit(k * idSpan)).as("doc_id"),
-        translate(col("text"), alpha + alpha.toUpperCase,
-          rot + rot.toUpperCase).as("text"))
-    }
+    def replica(k: Int) = rotatedReplica(docs, idSpan, k)
     val bands = 8; val bucketWidth = 10L
     val sizes = Seq(1, 2, 4, 8)
     Dedup.simhashPairs(Dedup.simhash(replica(0), "doc_id", "text"),
@@ -492,13 +502,7 @@ object Bench {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
     val idSpan = docs.agg(max("doc_id")).head().getLong(0) + 1
-    val alpha = "abcdefghijklmnopqrstuvwxyz"
-    def replica(k: Int) = {
-      val rot = alpha.drop(k % 26) + alpha.take(k % 26)
-      docs.select((col("doc_id") + lit(k * idSpan)).as("doc_id"),
-        translate(col("text"), alpha + alpha.toUpperCase,
-          rot + rot.toUpperCase).as("text"))
-    }
+    def replica(k: Int) = rotatedReplica(docs, idSpan, k)
     val sizes = Seq(1, 2, 4, 8)
     // untimed warmup: codegen + JIT + shuffle-machinery init, so the 1×
     // point isn't inflated by first-run costs and slopes aren't skewed

@@ -117,8 +117,12 @@ object Pipeline {
         fs.delete(st.getPath, true) // completed swap: live is the rewrite
       } else throw new java.io.IOException(
         s"ambiguous crashed compaction swap: $live, ${st.getPath} AND $partTmp " +
-          "all exist. No data is lost - compare them (row counts / _SUCCESS) and " +
-          "delete the incomplete ones, then re-run compaction.")
+          "all exist. No data is lost. Triage: if the live partition is " +
+          "COMPLETE (row counts / _SUCCESS), delete BOTH staging dirs; if it " +
+          "is incomplete, delete the live partition AND the tmp dir, then " +
+          "re-run (the preserved original rolls back). Never delete the tmp " +
+          "dir alone - recovery reads tmp-gone as 'swap completed' and would " +
+          "drop the preserved original against a partial live partition.")
     }
     entries.filter(_.getPath.getName.endsWith("_graft_compact_tmp"))
       .foreach(st => fs.delete(st.getPath, true))

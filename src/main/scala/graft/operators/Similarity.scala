@@ -74,11 +74,19 @@ object Similarity {
   /** Lloyd's k-means over the embedding column — trains the coarse
     * quantizer a real IVF deployment builds ONCE and serves from, so
     * [[ivfTopK]]/[[buildQuantizedIndex]] no longer depend on a
-    * caller-supplied partition column. Deterministic by construction
-    * (reproducible across runs, partitionings, and cluster sizes):
-    * seeding is farthest-first traversal (Gonzalez) from the md5-minimal
-    * row — each next seed maximizes its distance to the chosen set, ties
-    * broken by id — so well-separated clusters each receive a seed
+    * caller-supplied partition column. No randomness anywhere: seeding
+    * and assignment are fully deterministic, and a refit on the same
+    * data layout is bit-identical (spec-pinned). One honest caveat: the
+    * per-cluster MEANS are distributed double sums, whose low-order bits
+    * depend on partial-aggregation order — so bit-identity is NOT
+    * promised across different partitionings or cluster sizes. That is
+    * why the API hands back the centroid MATRIX: persist it and feed the
+    * SAME matrix to corpus and queries ([[withCoarseLabel]] /
+    * [[withProbeLabels]]); never re-derive centroids on one side of a
+    * serving path. Seeding is farthest-first traversal (Gonzalez) from
+    * the md5-minimal row — each next seed maximizes its distance to the
+    * chosen set, ties broken by id — so well-separated clusters each
+    * receive a seed
     * (random init can drop two seeds into one cluster, a state Lloyd
     * cannot split its way out of; the classic farthest-first caveat is
     * that extreme outliers can claim seeds — for large `k` seed on a
@@ -100,17 +108,31 @@ object Similarity {
                 iters: Int = 5): Array[Array[Double]] = {
     require(k >= 1, s"k must be positive, got $k")
     require(iters >= 1, s"iters must be positive, got $iters")
-    val v = col(embCol).cast("array<double>")
+    val vRaw = col(embCol).cast("array<double>")
+    // fail fast on null/empty/null-element vectors from the FIRST scan —
+    // the dense-vector policy of quantizeInt8/DotProduct. Seeding needs
+    // the guard too: an unguarded null md5-minimal row would NPE on the
+    // driver, and a null distance would slide a bad row out of (or into)
+    // the farthest-first pick silently.
+    val v = when(
+      vRaw.isNull || size(vRaw) === 0 || exists(vRaw, _.isNull),
+      raise_error(lit("kmeans_fit: null or empty embedding"))).otherwise(vRaw)
     val seed0 = df
       .select(v.as("v"), md5(col(idCol).cast("string").cast("binary")).as("h"))
       .orderBy("h").limit(1)
       .collect().map(_.getSeq[Double](0).toArray)
     require(seed0.nonEmpty, "k-means needs a non-empty corpus")
+    val dims = seed0.head.length
+    // ragged rows (≠ dims elements) fail against the first seed's width —
+    // applied to every subsequent scan so the error names the offender
+    // instead of poisoning dims or mis-accusing well-formed rows
+    val vChecked = when(size(v) =!= dims,
+      raise_error(lit("kmeans_fit: ragged embedding (dims mismatch)"))).otherwise(v)
     val seeds = collection.mutable.ArrayBuffer(seed0.head)
     while (seeds.size < k) {
       val next = df
-        .select(col(idCol).as("__id"), v.as("v"),
-          distExprs(v, seeds.toArray).reduce(least(_, _)).as("__d"))
+        .select(col(idCol).as("__id"), vChecked.as("v"),
+          distExprs(vChecked, seeds.toArray).reduce(least(_, _)).as("__d"))
         .orderBy(col("__d").desc, col("__id")).limit(1)
         .collect()
       require(next.nonEmpty && next.head.getDouble(2) > 0.0,
@@ -118,13 +140,6 @@ object Similarity {
       seeds += next.head.getSeq[Double](1).toArray
     }
     var centroids: Array[Array[Double]] = seeds.toArray
-    val dims = centroids.head.length
-    // fail fast on null/ragged/null-element vectors (the dense-vector
-    // policy of quantizeInt8/DotProduct): a silent null distance would
-    // otherwise dump every bad row into cluster 0 AND skew its mean
-    val vChecked = when(
-      v.isNull || size(v) =!= dims || exists(v, _.isNull),
-      raise_error(lit("kmeans_fit: null or ragged embedding"))).otherwise(v)
     for (_ <- 0 until iters) {
       val sums = df
         .select(assignExpr(vChecked, centroids).as("cid"), vChecked.as("v"))
@@ -134,7 +149,7 @@ object Similarity {
         // rows, so the one shuffle carries k·dims doubles per partition —
         // never the corpus
         .agg(count(lit(1)).as("n"),
-          array((0 until centroids.head.length).map(j =>
+          array((0 until dims).map(j =>
             sum(element_at(col("v"), j + 1))): _*).as("vsum"))
         .collect()
       val next = centroids.map(_.clone())

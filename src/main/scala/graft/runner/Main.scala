@@ -144,8 +144,7 @@ object Main {
           spark.readStream.schema(schema).parquet(landing),
           idCol, textCol, tsCol, bloom,
           watermarkDelay = opt.getOrElse("watermark", "10 minutes"),
-          minQuality = opt.getOrElse("quality", "0.5").toDouble,
-          shingleK = shingleK)
+          minQuality = opt.getOrElse("quality", "0.5").toDouble)
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ckpt)
         .outputMode("append").trigger(trigger).start()

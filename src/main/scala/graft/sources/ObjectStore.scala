@@ -116,8 +116,12 @@ object ObjectStore {
         fs.delete(old, true)
       } else throw new IOException(
         s"ambiguous crashed writeback swap: $dir, $old AND $tmp all exist " +
-          "(mid rename-aside or mid rename-in). No data is lost - compare " +
-          "them and delete the incomplete ones, then re-run.")
+          "(mid rename-aside or mid rename-in). No data is lost. Triage: " +
+          s"if $dir is COMPLETE, delete BOTH staging prefixes; if it is " +
+          s"incomplete, delete $dir AND $tmp, then re-run ($old rolls " +
+          "back). Never delete the tmp prefix alone - recovery reads " +
+          "tmp-gone as 'swap completed' and would drop the preserved " +
+          "original against a partial live prefix.")
     }
 
     // both row counts ride the ONE write job as observe metrics — no

@@ -37,20 +37,32 @@ import graft.operators.{Dedup, TextAnalysis}
   */
 object StreamingCurate {
 
-  /** Serialized Bloom filter over the eval corpus's distinct hashed word
+  /** A serialized eval-shingle Bloom filter WITH the shingle width it was
+    * built at. The width rides with the bytes on purpose: probing a
+    * `k=8` filter with 5-shingles matches essentially nothing and would
+    * silently disable decontamination — the one failure mode the
+    * zero-false-negatives guarantee forbids — so the pairing is enforced
+    * by construction instead of by caller discipline. */
+  final case class ShingleBloom(bytes: Array[Byte], k: Int, fpp: Double)
+
+  /** Bloom filter over the eval corpus's distinct hashed word
     * `k`-shingles — built batch-side once, shipped as a literal. Size is
     * `expectedItems = |distinct shingles|` at `fpp`; for benchmark-scale
     * eval corpora (millions of shingles) that is a few MB of filter bits
-    * riding the task broadcast, vs a per-batch shuffle of the stream. */
+    * riding the task broadcast, vs a per-batch shuffle of the stream.
+    * The distinct shingle set feeds BOTH the sizing count and the filter
+    * build, so it is materialized once (the Dedup/Similarity reuse
+    * pattern), not exploded twice. */
   def evalShingleBloom(evalDocs: DataFrame, idCol: String, textCol: String,
-                       k: Int = 8, fpp: Double = 0.001): Array[Byte] = {
-    val sh = Dedup.hashedWordShingles(evalDocs, idCol, textCol, k)
-      .select("shingle").distinct()
+                       k: Int = 8, fpp: Double = 0.001): ShingleBloom = {
+    val sh = graft.operators.Materialize.eagerCheckpoint(
+      Dedup.hashedWordShingles(evalDocs, idCol, textCol, k)
+        .select("shingle").distinct())
     val n = math.max(sh.count(), 1L)
     val bf = sh.stat.bloomFilter("shingle", n, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
-    bos.toByteArray
+    ShingleBloom(bos.toByteArray, k, fpp)
   }
 
   /** Bloom membership probe as a Column — the native
@@ -62,34 +74,36 @@ object StreamingCurate {
     Bridge.column(BloomFilterMightContain(
       Bridge.expression(lit(bloom)), Bridge.expression(h)))
 
-  /** True iff ANY word-`k`-shingle of `text` hits the eval Bloom filter —
-    * the per-row streaming form of the contamination predicate. */
-  def contaminated(text: Column, evalBloom: Array[Byte], k: Int): Column =
-    exists(graft.functions.ShingleHashes.shingleHashes(text, k),
-      h => mightContain(evalBloom, h))
+  /** True iff ANY word-shingle of `text` (at the FILTER's own width)
+    * hits the eval Bloom filter — the per-row streaming form of the
+    * contamination predicate. */
+  def contaminated(text: Column, evalBloom: ShingleBloom): Column =
+    exists(graft.functions.ShingleHashes.shingleHashes(text, evalBloom.k),
+      h => mightContain(evalBloom.bytes, h))
 
   /** The streaming curation flow. `docs` must carry `idCol`, `textCol`
     * and an event-time `tsCol`. Stages, in order:
     *  1. watermarked exact dedup on a 16-byte two-seed content hash
     *     (state bounded by `watermarkDelay`; a dup arriving after its
     *     original's state expired re-emits — the batch pass catches it);
-    *  2. Bloom decontamination against `evalBloom` at word-`shingleK`;
+    *  2. Bloom decontamination against `evalBloom` (probed at the
+    *     filter's own shingle width — carried inside [[ShingleBloom]]);
     *  3. quality scoring, rows below `minQuality` dropped;
     *  4. PII redaction (adds `redacted` + per-type counts);
     *  5. deterministic md5 `split` assignment.
     * Output: input columns + quality/redaction columns + `split`, as an
     * append-mode-ready stream. */
   def curateStream(docs: DataFrame, idCol: String, textCol: String,
-                   tsCol: String, evalBloom: Array[Byte],
+                   tsCol: String, evalBloom: ShingleBloom,
                    watermarkDelay: String = "10 minutes",
-                   minQuality: Double = 0.5, shingleK: Int = 8): DataFrame = {
+                   minQuality: Double = 0.5): DataFrame = {
     val deduped = docs
       .withColumn("__h1", xxhash64(col(textCol)))
       .withColumn("__h2", xxhash64(lit(1), col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("__h1", "__h2")
       .drop("__h1", "__h2")
-    val clean = deduped.filter(!contaminated(col(textCol), evalBloom, shingleK))
+    val clean = deduped.filter(!contaminated(col(textCol), evalBloom))
     val scored = TextAnalysis.withQuality(clean, textCol)
       .filter(col("quality_score") >= minQuality)
     TextAnalysis.hashSplit(TextAnalysis.withPiiRedaction(scored, textCol), idCol)

@@ -28,8 +28,9 @@ class StreamingCurateSpec extends SparkSpec {
       (2L, "the quick brown fox jumps over the lazy dog today again"), // clean
       (3L, "one two three four five six seven eight wrapped in noise") // contaminated via 901
     ).toDF("doc_id", "text")
+    assert(bloom.k == 8, "the filter must carry the width it was built at")
     val streamed = train
-      .filter(StreamingCurate.contaminated(col("text"), bloom, 8))
+      .filter(StreamingCurate.contaminated(col("text"), bloom))
       .select("doc_id").as[Long].collect().toSet
     val exact = Dedup.contamination(train, evalDocs, "doc_id", "text", 8)
       .select("doc_id").as[Long].collect().toSet
