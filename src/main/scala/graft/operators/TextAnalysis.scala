@@ -170,6 +170,15 @@ object TextAnalysis {
     * survivor set. Exactness: a token in a group's true top `k` ranks ≤ k
     * within its salt cell too (the cell is a subset of the group ordered
     * by the same total order), so stage 1 never discards a winner.
+    *
+    * Relationship to Spark's own `InferWindowGroupLimit`: the optimizer
+    * already inserts a PARTIAL rank-limit before each window's exchange
+    * (visible in PlanSpec's pinned plan), which bounds a plain
+    * single-window rank by k·(upstream partitions) per group. The salt
+    * keeps the bound PARTITIONING-INDEPENDENT — k·salts regardless of
+    * how the count shuffle happened to split a hot group — at the cost
+    * of one extra (cheap, survivor-only) exchange; measured +0.12 s on
+    * q_vocab_by_lang at bench scale.
     * Output: `(groupCol, token, n, rank)`. */
   def topTokensByGroup(df: DataFrame, textCol: String, groupCol: String,
                        k: Int, salts: Int = 64): DataFrame = {

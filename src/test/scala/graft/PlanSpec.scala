@@ -113,6 +113,26 @@ class PlanSpec extends SparkSpec {
     assert(countShuffles(p) == 1, s"expected exactly the token-count shuffle, plan:\n$p")
   }
 
+  test("q_vocab_by_lang: stage-1 window partitions by (group, salt) — the " +
+    "skew-safe two-stage shape is in the physical plan, not just the spec") {
+    val p = executed(SparkEntry.queries("q_vocab_by_lang")(spark, sf))
+    val windows = flatten(p).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 2, s"expected the two-stage rank, plan:\n$p")
+    // the FIRST window evaluated (innermost) must carry the salt in its
+    // partition spec (the salt expression is projected to a _w0 alias in
+    // the physical plan, so pin the SHAPE: two partition expressions vs
+    // the final rank's one): no task ever sorts a whole group's histogram
+    val stage1 = windows.last // flatten is top-down; innermost comes last
+    assert(stage1.partitionSpec.size == 2,
+      s"stage-1 must partition by (group, salt-of-token), got: " +
+        s"${stage1.partitionSpec.mkString(", ")}\nplan:\n$p")
+    // the final per-group rank partitions by the group alone
+    assert(windows.head.partitionSpec.size == 1,
+      s"stage-2 must partition by the group, plan:\n$p")
+  }
+
   test("q_embed_clusters: banded candidate equi-join — no cartesian/nested-loop anywhere") {
     val phys = executed(SparkEntry.queries("q_embed_clusters")(spark, sf)).toString
     assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoopJoin"),

@@ -395,6 +395,59 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("salted topTokensByGroup ≡ naive single-window rank on arbitrary corpora") {
+    import org.apache.spark.sql.functions._
+    val gen = for {
+      nDocs <- Gen.chooseNum(1, 30)
+      salts <- Gen.chooseNum(1, 16)
+      k <- Gen.chooseNum(1, 4)
+      docs <- Gen.listOfN(nDocs, for {
+        lang <- Gen.oneOf("en", "de", "fr")
+        words <- Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f", "g"))
+      } yield (lang, words.mkString(" ")))
+    } yield (docs, salts, k)
+    forAll(gen) { case (docs, salts, k) =>
+      val d = docs.zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) }
+        .toDF("doc_id", "lang", "text")
+      val out = graft.operators.TextAnalysis
+        .topTokensByGroup(d, "text", "lang", k, salts).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+      val counts = d.select($"lang",
+          explode(graft.operators.TextAnalysis.tokens($"text")).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy($"n".desc, $"token")
+      val ref = counts.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= k).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+      assert(out == ref, s"salts=$salts k=$k")
+    }
+  }
+
+  test("simhashPairsPartitioned ≡ simhashPairs when all near-dups share a " +
+    "length bucket (arbitrary word corpora)") {
+    val gen = for {
+      nDocs <- Gen.chooseNum(5, 40)
+      bands <- Gen.oneOf(8, 16)
+      docs <- Gen.listOfN(nDocs,
+        Gen.listOfN(12, Gen.oneOf((0 until 50).map(i => s"w$i"))))
+    } yield (docs, bands)
+    forAll(gen) { case (docs, bands) =>
+      // fixed 12-token docs: every pair shares a bucket, so the partition
+      // must be a pure no-op on the PAIR SET (candidates still shrink)
+      val d = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val h = graft.operators.Dedup.simhashWithTokenCount(d, "doc_id", "text")
+      def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue)).toSet
+      val plain = pairs(graft.operators.Dedup.simhashPairs(
+        h.select("sh_id", "simhash"), maxHamming = 3, bands = bands))
+      val part = pairs(graft.operators.Dedup.simhashPairsPartitioned(
+        h, "n_tokens", bucketWidth = 4, maxHamming = 3, bands = bands))
+      assert(part == plain, s"bands=$bands")
+    }
+  }
+
   test("ensureColumns: arbitrary column subsets conform to the full schema") {
     forAll(Gen.someOf(Schemas.mem.fieldNames.toSeq)) { keep =>
       whenever(keep.nonEmpty) {
