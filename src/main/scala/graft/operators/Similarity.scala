@@ -107,6 +107,13 @@ object Similarity {
   def kmeansFit(df: DataFrame, idCol: String, embCol: String, k: Int,
                 iters: Int = 5): Array[Array[Double]] = {
     require(k >= 1, s"k must be positive, got $k")
+    // centroid-LITERAL assignment embeds k·dims constants in the plan —
+    // the right shape for a COARSE quantizer (k in the tens to hundreds;
+    // even 100 TB IVF deployments run k ≈ √n_partitions-scale cells, not
+    // thousands). Past the cap, plan size and the k-pass seeding both
+    // degrade: that regime wants a broadcast centroid TABLE + min_by
+    // join, a different operator, so fail loudly instead of limping.
+    require(k <= 1024, s"kmeansFit targets coarse quantizers (k <= 1024), got $k")
     require(iters >= 1, s"iters must be positive, got $iters")
     val vRaw = col(embCol).cast("array<double>")
     // fail fast on null/empty/null-element vectors from the FIRST scan —
