@@ -381,6 +381,27 @@ object SparkEntry {
   private lazy val MultimodalFixture =
     new java.io.File("target/verify-fixtures/multimodal_features").getAbsolutePath
 
+  /** Fixture dir for q_dedup_index — the MinHash signatures and banded
+    * frames are engine-bound (seeded xxhash64), but GIVEN them, the
+    * serving join + signature-agreement estimate is plain SQL: the oracle
+    * reproduces candidate generation and the estimate from these dumps,
+    * the same pattern as [[SimhashFixture]]. */
+  private lazy val DedupIndexFixture =
+    new java.io.File("target/verify-fixtures/dedup_index").getAbsolutePath
+
+  /** The (index, new-batch) construction shared by q_dedup_index and its
+    * fixture dump: index over the whole documents table; the batch is
+    * every 10th doc re-id'd (+1,000,000) with a tail appended — near-dups
+    * of their originals at high-but-below-1 jaccard. */
+  private def dedupIndexParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = tbl(s, dir, "documents")
+    val index = Dedup.buildDedupIndex(docs, "doc_id", "text")
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" extra tail words appended here")).as("text"))
+    (index, batch)
+  }
+
   /** Oracle-side fixture dump, called by the Verify harness (NOT by the
     * queries themselves — the bench must time operators, not fixture
     * I/O). Written distributed; DuckDB globs the part files. */
@@ -390,6 +411,24 @@ object SparkEntry {
     Multimodal.extractFeatures(
         Multimodal.toAssets(tbl(s, dir, "documents"), "doc_id", "text", "text/plain"), 16)
       .write.mode("overwrite").parquet(MultimodalFixture)
+    val (index, batch) = dedupIndexParts(s, dir)
+    val newSigs = Dedup.buildDedupIndex(batch, "doc_id", "text")
+    index.write.mode("overwrite").parquet(s"$DedupIndexFixture/index_sigs")
+    newSigs.write.mode("overwrite").parquet(s"$DedupIndexFixture/new_sigs")
+    Dedup.bandedSignatures(index, 32, 128)
+      .write.mode("overwrite").parquet(s"$DedupIndexFixture/index_banded")
+    Dedup.bandedSignatures(newSigs, 32, 128)
+      .write.mode("overwrite").parquet(s"$DedupIndexFixture/new_banded")
+  }
+
+  /** Incremental dedup serving: a new batch against the prebuilt MinHash
+    * signature index — band-collision candidates (batch × index only)
+    * verified by the signature-agreement estimate. Oracle: DuckDB
+    * reproduces the serving join + estimate from [[DedupIndexFixture]]. */
+  private def qDedupIndex(s: SparkSession, dir: String): DataFrame = {
+    val (index, batch) = dedupIndexParts(s, dir)
+    Dedup.dedupAgainstIndex(batch, index, "doc_id", "text", minJaccard = 0.3)
+      .withColumn("est_jaccard", rq(col("est_jaccard"), 6))
   }
 
   /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit token simhash).
@@ -840,6 +879,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_index" -> qDedupIndex,
     "q_embed_cosine_pairs" -> qEmbedCosinePairs,
     "q_embed_lsh_pairs" -> qEmbedLshPairs,
     "q_embed_clusters" -> qEmbedClusters,
@@ -1101,6 +1141,23 @@ object SparkEntry {
         |  FROM b a JOIN b b2 ON a.chunk = b2.chunk AND a.chunk_val = b2.chunk_val
         |   AND a.sh_id < b2.sh_id)
         |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM p WHERE hamming <= 3""".stripMargin,
+    "q_dedup_index" ->
+      s"""WITH nb AS (SELECT * FROM read_parquet('$DedupIndexFixture/new_banded/*.parquet')),
+        | ib AS (SELECT * FROM read_parquet('$DedupIndexFixture/index_banded/*.parquet')),
+        | ns AS (SELECT * FROM read_parquet('$DedupIndexFixture/new_sigs/*.parquet')),
+        | isg AS (SELECT * FROM read_parquet('$DedupIndexFixture/index_sigs/*.parquet')),
+        | cands AS (
+        |  SELECT DISTINCT nb.sh_id AS new_id, ib.sh_id AS index_id
+        |  FROM nb JOIN ib ON nb.band = ib.band AND nb.band_hash = ib.band_hash),
+        | est AS (
+        |  SELECT c.new_id, c.index_id,
+        |         len(list_filter(list_zip(n2.sig, i2.sig), p -> p[1] = p[2])) / 128.0 AS ej
+        |  FROM cands c
+        |  JOIN ns n2 ON n2.sh_id = c.new_id
+        |  JOIN isg i2 ON i2.sh_id = c.index_id)
+        |SELECT new_id AS doc_id, index_id,
+        |       floor((ej)*1000000.0 + 0.5)/1000000.0 AS est_jaccard
+        |FROM est WHERE ej >= 0.3""".stripMargin,
     "q_embed_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -119,20 +119,29 @@ object Dedup {
       .agg(graft.functions.MinHashSignature
         .minhashSignature(col("shingle"), numHashes).as("sig"))
 
-  /** LSH banding: split the signature into `bands` bands of
-    * `numHashes/bands` rows, hash each band, emit `(band, bandHash, sh_id)`.
-    * Docs colliding on any band are near-dup candidates. */
-  def lshCandidatePairs(sigs: DataFrame, bands: Int,
-                        numHashes: Int = 128): DataFrame = {
+  /** `(sh_id, band, band_hash)` banding of a signature frame — the ONE
+    * definition shared by the self-join path ([[lshCandidatePairs]]) and
+    * the index-serving path ([[dedupAgainstIndex]]), so an index built
+    * yesterday and a batch banded today collide identically. */
+  private[graft] def bandedSignatures(sigs: DataFrame, bands: Int,
+                                      numHashes: Int): DataFrame = {
     // an empty band slice would hash identically for every doc — an
     // accidental O(n²) cross join — so the geometry is validated up front
     require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val rowsPerBand = numHashes / bands
-    val banded = sigs.select(col("sh_id"),
+    sigs.select(col("sh_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+  }
+
+  /** LSH banding: split the signature into `bands` bands of
+    * `numHashes/bands` rows, hash each band, emit candidate pairs — docs
+    * colliding on any band. */
+  def lshCandidatePairs(sigs: DataFrame, bands: Int,
+                        numHashes: Int = 128): DataFrame = {
+    val banded = bandedSignatures(sigs, bands, numHashes)
     val l = banded.select(col("band"), col("band_hash"), col("sh_id").as("id_a"))
     val r = banded.select(col("band"), col("band_hash"), col("sh_id").as("id_b"))
     l.join(r, Seq("band", "band_hash"))
@@ -184,6 +193,68 @@ object Dedup {
     val cands = lshCandidatePairs(minhashSignatures(sh, numHashes), bands, numHashes)
     jaccardFor(cands, sh).filter(col("jaccard") >= minJaccard)
   }
+
+  /** Persistable MinHash dedup index: one `(sh_id, sig)` row per document
+    * — built ONCE over the landed (already-deduped) corpus and written to
+    * parquet, then served by [[dedupAgainstIndex]] for every incoming
+    * batch. At 8·`numHashes` bytes per doc the index is ~1 KB/doc
+    * regardless of document size — the resident set of incremental dedup,
+    * the way [[Similarity.buildQuantizedIndex]] is for ANN. Signatures
+    * are integers, so the parquet round-trip is exact and serving is
+    * bit-identical to an in-memory index (spec-pinned). */
+  def buildDedupIndex(docs: DataFrame, idCol: String, textCol: String,
+                      shingleK: Int = 3, numHashes: Int = 128): DataFrame =
+    minhashSignatures(hashedWordShingles(docs, idCol, textCol, shingleK), numHashes)
+
+  /** Incremental near-dup detection of a NEW batch against a prebuilt
+    * [[buildDedupIndex]] frame — the serving shape of ingest dedup:
+    * signatures are computed for the BATCH only (the corpus never
+    * recomputes, never reshuffles beyond its banded 16-byte keys), band
+    * collisions are batch × index only — never index × index, that work
+    * happened when the index was built — and verification is the unbiased
+    * MinHash estimate `|{i : sigA[i] = sigB[i]}| / numHashes`, because the
+    * index deliberately stores signatures, not shingle sets. The estimate
+    * has std-err ≈ √(j(1−j)/numHashes) (~0.035 at j=0.8 with 128 hashes):
+    * set `minJaccard` with that noise in mind, or re-verify hits exactly
+    * against the source text they point to. Batch-INTERNAL duplicates are
+    * out of scope by design — run [[minhashDuplicates]] on the (small)
+    * batch for those. Output: `(<idCol>, index_id, est_jaccard)`, one row
+    * per (batch doc, matched index doc) at or above the threshold. */
+  def dedupAgainstIndex(newDocs: DataFrame, index: DataFrame, idCol: String,
+                        textCol: String, minJaccard: Double = 0.8,
+                        shingleK: Int = 3, numHashes: Int = 128,
+                        bands: Int = 32): DataFrame = {
+    // batch signatures feed banding AND the estimate join — materialize
+    // once (the batch is the small side; ~1 KB/doc)
+    val newSigs = eagerCheckpoint(
+      buildDedupIndex(newDocs, idCol, textCol, shingleK, numHashes))
+    val nb = bandedSignatures(newSigs, bands, numHashes)
+      .withColumnRenamed("sh_id", "new_id")
+    val ib = bandedSignatures(index, bands, numHashes)
+      .withColumnRenamed("sh_id", "index_id")
+    val cands = nb.join(ib, Seq("band", "band_hash"))
+      .select("new_id", "index_id").distinct()
+    cands
+      .join(newSigs.select(col("sh_id").as("new_id"), col("sig").as("sig_n")), "new_id")
+      .join(index.select(col("sh_id").as("index_id"), col("sig").as("sig_i")), "index_id")
+      .select(col("new_id").as(idCol), col("index_id"),
+        (size(filter(zip_with(col("sig_n"), col("sig_i"), (a, b) => a === b),
+          x => x)).cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minJaccard)
+  }
+
+  /** [[dedupAgainstIndex]] applied: the new batch with every doc matching
+    * the index removed (left-anti on the hit set) — what an ingest
+    * pipeline appends to the corpus (after which the kept docs' signatures
+    * join the index: `index.unionByName(buildDedupIndex(kept, ...))`). */
+  def filterAgainstIndex(newDocs: DataFrame, index: DataFrame, idCol: String,
+                         textCol: String, minJaccard: Double = 0.8,
+                         shingleK: Int = 3, numHashes: Int = 128,
+                         bands: Int = 32): DataFrame =
+    newDocs.join(
+      dedupAgainstIndex(newDocs, index, idCol, textCol, minJaccard,
+        shingleK, numHashes, bands).select(idCol),
+      Seq(idCol), "left_anti")
 
   /** Large-star round (Kiveris et al., "Connected Components in MapReduce
     * and Beyond", SoCC'14): for every node `u`, connect each strictly

@@ -102,7 +102,10 @@ class RunnerSpec extends SparkSpec {
     Main.run(Seq("curate-stream", "--landing", landing, "--eval", ev,
       "--out", out, "--checkpoint", ckpt, "--shingle-k", "3", "--once"), spark)
     val back = spark.read.parquet(out)
-    assert(back.select("doc_id").as[Long].collect().toSet == Set(1L))
+    val kept = back.select("doc_id").as[Long].collect().toSet
+    // exactly ONE of the exact-dup pair survives; which one is delivery
+    // order within the micro-batch, which a file source does not promise
+    assert(kept.size == 1 && kept.subsetOf(Set(1L, 2L)), s"kept: $kept")
     val r = back.collect().head
     assert(r.getAs[String]("redacted").contains("<EMAIL>"))
     assert(Set("train", "val", "test").contains(r.getAs[String]("split")))

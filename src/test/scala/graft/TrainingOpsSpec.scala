@@ -368,6 +368,50 @@ class TrainingOpsSpec extends SparkSpec {
       Map("en" -> 0.5)).count() == 0)
   }
 
+  test("dedup index: build once, serve new batches — parquet round-trip " +
+    "bit-identical, estimate tracks exact jaccard") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the old river bank"),
+      (2L, "spark shuffles partitions across the cluster under adaptive query " +
+        "execution while the scheduler assigns tasks to executors and the " +
+        "shuffle service streams blocks between stages"),
+      (3L, "completely different words live here entirely on their own today")
+    ).toDF("doc_id", "text")
+    val index = Dedup.buildDedupIndex(corpus, "doc_id", "text")
+    // new batch: an exact dup of 1, a near-dup of 2 (one word changed), a novel doc
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the old river bank"),
+      (11L, "spark shuffles partitions across the network under adaptive query " +
+        "execution while the scheduler assigns tasks to executors and the " +
+        "shuffle service streams blocks between stages"),
+      (12L, "nothing in the corpus resembles this sentence about gardening tools")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.dedupAgainstIndex(batch, index, "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.map(h => (h._1, h._2)).toSet == Set((10L, 1L), (11L, 2L)),
+      s"hits: ${hits.toSeq}")
+    val exactDup = hits.find(_._1 == 10L).get
+    assert(exactDup._3 == 1.0, "identical text must estimate jaccard 1.0")
+    // the signature estimate tracks the exact jaccard of the near-dup pair
+    val exactJ = Dedup.jaccardFor(
+        Seq((11L, 2L)).toDF("id_a", "id_b"),
+        Dedup.hashedWordShingles(batch.union(corpus), "doc_id", "text"))
+      .collect().head.getDouble(2)
+    val estJ = hits.find(_._1 == 11L).get._3
+    assert(math.abs(estJ - exactJ) < 0.15,
+      s"estimate $estJ should track exact $exactJ (128 hashes)")
+    // serving from a parquet round-trip is bit-identical (integer sigs)
+    val dir = java.nio.file.Files.createTempDirectory("dedup-index").toString
+    index.write.mode("overwrite").parquet(dir)
+    val reHits = Dedup.dedupAgainstIndex(batch, spark.read.parquet(dir),
+        "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(reHits == hits.toSet)
+    // the filtered batch is what lands: hits removed, novel doc kept
+    assert(Dedup.filterAgainstIndex(batch, index, "doc_id", "text", minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSeq == Seq(12L))
+  }
+
   test("kmeansFit: deterministic learned IVF — planted clusters recovered, " +
     "learned-partition ivfTopK equals brute force") {
     val rnd = new scala.util.Random(11)
