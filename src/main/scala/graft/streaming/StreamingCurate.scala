@@ -96,16 +96,62 @@ object StreamingCurate {
   def curateStream(docs: DataFrame, idCol: String, textCol: String,
                    tsCol: String, evalBloom: ShingleBloom,
                    watermarkDelay: String = "10 minutes",
-                   minQuality: Double = 0.5): DataFrame = {
-    val deduped = docs
+                   minQuality: Double = 0.5): DataFrame =
+    perRowStages(
+      dedupedStream(docs, textCol, tsCol, watermarkDelay),
+      idCol, textCol, evalBloom, minQuality)
+
+  /** Stage 1 of [[curateStream]]: watermark-bounded exact dedup on the
+    * two-seed content hash. Stream-legal (stateful but bounded). */
+  private def dedupedStream(docs: DataFrame, textCol: String, tsCol: String,
+                            watermarkDelay: String): DataFrame =
+    docs
       .withColumn("__h1", xxhash64(col(textCol)))
       .withColumn("__h2", xxhash64(lit(1), col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("__h1", "__h2")
       .drop("__h1", "__h2")
-    val clean = deduped.filter(!contaminated(col(textCol), evalBloom))
+
+  /** Stages 2–5 of [[curateStream]] (all per-row, legal on stream or
+    * batch alike): Bloom decontamination, quality, redaction, split. */
+  private def perRowStages(df: DataFrame, idCol: String, textCol: String,
+                           evalBloom: ShingleBloom, minQuality: Double): DataFrame = {
+    val clean = df.filter(!contaminated(col(textCol), evalBloom))
     val scored = TextAnalysis.withQuality(clean, textCol)
       .filter(col("quality_score") >= minQuality)
     TextAnalysis.hashSplit(TextAnalysis.withPiiRedaction(scored, textCol), idCol)
   }
+
+  /** [[curateStream]]'s stages PLUS near-dup removal against the landed
+    * corpus's [[graft.operators.Dedup.buildDedupIndex]] — as a BATCH
+    * transform for `foreachBatch`, because the index anti-join cannot run
+    * in a continuous plan: the hit set derives from the stream, and a
+    * stream anti-joined against its own derivative is a stream-stream
+    * join Structured Streaming (rightly) rejects. Inside `foreachBatch`
+    * every micro-batch is a plain batch frame, so the anti-join is just
+    * [[graft.operators.Dedup.filterAgainstIndex]]. Compose as:
+    * {{{
+    * dedupedStream.writeStream.foreachBatch { (b, _) =>
+    *   StreamingCurate.curateBatchWithIndex(b, "doc_id", "text",
+    *       bloom, index)
+    *     .write.mode("append").parquet(out)
+    * }
+    * }}}
+    * Honesty note on delivery: the plain [[curateStream]] → file-sink
+    * path is exactly-once (`_spark_metadata`-tracked); `foreachBatch` is
+    * AT-LEAST-once under retries — a replayed batch re-appends. Make the
+    * write idempotent (e.g. overwrite a per-batch directory keyed by the
+    * batch id) or let the periodic batch compaction's exact dedup absorb
+    * replays. Exact WITHIN-stream dedup still belongs upstream on the
+    * stream (the watermarked stage), which `foreachBatch` cannot see
+    * across batches. */
+  def curateBatchWithIndex(batch: DataFrame, idCol: String, textCol: String,
+                           evalBloom: ShingleBloom, index: DataFrame,
+                           minJaccard: Double = 0.8,
+                           minQuality: Double = 0.5,
+                           indexShingleK: Int = 3): DataFrame =
+    perRowStages(
+      Dedup.filterAgainstIndex(batch, index, idCol, textCol, minJaccard,
+        shingleK = indexShingleK),
+      idCol, textCol, evalBloom, minQuality)
 }

@@ -42,6 +42,46 @@ class StreamingCurateSpec extends SparkSpec {
     assert(streamed == Set(1L, 3L))
   }
 
+  test("curateBatchWithIndex via foreachBatch: near-dup-vs-corpus removed at " +
+    "ingest, the lambda gap closed per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val bloom = StreamingCurate.evalShingleBloom(evalDocs, "doc_id", "text", k = 8)
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the old river " +
+        "bank while the heron watches from the reeds in the morning light")
+    ).toDF("doc_id", "text")
+    val index = graft.operators.Dedup.buildDedupIndex(corpus, "doc_id", "text")
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val out = collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text", "ts")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out ++= StreamingCurate
+          .curateBatchWithIndex(b, "doc_id", "text", bloom, index,
+            minJaccard = 0.5)
+          .select("doc_id", "split").collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        ()
+      }
+      .start()
+    in.addData(
+      // near-dup of corpus doc 1 (one word changed): index filter drops it
+      (10L, "the quick brown fox jumps over the lazy cat near the old river " +
+        "bank while the heron watches from the reeds in the morning light",
+        ts("2013-01-01 10:00:00")),
+      // novel, good quality, clean: kept
+      (11L, "a completely new report about the harvest with plenty of the " +
+        "usual words in it for the quality gate to like and to keep",
+        ts("2013-01-01 10:00:05")),
+      // contaminated vs the eval corpus: bloom drops it
+      (12L, "intro words alpha beta gamma delta epsilon zeta eta theta iota kappa end",
+        ts("2013-01-01 10:00:10")))
+    q.processAllAvailable()
+    q.stop()
+    assert(out.map(_._1).toSet == Set(11L), s"kept: $out")
+    assert(Set("train", "val", "test").contains(out.head._2))
+  }
+
   test("curateStream: dedup within watermark, Bloom decontamination, quality, " +
     "redaction, split — append stream") {
     implicit val sqlCtx = spark.sqlContext
