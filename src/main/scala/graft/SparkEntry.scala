@@ -395,7 +395,11 @@ object SparkEntry {
     * of their originals at high-but-below-1 jaccard. */
   private def dedupIndexParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = tbl(s, dir, "documents")
-    val index = Dedup.buildDedupIndex(docs, "doc_id", "text")
+    // the serving path scans the index twice (banding + estimate join) —
+    // materialize the built index once, the way a deployment serves from
+    // the PERSISTED parquet, never the unmaterialized signature pipeline
+    val index = graft.operators.Materialize.eagerCheckpoint(
+      Dedup.buildDedupIndex(docs, "doc_id", "text"))
     val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" extra tail words appended here")).as("text"))

@@ -194,49 +194,75 @@ object Dedup {
     jaccardFor(cands, sh).filter(col("jaccard") >= minJaccard)
   }
 
-  /** Persistable MinHash dedup index: one `(sh_id, sig)` row per document
-    * — built ONCE over the landed (already-deduped) corpus and written to
-    * parquet, then served by [[dedupAgainstIndex]] for every incoming
-    * batch. At 8·`numHashes` bytes per doc the index is ~1 KB/doc
-    * regardless of document size — the resident set of incremental dedup,
-    * the way [[Similarity.buildQuantizedIndex]] is for ANN. Signatures
-    * are integers, so the parquet round-trip is exact and serving is
-    * bit-identical to an in-memory index (spec-pinned). */
+  /** Persistable MinHash dedup index: one `(sh_id, sig, sig_k)` row per
+    * document — built ONCE over the landed (already-deduped) corpus and
+    * written to parquet, then served by [[dedupAgainstIndex]] for every
+    * incoming batch. At 8·`numHashes` bytes per doc the index is
+    * ~1 KB/doc regardless of document size — the resident set of
+    * incremental dedup, the way [[Similarity.buildQuantizedIndex]] is for
+    * ANN. Signatures are integers, so the parquet round-trip is exact and
+    * serving is bit-identical to an in-memory index (spec-pinned).
+    *
+    * The geometry RIDES WITH the index — `sig_k` is the shingle width,
+    * the signature length is `numHashes` — and the serving path derives
+    * its parameters from the index instead of trusting the caller: a
+    * batch signed at a different width/hash-count than the index would
+    * estimate near zero against even exact duplicates and silently
+    * disable dedup, the same failure class
+    * [[graft.streaming.StreamingCurate.ShingleBloom]] forbids by
+    * construction. */
   def buildDedupIndex(docs: DataFrame, idCol: String, textCol: String,
                       shingleK: Int = 3, numHashes: Int = 128): DataFrame =
     minhashSignatures(hashedWordShingles(docs, idCol, textCol, shingleK), numHashes)
+      .withColumn("sig_k", lit(shingleK))
 
   /** Incremental near-dup detection of a NEW batch against a prebuilt
     * [[buildDedupIndex]] frame — the serving shape of ingest dedup:
-    * signatures are computed for the BATCH only (the corpus never
-    * recomputes, never reshuffles beyond its banded 16-byte keys), band
-    * collisions are batch × index only — never index × index, that work
-    * happened when the index was built — and verification is the unbiased
-    * MinHash estimate `|{i : sigA[i] = sigB[i]}| / numHashes`, because the
-    * index deliberately stores signatures, not shingle sets. The estimate
-    * has std-err ≈ √(j(1−j)/numHashes) (~0.035 at j=0.8 with 128 hashes):
+    * shingle width and hash count are read FROM the index (one one-row
+    * driver lookup), the batch's signatures are computed at exactly that
+    * geometry, band collisions are batch × index only — never
+    * index × index, that work happened when the index was built — and
+    * verification is the unbiased MinHash estimate
+    * `|{i : sigA[i] = sigB[i]}| / numHashes`, because the index
+    * deliberately stores signatures, not shingle sets. The estimate has
+    * std-err ≈ √(j(1−j)/numHashes) (~0.035 at j=0.8 with 128 hashes):
     * set `minJaccard` with that noise in mind, or re-verify hits exactly
     * against the source text they point to. Batch-INTERNAL duplicates are
     * out of scope by design — run [[minhashDuplicates]] on the (small)
-    * batch for those. Output: `(<idCol>, index_id, est_jaccard)`, one row
-    * per (batch doc, matched index doc) at or above the threshold. */
+    * batch for those.
+    *
+    * The index frame is scanned twice (banding, then the estimate join):
+    * hand it a PERSISTED frame — a parquet read or a checkpoint — never
+    * an expensive unmaterialized pipeline, which would compute the whole
+    * corpus signature job twice per serve. Output:
+    * `(<idCol>, index_id, est_jaccard)`, one row per (batch doc, matched
+    * index doc) at or above the threshold. */
   def dedupAgainstIndex(newDocs: DataFrame, index: DataFrame, idCol: String,
                         textCol: String, minJaccard: Double = 0.8,
-                        shingleK: Int = 3, numHashes: Int = 128,
                         bands: Int = 32): DataFrame = {
+    val head = index.select(size(col("sig")), col("sig_k")).limit(1).collect()
+    require(head.nonEmpty, "dedupAgainstIndex: empty index")
+    val numHashes = head.head.getInt(0)
+    val shingleK = head.head.getInt(1)
     // batch signatures feed banding AND the estimate join — materialize
     // once (the batch is the small side; ~1 KB/doc)
     val newSigs = eagerCheckpoint(
       buildDedupIndex(newDocs, idCol, textCol, shingleK, numHashes))
     val nb = bandedSignatures(newSigs, bands, numHashes)
       .withColumnRenamed("sh_id", "new_id")
-    val ib = bandedSignatures(index, bands, numHashes)
+    // geometry safety net at row level too: a hand-built index with
+    // ragged signatures fails loudly instead of null-padding the estimate
+    val ixChecked = index.select(col("sh_id"),
+      when(size(col("sig")) =!= numHashes,
+        raise_error(lit("dedupAgainstIndex: ragged index signature")))
+        .otherwise(col("sig")).as("sig"))
+    val ib = bandedSignatures(ixChecked, bands, numHashes)
       .withColumnRenamed("sh_id", "index_id")
     val cands = nb.join(ib, Seq("band", "band_hash"))
       .select("new_id", "index_id").distinct()
     cands
       .join(newSigs.select(col("sh_id").as("new_id"), col("sig").as("sig_n")), "new_id")
-      .join(index.select(col("sh_id").as("index_id"), col("sig").as("sig_i")), "index_id")
+      .join(ixChecked.select(col("sh_id").as("index_id"), col("sig").as("sig_i")), "index_id")
       .select(col("new_id").as(idCol), col("index_id"),
         (size(filter(zip_with(col("sig_n"), col("sig_i"), (a, b) => a === b),
           x => x)).cast("double") / numHashes).as("est_jaccard"))
@@ -249,11 +275,10 @@ object Dedup {
     * join the index: `index.unionByName(buildDedupIndex(kept, ...))`). */
   def filterAgainstIndex(newDocs: DataFrame, index: DataFrame, idCol: String,
                          textCol: String, minJaccard: Double = 0.8,
-                         shingleK: Int = 3, numHashes: Int = 128,
                          bands: Int = 32): DataFrame =
     newDocs.join(
-      dedupAgainstIndex(newDocs, index, idCol, textCol, minJaccard,
-        shingleK, numHashes, bands).select(idCol),
+      dedupAgainstIndex(newDocs, index, idCol, textCol, minJaccard, bands)
+        .select(idCol),
       Seq(idCol), "left_anti")
 
   /** Large-star round (Kiveris et al., "Connected Components in MapReduce

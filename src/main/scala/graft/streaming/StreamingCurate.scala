@@ -101,10 +101,13 @@ object StreamingCurate {
       dedupedStream(docs, textCol, tsCol, watermarkDelay),
       idCol, textCol, evalBloom, minQuality)
 
-  /** Stage 1 of [[curateStream]]: watermark-bounded exact dedup on the
-    * two-seed content hash. Stream-legal (stateful but bounded). */
-  private def dedupedStream(docs: DataFrame, textCol: String, tsCol: String,
-                            watermarkDelay: String): DataFrame =
+  /** Stage 1 of [[curateStream]], public so the [[curateBatchWithIndex]]
+    * composition can run it upstream on the STREAM (exact dedup must see
+    * across micro-batches; foreachBatch cannot): watermark-bounded exact
+    * dedup on the two-seed content hash. Stream-legal (stateful but
+    * bounded). */
+  def dedupedStream(docs: DataFrame, textCol: String, tsCol: String,
+                    watermarkDelay: String = "10 minutes"): DataFrame =
     docs
       .withColumn("__h1", xxhash64(col(textCol)))
       .withColumn("__h2", xxhash64(lit(1), col(textCol)))
@@ -129,29 +132,36 @@ object StreamingCurate {
     * stream anti-joined against its own derivative is a stream-stream
     * join Structured Streaming (rightly) rejects. Inside `foreachBatch`
     * every micro-batch is a plain batch frame, so the anti-join is just
-    * [[graft.operators.Dedup.filterAgainstIndex]]. Compose as:
+    * [[graft.operators.Dedup.filterAgainstIndex]] — whose geometry comes
+    * from the index itself, so there is no width/hash-count knob to
+    * mismatch here. Compose as:
     * {{{
-    * dedupedStream.writeStream.foreachBatch { (b, _) =>
-    *   StreamingCurate.curateBatchWithIndex(b, "doc_id", "text",
-    *       bloom, index)
-    *     .write.mode("append").parquet(out)
-    * }
+    * StreamingCurate.dedupedStream(docs, "text", "ts")
+    *   .writeStream.foreachBatch { (b, _) =>
+    *     StreamingCurate.curateBatchWithIndex(b, "doc_id", "text",
+    *         bloom, index)
+    *       .write.mode("append").parquet(out)
+    *   }
     * }}}
+    * Stage order: the cheap per-row gates (Bloom, quality) run FIRST and
+    * the index anti-join only over their survivors — the two commute (the
+    * anti-join keys on the id; the per-row stages only drop rows), so the
+    * kept set is identical and the expensive signature stage sees the
+    * smaller side.
+    *
     * Honesty note on delivery: the plain [[curateStream]] → file-sink
     * path is exactly-once (`_spark_metadata`-tracked); `foreachBatch` is
     * AT-LEAST-once under retries — a replayed batch re-appends. Make the
     * write idempotent (e.g. overwrite a per-batch directory keyed by the
     * batch id) or let the periodic batch compaction's exact dedup absorb
     * replays. Exact WITHIN-stream dedup still belongs upstream on the
-    * stream (the watermarked stage), which `foreachBatch` cannot see
-    * across batches. */
+    * stream ([[dedupedStream]]), which `foreachBatch` cannot see across
+    * batches. */
   def curateBatchWithIndex(batch: DataFrame, idCol: String, textCol: String,
                            evalBloom: ShingleBloom, index: DataFrame,
                            minJaccard: Double = 0.8,
-                           minQuality: Double = 0.5,
-                           indexShingleK: Int = 3): DataFrame =
-    perRowStages(
-      Dedup.filterAgainstIndex(batch, index, idCol, textCol, minJaccard,
-        shingleK = indexShingleK),
-      idCol, textCol, evalBloom, minQuality)
+                           minQuality: Double = 0.5): DataFrame =
+    Dedup.filterAgainstIndex(
+      perRowStages(batch, idCol, textCol, evalBloom, minQuality),
+      index, idCol, textCol, minJaccard)
 }

@@ -410,6 +410,17 @@ class TrainingOpsSpec extends SparkSpec {
     // the filtered batch is what lands: hits removed, novel doc kept
     assert(Dedup.filterAgainstIndex(batch, index, "doc_id", "text", minJaccard = 0.5)
       .select("doc_id").as[Long].collect().toSeq == Seq(12L))
+    // geometry rides WITH the index: a 64-hash / k=5 index still serves
+    // correctly because the batch signs at the INDEX's geometry — a
+    // width/hash-count mismatch would estimate an exact dup near zero and
+    // silently disable dedup, the failure the derivation forbids
+    val smallIx = Dedup.buildDedupIndex(corpus, "doc_id", "text",
+      shingleK = 5, numHashes = 64)
+    val h2 = Dedup.dedupAgainstIndex(batch, smallIx, "doc_id", "text",
+        minJaccard = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(h2.exists(h => h._1 == 10L && h._2 == 1L && h._3 == 1.0),
+      s"exact dup must estimate 1.0 at the index's own geometry: ${h2.toSeq}")
   }
 
   test("kmeansFit: deterministic learned IVF — planted clusters recovered, " +
