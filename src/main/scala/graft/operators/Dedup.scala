@@ -269,6 +269,76 @@ object Dedup {
       .filter(col("est_jaccard") >= minJaccard)
   }
 
+  /** Persist a [[buildDedupIndex]] frame in the SERVING layout: two
+    * bucketed tables, `<name>_bands` — the pre-banded collision rows
+    * `(bh, band, band_hash, sh_id)` bucketed AND sorted by the collision
+    * key `bh = xxhash64(band, band_hash)` — and `<name>_sigs` —
+    * `(sh_id, sig, sig_k, n_bands)` bucketed by `sh_id`.
+    *
+    * Why this exists: [[dedupAgainstIndex]] re-bands and SHUFFLES the
+    * whole index on every call (`bands` rows per corpus doc — at web
+    * scale, terabytes of shuffle per micro-batch). Bucketing pays that
+    * shuffle ONCE at build time; every subsequent serve joins the batch
+    * against the bucket-aligned table with NO exchange on the index side
+    * (PlanSpec-pinned) — only the batch moves, which is the posture that
+    * survives a 100 TB corpus with a continuous ingest feed. The bands
+    * count rides in `n_bands` (same geometry-with-the-data rule as
+    * `sig_k`). */
+  def writeBandedIndex(index: DataFrame, name: String,
+                       buckets: Int = 256, bands: Int = 32): Unit = {
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    val head = index.select(size(col("sig"))).limit(1).collect()
+    require(head.nonEmpty, "writeBandedIndex: empty index")
+    val numHashes = head.head.getInt(0)
+    bandedSignatures(index, bands, numHashes)
+      .withColumn("bh", xxhash64(col("band"), col("band_hash")))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "bh").sortBy("bh")
+      .saveAsTable(s"${name}_bands")
+    index.withColumn("n_bands", lit(bands))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "sh_id").sortBy("sh_id")
+      .saveAsTable(s"${name}_sigs")
+  }
+
+  /** [[dedupAgainstIndex]] served from a [[writeBandedIndex]] layout:
+    * same output, one-sided shuffles — the index's band rows and
+    * signatures are read bucket-aligned, only the batch (and the small
+    * candidate set) ever exchanges. Geometry (shingle width, hash count,
+    * bands) comes from the tables themselves. */
+  def dedupAgainstBandedIndex(newDocs: DataFrame, name: String, idCol: String,
+                              textCol: String,
+                              minJaccard: Double = 0.8): DataFrame = {
+    val spark = newDocs.sparkSession
+    val sigs = spark.table(s"${name}_sigs")
+    val head = sigs.select(size(col("sig")), col("sig_k"), col("n_bands"))
+      .limit(1).collect()
+    require(head.nonEmpty, s"dedupAgainstBandedIndex: empty index ${name}_sigs")
+    val (numHashes, shingleK, bands) =
+      (head.head.getInt(0), head.head.getInt(1), head.head.getInt(2))
+    val newSigs = eagerCheckpoint(
+      buildDedupIndex(newDocs, idCol, textCol, shingleK, numHashes))
+    val nb = bandedSignatures(newSigs, bands, numHashes)
+      .withColumn("bh", xxhash64(col("band"), col("band_hash")))
+      .select(col("bh"), col("sh_id").as("new_id"))
+    // the join key is EXACTLY the bucket column and nothing else: a
+    // residual (band, band_hash) equality would be absorbed into the join
+    // keys by the optimizer, misalign them with the bucketing, and force
+    // the index-side exchange this layout exists to avoid. Dropping it is
+    // sound because bh collisions between DIFFERENT (band, band_hash)
+    // pairs (~2⁻⁶⁴) only add a spurious CANDIDATE — membership is decided
+    // by the signature-agreement estimate either way.
+    val cands = nb.join(spark.table(s"${name}_bands").select("bh", "sh_id"), Seq("bh"))
+      .select(col("new_id"), col("sh_id").as("index_id")).distinct()
+    cands
+      .join(newSigs.select(col("sh_id").as("new_id"), col("sig").as("sig_n")), "new_id")
+      .join(sigs.select(col("sh_id").as("index_id"), col("sig").as("sig_i")), "index_id")
+      .select(col("new_id").as(idCol), col("index_id"),
+        (size(filter(zip_with(col("sig_n"), col("sig_i"), (a, b) => a === b),
+          x => x)).cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minJaccard)
+  }
+
   /** [[dedupAgainstIndex]] applied: the new batch with every doc matching
     * the index removed (left-anti on the hit set) — what an ingest
     * pipeline appends to the corpus (after which the kept docs' signatures

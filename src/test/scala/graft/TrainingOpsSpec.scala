@@ -423,6 +423,58 @@ class TrainingOpsSpec extends SparkSpec {
       s"exact dup must estimate 1.0 at the index's own geometry: ${h2.toSeq}")
   }
 
+  test("banded index serving: bucketed layout, identical hits, index side " +
+    "joins without an exchange") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the old river bank"),
+      (2L, "spark shuffles partitions across the cluster under adaptive query " +
+        "execution while the scheduler assigns tasks to executors"),
+      (3L, "completely different words live here entirely on their own today")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the old river bank"),
+      (12L, "nothing in the corpus resembles this sentence about gardening tools")
+    ).toDF("doc_id", "text")
+    val index = Dedup.buildDedupIndex(corpus, "doc_id", "text")
+    Dedup.writeBandedIndex(index, "ix_spec", buckets = 4)
+    try {
+      val served = Dedup.dedupAgainstBandedIndex(batch, "ix_spec",
+        "doc_id", "text", minJaccard = 0.5)
+      def hits(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // same result as the unbucketed serving path
+      assert(hits(served) ==
+        hits(Dedup.dedupAgainstIndex(batch, index, "doc_id", "text", minJaccard = 0.5)))
+      assert(hits(served).map(h => (h._1, h._2)) == Set((10L, 1L)))
+      // the layout's point: bucketed scans serve the join — the batch side
+      // exchanges on the collision key, the index side must NOT. At spec
+      // scale AQE broadcasts the tiny sides (hiding all exchanges), so
+      // force shuffle joins for the plan assertion — at corpus scale
+      // nothing is broadcastable and this IS the plan.
+      val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val aqeThr = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", thr)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      try {
+        val shuffled = Dedup.dedupAgainstBandedIndex(batch, "ix_spec",
+          "doc_id", "text", minJaccard = 0.5)
+        shuffled.count()
+        val phys = shuffled.queryExecution.executedPlan.toString
+        assert(phys.contains("Bucketed: true"), s"bucketed scan not used:\n$phys")
+        val bhExchanges = "Exchange hashpartitioning\\(bh".r
+          .findAllIn(phys).size
+        assert(bhExchanges == 1,
+          s"expected ONE bh exchange (batch side only), got $bhExchanges:\n$phys")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", aqeThr)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ix_spec_bands")
+      spark.sql("DROP TABLE IF EXISTS ix_spec_sigs")
+    }
+  }
+
   test("kmeansFit: deterministic learned IVF — planted clusters recovered, " +
     "learned-partition ivfTopK equals brute force") {
     val rnd = new scala.util.Random(11)
