@@ -487,8 +487,12 @@ object Bench {
           listener.reset()
           val t0 = System.nanoTime()
           hits = serve()
-          shuffleMb = listener.shuffleWrite.get / mb // deterministic volume
-          (System.nanoTime() - t0) / 1e9
+          val secs = (System.nanoTime() - t0) / 1e9
+          // the listener bus is async: settle before reading, or the last
+          // tasks' shuffle bytes land after reset() and corrupt BOTH reps
+          Thread.sleep(300)
+          shuffleMb = listener.shuffleWrite.get / mb
+          secs
         }.sorted
         (ts(ts.size / 2), shuffleMb)
       }
@@ -503,8 +507,15 @@ object Bench {
       (n, nDocs, hitsFlat, hits, flatSecs, bucketSecs, flatShuffle, bucketShuffle)
     }
     spark.sparkContext.removeSparkListener(listener)
+    // the indexes on disk served their purpose; don't leak 15x-corpus of
+    // parquet into /tmp per run
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
     type R = (Int, Long, Long, Long, Double, Double, Double, Double)
     def arr[T](f: R => T): String = jsonArr(rows)(f)
+    // a fully-broadcast serve can legitimately record 0 MB, and
+    // log(0) would put NaN in the artifact — floor at 0.01 MB for the fit
+    def shuffleSlope(ys: Seq[Double]): Double =
+      logLogSlope(sizes, ys.map(math.max(_, 0.01)))
     val line =
       f"""{"metric":"dedup_index_serve_scale","reps":$reps,"sizes":${arr(_._1)},""" +
         f""""docs":${arr(_._2)},"hits_flat":${arr(_._3)},"hits_bucketed":${arr(_._4)},""" +
@@ -512,8 +523,8 @@ object Bench {
         f""""serve_bucketed_secs":${arr(r => f"${r._6}%.3f")},""" +
         f""""serve_flat_shuffle_mb":${arr(r => f"${r._7}%.2f")},""" +
         f""""serve_bucketed_shuffle_mb":${arr(r => f"${r._8}%.2f")},""" +
-        f""""shuffle_slope_flat":${logLogSlope(sizes, rows.map(_._7))}%.3f,""" +
-        f""""shuffle_slope_bucketed":${logLogSlope(sizes, rows.map(_._8))}%.3f,"sf":"$sfDir"}"""
+        f""""shuffle_slope_flat":${shuffleSlope(rows.map(_._7))}%.3f,""" +
+        f""""shuffle_slope_bucketed":${shuffleSlope(rows.map(_._8))}%.3f,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_scale_index.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] bench_scale_index.json: ${e.getMessage}") }

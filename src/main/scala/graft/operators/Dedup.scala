@@ -284,18 +284,30 @@ object Dedup {
     * survives a 100 TB corpus with a continuous ingest feed. The bands
     * count rides in `n_bands` (same geometry-with-the-data rule as
     * `sig_k`). */
+  /** NOTE: `index` is evaluated once per table write plus a one-row
+    * geometry probe — hand it a PERSISTED frame (parquet read or
+    * checkpoint), never the unmaterialized signature pipeline, same
+    * contract as [[dedupAgainstIndex]]. The two `saveAsTable`s are NOT
+    * atomic as a pair: a crash between them leaves `_bands`/`_sigs` from
+    * different builds, which would silently drop every candidate whose
+    * doc exists in only one — so both tables carry the same `build_id`
+    * and [[dedupAgainstBandedIndex]] refuses a mismatched pair loudly
+    * (recovery = re-run this method; overwrite is idempotent). */
   def writeBandedIndex(index: DataFrame, name: String,
                        buckets: Int = 256, bands: Int = 32): Unit = {
     require(buckets >= 1, s"buckets must be positive, got $buckets")
     val head = index.select(size(col("sig"))).limit(1).collect()
     require(head.nonEmpty, "writeBandedIndex: empty index")
     val numHashes = head.head.getInt(0)
+    val buildId = System.nanoTime() // same value stamped on BOTH tables
     bandedSignatures(index, bands, numHashes)
       .withColumn("bh", xxhash64(col("band"), col("band_hash")))
+      .withColumn("build_id", lit(buildId))
       .write.mode("overwrite")
       .bucketBy(buckets, "bh").sortBy("bh")
       .saveAsTable(s"${name}_bands")
     index.withColumn("n_bands", lit(bands))
+      .withColumn("build_id", lit(buildId))
       .write.mode("overwrite")
       .bucketBy(buckets, "sh_id").sortBy("sh_id")
       .saveAsTable(s"${name}_sigs")
@@ -311,11 +323,19 @@ object Dedup {
                               minJaccard: Double = 0.8): DataFrame = {
     val spark = newDocs.sparkSession
     val sigs = spark.table(s"${name}_sigs")
-    val head = sigs.select(size(col("sig")), col("sig_k"), col("n_bands"))
-      .limit(1).collect()
+    val head = sigs.select(size(col("sig")), col("sig_k"), col("n_bands"),
+        col("build_id")).limit(1).collect()
     require(head.nonEmpty, s"dedupAgainstBandedIndex: empty index ${name}_sigs")
     val (numHashes, shingleK, bands) =
       (head.head.getInt(0), head.head.getInt(1), head.head.getInt(2))
+    // the two tables must be ONE build: a crash between writeBandedIndex's
+    // two writes leaves them from different corpora, which would silently
+    // drop every cross-build candidate — fail loudly instead
+    val bandsBuild = spark.table(s"${name}_bands")
+      .select(col("build_id")).limit(1).collect()
+    require(bandsBuild.nonEmpty && bandsBuild.head.getLong(0) == head.head.getLong(3),
+      s"dedupAgainstBandedIndex: ${name}_bands and ${name}_sigs are from " +
+        "different builds (crashed writeBandedIndex?) - re-run writeBandedIndex")
     val newSigs = eagerCheckpoint(
       buildDedupIndex(newDocs, idCol, textCol, shingleK, numHashes))
     val nb = bandedSignatures(newSigs, bands, numHashes)
@@ -330,9 +350,15 @@ object Dedup {
     // by the signature-agreement estimate either way.
     val cands = nb.join(spark.table(s"${name}_bands").select("bh", "sh_id"), Seq("bh"))
       .select(col("new_id"), col("sh_id").as("index_id")).distinct()
+    // same ragged-signature fail-fast as the flat path: a hand-edited
+    // index row at the wrong width would null-pad the estimate silently
+    val sigsChecked = sigs.select(col("sh_id").as("index_id"),
+      when(size(col("sig")) =!= numHashes,
+        raise_error(lit("dedupAgainstBandedIndex: ragged index signature")))
+        .otherwise(col("sig")).as("sig_i"))
     cands
       .join(newSigs.select(col("sh_id").as("new_id"), col("sig").as("sig_n")), "new_id")
-      .join(sigs.select(col("sh_id").as("index_id"), col("sig").as("sig_i")), "index_id")
+      .join(sigsChecked, "index_id")
       .select(col("new_id").as(idCol), col("index_id"),
         (size(filter(zip_with(col("sig_n"), col("sig_i"), (a, b) => a === b),
           x => x)).cast("double") / numHashes).as("est_jaccard"))
