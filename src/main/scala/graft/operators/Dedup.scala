@@ -250,11 +250,18 @@ object Dedup {
       buildDedupIndex(newDocs, idCol, textCol, shingleK, numHashes))
     val nb = bandedSignatures(newSigs, bands, numHashes)
       .withColumnRenamed("sh_id", "new_id")
-    // geometry safety net at row level too: a hand-built index with
-    // ragged signatures fails loudly instead of null-padding the estimate
+    // geometry safety net at row level too: ragged signatures AND mixed
+    // shingle widths fail loudly. The sig_k check matters because the
+    // documented growth pattern index.unionByName(buildDedupIndex(kept))
+    // at a forgotten non-default shingleK yields a mixed-width index whose
+    // probed-geometry batch estimates ~0 against the other half — the
+    // silently-disable-dedup failure class this API forbids.
     val ixChecked = index.select(col("sh_id"),
       when(size(col("sig")) =!= numHashes,
         raise_error(lit("dedupAgainstIndex: ragged index signature")))
+        .when(col("sig_k") =!= shingleK, raise_error(concat(
+          lit(s"dedupAgainstIndex: mixed shingle widths in index (probed sig_k=$shingleK, row has "),
+          col("sig_k").cast("string"), lit(")"))))
         .otherwise(col("sig")).as("sig"))
     val ib = bandedSignatures(ixChecked, bands, numHashes)
       .withColumnRenamed("sh_id", "index_id")
@@ -287,55 +294,146 @@ object Dedup {
   /** NOTE: `index` is evaluated once per table write plus a one-row
     * geometry probe — hand it a PERSISTED frame (parquet read or
     * checkpoint), never the unmaterialized signature pipeline, same
-    * contract as [[dedupAgainstIndex]]. The two `saveAsTable`s are NOT
-    * atomic as a pair: a crash between them leaves `_bands`/`_sigs` from
-    * different builds, which would silently drop every candidate whose
-    * doc exists in only one — so both tables carry the same `build_id`
-    * and [[dedupAgainstBandedIndex]] refuses a mismatched pair loudly
-    * (recovery = re-run this method; overwrite is idempotent). */
+    * contract as [[dedupAgainstIndex]].
+    *
+    * Crash consistency — the EPOCH COMMIT protocol, shared with
+    * [[appendToBandedIndex]]: the three writes are not atomic as a
+    * group, so every build/append stamps its rows with a fresh
+    * `build_id` epoch and records that epoch in a tiny `<name>_meta`
+    * table written LAST. Serving filters both big tables to the epochs
+    * `_meta` lists (a pushed-down predicate — parquet row-group stats
+    * skip uncommitted files wholesale, no extra shuffle), so a crash at
+    * any point leaves either (a) orphan rows at an unlisted epoch —
+    * invisible to serving, harmlessly re-written by the retry under a
+    * new epoch — or (b) for a crashed REBUILD, a stale `_meta` whose
+    * epochs the overwritten tables no longer contain, which serving
+    * refuses loudly (empty committed probe). Nothing half-built can
+    * serve, and retries are exactly-once. */
   def writeBandedIndex(index: DataFrame, name: String,
                        buckets: Int = 256, bands: Int = 32): Unit = {
     require(buckets >= 1, s"buckets must be positive, got $buckets")
     val head = index.select(size(col("sig"))).limit(1).collect()
     require(head.nonEmpty, "writeBandedIndex: empty index")
     val numHashes = head.head.getInt(0)
-    val buildId = System.nanoTime() // same value stamped on BOTH tables
+    val epoch = System.nanoTime()
     bandedSignatures(index, bands, numHashes)
       .withColumn("bh", xxhash64(col("band"), col("band_hash")))
-      .withColumn("build_id", lit(buildId))
+      .withColumn("build_id", lit(epoch))
       .write.mode("overwrite")
       .bucketBy(buckets, "bh").sortBy("bh")
       .saveAsTable(s"${name}_bands")
     index.withColumn("n_bands", lit(bands))
-      .withColumn("build_id", lit(buildId))
+      .withColumn("build_id", lit(epoch))
       .write.mode("overwrite")
       .bucketBy(buckets, "sh_id").sortBy("sh_id")
       .saveAsTable(s"${name}_sigs")
+    // the commit record — LAST, so its epochs always have complete rows
+    index.sparkSession.createDataFrame(Seq(Tuple1(epoch))).toDF("build_id")
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
+  }
+
+  /** Epochs the `<name>_meta` commit table lists — the serving-visible
+    * builds/appends (driver-side read of a table with one row per
+    * successful build or append; bytes, not data). */
+  private def committedEpochs(spark: org.apache.spark.sql.SparkSession,
+                              name: String): Seq[Long] =
+    spark.table(s"${name}_meta").select("build_id").collect()
+      .map(_.getLong(0)).toSeq
+
+  /** Bucket count of an existing bucketed table, so appends write the
+    * matching layout without the caller re-supplying it. */
+  private def tableBuckets(spark: org.apache.spark.sql.SparkSession,
+                           table: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalArgumentException(
+        s"appendToBandedIndex: $table is not bucketed - was it written by writeBandedIndex?"))
+
+  /** Incremental GROWTH of a [[writeBandedIndex]] layout: append the new
+    * docs' band rows and signatures to the existing bucketed tables —
+    * the ingest-cycle shape, where rebuilding the whole index per batch
+    * ([[writeBandedIndex]] again over a 100 TB corpus) is exactly the
+    * cost the serving layout exists to avoid. Geometry (shingle width,
+    * hash count, bands) and the bucket count are read FROM the tables, so
+    * appended signatures are consistent by construction — the
+    * mixed-`sig_k` index [[dedupAgainstIndex]] guards against cannot be
+    * built through this path. Each append lands under a fresh committed
+    * epoch (see the crash-consistency note on [[writeBandedIndex]]):
+    * bands, then sigs, then the `_meta` commit row, so a crashed append
+    * never serves partially and a retried one never double-counts.
+    * Appends add one file per bucket per call; the bucketed scan unions
+    * a bucket's files without an exchange, so serving stays one-sided —
+    * compact by re-running [[writeBandedIndex]] when the file count
+    * warrants it. Batch-internal duplicates are out of scope here
+    * exactly as in [[dedupAgainstIndex]]: dedup the batch first, then
+    * append what you keep. */
+  def appendToBandedIndex(newDocs: DataFrame, name: String, idCol: String,
+                          textCol: String): Unit = {
+    val spark = newDocs.sparkSession
+    val committed = committedEpochs(spark, name)
+    require(committed.nonEmpty,
+      s"appendToBandedIndex: ${name}_meta lists no committed builds - run writeBandedIndex first")
+    val head = spark.table(s"${name}_sigs")
+      .filter(col("build_id").isin(committed: _*))
+      .select(size(col("sig")), col("sig_k"), col("n_bands")).limit(1).collect()
+    require(head.nonEmpty,
+      s"appendToBandedIndex: no committed rows in ${name}_sigs (crashed rebuild?) - re-run writeBandedIndex")
+    val (numHashes, shingleK, bands) =
+      (head.head.getInt(0), head.head.getInt(1), head.head.getInt(2))
+    val buckets = tableBuckets(spark, s"${name}_sigs")
+    val epoch = System.nanoTime()
+    // signatures feed both table writes — materialize once (~1 KB/doc)
+    val newSigs = eagerCheckpoint(
+      buildDedupIndex(newDocs, idCol, textCol, shingleK, numHashes))
+    bandedSignatures(newSigs, bands, numHashes)
+      .withColumn("bh", xxhash64(col("band"), col("band_hash")))
+      .withColumn("build_id", lit(epoch))
+      .write.mode("append")
+      .bucketBy(buckets, "bh").sortBy("bh")
+      .saveAsTable(s"${name}_bands")
+    newSigs.withColumn("n_bands", lit(bands))
+      .withColumn("build_id", lit(epoch))
+      .write.mode("append")
+      .bucketBy(buckets, "sh_id").sortBy("sh_id")
+      .saveAsTable(s"${name}_sigs")
+    spark.createDataFrame(Seq(Tuple1(epoch))).toDF("build_id")
+      .write.mode("append").saveAsTable(s"${name}_meta")
   }
 
   /** [[dedupAgainstIndex]] served from a [[writeBandedIndex]] layout:
     * same output, one-sided shuffles — the index's band rows and
     * signatures are read bucket-aligned, only the batch (and the small
     * candidate set) ever exchanges. Geometry (shingle width, hash count,
-    * bands) comes from the tables themselves. */
+    * bands) comes from the tables themselves. Both tables are filtered to
+    * the epochs the `_meta` commit table lists (the [[writeBandedIndex]]
+    * crash-consistency protocol): uncommitted rows from a crashed
+    * build/append are invisible, and a crashed REBUILD — stale `_meta`
+    * over overwritten tables — fails loudly instead of serving a
+    * half-written index. */
   def dedupAgainstBandedIndex(newDocs: DataFrame, name: String, idCol: String,
                               textCol: String,
                               minJaccard: Double = 0.8): DataFrame = {
     val spark = newDocs.sparkSession
+    val committed = committedEpochs(spark, name)
+    require(committed.nonEmpty,
+      s"dedupAgainstBandedIndex: ${name}_meta lists no committed builds - run writeBandedIndex")
     val sigs = spark.table(s"${name}_sigs")
-    val head = sigs.select(size(col("sig")), col("sig_k"), col("n_bands"),
-        col("build_id")).limit(1).collect()
-    require(head.nonEmpty, s"dedupAgainstBandedIndex: empty index ${name}_sigs")
+      .filter(col("build_id").isin(committed: _*))
+    val head = sigs.select(size(col("sig")), col("sig_k"), col("n_bands"))
+      .limit(1).collect()
+    require(head.nonEmpty,
+      s"dedupAgainstBandedIndex: no committed rows in ${name}_sigs " +
+        "(crashed writeBandedIndex rebuild?) - re-run writeBandedIndex")
     val (numHashes, shingleK, bands) =
       (head.head.getInt(0), head.head.getInt(1), head.head.getInt(2))
-    // the two tables must be ONE build: a crash between writeBandedIndex's
-    // two writes leaves them from different corpora, which would silently
-    // drop every cross-build candidate — fail loudly instead
-    val bandsBuild = spark.table(s"${name}_bands")
-      .select(col("build_id")).limit(1).collect()
-    require(bandsBuild.nonEmpty && bandsBuild.head.getLong(0) == head.head.getLong(3),
-      s"dedupAgainstBandedIndex: ${name}_bands and ${name}_sigs are from " +
-        "different builds (crashed writeBandedIndex?) - re-run writeBandedIndex")
+    // a rebuild crash BETWEEN the two overwrites leaves committed sigs but
+    // no committed band rows (or vice versa) — probe, don't assume
+    val bandsCommitted = spark.table(s"${name}_bands")
+      .filter(col("build_id").isin(committed: _*))
+    require(bandsCommitted.select(lit(1)).limit(1).collect().nonEmpty,
+      s"dedupAgainstBandedIndex: no committed rows in ${name}_bands " +
+        "(crashed writeBandedIndex rebuild?) - re-run writeBandedIndex")
     val newSigs = eagerCheckpoint(
       buildDedupIndex(newDocs, idCol, textCol, shingleK, numHashes))
     val nb = bandedSignatures(newSigs, bands, numHashes)
@@ -348,13 +446,18 @@ object Dedup {
     // sound because bh collisions between DIFFERENT (band, band_hash)
     // pairs (~2⁻⁶⁴) only add a spurious CANDIDATE — membership is decided
     // by the signature-agreement estimate either way.
-    val cands = nb.join(spark.table(s"${name}_bands").select("bh", "sh_id"), Seq("bh"))
+    val cands = nb.join(bandsCommitted.select("bh", "sh_id"), Seq("bh"))
       .select(col("new_id"), col("sh_id").as("index_id")).distinct()
-    // same ragged-signature fail-fast as the flat path: a hand-edited
-    // index row at the wrong width would null-pad the estimate silently
+    // same ragged-signature + mixed-sig_k fail-fast as the flat path: a
+    // hand-edited row at the wrong width would null-pad the estimate, and
+    // a mixed-shingle-width table would estimate ~0 against half the
+    // corpus — both silent-disable modes, both forbidden
     val sigsChecked = sigs.select(col("sh_id").as("index_id"),
       when(size(col("sig")) =!= numHashes,
         raise_error(lit("dedupAgainstBandedIndex: ragged index signature")))
+        .when(col("sig_k") =!= shingleK, raise_error(concat(
+          lit(s"dedupAgainstBandedIndex: mixed shingle widths in index (probed sig_k=$shingleK, row has "),
+          col("sig_k").cast("string"), lit(")"))))
         .otherwise(col("sig")).as("sig_i"))
     cands
       .join(newSigs.select(col("sh_id").as("new_id"), col("sig").as("sig_n")), "new_id")
@@ -636,9 +739,17 @@ object Dedup {
             col("sh_id").as("id_b"), col("simhash").as("sim_b")),
             Seq("chunk", "chunk_val"))
       case Some((lenCol, w)) =>
+        // a null length would bucket to a null __lb that joins NOTHING —
+        // the row would silently vanish from every candidate pair, a
+        // semantic divergence from the plain path (which includes it).
+        // simhashWithTokenCount never emits nulls, but the public API
+        // accepts any numeric column, so fail loudly instead.
+        val lb = when(col(lenCol).isNull, raise_error(lit(
+            s"simhashPairsPartitioned: null $lenCol - every row needs a " +
+              "length for the bucket sub-key")))
+          .otherwise(floor(col(lenCol).cast("double") / w).cast("long"))
         val banded = hashes
-          .select(col("sh_id"), col("simhash"),
-            floor(col(lenCol).cast("double") / w).cast("long").as("__lb"), chunks)
+          .select(col("sh_id"), col("simhash"), lb.as("__lb"), chunks)
           .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
         // probe side fans out to its own + both adjacent buckets (3× rows);
         // build side stays at its own bucket — every within-bucketWidth

@@ -83,20 +83,36 @@ object Similarity {
     * why the API hands back the centroid MATRIX: persist it and feed the
     * SAME matrix to corpus and queries ([[withCoarseLabel]] /
     * [[withProbeLabels]]); never re-derive centroids on one side of a
-    * serving path. Seeding is farthest-first traversal (Gonzalez) from
-    * the md5-minimal row — each next seed maximizes its distance to the
-    * chosen set, ties broken by id — so well-separated clusters each
-    * receive a seed
+    * serving path. Seeding is farthest-first traversal (Gonzalez) over
+    * a deterministic md5-prefix SAMPLE: one `TakeOrdered` scan draws the
+    * `sampleRows` rows with the lowest `md5(id)` (a fixed pseudo-random
+    * subset, independent of partitioning — so seeding is
+    * refit-deterministic even across repartitions), then the driver runs
+    * farthest-first locally from the md5-minimal row — each next seed
+    * maximizes its squared-L2 distance to the chosen set, ties broken to
+    * the lower md5 — so well-separated clusters each receive a seed
     * (random init can drop two seeds into one cluster, a state Lloyd
-    * cannot split its way out of; the classic farthest-first caveat is
-    * that extreme outliers can claim seeds — for large `k` seed on a
-    * deterministic md5-prefix sample first). Each of the `iters` Lloyd
+    * cannot split its way out of). The sample is what makes seeding
+    * viable at corpus scale: the former full-corpus form cost `k−1`
+    * complete scans — a thousand passes over a 100 TB table at the k
+    * cap — where this is ONE bounded scan plus `O(sampleRows·k·dims)`
+    * driver flops over `sampleRows·dims` transient doubles (the
+    * MLlib-style collect-candidates-then-seed-locally shape;
+    * `sampleRows` is the dial if dims is huge). The default
+    * `max(10k, 100·k)` rows keeps ~100 expected sample points per true
+    * cluster — plenty for seeds that Lloyd, which still sees the FULL
+    * corpus, then refines; the farthest-first outlier caveat is also
+    * softened, since an extreme outlier must land in the sample to claim
+    * a seed. A corpus smaller than the cap is sampled in its entirety,
+    * making seeding exhaustive exactly as before (the only behavioral
+    * delta vs the full-corpus seeder is the distance tie-break: lower
+    * md5 now, lower id before). Each of the `iters` Lloyd
     * rounds assigns per-row against centroid LITERALS (no shuffle of the
     * corpus) then recomputes means with one k-keyed aggregation — the
     * only shuffle, and map-side partials collapse it to `k·dims` doubles
     * per partition. Driver holds `k·dims` doubles (the centroid set —
-    * KB, not data); seeding costs `k−1` extra scans, each a one-row
-    * result. An empty cluster keeps its previous centroid (the standard
+    * KB, not data) plus the transient seeding sample.
+    * An empty cluster keeps its previous centroid (the standard
     * Lloyd degeneracy patch, deterministic). Returns the centroid
     * matrix, row index = cluster id.
     *
@@ -105,8 +121,10 @@ object Similarity {
     * and small. Profile before reaching for a native codegen'd argmin —
     * the aggregation shuffle is already negligible. */
   def kmeansFit(df: DataFrame, idCol: String, embCol: String, k: Int,
-                iters: Int = 5): Array[Array[Double]] = {
+                iters: Int = 5, sampleRows: Int = 0): Array[Array[Double]] = {
     require(k >= 1, s"k must be positive, got $k")
+    require(sampleRows == 0 || sampleRows >= k,
+      s"sampleRows must be 0 (auto) or >= k, got $sampleRows for k=$k")
     // centroid-LITERAL assignment embeds k·dims constants in the plan —
     // the right shape for a COARSE quantizer (k in the tens to hundreds;
     // even 100 TB IVF deployments run k ≈ √n_partitions-scale cells, not
@@ -124,27 +142,48 @@ object Similarity {
     val v = when(
       vRaw.isNull || size(vRaw) === 0 || exists(vRaw, _.isNull),
       raise_error(lit("kmeans_fit: null or empty embedding"))).otherwise(vRaw)
-    val seed0 = df
+    val cap = if (sampleRows > 0) sampleRows else math.max(10000, 100 * k)
+    // ONE TakeOrdered scan draws the md5-prefix sample. Sorted by h, so
+    // sample(0) is the global md5-minimal row — the same first seed the
+    // former full-corpus seeder chose (driver re-sort belt-and-braces
+    // against any collect-order surprise).
+    val sample = df
       .select(v.as("v"), md5(col(idCol).cast("string").cast("binary")).as("h"))
-      .orderBy("h").limit(1)
-      .collect().map(_.getSeq[Double](0).toArray)
-    require(seed0.nonEmpty, "k-means needs a non-empty corpus")
-    val dims = seed0.head.length
+      .orderBy("h").limit(cap)
+      .collect().map(r => (r.getString(1), r.getSeq[Double](0).toArray))
+      .sortBy(_._1)
+    require(sample.nonEmpty, "k-means needs a non-empty corpus")
+    val dims = sample.head._2.length
+    sample.foreach { case (_, vec) =>
+      require(vec.length == dims,
+        "kmeans_fit: ragged embedding (dims mismatch) in the seeding sample") }
     // ragged rows (≠ dims elements) fail against the first seed's width —
     // applied to every subsequent scan so the error names the offender
     // instead of poisoning dims or mis-accusing well-formed rows
     val vChecked = when(size(v) =!= dims,
       raise_error(lit("kmeans_fit: ragged embedding (dims mismatch)"))).otherwise(v)
-    val seeds = collection.mutable.ArrayBuffer(seed0.head)
+    // driver-local Gonzalez over the sample with a running min-distance
+    // array — O(sampleRows·k·dims) flops total, ZERO further Spark jobs
+    // (vs the former k−1 full-corpus scans)
+    val seeds = collection.mutable.ArrayBuffer(sample.head._2)
+    val minD = Array.fill(sample.length)(Double.MaxValue)
     while (seeds.size < k) {
-      val next = df
-        .select(col(idCol).as("__id"), vChecked.as("v"),
-          distExprs(vChecked, seeds.toArray).reduce(least(_, _)).as("__d"))
-        .orderBy(col("__d").desc, col("__id")).limit(1)
-        .collect()
-      require(next.nonEmpty && next.head.getDouble(2) > 0.0,
-        s"k-means needs at least $k distinct vectors for $k clusters")
-      seeds += next.head.getSeq[Double](1).toArray
+      val s = seeds.last
+      var best = -1; var bestD = -1.0
+      var i = 0
+      while (i < sample.length) {
+        val vec = sample(i)._2
+        var d = 0.0; var j = 0
+        while (j < dims) { val t = vec(j) - s(j); d += t * t; j += 1 }
+        if (d < minD(i)) minD(i) = d
+        // strict > keeps the earliest (lowest-md5) row on distance ties
+        if (minD(i) > bestD) { best = i; bestD = minD(i) }
+        i += 1
+      }
+      require(bestD > 0.0,
+        s"k-means needs at least $k distinct vectors for $k clusters " +
+          "(within the seeding sample; raise sampleRows if the corpus has more)")
+      seeds += sample(best)._2
     }
     var centroids: Array[Array[Double]] = seeds.toArray
     for (_ <- 0 until iters) {
@@ -189,14 +228,40 @@ object Similarity {
     }._1
   }
 
+  /** [[kmeansFit]]'s dense-vector fail-fast, reused by the serving-side
+    * labelers: a null/empty/null-element or ragged embedding would
+    * otherwise produce null distances → a null or arbitrary `coarse`
+    * label, and the row would silently drop out of (or mis-bucket
+    * within) IVF serving — the silent-exclusion failure class this
+    * library forbids. */
+  private def guardedVec(embCol: String, dims: Int, ctx: String): Column = {
+    val vRaw = col(embCol).cast("array<double>")
+    when(vRaw.isNull || size(vRaw) === 0 || exists(vRaw, _.isNull),
+        raise_error(lit(s"$ctx: null or empty embedding")))
+      .when(size(vRaw) =!= dims,
+        raise_error(lit(s"$ctx: ragged embedding (dims mismatch, expected $dims)")))
+      .otherwise(vRaw)
+  }
+
+  private def checkCentroids(centroids: Array[Array[Double]]): Int = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val dims = centroids.head.length
+    require(dims >= 1 && centroids.forall(_.length == dims),
+      "centroids must be non-empty vectors of one shared dimensionality")
+    dims
+  }
+
   /** Attach the learned coarse-partition label (`coarse`): nearest
     * [[kmeansFit]] centroid per row. Feed the SAME centroids to corpus
     * and queries and the result is [[ivfTopK]]'s `partCol` — the learned
-    * IVF, end to end. */
+    * IVF, end to end. Null/empty/ragged embeddings fail loudly against
+    * the centroids' dims ([[kmeansFit]]'s dense-vector policy) instead
+    * of silently dropping the row out of serving. */
   def withCoarseLabel(df: DataFrame, embCol: String,
                       centroids: Array[Array[Double]]): DataFrame = {
-    require(centroids.nonEmpty, "centroids must be non-empty")
-    df.withColumn("coarse", assignExpr(col(embCol).cast("array<double>"), centroids))
+    val dims = checkCentroids(centroids)
+    df.withColumn("coarse",
+      assignExpr(guardedVec(embCol, dims, "with_coarse_label"), centroids))
   }
 
   /** Multi-probe QUERY labels — the IVF recall knob: each row fans out to
@@ -208,13 +273,14 @@ object Similarity {
     * sees the union of the probed cells' candidates. Cost scales linearly
     * in `nprobe` on the QUERY side only, the classic recall/latency dial
     * of a served IVF. Ranking ties (equal distance) break to the lower
-    * centroid id — deterministic. */
+    * centroid id — deterministic. Null/empty/ragged embeddings fail
+    * loudly against the centroids' dims, like [[withCoarseLabel]]. */
   def withProbeLabels(df: DataFrame, embCol: String,
                       centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
-    require(centroids.nonEmpty, "centroids must be non-empty")
+    val dims = checkCentroids(centroids)
     require(nprobe >= 1 && nprobe <= centroids.length,
       s"nprobe must be in [1, ${centroids.length}], got $nprobe")
-    val v = col(embCol).cast("array<double>")
+    val v = guardedVec(embCol, dims, "with_probe_labels")
     val ranked = array_sort(array(distExprs(v, centroids).zipWithIndex.map {
       case (d, i) => struct(d.as("d"), lit(i).as("i")) }: _*))
     df.withColumn("coarse",
@@ -421,7 +487,11 @@ object Similarity {
   /** [[ivfTopKQuantized]] over a prebuilt [[buildQuantizedIndex]] frame
     * (e.g. read back from parquet). `corpus` supplies the fp32 vectors for
     * the exact re-scoring of the shortlist only — the index is the
-    * resident set; queries are quantized inline (they're the small side). */
+    * resident set; queries are quantized inline (they're the small side).
+    * Composes with [[withProbeLabels]] for the multi-probe recall dial:
+    * pass the probed frame as `queries` with `partCol = "coarse"` —
+    * stage 1's per-cell join unions the probed cells' candidates per
+    * query, and re-scoring dedups the probe fan-out (spec-pinned). */
   def ivfTopKQuantized(index: DataFrame, corpus: DataFrame, queries: DataFrame,
                        idCol: String, embCol: String, partCol: String, k: Int,
                        candidateFactor: Int): DataFrame = {
@@ -443,7 +513,14 @@ object Similarity {
       .select("query_id", "nn_id")
     val cx = withNorm(corpus, embCol)
       .select(col(idCol).as("nn_id"), col("vec").as("cv"), col("norm").as("cn"))
-    val qx = withNorm(queries, embCol)
+    // dropDuplicates: a MULTI-PROBE query frame ([[withProbeLabels]])
+    // carries one row per probed cell; stage 1's per-part join is the fan-
+    // out and already meets each corpus row at most once, but re-joining
+    // the probed frame here by id alone would duplicate every shortlist
+    // row nprobe times and corrupt the rank window (duplicate pairs at
+    // ranks 1 and 2). Re-scoring needs each query ONCE — the probe rows
+    // differ only in their cell label, never in the vector.
+    val qx = withNorm(queries.dropDuplicates(Seq(idCol)), embCol)
       .select(col(idCol).as("query_id"), col("vec").as("qv"), col("norm").as("qn"))
     // exact re-scoring + final ranking is EXACTLY the shared tail of the
     // other top-k paths (its self-pair filter is a no-op here — stage 1

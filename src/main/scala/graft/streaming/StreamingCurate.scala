@@ -137,11 +137,10 @@ object StreamingCurate {
     * mismatch here. Compose as:
     * {{{
     * StreamingCurate.dedupedStream(docs, "text", "ts")
-    *   .writeStream.foreachBatch { (b, _) =>
-    *     StreamingCurate.curateBatchWithIndex(b, "doc_id", "text",
-    *         bloom, index)
-    *       .write.mode("append").parquet(out)
-    *   }
+    *   .writeStream
+    *   .foreachBatch(StreamingCurate.idempotentCurateSink(out,
+    *     "doc_id", "text", bloom, index))  // batch-id-keyed overwrite
+    *   .start()
     * }}}
     * Stage order: the cheap per-row gates (Bloom, quality) run FIRST and
     * the index anti-join only over their survivors — the two commute (the
@@ -149,13 +148,13 @@ object StreamingCurate {
     * kept set is identical and the expensive signature stage sees the
     * smaller side.
     *
-    * Honesty note on delivery: the plain [[curateStream]] → file-sink
-    * path is exactly-once (`_spark_metadata`-tracked); `foreachBatch` is
-    * AT-LEAST-once under retries — a replayed batch re-appends. Make the
-    * write idempotent (e.g. overwrite a per-batch directory keyed by the
-    * batch id) or let the periodic batch compaction's exact dedup absorb
-    * replays. Exact WITHIN-stream dedup still belongs upstream on the
-    * stream ([[dedupedStream]]), which `foreachBatch` cannot see across
+    * Delivery: the plain [[curateStream]] → file-sink path is
+    * exactly-once (`_spark_metadata`-tracked); `foreachBatch` is
+    * AT-LEAST-once under retries — a replayed batch re-appends. Use
+    * [[idempotentCurateSink]] / [[writeBatchIdempotent]], which key the
+    * write on the batch id so replays overwrite themselves. Exact
+    * WITHIN-stream dedup still belongs upstream on the stream
+    * ([[dedupedStream]]), which `foreachBatch` cannot see across
     * batches. */
   def curateBatchWithIndex(batch: DataFrame, idCol: String, textCol: String,
                            evalBloom: ShingleBloom, index: DataFrame,
@@ -164,4 +163,37 @@ object StreamingCurate {
     Dedup.filterAgainstIndex(
       perRowStages(batch, idCol, textCol, evalBloom, minQuality),
       index, idCol, textCol, minJaccard)
+
+  /** Idempotent `foreachBatch` delivery as an OPERATOR (the former
+    * "make the write idempotent" advice, made executable): each
+    * micro-batch lands at `outDir/batch_id=<id>` with OVERWRITE, so a
+    * replayed batch — `foreachBatch` is at-least-once under query
+    * restarts — rewrites its own directory instead of appending
+    * duplicates. Structured Streaming replays a batch id with the same
+    * source offset range, hence the same input rows; with the
+    * deterministic curation transforms this makes delivery effectively
+    * exactly-once. The layout is a standard partition directory:
+    * `spark.read.parquet(outDir)` reads the whole landed corpus with
+    * `batch_id` as a (prunable) partition column. */
+  def writeBatchIdempotent(curated: DataFrame, outDir: String,
+                           batchId: Long): Unit =
+    curated.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+  /** [[curateBatchWithIndex]] composed with [[writeBatchIdempotent]] —
+    * the ready-made exactly-once ingest sink:
+    * {{{
+    * StreamingCurate.dedupedStream(docs, "text", "ts")
+    *   .writeStream
+    *   .foreachBatch(StreamingCurate.idempotentCurateSink(out,
+    *     "doc_id", "text", bloom, index))
+    *   .start()
+    * }}} */
+  def idempotentCurateSink(outDir: String, idCol: String, textCol: String,
+                           evalBloom: ShingleBloom, index: DataFrame,
+                           minJaccard: Double = 0.8, minQuality: Double = 0.5)
+      : (DataFrame, Long) => Unit =
+    (batch, batchId) => writeBatchIdempotent(
+      curateBatchWithIndex(batch, idCol, textCol, evalBloom, index,
+        minJaccard, minQuality),
+      outDir, batchId)
 }

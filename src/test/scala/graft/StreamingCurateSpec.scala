@@ -82,6 +82,55 @@ class StreamingCurateSpec extends SparkSpec {
     assert(Set("train", "val", "test").contains(out.head._2))
   }
 
+  test("idempotentCurateSink: replaying a batch id overwrites its own " +
+    "directory — no duplicate rows, identical output") {
+    implicit val sqlCtx = spark.sqlContext
+    val bloom = StreamingCurate.evalShingleBloom(evalDocs, "doc_id", "text", k = 8)
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the old river " +
+        "bank while the heron watches from the reeds in the morning light")
+    ).toDF("doc_id", "text")
+    val index = Dedup.buildDedupIndex(corpus, "doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("idem-sink").toString
+    val sink = StreamingCurate.idempotentCurateSink(out, "doc_id", "text",
+      bloom, index, minJaccard = 0.5)
+    val batch0 = Seq(
+      // near-dup of corpus doc 1: index filter drops it
+      (10L, "the quick brown fox jumps over the lazy cat near the old river " +
+        "bank while the heron watches from the reeds in the morning light",
+        ts("2013-01-01 10:00:00")),
+      // novel, good quality, clean: kept
+      (11L, "a completely new report about the harvest with plenty of the " +
+        "usual words in it for the quality gate to like and to keep",
+        ts("2013-01-01 10:00:05")))
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = in.toDF().toDF("doc_id", "text", "ts")
+      .writeStream.foreachBatch(sink).start()
+    in.addData(batch0: _*)
+    q.processAllAvailable()
+    // second micro-batch under a different id — its directory must coexist
+    in.addData((20L, "another genuinely novel piece of text with plenty of " +
+      "ordinary words in it to pass the quality gate comfortably",
+      ts("2013-01-01 10:01:00")))
+    q.processAllAvailable()
+    q.stop()
+    def landed() = spark.read.parquet(out)
+      .select("doc_id", "batch_id", "split", "quality_score").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getString(2), r.getDouble(3)))
+      .toSeq.sorted
+    val first = landed()
+    assert(first.map(_._1) == Seq(11L, 20L), s"landed: $first")
+    assert(first.map(_._2).distinct.size == 2, "two batch partitions expected")
+    // the retry shape: foreachBatch re-delivers batch 0 with the SAME
+    // input rows — the sink must overwrite, not append
+    sink(batch0.toDF("doc_id", "text", "ts"), 0L)
+    assert(landed() == first,
+      "replaying a batch id must leave the landed corpus identical")
+    // a replay is NOT a new epoch: still exactly one row per kept doc
+    assert(spark.read.parquet(out).groupBy("doc_id").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
   test("curateStream: dedup within watermark, Bloom decontamination, quality, " +
     "redaction, split — append stream") {
     implicit val sqlCtx = spark.sqlContext

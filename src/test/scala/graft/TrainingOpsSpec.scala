@@ -9,6 +9,13 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 class TrainingOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  /** All messages down an exception's cause chain — raise_error surfaces
+    * wrapped differently across local/cluster paths, so guards are
+    * asserted against the whole chain. */
+  private def msgChain(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+
   /** Recursive file lister, shared by the reliable-checkpoint tests. */
   private def ckptFiles(d: java.io.File): Seq[java.io.File] =
     Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap(f =>
@@ -421,6 +428,16 @@ class TrainingOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(h2.exists(h => h._1 == 10L && h._2 == 1L && h._3 == 1.0),
       s"exact dup must estimate 1.0 at the index's own geometry: ${h2.toSeq}")
+    // a MIXED-width index — constructable via the documented unionByName
+    // growth pattern at a forgotten non-default shingleK — must fail
+    // loudly, not estimate ~0 against half the corpus
+    val mixed = index.unionByName(Dedup.buildDedupIndex(
+      Seq((20L, "a freshly appended document about entirely new material"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", shingleK = 5))
+    assert(msgChain(intercept[Exception](
+        Dedup.dedupAgainstIndex(batch, mixed, "doc_id", "text").collect()))
+      .contains("mixed shingle widths"))
   }
 
   test("banded index serving: bucketed layout, identical hits, index side " +
@@ -472,6 +489,94 @@ class TrainingOpsSpec extends SparkSpec {
     } finally {
       spark.sql("DROP TABLE IF EXISTS ix_spec_bands")
       spark.sql("DROP TABLE IF EXISTS ix_spec_sigs")
+      spark.sql("DROP TABLE IF EXISTS ix_spec_meta")
+    }
+  }
+
+  test("banded index append: serve-after-append ≡ serve-after-full-rebuild, " +
+    "uncommitted epochs invisible, crashed rebuild fails loudly") {
+    val corpusA = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the old river bank"),
+      (2L, "spark shuffles partitions across the cluster under adaptive query " +
+        "execution while the scheduler assigns tasks to executors"),
+      (3L, "completely different words live here entirely on their own today")
+    ).toDF("doc_id", "text")
+    val corpusB = Seq(
+      (4L, "a gardening manual describes pruning shears and trowels in detail " +
+        "for the serious allotment keeper"),
+      (5L, "entirely novel appended content about deep sea creatures and their " +
+        "bioluminescent signalling habits")
+    ).toDF("doc_id", "text")
+    // batch hits one doc from the BASE build and one from the APPEND —
+    // both epochs must serve
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the old river bank"),
+      (11L, "a gardening manual describes pruning shears and trowels in detail " +
+        "for the serious allotment keeper"),
+      (12L, "nothing in the corpus resembles this sentence about orbital mechanics")
+    ).toDF("doc_id", "text")
+    def hits(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    try {
+      Dedup.writeBandedIndex(
+        Dedup.buildDedupIndex(corpusA, "doc_id", "text"), "ix_app", buckets = 4)
+      Dedup.appendToBandedIndex(corpusB, "ix_app", "doc_id", "text")
+      val served = hits(Dedup.dedupAgainstBandedIndex(batch, "ix_app",
+        "doc_id", "text", minJaccard = 0.5))
+      assert(served.map(h => (h._1, h._2)) == Set((10L, 1L), (11L, 4L)),
+        s"append must serve both epochs: $served")
+      // ≡ a full rebuild over the union
+      Dedup.writeBandedIndex(
+        Dedup.buildDedupIndex(corpusA.unionByName(corpusB), "doc_id", "text"),
+        "ix_fullre", buckets = 4)
+      assert(served == hits(Dedup.dedupAgainstBandedIndex(batch, "ix_fullre",
+        "doc_id", "text", minJaccard = 0.5)))
+      // serving stays one-sided after the append: bucketed scans (now >1
+      // file per bucket), exactly ONE bh exchange — the batch side
+      val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val aqeThr = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", thr)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      try {
+        val shuffled = Dedup.dedupAgainstBandedIndex(batch, "ix_app",
+          "doc_id", "text", minJaccard = 0.5)
+        shuffled.count()
+        val phys = shuffled.queryExecution.executedPlan.toString
+        assert(phys.contains("Bucketed: true"), s"bucketed scan not used:\n$phys")
+        assert("Exchange hashpartitioning\\(bh".r.findAllIn(phys).size == 1,
+          s"expected ONE bh exchange (batch side only) after append:\n$phys")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", aqeThr)
+      }
+      // crash semantics 1: orphan rows at an epoch _meta never committed
+      // (a crashed append's partial write) must not change serving
+      val orphanRows = spark.table("ix_app_bands").limit(3).collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(orphanRows),
+          spark.table("ix_app_bands").schema)
+        .withColumn("build_id", lit(999L))
+        .write.mode("append").bucketBy(4, "bh").sortBy("bh")
+        .saveAsTable("ix_app_bands")
+      assert(hits(Dedup.dedupAgainstBandedIndex(batch, "ix_app",
+        "doc_id", "text", minJaccard = 0.5)) == served,
+        "uncommitted orphan rows must be invisible to serving")
+      // crash semantics 2: a stale _meta over rebuilt tables (rebuild
+      // crashed between table overwrites and the meta write) fails loudly
+      spark.createDataFrame(Seq(Tuple1(12345L))).toDF("build_id")
+        .write.mode("overwrite").saveAsTable("ix_app_meta")
+      assert(msgChain(intercept[Exception](
+          Dedup.dedupAgainstBandedIndex(batch, "ix_app", "doc_id", "text")))
+        .contains("no committed rows"))
+      // and append refuses the same corrupted state instead of growing it
+      assert(msgChain(intercept[Exception](
+          Dedup.appendToBandedIndex(corpusB, "ix_app", "doc_id", "text")))
+        .contains("no committed rows"))
+    } finally {
+      Seq("ix_app", "ix_fullre").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_bands")
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_sigs")
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_meta")
+      }
     }
   }
 
@@ -519,6 +624,62 @@ class TrainingOpsSpec extends SparkSpec {
       "vec_id", "embedding", k = 3))
   }
 
+  test("kmeansFit: sampled seeding — a sample smaller than the corpus still " +
+    "recovers planted clusters, refit-deterministic; labelers fail fast") {
+    val rnd = new scala.util.Random(23)
+    val centers = Seq(Array.fill(6)(8.0), Array.fill(6)(-8.0),
+      Array.tabulate(6)(i => if (i % 2 == 0) 8.0 else -8.0))
+    val df = (0 until 240).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.4).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    // 24-row sample is a strict SUBSET of the 240-row corpus — the scale
+    // path: one TakeOrdered scan + driver-local Gonzalez, zero per-seed jobs
+    val cents = Similarity.kmeansFit(df, "vec_id", "embedding", k = 3,
+      iters = 5, sampleRows = 24)
+    val lab = Similarity.withCoarseLabel(df, "embedding", cents)
+      .select($"vec_id", $"coarse").collect()
+      .map(r => (r.getLong(0) % 3, r.getInt(1)))
+    val byPlanted = lab.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byPlanted.values.forall(_.size == 1), s"impure clusters: $byPlanted")
+    assert(byPlanted.values.flatten.toSet.size == 3, s"merged clusters: $byPlanted")
+    // bit-identical refit on the same layout, sampled seeder included
+    val refit = Similarity.kmeansFit(df, "vec_id", "embedding", k = 3,
+      iters = 5, sampleRows = 24)
+    assert(cents.map(_.toSeq).toSeq == refit.map(_.toSeq).toSeq)
+    // the md5-prefix sample is partition-independent: SEEDING survives a
+    // repartition even though Lloyd's distributed sums don't promise
+    // bit-identity — so cluster assignments (not bits) must agree
+    val cents2 = Similarity.kmeansFit(df.repartition(7), "vec_id", "embedding",
+      k = 3, iters = 5, sampleRows = 24)
+    val lab2 = Similarity.withCoarseLabel(df, "embedding", cents2)
+      .select($"vec_id", $"coarse").collect()
+      .map(r => (r.getLong(0) % 3, r.getInt(1)))
+    val byPlanted2 = lab2.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byPlanted2.values.forall(_.size == 1) &&
+      byPlanted2.values.flatten.toSet.size == 3,
+      s"repartitioned fit lost cluster purity: $byPlanted2")
+    // sampleRows must admit k seeds
+    intercept[IllegalArgumentException](Similarity.kmeansFit(
+      df, "vec_id", "embedding", k = 3, iters = 1, sampleRows = 2))
+    // serving labelers enforce the dense-vector policy instead of
+    // silently mislabeling: null and ragged embeddings raise on BOTH paths
+    val bad = Seq((1L, Option(Seq(1.0f, 2.0f, 3.0f, 4.0f, 5.0f, 6.0f))),
+      (2L, Option.empty[Seq[Float]])).toDF("vec_id", "embedding")
+    assert(msgChain(intercept[Exception](
+        Similarity.withCoarseLabel(bad, "embedding", cents).collect()))
+      .contains("null or empty embedding"))
+    val ragged = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    assert(msgChain(intercept[Exception](
+        Similarity.withCoarseLabel(ragged, "embedding", cents).collect()))
+      .contains("ragged embedding"))
+    assert(msgChain(intercept[Exception](
+        Similarity.withProbeLabels(ragged, "embedding", cents, 2).collect()))
+      .contains("ragged embedding"))
+    intercept[IllegalArgumentException](
+      Similarity.withCoarseLabel(df, "embedding", Array(Array(1.0), Array(1.0, 2.0))))
+  }
+
   test("withProbeLabels: nprobe=2 recovers the cross-cell neighbor nprobe=1 misses") {
     // two cells; the query lives in cell 0 by L2 but its COSINE-nearest
     // corpus vector lives in cell 1 — the boundary case multi-probe exists
@@ -546,6 +707,47 @@ class TrainingOpsSpec extends SparkSpec {
       Similarity.withProbeLabels(queries, "embedding", cents, 3))
     intercept[IllegalArgumentException](
       Similarity.withProbeLabels(queries, "embedding", cents, 0))
+  }
+
+  test("multi-probe × quantized index: nprobe=2 against a buildQuantizedIndex " +
+    "frame recovers the cross-cell neighbor nprobe=1 misses, no probe dups") {
+    // same boundary fixture as the withProbeLabels spec: the query's
+    // cosine-nearest corpus vector lives across the Voronoi edge — now
+    // served from the persisted int8 index, the composition a real
+    // deployment runs (quantize once, probe many)
+    val cents = Array(Array(10.0, 0.0), Array(-10.0, 0.0))
+    val corpus = Seq(
+      (1L, Seq(9.0f, 1.0f)),   // cell 0
+      (2L, Seq(-0.1f, 1.0f)),  // cell 1; cosine-nearest to the query
+      (3L, Seq(8.0f, -2.0f))   // cell 0 filler so k=2 has depth in-cell
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((100L, Seq(0.5f, 0.86f))).toDF("vec_id", "embedding")
+    val labeled = Similarity.withCoarseLabel(corpus, "embedding", cents)
+    // the index round-trips through parquet — integer codes, exact
+    val dir = java.nio.file.Files.createTempDirectory("q8-probe-ix").toString
+    Similarity.buildQuantizedIndex(labeled, "vec_id", "embedding", "coarse")
+      .write.mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+    def serve(nprobe: Int, k: Int) = Similarity.ivfTopKQuantized(
+      index, labeled,
+      Similarity.withProbeLabels(queries, "embedding", cents, nprobe),
+      "vec_id", "embedding", "coarse", k, candidateFactor = 4)
+    assert(serve(1, 1).select("nn_id").as[Long].collect().toSeq == Seq(1L),
+      "single probe is confined to the query's own cell")
+    assert(serve(2, 1).select("nn_id").as[Long].collect().toSeq == Seq(2L),
+      "two probes must recover the cross-cell neighbor from the quantized index")
+    // equals brute force at full depth, and the probe fan-out must NOT
+    // duplicate pairs through the re-scoring join (the rank window would
+    // otherwise carry the same neighbor at ranks 1 and 2)
+    val two = serve(2, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(two.map(t => (t._1, t._2)).distinct.length == two.length,
+      s"duplicate (query, neighbor) pairs from the probe fan-out: ${two.toSeq}")
+    assert(two.map(_._3).sorted.toSeq == Seq(1, 2))
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(two.toSet == exact,
+      "multi-probe quantized serving must equal the exact top-k here")
   }
 
   test("simhashPairsPartitioned: saturation regime — identical pairs, candidate " +
@@ -581,6 +783,13 @@ class TrainingOpsSpec extends SparkSpec {
       s"partitioned candidates ($candPart) must be well under plain ($candPlain)")
     intercept[IllegalArgumentException](Dedup.simhashPairsPartitioned(
       h, "n_tokens", bucketWidth = 0))
+    // a null length would bucket to a null sub-key that joins nothing —
+    // the row would silently vanish from every pair; fail loudly instead
+    assert(msgChain(intercept[Exception](Dedup.simhashPairsPartitioned(
+        Seq((1L, 5L, Option(10L)), (2L, 5L, Option.empty[Long]))
+          .toDF("sh_id", "simhash", "n_tokens"),
+        "n_tokens", bucketWidth = 8).collect()))
+      .contains("null n_tokens"))
   }
 
   test("topTokensByGroup: skewed group — salted survivors bounded by k·salts, " +
