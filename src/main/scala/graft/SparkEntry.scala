@@ -389,6 +389,28 @@ object SparkEntry {
   private lazy val DedupIndexFixture =
     new java.io.File("target/verify-fixtures/dedup_index").getAbsolutePath
 
+  /** Fixture dir for q_ann_kmeans — the learned centroids are engine-bound
+    * (deterministic Gonzalez seeding + Lloyd over distributed sums has no
+    * DuckDB equivalent), but GIVEN the coarse labels they induce, IVF
+    * serving is plain SQL: the Verify harness dumps the labeled corpus and
+    * the multi-probe query fan-out, and the oracle reproduces the
+    * per-cell candidate join + exact-cosine ranking from those. Same
+    * pattern as [[DedupIndexFixture]]. */
+  private lazy val KmeansFixture =
+    new java.io.File("target/verify-fixtures/kmeans_ivf").getAbsolutePath
+
+  /** Learned-IVF centroids for `dir`'s embeddings table, fitted once per
+    * JVM (the fit is deterministic for a fixed layout — TrainingOpsSpec —
+    * so the cache is a cost saving, and it guarantees the fixture dump
+    * and the query serve from the IDENTICAL matrix, the persist-once
+    * contract of [[Similarity.kmeansFit]]). */
+  private val kmeansCache =
+    collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+  private def kmeansCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
+    kmeansCache.getOrElseUpdate(dir,
+      Similarity.kmeansFit(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 5))
+
   /** The (index, new-batch) construction shared by q_dedup_index and its
     * fixture dump: index over the whole documents table; the batch is
     * every 10th doc re-id'd (+1,000,000) with a tail appended — near-dups
@@ -423,6 +445,15 @@ object SparkEntry {
       .write.mode("overwrite").parquet(s"$DedupIndexFixture/index_banded")
     Dedup.bandedSignatures(newSigs, 32, 128)
       .write.mode("overwrite").parquet(s"$DedupIndexFixture/new_banded")
+    val emb = tbl(s, dir, "embeddings")
+    val cents = kmeansCentroids(s, dir)
+    Similarity.withCoarseLabel(emb, "embedding", cents)
+      .select("vec_id", "coarse")
+      .write.mode("overwrite").parquet(s"$KmeansFixture/corpus")
+    Similarity.withProbeLabels(emb.filter(col("vec_id") < 20), "embedding",
+        cents, nprobe = 2)
+      .select("vec_id", "coarse")
+      .write.mode("overwrite").parquet(s"$KmeansFixture/probes")
   }
 
   /** Incremental dedup serving: a new batch against the prebuilt MinHash
@@ -533,6 +564,24 @@ object SparkEntry {
     val e = tbl(s, dir, "embeddings")
     Similarity.ivfTopKQuantized(e, e.filter(col("vec_id") < 20), "vec_id",
         "embedding", "label", 3, candidateFactor = 4)
+      .withColumn("cosine", rq(col("cosine"), 6))
+  }
+
+  /** Learned IVF end to end: [[Similarity.kmeansFit]] centroids (engine
+    * side), corpus labeled by nearest centroid, queries fanned out to
+    * their 2 nearest cells ([[Similarity.withProbeLabels]] — the recall
+    * dial), per-cell exact-cosine top-3. Oracle: DuckDB reproduces the
+    * cell-restricted join + ranking from the [[KmeansFixture]] label
+    * dumps — the centroids themselves are engine-bound, the serving
+    * semantics they induce are not. */
+  private def qAnnKmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    val cents = kmeansCentroids(s, dir)
+    Similarity.ivfTopK(
+        Similarity.withCoarseLabel(e, "embedding", cents),
+        Similarity.withProbeLabels(e.filter(col("vec_id") < 20), "embedding",
+          cents, nprobe = 2),
+        "vec_id", "embedding", "coarse", 3)
       .withColumn("cosine", rq(col("cosine"), 6))
   }
 
@@ -894,6 +943,7 @@ object SparkEntry {
     "q_ann_topk" -> qAnnTopK,
     "q_ann_ivf" -> qAnnIvf,
     "q_ann_ivf_q8" -> qAnnIvfQ8,
+    "q_ann_kmeans" -> qAnnKmeans,
     "q_embed_quantize" -> qEmbedQuantize,
     "q_text_stats" -> qTextStats,
     "q_text_langid" -> qTextLangId,
@@ -1244,6 +1294,25 @@ object SparkEntry {
         |FROM scored QUALIFY rank <= 5""".stripMargin,
     "q_ann_ivf" -> annIvfSql,
     "q_ann_ivf_q8" -> annIvfSql, // quantized index + exact re-score ≡ exact by design
+    // learned IVF: the engine dumps the labels its centroids induce
+    // (corpus = one cell each, queries = nprobe=2 fan-out); the oracle
+    // replays the cell-restricted candidate join + exact-cosine ranking.
+    // A corpus row has ONE cell, so a probed query meets it at most once —
+    // no dedup needed, mirroring withProbeLabels' contract.
+    "q_ann_kmeans" ->
+      s"""WITH c AS (SELECT * FROM read_parquet('$KmeansFixture/corpus/*.parquet')),
+        | p AS (SELECT * FROM read_parquet('$KmeansFixture/probes/*.parquet')),
+        | scored AS (
+        |  SELECT p.vec_id AS query_id, c.vec_id AS nn_id,
+        |         list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+        |                                CAST(ec.embedding AS DOUBLE[])) AS cos
+        |  FROM p JOIN c ON c.coarse = p.coarse
+        |  JOIN embeddings eq ON eq.vec_id = p.vec_id
+        |  JOIN embeddings ec ON ec.vec_id = c.vec_id
+        |  WHERE c.vec_id <> p.vec_id)
+        |SELECT query_id, nn_id, floor((cos)*1000000.0 + 0.5)/1000000.0 AS cosine,
+        |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS INT) AS rank
+        |FROM scored QUALIFY rank <= 3""".stripMargin,
     "q_embed_quantize" ->
       """WITH q AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
