@@ -347,25 +347,33 @@ object Bench {
         ev.select(col("user_id").as("jid"), col("ts").as("Timestamp"), col("value")),
         acct, bucketMicros = 3600L * 1000000L)
     }
-    val sizes = Seq(1, 2, 4, 8)
+    val sizes = Seq(1, 2, 4, 8, 16)
+    val reps = repsFromEnv()
     joined(replica(0)).count() // untimed warmup
     dropState()
     val rows = sizes.map { n =>
       val ev = (0 until n).map(replica).reduce(_ unionByName _)
       val nEvents = ev.count()
+      var nJoined = 0L
+      val times = (0 until reps).map { _ =>
+        dropState()
+        val t0 = System.nanoTime()
+        nJoined = joined(ev).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
       dropState()
-      val t0 = System.nanoTime()
-      val nJoined = joined(ev).count()
-      val secs = (System.nanoTime() - t0) / 1e9
-      dropState()
-      (n, nEvents, nJoined, secs)
+      (n, nEvents, nJoined, times(times.size / 2), times.head, times.last)
     }
-    def arr[T](f: ((Int, Long, Long, Double)) => T): String = jsonArr(rows)(f)
+    def arr[T](f: ((Int, Long, Long, Double, Double, Double)) => T): String =
+      jsonArr(rows)(f)
+    val meds = rows.map(_._4)
     val line =
-      f"""{"metric":"interval_join_scale_slope","sizes":${arr(_._1)},""" +
+      f"""{"metric":"interval_join_scale_slope","reps":$reps,"sizes":${arr(_._1)},""" +
         f""""events":${arr(_._2)},"joined":${arr(_._3)},""" +
         f""""secs":${arr(r => f"${r._4}%.3f")},""" +
-        f""""slope":${logLogSlope(sizes, rows.map(_._4))}%.3f,"sf":"$sfDir"}"""
+        f""""secs_min":${arr(r => f"${r._5}%.3f")},"secs_max":${arr(r => f"${r._6}%.3f")},""" +
+        f""""slope":${logLogSlope(sizes, meds)}%.3f,""" +
+        f""""segment_slopes":${segmentSlopesJson(sizes, meds)},"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_scale_interval.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] bench_scale_interval.json: ${e.getMessage}") }
@@ -503,6 +511,7 @@ object Bench {
         batch, table, "doc_id", "text", minJaccard = 0.5).count())
       spark.sql(s"DROP TABLE IF EXISTS ${table}_bands")
       spark.sql(s"DROP TABLE IF EXISTS ${table}_sigs")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_meta")
       dropState()
       (n, nDocs, hitsFlat, hits, flatSecs, bucketSecs, flatShuffle, bucketShuffle)
     }
@@ -610,7 +619,8 @@ object Bench {
       .select("doc_id", "text")
     val idSpan = docs.agg(max("doc_id")).head().getLong(0) + 1
     def replica(k: Int) = rotatedReplica(docs, idSpan, k)
-    val sizes = Seq(1, 2, 4, 8)
+    val sizes = Seq(1, 2, 4, 8, 16)
+    val reps = repsFromEnv()
     // untimed warmup: codegen + JIT + shuffle-machinery init, so the 1×
     // point isn't inflated by first-run costs and slopes aren't skewed
     Dedup.duplicateClusters(Dedup.minhashDuplicates(
@@ -622,33 +632,47 @@ object Bench {
       // identical across both timed runs, so slopes are unaffected
       val corpus = (0 until n).map(replica).reduce(_ union _)
       val nDocs = corpus.count()
-      dropState()
       def sh = Dedup.hashedWordShingles(corpus, "doc_id", "text")
-      val t0 = System.nanoTime()
-      val nPairs = Dedup.minhashDuplicates(sh, 0.8).count()
-      val pairSecs = (System.nanoTime() - t0) / 1e9
+      var nPairs = 0L
+      val pairTimes = (0 until reps).map { _ =>
+        dropState()
+        val t0 = System.nanoTime()
+        nPairs = Dedup.minhashDuplicates(sh, 0.8).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      var nClusters = 0L; var ccRounds = 0
+      val e2eTimes = (0 until reps).map { _ =>
+        dropState()
+        val t1 = System.nanoTime()
+        val (clusters, r) = Dedup.duplicateClustersWithRounds(
+          Dedup.minhashDuplicates(sh, 0.8))
+        nClusters = clusters.count()
+        ccRounds = r
+        (System.nanoTime() - t1) / 1e9
+      }.sorted
       dropState()
-      val t1 = System.nanoTime()
-      val (clusters, ccRounds) = Dedup.duplicateClustersWithRounds(
-        Dedup.minhashDuplicates(sh, 0.8))
-      val nClusters = clusters.count()
-      val e2eSecs = (System.nanoTime() - t1) / 1e9
-      dropState()
-      (n, nDocs, nPairs, nClusters, pairSecs, e2eSecs, ccRounds)
+      (n, nDocs, nPairs, nClusters,
+        pairTimes(pairTimes.size / 2), pairTimes.head, pairTimes.last,
+        e2eTimes(e2eTimes.size / 2), e2eTimes.head, e2eTimes.last, ccRounds)
     }
+    type R = (Int, Long, Long, Long, Double, Double, Double, Double, Double, Double, Int)
     def slope(ys: Seq[Double]): Double = logLogSlope(sizes, ys)
-    def arr[T](f: ((Int, Long, Long, Long, Double, Double, Int)) => T): String =
-      jsonArr(rows)(f)
+    def arr[T](f: R => T): String = jsonArr(rows)(f)
     // cc_rounds: large/small-star rounds to the fixed point per size — the
     // empirical side of the O(log n) convergence claim (flat-ish growth
-    // across 8× replicas, never proportional to size)
+    // across 16× replicas, never proportional to size)
     val line =
-      f"""{"metric":"lsh_scale_slope","sizes":${arr(_._1)},"docs":${arr(_._2)},""" +
+      f"""{"metric":"lsh_scale_slope","reps":$reps,"sizes":${arr(_._1)},"docs":${arr(_._2)},""" +
         f""""pairs":${arr(_._3)},"clusters":${arr(_._4)},""" +
-        f""""pair_secs":${arr(r => f"${r._5}%.3f")},"e2e_secs":${arr(r => f"${r._6}%.3f")},""" +
-        f""""cc_rounds":${arr(_._7)},""" +
+        f""""pair_secs":${arr(r => f"${r._5}%.3f")},""" +
+        f""""pair_secs_min":${arr(r => f"${r._6}%.3f")},"pair_secs_max":${arr(r => f"${r._7}%.3f")},""" +
+        f""""e2e_secs":${arr(r => f"${r._8}%.3f")},""" +
+        f""""e2e_secs_min":${arr(r => f"${r._9}%.3f")},"e2e_secs_max":${arr(r => f"${r._10}%.3f")},""" +
+        f""""cc_rounds":${arr(_._11)},""" +
         f""""slope_pairs":${slope(rows.map(_._5))}%.3f,""" +
-        f""""slope_e2e":${slope(rows.map(_._6))}%.3f,"sf":"$sfDir"}"""
+        f""""slope_e2e":${slope(rows.map(_._8))}%.3f,""" +
+        f""""segment_slopes_pairs":${segmentSlopesJson(sizes, rows.map(_._5))},""" +
+        f""""segment_slopes_e2e":${segmentSlopesJson(sizes, rows.map(_._8))},"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_scale.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] bench_scale.json: ${e.getMessage}") }
