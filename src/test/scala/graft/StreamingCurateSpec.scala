@@ -131,6 +131,92 @@ class StreamingCurateSpec extends SparkSpec {
       .filter(col("count") > 1).count() == 0)
   }
 
+  test("lambda topology: landing dir → curate-stream (index-filtered) → " +
+    "periodic batch compaction + index refresh ≡ the batch-only pipeline") {
+    // the full loop the library's lambda split describes: ingest curates
+    // what a row can decide about itself (exact dup in-watermark, Bloom
+    // decontamination, quality, near-dup vs the LANDED corpus via the
+    // index); the periodic compaction closes the one gap a stream cannot
+    // (near-dup pairs arriving in different micro-batches, neither known
+    // to the index) and refreshes the index so the NEXT cycle knows the
+    // stream-landed docs. Done right, the final corpus is exactly what
+    // the batch-only pipeline computes over the same inputs.
+    val bloom = StreamingCurate.evalShingleBloom(evalDocs, "doc_id", "text", k = 8)
+    val corpus0 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the old river " +
+        "bank while the heron watches from the reeds in the morning light"),
+      (2L, "a long and ordinary account of the village market day with " +
+        "plenty of perfectly regular words for the quality gate")
+    ).toDF("doc_id", "text")
+    val index0 = graft.operators.Materialize.eagerCheckpoint(
+      Dedup.buildDedupIndex(corpus0, "doc_id", "text"))
+    val landing = java.nio.file.Files.createTempDirectory("lambda-landing").toString
+    val out = java.nio.file.Files.createTempDirectory("lambda-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("lambda-ckpt").toString
+    val goodA = "a completely new report about the harvest with plenty of " +
+      "the usual words in it for the quality gate to like and to keep"
+    val goodB = "another genuinely novel piece of writing with plenty of " +
+      "ordinary words in it to pass the quality gate comfortably"
+    val batch1 = Seq(
+      // near-dup of landed doc 1: the index filter drops it at ingest
+      (10L, "the quick brown fox jumps over the lazy cat near the old river " +
+        "bank while the heron watches from the reeds in the morning light",
+        ts("2013-01-01 10:00:00")),
+      (11L, goodA, ts("2013-01-01 10:00:05")), // novel: kept
+      // contaminated vs the eval corpus: Bloom drops it
+      (12L, "intro words alpha beta gamma delta epsilon zeta eta theta iota " +
+        "kappa end", ts("2013-01-01 10:00:10")))
+    val batch2 = Seq(
+      // exact dup of 11 in a LATER micro-batch: the watermark state still
+      // holds 11's content hash, so it is dropped across the batch seam
+      (13L, goodA, ts("2013-01-01 10:00:15")),
+      // the LAMBDA GAP doc: near-dup of 11, which arrived by stream and is
+      // NOT in index0 — ingest keeps it; compaction must drop it
+      (20L, goodA.replace("harvest", "orchard"), ts("2013-01-01 10:00:20")),
+      (21L, "!!! ??? ### $$$", ts("2013-01-01 10:00:25")), // low quality: dropped
+      (22L, goodB, ts("2013-01-01 10:00:30"))) // novel: kept
+    def land(rows: Seq[(Long, String, java.sql.Timestamp)]): Unit =
+      rows.toDF("doc_id", "text", "ts").repartition(1)
+        .write.mode("append").parquet(landing)
+    land(batch1)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP").parquet(landing)
+    val q = StreamingCurate.dedupedStream(stream, "text", "ts")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch(StreamingCurate.idempotentCurateSink(out, "doc_id", "text",
+        bloom, index0, minJaccard = 0.5))
+      .start()
+    q.processAllAvailable()
+    land(batch2)
+    q.processAllAvailable()
+    q.stop()
+    val landed = spark.read.parquet(out)
+    assert(landed.select("doc_id").as[Long].collect().toSet == Set(11L, 20L, 22L),
+      "ingest keeps the novel docs AND the cross-batch near-dup it cannot see")
+    // periodic compaction: batch curate over corpus0 ∪ landed — closes the
+    // lambda gap (20 loses to 11) — then the index refresh
+    val compacted = Pipeline.curate(
+      corpus0.unionByName(landed.select("doc_id", "text")), evalDocs,
+      minJaccard = 0.5)
+    val cols = Seq("doc_id", "text", "quality_score", "n_emails", "redacted", "split")
+    def key(df: org.apache.spark.sql.DataFrame) = df.select(cols.head, cols.tail: _*)
+      .collect().map(_.toSeq).toSet
+    // THE claim: ≡ the batch-only pipeline over the same raw inputs
+    val allInputs = corpus0.unionByName(
+      (batch1 ++ batch2).map(r => (r._1, r._2)).toDF("doc_id", "text"))
+    assert(key(compacted) == key(Pipeline.curate(allInputs, evalDocs, minJaccard = 0.5)))
+    assert(compacted.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 11L, 22L))
+    // index refresh: the next cycle's index knows the STREAM-landed docs —
+    // a near-dup of doc 22 is now filtered at ingest, which index0 missed
+    val index1 = Dedup.buildDedupIndex(compacted, "doc_id", "text")
+    val probe = Seq((30L, goodB.replace("ordinary", "everyday")))
+      .toDF("doc_id", "text")
+    assert(Dedup.filterAgainstIndex(probe, index1, "doc_id", "text",
+      minJaccard = 0.5).count() == 0, "refreshed index must catch it")
+    assert(Dedup.filterAgainstIndex(probe, index0, "doc_id", "text",
+      minJaccard = 0.5).count() == 1, "the stale index is exactly what misses it")
+  }
+
   test("curateStream: dedup within watermark, Bloom decontamination, quality, " +
     "redaction, split — append stream") {
     implicit val sqlCtx = spark.sqlContext
