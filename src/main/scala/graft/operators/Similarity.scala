@@ -218,15 +218,16 @@ object Similarity {
     }
 
   /** Nearest-centroid id (squared-L2 argmin, ties to the lower id) against
-    * literal centroids — per-row, shuffle-free. */
-  private def assignExpr(v: Column, centroids: Array[Array[Double]]): Column = {
-    val dists = distExprs(v, centroids)
-    dists.zipWithIndex.drop(1).foldLeft((lit(0).cast("int"), dists.head)) {
-      case ((bestId, bestDist), (d, i)) =>
-        (when(d < bestDist, lit(i)).otherwise(bestId),
-          when(d < bestDist, d).otherwise(bestDist))
-    }._1
-  }
+    * literal centroids — per-row, shuffle-free. `array_min` over `(dist,
+    * id)` structs: struct ordering compares fields left to right, so the
+    * minimum IS the argmin with ties to the lower id, in an expression
+    * tree of size O(k). (The once-obvious fold of nested `when`s
+    * references the running best twice per step — an O(2^k) tree that
+    * serialized to multi-MB task binaries by k=8 and would be fatal at
+    * the k=1024 cap.) */
+  private def assignExpr(v: Column, centroids: Array[Array[Double]]): Column =
+    array_min(array(distExprs(v, centroids).zipWithIndex.map {
+      case (d, i) => struct(d.as("d"), lit(i).as("i")) }: _*)).getField("i")
 
   /** [[kmeansFit]]'s dense-vector fail-fast, reused by the serving-side
     * labelers: a null/empty/null-element or ragged embedding would
