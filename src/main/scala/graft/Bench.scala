@@ -104,6 +104,11 @@ object Bench {
       spark.stop()
       return
     }
+    if (sys.env.contains("SPARK_GRAFT_SCALE_SLOPE_KMEANS")) {
+      scaleSlopeKmeans(spark, sfDir, () => dropPersistedState())
+      spark.stop()
+      return
+    }
 
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
     val ordered = only.fold(all)(f => all.filter(kv => f(kv._1)))
@@ -602,6 +607,65 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_scale_simhash.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] bench_scale_simhash.json: ${e.getMessage}") }
+    println(line)
+  }
+
+  /** k-means fit scale harness — the evidence behind the SAMPLED-seeding
+    * design: with Gonzalez running driver-local over a bounded md5-prefix
+    * sample (one TakeOrdered scan regardless of corpus size), total fit
+    * time is the `iters` Lloyd scans — LINEAR in the corpus with iters
+    * fixed — where the former full-corpus seeder paid k−1 whole scans up
+    * front and its share GREW with the corpus. A log-log slope near 1
+    * (and flat segment slopes) is the claim; seeding reverting to
+    * corpus-proportional work would push it visibly above 1 at the small
+    * sizes where Lloyd doesn't yet dominate. Corpus = per-replica
+    * sign-flipped embeddings (distinct well-spread vectors, same norms;
+    * replica 0 = identity). Writes `bench_scale_kmeans.json`. */
+  private def scaleSlopeKmeans(spark: SparkSession, sfDir: String,
+                               dropState: () => Unit): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val idSpan = base.agg(max("vec_id")).head().getLong(0) + 1
+    def replica(k: Int) = {
+      val signs =
+        if (k == 0) transform(sequence(lit(1), lit(64)), _ => lit(1.0))
+        else transform(sequence(lit(1), lit(64)),
+          i => when(pmod(xxhash64(lit(k), i), lit(2)) === 0, 1.0).otherwise(-1.0))
+      base.select((col("vec_id") + lit(k * idSpan)).as("vec_id"),
+        zip_with(col("embedding").cast("array<double>"), signs,
+          (x, s) => x * s).as("embedding"))
+    }
+    val sizes = Seq(1, 2, 4, 8, 16)
+    val reps = repsFromEnv()
+    Similarity.kmeansFit(replica(0), "vec_id", "embedding", k = 8, iters = 3)
+    dropState()
+    val rows = sizes.map { n =>
+      val corpus = (0 until n).map(replica).reduce(_ unionByName _)
+      val nVecs = corpus.count()
+      val times = (0 until reps).map { _ =>
+        dropState()
+        val t0 = System.nanoTime()
+        Similarity.kmeansFit(corpus, "vec_id", "embedding", k = 8, iters = 3)
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      dropState()
+      (n, nVecs, times(times.size / 2), times.head, times.last)
+    }
+    def arr[T](f: ((Int, Long, Double, Double, Double)) => T): String =
+      jsonArr(rows)(f)
+    val meds = rows.map(_._3)
+    val line =
+      f"""{"metric":"kmeans_fit_scale_slope","reps":$reps,"k":8,"iters":3,""" +
+        f""""sizes":${arr(_._1)},"vecs":${arr(_._2)},""" +
+        f""""secs":${arr(r => f"${r._3}%.3f")},""" +
+        f""""secs_min":${arr(r => f"${r._4}%.3f")},"secs_max":${arr(r => f"${r._5}%.3f")},""" +
+        f""""slope":${logLogSlope(sizes, meds)}%.3f,""" +
+        f""""segment_slopes":${segmentSlopesJson(sizes, meds)},"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_scale_kmeans.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] bench_scale_kmeans.json: ${e.getMessage}") }
     println(line)
   }
 
