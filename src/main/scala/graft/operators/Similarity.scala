@@ -485,6 +485,41 @@ object Similarity {
     quantizeInt8(df, embCol)
       .select(col(idCol), col(partCol), col("q8"), col("q8_scale"))
 
+  /** Persist a [[buildQuantizedIndex]] frame in the SERVING layout: a
+    * parquet table partitioned by the coarse cell. This is the IVF
+    * counterpart of [[graft.operators.Dedup.writeBandedIndex]]'s bucketed
+    * layout, aimed at the other axis: a banded dedup serve touches the
+    * whole index (any doc can collide), so it optimizes the SHUFFLE; an
+    * IVF serve only ever needs the probed cells, so the win is partition
+    * PRUNING — the directory layout lets a query batch read just those
+    * cells' files and skip the rest of a 100 TB index at the file
+    * listing, before a single byte is scanned. */
+  def writeIvfIndex(index: DataFrame, path: String, partCol: String): Unit =
+    index.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
+  /** [[ivfTopKQuantized]] served from a [[writeIvfIndex]] layout with
+    * STATIC partition pruning: the probed cells are collected from the
+    * query batch (bounded by the number of centroids — ≤ the k-means k
+    * cap, a driver-side read of bytes, not data) and pushed into the
+    * index read as a partition filter, so only those cells' files are
+    * listed and scanned. Dropping the unprobed cells is exact, not a
+    * recall trade: stage 1 joins on the cell, so an unprobed cell can
+    * never contribute a candidate — results are identical to serving the
+    * full index (spec-pinned, along with the pruned scan shape).
+    * Composes with [[withProbeLabels]] exactly like the in-memory path. */
+  def ivfTopKQuantizedPruned(indexPath: String, corpus: DataFrame,
+                             queries: DataFrame, idCol: String, embCol: String,
+                             partCol: String, k: Int,
+                             candidateFactor: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val cells = queries.select(col(partCol)).distinct().collect().map(_.get(0))
+    require(cells.nonEmpty, "ivfTopKQuantizedPruned: empty query batch")
+    val index = spark.read.parquet(indexPath)
+      .filter(col(partCol).isin(cells.toSeq: _*))
+    ivfTopKQuantized(index, corpus, queries, idCol, embCol, partCol, k,
+      candidateFactor)
+  }
+
   /** [[ivfTopKQuantized]] over a prebuilt [[buildQuantizedIndex]] frame
     * (e.g. read back from parquet). `corpus` supplies the fp32 vectors for
     * the exact re-scoring of the shortlist only — the index is the

@@ -750,6 +750,57 @@ class TrainingOpsSpec extends SparkSpec {
       "multi-probe quantized serving must equal the exact top-k here")
   }
 
+  test("partition-pruned IVF serving: writeIvfIndex layout reads only the " +
+    "probed cells, results identical to the full-index serve") {
+    val rnd = new scala.util.Random(31)
+    val centers = Seq(Array.fill(6)(9.0), Array.fill(6)(-9.0),
+      Array.tabulate(6)(i => if (i % 2 == 0) 9.0 else -9.0))
+    val corpus = (0 until 90).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.3).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(corpus, "vec_id", "embedding", k = 3, iters = 4)
+    val labeled = Similarity.withCoarseLabel(corpus, "embedding", cents)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-ix").toString
+    Similarity.writeIvfIndex(
+      Similarity.buildQuantizedIndex(labeled, "vec_id", "embedding", "coarse"),
+      dir, "coarse")
+    // queries from ONE planted cluster, single-probe labels → one cell probed
+    val queries = Similarity.withCoarseLabel(
+      corpus.filter($"vec_id" % 3 === 0 && $"vec_id" < 9), "embedding", cents)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val pruned = Similarity.ivfTopKQuantizedPruned(dir, labeled, queries,
+      "vec_id", "embedding", "coarse", k = 3)
+    val full = Similarity.ivfTopKQuantized(spark.read.parquet(dir), labeled,
+      queries, "vec_id", "embedding", "coarse", k = 3, candidateFactor = 4)
+    assert(key(pruned) == key(full),
+      "dropping unprobed cells must not change the answer")
+    assert(key(pruned).map(_._1) == queries.select("vec_id").as[Long].collect().toSet)
+    // the layout's point: the cell filter prunes at the FILE level — the
+    // pruned read lists a strict subset of the index's files, and the
+    // scan carries a partition filter on the cell column
+    val cell = queries.select("coarse").distinct().as[Int].collect().toSeq
+    assert(cell.size == 1, s"fixture should probe exactly one cell: $cell")
+    val cellFiles = spark.read.parquet(s"$dir/coarse=${cell.head}")
+      .inputFiles.length
+    val totalFiles = spark.read.parquet(dir).inputFiles.length
+    assert(cellFiles > 0 && cellFiles < totalFiles,
+      s"expected a per-cell file subset, got $cellFiles of $totalFiles")
+    pruned.count()
+    val phys = pruned.queryExecution.executedPlan.toString
+    assert(phys.contains("PartitionFilters: [") &&
+      "PartitionFilters: \\[[^\\]]*coarse".r.findFirstIn(phys).isDefined,
+      s"index scan must carry a coarse partition filter:\n$phys")
+    // multi-probe composes identically on the pruned path
+    val probed = Similarity.withProbeLabels(
+      corpus.filter($"vec_id" % 3 === 0 && $"vec_id" < 9), "embedding", cents, 2)
+    assert(key(Similarity.ivfTopKQuantizedPruned(dir, labeled, probed,
+        "vec_id", "embedding", "coarse", k = 3)) ==
+      key(Similarity.ivfTopKQuantized(spark.read.parquet(dir), labeled, probed,
+        "vec_id", "embedding", "coarse", k = 3, candidateFactor = 4)))
+  }
+
   test("simhashPairsPartitioned: saturation regime — identical pairs, candidate " +
     "volume cut by the length partition") {
     // emulate n ≫ 2^width cheaply by SHRINKING the chunk width: 16 bands of
