@@ -100,6 +100,14 @@ object TextAnalysis {
       s"score_$code" ->
         (size(filter(toks, w => w.isin(ws.map(lit): _*))).cast("double") / n)
     }.toMap)
+    // NOTE this fold references the running best twice per step, so the
+    // expression tree doubles per marker — O(2^m). Deliberately kept:
+    // m is the FIXED marker-language set (not data-dependent) and the
+    // leaves are bare column refs, so the tree is ~2^6 tiny nodes. If the
+    // marker set ever grows past a dozen, switch to the O(m)
+    // array_max-over-(score, -idx, code)-structs form used by
+    // Similarity.assignExpr (which hit multi-MB task binaries from this
+    // same shape at k=8 with big leaf expressions).
     val best = markers.map(_._1).foldLeft((lit("und"), lit(0.0))) {
       case ((bestLang, bestScore), code) =>
         val s = col(s"score_$code")
