@@ -493,7 +493,11 @@ object Similarity {
     * IVF serve only ever needs the probed cells, so the win is partition
     * PRUNING — the directory layout lets a query batch read just those
     * cells' files and skip the rest of a 100 TB index at the file
-    * listing, before a single byte is scanned. */
+    * listing, before a single byte is scanned. Crash story: unlike the
+    * banded dedup index there is no table PAIR to keep consistent — one
+    * overwrite of one directory — so a crashed write is recovered by
+    * re-running it (parquet overwrite is not atomic; serve from a path
+    * only after its writer completed, the standard `_SUCCESS` contract). */
   def writeIvfIndex(index: DataFrame, path: String, partCol: String): Unit =
     index.write.mode("overwrite").partitionBy(partCol).parquet(path)
 
