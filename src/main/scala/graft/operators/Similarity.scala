@@ -499,7 +499,15 @@ object Similarity {
     * re-running it (parquet overwrite is not atomic; serve from a path
     * only after its writer completed, the standard `_SUCCESS` contract). */
   def writeIvfIndex(index: DataFrame, path: String, partCol: String): Unit =
-    index.write.mode("overwrite").partitionBy(partCol).parquet(path)
+    // repartition by the cell first: a plain partitionBy write emits one
+    // file per cell per WRITING TASK — files/cell grows with the corpus
+    // partition count (the classic partitionBy small-files trap) and a
+    // pruned read pays per-file overhead proportional to corpus size.
+    // Cell-hashed repartitioning makes it ~one file per cell; a cell too
+    // big for one file is the caller's cue to pre-repartition by
+    // (cell, salt) for N files per cell.
+    index.repartition(col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(path)
 
   /** [[ivfTopKQuantized]] served from a [[writeIvfIndex]] layout with
     * STATIC partition pruning: the probed cells are collected from the
