@@ -208,26 +208,32 @@ object Similarity {
     centroids
   }
 
-  /** Squared-L2 distance of `v` to each literal centroid — per-row,
-    * shuffle-free; shared by seeding and assignment. */
-  private def distExprs(v: Column, centroids: Array[Array[Double]]): Seq[Column] =
-    centroids.toSeq.map { c =>
-      val cLit = array(c.map(lit): _*)
-      aggregate(zip_with(v, cLit, (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
-    }
+  /** `(squared-L2 distance, centroid id)` structs of `v` against every
+    * centroid — per-row, shuffle-free; shared by assignment and the
+    * multi-probe ranking. The centroid MATRIX rides as ONE `typedlit`
+    * (a single Literal whose value is the nested array DATA) with a
+    * two-arg `transform` supplying the centroid index — not as k·dims
+    * individual literal nodes, which serialized to multi-MB task
+    * binaries by k=32 and would be ~100 MB at the k=1024 cap. Same
+    * interpreted-HOF arithmetic either way (the kmeansFit cost note
+    * still holds); only the PLAN stops scaling with k·dims. */
+  private def distStructs(v: Column, centroids: Array[Array[Double]]): Column =
+    transform(typedlit(centroids.map(_.toSeq).toSeq), (c, i) =>
+      struct(
+        aggregate(zip_with(v, c, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("d"),
+        i.as("i")))
 
   /** Nearest-centroid id (squared-L2 argmin, ties to the lower id) against
     * literal centroids — per-row, shuffle-free. `array_min` over `(dist,
     * id)` structs: struct ordering compares fields left to right, so the
     * minimum IS the argmin with ties to the lower id, in an expression
-    * tree of size O(k). (The once-obvious fold of nested `when`s
-    * references the running best twice per step — an O(2^k) tree that
-    * serialized to multi-MB task binaries by k=8 and would be fatal at
-    * the k=1024 cap.) */
+    * tree of size O(1) given the single-literal matrix. (The once-obvious
+    * fold of nested `when`s references the running best twice per step —
+    * an O(2^k) tree that serialized to multi-MB task binaries by k=8 and
+    * would be fatal at the k=1024 cap.) */
   private def assignExpr(v: Column, centroids: Array[Array[Double]]): Column =
-    array_min(array(distExprs(v, centroids).zipWithIndex.map {
-      case (d, i) => struct(d.as("d"), lit(i).as("i")) }: _*)).getField("i")
+    array_min(distStructs(v, centroids)).getField("i")
 
   /** [[kmeansFit]]'s dense-vector fail-fast, reused by the serving-side
     * labelers: a null/empty/null-element or ragged embedding would
@@ -282,8 +288,7 @@ object Similarity {
     require(nprobe >= 1 && nprobe <= centroids.length,
       s"nprobe must be in [1, ${centroids.length}], got $nprobe")
     val v = guardedVec(embCol, dims, "with_probe_labels")
-    val ranked = array_sort(array(distExprs(v, centroids).zipWithIndex.map {
-      case (d, i) => struct(d.as("d"), lit(i).as("i")) }: _*))
+    val ranked = array_sort(distStructs(v, centroids))
     df.withColumn("coarse",
       explode(transform(slice(ranked, 1, nprobe), s => s.getField("i"))))
   }
