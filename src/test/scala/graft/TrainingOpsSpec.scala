@@ -531,8 +531,24 @@ class TrainingOpsSpec extends SparkSpec {
         "ix_fullre", buckets = 4)
       assert(served == hits(Dedup.dedupAgainstBandedIndex(batch, "ix_fullre",
         "doc_id", "text", minJaccard = 0.5)))
-      // serving stays one-sided after the append: bucketed scans (now >1
-      // file per bucket), exactly ONE bh exchange — the batch side
+      // a SECOND append: three committed epochs serve together, and the
+      // earlier epochs keep serving unchanged
+      val corpusC = Seq((6L, "measurements of tidal currents near the " +
+        "estuary mouth recorded hourly by the small autonomous buoy fleet"))
+        .toDF("doc_id", "text")
+      Dedup.appendToBandedIndex(corpusC, "ix_app", "doc_id", "text")
+      val probe2 = Seq((13L, "measurements of tidal currents near the " +
+        "estuary mouth recorded hourly by the small autonomous buoy fleet"))
+        .toDF("doc_id", "text")
+      val h3 = hits(Dedup.dedupAgainstBandedIndex(probe2, "ix_app",
+        "doc_id", "text", minJaccard = 0.5))
+      assert(h3.map(h => (h._1, h._2)) == Set((13L, 6L)),
+        s"the second append's epoch must serve: $h3")
+      assert(hits(Dedup.dedupAgainstBandedIndex(batch, "ix_app",
+        "doc_id", "text", minJaccard = 0.5)) == served,
+        "earlier epochs must keep serving after further appends")
+      // serving stays one-sided after TWO appends: bucketed scans (now 3
+      // files per bucket), exactly ONE bh exchange — the batch side
       val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       val aqeThr = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", thr)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
