@@ -22,6 +22,10 @@ import graft.streaming.Compactor
   *  - `curate`: the training-data curation pipeline (decontaminate →
   *    quality filter → near-dup removal → PII redaction → hash split) over
   *    a documents parquet — [[graft.Pipeline.curate]] as a CLI.
+  *  - `index-build` / `index-append` / `index-filter`: the incremental
+  *    dedup-index lifecycle ([[graft.operators.Dedup.writeBandedIndex]]
+  *    family) — build the banded index once, then per ingest cycle filter
+  *    the new batch against it and append what was kept.
   *
   * Usage:
   * {{{
@@ -47,7 +51,13 @@ object Main {
       |          [--id doc_id] [--text text] [--quality 0.5] [--jaccard 0.8] [--shingle-k 8]
       |  curate-stream --landing <dir> --eval <eval-parquet> --out <dir> --checkpoint <dir>
       |          [--id doc_id] [--text text] [--ts ts] [--watermark '10 minutes']
-      |          [--quality 0.5] [--shingle-k 8] [--once]""".stripMargin
+      |          [--quality 0.5] [--shingle-k 8] [--once]
+      |  index-build  --in <docs-parquet> --name <table>
+      |          [--id doc_id] [--text text] [--buckets 256] [--bands 32]
+      |          [--shingle-k 3] [--hashes 128]
+      |  index-append --in <docs-parquet> --name <table> [--id doc_id] [--text text]
+      |  index-filter --in <batch-parquet> --name <table> --out <dir>
+      |          [--id doc_id] [--text text] [--jaccard 0.8]""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val spark = session()
@@ -149,6 +159,42 @@ object Main {
         .option("path", out).option("checkpointLocation", ckpt)
         .outputMode("append").trigger(trigger).start()
       q.awaitTermination() // AvailableNow self-terminates after the drain
+
+    // the incremental-ingest loop as CLI: build the banded dedup index
+    // once over the landed corpus, then per ingest cycle `index-filter`
+    // the new batch (write the kept docs) and `index-append` them — every
+    // serve stays one-sided, the index is never rebuilt per batch, and
+    // the epoch-commit protocol makes a crashed step safely re-runnable.
+    case Some("index-build") =>
+      val (opt, _) = parse(args.tail)
+      val (in, name) = (req(opt, "in"), req(opt, "name"))
+      val index = graft.operators.Materialize.eagerCheckpoint(
+        graft.operators.Dedup.buildDedupIndex(
+          spark.read.parquet(in),
+          opt.getOrElse("id", "doc_id"), opt.getOrElse("text", "text"),
+          shingleK = opt.getOrElse("shingle-k", "3").toInt,
+          numHashes = opt.getOrElse("hashes", "128").toInt))
+      graft.operators.Dedup.writeBandedIndex(index, name,
+        buckets = opt.getOrElse("buckets", "256").toInt,
+        bands = opt.getOrElse("bands", "32").toInt)
+
+    case Some("index-append") =>
+      val (opt, _) = parse(args.tail)
+      val (in, name) = (req(opt, "in"), req(opt, "name"))
+      graft.operators.Dedup.appendToBandedIndex(spark.read.parquet(in), name,
+        opt.getOrElse("id", "doc_id"), opt.getOrElse("text", "text"))
+
+    case Some("index-filter") =>
+      val (opt, _) = parse(args.tail)
+      val (in, name, out) = (req(opt, "in"), req(opt, "name"), req(opt, "out"))
+      val idCol = opt.getOrElse("id", "doc_id")
+      val batch = spark.read.parquet(in)
+      val hits = graft.operators.Dedup.dedupAgainstBandedIndex(batch, name,
+        idCol, opt.getOrElse("text", "text"),
+        minJaccard = opt.getOrElse("jaccard", "0.8").toDouble)
+      batch.join(hits.select(idCol), Seq(idCol), "left_anti")
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(out)
 
     case other =>
       throw new IllegalArgumentException(

@@ -84,6 +84,53 @@ class RunnerSpec extends SparkSpec {
       .forall(Set("train", "val", "test")))
   }
 
+  test("index lifecycle CLI: build → filter → append → filter — the ingest loop") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the old river " +
+        "bank while the heron watches from the reeds in the morning light")
+    ).toDF("doc_id", "text")
+    val batch1 = Seq(
+      // near-dup of landed doc 1 → filtered
+      (10L, "the quick brown fox jumps over the lazy cat near the old river " +
+        "bank while the heron watches from the reeds in the morning light"),
+      // novel → kept, then appended
+      (11L, "a completely new report about the harvest with plenty of the " +
+        "usual words in it for the quality gate to like and to keep")
+    ).toDF("doc_id", "text")
+    val batch2 = Seq(
+      // near-dup of doc 11 — only catchable because batch1's kept docs
+      // were APPENDED to the index between the cycles
+      (20L, "a completely new report about the orchard with plenty of the " +
+        "usual words in it for the quality gate to like and to keep"),
+      (21L, "entirely novel appended content about deep sea creatures and " +
+        "their bioluminescent signalling habits")
+    ).toDF("doc_id", "text")
+    val cdir = outDir("cli-ix-corpus"); val b1 = outDir("cli-ix-b1")
+    val b2 = outDir("cli-ix-b2"); val k1 = outDir("cli-ix-kept1")
+    val k2 = outDir("cli-ix-kept2")
+    corpus.write.mode("overwrite").parquet(cdir)
+    batch1.write.mode("overwrite").parquet(b1)
+    batch2.write.mode("overwrite").parquet(b2)
+    try {
+      Main.run(Seq("index-build", "--in", cdir, "--name", "cli_ix",
+        "--buckets", "4"), spark)
+      Main.run(Seq("index-filter", "--in", b1, "--name", "cli_ix",
+        "--out", k1, "--jaccard", "0.5"), spark)
+      assert(spark.read.parquet(k1).select("doc_id").as[Long].collect().toSet
+        == Set(11L), "near-dup of the corpus must be filtered, novel kept")
+      Main.run(Seq("index-append", "--in", k1, "--name", "cli_ix"), spark)
+      Main.run(Seq("index-filter", "--in", b2, "--name", "cli_ix",
+        "--out", k2, "--jaccard", "0.5"), spark)
+      assert(spark.read.parquet(k2).select("doc_id").as[Long].collect().toSet
+        == Set(21L),
+        "a near-dup of a doc kept LAST cycle must be filtered this cycle")
+    } finally {
+      Seq("_bands", "_sigs", "_meta").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS cli_ix$s"))
+    }
+  }
+
   test("curate-stream --once: landing backlog curated through the streaming flow") {
     import spark.implicits._
     val landing = outDir("cli-stream-docs"); val ev = outDir("cli-stream-eval")
