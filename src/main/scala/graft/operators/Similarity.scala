@@ -502,7 +502,12 @@ object Similarity {
     * banded dedup index there is no table PAIR to keep consistent — one
     * overwrite of one directory — so a crashed write is recovered by
     * re-running it (parquet overwrite is not atomic; serve from a path
-    * only after its writer completed, the standard `_SUCCESS` contract). */
+    * only after its writer completed, the standard `_SUCCESS` contract).
+    * Growth: rebuild, deliberately — an IVF's centroids drift as the
+    * corpus grows, so the real-world cycle is re-train + re-quantize +
+    * rebuild on a cadence; per-batch appends would need the epoch-commit
+    * machinery of the banded dedup index AND would ossify stale
+    * centroids, the worse trade on both axes. */
   def writeIvfIndex(index: DataFrame, path: String, partCol: String): Unit =
     // repartition by the cell first: a plain partitionBy write emits one
     // file per cell per WRITING TASK — files/cell grows with the corpus

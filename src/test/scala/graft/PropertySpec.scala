@@ -448,6 +448,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("learned IVF on arbitrary planted clusters: labels are pure, " +
+    "nprobe=2 served top-1 equals brute force") {
+    import graft.operators.Similarity
+    val gen = for {
+      nClusters <- Gen.chooseNum(2, 4)
+      dims <- Gen.chooseNum(nClusters, 10)
+      perCluster <- Gen.chooseNum(8, 20)
+      noiseSeed <- Gen.chooseNum(0, 10000)
+    } yield (nClusters, dims, perCluster, noiseSeed)
+    forAll(gen, n = 4) { case (nClusters, dims, perCluster, noiseSeed) =>
+      // centers separated BY CONSTRUCTION (one-hot 20.0 at the cluster's
+      // own dim): inter-center distance² ≥ 800 ≫ noise, so purity and
+      // exact serving are properties of the OPERATORS, not generator luck
+      val rnd = new scala.util.Random(noiseSeed)
+      val data = (0 until nClusters * perCluster).map { i =>
+        val c = i % nClusters
+        (i.toLong, Array.tabulate(dims)(d =>
+          ((if (d == c) 20.0 else 0.0) + rnd.nextGaussian() * 0.3).toFloat).toSeq)
+      }
+      val df = data.toDF("vec_id", "embedding")
+      val cents = Similarity.kmeansFit(df, "vec_id", "embedding",
+        k = nClusters, iters = 4,
+        // exercise the SAMPLED seeder whenever the corpus allows it
+        sampleRows = math.max(nClusters, nClusters * perCluster / 2))
+      val labeled = Similarity.withCoarseLabel(df, "embedding", cents)
+      val byPlanted = labeled.select($"vec_id", $"coarse").collect()
+        .map(r => (r.getLong(0) % nClusters, r.getInt(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert(byPlanted.values.forall(_.size == 1),
+        s"impure labels ($nClusters clusters, dims=$dims): $byPlanted")
+      assert(byPlanted.values.flatten.toSet.size == nClusters,
+        s"merged clusters: $byPlanted")
+      // serving: first vector of each planted cluster as the query batch
+      val queries = df.filter($"vec_id" < nClusters)
+      val served = Similarity.ivfTopK(labeled,
+          Similarity.withProbeLabels(queries, "embedding", cents, nprobe = 2),
+          "vec_id", "embedding", "coarse", 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(served == exact,
+        s"served top-1 diverged from brute force: $served vs $exact")
+    }
+  }
+
   test("ensureColumns: arbitrary column subsets conform to the full schema") {
     forAll(Gen.someOf(Schemas.mem.fieldNames.toSeq)) { keep =>
       whenever(keep.nonEmpty) {
