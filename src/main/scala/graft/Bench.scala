@@ -22,9 +22,13 @@ import org.apache.spark.sql.SparkSession
   *
   * `SPARK_GRAFT_ONLY=q_a,q_b` restricts the run (dev loop).
   * `SPARK_GRAFT_SCALE_SLOPE=1` instead measures the LSH dedup pipeline's
-  * wall-time slope across 1×/2×/4×/8× synthetic corpus replications —
-  * the empirical evidence that candidate-generate-verify scales
-  * near-linearly (a quadratic path would show a log-log slope near 2). */
+  * wall-time slope across 1×–16× synthetic corpus replications — the
+  * empirical evidence that candidate-generate-verify scales near-
+  * linearly (a quadratic path would show a log-log slope near 2). The
+  * `_EMBED`/`_INTERVAL`/`_SIMHASH`/`_CURATE`/`_INDEX`/`_KMEANS`/`_IVF`
+  * variants measure the other scale claims the same way — each writes
+  * its own `bench_scale_*.json`; the claims and committed values are
+  * catalogued in COVERAGE.md. */
 object Bench {
 
   /** Accumulates task-level IO counters; reset per timed query. */
