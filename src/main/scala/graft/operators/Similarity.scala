@@ -534,11 +534,16 @@ object Similarity {
                              partCol: String, k: Int,
                              candidateFactor: Int = 4): DataFrame = {
     val spark = queries.sparkSession
-    val cells = queries.select(col(partCol)).distinct().collect().map(_.get(0))
+    // the query frame is read THREE times per serve (cells probe, stage-1
+    // quantization, exact re-score) and a withProbeLabels frame carries
+    // the k·dims-HOF labeling in its plan — materialize once so the
+    // labeling runs once, not three times (the batch is the small side)
+    val q = Materialize.eagerCheckpoint(queries)
+    val cells = q.select(col(partCol)).distinct().collect().map(_.get(0))
     require(cells.nonEmpty, "ivfTopKQuantizedPruned: empty query batch")
     val index = spark.read.parquet(indexPath)
       .filter(col(partCol).isin(cells.toSeq: _*))
-    ivfTopKQuantized(index, corpus, queries, idCol, embCol, partCol, k,
+    ivfTopKQuantized(index, corpus, q, idCol, embCol, partCol, k,
       candidateFactor)
   }
 
