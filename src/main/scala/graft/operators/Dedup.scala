@@ -364,8 +364,9 @@ object Dedup {
     * never serves partially and a retried one never double-counts.
     * Appends add one file per bucket per call; the bucketed scan unions
     * a bucket's files without an exchange, so serving stays one-sided —
-    * compact by re-running [[writeBandedIndex]] when the file count
-    * warrants it. Batch-internal duplicates are out of scope here
+    * [[compactBandedIndex]] restores ~one file per bucket when the count
+    * warrants it, WITHOUT re-shingling. Batch-internal duplicates are out
+    * of scope here
     * exactly as in [[dedupAgainstIndex]]: dedup the batch first, then
     * append what you keep. */
   def appendToBandedIndex(newDocs: DataFrame, name: String, idCol: String,
@@ -399,6 +400,89 @@ object Dedup {
       .saveAsTable(s"${name}_sigs")
     spark.createDataFrame(Seq(Tuple1(epoch))).toDF("build_id")
       .write.mode("append").saveAsTable(s"${name}_meta")
+  }
+
+  /** COMPACTION of a [[writeBandedIndex]]+[[appendToBandedIndex]] layout:
+    * merge every committed epoch into ONE fresh epoch by REWRITING the
+    * existing `_bands`/`_sigs` rows — the rows are immutable and already
+    * shingled/hashed, so compaction never touches corpus text (after N
+    * ingest appends, re-running [[writeBandedIndex]] would re-shingle and
+    * re-sign the ENTIRE corpus just to merge rows that already exist; this
+    * costs one read+write of the index tables — ~1 KB/doc — instead).
+    * Restores ~one file per bucket (each write is explicitly repartitioned
+    * bucket-aligned), so a serve after N ingest cycles stops listing and
+    * opening N files per bucket.
+    *
+    * Crash story, same epoch-commit discipline as build/append: the merged
+    * rows land as an APPEND under a fresh epoch — invisible while `_meta`
+    * still lists the old epochs — and the `_meta` OVERWRITE to exactly
+    * that one epoch is the commit point. A crash before it leaves the old
+    * epochs serving untouched (the orphan merged rows are invisible, and a
+    * retry re-merges and later GC collects them); a crash during the tiny
+    * `_meta` overwrite fails serving loudly (no committed builds), never
+    * silently. After the commit, the superseded files — snapshotted
+    * BEFORE the merge was appended, so the set is exact — are deleted as
+    * pure garbage collection: their rows are already invisible to serving,
+    * and a crash mid-delete just leaves orphans for the next compaction's
+    * snapshot to collect. Uncommitted rows from crashed appends are
+    * filtered out of the merge AND live in pre-snapshot files, so
+    * compaction doubles as the garbage collector for crashed ingests.
+    * Single-writer, like rebuild: do not compact concurrently with
+    * appends (an append committing between the snapshot and the `_meta`
+    * swap would be clobbered), and in-flight serves planned against the
+    * old file set should drain first.
+    *
+    * The committed rows are read PATH-based (explicit file list) rather
+    * than via the catalog: the catalog caches the table's relation, and
+    * Spark's pre-write check rejects an insert whose query reads the
+    * cached relation of its own target table; the explicit list also IS
+    * the GC snapshot, so what is read and what is deleted can never
+    * diverge. Reference analogy: the appender's read-concat-replace
+    * compaction (step-1/appender.py:215-323), minus its
+    * whole-file-in-memory bound. */
+  def compactBandedIndex(spark: org.apache.spark.sql.SparkSession,
+                         name: String): Unit = {
+    val committed = committedEpochs(spark, name)
+    require(committed.nonEmpty,
+      s"compactBandedIndex: ${name}_meta lists no committed builds - run writeBandedIndex first")
+    val buckets = tableBuckets(spark, s"${name}_sigs")
+    import org.apache.hadoop.fs.Path
+    def location(table: String): Path =
+      new Path(spark.sessionState.catalog
+        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+        .location)
+    val fs = location(s"${name}_sigs")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // the pre-merge data-file snapshot: exactly what the merge reads and
+    // exactly what the post-commit GC deletes
+    def dataFiles(table: String): Seq[String] =
+      fs.listStatus(location(table)).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .map(_.getPath.toString)
+    val oldBands = dataFiles(s"${name}_bands")
+    val oldSigs = dataFiles(s"${name}_sigs")
+    require(oldSigs.nonEmpty,
+      s"compactBandedIndex: ${name}_sigs has no data files (crashed rebuild?) - re-run writeBandedIndex")
+    val epoch = System.nanoTime()
+    def mergeInto(files: Seq[String], table: String, keyCol: String): Unit =
+      spark.read.parquet(files: _*)
+        .filter(col("build_id").isin(committed: _*))
+        .withColumn("build_id", lit(epoch))
+        // bucket-aligned repartition (same murmur3-pmod assignment as the
+        // bucketBy below): each task holds exactly one bucket's rows, so
+        // the merged epoch lands as ~one file per bucket — the point
+        .repartition(buckets, col(keyCol))
+        .write.mode("append")
+        .bucketBy(buckets, keyCol).sortBy(keyCol)
+        .saveAsTable(table)
+    mergeInto(oldBands, s"${name}_bands", "bh")
+    mergeInto(oldSigs, s"${name}_sigs", "sh_id")
+    // commit point: the merged epoch becomes the ONLY served epoch
+    spark.createDataFrame(Seq(Tuple1(epoch))).toDF("build_id")
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
+    // GC — the snapshot's rows are invisible now (committed ∌ their epochs)
+    (oldBands ++ oldSigs).foreach(f => fs.delete(new Path(f), false))
   }
 
   /** [[dedupAgainstIndex]] served from a [[writeBandedIndex]] layout:

@@ -596,6 +596,126 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("banded index compaction: serve-after-compact ≡ serve-before, one " +
+    "committed epoch, files-per-bucket back to ~1, crashed-append garbage " +
+    "collected, append-after-compact still serves") {
+    val corpusA = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the old river bank"),
+      (2L, "spark shuffles partitions across the cluster under adaptive query " +
+        "execution while the scheduler assigns tasks to executors"),
+      (3L, "completely different words live here entirely on their own today")
+    ).toDF("doc_id", "text")
+    val corpusB = Seq(
+      (4L, "a gardening manual describes pruning shears and trowels in detail " +
+        "for the serious allotment keeper")).toDF("doc_id", "text")
+    val corpusC = Seq(
+      (5L, "measurements of tidal currents near the estuary mouth recorded " +
+        "hourly by the small autonomous buoy fleet")).toDF("doc_id", "text")
+    // batch hits docs from the base build AND from both appends — every
+    // epoch must survive the merge
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the old river bank"),
+      (11L, "a gardening manual describes pruning shears and trowels in detail " +
+        "for the serious allotment keeper"),
+      (12L, "measurements of tidal currents near the estuary mouth recorded " +
+        "hourly by the small autonomous buoy fleet"),
+      (13L, "nothing in the corpus resembles this sentence about orbital mechanics")
+    ).toDF("doc_id", "text")
+    def hits(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def dataFiles(table: String): Seq[java.io.File] = {
+      val loc = new java.io.File(new java.net.URI(spark.sessionState.catalog
+        .getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table))
+        .location.toString))
+      Option(loc.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+    }
+    val buckets = 4
+    try {
+      Dedup.writeBandedIndex(
+        Dedup.buildDedupIndex(corpusA, "doc_id", "text"), "ix_cmp",
+        buckets = buckets)
+      Dedup.appendToBandedIndex(corpusB, "ix_cmp", "doc_id", "text")
+      Dedup.appendToBandedIndex(corpusC, "ix_cmp", "doc_id", "text")
+      // a crashed append's orphan rows (epoch never committed): must not
+      // serve before OR after compaction, and compaction must GC its files
+      val orphanRows = spark.table("ix_cmp_bands").limit(3).collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(orphanRows),
+          spark.table("ix_cmp_bands").schema)
+        .withColumn("build_id", lit(999L))
+        .write.mode("append").bucketBy(buckets, "bh").sortBy("bh")
+        .saveAsTable("ix_cmp_bands")
+      val before = hits(Dedup.dedupAgainstBandedIndex(batch, "ix_cmp",
+        "doc_id", "text", minJaccard = 0.5))
+      assert(before.map(h => (h._1, h._2)) ==
+        Set((10L, 1L), (11L, 4L), (12L, 5L)), s"pre-compact serve: $before")
+      val filesBefore = dataFiles("ix_cmp_bands").size
+      assert(filesBefore > buckets,
+        s"3 epochs + orphans should exceed $buckets files, got $filesBefore")
+
+      Dedup.compactBandedIndex(spark, "ix_cmp")
+
+      // identical hits AND estimates; exactly ONE committed epoch
+      assert(hits(Dedup.dedupAgainstBandedIndex(batch, "ix_cmp",
+        "doc_id", "text", minJaccard = 0.5)) == before)
+      assert(spark.table("ix_cmp_meta").count() == 1,
+        "compaction must leave exactly one committed epoch")
+      // files-per-bucket back to ~1 — the merged epoch is repartitioned
+      // bucket-aligned, so each table holds at most `buckets` data files
+      Seq("ix_cmp_bands", "ix_cmp_sigs").foreach { t =>
+        val n = dataFiles(t).size
+        assert(n <= buckets && n >= 1,
+          s"$t should hold <= $buckets files after compaction, got $n")
+      }
+      // the crashed append's rows were uncommitted → filtered from the
+      // merge, and its files were in the GC snapshot → physically gone
+      assert(spark.table("ix_cmp_bands")
+        .filter(col("build_id") === 999L).count() == 0,
+        "compaction must garbage-collect uncommitted orphan rows")
+      // the layout survives: bucketed scans, ONE bh exchange (batch side)
+      val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val aqeThr = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", thr)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      try {
+        val shuffled = Dedup.dedupAgainstBandedIndex(batch, "ix_cmp",
+          "doc_id", "text", minJaccard = 0.5)
+        shuffled.count()
+        val phys = shuffled.queryExecution.executedPlan.toString
+        assert(phys.contains("Bucketed: true"), s"bucketed scan not used:\n$phys")
+        assert("Exchange hashpartitioning\\(bh".r.findAllIn(phys).size == 1,
+          s"expected ONE bh exchange after compaction:\n$phys")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", aqeThr)
+      }
+      // the lifecycle continues: append AFTER compaction serves alongside
+      // the merged epoch
+      val corpusD = Seq((6L, "fresh post-compaction content regarding " +
+        "alpine glacier mass balance surveys")).toDF("doc_id", "text")
+      Dedup.appendToBandedIndex(corpusD, "ix_cmp", "doc_id", "text")
+      val probe = Seq((14L, "fresh post-compaction content regarding " +
+        "alpine glacier mass balance surveys")).toDF("doc_id", "text")
+      val after = hits(Dedup.dedupAgainstBandedIndex(
+        probe.unionByName(batch), "ix_cmp", "doc_id", "text", minJaccard = 0.5))
+      assert(after.map(h => (h._1, h._2)) ==
+        before.map(h => (h._1, h._2)) + ((14L, 6L)),
+        s"append after compaction must serve both epochs: $after")
+      // and a second compaction folds those two epochs back to one
+      Dedup.compactBandedIndex(spark, "ix_cmp")
+      assert(hits(Dedup.dedupAgainstBandedIndex(
+        probe.unionByName(batch), "ix_cmp", "doc_id", "text",
+        minJaccard = 0.5)) == after)
+      assert(spark.table("ix_cmp_meta").count() == 1)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ix_cmp_bands")
+      spark.sql("DROP TABLE IF EXISTS ix_cmp_sigs")
+      spark.sql("DROP TABLE IF EXISTS ix_cmp_meta")
+    }
+  }
+
   test("kmeansFit: deterministic learned IVF — planted clusters recovered, " +
     "learned-partition ivfTopK equals brute force") {
     val rnd = new scala.util.Random(11)
