@@ -120,6 +120,12 @@ object Similarity {
     * scale that is one pass over the corpus per round with `iters` fixed
     * and small. Profile before reaching for a native codegen'd argmin —
     * the aggregation shuffle is already negligible. */
+  /** Upper bound on the [[kmeansFit]] seeding sample's DRIVER footprint,
+    * `sampleRows · dims · 8` bytes of transient doubles (256 MiB). The fit
+    * fails fast past it — naming both dials — instead of OOMing the
+    * driver mid-collect. */
+  val MaxSeedSampleBytes: Long = 256L << 20
+
   def kmeansFit(df: DataFrame, idCol: String, embCol: String, k: Int,
                 iters: Int = 5, sampleRows: Int = 0): Array[Array[Double]] = {
     require(k >= 1, s"k must be positive, got $k")
@@ -143,6 +149,26 @@ object Similarity {
       vRaw.isNull || size(vRaw) === 0 || exists(vRaw, _.isNull),
       raise_error(lit("kmeans_fit: null or empty embedding"))).otherwise(vRaw)
     val cap = if (sampleRows > 0) sampleRows else math.max(10000, 100 * k)
+    // the sample lands on the DRIVER as ~cap·dims·8 bytes of transient
+    // doubles — bound the PRODUCT before collecting, not just the row
+    // count: at the auto-cap with k=1024 and dims=1024 the sample alone
+    // is ~0.8 GB of driver heap, an OOM the scaladoc's "sampleRows is the
+    // dial" remark used to leave the caller to discover. One limit(1)
+    // probe reads dims first (a metadata-cheap job next to the fit's own
+    // scans); an empty corpus skips the guard and fails on the existing
+    // non-empty require below. Same fail-loudly-with-the-dials style as
+    // the lshGeometryFor infeasibility guard.
+    df.select(size(vRaw).as("d")).limit(1).collect().headOption.foreach { r =>
+      val dims0 = r.getInt(0)
+      val bytes = cap.toLong * dims0 * 8L
+      require(bytes <= MaxSeedSampleBytes,
+        f"kmeans_fit: the driver-side seeding sample would hold $cap rows x " +
+          f"$dims0 dims ~= ${bytes / (1 << 20)} MiB of doubles " +
+          f"(cap ${MaxSeedSampleBytes / (1 << 20)} MiB) - lower sampleRows " +
+          "(the seeding-sample dial; seed quality needs only ~100 rows per " +
+          "cluster) or reduce dims upstream (project the embedding) before " +
+          "fitting")
+    }
     // ONE TakeOrdered scan draws the md5-prefix sample. Sorted by h, so
     // sample(0) is the global md5-minimal row — the same first seed the
     // former full-corpus seeder chose (driver re-sort belt-and-braces
@@ -291,6 +317,42 @@ object Similarity {
     val ranked = array_sort(distStructs(v, centroids))
     df.withColumn("coarse",
       explode(transform(slice(ranked, 1, nprobe), s => s.getField("i"))))
+  }
+
+  /** IVF centroid-drift metric — what makes the [[writeIvfIndex]] growth
+    * policy ("rebuild deliberately on drift") TRIGGERABLE instead of
+    * aspirational: the fraction of a deterministic sample of the labeled
+    * index whose nearest centroid under `centroids` differs from its
+    * STORED label. Serve-time drift ≈ 0 means the index's cell layout
+    * still matches the quantizer; as the corpus grows/shifts, refit
+    * centroids on the current corpus ([[kmeansFit]]) and compare against
+    * the index built yesterday — the returned fraction is the share of
+    * (sampled) vectors a rebuild would move to a different cell, i.e. the
+    * recall erosion bound a stale layout carries. Rebuild when it crosses
+    * the deployment's tolerance.
+    *
+    * Determinism and cost mirror [[kmeansFit]]'s seeding sample: ONE
+    * `TakeOrdered` scan over the md5-prefix order (partitioning-
+    * independent, so the metric is reproducible across layouts), driver
+    * receives `sampleRows` booleans — never vectors, never the index.
+    * Null stored labels and null/ragged embeddings fail loudly (a
+    * corrupted index must not read as "no drift"). */
+  def assignmentDrift(index: DataFrame, idCol: String, embCol: String,
+                      labelCol: String, centroids: Array[Array[Double]],
+                      sampleRows: Int = 10000): Double = {
+    require(sampleRows >= 1, s"sampleRows must be positive, got $sampleRows")
+    val dims = checkCentroids(centroids)
+    val v = guardedVec(embCol, dims, "assignment_drift")
+    val lbl = when(col(labelCol).isNull,
+        raise_error(lit("assignment_drift: null stored label - corrupted index row")))
+      .otherwise(col(labelCol).cast("int"))
+    val rows = index
+      .select(md5(col(idCol).cast("string").cast("binary")).as("h"),
+        (assignExpr(v, centroids) =!= lbl).as("drifted"))
+      .orderBy("h").limit(sampleRows)
+      .collect()
+    require(rows.nonEmpty, "assignment_drift: empty index")
+    rows.count(_.getBoolean(1)).toDouble / rows.length
   }
 
   /** All pairs with cosine ≥ `minCosine` (embedding near-dup detection).
@@ -507,7 +569,10 @@ object Similarity {
     * corpus grows, so the real-world cycle is re-train + re-quantize +
     * rebuild on a cadence; per-batch appends would need the epoch-commit
     * machinery of the banded dedup index AND would ossify stale
-    * centroids, the worse trade on both axes. */
+    * centroids, the worse trade on both axes. [[assignmentDrift]] is the
+    * metric that triggers the cycle: refit on the current corpus, measure
+    * the label-change fraction against the served index, rebuild past the
+    * tolerance. */
   def writeIvfIndex(index: DataFrame, path: String, partCol: String): Unit =
     // repartition by the cell first: a plain partitionBy write emits one
     // file per cell per WRITING TASK — files/cell grows with the corpus

@@ -816,6 +816,66 @@ class TrainingOpsSpec extends SparkSpec {
       Similarity.withCoarseLabel(df, "embedding", Array(Array(1.0), Array(1.0, 2.0))))
   }
 
+  test("kmeansFit: driver-byte guard bounds sampleRows x dims BEFORE the " +
+    "collect, naming both dials") {
+    val df = (0 until 50).map(i => (i.toLong, Seq.fill(8)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    // 50M rows x 8 dims x 8 B = 3.2 GB >> the 256 MiB bound; the guard
+    // must fire from the limit(1) dims probe, never from an OOM'd collect
+    val e = msgChain(intercept[IllegalArgumentException](Similarity.kmeansFit(
+      df, "vec_id", "embedding", k = 2, iters = 1, sampleRows = 50000000)))
+    assert(e.contains("sampleRows") && e.contains("dims"),
+      s"remediation must name both dials: $e")
+    assert(e.contains("MiB"), s"guard should state the bound: $e")
+    // under the bound, the same corpus fits fine
+    assert(Similarity.kmeansFit(df, "vec_id", "embedding", k = 2, iters = 1,
+      sampleRows = 10).length == 2)
+  }
+
+  test("assignmentDrift: planted drift reads as the shifted cluster's mass, " +
+    "unshifted centroids read as zero") {
+    val rnd = new scala.util.Random(31)
+    val centers = Seq(Array.fill(6)(9.0), Array.fill(6)(-9.0))
+    // 240 vectors, alternating clouds — cloud 1 holds exactly half the mass
+    val df = (0 until 240).map { i =>
+      val c = centers(i % 2)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.3).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = Array(Array.fill(6)(9.0), Array.fill(6)(-9.0))
+    val index = Similarity.withCoarseLabel(df, "embedding", cents)
+      .select($"vec_id", $"embedding", $"coarse")
+    // same centroids the labels came from: nothing drifted
+    assert(Similarity.assignmentDrift(index, "vec_id", "embedding", "coarse",
+      cents) == 0.0)
+    // centroid 1 moved far away: every cloud-1 vector's nearest centroid
+    // is now centroid 0 — drift == cloud 1's mass exactly
+    val shifted = Array(Array.fill(6)(9.0), Array.fill(6)(500.0))
+    assert(Similarity.assignmentDrift(index, "vec_id", "embedding", "coarse",
+      shifted) == 0.5)
+    // the sample is a deterministic md5-prefix subset: a partial sample
+    // still measures, and repartitioning cannot change which rows it reads
+    val sub = Similarity.assignmentDrift(index, "vec_id", "embedding",
+      "coarse", shifted, sampleRows = 60)
+    assert(sub == Similarity.assignmentDrift(index.repartition(7), "vec_id",
+      "embedding", "coarse", shifted, sampleRows = 60))
+    assert(sub > 0.3 && sub < 0.7, s"60-row sample should straddle 0.5: $sub")
+    // corrupted index rows fail loudly, never read as "no drift"
+    val nullLabel = df.select($"vec_id", $"embedding",
+      lit(null).cast("int").as("coarse"))
+    assert(msgChain(intercept[Exception](Similarity.assignmentDrift(
+        nullLabel, "vec_id", "embedding", "coarse", cents)))
+      .contains("null stored label"))
+    val ragged = Seq((1L, Seq(1.0f, 2.0f), 0)).toDF("vec_id", "embedding", "coarse")
+    assert(msgChain(intercept[Exception](Similarity.assignmentDrift(
+        ragged, "vec_id", "embedding", "coarse", cents)))
+      .contains("ragged embedding"))
+    intercept[IllegalArgumentException](Similarity.assignmentDrift(
+      index, "vec_id", "embedding", "coarse", cents, sampleRows = 0))
+    assert(msgChain(intercept[Exception](Similarity.assignmentDrift(
+        index.limit(0), "vec_id", "embedding", "coarse", cents)))
+      .contains("empty index"))
+  }
+
   test("withProbeLabels: nprobe=2 recovers the cross-cell neighbor nprobe=1 misses") {
     // two cells; the query lives in cell 0 by L2 but its COSINE-nearest
     // corpus vector lives in cell 1 — the boundary case multi-probe exists
