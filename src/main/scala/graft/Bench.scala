@@ -26,9 +26,12 @@ import org.apache.spark.sql.SparkSession
   * empirical evidence that candidate-generate-verify scales near-
   * linearly (a quadratic path would show a log-log slope near 2). The
   * `_EMBED`/`_INTERVAL`/`_SIMHASH`/`_CURATE`/`_INDEX`/`_KMEANS`/`_IVF`
-  * variants measure the other scale claims the same way — each writes
-  * its own `bench_scale_*.json`; the claims and committed values are
-  * catalogued in COVERAGE.md. */
+  * variants measure the other scale claims the same way, and
+  * `SPARK_GRAFT_SCALE_COMPACT=1` measures the banded-index COMPACTION
+  * lifecycle (serve cost and files-per-bucket vs append count, before and
+  * after `compactBandedIndex`) — each writes its own
+  * `bench_scale_*.json`; the claims and committed values are catalogued
+  * in COVERAGE.md. */
 object Bench {
 
   /** Accumulates task-level IO counters; reset per timed query. */
@@ -118,6 +121,11 @@ object Bench {
     }
     if (sys.env.contains("SPARK_GRAFT_SCALE_SLOPE_IVF")) {
       scaleSlopeIvf(spark, sfDir, () => dropPersistedState())
+      spark.stop()
+      return
+    }
+    if (sys.env.contains("SPARK_GRAFT_SCALE_COMPACT")) {
+      scaleCompaction(spark, sfDir, () => dropPersistedState())
       spark.stop()
       return
     }
@@ -454,6 +462,104 @@ object Bench {
     println(line)
   }
 
+  /** Banded-index COMPACTION lifecycle harness — the evidence behind
+    * [[graft.operators.Dedup.compactBandedIndex]]: build the index once,
+    * grow it through N ingest appends (unrelated rotated replicas, so the
+    * fixed batch's hit set is invariant by construction), and serve the
+    * SAME batch at increasing append counts — each append adds ~one file
+    * per bucket, and the serve pays the listing/opening of all of them —
+    * then compact and serve again. The claim columns are filesystem facts
+    * (data files in the bands/sigs tables) plus the serve medians; the
+    * hit count is asserted INVARIANT across every point, so the artifact
+    * doubles as an end-to-end correctness check of append+compact under
+    * load. `compact_secs` is reported once — the one-time cost a
+    * deployment pays to stop the per-serve file tax, ~one read+write of
+    * the index tables, never the corpus text. Writes
+    * `bench_scale_compact.json`. */
+  private def scaleCompaction(spark: SparkSession, sfDir: String,
+                              dropState: () => Unit): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val idSpan = docs.agg(max("doc_id")).head().getLong(0) + 1
+    // fixed served batch: near-dups of the BASE corpus only — appended
+    // replicas are shingle-rotated, so they never enter its hit set
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + lit(100L * idSpan)).as("doc_id"),
+        concat(col("text"), lit(" extra tail words appended here")).as("text"))
+    val reps = repsFromEnv()
+    val table = "ix_compact_scale"
+    val buckets = 32
+    def tableFiles(t: String): Int = {
+      val loc = new java.io.File(new java.net.URI(spark.sessionState.catalog
+        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(t))
+        .location.toString))
+      Option(loc.listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+    }
+    var hits = 0L
+    def serveMedian(): Double = {
+      val ts = (0 until reps).map { _ =>
+        dropState()
+        val t0 = System.nanoTime()
+        hits = Dedup.dedupAgainstBandedIndex(batch, table, "doc_id", "text",
+          minJaccard = 0.5).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(ts.size / 2)
+    }
+    try {
+      Dedup.writeBandedIndex(
+        Dedup.buildDedupIndex(docs, "doc_id", "text"), table, buckets = buckets)
+      serveMedian() // untimed warmup: codegen + JIT + catalog init
+      val hits0 = hits
+      val appendCounts = Seq(0, 2, 4, 8)
+      var appended = 0
+      val pre = appendCounts.map { target =>
+        while (appended < target) {
+          appended += 1
+          Dedup.appendToBandedIndex(rotatedReplica(docs, idSpan, appended),
+            table, "doc_id", "text")
+        }
+        val row = (target, tableFiles(s"${table}_bands"),
+          tableFiles(s"${table}_sigs"), serveMedian(), hits)
+        require(hits == hits0,
+          s"appends of unrelated content changed the hit set at $target: $hits vs $hits0")
+        row
+      }
+      val tC = System.nanoTime()
+      Dedup.compactBandedIndex(spark, table)
+      val compactSecs = (System.nanoTime() - tC) / 1e9
+      val postFilesBands = tableFiles(s"${table}_bands")
+      val postFilesSigs = tableFiles(s"${table}_sigs")
+      val postSecs = serveMedian()
+      require(hits == hits0,
+        s"compaction changed the hit set: $hits vs $hits0")
+      type R = (Int, Int, Int, Double, Long)
+      def arr[T](f: R => T): String = jsonArr(pre)(f)
+      val line =
+        f"""{"metric":"banded_index_compaction","reps":$reps,"buckets":$buckets,""" +
+          f""""appends":${arr(_._1)},"files_bands":${arr(_._2)},""" +
+          f""""files_sigs":${arr(_._3)},""" +
+          f""""serve_secs":${arr(r => f"${r._4}%.3f")},"hits":${arr(_._5)},""" +
+          f""""compact_secs":$compactSecs%.3f,""" +
+          f""""files_bands_after":$postFilesBands,"files_sigs_after":$postFilesSigs,""" +
+          f""""serve_secs_after":$postSecs%.3f,"hits_after":$hits,"sf":"$sfDir"}"""
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_scale_compact.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] bench_scale_compact.json: ${e.getMessage}") }
+      println(line)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_sigs")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_meta")
+    }
+  }
+
   /** Dedup-index SERVING scale harness — the evidence behind the bucketed
     * layout: replicate the corpus k×, persist its index both ways (plain
     * parquet; bucketed tables), and serve the SAME fixed batch against
@@ -755,31 +861,31 @@ object Bench {
       val probedMb = cellsProbed
         .map(c => dirBytes(new java.io.File(s"$path/coarse=$c"))).sum / mb
       var hitsPruned = 0L; var hitsFull = 0L
-      var prunedMb = 0.0; var fullMb = 0.0
-      def median(serve: () => Long, record: Double => Unit): Double = {
-        val ts = (0 until reps).map { _ =>
+      // the median-TIME rep carries BOTH reported columns, so secs and
+      // input MB describe the same run (bytes from the last rep could
+      // disagree with the median time)
+      def median(serve: () => Long): (Double, Double) = {
+        val recs = (0 until reps).map { _ =>
           dropState()
           listener.reset()
           val t0 = System.nanoTime()
-          val h = serve()
+          serve()
           val secs = (System.nanoTime() - t0) / 1e9
           Thread.sleep(300) // let the async listener bus settle
-          record(listener.inputBytes.get / mb)
-          if (h >= 0) () // keep the closure simple
-          secs
-        }.sorted
-        ts(ts.size / 2)
+          (secs, listener.inputBytes.get / mb)
+        }.sortBy(_._1)
+        recs(recs.size / 2)
       }
-      val prunedSecs = median(() => {
+      val (prunedSecs, prunedMb) = median(() => {
         hitsPruned = Similarity.ivfTopKQuantizedPruned(path, labeled, queries,
           "vec_id", "embedding", "coarse", k = 5).count()
         hitsPruned
-      }, prunedMb = _)
-      val fullSecs = median(() => {
+      })
+      val (fullSecs, fullMb) = median(() => {
         hitsFull = Similarity.ivfTopKQuantized(spark.read.parquet(path),
           labeled, queries, "vec_id", "embedding", "coarse", 5, 4).count()
         hitsFull
-      }, fullMb = _)
+      })
       require(hitsPruned == hitsFull,
         s"pruned serving changed the answer at $n x: $hitsPruned vs $hitsFull")
       dropState()

@@ -399,17 +399,34 @@ object SparkEntry {
   private lazy val KmeansFixture =
     new java.io.File("target/verify-fixtures/kmeans_ivf").getAbsolutePath
 
-  /** Learned-IVF centroids for `dir`'s embeddings table, fitted once per
-    * JVM (the fit is deterministic for a fixed layout — TrainingOpsSpec —
-    * so the cache is a cost saving, and it guarantees the fixture dump
-    * and the query serve from the IDENTICAL matrix, the persist-once
-    * contract of [[Similarity.kmeansFit]]). */
+  /** Learned-IVF centroids for `dir`'s embeddings table: loaded from the
+    * matrix [[prepareOracleFixtures]] persisted (when present and dumped
+    * for the SAME dir), else fitted — then cached per JVM. The in-JVM
+    * cache guarantees fixture dump and query serve from the IDENTICAL
+    * matrix within one session; the persisted matrix extends that
+    * persist-once contract ACROSS JVMs — [[Similarity.kmeansFit]] is
+    * refit-deterministic per layout, but Lloyd's reduce-side double sums
+    * carry no cross-session bit-identity promise, so a Verify fixture
+    * dump and a later serve in a fresh JVM must share the matrix by
+    * PERSISTENCE, not by re-derivation. The dump records `dir` and is
+    * ignored for any other dir (a stale sf0.01 matrix must never label
+    * an sf0.1 corpus). */
   private val kmeansCache =
     collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
   private def kmeansCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
-    kmeansCache.getOrElseUpdate(dir,
-      Similarity.kmeansFit(tbl(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 8, iters = 5))
+    kmeansCache.getOrElseUpdate(dir, {
+      val persisted = new java.io.File(s"$KmeansFixture/centroids")
+      val loaded: Option[Array[Array[Double]]] =
+        if (!persisted.exists()) None
+        else scala.util.Try {
+          s.read.parquet(persisted.getAbsolutePath)
+            .filter(col("dir") === dir)
+            .select("cid", "centroid").orderBy("cid").collect()
+            .map(_.getSeq[Double](1).toArray)
+        }.toOption.filter(_.nonEmpty)
+      loaded.getOrElse(Similarity.kmeansFit(tbl(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 5))
+    })
 
   /** The (index, new-batch) construction shared by q_dedup_index and its
     * fixture dump: index over the whole documents table; the batch is
@@ -468,6 +485,13 @@ object SparkEntry {
       .write.mode("overwrite").parquet(s"$DedupIndexFixture/new_banded")
     val emb = tbl(s, dir, "embeddings")
     val cents = kmeansCentroids(s, dir)
+    // persist the matrix itself alongside the labels it induced: a later
+    // JVM's queries load THIS matrix (see kmeansCentroids) instead of
+    // trusting cross-session bit-identity of a refit
+    s.createDataFrame(cents.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq, dir) })
+      .toDF("cid", "centroid", "dir")
+      .write.mode("overwrite").parquet(s"$KmeansFixture/centroids")
     Similarity.withCoarseLabel(emb, "embedding", cents)
       .select("vec_id", "coarse")
       .write.mode("overwrite").parquet(s"$KmeansFixture/corpus")

@@ -564,7 +564,9 @@ object Similarity {
     * banded dedup index there is no table PAIR to keep consistent — one
     * overwrite of one directory — so a crashed write is recovered by
     * re-running it (parquet overwrite is not atomic; serve from a path
-    * only after its writer completed, the standard `_SUCCESS` contract).
+    * only after its writer completed, the standard `_SUCCESS` contract —
+    * which [[ivfTopKQuantizedPruned]] ENFORCES, refusing a marker-less
+    * path instead of silently serving missing cells).
     * Growth: rebuild, deliberately — an IVF's centroids drift as the
     * corpus grows, so the real-world cycle is re-train + re-quantize +
     * rebuild on a cadence; per-batch appends would need the epoch-commit
@@ -593,12 +595,28 @@ object Similarity {
     * recall trade: stage 1 joins on the cell, so an unprobed cell can
     * never contribute a candidate — results are identical to serving the
     * full index (spec-pinned, along with the pruned scan shape).
-    * Composes with [[withProbeLabels]] exactly like the in-memory path. */
+    * Composes with [[withProbeLabels]] exactly like the in-memory path.
+    *
+    * Commit validation: parquet overwrite is not atomic, and a partial
+    * index directory from a crashed [[writeIvfIndex]] would serve
+    * SILENTLY with missing cells — recall loss with no error, the failure
+    * class this library forbids. Serving therefore requires the
+    * `_SUCCESS` marker the default committer writes on completion and
+    * refuses the path loudly without it (the IVF counterpart of the
+    * banded dedup index's epoch-commit probe). Deployments that disable
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs` must not, for
+    * indexes served by this path — the marker IS the commit record. */
   def ivfTopKQuantizedPruned(indexPath: String, corpus: DataFrame,
                              queries: DataFrame, idCol: String, embCol: String,
                              partCol: String, k: Int,
                              candidateFactor: Int = 4): DataFrame = {
     val spark = queries.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(indexPath, "_SUCCESS")
+    require(marker.getFileSystem(spark.sessionState.newHadoopConf())
+        .exists(marker),
+      s"ivf_top_k_quantized_pruned: no _SUCCESS commit marker at $indexPath " +
+        "- the index write did not complete (crashed writeIvfIndex " +
+        "overwrite?); re-run writeIvfIndex before serving")
     // the query frame is read THREE times per serve (cells probe, stage-1
     // quantization, exact re-score) and a withProbeLabels frame carries
     // the k·dims-HOF labeling in its plan — materialize once so the
@@ -641,14 +659,29 @@ object Similarity {
       .select("query_id", "nn_id")
     val cx = withNorm(corpus, embCol)
       .select(col(idCol).as("nn_id"), col("vec").as("cv"), col("norm").as("cn"))
-    // dropDuplicates: a MULTI-PROBE query frame ([[withProbeLabels]])
+    // one row per query id: a MULTI-PROBE query frame ([[withProbeLabels]])
     // carries one row per probed cell; stage 1's per-part join is the fan-
     // out and already meets each corpus row at most once, but re-joining
     // the probed frame here by id alone would duplicate every shortlist
     // row nprobe times and corrupt the rank window (duplicate pairs at
-    // ranks 1 and 2). Re-scoring needs each query ONCE — the probe rows
-    // differ only in their cell label, never in the vector.
-    val qx = withNorm(queries.dropDuplicates(Seq(idCol)), embCol)
+    // ranks 1 and 2). Re-scoring needs each query ONCE — probe rows differ
+    // only in their cell label, never in the vector — and that contract is
+    // ENFORCED: a bare dropDuplicates would keep an ARBITRARY row, so a
+    // caller passing duplicate ids with genuinely different vectors would
+    // get a silently nondeterministic answer. Conflicting vectors (hash
+    // min ≠ max within an id group; same ~2⁻⁶⁴ collision posture as the
+    // library's other composite-hash arguments) raise instead.
+    val vq = xxhash64(col(embCol).cast("array<double>"))
+    val qx = withNorm(queries.groupBy(col(idCol))
+        .agg(first(col(embCol)).as(embCol),
+          (min(vq) =!= max(vq)).as("__conflict"))
+        .select(col(idCol),
+          when(col("__conflict"), raise_error(concat(
+            lit("ivf_top_k_quantized: conflicting vectors for duplicate query id "),
+            col(idCol).cast("string"),
+            lit(" - duplicate ids are only legal as the with_probe_labels " +
+              "fan-out (identical vector per id)"))))
+            .otherwise(col(embCol)).as(embCol)), embCol)
       .select(col(idCol).as("query_id"), col("vec").as("qv"), col("norm").as("qn"))
     // exact re-scoring + final ranking is EXACTLY the shared tail of the
     // other top-k paths (its self-pair filter is a no-op here — stage 1

@@ -995,6 +995,25 @@ class TrainingOpsSpec extends SparkSpec {
         "vec_id", "embedding", "coarse", k = 3)) ==
       key(Similarity.ivfTopKQuantized(spark.read.parquet(dir), labeled, probed,
         "vec_id", "embedding", "coarse", k = 3, candidateFactor = 4)))
+    // duplicate query ids are legal ONLY as probe fan-out (identical
+    // vector per id — the multi-probe serve above): CONFLICTING vectors
+    // under one id raise instead of a silently arbitrary answer
+    val conflict = probed.unionByName(probed.limit(1)
+      .select($"vec_id",
+        transform($"embedding", x => x + lit(1.0f)).as("embedding"), $"coarse"))
+    assert(msgChain(intercept[Exception](
+        Similarity.ivfTopKQuantized(spark.read.parquet(dir), labeled, conflict,
+          "vec_id", "embedding", "coarse", 3, 4).collect()))
+      .contains("conflicting vectors"))
+    // a crashed writeIvfIndex overwrite (no _SUCCESS marker) must refuse
+    // to serve — a partial directory would silently drop cells
+    val marker = new java.io.File(dir, "_SUCCESS")
+    assert(marker.exists(), "fixture assumes the default committer's marker")
+    assert(marker.delete())
+    assert(msgChain(intercept[IllegalArgumentException](
+        Similarity.ivfTopKQuantizedPruned(dir, labeled, queries,
+          "vec_id", "embedding", "coarse", k = 3)))
+      .contains("_SUCCESS"))
   }
 
   test("simhashPairsPartitioned: saturation regime — identical pairs, candidate " +
