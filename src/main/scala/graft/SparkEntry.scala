@@ -329,6 +329,28 @@ object SparkEntry {
         rq(expr("percentile(value, 0.5)"), 6).as("p50"),
         rq(expr("percentile(value, 0.75)"), 6).as("p75"))
 
+  /** [[qProfile]]'s one-pass SKETCH twin — the 100 TB shape: exact
+    * `percentile` materializes each group's full value set to take an
+    * order statistic (a per-group sort that stops fitting once a group
+    * outgrows an executor), while `approx_percentile` is the
+    * Greenwald–Khanna summary — single pass, mergeable map-side partials,
+    * bounded state — with the STATED bound: rank error ≤ n/accuracy
+    * (n/100,000 here). Oracle-exact, not rows-only: at the gate's group
+    * sizes the bound is ≪ 1 rank, where GK returns precisely the element
+    * at rank ⌈p·n⌉ — the same discrete-quantile convention DuckDB's
+    * `quantile_disc` implements (verified on both engines across odd and
+    * even n), so the sketch plan itself sits under the hash check. The
+    * QueriesSpec tolerance case covers the genuinely-approximate regime
+    * the gate can't reach (coarse accuracy vs the exact path). */
+  private def qProfileApprox(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        rq(expr("approx_percentile(value, 0.25, 100000)"), 6).as("p25_approx"),
+        rq(expr("approx_percentile(value, 0.5, 100000)"), 6).as("p50_approx"),
+        rq(expr("approx_percentile(value, 0.75, 100000)"), 6).as("p75_approx"))
+
   /** JSON extraction from the events `props` column. */
   private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "events")
@@ -1042,6 +1064,7 @@ object SparkEntry {
     "q_topk" -> qTopK,
     "q_safediv_clamp" -> qSafeDivClamp,
     "q_profile" -> qProfile,
+    "q_profile_approx" -> qProfileApprox,
     "q_json_extract" -> qJsonExtract)
 
   /** Word-3-gram jaccard pairs ≥ 0.8 in DuckDB SQL — oracle for both the
@@ -1684,6 +1707,12 @@ object SparkEntry {
         |  floor((quantile_cont(value, 0.25))*1000000.0 + 0.5)/1000000.0 AS p25,
         |  floor((quantile_cont(value, 0.5))*1000000.0 + 0.5)/1000000.0 AS p50,
         |  floor((quantile_cont(value, 0.75))*1000000.0 + 0.5)/1000000.0 AS p75
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_profile_approx" ->
+      """SELECT event_type, count(*) AS n,
+        |  floor((quantile_disc(value, 0.25))*1000000.0 + 0.5)/1000000.0 AS p25_approx,
+        |  floor((quantile_disc(value, 0.5))*1000000.0 + 0.5)/1000000.0 AS p50_approx,
+        |  floor((quantile_disc(value, 0.75))*1000000.0 + 0.5)/1000000.0 AS p75_approx
         |FROM events GROUP BY event_type""".stripMargin,
     "q_json_extract" ->
       """SELECT event_id,

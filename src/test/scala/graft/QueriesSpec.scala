@@ -21,4 +21,22 @@ class QueriesSpec extends SparkSpec {
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q_profile_approx tolerance: a coarse-accuracy sketch stays inside " +
+    "the GK rank bound against the exact percentile") {
+    import org.apache.spark.sql.functions.expr
+    // values == ranks, so the GK bound (rank error <= n/accuracy = 100)
+    // translates directly: the sketch's p-quantile must land between the
+    // exact (p ± 0.01)-quantiles
+    val df = { import spark.implicits._; (0 until 10000).map(_.toDouble).toDF("v") }
+    Seq(0.25, 0.5, 0.75).foreach { p =>
+      val r = df.agg(
+        expr(s"approx_percentile(v, $p, 100)").as("ap"),
+        expr(s"percentile(v, ${p - 0.01})").as("lo"),
+        expr(s"percentile(v, ${p + 0.01})").as("hi")).head()
+      assert(r.getDouble(0) >= r.getDouble(1) && r.getDouble(0) <= r.getDouble(2),
+        s"p=$p: sketch ${r.getDouble(0)} outside exact band " +
+          s"[${r.getDouble(1)}, ${r.getDouble(2)}]")
+    }
+  }
 }
