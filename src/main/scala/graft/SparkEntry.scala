@@ -488,6 +488,25 @@ object SparkEntry {
       name
     })
 
+  /** On-disk pruned-IVF index for `dir`'s embeddings (int8 codes
+    * partitioned by the coarse `label` cell), written once per JVM — the
+    * [[bandedIndexTable]] pattern on the ANN side: a deployment pays
+    * [[Similarity.writeIvfIndex]] once per corpus and serves every query
+    * batch from the partition-pruned files, so the bench times SERVING;
+    * the build/serve split stays measured in bench_scale_ivf.json. The
+    * path is dir-keyed so sf dirs never collide within a JVM. */
+  private val ivfIxCache = collection.concurrent.TrieMap.empty[String, String]
+  private def ivfIndexPath(s: SparkSession, dir: String): String =
+    ivfIxCache.getOrElseUpdate(dir, {
+      val path = new java.io.File("target/bench-ivf-index/" +
+        (dir.hashCode.toLong & 0xffffffffL).toHexString).getAbsolutePath
+      Similarity.writeIvfIndex(
+        Similarity.buildQuantizedIndex(tbl(s, dir, "embeddings"),
+          "vec_id", "embedding", "label"),
+        path, "label")
+      path
+    })
+
   /** Oracle-side fixture dump, called by the Verify harness (NOT by the
     * queries themselves — the bench must time operators, not fixture
     * I/O). Written distributed; DuckDB globs the part files. */
@@ -646,6 +665,23 @@ object SparkEntry {
     val e = tbl(s, dir, "embeddings")
     Similarity.ivfTopKQuantized(e, e.filter(col("vec_id") < 20), "vec_id",
         "embedding", "label", 3, candidateFactor = 4)
+      .withColumn("cosine", rq(col("cosine"), 6))
+  }
+
+  /** q_ann_ivf_q8's answer served from the ON-DISK partition-pruned
+    * layout ([[Similarity.writeIvfIndex]] + [[Similarity.ivfTopKQuantizedPruned]])
+    * under the SAME oracle — the layout changes which files are listed
+    * and scanned, never the answer (pruning is exact: stage 1 joins on
+    * the cell, so an unprobed cell cannot contribute a candidate). The
+    * ANN counterpart of q_dedup_index_banded: both serving layouts are
+    * hash-checked against the frame-level path, not just spec'd. The
+    * index is built once per dir ([[ivfIndexPath]]) outside the timed
+    * body, so the bench number is the per-batch serving steady state. */
+  private def qAnnIvfPruned(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    Similarity.ivfTopKQuantizedPruned(ivfIndexPath(s, dir), e,
+        e.filter(col("vec_id") < 20), "vec_id", "embedding", "label", 3,
+        candidateFactor = 4)
       .withColumn("cosine", rq(col("cosine"), 6))
   }
 
@@ -1026,6 +1062,7 @@ object SparkEntry {
     "q_ann_topk" -> qAnnTopK,
     "q_ann_ivf" -> qAnnIvf,
     "q_ann_ivf_q8" -> qAnnIvfQ8,
+    "q_ann_ivf_pruned" -> qAnnIvfPruned,
     "q_ann_kmeans" -> qAnnKmeans,
     "q_embed_quantize" -> qEmbedQuantize,
     "q_text_stats" -> qTextStats,
@@ -1387,6 +1424,7 @@ object SparkEntry {
         |FROM scored QUALIFY rank <= 5""".stripMargin,
     "q_ann_ivf" -> annIvfSql,
     "q_ann_ivf_q8" -> annIvfSql, // quantized index + exact re-score ≡ exact by design
+    "q_ann_ivf_pruned" -> annIvfSql, // partition pruning is exact — same answer from disk
     // learned IVF: the engine dumps the labels its centroids induce
     // (corpus = one cell each, queries = nprobe=2 fan-out); the oracle
     // replays the cell-restricted candidate join + exact-cosine ranking.

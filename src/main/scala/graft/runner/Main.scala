@@ -22,10 +22,12 @@ import graft.streaming.Compactor
   *  - `curate`: the training-data curation pipeline (decontaminate →
   *    quality filter → near-dup removal → PII redaction → hash split) over
   *    a documents parquet — [[graft.Pipeline.curate]] as a CLI.
-  *  - `index-build` / `index-append` / `index-filter`: the incremental
-  *    dedup-index lifecycle ([[graft.operators.Dedup.writeBandedIndex]]
-  *    family) — build the banded index once, then per ingest cycle filter
-  *    the new batch against it and append what was kept.
+  *  - `index-build` / `index-append` / `index-filter` / `index-compact`:
+  *    the incremental dedup-index lifecycle
+  *    ([[graft.operators.Dedup.writeBandedIndex]] family) — build the
+  *    banded index once, then per ingest cycle filter the new batch
+  *    against it and append what was kept; compact when the per-append
+  *    files warrant it (merges committed epochs WITHOUT re-shingling).
   *
   * Usage:
   * {{{
@@ -57,7 +59,8 @@ object Main {
       |          [--shingle-k 3] [--hashes 128]
       |  index-append --in <docs-parquet> --name <table> [--id doc_id] [--text text]
       |  index-filter --in <batch-parquet> --name <table> --out <dir>
-      |          [--id doc_id] [--text text] [--jaccard 0.8]""".stripMargin
+      |          [--id doc_id] [--text text] [--jaccard 0.8]
+      |  index-compact --name <table>""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val spark = session()
@@ -183,6 +186,10 @@ object Main {
       val (in, name) = (req(opt, "in"), req(opt, "name"))
       graft.operators.Dedup.appendToBandedIndex(spark.read.parquet(in), name,
         opt.getOrElse("id", "doc_id"), opt.getOrElse("text", "text"))
+
+    case Some("index-compact") =>
+      val (opt, _) = parse(args.tail)
+      graft.operators.Dedup.compactBandedIndex(spark, req(opt, "name"))
 
     case Some("index-filter") =>
       val (opt, _) = parse(args.tail)

@@ -84,7 +84,8 @@ class RunnerSpec extends SparkSpec {
       .forall(Set("train", "val", "test")))
   }
 
-  test("index lifecycle CLI: build → filter → append → filter — the ingest loop") {
+  test("index lifecycle CLI: build → filter → append → filter → compact — " +
+    "the ingest loop") {
     import spark.implicits._
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the old river " +
@@ -125,6 +126,16 @@ class RunnerSpec extends SparkSpec {
       assert(spark.read.parquet(k2).select("doc_id").as[Long].collect().toSet
         == Set(21L),
         "a near-dup of a doc kept LAST cycle must be filtered this cycle")
+      // compaction closes the loop: epochs merge to one, and the SAME
+      // filter still removes the near-dups both epochs contributed
+      Main.run(Seq("index-compact", "--name", "cli_ix"), spark)
+      assert(spark.table("cli_ix_meta").count() == 1,
+        "compaction must leave exactly one committed epoch")
+      val k3 = outDir("cli-ix-kept3")
+      Main.run(Seq("index-filter", "--in", b2, "--name", "cli_ix",
+        "--out", k3, "--jaccard", "0.5"), spark)
+      assert(spark.read.parquet(k3).select("doc_id").as[Long].collect().toSet
+        == Set(21L), "the compacted index must serve both former epochs")
     } finally {
       Seq("_bands", "_sigs", "_meta").foreach(s =>
         spark.sql(s"DROP TABLE IF EXISTS cli_ix$s"))
