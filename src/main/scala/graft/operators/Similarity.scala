@@ -611,12 +611,8 @@ object Similarity {
                              partCol: String, k: Int,
                              candidateFactor: Int = 4): DataFrame = {
     val spark = queries.sparkSession
-    val marker = new org.apache.hadoop.fs.Path(indexPath, "_SUCCESS")
-    require(marker.getFileSystem(spark.sessionState.newHadoopConf())
-        .exists(marker),
-      s"ivf_top_k_quantized_pruned: no _SUCCESS commit marker at $indexPath " +
-        "- the index write did not complete (crashed writeIvfIndex " +
-        "overwrite?); re-run writeIvfIndex before serving")
+    requireCommitMarker(spark, indexPath, "ivf_top_k_quantized_pruned",
+      "re-run writeIvfIndex before serving")
     // the query frame is read THREE times per serve (cells probe, stage-1
     // quantization, exact re-score) and a withProbeLabels frame carries
     // the k·dims-HOF labeling in its plan — materialize once so the
@@ -687,5 +683,156 @@ object Similarity {
     // other top-k paths (its self-pair filter is a no-op here — stage 1
     // already excluded them)
     rankTopK(shortlist.join(qx, "query_id").join(cx, "nn_id"), k)
+  }
+
+  /** Outcome of one [[refreshIvfIndex]] cycle: the measured drift fraction
+    * and whether it crossed the tolerance and triggered a rebuild. */
+  final case class IvfRefresh(drift: Double, rebuilt: Boolean)
+
+  private def requireCommitMarker(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String, op: String,
+                                  remedy: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    require(marker.getFileSystem(spark.sessionState.newHadoopConf())
+        .exists(marker),
+      s"$op: no _SUCCESS commit marker at $dir - the write did not " +
+        s"complete (crashed overwrite?); $remedy")
+  }
+
+  /** [[writeIvfIndex]] for the LEARNED quantizer, with the centroid matrix
+    * riding WITH the index: the corpus is labeled by its nearest centroid,
+    * int8-quantized, written partitioned by the `coarse` cell, and the
+    * centroids land beside the data under `_centroids` (underscore-
+    * prefixed, so the data read never sees them). The design principle is
+    * the banded dedup index's "geometry rides with the index": serving
+    * ([[serveIvfIndex]]) derives the quantizer FROM the index, so the
+    * mismatch class — probing yesterday's cells against labels induced by
+    * a different centroid matrix, which silently erodes recall — is
+    * unconstructable through this API. Callers thread nothing.
+    *
+    * Commit order is data first (the root `_SUCCESS`), then `_centroids`
+    * (its own `_SUCCESS` LAST) — and loading requires BOTH markers, so a
+    * crash between the writes refuses loudly instead of serving an index
+    * whose quantizer is missing or half-written. A crashed overwrite of a
+    * previously-committed path destroys that path's markers with it, so
+    * rebuild-in-place makes the index unavailable-until-rerun, never
+    * wrong; deployments that need the old index live during a rebuild
+    * write to a fresh path and swap a pointer. */
+  def writeLearnedIvfIndex(corpus: DataFrame, idCol: String, embCol: String,
+                           path: String,
+                           centroids: Array[Array[Double]]): Unit = {
+    checkCentroids(centroids)
+    writeIvfIndex(
+      buildQuantizedIndex(withCoarseLabel(corpus, embCol, centroids),
+        idCol, embCol, "coarse"),
+      path, "coarse")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
+  /** The centroid matrix a [[writeLearnedIvfIndex]] path was built with
+    * (row index = cluster id = the `coarse` partition value). Requires
+    * both commit markers — the data's and `_centroids`' own — so a
+    * partially-written index is refused here, before any serve. */
+  def loadIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Array[Array[Double]] = {
+    requireCommitMarker(spark, path, "load_ivf_centroids",
+      "re-run writeLearnedIvfIndex before serving")
+    requireCommitMarker(spark, s"$path/_centroids", "load_ivf_centroids",
+      "the index data committed but its quantizer did not - re-run " +
+        "writeLearnedIvfIndex (an index written by plain writeIvfIndex " +
+        "has no riding quantizer; serve it via ivfTopKQuantizedPruned " +
+        "with caller-managed labels instead)")
+    val cents = spark.read.parquet(s"$path/_centroids")
+      .orderBy("cid").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+    require(cents.nonEmpty, s"load_ivf_centroids: empty centroid table at $path")
+    cents
+  }
+
+  /** Serve a [[writeLearnedIvfIndex]] path end to end: the quantizer is
+    * loaded from the index itself, queries fan out to their `nprobe`
+    * nearest cells ([[withProbeLabels]] — the recall dial), and the probed
+    * cells are partition-pruned into the read
+    * ([[ivfTopKQuantizedPruned]]: only their files are listed and
+    * scanned, int8 stage-1 ranking, exact re-scoring of the shortlist
+    * against `corpus`'s full-precision vectors). This is the whole
+    * production serving story in one call — learned quantizer, on-disk
+    * pruned layout, quantized shortlist, exact answer — with nothing for
+    * the caller to keep consistent: centroids, labels, and files all come
+    * from the one committed path. */
+  def serveIvfIndex(indexPath: String, corpus: DataFrame, queries: DataFrame,
+                    idCol: String, embCol: String, k: Int, nprobe: Int = 2,
+                    candidateFactor: Int = 4): DataFrame = {
+    val cents = loadIvfCentroids(queries.sparkSession, indexPath)
+    ivfTopKQuantizedPruned(indexPath, corpus,
+      withProbeLabels(queries, embCol, cents, nprobe),
+      idCol, embCol, "coarse", k, candidateFactor)
+  }
+
+  /** One turn of the IVF growth cycle — the operator form of the
+    * [[writeIvfIndex]] growth policy ("rebuild deliberately on drift"):
+    * refit the quantizer on the CURRENT corpus ([[kmeansFit]]), measure
+    * [[assignmentDrift]] of the SERVED index's stored labels against the
+    * refit centroids (the share of indexed vectors a rebuild would move —
+    * the recall-erosion bound a stale layout carries), and rebuild via
+    * [[writeLearnedIvfIndex]] only past `driftTolerance`. Below it the
+    * index is untouched — the cycle's steady-state cost is the fit plus a
+    * bounded sample probe, never a write.
+    *
+    * Drift is measured over rows present in BOTH the index and the
+    * current corpus (the stored label plus today's vector); corpus rows
+    * not yet indexed don't drift — they are absorbed by whichever layout
+    * wins — but they DO pull the refit centroids, which is exactly how
+    * growth manifests as drift. A disjoint index/corpus (nothing to
+    * sample) fails loudly rather than reading as "no drift".
+    *
+    * Drift is a LAYOUT metric — it flags cell-membership change, not
+    * in-place mutation of already-indexed vectors. A rigid translation
+    * of a whole cloud reads as zero (membership is unchanged; relative
+    * geometry within the cell is preserved, so the stale stage-1 codes
+    * still rank its shortlist usably) even though the stored codes no
+    * longer approximate today's vectors. Corpora that RE-EMBED rows in
+    * place should gate the rebuild on update volume alongside drift —
+    * this operator measures where vectors sit relative to each other,
+    * not whether their bytes went stale.
+    *
+    * Drift compares label IDENTITY, and [[kmeansFit]] is deterministic
+    * per corpus — so an unchanged corpus always reads 0.0 (no thrash) —
+    * but a refit on a SHIFTED corpus may renumber clusters (seeding is
+    * farthest-first from the md5-minimal row; a large shift can reorder
+    * the picks), which reads as drift even where the cell boundaries
+    * merely relabeled. That errs conservative: a spurious trigger costs
+    * one rebuild, while serving never sees a mismatched quantizer — and
+    * a shift big enough to renumber a farthest-first seeding is big
+    * enough to warrant the rebuild it triggers.
+    * Returns the measured drift and whether a rebuild happened, so
+    * schedulers can log the trajectory and alert on thrash. */
+  def refreshIvfIndex(indexPath: String, corpus: DataFrame, idCol: String,
+                      embCol: String, k: Int, iters: Int = 5,
+                      driftTolerance: Double = 0.1,
+                      sampleRows: Int = 10000): IvfRefresh = {
+    require(driftTolerance >= 0.0 && driftTolerance <= 1.0,
+      s"driftTolerance must be in [0, 1], got $driftTolerance")
+    val spark = corpus.sparkSession
+    // the refresh contract only makes sense against a committed LEARNED
+    // index (stored labels + riding quantizer); this also refuses the
+    // crashed-rebuild states before any work is spent on a refit
+    loadIvfCentroids(spark, indexPath)
+    val cents = kmeansFit(corpus, idCol, embCol, k, iters)
+    val stored = spark.read.parquet(indexPath)
+      .select(col(idCol), col("coarse"))
+    val sampled = stored.join(corpus.select(col(idCol), col(embCol)),
+      Seq(idCol))
+    val drift = assignmentDrift(sampled, idCol, embCol, "coarse", cents,
+      sampleRows)
+    if (drift > driftTolerance) {
+      writeLearnedIvfIndex(corpus, idCol, embCol, indexPath, cents)
+      IvfRefresh(drift, rebuilt = true)
+    } else IvfRefresh(drift, rebuilt = false)
   }
 }

@@ -28,6 +28,13 @@ import graft.streaming.Compactor
   *    banded index once, then per ingest cycle filter the new batch
   *    against it and append what was kept; compact when the per-append
   *    files warrant it (merges committed epochs WITHOUT re-shingling).
+  *  - `ivf-build` / `ivf-query` / `ivf-refresh`: the learned-ANN index
+  *    lifecycle ([[graft.operators.Similarity.writeLearnedIvfIndex]]
+  *    family) — fit + quantize + write the partition-pruned index (the
+  *    centroids ride with it), serve query batches from it, and run the
+  *    drift-gated refresh cycle on a cadence (refit, measure
+  *    [[graft.operators.Similarity.assignmentDrift]], rebuild only past
+  *    tolerance).
   *
   * Usage:
   * {{{
@@ -60,7 +67,15 @@ object Main {
       |  index-append --in <docs-parquet> --name <table> [--id doc_id] [--text text]
       |  index-filter --in <batch-parquet> --name <table> --out <dir>
       |          [--id doc_id] [--text text] [--jaccard 0.8]
-      |  index-compact --name <table>""".stripMargin
+      |  index-compact --name <table>
+      |  ivf-build   --in <embeddings-parquet> --path <dir>
+      |          [--id vec_id] [--embedding embedding] [--k 32] [--iters 5]
+      |  ivf-query   --in <queries-parquet> --corpus <embeddings-parquet>
+      |          --path <dir> --out <dir> [--id vec_id] [--embedding embedding]
+      |          [--topk 10] [--nprobe 2]
+      |  ivf-refresh --in <embeddings-parquet> --path <dir>
+      |          [--id vec_id] [--embedding embedding] [--k 32] [--iters 5]
+      |          [--tolerance 0.1]""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val spark = session()
@@ -190,6 +205,46 @@ object Main {
     case Some("index-compact") =>
       val (opt, _) = parse(args.tail)
       graft.operators.Dedup.compactBandedIndex(spark, req(opt, "name"))
+
+    // the learned-ANN lifecycle as CLI: fit + build once, serve query
+    // batches from the partition-pruned files, refresh on a cadence —
+    // the refresh is cheap below tolerance (a fit + a bounded sample
+    // probe, no write), and the quantizer rides with the index so the
+    // three commands can never disagree about centroids.
+    case Some("ivf-build") =>
+      val (opt, _) = parse(args.tail)
+      val (in, path) = (req(opt, "in"), req(opt, "path"))
+      val corpus = spark.read.parquet(in)
+      val (idCol, embCol) = (opt.getOrElse("id", "vec_id"),
+        opt.getOrElse("embedding", "embedding"))
+      graft.operators.Similarity.writeLearnedIvfIndex(corpus, idCol, embCol,
+        path, graft.operators.Similarity.kmeansFit(corpus, idCol, embCol,
+          k = opt.getOrElse("k", "32").toInt,
+          iters = opt.getOrElse("iters", "5").toInt))
+
+    case Some("ivf-query") =>
+      val (opt, _) = parse(args.tail)
+      val (in, corpusIn, path, out) =
+        (req(opt, "in"), req(opt, "corpus"), req(opt, "path"), req(opt, "out"))
+      graft.operators.Similarity.serveIvfIndex(path,
+          spark.read.parquet(corpusIn), spark.read.parquet(in),
+          opt.getOrElse("id", "vec_id"), opt.getOrElse("embedding", "embedding"),
+          k = opt.getOrElse("topk", "10").toInt,
+          nprobe = opt.getOrElse("nprobe", "2").toInt)
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(out)
+
+    case Some("ivf-refresh") =>
+      val (opt, _) = parse(args.tail)
+      val (in, path) = (req(opt, "in"), req(opt, "path"))
+      val r = graft.operators.Similarity.refreshIvfIndex(path,
+        spark.read.parquet(in),
+        opt.getOrElse("id", "vec_id"), opt.getOrElse("embedding", "embedding"),
+        k = opt.getOrElse("k", "32").toInt,
+        iters = opt.getOrElse("iters", "5").toInt,
+        driftTolerance = opt.getOrElse("tolerance", "0.1").toDouble)
+      // the one-line trajectory record a scheduler greps for
+      println(f"ivf-refresh: drift=${r.drift}%.4f rebuilt=${r.rebuilt}")
 
     case Some("index-filter") =>
       val (opt, _) = parse(args.tail)

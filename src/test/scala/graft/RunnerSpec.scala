@@ -137,10 +137,67 @@ class RunnerSpec extends SparkSpec {
       assert(spark.read.parquet(k3).select("doc_id").as[Long].collect().toSet
         == Set(21L), "the compacted index must serve both former epochs")
     } finally {
-      Seq("_bands", "_sigs", "_meta").foreach(s =>
-        spark.sql(s"DROP TABLE IF EXISTS cli_ix$s"))
+      dropTables()
     }
   }
+
+  test("ANN lifecycle CLI: ivf-build → ivf-query → ivf-refresh — the " +
+    "drift-gated cycle") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val centers = Seq(Array.fill(4)(8.0), Array.fill(4)(-8.0))
+    // drift = cell-MEMBERSHIP change, so the planted shift must migrate
+    // vectors between clouds (a rigid translation of a whole cloud keeps
+    // membership and correctly reads as zero): `migrated` moves every
+    // 4th row's vector from the even cloud over to the odd cloud's
+    // location — 15/60 of the index changes cells
+    def corpusAt(migrated: Boolean): Seq[(Long, Seq[Float])] =
+      (0 until 60).map { i =>
+        val c = if (i % 2 == 0 && !(migrated && i % 4 == 0)) centers(0)
+                else centers(1)
+        (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.3).toFloat).toSeq)
+      }
+    val emb = outDir("cli-ivf-emb")
+    corpusAt(migrated = false).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(emb)
+    val ix = outDir("cli-ivf-ix") + "/ix"
+    val hits = outDir("cli-ivf-hits")
+    Main.run(Seq("ivf-build", "--in", emb, "--path", ix, "--k", "2",
+      "--iters", "3"), spark)
+    val queries = outDir("cli-ivf-q")
+    spark.read.parquet(emb).filter($"vec_id" < 6)
+      .write.mode("overwrite").parquet(queries)
+    Main.run(Seq("ivf-query", "--in", queries, "--corpus", emb, "--path", ix,
+      "--out", hits, "--topk", "3", "--nprobe", "2"), spark)
+    val served = spark.read.parquet(hits)
+    assert(served.select("query_id").distinct().as[Long].collect().toSet
+      == Set(0L, 1L, 2L, 3L, 4L, 5L), "every query must answer")
+    assert(served.groupBy("query_id").count().select("count").as[Long]
+      .collect().forall(_ == 3), "top-3 per query")
+    // refresh on the unchanged corpus: no drift, no rebuild
+    val out1 = new java.io.ByteArrayOutputStream()
+    Console.withOut(out1)(Main.run(Seq("ivf-refresh", "--in", emb,
+      "--path", ix, "--k", "2", "--iters", "3", "--tolerance", "0.1"), spark))
+    assert(out1.toString.contains("drift=0.0000 rebuilt=false"),
+      s"unchanged corpus must be a no-op: ${out1.toString}")
+    // a quarter of the even cloud migrates across: drift reads their
+    // mass exactly and crosses tolerance
+    corpusAt(migrated = true).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(emb)
+    val out2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(out2)(Main.run(Seq("ivf-refresh", "--in", emb,
+      "--path", ix, "--k", "2", "--iters", "3", "--tolerance", "0.1"), spark))
+    assert(out2.toString.contains("drift=0.2500 rebuilt=true"),
+      s"15/60 migrated vectors must read as drift 0.25: ${out2.toString}")
+    // and the refreshed index serves the NEW corpus cleanly end to end
+    Main.run(Seq("ivf-query", "--in", queries, "--corpus", emb, "--path", ix,
+      "--out", hits, "--topk", "3", "--nprobe", "2"), spark)
+    assert(spark.read.parquet(hits).count() == 18)
+  }
+
+  private def dropTables(): Unit =
+    Seq("_bands", "_sigs", "_meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS cli_ix$s"))
 
   test("curate-stream --once: landing backlog curated through the streaming flow") {
     import spark.implicits._

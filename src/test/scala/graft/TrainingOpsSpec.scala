@@ -1016,6 +1016,103 @@ class TrainingOpsSpec extends SparkSpec {
       .contains("_SUCCESS"))
   }
 
+  test("learned-IVF lifecycle: quantizer rides with the index, serve is " +
+    "self-contained, drift gates the rebuild") {
+    val rnd = new scala.util.Random(47)
+    val centers = Seq(Array.fill(6)(9.0), Array.fill(6)(-9.0),
+      Array.tabulate(6)(i => if (i % 2 == 0) 9.0 else -9.0))
+    def cloud(ctr: Array[Double]): Seq[Float] =
+      ctr.map(x => (x + rnd.nextGaussian() * 0.3).toFloat).toSeq
+    val corpus = (0 until 90).map(i => (i.toLong, cloud(centers(i % 3))))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(corpus, "vec_id", "embedding", k = 3, iters = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-learned").toString
+    Similarity.writeLearnedIvfIndex(corpus, "vec_id", "embedding", dir, cents)
+    // the quantizer round-trips exactly (doubles, parquet, cid order)
+    assert(Similarity.loadIvfCentroids(spark, dir).map(_.toSeq).toSeq ==
+      cents.map(_.toSeq).toSeq)
+    // ...and the data read never sees the riding _centroids directory
+    assert(spark.read.parquet(dir).columns.sorted.toSeq ==
+      Seq("coarse", "q8", "q8_scale", "vec_id"))
+    // self-contained serve ≡ the caller-threaded in-memory learned path
+    val queries = corpus.filter($"vec_id" < 9)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val served = Similarity.serveIvfIndex(dir, corpus, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+    val threaded = Similarity.ivfTopKQuantized(
+      Similarity.buildQuantizedIndex(
+        Similarity.withCoarseLabel(corpus, "embedding", cents),
+        "vec_id", "embedding", "coarse"),
+      corpus,
+      Similarity.withProbeLabels(queries, "embedding", cents, nprobe = 2),
+      "vec_id", "embedding", "coarse", 3, candidateFactor = 4)
+    assert(key(served) == key(threaded),
+      "serveIvfIndex must equal the in-memory learned path on one quantizer")
+    // unchanged corpus: deterministic refit ⇒ zero drift, no write
+    val marker = new java.io.File(dir, "_SUCCESS")
+    val mtime = marker.lastModified()
+    val r1 = Similarity.refreshIvfIndex(dir, corpus, "vec_id", "embedding",
+      k = 3, iters = 4, driftTolerance = 0.05)
+    assert(r1 == Similarity.IvfRefresh(0.0, rebuilt = false),
+      s"an unchanged corpus must read zero drift and skip the rebuild: $r1")
+    assert(marker.lastModified() == mtime, "no-op refresh must not rewrite")
+    // the corpus shifts by MIGRATION (a third of cloud 2's rows move
+    // into cloud 0's location — cell membership changes; a rigid
+    // translation of a whole cloud keeps membership and correctly reads
+    // as zero), so the migrated mass must read as drift
+    val shifted = (0 until 90).map { i =>
+      val c = if (i % 3 == 2 && i < 30) centers(0) else centers(i % 3)
+      (i.toLong, cloud(c))
+    }.toDF("vec_id", "embedding")
+    val r2 = Similarity.refreshIvfIndex(dir, shifted, "vec_id", "embedding",
+      k = 3, iters = 4, driftTolerance = 0.05)
+    assert(r2.rebuilt && r2.drift >= 0.1,
+      s"10/90 rows moved cells - drift must cross the 0.05 tolerance: $r2")
+    // the rebuild converged: a second refresh on the same corpus is clean,
+    // and serving now answers from the NEW quantizer
+    val r3 = Similarity.refreshIvfIndex(dir, shifted, "vec_id", "embedding",
+      k = 3, iters = 4, driftTolerance = 0.05)
+    assert(r3 == Similarity.IvfRefresh(0.0, rebuilt = false),
+      s"refresh after rebuild must be a no-op: $r3")
+    val cents2 = Similarity.kmeansFit(shifted, "vec_id", "embedding", k = 3, iters = 4)
+    assert(key(Similarity.serveIvfIndex(dir, shifted, shifted.filter($"vec_id" < 9),
+        "vec_id", "embedding", k = 3, nprobe = 2)) ==
+      key(Similarity.ivfTopKQuantized(
+        Similarity.buildQuantizedIndex(
+          Similarity.withCoarseLabel(shifted, "embedding", cents2),
+          "vec_id", "embedding", "coarse"),
+        shifted,
+        Similarity.withProbeLabels(shifted.filter($"vec_id" < 9), "embedding",
+          cents2, nprobe = 2),
+        "vec_id", "embedding", "coarse", 3, candidateFactor = 4)),
+      "post-rebuild serving must answer from the refit quantizer")
+    // crash between the data write and the quantizer write: data marker
+    // exists, _centroids' doesn't — every entry point refuses loudly
+    val qMarker = new java.io.File(s"$dir/_centroids", "_SUCCESS")
+    assert(qMarker.exists(), "fixture assumes the committer's marker")
+    assert(qMarker.delete())
+    Seq(
+      () => Similarity.loadIvfCentroids(spark, dir),
+      () => Similarity.serveIvfIndex(dir, shifted, queries, "vec_id", "embedding", 3),
+      () => Similarity.refreshIvfIndex(dir, shifted, "vec_id", "embedding", 3)
+    ).foreach { f =>
+      assert(msgChain(intercept[IllegalArgumentException](f()))
+        .contains("writeLearnedIvfIndex"), "half-committed index must refuse")
+    }
+    // an index written WITHOUT a riding quantizer refuses the
+    // self-contained serve and names the caller-managed alternative
+    val plain = java.nio.file.Files.createTempDirectory("ivf-plain").toString
+    Similarity.writeIvfIndex(
+      Similarity.buildQuantizedIndex(
+        Similarity.withCoarseLabel(corpus, "embedding", cents),
+        "vec_id", "embedding", "coarse"),
+      plain, "coarse")
+    assert(msgChain(intercept[IllegalArgumentException](
+        Similarity.serveIvfIndex(plain, corpus, queries, "vec_id", "embedding", 3)))
+      .contains("ivfTopKQuantizedPruned"))
+  }
+
   test("simhashPairsPartitioned: saturation regime — identical pairs, candidate " +
     "volume cut by the length partition") {
     // emulate n ≫ 2^width cheaply by SHRINKING the chunk width: 16 bands of
