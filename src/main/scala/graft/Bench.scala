@@ -29,7 +29,9 @@ import org.apache.spark.sql.SparkSession
   * variants measure the other scale claims the same way, and
   * `SPARK_GRAFT_SCALE_COMPACT=1` measures the banded-index COMPACTION
   * lifecycle (serve cost and files-per-bucket vs append count, before and
-  * after `compactBandedIndex`) — each writes its own
+  * after `compactBandedIndex`), and `SPARK_GRAFT_SCALE_RECALL=1`
+  * measures the served IVF's recall@10 vs nprobe (with the all-cells
+  * point isolating the quantization-only ceiling) — each writes its own
   * `bench_scale_*.json`; the claims and committed values are catalogued
   * in COVERAGE.md. */
 object Bench {
@@ -126,6 +128,11 @@ object Bench {
     }
     if (sys.env.contains("SPARK_GRAFT_SCALE_COMPACT")) {
       scaleCompaction(spark, sfDir, () => dropPersistedState())
+      spark.stop()
+      return
+    }
+    if (sys.env.contains("SPARK_GRAFT_SCALE_RECALL")) {
+      scaleRecallNprobe(spark, sfDir, () => dropPersistedState())
       spark.stop()
       return
     }
@@ -909,6 +916,86 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_scale_ivf.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] bench_scale_ivf.json: ${e.getMessage}") }
+    println(line)
+  }
+
+  /** Recall-vs-nprobe harness — the IVF recall dial MEASURED, not
+    * asserted: a fixed query batch served from a [[Similarity
+    * .writeLearnedIvfIndex]] layout at nprobe = 1, 2, 4, 8 and 32
+    * (= every cell), each scored for recall@10 against the exact
+    * brute-force ranking and timed median-of-reps. The nprobe = k point
+    * probes ALL cells, so its recall isolates the QUANTIZATION effect
+    * alone (the int8 stage-1 shortlist at the chosen candidateFactor):
+    * the gap between it and 1.0 is what re-scoring depth buys, while the
+    * gap between the low-nprobe points and it is what probing buys — the
+    * two error sources of a served IVF, decomposed in one artifact.
+    * Recall is computed from an untimed collect after the timing reps so
+    * the timed body stays the serve itself. */
+  private def scaleRecallNprobe(spark: SparkSession, sfDir: String,
+                                dropState: () => Unit): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val nVecs = corpus.count()
+    val queries = corpus.filter(col("vec_id") < 100)
+    val nQueries = queries.count()
+    val reps = repsFromEnv()
+    val kCells = 32
+    val topK = 10
+    val path = java.nio.file.Files.createTempDirectory("ivf-recall")
+      .toString + "/ix"
+    Similarity.writeLearnedIvfIndex(corpus, "vec_id", "embedding", path,
+      Similarity.kmeansFit(corpus, "vec_id", "embedding", k = kCells, iters = 3))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "nn_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def medianSecs(serve: () => Long): Double = {
+      val ts = (0 until reps).map { _ =>
+        dropState()
+        val t0 = System.nanoTime()
+        serve()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(ts.size / 2)
+    }
+    val exactDf = Similarity.bruteForceTopK(corpus, queries, "vec_id",
+      "embedding", topK)
+    val exactSecs = medianSecs(() => exactDf.count())
+    val exact = pairs(exactDf)
+    val probes = Seq(1, 2, 4, 8, kCells)
+    val rows = probes.map { np =>
+      def served = Similarity.serveIvfIndex(path, corpus, queries,
+        "vec_id", "embedding", k = topK, nprobe = np)
+      // untimed warmup PER POINT: every nprobe is a distinct plan
+      // (different slice literal + probed-cell list), so each pays its
+      // own analysis + codegen. Even so, the FIRST point reads ~0.3-0.5 s
+      // slow whatever its nprobe (verified by reversing the probe order:
+      // the slowdown follows the position, not the parameter — host/JVM
+      // settling at sub-second absolutes), so secs are context; the
+      // recall columns, which are deterministic, are the claim.
+      served.count()
+      val secs = medianSecs(() => served.count())
+      val got = pairs(served)
+      (np, got.intersect(exact).size.toDouble / exact.size, secs)
+    }
+    val byProbe = rows.map(r => r._1 -> r._2).toMap
+    require(byProbe(kCells) >= byProbe(1),
+      s"probing every cell must not recall less than one cell: $rows")
+    type R = (Int, Double, Double)
+    def arr[T](f: R => T): String = jsonArr(rows)(f)
+    val line =
+      f"""{"metric":"ivf_recall_nprobe","reps":$reps,"k":$kCells,""" +
+        f""""topk":$topK,"n_queries":$nQueries,"vecs":$nVecs,""" +
+        f""""candidate_factor":4,"nprobe":${arr(_._1)},""" +
+        f""""recall":${arr(r => f"${r._2}%.4f")},""" +
+        f""""secs":${arr(r => f"${r._3}%.3f")},""" +
+        f""""exact_secs":$exactSecs%.3f,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_scale_recall.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_scale_recall.json: ${e.getMessage}") }
     println(line)
   }
 

@@ -507,6 +507,22 @@ object SparkEntry {
       path
     })
 
+  /** LEARNED on-disk IVF index for `dir`'s embeddings: cells induced by
+    * the [[kmeansCentroids]] matrix (the same matrix the q_ann_kmeans
+    * fixture dumps — so the oracle's labels and this index's cells are
+    * the same labels), quantizer riding with the index
+    * ([[Similarity.writeLearnedIvfIndex]]). Built once per JVM, outside
+    * the timed body, like every other serving-layout cache here. */
+  private val learnedIvfCache = collection.concurrent.TrieMap.empty[String, String]
+  private def learnedIvfPath(s: SparkSession, dir: String): String =
+    learnedIvfCache.getOrElseUpdate(dir, {
+      val path = new java.io.File("target/bench-ivf-learned/" +
+        (dir.hashCode.toLong & 0xffffffffL).toHexString).getAbsolutePath
+      Similarity.writeLearnedIvfIndex(tbl(s, dir, "embeddings"),
+        "vec_id", "embedding", path, kmeansCentroids(s, dir))
+      path
+    })
+
   /** Oracle-side fixture dump, called by the Verify harness (NOT by the
     * queries themselves — the bench must time operators, not fixture
     * I/O). Written distributed; DuckDB globs the part files. */
@@ -700,6 +716,23 @@ object SparkEntry {
         Similarity.withProbeLabels(e.filter(col("vec_id") < 20), "embedding",
           cents, nprobe = 2),
         "vec_id", "embedding", "coarse", 3)
+      .withColumn("cosine", rq(col("cosine"), 6))
+  }
+
+  /** The whole production ANN serving story in ONE call, under the same
+    * oracle as q_ann_kmeans: learned quantizer (loaded FROM the index —
+    * [[Similarity.serveIvfIndex]] threads nothing), on-disk
+    * partition-pruned layout, int8 stage-1 shortlist, exact re-scoring.
+    * Every composition layer is separately oracle-checked (q_ann_kmeans:
+    * learned cells; q_ann_ivf_q8: quantized shortlist; q_ann_ivf_pruned:
+    * pruned disk serving) — this query checks their COMPOSITION returns
+    * the bit-identical answer. Index built once per dir
+    * ([[learnedIvfPath]]) from the same centroid matrix the oracle
+    * fixture dumps, so cells and labels agree by construction. */
+  private def qAnnServe(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    Similarity.serveIvfIndex(learnedIvfPath(s, dir), e,
+        e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 3, nprobe = 2)
       .withColumn("cosine", rq(col("cosine"), 6))
   }
 
@@ -1064,6 +1097,7 @@ object SparkEntry {
     "q_ann_ivf_q8" -> qAnnIvfQ8,
     "q_ann_ivf_pruned" -> qAnnIvfPruned,
     "q_ann_kmeans" -> qAnnKmeans,
+    "q_ann_serve" -> qAnnServe,
     "q_embed_quantize" -> qEmbedQuantize,
     "q_text_stats" -> qTextStats,
     "q_text_langid" -> qTextLangId,
@@ -1139,6 +1173,24 @@ object SparkEntry {
       |SELECT new_id AS doc_id, index_id,
       |       floor((ej)*1000000.0 + 0.5)/1000000.0 AS est_jaccard
       |FROM est WHERE ej >= 0.3""".stripMargin
+
+  /** Shared by q_ann_kmeans (in-memory learned serving) and q_ann_serve
+    * (the on-disk composition) — both answer from the cells the
+    * [[kmeansCentroids]] matrix induces, which the fixture dump records. */
+  private lazy val kmeansIvfSql: String =
+    s"""WITH c AS (SELECT * FROM read_parquet('$KmeansFixture/corpus/*.parquet')),
+      | p AS (SELECT * FROM read_parquet('$KmeansFixture/probes/*.parquet')),
+      | scored AS (
+      |  SELECT p.vec_id AS query_id, c.vec_id AS nn_id,
+      |         list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+      |                                CAST(ec.embedding AS DOUBLE[])) AS cos
+      |  FROM p JOIN c ON c.coarse = p.coarse
+      |  JOIN embeddings eq ON eq.vec_id = p.vec_id
+      |  JOIN embeddings ec ON ec.vec_id = c.vec_id
+      |  WHERE c.vec_id <> p.vec_id)
+      |SELECT query_id, nn_id, floor((cos)*1000000.0 + 0.5)/1000000.0 AS cosine,
+      |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS INT) AS rank
+      |FROM scored QUALIFY rank <= 3""".stripMargin
 
   /** Shared by q_ann_ivf (full-precision) and q_ann_ivf_q8 (int8 index +
     * exact re-scoring) — the quantized path must reproduce the exact
@@ -1430,20 +1482,11 @@ object SparkEntry {
     // replays the cell-restricted candidate join + exact-cosine ranking.
     // A corpus row has ONE cell, so a probed query meets it at most once —
     // no dedup needed, mirroring withProbeLabels' contract.
-    "q_ann_kmeans" ->
-      s"""WITH c AS (SELECT * FROM read_parquet('$KmeansFixture/corpus/*.parquet')),
-        | p AS (SELECT * FROM read_parquet('$KmeansFixture/probes/*.parquet')),
-        | scored AS (
-        |  SELECT p.vec_id AS query_id, c.vec_id AS nn_id,
-        |         list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
-        |                                CAST(ec.embedding AS DOUBLE[])) AS cos
-        |  FROM p JOIN c ON c.coarse = p.coarse
-        |  JOIN embeddings eq ON eq.vec_id = p.vec_id
-        |  JOIN embeddings ec ON ec.vec_id = c.vec_id
-        |  WHERE c.vec_id <> p.vec_id)
-        |SELECT query_id, nn_id, floor((cos)*1000000.0 + 0.5)/1000000.0 AS cosine,
-        |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS INT) AS rank
-        |FROM scored QUALIFY rank <= 3""".stripMargin,
+    "q_ann_kmeans" -> kmeansIvfSql,
+    // the full serving composition (learned + on-disk pruned + quantized
+    // shortlist + exact re-score) answers from the SAME induced cells,
+    // so it shares q_ann_kmeans's oracle verbatim
+    "q_ann_serve" -> kmeansIvfSql,
     "q_embed_quantize" ->
       """WITH q AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
