@@ -782,7 +782,10 @@ object Similarity {
     * the recall-erosion bound a stale layout carries), and rebuild via
     * [[writeLearnedIvfIndex]] only past `driftTolerance`. Below it the
     * index is untouched — the cycle's steady-state cost is the fit plus a
-    * bounded sample probe, never a write.
+    * bounded sample probe, never a write. `k = 0` (the default) keeps
+    * the served index's cell count, read from its riding quantizer — a
+    * scheduler's refresh loop cannot re-parameterize the index through a
+    * mismatched default.
     *
     * Drift is measured over rows present in BOTH the index and the
     * current corpus (the stored label plus today's vector); corpus rows
@@ -813,17 +816,24 @@ object Similarity {
     * Returns the measured drift and whether a rebuild happened, so
     * schedulers can log the trajectory and alert on thrash. */
   def refreshIvfIndex(indexPath: String, corpus: DataFrame, idCol: String,
-                      embCol: String, k: Int, iters: Int = 5,
+                      embCol: String, k: Int = 0, iters: Int = 5,
                       driftTolerance: Double = 0.1,
                       sampleRows: Int = 10000): IvfRefresh = {
     require(driftTolerance >= 0.0 && driftTolerance <= 1.0,
       s"driftTolerance must be in [0, 1], got $driftTolerance")
+    require(k >= 0, s"k must be 0 (keep the index's cell count) or positive, got $k")
     val spark = corpus.sparkSession
     // the refresh contract only makes sense against a committed LEARNED
     // index (stored labels + riding quantizer); this also refuses the
-    // crashed-rebuild states before any work is spent on a refit
-    loadIvfCentroids(spark, indexPath)
-    val cents = kmeansFit(corpus, idCol, embCol, k, iters)
+    // crashed-rebuild states before any work is spent on a refit — and
+    // the stored matrix supplies the DEFAULT k, so a refresh cycle can
+    // never re-parameterize the index by accident (an explicit k that
+    // disagrees with the stored cell count is the deliberate form: it
+    // reads as heavy drift — renumbered labels — and rebuilds at the
+    // new granularity in one cycle)
+    val storedK = loadIvfCentroids(spark, indexPath).length
+    val cents = kmeansFit(corpus, idCol, embCol,
+      if (k == 0) storedK else k, iters)
     val stored = spark.read.parquet(indexPath)
       .select(col(idCol), col("coarse"))
     val sampled = stored.join(corpus.select(col(idCol), col(embCol)),

@@ -74,8 +74,8 @@ object Main {
       |          --path <dir> --out <dir> [--id vec_id] [--embedding embedding]
       |          [--topk 10] [--nprobe 2]
       |  ivf-refresh --in <embeddings-parquet> --path <dir>
-      |          [--id vec_id] [--embedding embedding] [--k 32] [--iters 5]
-      |          [--tolerance 0.1]""".stripMargin
+      |          [--id vec_id] [--embedding embedding] [--k <index's k>]
+      |          [--iters 5] [--tolerance 0.1]""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val spark = session()
@@ -240,7 +240,9 @@ object Main {
       val r = graft.operators.Similarity.refreshIvfIndex(path,
         spark.read.parquet(in),
         opt.getOrElse("id", "vec_id"), opt.getOrElse("embedding", "embedding"),
-        k = opt.getOrElse("k", "32").toInt,
+        // default 0 = keep the index's own cell count (an accidental k
+        // mismatch would read as full drift and force a rebuild per cycle)
+        k = opt.getOrElse("k", "0").toInt,
         iters = opt.getOrElse("iters", "5").toInt,
         driftTolerance = opt.getOrElse("tolerance", "0.1").toDouble)
       // the one-line trajectory record a scheduler greps for

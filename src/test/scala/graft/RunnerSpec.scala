@@ -174,10 +174,12 @@ class RunnerSpec extends SparkSpec {
       == Set(0L, 1L, 2L, 3L, 4L, 5L), "every query must answer")
     assert(served.groupBy("query_id").count().select("count").as[Long]
       .collect().forall(_ == 3), "top-3 per query")
-    // refresh on the unchanged corpus: no drift, no rebuild
+    // refresh on the unchanged corpus: no drift, no rebuild. No --k: the
+    // cell count comes from the index's riding quantizer, so a scheduler
+    // cannot re-parameterize the index through a mismatched default
     val out1 = new java.io.ByteArrayOutputStream()
     Console.withOut(out1)(Main.run(Seq("ivf-refresh", "--in", emb,
-      "--path", ix, "--k", "2", "--iters", "3", "--tolerance", "0.1"), spark))
+      "--path", ix, "--iters", "3", "--tolerance", "0.1"), spark))
     assert(out1.toString.contains("drift=0.0000 rebuilt=false"),
       s"unchanged corpus must be a no-op: ${out1.toString}")
     // a quarter of the even cloud migrates across: drift reads their
@@ -186,7 +188,7 @@ class RunnerSpec extends SparkSpec {
       .write.mode("overwrite").parquet(emb)
     val out2 = new java.io.ByteArrayOutputStream()
     Console.withOut(out2)(Main.run(Seq("ivf-refresh", "--in", emb,
-      "--path", ix, "--k", "2", "--iters", "3", "--tolerance", "0.1"), spark))
+      "--path", ix, "--iters", "3", "--tolerance", "0.1"), spark))
     assert(out2.toString.contains("drift=0.2500 rebuilt=true"),
       s"15/60 migrated vectors must read as drift 0.25: ${out2.toString}")
     // and the refreshed index serves the NEW corpus cleanly end to end

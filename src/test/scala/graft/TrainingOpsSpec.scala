@@ -1052,8 +1052,9 @@ class TrainingOpsSpec extends SparkSpec {
     // unchanged corpus: deterministic refit ⇒ zero drift, no write
     val marker = new java.io.File(dir, "_SUCCESS")
     val mtime = marker.lastModified()
+    // no k passed: the default derives it from the riding quantizer
     val r1 = Similarity.refreshIvfIndex(dir, corpus, "vec_id", "embedding",
-      k = 3, iters = 4, driftTolerance = 0.05)
+      iters = 4, driftTolerance = 0.05)
     assert(r1 == Similarity.IvfRefresh(0.0, rebuilt = false),
       s"an unchanged corpus must read zero drift and skip the rebuild: $r1")
     assert(marker.lastModified() == mtime, "no-op refresh must not rewrite")
