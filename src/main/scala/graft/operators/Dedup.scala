@@ -316,14 +316,25 @@ object Dedup {
     require(head.nonEmpty, "writeBandedIndex: empty index")
     val numHashes = head.head.getInt(0)
     val epoch = System.nanoTime()
+    // bucket-aligned repartition before EVERY bucketed write in this
+    // family (build, append, compact): the planner's implicit clustering
+    // for a bucketed save is AQE-adjustable, and at larger inputs AQE
+    // splits a heavy shuffle partition across tasks — each task then
+    // writes its own file per bucket, and the serve pays a per-file open
+    // tax that grows with input size. The explicit repartition (same
+    // murmur3-pmod assignment as bucketBy) is not AQE-adjustable: each
+    // task holds exactly one bucket's rows, one file per bucket per
+    // write, at every scale.
     bandedSignatures(index, bands, numHashes)
       .withColumn("bh", xxhash64(col("band"), col("band_hash")))
       .withColumn("build_id", lit(epoch))
+      .repartition(buckets, col("bh"))
       .write.mode("overwrite")
       .bucketBy(buckets, "bh").sortBy("bh")
       .saveAsTable(s"${name}_bands")
     index.withColumn("n_bands", lit(bands))
       .withColumn("build_id", lit(epoch))
+      .repartition(buckets, col("sh_id"))
       .write.mode("overwrite")
       .bucketBy(buckets, "sh_id").sortBy("sh_id")
       .saveAsTable(s"${name}_sigs")
@@ -387,14 +398,18 @@ object Dedup {
     // signatures feed both table writes — materialize once (~1 KB/doc)
     val newSigs = eagerCheckpoint(
       buildDedupIndex(newDocs, idCol, textCol, shingleK, numHashes))
+    // bucket-aligned repartition, same rationale as writeBandedIndex:
+    // exactly one new file per bucket per append, AQE cannot split it
     bandedSignatures(newSigs, bands, numHashes)
       .withColumn("bh", xxhash64(col("band"), col("band_hash")))
       .withColumn("build_id", lit(epoch))
+      .repartition(buckets, col("bh"))
       .write.mode("append")
       .bucketBy(buckets, "bh").sortBy("bh")
       .saveAsTable(s"${name}_bands")
     newSigs.withColumn("n_bands", lit(bands))
       .withColumn("build_id", lit(epoch))
+      .repartition(buckets, col("sh_id"))
       .write.mode("append")
       .bucketBy(buckets, "sh_id").sortBy("sh_id")
       .saveAsTable(s"${name}_sigs")
