@@ -56,6 +56,10 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // every JSON artifact here is built with the locale-sensitive f
+    // interpolator — under a comma-decimal default locale (de_DE, …) the
+    // output would be invalid JSON. Pin the root locale once.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
@@ -979,9 +983,15 @@ object Bench {
       val got = pairs(served)
       (np, got.intersect(exact).size.toDouble / exact.size, secs)
     }
+    // near-monotonicity, with slack: at a FIXED candidateFactor a true
+    // neighbor inside its own cell's shortlist at nprobe=1 can be evicted
+    // from the global shortlist at nprobe=k by spurious high-approx-cosine
+    // candidates from other cells, so strict recall monotonicity is not
+    // algorithmically guaranteed — the require catches gross inversions
+    // (a broken serve), not legal shortlist jitter
     val byProbe = rows.map(r => r._1 -> r._2).toMap
-    require(byProbe(kCells) >= byProbe(1),
-      s"probing every cell must not recall less than one cell: $rows")
+    require(byProbe(kCells) >= byProbe(1) - 0.05,
+      s"probing every cell must not recall (materially) less than one cell: $rows")
     type R = (Int, Double, Double)
     def arr[T](f: R => T): String = jsonArr(rows)(f)
     val line =

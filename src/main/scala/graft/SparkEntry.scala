@@ -350,6 +350,18 @@ object SparkEntry {
         rq(expr("approx_percentile(value, 0.25, 100000)"), 6).as("p25_approx"),
         rq(expr("approx_percentile(value, 0.5, 100000)"), 6).as("p50_approx"),
         rq(expr("approx_percentile(value, 0.75, 100000)"), 6).as("p75_approx"))
+      // the oracle-exact convention holds only while the GK rank-error
+      // bound n/accuracy stays < 1 rank (integer ranks then force the
+      // exact ⌈p·n⌉ element). A group reaching accuracy rows would turn
+      // the hash gate silently flaky at larger scale factors — guard the
+      // assumption loudly, naming the dial, instead of letting it rot
+      .select(col("event_type"),
+        when(col("n") >= 100000L, raise_error(concat(
+          lit("q_profile_approx: group size "), col("n").cast("string"),
+          lit(" reaches accuracy=100000 - the <1-rank exactness convention " +
+            "no longer holds; raise the accuracy argument"))))
+          .otherwise(col("n")).as("n"),
+        col("p25_approx"), col("p50_approx"), col("p75_approx"))
 
   /** JSON extraction from the events `props` column. */
   private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
@@ -433,21 +445,43 @@ object SparkEntry {
     * PERSISTENCE, not by re-derivation. The dump records `dir` and is
     * ignored for any other dir (a stale sf0.01 matrix must never label
     * an sf0.1 corpus). */
+  /** Full-width per-dir key for cache table names / index paths: md5 of
+    * the dir string. `String.hashCode` (32 bits) invited a silent
+    * collision class — two dirs sharing one physical index and serving
+    * each other's corpus with no error. */
+  private def dirKey(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   private val kmeansCache =
     collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
   private def kmeansCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
     kmeansCache.getOrElseUpdate(dir, {
-      val persisted = new java.io.File(s"$KmeansFixture/centroids")
-      val loaded: Option[Array[Array[Double]]] =
-        if (!persisted.exists()) None
-        else scala.util.Try {
-          s.read.parquet(persisted.getAbsolutePath)
-            .filter(col("dir") === dir)
-            .select("cid", "centroid").orderBy("cid").collect()
-            .map(_.getSeq[Double](1).toArray)
-        }.toOption.filter(_.nonEmpty)
-      loaded.getOrElse(Similarity.kmeansFit(tbl(s, dir, "embeddings"),
-        "vec_id", "embedding", k = 8, iters = 5))
+      // one subdirectory PER dir (not one overwritten table): dumping
+      // fixtures for a second sf dir must never destroy the first's
+      // persisted matrix — that would silently revert that dir to
+      // refit-derivation, the exact cross-JVM divergence this
+      // persistence exists to prevent
+      val persisted = new java.io.File(s"$KmeansFixture/centroids/${dirKey(dir)}")
+      if (!persisted.exists())
+        Similarity.kmeansFit(tbl(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8, iters = 5)
+      else {
+        // a half-written dump must fail LOUDLY, not silently refit a
+        // matrix different from the one the surviving label fixtures
+        // were induced by (an undiagnosable oracle hash mismatch)
+        require(new java.io.File(persisted, "_SUCCESS").exists(),
+          s"kmeansCentroids: ${persisted} exists without _SUCCESS - crashed " +
+            "fixture dump; re-run Verify (prepareOracleFixtures) for this dir")
+        val cents = s.read.parquet(persisted.getAbsolutePath)
+          .filter(col("dir") === dir)
+          .select("cid", "centroid").orderBy("cid").collect()
+          .map(_.getSeq[Double](1).toArray)
+        require(cents.nonEmpty,
+          s"kmeansCentroids: ${persisted} holds no rows for dir=$dir - " +
+            "corrupt fixture dump; re-run Verify for this dir")
+        cents
+      }
     })
 
   /** The (index, new-batch) construction shared by q_dedup_index and its
@@ -481,8 +515,7 @@ object SparkEntry {
   private val bandedIxCache = collection.concurrent.TrieMap.empty[String, String]
   private def bandedIndexTable(s: SparkSession, dir: String): String =
     bandedIxCache.getOrElseUpdate(dir, {
-      val name = "graft_q_banded_ix_" +
-        (dir.hashCode.toLong & 0xffffffffL).toHexString
+      val name = "graft_q_banded_ix_" + dirKey(dir)
       val (index, _) = dedupIndexParts(s, dir)
       Dedup.writeBandedIndex(index, name, buckets = 32)
       name
@@ -499,7 +532,7 @@ object SparkEntry {
   private def ivfIndexPath(s: SparkSession, dir: String): String =
     ivfIxCache.getOrElseUpdate(dir, {
       val path = new java.io.File("target/bench-ivf-index/" +
-        (dir.hashCode.toLong & 0xffffffffL).toHexString).getAbsolutePath
+        dirKey(dir)).getAbsolutePath
       Similarity.writeIvfIndex(
         Similarity.buildQuantizedIndex(tbl(s, dir, "embeddings"),
           "vec_id", "embedding", "label"),
@@ -517,7 +550,7 @@ object SparkEntry {
   private def learnedIvfPath(s: SparkSession, dir: String): String =
     learnedIvfCache.getOrElseUpdate(dir, {
       val path = new java.io.File("target/bench-ivf-learned/" +
-        (dir.hashCode.toLong & 0xffffffffL).toHexString).getAbsolutePath
+        dirKey(dir)).getAbsolutePath
       Similarity.writeLearnedIvfIndex(tbl(s, dir, "embeddings"),
         "vec_id", "embedding", path, kmeansCentroids(s, dir))
       path
@@ -548,7 +581,10 @@ object SparkEntry {
     s.createDataFrame(cents.toSeq.zipWithIndex
         .map { case (c, i) => (i, c.toSeq, dir) })
       .toDF("cid", "centroid", "dir")
-      .write.mode("overwrite").parquet(s"$KmeansFixture/centroids")
+      // per-dir subdirectory: overwrites only THIS dir's matrix (see
+      // kmeansCentroids — a shared overwritten table would clobber other
+      // dirs' persisted matrices)
+      .write.mode("overwrite").parquet(s"$KmeansFixture/centroids/${dirKey(dir)}")
     Similarity.withCoarseLabel(emb, "embedding", cents)
       .select("vec_id", "coarse")
       .write.mode("overwrite").parquet(s"$KmeansFixture/corpus")

@@ -5,6 +5,8 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // locale-stable formatted output, same rationale as Bench/runner.Main
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // dev loop: SPARK_GRAFT_ONLY=q_a,q_b restricts the dump (same contract

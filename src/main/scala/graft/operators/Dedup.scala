@@ -477,8 +477,22 @@ object Dedup {
         .map(_.getPath.toString)
     val oldBands = dataFiles(s"${name}_bands")
     val oldSigs = dataFiles(s"${name}_sigs")
-    require(oldSigs.nonEmpty,
-      s"compactBandedIndex: ${name}_sigs has no data files (crashed rebuild?) - re-run writeBandedIndex")
+    // BOTH tables must hold committed rows before merging: after a
+    // crashed rebuild (one table overwritten, the other not, `_meta`
+    // stale) the files that exist carry only uncommitted epochs — the
+    // merge would filter them all out, commit an EMPTY epoch as the only
+    // served one, and GC the sole copies of the data. Refuse up front,
+    // with the same remediation the serving path names.
+    def committedProbe(files: Seq[String], table: String): Unit = {
+      require(files.nonEmpty,
+        s"compactBandedIndex: $table has no data files (crashed rebuild?) - re-run writeBandedIndex")
+      require(spark.read.parquet(files: _*)
+          .filter(col("build_id").isin(committed: _*))
+          .select(lit(1)).limit(1).collect().nonEmpty,
+        s"compactBandedIndex: no committed rows in $table (crashed rebuild?) - re-run writeBandedIndex")
+    }
+    committedProbe(oldBands, s"${name}_bands")
+    committedProbe(oldSigs, s"${name}_sigs")
     val epoch = System.nanoTime()
     def mergeInto(files: Seq[String], table: String, keyCol: String): Unit =
       spark.read.parquet(files: _*)

@@ -158,7 +158,10 @@ object Similarity {
     // scans); an empty corpus skips the guard and fails on the existing
     // non-empty require below. Same fail-loudly-with-the-dials style as
     // the lshGeometryFor infeasibility guard.
-    df.select(size(vRaw).as("d")).limit(1).collect().headOption.foreach { r =>
+    // probe with the GUARDED vector: a null/empty first row must produce
+    // the designed "null or empty embedding" raise, not a bare NPE from
+    // getInt on a null size
+    df.select(size(v).as("d")).limit(1).collect().headOption.foreach { r =>
       val dims0 = r.getInt(0)
       val bytes = cap.toLong * dims0 * 8L
       require(bytes <= MaxSeedSampleBytes,

@@ -78,6 +78,9 @@ object Main {
       |          [--iters 5] [--tolerance 0.1]""".stripMargin
 
   def main(args: Array[String]): Unit = {
+    // the ivf-refresh trajectory line is a grep contract ("drift=0.1234");
+    // a comma-decimal default locale would break it — pin the root locale
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val spark = session()
     try run(args.toIndexedSeq, spark)
     finally spark.stop()

@@ -587,6 +587,12 @@ class TrainingOpsSpec extends SparkSpec {
       assert(msgChain(intercept[Exception](
           Dedup.appendToBandedIndex(corpusB, "ix_app", "doc_id", "text")))
         .contains("no committed rows"))
+      // and COMPACTION refuses it too — merging would filter every
+      // (uncommitted) row out, commit an empty epoch as the only served
+      // one, and GC the sole copies of the data
+      assert(msgChain(intercept[Exception](
+          Dedup.compactBandedIndex(spark, "ix_app")))
+        .contains("no committed rows"))
     } finally {
       Seq("ix_app", "ix_fullre").foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS ${t}_bands")
@@ -830,6 +836,14 @@ class TrainingOpsSpec extends SparkSpec {
     // under the bound, the same corpus fits fine
     assert(Similarity.kmeansFit(df, "vec_id", "embedding", k = 2, iters = 1,
       sampleRows = 10).length == 2)
+    // the byte guard's dims probe must route through the null guard: a
+    // null first embedding produces the designed raise, not a bare NPE
+    // from reading a null size
+    val nullFirst = Seq((1L, Option.empty[Seq[Float]]),
+      (2L, Option(Seq(1.0f, 2.0f)))).toDF("vec_id", "embedding")
+    assert(msgChain(intercept[Exception](Similarity.kmeansFit(
+        nullFirst, "vec_id", "embedding", k = 1, iters = 1)))
+      .contains("null or empty embedding"))
   }
 
   test("assignmentDrift: planted drift reads as the shifted cluster's mass, " +
