@@ -570,14 +570,16 @@ object Similarity {
     * only after its writer completed, the standard `_SUCCESS` contract —
     * which [[ivfTopKQuantizedPruned]] ENFORCES, refusing a marker-less
     * path instead of silently serving missing cells).
-    * Growth: rebuild, deliberately — an IVF's centroids drift as the
-    * corpus grows, so the real-world cycle is re-train + re-quantize +
-    * rebuild on a cadence; per-batch appends would need the epoch-commit
-    * machinery of the banded dedup index AND would ossify stale
-    * centroids, the worse trade on both axes. [[assignmentDrift]] is the
-    * metric that triggers the cycle: refit on the current corpus, measure
-    * the label-change fraction against the served index, rebuild past the
-    * tolerance. */
+    * Growth, for THIS plain layout: rebuild, deliberately — the labels
+    * are caller-managed, so an append path here would let labels induced
+    * by a different quantizer into the same directory with no way to
+    * tell. The LEARNED layout ([[writeLearnedIvfIndex]]), whose quantizer
+    * rides with the index, does support incremental growth: per-batch
+    * [[appendToIvfIndex]] under the banded dedup index's epoch-commit
+    * machinery, labels always from the committed `_centroids` (consistent
+    * by construction), [[assignmentDrift]]-gated [[refreshIvfIndex]] as
+    * the re-train trigger, and [[compactIvfIndex]] to restore the file
+    * layout after N ingest cycles. */
   def writeIvfIndex(index: DataFrame, path: String, partCol: String): Unit =
     // repartition by the cell first: a plain partitionBy write emits one
     // file per cell per WRITING TASK — files/cell grows with the corpus
@@ -612,7 +614,19 @@ object Similarity {
   def ivfTopKQuantizedPruned(indexPath: String, corpus: DataFrame,
                              queries: DataFrame, idCol: String, embCol: String,
                              partCol: String, k: Int,
-                             candidateFactor: Int = 4): DataFrame = {
+                             candidateFactor: Int = 4): DataFrame =
+    ivfTopKQuantizedPrunedImpl(indexPath, corpus, queries, idCol, embCol,
+      partCol, k, candidateFactor, rowFilter = None)
+
+  /** [[ivfTopKQuantizedPruned]] plus an optional pushed-down row filter —
+    * the learned path's committed-epoch predicate ([[serveIvfIndex]]).
+    * Private: the plain [[writeIvfIndex]] layout has no epoch column, so
+    * the filter is only meaningful (and only applied) on learned paths. */
+  private def ivfTopKQuantizedPrunedImpl(indexPath: String, corpus: DataFrame,
+                                         queries: DataFrame, idCol: String,
+                                         embCol: String, partCol: String,
+                                         k: Int, candidateFactor: Int,
+                                         rowFilter: Option[Column]): DataFrame = {
     val spark = queries.sparkSession
     requireCommitMarker(spark, indexPath, "ivf_top_k_quantized_pruned",
       "re-run writeIvfIndex before serving")
@@ -623,8 +637,9 @@ object Similarity {
     val q = Materialize.eagerCheckpoint(queries)
     val cells = q.select(col(partCol)).distinct().collect().map(_.get(0))
     require(cells.nonEmpty, "ivfTopKQuantizedPruned: empty query batch")
-    val index = spark.read.parquet(indexPath)
+    val pruned = spark.read.parquet(indexPath)
       .filter(col(partCol).isin(cells.toSeq: _*))
+    val index = rowFilter.fold(pruned)(pruned.filter)
     ivfTopKQuantized(index, corpus, q, idCol, embCol, partCol, k,
       candidateFactor)
   }
@@ -714,20 +729,33 @@ object Similarity {
     * unconstructable through this API. Callers thread nothing.
     *
     * Commit order is data first (the root `_SUCCESS`), then `_centroids`
-    * (its own `_SUCCESS` LAST) — and loading requires BOTH markers, so a
-    * crash between the writes refuses loudly instead of serving an index
-    * whose quantizer is missing or half-written. A crashed overwrite of a
+    * (its own `_SUCCESS`), then the `_epochs` commit table LAST — and
+    * loading requires ALL the markers, so a crash between the writes
+    * refuses loudly instead of serving an index whose quantizer or commit
+    * record is missing or half-written. A crashed overwrite of a
     * previously-committed path destroys that path's markers with it, so
     * rebuild-in-place makes the index unavailable-until-rerun, never
     * wrong; deployments that need the old index live during a rebuild
-    * write to a fresh path and swap a pointer. */
+    * write to a fresh path and swap a pointer.
+    *
+    * Epoch protocol (shared with [[appendToIvfIndex]] /
+    * [[compactIvfIndex]], mirroring the banded dedup index): every row
+    * carries the `build_id` of the build/append that wrote it, and
+    * `_epochs` (underscore-prefixed — invisible to the data read, like
+    * `_centroids`) lists the COMMITTED epochs. The learned serving path
+    * filters to that list, so rows from a crashed append are invisible
+    * and a retry is exactly-once. The filter is a pushed-down predicate
+    * over a per-file-constant column — parquet row-group stats skip
+    * uncommitted files wholesale, no extra shuffle. */
   def writeLearnedIvfIndex(corpus: DataFrame, idCol: String, embCol: String,
                            path: String,
                            centroids: Array[Array[Double]]): Unit = {
     checkCentroids(centroids)
+    val epoch = System.nanoTime()
     writeIvfIndex(
       buildQuantizedIndex(withCoarseLabel(corpus, embCol, centroids),
-        idCol, embCol, "coarse"),
+        idCol, embCol, "coarse")
+        .withColumn("build_id", lit(epoch)),
       path, "coarse")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -735,6 +763,156 @@ object Similarity {
       .toDF("cid", "centroid")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_centroids")
+    // the commit record — LAST, so its epochs always have complete rows
+    // and a complete quantizer beside them
+    Seq(Tuple1(epoch)).toDF("build_id")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_epochs")
+  }
+
+  /** Epochs the `_epochs` commit table lists — the serving-visible
+    * builds/appends of a [[writeLearnedIvfIndex]] path (driver-side read
+    * of one row per successful build/append; bytes, not data). Refuses a
+    * marker-less or empty commit table loudly: that is a crashed rebuild
+    * (or a pre-epoch layout), not an empty index. */
+  private def committedIvfEpochs(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, op: String): Seq[Long] = {
+    requireCommitMarker(spark, s"$path/_epochs", op,
+      "the index has no committed-epochs record (crashed rebuild, or a " +
+        "path not written by writeLearnedIvfIndex) - re-run " +
+        "writeLearnedIvfIndex")
+    val eps = spark.read.parquet(s"$path/_epochs")
+      .select("build_id").collect().map(_.getLong(0)).toSeq
+    require(eps.nonEmpty,
+      s"$op: _epochs at $path lists no committed builds - re-run " +
+        "writeLearnedIvfIndex")
+    eps
+  }
+
+  /** Incremental GROWTH of a [[writeLearnedIvfIndex]] layout: label the
+    * new vectors with the index's OWN riding quantizer, int8-quantize
+    * them, and append them into the per-cell partition directories under
+    * a fresh committed epoch — the ingest-cycle shape. Without this, rows
+    * arriving between [[refreshIvfIndex]] cycles would be unservable
+    * until drift happens to cross the rebuild tolerance: the drift gate
+    * decides when the LAYOUT is re-learned, not when new data becomes
+    * visible. Labels come from the committed `_centroids`, so appended
+    * rows are consistent with the served layout by construction — the
+    * stale-quantizer mismatch class cannot be built through this path,
+    * and what ossification the frozen centroids do accumulate is exactly
+    * what [[assignmentDrift]] measures and [[refreshIvfIndex]] repairs.
+    *
+    * Crash story (the [[writeLearnedIvfIndex]] epoch protocol): data
+    * files land first (one per touched cell — cell-hashed repartition,
+    * same small-files rationale as the build), the `_epochs` append is
+    * the commit point. A crash before it leaves orphan rows at an
+    * unlisted epoch — invisible to serving, collected by the next
+    * [[compactIvfIndex]] — and a retry re-appends under a new epoch,
+    * exactly-once. Appends add one file per cell per call; compaction
+    * restores ~one file per cell when the count warrants.
+    *
+    * `newRows` must be NEW ids: updating an already-indexed vector in
+    * place is a re-embedding concern (see the [[refreshIvfIndex]] drift
+    * caveat), and a duplicate id would serve BOTH versions. The
+    * precondition is enforced where it is free — [[compactIvfIndex]]
+    * reads every committed row anyway and raises on a duplicate id —
+    * not here, where it would cost a full index scan per append. */
+  def appendToIvfIndex(newRows: DataFrame, indexPath: String, idCol: String,
+                       embCol: String): Unit = {
+    val spark = newRows.sparkSession
+    val cents = loadIvfCentroids(spark, indexPath)
+    // refuse a crashed-rebuild path BEFORE writing anything into it
+    committedIvfEpochs(spark, indexPath, "append_to_ivf_index")
+    val epoch = System.nanoTime()
+    buildQuantizedIndex(withCoarseLabel(newRows, embCol, cents),
+        idCol, embCol, "coarse")
+      .withColumn("build_id", lit(epoch))
+      .repartition(col("coarse"))
+      .write.mode("append").partitionBy("coarse").parquet(indexPath)
+    import spark.implicits._
+    Seq(Tuple1(epoch)).toDF("build_id")
+      .coalesce(1)
+      .write.mode("append").parquet(s"$indexPath/_epochs")
+  }
+
+  /** COMPACTION of a [[writeLearnedIvfIndex]]+[[appendToIvfIndex]]
+    * layout: merge every committed epoch into ONE fresh epoch by
+    * rewriting the existing quantized rows — codes and labels are
+    * immutable and the quantizer is untouched, so compaction never
+    * re-embeds, re-labels, or re-quantizes anything. Restores ~one file
+    * per cell (cell-hashed repartition), so a pruned serve after N ingest
+    * cycles stops listing and opening N files per probed cell.
+    *
+    * Same crash discipline as [[graft.operators.Dedup.compactBandedIndex]]:
+    * the merged rows land as an APPEND under a fresh epoch — invisible
+    * while `_epochs` still lists the old ones — and the tiny `_epochs`
+    * OVERWRITE to exactly that epoch is the commit point. A crash before
+    * it leaves the old epochs serving untouched; after it, the
+    * superseded files (snapshotted BEFORE the merge was appended, so the
+    * set is exact) are deleted as pure GC. Uncommitted rows from crashed
+    * appends live in pre-snapshot files and are filtered out of the
+    * merge, so compaction doubles as the garbage collector for crashed
+    * ingests. Single-writer: do not compact concurrently with appends or
+    * a refresh rebuild.
+    *
+    * The merge validates the [[appendToIvfIndex]] id-uniqueness
+    * precondition — a duplicate id (the same row appended twice, or an
+    * in-place re-embed pushed through append) raises here, where the
+    * full read is already paid, instead of silently serving two versions
+    * of the row forever. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String, idCol: String): Unit = {
+    requireCommitMarker(spark, indexPath, "compact_ivf_index",
+      "re-run writeLearnedIvfIndex before compacting")
+    val committed = committedIvfEpochs(spark, indexPath, "compact_ivf_index")
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // the pre-merge data-file snapshot: exactly what the merge reads and
+    // exactly what the post-commit GC deletes. Data files live under the
+    // coarse=N partition directories; _centroids/_epochs/_SUCCESS and
+    // dot-files are metadata, not data.
+    val snapshot = {
+      val it = fs.listFiles(root, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val s = it.next()
+        val name = s.getPath.getName
+        val parent = s.getPath.getParent.getName
+        if (s.isFile && !name.startsWith("_") && !name.startsWith(".") &&
+            !parent.startsWith("_"))
+          buf += s.getPath.toString
+      }
+      buf.toSeq
+    }
+    require(snapshot.nonEmpty,
+      s"compact_ivf_index: no data files under $indexPath (crashed " +
+        "rebuild?) - re-run writeLearnedIvfIndex")
+    // basePath recovers the coarse partition column from the directory
+    // names of the explicit file list
+    val old = spark.read.option("basePath", indexPath)
+      .parquet(snapshot: _*)
+      .filter(col("build_id").isin(committed: _*))
+    require(old.select(lit(1)).limit(1).collect().nonEmpty,
+      s"compact_ivf_index: no committed rows under $indexPath (crashed " +
+        "rebuild?) - re-run writeLearnedIvfIndex")
+    val dup = old.groupBy(col(idCol)).count().filter(col("count") > 1)
+      .select(col(idCol)).limit(1).collect()
+    require(dup.isEmpty,
+      s"compact_ivf_index: duplicate id ${dup.headOption.map(_.get(0))
+        .getOrElse("")} across committed epochs - appendToIvfIndex is for " +
+        "NEW ids; re-embedded rows go through refreshIvfIndex (rebuild)")
+    val epoch = System.nanoTime()
+    old.withColumn("build_id", lit(epoch))
+      .repartition(col("coarse"))
+      .write.mode("append").partitionBy("coarse").parquet(indexPath)
+    import spark.implicits._
+    // commit point: the merged epoch becomes the ONLY served epoch
+    Seq(Tuple1(epoch)).toDF("build_id")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexPath/_epochs")
+    // GC — the snapshot's rows are invisible now (committed ∌ their epochs)
+    snapshot.foreach(f => fs.delete(new Path(f), false))
   }
 
   /** The centroid matrix a [[writeLearnedIvfIndex]] path was built with
@@ -767,14 +945,20 @@ object Similarity {
     * production serving story in one call — learned quantizer, on-disk
     * pruned layout, quantized shortlist, exact answer — with nothing for
     * the caller to keep consistent: centroids, labels, and files all come
-    * from the one committed path. */
+    * from the one committed path. Rows are filtered to the epochs the
+    * `_epochs` commit table lists (the [[writeLearnedIvfIndex]] crash
+    * protocol): a crashed [[appendToIvfIndex]]'s orphan rows are
+    * invisible, and a pre-epoch or half-rebuilt path refuses loudly. */
   def serveIvfIndex(indexPath: String, corpus: DataFrame, queries: DataFrame,
                     idCol: String, embCol: String, k: Int, nprobe: Int = 2,
                     candidateFactor: Int = 4): DataFrame = {
-    val cents = loadIvfCentroids(queries.sparkSession, indexPath)
-    ivfTopKQuantizedPruned(indexPath, corpus,
+    val spark = queries.sparkSession
+    val cents = loadIvfCentroids(spark, indexPath)
+    val committed = committedIvfEpochs(spark, indexPath, "serve_ivf_index")
+    ivfTopKQuantizedPrunedImpl(indexPath, corpus,
       withProbeLabels(queries, embCol, cents, nprobe),
-      idCol, embCol, "coarse", k, candidateFactor)
+      idCol, embCol, "coarse", k, candidateFactor,
+      rowFilter = Some(col("build_id").isin(committed: _*)))
   }
 
   /** One turn of the IVF growth cycle — the operator form of the
@@ -835,9 +1019,13 @@ object Similarity {
     // reads as heavy drift — renumbered labels — and rebuilds at the
     // new granularity in one cycle)
     val storedK = loadIvfCentroids(spark, indexPath).length
+    val committed = committedIvfEpochs(spark, indexPath, "refresh_ivf_index")
     val cents = kmeansFit(corpus, idCol, embCol,
       if (k == 0) storedK else k, iters)
+    // committed rows only: a crashed append's orphan labels must not
+    // leak into the drift sample any more than into a serve
     val stored = spark.read.parquet(indexPath)
+      .filter(col("build_id").isin(committed: _*))
       .select(col(idCol), col("coarse"))
     val sampled = stored.join(corpus.select(col(idCol), col(embCol)),
       Seq(idCol))

@@ -28,13 +28,16 @@ import graft.streaming.Compactor
   *    banded index once, then per ingest cycle filter the new batch
   *    against it and append what was kept; compact when the per-append
   *    files warrant it (merges committed epochs WITHOUT re-shingling).
-  *  - `ivf-build` / `ivf-query` / `ivf-refresh`: the learned-ANN index
-  *    lifecycle ([[graft.operators.Similarity.writeLearnedIvfIndex]]
-  *    family) — fit + quantize + write the partition-pruned index (the
-  *    centroids ride with it), serve query batches from it, and run the
-  *    drift-gated refresh cycle on a cadence (refit, measure
-  *    [[graft.operators.Similarity.assignmentDrift]], rebuild only past
-  *    tolerance).
+  *  - `ivf-build` / `ivf-query` / `ivf-append` / `ivf-refresh` /
+  *    `ivf-compact`: the learned-ANN index lifecycle
+  *    ([[graft.operators.Similarity.writeLearnedIvfIndex]] family) — fit +
+  *    quantize + write the partition-pruned index (the centroids ride
+  *    with it), serve query batches from it, append each ingest batch
+  *    under a committed epoch (servable immediately, labeled by the
+  *    riding quantizer), run the drift-gated refresh cycle on a cadence
+  *    (refit, measure [[graft.operators.Similarity.assignmentDrift]],
+  *    rebuild only past tolerance), and compact the per-append files when
+  *    the count warrants.
   *
   * Usage:
   * {{{
@@ -75,7 +78,10 @@ object Main {
       |          [--topk 10] [--nprobe 2]
       |  ivf-refresh --in <embeddings-parquet> --path <dir>
       |          [--id vec_id] [--embedding embedding] [--k <index's k>]
-      |          [--iters 5] [--tolerance 0.1]""".stripMargin
+      |          [--iters 5] [--tolerance 0.1]
+      |  ivf-append  --in <embeddings-parquet> --path <dir>
+      |          [--id vec_id] [--embedding embedding]
+      |  ivf-compact --path <dir> [--id vec_id]""".stripMargin
 
   def main(args: Array[String]): Unit = {
     // the ivf-refresh trajectory line is a grep contract ("drift=0.1234");
@@ -250,6 +256,22 @@ object Main {
         driftTolerance = opt.getOrElse("tolerance", "0.1").toDouble)
       // the one-line trajectory record a scheduler greps for
       println(f"ivf-refresh: drift=${r.drift}%.4f rebuilt=${r.rebuilt}")
+
+    // the per-ingest-cycle step between refreshes: label the new vectors
+    // with the index's own riding quantizer and append them under a fresh
+    // committed epoch — new data becomes servable immediately, the drift
+    // gate keeps deciding when the layout is re-learned
+    case Some("ivf-append") =>
+      val (opt, _) = parse(args.tail)
+      val (in, path) = (req(opt, "in"), req(opt, "path"))
+      graft.operators.Similarity.appendToIvfIndex(spark.read.parquet(in),
+        path, opt.getOrElse("id", "vec_id"),
+        opt.getOrElse("embedding", "embedding"))
+
+    case Some("ivf-compact") =>
+      val (opt, _) = parse(args.tail)
+      graft.operators.Similarity.compactIvfIndex(spark, req(opt, "path"),
+        opt.getOrElse("id", "vec_id"))
 
     case Some("index-filter") =>
       val (opt, _) = parse(args.tail)

@@ -141,8 +141,8 @@ class RunnerSpec extends SparkSpec {
     }
   }
 
-  test("ANN lifecycle CLI: ivf-build → ivf-query → ivf-refresh — the " +
-    "drift-gated cycle") {
+  test("ANN lifecycle CLI: ivf-build → ivf-query → ivf-refresh → ivf-append " +
+    "→ ivf-compact — the drift-gated ingest cycle") {
     import spark.implicits._
     val rnd = new scala.util.Random(53)
     val centers = Seq(Array.fill(4)(8.0), Array.fill(4)(-8.0))
@@ -195,6 +195,30 @@ class RunnerSpec extends SparkSpec {
     Main.run(Seq("ivf-query", "--in", queries, "--corpus", emb, "--path", ix,
       "--out", hits, "--topk", "3", "--nprobe", "2"), spark)
     assert(spark.read.parquet(hits).count() == 18)
+    // ingest cycle: append a new batch under a committed epoch — its rows
+    // are servable immediately, labeled by the index's riding quantizer
+    val batch = outDir("cli-ivf-batch")
+    (100 until 106).map(i => (i.toLong,
+        centers(1).map(x => (x + rnd.nextGaussian() * 0.3).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(batch)
+    Main.run(Seq("ivf-append", "--in", batch, "--path", ix), spark)
+    val unioned = outDir("cli-ivf-union")
+    spark.read.parquet(emb).union(spark.read.parquet(batch))
+      .write.mode("overwrite").parquet(unioned)
+    Main.run(Seq("ivf-query", "--in", batch, "--corpus", unioned, "--path", ix,
+      "--out", hits, "--topk", "3", "--nprobe", "2"), spark)
+    val appendServed = spark.read.parquet(hits).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(appendServed.map(_._1) == (100L until 106L).toSet &&
+      appendServed.size == 18, "appended rows must answer as queries")
+    // compaction merges the build+append epochs; serving is unchanged
+    Main.run(Seq("ivf-compact", "--path", ix), spark)
+    Main.run(Seq("ivf-query", "--in", batch, "--corpus", unioned, "--path", ix,
+      "--out", hits, "--topk", "3", "--nprobe", "2"), spark)
+    assert(spark.read.parquet(hits).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      == appendServed, "serve after ivf-compact must equal serve before")
   }
 
   private def dropTables(): Unit =

@@ -1045,9 +1045,10 @@ class TrainingOpsSpec extends SparkSpec {
     // the quantizer round-trips exactly (doubles, parquet, cid order)
     assert(Similarity.loadIvfCentroids(spark, dir).map(_.toSeq).toSeq ==
       cents.map(_.toSeq).toSeq)
-    // ...and the data read never sees the riding _centroids directory
+    // ...and the data read never sees the riding _centroids/_epochs
+    // directories — only the data columns plus the epoch stamp
     assert(spark.read.parquet(dir).columns.sorted.toSeq ==
-      Seq("coarse", "q8", "q8_scale", "vec_id"))
+      Seq("build_id", "coarse", "q8", "q8_scale", "vec_id"))
     // self-contained serve ≡ the caller-threaded in-memory learned path
     val queries = corpus.filter($"vec_id" < 9)
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
@@ -1126,6 +1127,97 @@ class TrainingOpsSpec extends SparkSpec {
     assert(msgChain(intercept[IllegalArgumentException](
         Similarity.serveIvfIndex(plain, corpus, queries, "vec_id", "embedding", 3)))
       .contains("ivfTopKQuantizedPruned"))
+  }
+
+  test("learned-IVF ingest lifecycle: epoch-committed appends serve like a " +
+    "rebuild, crashed appends are invisible, compaction restores the layout") {
+    val rnd = new scala.util.Random(53)
+    val centers = Seq(Array.fill(6)(9.0), Array.fill(6)(-9.0),
+      Array.tabulate(6)(i => if (i % 2 == 0) 9.0 else -9.0))
+    def cloud(ctr: Array[Double]): Seq[Float] =
+      ctr.map(x => (x + rnd.nextGaussian() * 0.3).toFloat).toSeq
+    def mk(ids: Range) = ids.map(i => (i.toLong, cloud(centers(i % 3))))
+      .toDF("vec_id", "embedding")
+    // mk draws its noise EAGERLY per call (the Seq is built before toDF),
+    // so each frame below is stable and `all` is their exact union
+    val base = mk(0 until 60)
+    val batch1 = mk(60 until 75)
+    val batch2 = mk(75 until 90)
+    val all = base.union(batch1).union(batch2)
+    val cents = Similarity.kmeansFit(base, "vec_id", "embedding", k = 3, iters = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-ingest").toString
+    Similarity.writeLearnedIvfIndex(base, "vec_id", "embedding", dir, cents)
+    val queries = base.filter($"vec_id" < 9)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    def dataFiles(cell: Int): Int =
+      new java.io.File(s"$dir/coarse=$cell").listFiles()
+        .count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+    // THE GAP this lifecycle closes: rows arriving after the build are
+    // unservable — candidates come from the index, not the corpus arg
+    val before = key(Similarity.serveIvfIndex(dir, all, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2))
+    assert(before.forall(_._2 < 60),
+      "un-appended rows must not be served as neighbors")
+    Similarity.appendToIvfIndex(batch1, dir, "vec_id", "embedding")
+    Similarity.appendToIvfIndex(batch2, dir, "vec_id", "embedding")
+    // serve-after-appends ≡ a full rebuild over the union with the SAME
+    // quantizer (labels and codes are deterministic per vector, so the
+    // two layouts hold identical rows)
+    val rebuilt = java.nio.file.Files.createTempDirectory("ivf-rebuilt").toString
+    Similarity.writeLearnedIvfIndex(all, "vec_id", "embedding", rebuilt, cents)
+    val after = key(Similarity.serveIvfIndex(dir, all, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2))
+    assert(after == key(Similarity.serveIvfIndex(rebuilt, all, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2)),
+      "serve after N appends must equal serve after a same-centroid rebuild")
+    assert(after.exists(_._2 >= 60), "appended rows must now be servable")
+    // one data file per cell per write: build + 2 appends = 3
+    assert((0 until 3).forall(dataFiles(_) == 3),
+      s"expected 3 files/cell after build+2 appends: ${(0 until 3).map(dataFiles)}")
+    // a CRASHED append — data landed, the _epochs commit didn't — is
+    // invisible to serving (and to the drift sample): orphan rows at an
+    // unlisted epoch
+    Similarity.buildQuantizedIndex(
+        Similarity.withCoarseLabel(mk(90 until 96), "embedding", cents),
+        "vec_id", "embedding", "coarse")
+      .withColumn("build_id", org.apache.spark.sql.functions.lit(123L))
+      .repartition(org.apache.spark.sql.functions.col("coarse"))
+      .write.mode("append").partitionBy("coarse").parquet(dir)
+    assert(key(Similarity.serveIvfIndex(dir, all, queries,
+        "vec_id", "embedding", k = 3, nprobe = 2)) == after,
+      "a crashed append's orphan rows must not serve")
+    // compaction: merges the committed epochs, GCs the orphans, restores
+    // ~one file per cell, and serving is unchanged
+    Similarity.compactIvfIndex(spark, dir, "vec_id")
+    assert(key(Similarity.serveIvfIndex(dir, all, queries,
+        "vec_id", "embedding", k = 3, nprobe = 2)) == after,
+      "serve after compaction must equal serve before")
+    assert(spark.read.parquet(s"$dir/_epochs").count() == 1,
+      "compaction must leave exactly one committed epoch")
+    assert((0 until 3).forall(dataFiles(_) == 1),
+      s"expected 1 file/cell after compaction: ${(0 until 3).map(dataFiles)}")
+    assert(spark.read.parquet(dir).filter($"vec_id" >= 90).count() == 0,
+      "compaction must GC the crashed append's orphan rows")
+    // the id-uniqueness precondition is enforced at compaction, where the
+    // full read is already paid: a re-appended id raises instead of
+    // serving two versions forever
+    Similarity.appendToIvfIndex(batch1.limit(3), dir, "vec_id", "embedding")
+    assert(msgChain(intercept[IllegalArgumentException](
+        Similarity.compactIvfIndex(spark, dir, "vec_id")))
+      .contains("duplicate id"))
+    // append refuses a path with no commit record (plain writeIvfIndex
+    // layout) before writing anything into it
+    val plain = java.nio.file.Files.createTempDirectory("ivf-plain2").toString
+    Similarity.writeIvfIndex(
+      Similarity.buildQuantizedIndex(
+        Similarity.withCoarseLabel(base, "embedding", cents),
+        "vec_id", "embedding", "coarse"),
+      plain, "coarse")
+    assert(msgChain(intercept[IllegalArgumentException](
+        Similarity.appendToIvfIndex(batch1, plain, "vec_id", "embedding")))
+      .contains("writeLearnedIvfIndex"))
   }
 
   test("simhashPairsPartitioned: saturation regime — identical pairs, candidate " +
