@@ -29,7 +29,10 @@ import org.apache.spark.sql.SparkSession
   * variants measure the other scale claims the same way, and
   * `SPARK_GRAFT_SCALE_COMPACT=1` measures the banded-index COMPACTION
   * lifecycle (serve cost and files-per-bucket vs append count, before and
-  * after `compactBandedIndex`), and `SPARK_GRAFT_SCALE_RECALL=1`
+  * after `compactBandedIndex`), `SPARK_GRAFT_SCALE_IVF_LIFECYCLE=1`
+  * measures the learned-IVF ingest cycle the same way (serve cost and
+  * files-per-cell vs `appendToIvfIndex` count, before and after
+  * `compactIvfIndex`), and `SPARK_GRAFT_SCALE_RECALL=1`
   * measures the served IVF's recall@10 vs nprobe (with the all-cells
   * point isolating the quantization-only ceiling) — each writes its own
   * `bench_scale_*.json`; the claims and committed values are catalogued
@@ -132,6 +135,11 @@ object Bench {
     }
     if (sys.env.contains("SPARK_GRAFT_SCALE_COMPACT")) {
       scaleCompaction(spark, sfDir, () => dropPersistedState())
+      spark.stop()
+      return
+    }
+    if (sys.env.contains("SPARK_GRAFT_SCALE_IVF_LIFECYCLE")) {
+      scaleIvfLifecycle(spark, sfDir, () => dropPersistedState())
       spark.stop()
       return
     }
@@ -920,6 +928,113 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_scale_ivf.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] bench_scale_ivf.json: ${e.getMessage}") }
+    println(line)
+  }
+
+  /** Learned-IVF INGEST lifecycle harness — the evidence behind
+    * [[graft.operators.Similarity.appendToIvfIndex]] /
+    * [[graft.operators.Similarity.compactIvfIndex]], the ANN counterpart
+    * of `bench_scale_compact.json`: build the learned index once, grow it
+    * through N ingest appends (sign-flipped replicas — new ids, new
+    * regions of the sphere), and serve a FIXED query batch at increasing
+    * append counts — each append adds ~one file per touched cell, and a
+    * pruned serve pays the listing/opening of every file in its probed
+    * cells — then compact and serve again. Claim columns are filesystem
+    * facts (files in the probed cells, total index files) plus serve
+    * medians; the served row count is asserted at every point and the
+    * served SET is asserted identical across the compaction — the
+    * artifact doubles as an end-to-end correctness check of
+    * append+compact under load. `compact_secs` is the one-time cost a
+    * deployment pays to stop the per-serve file tax — one read+write of
+    * already-quantized rows, never a re-embed/re-label/re-quantize.
+    * Writes `bench_scale_ivf_lifecycle.json`. */
+  private def scaleIvfLifecycle(spark: SparkSession, sfDir: String,
+                                dropState: () => Unit): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val idSpan = base.agg(max("vec_id")).head().getLong(0) + 1
+    def replica(k: Int) = {
+      val signs =
+        if (k == 0) transform(sequence(lit(1), lit(64)), _ => lit(1.0))
+        else transform(sequence(lit(1), lit(64)),
+          i => when(pmod(xxhash64(lit(k), i), lit(2)) === 0, 1.0).otherwise(-1.0))
+      base.select((col("vec_id") + lit(k * idSpan)).as("vec_id"),
+        zip_with(col("embedding").cast("array<double>"), signs,
+          (x, s) => (x * s).cast("float")).as("embedding"))
+    }
+    val reps = repsFromEnv()
+    val path = java.nio.file.Files.createTempDirectory("ivf-lifecycle")
+      .toString + "/ix"
+    val cents = Similarity.kmeansFit(replica(0), "vec_id", "embedding",
+      k = 32, iters = 2)
+    Similarity.writeLearnedIvfIndex(replica(0), "vec_id", "embedding",
+      path, cents)
+    val queries = base.filter(col("vec_id") < 5)
+    val probedCells = Similarity.withProbeLabels(queries, "embedding", cents,
+      nprobe = 2).select("coarse").distinct().collect().map(_.getInt(0))
+    def fileCount(d: java.io.File): Int =
+      Option(d.listFiles()).getOrElse(Array.empty).map(f =>
+        if (f.isDirectory) fileCount(f)
+        else if (f.getName.endsWith(".parquet")) 1 else 0).sum
+    def probedFilesMax: Int = probedCells
+      .map(c => fileCount(new java.io.File(s"$path/coarse=$c"))).max
+    var corpus = replica(0)
+    var served: Set[(Long, Long, Int)] = Set.empty
+    def serveMedian(): Double = {
+      val ts = (0 until reps).map { _ =>
+        dropState()
+        val t0 = System.nanoTime()
+        served = Similarity.serveIvfIndex(path, corpus, queries,
+            "vec_id", "embedding", k = 5, nprobe = 2).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(ts.size / 2)
+    }
+    serveMedian() // untimed warmup: codegen + JIT + committer init
+    val appendCounts = Seq(0, 2, 4, 8)
+    var appended = 0
+    val pre = appendCounts.map { target =>
+      while (appended < target) {
+        appended += 1
+        val batch = replica(appended)
+        Similarity.appendToIvfIndex(batch, path, "vec_id", "embedding")
+        corpus = corpus.unionByName(batch)
+      }
+      val row = (target, probedFilesMax, fileCount(new java.io.File(path)),
+        serveMedian(), served.size)
+      require(served.size == 25,
+        s"expected 5 queries x top-5 at $target appends, got ${served.size}")
+      row
+    }
+    val preCompactServed = served
+    val tC = System.nanoTime()
+    Similarity.compactIvfIndex(spark, path, "vec_id")
+    val compactSecs = (System.nanoTime() - tC) / 1e9
+    val postFilesMax = probedFilesMax
+    val postFiles = fileCount(new java.io.File(path))
+    val postSecs = serveMedian()
+    require(served == preCompactServed,
+      "compaction changed the served set")
+    type R = (Int, Int, Int, Double, Int)
+    def arr[T](f: R => T): String = jsonArr(pre)(f)
+    val line =
+      f"""{"metric":"ivf_ingest_lifecycle","reps":$reps,"k":32,"nprobe":2,""" +
+        f""""appends":${arr(_._1)},"probed_cell_files_max":${arr(_._2)},""" +
+        f""""index_files":${arr(_._3)},""" +
+        f""""serve_secs":${arr(r => f"${r._4}%.3f")},"hits":${arr(_._5)},""" +
+        f""""compact_secs":$compactSecs%.3f,""" +
+        f""""probed_cell_files_max_after":$postFilesMax,""" +
+        f""""index_files_after":$postFiles,""" +
+        f""""serve_secs_after":$postSecs%.3f,"hits_after":${served.size},""" +
+        f""""sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_scale_ivf_lifecycle.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_scale_ivf_lifecycle.json: ${e.getMessage}") }
     println(line)
   }
 
