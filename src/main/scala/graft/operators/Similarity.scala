@@ -764,8 +764,11 @@ object Similarity {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_centroids")
     // the commit record — LAST, so its epochs always have complete rows
-    // and a complete quantizer beside them
-    Seq(Tuple1(epoch)).toDF("build_id")
+    // and a complete quantizer beside them. `key` is the idempotency
+    // token of [[appendToIvfIndexIdempotent]]; null for builds. Every
+    // writer emits the same (build_id, key) schema so a mixed-file read
+    // of _epochs never drops the column.
+    Seq((epoch, Option.empty[String])).toDF("build_id", "key")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_epochs")
   }
@@ -781,8 +784,10 @@ object Similarity {
       "the index has no committed-epochs record (crashed rebuild, or a " +
         "path not written by writeLearnedIvfIndex) - re-run " +
         "writeLearnedIvfIndex")
+    // distinct: after a compaction the table holds one row per surviving
+    // idempotency key, all pointing at the one merged epoch
     val eps = spark.read.parquet(s"$path/_epochs")
-      .select("build_id").collect().map(_.getLong(0)).toSeq
+      .select("build_id").distinct().collect().map(_.getLong(0)).toSeq
     require(eps.nonEmpty,
       s"$op: _epochs at $path lists no committed builds - re-run " +
         "writeLearnedIvfIndex")
@@ -818,7 +823,32 @@ object Similarity {
     * reads every committed row anyway and raises on a duplicate id —
     * not here, where it would cost a full index scan per append. */
   def appendToIvfIndex(newRows: DataFrame, indexPath: String, idCol: String,
-                       embCol: String): Unit = {
+                       embCol: String): Unit =
+    doIvfAppend(newRows, indexPath, idCol, embCol, key = None)
+
+  /** [[appendToIvfIndex]] keyed for AT-LEAST-ONCE callers (Structured
+    * Streaming's `foreachBatch` replays a batch id after a restart): if
+    * `key` is already committed in `_epochs` the call is a NO-OP and
+    * returns false — the batch already landed. A key whose first attempt
+    * CRASHED (data written, commit record not) left only invisible
+    * orphan rows, so the retry appends the batch again under a fresh
+    * physical epoch and commits — rows serve exactly once either way.
+    * Structured Streaming replays a batch id with the same source offset
+    * range, hence the same input rows, which is what makes key = batch
+    * id the right idempotency token (same contract as
+    * [[graft.streaming.StreamingCurate.writeBatchIdempotent]]). */
+  def appendToIvfIndexIdempotent(newRows: DataFrame, indexPath: String,
+                                 idCol: String, embCol: String,
+                                 key: String): Boolean = {
+    val spark = newRows.sparkSession
+    val done = spark.read.parquet(s"$indexPath/_epochs")
+    if (done.columns.contains("key") &&
+        done.filter(col("key") === key).limit(1).collect().nonEmpty) false
+    else { doIvfAppend(newRows, indexPath, idCol, embCol, Some(key)); true }
+  }
+
+  private def doIvfAppend(newRows: DataFrame, indexPath: String, idCol: String,
+                          embCol: String, key: Option[String]): Unit = {
     val spark = newRows.sparkSession
     val cents = loadIvfCentroids(spark, indexPath)
     // refuse a crashed-rebuild path BEFORE writing anything into it
@@ -830,7 +860,7 @@ object Similarity {
       .repartition(col("coarse"))
       .write.mode("append").partitionBy("coarse").parquet(indexPath)
     import spark.implicits._
-    Seq(Tuple1(epoch)).toDF("build_id")
+    Seq((epoch, key)).toDF("build_id", "key")
       .coalesce(1)
       .write.mode("append").parquet(s"$indexPath/_epochs")
   }
@@ -907,8 +937,21 @@ object Similarity {
       .repartition(col("coarse"))
       .write.mode("append").partitionBy("coarse").parquet(indexPath)
     import spark.implicits._
-    // commit point: the merged epoch becomes the ONLY served epoch
-    Seq(Tuple1(epoch)).toDF("build_id")
+    // commit point: the merged epoch becomes the ONLY served epoch.
+    // Idempotency keys SURVIVE the compaction, re-pointed at the merged
+    // epoch: the batches they keyed live on in its rows, so a
+    // foreachBatch replay from before the compaction must still read as
+    // already-delivered — dropping the keys would turn such a replay
+    // into a duplicate append (caught only at the NEXT compaction's
+    // uniqueness raise, rows served twice until then).
+    val epochsTbl = spark.read.parquet(s"$indexPath/_epochs")
+    val keptKeys =
+      if (!epochsTbl.columns.contains("key")) Seq.empty
+      else epochsTbl
+        .filter(col("key").isNotNull && col("build_id").isin(committed: _*))
+        .select("key").collect().map(_.getString(0)).toSeq
+    ((epoch, Option.empty[String]) +: keptKeys.map(k => (epoch, Option(k))))
+      .toDF("build_id", "key")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$indexPath/_epochs")
     // GC — the snapshot's rows are invisible now (committed ∌ their epochs)

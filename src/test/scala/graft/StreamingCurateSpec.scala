@@ -131,6 +131,64 @@ class StreamingCurateSpec extends SparkSpec {
       .filter(col("count") > 1).count() == 0)
   }
 
+  test("IvfIngest: streamed embedding batches become servable exactly-once — " +
+    "the ANN side of the lambda split") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    import graft.streaming.IvfIngest
+    val rnd = new scala.util.Random(61)
+    val centers = Seq(Array.fill(6)(9.0), Array.fill(6)(-9.0))
+    def cloud(i: Int): Seq[Float] =
+      centers(i % 2).map(x => (x + rnd.nextGaussian() * 0.3).toFloat).toSeq
+    def mk(ids: Range) = ids.map(i => (i.toLong, cloud(i)))
+    val base = mk(0 until 40).toDF("vec_id", "embedding")
+    val batch0 = mk(40 until 50)
+    val batch1 = mk(50 until 60)
+    val cents = Similarity.kmeansFit(base, "vec_id", "embedding", k = 2, iters = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-stream").toString
+    Similarity.writeLearnedIvfIndex(base, "vec_id", "embedding", dir, cents)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = in.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch(IvfIngest.sink(dir, "vec_id", "embedding"))
+      .start()
+    in.addData(batch0: _*)
+    q.processAllAvailable()
+    in.addData(batch1: _*)
+    q.processAllAvailable()
+    q.stop()
+    // every streamed row is servable, exactly as a batch-built index
+    // over the union would serve it (same quantizer on both sides)
+    val all = base.union(batch0.toDF("vec_id", "embedding"))
+      .union(batch1.toDF("vec_id", "embedding"))
+    val queries = all.filter($"vec_id" >= 40 && $"vec_id" < 46)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val served = key(Similarity.serveIvfIndex(dir, all, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2))
+    val rebuilt = java.nio.file.Files.createTempDirectory("ivf-stream-rb").toString
+    Similarity.writeLearnedIvfIndex(all, "vec_id", "embedding", rebuilt, cents)
+    assert(served == key(Similarity.serveIvfIndex(rebuilt, all, queries,
+        "vec_id", "embedding", k = 3, nprobe = 2)),
+      "streamed ingest must serve exactly what a batch rebuild serves")
+    // the restart-retry shape: foreachBatch re-delivers a batch id with
+    // the same rows — the keyed append reads as already-delivered
+    IvfIngest.sink(dir, "vec_id", "embedding")(
+      batch0.toDF("vec_id", "embedding"), 0L)
+    assert(key(Similarity.serveIvfIndex(dir, all, queries,
+        "vec_id", "embedding", k = 3, nprobe = 2)) == served,
+      "a replayed batch must not change what serves")
+    assert(spark.read.parquet(dir).groupBy("vec_id").count()
+        .filter(col("count") > 1).count() == 0,
+      "no row may be indexed twice")
+    // empty batches (AvailableNow emits them freely) don't burn an epoch
+    val epochs = spark.read.parquet(s"$dir/_epochs").count()
+    IvfIngest.sink(dir, "vec_id", "embedding")(
+      base.filter($"vec_id" < 0), 99L)
+    assert(spark.read.parquet(s"$dir/_epochs").count() == epochs,
+      "an empty batch must not commit an epoch")
+  }
+
   test("lambda topology: landing dir → curate-stream (index-filtered) → " +
     "periodic batch compaction + index refresh ≡ the batch-only pipeline") {
     // the full loop the library's lambda split describes: ingest curates

@@ -1220,6 +1220,66 @@ class TrainingOpsSpec extends SparkSpec {
       .contains("writeLearnedIvfIndex"))
   }
 
+  test("appendToIvfIndexIdempotent: a committed key no-ops, a crashed " +
+    "attempt retries exactly-once, keys survive compaction") {
+    val rnd = new scala.util.Random(59)
+    val centers = Seq(Array.fill(6)(9.0), Array.fill(6)(-9.0),
+      Array.tabulate(6)(i => if (i % 2 == 0) 9.0 else -9.0))
+    def cloud(ctr: Array[Double]): Seq[Float] =
+      ctr.map(x => (x + rnd.nextGaussian() * 0.3).toFloat).toSeq
+    def mk(ids: Range) = ids.map(i => (i.toLong, cloud(centers(i % 3))))
+      .toDF("vec_id", "embedding")
+    val base = mk(0 until 60)
+    val b1 = mk(60 until 70)
+    val b2 = mk(70 until 80)
+    val cents = Similarity.kmeansFit(base, "vec_id", "embedding", k = 3, iters = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-idem").toString
+    Similarity.writeLearnedIvfIndex(base, "vec_id", "embedding", dir, cents)
+    val queries = base.filter($"vec_id" < 9)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    def serveAll(corpus: org.apache.spark.sql.DataFrame) =
+      key(Similarity.serveIvfIndex(dir, corpus, queries,
+        "vec_id", "embedding", k = 3, nprobe = 2))
+    assert(Similarity.appendToIvfIndexIdempotent(b1, dir,
+      "vec_id", "embedding", "k1"), "first delivery must append")
+    val afterB1 = serveAll(base.union(b1))
+    // the foreachBatch replay shape: same key, same rows — must no-op
+    assert(!Similarity.appendToIvfIndexIdempotent(b1, dir,
+      "vec_id", "embedding", "k1"), "a committed key must no-op")
+    assert(serveAll(base.union(b1)) == afterB1,
+      "a replayed batch must not change what serves")
+    // a CRASHED first attempt (data landed, commit record did not): the
+    // orphan rows are invisible, and the keyed retry re-appends and
+    // commits — rows serve exactly once
+    Similarity.buildQuantizedIndex(
+        Similarity.withCoarseLabel(b2, "embedding", cents),
+        "vec_id", "embedding", "coarse")
+      .withColumn("build_id", org.apache.spark.sql.functions.lit(999L))
+      .repartition(org.apache.spark.sql.functions.col("coarse"))
+      .write.mode("append").partitionBy("coarse").parquet(dir)
+    assert(Similarity.appendToIvfIndexIdempotent(b2, dir,
+      "vec_id", "embedding", "k2"), "an uncommitted key must retry")
+    val afterB2 = serveAll(base.union(b1).union(b2))
+    val rebuilt = java.nio.file.Files.createTempDirectory("ivf-idem-rb").toString
+    Similarity.writeLearnedIvfIndex(base.union(b1).union(b2),
+      "vec_id", "embedding", rebuilt, cents)
+    assert(afterB2 == key(Similarity.serveIvfIndex(rebuilt,
+        base.union(b1).union(b2), queries, "vec_id", "embedding", 3, 2)),
+      "the retried batch must serve exactly once (== same-centroid rebuild)")
+    // compaction folds the batches in but KEEPS their keys (re-pointed at
+    // the merged epoch): a replay from before the compaction still reads
+    // as already-delivered — and the orphan from the crashed attempt was
+    // GC'd, so the uniqueness probe inside compact passes
+    Similarity.compactIvfIndex(spark, dir, "vec_id")
+    assert(!Similarity.appendToIvfIndexIdempotent(b1, dir,
+      "vec_id", "embedding", "k1"), "keys must survive compaction")
+    assert(!Similarity.appendToIvfIndexIdempotent(b2, dir,
+      "vec_id", "embedding", "k2"), "keys must survive compaction")
+    assert(serveAll(base.union(b1).union(b2)) == afterB2,
+      "serve after compaction must equal serve before")
+  }
+
   test("simhashPairsPartitioned: saturation regime — identical pairs, candidate " +
     "volume cut by the length partition") {
     // emulate n ≫ 2^width cheaply by SHRINKING the chunk width: 16 bands of
