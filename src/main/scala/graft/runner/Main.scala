@@ -37,7 +37,9 @@ import graft.streaming.Compactor
   *    riding quantizer), run the drift-gated refresh cycle on a cadence
   *    (refit, measure [[graft.operators.Similarity.assignmentDrift]],
   *    rebuild only past tolerance), and compact the per-append files when
-  *    the count warrants.
+  *    the count warrants. `ivf-ingest` is the continuous form of the
+  *    append step: a landing-dir stream appended per micro-batch,
+  *    exactly-once ([[graft.streaming.IvfIngest]]).
   *
   * Usage:
   * {{{
@@ -81,7 +83,9 @@ object Main {
       |          [--iters 5] [--tolerance 0.1]
       |  ivf-append  --in <embeddings-parquet> --path <dir>
       |          [--id vec_id] [--embedding embedding]
-      |  ivf-compact --path <dir> [--id vec_id]""".stripMargin
+      |  ivf-compact --path <dir> [--id vec_id]
+      |  ivf-ingest  --landing <dir> --path <dir> --checkpoint <dir>
+      |          [--id vec_id] [--embedding embedding] [--once]""".stripMargin
 
   def main(args: Array[String]): Unit = {
     // the ivf-refresh trajectory line is a grep contract ("drift=0.1234");
@@ -272,6 +276,29 @@ object Main {
       val (opt, _) = parse(args.tail)
       graft.operators.Similarity.compactIvfIndex(spark, req(opt, "path"),
         opt.getOrElse("id", "vec_id"))
+
+    // continuous ANN-index maintenance: watch a landing dir of embedding
+    // parquet, append each micro-batch to the served index exactly-once
+    // (batch-id-keyed epochs — restarts and replays are no-ops). `--once`
+    // drains the backlog and exits; run ivf-refresh / ivf-compact on the
+    // batch cadence around a paused stream (single-writer).
+    case Some("ivf-ingest") =>
+      val (opt, flags) = parse(args.tail)
+      val (landing, path, ckpt) =
+        (req(opt, "landing"), req(opt, "path"), req(opt, "checkpoint"))
+      // file streaming sources need an explicit schema: snapshot it from
+      // the landing dir's existing files (seed the dir before starting)
+      val schema = spark.read.parquet(landing).schema
+      val trigger =
+        if (flags("once")) Trigger.AvailableNow()
+        else Trigger.ProcessingTime("5 seconds")
+      val q = spark.readStream.schema(schema).parquet(landing)
+        .writeStream
+        .foreachBatch(graft.streaming.IvfIngest.sink(path,
+          opt.getOrElse("id", "vec_id"), opt.getOrElse("embedding", "embedding")))
+        .option("checkpointLocation", ckpt)
+        .trigger(trigger).start()
+      q.awaitTermination() // AvailableNow self-terminates after the drain
 
     case Some("index-filter") =>
       val (opt, _) = parse(args.tail)

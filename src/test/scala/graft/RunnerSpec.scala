@@ -219,6 +219,28 @@ class RunnerSpec extends SparkSpec {
     assert(spark.read.parquet(hits).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
       == appendServed, "serve after ivf-compact must equal serve before")
+    // continuous ingest: drain a landing backlog exactly-once, rows serve
+    val landing = outDir("cli-ivf-landing")
+    val ckpt = outDir("cli-ivf-ckpt")
+    (200 until 206).map(i => (i.toLong,
+        centers(0).map(x => (x + rnd.nextGaussian() * 0.3).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(landing)
+    Main.run(Seq("ivf-ingest", "--landing", landing, "--path", ix,
+      "--checkpoint", ckpt, "--once"), spark)
+    // a restart over the same backlog is a no-op (checkpoint + keyed epochs)
+    Main.run(Seq("ivf-ingest", "--landing", landing, "--path", ix,
+      "--checkpoint", ckpt, "--once"), spark)
+    assert(spark.read.parquet(ix).filter($"vec_id" >= 200).count() == 6,
+      "landing rows must be indexed exactly once")
+    val unioned2 = outDir("cli-ivf-union2")
+    spark.read.parquet(unioned).union(spark.read.parquet(landing))
+      .write.mode("overwrite").parquet(unioned2)
+    Main.run(Seq("ivf-query", "--in", landing, "--corpus", unioned2,
+      "--path", ix, "--out", hits, "--topk", "3", "--nprobe", "2"), spark)
+    assert(spark.read.parquet(hits).select("query_id").distinct().as[Long]
+        .collect().toSet == (200L until 206L).toSet,
+      "streamed rows must answer as queries")
   }
 
   private def dropTables(): Unit =

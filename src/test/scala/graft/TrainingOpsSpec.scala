@@ -1176,6 +1176,17 @@ class TrainingOpsSpec extends SparkSpec {
     // one data file per cell per write: build + 2 appends = 3
     assert((0 until 3).forall(dataFiles(_) == 3),
       s"expected 3 files/cell after build+2 appends: ${(0 until 3).map(dataFiles)}")
+    // the committed-epoch predicate rides the SCAN, alongside the cell
+    // partition filter — row-group stats skip uncommitted files; no
+    // post-scan filter stage, no extra shuffle
+    val planned = Similarity.serveIvfIndex(dir, all, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+    planned.count()
+    val phys = planned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*coarse".r.findFirstIn(phys).isDefined,
+      s"serve scan must carry the coarse partition filter:\n$phys")
+    assert("PushedFilters: \\[[^\\]]*build_id".r.findFirstIn(phys).isDefined,
+      s"serve scan must push the committed-epoch filter:\n$phys")
     // a CRASHED append — data landed, the _epochs commit didn't — is
     // invisible to serving (and to the drift sample): orphan rows at an
     // unlisted epoch
