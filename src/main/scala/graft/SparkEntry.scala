@@ -521,6 +521,29 @@ object SparkEntry {
       name
     })
 
+  /** [[bandedIndexTable]]'s INGEST twin ([[ingestIvfPath]]'s dedup-side
+    * mirror): the same index CONTENT reached through the lifecycle path —
+    * built over a third of the corpus, grown to the rest through two
+    * epoch-committed [[Dedup.appendToBandedIndex]] calls. Geometry and
+    * bucket count ride with the tables, so appended signatures are
+    * consistent by construction and the grown tables hold row-for-row
+    * what a full build holds (signatures are deterministic per doc) —
+    * serving answers the SAME oracle. */
+  private val ingestBandedCache = collection.concurrent.TrieMap.empty[String, String]
+  private def ingestBandedTable(s: SparkSession, dir: String): String =
+    ingestBandedCache.getOrElseUpdate(dir, {
+      val name = "graft_q_banded_ing_" + dirKey(dir)
+      val docs = tbl(s, dir, "documents")
+      def slice(r: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === r)
+      Dedup.writeBandedIndex(
+        graft.operators.Materialize.eagerCheckpoint(
+          Dedup.buildDedupIndex(slice(0), "doc_id", "text")),
+        name, buckets = 32)
+      Dedup.appendToBandedIndex(slice(1), name, "doc_id", "text")
+      Dedup.appendToBandedIndex(slice(2), name, "doc_id", "text")
+      name
+    })
+
   /** On-disk pruned-IVF index for `dir`'s embeddings (int8 codes
     * partitioned by the coarse `label` cell), written once per JVM — the
     * [[bandedIndexTable]] pattern on the ANN side: a deployment pays
@@ -641,6 +664,17 @@ object SparkEntry {
   private def qDedupIndexBanded(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupAgainstBandedIndex(dedupIndexBatch(s, dir),
         bandedIndexTable(s, dir), "doc_id", "text", minJaccard = 0.3)
+      .withColumn("est_jaccard", rq(col("est_jaccard"), 6))
+
+  /** q_dedup_index_banded's INGEST-LIFECYCLE twin, same oracle: the
+    * served tables were grown through [[Dedup.appendToBandedIndex]]
+    * (build over a third of the corpus, two epoch-committed appends for
+    * the rest — [[ingestBandedTable]]) instead of built in one shot.
+    * The dedup-side mirror of q_ann_ingest: both append paths pinned by
+    * the same DuckDB replay that pins their build paths. */
+  private def qDedupIndexIngest(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupAgainstBandedIndex(dedupIndexBatch(s, dir),
+        ingestBandedTable(s, dir), "doc_id", "text", minJaccard = 0.3)
       .withColumn("est_jaccard", rq(col("est_jaccard"), 6))
 
   /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit token simhash).
@@ -1160,6 +1194,7 @@ object SparkEntry {
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_index" -> qDedupIndex,
     "q_dedup_index_banded" -> qDedupIndexBanded,
+    "q_dedup_index_ingest" -> qDedupIndexIngest,
     "q_embed_cosine_pairs" -> qEmbedCosinePairs,
     "q_embed_lsh_pairs" -> qEmbedLshPairs,
     "q_embed_clusters" -> qEmbedClusters,
@@ -1470,6 +1505,10 @@ object SparkEntry {
     // the bucketed serving layout must produce the SAME hits and
     // estimates as flat serving — one oracle, two plans, both hash-gated
     "q_dedup_index_banded" -> dedupIndexSql,
+    // the lifecycle-grown tables hold row-for-row what the full build
+    // holds (geometry rides with the tables; signatures deterministic
+    // per doc), so the append path shares the same oracle
+    "q_dedup_index_ingest" -> dedupIndexSql,
     "q_embed_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
