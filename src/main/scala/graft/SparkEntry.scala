@@ -603,6 +603,25 @@ object SparkEntry {
       path
     })
 
+  /** [[learnedIvfPath]]'s DELETION twin: the full learned index with
+    * every 5th vector tombstoned out ([[Similarity.deleteFromIvfIndex]]
+    * — ids only, no vectors, the takedown shape). Serving must answer as
+    * if the deleted rows were never indexed, which is exactly what the
+    * oracle replays (the fixture corpus filtered by the same predicate). */
+  private val deletedIvfCache = collection.concurrent.TrieMap.empty[String, String]
+  private def deletedIvfPath(s: SparkSession, dir: String): String =
+    deletedIvfCache.getOrElseUpdate(dir, {
+      val path = new java.io.File("target/bench-ivf-deleted/" +
+        dirKey(dir)).getAbsolutePath
+      val e = tbl(s, dir, "embeddings")
+      Similarity.writeLearnedIvfIndex(e, "vec_id", "embedding", path,
+        kmeansCentroids(s, dir))
+      Similarity.deleteFromIvfIndex(
+        e.filter(pmod(col("vec_id"), lit(5)) === 0).select("vec_id"),
+        path, "vec_id")
+      path
+    })
+
   /** Oracle-side fixture dump, called by the Verify harness (NOT by the
     * queries themselves — the bench must time operators, not fixture
     * I/O). Written distributed; DuckDB globs the part files. */
@@ -841,6 +860,20 @@ object SparkEntry {
   private def qAnnIngest(s: SparkSession, dir: String): DataFrame = {
     val e = tbl(s, dir, "embeddings")
     Similarity.serveIvfIndex(ingestIvfPath(s, dir), e,
+        e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 3, nprobe = 2)
+      .withColumn("cosine", rq(col("cosine"), 6))
+  }
+
+  /** q_ann_serve's DELETION twin: the index lost every 5th vector to a
+    * [[Similarity.deleteFromIvfIndex]] tombstone ([[deletedIvfPath]]),
+    * and serving must answer as if those rows were never indexed — the
+    * oracle replays the cell-restricted ranking over the fixture corpus
+    * MINUS the same ids. Deleted ids still QUERY (a query needn't be
+    * indexed); they just can never be answers. The takedown path inside
+    * the correctness gate, like the append path before it. */
+  private def qAnnDelete(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    Similarity.serveIvfIndex(deletedIvfPath(s, dir), e,
         e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 3, nprobe = 2)
       .withColumn("cosine", rq(col("cosine"), 6))
   }
@@ -1209,6 +1242,7 @@ object SparkEntry {
     "q_ann_kmeans" -> qAnnKmeans,
     "q_ann_serve" -> qAnnServe,
     "q_ann_ingest" -> qAnnIngest,
+    "q_ann_delete" -> qAnnDelete,
     "q_embed_quantize" -> qEmbedQuantize,
     "q_text_stats" -> qTextStats,
     "q_text_langid" -> qTextLangId,
@@ -1290,6 +1324,25 @@ object SparkEntry {
     * [[kmeansCentroids]] matrix induces, which the fixture dump records. */
   private lazy val kmeansIvfSql: String =
     s"""WITH c AS (SELECT * FROM read_parquet('$KmeansFixture/corpus/*.parquet')),
+      | p AS (SELECT * FROM read_parquet('$KmeansFixture/probes/*.parquet')),
+      | scored AS (
+      |  SELECT p.vec_id AS query_id, c.vec_id AS nn_id,
+      |         list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+      |                                CAST(ec.embedding AS DOUBLE[])) AS cos
+      |  FROM p JOIN c ON c.coarse = p.coarse
+      |  JOIN embeddings eq ON eq.vec_id = p.vec_id
+      |  JOIN embeddings ec ON ec.vec_id = c.vec_id
+      |  WHERE c.vec_id <> p.vec_id)
+      |SELECT query_id, nn_id, floor((cos)*1000000.0 + 0.5)/1000000.0 AS cosine,
+      |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS INT) AS rank
+      |FROM scored QUALIFY rank <= 3""".stripMargin
+
+  /** q_ann_delete's oracle: [[kmeansIvfSql]] with the corpus minus the
+    * tombstoned ids — serving a deleted index must be indistinguishable
+    * from never having indexed those rows. */
+  private lazy val kmeansIvfDeleteSql: String =
+    s"""WITH c AS (SELECT * FROM read_parquet('$KmeansFixture/corpus/*.parquet')
+      |           WHERE vec_id % 5 <> 0),
       | p AS (SELECT * FROM read_parquet('$KmeansFixture/probes/*.parquet')),
       | scored AS (
       |  SELECT p.vec_id AS query_id, c.vec_id AS nn_id,
@@ -1606,6 +1659,9 @@ object SparkEntry {
     // build holds (appends label with the riding quantizer), so the
     // append path sits under the same oracle too
     "q_ann_ingest" -> kmeansIvfSql,
+    // serving after a takedown ≡ never having indexed the victims: the
+    // same replay over the fixture corpus minus the tombstoned ids
+    "q_ann_delete" -> kmeansIvfDeleteSql,
     "q_embed_quantize" ->
       """WITH q AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

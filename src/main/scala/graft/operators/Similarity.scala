@@ -616,17 +616,20 @@ object Similarity {
                              partCol: String, k: Int,
                              candidateFactor: Int = 4): DataFrame =
     ivfTopKQuantizedPrunedImpl(indexPath, corpus, queries, idCol, embCol,
-      partCol, k, candidateFactor, rowFilter = None)
+      partCol, k, candidateFactor, indexPrep = None)
 
-  /** [[ivfTopKQuantizedPruned]] plus an optional pushed-down row filter —
-    * the learned path's committed-epoch predicate ([[serveIvfIndex]]).
-    * Private: the plain [[writeIvfIndex]] layout has no epoch column, so
-    * the filter is only meaningful (and only applied) on learned paths. */
+  /** [[ivfTopKQuantizedPruned]] plus an optional index-side prep step —
+    * the learned path's committed-epoch predicate and tombstone anti-join
+    * ([[serveIvfIndex]]), applied AFTER the partition-pruned read.
+    * Private: the plain [[writeIvfIndex]] layout has no epoch column or
+    * tombstones, so the prep is only meaningful (and only applied) on
+    * learned paths. */
   private def ivfTopKQuantizedPrunedImpl(indexPath: String, corpus: DataFrame,
                                          queries: DataFrame, idCol: String,
                                          embCol: String, partCol: String,
                                          k: Int, candidateFactor: Int,
-                                         rowFilter: Option[Column]): DataFrame = {
+                                         indexPrep: Option[DataFrame => DataFrame])
+      : DataFrame = {
     val spark = queries.sparkSession
     requireCommitMarker(spark, indexPath, "ivf_top_k_quantized_pruned",
       "re-run writeIvfIndex before serving")
@@ -639,7 +642,7 @@ object Similarity {
     require(cells.nonEmpty, "ivfTopKQuantizedPruned: empty query batch")
     val pruned = spark.read.parquet(indexPath)
       .filter(col(partCol).isin(cells.toSeq: _*))
-    val index = rowFilter.fold(pruned)(pruned.filter)
+    val index = indexPrep.fold(pruned)(_(pruned))
     ivfTopKQuantized(index, corpus, q, idCol, embCol, partCol, k,
       candidateFactor)
   }
@@ -889,7 +892,11 @@ object Similarity {
     * precondition — a duplicate id (the same row appended twice, or an
     * in-place re-embed pushed through append) raises here, where the
     * full read is already paid, instead of silently serving two versions
-    * of the row forever. */
+    * of the row forever. [[deleteFromIvfIndex]] tombstones become
+    * PHYSICAL in the same pass: tombstoned rows are dropped from the
+    * merged epoch (before the uniqueness check, so delete-then-re-append
+    * compacts cleanly) and the tombstone files are GC'd with the data
+    * files they masked. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       indexPath: String, idCol: String): Unit = {
     requireCommitMarker(spark, indexPath, "compact_ivf_index",
@@ -920,18 +927,35 @@ object Similarity {
         "rebuild?) - re-run writeLearnedIvfIndex")
     // basePath recovers the coarse partition column from the directory
     // names of the explicit file list
-    val old = spark.read.option("basePath", indexPath)
+    val committedRows = spark.read.option("basePath", indexPath)
       .parquet(snapshot: _*)
       .filter(col("build_id").isin(committed: _*))
-    require(old.select(lit(1)).limit(1).collect().nonEmpty,
+    require(committedRows.select(lit(1)).limit(1).collect().nonEmpty,
       s"compact_ivf_index: no committed rows under $indexPath (crashed " +
         "rebuild?) - re-run writeLearnedIvfIndex")
+    // tombstone files are part of the compaction: their deletions become
+    // PHYSICAL here (tombstoned rows dropped from the merge), and their
+    // files are GC'd below with the data files they masked
+    val tombFiles = {
+      val tDir = new Path(s"$indexPath/_tombstones")
+      if (!fs.exists(tDir)) Seq.empty[String]
+      else fs.listStatus(tDir).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .map(_.getPath.toString)
+    }
+    val old = antiJoinTombstones(committedRows,
+      committedTombstones(spark, indexPath, committed), idCol)
+    // uniqueness is checked AFTER deletion is applied: delete-then-
+    // re-append is a legal lifecycle sequence, and the superseded
+    // (tombstoned) row must not read as a duplicate of its replacement
     val dup = old.groupBy(col(idCol)).count().filter(col("count") > 1)
       .select(col(idCol)).limit(1).collect()
     require(dup.isEmpty,
       s"compact_ivf_index: duplicate id ${dup.headOption.map(_.get(0))
         .getOrElse("")} across committed epochs - appendToIvfIndex is for " +
-        "NEW ids; re-embedded rows go through refreshIvfIndex (rebuild)")
+        "NEW ids; re-embedded rows go through refreshIvfIndex (rebuild) " +
+        "or deleteFromIvfIndex + append")
     val epoch = System.nanoTime()
     old.withColumn("build_id", lit(epoch))
       .repartition(col("coarse"))
@@ -954,8 +978,12 @@ object Similarity {
       .toDF("build_id", "key")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$indexPath/_epochs")
-    // GC — the snapshot's rows are invisible now (committed ∌ their epochs)
-    snapshot.foreach(f => fs.delete(new Path(f), false))
+    // GC — the snapshot's rows are invisible now (committed ∌ their
+    // epochs), and the tombstones' work is done: the rows they masked no
+    // longer exist in any committed epoch (the whole _tombstones dir
+    // goes — an empty husk would just read as "no tombstones" anyway)
+    (snapshot ++ tombFiles).foreach(f => fs.delete(new Path(f), false))
+    fs.delete(new Path(s"$indexPath/_tombstones"), true)
   }
 
   /** The centroid matrix a [[writeLearnedIvfIndex]] path was built with
@@ -991,7 +1019,9 @@ object Similarity {
     * from the one committed path. Rows are filtered to the epochs the
     * `_epochs` commit table lists (the [[writeLearnedIvfIndex]] crash
     * protocol): a crashed [[appendToIvfIndex]]'s orphan rows are
-    * invisible, and a pre-epoch or half-rebuilt path refuses loudly. */
+    * invisible, and a pre-epoch or half-rebuilt path refuses loudly.
+    * Committed [[deleteFromIvfIndex]] tombstones are anti-joined out
+    * (broadcast — the index side never shuffles for the check). */
   def serveIvfIndex(indexPath: String, corpus: DataFrame, queries: DataFrame,
                     idCol: String, embCol: String, k: Int, nprobe: Int = 2,
                     candidateFactor: Int = 4): DataFrame = {
@@ -1001,7 +1031,79 @@ object Similarity {
     ivfTopKQuantizedPrunedImpl(indexPath, corpus,
       withProbeLabels(queries, embCol, cents, nprobe),
       idCol, embCol, "coarse", k, candidateFactor,
-      rowFilter = Some(col("build_id").isin(committed: _*)))
+      indexPrep = Some(ix => antiJoinTombstones(
+        ix.filter(col("build_id").isin(committed: _*)),
+        committedTombstones(spark, indexPath, committed), idCol)))
+  }
+
+  /** Committed tombstone rows of a learned index path — `(idCol,
+    * tomb_build_id)`, empty if no deletion ever ran. Uncommitted
+    * tombstones (a crashed [[deleteFromIvfIndex]]) are invisible, same
+    * epoch discipline as data rows. */
+  private def committedTombstones(spark: org.apache.spark.sql.SparkSession,
+                                  indexPath: String,
+                                  committed: Seq[Long]): Option[DataFrame] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$indexPath/_tombstones")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    // a dir with no data files (never deleted anything, or a compaction
+    // GC'd every tombstone) reads as "no tombstones", not a schema error
+    if (!fs.exists(dir) ||
+        !fs.listStatus(dir).exists(s => s.isFile &&
+          !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))) None
+    else Some(spark.read.parquet(dir.toString)
+      .filter(col("build_id").isin(committed: _*))
+      .withColumnRenamed("build_id", "tomb_build_id"))
+  }
+
+  /** Drop index rows a committed tombstone covers. Tombstones are
+    * EPOCH-SCOPED: a tombstone kills only rows from STRICTLY OLDER
+    * epochs, so deleting an id and later re-appending it leaves the
+    * re-added row servable (its epoch postdates the tombstone) without
+    * any tombstone bookkeeping at append time. The tombstone side is by
+    * construction small relative to the index (ids, two longs a row) —
+    * Spark broadcasts it; the index side never shuffles for the check. */
+  private def antiJoinTombstones(index: DataFrame, tombs: Option[DataFrame],
+                                 idCol: String): DataFrame =
+    tombs.fold(index) { t =>
+      index.join(broadcast(t),
+        index(idCol) === t(idCol) &&
+          index("build_id") < t("tomb_build_id"),
+        "left_anti")
+    }
+
+  /** DELETE ids from a [[writeLearnedIvfIndex]] path without touching the
+    * index files — the takedown shape: at 100 TB, physically rewriting a
+    * cell's parquet per removal request is the cost this operator exists
+    * to avoid, and a removal request arrives as IDS, not vectors (no
+    * embedding is needed — unlike appends, deletion never consults the
+    * quantizer). Writes the ids as tombstone rows under `_tombstones`
+    * (underscore-prefixed — invisible to the data read) stamped with a
+    * fresh epoch, committed by the `_epochs` append LAST: serving
+    * anti-joins committed tombstones (broadcast — the index side never
+    * shuffles), a crashed delete leaves only invisible orphans and a
+    * retry is exactly-once, and [[compactIvfIndex]] makes the deletion
+    * PHYSICAL — tombstoned rows dropped from the merged epoch, tombstone
+    * files GC'd with the data files they masked.
+    *
+    * Tombstones are epoch-scoped (strictly-older epochs only), so
+    * delete-then-re-append serves the re-added row: the lifecycle's
+    * operations stay freely composable. Deleting an id that was never
+    * indexed is a harmless no-op, so callers need not pre-filter. */
+  def deleteFromIvfIndex(ids: DataFrame, indexPath: String,
+                         idCol: String): Unit = {
+    val spark = ids.sparkSession
+    // refuse a crashed-rebuild or pre-epoch path BEFORE writing into it
+    committedIvfEpochs(spark, indexPath, "delete_from_ivf_index")
+    val epoch = System.nanoTime()
+    ids.select(col(idCol)).distinct()
+      .withColumn("build_id", lit(epoch))
+      .coalesce(1)
+      .write.mode("append").parquet(s"$indexPath/_tombstones")
+    import spark.implicits._
+    Seq((epoch, Option.empty[String])).toDF("build_id", "key")
+      .coalesce(1)
+      .write.mode("append").parquet(s"$indexPath/_epochs")
   }
 
   /** One turn of the IVF growth cycle — the operator form of the
@@ -1065,10 +1167,13 @@ object Similarity {
     val committed = committedIvfEpochs(spark, indexPath, "refresh_ivf_index")
     val cents = kmeansFit(corpus, idCol, embCol,
       if (k == 0) storedK else k, iters)
-    // committed rows only: a crashed append's orphan labels must not
-    // leak into the drift sample any more than into a serve
-    val stored = spark.read.parquet(indexPath)
-      .filter(col("build_id").isin(committed: _*))
+    // committed, non-tombstoned rows only: a crashed append's orphan
+    // labels must not leak into the drift sample any more than into a
+    // serve, and a deleted row's stale label is not drift — it is gone
+    val stored = antiJoinTombstones(
+        spark.read.parquet(indexPath)
+          .filter(col("build_id").isin(committed: _*)),
+        committedTombstones(spark, indexPath, committed), idCol)
       .select(col(idCol), col("coarse"))
     val sampled = stored.join(corpus.select(col(idCol), col(embCol)),
       Seq(idCol))

@@ -84,6 +84,7 @@ object Main {
       |  ivf-append  --in <embeddings-parquet> --path <dir>
       |          [--id vec_id] [--embedding embedding]
       |  ivf-compact --path <dir> [--id vec_id]
+      |  ivf-delete  --in <ids-parquet> --path <dir> [--id vec_id]
       |  ivf-ingest  --landing <dir> --path <dir> --checkpoint <dir>
       |          [--id vec_id] [--embedding embedding] [--once]""".stripMargin
 
@@ -275,6 +276,14 @@ object Main {
     case Some("ivf-compact") =>
       val (opt, _) = parse(args.tail)
       graft.operators.Similarity.compactIvfIndex(spark, req(opt, "path"),
+        opt.getOrElse("id", "vec_id"))
+
+    // the takedown: ids (no vectors needed) tombstoned out of serving
+    // immediately; the next ivf-compact makes the removal physical
+    case Some("ivf-delete") =>
+      val (opt, _) = parse(args.tail)
+      graft.operators.Similarity.deleteFromIvfIndex(
+        spark.read.parquet(req(opt, "in")), req(opt, "path"),
         opt.getOrElse("id", "vec_id"))
 
     // continuous ANN-index maintenance: watch a landing dir of embedding

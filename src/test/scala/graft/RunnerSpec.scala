@@ -241,6 +241,16 @@ class RunnerSpec extends SparkSpec {
     assert(spark.read.parquet(hits).select("query_id").distinct().as[Long]
         .collect().toSet == (200L until 206L).toSet,
       "streamed rows must answer as queries")
+    // the takedown: tombstoned ids stop appearing as neighbors
+    val takedown = outDir("cli-ivf-takedown")
+    Seq(200L, 201L, 202L).toDF("vec_id")
+      .write.mode("overwrite").parquet(takedown)
+    Main.run(Seq("ivf-delete", "--in", takedown, "--path", ix), spark)
+    Main.run(Seq("ivf-query", "--in", landing, "--corpus", unioned2,
+      "--path", ix, "--out", hits, "--topk", "3", "--nprobe", "2"), spark)
+    assert(spark.read.parquet(hits).select("nn_id").as[Long].collect()
+        .forall(id => id < 200L || id > 202L),
+      "deleted ids must not serve as neighbors")
   }
 
   private def dropTables(): Unit =

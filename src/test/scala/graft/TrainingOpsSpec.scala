@@ -1231,6 +1231,90 @@ class TrainingOpsSpec extends SparkSpec {
       .contains("writeLearnedIvfIndex"))
   }
 
+  test("deleteFromIvfIndex: tombstoned rows stop serving, re-append wins, " +
+    "compaction makes the deletion physical") {
+    val rnd = new scala.util.Random(67)
+    val centers = Seq(Array.fill(6)(9.0), Array.fill(6)(-9.0),
+      Array.tabulate(6)(i => if (i % 2 == 0) 9.0 else -9.0))
+    def cloud(ctr: Array[Double]): Seq[Float] =
+      ctr.map(x => (x + rnd.nextGaussian() * 0.3).toFloat).toSeq
+    val baseRows = (0 until 60).map(i => (i.toLong, cloud(centers(i % 3))))
+    val base = baseRows.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(base, "vec_id", "embedding", k = 3, iters = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-del").toString
+    Similarity.writeLearnedIvfIndex(base, "vec_id", "embedding", dir, cents)
+    val queries = base.filter($"vec_id" < 9)
+    def served(corpus: org.apache.spark.sql.DataFrame): Set[Long] =
+      Similarity.serveIvfIndex(dir, corpus, queries,
+          "vec_id", "embedding", k = 3, nprobe = 2)
+        .select("nn_id").collect().map(_.getLong(0)).toSet
+    // the takedown: ids 30..39 must stop appearing as neighbors, and the
+    // answer must equal a rebuild over the corpus WITHOUT them
+    val victims = base.filter($"vec_id" >= 30 && $"vec_id" < 40)
+    assert(served(base).exists(id => id >= 30 && id < 40),
+      "fixture: victims should be serving before the delete")
+    Similarity.deleteFromIvfIndex(victims.select("vec_id"), dir, "vec_id")
+    val afterDelete = served(base)
+    assert(!afterDelete.exists(id => id >= 30 && id < 40),
+      "tombstoned rows must not serve")
+    val survivors = base.filter($"vec_id" < 30 || $"vec_id" >= 40)
+    val rebuilt = java.nio.file.Files.createTempDirectory("ivf-del-rb").toString
+    Similarity.writeLearnedIvfIndex(survivors, "vec_id", "embedding",
+      rebuilt, cents)
+    assert(afterDelete == Similarity.serveIvfIndex(rebuilt, base, queries,
+        "vec_id", "embedding", 3, 2)
+        .select("nn_id").collect().map(_.getLong(0)).toSet,
+      "serve-after-delete must equal a rebuild without the victims")
+    // a crashed delete (tombstones landed, commit record did not) is
+    // invisible: orphan tombstone rows at an unlisted epoch delete nothing
+    base.filter($"vec_id" < 3).select($"vec_id")
+      .withColumn("build_id", org.apache.spark.sql.functions.lit(123L))
+      .write.mode("append").parquet(s"$dir/_tombstones")
+    assert(served(base) == afterDelete,
+      "a crashed delete's orphan tombstones must not delete anything")
+    // tombstones are EPOCH-SCOPED: re-appending a deleted id serves the
+    // NEW row (its epoch postdates the tombstone). Re-added id 30 is a
+    // near-duplicate of query 0's vector, so it MUST rank as query 0's
+    // top neighbor — direct visibility, not just rebuild-equality
+    val readd = ((30L, baseRows(0)._2.map(_ + 0.01f)) +:
+        (31 until 33).map(i => (i.toLong, cloud(centers(i % 3)))))
+      .toDF("vec_id", "embedding")
+    Similarity.appendToIvfIndex(readd, dir, "vec_id", "embedding")
+    val corpusReadd = survivors.union(readd)
+    val afterReadd = served(corpusReadd)
+    assert(afterReadd.contains(30L), "a re-appended id must serve again")
+    val rebuiltReadd = java.nio.file.Files
+      .createTempDirectory("ivf-del-rb2").toString
+    Similarity.writeLearnedIvfIndex(corpusReadd, "vec_id", "embedding",
+      rebuiltReadd, cents)
+    assert(afterReadd == Similarity.serveIvfIndex(rebuiltReadd, corpusReadd,
+        queries, "vec_id", "embedding", 3, 2)
+        .select("nn_id").collect().map(_.getLong(0)).toSet,
+      "delete + re-append must equal a rebuild over the final corpus")
+    // compaction: deletion becomes physical, tombstones GC'd, the
+    // delete-then-re-append history compacts cleanly (no duplicate raise)
+    Similarity.compactIvfIndex(spark, dir, "vec_id")
+    assert(served(corpusReadd) == afterReadd,
+      "serve after compaction must equal serve before")
+    assert(spark.read.parquet(dir)
+        .filter($"vec_id" >= 33 && $"vec_id" < 40).count() == 0,
+      "compaction must physically drop tombstoned rows")
+    assert(spark.read.parquet(dir)
+        .filter($"vec_id" >= 30 && $"vec_id" < 33).count() == 3,
+      "compaction must keep the re-added rows")
+    assert(!new java.io.File(s"$dir/_tombstones").exists() ||
+      new java.io.File(s"$dir/_tombstones").listFiles()
+        .count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")) == 0,
+      "compaction must GC the tombstone files")
+    // deleting on a plain (non-learned) layout refuses up front
+    assert(msgChain(intercept[IllegalArgumentException](
+        Similarity.deleteFromIvfIndex(victims.select("vec_id"),
+          java.nio.file.Files.createTempDirectory("ivf-del-plain").toString,
+          "vec_id")))
+      .contains("_SUCCESS"))
+  }
+
   test("appendToIvfIndexIdempotent: a committed key no-ops, a crashed " +
     "attempt retries exactly-once, keys survive compaction") {
     val rnd = new scala.util.Random(59)
