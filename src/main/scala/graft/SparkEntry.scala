@@ -544,6 +544,24 @@ object SparkEntry {
       name
     })
 
+  /** [[bandedIndexTable]]'s DELETION twin: the full banded index with
+    * every 50th doc tombstoned out ([[Dedup.deleteFromBandedIndex]] —
+    * ids only, no text). Serving must answer as if the deleted docs were
+    * never indexed, which the oracle replays (the fixture index minus
+    * the same ids). */
+  private val deletedBandedCache = collection.concurrent.TrieMap.empty[String, String]
+  private def deletedBandedTable(s: SparkSession, dir: String): String =
+    deletedBandedCache.getOrElseUpdate(dir, {
+      val name = "graft_q_banded_del_" + dirKey(dir)
+      val (index, _) = dedupIndexParts(s, dir)
+      Dedup.writeBandedIndex(index, name, buckets = 32)
+      Dedup.deleteFromBandedIndex(
+        tbl(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(50)) === 0).select("doc_id"),
+        name, "doc_id")
+      name
+    })
+
   /** On-disk pruned-IVF index for `dir`'s embeddings (int8 codes
     * partitioned by the coarse `label` cell), written once per JVM — the
     * [[bandedIndexTable]] pattern on the ANN side: a deployment pays
@@ -694,6 +712,16 @@ object SparkEntry {
   private def qDedupIndexIngest(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupAgainstBandedIndex(dedupIndexBatch(s, dir),
         ingestBandedTable(s, dir), "doc_id", "text", minJaccard = 0.3)
+      .withColumn("est_jaccard", rq(col("est_jaccard"), 6))
+
+  /** q_dedup_index_banded's DELETION twin ([[qAnnDelete]]'s dedup-side
+    * mirror), serving the [[deletedBandedTable]]: every 50th doc
+    * tombstoned, so the batch docs whose near-dup source was a victim
+    * must stop matching — the oracle replays the estimate join over the
+    * fixture index MINUS the same ids. */
+  private def qDedupIndexDelete(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupAgainstBandedIndex(dedupIndexBatch(s, dir),
+        deletedBandedTable(s, dir), "doc_id", "text", minJaccard = 0.3)
       .withColumn("est_jaccard", rq(col("est_jaccard"), 6))
 
   /** SimHash near-dup pairs (hamming ≤ 3 over 64-bit token simhash).
@@ -1228,6 +1256,7 @@ object SparkEntry {
     "q_dedup_index" -> qDedupIndex,
     "q_dedup_index_banded" -> qDedupIndexBanded,
     "q_dedup_index_ingest" -> qDedupIndexIngest,
+    "q_dedup_index_delete" -> qDedupIndexDelete,
     "q_embed_cosine_pairs" -> qEmbedCosinePairs,
     "q_embed_lsh_pairs" -> qEmbedLshPairs,
     "q_embed_clusters" -> qEmbedClusters,
@@ -1306,6 +1335,32 @@ object SparkEntry {
       | ib AS (SELECT * FROM read_parquet('$DedupIndexFixture/index_banded/*.parquet')),
       | ns AS (SELECT * FROM read_parquet('$DedupIndexFixture/new_sigs/*.parquet')),
       | isg AS (SELECT * FROM read_parquet('$DedupIndexFixture/index_sigs/*.parquet')),
+      | cands AS (
+      |  SELECT DISTINCT nb.sh_id AS new_id, ib.sh_id AS index_id
+      |  FROM nb JOIN ib ON nb.band = ib.band AND nb.band_hash = ib.band_hash),
+      | est AS (
+      |  SELECT c.new_id, c.index_id,
+      |         len(list_filter(list_zip(n2.sig, i2.sig), p -> p[1] = p[2])) / 128.0 AS ej
+      |  FROM cands c
+      |  JOIN ns n2 ON n2.sh_id = c.new_id
+      |  JOIN isg i2 ON i2.sh_id = c.index_id)
+      |SELECT new_id AS doc_id, index_id,
+      |       floor((ej)*1000000.0 + 0.5)/1000000.0 AS est_jaccard
+      |FROM est WHERE ej >= 0.3""".stripMargin
+
+  /** q_dedup_index_delete's oracle: [[dedupIndexSql]] with the index
+    * side minus the tombstoned docs — serving a deleted index must be
+    * indistinguishable from never having indexed them. Both fixture
+    * tables are filtered (the engine only filters the signature side —
+    * victims' band rows surface candidates that die at the sig join —
+    * but the RESULT is identical, which is the point). */
+  private lazy val dedupIndexDeleteSql: String =
+    s"""WITH nb AS (SELECT * FROM read_parquet('$DedupIndexFixture/new_banded/*.parquet')),
+      | ib AS (SELECT * FROM read_parquet('$DedupIndexFixture/index_banded/*.parquet')
+      |        WHERE sh_id % 50 <> 0),
+      | ns AS (SELECT * FROM read_parquet('$DedupIndexFixture/new_sigs/*.parquet')),
+      | isg AS (SELECT * FROM read_parquet('$DedupIndexFixture/index_sigs/*.parquet')
+      |         WHERE sh_id % 50 <> 0),
       | cands AS (
       |  SELECT DISTINCT nb.sh_id AS new_id, ib.sh_id AS index_id
       |  FROM nb JOIN ib ON nb.band = ib.band AND nb.band_hash = ib.band_hash),
@@ -1562,6 +1617,9 @@ object SparkEntry {
     // holds (geometry rides with the tables; signatures deterministic
     // per doc), so the append path shares the same oracle
     "q_dedup_index_ingest" -> dedupIndexSql,
+    // ...and serving after a takedown ≡ never having indexed the
+    // victims: the same replay over the fixture index minus their ids
+    "q_dedup_index_delete" -> dedupIndexDeleteSql,
     "q_embed_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

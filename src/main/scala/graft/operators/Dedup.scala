@@ -417,6 +417,62 @@ object Dedup {
       .write.mode("append").saveAsTable(s"${name}_meta")
   }
 
+  /** DELETE docs from a [[writeBandedIndex]] layout without touching the
+    * index tables — the takedown shape, mirroring
+    * [[graft.operators.Similarity.deleteFromIvfIndex]]: a removal request
+    * arrives as IDS (no text needed — deletion never shingles), and at
+    * scale rewriting the bucketed tables per request is the cost this
+    * avoids. The ids land as tombstone rows in a tiny `<name>_tombs`
+    * table under a fresh epoch, committed by the `_meta` append LAST —
+    * same crash discipline as appends: a crashed delete leaves only
+    * invisible orphan tombstones, retries are exactly-once. Serving
+    * anti-joins committed tombstones on the SIGNATURE side (broadcast —
+    * the bucketed tables never shuffle for the check; a tombstoned doc's
+    * band rows may still surface candidates, which then die at the
+    * signature join — correctness is exact, the residual candidate
+    * traffic is what [[compactBandedIndex]] reclaims when it drops the
+    * band rows too). Tombstones are EPOCH-SCOPED (strictly older epochs
+    * only), so deleting a doc and later re-appending it serves the new
+    * rows with no bookkeeping at append time. Compaction makes the
+    * deletion physical and drops the tombstone table. */
+  def deleteFromBandedIndex(ids: DataFrame, name: String,
+                            idCol: String): Unit = {
+    val spark = ids.sparkSession
+    val committed = committedEpochs(spark, name)
+    require(committed.nonEmpty,
+      s"deleteFromBandedIndex: ${name}_meta lists no committed builds - run writeBandedIndex first")
+    val epoch = System.nanoTime()
+    ids.select(col(idCol).as("sh_id")).distinct()
+      .withColumn("build_id", lit(epoch))
+      .coalesce(1)
+      .write.mode("append").saveAsTable(s"${name}_tombs")
+    spark.createDataFrame(Seq(Tuple1(epoch))).toDF("build_id")
+      .write.mode("append").saveAsTable(s"${name}_meta")
+  }
+
+  /** Committed tombstone rows of `<name>_tombs` — `(tomb_sh_id,
+    * tomb_build_id)`, None if no deletion ever ran. Uncommitted
+    * tombstones (a crashed [[deleteFromBandedIndex]]) are invisible,
+    * same epoch discipline as data rows. */
+  private def committedTombs(spark: org.apache.spark.sql.SparkSession,
+                             name: String,
+                             committed: Seq[Long]): Option[DataFrame] =
+    if (!spark.catalog.tableExists(s"${name}_tombs")) None
+    else Some(spark.table(s"${name}_tombs")
+      .filter(col("build_id").isin(committed: _*))
+      .select(col("sh_id").as("tomb_sh_id"),
+        col("build_id").as("tomb_build_id")))
+
+  /** Drop rows a committed tombstone covers (epoch-scoped: strictly
+    * older epochs only — see [[deleteFromBandedIndex]]). */
+  private def antiTomb(df: DataFrame, tombs: Option[DataFrame]): DataFrame =
+    tombs.fold(df) { t =>
+      df.join(broadcast(t),
+        df("sh_id") === t("tomb_sh_id") &&
+          df("build_id") < t("tomb_build_id"),
+        "left_anti")
+    }
+
   /** COMPACTION of a [[writeBandedIndex]]+[[appendToBandedIndex]] layout:
     * merge every committed epoch into ONE fresh epoch by REWRITING the
     * existing `_bands`/`_sigs` rows — the rows are immutable and already
@@ -494,9 +550,15 @@ object Dedup {
     committedProbe(oldBands, s"${name}_bands")
     committedProbe(oldSigs, s"${name}_sigs")
     val epoch = System.nanoTime()
+    // deleteFromBandedIndex tombstones become PHYSICAL here: tombstoned
+    // rows are dropped from BOTH merged tables (serving only needed the
+    // sig side, but the band rows' residual candidate traffic goes too),
+    // and the tombstone table is dropped after the commit — its work is
+    // done, the rows it masked no longer exist in any committed epoch
+    val tombs = committedTombs(spark, name, committed)
     def mergeInto(files: Seq[String], table: String, keyCol: String): Unit =
-      spark.read.parquet(files: _*)
-        .filter(col("build_id").isin(committed: _*))
+      antiTomb(spark.read.parquet(files: _*)
+          .filter(col("build_id").isin(committed: _*)), tombs)
         .withColumn("build_id", lit(epoch))
         // bucket-aligned repartition (same murmur3-pmod assignment as the
         // bucketBy below): each task holds exactly one bucket's rows, so
@@ -512,6 +574,7 @@ object Dedup {
       .write.mode("overwrite").saveAsTable(s"${name}_meta")
     // GC — the snapshot's rows are invisible now (committed ∌ their epochs)
     (oldBands ++ oldSigs).foreach(f => fs.delete(new Path(f), false))
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_tombs")
   }
 
   /** [[dedupAgainstIndex]] served from a [[writeBandedIndex]] layout:
@@ -564,8 +627,13 @@ object Dedup {
     // same ragged-signature + mixed-sig_k fail-fast as the flat path: a
     // hand-edited row at the wrong width would null-pad the estimate, and
     // a mixed-shingle-width table would estimate ~0 against half the
-    // corpus — both silent-disable modes, both forbidden
-    val sigsChecked = sigs.select(col("sh_id").as("index_id"),
+    // corpus — both silent-disable modes, both forbidden. Tombstoned docs
+    // ([[deleteFromBandedIndex]]) are anti-joined out HERE: a deleted
+    // doc's band rows may still surface candidates, but every candidate
+    // must pass this signature join to be estimated, so dropping the sig
+    // row is sufficient and exact
+    val sigsChecked = antiTomb(sigs, committedTombs(spark, name, committed))
+      .select(col("sh_id").as("index_id"),
       when(size(col("sig")) =!= numHashes,
         raise_error(lit("dedupAgainstBandedIndex: ragged index signature")))
         .when(col("sig_k") =!= shingleK, raise_error(concat(

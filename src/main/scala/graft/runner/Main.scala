@@ -73,6 +73,7 @@ object Main {
       |  index-filter --in <batch-parquet> --name <table> --out <dir>
       |          [--id doc_id] [--text text] [--jaccard 0.8]
       |  index-compact --name <table>
+      |  index-delete --in <ids-parquet> --name <table> [--id doc_id]
       |  ivf-build   --in <embeddings-parquet> --path <dir>
       |          [--id vec_id] [--embedding embedding] [--k 32] [--iters 5]
       |  ivf-query   --in <queries-parquet> --corpus <embeddings-parquet>
@@ -219,6 +220,14 @@ object Main {
     case Some("index-compact") =>
       val (opt, _) = parse(args.tail)
       graft.operators.Dedup.compactBandedIndex(spark, req(opt, "name"))
+
+    // the takedown, dedup side: ids (no text needed) tombstoned out of
+    // matching immediately; the next index-compact makes it physical
+    case Some("index-delete") =>
+      val (opt, _) = parse(args.tail)
+      graft.operators.Dedup.deleteFromBandedIndex(
+        spark.read.parquet(req(opt, "in")), req(opt, "name"),
+        opt.getOrElse("id", "doc_id"))
 
     // the learned-ANN lifecycle as CLI: fit + build once, serve query
     // batches from the partition-pruned files, refresh on a cadence —

@@ -136,6 +136,18 @@ class RunnerSpec extends SparkSpec {
         "--out", k3, "--jaccard", "0.5"), spark)
       assert(spark.read.parquet(k3).select("doc_id").as[Long].collect().toSet
         == Set(21L), "the compacted index must serve both former epochs")
+      // the takedown: remove doc 1 from the reference corpus — batch1's
+      // near-dup of it must stop being filtered
+      val takedown = outDir("cli-ix-takedown")
+      Seq(Tuple1(1L)).toDF("doc_id").write.mode("overwrite").parquet(takedown)
+      Main.run(Seq("index-delete", "--in", takedown, "--name", "cli_ix"), spark)
+      val k4 = outDir("cli-ix-kept4")
+      Main.run(Seq("index-filter", "--in", b1, "--name", "cli_ix",
+        "--out", k4, "--jaccard", "0.5"), spark)
+      assert(spark.read.parquet(k4).select("doc_id").as[Long].collect().toSet
+        == Set(10L),
+        "after the takedown the near-dup of the deleted doc must be kept " +
+          "(11 is still filtered - it matches ITSELF, appended last cycle)")
     } finally {
       dropTables()
     }
@@ -254,7 +266,7 @@ class RunnerSpec extends SparkSpec {
   }
 
   private def dropTables(): Unit =
-    Seq("_bands", "_sigs", "_meta").foreach(s =>
+    Seq("_bands", "_sigs", "_meta", "_tombs").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS cli_ix$s"))
 
   test("curate-stream --once: landing backlog curated through the streaming flow") {

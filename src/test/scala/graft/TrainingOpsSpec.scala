@@ -722,6 +722,54 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("deleteFromBandedIndex: tombstoned docs stop matching, re-append " +
+    "wins, compaction makes the deletion physical") {
+    val t1 = "the quick brown fox jumps over the lazy dog near the old river bank"
+    val t2 = "spark shuffles partitions across the cluster under adaptive " +
+      "query execution while the scheduler assigns tasks to executors"
+    val corpusA = Seq((1L, t1), (2L, t2),
+      (3L, "completely different words live here entirely on their own today")
+    ).toDF("doc_id", "text")
+    val batch = Seq((10L, t1), (11L, t2)).toDF("doc_id", "text")
+    def hits(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def serve() = hits(Dedup.dedupAgainstBandedIndex(batch, "ix_del",
+      "doc_id", "text", minJaccard = 0.5))
+    try {
+      Dedup.writeBandedIndex(
+        Dedup.buildDedupIndex(corpusA, "doc_id", "text"), "ix_del", buckets = 4)
+      assert(serve() == Set((10L, 1L), (11L, 2L)))
+      // the takedown: ids only, no text — doc 1 stops matching
+      Dedup.deleteFromBandedIndex(Seq(Tuple1(1L)).toDF("doc_id"),
+        "ix_del", "doc_id")
+      assert(serve() == Set((11L, 2L)), "a tombstoned doc must stop matching")
+      // a crashed delete (tombstones landed, _meta commit did not) deletes
+      // nothing: orphan rows at an unlisted epoch
+      Seq((2L, 123L)).toDF("sh_id", "build_id")
+        .write.mode("append").saveAsTable("ix_del_tombs")
+      assert(serve() == Set((11L, 2L)),
+        "a crashed delete's orphan tombstones must not delete anything")
+      // epoch-scoped: re-appending the deleted doc serves the NEW rows
+      Dedup.appendToBandedIndex(Seq((1L, t1)).toDF("doc_id", "text"),
+        "ix_del", "doc_id", "text")
+      assert(serve() == Set((10L, 1L), (11L, 2L)),
+        "a re-appended doc must match again")
+      // compaction: deletion physical, tombstone table dropped, serving
+      // unchanged; the superseded build-epoch row of doc 1 is gone and
+      // only its re-appended row remains
+      Dedup.compactBandedIndex(spark, "ix_del")
+      assert(serve() == Set((10L, 1L), (11L, 2L)),
+        "serve after compaction must equal serve before")
+      assert(!spark.catalog.tableExists("ix_del_tombs"),
+        "compaction must drop the tombstone table")
+      assert(spark.table("ix_del_sigs").count() == 3,
+        "one sig row per surviving doc after compaction")
+    } finally {
+      Seq("_bands", "_sigs", "_meta", "_tombs").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS ix_del$s"))
+    }
+  }
+
   test("kmeansFit: deterministic learned IVF — planted clusters recovered, " +
     "learned-partition ivfTopK equals brute force") {
     val rnd = new scala.util.Random(11)
