@@ -493,6 +493,71 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("IVF lifecycle under random append/delete/re-add/compact " +
+    "interleavings: serving the evolved index ≡ a fresh rebuild of the " +
+    "surviving rows") {
+    import graft.operators.Similarity
+    val gen = for {
+      seed <- Gen.chooseNum(0, 10000)
+      nOps <- Gen.chooseNum(3, 6)
+    } yield (seed, nOps)
+    forAll(gen, n = 3) { case (seed, nOps) =>
+      val rnd = new scala.util.Random(seed)
+      // separated one-hot clusters, same construction as the learned-IVF
+      // property above: correctness must be a property of the OPERATORS
+      def vec(c: Int): Seq[Float] = Array.tabulate(6)(d =>
+        ((if (d == c) 20.0 else 0.0) + rnd.nextGaussian() * 0.3).toFloat).toSeq
+      var nextId = 0L
+      def fresh(n: Int): Seq[(Long, Seq[Float])] = (0 until n).map { _ =>
+        val id = nextId; nextId += 1; (id, vec((id % 3).toInt))
+      }
+      val model = scala.collection.mutable.LinkedHashMap.empty[Long, Seq[Float]]
+      val deletedPool = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def df(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "embedding")
+      val base = fresh(30)
+      model ++= base
+      val cents = Similarity.kmeansFit(df(base), "vec_id", "embedding",
+        k = 3, iters = 3)
+      val dir = java.nio.file.Files.createTempDirectory("ivf-prop").toString
+      Similarity.writeLearnedIvfIndex(df(base), "vec_id", "embedding", dir, cents)
+      (1 to nOps).foreach { _ =>
+        val roll = rnd.nextInt(10)
+        if (roll < 4 || model.size < 10) {              // append fresh rows
+          val batch = fresh(3 + rnd.nextInt(5))
+          Similarity.appendToIvfIndex(df(batch), dir, "vec_id", "embedding")
+          model ++= batch
+        } else if (roll < 6 && deletedPool.nonEmpty) {  // re-add a deleted id
+          val id = deletedPool.remove(rnd.nextInt(deletedPool.size))
+          val row = (id, vec((id % 3).toInt))
+          Similarity.appendToIvfIndex(df(Seq(row)), dir, "vec_id", "embedding")
+          model += row
+        } else if (roll < 8) {                          // delete a random subset
+          val victims = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(4))
+          Similarity.deleteFromIvfIndex(
+            victims.map(Tuple1(_)).toDF("vec_id"), dir, "vec_id")
+          victims.foreach { id => model -= id; deletedPool += id }
+        } else {                                        // compact mid-history
+          Similarity.compactIvfIndex(spark, dir, "vec_id")
+        }
+      }
+      val corpus = df(model.toSeq)
+      val queries = df(rnd.shuffle(model.toSeq).take(5))
+      def served(path: String) = Similarity.serveIvfIndex(path, corpus,
+          queries, "vec_id", "embedding", k = 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      val rebuilt = java.nio.file.Files.createTempDirectory("ivf-prop-rb").toString
+      Similarity.writeLearnedIvfIndex(corpus, "vec_id", "embedding",
+        rebuilt, cents)
+      assert(served(dir) == served(rebuilt),
+        s"evolved index diverged from rebuild (seed=$seed, ops=$nOps)")
+      // and the final compaction both preserves the answer and passes its
+      // own uniqueness audit over the full random history
+      Similarity.compactIvfIndex(spark, dir, "vec_id")
+      assert(served(dir) == served(rebuilt),
+        s"post-compact serve diverged (seed=$seed, ops=$nOps)")
+    }
+  }
+
   test("ensureColumns: arbitrary column subsets conform to the full schema") {
     forAll(Gen.someOf(Schemas.mem.fieldNames.toSeq)) { keep =>
       whenever(keep.nonEmpty) {
