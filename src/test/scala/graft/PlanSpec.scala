@@ -169,6 +169,40 @@ class PlanSpec extends SparkSpec {
     assert(countShuffles(p) <= 2, s"expected ≤2 shuffles, plan:\n$p")
   }
 
+  test("lifecycle serving plans keep the scale shape: grown and deleted " +
+    "indexes serve bucketed/pruned, tombstones ride a broadcast anti-join") {
+    // dedup side: the ingest-grown tables serve from bucketed scans
+    // exactly like the one-shot build (the append path changes files,
+    // never the plan family)
+    val pIng = executed(SparkEntry.queries("q_dedup_index_ingest")(spark, sf))
+    assert(pIng.toString.contains("Bucketed: true"),
+      s"ingest-grown serve must stay bucketed:\n$pIng")
+    // ...and a deletion adds a broadcast LeftAnti against the tombstones,
+    // never a shuffle of the bucketed tables
+    val pDel = executed(SparkEntry.queries("q_dedup_index_delete")(spark, sf))
+    val pDelStr = pDel.toString
+    assert(pDelStr.contains("Bucketed: true"),
+      s"deleted-index serve must stay bucketed:\n$pDel")
+    assert(pDelStr.contains("LeftAnti"),
+      s"tombstones must apply as an anti-join:\n$pDel")
+    // ANN side: the grown index serves partition-pruned with the
+    // committed-epoch predicate pushed into the scan
+    def annPlan(q: String): String = {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    val pAnnI = annPlan("q_ann_ingest")
+    assert("PartitionFilters: \\[[^\\]]*coarse".r.findFirstIn(pAnnI).isDefined,
+      s"grown ANN serve must prune by cell:\n$pAnnI")
+    assert("PushedFilters: \\[[^\\]]*build_id".r.findFirstIn(pAnnI).isDefined,
+      s"grown ANN serve must push the epoch filter:\n$pAnnI")
+    val pAnnD = annPlan("q_ann_delete")
+    assert("PartitionFilters: \\[[^\\]]*coarse".r.findFirstIn(pAnnD).isDefined &&
+      pAnnD.contains("LeftAnti"),
+      s"deleted ANN serve must stay pruned with a tombstone anti-join:\n$pAnnD")
+  }
+
   test("q_filter_project: predicates and projection reach the parquet scan") {
     val df = SparkEntry.queries("q_filter_project")(spark, sf)
     val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
