@@ -338,17 +338,27 @@ object Dedup {
       .write.mode("overwrite")
       .bucketBy(buckets, "sh_id").sortBy("sh_id")
       .saveAsTable(s"${name}_sigs")
-    // the commit record — LAST, so its epochs always have complete rows
-    index.sparkSession.createDataFrame(Seq(Tuple1(epoch))).toDF("build_id")
+    // the commit record — LAST, so its epochs always have complete rows.
+    // `key` is the idempotency token of [[appendToBandedIndexIdempotent]];
+    // null for builds. Every writer emits the same (build_id, key) schema.
+    metaRow(index.sparkSession, epoch, None)
       .write.mode("overwrite").saveAsTable(s"${name}_meta")
+  }
+
+  private def metaRow(spark: org.apache.spark.sql.SparkSession, epoch: Long,
+                      key: Option[String]): DataFrame = {
+    import spark.implicits._
+    Seq((epoch, key)).toDF("build_id", "key")
   }
 
   /** Epochs the `<name>_meta` commit table lists — the serving-visible
     * builds/appends (driver-side read of a table with one row per
-    * successful build or append; bytes, not data). */
+    * successful build or append; bytes, not data). Distinct: after a
+    * compaction the table holds one row per surviving idempotency key,
+    * all pointing at the one merged epoch. */
   private def committedEpochs(spark: org.apache.spark.sql.SparkSession,
                               name: String): Seq[Long] =
-    spark.table(s"${name}_meta").select("build_id").collect()
+    spark.table(s"${name}_meta").select("build_id").distinct().collect()
       .map(_.getLong(0)).toSeq
 
   /** Bucket count of an existing bucketed table, so appends write the
@@ -381,7 +391,37 @@ object Dedup {
     * exactly as in [[dedupAgainstIndex]]: dedup the batch first, then
     * append what you keep. */
   def appendToBandedIndex(newDocs: DataFrame, name: String, idCol: String,
-                          textCol: String): Unit = {
+                          textCol: String): Unit =
+    doBandedAppend(newDocs, name, idCol, textCol, key = None)
+
+  /** [[appendToBandedIndex]] keyed for AT-LEAST-ONCE callers (the dedup
+    * mirror of [[graft.operators.Similarity.appendToIvfIndexIdempotent]]):
+    * a key already committed in `_meta` no-ops and returns false; a key
+    * whose first attempt crashed left only invisible orphan rows, so the
+    * retry appends again under a fresh physical epoch — rows serve
+    * exactly once either way. Key = the foreachBatch batch id (same
+    * offset range ⇒ same input rows on replay). Keys survive
+    * [[compactBandedIndex]], re-pointed at the merged epoch. */
+  def appendToBandedIndexIdempotent(newDocs: DataFrame, name: String,
+                                    idCol: String, textCol: String,
+                                    key: String): Boolean =
+    if (bandedIndexKeyCommitted(newDocs.sparkSession, name, key)) false
+    else { doBandedAppend(newDocs, name, idCol, textCol, Some(key)); true }
+
+  /** Whether `key` is already committed in `<name>_meta` — public so a
+    * sink whose OTHER work must also be skipped on replay (e.g.
+    * [[graft.streaming.StreamingCurate.idempotentCurateIngestSink]],
+    * whose curation re-run would see the index its own first run grew)
+    * can gate everything on the one delivery token, not just the append. */
+  def bandedIndexKeyCommitted(spark: org.apache.spark.sql.SparkSession,
+                              name: String, key: String): Boolean = {
+    val meta = spark.table(s"${name}_meta")
+    meta.columns.contains("key") &&
+      meta.filter(col("key") === key).limit(1).collect().nonEmpty
+  }
+
+  private def doBandedAppend(newDocs: DataFrame, name: String, idCol: String,
+                             textCol: String, key: Option[String]): Unit = {
     val spark = newDocs.sparkSession
     val committed = committedEpochs(spark, name)
     require(committed.nonEmpty,
@@ -413,7 +453,7 @@ object Dedup {
       .write.mode("append")
       .bucketBy(buckets, "sh_id").sortBy("sh_id")
       .saveAsTable(s"${name}_sigs")
-    spark.createDataFrame(Seq(Tuple1(epoch))).toDF("build_id")
+    metaRow(spark, epoch, key)
       .write.mode("append").saveAsTable(s"${name}_meta")
   }
 
@@ -446,7 +486,7 @@ object Dedup {
       .withColumn("build_id", lit(epoch))
       .coalesce(1)
       .write.mode("append").saveAsTable(s"${name}_tombs")
-    spark.createDataFrame(Seq(Tuple1(epoch))).toDF("build_id")
+    metaRow(spark, epoch, None)
       .write.mode("append").saveAsTable(s"${name}_meta")
   }
 
@@ -569,8 +609,19 @@ object Dedup {
         .saveAsTable(table)
     mergeInto(oldBands, s"${name}_bands", "bh")
     mergeInto(oldSigs, s"${name}_sigs", "sh_id")
-    // commit point: the merged epoch becomes the ONLY served epoch
-    spark.createDataFrame(Seq(Tuple1(epoch))).toDF("build_id")
+    // commit point: the merged epoch becomes the ONLY served epoch.
+    // Idempotency keys SURVIVE, re-pointed at it (same rationale as the
+    // IVF compact: a foreachBatch replay from before the compaction must
+    // still read as already-delivered)
+    val metaTbl = spark.table(s"${name}_meta")
+    val keptKeys: Seq[String] =
+      if (!metaTbl.columns.contains("key")) Seq.empty
+      else metaTbl
+        .filter(col("key").isNotNull && col("build_id").isin(committed: _*))
+        .select("key").collect().map(_.getString(0)).toSeq
+    val newMeta: Seq[(Long, Option[String])] =
+      (epoch, Option.empty[String]) +: keptKeys.map(k => (epoch, Option(k)))
+    spark.createDataFrame(newMeta).toDF("build_id", "key")
       .write.mode("overwrite").saveAsTable(s"${name}_meta")
     // GC — the snapshot's rows are invisible now (committed ∌ their epochs)
     (oldBands ++ oldSigs).foreach(f => fs.delete(new Path(f), false))
@@ -658,6 +709,18 @@ object Dedup {
                          bands: Int = 32): DataFrame =
     newDocs.join(
       dedupAgainstIndex(newDocs, index, idCol, textCol, minJaccard, bands)
+        .select(idCol),
+      Seq(idCol), "left_anti")
+
+  /** [[filterAgainstIndex]] against a [[writeBandedIndex]] layout: the
+    * batch minus everything [[dedupAgainstBandedIndex]] matches — the
+    * per-ingest-cycle keep set, served one-sided from the bucketed
+    * tables. */
+  def filterAgainstBandedIndex(newDocs: DataFrame, name: String,
+                               idCol: String, textCol: String,
+                               minJaccard: Double = 0.8): DataFrame =
+    newDocs.join(
+      dedupAgainstBandedIndex(newDocs, name, idCol, textCol, minJaccard)
         .select(idCol),
       Seq(idCol), "left_anti")
 

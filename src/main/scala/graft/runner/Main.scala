@@ -321,12 +321,10 @@ object Main {
     case Some("index-filter") =>
       val (opt, _) = parse(args.tail)
       val (in, name, out) = (req(opt, "in"), req(opt, "name"), req(opt, "out"))
-      val idCol = opt.getOrElse("id", "doc_id")
-      val batch = spark.read.parquet(in)
-      val hits = graft.operators.Dedup.dedupAgainstBandedIndex(batch, name,
-        idCol, opt.getOrElse("text", "text"),
-        minJaccard = opt.getOrElse("jaccard", "0.8").toDouble)
-      batch.join(hits.select(idCol), Seq(idCol), "left_anti")
+      graft.operators.Dedup.filterAgainstBandedIndex(
+          spark.read.parquet(in), name,
+          opt.getOrElse("id", "doc_id"), opt.getOrElse("text", "text"),
+          minJaccard = opt.getOrElse("jaccard", "0.8").toDouble)
         .write.mode("overwrite").option("compression", "zstd")
         .parquet(out)
 

@@ -196,4 +196,54 @@ object StreamingCurate {
       curateBatchWithIndex(batch, idCol, textCol, evalBloom, index,
         minJaccard, minQuality),
       outDir, batchId)
+
+  /** The FULL incremental-dedup streaming loop in one sink, against the
+    * banded serving layout: each micro-batch is curated (Bloom
+    * decontamination, quality, redaction, split), filtered against the
+    * `<name>` banded index ([[graft.operators.Dedup
+    * .filterAgainstBandedIndex]] — one-sided, only the batch shuffles),
+    * the kept docs land at `outDir/batch_id=N`, and the SAME kept docs
+    * are appended to the index under a batch-keyed epoch
+    * ([[graft.operators.Dedup.appendToBandedIndexIdempotent]]) — so the
+    * NEXT batch already dedups against them, closing the lambda gap
+    * WITHIN the stream (the batch-cadence compaction remains the layout
+    * owner). Exactly-once on both legs: a replayed batch overwrites its
+    * own landing directory and its index append reads as
+    * already-committed. The kept frame is materialized once — it feeds
+    * two writes, and re-running the curation per leg would double its
+    * cost and (worse) let the two legs diverge if any upstream stage
+    * were nondeterministic.
+    *
+    * The replay gate covers the WHOLE sink, not just the append: a
+    * committed key means the first run curated, landed, and appended —
+    * and re-running the curation would filter the batch's own kept docs
+    * against the index copies that first run added, overwriting the
+    * landing directory with an EMPTY keep set (data loss, found by the
+    * spec). One delivery token, both legs. A crash at any earlier point
+    * leaves the key uncommitted, and the re-run is then byte-identical:
+    * the index state the filter sees excludes the crashed append's
+    * invisible orphans, so the keep set recomputes exactly. */
+  def idempotentCurateIngestSink(outDir: String, name: String, idCol: String,
+                                 textCol: String, evalBloom: ShingleBloom,
+                                 minJaccard: Double = 0.8,
+                                 minQuality: Double = 0.5)
+      : (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val key = s"batch_$batchId"
+      if (!graft.operators.Dedup.bandedIndexKeyCommitted(
+          batch.sparkSession, name, key)) {
+        val kept = graft.operators.Materialize.eagerCheckpoint(
+          graft.operators.Dedup.filterAgainstBandedIndex(
+            perRowStages(batch, idCol, textCol, evalBloom, minQuality),
+            name, idCol, textCol, minJaccard))
+        writeBatchIdempotent(kept, outDir, batchId)
+        // empty keep set: land the (empty) batch dir for read-side
+        // uniformity, but don't burn an index epoch on zero rows
+        if (kept.limit(1).collect().nonEmpty) {
+          graft.operators.Dedup.appendToBandedIndexIdempotent(kept, name,
+            idCol, textCol, key)
+          ()
+        }
+      }
+    }
 }

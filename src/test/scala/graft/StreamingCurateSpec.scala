@@ -131,6 +131,63 @@ class StreamingCurateSpec extends SparkSpec {
       .filter(col("count") > 1).count() == 0)
   }
 
+  test("idempotentCurateIngestSink: kept docs land AND join the banded " +
+    "index per micro-batch — the next batch dedups against them; replays " +
+    "are no-ops on both legs") {
+    implicit val sqlCtx = spark.sqlContext
+    val bloom = StreamingCurate.evalShingleBloom(evalDocs, "doc_id", "text", k = 8)
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the old river " +
+        "bank while the heron watches from the reeds in the morning light")
+    ).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("ingest-sink").toString
+    try {
+      Dedup.writeBandedIndex(Dedup.buildDedupIndex(corpus, "doc_id", "text"),
+        "ix_stream", buckets = 4)
+      val sink = StreamingCurate.idempotentCurateIngestSink(out, "ix_stream",
+        "doc_id", "text", bloom, minJaccard = 0.5)
+      val batch0 = Seq(
+        // near-dup of the landed corpus → filtered by the index
+        (10L, "the quick brown fox jumps over the lazy cat near the old " +
+          "river bank while the heron watches from the reeds in the morning light",
+          ts("2013-01-01 10:00:00")),
+        // novel → kept AND appended to the index
+        (11L, "a completely new report about the harvest with plenty of the " +
+          "usual words in it for the quality gate to like and to keep",
+          ts("2013-01-01 10:00:05")))
+      val in = MemoryStream[(Long, String, Timestamp)]
+      val q = in.toDF().toDF("doc_id", "text", "ts")
+        .writeStream.foreachBatch(sink).start()
+      in.addData(batch0: _*)
+      q.processAllAvailable()
+      // batch 1 carries a near-dup of doc 11 — catchable ONLY because
+      // batch 0's kept docs were appended within the stream
+      in.addData((20L, "a completely new report about the orchard with " +
+        "plenty of the usual words in it for the quality gate to like and " +
+        "to keep", ts("2013-01-01 10:01:00")),
+        (21L, "another genuinely novel piece of text with plenty of " +
+          "ordinary words in it to pass the quality gate comfortably",
+          ts("2013-01-01 10:01:30")))
+      q.processAllAvailable()
+      q.stop()
+      def landed() = spark.read.parquet(out)
+        .select("doc_id").as[Long].collect().toSet
+      assert(landed() == Set(11L, 21L),
+        "10 filtered vs corpus, 20 filtered vs batch-0's kept doc")
+      val sigsBefore = spark.table("ix_stream_sigs").count()
+      assert(sigsBefore == 3, "corpus + the two kept docs")
+      // the restart-retry shape: replay batch 0 — landing dir overwrites
+      // itself, the index append reads as already-committed
+      sink(batch0.toDF("doc_id", "text", "ts"), 0L)
+      assert(landed() == Set(11L, 21L))
+      assert(spark.table("ix_stream_sigs").count() == sigsBefore,
+        "a replayed batch must not re-append to the index")
+    } finally {
+      Seq("_bands", "_sigs", "_meta", "_tombs").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS ix_stream$s"))
+    }
+  }
+
   test("IvfIngest: streamed embedding batches become servable exactly-once — " +
     "the ANN side of the lambda split") {
     implicit val sqlCtx = spark.sqlContext

@@ -770,6 +770,42 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("appendToBandedIndexIdempotent: a committed key no-ops, keys " +
+    "survive compaction") {
+    val t1 = "the quick brown fox jumps over the lazy dog near the old river bank"
+    val corpusA = Seq((1L, t1)).toDF("doc_id", "text")
+    val corpusB = Seq((2L, "entirely novel appended content about deep sea " +
+      "creatures and their bioluminescent signalling habits")).toDF("doc_id", "text")
+    val batch = Seq((10L, t1), (11L, "entirely novel appended content about " +
+      "deep sea creatures and their bioluminescent signalling habits"))
+      .toDF("doc_id", "text")
+    def serve() = Dedup.dedupAgainstBandedIndex(batch, "ix_idem",
+      "doc_id", "text", minJaccard = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      Dedup.writeBandedIndex(
+        Dedup.buildDedupIndex(corpusA, "doc_id", "text"), "ix_idem", buckets = 4)
+      assert(Dedup.appendToBandedIndexIdempotent(corpusB, "ix_idem",
+        "doc_id", "text", "k1"), "first delivery must append")
+      val after = serve()
+      assert(after == Set((10L, 1L), (11L, 2L)))
+      // the foreachBatch replay shape: same key → no-op, no duplicate rows
+      assert(!Dedup.appendToBandedIndexIdempotent(corpusB, "ix_idem",
+        "doc_id", "text", "k1"), "a committed key must no-op")
+      assert(serve() == after)
+      assert(spark.table("ix_idem_sigs").count() == 2,
+        "a replayed batch must not add signature rows")
+      // keys survive compaction, re-pointed at the merged epoch
+      Dedup.compactBandedIndex(spark, "ix_idem")
+      assert(!Dedup.appendToBandedIndexIdempotent(corpusB, "ix_idem",
+        "doc_id", "text", "k1"), "keys must survive compaction")
+      assert(serve() == after, "serve after compaction must equal before")
+    } finally {
+      Seq("_bands", "_sigs", "_meta", "_tombs").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS ix_idem$s"))
+    }
+  }
+
   test("kmeansFit: deterministic learned IVF — planted clusters recovered, " +
     "learned-partition ivfTopK equals brute force") {
     val rnd = new scala.util.Random(11)
