@@ -198,6 +198,14 @@ object Bench {
     }
     val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // stdout twin of `qs`, rounded to 3 decimals: the driver tail-captures
+    // only the LAST ~2000 bytes of output, and 69 queries at full double
+    // precision is ~2.9 KB — the line was arriving clipped mid-entry and
+    // unparseable (BENCH_r08/r09 `parsed: null`). 1 ms resolution is ample
+    // for the headline; full precision + spread/io stay in bench_full.json.
+    val qsShort = results.map { case (k, v, _, _, _, _) =>
+      f""""$k":$v%.3f"""
+    }.mkString("{", ",", "}")
     val spread = results.map { case (k, _, mn, mx, n, _) =>
       f""""$k":{"min":$mn%.4f,"max":$mx%.4f,"runs":$n}"""
     }.mkString("{", ",", "}")
@@ -217,7 +225,7 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] bench_full.json: ${e.getMessage}") }
     System.err.println(s"""[bench] io: $io""")
     System.err.println(s"""[bench] spread: $spread""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qsShort,"sf":"$sfDir"}""")
     spark.stop()
   }
 
