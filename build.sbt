@@ -12,6 +12,17 @@ libraryDependencies ++= Seq(
 ThisBuild / scalacOptions += "-deprecation"
 Test / fork := true
 run / fork := true
+// The driver machine-parses the LAST stdout line of `sbt "runMain
+// graft.Bench"` as JSON. Two sbt behaviors broke that (BENCH_r08-r10
+// `parsed:null`): the default LoggedOutput strategy prefixes every forked-
+// process line with `[info] `, and batch mode appends a `[success] Total
+// time` trailer after it. StdoutOutput passes the forked JVM's stdout
+// through raw; showSuccess drops the trailer — together the bench's JSON
+// line is the literal last line of captured stdout.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

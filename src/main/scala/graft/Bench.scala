@@ -385,8 +385,9 @@ object Bench {
                                  dropState: () => Unit): Unit = {
     import org.apache.spark.sql.functions._
     import graft.operators.IntervalJoin
-    val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // SparkEntry.tbl normalizes whichever ts encoding this testdata
+    // generation shipped (long nanos / naive NTZ / zoned) to µs TIMESTAMP
+    val ev0 = SparkEntry.tbl(spark, sfDir, "events")
       .select(col("user_id"), col("ts"), col("value"))
     val idSpan = ev0.agg(max("user_id")).head().getLong(0) + 1
     def replica(k: Int) = ev0.select(

@@ -5,8 +5,14 @@ import org.apache.spark.sql.SparkSession
 /** Shared SparkSession factory: local-mode tuning per the builder contract
   * (shuffle partitions = cores, AQE on, UTC) plus
   * `spark.sql.legacy.parquet.nanosAsLong` so parquet TIMESTAMP(NANOS)
-  * inputs (testdata `events.ts`) are readable — the loader converts them
-  * back to µs timestamps. */
+  * inputs (historical testdata `events.ts`) are readable — the loader
+  * converts them back to µs timestamps — and
+  * `spark.sql.parquet.inferTimestampNTZ.enabled=false` so NAIVE parquet
+  * timestamps (isAdjustedToUTC=false, the current testdata encoding) read
+  * as session-zoned TIMESTAMP rather than TIMESTAMP_NTZ: with the session
+  * pinned to UTC the instant is identical, and time arithmetic
+  * (`unix_micros` and friends) stays valid on every column without
+  * per-query casts. */
 object Sessions {
 
   /** The engine's recommended large-cluster configuration — the knobs that
@@ -28,6 +34,7 @@ object Sessions {
     "spark.sql.files.maxPartitionBytes" -> "256m",
     "spark.sql.parquet.compression.codec" -> "zstd",
     "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
     graft.operators.Dedup.ReliableCheckpointKey -> "true")
 
   /** Builder pre-loaded with [[clusterConf]] and the graft extensions —
@@ -46,6 +53,7 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")

@@ -17,16 +17,26 @@ import graft.functions.Exprs._
   */
 object SparkEntry {
 
-  /** Load a testdata table. The `events` table stores `ts` as parquet
-    * TIMESTAMP(NANOS), which Spark does not support natively; sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Sessions]]) and the
-    * loader converts long-nanos → µs timestamp (lossless: the data is
-    * µs-precision; integer `div` avoids double rounding on >2^53 values). */
-  private def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
+  /** Load a testdata table, normalizing every timestamp encoding the
+    * driver has shipped to a session-zoned µs TIMESTAMP:
+    *  - parquet TIMESTAMP(NANOS) + `nanosAsLong=true` (see [[Sessions]])
+    *    arrives as LONG nanos → `timestamp_micros(ns div 1000)` (lossless:
+    *    the data is µs-precision; integer `div` avoids double rounding on
+    *    >2^53 values);
+    *  - naive TIMESTAMP (isAdjustedToUTC=false) arrives as TIMESTAMP_NTZ
+    *    under default session configs → cast to TIMESTAMP (the session is
+    *    pinned UTC, so the instant is unchanged). [[Sessions]] also sets
+    *    `inferTimestampNTZ.enabled=false` so its sessions never see NTZ,
+    *    but the loader stays correct under a caller's default session too.
+    * Time arithmetic downstream (`unix_micros`, lag deltas, bucketing)
+    * requires the zoned type — NTZ would fail analysis. */
+  private[graft] def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.foldLeft(df) { (d, f) =>
       if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
         d.withColumn("ts", timestamp_micros(expr(s"`${f.name}` div 1000")))
+      else if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+        d.withColumn(f.name, col(f.name).cast("timestamp"))
       else d
     }
   }

@@ -94,32 +94,41 @@ object Exprs {
         "(\\d{4}-\\d{2}-\\d{2})", 1), lit("")),
       lit("yyyy-MM-dd")).cast("date")
 
+  /** µs since epoch, accepting zoned AND naive timestamps: `unix_micros`
+    * rejects TIMESTAMP_NTZ at analysis, so inputs are cast to the
+    * session-zoned type first — a no-op for TIMESTAMP; for NTZ the
+    * session zone (UTC in every [[graft.Sessions]] session) fixes the
+    * instant. Every µs-arithmetic helper below routes through this, so
+    * the operators keep working when a source hands them naive parquet
+    * timestamps (the default read of isAdjustedToUTC=false columns). */
+  def tsMicros(c: Column): Column = unix_micros(c.cast("timestamp"))
+
   /** Seconds between `ts` and its lag within the window, as fractional
     * seconds with µs fidelity — reference `step-1/data_processor.py:119`
     * (`dt.total_seconds()` of a diff). */
   def secondsBetween(later: Column, earlier: Column): Column =
-    (unix_micros(later) - unix_micros(earlier)) / 1e6
+    (tsMicros(later) - tsMicros(earlier)) / 1e6
 
   /** Job-start-aligned tumbling bucket index: `floor((ts - start)/width)`
     * in whole µs — reference `step-2/consumer.py:406-420` (SURVEY §2.9 T4).
     * Spark's `window()` is epoch-aligned and cannot express this. */
   def bucketIndex(ts: Column, start: Column, widthMicros: Long): Column =
-    floor((unix_micros(ts) - unix_micros(start)) / lit(widthMicros)).cast("long")
+    floor((tsMicros(ts) - tsMicros(start)) / lit(widthMicros)).cast("long")
 
   /** Bucket start = `start + k*width` (µs integer arithmetic). */
   def bucketStart(start: Column, idx: Column, widthMicros: Long): Column =
-    timestamp_micros(unix_micros(start) + idx * lit(widthMicros))
+    timestamp_micros(tsMicros(start) + idx * lit(widthMicros))
 
   /** Bucket end clipped at the job's `end` — reference
     * `step-2/consumer.py:409` (`min(current + 1min, end)`). */
   def bucketEnd(start: Column, idx: Column, widthMicros: Long, end: Column): Column =
-    least(timestamp_micros(unix_micros(start) + (idx + 1) * lit(widthMicros)), end)
+    least(timestamp_micros(tsMicros(start) + (idx + 1) * lit(widthMicros)), end.cast("timestamp"))
 
   /** Interval midpoint `lo + (hi-lo) // 2` in µs — reference
     * `step-2/consumer.py:412-414`. */
   def intervalMidpoint(lo: Column, hi: Column): Column =
     timestamp_micros(
-      unix_micros(lo) + floor((unix_micros(hi) - unix_micros(lo)) / lit(2L)).cast("long"))
+      tsMicros(lo) + floor((tsMicros(hi) - tsMicros(lo)) / lit(2L)).cast("long"))
 
   /** Sorted comma-joined distinct non-empty values — reference
     * `step-2/consumer.py:404` (`",".join(sorted(filter(None, hosts)))`;

@@ -35,7 +35,8 @@ object Sessionize {
     df
       .withColumn("__new",
         when(prev.isNull ||
-          (unix_micros(col(tsCol)) - unix_micros(prev)) > gapMs * 1000L, 1L)
+          (graft.functions.Exprs.tsMicros(col(tsCol)) -
+            graft.functions.Exprs.tsMicros(prev)) > gapMs * 1000L, 1L)
           .otherwise(0L))
       .withColumn("session_idx", sum(col("__new")).over(run))
       .groupBy(col(keyCol), col("session_idx"))

@@ -57,6 +57,25 @@ class ExprsSpec extends SparkSpec {
     assert(one(intervalMidpoint(start, end)).toString == "2013-01-01 10:00:45.0")
   }
 
+  test("µs helpers accept TIMESTAMP_NTZ inputs (naive parquet reads)") {
+    // parquet written with isAdjustedToUTC=false reads as TIMESTAMP_NTZ
+    // under default sessions; `unix_micros` rejects that type outright, so
+    // every µs helper routes through tsMicros' session-zoned cast. The
+    // 2026-08 testdata regeneration shipped exactly this encoding and
+    // silently dropped five queries from the gate — this spec pins the
+    // fix: each helper must yield the SAME value on ntz and zoned twins.
+    val startS = "2013-01-01 10:00:00"; val endS = "2013-01-01 10:01:30"
+    def zoned(s: String) = to_timestamp(lit(s))
+    def ntz(s: String) = lit(s).cast("timestamp_ntz")
+    assert(one(tsMicros(ntz(startS))) == one(tsMicros(zoned(startS))))
+    assert(one(secondsBetween(ntz(endS), ntz(startS))) == 90.0)
+    assert(one(bucketIndex(ntz(endS), ntz(startS), 60L * 1000000L)) == 1L)
+    assert(one(intervalMidpoint(ntz(startS), ntz(endS))).toString ==
+      "2013-01-01 10:00:45.0")
+    assert(one(bucketEnd(ntz(startS), lit(1L), 60L * 1000000L, ntz(endS)))
+      .toString == "2013-01-01 10:01:30.0")
+  }
+
   test("hostList: sorted comma-joined distinct, empties and nulls excluded") {
     val got = Seq(("j", "N2"), ("j", "N1"), ("j", "N2"), ("j", ""), ("j", null))
       .toDF("job", "host").groupBy("job").agg(hostList($"host").as("hl"))

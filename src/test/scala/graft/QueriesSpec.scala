@@ -22,6 +22,34 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("tbl normalizes TIMESTAMP_NTZ reads to session-zoned µs timestamps") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Under a DEFAULT session, naive parquet timestamps (the 2026-08
+    // testdata encoding) surface as TIMESTAMP_NTZ and unix_micros-based
+    // arithmetic fails analysis. Sessions.local disables that inference,
+    // so to exercise tbl's own normalization branch this spec turns it
+    // back on for the read, then asserts the loader still hands every
+    // query a zoned TIMESTAMP with the identical instant.
+    val dir = java.nio.file.Files.createTempDirectory("ntz-tbl").toString
+    Seq(("2013-01-01 10:00:00", 1L)).toDF("raw", "user_id")
+      .select(col("raw").cast("timestamp_ntz").as("ts"), col("user_id"))
+      .write.parquet(s"$dir/events.parquet")
+    val key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    spark.conf.set(key, "true")
+    try {
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      assert(raw.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampNTZType,
+        "precondition: the naive file must read as NTZ with inference on")
+      val loaded = SparkEntry.tbl(spark, dir, "events")
+      assert(loaded.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType)
+      val micros = loaded.select(unix_micros(col("ts"))).head().getLong(0)
+      assert(micros == 1357034400000000L) // 2013-01-01T10:00:00Z, UTC session
+    } finally spark.conf.set(key, "false")
+  }
+
   test("q_profile_approx tolerance: a coarse-accuracy sketch stays inside " +
     "the GK rank bound against the exact percentile") {
     import org.apache.spark.sql.functions.expr
