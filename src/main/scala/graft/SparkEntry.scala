@@ -415,6 +415,14 @@ object SparkEntry {
   private lazy val SimhashFixture =
     new java.io.File("target/verify-fixtures/simhash_hashes").getAbsolutePath
 
+  /** Fixture parquet the DuckDB oracle reads back for q_dedup_spans —
+    * same pattern as [[SimhashFixture]]: the per-doc distinct span hashes
+    * are engine-bound (fused seeded-xxhash64 shingling), but GIVEN them,
+    * the cross-document span counting + per-doc shared fraction is plain
+    * SQL. */
+  private lazy val SpanFixture =
+    new java.io.File("target/verify-fixtures/span_hashes").getAbsolutePath
+
   /** Fixture parquet the DuckDB oracle reads back for
     * q_multimodal_features — same pattern as [[SimhashFixture]]: the
     * stubbed decode is deterministic in the payload bytes but engine-bound
@@ -656,6 +664,8 @@ object SparkEntry {
   def prepareOracleFixtures(s: SparkSession, dir: String): Unit = {
     Dedup.simhash(tbl(s, dir, "documents"), "doc_id", "text")
       .write.mode("overwrite").parquet(SimhashFixture)
+    Dedup.hashedWordShingles(tbl(s, dir, "documents"), "doc_id", "text", k = 8)
+      .write.mode("overwrite").parquet(SpanFixture)
     Multimodal.extractFeatures(
         Multimodal.toAssets(tbl(s, dir, "documents"), "doc_id", "text", "text/plain"), 16)
       .write.mode("overwrite").parquet(MultimodalFixture)
@@ -742,6 +752,18 @@ object SparkEntry {
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Dedup.simhash(tbl(s, dir, "documents"), "doc_id", "text"), 3)
       .withColumn("hamming", col("hamming").cast("long"))
+
+  /** Span-level duplication profile ([[Dedup.spanStats]]): per doc, the
+    * fraction of its distinct word 8-gram spans that also occur in some
+    * OTHER document — the substring-dedup signal (Lee et al.) that
+    * catches boilerplate pasted into otherwise-unique docs, which
+    * doc-level MinHash/SimHash miss. Oracle: DuckDB reproduces the span
+    * counting + per-doc fraction from [[SpanFixture]] (the engine-bound
+    * hashed spans dumped by [[prepareOracleFixtures]]; the query
+    * recomputes them from the same deterministic expression). */
+  private def qDedupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanStats(tbl(s, dir, "documents"), "doc_id", "text", n = 8)
+      .withColumn("shared_frac", rq(col("shared_frac"), 6))
 
   /** Embedding near-dup: all pairs with cosine ≥ 0.4. */
   private def qEmbedCosinePairs(s: SparkSession, dir: String): DataFrame =
@@ -1263,6 +1285,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_spans" -> qDedupSpans,
     "q_dedup_index" -> qDedupIndex,
     "q_dedup_index_banded" -> qDedupIndexBanded,
     "q_dedup_index_ingest" -> qDedupIndexIngest,
@@ -1619,6 +1642,19 @@ object SparkEntry {
         |  FROM b a JOIN b b2 ON a.chunk = b2.chunk AND a.chunk_val = b2.chunk_val
         |   AND a.sh_id < b2.sh_id)
         |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM p WHERE hamming <= 3""".stripMargin,
+    "q_dedup_spans" ->
+      s"""WITH sp AS (
+        |  SELECT sh_id, shingle FROM read_parquet('$SpanFixture/*.parquet')),
+        | c AS (
+        |  SELECT shingle, count(*) AS span_docs FROM sp GROUP BY shingle)
+        |SELECT CAST(sp.sh_id AS BIGINT) AS doc_id,
+        |       count(*) AS n_spans,
+        |       CAST(sum(CASE WHEN c.span_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_shared_spans,
+        |       floor((CAST(sum(CASE WHEN c.span_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |              / count(*))*1000000.0 + 0.5)/1000000.0 AS shared_frac
+        |FROM sp JOIN c USING (shingle)
+        |GROUP BY sp.sh_id""".stripMargin,
     "q_dedup_index" -> dedupIndexSql,
     // the bucketed serving layout must produce the SAME hits and
     // estimates as flat serving — one oracle, two plans, both hash-gated

@@ -879,6 +879,59 @@ object Dedup {
     train.join(contamination(train, evalDocs, idCol, textCol, k, broadcastEval)
       .select(idCol), Seq(idCol), "left_anti")
 
+  /** Span-level duplication profile — the substring-dedup signal of Lee
+    * et al., "Deduplicating Training Data Makes Language Models Better"
+    * (exact duplicated token spans, not whole-document similarity): per
+    * document, how many of its distinct word `n`-gram spans also occur in
+    * at least one OTHER document. Doc-level near-dup (MinHash/SimHash)
+    * misses boilerplate — headers, licenses, templates — pasted into
+    * otherwise-unique documents; a high `shared_frac` flags exactly those.
+    * Within-doc repetition is deliberately out of scope (that is
+    * [[graft.operators.TextAnalysis]]'s repetition score): spans are
+    * DISTINCT per doc, so a shared span means a cross-document copy.
+    *
+    * Columns: `n_spans` (distinct spans in the doc), `n_shared_spans`
+    * (those also present elsewhere), `shared_frac` = shared/total; docs
+    * with fewer than `n` tokens contribute their whole token list as one
+    * span (consistent with [[hashedWordShingles]] — short exact dups stay
+    * visible).
+    *
+    * 100 TB posture: one fused shingle pass (native expression, no
+    * per-token lambdas) → count per span hash (two-phase hash aggregate,
+    * map-side partial) → equi-join spans⋈counts on the span hash →
+    * per-doc aggregate. Every stage is linear in total tokens; nothing is
+    * collected to the driver; the hot-key risk (a boilerplate span in
+    * millions of docs) sits in the span-hash join, where AQE skew-join
+    * splits the hot partitions — the aggregates themselves partial-combine
+    * before shuffling. */
+  def spanStats(docs: DataFrame, idCol: String, textCol: String,
+                n: Int = 8): DataFrame = {
+    // (sh_id, shingle): distinct span hashes per document, one fused pass
+    val spans = hashedWordShingles(docs, idCol, textCol, n)
+    // spans are distinct per doc, so count(*) per shingle == #docs holding
+    // it — a plain count partial-aggregates map-side where countDistinct
+    // would carry per-doc state into the shuffle
+    val docsPerSpan = spans.groupBy("shingle")
+      .agg(count(lit(1)).as("span_docs"))
+    spans.join(docsPerSpan, Seq("shingle"))
+      .groupBy(col("sh_id").as(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("span_docs") >= 2, 1L).otherwise(0L)).as("n_shared_spans"))
+      .withColumn("shared_frac", col("n_shared_spans") / col("n_spans"))
+  }
+
+  /** [[spanStats]] applied as a curation filter: drop documents whose
+    * shared-span fraction exceeds `maxSharedFrac` (boilerplate-dominated
+    * docs), keep the rest. Left-anti on the flagged id set — the doc
+    * payload itself never enters the span shuffle. */
+  def dropSpanDuplicatedDocs(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int = 8,
+                             maxSharedFrac: Double = 0.5): DataFrame =
+    docs.join(
+      spanStats(docs, idCol, textCol, n)
+        .filter(col("shared_frac") > maxSharedFrac).select(idCol),
+      Seq(idCol), "left_anti")
+
   /** 64-bit SimHash over whitespace tokens: per bit, sum +1/−1 weighted by
     * the token-hash bit; the sign vector packs into one long. One narrow
     * pass via the native [[graft.functions.SimHash64]] expression (the

@@ -139,6 +139,25 @@ class PlanSpec extends SparkSpec {
       s"embedding clusters must stay on the banded equi-join path:\n$phys")
   }
 
+  test("q_dedup_spans: span-hash equi-join with partial-aggregated counts — " +
+    "no cartesian, no per-doc state in the count shuffle") {
+    val p = executed(SparkEntry.queries("q_dedup_spans")(spark, sf))
+    val phys = p.toString
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoopJoin"),
+      s"span profile must stay on the span-hash equi-join path:\n$phys")
+    // the docs-per-span count must partial-aggregate before its shuffle
+    // (a plain count, never a countDistinct carrying per-doc state): a
+    // partial_count must appear BELOW some exchange in the plan tree
+    val hasPartialCount = flatten(p).exists {
+      case agg: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        agg.aggregateExpressions.exists(a =>
+          a.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial &&
+            a.aggregateFunction.prettyName == "count")
+      case _ => false
+    }
+    assert(hasPartialCount, s"expected a map-side partial count:\n$phys")
+  }
+
   test("q_interval_join_auto: the optimizer rule fired — bucket Generate present, no nested loop") {
     val df = SparkEntry.queries("q_interval_join_auto")(spark, sf)
     val gens = df.queryExecution.optimizedPlan.collect {

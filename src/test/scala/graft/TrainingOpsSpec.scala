@@ -1619,6 +1619,40 @@ class TrainingOpsSpec extends SparkSpec {
     assert(hits2 == hits)
   }
 
+  test("spanStats: cross-document shared spans counted, within-doc repetition " +
+    "ignored, short docs span whole-text, filter drops flagged docs") {
+    val docs = Seq(
+      (1L, "a b c d"),             // spans {a b c, b c d} — both also in doc 4
+      (2L, "x y z a b c"),         // 4 spans, only "a b c" shared (docs 1/4)
+      (3L, "p q r s"),             // unique vocabulary — nothing shared
+      (4L, "a b c d"),             // exact copy of doc 1
+      (5L, "m n o m n o m n o"),   // internal repetition only: distinct
+                                   // spans {m n o, n o m, o m n} occur in
+                                   // NO other doc — shared_frac must be 0
+      (6L, "solo")                 // < n tokens → whole text is one span
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanStats(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_shared_spans"),
+          r.getAs[Double]("shared_frac")))).toMap
+    assert(got(1L) == ((2L, 2L, 1.0)))
+    assert(got(2L) == ((4L, 1L, 0.25)))
+    assert(got(3L) == ((2L, 0L, 0.0)))
+    assert(got(4L) == ((2L, 2L, 1.0)))
+    assert(got(5L) == ((3L, 0L, 0.0))) // the cross-document semantic
+    assert(got(6L) == ((1L, 0L, 0.0)))
+    val kept = Dedup.dropSpanDuplicatedDocs(docs, "doc_id", "text", n = 3,
+        maxSharedFrac = 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(2L, 3L, 5L, 6L))
+    // duplicating the short doc makes its single whole-text span shared
+    val withDup = docs.union(Seq((7L, "solo")).toDF("doc_id", "text"))
+    val short = Dedup.spanStats(withDup, "doc_id", "text", n = 3)
+      .filter($"doc_id".isin(6L, 7L)).collect()
+      .map(_.getAs[Double]("shared_frac")).toSeq
+    assert(short == Seq(1.0, 1.0))
+  }
+
   test("hashSplit: deterministic partition into named splits, fractions honored") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = TextAnalysis.hashSplit(docs, "doc_id")
