@@ -26,7 +26,9 @@ import org.apache.spark.sql.SparkSession
   * empirical evidence that candidate-generate-verify scales near-
   * linearly (a quadratic path would show a log-log slope near 2). The
   * `_EMBED`/`_INTERVAL`/`_SIMHASH`/`_CURATE`/`_INDEX`/`_KMEANS`/`_IVF`
-  * variants measure the other scale claims the same way, and
+  * variants measure the other scale claims the same way,
+  * `SPARK_GRAFT_SCALE_SPANS=1` measures the span-duplication profile
+  * (with exact-linearity requires on its count columns), and
   * `SPARK_GRAFT_SCALE_COMPACT=1` measures the banded-index COMPACTION
   * lifecycle (serve cost and files-per-bucket vs append count, before and
   * after `compactBandedIndex`), `SPARK_GRAFT_SCALE_IVF_LIFECYCLE=1`
@@ -130,6 +132,11 @@ object Bench {
     }
     if (sys.env.contains("SPARK_GRAFT_SCALE_SLOPE_IVF")) {
       scaleSlopeIvf(spark, sfDir, () => dropPersistedState())
+      spark.stop()
+      return
+    }
+    if (sys.env.contains("SPARK_GRAFT_SCALE_SPANS")) {
+      scaleSlopeSpans(spark, sfDir, () => dropPersistedState())
       spark.stop()
       return
     }
@@ -487,6 +494,71 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_scale_curate.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] bench_scale_curate.json: ${e.getMessage}") }
+    println(line)
+  }
+
+  /** Span-profile scale harness — the evidence behind
+    * [[graft.operators.Dedup.spanStats]]'s linear claim: replicate the
+    * documents corpus k× with the per-replica character rotation of
+    * [[rotatedReplica]] (a bijection, so WITHIN-replica span-equality
+    * structure is preserved exactly while cross-replica overlap is
+    * destroyed), time the full profile median-of-`reps` at each size, and
+    * record the span/shared-span/flagged-doc totals untimed — with
+    * replica isolation, all three must grow EXACTLY linearly in k, so the
+    * count columns double as a correctness check of the harness itself.
+    * Slope near 1 = the count-per-hash + equi-join shape stays linear in
+    * total tokens; near 2 would mean a pairwise path crept in. Writes
+    * `bench_scale_spans.json`. */
+  private def scaleSlopeSpans(spark: SparkSession, sfDir: String,
+                              dropState: () => Unit): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val idSpan = docs.agg(max("doc_id")).head().getLong(0) + 1
+    def replica(k: Int) = rotatedReplica(docs, idSpan, k)
+    val sizes = Seq(1, 2, 4, 8)
+    val reps = repsFromEnv()
+    Dedup.spanStats(replica(0), "doc_id", "text", n = 8).count() // warmup
+    dropState()
+    val rows = sizes.map { n =>
+      val corpus = (0 until n).map(replica).reduce(_ union _)
+      val nDocs = corpus.count()
+      val times = (0 until reps).map { _ =>
+        dropState()
+        val t0 = System.nanoTime()
+        Dedup.spanStats(corpus, "doc_id", "text", n = 8).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      // claim columns, untimed: totals must scale exactly with k
+      val t = Dedup.spanStats(corpus, "doc_id", "text", n = 8)
+        .agg(sum("n_spans"), sum("n_shared_spans"),
+          sum(when(col("shared_frac") > 0.5, 1L).otherwise(0L))).head()
+      dropState()
+      (n, nDocs, t.getLong(0), t.getLong(1), t.getLong(2),
+        times(times.size / 2), times.head, times.last)
+    }
+    type R = (Int, Long, Long, Long, Long, Double, Double, Double)
+    def arr[T](f: R => T): String = jsonArr(rows)(f)
+    val base = rows.head
+    rows.foreach { r =>
+      require(r._3 == base._3 * r._1 && r._4 == base._4 * r._1 &&
+        r._5 == base._5 * r._1,
+        s"replica isolation violated at ${r._1}x: spans/shared/flagged " +
+          s"(${r._3},${r._4},${r._5}) vs 1x (${base._3},${base._4},${base._5})")
+    }
+    val meds = rows.map(_._6)
+    val line =
+      f"""{"metric":"span_profile_scale_slope","reps":$reps,"n":8,""" +
+        f""""sizes":${arr(_._1)},"docs":${arr(_._2)},"spans":${arr(_._3)},""" +
+        f""""shared_spans":${arr(_._4)},"flagged_docs":${arr(_._5)},""" +
+        f""""secs":${arr(r => f"${r._6}%.3f")},""" +
+        f""""secs_min":${arr(r => f"${r._7}%.3f")},"secs_max":${arr(r => f"${r._8}%.3f")},""" +
+        f""""slope":${logLogSlope(sizes, meds)}%.3f,""" +
+        f""""segment_slopes":${segmentSlopesJson(sizes, meds)},"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_scale_spans.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] bench_scale_spans.json: ${e.getMessage}") }
     println(line)
   }
 
