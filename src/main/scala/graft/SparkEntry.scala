@@ -423,6 +423,31 @@ object SparkEntry {
   private lazy val SpanFixture =
     new java.io.File("target/verify-fixtures/span_hashes").getAbsolutePath
 
+  /** Batch-side spans for q_dedup_spans_index — [[SpanFixture]]'s serving
+    * twin: GIVEN the batch's hashed spans and the corpus spans, the
+    * index counting + left-join scoring is plain SQL. */
+  private lazy val SpanBatchFixture =
+    new java.io.File("target/verify-fixtures/span_batch_hashes").getAbsolutePath
+
+  /** Span-frequency index for `dir`'s documents corpus, persisted once
+    * per JVM ([[bandedIndexTable]] pattern): built over the two
+    * id-parity HALVES and merged — `mergeSpanIndexes(build(A), build(B))
+    * ≡ build(A ∪ B)` by the additive-count algebra (spec-pinned), so the
+    * growth path itself sits inside the oracle gate — then written to
+    * parquet, the serving contract. */
+  private val spanIxCache = collection.concurrent.TrieMap.empty[String, String]
+  private def spanIndexPath(s: SparkSession, dir: String): String =
+    spanIxCache.getOrElseUpdate(dir, {
+      val p = new java.io.File(s"target/q-span-index/${dirKey(dir)}").getAbsolutePath
+      val docs = tbl(s, dir, "documents")
+      def half(r: Int) = docs.filter(pmod(col("doc_id"), lit(2)) === r)
+      Dedup.mergeSpanIndexes(
+          Dedup.buildSpanIndex(half(0), "doc_id", "text", n = 8),
+          Dedup.buildSpanIndex(half(1), "doc_id", "text", n = 8))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
   /** Fixture parquet the DuckDB oracle reads back for
     * q_multimodal_features — same pattern as [[SimhashFixture]]: the
     * stubbed decode is deterministic in the payload bytes but engine-bound
@@ -666,6 +691,8 @@ object SparkEntry {
       .write.mode("overwrite").parquet(SimhashFixture)
     Dedup.hashedWordShingles(tbl(s, dir, "documents"), "doc_id", "text", k = 8)
       .write.mode("overwrite").parquet(SpanFixture)
+    Dedup.hashedWordShingles(dedupIndexBatch(s, dir), "doc_id", "text", k = 8)
+      .write.mode("overwrite").parquet(SpanBatchFixture)
     Multimodal.extractFeatures(
         Multimodal.toAssets(tbl(s, dir, "documents"), "doc_id", "text", "text/plain"), 16)
       .write.mode("overwrite").parquet(MultimodalFixture)
@@ -764,6 +791,18 @@ object SparkEntry {
   private def qDedupSpans(s: SparkSession, dir: String): DataFrame =
     Dedup.spanStats(tbl(s, dir, "documents"), "doc_id", "text", n = 8)
       .withColumn("shared_frac", rq(col("shared_frac"), 6))
+
+  /** Ingest-time boilerplate scoring ([[Dedup.spanStatsAgainstIndex]]):
+    * the standard new batch served against the persisted span-frequency
+    * index — built through the MERGE growth path ([[spanIndexPath]]), so
+    * the additive algebra answers the same oracle as a one-shot build.
+    * Span width rides with the index; only the batch explodes per serve.
+    * Oracle: DuckDB recomputes the index counts from [[SpanFixture]] and
+    * the left-join scoring from [[SpanBatchFixture]]. */
+  private def qDedupSpansIndex(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanStatsAgainstIndex(dedupIndexBatch(s, dir),
+        s.read.parquet(spanIndexPath(s, dir)), "doc_id", "text")
+      .withColumn("indexed_frac", rq(col("indexed_frac"), 6))
 
   /** Embedding near-dup: all pairs with cosine ≥ 0.4. */
   private def qEmbedCosinePairs(s: SparkSession, dir: String): DataFrame =
@@ -1286,6 +1325,7 @@ object SparkEntry {
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_spans" -> qDedupSpans,
+    "q_dedup_spans_index" -> qDedupSpansIndex,
     "q_dedup_index" -> qDedupIndex,
     "q_dedup_index_banded" -> qDedupIndexBanded,
     "q_dedup_index_ingest" -> qDedupIndexIngest,
@@ -1655,6 +1695,21 @@ object SparkEntry {
         |              / count(*))*1000000.0 + 0.5)/1000000.0 AS shared_frac
         |FROM sp JOIN c USING (shingle)
         |GROUP BY sp.sh_id""".stripMargin,
+    "q_dedup_spans_index" ->
+      s"""WITH ix AS (
+        |  SELECT shingle, count(*) AS span_docs
+        |  FROM read_parquet('$SpanFixture/*.parquet') GROUP BY shingle),
+        | bs AS (
+        |  SELECT sh_id, shingle
+        |  FROM read_parquet('$SpanBatchFixture/*.parquet'))
+        |SELECT CAST(bs.sh_id AS BIGINT) AS doc_id,
+        |       count(*) AS n_spans,
+        |       CAST(sum(CASE WHEN ix.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_indexed_spans,
+        |       floor((CAST(sum(CASE WHEN ix.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |              / count(*))*1000000.0 + 0.5)/1000000.0 AS indexed_frac
+        |FROM bs LEFT JOIN ix USING (shingle)
+        |GROUP BY bs.sh_id""".stripMargin,
     "q_dedup_index" -> dedupIndexSql,
     // the bucketed serving layout must produce the SAME hits and
     // estimates as flat serving — one oracle, two plans, both hash-gated

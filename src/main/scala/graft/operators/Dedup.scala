@@ -932,6 +932,81 @@ object Dedup {
         .filter(col("shared_frac") > maxSharedFrac).select(idCol),
       Seq(idCol), "left_anti")
 
+  /** Persistable span-frequency index — the SERVING form of [[spanStats]]
+    * for ingest-time curation: one `(shingle, span_docs, span_n)` row per
+    * distinct span hash in the landed corpus, built once and written to
+    * parquet, then scored against by every incoming batch
+    * ([[spanStatsAgainstIndex]]) without touching the corpus again. The
+    * span width RIDES WITH THE INDEX (the banded-index geometry
+    * principle): serving reads `span_n` from the frame and shingles the
+    * batch at exactly that width, so a width mismatch — which would
+    * silently score every batch span as unseen — is unconstructable.
+    * Growth is ALGEBRAIC, not epoch-managed: span counts are additive, so
+    * [[mergeSpanIndexes]] (union → sum) grows the index per ingest cycle
+    * with plain parquet append-and-compact economics; no tombstones or
+    * commit protocol needed because a count, unlike a signature row,
+    * merges commutatively.
+    *
+    * Size: one long + one long + a small int per DISTINCT corpus span —
+    * ~1-2 rows per corpus token before dedup, far below the corpus text,
+    * and the natural candidate for a count-min sketch if even that
+    * footprint bites at 100 TB (the exact frame is the oracle-checkable
+    * baseline). */
+  def buildSpanIndex(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8): DataFrame =
+    hashedWordShingles(docs, idCol, textCol, n)
+      .groupBy("shingle").agg(count(lit(1)).as("span_docs"))
+      .withColumn("span_n", lit(n))
+
+  /** Two [[buildSpanIndex]] frames merged — counts are additive across
+    * disjoint corpora, so `merge(build(A), build(B)) ≡ build(A ∪ B)` for
+    * id-disjoint A, B (spec-pinned): the per-ingest-cycle growth path.
+    * Widths must agree; a mixed-width merge raises rather than summing
+    * counts that mean different things. */
+  def mergeSpanIndexes(a: DataFrame, b: DataFrame): DataFrame = {
+    val widths = a.select("span_n").union(b.select("span_n"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    require(widths.size == 1,
+      s"mergeSpanIndexes: mixed span widths $widths — indexes built at " +
+        "different n cannot be summed")
+    a.unionByName(b).groupBy("shingle", "span_n")
+      .agg(sum("span_docs").as("span_docs"))
+      .select("shingle", "span_docs", "span_n")
+  }
+
+  /** Score a NEW batch's spans against a prebuilt [[buildSpanIndex]]
+    * frame — the ingest-time boilerplate check: per batch doc, `n_spans`,
+    * `n_indexed_spans` (spans already present in the landed corpus) and
+    * `indexed_frac`. Batch-internal sharing is out of scope by design
+    * (run [[spanStats]] on the batch for that). The join is batch spans ⋈
+    * index on the span hash — the index side is the big one and arrives
+    * pre-aggregated from parquet; only the batch explodes per serve. */
+  def spanStatsAgainstIndex(newDocs: DataFrame, index: DataFrame,
+                            idCol: String, textCol: String): DataFrame = {
+    val head = index.select("span_n").limit(1).collect()
+    require(head.nonEmpty, "spanStatsAgainstIndex: empty index")
+    val n = head.head.getInt(0)
+    val spans = hashedWordShingles(newDocs, idCol, textCol, n)
+    val hits = index.select(col("shingle"), lit(1L).as("__hit"))
+    spans.join(hits, Seq("shingle"), "left")
+      .groupBy(col("sh_id").as(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_indexed_spans"))
+      .withColumn("indexed_frac", col("n_indexed_spans") / col("n_spans"))
+  }
+
+  /** [[spanStatsAgainstIndex]] applied: keep only batch docs whose
+    * indexed-span fraction is at most `maxIndexedFrac` — the
+    * boilerplate gate of an ingest pipeline, same left-anti shape as
+    * [[dropSpanDuplicatedDocs]]. */
+  def filterAgainstSpanIndex(newDocs: DataFrame, index: DataFrame,
+                             idCol: String, textCol: String,
+                             maxIndexedFrac: Double = 0.5): DataFrame =
+    newDocs.join(
+      spanStatsAgainstIndex(newDocs, index, idCol, textCol)
+        .filter(col("indexed_frac") > maxIndexedFrac).select(idCol),
+      Seq(idCol), "left_anti")
+
   /** 64-bit SimHash over whitespace tokens: per bit, sum +1/−1 weighted by
     * the token-hash bit; the sign vector packs into one long. One narrow
     * pass via the native [[graft.functions.SimHash64]] expression (the

@@ -1653,6 +1653,52 @@ class TrainingOpsSpec extends SparkSpec {
     assert(short == Seq(1.0, 1.0))
   }
 
+  test("span index: merge(build(A), build(B)) == build(A u B), serving scores " +
+    "batch spans against the landed corpus, width rides with the index") {
+    val a = Seq((1L, "a b c d"), (2L, "x y z w")).toDF("doc_id", "text")
+    val b = Seq((3L, "a b c q"), (4L, "p q r s")).toDF("doc_id", "text")
+    val full = Dedup.buildSpanIndex(a.union(b), "doc_id", "text", n = 3)
+    val merged = Dedup.mergeSpanIndexes(
+      Dedup.buildSpanIndex(a, "doc_id", "text", n = 3),
+      Dedup.buildSpanIndex(b, "doc_id", "text", n = 3))
+    // additive algebra: exact frame equality, both directions
+    assert(full.exceptAll(merged).isEmpty && merged.exceptAll(full).isEmpty)
+    // serving: "a b c" is indexed (docs 1 and 3); "m n o" is not; the
+    // half-seen doc scores 0.5, the unseen doc 0, the all-seen doc 1.0
+    val batch = Seq(
+      (10L, "a b c d"),      // spans {a b c, b c d} — both indexed
+      (11L, "a b c m n o"),  // 4 spans, only "a b c" indexed → 0.25
+      (12L, "m n o m n o")   // 3 DISTINCT spans (trigram "m n o" repeats
+                             // within-doc), nothing indexed → 0.0
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanStatsAgainstIndex(batch, merged, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_indexed_spans"),
+          r.getAs[Double]("indexed_frac")))).toMap
+    assert(got(10L) == ((2L, 2L, 1.0)))
+    assert(got(11L) == ((4L, 1L, 0.25)))
+    assert(got(12L) == ((3L, 0L, 0.0)))
+    val kept = Dedup.filterAgainstSpanIndex(batch, merged, "doc_id", "text",
+        maxIndexedFrac = 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(11L, 12L))
+    // width mismatch is unconstructable through the API: a mixed-width
+    // merge raises instead of summing counts that mean different things
+    val other = Dedup.buildSpanIndex(a, "doc_id", "text", n = 2)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.mergeSpanIndexes(merged, other)
+    }
+    assert(ex.getMessage.contains("mixed span widths"))
+    // ...and serving shingles the batch at the INDEX's width: a width-2
+    // index scores width-2 batch spans (doc 10 has 3 bigram spans, all
+    // of them present in corpus A's bigrams)
+    val got2 = Dedup.spanStatsAgainstIndex(batch.filter($"doc_id" === 10L),
+        other, "doc_id", "text")
+      .head()
+    assert(got2.getAs[Long]("n_spans") == 3L &&
+      got2.getAs[Long]("n_indexed_spans") == 3L)
+  }
+
   test("hashSplit: deterministic partition into named splits, fractions honored") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = TextAnalysis.hashSplit(docs, "doc_id")
