@@ -232,7 +232,17 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] bench_full.json: ${e.getMessage}") }
     System.err.println(s"""[bench] io: $io""")
     System.err.println(s"""[bench] spread: $spread""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qsShort,"sf":"$sfDir"}""")
+    val contractLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qsShort,"sf":"$sfDir"}"""
+    // the driver tail-captures ~2000 bytes of stdout: warn LOUDLY while
+    // there is still headroom (at 71 queries the line is ~1.7 KB; ~10 more
+    // queries reach the cliff) — past the cap the driver would record
+    // parsed:null with no other symptom
+    if (contractLine.length > 1900)
+      System.err.println(s"[bench] WARNING: contract line ${contractLine.length}" +
+        " bytes, nearing the driver's ~2000-byte tail capture — shorten " +
+        "query names or reduce stdout precision before adding more queries")
+    println(contractLine)
     spark.stop()
   }
 

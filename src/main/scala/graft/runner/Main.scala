@@ -28,6 +28,10 @@ import graft.streaming.Compactor
   *    banded index once, then per ingest cycle filter the new batch
   *    against it and append what was kept; compact when the per-append
   *    files warrant it (merges committed epochs WITHOUT re-shingling).
+  *  - `span-index-build` / `span-index-merge` / `span-index-filter`: the
+  *    span-frequency index ([[graft.operators.Dedup.buildSpanIndex]]
+  *    family) — the ingest boilerplate gate; growth is the additive
+  *    merge, no epoch machinery.
   *  - `ivf-build` / `ivf-query` / `ivf-append` / `ivf-refresh` /
   *    `ivf-compact`: the learned-ANN index lifecycle
   *    ([[graft.operators.Similarity.writeLearnedIvfIndex]] family) — fit +
@@ -74,6 +78,12 @@ object Main {
       |          [--id doc_id] [--text text] [--jaccard 0.8]
       |  index-compact --name <table>
       |  index-delete --in <ids-parquet> --name <table> [--id doc_id]
+      |  span-index-build  --in <docs-parquet> --path <dir>
+      |          [--id doc_id] [--text text] [--span-n 8]
+      |  span-index-merge  --path <index-dir> --in <docs-parquet> --out <dir>
+      |          [--id doc_id] [--text text]
+      |  span-index-filter --in <batch-parquet> --path <index-dir> --out <dir>
+      |          [--id doc_id] [--text text] [--max-frac 0.5]
       |  ivf-build   --in <embeddings-parquet> --path <dir>
       |          [--id vec_id] [--embedding embedding] [--k 32] [--iters 5]
       |  ivf-query   --in <queries-parquet> --corpus <embeddings-parquet>
@@ -106,6 +116,7 @@ object Main {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     (if (sys.props.contains("spark.master")) b
      else b.master("local[*]")
        .config("spark.sql.shuffle.partitions",
@@ -228,6 +239,44 @@ object Main {
       graft.operators.Dedup.deleteFromBandedIndex(
         spark.read.parquet(req(opt, "in")), req(opt, "name"),
         opt.getOrElse("id", "doc_id"))
+
+    // the span-frequency index lifecycle: build once over the landed
+    // corpus, score/gate each ingest batch against it, grow it by the
+    // additive merge — counts sum, so growth needs no epoch machinery,
+    // just read-merge-overwrite (write aside + swap by the caller if the
+    // index must stay servable during the merge)
+    case Some("span-index-build") =>
+      val (opt, _) = parse(args.tail)
+      graft.operators.Dedup.buildSpanIndex(
+          spark.read.parquet(req(opt, "in")),
+          opt.getOrElse("id", "doc_id"), opt.getOrElse("text", "text"),
+          n = opt.getOrElse("span-n", "8").toInt)
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(req(opt, "path"))
+
+    case Some("span-index-merge") =>
+      val (opt, _) = parse(args.tail)
+      val (path, in, out) = (req(opt, "path"), req(opt, "in"), req(opt, "out"))
+      graft.operators.Dedup.mergeSpanIndexes(
+          spark.read.parquet(path),
+          graft.operators.Dedup.buildSpanIndex(
+            spark.read.parquet(in),
+            opt.getOrElse("id", "doc_id"), opt.getOrElse("text", "text"),
+            // width read from the EXISTING index so the merged batch is
+            // shingled consistently; mergeSpanIndexes re-checks
+            n = spark.read.parquet(path).select("span_n").head().getInt(0)))
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(out)
+
+    case Some("span-index-filter") =>
+      val (opt, _) = parse(args.tail)
+      graft.operators.Dedup.filterAgainstSpanIndex(
+          spark.read.parquet(req(opt, "in")),
+          spark.read.parquet(req(opt, "path")),
+          opt.getOrElse("id", "doc_id"), opt.getOrElse("text", "text"),
+          maxIndexedFrac = opt.getOrElse("max-frac", "0.5").toDouble)
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(req(opt, "out"))
 
     // the learned-ANN lifecycle as CLI: fit + build once, serve query
     // batches from the partition-pruned files, refresh on a cadence —

@@ -153,6 +153,58 @@ class RunnerSpec extends SparkSpec {
     }
   }
 
+  test("span-index lifecycle CLI: build → filter → merge → filter — the " +
+    "boilerplate gate grows by additive merge") {
+    import spark.implicits._
+    val boiler = "all rights reserved contact the webmaster for takedown " +
+      "requests and legal inquiries about this content"
+    val corpus = Seq(
+      (1L, s"first article body text with original words $boiler"),
+      (2L, s"second article entirely different phrasing here $boiler")
+    ).toDF("doc_id", "text")
+    val batch1 = Seq(
+      // boilerplate-dominated: nearly all its spans are the landed footer
+      (10L, s"tiny note $boiler"),
+      // fresh content, footer-free → kept
+      (11L, "a long fresh report about tidal power generation economics " +
+        "with enough words that no span matches the landed corpus at all")
+    ).toDF("doc_id", "text")
+    val batch2 = Seq(
+      // near-copy of doc 11's spans — only gated if batch1's KEPT docs
+      // were merged into the index between the cycles
+      (20L, "a long fresh report about tidal power generation economics " +
+        "with enough words that no span matches the landed corpus at all " +
+        "plus one extra tail clause")
+    ).toDF("doc_id", "text")
+    val cdir = outDir("cli-sx-corpus"); val b1 = outDir("cli-sx-b1")
+    val b2 = outDir("cli-sx-b2"); val k1 = outDir("cli-sx-kept1")
+    val k2 = outDir("cli-sx-kept2")
+    val ix = outDir("cli-sx-ix"); val ix2 = outDir("cli-sx-ix2")
+    corpus.write.mode("overwrite").parquet(cdir)
+    batch1.write.mode("overwrite").parquet(b1)
+    batch2.write.mode("overwrite").parquet(b2)
+    Main.run(Seq("span-index-build", "--in", cdir, "--path", ix,
+      "--span-n", "6"), spark)
+    Main.run(Seq("span-index-filter", "--in", b1, "--path", ix,
+      "--out", k1, "--max-frac", "0.5"), spark)
+    assert(spark.read.parquet(k1).select("doc_id").as[Long].collect().toSet
+      == Set(11L), "the boilerplate-dominated doc must be gated, fresh kept")
+    // grow the index with what was kept; width is read from the index
+    Main.run(Seq("span-index-merge", "--path", ix, "--in", k1,
+      "--out", ix2), spark)
+    Main.run(Seq("span-index-filter", "--in", b2, "--path", ix2,
+      "--out", k2, "--max-frac", "0.5"), spark)
+    assert(spark.read.parquet(k2).count() == 0,
+      "a span-copy of a doc kept LAST cycle must be gated this cycle")
+    // ...and against the UN-merged index it passes — the merge is what
+    // carries cycle-1 knowledge into cycle 2
+    val k3 = outDir("cli-sx-kept3")
+    Main.run(Seq("span-index-filter", "--in", b2, "--path", ix,
+      "--out", k3, "--max-frac", "0.5"), spark)
+    assert(spark.read.parquet(k3).select("doc_id").as[Long].collect().toSet
+      == Set(20L))
+  }
+
   test("ANN lifecycle CLI: ivf-build → ivf-query → ivf-refresh → ivf-append " +
     "→ ivf-compact — the drift-gated ingest cycle") {
     import spark.implicits._
