@@ -558,6 +558,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("spanStats ≡ driver-side shared-span reference on random corpora; " +
+    "index serving ≡ corpus membership") {
+    // tiny vocab forces genuine cross-doc span collisions
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val doc = Gen.chooseNum(1, 10).flatMap(len => Gen.listOfN(len, word))
+    val corpusGen = Gen.chooseNum(2, 8).flatMap(k => Gen.listOfN(k, doc))
+    val n = 3
+    def spansOf(toks: List[String]): Set[String] =
+      if (toks.isEmpty) Set.empty
+      else if (toks.length <= n) Set(toks.mkString(" "))
+      else toks.sliding(n).map(_.mkString(" ")).toSet
+    forAll(corpusGen) { docs =>
+      val ids = docs.indices.map(_.toLong)
+      val df = ids.zip(docs.map(_.mkString(" "))).toDF("doc_id", "text")
+      val ref = ids.map { i =>
+        val mine = spansOf(docs(i.toInt))
+        val others = ids.filter(_ != i)
+          .flatMap(j => spansOf(docs(j.toInt))).toSet
+        i -> ((mine.size.toLong, mine.count(others).toLong))
+      }.toMap
+      val got = Dedup.spanStats(df, "doc_id", "text", n)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == ref, s"corpus: $docs")
+      // serving a batch (the corpus itself, re-id'd) against the built
+      // index: every span is indexed by construction, so indexed_frac
+      // is 1.0 for every batch doc — and a frame merged from per-doc
+      // singleton indexes serves identically (the additive algebra)
+      val ix = Dedup.buildSpanIndex(df, "doc_id", "text", n)
+      val merged = ids.map(i => Dedup.buildSpanIndex(
+          df.filter($"doc_id" === i), "doc_id", "text", n))
+        .reduce(Dedup.mergeSpanIndexes)
+      val batch = df.select(($"doc_id" + 1000L).as("doc_id"), $"text")
+      Seq(ix, merged).foreach { index =>
+        val served = Dedup.spanStatsAgainstIndex(batch, index, "doc_id", "text")
+          .collect()
+        assert(served.forall(_.getAs[Double]("indexed_frac") == 1.0))
+      }
+    }
+  }
+
   test("ensureColumns: arbitrary column subsets conform to the full schema") {
     forAll(Gen.someOf(Schemas.mem.fieldNames.toSeq)) { keep =>
       whenever(keep.nonEmpty) {
