@@ -159,10 +159,21 @@ object StreamingCurate {
   def curateBatchWithIndex(batch: DataFrame, idCol: String, textCol: String,
                            evalBloom: ShingleBloom, index: DataFrame,
                            minJaccard: Double = 0.8,
-                           minQuality: Double = 0.5): DataFrame =
-    Dedup.filterAgainstIndex(
-      perRowStages(batch, idCol, textCol, evalBloom, minQuality),
-      index, idCol, textCol, minJaccard)
+                           minQuality: Double = 0.5,
+                           spanIndex: Option[DataFrame] = None,
+                           maxIndexedFrac: Double = 0.5): DataFrame = {
+    val gated = perRowStages(batch, idCol, textCol, evalBloom, minQuality)
+    // optional boilerplate gate against the landed corpus's
+    // span-frequency index ([[graft.operators.Dedup.buildSpanIndex]]):
+    // runs BEFORE the signature anti-join for the same reason the
+    // per-row stages do — all three gates drop rows keyed on the doc, so
+    // they commute, and each cheaper stage shrinks the next one's input
+    // (span scoring explodes only the batch; the signature stage then
+    // sees the boilerplate-free survivors)
+    val spanned = spanIndex.fold(gated)(ix =>
+      Dedup.filterAgainstSpanIndex(gated, ix, idCol, textCol, maxIndexedFrac))
+    Dedup.filterAgainstIndex(spanned, index, idCol, textCol, minJaccard)
+  }
 
   /** Idempotent `foreachBatch` delivery as an OPERATOR (the former
     * "make the write idempotent" advice, made executable): each
@@ -190,11 +201,13 @@ object StreamingCurate {
     * }}} */
   def idempotentCurateSink(outDir: String, idCol: String, textCol: String,
                            evalBloom: ShingleBloom, index: DataFrame,
-                           minJaccard: Double = 0.8, minQuality: Double = 0.5)
+                           minJaccard: Double = 0.8, minQuality: Double = 0.5,
+                           spanIndex: Option[DataFrame] = None,
+                           maxIndexedFrac: Double = 0.5)
       : (DataFrame, Long) => Unit =
     (batch, batchId) => writeBatchIdempotent(
       curateBatchWithIndex(batch, idCol, textCol, evalBloom, index,
-        minJaccard, minQuality),
+        minJaccard, minQuality, spanIndex, maxIndexedFrac),
       outDir, batchId)
 
   /** The FULL incremental-dedup streaming loop in one sink, against the

@@ -82,6 +82,61 @@ class StreamingCurateSpec extends SparkSpec {
     assert(Set("train", "val", "test").contains(out.head._2))
   }
 
+  test("curateBatchWithIndex with a span index: boilerplate-dominated docs " +
+    "gated at ingest alongside the signature anti-join") {
+    implicit val sqlCtx = spark.sqlContext
+    val bloom = StreamingCurate.evalShingleBloom(evalDocs, "doc_id", "text", k = 8)
+    val boiler = "all rights reserved contact the webmaster for takedown " +
+      "requests and legal inquiries about this content"
+    // landed docs carry LONG unique bodies so the footer is a minority of
+    // their shingles: doc-level jaccard vs the mostly-footer batch doc
+    // stays well under the 0.5 signature threshold (the point — only the
+    // SPAN gate sees the footer domination)
+    val corpus = Seq(
+      (1L, "first landed article body carrying many original words about " +
+        s"river morphology sediment transport and seasonal flow regimes $boiler"),
+      (2L, "second landed article with different phrasing entirely about " +
+        s"orchard grafting rootstock selection and winter pruning habits $boiler")
+    ).toDF("doc_id", "text")
+    val index = graft.operators.Dedup.buildDedupIndex(corpus, "doc_id", "text")
+    val spanIx = graft.operators.Dedup.buildSpanIndex(corpus, "doc_id", "text", n = 6)
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val out = collection.mutable.ArrayBuffer.empty[Long]
+    val q = in.toDF().toDF("doc_id", "text", "ts")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out ++= StreamingCurate
+          .curateBatchWithIndex(b, "doc_id", "text", bloom, index,
+            minJaccard = 0.5, spanIndex = Some(spanIx))
+          .select("doc_id").collect().map(_.getLong(0))
+        ()
+      }
+      .start()
+    in.addData(
+      // NOT a doc-level near-dup of any landed doc (different body), but
+      // boilerplate-dominated: most of its spans are the landed footer —
+      // only the span gate catches it
+      (10L, s"a short fresh note with the footer $boiler",
+        ts("2013-01-01 10:00:00")),
+      // fresh, footer-free, long enough for quality: kept
+      (11L, "a completely new report about the harvest with plenty of the " +
+        "usual words in it for the quality gate to like and to keep",
+        ts("2013-01-01 10:00:05")))
+    q.processAllAvailable()
+    q.stop()
+    assert(out.toSet == Set(11L), s"kept: $out")
+    // the same batch WITHOUT the span gate keeps both — pinning that the
+    // catch above is the span index's, not a side effect of another stage
+    val kept = StreamingCurate.curateBatchWithIndex(
+        Seq((10L, s"a short fresh note with the footer $boiler"),
+          (11L, "a completely new report about the harvest with plenty of " +
+            "the usual words in it for the quality gate to like and to keep"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", bloom, index, minJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 11L))
+  }
+
   test("idempotentCurateSink: replaying a batch id overwrites its own " +
     "directory — no duplicate rows, identical output") {
     implicit val sqlCtx = spark.sqlContext
