@@ -171,7 +171,8 @@ object Pipeline {
   def curate(docs: DataFrame, evalDocs: DataFrame,
              idCol: String = "doc_id", textCol: String = "text",
              minQuality: Double = 0.5, minJaccard: Double = 0.8,
-             shingleK: Int = 8): DataFrame = {
+             shingleK: Int = 8,
+             maxSharedSpanFrac: Option[Double] = None): DataFrame = {
     val dupLosers = Dedup.minhashDuplicates(
         Dedup.hashedWordShingles(docs, idCol, textCol), minJaccard)
       .select(col("id_b").as(idCol))
@@ -179,7 +180,15 @@ object Pipeline {
         Dedup.decontaminate(docs, evalDocs, idCol, textCol, shingleK), textCol)
       .filter(col("quality_score") >= minQuality)
       .join(dupLosers, Seq(idCol), "left_anti")
-    TextAnalysis.hashSplit(TextAnalysis.withPiiRedaction(kept, textCol), idCol)
+    // optional batch-side boilerplate stage ([[Dedup.spanStats]] over the
+    // corpus itself — the compaction-pass twin of the streaming span-index
+    // gate, which scores batches against the LANDED corpus): docs whose
+    // shared-span fraction exceeds the threshold drop. Default off so the
+    // composition stays exactly the oracle-checked q_curate pipeline.
+    val spanned = maxSharedSpanFrac.fold(kept)(maxFrac =>
+      Dedup.dropSpanDuplicatedDocs(kept, idCol, textCol, n = shingleK,
+        maxSharedFrac = maxFrac))
+    TextAnalysis.hashSplit(TextAnalysis.withPiiRedaction(spanned, textCol), idCol)
   }
 
   /** Step 2: FRESCO metrics ⋈ accounting → 1-minute bucketed wide table. */

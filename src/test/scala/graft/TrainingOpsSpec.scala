@@ -1653,6 +1653,30 @@ class TrainingOpsSpec extends SparkSpec {
     assert(short == Seq(1.0, 1.0))
   }
 
+  test("Pipeline.curate maxSharedSpanFrac: the batch boilerplate stage drops " +
+    "footer-dominated docs doc-level near-dup keeps; off by default") {
+    val boiler = "all rights reserved contact the webmaster for takedown " +
+      "requests and legal inquiries about this content"
+    val docs = Seq(
+      // two footer-dominated docs with DISTINCT bodies: not doc-level
+      // near-dups of each other (jaccard well under 0.8), but >half of
+      // each one's 8-gram spans are the shared footer
+      (1L, s"short note on river heron sightings $boiler"),
+      (2L, s"brief memo about orchard pruning dates $boiler"),
+      (3L, "a completely free-standing report about the harvest with " +
+        "plenty of the usual words in it for the quality gate to like")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "benchmark sentence unrelated to every corpus " +
+      "document in all of its words")).toDF("doc_id", "text")
+    def kept(maxFrac: Option[Double]) =
+      Pipeline.curate(docs, eval_, maxSharedSpanFrac = maxFrac)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept(None) == Set(1L, 2L, 3L),
+      "default composition must stay the oracle-checked q_curate pipeline")
+    assert(kept(Some(0.5)) == Set(3L),
+      "the span stage must drop exactly the footer-dominated docs")
+  }
+
   test("span index: merge(build(A), build(B)) == build(A u B), serving scores " +
     "batch spans against the landed corpus, width rides with the index") {
     val a = Seq((1L, "a b c d"), (2L, "x y z w")).toDF("doc_id", "text")
