@@ -22,7 +22,7 @@ run / fork := true
 outputStrategy := Some(StdoutOutput)
 run / outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
-Global / excludeLintKeys += outputStrategy
+Global / excludeLintKeys ++= Set(outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

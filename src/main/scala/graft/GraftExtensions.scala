@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, JpegDims, LshBandBuckets, ShingleHashes, SimHash64}
+import graft.functions.{DotProduct, JpegDims, LshBandBuckets, ShingleHashes, ShingleHashesAll, SimHash64}
 
 /** Session extensions: registers the engine's native Catalyst expressions
   * for SQL use (`SELECT dot_product(a.vec, b.vec)`, `simhash64(text)`), so
@@ -38,6 +38,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         requireArity("shingle_hashes", args, 2)
         ShingleHashes(args.head, constInt("shingle_hashes", "k", args(1)))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("shingle_hashes_all"),
+      info("shingle_hashes_all",
+        "shingle_hashes_all(text, k) - ORDERED xxhash64 of word k-gram " +
+          "shingles, index = gram start position"),
+      (args: Seq[Expression]) => {
+        requireArity("shingle_hashes_all", args, 2)
+        ShingleHashesAll(args.head, constInt("shingle_hashes_all", "k", args(1)))
       }))
     e.injectFunction((
       FunctionIdentifier("redact_pii"),

@@ -429,6 +429,16 @@ object SparkEntry {
   private lazy val SpanBatchFixture =
     new java.io.File("target/verify-fixtures/span_batch_hashes").getAbsolutePath
 
+  /** POSITIONAL fixtures for q_dedup_span_trim — the ordered gram hashes
+    * (`(sh_id, pos, gram)`, index = gram start) and the tokens
+    * (`(sh_id, pos, token)`): the hashing and tokenization are
+    * engine-bound, but GIVEN both, the dup detection, coverage test and
+    * text reconstruction are plain SQL. */
+  private lazy val SpanPosFixture =
+    new java.io.File("target/verify-fixtures/span_pos_hashes").getAbsolutePath
+  private lazy val SpanTokFixture =
+    new java.io.File("target/verify-fixtures/span_tokens").getAbsolutePath
+
   /** Span-frequency index for `dir`'s documents corpus, persisted once
     * per JVM ([[bandedIndexTable]] pattern): built over the two
     * id-parity HALVES and merged — `mergeSpanIndexes(build(A), build(B))
@@ -693,6 +703,14 @@ object SparkEntry {
       .write.mode("overwrite").parquet(SpanFixture)
     Dedup.hashedWordShingles(dedupIndexBatch(s, dir), "doc_id", "text", k = 8)
       .write.mode("overwrite").parquet(SpanBatchFixture)
+    tbl(s, dir, "documents").select(col("doc_id").as("sh_id"),
+        posexplode(graft.functions.ShingleHashesAll
+          .shingleHashesAll(col("text"), 8)).as(Seq("pos", "gram")))
+      .write.mode("overwrite").parquet(SpanPosFixture)
+    tbl(s, dir, "documents").select(col("doc_id").as("sh_id"),
+        posexplode(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+          .as(Seq("pos", "token")))
+      .write.mode("overwrite").parquet(SpanTokFixture)
     Multimodal.extractFeatures(
         Multimodal.toAssets(tbl(s, dir, "documents"), "doc_id", "text", "text/plain"), 16)
       .write.mode("overwrite").parquet(MultimodalFixture)
@@ -819,6 +837,18 @@ object SparkEntry {
     Dedup.spanStatsAgainstIndex(dedupIndexBatch(s, dir),
         s.read.parquet(spanIndexPath(s, dir)), "doc_id", "text")
       .withColumn("indexed_frac", rq(col("indexed_frac"), 6))
+
+  /** Duplicated-span REMOVAL ([[Dedup.removeDuplicatedSpans]]): the
+    * text-surgery form of substring dedup — tokens covered by a word
+    * 8-gram occurring in ≥2 distinct documents are cut from EVERY copy
+    * and the text rebuilt. Oracle: DuckDB reproduces dup detection,
+    * coverage and reconstruction from the positional fixtures
+    * ([[SpanPosFixture]]/[[SpanTokFixture]]), `string_agg ORDER BY pos`
+    * against the engine's rebuilt strings — a hash check over the full
+    * rewritten text of every document. */
+  private def qDedupSpanTrim(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeDuplicatedSpans(tbl(s, dir, "documents"), "doc_id", "text",
+      n = 8, minDocs = 2)
 
   /** Embedding near-dup: all pairs with cosine ≥ 0.4. */
   private def qEmbedCosinePairs(s: SparkSession, dir: String): DataFrame =
@@ -1342,6 +1372,7 @@ object SparkEntry {
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_spans" -> qDedupSpans,
     "q_dedup_spans_index" -> qDedupSpansIndex,
+    "q_dedup_span_trim" -> qDedupSpanTrim,
     "q_dedup_index" -> qDedupIndex,
     "q_dedup_index_banded" -> qDedupIndexBanded,
     "q_dedup_index_ingest" -> qDedupIndexIngest,
@@ -1726,6 +1757,29 @@ object SparkEntry {
         |              / count(*))*1000000.0 + 0.5)/1000000.0 AS indexed_frac
         |FROM bs LEFT JOIN ix USING (shingle)
         |GROUP BY bs.sh_id""".stripMargin,
+    "q_dedup_span_trim" ->
+      s"""WITH g AS (
+        |  SELECT sh_id, pos, gram FROM read_parquet('$SpanPosFixture/*.parquet')),
+        | dup AS (
+        |  SELECT gram FROM (
+        |    SELECT gram, count(DISTINCT sh_id) AS nd FROM g GROUP BY gram)
+        |  WHERE nd >= 2),
+        | ds AS (SELECT DISTINCT sh_id, pos FROM g JOIN dup USING (gram)),
+        | t AS (SELECT sh_id, pos, token
+        |       FROM read_parquet('$SpanTokFixture/*.parquet')),
+        | c AS (
+        |  SELECT t.sh_id, t.pos, t.token,
+        |         EXISTS (SELECT 1 FROM ds
+        |                 WHERE ds.sh_id = t.sh_id
+        |                   AND t.pos >= ds.pos AND t.pos < ds.pos + 8) AS covered
+        |  FROM t)
+        |SELECT CAST(sh_id AS BIGINT) AS doc_id,
+        |       coalesce(string_agg(CASE WHEN NOT covered THEN token END,
+        |                           ' ' ORDER BY pos), '') AS text,
+        |       count(*) AS n_tokens,
+        |       CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_tokens_removed
+        |FROM c GROUP BY sh_id""".stripMargin,
     "q_dedup_index" -> dedupIndexSql,
     // the bucketed serving layout must produce the SAME hits and
     // estimates as flat serving — one oracle, two plans, both hash-gated

@@ -932,6 +932,64 @@ object Dedup {
         .filter(col("shared_frac") > maxSharedFrac).select(idCol),
       Seq(idCol), "left_anti")
 
+  /** Duplicated-span REMOVAL — the text-surgery form of the Lee-et-al.
+    * substring dedup ([[spanStats]] scores, [[dropSpanDuplicatedDocs]]
+    * drops whole docs; this rewrites them): every token covered by a word
+    * `n`-gram whose hash occurs in at least `minDocs` DISTINCT documents
+    * is cut, and the text is rebuilt from the survivors (single-space
+    * joined — the tokenizer's contract makes that lossless for dedup
+    * purposes, not for byte-exact reproduction). The aggressive
+    * every-copy form, deliberately: keeping "one canonical copy" needs a
+    * global tie-break and an ordering no distributed pass should invent —
+    * for boilerplate (the dominant use), removing all copies is the
+    * desired behavior. Within-doc repeats of a gram only count once
+    * toward `minDocs` (doc-distinct), but once a gram IS corpus-
+    * duplicated, every occurrence in every doc is cut.
+    *
+    * Output: `idCol`, rewritten `textCol`, `n_tokens` (before),
+    * `n_tokens_removed`. Docs with no duplicated spans pass through with
+    * their text rebuilt from their own tokens (whitespace normalized);
+    * a fully-boilerplate doc comes out as the empty string rather than
+    * disappearing — the caller decides whether to drop empties.
+    *
+    * 100 TB posture: one [[graft.functions.ShingleHashesAll]] pass per
+    * doc (ordered hashes, index = gram position) → `posexplode` →
+    * doc-distinct gram count (two-phase aggregate) → equi-join back the
+    * duplicated hashes → per-doc `collect_list` of duplicated START
+    * positions (bounded by the doc's own token count — driver never sees
+    * it) → one higher-order-function rewrite pass over the token array.
+    * Linear in total tokens; the position list rides the row, never the
+    * driver. */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    // same tokenizer as the expression: split on \s+ minus empties
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val prepared = docs.select(col(idCol).as("sh_id"), toks.as("__toks"),
+      graft.functions.ShingleHashesAll.shingleHashesAll(col(textCol), n)
+        .as("__grams"))
+    val grams = prepared.select(col("sh_id"),
+      posexplode(col("__grams")).as(Seq("pos", "gram")))
+    val dupGrams = grams.select("sh_id", "gram").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select("gram")
+    val dupStarts = grams.join(dupGrams, Seq("gram"))
+      .groupBy("sh_id").agg(collect_list("pos").as("__dups"))
+    val starts = coalesce(col("__dups"), array().cast("array<int>"))
+    // keep token i unless some duplicated gram start p covers it:
+    // p <= i < p+n — with the short-doc rule, gram 0 of a <n-token doc
+    // covers [0, n) ⊇ the whole doc, so a duplicated short doc empties
+    val indexed = transform(col("__toks"),
+      (t, i) => struct(t.as("t"), i.as("i")))
+    val kept = filter(indexed, s =>
+      !exists(starts, p => s("i") >= p && s("i") < p + lit(n)))
+    prepared.join(dupStarts, Seq("sh_id"), "left")
+      .select(col("sh_id").as(idCol),
+        array_join(transform(kept, s => s("t")), " ").as(textCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        (size(col("__toks")) - size(kept)).cast("long").as("n_tokens_removed"))
+  }
+
   /** Persistable span-frequency index — the SERVING form of [[spanStats]]
     * for ingest-time curation: one `(shingle, span_docs, span_n)` row per
     * distinct span hash in the landed corpus, built once and written to

@@ -1677,6 +1677,59 @@ class TrainingOpsSpec extends SparkSpec {
       "the span stage must drop exactly the footer-dominated docs")
   }
 
+  test("ShingleHashesAll: ordered positional hashes, same key space as the " +
+    "distinct form, SQL-registered") {
+    import graft.functions.{ShingleHashes, ShingleHashesAll}
+    val text = "a b c a b c d"
+    val row = Seq(text).toDF("t").select(
+      ShingleHashesAll.shingleHashesAll($"t", 3).as("all"),
+      ShingleHashes.shingleHashes($"t", 3).as("set"),
+      // reference hash for the gram at position 2: "c a b" — Spark's
+      // xxhash64 function shares the seed-42 contract
+      xxhash64(lit("c a b")).as("ref")).head()
+    val all = row.getSeq[Long](0)
+    assert(all.length == 5, "7 tokens, k=3 -> 5 ordered grams")
+    assert(all(0) == all(3), "repeated gram 'a b c' repeats its hash in order")
+    assert(all(2) == row.getLong(2), "position i hashes the gram starting at i")
+    assert(all.toSet == row.getSeq[Long](1).toSet,
+      "ordered and distinct forms share one key space")
+    // short doc: one whole-text gram at position 0
+    val short = Seq("tiny pair").toDF("t")
+      .select(ShingleHashesAll.shingleHashesAll($"t", 3)).head().getSeq[Long](0)
+    assert(short.length == 1)
+    // SQL surface ≡ Column API
+    val viaSql = spark.sql(s"SELECT shingle_hashes_all('$text', 3)")
+      .head().getSeq[Long](0)
+    assert(viaSql == all)
+  }
+
+  test("removeDuplicatedSpans: cross-doc spans cut from every copy, " +
+    "overlaps merge, within-doc repeats survive, short dups empty out") {
+    val docs = Seq(
+      (1L, "x y a b c z w"),       // shares "a b c" with doc 2
+      (2L, "p q a b c r"),
+      (3L, "standalone words entirely original here"),
+      (4L, "tiny pair"),            // whole-text gram, duplicated in doc 5
+      (5L, "tiny pair"),
+      (6L, "m n o m n o m n o"),    // within-doc repeats only: kept whole
+      (7L, "k l m2 n o2 p"),        // docs 7/8 share three OVERLAPPING
+      (8L, "k l m2 n o2 q")         // grams covering tokens [0,5)
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_tokens_removed")))).toMap
+    assert(got(1L) == (("x y z w", 7L, 3L)))
+    assert(got(2L) == (("p q r", 6L, 3L)))
+    assert(got(3L) == (("standalone words entirely original here", 5L, 0L)))
+    assert(got(4L) == (("", 2L, 2L)), "duplicated short doc empties out")
+    assert(got(5L) == (("", 2L, 2L)))
+    assert(got(6L) == (("m n o m n o m n o", 9L, 0L)),
+      "within-doc repetition alone must not trigger removal")
+    assert(got(7L) == (("p", 6L, 5L)), "overlapping dup spans merge their cover")
+    assert(got(8L) == (("q", 6L, 5L)))
+  }
+
   test("span index: merge(build(A), build(B)) == build(A u B), serving scores " +
     "batch spans against the landed corpus, width rides with the index") {
     val a = Seq((1L, "a b c d"), (2L, "x y z w")).toDF("doc_id", "text")
