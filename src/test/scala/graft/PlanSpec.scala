@@ -158,6 +158,13 @@ class PlanSpec extends SparkSpec {
     assert(hasPartialCount, s"expected a map-side partial count:\n$phys")
   }
 
+  test("q_dedup_span_trim: surgery stays on equi-joins — no cartesian, no " +
+    "nested loop, dup-start lists ride rows (no driver collect in the plan)") {
+    val phys = executed(SparkEntry.queries("q_dedup_span_trim")(spark, sf)).toString
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoopJoin"),
+      s"span surgery must stay on the gram-hash equi-join path:\n$phys")
+  }
+
   test("q_interval_join_auto: the optimizer rule fired — bucket Generate present, no nested loop") {
     val df = SparkEntry.queries("q_interval_join_auto")(spark, sf)
     val gens = df.queryExecution.optimizedPlan.collect {

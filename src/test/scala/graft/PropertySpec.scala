@@ -598,6 +598,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("removeDuplicatedSpans ≡ driver-side surgery reference on random corpora") {
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val doc = Gen.chooseNum(1, 9).flatMap(len => Gen.listOfN(len, word))
+    val corpusGen = Gen.chooseNum(2, 7).flatMap(k => Gen.listOfN(k, doc))
+    val n = 3
+    // the operator's exact semantics, driver-side: ordered grams with the
+    // short-doc rule, doc-DISTINCT duplication, coverage [p, p+n), rebuild
+    def gramsOf(toks: List[String]): List[(Int, String)] =
+      if (toks.isEmpty) Nil
+      else if (toks.length <= n) List(0 -> toks.mkString(" "))
+      else toks.sliding(n).zipWithIndex.map { case (g, i) => i -> g.mkString(" ") }.toList
+    forAll(corpusGen) { docs =>
+      val ids = docs.indices.map(_.toLong)
+      val gramDocs = ids.flatMap(i => gramsOf(docs(i.toInt)).map(_._2).distinct
+        .map(g => g -> i)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val ref = ids.map { i =>
+        val toks = docs(i.toInt)
+        val dupStarts = gramsOf(toks).collect {
+          case (p, g) if gramDocs(g).size >= 2 => p
+        }
+        val keptToks = toks.zipWithIndex.collect {
+          case (t, idx) if !dupStarts.exists(p => idx >= p && idx < p + n) => t
+        }
+        i -> ((keptToks.mkString(" "), toks.length.toLong,
+          (toks.length - keptToks.length).toLong))
+      }.toMap
+      val df = ids.zip(docs.map(_.mkString(" "))).toDF("doc_id", "text")
+      val got = Dedup.removeDuplicatedSpans(df, "doc_id", "text", n)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == ref, s"corpus: $docs")
+    }
+  }
+
   test("ensureColumns: arbitrary column subsets conform to the full schema") {
     forAll(Gen.someOf(Schemas.mem.fieldNames.toSeq)) { keep =>
       whenever(keep.nonEmpty) {
