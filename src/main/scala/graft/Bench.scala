@@ -540,31 +540,48 @@ object Bench {
         Dedup.spanStats(corpus, "doc_id", "text", n = 8).count()
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      // the SURGERY path timed alongside: same linear stages plus the
+      // per-doc rewrite — its removed-token total is replica-linear by
+      // the same isolation argument and REQUIRED below with the rest
+      var removed = 0L
+      val trimTimes = (0 until reps).map { _ =>
+        dropState()
+        val t0 = System.nanoTime()
+        removed = Dedup.removeDuplicatedSpans(corpus, "doc_id", "text", n = 8)
+          .agg(sum("n_tokens_removed")).head().getLong(0)
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
       // claim columns, untimed: totals must scale exactly with k
       val t = Dedup.spanStats(corpus, "doc_id", "text", n = 8)
         .agg(sum("n_spans"), sum("n_shared_spans"),
           sum(when(col("shared_frac") > 0.5, 1L).otherwise(0L))).head()
       dropState()
       (n, nDocs, t.getLong(0), t.getLong(1), t.getLong(2),
-        times(times.size / 2), times.head, times.last)
+        times(times.size / 2), times.head, times.last,
+        trimTimes(trimTimes.size / 2), removed)
     }
-    type R = (Int, Long, Long, Long, Long, Double, Double, Double)
+    type R = (Int, Long, Long, Long, Long, Double, Double, Double, Double, Long)
     def arr[T](f: R => T): String = jsonArr(rows)(f)
     val base = rows.head
     rows.foreach { r =>
       require(r._3 == base._3 * r._1 && r._4 == base._4 * r._1 &&
-        r._5 == base._5 * r._1,
-        s"replica isolation violated at ${r._1}x: spans/shared/flagged " +
-          s"(${r._3},${r._4},${r._5}) vs 1x (${base._3},${base._4},${base._5})")
+        r._5 == base._5 * r._1 && r._10 == base._10 * r._1,
+        s"replica isolation violated at ${r._1}x: spans/shared/flagged/removed " +
+          s"(${r._3},${r._4},${r._5},${r._10}) vs 1x " +
+          s"(${base._3},${base._4},${base._5},${base._10})")
     }
     val meds = rows.map(_._6)
+    val trimMeds = rows.map(_._9)
     val line =
       f"""{"metric":"span_profile_scale_slope","reps":$reps,"n":8,""" +
         f""""sizes":${arr(_._1)},"docs":${arr(_._2)},"spans":${arr(_._3)},""" +
         f""""shared_spans":${arr(_._4)},"flagged_docs":${arr(_._5)},""" +
         f""""secs":${arr(r => f"${r._6}%.3f")},""" +
         f""""secs_min":${arr(r => f"${r._7}%.3f")},"secs_max":${arr(r => f"${r._8}%.3f")},""" +
+        f""""trim_secs":${arr(r => f"${r._9}%.3f")},""" +
+        f""""tokens_removed":${arr(_._10)},""" +
         f""""slope":${logLogSlope(sizes, meds)}%.3f,""" +
+        f""""trim_slope":${logLogSlope(sizes, trimMeds)}%.3f,""" +
         f""""segment_slopes":${segmentSlopesJson(sizes, meds)},"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_scale_spans.json"),
       (line + "\n").getBytes("UTF-8"))
