@@ -850,6 +850,20 @@ object SparkEntry {
     Dedup.removeDuplicatedSpans(tbl(s, dir, "documents"), "doc_id", "text",
       n = 8, minDocs = 2)
 
+  /** Token-budget mixture sampling ([[TextAnalysis.sampleByTokenBudget]]):
+    * per-language token budgets over the documents table, exercising
+    * every bucket class the two-pass design distinguishes — `de` fully
+    * within budget (wholesale keep, no window), `en`/`zh` straddling
+    * (windowed boundary buckets), `es` zero budget, `fr` absent from the
+    * map (dropped). Oracle: the NAIVE single-window formulation in
+    * DuckDB — `sum OVER (PARTITION BY lang ORDER BY md5(id), id)` ≤
+    * budget — which the two-pass plan must match row for row. */
+  private def qSampleBudget(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sampleByTokenBudget(tbl(s, dir, "documents"),
+        "doc_id", "text", "lang",
+        Map("en" -> 5000L, "de" -> 100000L, "zh" -> 2000L, "es" -> 0L))
+      .select("doc_id", "lang", "n_tokens")
+
   /** Embedding near-dup: all pairs with cosine ≥ 0.4. */
   private def qEmbedCosinePairs(s: SparkSession, dir: String): DataFrame =
     Similarity.cosinePairs(tbl(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
@@ -1382,6 +1396,7 @@ object SparkEntry {
     "q_embed_clusters" -> qEmbedClusters,
     "q_vocab" -> qVocab,
     "q_sample_stratified" -> qSampleStratified,
+    "q_sample_budget" -> qSampleBudget,
     "q_pack_bins" -> qPackBins,
     "q_vocab_by_lang" -> qVocabByLang,
     "q_ann_topk" -> qAnnTopK,
@@ -1856,6 +1871,21 @@ object SparkEntry {
         |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT <
         |  CASE source WHEN 'src0' THEN 65536 WHEN 'src1' THEN 32768
         |              WHEN 'src2' THEN 16384 ELSE 6553 END""".stripMargin,
+    "q_sample_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |         md5(CAST(doc_id AS VARCHAR)) AS key
+        |  FROM documents),
+        | b(lang, budget) AS (
+        |  VALUES ('en', 5000), ('de', 100000), ('zh', 2000), ('es', 0)),
+        | c AS (
+        |  SELECT t.*, b.budget,
+        |         sum(n_tokens) OVER (PARTITION BY t.lang ORDER BY key, doc_id
+        |                             ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t JOIN b USING (lang))
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, n_tokens
+        |FROM c WHERE cum <= budget""".stripMargin,
     "q_vocab" ->
       """WITH toks AS (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),

@@ -277,6 +277,85 @@ object TextAnalysis {
     df.filter(keep)
   }
 
+  /** Token-BUDGET mixture sampling — the data-mixture primitive a
+    * training pipeline runs last: per group (source, language, domain),
+    * keep documents in a deterministic pseudo-random order until the
+    * group's token budget is exhausted. Semantics: within each group,
+    * docs are ordered by `(md5(id ++ salt), id)` — the same stable-hash
+    * mechanism as [[hashSplit]], so the sample is reproducible across
+    * runs, engines and partitionings — and a doc is kept iff the running
+    * token total INCLUDING it stays ≤ `budgets(group)`. Groups absent
+    * from the map are dropped entirely (an explicit 0 budget also drops
+    * all of that group's non-empty docs).
+    *
+    * 100 TB posture — the naive formulation (`sum OVER (PARTITION BY
+    * group ORDER BY key)`) sorts EVERY group inside one task, the
+    * classic window bottleneck when one source holds most of the corpus.
+    * This implementation is the two-pass equivalent: docs hash into 256
+    * key-prefix buckets whose lexicographic order refines the key order,
+    * pass 1 aggregates per-(group, bucket) token sums (tiny: |groups|·256
+    * rows to the driver — group cardinality is assumed modest, which a
+    * mixture map already implies), the driver computes each bucket's
+    * START offset, and pass 2 keeps fully-within-budget buckets
+    * wholesale (no sort at all) while running the cumulative window only
+    * inside the straddling buckets — partitions 256× smaller than the
+    * group, so no single task ever sorts a whole source. Equivalence to
+    * the naive window is property-tested; the oracle checks the naive
+    * formulation directly. */
+  def sampleByTokenBudget(docs: DataFrame, idCol: String, textCol: String,
+                          groupCol: String, budgets: Map[String, Long],
+                          salt: String = ""): DataFrame = {
+    require(budgets.values.forall(_ >= 0L), s"budgets must be >= 0: $budgets")
+    val spark = docs.sparkSession
+    val key = md5(concat(col(idCol).cast("string"), lit(salt)).cast("binary"))
+    val withKey = docs
+      .withColumn("__key", key)
+      .withColumn("__bucket", substring(col("__key"), 1, 2))
+      .withColumn("n_tokens", size(tokens(col(textCol))).cast("long"))
+      // groups without a budget are dropped here — pass 1 never
+      // aggregates them and pass 2 never scans them
+      .filter(col(groupCol).isin(budgets.keys.toSeq.map(lit): _*))
+    // pass 1: per-(group, bucket) token sums -> driver -> start offsets
+    val bucketSums = withKey.groupBy(groupCol, "__bucket")
+      .agg(sum("n_tokens").as("__bsum"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val offsets: Map[(String, String), (Long, Long)] = // (start, bucketSum)
+      bucketSums.keys.groupBy(_._1).flatMap { case (g, ks) =>
+        ks.toSeq.sortBy(_._2).scanLeft((("", ""), (0L, 0L))) {
+          case ((_, (start, prevSum)), k) => (k, (start + prevSum, bucketSums(k)))
+        }.tail
+      }
+    val offsetDf = spark.createDataFrame(offsets.toSeq.map {
+        case ((g, b), (start, _)) => (g, b, start, budgets(g))
+      }).toDF(groupCol, "__bucket", "__start", "__budget")
+    val fullyIn = offsets.collect {
+      case ((g, b), (start, bsum)) if start + bsum <= budgets(g) => (g, b)
+    }.toSet
+    val fullyInDf = spark.createDataFrame(fullyIn.toSeq)
+      .toDF(groupCol, "__bucket").withColumn("__whole", lit(true))
+    val joined = withKey
+      .join(broadcast(offsetDf), Seq(groupCol, "__bucket"))
+      .join(broadcast(fullyInDf), Seq(groupCol, "__bucket"), "left")
+    // pass 2, split by class so the cost claims are structural, not
+    // hopeful: fully-in buckets are a broadcast-join FILTER — no shuffle,
+    // no sort, their rows never move — while only the straddling buckets
+    // (typically ≤ one per group) shuffle into the per-bucket window.
+    // Two scans of the source beat one full-corpus shuffle at 100 TB:
+    // the shuffle moves every byte over the network, the second scan
+    // reads ~1/256 of the groups' rows after the bucket filter.
+    val whole = joined.filter(col("__whole").isNotNull)
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col(groupCol), col("__bucket"))
+      .orderBy(col("__key"), col(idCol))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val boundary = joined.filter(col("__whole").isNull)
+      .withColumn("__cum", col("__start") + sum("n_tokens").over(w))
+      .filter(col("__cum") <= col("__budget"))
+      .drop("__cum")
+    whole.unionByName(boundary)
+      .drop("__key", "__bucket", "__start", "__budget", "__whole")
+  }
+
   /** Deterministic corpus split (train/val/test): assign each row to a
     * named split by the md5 of its id (optionally salted) — stable across
     * runs, engines, partitionings and cluster sizes, unlike `rand()`-based

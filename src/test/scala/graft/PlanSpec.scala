@@ -165,6 +165,20 @@ class PlanSpec extends SparkSpec {
       s"span surgery must stay on the gram-hash equi-join path:\n$phys")
   }
 
+  test("q_sample_budget: the window partitions by (group, bucket) — never " +
+    "by the group alone — and only the boundary rows ever shuffle") {
+    val p = executed(SparkEntry.queries("q_sample_budget")(spark, sf))
+    val phys = p.toString
+    // the two-pass design's structural claim: the cumulative window's
+    // partition spec includes the 256-way key-prefix bucket, so no task
+    // sorts a whole group; the wholesale-keep side rides broadcast joins
+    assert("windowspecdefinition\\(lang[^)]*__bucket".r
+      .findFirstIn(phys).isDefined,
+      s"window must partition by (lang, __bucket):\n$phys")
+    assert(countShuffles(p) <= 1,
+      s"only the boundary buckets may shuffle (got >1):\n$phys")
+  }
+
   test("q_interval_join_auto: the optimizer rule fired — bucket Generate present, no nested loop") {
     val df = SparkEntry.queries("q_interval_join_auto")(spark, sf)
     val gens = df.queryExecution.optimizedPlan.collect {

@@ -598,6 +598,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sampleByTokenBudget ≡ naive ordered-cumsum reference on random corpora") {
+    import graft.operators.TextAnalysis
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val word = Gen.oneOf("alpha", "beta", "gamma")
+    val doc = Gen.chooseNum(0, 6).flatMap(len => Gen.listOfN(len, word))
+    val grp = Gen.oneOf("web", "code", "books", "unbudgeted")
+    val rowGen = Gen.zip(grp, doc)
+    val corpusGen = Gen.chooseNum(4, 24).flatMap(k => Gen.listOfN(k, rowGen))
+    val budgetGen = Gen.zip(Gen.chooseNum(0L, 12L), Gen.chooseNum(0L, 12L),
+      Gen.chooseNum(0L, 12L))
+    forAll(Gen.zip(corpusGen, budgetGen)) { case (rows, (bw, bc, bb)) =>
+      val budgets = Map("web" -> bw, "code" -> bc, "books" -> bb)
+      val df = rows.zipWithIndex.map { case ((g, toks), i) =>
+        (i.toLong, g, toks.mkString(" "))
+      }.toDF("doc_id", "grp", "text")
+      // naive reference: per budgeted group, walk docs in (md5(id), id)
+      // order accumulating token counts, keep while cum <= budget
+      val ref = rows.zipWithIndex
+        .map { case ((g, toks), i) => (g, i.toLong, toks.length.toLong) }
+        .filter { case (g, _, _) => budgets.contains(g) }
+        .groupBy(_._1).flatMap { case (g, rs) =>
+          var cum = 0L
+          rs.sortBy { case (_, id, _) => (md5hex(id.toString), id) }
+            .flatMap { case (_, id, n) =>
+              cum += n
+              if (cum <= budgets(g)) Some(id) else None
+            }
+        }.toSet
+      val got = TextAnalysis.sampleByTokenBudget(df, "doc_id", "text", "grp",
+          budgets)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == ref, s"rows: $rows budgets: $budgets")
+    }
+  }
+
   test("removeDuplicatedSpans ≡ driver-side surgery reference on random corpora") {
     val word = Gen.oneOf("a", "b", "c", "d")
     val doc = Gen.chooseNum(1, 9).flatMap(len => Gen.listOfN(len, word))
