@@ -78,6 +78,8 @@ object Main {
       |          [--id doc_id] [--text text] [--jaccard 0.8]
       |  index-compact --name <table>
       |  index-delete --in <ids-parquet> --name <table> [--id doc_id]
+      |  mix     --in <docs-parquet> --budgets <g=tokens[,g=tokens...]> --out <dir>
+      |          [--id doc_id] [--text text] [--group source]
       |  span-index-build  --in <docs-parquet> --path <dir>
       |          [--id doc_id] [--text text] [--span-n 8]
       |  span-index-merge  --path <index-dir> --in <docs-parquet> --out <dir>
@@ -245,6 +247,24 @@ object Main {
     // additive merge — counts sum, so growth needs no epoch machinery,
     // just read-merge-overwrite (write aside + swap by the caller if the
     // index must stay servable during the merge)
+    // token-budget mixture sampling: the final pass before training data
+    // ships — per-group budgets as group=tokens pairs
+    case Some("mix") =>
+      val (opt, _) = parse(args.tail)
+      val budgets = req(opt, "budgets").split(',').map { kv =>
+        kv.split('=') match {
+          case Array(g, b) => g -> b.toLong
+          case _ => throw new IllegalArgumentException(
+            s"--budgets expects group=tokens[,group=tokens...], got '$kv'")
+        }
+      }.toMap
+      graft.operators.TextAnalysis.sampleByTokenBudget(
+          spark.read.parquet(req(opt, "in")),
+          opt.getOrElse("id", "doc_id"), opt.getOrElse("text", "text"),
+          opt.getOrElse("group", "source"), budgets)
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(req(opt, "out"))
+
     case Some("span-index-build") =>
       val (opt, _) = parse(args.tail)
       graft.operators.Dedup.buildSpanIndex(

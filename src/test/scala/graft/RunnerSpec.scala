@@ -153,6 +153,29 @@ class RunnerSpec extends SparkSpec {
     }
   }
 
+  test("mix CLI: per-group token budgets honored in deterministic hash order") {
+    import spark.implicits._
+    // 4 docs of 4 tokens per group: a budget of 9 keeps exactly the first
+    // two docs in (md5(id), id) order — which two is deterministic but
+    // hash-defined, so assert the budget arithmetic, not identities
+    val docs = (0L until 8L).map(i =>
+      (i, if (i < 4) "web" else "code", "tok tok tok tok")).toDF("doc_id", "src", "text")
+    val in = outDir("cli-mix-in"); val out = outDir("cli-mix-out")
+    docs.write.mode("overwrite").parquet(in)
+    Main.run(Seq("mix", "--in", in, "--group", "src",
+      "--budgets", "web=9,code=4", "--out", out), spark)
+    val kept = spark.read.parquet(out)
+      .select("src", "doc_id").collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(kept.count(_._1 == "web") == 2, "9-token budget keeps two 4-token docs")
+    assert(kept.count(_._1 == "code") == 1, "4-token budget keeps exactly one")
+    // determinism: a second run keeps the same ids
+    val out2 = outDir("cli-mix-out2")
+    Main.run(Seq("mix", "--in", in, "--group", "src",
+      "--budgets", "web=9,code=4", "--out", out2), spark)
+    assert(spark.read.parquet(out2).select("src", "doc_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sorted.toSeq == kept.sorted.toSeq)
+  }
+
   test("span-index lifecycle CLI: build → filter → merge → filter — the " +
     "boilerplate gate grows by additive merge") {
     import spark.implicits._
