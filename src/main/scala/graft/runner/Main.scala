@@ -32,6 +32,9 @@ import graft.streaming.Compactor
   *    span-frequency index ([[graft.operators.Dedup.buildSpanIndex]]
   *    family) — the ingest boilerplate gate; growth is the additive
   *    merge, no epoch machinery.
+  *  - `mix`: token-budget mixture sampling
+  *    ([[graft.operators.TextAnalysis.sampleByTokenBudget]]) — the final
+  *    pass before training data ships.
   *  - `ivf-build` / `ivf-query` / `ivf-append` / `ivf-refresh` /
   *    `ivf-compact`: the learned-ANN index lifecycle
   *    ([[graft.operators.Similarity.writeLearnedIvfIndex]] family) — fit +
