@@ -267,17 +267,27 @@ object Bench {
 
   /** Per-replica bijective character rotation over a `(doc_id, text)`
     * frame — shared by the text scale harnesses: within-replica
-    * near-dup/shingle structure is preserved exactly, cross-replica
-    * overlap destroyed, so pair/contamination counts grow linearly in
-    * the replica count. */
+    * near-dup/shingle structure is preserved exactly (a bijection on the
+    * alphabet never merges or splits tokens), cross-replica overlap
+    * destroyed, so pair/contamination counts grow linearly in the
+    * replica count. Letters AND digits rotate (digits mod 10), so a
+    * token of pure numbers is replica-isolated too; the residual
+    * assumption the exact-multiple requires below lean on is that no
+    * full n-gram consists ONLY of punctuation-and-symbol tokens — such a
+    * gram would be rotation-invariant and shared across replicas. */
   private def rotatedReplica(docs: org.apache.spark.sql.DataFrame,
                              idSpan: Long, k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val digits = "0123456789"
     val rot = alpha.drop(k % 26) + alpha.take(k % 26)
+    // k % 26 == 0 with k % 10 != 0 (or vice versa) still rotates the
+    // other class, so only k ≡ 0 (mod lcm(26,10)=130) is an identity —
+    // far beyond any harness's replica ladder
+    val drot = digits.drop(k % 10) + digits.take(k % 10)
     docs.select((col("doc_id") + lit(k * idSpan)).as("doc_id"),
-      translate(col("text"), alpha + alpha.toUpperCase,
-        rot + rot.toUpperCase).as("text"))
+      translate(col("text"), alpha + alpha.toUpperCase + digits,
+        rot + rot.toUpperCase + drot).as("text"))
   }
 
   /** Per-segment log-log slopes between consecutive ladder points as a

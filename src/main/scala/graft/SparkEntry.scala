@@ -703,12 +703,20 @@ object SparkEntry {
       .write.mode("overwrite").parquet(SpanFixture)
     Dedup.hashedWordShingles(dedupIndexBatch(s, dir), "doc_id", "text", k = 8)
       .write.mode("overwrite").parquet(SpanBatchFixture)
+    // posexplode_OUTER on both positional fixtures: a doc whose text
+    // tokenizes to zero tokens (or to fewer than n, for the gram side)
+    // must still reach the oracle — removeDuplicatedSpans emits a row
+    // for it (empty text, n_tokens 0), and the non-outer form would
+    // silently drop it from the DuckDB side. The outer row carries NULL
+    // pos/token/gram; the oracle counts `count(pos)` (non-NULL only) and
+    // NULL grams never equi-join, so the sentinel row reconstructs the
+    // empty doc without polluting dup detection.
     tbl(s, dir, "documents").select(col("doc_id").as("sh_id"),
-        posexplode(graft.functions.ShingleHashesAll
+        posexplode_outer(graft.functions.ShingleHashesAll
           .shingleHashesAll(col("text"), 8)).as(Seq("pos", "gram")))
       .write.mode("overwrite").parquet(SpanPosFixture)
     tbl(s, dir, "documents").select(col("doc_id").as("sh_id"),
-        posexplode(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+        posexplode_outer(filter(split(col("text"), "\\s+"), t => length(t) > 0))
           .as(Seq("pos", "token")))
       .write.mode("overwrite").parquet(SpanTokFixture)
     Multimodal.extractFeatures(
@@ -1791,7 +1799,7 @@ object SparkEntry {
         |SELECT CAST(sh_id AS BIGINT) AS doc_id,
         |       coalesce(string_agg(CASE WHEN NOT covered THEN token END,
         |                           ' ' ORDER BY pos), '') AS text,
-        |       count(*) AS n_tokens,
+        |       count(pos) AS n_tokens,
         |       CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_tokens_removed
         |FROM c GROUP BY sh_id""".stripMargin,
@@ -1874,7 +1882,8 @@ object SparkEntry {
     "q_sample_budget" ->
       """WITH t AS (
         |  SELECT doc_id, lang,
-        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                              w -> w <> '')) AS BIGINT) AS n_tokens,
         |         md5(CAST(doc_id AS VARCHAR)) AS key
         |  FROM documents),
         | b(lang, budget) AS (

@@ -1022,11 +1022,21 @@ object Dedup {
     * Widths must agree; a mixed-width merge raises rather than summing
     * counts that mean different things. */
   def mergeSpanIndexes(a: DataFrame, b: DataFrame): DataFrame = {
-    val widths = a.select("span_n").union(b.select("span_n"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    require(widths.size == 1,
-      s"mergeSpanIndexes: mixed span widths $widths — indexes built at " +
-        "different n cannot be summed")
+    // one-row probe per side (NOT distinct over the full span_n column —
+    // that's an eager full scan of two potentially huge frames to read a
+    // constant): each side is trusted width-uniform because it came from
+    // buildSpanIndex / a previous merge, the same per-frame-uniformity
+    // contract spanStatsAgainstIndex documents
+    def width(df: DataFrame, side: String): Int = {
+      val h = df.select("span_n").limit(1).collect()
+      require(h.nonEmpty, s"mergeSpanIndexes: empty $side index — " +
+        "merge needs at least one row per side to prove width agreement")
+      h.head.getInt(0)
+    }
+    val (wa, wb) = (width(a, "left"), width(b, "right"))
+    require(wa == wb,
+      s"mergeSpanIndexes: mixed span widths ($wa vs $wb) — indexes built " +
+        "at different n cannot be summed")
     a.unionByName(b).groupBy("shingle", "span_n")
       .agg(sum("span_docs").as("span_docs"))
       .select("shingle", "span_docs", "span_n")
@@ -1041,8 +1051,19 @@ object Dedup {
     * pre-aggregated from parquet; only the batch explodes per serve. */
   def spanStatsAgainstIndex(newDocs: DataFrame, index: DataFrame,
                             idCol: String, textCol: String): DataFrame = {
-    val head = index.select("span_n").limit(1).collect()
-    require(head.nonEmpty, "spanStatsAgainstIndex: empty index")
+    // min==max width guard in ONE agg over the small span_n column: an
+    // index assembled by plain union (bypassing mergeSpanIndexes) with
+    // mixed widths would otherwise silently score every batch span at
+    // whichever width an arbitrary row carried. buildSpanIndex /
+    // mergeSpanIndexes outputs are uniform by construction; this catches
+    // the hand-assembled frame that bypassed them.
+    val head = index.agg(min("span_n"), max("span_n")).collect()
+    require(head.nonEmpty && !head.head.isNullAt(0),
+      "spanStatsAgainstIndex: empty index")
+    require(head.head.getInt(0) == head.head.getInt(1),
+      s"spanStatsAgainstIndex: mixed span widths in index " +
+        s"(${head.head.getInt(0)}..${head.head.getInt(1)}) — was it " +
+        "assembled by plain union instead of mergeSpanIndexes?")
     val n = head.head.getInt(0)
     val spans = hashedWordShingles(newDocs, idCol, textCol, n)
     val hits = index.select(col("shingle"), lit(1L).as("__hit"))
