@@ -458,6 +458,28 @@ object SparkEntry {
       p
     })
 
+  /** BUCKETED span-index tables for `dir`'s documents corpus, grown
+    * through the full ingest lifecycle ([[ingestBandedTable]]'s span
+    * twin): built over a third of the corpus, the rest arriving as two
+    * epoch-committed [[Dedup.appendToSpanIndex]] calls — counts are
+    * additive, so the grown table answers the same oracle as a one-shot
+    * build (multi-epoch rows collapse at serve time). Built ONCE per JVM;
+    * the bench times SERVING, the steady state, while the build/append
+    * split is measured in bench_scale_span_index.json. */
+  private val spanBucketedCache = collection.concurrent.TrieMap.empty[String, String]
+  private def bucketedSpanTable(s: SparkSession, dir: String): String =
+    spanBucketedCache.getOrElseUpdate(dir, {
+      val name = "graft_q_span_ix_" + dirKey(dir)
+      val docs = tbl(s, dir, "documents")
+      def slice(r: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === r)
+      Dedup.writeSpanIndex(
+        Dedup.buildSpanIndex(slice(0), "doc_id", "text", n = 8),
+        name, buckets = 32)
+      Dedup.appendToSpanIndex(slice(1), name, "doc_id", "text")
+      Dedup.appendToSpanIndex(slice(2), name, "doc_id", "text")
+      name
+    })
+
   /** Fixture parquet the DuckDB oracle reads back for
     * q_multimodal_features — same pattern as [[SimhashFixture]]: the
     * stubbed decode is deterministic in the payload bytes but engine-bound
@@ -844,6 +866,20 @@ object SparkEntry {
   private def qDedupSpansIndex(s: SparkSession, dir: String): DataFrame =
     Dedup.spanStatsAgainstIndex(dedupIndexBatch(s, dir),
         s.read.parquet(spanIndexPath(s, dir)), "doc_id", "text")
+      .withColumn("indexed_frac", rq(col("indexed_frac"), 6))
+
+  /** q_dedup_spans_index's BUCKETED-LAYOUT twin, same oracle — the
+    * `q_dedup_index` vs `q_dedup_index_banded` pattern applied to the
+    * span family: the served table was grown through the full lifecycle
+    * ([[bucketedSpanTable]] — build over a third of the corpus, two
+    * epoch-committed [[Dedup.appendToSpanIndex]] calls), and serving
+    * joins it bucket-aligned so the index side never shuffles — what
+    * flat serving pays per batch, this layout paid once at build. The
+    * layout (and the deferred count merge it implies) changes the plan,
+    * never the answer. */
+  private def qDedupSpansIndexBucketed(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanStatsAgainstBucketedIndex(dedupIndexBatch(s, dir),
+        bucketedSpanTable(s, dir), "doc_id", "text")
       .withColumn("indexed_frac", rq(col("indexed_frac"), 6))
 
   /** Duplicated-span REMOVAL ([[Dedup.removeDuplicatedSpans]]): the
@@ -1394,6 +1430,7 @@ object SparkEntry {
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_spans" -> qDedupSpans,
     "q_dedup_spans_index" -> qDedupSpansIndex,
+    "q_dedup_spans_index_bucketed" -> qDedupSpansIndexBucketed,
     "q_dedup_span_trim" -> qDedupSpanTrim,
     "q_dedup_index" -> qDedupIndex,
     "q_dedup_index_banded" -> qDedupIndexBanded,
@@ -1468,6 +1505,27 @@ object SparkEntry {
       |SELECT id_a, id_b, floor((i*1.0/(sa.sz+sb.sz-i))*1000000.0 + 0.5)/1000000.0 AS jaccard
       |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
       |WHERE i*1.0/(sa.sz+sb.sz-i) >= 0.8""".stripMargin
+
+  /** Shared by q_dedup_spans_index (flat serving) and
+    * q_dedup_spans_index_bucketed (lifecycle-grown bucketed layout):
+    * DuckDB recomputes the corpus span counts from [[SpanFixture]] and
+    * the left-join scoring from [[SpanBatchFixture]]; layout and growth
+    * path change the plan, never the answer. */
+  private lazy val spansIndexSql: String =
+    s"""WITH ix AS (
+      |  SELECT shingle, count(*) AS span_docs
+      |  FROM read_parquet('$SpanFixture/*.parquet') GROUP BY shingle),
+      | bs AS (
+      |  SELECT sh_id, shingle
+      |  FROM read_parquet('$SpanBatchFixture/*.parquet'))
+      |SELECT CAST(bs.sh_id AS BIGINT) AS doc_id,
+      |       count(*) AS n_spans,
+      |       CAST(sum(CASE WHEN ix.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_indexed_spans,
+      |       floor((CAST(sum(CASE WHEN ix.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |              / count(*))*1000000.0 + 0.5)/1000000.0 AS indexed_frac
+      |FROM bs LEFT JOIN ix USING (shingle)
+      |GROUP BY bs.sh_id""".stripMargin
 
   /** Shared by q_dedup_index (flat serving) and q_dedup_index_banded
     * (bucketed serving layout): DuckDB reproduces candidate generation +
@@ -1765,21 +1823,12 @@ object SparkEntry {
         |              / count(*))*1000000.0 + 0.5)/1000000.0 AS shared_frac
         |FROM sp JOIN c USING (shingle)
         |GROUP BY sp.sh_id""".stripMargin,
-    "q_dedup_spans_index" ->
-      s"""WITH ix AS (
-        |  SELECT shingle, count(*) AS span_docs
-        |  FROM read_parquet('$SpanFixture/*.parquet') GROUP BY shingle),
-        | bs AS (
-        |  SELECT sh_id, shingle
-        |  FROM read_parquet('$SpanBatchFixture/*.parquet'))
-        |SELECT CAST(bs.sh_id AS BIGINT) AS doc_id,
-        |       count(*) AS n_spans,
-        |       CAST(sum(CASE WHEN ix.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |         AS n_indexed_spans,
-        |       floor((CAST(sum(CASE WHEN ix.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-        |              / count(*))*1000000.0 + 0.5)/1000000.0 AS indexed_frac
-        |FROM bs LEFT JOIN ix USING (shingle)
-        |GROUP BY bs.sh_id""".stripMargin,
+    "q_dedup_spans_index" -> spansIndexSql,
+    // the bucketed lifecycle-grown layout must produce the SAME scores
+    // as flat serving of a one-shot build — one oracle, two plans (the
+    // q_dedup_index / q_dedup_index_banded pattern); count additivity
+    // makes the append-grown table content-equivalent to the full build
+    "q_dedup_spans_index_bucketed" -> spansIndexSql,
     "q_dedup_span_trim" ->
       s"""WITH g AS (
         |  SELECT sh_id, pos, gram FROM read_parquet('$SpanPosFixture/*.parquet')),

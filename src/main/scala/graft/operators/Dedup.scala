@@ -369,7 +369,7 @@ object Dedup {
       .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
       .bucketSpec.map(_.numBuckets)
       .getOrElse(throw new IllegalArgumentException(
-        s"appendToBandedIndex: $table is not bucketed - was it written by writeBandedIndex?"))
+        s"$table is not bucketed - was it written by writeBandedIndex/writeSpanIndex?"))
 
   /** Incremental GROWTH of a [[writeBandedIndex]] layout: append the new
     * docs' band rows and signatures to the existing bucketed tables —
@@ -1083,6 +1083,217 @@ object Dedup {
                              maxIndexedFrac: Double = 0.5): DataFrame =
     newDocs.join(
       spanStatsAgainstIndex(newDocs, index, idCol, textCol)
+        .filter(col("indexed_frac") > maxIndexedFrac).select(idCol),
+      Seq(idCol), "left_anti")
+
+  /** Persist a [[buildSpanIndex]] frame in the SERVING layout: one
+    * bucketed table `<name>_spans` — `(shingle, span_docs, span_n,
+    * build_id)` bucketed AND sorted by the span hash — plus the tiny
+    * `<name>_meta` epoch-commit table written LAST (the exact
+    * [[writeBandedIndex]] protocol; the two index families share the
+    * `_meta` schema and the crash story).
+    *
+    * Why this exists: [[spanStatsAgainstIndex]] over a plain parquet
+    * frame SHUFFLES the whole index on every call — ~2 longs per distinct
+    * corpus span, corpus-scale at 100 TB, paid per ingest batch. This is
+    * the same serving-economics gap [[writeBandedIndex]] closed for
+    * MinHash signatures: bucketing pays the index-side shuffle ONCE at
+    * build; every subsequent serve joins the batch against the
+    * bucket-aligned table with NO exchange on the index side
+    * (spec-pinned) — only the batch's spans move. Appends land as one
+    * file per bucket per cycle under fresh committed epochs
+    * ([[appendToSpanIndex]] — counts are additive, so an append IS the
+    * merge, deferred to read time); [[compactSpanIndex]] re-aggregates a
+    * bucket's epochs back to one row per span and ~one file per bucket
+    * when the file count warrants it. */
+  def writeSpanIndex(index: DataFrame, name: String,
+                     buckets: Int = 256): Unit = {
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    val head = index.select("span_n").limit(1).collect()
+    require(head.nonEmpty, "writeSpanIndex: empty index")
+    val epoch = System.nanoTime()
+    // bucket-aligned repartition before the bucketed write, same
+    // rationale as writeBandedIndex: AQE must not split a heavy shuffle
+    // partition across tasks, or each task writes its own file per
+    // bucket and serving pays a per-file open tax that grows with input
+    index.withColumn("build_id", lit(epoch))
+      .repartition(buckets, col("shingle"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "shingle").sortBy("shingle")
+      .saveAsTable(s"${name}_spans")
+    metaRow(index.sparkSession, epoch, None)
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
+  }
+
+  /** Incremental GROWTH of a [[writeSpanIndex]] layout: the new batch's
+    * span counts land as bucket-aligned rows under a fresh committed
+    * epoch — one new file per bucket per call, nothing existing is
+    * touched. Count additivity makes this the whole merge story: a span
+    * seen in k epochs holds k rows whose `span_docs` SUM is its corpus
+    * count, and serving reads membership (any row ⇒ present) without
+    * combining them, so appends never re-aggregate the index —
+    * [[mergeSpanIndexes]]'s union→sum is deferred to
+    * [[compactSpanIndex]], which restores ~one file per bucket AND one
+    * row per span in the same pass. Span width and bucket count ride
+    * with the table, so appended rows are width-consistent by
+    * construction. Crash story = [[writeBandedIndex]]'s: spans first,
+    * `_meta` commit row last; a crashed append leaves only invisible
+    * orphan rows, a retried one never double-counts. */
+  def appendToSpanIndex(newDocs: DataFrame, name: String, idCol: String,
+                        textCol: String): Unit =
+    doSpanIndexAppend(newDocs, name, idCol, textCol, key = None)
+
+  /** [[appendToSpanIndex]] keyed for AT-LEAST-ONCE callers (the span
+    * twin of [[appendToBandedIndexIdempotent]]): a key already committed
+    * in `<name>_meta` no-ops and returns false; a crashed first attempt
+    * left only invisible orphan rows, so the retry appends again under a
+    * fresh physical epoch — counts serve exactly once either way. Key =
+    * the foreachBatch batch id (same offset range ⇒ same input rows on
+    * replay). Keys survive [[compactSpanIndex]], re-pointed at the
+    * merged epoch. */
+  def appendToSpanIndexIdempotent(newDocs: DataFrame, name: String,
+                                  idCol: String, textCol: String,
+                                  key: String): Boolean =
+    if (spanIndexKeyCommitted(newDocs.sparkSession, name, key)) false
+    else { doSpanIndexAppend(newDocs, name, idCol, textCol, Some(key)); true }
+
+  /** Whether `key` is committed in `<name>_meta` — the span-index twin
+    * of [[bandedIndexKeyCommitted]] (identical `_meta` schema and
+    * protocol), public for sinks whose OTHER per-batch work must also
+    * skip on replay. */
+  def spanIndexKeyCommitted(spark: org.apache.spark.sql.SparkSession,
+                            name: String, key: String): Boolean =
+    bandedIndexKeyCommitted(spark, name, key)
+
+  private def doSpanIndexAppend(newDocs: DataFrame, name: String,
+                                idCol: String, textCol: String,
+                                key: Option[String]): Unit = {
+    val spark = newDocs.sparkSession
+    val committed = committedEpochs(spark, name)
+    require(committed.nonEmpty,
+      s"appendToSpanIndex: ${name}_meta lists no committed builds - run writeSpanIndex first")
+    val head = spark.table(s"${name}_spans")
+      .filter(col("build_id").isin(committed: _*))
+      .select("span_n").limit(1).collect()
+    require(head.nonEmpty,
+      s"appendToSpanIndex: no committed rows in ${name}_spans (crashed rebuild?) - re-run writeSpanIndex")
+    val n = head.head.getInt(0)
+    val buckets = tableBuckets(spark, s"${name}_spans")
+    val epoch = System.nanoTime()
+    buildSpanIndex(newDocs, idCol, textCol, n)
+      .withColumn("build_id", lit(epoch))
+      .repartition(buckets, col("shingle"))
+      .write.mode("append")
+      .bucketBy(buckets, "shingle").sortBy("shingle")
+      .saveAsTable(s"${name}_spans")
+    metaRow(spark, epoch, key)
+      .write.mode("append").saveAsTable(s"${name}_meta")
+  }
+
+  /** Merge-then-compact for a [[writeSpanIndex]] layout: re-aggregate
+    * every committed epoch's rows to ONE row per span (`sum(span_docs)` —
+    * the deferred [[mergeSpanIndexes]] algebra) and ~one file per bucket,
+    * commit the merged epoch, GC the pre-merge files. After N ingest
+    * appends a bucket holds N+1 files and up to N+1 rows per hot span;
+    * serving stays correct (membership needs any row) but pays the
+    * listing/open tax per file — this restores build-time economics
+    * WITHOUT re-shingling a single document. Same snapshot-merge-commit-GC
+    * shape and crash guarantees as [[compactBandedIndex]]: the merge
+    * reads an explicit file snapshot, lands as an appended epoch, the
+    * `_meta` overwrite is the commit point (idempotency keys survive,
+    * re-pointed at the merged epoch), and only then does GC delete the
+    * snapshot — a crash anywhere leaves a servable index. */
+  def compactSpanIndex(spark: org.apache.spark.sql.SparkSession,
+                       name: String): Unit = {
+    val committed = committedEpochs(spark, name)
+    require(committed.nonEmpty,
+      s"compactSpanIndex: ${name}_meta lists no committed builds - run writeSpanIndex first")
+    val buckets = tableBuckets(spark, s"${name}_spans")
+    import org.apache.hadoop.fs.Path
+    val loc = new Path(spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser
+        .parseTableIdentifier(s"${name}_spans")).location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val oldFiles = fs.listStatus(loc).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
+    require(oldFiles.nonEmpty,
+      s"compactSpanIndex: ${name}_spans has no data files (crashed rebuild?) - re-run writeSpanIndex")
+    val snapshot = spark.read.parquet(oldFiles: _*)
+      .filter(col("build_id").isin(committed: _*))
+    // same up-front committed probe as compactBandedIndex: after a
+    // crashed rebuild (table overwritten, _meta stale) the merge would
+    // commit an EMPTY epoch and GC the sole copies of the data
+    require(snapshot.select(lit(1)).limit(1).collect().nonEmpty,
+      s"compactSpanIndex: no committed rows in ${name}_spans (crashed rebuild?) - re-run writeSpanIndex")
+    val epoch = System.nanoTime()
+    snapshot.groupBy("shingle", "span_n")
+      .agg(sum("span_docs").as("span_docs"))
+      .select(col("shingle"), col("span_docs"), col("span_n"))
+      .withColumn("build_id", lit(epoch))
+      .repartition(buckets, col("shingle"))
+      .write.mode("append")
+      .bucketBy(buckets, "shingle").sortBy("shingle")
+      .saveAsTable(s"${name}_spans")
+    // commit point: the merged epoch becomes the ONLY served epoch;
+    // idempotency keys survive, re-pointed (a foreachBatch replay from
+    // before the compaction must still read as already-delivered)
+    val metaTbl = spark.table(s"${name}_meta")
+    val keptKeys: Seq[String] =
+      if (!metaTbl.columns.contains("key")) Seq.empty
+      else metaTbl
+        .filter(col("key").isNotNull && col("build_id").isin(committed: _*))
+        .select("key").collect().map(_.getString(0)).toSeq
+    val newMeta: Seq[(Long, Option[String])] =
+      (epoch, Option.empty[String]) +: keptKeys.map(k => (epoch, Option(k)))
+    spark.createDataFrame(newMeta).toDF("build_id", "key")
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
+    oldFiles.foreach(f => fs.delete(new Path(f), false))
+  }
+
+  /** [[spanStatsAgainstIndex]] served from a [[writeSpanIndex]] layout:
+    * same output, one-sided shuffle — the index is read bucket-aligned
+    * and never exchanges; only the batch's spans shuffle to meet it
+    * (spec-pinned). Membership is decided per span hash via a distinct
+    * on the bucketing column (no exchange: the aggregate keys equal the
+    * bucket keys), which also collapses the one-row-per-epoch
+    * multiplicity appends leave behind — a span appended in three cycles
+    * must still count as ONE indexed span. Both reads are filtered to
+    * the epochs `_meta` lists; a crashed rebuild fails loudly instead of
+    * serving a half-written index. Width rides with the table
+    * (uniform by construction through this family's writers). */
+  def spanStatsAgainstBucketedIndex(newDocs: DataFrame, name: String,
+                                    idCol: String, textCol: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    val committed = committedEpochs(spark, name)
+    require(committed.nonEmpty,
+      s"spanStatsAgainstBucketedIndex: ${name}_meta lists no committed builds - run writeSpanIndex")
+    val ix = spark.table(s"${name}_spans")
+      .filter(col("build_id").isin(committed: _*))
+    val head = ix.select("span_n").limit(1).collect()
+    require(head.nonEmpty,
+      s"spanStatsAgainstBucketedIndex: no committed rows in ${name}_spans " +
+        "(crashed writeSpanIndex rebuild?) - re-run writeSpanIndex")
+    val n = head.head.getInt(0)
+    val spans = hashedWordShingles(newDocs, idCol, textCol, n)
+    val hits = ix.select("shingle").distinct().withColumn("__hit", lit(1L))
+    spans.join(hits, Seq("shingle"), "left")
+      .groupBy(col("sh_id").as(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_indexed_spans"))
+      .withColumn("indexed_frac", col("n_indexed_spans") / col("n_spans"))
+  }
+
+  /** [[filterAgainstSpanIndex]] against a [[writeSpanIndex]] layout: the
+    * batch minus every doc whose indexed-span fraction exceeds
+    * `maxIndexedFrac` — the per-batch boilerplate gate, served one-sided
+    * from the bucketed table. */
+  def filterAgainstBucketedSpanIndex(newDocs: DataFrame, name: String,
+                                     idCol: String, textCol: String,
+                                     maxIndexedFrac: Double = 0.5): DataFrame =
+    newDocs.join(
+      spanStatsAgainstBucketedIndex(newDocs, name, idCol, textCol)
         .filter(col("indexed_frac") > maxIndexedFrac).select(idCol),
       Seq(idCol), "left_anti")
 

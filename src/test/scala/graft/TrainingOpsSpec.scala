@@ -1776,6 +1776,176 @@ class TrainingOpsSpec extends SparkSpec {
       got2.getAs[Long]("n_indexed_spans") == 3L)
   }
 
+  test("bucketed span index serving: identical scores to flat serving, " +
+    "index side joins without an exchange") {
+    val a = Seq((1L, "a b c d"), (2L, "x y z w")).toDF("doc_id", "text")
+    val b = Seq((3L, "a b c q"), (4L, "p q r s")).toDF("doc_id", "text")
+    val flat = Dedup.buildSpanIndex(a.union(b), "doc_id", "text", n = 3)
+    val batch = Seq(
+      (10L, "a b c d"),      // both spans indexed → 1.0
+      (11L, "a b c m n o"),  // 4 spans, one indexed → 0.25
+      (12L, "m n o m n o")   // nothing indexed → 0.0
+    ).toDF("doc_id", "text")
+    def scores(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_spans"),
+        r.getAs[Long]("n_indexed_spans"), r.getAs[Double]("indexed_frac"))).toSet
+    try {
+      Dedup.writeSpanIndex(flat, "span_ix_spec", buckets = 4)
+      val served = Dedup.spanStatsAgainstBucketedIndex(batch, "span_ix_spec",
+        "doc_id", "text")
+      // the layout changes the plan, never the answer
+      assert(scores(served) ==
+        scores(Dedup.spanStatsAgainstIndex(batch, flat, "doc_id", "text")))
+      // the gate composes the same way
+      assert(Dedup.filterAgainstBucketedSpanIndex(batch, "span_ix_spec",
+          "doc_id", "text", maxIndexedFrac = 0.5)
+        .collect().map(_.getAs[Long]("doc_id")).toSet == Set(11L, 12L))
+      // the layout's point: the index is read bucket-aligned and never
+      // exchanges; ONLY the batch's spans shuffle to meet it. AQE
+      // broadcasts the tiny sides at spec scale (hiding all exchanges),
+      // so force shuffle joins — at corpus scale nothing is
+      // broadcastable and this IS the plan.
+      val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val aqeThr = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", thr)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      try {
+        val shuffled = Dedup.spanStatsAgainstBucketedIndex(batch,
+          "span_ix_spec", "doc_id", "text")
+        shuffled.count()
+        val phys = shuffled.queryExecution.executedPlan.toString
+        assert(phys.contains("Bucketed: true"), s"bucketed scan not used:\n$phys")
+        val shExchanges = "Exchange hashpartitioning\\(shingle".r
+          .findAllIn(phys).size
+        assert(shExchanges == 1,
+          s"expected ONE shingle exchange (batch side only), got $shExchanges:\n$phys")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", aqeThr)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS span_ix_spec_spans")
+      spark.sql("DROP TABLE IF EXISTS span_ix_spec_meta")
+    }
+  }
+
+  test("bucketed span index lifecycle: append ≡ rebuild with multi-epoch " +
+    "spans counted once, compaction folds epochs to one row per span, " +
+    "idempotent keys survive, crash states fail loudly") {
+    val a = Seq((1L, "a b c d"), (2L, "x y z w")).toDF("doc_id", "text")
+    val b = Seq((3L, "a b c q"), (4L, "p q r s")).toDF("doc_id", "text")
+    val c = Seq((5L, "fresh appended words arrive here")).toDF("doc_id", "text")
+    // "a b c" is in BOTH the base build (doc 1) and the append (doc 3):
+    // two committed rows for one span — serving must count it ONCE
+    val batch = Seq(
+      (10L, "a b c d"),                      // 2 spans, both indexed → 1.0
+      (11L, "fresh appended words arrive here"), // all from the 2nd append
+      (12L, "m n o m n o")                   // unseen → 0.0
+    ).toDF("doc_id", "text")
+    def scores(name: String) =
+      Dedup.spanStatsAgainstBucketedIndex(batch, name, "doc_id", "text")
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_spans"),
+          r.getAs[Long]("n_indexed_spans"))).toSet
+    def dataFiles(table: String): Seq[java.io.File] = {
+      val loc = new java.io.File(new java.net.URI(spark.sessionState.catalog
+        .getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table))
+        .location.toString))
+      Option(loc.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+    }
+    val buckets = 4
+    try {
+      Dedup.writeSpanIndex(Dedup.buildSpanIndex(a, "doc_id", "text", n = 3),
+        "span_ix_lc", buckets = buckets)
+      Dedup.appendToSpanIndex(b, "span_ix_lc", "doc_id", "text")
+      assert(Dedup.appendToSpanIndexIdempotent(c, "span_ix_lc",
+        "doc_id", "text", "cycle-1"), "first delivery must append")
+      val grown = scores("span_ix_lc")
+      assert(grown == Set((10L, 2L, 2L), (11L, 3L, 3L), (12L, 3L, 0L)),
+        s"multi-epoch span must count once per batch span: $grown")
+      // ≡ a one-shot rebuild over the union (the banded family's pin)
+      Dedup.writeSpanIndex(
+        Dedup.buildSpanIndex(a.union(b).union(c), "doc_id", "text", n = 3),
+        "span_ix_re", buckets = buckets)
+      assert(grown == scores("span_ix_re"))
+      // replayed key no-ops: no new rows, serving unchanged
+      val rowsBefore = spark.table("span_ix_lc_spans").count()
+      assert(!Dedup.appendToSpanIndexIdempotent(c, "span_ix_lc",
+        "doc_id", "text", "cycle-1"), "a committed key must no-op")
+      assert(spark.table("span_ix_lc_spans").count() == rowsBefore)
+      // a crashed append's orphan rows (epoch never committed) are
+      // invisible to serving and garbage-collected by compaction
+      Seq((123456789L, 1L, 3, 999L))
+        .toDF("shingle", "span_docs", "span_n", "build_id")
+        .write.mode("append").bucketBy(buckets, "shingle").sortBy("shingle")
+        .saveAsTable("span_ix_lc_spans")
+      assert(scores("span_ix_lc") == grown,
+        "uncommitted orphan rows must be invisible to serving")
+      val filesBefore = dataFiles("span_ix_lc_spans").size
+      assert(filesBefore > buckets,
+        s"3 epochs + orphans should exceed $buckets files, got $filesBefore")
+
+      Dedup.compactSpanIndex(spark, "span_ix_lc")
+
+      // identical scores; ONE committed epoch; one row per distinct span
+      // (the deferred merge algebra became physical); files back to ~1
+      // per bucket; the orphan epoch's rows gone
+      assert(scores("span_ix_lc") == grown)
+      assert(spark.table("span_ix_lc_meta").select("build_id").distinct()
+        .count() == 1, "compaction must leave exactly one committed epoch")
+      val spansTbl = spark.table("span_ix_lc_spans")
+      assert(spansTbl.count() ==
+        spansTbl.select("shingle").distinct().count(),
+        "compaction must fold multi-epoch spans to one row per span")
+      assert(spansTbl.filter(col("build_id") === 999L).count() == 0,
+        "compaction must garbage-collect uncommitted orphan rows")
+      val filesAfter = dataFiles("span_ix_lc_spans").size
+      assert(filesAfter <= buckets && filesAfter >= 1,
+        s"expected <= $buckets files after compaction, got $filesAfter")
+      // counts MERGED, not just deduped: "a b c" sits in docs 1 (base
+      // epoch) and 3 (append epoch) — its single post-compaction row must
+      // sum to span_docs = 2, and it is the only cross-doc span here
+      assert(spansTbl.filter(col("span_docs") === 2L).count() == 1 &&
+        spansTbl.agg(max("span_docs")).head().getLong(0) == 2L,
+        "compaction must sum span_docs across epochs")
+      // keys survive compaction, re-pointed at the merged epoch
+      assert(!Dedup.appendToSpanIndexIdempotent(c, "span_ix_lc",
+        "doc_id", "text", "cycle-1"), "keys must survive compaction")
+      // the lifecycle continues: append after compaction serves
+      Dedup.appendToSpanIndex(
+        Seq((6L, "post compaction content keeps arriving")).toDF("doc_id", "text"),
+        "span_ix_lc", "doc_id", "text")
+      val probe = Seq((13L, "post compaction content keeps arriving"))
+        .toDF("doc_id", "text")
+      val p = Dedup.spanStatsAgainstBucketedIndex(probe, "span_ix_lc",
+        "doc_id", "text").head()
+      assert(p.getAs[Long]("n_indexed_spans") == p.getAs[Long]("n_spans"),
+        "an append after compaction must serve")
+      // crash semantics: a stale _meta over a rebuilt table (rebuild
+      // crashed between the table overwrite and the meta write) fails
+      // loudly for serve, append and compact alike
+      spark.createDataFrame(Seq(Tuple1(12345L))).toDF("build_id")
+        .write.mode("overwrite").saveAsTable("span_ix_lc_meta")
+      assert(msgChain(intercept[Exception](
+          Dedup.spanStatsAgainstBucketedIndex(batch, "span_ix_lc",
+            "doc_id", "text").collect()))
+        .contains("no committed rows"))
+      assert(msgChain(intercept[Exception](
+          Dedup.appendToSpanIndex(c, "span_ix_lc", "doc_id", "text")))
+        .contains("no committed rows"))
+      assert(msgChain(intercept[Exception](
+          Dedup.compactSpanIndex(spark, "span_ix_lc")))
+        .contains("no committed rows"))
+    } finally {
+      Seq("span_ix_lc", "span_ix_re").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_spans")
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_meta")
+      }
+    }
+  }
+
   test("hashSplit: deterministic partition into named splits, fractions honored") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = TextAnalysis.hashSplit(docs, "doc_id")
