@@ -669,6 +669,56 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("span surgery ∘ span profile fixpoint: iterated removeDuplicatedSpans " +
+    "reaches a corpus spanStats scores as zero-shared — the two operators' " +
+    "shared tokenizer/shingler contract") {
+    // ONE pass is not always enough: cutting a dup span juxtaposes the
+    // remnant tokens, and a remnant n-gram of doc A can coincide with an
+    // untouched n-gram of doc C that shared nothing before — so the
+    // precise invariant is CONVERGENCE: each pass with any cross-doc
+    // shared span strictly removes tokens (its dup cover is nonempty),
+    // so iteration terminates, and at the fixpoint the profile must read
+    // zero shared spans for every doc. A tokenizer/shingler divergence
+    // between the two operators (different empty-token handling, a
+    // different short-doc rule) would instead leave a span one operator
+    // sees and the other never cuts — an infinite disagreement this
+    // bounded loop surfaces as a failure.
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val doc = Gen.chooseNum(1, 10).flatMap(len => Gen.listOfN(len, word))
+    val corpusGen = Gen.chooseNum(2, 8).flatMap(k => Gen.listOfN(k, doc))
+    val n = 3
+    def totalShared(df: org.apache.spark.sql.DataFrame): Long = {
+      // sum over an empty profile (every doc emptied out) is NULL → 0
+      val r = Dedup.spanStats(df, "doc_id", "text", n)
+        .agg(org.apache.spark.sql.functions.sum("n_shared_spans")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    def totalTokens(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.size(
+            graft.operators.TextAnalysis.tokens($"text"))))
+        .head().getLong(0)
+    forAll(corpusGen, n = 4) { docs =>
+      var df = docs.indices.map(_.toLong).zip(docs.map(_.mkString(" ")))
+        .toDF("doc_id", "text")
+      var iters = 0
+      while (totalShared(df) > 0 && iters < 12) {
+        val before = totalTokens(df)
+        df = Dedup.removeDuplicatedSpans(df, "doc_id", "text", n)
+          .select($"doc_id", $"text")
+        assert(totalTokens(df) < before,
+          s"a pass over a corpus with shared spans must remove tokens: $docs")
+        iters += 1
+      }
+      assert(totalShared(df) == 0,
+        s"surgery must converge to a zero-shared-span corpus: $docs " +
+          s"(stalled after $iters passes)")
+      // and every doc survives as a row (possibly empty), so the
+      // fixpoint is a full-corpus statement, not a survivor-only one
+      assert(df.count() == docs.length.toLong)
+    }
+  }
+
   test("ensureColumns: arbitrary column subsets conform to the full schema") {
     forAll(Gen.someOf(Schemas.mem.fieldNames.toSeq)) { keep =>
       whenever(keep.nonEmpty) {

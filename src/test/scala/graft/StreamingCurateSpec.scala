@@ -243,6 +243,81 @@ class StreamingCurateSpec extends SparkSpec {
     }
   }
 
+  test("SpanIngest: streamed two-cycle ingest ≡ the CLI span-index loop " +
+    "(gate → land → append per batch); replays are no-ops on both legs") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SpanIngest
+    // the exact RunnerSpec CLI-loop scenario, so the equivalence claim is
+    // literal: same corpus, same two batches, same width and threshold
+    val boiler = "all rights reserved contact the webmaster for takedown " +
+      "requests and legal inquiries about this content"
+    val corpus = Seq(
+      (1L, s"first article body text with original words $boiler"),
+      (2L, s"second article entirely different phrasing here $boiler")
+    ).toDF("doc_id", "text")
+    val batch0 = Seq(
+      (10L, s"tiny note $boiler"), // boilerplate-dominated → gated
+      (11L, "a long fresh report about tidal power generation economics " +
+        "with enough words that no span matches the landed corpus at all"))
+    val batch1 = Seq(
+      // span-copy of doc 11 — gated ONLY if batch 0's kept docs joined
+      // the index between the cycles
+      (20L, "a long fresh report about tidal power generation economics " +
+        "with enough words that no span matches the landed corpus at all " +
+        "plus one extra tail clause"))
+    val out = java.nio.file.Files.createTempDirectory("span-ingest").toString
+    try {
+      Dedup.writeSpanIndex(
+        Dedup.buildSpanIndex(corpus, "doc_id", "text", n = 6),
+        "span_ix_stream", buckets = 4)
+      val sink = SpanIngest.sink(out, "span_ix_stream", "doc_id", "text",
+        maxIndexedFrac = 0.5)
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("doc_id", "text")
+        .writeStream.foreachBatch(sink).start()
+      in.addData(batch0: _*)
+      q.processAllAvailable()
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      q.stop()
+      def landed() = spark.read.parquet(out)
+        .select("doc_id").as[Long].collect().toSet
+      // the CLI loop's pinned outcome on the same inputs: cycle 1 keeps
+      // only the fresh doc, cycle 2 gates its span-copy — replayed here
+      // through the FLAT ops exactly as span-index-build/filter/merge run
+      val flatIx = Dedup.buildSpanIndex(corpus, "doc_id", "text", n = 6)
+      val keep1 = Dedup.filterAgainstSpanIndex(batch0.toDF("doc_id", "text"),
+        flatIx, "doc_id", "text", maxIndexedFrac = 0.5)
+      val ix2 = Dedup.mergeSpanIndexes(flatIx,
+        Dedup.buildSpanIndex(keep1, "doc_id", "text", n = 6))
+      val keep2 = Dedup.filterAgainstSpanIndex(batch1.toDF("doc_id", "text"),
+        ix2, "doc_id", "text", maxIndexedFrac = 0.5)
+      val cliKept = keep1.select("doc_id").as[Long].collect().toSet ++
+        keep2.select("doc_id").as[Long].collect().toSet
+      assert(cliKept == Set(11L), "fixture sanity: CLI loop keeps only 11")
+      assert(landed() == cliKept,
+        "streamed ingest must land exactly what the CLI loop keeps")
+      // the cross-cycle knowledge went through the INDEX: doc 11's spans
+      // are served from the append epoch
+      val p = Dedup.spanStatsAgainstBucketedIndex(
+        batch1.toDF("doc_id", "text"), "span_ix_stream", "doc_id", "text")
+        .head()
+      assert(p.getAs[Double]("indexed_frac") > 0.5,
+        "batch 0's kept spans must be servable in cycle 2")
+      // the restart-retry shape: replay batch 0 — the landing dir
+      // overwrites itself, the index append reads as already-committed
+      val rowsBefore = spark.table("span_ix_stream_spans").count()
+      sink(batch0.toDF("doc_id", "text"), 0L)
+      assert(landed() == cliKept,
+        "replaying a batch id must leave the landed corpus identical")
+      assert(spark.table("span_ix_stream_spans").count() == rowsBefore,
+        "a replayed batch must not re-append span rows")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS span_ix_stream_spans")
+      spark.sql("DROP TABLE IF EXISTS span_ix_stream_meta")
+    }
+  }
+
   test("IvfIngest: streamed embedding batches become servable exactly-once — " +
     "the ANN side of the lambda split") {
     implicit val sqlCtx = spark.sqlContext
