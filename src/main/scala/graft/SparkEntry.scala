@@ -429,6 +429,25 @@ object SparkEntry {
   private lazy val SpanBatchFixture =
     new java.io.File("target/verify-fixtures/span_batch_hashes").getAbsolutePath
 
+  /** Per-span CMS estimates for q_dedup_spans_sketch — the
+    * [[SimhashFixture]] pattern: the seeded-hash sketch probe is
+    * engine-bound, but GIVEN each batch span's estimate, the threshold
+    * test, per-doc counting and fraction are plain SQL. Dumped via
+    * posexplode_OUTER so a zero-span doc reaches the oracle as a
+    * NULL-shingle sentinel (the sketch's narrow form reports such docs;
+    * the exploded exact form omits them). */
+  private lazy val SpanSketchFixture =
+    new java.io.File("target/verify-fixtures/span_sketch_est").getAbsolutePath
+
+  /** Span sketch for `dir`'s documents corpus, built once per JVM —
+    * deterministic (spec-pinned bit-identical rebuilds), so the fixture
+    * dump and the query agree across JVMs by construction. */
+  private val spanSketchCache =
+    collection.concurrent.TrieMap.empty[String, graft.operators.Dedup.SpanSketch]
+  private def spanSketch(s: SparkSession, dir: String): graft.operators.Dedup.SpanSketch =
+    spanSketchCache.getOrElseUpdate(dir,
+      Dedup.buildSpanSketch(tbl(s, dir, "documents"), "doc_id", "text", n = 8))
+
   /** POSITIONAL fixtures for q_dedup_span_trim — the ordered gram hashes
     * (`(sh_id, pos, gram)`, index = gram start) and the tokens
     * (`(sh_id, pos, token)`): the hashing and tokenization are
@@ -725,6 +744,17 @@ object SparkEntry {
       .write.mode("overwrite").parquet(SpanFixture)
     Dedup.hashedWordShingles(dedupIndexBatch(s, dir), "doc_id", "text", k = 8)
       .write.mode("overwrite").parquet(SpanBatchFixture)
+    dedupIndexBatch(s, dir).select(col("doc_id").as("sh_id"),
+        posexplode_outer(graft.functions.ShingleHashes
+          .shingleHashes(col("text"), 8)).as(Seq("pos", "shingle")))
+      // the null-shingle sentinel must carry a NULL estimate: Spark's
+      // hash functions SKIP null arguments (xxhash64(d, null) ==
+      // xxhash64(d)), so an unguarded probe would hand the zero-span
+      // sentinel a real counter value and the oracle a phantom hit
+      .withColumn("est", when(col("shingle").isNotNull,
+        Dedup.spanSketchEstimate(spanSketch(s, dir), col("shingle"))))
+      .select("sh_id", "shingle", "est")
+      .write.mode("overwrite").parquet(SpanSketchFixture)
     // posexplode_OUTER on both positional fixtures: a doc whose text
     // tokenizes to zero tokens (or to fewer than n, for the gram side)
     // must still reach the oracle — removeDuplicatedSpans emits a row
@@ -880,6 +910,20 @@ object SparkEntry {
   private def qDedupSpansIndexBucketed(s: SparkSession, dir: String): DataFrame =
     Dedup.spanStatsAgainstBucketedIndex(dedupIndexBatch(s, dir),
         bucketedSpanTable(s, dir), "doc_id", "text")
+      .withColumn("indexed_frac", rq(col("indexed_frac"), 6))
+
+  /** The COUNT-MIN-SKETCH form of the boilerplate gate
+    * ([[Dedup.spanStatsAgainstSketch]]): the same batch profiled against
+    * a ~2 MB sketch of the corpus span index — no join, no shuffle, one
+    * narrow pass (`depth` array probes per span). The sub-linear-memory
+    * serving shape for 100 TB, where even the exact span index is
+    * corpus-scale; estimates only overcount (spec-pinned vs the exact
+    * index), and at this corpus/width the profile is exact. Oracle:
+    * DuckDB replays the threshold test, per-doc counting and fraction
+    * from the dumped per-span estimates ([[SpanSketchFixture]]). */
+  private def qDedupSpansSketch(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanStatsAgainstSketch(dedupIndexBatch(s, dir),
+        spanSketch(s, dir), "doc_id", "text")
       .withColumn("indexed_frac", rq(col("indexed_frac"), 6))
 
   /** Duplicated-span REMOVAL ([[Dedup.removeDuplicatedSpans]]): the
@@ -1431,6 +1475,7 @@ object SparkEntry {
     "q_dedup_spans" -> qDedupSpans,
     "q_dedup_spans_index" -> qDedupSpansIndex,
     "q_dedup_spans_index_bucketed" -> qDedupSpansIndexBucketed,
+    "q_dedup_spans_sketch" -> qDedupSpansSketch,
     "q_dedup_span_trim" -> qDedupSpanTrim,
     "q_dedup_index" -> qDedupIndex,
     "q_dedup_index_banded" -> qDedupIndexBanded,
@@ -1829,6 +1874,19 @@ object SparkEntry {
     // q_dedup_index / q_dedup_index_banded pattern); count additivity
     // makes the append-grown table content-equivalent to the full build
     "q_dedup_spans_index_bucketed" -> spansIndexSql,
+    "q_dedup_spans_sketch" ->
+      s"""WITH be AS (
+        |  SELECT sh_id, shingle, est
+        |  FROM read_parquet('$SpanSketchFixture/*.parquet'))
+        |SELECT CAST(sh_id AS BIGINT) AS doc_id,
+        |       count(shingle) AS n_spans,
+        |       CAST(sum(CASE WHEN est >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_indexed_spans,
+        |       CASE WHEN count(shingle) > 0 THEN
+        |         floor((CAST(sum(CASE WHEN est >= 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |                / count(shingle))*1000000.0 + 0.5)/1000000.0 END
+        |         AS indexed_frac
+        |FROM be GROUP BY sh_id""".stripMargin,
     "q_dedup_span_trim" ->
       s"""WITH g AS (
         |  SELECT sh_id, pos, gram FROM read_parquet('$SpanPosFixture/*.parquet')),

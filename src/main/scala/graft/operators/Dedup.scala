@@ -1297,6 +1297,131 @@ object Dedup {
         .filter(col("indexed_frac") > maxIndexedFrac).select(idCol),
       Seq(idCol), "left_anti")
 
+  /** A count-min sketch of a span-frequency index, WITH the geometry it
+    * was built at: `counts` is the `depth × width` counter matrix
+    * flattened row-major, `n` the span width (riding with the sketch for
+    * the same reason it rides with the index — probing at the wrong
+    * width silently gates nothing), `width`/`depth` the CMS shape. The
+    * SUB-LINEAR-MEMORY serving form of the span gate: `depth · width`
+    * longs — FIXED, independent of corpus size — versus the exact
+    * index's row per distinct corpus span. At 100 TB the exact frame is
+    * itself corpus-scale; the sketch is ~2 MB at the defaults and rides
+    * the task broadcast like [[graft.streaming.StreamingCurate
+    * .ShingleBloom]]'s filter bytes.
+    *
+    * Estimates NEVER undercount (CMS guarantee: every counter a span
+    * hashes to holds at least its true count), so a truly-indexed span
+    * always gates — no false negatives, the same conservative direction
+    * as Bloom decontamination. Overcount is bounded: with `N₁ = Σ
+    * span_docs` (total doc-span incidences), each estimate exceeds the
+    * true count by more than `2·N₁/width` with probability at most
+    * `2^-depth` (Cormode & Muthukrishnan, J. Algorithms 55(1), 2005) —
+    * spec-pinned against the exact index at adversarially small widths. */
+  final case class SpanSketch(counts: Array[Long], n: Int, width: Int,
+                              depth: Int) {
+    require(counts.length == depth * width,
+      s"SpanSketch: ${counts.length} counters for depth=$depth width=$width")
+  }
+
+  /** [[buildSpanIndex]] compressed into a [[SpanSketch]] in one pass:
+    * every index row adds its `span_docs` to one counter per depth row
+    * (bucket = seeded xxhash64 of the span hash, mod width). The
+    * aggregation is map-side partial over at most `depth · width` keys,
+    * the collect is the counter matrix itself — bytes, not data — and
+    * the result is deterministic (no randomness, no order dependence),
+    * so a rebuilt sketch over the same index is bit-identical. */
+  def spanSketchFromIndex(index: DataFrame, width: Int = 1 << 16,
+                          depth: Int = 4): SpanSketch = {
+    require(width >= 1 && depth >= 1,
+      s"spanSketchFromIndex: width=$width depth=$depth must be positive")
+    val head = index.select("span_n").limit(1).collect()
+    require(head.nonEmpty, "spanSketchFromIndex: empty index")
+    val n = head.head.getInt(0)
+    val flat = new Array[Long](depth * width)
+    index.select(explode(array((0 until depth).map(lit): _*)).as("d"),
+        col("shingle"), col("span_docs"))
+      .groupBy(col("d"),
+        pmod(xxhash64(col("d"), col("shingle")), lit(width.toLong)).as("bucket"))
+      .agg(sum("span_docs").as("cnt"))
+      .collect()
+      .foreach(r => flat(r.getInt(0) * width + r.getLong(1).toInt) = r.getLong(2))
+    SpanSketch(flat, n, width, depth)
+  }
+
+  /** [[spanSketchFromIndex]] ∘ [[buildSpanIndex]] — sketch a corpus
+    * directly when the exact index is not being kept. */
+  def buildSpanSketch(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 8, width: Int = 1 << 16,
+                      depth: Int = 4): SpanSketch =
+    spanSketchFromIndex(buildSpanIndex(docs, idCol, textCol, n), width, depth)
+
+  /** The CMS point estimate for a span hash column, as a Column: the MIN
+    * over depth rows of the counter each seeded hash lands on. Pure
+    * codegen'd built-ins (`element_at` over the counter literal), legal
+    * inside higher-order lambdas — which is what makes the sketch gate a
+    * NARROW per-row filter (see [[spanStatsAgainstSketch]]). */
+  def spanSketchEstimate(sketch: SpanSketch, h: Column): Column = {
+    val flat = typedLit(sketch.counts.toSeq)
+    least((0 until sketch.depth).map { d =>
+      element_at(flat, (lit(d * sketch.width) +
+        pmod(xxhash64(lit(d), h), lit(sketch.width.toLong))).cast("int") + 1)
+    }: _*)
+  }
+
+  /** [[spanStatsAgainstIndex]] served from a [[SpanSketch]]: per batch
+    * doc, `n_spans`, `n_indexed_spans` (spans whose estimated corpus
+    * count is at least `minDocs`) and `indexed_frac` — with NO join, NO
+    * shuffle and NO state: one fused shingle pass per row, `depth` array
+    * lookups per span. The stateless 100 TB ingest shape — the gate a
+    * `foreachBatch` or even a plain stream `filter` can carry as a
+    * literal. Estimates only ever overcount, so vs the exact index this
+    * reports `n_indexed_spans` at least as large — the gate drops a
+    * superset (conservative, like Bloom decontamination); the overcount
+    * probability is bounded by the sketch geometry (see [[SpanSketch]]). */
+  def spanStatsAgainstSketch(newDocs: DataFrame, sketch: SpanSketch,
+                             idCol: String, textCol: String,
+                             minDocs: Long = 1L): DataFrame =
+    newDocs.select(col(idCol),
+        graft.functions.ShingleHashes.shingleHashes(col(textCol), sketch.n)
+          .as("__spans"))
+      .select(col(idCol), size(col("__spans")).cast("long").as("n_spans"),
+        size(filter(col("__spans"),
+          h => spanSketchEstimate(sketch, h) >= minDocs))
+          .cast("long").as("n_indexed_spans"))
+      // zero-span docs appear here (the exploded exact form omits them);
+      // their fraction is null, guarded explicitly because ANSI mode
+      // makes a bare 0/0 an error, not a null
+      .withColumn("indexed_frac", when(col("n_spans") > 0,
+        col("n_indexed_spans") / col("n_spans")))
+
+  /** [[filterAgainstSpanIndex]] in sketch form: keep batch docs whose
+    * sketch-estimated indexed-span fraction is at most `maxIndexedFrac`.
+    * A pure per-row `filter` — no join, no shuffle, no id plumbing: at
+    * 100 TB this is the FIRST gate in the ingest pipeline, shedding
+    * boilerplate-dominated docs before anything shuffles (a plain
+    * stream `filter` can carry it; the exact gates need `foreachBatch`).
+    * The kept set is a SUBSET of the exact gate's at the same threshold
+    * (no-false-negative estimates only push `indexed_frac` up),
+    * spec-pinned. The predicate reuses [[spanStatsAgainstSketch]]'s
+    * exact arithmetic (same division, same null-for-zero-spans ⇒ kept)
+    * so gate and profile can never disagree on a doc. */
+  def filterAgainstSpanSketch(newDocs: DataFrame, sketch: SpanSketch,
+                              idCol: String, textCol: String,
+                              maxIndexedFrac: Double = 0.5,
+                              minDocs: Long = 1L): DataFrame = {
+    val spans = graft.functions.ShingleHashes
+      .shingleHashes(col(textCol), sketch.n)
+    val nSpans = size(spans)
+    // zero-span docs are KEPT (same as the flat gate's left-anti on a
+    // doc the stats never flag); the when-guard also keeps the division
+    // legal under ANSI mode. The division itself is the same expression
+    // spanStatsAgainstSketch computes, so gate and profile agree bit-wise
+    val frac = when(nSpans > 0,
+      size(filter(spans, h => spanSketchEstimate(sketch, h) >= minDocs))
+        .cast("long").cast("double") / nSpans.cast("long").cast("double"))
+    newDocs.filter(frac.isNull || !(frac > maxIndexedFrac))
+  }
+
   /** 64-bit SimHash over whitespace tokens: per bit, sum +1/−1 weighted by
     * the token-hash bit; the sign vector packs into one long. One narrow
     * pass via the native [[graft.functions.SimHash64]] expression (the

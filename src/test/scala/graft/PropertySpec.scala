@@ -719,6 +719,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("span sketch vs exact index on random corpora: estimates never " +
+    "undercount, the sketch gate keeps a subset at every width") {
+    val word = Gen.oneOf("a", "b", "c", "d", "e")
+    val doc = Gen.chooseNum(1, 10).flatMap(len => Gen.listOfN(len, word))
+    val corpusGen = Gen.chooseNum(2, 8).flatMap(k => Gen.listOfN(k, doc))
+    val widthGen = Gen.oneOf(2, 4, 64, 1 << 14)
+    val n = 3
+    forAll(Gen.zip(corpusGen, corpusGen, widthGen), n = 4) {
+      case (corpus, batchToks, width) =>
+      val cdf = corpus.indices.map(_.toLong).zip(corpus.map(_.mkString(" ")))
+        .toDF("doc_id", "text")
+      val bdf = batchToks.indices.map(i => 100L + i)
+        .zip(batchToks.map(_.mkString(" "))).toDF("doc_id", "text")
+      val index = Dedup.buildSpanIndex(cdf, "doc_id", "text", n)
+      val sketch = Dedup.spanSketchFromIndex(index, width, depth = 3)
+      // per-span: the CMS estimate dominates the true corpus count —
+      // the deterministic half of the sketch guarantee
+      val bad = Dedup.hashedWordShingles(cdf, "doc_id", "text", n)
+        .groupBy("shingle")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("t"))
+        .withColumn("e", Dedup.spanSketchEstimate(sketch, $"shingle"))
+        .filter($"e" < $"t").count()
+      assert(bad == 0L, s"undercounting sketch at width=$width: $corpus")
+      // per-doc: sketch-indexed count dominates exact-indexed count, so
+      // the gate keeps a subset of the exact gate's keep set
+      val exact = Dedup.spanStatsAgainstIndex(bdf, index, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val est = Dedup.spanStatsAgainstSketch(bdf, sketch, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(exact.forall { case (id, ni) => est(id) >= ni },
+        s"sketch under-gated at width=$width: $est vs $exact")
+      val keptSketch = Dedup.filterAgainstSpanSketch(bdf, sketch,
+          "doc_id", "text", maxIndexedFrac = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val keptExact = Dedup.filterAgainstSpanIndex(bdf, index,
+          "doc_id", "text", maxIndexedFrac = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(keptSketch.subsetOf(keptExact),
+        s"width=$width kept $keptSketch vs exact $keptExact: $corpus")
+    }
+  }
+
   test("ensureColumns: arbitrary column subsets conform to the full schema") {
     forAll(Gen.someOf(Schemas.mem.fieldNames.toSeq)) { keep =>
       whenever(keep.nonEmpty) {

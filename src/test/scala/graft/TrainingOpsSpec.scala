@@ -1776,6 +1776,81 @@ class TrainingOpsSpec extends SparkSpec {
       got2.getAs[Long]("n_indexed_spans") == 3L)
   }
 
+  test("span sketch gate: ample width ≡ exact serving, tiny width never " +
+    "under-gates, estimates bounded, geometry rides, plan stays narrow") {
+    val corpus = Seq(
+      (1L, "a b c d e"), (2L, "a b c x y"), (3L, "p q r s t"),
+      (4L, "u v w a b c")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "a b c d e"),       // all spans indexed
+      (11L, "a b c m n o"),     // partially indexed
+      (12L, "z1 z2 z3 z4 z5"),  // nothing indexed
+      (13L, "")                 // zero spans: kept by every gate
+    ).toDF("doc_id", "text")
+    val n = 3
+    val index = Dedup.buildSpanIndex(corpus, "doc_id", "text", n)
+    val exact = Dedup.spanStatsAgainstIndex(batch, index, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_indexed_spans")))).toMap
+    // ample width (collision-free at this scale): the sketch reproduces
+    // the exact profile on every doc that HAS spans (the exploded exact
+    // form omits zero-span docs; the narrow sketch form reports them
+    // with n_spans 0), and the gates keep identical sets
+    val ample = Dedup.spanSketchFromIndex(index, width = 1 << 16, depth = 4)
+    assert(ample.n == n, "span width must ride with the sketch")
+    val viaSketch = Dedup.spanStatsAgainstSketch(batch, ample, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_indexed_spans")))).toMap
+    assert(exact.forall { case (id, v) => viaSketch(id) == v },
+      s"ample-width sketch must match exact serving: $viaSketch vs $exact")
+    assert(viaSketch(13L) == ((0L, 0L)), "zero-span doc reported, not dropped")
+    def keptIds(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(keptIds(Dedup.filterAgainstSpanSketch(batch, ample,
+        "doc_id", "text", maxIndexedFrac = 0.5)) ==
+      keptIds(Dedup.filterAgainstSpanIndex(batch, index,
+        "doc_id", "text", maxIndexedFrac = 0.5)))
+    // adversarially tiny width (4 buckets for 10 distinct spans): the
+    // no-false-negative direction must survive saturation — estimates
+    // only overcount, so per doc the sketch's indexed count dominates
+    // the exact one and the kept set shrinks (never grows)
+    val tiny = Dedup.spanSketchFromIndex(index, width = 4, depth = 2)
+    val viaTiny = Dedup.spanStatsAgainstSketch(batch, tiny, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_indexed_spans")).toMap
+    assert(exact.forall { case (id, (_, ni)) => viaTiny(id) >= ni },
+      s"a sketch must never under-gate: $viaTiny vs $exact")
+    assert(keptIds(Dedup.filterAgainstSpanSketch(batch, tiny,
+        "doc_id", "text", maxIndexedFrac = 0.5))
+      .subsetOf(keptIds(Dedup.filterAgainstSpanIndex(batch, index,
+        "doc_id", "text", maxIndexedFrac = 0.5))))
+    // the CMS estimate bounds, deterministic for this fixture: for every
+    // indexed span, true <= est <= true + 2*N1/width at width 8 (the
+    // stated Cormode-Muthukrishnan bound; hashing is seed-fixed, so if
+    // the bound holds here it holds forever)
+    val w8 = Dedup.spanSketchFromIndex(index, width = 8, depth = 4)
+    val n1 = index.agg(sum("span_docs")).head().getLong(0)
+    val spans = Dedup.hashedWordShingles(corpus, "doc_id", "text", n)
+      .groupBy("shingle").agg(count(lit(1)).as("true_cnt"))
+      .withColumn("est", Dedup.spanSketchEstimate(w8, col("shingle")))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(spans.forall { case (t, e) => e >= t },
+      s"CMS must never undercount: ${spans.toSeq}")
+    assert(spans.forall { case (t, e) => e <= t + 2.0 * n1 / 8 },
+      s"fixture estimates must sit within the stated bound: ${spans.toSeq}")
+    // determinism: a rebuilt sketch is bit-identical (no randomness, no
+    // collect-order dependence) — the cross-JVM serving contract
+    assert(Dedup.spanSketchFromIndex(index, width = 8, depth = 4)
+      .counts.sameElements(w8.counts))
+    // the gate's plan is NARROW: scanning the batch through the sketch
+    // filter plans no exchange at all — the whole point at 100 TB
+    val gated = Dedup.filterAgainstSpanSketch(batch, ample, "doc_id", "text")
+    gated.count()
+    val phys = gated.queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"),
+      s"the sketch gate must be a pure per-row filter:\n$phys")
+  }
+
   test("bucketed span index serving: identical scores to flat serving, " +
     "index side joins without an exchange") {
     val a = Seq((1L, "a b c d"), (2L, "x y z w")).toDF("doc_id", "text")
