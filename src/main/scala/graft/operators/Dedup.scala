@@ -1372,27 +1372,38 @@ object Dedup {
     * doc, `n_spans`, `n_indexed_spans` (spans whose estimated corpus
     * count is at least `minDocs`) and `indexed_frac` — with NO join, NO
     * shuffle and NO state: one fused shingle pass per row, `depth` array
-    * lookups per span. The stateless 100 TB ingest shape — the gate a
-    * `foreachBatch` or even a plain stream `filter` can carry as a
-    * literal. Estimates only ever overcount, so vs the exact index this
+    * probes per span through the native [[graft.functions
+    * .SpanSketchProbe]] expression, the counter matrix riding a Spark
+    * BROADCAST (one transfer per executor; the expression tree carries
+    * only the handle — see the probe's scaladoc for why the
+    * `typedLit`-matrix form it replaces re-shipped ~10 MiB task binaries
+    * per serve). The stateless 100 TB ingest shape — the gate a
+    * `foreachBatch` or even a plain stream `filter` can carry.
+    * Estimates only ever overcount, so vs the exact index this
     * reports `n_indexed_spans` at least as large — the gate drops a
     * superset (conservative, like Bloom decontamination); the overcount
-    * probability is bounded by the sketch geometry (see [[SpanSketch]]). */
+    * probability is bounded by the sketch geometry (see [[SpanSketch]]).
+    * The broadcast is created per call and reclaimed by the
+    * ContextCleaner once the returned frame dies — a caller serving
+    * many batches against one sketch (a stream's first gate) should
+    * hold and reuse one returned frame per micro-batch cycle rather
+    * than re-calling per row. */
   def spanStatsAgainstSketch(newDocs: DataFrame, sketch: SpanSketch,
                              idCol: String, textCol: String,
-                             minDocs: Long = 1L): DataFrame =
+                             minDocs: Long = 1L): DataFrame = {
+    val bc = newDocs.sparkSession.sparkContext.broadcast(sketch.counts)
     newDocs.select(col(idCol),
         graft.functions.ShingleHashes.shingleHashes(col(textCol), sketch.n)
           .as("__spans"))
       .select(col(idCol), size(col("__spans")).cast("long").as("n_spans"),
-        size(filter(col("__spans"),
-          h => spanSketchEstimate(sketch, h) >= minDocs))
-          .cast("long").as("n_indexed_spans"))
+        graft.functions.SpanSketchProbe.indexedCount(col("__spans"), bc,
+          sketch.width, sketch.depth, minDocs).as("n_indexed_spans"))
       // zero-span docs appear here (the exploded exact form omits them);
       // their fraction is null, guarded explicitly because ANSI mode
       // makes a bare 0/0 an error, not a null
       .withColumn("indexed_frac", when(col("n_spans") > 0,
         col("n_indexed_spans") / col("n_spans")))
+  }
 
   /** [[filterAgainstSpanIndex]] in sketch form: keep batch docs whose
     * sketch-estimated indexed-span fraction is at most `maxIndexedFrac`.
@@ -1409,16 +1420,19 @@ object Dedup {
                               idCol: String, textCol: String,
                               maxIndexedFrac: Double = 0.5,
                               minDocs: Long = 1L): DataFrame = {
+    val bc = newDocs.sparkSession.sparkContext.broadcast(sketch.counts)
     val spans = graft.functions.ShingleHashes
       .shingleHashes(col(textCol), sketch.n)
     val nSpans = size(spans)
     // zero-span docs are KEPT (same as the flat gate's left-anti on a
     // doc the stats never flag); the when-guard also keeps the division
     // legal under ANSI mode. The division itself is the same expression
-    // spanStatsAgainstSketch computes, so gate and profile agree bit-wise
+    // spanStatsAgainstSketch computes — the same native probe over the
+    // same broadcast transport — so gate and profile agree bit-wise
     val frac = when(nSpans > 0,
-      size(filter(spans, h => spanSketchEstimate(sketch, h) >= minDocs))
-        .cast("long").cast("double") / nSpans.cast("long").cast("double"))
+      graft.functions.SpanSketchProbe.indexedCount(spans, bc,
+          sketch.width, sketch.depth, minDocs)
+        .cast("double") / nSpans.cast("long").cast("double"))
     newDocs.filter(frac.isNull || !(frac > maxIndexedFrac))
   }
 

@@ -1842,6 +1842,21 @@ class TrainingOpsSpec extends SparkSpec {
     // collect-order dependence) — the cross-JVM serving contract
     assert(Dedup.spanSketchFromIndex(index, width = 8, depth = 4)
       .counts.sameElements(w8.counts))
+    // native probe ≡ the Column-form estimate it replaced, at a
+    // collision-prone width: per doc, the broadcast-backed
+    // SpanSketchProbe count equals size(filter(spans, est >= minDocs))
+    // via spanSketchEstimate — the bit-equivalence contract the
+    // q_dedup_spans_sketch fixture dump relies on
+    val viaW8Native = Dedup.spanStatsAgainstSketch(batch, w8, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_indexed_spans")).toMap
+    val viaW8Hof = batch.select($"doc_id",
+        graft.functions.ShingleHashes.shingleHashes($"text", n).as("s"))
+      .select($"doc_id", size(filter($"s",
+        h => Dedup.spanSketchEstimate(w8, h) >= 1L)).cast("long").as("ni"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaW8Native == viaW8Hof,
+      s"native probe diverged from the Column form: $viaW8Native vs $viaW8Hof")
     // the gate's plan is NARROW: scanning the batch through the sketch
     // filter plans no exchange at all — the whole point at 100 TB
     val gated = Dedup.filterAgainstSpanSketch(batch, ample, "doc_id", "text")
