@@ -28,7 +28,10 @@ import org.apache.spark.sql.SparkSession
   * `_EMBED`/`_INTERVAL`/`_SIMHASH`/`_CURATE`/`_INDEX`/`_KMEANS`/`_IVF`
   * variants measure the other scale claims the same way,
   * `SPARK_GRAFT_SCALE_SPANS=1` measures the span-duplication profile
-  * (with exact-linearity requires on its count columns), and
+  * (with exact-linearity requires on its count columns),
+  * `SPARK_GRAFT_SCALE_SPAN_INDEX=1` measures the span-index SERVING
+  * economics (flat vs bucketed vs sketch gate: per-serve shuffle across
+  * a corpus ladder, plus the append/compact file-count lifecycle), and
   * `SPARK_GRAFT_SCALE_COMPACT=1` measures the banded-index COMPACTION
   * lifecycle (serve cost and files-per-bucket vs append count, before and
   * after `compactBandedIndex`), `SPARK_GRAFT_SCALE_IVF_LIFECYCLE=1`
@@ -137,6 +140,11 @@ object Bench {
     }
     if (sys.env.contains("SPARK_GRAFT_SCALE_SPANS")) {
       scaleSlopeSpans(spark, sfDir, () => dropPersistedState())
+      spark.stop()
+      return
+    }
+    if (sys.env.contains("SPARK_GRAFT_SCALE_SPAN_INDEX")) {
+      scaleSpanIndexServing(spark, sfDir, () => dropPersistedState())
       spark.stop()
       return
     }
@@ -597,6 +605,226 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] bench_scale_spans.json: ${e.getMessage}") }
     println(line)
+  }
+
+  /** Span-index SERVING scale + lifecycle harness — the evidence behind
+    * [[graft.operators.Dedup.writeSpanIndex]] (bucketed layout) and
+    * [[graft.operators.Dedup.SpanSketch]] (broadcast gate): the span twin
+    * of [[scaleSlopeIndex]] and [[scaleCompaction]] folded into one
+    * artifact, because the three serving forms answer the same question
+    * at three price points and belong side by side.
+    *
+    * Serve-scale section: replicate the corpus k×, persist its span
+    * index FLAT (plain parquet — [[graft.operators.Dedup
+    * .spanStatsAgainstIndex]]'s input), BUCKETED ([[graft.operators
+    * .Dedup.writeSpanIndex]]) and as a [[graft.operators.Dedup
+    * .SpanSketch]], then gate the SAME fixed batch through all three,
+    * recording wall time AND per-serve SHUFFLE WRITE. The shuffle column
+    * carries the claim (wall times at bench scale drown in fixed job
+    * overhead, as in [[scaleSlopeIndex]]): flat serving shuffles the
+    * corpus-scale index on every call — the recurring per-micro-batch
+    * cost — so its shuffle grows with k; bucketed serving moves only the
+    * batch's spans (flat in k); the sketch gate is a pure per-row filter
+    * — no join, no shuffle at all, at the price of a bounded overcount.
+    * Gate agreement is REQUIRED per point: bucketed kept == flat kept
+    * (layout changes the plan, never the answer), sketch kept ⊆ flat
+    * kept (estimates never undercount, so the sketch drops a superset),
+    * and the kept count is invariant across ladder sizes by replica
+    * isolation — the batch's near-dup half only ever matches the base
+    * replica, its fresh half matches nothing.
+    *
+    * Lifecycle section ([[scaleCompaction]]'s shape): grow the base-size
+    * bucketed layout through N ingest appends of unrelated rotated
+    * replicas — each lands ~one file per bucket, and serving pays the
+    * listing/open tax per file — recording data-file counts, serve
+    * medians and the (invariant) kept count per append rung; then
+    * [[graft.operators.Dedup.compactSpanIndex]] once and record the same
+    * three after: files back to ~one per bucket, serve back at build
+    * level, kept unchanged. Build/bucketing/sketching stay untimed by
+    * design — each layout's point is moving recurring serve-time work to
+    * one-time build-time, and `compact_secs` is that one-time cost for
+    * the compactor. Writes `bench_scale_span_index.json`. */
+  private def scaleSpanIndexServing(spark: SparkSession, sfDir: String,
+                                    dropState: () => Unit): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val idSpan = docs.agg(max("doc_id")).head().getLong(0) + 1
+    def replica(k: Int) = rotatedReplica(docs, idSpan, k)
+    // fixed batch, constant work at every corpus size: half re-id'd
+    // COPIES of base docs (every span indexed → indexed_frac 1 → gated),
+    // half rotation-777 fresh docs (replica-isolated from every ladder
+    // rung and every lifecycle append, k ≤ 8 < 777 in both residue
+    // classes → indexed_frac 0 → kept)
+    val batch = replica(0).filter(pmod(col("doc_id"), lit(20)) === 0)
+      .select((col("doc_id") + lit(100L * idSpan)).as("doc_id"), col("text"))
+      .unionByName(rotatedReplica(docs, idSpan, 777)
+        .filter(pmod(col("doc_id"), lit(20)) === 10)
+        .select((col("doc_id") + lit(200L * idSpan)).as("doc_id"), col("text")))
+    val reps = repsFromEnv()
+    val buckets = 32
+    val listener = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    val work = java.nio.file.Files.createTempDirectory("spanix-scale").toString
+    val mb = 1024.0 * 1024.0
+    var kept = 0L; var shuffleMb = 0.0
+    def median(serve: () => Long): (Double, Double) = {
+      val ts = (0 until reps).map { _ =>
+        dropState()
+        listener.reset()
+        val t0 = System.nanoTime()
+        kept = serve()
+        val secs = (System.nanoTime() - t0) / 1e9
+        // async listener bus: settle before reading, or the tail tasks'
+        // shuffle bytes land after the next rep's reset()
+        Thread.sleep(300)
+        shuffleMb = listener.shuffleWrite.get / mb
+        secs
+      }.sorted
+      (ts(ts.size / 2), shuffleMb)
+    }
+    def tableFiles(t: String): Int = {
+      val loc = new java.io.File(new java.net.URI(spark.sessionState.catalog
+        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(t))
+        .location.toString))
+      Option(loc.listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+    }
+    val sizes = Seq(1, 2, 4, 8)
+    try {
+      // untimed warmup: codegen + JIT over base-size flat serving
+      Dedup.buildSpanIndex(replica(0), "doc_id", "text", n = 8)
+        .write.mode("overwrite").parquet(s"$work/warm")
+      Dedup.filterAgainstSpanIndex(batch, spark.read.parquet(s"$work/warm"),
+        "doc_id", "text").count()
+      dropState()
+      val rows = sizes.map { n =>
+        val corpus = (0 until n).map(replica).reduce(_ union _)
+        val nDocs = corpus.count()
+        // every layout persisted/built OUTSIDE the timed window — the
+        // serving contract, and a fair comparison (nothing serves from
+        // executor memory)
+        Dedup.buildSpanIndex(corpus, "doc_id", "text", n = 8)
+          .write.mode("overwrite").parquet(s"$work/flat_$n")
+        val flat = spark.read.parquet(s"$work/flat_$n")
+        val spans = flat.count()
+        val table = s"spanix_scale_$n"
+        Dedup.writeSpanIndex(flat, table, buckets = buckets)
+        // timed sketch SIZED to the corpus — the deployment rule: width
+        // = next pow2 keeping load factor ≤ 0.5 so estimates stay
+        // meaningful as the span population grows (CMS error ∝
+        // N₁/width). The DEFAULT fixed-width sketch is gated too,
+        // untimed, as the saturation disclosure: fixed memory buys a
+        // bounded corpus, and kept_sketch_fixed shows exactly where
+        // that budget runs out (it collapses toward 0 once every
+        // counter is hot and all spans look indexed)
+        val width = math.max(1 << 16,
+          java.lang.Long.highestOneBit(math.max(1L, 2 * spans - 1)) << 1).toInt
+        val sketch = Dedup.spanSketchFromIndex(flat, width = width)
+        val (flatSecs, flatShuffle) = median(() =>
+          Dedup.filterAgainstSpanIndex(batch, flat, "doc_id", "text").count())
+        val keptFlat = kept
+        val (bucketSecs, bucketShuffle) = median(() =>
+          Dedup.filterAgainstBucketedSpanIndex(batch, table, "doc_id", "text").count())
+        require(kept == keptFlat,
+          s"bucketed serving disagrees with flat at ${n}x: $kept vs $keptFlat")
+        val (sketchSecs, sketchShuffle) = median(() =>
+          Dedup.filterAgainstSpanSketch(batch, sketch, "doc_id", "text").count())
+        require(kept <= keptFlat,
+          s"sketch kept MORE than exact at ${n}x ($kept vs $keptFlat) - " +
+            "an undercounting estimate, which CMS forbids")
+        val keptSketch = kept
+        val keptSketchFixed = Dedup.filterAgainstSpanSketch(batch,
+          Dedup.spanSketchFromIndex(flat), "doc_id", "text").count()
+        spark.sql(s"DROP TABLE IF EXISTS ${table}_spans")
+        spark.sql(s"DROP TABLE IF EXISTS ${table}_meta")
+        dropState()
+        (n, nDocs, spans, keptFlat, keptSketch, flatSecs, bucketSecs,
+          sketchSecs, flatShuffle, bucketShuffle, sketchShuffle,
+          width, keptSketchFixed)
+      }
+      val kept0 = rows.head._4
+      rows.foreach(r => require(r._4 == kept0,
+        s"replica isolation violated: kept ${r._4} at ${r._1}x vs $kept0 at 1x"))
+
+      // lifecycle: append growth + compaction on the base-size layout
+      val table = "spanix_lifecycle"
+      Dedup.writeSpanIndex(
+        Dedup.buildSpanIndex(docs, "doc_id", "text", n = 8), table,
+        buckets = buckets)
+      def serveLife(): (Double, Double) = median(() =>
+        Dedup.filterAgainstBucketedSpanIndex(batch, table, "doc_id", "text").count())
+      serveLife() // untimed warmup of the lifecycle table's scan
+      val lifeKept0 = kept
+      val appendCounts = Seq(0, 2, 4, 8)
+      var appended = 0
+      val life = appendCounts.map { target =>
+        while (appended < target) {
+          appended += 1
+          Dedup.appendToSpanIndex(replica(appended), table, "doc_id", "text")
+        }
+        val (secs, _) = serveLife()
+        require(kept == lifeKept0,
+          s"appends of unrelated content changed the kept set at $target: " +
+            s"$kept vs $lifeKept0")
+        (target, tableFiles(s"${table}_spans"), secs, kept)
+      }
+      val tC = System.nanoTime()
+      Dedup.compactSpanIndex(spark, table)
+      val compactSecs = (System.nanoTime() - tC) / 1e9
+      val postFiles = tableFiles(s"${table}_spans")
+      val (postSecs, _) = serveLife()
+      require(kept == lifeKept0,
+        s"compaction changed the kept set: $kept vs $lifeKept0")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_spans")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_meta")
+
+      type R = (Int, Long, Long, Long, Long, Double, Double, Double,
+        Double, Double, Double, Int, Long)
+      def arr[T](f: R => T): String = jsonArr(rows)(f)
+      type L = (Int, Int, Double, Long)
+      def larr[T](f: L => T): String = jsonArr(life)(f)
+      // a no-shuffle serve legitimately records 0 MB; floor before the
+      // log-log fit so the sketch column can't put NaN in the artifact
+      def shuffleSlope(ys: Seq[Double]): Double =
+        logLogSlope(sizes, ys.map(math.max(_, 0.01)))
+      val line =
+        f"""{"metric":"span_index_serve_scale","reps":$reps,"n":8,"buckets":$buckets,""" +
+          f""""sizes":${arr(_._1)},"docs":${arr(_._2)},"index_spans":${arr(_._3)},""" +
+          f""""kept_exact":${arr(_._4)},"kept_sketch":${arr(_._5)},""" +
+          f""""serve_flat_secs":${arr(r => f"${r._6}%.3f")},""" +
+          f""""serve_bucketed_secs":${arr(r => f"${r._7}%.3f")},""" +
+          f""""serve_sketch_secs":${arr(r => f"${r._8}%.3f")},""" +
+          f""""serve_flat_shuffle_mb":${arr(r => f"${r._9}%.2f")},""" +
+          f""""serve_bucketed_shuffle_mb":${arr(r => f"${r._10}%.2f")},""" +
+          f""""serve_sketch_shuffle_mb":${arr(r => f"${r._11}%.2f")},""" +
+          f""""sketch_width":${arr(_._12)},""" +
+          f""""sketch_mb":${arr(r => f"${r._12.toLong * 4 * 8 / mb}%.2f")},""" +
+          f""""kept_sketch_fixed_w16":${arr(_._13)},""" +
+          f""""shuffle_slope_flat":${shuffleSlope(rows.map(_._9))}%.3f,""" +
+          f""""shuffle_slope_bucketed":${shuffleSlope(rows.map(_._10))}%.3f,""" +
+          f""""lifecycle":{"appends":${larr(_._1)},"files_spans":${larr(_._2)},""" +
+          f""""serve_secs":${larr(r => f"${r._3}%.3f")},"kept":${larr(_._4)},""" +
+          f""""compact_secs":$compactSecs%.3f,"files_spans_after":$postFiles,""" +
+          f""""serve_secs_after":$postSecs%.3f,"kept_after":$kept},"sf":"$sfDir"}"""
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_scale_span_index.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] bench_scale_span_index.json: ${e.getMessage}") }
+      println(line)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      sizes.foreach { n =>
+        spark.sql(s"DROP TABLE IF EXISTS spanix_scale_${n}_spans")
+        spark.sql(s"DROP TABLE IF EXISTS spanix_scale_${n}_meta")
+      }
+      spark.sql("DROP TABLE IF EXISTS spanix_lifecycle_spans")
+      spark.sql("DROP TABLE IF EXISTS spanix_lifecycle_meta")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
   }
 
   /** Banded-index COMPACTION lifecycle harness — the evidence behind
@@ -1167,23 +1395,49 @@ object Bench {
     * gap between the low-nprobe points and it is what probing buys — the
     * two error sources of a served IVF, decomposed in one artifact.
     * Recall is computed from an untimed collect after the timing reps so
-    * the timed body stays the serve itself. */
+    * the timed body stays the serve itself.
+    *
+    * The curve runs over TWO corpora. The testdata embeddings are
+    * near-uniform on the sphere — IVF's WORST case: cells carve arbitrary
+    * Voronoi borders through every query's neighborhood, so recall@low-
+    * nprobe is structurally poor and the dial is the whole story. The
+    * PLANTED corpus is the other regime: the same vectors pulled toward
+    * one of k deterministic unit centers (vec_id mod k), i.e. data with
+    * real cluster structure, which is what trained-embedding corpora
+    * look like in practice. There k-means recovers the blobs and the
+    * nprobe curve CONCENTRATES — near-ceiling recall at nprobe=1 —
+    * which is the measured justification for serving real corpora at
+    * small nprobe. Both curves share one artifact so the contrast is a
+    * fact, not prose; the planted point is REQUIRED to dominate the
+    * uniform one at nprobe=1. */
   private def scaleRecallNprobe(spark: SparkSession, sfDir: String,
                                 dropState: () => Unit): Unit = {
     import org.apache.spark.sql.functions._
     import graft.operators.Similarity
-    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val uniform = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")
-    val nVecs = corpus.count()
-    val queries = corpus.filter(col("vec_id") < 100)
-    val nQueries = queries.count()
+    val nVecs = uniform.count()
     val reps = repsFromEnv()
     val kCells = 32
     val topK = 10
-    val path = java.nio.file.Files.createTempDirectory("ivf-recall")
-      .toString + "/ix"
-    Similarity.writeLearnedIvfIndex(corpus, "vec_id", "embedding", path,
-      Similarity.kmeansFit(corpus, "vec_id", "embedding", k = kCells, iters = 3))
+    val probes = Seq(1, 2, 4, 8, kCells)
+    // planted corpus: blend each vector toward its cluster's center —
+    // deterministic seeded centers, so the artifact reproduces bit-wise
+    val dim = uniform.select(size(col("embedding"))).head().getInt(0)
+    val rnd = new java.util.Random(42)
+    def unitCenter(): Seq[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val centers = typedLit(Seq.fill(kCells)(unitCenter()))
+    val eps = 0.25
+    val planted = uniform.select(col("vec_id"),
+      zip_with(
+        element_at(centers, pmod(col("vec_id"), lit(kCells)).cast("int") + 1),
+        col("embedding"),
+        (c, e) => (c * lit(1.0 - eps) + e * lit(eps)).cast("float"))
+        .as("embedding"))
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("query_id", "nn_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -1196,44 +1450,76 @@ object Bench {
       }.sorted
       ts(ts.size / 2)
     }
-    val exactDf = Similarity.bruteForceTopK(corpus, queries, "vec_id",
-      "embedding", topK)
-    val exactSecs = medianSecs(() => exactDf.count())
-    val exact = pairs(exactDf)
-    val probes = Seq(1, 2, 4, 8, kCells)
-    val rows = probes.map { np =>
-      def served = Similarity.serveIvfIndex(path, corpus, queries,
-        "vec_id", "embedding", k = topK, nprobe = np)
-      // untimed warmup PER POINT: every nprobe is a distinct plan
-      // (different slice literal + probed-cell list), so each pays its
-      // own analysis + codegen. Even so, the FIRST point reads ~0.3-0.5 s
-      // slow whatever its nprobe (verified by reversing the probe order:
-      // the slowdown follows the position, not the parameter — host/JVM
-      // settling at sub-second absolutes), so secs are context; the
-      // recall columns, which are deterministic, are the claim.
-      served.count()
-      val secs = medianSecs(() => served.count())
-      val got = pairs(served)
-      (np, got.intersect(exact).size.toDouble / exact.size, secs)
+    /** One corpus's full curve: build+index untimed, exact baseline,
+      * then the probes ladder. Returns (exactSecs, per-probe rows). */
+    def curve(corpus: org.apache.spark.sql.DataFrame,
+              tag: String): (Double, Seq[(Int, Double, Double)]) = {
+      // planted vectors are derived per-read; materialize once so index
+      // build, exact baseline and every serve see identical bytes
+      // without recomputing the blend per pass
+      val frozen = java.nio.file.Files
+        .createTempDirectory(s"ivf-recall-$tag").toString
+      corpus.write.mode("overwrite").parquet(s"$frozen/corpus")
+      val c = spark.read.parquet(s"$frozen/corpus")
+      val queries = c.filter(col("vec_id") < 100)
+      val path = s"$frozen/ix"
+      Similarity.writeLearnedIvfIndex(c, "vec_id", "embedding", path,
+        Similarity.kmeansFit(c, "vec_id", "embedding", k = kCells, iters = 3))
+      val exactDf = Similarity.bruteForceTopK(c, queries, "vec_id",
+        "embedding", topK)
+      val exactSecs = medianSecs(() => exactDf.count())
+      val exact = pairs(exactDf)
+      val rows = probes.map { np =>
+        def served = Similarity.serveIvfIndex(path, c, queries,
+          "vec_id", "embedding", k = topK, nprobe = np)
+        // untimed warmup PER POINT: every nprobe is a distinct plan
+        // (different slice literal + probed-cell list), so each pays its
+        // own analysis + codegen. Even so, the FIRST point reads
+        // ~0.3-0.5 s slow whatever its nprobe (verified by reversing the
+        // probe order: the slowdown follows the position, not the
+        // parameter — host/JVM settling at sub-second absolutes), so
+        // secs are context; the recall columns, deterministic, carry
+        // the claim.
+        served.count()
+        val secs = medianSecs(() => served.count())
+        val got = pairs(served)
+        (np, got.intersect(exact).size.toDouble / exact.size, secs)
+      }
+      // near-monotonicity, with slack: at a FIXED candidateFactor a true
+      // neighbor inside its own cell's shortlist at nprobe=1 can be
+      // evicted from the global shortlist at nprobe=k by spurious
+      // high-approx-cosine candidates from other cells, so strict recall
+      // monotonicity is not algorithmically guaranteed — the require
+      // catches gross inversions (a broken serve), not shortlist jitter
+      val byProbe = rows.map(r => r._1 -> r._2).toMap
+      require(byProbe(kCells) >= byProbe(1) - 0.05,
+        s"[$tag] probing every cell must not recall (materially) less " +
+          s"than one cell: $rows")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(frozen))
+      (exactSecs, rows)
     }
-    // near-monotonicity, with slack: at a FIXED candidateFactor a true
-    // neighbor inside its own cell's shortlist at nprobe=1 can be evicted
-    // from the global shortlist at nprobe=k by spurious high-approx-cosine
-    // candidates from other cells, so strict recall monotonicity is not
-    // algorithmically guaranteed — the require catches gross inversions
-    // (a broken serve), not legal shortlist jitter
-    val byProbe = rows.map(r => r._1 -> r._2).toMap
-    require(byProbe(kCells) >= byProbe(1) - 0.05,
-      s"probing every cell must not recall (materially) less than one cell: $rows")
+    val (exactSecs, rows) = curve(uniform, "uniform")
+    val (plantedExactSecs, plantedRows) = curve(planted, "planted")
+    // the cross-corpus claim: cluster structure is what low-nprobe
+    // serving feeds on — at nprobe=1 the planted corpus must beat the
+    // uniform one outright (0.175 vs ~1.0 at the committed geometry)
+    require(plantedRows.head._2 > rows.head._2,
+      s"planted clusters did not lift nprobe=1 recall: " +
+        s"planted ${plantedRows.head._2} vs uniform ${rows.head._2}")
     type R = (Int, Double, Double)
     def arr[T](f: R => T): String = jsonArr(rows)(f)
+    def parr[T](f: R => T): String = jsonArr(plantedRows)(f)
     val line =
       f"""{"metric":"ivf_recall_nprobe","reps":$reps,"k":$kCells,""" +
-        f""""topk":$topK,"n_queries":$nQueries,"vecs":$nVecs,""" +
+        f""""topk":$topK,"n_queries":100,"vecs":$nVecs,""" +
         f""""candidate_factor":4,"nprobe":${arr(_._1)},""" +
         f""""recall":${arr(r => f"${r._2}%.4f")},""" +
         f""""secs":${arr(r => f"${r._3}%.3f")},""" +
-        f""""exact_secs":$exactSecs%.3f,"sf":"$sfDir"}"""
+        f""""exact_secs":$exactSecs%.3f,""" +
+        f""""planted_eps":$eps%.2f,""" +
+        f""""planted_recall":${parr(r => f"${r._2}%.4f")},""" +
+        f""""planted_secs":${parr(r => f"${r._3}%.3f")},""" +
+        f""""planted_exact_secs":$plantedExactSecs%.3f,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_scale_recall.json"),
       (line + "\n").getBytes("UTF-8"))
