@@ -50,14 +50,39 @@ object SpanIngest {
     * two writes, and re-running the gate per leg would double its cost.
     * An empty keep set still lands its (empty) batch directory for
     * read-side uniformity but skips the index append — an empty append
-    * would burn an epoch and a per-bucket file for nothing. */
+    * would burn an epoch and a per-bucket file for nothing.
+    *
+    * `preGate` composes the TWO-STAGE form — cheap coarse filter before
+    * the fine one, the shape the reference's ingest consumer applies
+    * before its exact check (step-2/consumer.py:356-364): a
+    * [[graft.operators.Dedup.SpanSketch]] (typically built once at
+    * stream start from the then-current index) sheds
+    * boilerplate-dominated docs as a PURE PER-ROW FILTER — no join, no
+    * shuffle — so only the survivors' spans enter the exact bucketed
+    * join. On a boilerplate-heavy stream that shrinks the fine gate's
+    * batch-side shuffle by the shed fraction at the cost of `depth`
+    * array probes per span. Semantics: the composed gate drops a
+    * SUPERSET of the exact gate's drops (the exact leg is still
+    * applied; sketch estimates only overcount) — strictly more
+    * aggressive boilerplate removal, never less. The sketch is STATIC
+    * while the index grows per batch, so spans appended since the
+    * sketch was built are caught by the exact leg only — staleness
+    * costs pre-shed efficiency, never correctness. Replay safety is
+    * unchanged: a committed key no-ops before either gate runs, and a
+    * crashed attempt left nothing visible, so the retry's recompute —
+    * with whatever sketch the restarted stream holds — is the one
+    * delivered outcome. */
   def sink(outDir: String, name: String, idCol: String, textCol: String,
-           maxIndexedFrac: Double = 0.5): (DataFrame, Long) => Unit =
+           maxIndexedFrac: Double = 0.5,
+           preGate: Option[Dedup.SpanSketch] = None): (DataFrame, Long) => Unit =
     (batch, batchId) => {
       val key = s"batch_$batchId"
       if (!Dedup.spanIndexKeyCommitted(batch.sparkSession, name, key)) {
+        val coarse = preGate.fold(batch)(sk =>
+          Dedup.filterAgainstSpanSketch(batch, sk, idCol, textCol,
+            maxIndexedFrac))
         val kept = Materialize.eagerCheckpoint(
-          Dedup.filterAgainstBucketedSpanIndex(batch, name, idCol, textCol,
+          Dedup.filterAgainstBucketedSpanIndex(coarse, name, idCol, textCol,
             maxIndexedFrac))
         StreamingCurate.writeBatchIdempotent(kept, outDir, batchId)
         if (kept.limit(1).collect().nonEmpty) {

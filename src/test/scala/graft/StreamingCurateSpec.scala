@@ -318,6 +318,75 @@ class StreamingCurateSpec extends SparkSpec {
     }
   }
 
+  test("SpanIngest with a sketch pre-gate: two-stage ingest lands the same " +
+    "corpus; the static sketch sheds early, the exact leg catches staleness") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.SpanIngest
+    // the exact scenario of the one-stage test, so the landed-set
+    // equivalence claim is literal
+    val boiler = "all rights reserved contact the webmaster for takedown " +
+      "requests and legal inquiries about this content"
+    val corpus = Seq(
+      (1L, s"first article body text with original words $boiler"),
+      (2L, s"second article entirely different phrasing here $boiler")
+    ).toDF("doc_id", "text")
+    val batch0 = Seq(
+      (10L, s"tiny note $boiler"), // boilerplate-dominated → shed by the SKETCH
+      (11L, "a long fresh report about tidal power generation economics " +
+        "with enough words that no span matches the landed corpus at all"))
+    val batch1 = Seq(
+      // span-copy of doc 11: its spans joined the index AFTER the sketch
+      // was built, so the static sketch passes it — only the exact
+      // bucketed leg can gate it. The staleness split, exercised.
+      (20L, "a long fresh report about tidal power generation economics " +
+        "with enough words that no span matches the landed corpus at all " +
+        "plus one extra tail clause"))
+    val out = java.nio.file.Files.createTempDirectory("span-ingest-2s").toString
+    try {
+      val ix = Dedup.buildSpanIndex(corpus, "doc_id", "text", n = 6)
+      Dedup.writeSpanIndex(ix, "span_ix_2stage", buckets = 4)
+      // sketch built ONCE at "stream start" from the then-current index,
+      // ample width (collision-free here): ≡ exact on the build corpus
+      val sketch = Dedup.spanSketchFromIndex(ix)
+      // division of labor, asserted directly: the sketch leg alone sheds
+      // the boilerplate doc of batch 0 but NOT batch 1's span-copy (its
+      // spans postdate the sketch)
+      def sketchKept(rows: Seq[(Long, String)]) =
+        Dedup.filterAgainstSpanSketch(rows.toDF("doc_id", "text"), sketch,
+            "doc_id", "text", maxIndexedFrac = 0.5)
+          .select("doc_id").as[Long].collect().toSet
+      assert(sketchKept(batch0) == Set(11L),
+        "the static sketch must shed the boilerplate doc pre-join")
+      assert(sketchKept(batch1) == Set(20L),
+        "spans appended after the sketch was built must pass the coarse leg")
+      val sink = SpanIngest.sink(out, "span_ix_2stage", "doc_id", "text",
+        maxIndexedFrac = 0.5, preGate = Some(sketch))
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("doc_id", "text")
+        .writeStream.foreachBatch(sink).start()
+      in.addData(batch0: _*)
+      q.processAllAvailable()
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      q.stop()
+      def landed() = spark.read.parquet(out)
+        .select("doc_id").as[Long].collect().toSet
+      // composed outcome == the one-stage loop's pinned outcome: 10 shed
+      // coarse, 20 gated fine (via batch 0's append), 11 lands
+      assert(landed() == Set(11L),
+        "two-stage ingest must land exactly what the exact loop lands here")
+      // replay still no-ops through the same key, pre-gate or not
+      val rowsBefore = spark.table("span_ix_2stage_spans").count()
+      sink(batch0.toDF("doc_id", "text"), 0L)
+      assert(landed() == Set(11L) &&
+        spark.table("span_ix_2stage_spans").count() == rowsBefore,
+        "a replayed batch must not re-land or re-append with a pre-gate")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS span_ix_2stage_spans")
+      spark.sql("DROP TABLE IF EXISTS span_ix_2stage_meta")
+    }
+  }
+
   test("IvfIngest: streamed embedding batches become servable exactly-once — " +
     "the ANN side of the lambda split") {
     implicit val sqlCtx = spark.sqlContext
