@@ -382,7 +382,7 @@ object SparkEntry {
 
   // ---- training-data pipeline operators (dedup / similarity / text / multimodal) ----
 
-  import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+  import graft.operators.{Dedup, LanguageModel, Multimodal, Similarity, TextAnalysis}
 
   /** Exact dedup: representative (min id) per distinct text. */
   private def qDedupRep(s: SparkSession, dir: String): DataFrame =
@@ -1002,6 +1002,19 @@ object SparkEntry {
   private def qVocab(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.topTokens(tbl(s, dir, "documents"), "text", 100)
 
+  /** Bigram-LM cross-entropy per document (the CCNet perplexity gate,
+    * self-scored: corpus model over the corpus itself — train + score
+    * both inside the timed body, the honest cost of the operator).
+    * Compared in LOG space: the oracle reproduces counts, smoothing,
+    * and the per-doc mean −log P exactly; `exp` never enters the gate
+    * (it would only amplify last-ulp `ln` differences between engines). */
+  private def qLmXent(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val lm = LanguageModel.train(docs, "text")
+    LanguageModel.crossEntropy(docs, "doc_id", "text", lm)
+      .select(col("doc_id"), col("n_bigrams"), rq(col("xent"), 6).as("xent"))
+  }
+
   /** Deterministic stratified sampling by `source` (corpus mixing): keep
     * src0 wholesale, src1 at 1/2, src2 at 1/4, everything else at 1/10 —
     * the oracle reproduces the md5-cutoff membership row for row. */
@@ -1485,6 +1498,7 @@ object SparkEntry {
     "q_embed_lsh_pairs" -> qEmbedLshPairs,
     "q_embed_clusters" -> qEmbedClusters,
     "q_vocab" -> qVocab,
+    "q_lm_xent" -> qLmXent,
     "q_sample_stratified" -> qSampleStratified,
     "q_sample_budget" -> qSampleBudget,
     "q_pack_bins" -> qPackBins,
@@ -2007,6 +2021,32 @@ object SparkEntry {
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
         |c AS (SELECT token, count(*) AS n FROM toks WHERE token <> '' GROUP BY token)
         |SELECT token, n FROM c ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    // bigram LM, add-0.5 smoothing, self-scored: contexts derive from
+    // the bigram table (Σ n12 per w1, NOT unigram occurrence counts),
+    // V = distinct corpus tokens; every doc appears — 0 bigrams / NULL
+    // xent for docs under 2 tokens. Self-scoring keeps every scored
+    // bigram seen, so the model joins are inner on the DuckDB side.
+    "q_lm_xent" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        | tok AS (SELECT unnest(w) AS token FROM d),
+        | v AS (SELECT count(DISTINCT token) AS vs FROM tok),
+        | bg AS (
+        |  SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i+1 AS INT)] AS w2
+        |  FROM d, LATERAL unnest(range(1, greatest(len(w), 1))) AS t(i)),
+        | c12 AS (SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY 1, 2),
+        | c1 AS (SELECT w1, sum(n12) AS n1 FROM c12 GROUP BY 1),
+        | sc AS (
+        |  SELECT bg.doc_id,
+        |         ln((c12.n12 + 0.5) / (c1.n1 + 0.5 * v.vs)) AS logp
+        |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+        | pd AS (SELECT doc_id, count(*) AS n_bigrams, -avg(logp) AS xent
+        |        FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams,
+        |       floor(pd.xent*1000000.0 + 0.5)/1000000.0 AS xent
+        |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin,
     "q_ann_topk" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,

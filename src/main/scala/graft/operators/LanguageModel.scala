@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model scoring — the perplexity/quality gate of a
+  * training-data pipeline (the CCNet shape: score every crawl document
+  * under a reference LM, keep the low-cross-entropy tail; Wenzek et al.
+  * 2020, "CCNet: Extracting High Quality Monolingual Datasets from Web
+  * Crawl Data"). A bigram model with add-α smoothing is the deliberately
+  * closed-form member of that family: counts are exact distributed
+  * aggregations, probabilities are pure arithmetic over them, so the
+  * whole path is DuckDB-oracle-checkable (`q_lm_xent`) — unlike a KenLM
+  * binary, which would be a black box riding an env-bound native lib.
+  *
+  * Model semantics: P(w2|w1) = (c(w1,w2) + α) / (c(w1·) + α·V), where
+  * c(w1·) counts w1 AS A CONTEXT (= Σ_w2 c(w1,w2), derived from the
+  * bigram table — not the unigram token count, which over-counts words
+  * that only ever end documents) and V is the corpus vocabulary size.
+  * Unseen contexts score the uniform floor α/(α·V) = 1/V; unseen
+  * bigrams under a seen context score the smoothed floor — both finite,
+  * so scoring a FOREIGN corpus (or against a pruned model) never
+  * divides by zero or logs zero. A document's score is the mean
+  * negative log-probability of its (n−1) bigrams — cross-entropy in
+  * nats ([[crossEntropy]]'s `xent`); perplexity is `exp(xent)`.
+  * Documents with fewer than 2 tokens have no bigrams and score NULL
+  * (reported, never silently dropped — the caller decides their fate,
+  * cf. [[filterByCrossEntropy]]'s `keepUnscored`).
+  *
+  * 100 TB posture — TRAIN is two hash aggregations: the bigram count
+  * shuffles one row per MAP-PARTITION-DISTINCT bigram (heavy bigrams
+  * collapse map-side, same two-level argument as
+  * [[TextAnalysis.topTokens]]), the context table derives from the
+  * bigram table (vocabulary-scale input, never a corpus rescan), and V
+  * is one scalar from a distinct-count job (map-side partial, a bounded
+  * driver probe per repo policy). SCORE is one corpus scan: explode to
+  * bigrams, two joins against the model, one per-doc aggregate. The
+  * model a production gate serves is PRUNED ([[prune]] — KenLM ships
+  * pruned models for the same reason): minCount≥2 alone typically cuts
+  * the table by the singleton mass (~half of all distinct bigrams under
+  * Zipf), after which it broadcasts like the Bloom decontamination
+  * filter and the score scan shuffles NOTHING but the per-doc aggregate
+  * partials. For an unpruned corpus-scale model set
+  * `broadcastModel = false`: the explode side shuffles on (w1,w2) /
+  * (w1) into sort-merge joins — the flat-serving economics, measured
+  * for the span family in bench_scale_span_index.json, apply verbatim.
+  *
+  * Reference provenance: the reference has no LM gate (its quality
+  * filters are the closed-form ratios in step-1/metrics.py); this
+  * operator is part of the beyond-parity LLM-curation surface, same
+  * tier as [[Dedup.spanStats]] and [[TextAnalysis.sampleByTokenBudget]].
+  */
+object LanguageModel {
+
+  /** A trained bigram LM: `bigrams` = (w1, w2, n12), `contexts` =
+    * (w1, n1 = Σ n12), `vocabSize` = |distinct corpus tokens|, and the
+    * smoothing mass α baked at train time (scoring with a different α
+    * than the model was validated with is a config smell; rebake
+    * explicitly via `copy`). */
+  final case class BigramLm(bigrams: DataFrame, contexts: DataFrame,
+                            vocabSize: Long, alpha: Double) {
+    require(vocabSize > 0, s"bigram LM needs a non-empty vocabulary, got $vocabSize")
+    require(alpha > 0.0, s"smoothing alpha must be > 0, got $alpha")
+  }
+
+  /** Adjacent-token bigrams of a token array as (w1, w2) structs —
+    * empty below 2 tokens (a bare sequence(0, n−2) would raise on
+    * negative bounds). Shares [[TextAnalysis.tokens]], so the LM, the
+    * shingle families, and the vocab queries agree on tokenization. */
+  private[graft] def bigramStructs(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - 2),
+        i => struct(element_at(toks, i + 1).as("w1"),
+          element_at(toks, i + 2).as("w2"))))
+
+  /** Train a bigram LM over `docs(textCol)`. Lazy except for V (one
+    * distinct-count scalar); callers persisting the model use [[write]],
+    * which materializes everything once. */
+  def train(docs: DataFrame, textCol: String, alpha: Double = 0.5): BigramLm = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val bigrams = docs
+      .select(explode(bigramStructs(toks)).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    val contexts = bigrams.groupBy("w1").agg(sum("n12").as("n1"))
+    val vocabSize = docs.select(explode(toks).as("t"))
+      .agg(count_distinct(col("t"))).head().getLong(0)
+    BigramLm(bigrams, contexts, vocabSize, alpha)
+  }
+
+  /** KenLM-style count pruning: drop bigrams below `minCount`. Contexts
+    * and V are kept — pruned bigrams fall to the UNSEEN floor
+    * (α)/(n1+αV), so pruned scores are a pointwise UPPER bound on exact
+    * cross-entropy (dropping probability mass can only make a doc look
+    * less likely), never an undercount of badness — the gate direction
+    * that matters for a keep/drop filter, mirroring the span sketch's
+    * never-undercount contract. */
+  def prune(lm: BigramLm, minCount: Long): BigramLm = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    lm.copy(bigrams = lm.bigrams.filter(col("n12") >= minCount))
+  }
+
+  /** Per-document cross-entropy under `lm`: output is
+    * `(idCol, n_bigrams, xent)` for EVERY input document —
+    * `n_bigrams = 0` and NULL `xent` for docs with < 2 tokens. `xent`
+    * is in nats; the gate compares in log space on purpose (exp only
+    * amplifies ulp noise; perplexity is `exp(xent)` when a human wants
+    * it). */
+  def crossEntropy(docs: DataFrame, idCol: String, textCol: String,
+                   lm: BigramLm, broadcastModel: Boolean = true): DataFrame = {
+    val hinted: DataFrame => DataFrame =
+      if (broadcastModel) broadcast(_) else identity
+    val exploded = docs
+      .select(col(idCol), explode(bigramStructs(TextAnalysis.tokens(col(textCol)))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val logp = log(
+      (coalesce(col("n12"), lit(0L)) + lm.alpha) /
+        (coalesce(col("n1"), lit(0L)) + lm.alpha * lm.vocabSize))
+    val perDoc = exploded
+      .join(hinted(lm.bigrams), Seq("w1", "w2"), "left")
+      .join(hinted(lm.contexts), Seq("w1"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), (-avg(logp)).as("xent"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("xent"))
+  }
+
+  /** The gate itself: keep documents whose cross-entropy under `lm` is
+    * ≤ `maxXent` (CCNet keeps the low-perplexity "head"). Unscorable
+    * docs (< 2 tokens) are kept or dropped by `keepUnscored` —
+    * explicit, because a NULL comparison would silently drop them.
+    * Returns the original columns plus `xent`. */
+  def filterByCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
+                           lm: BigramLm, maxXent: Double,
+                           keepUnscored: Boolean = true,
+                           broadcastModel: Boolean = true): DataFrame = {
+    val scored = crossEntropy(docs, idCol, textCol, lm, broadcastModel)
+      .select(col(idCol), col("xent"))
+    docs.join(scored, Seq(idCol))
+      .filter(col("xent") <= maxXent ||
+        (if (keepUnscored) col("xent").isNull else lit(false)))
+  }
+
+  /** Persist a model: `bigrams/`, `contexts/`, and a 1-row `meta/`
+    * carrying (vocab_size, alpha) — written LAST, the same
+    * commit-marker role as the index families' `_meta`: a crashed write
+    * leaves no meta and [[read]] fails loudly instead of serving a
+    * partial model. */
+  def write(lm: BigramLm, path: String): Unit = {
+    lm.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
+    lm.contexts.write.mode("overwrite").parquet(s"$path/contexts")
+    val spark = lm.bigrams.sparkSession
+    spark.createDataFrame(Seq((lm.vocabSize, lm.alpha)))
+      .toDF("vocab_size", "alpha")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a persisted model. The meta probe is one row (bounded driver
+    * read); the count tables stay lazy parquet scans, so a serve that
+    * broadcasts them reads them exactly once. */
+  def read(spark: SparkSession, path: String): BigramLm = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    BigramLm(
+      spark.read.parquet(s"$path/bigrams"),
+      spark.read.parquet(s"$path/contexts"),
+      meta.getAs[Long]("vocab_size"),
+      meta.getAs[Double]("alpha"))
+  }
+}

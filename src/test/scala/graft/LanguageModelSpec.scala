@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.LanguageModel
+import graft.operators.LanguageModel.BigramLm
+
+/** Bigram-LM scoring: hand-computed probabilities, smoothing floors,
+  * prune monotonicity, persistence round-trip, and the broadcast /
+  * shuffle serving forms' exact agreement. */
+class LanguageModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus: bigrams "a b"×2 (docs 1,2), "b a"×1, "a c"×1; vocab {a,b,c}
+  private lazy val docs = Seq(
+    (1L, "a b"),
+    (2L, "a b a c"),
+    (3L, "b"),    // 1 token → no bigrams, xent NULL
+    (4L, "   "),  // whitespace-only → 0 tokens
+    (5L, "c a")
+  ).toDF("doc_id", "text")
+
+  private lazy val lm = LanguageModel.train(docs, "text")
+
+  test("train: counts, contexts, vocab match the hand tally") {
+    val bg = lm.bigrams.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(bg == Map(("a", "b") -> 2L, ("b", "a") -> 1L, ("a", "c") -> 1L,
+      ("c", "a") -> 1L))
+    val ctx = lm.contexts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ctx == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+    assert(lm.vocabSize == 3L)
+  }
+
+  // P(w2|w1) = (n12 + .5) / (n1 + .5*3); logs per hand formula
+  private def p(n12: Long, n1: Long): Double = (n12 + 0.5) / (n1 + 1.5)
+
+  test("crossEntropy: exact per-doc values, NULL for unscorable docs") {
+    val out = LanguageModel.crossEntropy(docs, "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(out(3L) == ((0L, None)) && out(4L) == ((0L, None)))
+    val x1 = -math.log(p(2, 3))
+    assert(out(1L)._1 == 1L && math.abs(out(1L)._2.get - x1) < 1e-12)
+    val x2 = -(math.log(p(2, 3)) + math.log(p(1, 1)) + math.log(p(1, 3))) / 3
+    assert(out(2L)._1 == 3L && math.abs(out(2L)._2.get - x2) < 1e-12)
+    val x5 = -math.log(p(1, 1))
+    assert(out(5L)._1 == 1L && math.abs(out(5L)._2.get - x5) < 1e-12)
+  }
+
+  test("foreign corpus: unseen context scores the uniform 1/V floor") {
+    val foreign = Seq((9L, "z z")).toDF("doc_id", "text")
+    val out = LanguageModel.crossEntropy(foreign, "doc_id", "text", lm).collect()
+    // P = (0 + .5)/(0 + .5*3) = 1/3
+    assert(math.abs(out.head.getDouble(2) - (-math.log(1.0 / 3))) < 1e-12)
+  }
+
+  test("prune drops low-count bigrams; pruned xent upper-bounds exact") {
+    val pruned = LanguageModel.prune(lm, minCount = 2)
+    assert(pruned.bigrams.collect().map(r => (r.getString(0), r.getString(1)))
+      .toSet == Set(("a", "b")))
+    val exact = LanguageModel.crossEntropy(docs, "doc_id", "text", lm)
+      .collect().flatMap(r => if (r.isNullAt(2)) None
+        else Some(r.getLong(0) -> r.getDouble(2))).toMap
+    val approx = LanguageModel.crossEntropy(docs, "doc_id", "text", pruned)
+      .collect().flatMap(r => if (r.isNullAt(2)) None
+        else Some(r.getLong(0) -> r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (id, x) => assert(approx(id) >= x - 1e-12,
+      s"pruned xent must never under-report badness (doc $id)") }
+    // doc 1 only uses the surviving bigram → identical score
+    assert(math.abs(approx(1L) - exact(1L)) < 1e-12)
+    // doc 5 lost its bigram → strictly worse
+    assert(approx(5L) > exact(5L) + 1e-9)
+  }
+
+  test("filterByCrossEntropy gates on the threshold; keepUnscored explicit") {
+    val tau = -math.log(p(2, 3)) + 1e-9 // just above doc 1's xent
+    val kept = LanguageModel.filterByCrossEntropy(
+      docs, "doc_id", "text", lm, tau).collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && !kept.contains(2L))
+    assert(kept.contains(3L) && kept.contains(4L)) // unscorable kept by default
+    val dropped = LanguageModel.filterByCrossEntropy(
+        docs, "doc_id", "text", lm, tau, keepUnscored = false)
+      .collect().map(_.getLong(0)).toSet
+    assert(!dropped.contains(3L) && !dropped.contains(4L))
+    assert(dropped.subsetOf(kept))
+  }
+
+  test("broadcast and shuffle serving forms agree exactly") {
+    val b = LanguageModel.crossEntropy(docs, "doc_id", "text", lm,
+      broadcastModel = true).orderBy("doc_id").collect().toSeq
+    val s = LanguageModel.crossEntropy(docs, "doc_id", "text", lm,
+      broadcastModel = false).orderBy("doc_id").collect().toSeq
+    assert(b == s)
+  }
+
+  test("write/read round-trips the model; partial write fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toFile
+    dir.deleteOnExit()
+    val path = new java.io.File(dir, "model").getAbsolutePath
+    LanguageModel.write(lm, path)
+    val back = LanguageModel.read(spark, path)
+    assert(back.vocabSize == lm.vocabSize && back.alpha == lm.alpha)
+    val a = LanguageModel.crossEntropy(docs, "doc_id", "text", lm)
+      .orderBy("doc_id").collect().toSeq
+    val b = LanguageModel.crossEntropy(docs, "doc_id", "text", back)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    // simulate a crashed write: meta missing → read must not serve
+    val crashed = new java.io.File(dir, "crashed").getAbsolutePath
+    lm.bigrams.write.parquet(s"$crashed/bigrams")
+    lm.contexts.write.parquet(s"$crashed/contexts")
+    intercept[Exception] { LanguageModel.read(spark, crashed) }
+  }
+
+  test("degenerate models are rejected at construction") {
+    intercept[IllegalArgumentException] {
+      BigramLm(lm.bigrams, lm.contexts, vocabSize = 0L, alpha = 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      BigramLm(lm.bigrams, lm.contexts, vocabSize = 3L, alpha = 0.0)
+    }
+    intercept[IllegalArgumentException] { LanguageModel.prune(lm, 0) }
+  }
+}
