@@ -998,6 +998,16 @@ object SparkEntry {
         qEmbedLshPairs(s, dir).select("id_a", "id_b"))
       .withColumnRenamed("doc_id", "vec_id")
 
+  /** SemDeDup over the embeddings corpus: cluster-bounded semantic
+    * near-dup removal, reported as a kept/dropped flag per vector. The
+    * clusters are the [[kmeansCentroids]] cells — the SAME matrix the
+    * ANN fixture dumps, so the oracle replays the within-cluster pair
+    * scan from the fixture labels and the raw embeddings. */
+  private def qSemdedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.withSemDupFlag(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        kmeansCentroids(s, dir), minCosine = 0.4)
+      .select("vec_id", "coarse", "kept")
+
   /** Corpus vocabulary: top-100 tokens by frequency (ties by token). */
   private def qVocab(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.topTokens(tbl(s, dir, "documents"), "text", 100)
@@ -1497,6 +1507,7 @@ object SparkEntry {
     "q_embed_cosine_pairs" -> qEmbedCosinePairs,
     "q_embed_lsh_pairs" -> qEmbedLshPairs,
     "q_embed_clusters" -> qEmbedClusters,
+    "q_semdedup" -> qSemdedup,
     "q_vocab" -> qVocab,
     "q_lm_xent" -> qLmXent,
     "q_sample_stratified" -> qSampleStratified,
@@ -2021,6 +2032,20 @@ object SparkEntry {
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
         |c AS (SELECT token, count(*) AS n FROM toks WHERE token <> '' GROUP BY token)
         |SELECT token, n FROM c ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    // SemDeDup: the fixture's k-means labels bound the pair scan; a row
+    // is dropped iff a smaller-id same-cluster row sits at cosine ≥ 0.4
+    "q_semdedup" ->
+      s"""WITH c AS (SELECT * FROM read_parquet('$KmeansFixture/corpus/*.parquet')),
+        | e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | losers AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM c a JOIN c b ON a.coarse = b.coarse AND a.vec_id < b.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id
+        |  JOIN e eb ON eb.vec_id = b.vec_id
+        |  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4)
+        |SELECT c.vec_id, c.coarse,
+        |       c.vec_id NOT IN (SELECT vec_id FROM losers) AS kept
+        |FROM c""".stripMargin,
     // bigram LM, add-0.5 smoothing, self-scored: contexts derive from
     // the bigram table (Σ n12 per w1, NOT unigram occurrence counts),
     // V = distinct corpus tokens; every doc appears — 0 bigrams / NULL

@@ -373,6 +373,56 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): embedding-level
+    * near-duplicate REMOVAL with the pairwise blow-up bounded by k-means
+    * clustering — the paper's core trick: cosine pairs are only computed
+    * WITHIN a cluster, so the quadratic term is (n/k)² per cluster, not
+    * n², and the cluster id is an equi-join key (one shuffle on
+    * `coarse`, never a cross join). Keep rule: a row is dropped iff some
+    * SAME-cluster row with a SMALLER id sits at cosine ≥ `minCosine` —
+    * the deterministic, join-expressible relaxation of the paper's
+    * greedy sweep (the paper keeps the point farthest from the centroid;
+    * any fixed priority works, and id-order makes the result replayable
+    * in SQL and independent of partitioning). Chains (A~B~C, A≁C) keep
+    * only A: B dies to A, C dies to B — dropping a doc never revives its
+    * victims, the same one-pass semantics as [[Dedup.dropSpanDuplicatedDocs]].
+    *
+    * 100 TB posture: clustering is the caller's [[kmeansFit]] matrix (fit
+    * once, rides the pipeline); the self-join shuffles each cluster's
+    * rows once; a skewed hot cluster is the one quadratic risk — raise k,
+    * or swap the within-cluster pair step for [[lshCosinePairs]]
+    * restricted by `coarse` (compose: both are `(id, id)` pair sources).
+    * Returns the input columns + `coarse` + `kept`; [[semDedup]] is the
+    * filter form. */
+  def withSemDupFlag(df: DataFrame, idCol: String, embCol: String,
+                     centroids: Array[Array[Double]],
+                     minCosine: Double): DataFrame = {
+    require(minCosine > 0.0 && minCosine <= 1.0,
+      s"minCosine must be in (0, 1], got $minCosine")
+    val labeled = withCoarseLabel(df, embCol, centroids)
+    val n = withNorm(labeled, embCol)
+    val a = n.select(col("coarse"), col(idCol).as("__id_a"),
+      col("vec").as("va"), col("norm").as("na"))
+    val b = n.select(col("coarse"), col(idCol).as("__id_b"),
+      col("vec").as("vb"), col("norm").as("nb"))
+    val losers = a.join(b, Seq("coarse"))
+      .filter(col("__id_a") < col("__id_b"))
+      .filter(cosine(col("va"), col("vb"), col("na"), col("nb")) >= minCosine)
+      .select(col("__id_b").as(idCol)).distinct()
+      .withColumn("__loser", lit(true))
+    labeled.join(losers, Seq(idCol), "left")
+      .withColumn("kept", col("__loser").isNull)
+      .drop("__loser")
+  }
+
+  /** The filter form of [[withSemDupFlag]]: only the semantic-dedup
+    * survivors, original columns plus their cluster id. */
+  def semDedup(df: DataFrame, idCol: String, embCol: String,
+               centroids: Array[Array[Double]], minCosine: Double): DataFrame =
+    withSemDupFlag(df, idCol, embCol, centroids, minCosine)
+      .filter(col("kept")).drop("kept")
+
   /** All `bands` LSH band buckets for a `dims`-dimensional embedding: band
     * `b` packs the sign bits of `bitsPerBand` projections against fixed ±1
     * (Rademacher) hyperplanes into one long — the native

@@ -193,6 +193,33 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out == Set((0L, 1L), (2L, 3L)))
   }
 
+  test("semDedup: cluster-bounded removal, keep-lowest, cross-cluster isolation") {
+    def v(deg: Double) = Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    // chain 0°~8°~16° (adjacent within τ=cos10°, ends not; 16°→44° is
+    // cos28° < τ so the chain can't reach the straddle pair); 44°/46°
+    // straddle the 45° Voronoi edge of the two centroids at cos2° ≈ 0.999
+    val emb = Seq((1L, v(0)), (2L, v(8)), (3L, v(16)), (4L, v(44)), (5L, v(46)))
+      .toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val tau = math.cos(math.toRadians(10))
+    val out = Similarity.withSemDupFlag(emb, "vec_id", "embedding", cents, tau)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("coarse"), r.getAs[Boolean]("kept")))).toMap
+    assert(out(1L) == ((0, true)))
+    assert(out(2L) == ((0, false))) // dup of 1
+    // 3 is NOT a dup of 1 (cos40° < τ) but dies to 2 anyway — dropping a
+    // doc never revives its victims (one-pass dominated rule)
+    assert(out(3L) == ((0, false)))
+    // 4~5 at cos2° ≫ τ, but the pair spans the cluster edge: both kept —
+    // the SemDeDup trade (cluster-bounded candidates), not a bug
+    assert(out(4L) == ((0, true)) && out(5L) == ((1, true)))
+    val kept = Similarity.semDedup(emb, "vec_id", "embedding", cents, tau)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(kept == Set(1L, 4L, 5L))
+    intercept[IllegalArgumentException] {
+      Similarity.semDedup(emb, "vec_id", "embedding", cents, 0.0) }
+  }
+
   test("lshBucket: deterministic, bucket-equal for identical vectors") {
     val b = vecs.select($"vec_id", Similarity.lshBucket($"embedding", 3, 16).as("bucket"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
