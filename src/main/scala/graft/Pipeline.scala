@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BucketAggregate, Dedup, Finalize, IntervalJoin, MetricTransforms, TextAnalysis}
+import graft.operators.{BucketAggregate, Dedup, Finalize, IntervalJoin, LanguageModel, MetricTransforms, TextAnalysis}
 import graft.sources.Readers
 
 /** End-to-end pipeline wiring (SURVEY.md §3): raw node CSVs → FRESCO long →
@@ -172,7 +172,8 @@ object Pipeline {
              idCol: String = "doc_id", textCol: String = "text",
              minQuality: Double = 0.5, minJaccard: Double = 0.8,
              shingleK: Int = 8,
-             maxSharedSpanFrac: Option[Double] = None): DataFrame = {
+             maxSharedSpanFrac: Option[Double] = None,
+             lmGate: Option[(LanguageModel.BigramLm, Double)] = None): DataFrame = {
     val dupLosers = Dedup.minhashDuplicates(
         Dedup.hashedWordShingles(docs, idCol, textCol), minJaccard)
       .select(col("id_b").as(idCol))
@@ -188,7 +189,17 @@ object Pipeline {
     val spanned = maxSharedSpanFrac.fold(kept)(maxFrac =>
       Dedup.dropSpanDuplicatedDocs(kept, idCol, textCol, n = shingleK,
         maxSharedFrac = maxFrac))
-    TextAnalysis.hashSplit(TextAnalysis.withPiiRedaction(spanned, textCol), idCol)
+    // optional reference-LM perplexity gate (the CCNet stage): docs whose
+    // cross-entropy under the supplied model exceeds the threshold drop;
+    // the model is the CALLER's (trained on a reference corpus, usually
+    // [[LanguageModel.read]] from disk) — a self-trained gate would score
+    // boilerplate as likely. Unscorable docs pass (keepUnscored default);
+    // the xent column is dropped so the output schema stays gate-agnostic.
+    val lmKept = lmGate.fold(spanned) { case (lm, maxXent) =>
+      LanguageModel.filterByCrossEntropy(spanned, idCol, textCol, lm, maxXent)
+        .drop("xent")
+    }
+    TextAnalysis.hashSplit(TextAnalysis.withPiiRedaction(lmKept, textCol), idCol)
   }
 
   /** Step 2: FRESCO metrics ⋈ accounting → 1-minute bucketed wide table. */

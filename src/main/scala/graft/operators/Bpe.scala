@@ -113,6 +113,22 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Persist a merge list as parquet `(rank, lhs, rhs, count)` — the
+    * model artifact a tokenizer deployment ships. Tiny (≤ numMerges
+    * rows), but parquet keeps it engine-portable and schema'd. */
+  def writeMerges(spark: org.apache.spark.sql.SparkSession,
+                  merges: Seq[Merge], path: String): Unit =
+    spark.createDataFrame(merges).toDF("rank", "lhs", "rhs", "count")
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a persisted merge list, rank-ordered. Bounded driver read —
+    * the list is the model, numMerges rows by construction. */
+  def readMerges(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Seq[Merge] =
+    spark.read.parquet(path).orderBy("rank").collect().toSeq
+      .map(r => Merge(r.getAs[Int]("rank"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("count")))
+
   /** Apply a learned merge list to a word table's `syms`, in rank
     * order — one fold per merge, lineage truncated every 16 rounds so
     * arbitrarily large vocabularies keep a bounded plan. */

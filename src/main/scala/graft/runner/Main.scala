@@ -35,6 +35,13 @@ import graft.streaming.Compactor
   *  - `mix`: token-budget mixture sampling
   *    ([[graft.operators.TextAnalysis.sampleByTokenBudget]]) — the final
   *    pass before training data ships.
+  *  - `lm-train` / `lm-score` / `lm-filter`: the reference-LM perplexity
+  *    gate ([[graft.operators.LanguageModel]]) — train+prune+persist a
+  *    bigram model once, then score or threshold-filter every corpus or
+  *    ingest batch against it (the CCNet deployment loop).
+  *  - `bpe-train` / `bpe-encode`: distributed BPE tokenizer training
+  *    ([[graft.operators.Bpe]]) — learn the merge vocabulary from the
+  *    word-frequency table, persist it, and encode corpora with it.
   *  - `ivf-build` / `ivf-query` / `ivf-append` / `ivf-refresh` /
   *    `ivf-compact`: the learned-ANN index lifecycle
   *    ([[graft.operators.Similarity.writeLearnedIvfIndex]] family) — fit +
@@ -83,6 +90,16 @@ object Main {
       |  index-delete --in <ids-parquet> --name <table> [--id doc_id]
       |  mix     --in <docs-parquet> --budgets <g=tokens[,g=tokens...]> --out <dir>
       |          [--id doc_id] [--text text] [--group source]
+      |  lm-train  --in <docs-parquet> --path <model-dir>
+      |          [--text text] [--alpha 0.5] [--prune-min <n>]
+      |  lm-score  --in <docs-parquet> --path <model-dir> --out <dir>
+      |          [--id doc_id] [--text text]
+      |  lm-filter --in <docs-parquet> --path <model-dir> --out <dir>
+      |          --max-xent <nats> [--id doc_id] [--text text] [--drop-unscored]
+      |  bpe-train --in <docs-parquet> --path <merges-parquet>
+      |          [--text text] [--merges 1000] [--min-pair 2]
+      |  bpe-encode --in <docs-parquet> --path <merges-parquet> --out <dir>
+      |          [--id doc_id] [--text text]
       |  span-index-build  --in <docs-parquet> --path <dir>
       |          [--id doc_id] [--text text] [--span-n 8]
       |  span-index-merge  --path <index-dir> --in <docs-parquet> --out <dir>
@@ -268,6 +285,59 @@ object Main {
         .write.mode("overwrite").option("compression", "zstd")
         .parquet(req(opt, "out"))
 
+    case Some("lm-train") =>
+      // train a bigram reference LM and persist it (meta-last commit);
+      // --prune-min drops low-count bigrams so the served model
+      // broadcasts (the CCNet deployment shape: train on a reference
+      // corpus once, gate every ingest batch against it)
+      val (opt, _) = parse(args.tail)
+      val lm0 = graft.operators.LanguageModel.train(
+        spark.read.parquet(req(opt, "in")),
+        opt.getOrElse("text", "text"),
+        alpha = opt.getOrElse("alpha", "0.5").toDouble)
+      val lm = opt.get("prune-min").map(_.toLong)
+        .fold(lm0)(graft.operators.LanguageModel.prune(lm0, _))
+      graft.operators.LanguageModel.write(lm, req(opt, "path"))
+
+    case Some("lm-score") =>
+      val (opt, _) = parse(args.tail)
+      graft.operators.LanguageModel.crossEntropy(
+          spark.read.parquet(req(opt, "in")),
+          opt.getOrElse("id", "doc_id"), opt.getOrElse("text", "text"),
+          graft.operators.LanguageModel.read(spark, req(opt, "path")))
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(req(opt, "out"))
+
+    case Some("lm-filter") =>
+      val (opt, flags) = parse(args.tail)
+      graft.operators.LanguageModel.filterByCrossEntropy(
+          spark.read.parquet(req(opt, "in")),
+          opt.getOrElse("id", "doc_id"), opt.getOrElse("text", "text"),
+          graft.operators.LanguageModel.read(spark, req(opt, "path")),
+          maxXent = req(opt, "max-xent").toDouble,
+          keepUnscored = !flags("drop-unscored"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(req(opt, "out"))
+
+    case Some("bpe-train") =>
+      val (opt, _) = parse(args.tail)
+      graft.operators.Bpe.writeMerges(spark,
+        graft.operators.Bpe.train(
+          spark.read.parquet(req(opt, "in")),
+          opt.getOrElse("text", "text"),
+          numMerges = opt.getOrElse("merges", "1000").toInt,
+          minPairCount = opt.getOrElse("min-pair", "2").toLong),
+        req(opt, "path"))
+
+    case Some("bpe-encode") =>
+      val (opt, _) = parse(args.tail)
+      graft.operators.Bpe.encode(
+          spark.read.parquet(req(opt, "in")),
+          opt.getOrElse("id", "doc_id"), opt.getOrElse("text", "text"),
+          graft.operators.Bpe.readMerges(spark, req(opt, "path")))
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(req(opt, "out"))
+
     case Some("span-index-build") =>
       val (opt, _) = parse(args.tail)
       graft.operators.Dedup.buildSpanIndex(
@@ -407,7 +477,7 @@ object Main {
 
   /** `--key value` options and bare `--flag` switches. */
   private def parse(args: Seq[String]): (Map[String, String], String => Boolean) = {
-    val bareFlags = Set("overwrite", "once")
+    val bareFlags = Set("overwrite", "once", "drop-unscored")
     val (opts, flags) = args.foldLeft((Map.empty[String, String], Set.empty[String], Option.empty[String])) {
       case ((_, _, Some(key)), v) if v.startsWith("--") =>
         // another option where a value was expected: fail loudly instead of

@@ -161,17 +161,28 @@ object StreamingCurate {
                            minJaccard: Double = 0.8,
                            minQuality: Double = 0.5,
                            spanIndex: Option[DataFrame] = None,
-                           maxIndexedFrac: Double = 0.5): DataFrame = {
+                           maxIndexedFrac: Double = 0.5,
+                           lmGate: Option[(graft.operators.LanguageModel.BigramLm, Double)] = None)
+      : DataFrame = {
     val gated = perRowStages(batch, idCol, textCol, evalBloom, minQuality)
+    // optional reference-LM perplexity gate (the CCNet stage at ingest):
+    // the model is a REFERENCE corpus's, loaded once per run
+    // ([[graft.operators.LanguageModel.read]]) and broadcast, so the
+    // gate is per-row arithmetic over the batch — it runs with the other
+    // cheap gates, before anything that explodes or joins the batch.
+    // All gates drop rows keyed on the doc, so they commute.
+    val lmed = lmGate.fold(gated) { case (lm, maxXent) =>
+      graft.operators.LanguageModel
+        .filterByCrossEntropy(gated, idCol, textCol, lm, maxXent).drop("xent")
+    }
     // optional boilerplate gate against the landed corpus's
     // span-frequency index ([[graft.operators.Dedup.buildSpanIndex]]):
     // runs BEFORE the signature anti-join for the same reason the
-    // per-row stages do — all three gates drop rows keyed on the doc, so
-    // they commute, and each cheaper stage shrinks the next one's input
-    // (span scoring explodes only the batch; the signature stage then
-    // sees the boilerplate-free survivors)
-    val spanned = spanIndex.fold(gated)(ix =>
-      Dedup.filterAgainstSpanIndex(gated, ix, idCol, textCol, maxIndexedFrac))
+    // per-row stages do — each cheaper stage shrinks the next one's
+    // input (span scoring explodes only the batch; the signature stage
+    // then sees the boilerplate-free survivors)
+    val spanned = spanIndex.fold(lmed)(ix =>
+      Dedup.filterAgainstSpanIndex(lmed, ix, idCol, textCol, maxIndexedFrac))
     Dedup.filterAgainstIndex(spanned, index, idCol, textCol, minJaccard)
   }
 
@@ -203,11 +214,12 @@ object StreamingCurate {
                            evalBloom: ShingleBloom, index: DataFrame,
                            minJaccard: Double = 0.8, minQuality: Double = 0.5,
                            spanIndex: Option[DataFrame] = None,
-                           maxIndexedFrac: Double = 0.5)
+                           maxIndexedFrac: Double = 0.5,
+                           lmGate: Option[(graft.operators.LanguageModel.BigramLm, Double)] = None)
       : (DataFrame, Long) => Unit =
     (batch, batchId) => writeBatchIdempotent(
       curateBatchWithIndex(batch, idCol, textCol, evalBloom, index,
-        minJaccard, minQuality, spanIndex, maxIndexedFrac),
+        minJaccard, minQuality, spanIndex, maxIndexedFrac, lmGate),
       outDir, batchId)
 
   /** The FULL incremental-dedup streaming loop in one sink, against the

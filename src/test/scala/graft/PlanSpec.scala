@@ -179,6 +179,38 @@ class PlanSpec extends SparkSpec {
       s"only the boundary buckets may shuffle (got >1):\n$phys")
   }
 
+  test("q_lm_xent: both model tables broadcast — the score scan never shuffles for the model") {
+    val p = executed(SparkEntry.queries("q_lm_xent")(spark, sf))
+    val phys = p.toString
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoopJoin"),
+      s"LM scoring must stay on (w1,w2)/(w1) equi-joins:\n$phys")
+    assert(countBroadcasts(p) >= 2,
+      s"expected the bigram AND context tables to broadcast into the score scan:\n$phys")
+  }
+
+  test("q_semdedup: pair scan keyed by the cluster id — no cartesian anywhere") {
+    val phys = executed(SparkEntry.queries("q_semdedup")(spark, sf)).toString
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoopJoin"),
+      s"SemDeDup's whole point is the cluster-bounded equi-join:\n$phys")
+  }
+
+  test("q_bpe_pairs: weighted pair counts partial-aggregate map-side; top-k fused") {
+    val p = executed(SparkEntry.queries("q_bpe_pairs")(spark, sf))
+    val phys = p.toString
+    // the shuffle must carry per-partition-distinct pairs, not pair
+    // occurrences: a partial sum below an exchange
+    val hasPartialSum = flatten(p).exists {
+      case agg: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        agg.aggregateExpressions.exists(a =>
+          a.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial &&
+            a.aggregateFunction.prettyName == "sum")
+      case _ => false
+    }
+    assert(hasPartialSum, s"expected a map-side partial sum:\n$phys")
+    assert(phys.contains("TakeOrderedAndProject"),
+      s"the top-50 cut must fuse — no global sort of the pair table:\n$phys")
+  }
+
   test("q_interval_join_auto: the optimizer rule fired — bucket Generate present, no nested loop") {
     val df = SparkEntry.queries("q_interval_join_auto")(spark, sf)
     val gens = df.queryExecution.optimizedPlan.collect {

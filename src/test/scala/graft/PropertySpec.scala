@@ -762,6 +762,77 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("crossEntropy ≡ driver-side bigram-LM reference on random corpora") {
+    import graft.operators.LanguageModel
+    val word = Gen.oneOf("a", "b", "c", "dd", "ee")
+    val doc = Gen.listOf(word).map(_.take(12).mkString(" "))
+    forAll(Gen.listOfN(8, doc), n = 4) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val toks = texts.map(_.split("\\s+").filter(_.nonEmpty).toVector)
+      whenever(toks.exists(_.length >= 2)) {
+        val lm = LanguageModel.train(docs, "text")
+        val got = LanguageModel.crossEntropy(docs, "doc_id", "text", lm)
+          .collect().map(r => r.getLong(0) ->
+            ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+        val bigrams = toks.flatMap(ts => ts.zip(ts.drop(1)))
+        val c12 = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val c1 = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        val v = toks.flatten.distinct.size
+        assert(lm.vocabSize == v)
+        toks.zipWithIndex.foreach { case (ts, i) =>
+          val bs = ts.zip(ts.drop(1))
+          if (bs.isEmpty) assert(got(i.toLong) == ((0L, None)))
+          else {
+            val xent = -bs.map(b =>
+              math.log((c12(b) + 0.5) / (c1(b._1) + 0.5 * v))).sum / bs.length
+            assert(got(i.toLong)._1 == bs.length.toLong)
+            assert(math.abs(got(i.toLong)._2.get - xent) < 1e-9,
+              s"doc $i: got ${got(i.toLong)._2.get} want $xent")
+          }
+        }
+      }
+    }
+  }
+
+  test("semDedup ≡ driver-side dominated-rule reference on random vectors") {
+    import graft.operators.Similarity
+    val cents = Array(Array(1.0, 0.0, 0.0), Array(-1.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0))
+    val coord = Gen.chooseNum(-1.0, 1.0)
+    val vec = Gen.listOfN(3, coord).map(_.toVector)
+      .retryUntil(v => v.exists(math.abs(_) > 1e-6))
+    def refDot(a: Vector[Double], b: Seq[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    forAll(Gen.listOfN(12, vec), n = 4) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val tau = 0.8
+      val got = Similarity.withSemDupFlag(df, "vec_id", "embedding",
+          cents, tau).collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Int]("coarse"), r.getAs[Boolean]("kept")))).toMap
+      // reference: same squared-L2 argmin (ties → lower id), same cosine
+      def assign(v: Vector[Double]): Int =
+        cents.map(c => v.indices.foldLeft(0.0)((acc, i) =>
+          acc + (v(i) - c(i)) * (v(i) - c(i))))
+          .zipWithIndex.minBy { case (d, i) => (d, i) }._2
+      def cos(a: Vector[Double], b: Vector[Double]): Double = {
+        val na = math.sqrt(refDot(a, a)); val nb = math.sqrt(refDot(b, b))
+        if (na == 0.0 || nb == 0.0) 0.0 else refDot(a, b) / (na * nb)
+      }
+      val lab = vs.zipWithIndex.map { case (v, i) => i.toLong -> assign(v) }.toMap
+      vs.zipWithIndex.foreach { case (v, i) =>
+        val id = i.toLong
+        val loser = vs.zipWithIndex.exists { case (u, j) =>
+          j < i && lab(j.toLong) == lab(id) && cos(u.toVector, v.toVector) >= tau
+        }
+        assert(got(id) == ((lab(id), !loser)),
+          s"vec $id: got ${got(id)} want (${lab(id)}, ${!loser})")
+      }
+    }
+  }
+
   test("ensureColumns: arbitrary column subsets conform to the full schema") {
     forAll(Gen.someOf(Schemas.mem.fieldNames.toSeq)) { keep =>
       whenever(keep.nonEmpty) {

@@ -176,6 +176,66 @@ class RunnerSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).sorted.toSeq == kept.sorted.toSeq)
   }
 
+  test("lm CLI: train(+prune) → score → filter — the reference-LM gate loop") {
+    import spark.implicits._
+    val fluent = "the quick brown fox jumps over the lazy dog and the " +
+      "quick brown fox jumps over the lazy dog again for the usual walk"
+    val gibberish = fluent.split(" ").sorted.reverse.mkString(" ")
+    val ref = outDir("cli-lm-ref"); val model = outDir("cli-lm-model")
+    Seq((50L, fluent), (51L, fluent)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(ref)
+    Main.run(Seq("lm-train", "--in", ref, "--path", model,
+      "--prune-min", "2"), spark)
+    val in = outDir("cli-lm-in"); val scored = outDir("cli-lm-scored")
+    Seq((1L, fluent), (2L, gibberish), (3L, "solo")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(in)
+    Main.run(Seq("lm-score", "--in", in, "--path", model,
+      "--out", scored), spark)
+    val xs = spark.read.parquet(scored).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(xs(3L)._2.isEmpty && xs(3L)._1 == 0L, "1-token doc scores NULL")
+    assert(xs(1L)._2.get < xs(2L)._2.get, "scrambling must raise xent")
+    val tau = (xs(1L)._2.get + xs(2L)._2.get) / 2
+    val kept = outDir("cli-lm-kept")
+    Main.run(Seq("lm-filter", "--in", in, "--path", model,
+      "--out", kept, "--max-xent", tau.toString), spark)
+    assert(spark.read.parquet(kept).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L),
+      "gate keeps the fluent doc and (by default) the unscorable one")
+    val strict = outDir("cli-lm-strict")
+    Main.run(Seq("lm-filter", "--in", in, "--path", model, "--out", strict,
+      "--max-xent", tau.toString, "--drop-unscored"), spark)
+    assert(spark.read.parquet(strict).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("bpe CLI: train → encode — persisted merges reproduce in-memory encoding") {
+    import spark.implicits._
+    val corpus = outDir("cli-bpe-corpus")
+    Seq((1L, "low low low low low"), (2L, "lower lower"),
+      (3L, "newest newest newest newest newest newest"),
+      (4L, "widest widest widest")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(corpus)
+    val merges = outDir("cli-bpe-merges"); val enc = outDir("cli-bpe-enc")
+    Main.run(Seq("bpe-train", "--in", corpus, "--path", merges,
+      "--merges", "8"), spark)
+    val back = graft.operators.Bpe.readMerges(spark, merges)
+    assert(back.nonEmpty && back.map(_.rank) == back.indices.toSeq)
+    assert((back.head.lhs, back.head.rhs) == (("e", "s")),
+      "the famous first merge on the Sennrich corpus")
+    Main.run(Seq("bpe-encode", "--in", corpus, "--path", merges,
+      "--out", enc), spark)
+    val viaCli = spark.read.parquet(enc)
+      .select("doc_id", "bpe_tokens").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val direct = graft.operators.Bpe.encode(
+        spark.read.parquet(corpus), "doc_id", "text", back)
+      .select("doc_id", "bpe_tokens").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    assert(viaCli == direct)
+  }
+
   test("span-index lifecycle CLI: build → filter → merge → filter — the " +
     "boilerplate gate grows by additive merge") {
     import spark.implicits._

@@ -137,6 +137,36 @@ class StreamingCurateSpec extends SparkSpec {
     assert(kept == Set(10L, 11L))
   }
 
+  test("curateBatchWithIndex with a reference-LM gate: improbable-bigram " +
+    "docs gated at ingest; other stages unaffected") {
+    import graft.operators.LanguageModel
+    val bloom = StreamingCurate.evalShingleBloom(evalDocs, "doc_id", "text", k = 8)
+    val fluent = "the quick brown fox jumps over the lazy dog and the " +
+      "quick brown fox jumps over the lazy dog again for the usual walk " +
+      "in the morning with all of the other animals from the farm"
+    val gibberish = fluent.split(" ").sorted.reverse.mkString(" ")
+    val lm = LanguageModel.train(
+      Seq((50L, fluent)).toDF("doc_id", "text"), "text")
+    val xs = LanguageModel.crossEntropy(
+        Seq((1L, fluent), (2L, gibberish)).toDF("doc_id", "text"),
+        "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val tau = (xs(1L) + xs(2L)) / 2
+    val corpus = Seq((90L, "one landed article about something else " +
+      "entirely with its own vocabulary and phrasing")).toDF("doc_id", "text")
+    val index = graft.operators.Dedup.buildDedupIndex(corpus, "doc_id", "text")
+    val batch = Seq((10L, fluent), (11L, gibberish)).toDF("doc_id", "text")
+    val kept = StreamingCurate.curateBatchWithIndex(batch, "doc_id", "text",
+        bloom, index, lmGate = Some((lm, tau)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L), s"kept: $kept")
+    val ungated = StreamingCurate.curateBatchWithIndex(batch, "doc_id", "text",
+        bloom, index)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ungated == Set(10L, 11L),
+      "without the LM gate both pass — the catch above is the LM's")
+  }
+
   test("idempotentCurateSink: replaying a batch id overwrites its own " +
     "directory — no duplicate rows, identical output") {
     implicit val sqlCtx = spark.sqlContext

@@ -1704,6 +1704,39 @@ class TrainingOpsSpec extends SparkSpec {
       "the span stage must drop exactly the footer-dominated docs")
   }
 
+  test("Pipeline.curate lmGate: the reference-LM stage drops improbable-bigram " +
+    "docs the quality gate cannot see; off by default") {
+    import graft.operators.LanguageModel
+    val fluent = "the quick brown fox jumps over the lazy dog and the " +
+      "quick brown fox jumps over the lazy dog again for the usual walk " +
+      "in the morning with all of the other animals from the farm"
+    // same token MULTISET scrambled: identical length/stopword/punct
+    // ratios — the closed-form quality score cannot distinguish them,
+    // only the LM can (its bigrams are improbable under the reference)
+    val gibberish = fluent.split(" ").sorted.reverse.mkString(" ")
+    val ref = Seq((50L, fluent), (51L, fluent)).toDF("doc_id", "text")
+    val lm = LanguageModel.train(ref, "text")
+    val xs = LanguageModel.crossEntropy(
+        Seq((1L, fluent), (2L, gibberish)).toDF("doc_id", "text"),
+        "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(xs(1L) < xs(2L), s"scrambling must raise xent: $xs")
+    val tau = (xs(1L) + xs(2L)) / 2
+    val docs = Seq((1L, fluent), (2L, gibberish)).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "benchmark sentence unrelated to every corpus " +
+      "document in all of its words")).toDF("doc_id", "text")
+    def kept(g: Option[(LanguageModel.BigramLm, Double)]) =
+      Pipeline.curate(docs, eval_, lmGate = g)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept(None) == Set(1L, 2L),
+      "default composition must stay the oracle-checked q_curate pipeline")
+    assert(kept(Some((lm, tau))) == Set(1L),
+      "the LM stage must drop exactly the improbable-bigram doc")
+    // schema unchanged by the gate (xent is internal to the stage)
+    assert(Pipeline.curate(docs, eval_, lmGate = Some((lm, tau))).columns.toSeq ==
+      Pipeline.curate(docs, eval_).columns.toSeq)
+  }
+
   test("ShingleHashesAll: ordered positional hashes, same key space as the " +
     "distinct form, SQL-registered") {
     import graft.functions.{ShingleHashes, ShingleHashesAll}
