@@ -39,7 +39,10 @@ import org.apache.spark.sql.SparkSession
   * files-per-cell vs `appendToIvfIndex` count, before and after
   * `compactIvfIndex`), and `SPARK_GRAFT_SCALE_RECALL=1`
   * measures the served IVF's recall@10 vs nprobe (with the all-cells
-  * point isolating the quantization-only ceiling) — each writes its own
+  * point isolating the quantization-only ceiling), and
+  * `SPARK_GRAFT_SCALE_LM=1` measures LM train/score economics over
+  * rotated replicas plus BPE's vocab-not-corpus merge-loop claim over
+  * plain replicas — each writes its own
   * `bench_scale_*.json`; the claims and committed values are catalogued
   * in COVERAGE.md. */
 object Bench {
@@ -160,6 +163,11 @@ object Bench {
     }
     if (sys.env.contains("SPARK_GRAFT_SCALE_RECALL")) {
       scaleRecallNprobe(spark, sfDir, () => dropPersistedState())
+      spark.stop()
+      return
+    }
+    if (sys.env.contains("SPARK_GRAFT_SCALE_LM")) {
+      scaleLmBpe(spark, sfDir, () => dropPersistedState())
       spark.stop()
       return
     }
@@ -644,6 +652,125 @@ object Bench {
     * design — each layout's point is moving recurring serve-time work to
     * one-time build-time, and `compact_secs` is that one-time cost for
     * the compactor. Writes `bench_scale_span_index.json`. */
+  /** LM + BPE training-economics harness — `SPARK_GRAFT_SCALE_LM` →
+    * `bench_scale_lm.json`. Two sections on DIFFERENT replication axes,
+    * because the two operators scale on different resources:
+    *
+    * LM section (ROTATED replicas — per-replica vocabularies disjoint,
+    * verified collision-free for the ladder's Caesar shifts, so the
+    * MODEL grows with the corpus — the honest axis for a count table):
+    * per ladder size, train (bigram agg + derived contexts + V) and
+    * self-score, medians over reps. Claim columns REQUIRED exact:
+    * vocab, distinct bigrams and contexts all k· the 1× values, scored
+    * rows = doc count. Train/score slopes reported.
+    *
+    * BPE section (PLAIN re-id'd replicas — the same text k×): the
+    * design claim of training on the word-frequency table is that the
+    * merge loop costs VOCAB, not corpus — k× more corpus multiplies
+    * word counts by k but adds NO rows to the word table, so per-round
+    * cost is flat and train time should barely move across the ladder
+    * (slope ≈ the one corpus scan that builds the table). REQUIRED: the
+    * learned merge SEQUENCE is identical at every k with pair counts
+    * exactly k· the 1× counts (the vocabulary an 8× corpus learns IS
+    * the 1× vocabulary). Encoding stays corpus-linear; its slope and
+    * the (exactly linear) encoded-token totals are reported. */
+  private def scaleLmBpe(spark: SparkSession, sfDir: String,
+                         dropState: () => Unit): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Bpe, LanguageModel}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val idSpan = docs.agg(max("doc_id")).head().getLong(0) + 1
+    def replica(k: Int) = rotatedReplica(docs, idSpan, k)
+    def plainReplica(k: Int) = docs.select(
+      (col("doc_id") + lit(k * idSpan)).as("doc_id"), col("text"))
+    val sizes = Seq(1, 2, 4, 8)
+    val reps = repsFromEnv()
+    LanguageModel.train(replica(0), "text").bigrams.count() // warmup
+    dropState()
+    val rows = sizes.map { n =>
+      val corpus = (0 until n).map(replica).reduce(_ unionByName _)
+      val nDocs = corpus.count()
+      var bigRows = 0L; var ctxRows = 0L; var vocab = 0L
+      val trainTimes = (0 until reps).map { _ =>
+        dropState()
+        val t0 = System.nanoTime()
+        val lm = LanguageModel.train(corpus, "text")
+        bigRows = lm.bigrams.count(); ctxRows = lm.contexts.count()
+        vocab = lm.vocabSize
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val lm = LanguageModel.train(corpus, "text")
+      var scored = 0L
+      val scoreTimes = (0 until reps).map { _ =>
+        dropState()
+        val t0 = System.nanoTime()
+        scored = LanguageModel.crossEntropy(corpus, "doc_id", "text", lm).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val plain = (0 until n).map(plainReplica).reduce(_ unionByName _)
+      var merges: Seq[Bpe.Merge] = Nil
+      val bpeTimes = (0 until reps).map { _ =>
+        dropState()
+        val t0 = System.nanoTime()
+        merges = Bpe.train(plain, "text", numMerges = 16)
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      var encTokens = 0L
+      val encTimes = (0 until reps).map { _ =>
+        dropState()
+        val t0 = System.nanoTime()
+        encTokens = Bpe.encode(plain, "doc_id", "text", merges)
+          .agg(sum("n_bpe_tokens")).head().getLong(0)
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      dropState()
+      (n, nDocs, vocab, bigRows, ctxRows, scored,
+        trainTimes(trainTimes.size / 2), scoreTimes(scoreTimes.size / 2),
+        bpeTimes(bpeTimes.size / 2), encTimes(encTimes.size / 2),
+        merges, encTokens)
+    }
+    val base = rows.head
+    rows.foreach { r =>
+      require(r._3 == base._3 * r._1 && r._4 == base._4 * r._1 &&
+        r._5 == base._5 * r._1,
+        s"rotation isolation violated at ${r._1}x: vocab/bigrams/contexts " +
+          s"(${r._3},${r._4},${r._5}) vs 1x (${base._3},${base._4},${base._5})")
+      require(r._6 == base._6 * r._1,
+        s"scored rows must be doc-linear at ${r._1}x: ${r._6} vs 1x ${base._6}")
+      require(r._11.map(m => (m.lhs, m.rhs)) == base._11.map(m => (m.lhs, m.rhs)),
+        s"BPE merge sequence must be replication-invariant at ${r._1}x")
+      require(r._11.map(_.count) == base._11.map(_.count * r._1),
+        s"BPE merge counts must scale exactly with replication at ${r._1}x")
+      require(r._12 == base._12 * r._1,
+        s"encoded token total must be replica-linear at ${r._1}x: " +
+          s"${r._12} vs 1x ${base._12}")
+    }
+    type R = (Int, Long, Long, Long, Long, Long, Double, Double, Double,
+      Double, Seq[Bpe.Merge], Long)
+    def arr[T](f: R => T): String = jsonArr(rows)(f)
+    val line =
+      f"""{"metric":"lm_bpe_scale","reps":$reps,"bpe_merges":16,""" +
+        f""""sizes":${arr(_._1)},"docs":${arr(_._2)},"vocab":${arr(_._3)},""" +
+        f""""bigram_rows":${arr(_._4)},"context_rows":${arr(_._5)},""" +
+        f""""scored_docs":${arr(_._6)},"encoded_tokens":${arr(_._12)},""" +
+        f""""lm_train_secs":${arr(r => f"${r._7}%.3f")},""" +
+        f""""lm_score_secs":${arr(r => f"${r._8}%.3f")},""" +
+        f""""bpe_train_secs":${arr(r => f"${r._9}%.3f")},""" +
+        f""""bpe_encode_secs":${arr(r => f"${r._10}%.3f")},""" +
+        f""""lm_train_slope":${logLogSlope(sizes, rows.map(_._7))}%.3f,""" +
+        f""""lm_score_slope":${logLogSlope(sizes, rows.map(_._8))}%.3f,""" +
+        f""""bpe_train_slope":${logLogSlope(sizes, rows.map(_._9))}%.3f,""" +
+        f""""bpe_encode_slope":${logLogSlope(sizes, rows.map(_._10))}%.3f,""" +
+        f""""lm_train_segment_slopes":${segmentSlopesJson(sizes, rows.map(_._7))},""" +
+        f""""sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_scale_lm.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_scale_lm.json: ${e.getMessage}") }
+    println(line)
+  }
+
   private def scaleSpanIndexServing(spark: SparkSession, sfDir: String,
                                     dropState: () => Unit): Unit = {
     import org.apache.spark.sql.functions._

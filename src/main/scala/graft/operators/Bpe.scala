@@ -60,15 +60,23 @@ object Bpe {
   /** Adjacent symbol-pair counts over a word table, weighted by word
     * frequency: `(lhs, rhs, n)`. The counting core of every BPE round
     * (and of [[graft.SparkEntry]]'s `q_bpe_pairs` oracle query). */
-  def pairCounts(words: DataFrame): DataFrame =
+  def pairCounts(words: DataFrame): DataFrame = {
+    // zip_with over two slices, not transform-with-element_at: the
+    // latter re-evaluates the syms expression per element — quadratic
+    // per word when projection collapse substitutes the char
+    // decomposition into every element_at (see LanguageModel
+    // .bigramStructs for the measured cost of that shape)
+    val s = col("syms")
     words.select(col("n").as("__wn"),
-        explode(when(size(col("syms")) < 2,
+        explode(when(size(s) < 2,
             array().cast("array<struct<lhs:string,rhs:string>>"))
-          .otherwise(transform(sequence(lit(0), size(col("syms")) - 2),
-            i => struct(element_at(col("syms"), i + 1).as("lhs"),
-              element_at(col("syms"), i + 2).as("rhs"))))).as("p"))
+          .otherwise(zip_with(
+            slice(s, lit(1), size(s) - 1),
+            slice(s, lit(2), size(s) - 1),
+            (a, b) => struct(a.as("lhs"), b.as("rhs"))))).as("p"))
       .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
       .agg(sum("__wn").as("n"))
+  }
 
   /** Greedy leftmost-non-overlapping application of ONE merge to a
     * symbol array, as a single fold: append each symbol, except that a

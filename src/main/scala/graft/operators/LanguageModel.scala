@@ -66,12 +66,20 @@ object LanguageModel {
   /** Adjacent-token bigrams of a token array as (w1, w2) structs —
     * empty below 2 tokens (a bare sequence(0, n−2) would raise on
     * negative bounds). Shares [[TextAnalysis.tokens]], so the LM, the
-    * shingle families, and the vocab queries agree on tokenization. */
+    * shingle families, and the vocab queries agree on tokenization.
+    *
+    * Shape matters: `zip_with` over two slices evaluates `toks` a
+    * CONSTANT number of times per row. The once-obvious
+    * `transform(sequence(0, n−2), i => element_at(toks, i+1))`
+    * re-evaluates the whole tokenizer expression (split + filter over
+    * the document) PER ELEMENT — O(n²) string work per document,
+    * measured ~15× slower at bench scale before this rewrite. */
   private[graft] def bigramStructs(toks: Column): Column =
     when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
-      .otherwise(transform(sequence(lit(0), size(toks) - 2),
-        i => struct(element_at(toks, i + 1).as("w1"),
-          element_at(toks, i + 2).as("w2"))))
+      .otherwise(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
 
   /** Train a bigram LM over `docs(textCol)`. Lazy except for V (one
     * distinct-count scalar); callers persisting the model use [[write]],
