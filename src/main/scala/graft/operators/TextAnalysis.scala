@@ -127,9 +127,16 @@ object TextAnalysis {
   def withRepetition(df: DataFrame, textCol: String): DataFrame = {
     val lines = filter(split(col(textCol), "\n"), l => length(trim(l)) > 0)
     val toks = tokens(col(textCol))
+    // zip_with over two slices, NOT transform(sequence, i => slice(toks,
+    // i, 2)): HOF lambda bodies re-evaluate captured expressions per
+    // element, so the old shape re-ran the tokenizer once per bigram —
+    // O(n²) string work per document (the LanguageModel.bigramStructs
+    // bug class, found by its scale harness)
     val bigrams = when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b)))
     def dupFrac(xs: Column): Column =
       when(size(xs) === 0, lit(0.0)) // nothing present ⇒ nothing duplicated
         .otherwise(lit(1.0) - size(array_distinct(xs)).cast("double") / size(xs))
@@ -154,10 +161,18 @@ object TextAnalysis {
     // exact for any realistic n: doubles are exact integers below 2^53
     val nChunks = (ceil(greatest(n - chunkSize, lit(0)).cast("double")
       / stride) + 1).cast("int")
+    // let-binding via a 1-element outer transform: the outer HOF
+    // evaluates `toks` ONCE and the inner lambda slices the BOUND array
+    // `ts` — slicing the captured tokenizer expression directly would
+    // re-run split+filter per chunk, O(n²/stride) per document (the
+    // bigramStructs bug class; zip_with can't express strided slices,
+    // this idiom can)
+    val chunks = transform(array(toks), ts =>
+      transform(sequence(lit(0), nChunks - 1),
+        i => slice(ts, i * stride + 1, lit(chunkSize))))
     df.select(col(idCol),
         posexplode(when(n === 0, array().cast("array<array<string>>"))
-          .otherwise(transform(sequence(lit(0), nChunks - 1),
-            i => slice(toks, i * stride + 1, lit(chunkSize))))))
+          .otherwise(element_at(chunks, 1))))
       .select(col(idCol), col("pos").as("chunk_idx"),
         concat_ws(" ", col("col")).as("chunk_text"),
         size(col("col")).as("chunk_tokens"))
