@@ -1052,6 +1052,15 @@ object SparkEntry {
       .select(col("doc_id"), col("n_bpe_tokens"),
         md5(concat_ws(" ", col("bpe_tokens")).cast("binary")).as("bpe_md5"))
 
+  /** Inverted-index BM25 search: build + score one fixed query over the
+    * documents corpus; full scored set (no top-k cut), compared in the
+    * rounded-score domain — rank columns would amplify last-ulp ties. */
+  private def qBm25(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.bm25(
+        graft.operators.TextIndex.build(tbl(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", "spark hash join stream")
+      .select(col("doc_id"), col("n_matched"), rq(col("score"), 6).as("score"))
+
   /** Corpus vocabulary: top-100 tokens by frequency (ties by token). */
   private def qVocab(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.topTokens(tbl(s, dir, "documents"), "text", 100)
@@ -1554,6 +1563,7 @@ object SparkEntry {
     "q_semdedup" -> qSemdedup,
     "q_bpe_pairs" -> qBpePairs,
     "q_bpe_encode" -> qBpeEncode,
+    "q_bm25" -> qBm25,
     "q_vocab" -> qVocab,
     "q_lm_xent" -> qLmXent,
     "q_sample_stratified" -> qSampleStratified,
@@ -2117,6 +2127,38 @@ object SparkEntry {
         |       coalesce(pd.n_bpe_tokens, 0) AS n_bpe_tokens,
         |       md5(coalesce(pd.full_str, '')) AS bpe_md5
         |FROM (SELECT DISTINCT sh_id FROM t) d LEFT JOIN pd USING (sh_id)""".stripMargin,
+    // BM25: exact tf/df/dl counts + the closed "+1"-smoothed idf, all
+    // replayable in SQL; df comes from the FULL postings (then filtered
+    // to the query terms), dl/avgdl count every corpus doc
+    "q_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |                            x -> x <> '')) AS term
+        |  FROM documents),
+        | d AS (
+        |  SELECT doc_id,
+        |         len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                         x -> x <> '')) AS dl
+        |  FROM documents),
+        | stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
+        | tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term IN ('spark', 'hash', 'join', 'stream') GROUP BY 1, 2),
+        | df AS (
+        |  SELECT term, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, term FROM tok)
+        |  WHERE term IN ('spark', 'hash', 'join', 'stream') GROUP BY term),
+        | sc AS (
+        |  SELECT tf.doc_id,
+        |         ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+        |         (tf.tf * (1.2 + 1)) /
+        |         (tf.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / stats.avgdl)) AS part
+        |  FROM tf JOIN df USING (term) JOIN d ON d.doc_id = tf.doc_id
+        |  CROSS JOIN stats)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, count(*) AS n_matched,
+        |       floor(sum(part)*1000000.0 + 0.5)/1000000.0 AS score
+        |FROM sc GROUP BY doc_id""".stripMargin,
     // SemDeDup: the fixture's k-means labels bound the pair scan; a row
     // is dropped iff a smaller-id same-cluster row sits at cosine ≥ 0.4
     "q_semdedup" ->

@@ -71,12 +71,17 @@ object Dedup {
     * lists short. Preferred for the 100 TB path. */
   def wordShingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     // the ONE tokenizer definition (TextAnalysis.tokens) — SimHash64's
-    // native expression is bit-matched to it
+    // native expression is bit-matched to it. Let-bound through a
+    // 1-element transform so the k-gram slices address the BOUND array:
+    // slicing the captured tokenizer expression re-runs split+filter per
+    // gram — O(n²) per document (the bigramStructs bug class)
     val toks = TextAnalysis.tokens(col(textCol))
+    val grams = transform(array(toks), ts =>
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(ts) - k, lit(0))),
+        i => concat_ws(" ", slice(ts, i + 1, lit(k))))))
     df.select(col(idCol).as("sh_id"),
-        explode(array_distinct(transform(
-          sequence(lit(0), greatest(size(toks) - k, lit(0))),
-          i => concat_ws(" ", slice(toks, i + 1, lit(k)))))).as("shingle"))
+        explode(element_at(grams, 1)).as("shingle"))
       .filter(length(col("shingle")) > 0) // blank docs contribute nothing
   }
 

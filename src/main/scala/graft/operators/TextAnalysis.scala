@@ -453,10 +453,15 @@ object TextAnalysis {
     * fingerprint usable as a cheap near-dup prefilter). */
   def withFingerprints(df: DataFrame, textCol: String, k: Int = 8): DataFrame = {
     val norm = lower(regexp_replace(trim(col(textCol)), "\\s+", " "))
+    // norm is let-bound through a 1-element transform: substr'ing the
+    // captured expression directly would re-run the whitespace regex per
+    // shingle position — O(n²) regex work per document (the
+    // bigramStructs bug class)
+    val minFp = element_at(transform(array(norm), s =>
+      array_min(transform(
+        sequence(lit(1), greatest(length(s) - (k - 1), lit(1))),
+        i => md5(s.substr(i, lit(k)).cast("binary"))))), 1)
     df.withColumn("md5_fp", md5(norm.cast("binary")))
-      .withColumn("min_shingle_fp",
-        array_min(transform(
-          sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
-          i => md5(norm.substr(i, lit(k)).cast("binary")))))
+      .withColumn("min_shingle_fp", minFp)
   }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.TextIndex
+
+/** Inverted index + BM25 vs hand-computed values, persistence
+  * round-trip, and the guards. */
+class TextIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "spark join spark"),
+    (2L, "hash table lookup"),
+    (3L, "the quick fox"),
+    (4L, "   ") // tokenless: part of N/avgdl, can never match
+  ).toDF("doc_id", "text")
+
+  private lazy val ix = TextIndex.build(docs, "doc_id", "text")
+
+  test("build: postings carry dl, docFreq and scalars match the hand tally") {
+    assert(ix.nDocs == 4L)
+    assert(math.abs(ix.avgdl - 2.25) < 1e-12) // (3+3+3+0)/4
+    val p = ix.postings.collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getInt(2), r.getLong(3)))).toMap
+    assert(p((1L, "spark")) == ((3, 2L))) // dl 3, tf 2
+    assert(p((1L, "join")) == ((3, 1L)))
+    val df = ix.docFreq.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df("spark") == 1L && df("the") == 1L)
+  }
+
+  test("bm25: hand-computed scores; duplicate query terms don't double-count") {
+    // query {spark, hash}; idf both = ln(1 + 3.5/1.5); avgdl 2.25
+    val idf = math.log(1 + 3.5 / 1.5)
+    val s1 = idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3 / 2.25))
+    val s2 = idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 3 / 2.25))
+    val out = TextIndex.bm25(ix, "doc_id", "spark hash spark")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set(1L, 2L), "only docs sharing a term appear")
+    assert(out(1L)._1 == 1L && math.abs(out(1L)._2 - s1) < 1e-12)
+    assert(out(2L)._1 == 1L && math.abs(out(2L)._2 - s2) < 1e-12)
+  }
+
+  test("bm25: common terms dampen, never flip the score sign") {
+    // "the" appears in 1 of 4 docs here, but even a df=N term keeps
+    // idf = ln(1 + 0.5/(N+0.5)) > 0 under the +1 smoothing
+    val out = TextIndex.bm25(ix, "doc_id", "the").collect()
+    assert(out.forall(_.getDouble(2) > 0))
+  }
+
+  test("unmatched query scores an empty set; guards reject degenerate args") {
+    assert(TextIndex.bm25(ix, "doc_id", "zzz qqq").count() == 0)
+    intercept[IllegalArgumentException](TextIndex.bm25(ix, "doc_id", "   "))
+    intercept[IllegalArgumentException](
+      TextIndex.bm25(ix, "doc_id", "spark", k1 = 0.0))
+    intercept[IllegalArgumentException](
+      TextIndex.bm25(ix, "doc_id", "spark", b = 1.5))
+  }
+
+  test("persisted serve pushes the term predicate into the postings scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-plan").toFile
+    dir.deleteOnExit()
+    val path = new java.io.File(dir, "ix").getAbsolutePath
+    TextIndex.write(ix, path, termPartitions = 2)
+    val served = TextIndex.bm25(TextIndex.read(spark, path), "doc_id", "spark hash")
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"the query terms must reach the parquet scan as a pushed filter:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("write/read round-trips; crashed write (no meta) refuses to load") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toFile
+    dir.deleteOnExit()
+    val path = new java.io.File(dir, "ix").getAbsolutePath
+    TextIndex.write(ix, path, termPartitions = 4)
+    val back = TextIndex.read(spark, path)
+    val a = TextIndex.bm25(ix, "doc_id", "spark hash")
+      .orderBy("doc_id").collect().toSeq
+    val b = TextIndex.bm25(back, "doc_id", "spark hash")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    val crashed = new java.io.File(dir, "crashed").getAbsolutePath
+    ix.postings.write.parquet(s"$crashed/postings")
+    intercept[Exception] { TextIndex.read(spark, crashed) }
+  }
+}
