@@ -1086,6 +1086,18 @@ object SparkEntry {
         Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), default = 0.1)
       .select("doc_id", "source")
 
+  /** Temperature mixture sampling over `source` at α = 0.5, budget =
+    * half the corpus (floor): this corpus's near-equal strata never cap,
+    * so the closed-form single pass `B·n^α/Σn^α/n` is the whole
+    * water-filling answer and the oracle replays it directly (the
+    * capping loop is spec-territory — TrainingOpsSpec). */
+  private def qSampleTemperature(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    TextAnalysis.sampleByTemperature(docs, "doc_id", "source",
+        alpha = 0.5, budget = docs.count() / 2)
+      .select("doc_id", "source")
+  }
+
   /** Grouped vocabulary: top-5 tokens per language (window rank). */
   private def qVocabByLang(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.topTokensByGroup(tbl(s, dir, "documents"), "text", "lang", 5)
@@ -1567,6 +1579,7 @@ object SparkEntry {
     "q_vocab" -> qVocab,
     "q_lm_xent" -> qLmXent,
     "q_sample_stratified" -> qSampleStratified,
+    "q_sample_temperature" -> qSampleTemperature,
     "q_sample_budget" -> qSampleBudget,
     "q_pack_bins" -> qPackBins,
     "q_vocab_by_lang" -> qVocabByLang,
@@ -2067,6 +2080,22 @@ object SparkEntry {
         |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT <
         |  CASE source WHEN 'src0' THEN 65536 WHEN 'src1' THEN 32768
         |              WHEN 'src2' THEN 16384 ELSE 6553 END""".stripMargin,
+    // temperature mixture: α-tempered shares over doc counts, budget =
+    // half the corpus — no stratum caps at these sizes, so the single
+    // closed-form pass is exact; membership is the same md5-cutoff
+    // mechanism as q_sample_stratified
+    "q_sample_temperature" ->
+      """WITH sz AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        | w AS (SELECT source, n, pow(n, 0.5) AS wgt FROM sz),
+        | f AS (
+        |  SELECT source, n,
+        |         (SELECT count(*)//2 FROM documents)
+        |           * (wgt / (SELECT sum(wgt) FROM w)) / n AS frac
+        |  FROM w)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN f USING (source)
+        |WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+        |      < floor(f.frac * 65536)""".stripMargin,
     "q_sample_budget" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

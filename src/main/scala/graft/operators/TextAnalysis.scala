@@ -292,6 +292,56 @@ object TextAnalysis {
     df.filter(keep)
   }
 
+  /** Temperature-based mixture weights (the multilingual-sampling
+    * standard — mC4 / XLM-R: sample stratum `s` with probability
+    * ∝ n_s^α, α < 1 upweighting small strata): realize a DOC-count
+    * `budget` over the given stratum sizes as per-stratum keep
+    * fractions, by water-filling — a stratum whose α-share exceeds its
+    * size caps at 1.0 (keep it wholesale) and its unused budget
+    * re-tempers across the rest, iterated to fixpoint (≤ |strata|
+    * rounds, driver-side, deterministic). Without binding caps this is
+    * the closed-form single pass `budget · n^α/Σn^α / n`, which is what
+    * the `q_sample_temperature` oracle replays. */
+  def temperatureFractions(sizes: Map[String, Long], alpha: Double,
+                           budget: Long): Map[String, Double] = {
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(sizes.values.forall(_ >= 0), s"sizes must be >= 0: $sizes")
+    @annotation.tailrec
+    def fill(capped: Map[String, Double], remaining: Long): Map[String, Double] = {
+      val free = sizes.view.filterKeys(s => !capped.contains(s) && sizes(s) > 0).toMap
+      if (free.isEmpty || remaining <= 0)
+        capped ++ free.keys.map(_ -> 0.0) ++
+          sizes.keys.filter(sizes(_) == 0L).map(_ -> 0.0)
+      else {
+        val w = free.map { case (s, n) => s -> math.pow(n.toDouble, alpha) }
+        val wSum = w.values.sum
+        val frac = free.map { case (s, n) =>
+          s -> remaining * (w(s) / wSum) / n }
+        val over = frac.filter(_._2 >= 1.0).keySet
+        if (over.isEmpty) capped ++ frac
+        else fill(capped ++ over.map(_ -> 1.0),
+          remaining - over.toSeq.map(sizes).sum)
+      }
+    }
+    fill(Map.empty, budget)
+  }
+
+  /** [[sampleStratified]] under [[temperatureFractions]]: one bounded
+    * per-stratum count (|strata| rows to the driver — a mixture's
+    * stratum cardinality is modest by construction), fractions computed
+    * there, then the same shuffle-free md5-cutoff filter. For TOKEN
+    * budgets instead of doc counts, feed the same weights into
+    * [[sampleByTokenBudget]]'s budget map. */
+  def sampleByTemperature(df: DataFrame, idCol: String, strataCol: String,
+                          alpha: Double, budget: Long,
+                          salt: String = ""): DataFrame = {
+    val sizes = df.groupBy(strataCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sampleStratified(df, idCol, strataCol,
+      temperatureFractions(sizes, alpha, budget), default = 0.0, salt)
+  }
+
   /** Token-BUDGET mixture sampling — the data-mixture primitive a
     * training pipeline runs last: per group (source, language, domain),
     * keep documents in a deterministic pseudo-random order until the

@@ -85,6 +85,22 @@ object TextIndex {
       .agg(count(lit(1)).as("n_matched"), sum(idf * tfNorm).as("score"))
   }
 
+  /** Additive growth — the span-index algebra on the retrieval side:
+    * for id-DISJOINT corpora, `merge(build(A), build(B)) ≡ build(A∪B)`.
+    * A doc's postings live entirely in one side (union, no re-count),
+    * document frequencies and N are additive, and avgdl is the
+    * doc-count-weighted mean — so the per-ingest-cycle path is plain
+    * append-and-merge, no epoch machinery (spec-pinned, like
+    * [[Dedup.mergeSpanIndexes]]). Disjointness is the caller's contract,
+    * as there: re-indexing an id would double its postings. */
+  def merge(a: InvertedIndex, b: InvertedIndex): InvertedIndex =
+    InvertedIndex(
+      a.postings.unionByName(b.postings),
+      a.docFreq.unionByName(b.docFreq)
+        .groupBy("term").agg(sum("df").as("df")),
+      a.nDocs + b.nDocs,
+      (a.avgdl * a.nDocs + b.avgdl * b.nDocs) / (a.nDocs + b.nDocs))
+
   /** Persist: postings REPARTITIONED AND SORTED BY TERM (each query
     * term's rows land in few contiguous row groups — the pushed-down
     * `isin` skips the rest via min/max stats), docFreq, and a 1-row

@@ -55,6 +55,27 @@ class TextIndexSpec extends SparkSpec {
       TextIndex.bm25(ix, "doc_id", "spark", b = 1.5))
   }
 
+  test("merge(build(A), build(B)) ≡ build(A ∪ B) for id-disjoint halves") {
+    val a = docs.filter($"doc_id" % 2 === 0)
+    val b = docs.filter($"doc_id" % 2 =!= 0)
+    val merged = TextIndex.merge(TextIndex.build(a, "doc_id", "text"),
+      TextIndex.build(b, "doc_id", "text"))
+    assert(merged.nDocs == ix.nDocs)
+    assert(math.abs(merged.avgdl - ix.avgdl) < 1e-12)
+    def dfMap(i: TextIndex.InvertedIndex) = i.docFreq.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfMap(merged) == dfMap(ix))
+    def postSet(i: TextIndex.InvertedIndex) = i.postings.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3))).toSet
+    assert(postSet(merged) == postSet(ix))
+    val s1 = TextIndex.bm25(ix, "doc_id", "spark hash")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val s2 = TextIndex.bm25(merged, "doc_id", "spark hash")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s1.keySet == s2.keySet)
+    s1.foreach { case (id, v) => assert(math.abs(s2(id) - v) < 1e-9) }
+  }
+
   test("persisted serve pushes the term predicate into the postings scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bm25-plan").toFile
     dir.deleteOnExit()

@@ -1704,6 +1704,42 @@ class TrainingOpsSpec extends SparkSpec {
       "the span stage must drop exactly the footer-dominated docs")
   }
 
+  test("temperatureFractions: α-tempering, water-filling caps, edge cases") {
+    import graft.operators.TextAnalysis._
+    // no caps: closed-form single pass
+    val f1 = temperatureFractions(Map("a" -> 1000L, "b" -> 1000L), 0.5, 1000L)
+    assert(math.abs(f1("a") - 0.5) < 1e-12 && f1("a") == f1("b"))
+    // α < 1 upweights the small stratum: equal α=0.5 weights at 9:1
+    // sizes give the small stratum 3× the keep RATE of the large one
+    val f2 = temperatureFractions(Map("big" -> 9000L, "small" -> 1000L), 0.5, 2000L)
+    assert(f2("small") / f2("big") > 2.9 && f2("small") / f2("big") < 3.1)
+    // capping: a stratum whose α-share exceeds its size keeps wholesale
+    // and its surplus re-tempers over the rest
+    val f3 = temperatureFractions(Map("tiny" -> 10L, "big" -> 10000L), 0.5, 5000L)
+    assert(f3("tiny") == 1.0)
+    assert(math.abs(f3("big") - 4990.0 / 10000) < 1e-12,
+      s"surplus must refill the uncapped stratum: $f3")
+    // degenerate strata and budgets
+    assert(temperatureFractions(Map("a" -> 0L, "b" -> 5L), 0.5, 10L) ==
+      Map("a" -> 0.0, "b" -> 1.0))
+    assert(temperatureFractions(Map("a" -> 5L), 0.5, 0L) == Map("a" -> 0.0))
+    intercept[IllegalArgumentException](temperatureFractions(Map("a" -> 1L), 0.0, 1L))
+    intercept[IllegalArgumentException](temperatureFractions(Map("a" -> 1L), 0.5, -1L))
+    // the sampling form: kept counts land near the tempered targets and
+    // membership is deterministic across runs
+    val docs = (0L until 2000L).map(i =>
+      (i, if (i < 1800) "big" else "small")).toDF("doc_id", "src")
+    val kept = sampleByTemperature(docs, "doc_id", "src", 0.5, 1000L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val kept2 = sampleByTemperature(docs, "doc_id", "src", 0.5, 1000L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.sorted.toSeq == kept2.sorted.toSeq)
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // targets: w = (1800^.5, 200^.5) -> shares ~ (0.75, 0.25); md5
+    // cutoffs realize them within binomial noise
+    assert(math.abs(bySrc("big") - 750) < 90 && math.abs(bySrc("small") - 250) < 60)
+  }
+
   test("Pipeline.curate lmGate: the reference-LM stage drops improbable-bigram " +
     "docs the quality gate cannot see; off by default") {
     import graft.operators.LanguageModel
