@@ -42,7 +42,9 @@ import org.apache.spark.sql.SparkSession
   * point isolating the quantization-only ceiling), and
   * `SPARK_GRAFT_SCALE_LM=1` measures LM train/score economics over
   * rotated replicas plus BPE's vocab-not-corpus merge-loop claim over
-  * plain replicas — each writes its own
+  * plain replicas, and `SPARK_GRAFT_SCALE_BM25=1` measures the
+  * term-sorted postings layout's row-group pruning against an unsorted
+  * control — each writes its own
   * `bench_scale_*.json`; the claims and committed values are catalogued
   * in COVERAGE.md. */
 object Bench {
@@ -168,6 +170,11 @@ object Bench {
     }
     if (sys.env.contains("SPARK_GRAFT_SCALE_LM")) {
       scaleLmBpe(spark, sfDir, () => dropPersistedState())
+      spark.stop()
+      return
+    }
+    if (sys.env.contains("SPARK_GRAFT_SCALE_BM25")) {
+      scaleBm25Serving(spark, sfDir, () => dropPersistedState())
       spark.stop()
       return
     }
@@ -768,6 +775,123 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_scale_lm.json: ${e.getMessage}") }
+    println(line)
+  }
+
+  /** BM25 SERVING-economics harness — `SPARK_GRAFT_SCALE_BM25` →
+    * `bench_scale_bm25.json`, the retrieval twin of the IVF
+    * partition-pruning harness: the claim is that the persisted
+    * term-sorted layout ([[graft.operators.TextIndex.write]]) turns a
+    * query's literal `isin` predicate into row-group skipping, so a
+    * serve READS only the query terms' slices of the postings while an
+    * UNSORTED layout of the same rows reads essentially the whole
+    * index. Ladder: plain re-id'd 1×–8× replicas; per size, the index
+    * is built and persisted BOTH ways (untimed — build-once), a fixed
+    * 4-term query is served from each via the self-contained
+    * read-then-score path, and the task-metrics input bytes are
+    * recorded per serve alongside the on-disk postings bytes. REQUIRED
+    * exact: matched docs and Σ n_matched scale k-linearly (re-id'd
+    * copies match identically). The sorted/unsorted read ratio is the
+    * artifact's claim column; wall secs ride as context (sub-second
+    * absolutes at bench scale). */
+  private def scaleBm25Serving(spark: SparkSession, sfDir: String,
+                               dropState: () => Unit): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextIndex
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val idSpan = docs.agg(max("doc_id")).head().getLong(0) + 1
+    def plainReplica(k: Int) = docs.select(
+      (col("doc_id") + lit(k * idSpan)).as("doc_id"), col("text"))
+    // two serve shapes: a COMMON 4-term query (the 31-term synthetic
+    // vocabulary makes it match ~98% of docs — pruning can only shed
+    // the other terms' postings, ~the honest worst case) and a RARE
+    // 1-term query ("dup", ~5% of docs — the realistic selective shape
+    // where the query's slice is a sliver of the index)
+    val query = "spark hash join stream"
+    val rareQuery = "dup"
+    val sizes = Seq(1, 2, 4, 8)
+    val reps = repsFromEnv()
+    val listener = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    val work = java.nio.file.Files.createTempDirectory("bm25-scale").toString
+    val mb = 1024.0 * 1024.0
+    def dirBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles).getOrElse(Array.empty).map(walk).sum
+      walk(new java.io.File(p))
+    }
+    // the unsorted CONTROL layout: identical rows, no term clustering —
+    // row-group stats then cover the full term range in every file and
+    // nothing skips
+    def writeUnsorted(ix: TextIndex.InvertedIndex, path: String): Unit = {
+      ix.postings.write.mode("overwrite").parquet(s"$path/postings")
+      ix.docFreq.write.mode("overwrite").parquet(s"$path/docfreq")
+      spark.createDataFrame(Seq((ix.nDocs, ix.avgdl))).toDF("n_docs", "avgdl")
+        .write.mode("overwrite").parquet(s"$path/meta")
+    }
+    var matched = 0L; var sumMatched = 0L
+    def serve(path: String, q: String): (Double, Double) = { // (median secs, MB read)
+      val runs = (0 until reps).map { _ =>
+        dropState()
+        listener.reset()
+        val t0 = System.nanoTime()
+        val r = TextIndex.bm25(TextIndex.read(spark, path), "doc_id", q)
+          .agg(count(lit(1)), sum("n_matched"), sum("score")).head()
+        val secs = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(150) // listener bus settle, as in the span harness
+        matched = r.getLong(0); sumMatched = r.getLong(1)
+        (secs, listener.inputBytes.get / mb)
+      }
+      (runs.map(_._1).sorted.apply(reps / 2), runs.map(_._2).sorted.apply(reps / 2))
+    }
+    val rows = sizes.map { n =>
+      val corpus = (0 until n).map(plainReplica).reduce(_ unionByName _)
+      val ix = TextIndex.build(corpus, "doc_id", "text")
+      val sorted = s"$work/sorted$n"; val unsorted = s"$work/unsorted$n"
+      TextIndex.write(ix, sorted)
+      writeUnsorted(ix, unsorted)
+      val diskMb = dirBytes(s"$sorted/postings") / mb
+      val (sSecs, sMb) = serve(sorted, query)
+      val (m1, sm1) = (matched, sumMatched)
+      val (uSecs, uMb) = serve(unsorted, query)
+      require(matched == m1 && sumMatched == sm1,
+        s"layouts must serve the same answer at ${n}x: $matched/$sumMatched vs $m1/$sm1")
+      val (_, rareSortedMb) = serve(sorted, rareQuery)
+      val rareM = matched
+      val (_, rareUnsortedMb) = serve(unsorted, rareQuery)
+      require(matched == rareM, s"rare-query layout answers diverge at ${n}x")
+      dropState()
+      (n, m1, sm1, diskMb, sMb, uMb, sSecs, uSecs, rareM, rareSortedMb, rareUnsortedMb)
+    }
+    val base = rows.head
+    rows.foreach { r =>
+      require(r._2 == base._2 * r._1 && r._3 == base._3 * r._1 &&
+        r._9 == base._9 * r._1,
+        s"matched docs must be replica-linear at ${r._1}x: " +
+          s"(${r._2},${r._3},${r._9}) vs 1x (${base._2},${base._3},${base._9})")
+    }
+    type R = (Int, Long, Long, Double, Double, Double, Double, Double,
+      Long, Double, Double)
+    def arr[T](f: R => T): String = jsonArr(rows)(f)
+    val line =
+      f"""{"metric":"bm25_serving_scale","reps":$reps,"query_terms":4,""" +
+        f""""sizes":${arr(_._1)},"matched_docs":${arr(_._2)},""" +
+        f""""sum_matched":${arr(_._3)},""" +
+        f""""postings_disk_mb":${arr(r => f"${r._4}%.2f")},""" +
+        f""""read_sorted_mb":${arr(r => f"${r._5}%.2f")},""" +
+        f""""read_unsorted_mb":${arr(r => f"${r._6}%.2f")},""" +
+        f""""serve_sorted_secs":${arr(r => f"${r._7}%.3f")},""" +
+        f""""serve_unsorted_secs":${arr(r => f"${r._8}%.3f")},""" +
+        f""""rare_matched_docs":${arr(_._9)},""" +
+        f""""rare_read_sorted_mb":${arr(r => f"${r._10}%.2f")},""" +
+        f""""rare_read_unsorted_mb":${arr(r => f"${r._11}%.2f")},""" +
+        f""""sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_scale_bm25.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_scale_bm25.json: ${e.getMessage}") }
     println(line)
   }
 
