@@ -1078,6 +1078,30 @@ object SparkEntry {
       .select(col("doc_id"), col("n_bigrams"), rq(col("xent"), 6).as("xent"))
   }
 
+  /** On-disk PRUNED model for `dir`'s corpus (minCount = 2, the KenLM
+    * deployment shape), written once per JVM — the serve-not-build
+    * pattern: [[qLmXentServed]] times SCORING against the persisted
+    * model, the per-ingest-batch steady state. */
+  private val lmModelCache = collection.concurrent.TrieMap.empty[String, String]
+  private def lmModelPath(s: SparkSession, dir: String): String =
+    lmModelCache.getOrElseUpdate(dir, {
+      val p = new java.io.File(s"target/q-lm-model/${dirKey(dir)}").getAbsolutePath
+      LanguageModel.write(
+        LanguageModel.prune(LanguageModel.train(tbl(s, dir, "documents"), "text"),
+          minCount = 2), p)
+      p
+    })
+
+  /** The SERVING twin of [[qLmXent]]: score against the persisted
+    * PRUNED model ([[lmModelPath]]). Different oracle by design —
+    * pruned-away singleton bigrams fall to the unseen floor (coalesce
+    * in the SQL), so this query puts prune + write/read + the
+    * floor-scoring path under the hash gate, not just the spec. */
+  private def qLmXentServed(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.crossEntropy(tbl(s, dir, "documents"), "doc_id", "text",
+        LanguageModel.read(s, lmModelPath(s, dir)))
+      .select(col("doc_id"), col("n_bigrams"), rq(col("xent"), 6).as("xent"))
+
   /** Deterministic stratified sampling by `source` (corpus mixing): keep
     * src0 wholesale, src1 at 1/2, src2 at 1/4, everything else at 1/10 —
     * the oracle reproduces the md5-cutoff membership row for row. */
@@ -1578,6 +1602,7 @@ object SparkEntry {
     "q_bm25" -> qBm25,
     "q_vocab" -> qVocab,
     "q_lm_xent" -> qLmXent,
+    "q_lm_xent_served" -> qLmXentServed,
     "q_sample_stratified" -> qSampleStratified,
     "q_sample_temperature" -> qSampleTemperature,
     "q_sample_budget" -> qSampleBudget,
@@ -2188,6 +2213,32 @@ object SparkEntry {
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, count(*) AS n_matched,
         |       floor(sum(part)*1000000.0 + 0.5)/1000000.0 AS score
         |FROM sc GROUP BY doc_id""".stripMargin,
+    // the served-pruned-model twin: bigrams below count 2 are pruned
+    // from the model, so scoring coalesces them to the unseen floor
+    // (0 + α)/(n1 + αV) — contexts and V are NOT pruned (the operator's
+    // contract: pruned xent upper-bounds exact)
+    "q_lm_xent_served" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        | tok AS (SELECT unnest(w) AS token FROM d),
+        | v AS (SELECT count(DISTINCT token) AS vs FROM tok),
+        | bg AS (
+        |  SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i+1 AS INT)] AS w2
+        |  FROM d, LATERAL unnest(range(1, greatest(len(w), 1))) AS t(i)),
+        | c12 AS (SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY 1, 2),
+        | c12p AS (SELECT * FROM c12 WHERE n12 >= 2),
+        | c1 AS (SELECT w1, sum(n12) AS n1 FROM c12 GROUP BY 1),
+        | sc AS (
+        |  SELECT bg.doc_id,
+        |         ln((coalesce(c12p.n12, 0) + 0.5) / (c1.n1 + 0.5 * v.vs)) AS logp
+        |  FROM bg LEFT JOIN c12p USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+        | pd AS (SELECT doc_id, count(*) AS n_bigrams, -avg(logp) AS xent
+        |        FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams,
+        |       floor(pd.xent*1000000.0 + 0.5)/1000000.0 AS xent
+        |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin,
     // SemDeDup: the fixture's k-means labels bound the pair scan; a row
     // is dropped iff a smaller-id same-cluster row sits at cosine ≥ 0.4
     "q_semdedup" ->

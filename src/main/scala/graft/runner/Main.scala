@@ -42,6 +42,10 @@ import graft.streaming.Compactor
   *  - `bpe-train` / `bpe-encode`: distributed BPE tokenizer training
   *    ([[graft.operators.Bpe]]) — learn the merge vocabulary from the
   *    word-frequency table, persist it, and encode corpora with it.
+  *  - `bm25-build` / `bm25-merge` / `bm25-search`: the inverted-index
+  *    retrieval loop ([[graft.operators.TextIndex]]) — build the
+  *    term-sorted index, grow it additively per ingest batch
+  *    (staged-swap, meta-last), and serve ranked searches from it.
   *  - `ivf-build` / `ivf-query` / `ivf-append` / `ivf-refresh` /
   *    `ivf-compact`: the learned-ANN index lifecycle
   *    ([[graft.operators.Similarity.writeLearnedIvfIndex]] family) — fit +
@@ -100,6 +104,12 @@ object Main {
       |          [--text text] [--merges 1000] [--min-pair 2]
       |  bpe-encode --in <docs-parquet> --path <merges-parquet> --out <dir>
       |          [--id doc_id] [--text text]
+      |  bm25-build  --in <docs-parquet> --path <index-dir>
+      |          [--id doc_id] [--text text] [--term-partitions 32]
+      |  bm25-merge  --in <docs-parquet> --path <index-dir>
+      |          [--id doc_id] [--text text] [--term-partitions 32]
+      |  bm25-search --path <index-dir> --query '<terms>' --out <dir>
+      |          [--id doc_id] [--k1 1.2] [--b 0.75] [--topk 20]
       |  span-index-build  --in <docs-parquet> --path <dir>
       |          [--id doc_id] [--text text] [--span-n 8]
       |  span-index-merge  --path <index-dir> --in <docs-parquet> --out <dir>
@@ -335,6 +345,49 @@ object Main {
           spark.read.parquet(req(opt, "in")),
           opt.getOrElse("id", "doc_id"), opt.getOrElse("text", "text"),
           graft.operators.Bpe.readMerges(spark, req(opt, "path")))
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(req(opt, "out"))
+
+    case Some("bm25-build") =>
+      val (opt, _) = parse(args.tail)
+      graft.operators.TextIndex.write(
+        graft.operators.TextIndex.build(
+          spark.read.parquet(req(opt, "in")),
+          opt.getOrElse("id", "doc_id"), opt.getOrElse("text", "text")),
+        req(opt, "path"),
+        termPartitions = opt.getOrElse("term-partitions", "32").toInt)
+
+    case Some("bm25-merge") =>
+      // additive growth: index an id-disjoint batch and fold it into the
+      // persisted index (merge ≡ rebuild over the union, spec-pinned);
+      // staged to a sibling dir then swapped so a crash never leaves the
+      // live path half-overwritten (the read side requires meta LAST)
+      val (opt, _) = parse(args.tail)
+      val path = req(opt, "path")
+      val merged = graft.operators.TextIndex.merge(
+        graft.operators.TextIndex.read(spark, path),
+        graft.operators.TextIndex.build(
+          spark.read.parquet(req(opt, "in")),
+          opt.getOrElse("id", "doc_id"), opt.getOrElse("text", "text")))
+      val staged = path + "_staging"
+      graft.operators.TextIndex.write(merged, staged,
+        termPartitions = opt.getOrElse("term-partitions", "32").toInt)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(staged), new org.apache.hadoop.fs.Path(path)))
+        throw new java.io.IOException(s"bm25-merge: swap failed, merged index at $staged")
+
+    case Some("bm25-search") =>
+      val (opt, _) = parse(args.tail)
+      graft.operators.TextIndex.bm25(
+          graft.operators.TextIndex.read(spark, req(opt, "path")),
+          opt.getOrElse("id", "doc_id"), req(opt, "query"),
+          k1 = opt.getOrElse("k1", "1.2").toDouble,
+          b = opt.getOrElse("b", "0.75").toDouble)
+        .orderBy(org.apache.spark.sql.functions.col("score").desc,
+          org.apache.spark.sql.functions.col(opt.getOrElse("id", "doc_id")))
+        .limit(opt.getOrElse("topk", "20").toInt)
         .write.mode("overwrite").option("compression", "zstd")
         .parquet(req(opt, "out"))
 

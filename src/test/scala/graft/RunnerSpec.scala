@@ -236,6 +236,49 @@ class RunnerSpec extends SparkSpec {
     assert(viaCli == direct)
   }
 
+  test("bm25 CLI: build → search → merge → search — additive growth makes " +
+    "new docs findable") {
+    import spark.implicits._
+    val c1 = outDir("cli-bm25-c1"); val ixp = outDir("cli-bm25-ix") + "/ix"
+    Seq((1L, "spark join spark"), (2L, "hash table lookup"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(c1)
+    Main.run(Seq("bm25-build", "--in", c1, "--path", ixp,
+      "--term-partitions", "2"), spark)
+    val out1 = outDir("cli-bm25-out1")
+    Main.run(Seq("bm25-search", "--path", ixp, "--query", "spark",
+      "--out", out1), spark)
+    assert(spark.read.parquet(out1).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L))
+    // a later batch merges in; its docs become findable and the stats
+    // reflect the union (df of 'spark' now 2 → lower idf, both ranked)
+    val c2 = outDir("cli-bm25-c2")
+    Seq((3L, "spark stream windows")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(c2)
+    Main.run(Seq("bm25-merge", "--in", c2, "--path", ixp,
+      "--term-partitions", "2"), spark)
+    val out2 = outDir("cli-bm25-out2")
+    Main.run(Seq("bm25-search", "--path", ixp, "--query", "spark",
+      "--out", out2), spark)
+    val hits = spark.read.parquet(out2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(hits.keySet == Set(1L, 3L))
+    // merged stats ≡ a one-shot build over the union (the algebra pin,
+    // through the CLI path)
+    val all = outDir("cli-bm25-all"); val ixAll = outDir("cli-bm25-ixall") + "/ix"
+    Seq((1L, "spark join spark"), (2L, "hash table lookup"),
+      (3L, "spark stream windows")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(all)
+    Main.run(Seq("bm25-build", "--in", all, "--path", ixAll,
+      "--term-partitions", "2"), spark)
+    val out3 = outDir("cli-bm25-out3")
+    Main.run(Seq("bm25-search", "--path", ixAll, "--query", "spark",
+      "--out", out3), spark)
+    val oneShot = spark.read.parquet(out3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(hits.keySet == oneShot.keySet)
+    hits.foreach { case (id, v) => assert(math.abs(oneShot(id) - v) < 1e-9) }
+  }
+
   test("span-index lifecycle CLI: build → filter → merge → filter — the " +
     "boilerplate gate grows by additive merge") {
     import spark.implicits._
