@@ -622,43 +622,6 @@ object Bench {
     println(line)
   }
 
-  /** Span-index SERVING scale + lifecycle harness — the evidence behind
-    * [[graft.operators.Dedup.writeSpanIndex]] (bucketed layout) and
-    * [[graft.operators.Dedup.SpanSketch]] (broadcast gate): the span twin
-    * of [[scaleSlopeIndex]] and [[scaleCompaction]] folded into one
-    * artifact, because the three serving forms answer the same question
-    * at three price points and belong side by side.
-    *
-    * Serve-scale section: replicate the corpus k×, persist its span
-    * index FLAT (plain parquet — [[graft.operators.Dedup
-    * .spanStatsAgainstIndex]]'s input), BUCKETED ([[graft.operators
-    * .Dedup.writeSpanIndex]]) and as a [[graft.operators.Dedup
-    * .SpanSketch]], then gate the SAME fixed batch through all three,
-    * recording wall time AND per-serve SHUFFLE WRITE. The shuffle column
-    * carries the claim (wall times at bench scale drown in fixed job
-    * overhead, as in [[scaleSlopeIndex]]): flat serving shuffles the
-    * corpus-scale index on every call — the recurring per-micro-batch
-    * cost — so its shuffle grows with k; bucketed serving moves only the
-    * batch's spans (flat in k); the sketch gate is a pure per-row filter
-    * — no join, no shuffle at all, at the price of a bounded overcount.
-    * Gate agreement is REQUIRED per point: bucketed kept == flat kept
-    * (layout changes the plan, never the answer), sketch kept ⊆ flat
-    * kept (estimates never undercount, so the sketch drops a superset),
-    * and the kept count is invariant across ladder sizes by replica
-    * isolation — the batch's near-dup half only ever matches the base
-    * replica, its fresh half matches nothing.
-    *
-    * Lifecycle section ([[scaleCompaction]]'s shape): grow the base-size
-    * bucketed layout through N ingest appends of unrelated rotated
-    * replicas — each lands ~one file per bucket, and serving pays the
-    * listing/open tax per file — recording data-file counts, serve
-    * medians and the (invariant) kept count per append rung; then
-    * [[graft.operators.Dedup.compactSpanIndex]] once and record the same
-    * three after: files back to ~one per bucket, serve back at build
-    * level, kept unchanged. Build/bucketing/sketching stay untimed by
-    * design — each layout's point is moving recurring serve-time work to
-    * one-time build-time, and `compact_secs` is that one-time cost for
-    * the compactor. Writes `bench_scale_span_index.json`. */
   /** LM + BPE training-economics harness — `SPARK_GRAFT_SCALE_LM` →
     * `bench_scale_lm.json`. Two sections on DIFFERENT replication axes,
     * because the two operators scale on different resources:
@@ -796,6 +759,22 @@ object Bench {
     * absolutes at bench scale). */
   private def scaleBm25Serving(spark: SparkSession, sfDir: String,
                                dropState: () => Unit): Unit = {
+    // listener + work dir bracketed like the sibling harnesses: removed/
+    // deleted even when a require aborts the ladder mid-run
+    val listener = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    val work = java.nio.file.Files.createTempDirectory("bm25-scale").toString
+    try scaleBm25Body(spark, sfDir, dropState, listener, work)
+    finally {
+      spark.sparkContext.removeSparkListener(listener)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
+  private def scaleBm25Body(spark: SparkSession, sfDir: String,
+                            dropState: () => Unit,
+                            listener: TaskMetricsListener,
+                            work: String): Unit = {
     import org.apache.spark.sql.functions._
     import graft.operators.TextIndex
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -812,9 +791,6 @@ object Bench {
     val rareQuery = "dup"
     val sizes = Seq(1, 2, 4, 8)
     val reps = repsFromEnv()
-    val listener = new TaskMetricsListener
-    spark.sparkContext.addSparkListener(listener)
-    val work = java.nio.file.Files.createTempDirectory("bm25-scale").toString
     val mb = 1024.0 * 1024.0
     def dirBytes(p: String): Long = {
       def walk(f: java.io.File): Long =
@@ -895,6 +871,43 @@ object Bench {
     println(line)
   }
 
+  /** Span-index SERVING scale + lifecycle harness — the evidence behind
+    * [[graft.operators.Dedup.writeSpanIndex]] (bucketed layout) and
+    * [[graft.operators.Dedup.SpanSketch]] (broadcast gate): the span twin
+    * of [[scaleSlopeIndex]] and [[scaleCompaction]] folded into one
+    * artifact, because the three serving forms answer the same question
+    * at three price points and belong side by side.
+    *
+    * Serve-scale section: replicate the corpus k×, persist its span
+    * index FLAT (plain parquet — [[graft.operators.Dedup
+    * .spanStatsAgainstIndex]]'s input), BUCKETED ([[graft.operators
+    * .Dedup.writeSpanIndex]]) and as a [[graft.operators.Dedup
+    * .SpanSketch]], then gate the SAME fixed batch through all three,
+    * recording wall time AND per-serve SHUFFLE WRITE. The shuffle column
+    * carries the claim (wall times at bench scale drown in fixed job
+    * overhead, as in [[scaleSlopeIndex]]): flat serving shuffles the
+    * corpus-scale index on every call — the recurring per-micro-batch
+    * cost — so its shuffle grows with k; bucketed serving moves only the
+    * batch's spans (flat in k); the sketch gate is a pure per-row filter
+    * — no join, no shuffle at all, at the price of a bounded overcount.
+    * Gate agreement is REQUIRED per point: bucketed kept == flat kept
+    * (layout changes the plan, never the answer), sketch kept ⊆ flat
+    * kept (estimates never undercount, so the sketch drops a superset),
+    * and the kept count is invariant across ladder sizes by replica
+    * isolation — the batch's near-dup half only ever matches the base
+    * replica, its fresh half matches nothing.
+    *
+    * Lifecycle section ([[scaleCompaction]]'s shape): grow the base-size
+    * bucketed layout through N ingest appends of unrelated rotated
+    * replicas — each lands ~one file per bucket, and serving pays the
+    * listing/open tax per file — recording data-file counts, serve
+    * medians and the (invariant) kept count per append rung; then
+    * [[graft.operators.Dedup.compactSpanIndex]] once and record the same
+    * three after: files back to ~one per bucket, serve back at build
+    * level, kept unchanged. Build/bucketing/sketching stay untimed by
+    * design — each layout's point is moving recurring serve-time work to
+    * one-time build-time, and `compact_secs` is that one-time cost for
+    * the compactor. Writes `bench_scale_span_index.json`. */
   private def scaleSpanIndexServing(spark: SparkSession, sfDir: String,
                                     dropState: () => Unit): Unit = {
     import org.apache.spark.sql.functions._
@@ -905,12 +918,15 @@ object Bench {
     def replica(k: Int) = rotatedReplica(docs, idSpan, k)
     // fixed batch, constant work at every corpus size: half re-id'd
     // COPIES of base docs (every span indexed → indexed_frac 1 → gated),
-    // half rotation-777 fresh docs (replica-isolated from every ladder
-    // rung and every lifecycle append, k ≤ 8 < 777 in both residue
-    // classes → indexed_frac 0 → kept)
+    // half rotation-9 fresh docs — 9 is outside 0..8 (the ladder rungs
+    // AND the lifecycle appends) in BOTH rotation residue classes
+    // (9 mod 26 = 9, 9 mod 10 = 9), so the fresh half is
+    // replica-isolated from every indexed corpus without leaning on the
+    // letters-only-vocabulary assumption (a k ≡ some-rung mod 10 choice
+    // — the former 777 — would share digit-only grams with that rung)
     val batch = replica(0).filter(pmod(col("doc_id"), lit(20)) === 0)
       .select((col("doc_id") + lit(100L * idSpan)).as("doc_id"), col("text"))
-      .unionByName(rotatedReplica(docs, idSpan, 777)
+      .unionByName(rotatedReplica(docs, idSpan, 9)
         .filter(pmod(col("doc_id"), lit(20)) === 10)
         .select((col("doc_id") + lit(200L * idSpan)).as("doc_id"), col("text")))
     val reps = repsFromEnv()

@@ -825,6 +825,12 @@ object SparkEntry {
         cents, nprobe = 2)
       .select("vec_id", "coarse")
       .write.mode("overwrite").parquet(s"$KmeansFixture/probes")
+    // augmented-corpus labels for q_semdedup_lsh: the SAME matrix labels
+    // the planted corpus, so the oracle's cluster-bounded pair scan and
+    // the engine's agree by construction
+    Similarity.withCoarseLabel(augmentedEmbeddings(emb), "embedding", cents)
+      .select("vec_id", "coarse")
+      .write.mode("overwrite").parquet(s"$KmeansFixture/semcorpus")
   }
 
   /** Incremental dedup serving: a new batch against the prebuilt MinHash
@@ -992,12 +998,19 @@ object SparkEntry {
     * With 24 bands × 8 bits, per-pair miss probability at cosine ≥ 0.95
     * is < 1e-8 (empirically zero misses at sf0.01 AND sf0.1), and only
     * ~1/8 of all pairs ever reach the exact-cosine verify. */
+  /** The PLANTED near-dup corpus shared by the embedding LSH queries and
+    * the SemDeDup-LSH twin: each vector plus its first-coordinate flip
+    * under +1000000 ids — cos(v, v') ≈ 1 − 2v₁²/|v|², mostly ≥ 0.95 on
+    * these near-uniform 64-dim vectors. */
+  private def augmentedEmbeddings(e: DataFrame): DataFrame =
+    e.select("vec_id", "embedding").union(
+      e.select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(array(-element_at(col("embedding"), 1)),
+          slice(col("embedding"), 2, 63)).as("embedding")))
+
   private def qEmbedLshPairs(s: SparkSession, dir: String): DataFrame = {
     val e = tbl(s, dir, "embeddings")
-    val planted = e.select((col("vec_id") + 1000000L).as("vec_id"),
-      concat(array(-element_at(col("embedding"), 1)),
-        slice(col("embedding"), 2, 63)).as("embedding"))
-    val corpus = e.select("vec_id", "embedding").union(planted)
+    val corpus = augmentedEmbeddings(e)
     // geometry sized to the corpus (the lshGeometryFor sizing rule, inside
     // the correctness gate): the count is a parquet-metadata job, and the
     // per-pair miss bound (1e-6) keeps the oracle hash-exact
@@ -1031,6 +1044,22 @@ object SparkEntry {
     Similarity.withSemDupFlag(tbl(s, dir, "embeddings"), "vec_id", "embedding",
         kmeansCentroids(s, dir), minCosine = 0.4)
       .select("vec_id", "coarse", "kept")
+
+  /** The HOT-CLUSTER scale path under the gate: [[qSemdedup]]'s LSH
+    * twin over the PLANTED corpus at τ = 0.95 with
+    * [[Similarity.lshGeometryFor]]-sized geometry (per-pair miss bound
+    * ~1e-6, the q_embed_lsh_pairs precedent) — the oracle replays the
+    * EXACT dominated rule from the dumped augmented-corpus labels, so
+    * the hash check pins the LSH candidate path equal to the exact
+    * pair scan, cluster-bounded on both sides. */
+  private def qSemdedupLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    val (bands, bits) = Similarity.lshGeometryFor(math.max(1L, 2 * e.count()), 0.95)
+    Similarity.withSemDupFlagLsh(augmentedEmbeddings(e), "vec_id", "embedding",
+        kmeansCentroids(s, dir), minCosine = 0.95,
+        bands = bands, bitsPerBand = bits)
+      .select("vec_id", "coarse", "kept")
+  }
 
   /** BPE round-0 statistics: adjacent symbol-pair counts over the
     * word-frequency table (chars + end-of-word marker), weighted by word
@@ -1597,6 +1626,7 @@ object SparkEntry {
     "q_embed_lsh_pairs" -> qEmbedLshPairs,
     "q_embed_clusters" -> qEmbedClusters,
     "q_semdedup" -> qSemdedup,
+    "q_semdedup_lsh" -> qSemdedupLsh,
     "q_bpe_pairs" -> qBpePairs,
     "q_bpe_encode" -> qBpeEncode,
     "q_bm25" -> qBm25,
@@ -2142,6 +2172,26 @@ object SparkEntry {
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
         |c AS (SELECT token, count(*) AS n FROM toks WHERE token <> '' GROUP BY token)
         |SELECT token, n FROM c ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    // the LSH scale-path twin: same dominated rule, EXACT pair scan in
+    // the oracle (sized geometry makes the engine's LSH candidates
+    // complete to within the stated 1e-6/pair miss bound) over the
+    // planted corpus's dumped labels at τ = 0.95
+    "q_semdedup_lsh" ->
+      s"""WITH c AS (SELECT * FROM read_parquet('$KmeansFixture/semcorpus/*.parquet')),
+        | e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |       UNION ALL
+        |       SELECT vec_id + 1000000,
+        |              CAST(list_concat([-embedding[1]], embedding[2:]) AS DOUBLE[])
+        |       FROM embeddings),
+        | losers AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM c a JOIN c b ON a.coarse = b.coarse AND a.vec_id < b.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id
+        |  JOIN e eb ON eb.vec_id = b.vec_id
+        |  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.95)
+        |SELECT c.vec_id, c.coarse,
+        |       c.vec_id NOT IN (SELECT vec_id FROM losers) AS kept
+        |FROM c""".stripMargin,
     // BPE round-0 pair statistics: chars + '</w>' per word, adjacent
     // pairs weighted by word frequency — plain SQL end to end
     "q_bpe_pairs" ->

@@ -81,15 +81,22 @@ object LanguageModel {
         slice(toks, lit(2), size(toks) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2"))))
 
-  /** Train a bigram LM over `docs(textCol)`. Lazy except for V (one
-    * distinct-count scalar); callers persisting the model use [[write]],
-    * which materializes everything once. */
+  /** Train a bigram LM over `docs(textCol)`. The bigram table is
+    * MATERIALIZED ([[Materialize.eagerCheckpoint]] — lineage-truncated,
+    * reliable-checkpoint-aware like every iterating pipeline here), so
+    * deriving contexts, persisting via [[write]], or broadcasting both
+    * tables into a score scan reads the aggregate, never re-runs the
+    * corpus explode — without this, `contexts` (a plan OVER `bigrams`)
+    * would re-scan the corpus at every materialization. V is one
+    * further distinct-count scalar over the corpus (it needs tokens,
+    * not bigrams: doc-final and single-token-doc words never open a
+    * bigram), so training costs two corpus scans total. */
   def train(docs: DataFrame, textCol: String, alpha: Double = 0.5): BigramLm = {
     val toks = TextAnalysis.tokens(col(textCol))
-    val bigrams = docs
+    val bigrams = Materialize.eagerCheckpoint(docs
       .select(explode(bigramStructs(toks)).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n12")))
     val contexts = bigrams.groupBy("w1").agg(sum("n12").as("n1"))
     val vocabSize = docs.select(explode(toks).as("t"))
       .agg(count_distinct(col("t"))).head().getLong(0)

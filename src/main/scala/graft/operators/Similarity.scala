@@ -423,6 +423,54 @@ object Similarity {
     withSemDupFlag(df, idCol, embCol, centroids, minCosine)
       .filter(col("kept")).drop("kept")
 
+  /** [[withSemDupFlag]]'s HOT-CLUSTER scale path — the escape hatch its
+    * scaladoc names, as an operator: candidate pairs come from banded
+    * hyperplane LSH collisions keyed on `(coarse, band, bucket)` instead
+    * of the full within-cluster pair scan, so a skewed cluster's cost is
+    * its LSH-collision volume (sized via [[lshGeometryFor]] — O(bands·m)
+    * for an m-row cluster), never m². The same dominated keep-rule then
+    * applies to the cosine-VERIFIED candidates. Direction of error: a
+    * missed candidate pair can only leave a doc STANDING, so this form
+    * keeps a SUPERSET of the exact form's survivors (spec-pinned), and
+    * at a [[lshGeometryFor]]-sized geometry the per-pair miss bound
+    * makes the two forms agree — `q_semdedup_lsh` puts that agreement
+    * under the hash gate. LSH prep is materialized once
+    * ([[Materialize.eagerCheckpoint]]) because it feeds candidate
+    * generation AND both verify sides. */
+  def withSemDupFlagLsh(df: DataFrame, idCol: String, embCol: String,
+                        centroids: Array[Array[Double]], minCosine: Double,
+                        bands: Int = 24, bitsPerBand: Int = 8): DataFrame = {
+    require(minCosine > 0.0 && minCosine <= 1.0,
+      s"minCosine must be in (0, 1], got $minCosine")
+    val dims = checkCentroids(centroids)
+    val labeled = withCoarseLabel(df, embCol, centroids)
+    val prep = Materialize.eagerCheckpoint(
+      withNorm(labeled, embCol).select(col(idCol), col("coarse"),
+        col("vec"), col("norm"),
+        lshBandBuckets(col("vec"), dims, bands, bitsPerBand).as("__bkts")))
+    val exploded = prep.select(col(idCol), col("coarse"),
+      posexplode(col("__bkts")).as(Seq("__band", "__bucket")))
+    val cands = exploded.as("x").join(exploded.as("y"),
+        col("x.coarse") === col("y.coarse") &&
+          col("x.__band") === col("y.__band") &&
+          col("x.__bucket") === col("y.__bucket") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("__id_a"), col(s"y.$idCol").as("__id_b"))
+      .distinct()
+    val v = prep.select(col(idCol), col("vec"), col("norm"))
+    val losers = cands
+      .join(v.select(col(idCol).as("__id_a"), col("vec").as("va"),
+        col("norm").as("na")), Seq("__id_a"))
+      .join(v.select(col(idCol).as("__id_b"), col("vec").as("vb"),
+        col("norm").as("nb")), Seq("__id_b"))
+      .filter(cosine(col("va"), col("vb"), col("na"), col("nb")) >= minCosine)
+      .select(col("__id_b").as(idCol)).distinct()
+      .withColumn("__loser", lit(true))
+    labeled.join(losers, Seq(idCol), "left")
+      .withColumn("kept", col("__loser").isNull)
+      .drop("__loser")
+  }
+
   /** All `bands` LSH band buckets for a `dims`-dimensional embedding: band
     * `b` packs the sign bits of `bitsPerBand` projections against fixed ±1
     * (Rademacher) hyperplanes into one long — the native

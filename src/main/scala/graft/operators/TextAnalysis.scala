@@ -307,12 +307,16 @@ object TextAnalysis {
     require(alpha > 0, s"alpha must be > 0, got $alpha")
     require(budget >= 0, s"budget must be >= 0, got $budget")
     require(sizes.values.forall(_ >= 0), s"sizes must be >= 0: $sizes")
+    // zero-size strata can never contribute; fix them at 0.0 up front so
+    // EVERY exit covers every input stratum (an early closed-form exit
+    // that omitted them would NPE a caller indexing the map per stratum)
+    val zeros: Map[String, Double] =
+      sizes.collect { case (s, 0L) => s -> 0.0 }.toMap
     @annotation.tailrec
     def fill(capped: Map[String, Double], remaining: Long): Map[String, Double] = {
       val free = sizes.view.filterKeys(s => !capped.contains(s) && sizes(s) > 0).toMap
       if (free.isEmpty || remaining <= 0)
-        capped ++ free.keys.map(_ -> 0.0) ++
-          sizes.keys.filter(sizes(_) == 0L).map(_ -> 0.0)
+        capped ++ free.keys.map(_ -> 0.0)
       else {
         val w = free.map { case (s, n) => s -> math.pow(n.toDouble, alpha) }
         val wSum = w.values.sum
@@ -324,7 +328,7 @@ object TextAnalysis {
           remaining - over.toSeq.map(sizes).sum)
       }
     }
-    fill(Map.empty, budget)
+    fill(zeros, budget)
   }
 
   /** [[sampleStratified]] under [[temperatureFractions]]: one bounded

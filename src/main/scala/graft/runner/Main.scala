@@ -359,9 +359,13 @@ object Main {
 
     case Some("bm25-merge") =>
       // additive growth: index an id-disjoint batch and fold it into the
-      // persisted index (merge ≡ rebuild over the union, spec-pinned);
-      // staged to a sibling dir then swapped so a crash never leaves the
-      // live path half-overwritten (the read side requires meta LAST)
+      // persisted index (merge ≡ rebuild over the union, spec-pinned).
+      // Rename-ASIDE swap (the compactDaily/readFilterWriteback shape):
+      // the old index moves to _old before the staged one lands, so a
+      // crash at ANY point leaves a complete servable copy on disk —
+      // either live, or at _old/_staging with the recovery named in the
+      // error path (a delete-then-rename swap would have a window where
+      // the only complete index sits silently at _staging)
       val (opt, _) = parse(args.tail)
       val path = req(opt, "path")
       val merged = graft.operators.TextIndex.merge(
@@ -374,9 +378,18 @@ object Main {
         termPartitions = opt.getOrElse("term-partitions", "32").toInt)
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      if (!fs.rename(new org.apache.hadoop.fs.Path(staged), new org.apache.hadoop.fs.Path(path)))
-        throw new java.io.IOException(s"bm25-merge: swap failed, merged index at $staged")
+      val (live, old, stage) = (new org.apache.hadoop.fs.Path(path),
+        new org.apache.hadoop.fs.Path(path + "_old"),
+        new org.apache.hadoop.fs.Path(staged))
+      fs.delete(old, true) // residue from an earlier crashed swap
+      if (!fs.rename(live, old))
+        throw new java.io.IOException(
+          s"bm25-merge: could not set aside $live (merged index complete at $staged)")
+      if (!fs.rename(stage, live))
+        throw new java.io.IOException(
+          s"bm25-merge: swap failed — previous index at $old, merged at $staged; " +
+            s"rename one back to $live to recover")
+      fs.delete(old, true)
 
     case Some("bm25-search") =>
       val (opt, _) = parse(args.tail)

@@ -167,10 +167,13 @@ object StreamingCurate {
     val gated = perRowStages(batch, idCol, textCol, evalBloom, minQuality)
     // optional reference-LM perplexity gate (the CCNet stage at ingest):
     // the model is a REFERENCE corpus's, loaded once per run
-    // ([[graft.operators.LanguageModel.read]]) and broadcast, so the
-    // gate is per-row arithmetic over the batch — it runs with the other
-    // cheap gates, before anything that explodes or joins the batch.
-    // All gates drop rows keyed on the doc, so they commute.
+    // ([[graft.operators.LanguageModel.read]]) and broadcast. The gate
+    // DOES explode the batch into bigrams and run a per-doc aggregate —
+    // it is cheap relative to the CORPUS-side stages that follow (the
+    // span/signature joins meet corpus-scale index tables; this one
+    // meets only a broadcast model), which is why it runs here, after
+    // the truly per-row stages and before the index joins. All gates
+    // drop rows keyed on the doc, so they commute.
     val lmed = lmGate.fold(gated) { case (lm, maxXent) =>
       graft.operators.LanguageModel
         .filterByCrossEntropy(gated, idCol, textCol, lm, maxXent).drop("xent")

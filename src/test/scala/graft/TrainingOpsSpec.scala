@@ -220,6 +220,44 @@ class TrainingOpsSpec extends SparkSpec {
       Similarity.semDedup(emb, "vec_id", "embedding", cents, 0.0) }
   }
 
+  test("semDedup LSH path: sized geometry ≡ exact; starved geometry only " +
+    "ever keeps MORE (missed candidates leave docs standing)") {
+    // planted near-dups in 8 dims: base vectors + tiny-perturbation
+    // copies (cos ≈ 1), two well-separated clusters
+    val rng = new scala.util.Random(7)
+    def unit(seed: Array[Double]) = {
+      val n = math.sqrt(seed.map(x => x * x).sum); seed.map(_ / n).toSeq
+    }
+    val bases = (0 until 20).map { i =>
+      val center = if (i % 2 == 0) Array(5.0, 0, 0, 0, 0, 0, 0, 0)
+        else Array(0, 5.0, 0, 0, 0, 0, 0, 0)
+      unit(center.zipWithIndex.map { case (c, _) => c + rng.nextGaussian() })
+    }
+    val emb = (bases.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      bases.zipWithIndex.map { case (v, i) =>
+        (100L + i, unit(v.toArray.map(_ + 1e-3 * rng.nextGaussian())).toSeq) })
+      .toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0, 0, 0, 0, 0, 0, 0),
+      Array(0.0, 1, 0, 0, 0, 0, 0, 0))
+    val tau = 0.98
+    val exact = Similarity.withSemDupFlag(emb, "vec_id", "embedding", cents, tau)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept")).toMap
+    // the planted copies die to their originals
+    assert((0 until 20).forall(i => exact(i.toLong)))
+    assert(exact.count(!_._2) >= 15, s"plant must bite: $exact")
+    val (bands, bits) = Similarity.lshGeometryFor(40L, tau)
+    val lsh = Similarity.withSemDupFlagLsh(emb, "vec_id", "embedding", cents,
+        tau, bands, bits)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept")).toMap
+    assert(lsh == exact, "sized geometry must reproduce the exact form")
+    // starved geometry (1 band × 16 bits): misses only ever KEEP more
+    val starved = Similarity.withSemDupFlagLsh(emb, "vec_id", "embedding",
+        cents, tau, bands = 1, bitsPerBand = 16)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept")).toMap
+    exact.foreach { case (id, k) => if (k) assert(starved(id),
+      s"exact keeps $id; a candidate MISS cannot flip a keep to a drop") }
+  }
+
   test("lshBucket: deterministic, bucket-equal for identical vectors") {
     val b = vecs.select($"vec_id", Similarity.lshBucket($"embedding", 3, 16).as("bucket"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -1722,6 +1760,11 @@ class TrainingOpsSpec extends SparkSpec {
     // degenerate strata and budgets
     assert(temperatureFractions(Map("a" -> 0L, "b" -> 5L), 0.5, 10L) ==
       Map("a" -> 0.0, "b" -> 1.0))
+    // zero-size stratum on the NO-CAP (closed-form) exit: every input
+    // stratum must still be covered — a caller indexing the map per
+    // stratum would otherwise throw
+    assert(temperatureFractions(Map("a" -> 0L, "b" -> 100L), 0.5, 10L) ==
+      Map("a" -> 0.0, "b" -> 0.1))
     assert(temperatureFractions(Map("a" -> 5L), 0.5, 0L) == Map("a" -> 0.0))
     intercept[IllegalArgumentException](temperatureFractions(Map("a" -> 1L), 0.0, 1L))
     intercept[IllegalArgumentException](temperatureFractions(Map("a" -> 1L), 0.5, -1L))
