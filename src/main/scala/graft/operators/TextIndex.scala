@@ -15,13 +15,16 @@ import org.apache.spark.sql.functions._
   * `postings(doc, term, tf, dl)` (dl rides the groupBy key — constant
   * per doc, so it costs nothing extra and scoring never joins a
   * doc-length table), `docFreq(term, df)` (vocabulary-scale, derived
-  * from postings — never a corpus rescan), and two scalars (N, avgdl).
+  * from postings — never a corpus rescan), and two scalars (N, Σdl —
+  * the total doc length is kept as the EXACT integer sum, so epoch
+  * growth adds it without weighted-mean rounding; avgdl derives).
   *
   * Scoring a query: the query's distinct terms become a LITERAL `isin`
   * predicate on the postings scan — no join for the candidate set, the
   * predicate pushes down to parquet row-group stats when the postings
   * are [[write]]-persisted sorted by term, so a serve reads only the
-  * query terms' slices of the index. `docFreq` for those terms is a
+  * query terms' slices of the index (measured against an unsorted
+  * control in bench_scale_bm25.json). `docFreq` for those terms is a
   * second pushed-down point read joined broadcast. Per-term partials
   * then sum per doc: one aggregate, keyed on the doc — the only shuffle
   * of a serve, proportional to the MATCHING postings, never the corpus.
@@ -35,15 +38,35 @@ import org.apache.spark.sql.functions._
   * score; the caller applies its own top-k (`orderBy(score)` + limit →
   * TakeOrderedAndProject) — the operator doesn't bake in a cut, and
   * the oracle compares the full scored set, which is robust to
-  * last-ulp score ties that a rank column would amplify. */
+  * last-ulp score ties that a rank column would amplify.
+  *
+  * LIFECYCLE — the persisted layout is EPOCH-structured, the additive
+  * sibling of the span index: every part lives under `epoch=<key>`
+  * partition dirs, an epoch's meta row (n_docs, total_dl) is written
+  * LAST as its commit marker, and [[read]] filters every table to the
+  * epochs meta records — a crashed append's postings are invisible and
+  * a retry of the same epoch key overwrites itself (exactly-once for
+  * `foreachBatch` replays, see [[graft.streaming.TextIndexIngest]]).
+  * Growth is algebraic for id-DISJOINT corpora (a doc's postings live
+  * wholly in one epoch; df, N and Σdl are additive), so
+  * [[appendEpoch]] is a plain per-batch land — no read-modify-write —
+  * and serve-after-append ≡ a one-shot rebuild (spec-pinned, and
+  * `q_bm25_served` puts the grown layout under the same oracle as the
+  * in-memory build). [[compact]] folds committed epochs back to one
+  * (snapshot → staged write → rename-aside swap, so a complete
+  * servable index exists on disk at every instant), which also GCs
+  * crashed-epoch orphans. */
 object TextIndex {
 
-  /** A built index: see object doc. `nDocs`/`avgdl` count EVERY corpus
-    * row (tokenless docs lower avgdl; they can never match, but they
-    * are part of the collection the statistics describe). */
+  /** A built index: see object doc. `nDocs`/`totalDl` count EVERY
+    * corpus row (tokenless docs lower avgdl; they can never match, but
+    * they are part of the collection the statistics describe). */
   final case class InvertedIndex(postings: DataFrame, docFreq: DataFrame,
-                                 nDocs: Long, avgdl: Double) {
+                                 nDocs: Long, totalDl: Long) {
     require(nDocs > 0, "inverted index needs a non-empty corpus")
+    /** Mean document length — derived from the exact integer sums, so
+      * epoch-grown and one-shot indexes agree bit-for-bit. */
+    def avgdl: Double = totalDl.toDouble / nDocs
   }
 
   /** One corpus scan → the full index. The doc-length `dl` is computed
@@ -59,9 +82,10 @@ object TextIndex {
       .groupBy(col(idCol), col("term"), col("dl"))
       .agg(count(lit(1)).as("tf"))
     val docFreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = docs.agg(count(lit(1)), avg(size(toks))).head()
-    InvertedIndex(postings, docFreq, stats.getLong(0),
-      Option(stats.get(1)).map(_.asInstanceOf[Double]).getOrElse(0.0))
+    val stats = docs
+      .agg(count(lit(1)), coalesce(sum(size(toks).cast("long")), lit(0L)))
+      .head()
+    InvertedIndex(postings, docFreq, stats.getLong(0), stats.getLong(1))
   }
 
   /** BM25 over the index for one query string (tokenized with the
@@ -88,44 +112,115 @@ object TextIndex {
   /** Additive growth — the span-index algebra on the retrieval side:
     * for id-DISJOINT corpora, `merge(build(A), build(B)) ≡ build(A∪B)`.
     * A doc's postings live entirely in one side (union, no re-count),
-    * document frequencies and N are additive, and avgdl is the
-    * doc-count-weighted mean — so the per-ingest-cycle path is plain
-    * append-and-merge, no epoch machinery (spec-pinned, like
-    * [[Dedup.mergeSpanIndexes]]). Disjointness is the caller's contract,
-    * as there: re-indexing an id would double its postings. */
+    * document frequencies, N and Σdl are additive — so the
+    * per-ingest-cycle path is plain append-and-merge, no
+    * read-modify-write (spec-pinned, like [[Dedup.mergeSpanIndexes]]).
+    * Disjointness is the caller's contract, as there: re-indexing an id
+    * would double its postings. */
   def merge(a: InvertedIndex, b: InvertedIndex): InvertedIndex =
     InvertedIndex(
       a.postings.unionByName(b.postings),
       a.docFreq.unionByName(b.docFreq)
         .groupBy("term").agg(sum("df").as("df")),
-      a.nDocs + b.nDocs,
-      (a.avgdl * a.nDocs + b.avgdl * b.nDocs) / (a.nDocs + b.nDocs))
+      a.nDocs + b.nDocs, a.totalDl + b.totalDl)
 
-  /** Persist: postings REPARTITIONED AND SORTED BY TERM (each query
-    * term's rows land in few contiguous row groups — the pushed-down
-    * `isin` skips the rest via min/max stats), docFreq, and a 1-row
-    * meta written LAST (the commit-marker role: a crashed write leaves
-    * no meta and [[read]] refuses). */
-  def write(index: InvertedIndex, path: String, termPartitions: Int = 32): Unit = {
+  /** Epoch keys partition the on-disk layout; they must start with a
+    * letter so parquet partition inference always types the column as a
+    * string (an all-numeric first epoch would infer int and then clash
+    * with a later `b<id>` append). */
+  private def checkEpoch(epoch: String): Unit =
+    require(epoch.matches("[A-Za-z][A-Za-z0-9_-]*"),
+      s"epoch key must start with a letter: '$epoch'")
+
+  /** Persist as epoch `e0`: postings REPARTITIONED AND SORTED BY TERM
+    * (each query term's rows land in few contiguous row groups — the
+    * pushed-down `isin` skips the rest via min/max stats), docFreq, and
+    * the epoch's 1-row meta written LAST (the commit marker: a crashed
+    * write leaves no meta and [[read]] never sees the epoch). */
+  def write(index: InvertedIndex, path: String, termPartitions: Int = 32): Unit =
+    writeEpoch(index, path, "e0", termPartitions)
+
+  private def writeEpoch(index: InvertedIndex, path: String, epoch: String,
+                         termPartitions: Int): Unit = {
+    checkEpoch(epoch)
     require(termPartitions >= 1, s"termPartitions must be positive: $termPartitions")
     index.postings
       .repartitionByRange(termPartitions, col("term"))
       .sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(s"$path/postings")
-    index.docFreq.write.mode("overwrite").parquet(s"$path/docfreq")
+      .write.mode("overwrite").parquet(s"$path/postings/epoch=$epoch")
+    index.docFreq.write.mode("overwrite").parquet(s"$path/docfreq/epoch=$epoch")
     val spark = index.postings.sparkSession
-    spark.createDataFrame(Seq((index.nDocs, index.avgdl)))
-      .toDF("n_docs", "avgdl")
-      .write.mode("overwrite").parquet(s"$path/meta")
+    spark.createDataFrame(Seq((index.nDocs, index.totalDl)))
+      .toDF("n_docs", "total_dl")
+      .write.mode("overwrite").parquet(s"$path/meta/epoch=$epoch")
   }
 
-  /** Load a persisted index; the tables stay lazy scans, meta is one
-    * bounded driver row. */
+  /** Land an id-disjoint batch as a NEW committed epoch — the
+    * per-ingest-cycle growth step: index the batch (one batch scan),
+    * write its three parts under `epoch=<key>`, meta last. No existing
+    * file is read or touched, so appends cost the batch, never the
+    * index. A re-run with the SAME key overwrites itself — the
+    * idempotency [[graft.streaming.TextIndexIngest]] keys on the
+    * foreachBatch batch id. */
+  def appendEpoch(batch: DataFrame, path: String, idCol: String,
+                  textCol: String, epoch: String,
+                  termPartitions: Int = 32): Unit =
+    writeEpoch(build(batch, idCol, textCol), path, epoch, termPartitions)
+
+  /** Load a persisted index — COMMITTED epochs only: the meta table
+    * names them (bounded driver read: one row per epoch), and both
+    * data tables filter to that set via the epoch partition column, so
+    * a crashed append's orphan files are invisible. The per-epoch
+    * docFreq shards re-aggregate lazily; a serve's query-term filter
+    * pushes through the aggregate to the scan, so the re-agg touches
+    * only the query terms' rows. */
   def read(spark: SparkSession, path: String): InvertedIndex = {
-    val meta = spark.read.parquet(s"$path/meta").head()
+    val meta = spark.read.parquet(s"$path/meta")
+    val rows = meta.select(col("epoch").cast("string"), col("n_docs"),
+      col("total_dl")).collect()
+    require(rows.nonEmpty, s"no committed epochs at $path")
+    val epochs = rows.map(_.getString(0)).toSeq
     InvertedIndex(
-      spark.read.parquet(s"$path/postings"),
-      spark.read.parquet(s"$path/docfreq"),
-      meta.getAs[Long]("n_docs"), meta.getAs[Double]("avgdl"))
+      spark.read.parquet(s"$path/postings")
+        .where(col("epoch").isin(epochs.map(lit): _*)).drop("epoch"),
+      spark.read.parquet(s"$path/docfreq")
+        .where(col("epoch").isin(epochs.map(lit): _*)).drop("epoch")
+        .groupBy("term").agg(sum("df").as("df")),
+      rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
+  }
+
+  /** Fold all committed epochs back to ONE (`e0`) — the maintenance
+    * pass after N appends: snapshot the committed state, write it
+    * staged, then swap rename-aside, so a complete servable index
+    * exists at `path` or at the named side-dirs at every instant; the
+    * swap also GCs crashed-epoch orphans (they are not part of the
+    * snapshot). Single-writer discipline: pause appends around it,
+    * like every compactor in this repo. */
+  def compact(spark: SparkSession, path: String,
+              termPartitions: Int = 32): Unit = {
+    val staged = path + "_staging"
+    write(read(spark, path), staged, termPartitions)
+    replaceIndex(spark, path, staged)
+  }
+
+  /** Rename-aside swap shared by [[compact]] and the CLI merge: the old
+    * index moves to `_old` before the staged one lands, so a crash at
+    * ANY point leaves a complete copy on disk with the recovery named
+    * in the error. */
+  def replaceIndex(spark: SparkSession, path: String, staged: String): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(hc)
+    val old = new org.apache.hadoop.fs.Path(path + "_old")
+    val stage = new org.apache.hadoop.fs.Path(staged)
+    fs.delete(old, true) // residue from an earlier crashed swap
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(
+        s"index swap: could not set aside $live (new index complete at $staged)")
+    if (!fs.rename(stage, live))
+      throw new java.io.IOException(
+        s"index swap failed — previous index at $old, new at $staged; " +
+          s"rename one back to $live to recover")
+    fs.delete(old, true)
   }
 }

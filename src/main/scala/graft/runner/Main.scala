@@ -376,20 +376,7 @@ object Main {
       val staged = path + "_staging"
       graft.operators.TextIndex.write(merged, staged,
         termPartitions = opt.getOrElse("term-partitions", "32").toInt)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val (live, old, stage) = (new org.apache.hadoop.fs.Path(path),
-        new org.apache.hadoop.fs.Path(path + "_old"),
-        new org.apache.hadoop.fs.Path(staged))
-      fs.delete(old, true) // residue from an earlier crashed swap
-      if (!fs.rename(live, old))
-        throw new java.io.IOException(
-          s"bm25-merge: could not set aside $live (merged index complete at $staged)")
-      if (!fs.rename(stage, live))
-        throw new java.io.IOException(
-          s"bm25-merge: swap failed — previous index at $old, merged at $staged; " +
-            s"rename one back to $live to recover")
-      fs.delete(old, true)
+      graft.operators.TextIndex.replaceIndex(spark, path, staged)
 
     case Some("bm25-search") =>
       val (opt, _) = parse(args.tail)

@@ -89,6 +89,89 @@ class TextIndexSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("epoch lifecycle: append ≡ rebuild, crashed epoch invisible, " +
+    "replay idempotent, compact folds to one epoch with scores unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-life").toFile
+    dir.deleteOnExit()
+    val path = new java.io.File(dir, "ix").getAbsolutePath
+    val first = docs.filter($"doc_id" <= 2)
+    val rest = docs.filter($"doc_id" > 2)
+    TextIndex.write(TextIndex.build(first, "doc_id", "text"), path,
+      termPartitions = 2)
+    TextIndex.appendEpoch(rest, path, "doc_id", "text", "b1",
+      termPartitions = 2)
+    def scores(ix: TextIndex.InvertedIndex) =
+      TextIndex.bm25(ix, "doc_id", "spark hash the")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val grown = TextIndex.read(spark, path)
+    val oneShot = TextIndex.build(docs, "doc_id", "text")
+    assert(grown.nDocs == oneShot.nDocs && grown.totalDl == oneShot.totalDl)
+    assert(grown.avgdl == oneShot.avgdl, "exact integer sums ⇒ identical avgdl")
+    assert(scores(grown) == scores(oneShot),
+      "serve-after-append must equal the one-shot build bit for bit")
+    // crashed epoch: postings land, meta never does → invisible to read
+    TextIndex.build(Seq((9L, "spark spark spark")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .postings.write.parquet(s"$path/postings/epoch=crashed")
+    assert(scores(TextIndex.read(spark, path)) == scores(oneShot),
+      "uncommitted postings must not serve")
+    // replayed epoch key overwrites itself — no double counting
+    TextIndex.appendEpoch(rest, path, "doc_id", "text", "b1",
+      termPartitions = 2)
+    assert(scores(TextIndex.read(spark, path)) == scores(oneShot))
+    // compaction: one committed epoch, orphan GC'd, scores unchanged
+    TextIndex.compact(spark, path, termPartitions = 2)
+    val afterCompact = TextIndex.read(spark, path)
+    assert(scores(afterCompact) == scores(oneShot))
+    def epochs(sub: String) = Option(new java.io.File(s"$path/$sub").listFiles)
+      .getOrElse(Array.empty).filter(_.getName.startsWith("epoch=")).map(_.getName).toSet
+    assert(epochs("meta") == Set("epoch=e0") &&
+      epochs("postings") == Set("epoch=e0"),
+      s"compaction must fold to one epoch and GC the orphan: " +
+        s"${epochs("postings")}")
+    // bad epoch keys refused before any file lands
+    intercept[IllegalArgumentException] {
+      TextIndex.appendEpoch(rest, path, "doc_id", "text", "0") }
+  }
+
+  test("streamed ingest sink ≡ the batch epoch loop; replay no-ops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-stream").toFile
+    dir.deleteOnExit()
+    val path = new java.io.File(dir, "ix").getAbsolutePath
+    TextIndex.write(TextIndex.build(docs.filter($"doc_id" <= 2), "doc_id", "text"),
+      path, termPartitions = 2)
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(graft.streaming.TextIndexIngest.sink(path, "doc_id", "text",
+        termPartitions = 2))
+      .start()
+    in.addData((3L, "the quick fox"), (4L, "   "))
+    q.processAllAvailable()
+    in.addData((5L, "lonely spark article"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = TextIndex.read(spark, path)
+    val oneShot = TextIndex.build(
+      docs.filter($"doc_id" <= 2).unionByName(
+        Seq((3L, "the quick fox"), (4L, "   "), (5L, "lonely spark article"))
+          .toDF("doc_id", "text")), "doc_id", "text")
+    assert(streamed.nDocs == oneShot.nDocs && streamed.totalDl == oneShot.totalDl)
+    val a = TextIndex.bm25(streamed, "doc_id", "spark the")
+      .orderBy("doc_id").collect().toSeq
+    val b = TextIndex.bm25(oneShot, "doc_id", "spark the")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b, "streamed epochs must serve exactly the batch answer")
+    // a replayed batch id overwrites its own epoch — simulate by calling
+    // the sink again with the same id and rows
+    graft.streaming.TextIndexIngest.sink(path, "doc_id", "text", 2)(
+      Seq((5L, "lonely spark article")).toDF("doc_id", "text"), 1L)
+    assert(TextIndex.read(spark, path).nDocs == oneShot.nDocs,
+      "replay must not double-count")
+  }
+
   test("write/read round-trips; crashed write (no meta) refuses to load") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toFile
     dir.deleteOnExit()
