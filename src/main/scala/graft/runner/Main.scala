@@ -42,10 +42,12 @@ import graft.streaming.Compactor
   *  - `bpe-train` / `bpe-encode`: distributed BPE tokenizer training
   *    ([[graft.operators.Bpe]]) — learn the merge vocabulary from the
   *    word-frequency table, persist it, and encode corpora with it.
-  *  - `bm25-build` / `bm25-merge` / `bm25-search`: the inverted-index
-  *    retrieval loop ([[graft.operators.TextIndex]]) — build the
-  *    term-sorted index, grow it additively per ingest batch
-  *    (staged-swap, meta-last), and serve ranked searches from it.
+  *  - `bm25-build` / `bm25-append` / `bm25-compact` / `bm25-merge` /
+  *    `bm25-search`: the inverted-index retrieval lifecycle
+  *    ([[graft.operators.TextIndex]]) — build the term-sorted index,
+  *    grow it per ingest batch (epoch append, meta-last; or the
+  *    whole-index staged-swap merge), fold epochs back periodically,
+  *    and serve ranked searches from it.
   *  - `ivf-build` / `ivf-query` / `ivf-append` / `ivf-refresh` /
   *    `ivf-compact`: the learned-ANN index lifecycle
   *    ([[graft.operators.Similarity.writeLearnedIvfIndex]] family) — fit +
@@ -108,6 +110,9 @@ object Main {
       |          [--id doc_id] [--text text] [--term-partitions 32]
       |  bm25-merge  --in <docs-parquet> --path <index-dir>
       |          [--id doc_id] [--text text] [--term-partitions 32]
+      |  bm25-append --in <docs-parquet> --path <index-dir> --epoch <key>
+      |          [--id doc_id] [--text text] [--term-partitions 32]
+      |  bm25-compact --path <index-dir> [--term-partitions 32]
       |  bm25-search --path <index-dir> --query '<terms>' --out <dir>
       |          [--id doc_id] [--k1 1.2] [--b 0.75] [--topk 20]
       |  span-index-build  --in <docs-parquet> --path <dir>
@@ -377,6 +382,23 @@ object Main {
       graft.operators.TextIndex.write(merged, staged,
         termPartitions = opt.getOrElse("term-partitions", "32").toInt)
       graft.operators.TextIndex.replaceIndex(spark, path, staged)
+
+    case Some("bm25-append") =>
+      // the per-ingest-cycle growth step: land the batch as one committed
+      // epoch (meta-last; nothing existing is read or touched) — cheaper
+      // than bm25-merge's whole-index rewrite, at the cost of per-epoch
+      // files until bm25-compact folds them
+      val (opt, _) = parse(args.tail)
+      graft.operators.TextIndex.appendEpoch(
+        spark.read.parquet(req(opt, "in")), req(opt, "path"),
+        opt.getOrElse("id", "doc_id"), opt.getOrElse("text", "text"),
+        epoch = req(opt, "epoch"),
+        termPartitions = opt.getOrElse("term-partitions", "32").toInt)
+
+    case Some("bm25-compact") =>
+      val (opt, _) = parse(args.tail)
+      graft.operators.TextIndex.compact(spark, req(opt, "path"),
+        termPartitions = opt.getOrElse("term-partitions", "32").toInt)
 
     case Some("bm25-search") =>
       val (opt, _) = parse(args.tail)

@@ -277,6 +277,25 @@ class RunnerSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(hits.keySet == oneShot.keySet)
     hits.foreach { case (id, v) => assert(math.abs(oneShot(id) - v) < 1e-9) }
+    // the EPOCH growth path: append + compact serve the same answer as
+    // the merge-grown index (additive statistics are exact)
+    val ixEp = outDir("cli-bm25-ixep") + "/ix"
+    Main.run(Seq("bm25-build", "--in", c1, "--path", ixEp,
+      "--term-partitions", "2"), spark)
+    Main.run(Seq("bm25-append", "--in", c2, "--path", ixEp,
+      "--epoch", "a1", "--term-partitions", "2"), spark)
+    val out4 = outDir("cli-bm25-out4")
+    Main.run(Seq("bm25-search", "--path", ixEp, "--query", "spark",
+      "--out", out4), spark)
+    val epoch = spark.read.parquet(out4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(epoch == oneShot, s"epoch-grown serve must equal one-shot: $epoch")
+    Main.run(Seq("bm25-compact", "--path", ixEp, "--term-partitions", "2"), spark)
+    val out5 = outDir("cli-bm25-out5")
+    Main.run(Seq("bm25-search", "--path", ixEp, "--query", "spark",
+      "--out", out5), spark)
+    assert(spark.read.parquet(out5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap == oneShot)
   }
 
   test("span-index lifecycle CLI: build → filter → merge → filter — the " +
