@@ -69,18 +69,24 @@ object TextIndex {
     def avgdl: Double = totalDl.toDouble / nDocs
   }
 
-  /** One corpus scan → the full index. The doc-length `dl` is computed
-    * in the same projection as the explode and carried through the
-    * groupBy key (constant per doc), so no second scan and no join
-    * reassembles it. */
+  /** One corpus scan (plus one for the scalars) → the full index. The
+    * doc-length `dl` is computed in the same projection as the explode
+    * and carried through the groupBy key (constant per doc), so no
+    * second scan and no join reassembles it. The postings aggregate is
+    * MATERIALIZED ([[Materialize.eagerCheckpoint]]) because everything
+    * downstream reads it at least twice — docFreq derives from it,
+    * [[bm25]] joins both tables, and a [[writeEpoch]] writes both — so
+    * without this each consumer would re-run the corpus explode. The
+    * scalar pass stays a scan of `docs` (tokenless docs carry no
+    * postings but ARE part of N and Σdl). */
   def build(docs: DataFrame, idCol: String, textCol: String): InvertedIndex = {
     val toks = TextAnalysis.tokens(col(textCol))
-    val postings = docs
+    val postings = Materialize.eagerCheckpoint(docs
       .select(col(idCol), col(textCol), size(toks).as("dl"))
       .select(col(idCol), col("dl"),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val docFreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = docs
       .agg(count(lit(1)), coalesce(sum(size(toks).cast("long")), lit(0L)))
@@ -132,13 +138,23 @@ object TextIndex {
     require(epoch.matches("[A-Za-z][A-Za-z0-9_-]*"),
       s"epoch key must start with a letter: '$epoch'")
 
-  /** Persist as epoch `e0`: postings REPARTITIONED AND SORTED BY TERM
-    * (each query term's rows land in few contiguous row groups — the
-    * pushed-down `isin` skips the rest via min/max stats), docFreq, and
-    * the epoch's 1-row meta written LAST (the commit marker: a crashed
-    * write leaves no meta and [[read]] never sees the epoch). */
-  def write(index: InvertedIndex, path: String, termPartitions: Int = 32): Unit =
+  /** Persist as a FULL REBUILD: any existing layout at `path` —
+    * including appended epochs a bare epoch-e0 overwrite would silently
+    * keep serving alongside the new build — is removed first, then the
+    * index lands as the single epoch `e0`: postings REPARTITIONED AND
+    * SORTED BY TERM (each query term's rows land in few contiguous row
+    * groups — the pushed-down `isin` skips the rest via min/max stats),
+    * docFreq, and the epoch's 1-row meta written LAST (the commit
+    * marker: a crashed write leaves no meta and [[read]] never sees the
+    * epoch). For incremental growth use [[appendEpoch]]; for an
+    * always-servable rebuild of a LIVE index, write to a side dir and
+    * [[replaceIndex]]. */
+  def write(index: InvertedIndex, path: String, termPartitions: Int = 32): Unit = {
+    val spark = index.postings.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     writeEpoch(index, path, "e0", termPartitions)
+  }
 
   private def writeEpoch(index: InvertedIndex, path: String, epoch: String,
                          termPartitions: Int): Unit = {
@@ -156,16 +172,42 @@ object TextIndex {
   }
 
   /** Land an id-disjoint batch as a NEW committed epoch — the
-    * per-ingest-cycle growth step: index the batch (one batch scan),
-    * write its three parts under `epoch=<key>`, meta last. No existing
-    * file is read or touched, so appends cost the batch, never the
-    * index. A re-run with the SAME key overwrites itself — the
-    * idempotency [[graft.streaming.TextIndexIngest]] keys on the
-    * foreachBatch batch id. */
+    * per-ingest-cycle growth step: index the batch, write its three
+    * parts under `epoch=<key>`, meta last. No existing file is read or
+    * touched, so appends cost the batch, never the index. Guards, all
+    * BEFORE any batch scan runs: the epoch key validates first; the
+    * target must already hold a committed base (appending into a void
+    * would fabricate a "valid" index out of one batch — exactly the
+    * state a crashed [[replaceIndex]] leaves at the live path, where the
+    * real index sits at `_old` and must be recovered, not papered over);
+    * and a key colliding with a committed epoch is refused unless
+    * `allowReplace` — the deliberate replay semantics
+    * [[graft.streaming.TextIndexIngest]] opts into with its batch-id
+    * keys, where same key ⇒ same rows and the overwrite is idempotent
+    * re-delivery, not silent data replacement. */
   def appendEpoch(batch: DataFrame, path: String, idCol: String,
                   textCol: String, epoch: String,
-                  termPartitions: Int = 32): Unit =
+                  termPartitions: Int = 32,
+                  allowReplace: Boolean = false): Unit = {
+    checkEpoch(epoch)
+    val committed = committedEpochs(batch.sparkSession, path)
+    require(committed.nonEmpty,
+      s"appendEpoch: no committed index at $path — build/write first " +
+        "(if a swap crashed here, the previous index is at the _old/_staging side dirs)")
+    require(allowReplace || !committed.contains(epoch),
+      s"appendEpoch: epoch '$epoch' already committed at $path — a re-land " +
+        "would REPLACE its documents; use a fresh key (or allowReplace for " +
+        "idempotent same-rows replays)")
     writeEpoch(build(batch, idCol, textCol), path, epoch, termPartitions)
+  }
+
+  /** The committed epoch keys at `path` (empty when nothing is
+    * committed or the meta table does not exist yet) — one bounded
+    * driver read, shared by [[appendEpoch]]'s guards and [[read]]. */
+  private def committedEpochs(spark: SparkSession, path: String): Seq[String] =
+    try spark.read.parquet(s"$path/meta")
+      .select(col("epoch").cast("string")).collect().map(_.getString(0)).toSeq
+    catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
 
   /** Load a persisted index — COMMITTED epochs only: the meta table
     * names them (bounded driver read: one row per epoch), and both
@@ -176,6 +218,9 @@ object TextIndex {
     * only the query terms' rows. */
   def read(spark: SparkSession, path: String): InvertedIndex = {
     val meta = spark.read.parquet(s"$path/meta")
+    require(meta.columns.contains("epoch") && meta.columns.contains("total_dl"),
+      s"$path/meta has no epoch/total_dl columns — a pre-epoch flat layout; " +
+        "rebuild the index (bm25-build / TextIndex.write) to migrate")
     val rows = meta.select(col("epoch").cast("string"), col("n_docs"),
       col("total_dl")).collect()
     require(rows.nonEmpty, s"no committed epochs at $path")
@@ -213,7 +258,14 @@ object TextIndex {
     val fs = live.getFileSystem(hc)
     val old = new org.apache.hadoop.fs.Path(path + "_old")
     val stage = new org.apache.hadoop.fs.Path(staged)
-    fs.delete(old, true) // residue from an earlier crashed swap
+    // a missing live path with _old present is a CRASHED earlier swap:
+    // _old holds the only complete index — deleting it as "residue"
+    // would destroy it. Surface the recovery instead of proceeding.
+    if (!fs.exists(live) && fs.exists(old))
+      throw new java.io.IOException(
+        s"index swap: $live is missing and $old exists — an earlier swap " +
+          s"crashed mid-rename; rename $old back to $live before retrying")
+    fs.delete(old, true) // residue from an earlier COMPLETED swap
     if (!fs.rename(live, old))
       throw new java.io.IOException(
         s"index swap: could not set aside $live (new index complete at $staged)")

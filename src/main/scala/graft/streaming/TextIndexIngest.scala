@@ -44,8 +44,12 @@ object TextIndexIngest {
            termPartitions: Int = 32): (DataFrame, Long) => Unit =
     (batch, batchId) =>
       if (batch.limit(1).collect().nonEmpty) {
+        // allowReplace: a replayed batch id carries the SAME source rows
+        // (Structured Streaming replays the offset range), so re-landing
+        // its epoch is idempotent re-delivery, not data replacement
         TextIndex.appendEpoch(batch, indexPath, idCol, textCol,
-          epoch = s"b$batchId", termPartitions = termPartitions)
+          epoch = s"b$batchId", termPartitions = termPartitions,
+          allowReplace = true)
         ()
       }
 }

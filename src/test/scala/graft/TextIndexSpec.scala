@@ -115,10 +115,22 @@ class TextIndexSpec extends SparkSpec {
       .postings.write.parquet(s"$path/postings/epoch=crashed")
     assert(scores(TextIndex.read(spark, path)) == scores(oneShot),
       "uncommitted postings must not serve")
-    // replayed epoch key overwrites itself — no double counting
+    // a colliding key is refused by default (silent replacement), and
+    // the explicit replay form overwrites itself — no double counting
+    intercept[IllegalArgumentException] {
+      TextIndex.appendEpoch(rest, path, "doc_id", "text", "b1",
+        termPartitions = 2)
+    }
     TextIndex.appendEpoch(rest, path, "doc_id", "text", "b1",
-      termPartitions = 2)
+      termPartitions = 2, allowReplace = true)
     assert(scores(TextIndex.read(spark, path)) == scores(oneShot))
+    // appending into a void is refused — the crashed-swap state where
+    // the real index sits at the side dirs must surface, not be papered
+    // over by a one-batch "index"
+    intercept[IllegalArgumentException] {
+      TextIndex.appendEpoch(rest,
+        new java.io.File(dir, "void").getAbsolutePath, "doc_id", "text", "b9")
+    }
     // compaction: one committed epoch, orphan GC'd, scores unchanged
     TextIndex.compact(spark, path, termPartitions = 2)
     val afterCompact = TextIndex.read(spark, path)
