@@ -800,12 +800,16 @@ object Bench {
     }
     // the unsorted CONTROL layout: identical rows, no term clustering —
     // row-group stats then cover the full term range in every file and
-    // nothing skips
+    // nothing skips. Emitted as ONE committed epoch (postings/docfreq
+    // under epoch=e0, meta with n_docs/total_dl written last) so
+    // TextIndex.read — which since the lifecycle hardening requires
+    // epoch-structured meta and filters on the epoch column — serves it
+    // exactly like the sorted layout; only the term clustering differs.
     def writeUnsorted(ix: TextIndex.InvertedIndex, path: String): Unit = {
-      ix.postings.write.mode("overwrite").parquet(s"$path/postings")
-      ix.docFreq.write.mode("overwrite").parquet(s"$path/docfreq")
-      spark.createDataFrame(Seq((ix.nDocs, ix.avgdl))).toDF("n_docs", "avgdl")
-        .write.mode("overwrite").parquet(s"$path/meta")
+      ix.postings.write.mode("overwrite").parquet(s"$path/postings/epoch=e0")
+      ix.docFreq.write.mode("overwrite").parquet(s"$path/docfreq/epoch=e0")
+      spark.createDataFrame(Seq((ix.nDocs, ix.totalDl))).toDF("n_docs", "total_dl")
+        .write.mode("overwrite").parquet(s"$path/meta/epoch=e0")
     }
     var matched = 0L; var sumMatched = 0L
     def serve(path: String, q: String): (Double, Double) = { // (median secs, MB read)
@@ -1003,8 +1007,11 @@ object Bench {
           s"sketch kept MORE than exact at ${n}x ($kept vs $keptFlat) - " +
             "an undercounting estimate, which CMS forbids")
         val keptSketch = kept
+        // allowSaturated: this control EXISTS to measure the saturation
+        // point the production guard refuses
         val keptSketchFixed = Dedup.filterAgainstSpanSketch(batch,
-          Dedup.spanSketchFromIndex(flat), "doc_id", "text").count()
+          Dedup.spanSketchFromIndex(flat), "doc_id", "text",
+          allowSaturated = true).count()
         spark.sql(s"DROP TABLE IF EXISTS ${table}_spans")
         spark.sql(s"DROP TABLE IF EXISTS ${table}_meta")
         dropState()

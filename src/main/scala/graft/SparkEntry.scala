@@ -1124,6 +1124,36 @@ object SparkEntry {
         "doc_id", "spark hash join stream")
       .select(col("doc_id"), col("n_matched"), rq(col("score"), 6).as("score"))
 
+  /** EXACT-PHRASE retrieval from the positional postings, served from
+    * the same epoch-grown persisted layout as [[qBm25Served]] — the
+    * decontamination-forensics query: every doc containing "hash join"
+    * verbatim, with its occurrence count and phrase-as-one-term BM25
+    * score. The oracle replays adjacency from the raw token arrays
+    * (w[i] = 'hash' ∧ w[i+1] = 'join'), so the positional schema, the
+    * per-doc term→positions map, and the higher-order adjacency filter
+    * are all hash-checked. */
+  private def qBm25Phrase(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.bm25Phrase(
+        graft.operators.TextIndex.read(s, textIndexPath(s, dir)),
+        "doc_id", "hash join")
+      .select(col("doc_id"), col("n_occurrences"), rq(col("score"), 6).as("score"))
+
+  /** BATCH BM25 — three queries scored in ONE pass over the persisted
+    * index ([[graft.operators.TextIndex.bm25Batch]]): the
+    * decontamination shape, N eval strings ≠ N corpus scans. Query 1 is
+    * [[qBm25]]'s exact query (so the batch path is directly comparable),
+    * 2 the rare selective term, 3 a mixed present/absent-term string. */
+  private def qBm25Batch(s: SparkSession, dir: String): DataFrame = {
+    val queries = s.createDataFrame(Seq(
+      (1L, "spark hash join stream"), (2L, "dup"), (3L, "the quick sort merge")))
+      .toDF("query_id", "query")
+    graft.operators.TextIndex.bm25Batch(
+        graft.operators.TextIndex.read(s, textIndexPath(s, dir)),
+        "doc_id", queries, "query_id", "query")
+      .select(col("query_id"), col("doc_id"), col("n_matched"),
+        rq(col("score"), 6).as("score"))
+  }
+
   /** Corpus vocabulary: top-100 tokens by frequency (ties by token). */
   private def qVocab(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.topTokens(tbl(s, dir, "documents"), "text", 100)
@@ -1665,6 +1695,8 @@ object SparkEntry {
     "q_bpe_encode" -> qBpeEncode,
     "q_bm25" -> qBm25,
     "q_bm25_served" -> qBm25Served,
+    "q_bm25_phrase" -> qBm25Phrase,
+    "q_bm25_batch" -> qBm25Batch,
     "q_vocab" -> qVocab,
     "q_lm_xent" -> qLmXent,
     "q_lm_xent_served" -> qLmXentServed,
@@ -2307,6 +2339,70 @@ object SparkEntry {
     // derives from exact integer sums, so growth reproduces the
     // one-shot statistics bit for bit
     "q_bm25_served" -> bm25Sql,
+    // exact-phrase: the oracle replays adjacency directly on the raw
+    // token arrays (w[i]='hash' ∧ w[i+1]='join'), then the
+    // phrase-as-one-term BM25 (tf = occurrences, df = |matching docs|)
+    "q_bm25_phrase" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        | stats AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM d),
+        | occ AS (
+        |  SELECT doc_id, len(w) AS dl,
+        |         len(list_filter(range(1, len(w)),
+        |             i -> w[CAST(i AS INT)] = 'hash'
+        |              AND w[CAST(i+1 AS INT)] = 'join')) AS n_occurrences
+        |  FROM d),
+        | m AS (SELECT * FROM occ WHERE n_occurrences > 0),
+        | dfp AS (SELECT count(*) AS dfp FROM m)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_occurrences,
+        |       floor((ln(1 + (stats.n - dfp.dfp + 0.5) / (dfp.dfp + 0.5)) *
+        |              (n_occurrences * (1.2 + 1)) /
+        |              (n_occurrences + 1.2 * (1 - 0.75 + 0.75 * dl / stats.avgdl))
+        |             )*1000000.0 + 0.5)/1000000.0 AS score
+        |FROM m CROSS JOIN dfp CROSS JOIN stats""".stripMargin,
+    // batch serve: one pass, N queries — the oracle scores each VALUES
+    // query with the single-query arithmetic (per-query distinct terms),
+    // so batch ≡ per-query algebra is hash-checked
+    "q_bm25_batch" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |                            x -> x <> '')) AS term
+        |  FROM documents),
+        | d AS (
+        |  SELECT doc_id,
+        |         len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                         x -> x <> '')) AS dl
+        |  FROM documents),
+        | stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
+        | q(query_id, query) AS (VALUES
+        |   (1, 'spark hash join stream'), (2, 'dup'), (3, 'the quick sort merge')),
+        | qt AS (
+        |  SELECT query_id,
+        |         unnest(list_distinct(list_filter(
+        |           string_split_regex(trim(query), '\s+'), x -> x <> ''))) AS term
+        |  FROM q),
+        | tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+        | df AS (
+        |  SELECT term, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, term FROM tok)
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY term),
+        | sc AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |         ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+        |         (tf.tf * (1.2 + 1)) /
+        |         (tf.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / stats.avgdl)) AS part
+        |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+        |  JOIN d ON d.doc_id = tf.doc_id
+        |  CROSS JOIN stats)
+        |SELECT CAST(query_id AS BIGINT) AS query_id,
+        |       CAST(doc_id AS BIGINT) AS doc_id, count(*) AS n_matched,
+        |       floor(sum(part)*1000000.0 + 0.5)/1000000.0 AS score
+        |FROM sc GROUP BY 1, 2""".stripMargin,
     // the served-pruned-model twin: bigrams below count 2 are pruned
     // from the model, so scoring coalesces them to the unseen floor
     // (0 + α)/(n1 + αV) — contexts and V are NOT pruned (the operator's

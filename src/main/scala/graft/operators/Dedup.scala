@@ -1308,11 +1308,24 @@ object Dedup {
     * the same reason it rides with the index — probing at the wrong
     * width silently gates nothing), `width`/`depth` the CMS shape. The
     * SUB-LINEAR-MEMORY serving form of the span gate: `depth · width`
-    * longs — FIXED, independent of corpus size — versus the exact
-    * index's row per distinct corpus span. At 100 TB the exact frame is
-    * itself corpus-scale; the sketch is ~2 MB at the defaults and rides
+    * longs versus the exact index's row per distinct corpus span. At
+    * 100 TB the exact frame is itself corpus-scale; the sketch rides
     * the task broadcast like [[graft.streaming.StreamingCurate
     * .ShingleBloom]]'s filter bytes.
+    *
+    * SIZING IS N₁-DEPENDENT, not "2 MB and done": the memory is
+    * `depth · width` longs, but the width a given accuracy needs GROWS
+    * with the index — the overcount bound is `2·N₁/width`, so holding
+    * the bound fixed means width ∝ N₁ (sub-linear total memory only
+    * because a counter is 8 bytes vs a full index row, never constant).
+    * The default `width = 2¹⁶` saturates once N₁ reaches a few
+    * hundred thousand incidences (measured: `kept_sketch_fixed_w16 = 0`
+    * at every tested corpus size in bench_scale_span_index.json — every
+    * counter hot, every span "indexed", the gate silently drops
+    * everything). Size with [[sketchGeometryFor]], and the gate
+    * ([[filterAgainstSpanSketch]]) refuses a sketch whose measured
+    * [[SpanSketch.absentPassRate]] says a never-seen span would pass
+    * anyway.
     *
     * Estimates NEVER undercount (CMS guarantee: every counter a span
     * hashes to holds at least its true count), so a truly-indexed span
@@ -1326,6 +1339,65 @@ object Dedup {
                               depth: Int) {
     require(counts.length == depth * width,
       s"SpanSketch: ${counts.length} counters for depth=$depth width=$width")
+
+    /** Total doc-span incidences the sketch holds (N₁) — every depth row
+      * sums to it, so it is derivable, not extra state. */
+    lazy val n1: Long = counts.view.slice(0, width).sum
+
+    /** The theoretical overcount bound `2·N₁/width` (exceeded with
+      * probability ≤ 2^-depth per probe). */
+    def overcountBound: Double = 2.0 * n1 / width
+
+    /** MEASURED probability that a NEVER-INDEXED span would pass a
+      * `≥ minDocs` gate anyway: a probe's estimate is the min over depth
+      * rows, so an absent span passes iff the counter it hashes to in
+      * EVERY row is ≥ minDocs — under uniform hashing that is the
+      * product over rows of the fraction of counters ≥ minDocs. Exact
+      * arithmetic over the matrix already in driver memory (one
+      * `depth · width` pass), no probabilistic assumptions beyond the
+      * hash uniformity the sketch already relies on. */
+    def absentPassRate(minDocs: Long): Double =
+      (0 until depth).map { d =>
+        var hot = 0
+        var i = d * width
+        val end = i + width
+        while (i < end) { if (counts(i) >= minDocs) hot += 1; i += 1 }
+        hot.toDouble / width
+      }.product
+
+    /** A sketch is SATURATED for a gate threshold when an absent span
+      * would pass it more often than `maxAbsentPassRate` — at that point
+      * `filterAgainstSpanSketch` is not a gate but a corpus-shaped coin
+      * flip biased toward dropping everything. */
+    def saturatedFor(minDocs: Long, maxAbsentPassRate: Double = 0.5): Boolean =
+      absentPassRate(minDocs) > maxAbsentPassRate
+  }
+
+  /** The 2·N₁/width sizing rule, EXECUTABLE ([[Similarity.lshGeometryFor]]
+    * pattern — a prose rule a caller must remember is a rule that gets
+    * skipped): the (width, depth) at which estimates exceed true counts
+    * by more than `targetOvercount` with probability at most
+    * `errorProb`. Width is the next power of two ≥ 2·N₁/targetOvercount
+    * (pow-2 keeps the modulo cheap and matches the measured harness
+    * ladder); depth = ⌈log₂(1/errorProb)⌉ from the 2^-depth failure
+    * bound. Memory is `width · depth · 8` bytes — width GROWS with N₁,
+    * which is the whole point: fixed-width defaults are what
+    * `kept_sketch_fixed_w16 = 0` looks like in production. */
+  def sketchGeometryFor(n1: Long, targetOvercount: Long,
+                        errorProb: Double = 1e-3): (Int, Int) = {
+    require(n1 >= 0, s"sketchGeometryFor: n1 must be >= 0, got $n1")
+    require(targetOvercount >= 1,
+      s"sketchGeometryFor: targetOvercount must be >= 1, got $targetOvercount")
+    require(errorProb > 0 && errorProb < 1,
+      s"sketchGeometryFor: errorProb must be in (0,1), got $errorProb")
+    val minWidth = math.max(16L, math.ceil(2.0 * n1 / targetOvercount).toLong)
+    val width = java.lang.Long.highestOneBit(math.max(1L, minWidth - 1)) << 1
+    require(width <= (1L << 28),
+      s"sketchGeometryFor: width $width (n1=$n1, targetOvercount=" +
+        s"$targetOvercount) exceeds 2^28 counters (${(1L << 31)} bytes " +
+        "per depth row) — relax targetOvercount or shard the corpus")
+    val depth = math.max(1, math.ceil(-math.log(errorProb) / math.log(2.0)).toInt)
+    (width.toInt, depth)
   }
 
   /** [[buildSpanIndex]] compressed into a [[SpanSketch]] in one pass:
@@ -1424,7 +1496,19 @@ object Dedup {
   def filterAgainstSpanSketch(newDocs: DataFrame, sketch: SpanSketch,
                               idCol: String, textCol: String,
                               maxIndexedFrac: Double = 0.5,
-                              minDocs: Long = 1L): DataFrame = {
+                              minDocs: Long = 1L,
+                              allowSaturated: Boolean = false): DataFrame = {
+    // the saturation footgun, made loud: a sketch whose counters are
+    // ~all ≥ minDocs calls every span "indexed" and silently drops the
+    // whole batch (the measured kept_sketch_fixed_w16 = 0 state).
+    // Refuse it unless the caller explicitly opts in (harnesses that
+    // MEASURE the saturation point do).
+    require(allowSaturated || !sketch.saturatedFor(minDocs),
+      f"filterAgainstSpanSketch: sketch is SATURATED at minDocs=$minDocs " +
+        f"(a never-indexed span would pass the gate with probability " +
+        f"${sketch.absentPassRate(minDocs)}%.3f; width=${sketch.width} vs " +
+        f"N1=${sketch.n1}) — resize via sketchGeometryFor(n1, " +
+        f"targetOvercount) or pass allowSaturated=true to measure anyway")
     val bc = newDocs.sparkSession.sparkContext.broadcast(sketch.counts)
     val spans = graft.functions.ShingleHashes
       .shingleHashes(col(textCol), sketch.n)

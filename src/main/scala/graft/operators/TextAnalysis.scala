@@ -17,6 +17,15 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => length(t) > 0)
 
+  /** The DRIVER-SIDE twin of [[tokens]] — for the places a query string
+    * is tokenized on the driver (the literal `isin` predicates of
+    * [[TextIndex.bm25]] and friends). One definition, property-pinned
+    * equal to the Column form (TextIndexSpec), so a future change to
+    * [[tokens]] (lowercasing, filtering) can never silently
+    * desynchronize query terms from index terms. */
+  def tokenizeDriver(text: String): Seq[String] =
+    text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+
   /** Token count (whitespace) plus a BPE-ish subword-regex count: words,
     * numbers, and single punctuation marks counted separately. */
   def withTokenCounts(df: DataFrame, textCol: String): DataFrame =
@@ -340,7 +349,12 @@ object TextAnalysis {
   def sampleByTemperature(df: DataFrame, idCol: String, strataCol: String,
                           alpha: Double, budget: Long,
                           salt: String = ""): DataFrame = {
-    val sizes = df.groupBy(strataCol).count().collect()
+    // null strata are excluded from the weight computation: they could
+    // never be sampled anyway (the cutoff filter's `col === stratum`
+    // never matches null, i.e. they fall to default = 0.0), and a null
+    // map key would NPE the fractions sort downstream
+    val sizes = df.filter(col(strataCol).isNotNull)
+      .groupBy(strataCol).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     sampleStratified(df, idCol, strataCol,
       temperatureFractions(sizes, alpha, budget), default = 0.0, salt)

@@ -81,12 +81,19 @@ object TextIndex {
     * postings but ARE part of N and Σdl). */
   def build(docs: DataFrame, idCol: String, textCol: String): InvertedIndex = {
     val toks = TextAnalysis.tokens(col(textCol))
+    // posexplode carries each token's 0-based offset, so the SAME
+    // groupBy that counts tf also collects the POSITION LIST
+    // (sort_array: collect_list order is partition-nondeterministic) —
+    // positions are per-doc facts, so the epoch algebra (id-disjoint
+    // additivity) is untouched, and bag-of-words serves never read the
+    // column (Catalyst prunes it out of the scan)
     val postings = Materialize.eagerCheckpoint(docs
       .select(col(idCol), col(textCol), size(toks).as("dl"))
       .select(col(idCol), col("dl"),
-        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "term")))
       .groupBy(col(idCol), col("term"), col("dl"))
-      .agg(count(lit(1)).as("tf")))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions")))
     val docFreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = docs
       .agg(count(lit(1)), coalesce(sum(size(toks).cast("long")), lit(0L)))
@@ -101,7 +108,7 @@ object TextIndex {
   def bm25(index: InvertedIndex, idCol: String, query: String,
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k1 > 0 && b >= 0 && b <= 1, s"need k1 > 0, b in [0,1]: k1=$k1 b=$b")
-    val terms = query.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    val terms = TextAnalysis.tokenizeDriver(query).distinct
     require(terms.nonEmpty, "bm25: empty query")
     val idf = log(lit(1.0) +
       (lit(index.nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
@@ -112,6 +119,100 @@ object TextIndex {
       .join(broadcast(index.docFreq.filter(col("term").isin(terms.map(lit): _*))),
         Seq("term"))
       .groupBy(idCol)
+      .agg(count(lit(1)).as("n_matched"), sum(idf * tfNorm).as("score"))
+  }
+
+  /** EXACT-PHRASE retrieval over the positional postings — the
+    * decontamination-forensics query ("which training documents contain
+    * this eval sentence verbatim") bag-of-words BM25 cannot answer.
+    * Output: `(idCol, n_occurrences, score)` for every doc containing
+    * the phrase at least once, where `n_occurrences` counts verbatim
+    * occurrences and `score` is BM25 treating THE PHRASE AS ONE TERM —
+    * tf = occurrence count, df = |docs containing the phrase| (computed
+    * from the match set itself: a 1-row aggregate broadcast back, never
+    * a single-partition window).
+    *
+    * Plan shape: the phrase's distinct terms push into the postings
+    * scan as the same literal `isin` as [[bm25]] (term-sorted layouts
+    * prune to the query terms' row groups); one shuffle groups the
+    * surviving postings per doc into a term→positions map; adjacency is
+    * then a PER-ROW higher-order filter over the first term's position
+    * list (`p` starts an occurrence iff term_i's list contains `p + i`
+    * for all i — duplicate phrase terms just look up the same map entry
+    * at two offsets), all codegen'd built-ins. The match set is read
+    * twice (df scalar + scoring) — two passes over the pruned slice,
+    * the price of not single-partitioning the corpus-scale match set. */
+  def bm25Phrase(index: InvertedIndex, idCol: String, phrase: String,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k1 > 0 && b >= 0 && b <= 1, s"need k1 > 0, b in [0,1]: k1=$k1 b=$b")
+    val terms = TextAnalysis.tokenizeDriver(phrase)
+    require(terms.nonEmpty, "bm25Phrase: empty phrase")
+    val distinctTerms = terms.distinct
+    val perDoc = index.postings
+      .filter(col("term").isin(distinctTerms.map(lit): _*))
+      .groupBy(col(idCol), col("dl"))
+      .agg(map_from_entries(collect_list(struct(col("term"), col("positions"))))
+        .as("tpos"), count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === distinctTerms.size) // every phrase term present
+    val occurrences = size(filter(element_at(col("tpos"), terms.head), p =>
+      terms.zipWithIndex.tail
+        .map { case (t, i) => array_contains(element_at(col("tpos"), t), p + i) }
+        .reduceOption(_ && _).getOrElse(lit(true))))
+    val matches = perDoc
+      .select(col(idCol), col("dl"), occurrences.cast("long").as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+    val dfPhrase = matches.agg(count(lit(1)).as("df_phrase"))
+    val idf = log(lit(1.0) +
+      (lit(index.nDocs.toDouble) - col("df_phrase") + 0.5) / (col("df_phrase") + 0.5))
+    val tfNorm = (col("n_occurrences") * (k1 + 1)) /
+      (col("n_occurrences") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / index.avgdl))
+    matches.crossJoin(broadcast(dfPhrase))
+      .select(col(idCol), col("n_occurrences"), (idf * tfNorm).as("score"))
+  }
+
+  /** BATCH BM25 — score a whole TABLE of queries `(queryIdCol,
+    * queryTextCol)` in ONE pass over the index: decontaminating N eval
+    * phrases costs one postings scan, not N ([[bm25]] is the 1-row
+    * case, same algebra). Output: `(queryIdCol, idCol, n_matched,
+    * score)` — one row per (query, doc sharing ≥ 1 term).
+    *
+    * Plan shape: queries tokenize with the shared [[TextAnalysis
+    * .tokens]] definition and explode to distinct `(query_id, term)`
+    * pairs — a frame bounded by the query tables's total vocabulary,
+    * BROADCAST into a hash join against the postings scan (the corpus
+    * side never shuffles for the candidate set; the one shuffle is the
+    * final per-(query, doc) aggregate, proportional to the MATCHING
+    * postings × matching queries). When `pushdownTerms` (default), the
+    * distinct term set is additionally collected to the driver — bounded
+    * by the same query vocabulary, the eval-suite-scale contract this
+    * operator exists for — and pushed into the scan as the literal
+    * `isin`, so a term-sorted persisted layout prunes row groups exactly
+    * as the single-query serve does; disable it for adversarially huge
+    * query tables and the serve degrades to the full-scan broadcast
+    * join, never to a shuffle of the corpus. */
+  def bm25Batch(index: InvertedIndex, idCol: String, queries: DataFrame,
+                queryIdCol: String, queryTextCol: String,
+                k1: Double = 1.2, b: Double = 0.75,
+                pushdownTerms: Boolean = true): DataFrame = {
+    require(k1 > 0 && b >= 0 && b <= 1, s"need k1 > 0, b in [0,1]: k1=$k1 b=$b")
+    val qTerms = queries.select(col(queryIdCol),
+      explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as("term"))
+    val pruned =
+      if (pushdownTerms) {
+        val termSet = qTerms.select("term").distinct().collect()
+          .map(_.getString(0)).toSeq
+        if (termSet.isEmpty) index.postings.where(lit(false))
+        else index.postings.filter(col("term").isin(termSet.map(lit): _*))
+      } else index.postings
+    val idf = log(lit(1.0) +
+      (lit(index.nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    val tfNorm = (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / index.avgdl))
+    pruned
+      .join(broadcast(qTerms), Seq("term"))
+      .join(broadcast(index.docFreq.join(
+        broadcast(qTerms.select("term").distinct()), Seq("term"))), Seq("term"))
+      .groupBy(col(queryIdCol), col(idCol))
       .agg(count(lit(1)).as("n_matched"), sum(idf * tfNorm).as("score"))
   }
 
@@ -176,11 +277,17 @@ object TextIndex {
     * parts under `epoch=<key>`, meta last. No existing file is read or
     * touched, so appends cost the batch, never the index. Guards, all
     * BEFORE any batch scan runs: the epoch key validates first; the
-    * target must already hold a committed base (appending into a void
-    * would fabricate a "valid" index out of one batch — exactly the
-    * state a crashed [[replaceIndex]] leaves at the live path, where the
-    * real index sits at `_old` and must be recovered, not papered over);
-    * and a key colliding with a committed epoch is refused unless
+    * target must hold a committed base OR be a genuinely FRESH path —
+    * no committed epochs AND no `_old`/`_staging` crash residue — in
+    * which case the batch bootstraps the index as its first epoch (the
+    * streaming sink's cold-start: [[graft.streaming.TextIndexIngest]]
+    * starts against an empty dir with no prior bm25-build step). A path
+    * with swap residue is NOT fresh: a crashed [[replaceIndex]] leaves
+    * the live dir missing while the real index sits at `_old`, and
+    * bootstrapping there would fabricate a one-batch "index" out of a
+    * recoverable crash — that state still fails loudly with the
+    * recovery instructions. A key colliding with a committed epoch is
+    * refused unless
     * `allowReplace` — the deliberate replay semantics
     * [[graft.streaming.TextIndexIngest]] opts into with its batch-id
     * keys, where same key ⇒ same rows and the overwrite is idempotent
@@ -191,9 +298,18 @@ object TextIndex {
                   allowReplace: Boolean = false): Unit = {
     checkEpoch(epoch)
     val committed = committedEpochs(batch.sparkSession, path)
-    require(committed.nonEmpty,
-      s"appendEpoch: no committed index at $path — build/write first " +
-        "(if a swap crashed here, the previous index is at the _old/_staging side dirs)")
+    if (committed.isEmpty) {
+      val hc = batch.sparkSession.sparkContext.hadoopConfiguration
+      val residue = Seq(path + "_old", path + "_staging").filter { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(hc).exists(hp)
+      }
+      require(residue.isEmpty,
+        s"appendEpoch: no committed index at $path but swap residue exists " +
+          s"(${residue.mkString(", ")}) — an earlier replaceIndex crashed; " +
+          "recover the side dir back to the live path instead of " +
+          "bootstrapping a one-batch index over it")
+    }
     require(allowReplace || !committed.contains(epoch),
       s"appendEpoch: epoch '$epoch' already committed at $path — a re-land " +
         "would REPLACE its documents; use a fresh key (or allowReplace for " +

@@ -9,6 +9,13 @@ import graft.operators.TextIndex
   * exactly-once — the retrieval counterpart of [[IvfIngest]] (ANN) and
   * [[SpanIngest]] (boilerplate gate).
   *
+  * Cold start needs no prior `bm25-build` step: the first non-empty
+  * batch against a FRESH path bootstraps the index as its first epoch
+  * ([[graft.operators.TextIndex.appendEpoch]]'s bootstrap rule — a
+  * path with `_old`/`_staging` swap residue still fails loudly with
+  * the recovery instructions rather than papering over a crashed
+  * compaction).
+  *
   * Each micro-batch lands as ONE committed epoch
   * ([[graft.operators.TextIndex.appendEpoch]] — the batch is indexed
   * and written, no existing file is read or touched), keyed by the

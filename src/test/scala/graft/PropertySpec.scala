@@ -751,8 +751,11 @@ class PropertySpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
       assert(exact.forall { case (id, ni) => est(id) >= ni },
         s"sketch under-gated at width=$width: $est vs $exact")
+      // allowSaturated: the small widths in this generator ARE the
+      // saturated regime — the property under test is the direction
+      // (subset), which must hold even there
       val keptSketch = Dedup.filterAgainstSpanSketch(bdf, sketch,
-          "doc_id", "text", maxIndexedFrac = 0.5)
+          "doc_id", "text", maxIndexedFrac = 0.5, allowSaturated = true)
         .select("doc_id").collect().map(_.getLong(0)).toSet
       val keptExact = Dedup.filterAgainstSpanIndex(bdf, index,
           "doc_id", "text", maxIndexedFrac = 0.5)

@@ -124,12 +124,20 @@ class TextIndexSpec extends SparkSpec {
     TextIndex.appendEpoch(rest, path, "doc_id", "text", "b1",
       termPartitions = 2, allowReplace = true)
     assert(scores(TextIndex.read(spark, path)) == scores(oneShot))
-    // appending into a void is refused — the crashed-swap state where
-    // the real index sits at the side dirs must surface, not be papered
+    // appending into a FRESH path bootstraps the index (the streaming
+    // cold start) — but a path with swap residue is NOT fresh: there the
+    // real index sits at the side dirs and must surface, not be papered
     // over by a one-batch "index"
+    val fresh = new java.io.File(dir, "fresh").getAbsolutePath
+    TextIndex.appendEpoch(rest, fresh, "doc_id", "text", "b0",
+      termPartitions = 2)
+    assert(TextIndex.read(spark, fresh).nDocs == 2L,
+      "first epoch against a fresh path must bootstrap the index")
+    val crashedSwap = new java.io.File(dir, "crashed-swap").getAbsolutePath
+    TextIndex.write(TextIndex.build(first, "doc_id", "text"),
+      crashedSwap + "_old", termPartitions = 2)
     intercept[IllegalArgumentException] {
-      TextIndex.appendEpoch(rest,
-        new java.io.File(dir, "void").getAbsolutePath, "doc_id", "text", "b9")
+      TextIndex.appendEpoch(rest, crashedSwap, "doc_id", "text", "b9")
     }
     // compaction: one committed epoch, orphan GC'd, scores unchanged
     TextIndex.compact(spark, path, termPartitions = 2)
@@ -182,6 +190,96 @@ class TextIndexSpec extends SparkSpec {
       Seq((5L, "lonely spark article")).toDF("doc_id", "text"), 1L)
     assert(TextIndex.read(spark, path).nDocs == oneShot.nDocs,
       "replay must not double-count")
+  }
+
+  test("build: positions are the 0-based token offsets, sorted") {
+    val p = ix.postings.collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getSeq[Int](4)).toMap
+    assert(p((1L, "spark")) == Seq(0, 2) && p((1L, "join")) == Seq(1))
+    assert(p((3L, "quick")) == Seq(1))
+  }
+
+  test("driver tokenizer ≡ the Column tokenizer on adversarial strings") {
+    val cases = Seq("a b  c", "  leading", "trailing  ", "\tmixed \n ws\r x",
+      "", "   ", "one", "a b", "p-u.n,c! t")
+    val colSide = cases.toDF("t")
+      .select(graft.operators.TextAnalysis.tokens($"t").as("w"))
+      .collect().map(_.getSeq[String](0).toSeq)
+    val driverSide = cases.map(graft.operators.TextAnalysis.tokenizeDriver)
+    colSide.zip(driverSide).zip(cases).foreach { case ((c, d), s) =>
+      assert(c == d, s"tokenizers diverge on ${s.map(_.toInt)}: $c vs $d")
+    }
+  }
+
+  test("bm25Phrase: adjacency-verified occurrences, hand-computed score") {
+    val pdocs = Seq(
+      (1L, "hash join hash join x"), // 2 occurrences, dl 5
+      (2L, "join hash"),             // both terms, wrong order: no match
+      (3L, "hash x join"),           // both terms, gap: no match
+      (4L, "hash join"),             // 1 occurrence, dl 2
+      (5L, "other words only")
+    ).toDF("doc_id", "text")
+    val pix = TextIndex.build(pdocs, "doc_id", "text")
+    val out = TextIndex.bm25Phrase(pix, "doc_id", "hash join")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set(1L, 4L), s"phrase docs only: ${out.keySet}")
+    assert(out(1L)._1 == 2L && out(4L)._1 == 1L)
+    // phrase-as-one-term BM25: N=5, df=2, avgdl=(5+2+3+2+3)/5=3
+    val idf = math.log(1 + (5 - 2 + 0.5) / (2 + 0.5))
+    def sc(tf: Long, dl: Long) =
+      idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+    assert(math.abs(out(1L)._2 - sc(2, 5)) < 1e-12)
+    assert(math.abs(out(4L)._2 - sc(1, 2)) < 1e-12)
+    // single-term phrase degenerates to tf occurrences
+    val one = TextIndex.bm25Phrase(pix, "doc_id", "hash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // duplicate-term phrase: "hash join hash" needs hash at p and p+2
+    val dup = TextIndex.bm25Phrase(pix, "doc_id", "hash join hash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dup == Map(1L -> 1L), s"doc 1 only ('hash join hash join x'): $dup")
+    intercept[IllegalArgumentException](TextIndex.bm25Phrase(pix, "doc_id", " "))
+  }
+
+  test("bm25Phrase: phrase survives the persisted epoch lifecycle") {
+    val pdocs = Seq((1L, "hash join tail"), (2L, "hash x"), (3L, "a hash join"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-ph").toFile
+    dir.deleteOnExit()
+    val path = new java.io.File(dir, "ix").getAbsolutePath
+    TextIndex.write(TextIndex.build(pdocs.filter($"doc_id" <= 2), "doc_id", "text"),
+      path, termPartitions = 2)
+    TextIndex.appendEpoch(pdocs.filter($"doc_id" === 3), path, "doc_id", "text",
+      "b1", termPartitions = 2)
+    def m(ix: TextIndex.InvertedIndex) =
+      TextIndex.bm25Phrase(ix, "doc_id", "hash join")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(m(TextIndex.read(spark, path)) == m(TextIndex.build(pdocs, "doc_id", "text")),
+      "epoch-grown phrase answers must equal the one-shot build's")
+  }
+
+  test("bm25Batch ≡ per-query bm25; empty-term query vanishes; pushdown plan") {
+    val queries = Seq((10L, "spark hash spark"), (20L, "the"), (30L, "zzz"),
+      (40L, "   ")).toDF("query_id", "query")
+    val out = TextIndex.bm25Batch(ix, "doc_id", queries, "query_id", "query")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    val singles = Seq(10L -> "spark hash spark", 20L -> "the").flatMap {
+      case (qid, q) => TextIndex.bm25(ix, "doc_id", q).collect()
+        .map(r => (qid, r.getLong(0)) -> ((r.getLong(1), r.getDouble(2))))
+    }.toMap
+    assert(out.keySet == singles.keySet,
+      s"batch must equal per-query serves: ${out.keySet} vs ${singles.keySet}")
+    singles.foreach { case (k, (n, s)) =>
+      assert(out(k)._1 == n && math.abs(out(k)._2 - s) < 1e-12, s"$k")
+    }
+    // no-pushdown variant answers identically (plan differs, algebra not)
+    val noPd = TextIndex.bm25Batch(ix, "doc_id", queries, "query_id", "query",
+      pushdownTerms = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(noPd == out)
   }
 
   test("write/read round-trips; crashed write (no meta) refuses to load") {

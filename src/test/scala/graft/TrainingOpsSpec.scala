@@ -1959,8 +1959,10 @@ class TrainingOpsSpec extends SparkSpec {
         r.getAs[Long]("n_indexed_spans")).toMap
     assert(exact.forall { case (id, (_, ni)) => viaTiny(id) >= ni },
       s"a sketch must never under-gate: $viaTiny vs $exact")
+    // (allowSaturated: 4 buckets over 10 spans IS the saturated state
+    // the production guard refuses — this test measures its direction)
     assert(keptIds(Dedup.filterAgainstSpanSketch(batch, tiny,
-        "doc_id", "text", maxIndexedFrac = 0.5))
+        "doc_id", "text", maxIndexedFrac = 0.5, allowSaturated = true))
       .subsetOf(keptIds(Dedup.filterAgainstSpanIndex(batch, index,
         "doc_id", "text", maxIndexedFrac = 0.5))))
     // the CMS estimate bounds, deterministic for this fixture: for every
@@ -2003,6 +2005,50 @@ class TrainingOpsSpec extends SparkSpec {
     val phys = gated.queryExecution.executedPlan.toString
     assert(!phys.contains("Exchange"),
       s"the sketch gate must be a pure per-row filter:\n$phys")
+  }
+
+  test("sketch geometry is executable: sizing rule, saturation guard, " +
+    "sized sketch passes where the fixed default is refused") {
+    // corpus engineered so a small fixed width saturates: ~60 distinct
+    // trigram spans into 16 counters → every counter hot
+    val corpus = (1L to 20L)
+      .map(i => (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e"))
+      .toDF("doc_id", "text")
+    val index = Dedup.buildSpanIndex(corpus, "doc_id", "text", n = 3)
+    val n1 = index.agg(sum("span_docs")).head().getLong(0)
+    val fixed = Dedup.spanSketchFromIndex(index, width = 16, depth = 4)
+    assert(fixed.n1 == n1, "every depth row must sum to N1")
+    assert(fixed.saturatedFor(1L),
+      f"16 counters over $n1 incidences must saturate " +
+        f"(absentPassRate=${fixed.absentPassRate(1L)}%.3f)")
+    val batch = Seq((100L, "q1 q2 q3 q4 q5")).toDF("doc_id", "text") // absent
+    // the guard refuses the saturated gate by default, loudly...
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.filterAgainstSpanSketch(batch, fixed, "doc_id", "text")
+    }
+    assert(ex.getMessage.contains("SATURATED") &&
+      ex.getMessage.contains("sketchGeometryFor"))
+    // ...and the measured override shows WHY: the absent doc is dropped
+    assert(Dedup.filterAgainstSpanSketch(batch, fixed, "doc_id", "text",
+      allowSaturated = true).count() == 0L,
+      "the saturated gate drops a doc sharing nothing with the corpus")
+    // the sizing rule: width = next pow2 >= 2*N1/target, depth from the
+    // 2^-depth failure bound
+    val (w, d) = Dedup.sketchGeometryFor(n1, targetOvercount = 1L)
+    assert(w >= 2 * n1 && w == java.lang.Integer.highestOneBit(w),
+      s"width $w must be a pow2 >= 2*N1=${2 * n1}")
+    assert(d == 10, s"errorProb 1e-3 → depth ⌈log2(1000)⌉ = 10, got $d")
+    assert(Dedup.sketchGeometryFor(1000000L, 10L, errorProb = 0.25)._2 == 2)
+    // a sketch built AT the sized geometry is not saturated and serves
+    // the absent doc through the gate
+    val sized = Dedup.spanSketchFromIndex(index, width = w, depth = d)
+    assert(!sized.saturatedFor(1L))
+    assert(Dedup.filterAgainstSpanSketch(batch, sized, "doc_id", "text")
+      .count() == 1L)
+    intercept[IllegalArgumentException](Dedup.sketchGeometryFor(-1L, 1L))
+    intercept[IllegalArgumentException](Dedup.sketchGeometryFor(10L, 0L))
+    intercept[IllegalArgumentException](
+      Dedup.sketchGeometryFor(10L, 1L, errorProb = 1.0))
   }
 
   test("bucketed span index serving: identical scores to flat serving, " +
