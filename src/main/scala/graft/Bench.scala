@@ -186,6 +186,23 @@ object Bench {
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
     }
+    // PRE-WARM at the MEASURED dir too (skippable via
+    // SPARK_GRAFT_PREWARM=0): the per-JVM per-dir caches — the
+    // persisted span/banded/IVF/text/LM layouts the *_served queries
+    // answer from — are keyed by dir, so the warmupDir pass above never
+    // builds them for sfDir and their first-use build/write cost landed
+    // inside the FIRST TIMED REP (r12 evidence: q_bm25_served spread
+    // 0.77–6.40 s, q_lm_xent_served 0.44–2.89 s, the build visible as
+    // the max). Medians dodged the rep itself, but the build's GC/page-
+    // cache pressure bled into NEIGHBORING queries' timed windows — the
+    // unattributed +11% common-query drift of r12. One untimed pass
+    // populates every cache and codegens the actual sfDir plans.
+    if (!sys.env.get("SPARK_GRAFT_PREWARM").contains("0"))
+      ordered.foreach { case (name, fn) =>
+        try fn(spark, sfDir).count() catch { case e: Throwable =>
+          System.err.println(s"[bench] prewarm $name failed: ${e.getMessage}")
+        }
+      }
 
     // median-of-N timings (default 3): single-shot numbers on a noisy
     // shared host have swung ±40% round-to-round with identical code, so
@@ -228,13 +245,15 @@ object Bench {
     }
     val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // stdout twin of `qs`, rounded to 3 decimals: the driver tail-captures
-    // only the LAST ~2000 bytes of output, and 69 queries at full double
-    // precision is ~2.9 KB — the line was arriving clipped mid-entry and
-    // unparseable (BENCH_r08/r09 `parsed: null`). 1 ms resolution is ample
-    // for the headline; full precision + spread/io stay in bench_full.json.
+    // stdout twin of `qs`, COMPACTED to fit the driver's ~2000-byte tail
+    // capture: 69 queries at full precision was ~2.9 KB (r08/r09
+    // `parsed: null`), and by r12 even 3-decimal full names overflowed
+    // again (2084 bytes — BENCH_r12 `parsed: null`). The headline map
+    // therefore strips the uniform `q_` prefix and rounds to 10 ms
+    // (87 queries ≈ 1.82 KB, headroom for ~8 more); full names, full
+    // precision, spread/io/bands all stay in bench_full.json.
     val qsShort = results.map { case (k, v, _, _, _, _) =>
-      f""""$k":$v%.3f"""
+      f""""${k.stripPrefix("q_")}":$v%.2f"""
     }.mkString("{", ",", "}")
     val spread = results.map { case (k, _, mn, mx, n, _) =>
       f""""$k":{"min":$mn%.4f,"max":$mx%.4f,"runs":$n}"""
@@ -242,10 +261,32 @@ object Bench {
     val io = results.map { case (k, _, _, _, _, (sw, ms, ds)) =>
       f""""$k":{"shuffle_write_mb":$sw%.2f,"mem_spill_mb":$ms%.2f,"disk_spill_mb":$ds%.2f}"""
     }.mkString("{", ",", "}")
+    // EXPECTED BANDS for the historically volatile queries (r11+r12
+    // measured min/max on unchanged plans, padded for host noise):
+    // committed with every run so drift vs noise is adjudicable from
+    // the artifact alone — a median outside its band is a finding, a
+    // wide spread inside it is weather.
+    // lows are generous: pre-warming (r13) pulled several medians below
+    // their historical minima, and "suspiciously fast" is a weaker
+    // signal than the his' "regressed" — the hi edge is the gate
+    val expectedBands = Seq(
+      "q_dedup_spans_index" -> ((0.25, 1.80)),
+      "q_dedup_spans_index_bucketed" -> ((0.25, 2.30)),
+      "q_dedup_clusters" -> ((1.70, 4.50)),
+      "q_ngram_jaccard" -> ((1.30, 4.00)),
+      "q_interval_join_bucketed" -> ((1.00, 2.30)),
+      "q_embed_lsh_pairs" -> ((0.60, 1.60)),
+      "q_interval_join_auto" -> ((0.20, 0.65)))
+    val medians = results.map(r => r._1 -> r._2).toMap
+    val bands = expectedBands.collect {
+      case (k, (lo, hi)) if medians.contains(k) =>
+        val m = medians(k)
+        f""""$k":{"lo":$lo%.2f,"hi":$hi%.2f,"median":$m%.4f,"in_band":${m >= lo && m <= hi}}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
-        s""""queries":$qs,"spread":$spread,"io":$io,"sf":"$sfDir"}"""
+        s""""queries":$qs,"spread":$spread,"io":$io,"bands":$bands,"sf":"$sfDir"}"""
     // full record (timings + io) goes to DISK so no tail-capture of stdout
     // can ever clip it; stdout keeps the contract's ONE compact JSON line,
     // printed LAST so a tail capture always retains it (io metrics live in
@@ -258,9 +299,8 @@ object Bench {
     val contractLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qsShort,"sf":"$sfDir"}"""
     // the driver tail-captures ~2000 bytes of stdout: warn LOUDLY while
-    // there is still headroom (at 71 queries the line is ~1.7 KB; ~10 more
-    // queries reach the cliff) — past the cap the driver would record
-    // parsed:null with no other symptom
+    // there is still headroom — past the cap the driver records
+    // parsed:null with no other symptom (it did in r08/r09 and r12)
     if (contractLine.length > 1900)
       System.err.println(s"[bench] WARNING: contract line ${contractLine.length}" +
         " bytes, nearing the driver's ~2000-byte tail capture — shorten " +
@@ -852,6 +892,39 @@ object Bench {
         s"matched docs must be replica-linear at ${r._1}x: " +
           s"(${r._2},${r._3},${r._9}) vs 1x (${base._2},${base._3},${base._9})")
     }
+    // BATCH-SERVE economics at the largest ladder size: N queries scored
+    // in ONE bm25Batch pass vs N sequential single-query serves of the
+    // same strings — the decontamination claim ("N eval phrases ≠ N
+    // corpus scans") as a measured fact. Same layout, same answers
+    // (cross-checked), only the plan shape differs.
+    val batchQueries = Seq("spark hash", "join stream", "sort merge",
+      "table scan", "dup filter", "key order", "row data", "agg window")
+    val largest = s"$work/sorted${sizes.last}"
+    val qdf = spark.createDataFrame(
+        batchQueries.zipWithIndex.map { case (q, i) => (i.toLong, q) })
+      .toDF("query_id", "query")
+    var batchRows = 0L
+    val batchSecs = (0 until reps).map { _ =>
+      dropState()
+      val t0 = System.nanoTime()
+      val r = TextIndex.bm25Batch(TextIndex.read(spark, largest), "doc_id",
+        qdf, "query_id", "query").agg(count(lit(1))).head()
+      batchRows = r.getLong(0)
+      (System.nanoTime() - t0) / 1e9
+    }.sorted.apply(reps / 2)
+    var singleRows = 0L
+    val sumSingleSecs = (0 until reps).map { _ =>
+      dropState()
+      singleRows = 0L
+      val t0 = System.nanoTime()
+      batchQueries.foreach { q =>
+        val ix = TextIndex.read(spark, largest)
+        singleRows += TextIndex.bm25(ix, "doc_id", q).count()
+      }
+      (System.nanoTime() - t0) / 1e9
+    }.sorted.apply(reps / 2)
+    require(batchRows == singleRows,
+      s"batch serve must score exactly the per-query rows: $batchRows vs $singleRows")
     type R = (Int, Long, Long, Double, Double, Double, Double, Double,
       Long, Double, Double)
     def arr[T](f: R => T): String = jsonArr(rows)(f)
@@ -867,6 +940,8 @@ object Bench {
         f""""rare_matched_docs":${arr(_._9)},""" +
         f""""rare_read_sorted_mb":${arr(r => f"${r._10}%.2f")},""" +
         f""""rare_read_unsorted_mb":${arr(r => f"${r._11}%.2f")},""" +
+        f""""batch":{"n_queries":${batchQueries.size},"scored_rows":$batchRows,""" +
+        f""""batch_secs":$batchSecs%.3f,"sum_single_secs":$sumSingleSecs%.3f},""" +
         f""""sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_scale_bm25.json"),
       (line + "\n").getBytes("UTF-8"))

@@ -468,6 +468,22 @@ object SparkEntry {
     bpeMergesCache.getOrElseUpdate(dir,
       Bpe.train(tbl(s, dir, "documents"), "text", numMerges = 64))
 
+  /** PRE-TOKENIZED merges over the events table's JSON `props` strings —
+    * the corpus where the GPT-2-style pre-tokenizer actually bites: the
+    * whitespace tokenizer sees units like `{"k":` while
+    * [[graft.operators.TextAnalysis.preTokens]] splits the punctuation
+    * off, so merges learn the real subword structure (`":`, digits,
+    * braces). Encoded-word fixture at [[BpePreFixture]]. */
+  private val bpePreMergesCache =
+    collection.concurrent.TrieMap.empty[String, Seq[Bpe.Merge]]
+  private def bpePreMerges(s: SparkSession, dir: String): Seq[Bpe.Merge] =
+    bpePreMergesCache.getOrElseUpdate(dir,
+      Bpe.train(tbl(s, dir, "events"), "props", numMerges = 32,
+        pretokenize = true))
+
+  private lazy val BpePreFixture =
+    new java.io.File("target/verify-fixtures/bpe_pre_words").getAbsolutePath
+
   /** POSITIONAL fixtures for q_dedup_span_trim — the ordered gram hashes
     * (`(sh_id, pos, gram)`, index = gram start) and the tokens
     * (`(sh_id, pos, token)`): the hashing and tokenization are
@@ -798,6 +814,11 @@ object SparkEntry {
         Bpe.wordTable(tbl(s, dir, "documents"), "text"), bpeMerges(s, dir))
       .select("word", "syms")
       .write.mode("overwrite").parquet(BpeFixture)
+    Bpe.encodeWords(
+        Bpe.wordTable(tbl(s, dir, "events"), "props", pretokenize = true),
+        bpePreMerges(s, dir))
+      .select("word", "syms")
+      .write.mode("overwrite").parquet(BpePreFixture)
     val (index, batch) = dedupIndexParts(s, dir)
     val newSigs = Dedup.buildDedupIndex(batch, "doc_id", "text")
     index.write.mode("overwrite").parquet(s"$DedupIndexFixture/index_sigs")
@@ -818,8 +839,11 @@ object SparkEntry {
       // kmeansCentroids — a shared overwritten table would clobber other
       // dirs' persisted matrices)
       .write.mode("overwrite").parquet(s"$KmeansFixture/centroids/${dirKey(dir)}")
-    Similarity.withCoarseLabel(emb, "embedding", cents)
-      .select("vec_id", "coarse")
+    // centroid_dist rides along for q_semdedup_cdist's priority replay
+    // (engine-computed, the fixture pattern — summation-order-exact fp
+    // distances are engine-bound; GIVEN them the keep rule is plain SQL)
+    Similarity.withCentroidDist(emb, "embedding", cents)
+      .select("vec_id", "coarse", "centroid_dist")
       .write.mode("overwrite").parquet(s"$KmeansFixture/corpus")
     Similarity.withProbeLabels(emb.filter(col("vec_id") < 20), "embedding",
         cents, nprobe = 2)
@@ -1045,6 +1069,17 @@ object SparkEntry {
         kmeansCentroids(s, dir), minCosine = 0.4)
       .select("vec_id", "coarse", "kept")
 
+  /** [[qSemdedup]] under the PAPER-EXACT keep rule (`keepBy =
+    * "centroid_dist"`): within a near-dup pair the point FARTHEST from
+    * its centroid survives — SemDeDup's prescription, demonstrably a
+    * different answer from the id-order relaxation on this corpus, and
+    * the oracle replays the (dist desc, id asc) dominance from the
+    * fixture's engine-computed distances. */
+  private def qSemdedupCdist(s: SparkSession, dir: String): DataFrame =
+    Similarity.withSemDupFlag(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        kmeansCentroids(s, dir), minCosine = 0.4, keepBy = "centroid_dist")
+      .select("vec_id", "coarse", "kept")
+
   /** The HOT-CLUSTER scale path under the gate: [[qSemdedup]]'s LSH
     * twin over the PLANTED corpus at τ = 0.95 with
     * [[Similarity.lshGeometryFor]]-sized geometry (per-pair miss bound
@@ -1079,6 +1114,21 @@ object SparkEntry {
   private def qBpeEncode(s: SparkSession, dir: String): DataFrame =
     Bpe.encode(tbl(s, dir, "documents"), "doc_id", "text", bpeMerges(s, dir))
       .select(col("doc_id"), col("n_bpe_tokens"),
+        md5(concat_ws(" ", col("bpe_tokens")).cast("binary")).as("bpe_md5"))
+
+  /** [[qBpeEncode]] under the GPT-2-style PRE-tokenizer, over the
+    * punctuation-rich JSON `props` corpus where the option matters:
+    * `{"k": 87}` decomposes to 7 pre-token units instead of 2
+    * whitespace tokens, so merges cross the boundaries the whitespace
+    * tokenizer hides. The oracle replays the SPLIT itself (the
+    * lookaround-free `regexp_extract_all` equivalent — see
+    * [[graft.operators.TextAnalysis.preTokens]]) and reassembles from
+    * the encoded-word fixture, so this gate is strictly stronger than
+    * q_bpe_encode's: tokenization AND reassembly both checked. */
+  private def qBpeEncodePre(s: SparkSession, dir: String): DataFrame =
+    Bpe.encode(tbl(s, dir, "events"), "event_id", "props",
+        bpePreMerges(s, dir), pretokenize = true)
+      .select(col("event_id"), col("n_bpe_tokens"),
         md5(concat_ws(" ", col("bpe_tokens")).cast("binary")).as("bpe_md5"))
 
   /** Inverted-index BM25 search: build + score one fixed query over the
@@ -1168,6 +1218,18 @@ object SparkEntry {
     val docs = tbl(s, dir, "documents")
     val lm = LanguageModel.train(docs, "text")
     LanguageModel.crossEntropy(docs, "doc_id", "text", lm)
+      .select(col("doc_id"), col("n_bigrams"), rq(col("xent"), 6).as("xent"))
+  }
+
+  /** [[qLmXent]] under the INTERPOLATED bigram/unigram model (λ = 0.7,
+    * Jelinek-Mercer): unseen-bigram mass backs off to word frequency
+    * instead of the uniform-ish floor — the form materially closer to
+    * the deployed CCNet gate, still closed over exact counts so the
+    * oracle replays it term for term. */
+  private def qLmXentInterp(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val lm = LanguageModel.trainInterpolated(docs, "text")
+    LanguageModel.crossEntropyInterpolated(docs, "doc_id", "text", lm)
       .select(col("doc_id"), col("n_bigrams"), rq(col("xent"), 6).as("xent"))
   }
 
@@ -1690,9 +1752,11 @@ object SparkEntry {
     "q_embed_lsh_pairs" -> qEmbedLshPairs,
     "q_embed_clusters" -> qEmbedClusters,
     "q_semdedup" -> qSemdedup,
+    "q_semdedup_cdist" -> qSemdedupCdist,
     "q_semdedup_lsh" -> qSemdedupLsh,
     "q_bpe_pairs" -> qBpePairs,
     "q_bpe_encode" -> qBpeEncode,
+    "q_bpe_encode_pre" -> qBpeEncodePre,
     "q_bm25" -> qBm25,
     "q_bm25_served" -> qBm25Served,
     "q_bm25_phrase" -> qBm25Phrase,
@@ -1700,6 +1764,7 @@ object SparkEntry {
     "q_vocab" -> qVocab,
     "q_lm_xent" -> qLmXent,
     "q_lm_xent_served" -> qLmXentServed,
+    "q_lm_xent_interp" -> qLmXentInterp,
     "q_sample_stratified" -> qSampleStratified,
     "q_sample_temperature" -> qSampleTemperature,
     "q_sample_budget" -> qSampleBudget,
@@ -2330,6 +2395,33 @@ object SparkEntry {
         |       coalesce(pd.n_bpe_tokens, 0) AS n_bpe_tokens,
         |       md5(coalesce(pd.full_str, '')) AS bpe_md5
         |FROM (SELECT DISTINCT sh_id FROM t) d LEFT JOIN pd USING (sh_id)""".stripMargin,
+    // pre-tokenized BPE encode: the oracle replays the GPT-2-style split
+    // itself via the lookaround-free equivalent (alnum runs | single
+    // non-alnum, whitespace dropped), then reassembles from the
+    // engine's encoded-word fixture — tokenization AND reassembly both
+    // inside the hash gate
+    "q_bpe_encode_pre" ->
+      s"""WITH d AS (
+        |  SELECT event_id,
+        |         list_filter(regexp_extract_all(props, '[A-Za-z0-9]+|[^A-Za-z0-9]'),
+        |                     x -> trim(x) <> '') AS w
+        |  FROM events),
+        | t AS (
+        |  SELECT event_id, i AS pos, w[CAST(i AS INT)] AS token
+        |  FROM d, LATERAL unnest(range(1, len(w) + 1)) AS u(i)),
+        | wfix AS (SELECT word, syms FROM read_parquet('$BpePreFixture/*.parquet')),
+        | j AS (
+        |  SELECT t.event_id, t.pos,
+        |         array_to_string(wfix.syms, ' ') AS sym_str, len(wfix.syms) AS n_syms
+        |  FROM t JOIN wfix ON t.token = wfix.word),
+        | pd AS (
+        |  SELECT event_id, CAST(sum(n_syms) AS INT) AS n_bpe_tokens,
+        |         string_agg(sym_str, ' ' ORDER BY pos) AS full_str
+        |  FROM j GROUP BY event_id)
+        |SELECT CAST(d.event_id AS BIGINT) AS event_id,
+        |       coalesce(pd.n_bpe_tokens, 0) AS n_bpe_tokens,
+        |       md5(coalesce(pd.full_str, '')) AS bpe_md5
+        |FROM d LEFT JOIN pd USING (event_id)""".stripMargin,
     // BM25: exact tf/df/dl counts + the closed "+1"-smoothed idf, all
     // replayable in SQL; df comes from the FULL postings (then filtered
     // to the query terms), dl/avgdl count every corpus doc
@@ -2443,6 +2535,51 @@ object SparkEntry {
         |SELECT c.vec_id, c.coarse,
         |       c.vec_id NOT IN (SELECT vec_id FROM losers) AS kept
         |FROM c""".stripMargin,
+    // the paper-exact SemDeDup rule: dominance is (centroid_dist DESC,
+    // vec_id ASC) over the fixture's engine-computed distances; both
+    // orders of a pair are examined, so no a<b pre-filter
+    "q_semdedup_cdist" ->
+      s"""WITH c AS (SELECT * FROM read_parquet('$KmeansFixture/corpus/*.parquet')),
+        | e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | losers AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM c a JOIN c b ON a.coarse = b.coarse AND a.vec_id <> b.vec_id
+        |   AND (a.centroid_dist > b.centroid_dist OR
+        |        (a.centroid_dist = b.centroid_dist AND a.vec_id < b.vec_id))
+        |  JOIN e ea ON ea.vec_id = a.vec_id
+        |  JOIN e eb ON eb.vec_id = b.vec_id
+        |  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4)
+        |SELECT c.vec_id, c.coarse,
+        |       c.vec_id NOT IN (SELECT vec_id FROM losers) AS kept
+        |FROM c""".stripMargin,
+    // interpolated (Jelinek-Mercer) bigram/unigram LM, λ = 0.7: the
+    // mixture λ·P₂ + (1−λ)·P₁ replayed with the same literal double
+    // arithmetic ((1 - 0.7), not 0.3 — identical IEEE ops both sides);
+    // self-scoring keeps every joined count seen, so inner joins
+    "q_lm_xent_interp" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        | tok AS (SELECT unnest(w) AS token FROM d),
+        | uni AS (SELECT token, count(*) AS nw FROM tok GROUP BY 1),
+        | v AS (SELECT count(*) AS vs, CAST(sum(nw) AS DOUBLE) AS tt FROM uni),
+        | bg AS (
+        |  SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i+1 AS INT)] AS w2
+        |  FROM d, LATERAL unnest(range(1, greatest(len(w), 1))) AS t(i)),
+        | c12 AS (SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY 1, 2),
+        | c1 AS (SELECT w1, sum(n12) AS n1 FROM c12 GROUP BY 1),
+        | sc AS (
+        |  SELECT bg.doc_id,
+        |         ln(0.7 * ((c12.n12 + 0.5) / (c1.n1 + 0.5 * v.vs))
+        |          + (1 - 0.7) * ((uni.nw + 0.5) / (v.tt + 0.5 * v.vs))) AS logp
+        |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        |  JOIN uni ON uni.token = bg.w2 CROSS JOIN v),
+        | pd AS (SELECT doc_id, count(*) AS n_bigrams, -avg(logp) AS xent
+        |        FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams,
+        |       floor(pd.xent*1000000.0 + 0.5)/1000000.0 AS xent
+        |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin,
     // bigram LM, add-0.5 smoothing, self-scored: contexts derive from
     // the bigram table (Σ n12 per w1, NOT unigram occurrence counts),
     // V = distinct corpus tokens; every doc appears — 0 bigrams / NULL

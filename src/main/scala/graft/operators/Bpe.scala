@@ -48,12 +48,22 @@ object Bpe {
     concat(transform(sequence(lit(1), length(word)),
       i => word.substr(i, lit(1))), array(lit(EndOfWord)))
 
+  /** The unit tokenizer BPE decomposes: whitespace words by default, or
+    * — under `pretokenize` — [[TextAnalysis.preTokens]]' GPT-2-style
+    * units, where punctuation splits off its word so merges can learn
+    * subwords the whitespace tokenizer hides inside "word," and "word."
+    * (they are distinct whitespace tokens but share one pre-token). */
+  private def unitTokens(textCol: String, pretokenize: Boolean): Column =
+    if (pretokenize) TextAnalysis.preTokens(col(textCol))
+    else TextAnalysis.tokens(col(textCol))
+
   /** Word-frequency table with the initial symbol decomposition:
     * `(word, n, syms)` where `syms` = the word's characters plus
     * [[EndOfWord]]. One corpus scan; everything downstream iterates on
     * this vocabulary-scale frame. */
-  def wordTable(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+  def wordTable(docs: DataFrame, textCol: String,
+                pretokenize: Boolean = false): DataFrame =
+    docs.select(explode(unitTokens(textCol, pretokenize)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .withColumn("syms", charSyms(col("word")))
 
@@ -97,10 +107,11 @@ object Bpe {
     * vocabulary anywhere. Stops early when the best remaining pair
     * falls below `minPairCount` (merging singletons learns noise). */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-            minPairCount: Long = 2L): Seq[Merge] = {
+            minPairCount: Long = 2L,
+            pretokenize: Boolean = false): Seq[Merge] = {
     require(numMerges >= 1, s"numMerges must be positive, got $numMerges")
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
-    var words = Materialize.eagerCheckpoint(wordTable(docs, textCol))
+    var words = Materialize.eagerCheckpoint(wordTable(docs, textCol, pretokenize))
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var continue = true
     while (continue && merges.length < numMerges) {
@@ -156,9 +167,10 @@ object Bpe {
     * then one word-keyed join back to positions (broadcast when the
     * vocabulary allows). */
   def encode(docs: DataFrame, idCol: String, textCol: String,
-             merges: Seq[Merge]): DataFrame = {
+             merges: Seq[Merge],
+             pretokenize: Boolean = false): DataFrame = {
     val positions = docs.select(col(idCol),
-      posexplode_outer(TextAnalysis.tokens(col(textCol))).as(Seq("__pos", "word")))
+      posexplode_outer(unitTokens(textCol, pretokenize)).as(Seq("__pos", "word")))
     val encoded = encodeWords(
       positions.filter(col("word").isNotNull).select("word").distinct()
         .withColumn("syms", charSyms(col("word"))),

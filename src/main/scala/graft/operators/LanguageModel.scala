@@ -115,6 +115,108 @@ object LanguageModel {
     lm.copy(bigrams = lm.bigrams.filter(col("n12") >= minCount))
   }
 
+  /** An INTERPOLATED bigram/unigram model (Jelinek-Mercer smoothing):
+    * P(w2|w1) = λ·P₂(w2|w1) + (1−λ)·P₁(w2), with P₂ the smoothed
+    * bigram probability of the wrapped [[BigramLm]] and P₁(w) =
+    * (c(w) + α)/(T + α·V) the smoothed unigram. Materially closer to
+    * the CCNet-style deployed gate than add-α alone — an unseen bigram
+    * under a seen context no longer scores the uniform-ish floor but
+    * backs off to how common the WORD is — while staying closed-form
+    * and oracle-checkable (`q_lm_xent_interp`). `unigrams` = (w, nw)
+    * occurrence counts, `totalTokens` = T = Σ nw; V and α ride on the
+    * wrapped base model (same vocabulary, same smoothing mass). */
+  final case class InterpolatedLm(base: BigramLm, unigrams: DataFrame,
+                                  totalTokens: Long, lambda: Double) {
+    require(totalTokens > 0,
+      s"interpolated LM needs a non-empty corpus, got T=$totalTokens")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"interpolation weight must be in [0,1], got $lambda")
+  }
+
+  /** Train an [[InterpolatedLm]] — the same two corpus scans as
+    * [[train]] (bigram explode + token explode); V and T both derive
+    * from the materialized unigram table (vocabulary-scale scalars), so
+    * the interpolation costs no extra corpus pass over plain bigram
+    * training. */
+  def trainInterpolated(docs: DataFrame, textCol: String,
+                        alpha: Double = 0.5,
+                        lambda: Double = 0.7): InterpolatedLm = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val bigrams = Materialize.eagerCheckpoint(docs
+      .select(explode(bigramStructs(toks)).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n12")))
+    val contexts = bigrams.groupBy("w1").agg(sum("n12").as("n1"))
+    val unigrams = Materialize.eagerCheckpoint(docs
+      .select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("nw")))
+    val stats = unigrams
+      .agg(count(lit(1)), coalesce(sum("nw"), lit(0L))).head()
+    InterpolatedLm(BigramLm(bigrams, contexts, stats.getLong(0), alpha),
+      unigrams, stats.getLong(1), lambda)
+  }
+
+  /** [[prune]] for the interpolated form: bigram pruning only — the
+    * unigram table is vocabulary-scale already (it IS the vocabulary),
+    * so there is nothing to cut there, and keeping it intact preserves
+    * the upper-bound direction: a pruned bigram's P₂ falls to the
+    * unseen floor, the mixture can only shrink, so pruned interpolated
+    * xent still pointwise dominates the exact score. */
+  def pruneInterpolated(lm: InterpolatedLm, minCount: Long): InterpolatedLm =
+    lm.copy(base = prune(lm.base, minCount))
+
+  /** Per-document cross-entropy under an [[InterpolatedLm]]: the
+    * [[crossEntropy]] scan plus ONE more broadcast join (w2 against the
+    * vocabulary-scale unigram table) — same shuffle profile, the
+    * per-doc aggregate. Output contract matches [[crossEntropy]]. */
+  def crossEntropyInterpolated(docs: DataFrame, idCol: String, textCol: String,
+                               lm: InterpolatedLm,
+                               broadcastModel: Boolean = true): DataFrame = {
+    val hinted: DataFrame => DataFrame =
+      if (broadcastModel) broadcast(_) else identity
+    val base = lm.base
+    val exploded = docs
+      .select(col(idCol),
+        explode(bigramStructs(TextAnalysis.tokens(col(textCol)))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val p2 = (coalesce(col("n12"), lit(0L)) + base.alpha) /
+      (coalesce(col("n1"), lit(0L)) + base.alpha * base.vocabSize)
+    val p1 = (coalesce(col("nw"), lit(0L)) + base.alpha) /
+      (lit(lm.totalTokens.toDouble) + base.alpha * base.vocabSize)
+    val logp = log(lit(lm.lambda) * p2 + lit(1 - lm.lambda) * p1)
+    val perDoc = exploded
+      .join(hinted(base.bigrams), Seq("w1", "w2"), "left")
+      .join(hinted(base.contexts), Seq("w1"), "left")
+      .join(hinted(lm.unigrams.withColumnRenamed("w", "w2")), Seq("w2"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), (-avg(logp)).as("xent"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("xent"))
+  }
+
+  /** Persist an interpolated model: the wrapped base via [[write]] plus
+    * `unigrams/` and an `interp_meta/` 1-row table (total_tokens,
+    * lambda) written LAST — the same commit-marker discipline. */
+  def writeInterpolated(lm: InterpolatedLm, path: String): Unit = {
+    write(lm.base, path)
+    lm.unigrams.write.mode("overwrite").parquet(s"$path/unigrams")
+    val spark = lm.unigrams.sparkSession
+    spark.createDataFrame(Seq((lm.totalTokens, lm.lambda)))
+      .toDF("total_tokens", "lambda")
+      .write.mode("overwrite").parquet(s"$path/interp_meta")
+  }
+
+  /** Load a persisted interpolated model (fails loudly on a plain
+    * [[write]] layout — no `interp_meta` commit marker). */
+  def readInterpolated(spark: SparkSession, path: String): InterpolatedLm = {
+    val meta = spark.read.parquet(s"$path/interp_meta").head()
+    InterpolatedLm(read(spark, path),
+      spark.read.parquet(s"$path/unigrams"),
+      meta.getAs[Long]("total_tokens"), meta.getAs[Double]("lambda"))
+  }
+
   /** Per-document cross-entropy under `lm`: output is
     * `(idCol, n_bigrams, xent)` for EVERY input document —
     * `n_bigrams = 0` and NULL `xent` for docs with < 2 tokens. `xent`

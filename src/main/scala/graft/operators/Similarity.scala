@@ -300,6 +300,20 @@ object Similarity {
       assignExpr(guardedVec(embCol, dims, "with_coarse_label"), centroids))
   }
 
+  /** [[withCoarseLabel]] plus the row's squared-L2 distance to its
+    * assigned centroid (`centroid_dist`) — the quantity SemDeDup's
+    * paper-exact keep rule ranks by, and a useful cluster-quality
+    * diagnostic on its own. Same single `array_min` over the distance
+    * structs; the two fields are one evaluation, not two scans. */
+  def withCentroidDist(df: DataFrame, embCol: String,
+                       centroids: Array[Array[Double]]): DataFrame = {
+    val dims = checkCentroids(centroids)
+    val m = array_min(distStructs(
+      guardedVec(embCol, dims, "with_centroid_dist"), centroids))
+    df.withColumn("coarse", m.getField("i"))
+      .withColumn("centroid_dist", m.getField("d"))
+  }
+
   /** Multi-probe QUERY labels — the IVF recall knob: each row fans out to
     * its `nprobe` nearest centroids (explode), so a boundary query whose
     * true neighbor sits across a Voronoi edge probes the adjacent cells
@@ -379,13 +393,20 @@ object Similarity {
     * clustering — the paper's core trick: cosine pairs are only computed
     * WITHIN a cluster, so the quadratic term is (n/k)² per cluster, not
     * n², and the cluster id is an equi-join key (one shuffle on
-    * `coarse`, never a cross join). Keep rule: a row is dropped iff some
-    * SAME-cluster row with a SMALLER id sits at cosine ≥ `minCosine` —
-    * the deterministic, join-expressible relaxation of the paper's
-    * greedy sweep (the paper keeps the point farthest from the centroid;
-    * any fixed priority works, and id-order makes the result replayable
-    * in SQL and independent of partitioning). Chains (A~B~C, A≁C) keep
-    * only A: B dies to A, C dies to B — dropping a doc never revives its
+    * `coarse`, never a cross join). Keep rule (`keepBy`): a row is
+    * dropped iff some SAME-cluster row with HIGHER PRIORITY sits at
+    * cosine ≥ `minCosine`, where priority is
+    *  - `"id"` (default): smaller id wins — the deterministic,
+    *    join-expressible relaxation (any fixed priority works, and
+    *    id-order is replayable in SQL independent of partitioning);
+    *  - `"centroid_dist"`: the PAPER's rule — the point FARTHEST from
+    *    its centroid wins (larger squared-L2 to the assigned centroid,
+    *    ties to the smaller id), keeping the cluster's most marginal
+    *    example as SemDeDup prescribes. Still a fixed per-row priority,
+    *    so still one equi-join — the tuple (dist desc, id asc) just
+    *    replaces the id comparison.
+    * Chains (A~B~C, A≁C) keep only the top-priority doc's victims dead:
+    * B dies to A, C dies to B — dropping a doc never revives its
     * victims, the same one-pass semantics as [[Dedup.dropSpanDuplicatedDocs]].
     *
     * 100 TB posture: clustering is the caller's [[kmeansFit]] matrix (fit
@@ -397,30 +418,49 @@ object Similarity {
     * filter form. */
   def withSemDupFlag(df: DataFrame, idCol: String, embCol: String,
                      centroids: Array[Array[Double]],
-                     minCosine: Double): DataFrame = {
+                     minCosine: Double,
+                     keepBy: String = "id"): DataFrame = {
     require(minCosine > 0.0 && minCosine <= 1.0,
       s"minCosine must be in (0, 1], got $minCosine")
-    val labeled = withCoarseLabel(df, embCol, centroids)
+    require(keepBy == "id" || keepBy == "centroid_dist",
+      s"keepBy must be 'id' or 'centroid_dist', got '$keepBy'")
+    val byDist = keepBy == "centroid_dist"
+    val labeled =
+      if (byDist) withCentroidDist(df, embCol, centroids)
+      else withCoarseLabel(df, embCol, centroids)
     val n = withNorm(labeled, embCol)
-    val a = n.select(col("coarse"), col(idCol).as("__id_a"),
-      col("vec").as("va"), col("norm").as("na"))
-    val b = n.select(col("coarse"), col(idCol).as("__id_b"),
-      col("vec").as("vb"), col("norm").as("nb"))
+    val distA = if (byDist) Seq(col("centroid_dist").as("__da")) else Nil
+    val distB = if (byDist) Seq(col("centroid_dist").as("__db")) else Nil
+    val a = n.select(Seq(col("coarse"), col(idCol).as("__id_a"),
+      col("vec").as("va"), col("norm").as("na")) ++ distA: _*)
+    val b = n.select(Seq(col("coarse"), col(idCol).as("__id_b"),
+      col("vec").as("vb"), col("norm").as("nb")) ++ distB: _*)
+    // "a dominates b" under the chosen priority; both orders of a pair
+    // appear under centroid_dist (no a<b pre-filter), so the join sees
+    // each unordered pair twice there — the price of a non-id priority,
+    // still an equi-join on the cluster key
+    val dominates =
+      if (byDist) col("__da") > col("__db") ||
+        (col("__da") === col("__db") && col("__id_a") < col("__id_b"))
+      else col("__id_a") < col("__id_b")
     val losers = a.join(b, Seq("coarse"))
-      .filter(col("__id_a") < col("__id_b"))
+      .filter(col("__id_a") =!= col("__id_b"))
+      .filter(dominates)
       .filter(cosine(col("va"), col("vb"), col("na"), col("nb")) >= minCosine)
       .select(col("__id_b").as(idCol)).distinct()
       .withColumn("__loser", lit(true))
     labeled.join(losers, Seq(idCol), "left")
       .withColumn("kept", col("__loser").isNull)
       .drop("__loser")
+      .drop((if (byDist) Seq("centroid_dist") else Seq.empty[String]): _*)
   }
 
   /** The filter form of [[withSemDupFlag]]: only the semantic-dedup
     * survivors, original columns plus their cluster id. */
   def semDedup(df: DataFrame, idCol: String, embCol: String,
-               centroids: Array[Array[Double]], minCosine: Double): DataFrame =
-    withSemDupFlag(df, idCol, embCol, centroids, minCosine)
+               centroids: Array[Array[Double]], minCosine: Double,
+               keepBy: String = "id"): DataFrame =
+    withSemDupFlag(df, idCol, embCol, centroids, minCosine, keepBy)
       .filter(col("kept")).drop("kept")
 
   /** [[withSemDupFlag]]'s HOT-CLUSTER scale path — the escape hatch its

@@ -26,13 +26,26 @@ object TextAnalysis {
   def tokenizeDriver(text: String): Seq[String] =
     text.trim.split("\\s+").filter(_.nonEmpty).toSeq
 
+  /** GPT-2-style PRE-tokens: maximal alphanumeric runs plus each
+    * non-alphanumeric character as its own token, whitespace dropped —
+    * the boundary-splitting tokenizer a subword (BPE) vocabulary wants,
+    * where "word," decomposes to "word" + "," instead of hiding the
+    * comma inside one unit. Lookaround split: a break before AND after
+    * every non-alphanumeric character, so punctuation never glues to a
+    * word or to other punctuation. Shared by [[withTokenCounts]]'s
+    * `n_bpeish` and [[Bpe]]'s `pretokenize` option; equivalently (and
+    * lookaround-free, for the DuckDB oracle)
+    * `regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9]')` minus
+    * whitespace tokens. */
+  def preTokens(text: Column): Column =
+    filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+      t => length(trim(t)) > 0)
+
   /** Token count (whitespace) plus a BPE-ish subword-regex count: words,
     * numbers, and single punctuation marks counted separately. */
   def withTokenCounts(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens", size(tokens(col(textCol))))
-      .withColumn("n_bpeish",
-        size(filter(split(col(textCol), "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
-          t => length(trim(t)) > 0)))
+      .withColumn("n_bpeish", size(preTokens(col(textCol))))
 
   /** Corpus vocabulary: the `k` most frequent whitespace tokens with
     * their counts, ties broken by token order so the cut is

@@ -43,7 +43,8 @@ import graft.streaming.Compactor
   *    ([[graft.operators.Bpe]]) — learn the merge vocabulary from the
   *    word-frequency table, persist it, and encode corpora with it.
   *  - `bm25-build` / `bm25-append` / `bm25-compact` / `bm25-merge` /
-  *    `bm25-search`: the inverted-index retrieval lifecycle
+  *    `bm25-search` / `bm25-phrase` / `bm25-batch`: the inverted-index
+  *    retrieval lifecycle plus phrase and batch-query serving
   *    ([[graft.operators.TextIndex]]) — build the term-sorted index,
   *    grow it per ingest batch (epoch append, meta-last; or the
   *    whole-index staged-swap merge), fold epochs back periodically,
@@ -114,6 +115,8 @@ object Main {
       |          [--id doc_id] [--text text] [--term-partitions 32]
       |  bm25-compact --path <index-dir> [--term-partitions 32]
       |  bm25-search --path <index-dir> --query '<terms>' --out <dir>
+      |  bm25-phrase --path <index-dir> --phrase '<exact phrase>' --out <dir>
+      |  bm25-batch  --path <index-dir> --queries <queries-parquet> --out <dir>
       |          [--id doc_id] [--k1 1.2] [--b 0.75] [--topk 20]
       |  span-index-build  --in <docs-parquet> --path <dir>
       |          [--id doc_id] [--text text] [--span-n 8]
@@ -410,6 +413,37 @@ object Main {
         .orderBy(org.apache.spark.sql.functions.col("score").desc,
           org.apache.spark.sql.functions.col(opt.getOrElse("id", "doc_id")))
         .limit(opt.getOrElse("topk", "20").toInt)
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(req(opt, "out"))
+
+    case Some("bm25-phrase") =>
+      // exact-phrase retrieval from the positional postings: every doc
+      // containing the phrase verbatim, ranked by phrase-as-one-term BM25
+      val (opt, _) = parse(args.tail)
+      graft.operators.TextIndex.bm25Phrase(
+          graft.operators.TextIndex.read(spark, req(opt, "path")),
+          opt.getOrElse("id", "doc_id"), req(opt, "phrase"),
+          k1 = opt.getOrElse("k1", "1.2").toDouble,
+          b = opt.getOrElse("b", "0.75").toDouble)
+        .orderBy(org.apache.spark.sql.functions.col("score").desc,
+          org.apache.spark.sql.functions.col(opt.getOrElse("id", "doc_id")))
+        .limit(opt.getOrElse("topk", "20").toInt)
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(req(opt, "out"))
+
+    case Some("bm25-batch") =>
+      // the decontamination shape: a parquet TABLE of queries scored in
+      // one pass over the index (full scored sets — batch callers apply
+      // their own per-query cuts downstream)
+      val (opt, _) = parse(args.tail)
+      graft.operators.TextIndex.bm25Batch(
+          graft.operators.TextIndex.read(spark, req(opt, "path")),
+          opt.getOrElse("id", "doc_id"),
+          spark.read.parquet(req(opt, "queries")),
+          opt.getOrElse("query-id", "query_id"),
+          opt.getOrElse("query-text", "query"),
+          k1 = opt.getOrElse("k1", "1.2").toDouble,
+          b = opt.getOrElse("b", "0.75").toDouble)
         .write.mode("overwrite").option("compression", "zstd")
         .parquet(req(opt, "out"))
 

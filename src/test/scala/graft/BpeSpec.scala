@@ -117,6 +117,34 @@ class BpeSpec extends SparkSpec {
     assert(n == out(9L).length)
   }
 
+  test("pretokenize: punctuation splits off its word, merges cross the " +
+    "boundaries whitespace hides") {
+    import org.apache.spark.sql.functions.{col => c}
+    // preTokens: alnum runs + each punctuation char, whitespace dropped
+    val toks = Seq((1L, """{"k": 87}""")).toDF("id", "t")
+      .select(graft.operators.TextAnalysis.preTokens(c("t")))
+      .head().getSeq[String](0).toVector
+    assert(toks == Vector("{", "\"", "k", "\"", ":", "87", "}"), toks.toString)
+    // the pretokenized word table sees units the whitespace table can't:
+    // "ab," under whitespace is ONE word; under pretokenize "ab" + ","
+    val docs = Seq((1L, "ab, ab, ab."), (2L, "ab ab")).toDF("doc_id", "text")
+    val wsWords = Bpe.wordTable(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wsWords == Map("ab," -> 2L, "ab." -> 1L, "ab" -> 2L))
+    val preWords = Bpe.wordTable(docs, "text", pretokenize = true).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(preWords == Map("ab" -> 5L, "," -> 2L, "." -> 1L))
+    // trained on pre-tokens, "ab" merges once at count 5 (the whitespace
+    // table would fragment it across 3 distinct words at counts 2/2/1)
+    val merges = Bpe.train(docs, "text", numMerges = 1, pretokenize = true)
+    assert(merges.map(m => (m.lhs, m.rhs, m.count)) == Seq(("a", "b", 5L)))
+    // encode under the flag: doc 1 = ab , ab , ab . as pre-token units
+    val out = Bpe.encode(docs, "doc_id", "text", merges, pretokenize = true)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    assert(out(1L) == Vector("ab", "</w>", ",", "</w>", "ab", "</w>",
+      ",", "</w>", "ab", "</w>", ".", "</w>"), out(1L).toString)
+  }
+
   test("train stops at minPairCount; guards reject degenerate args") {
     // singleton corpus: every pair count is 1 → no merges at the default
     val single = Seq((1L, "abc")).toDF("doc_id", "text")

@@ -116,6 +116,52 @@ class LanguageModelSpec extends SparkSpec {
     intercept[Exception] { LanguageModel.read(spark, crashed) }
   }
 
+  test("interpolated LM: hand-computed mixture, λ = 1 degenerates to the " +
+    "bigram model, prune keeps the upper bound, round-trip") {
+    val ilm = LanguageModel.trainInterpolated(docs, "text",
+      alpha = 0.5, lambda = 0.7)
+    assert(ilm.totalTokens == 9L && ilm.base.vocabSize == 3L)
+    val uni = ilm.unigrams.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uni == Map("a" -> 4L, "b" -> 3L, "c" -> 2L))
+    def p1(nw: Long) = (nw + 0.5) / (9 + 0.5 * 3)
+    def mix(n12: Long, n1: Long, nw: Long) =
+      0.7 * p(n12, n1) + (1 - 0.7) * p1(nw)
+    def xents(out: org.apache.spark.sql.DataFrame) = out.collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    val out = xents(LanguageModel.crossEntropyInterpolated(docs, "doc_id", "text", ilm))
+    assert(math.abs(out(1L).get - (-math.log(mix(2, 3, 3)))) < 1e-12) // "a b"
+    assert(math.abs(out(5L).get - (-math.log(mix(1, 1, 4)))) < 1e-12) // "c a"
+    assert(out(3L).isEmpty && out(4L).isEmpty, "unscorable docs stay NULL")
+    // λ = 1: the unigram leg multiplies by exactly 0.0 and vanishes —
+    // bit-identical to the plain bigram model's scores
+    val l1 = xents(LanguageModel.crossEntropyInterpolated(docs, "doc_id", "text",
+      ilm.copy(lambda = 1.0)))
+    val plain = xents(LanguageModel.crossEntropy(docs, "doc_id", "text", lm))
+    assert(l1 == plain)
+    // pruned interpolated xent pointwise dominates exact — dropping a
+    // bigram only shrinks the mixture
+    val prunedOut = xents(LanguageModel.crossEntropyInterpolated(docs, "doc_id",
+      "text", LanguageModel.pruneInterpolated(ilm, minCount = 2)))
+    out.foreach {
+      case (id, Some(a)) => assert(prunedOut(id).get >= a - 1e-12, s"doc $id")
+      case (id, None) => assert(prunedOut(id).isEmpty)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ilm").toFile
+    dir.deleteOnExit()
+    val path = new java.io.File(dir, "m").getAbsolutePath
+    LanguageModel.writeInterpolated(ilm, path)
+    val back = LanguageModel.readInterpolated(spark, path)
+    assert(back.lambda == 0.7 && back.totalTokens == 9L)
+    assert(xents(LanguageModel.crossEntropyInterpolated(docs, "doc_id", "text",
+      back)) == out)
+    // a PLAIN write layout has no interp_meta commit marker → loud refuse
+    val plainPath = new java.io.File(dir, "plain").getAbsolutePath
+    LanguageModel.write(lm, plainPath)
+    intercept[Exception](LanguageModel.readInterpolated(spark, plainPath))
+    intercept[IllegalArgumentException](ilm.copy(lambda = 1.5))
+    intercept[IllegalArgumentException](ilm.copy(totalTokens = 0L))
+  }
+
   test("degenerate models are rejected at construction") {
     intercept[IllegalArgumentException] {
       BigramLm(lm.bigrams, lm.contexts, vocabSize = 0L, alpha = 0.5)

@@ -296,6 +296,26 @@ class RunnerSpec extends SparkSpec {
       "--out", out5), spark)
     assert(spark.read.parquet(out5).collect()
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap == oneShot)
+    // phrase serving from the same compacted layout: "spark join" occurs
+    // verbatim only in doc 1 ("spark join spark")
+    val outP = outDir("cli-bm25-outp")
+    Main.run(Seq("bm25-phrase", "--path", ixEp, "--phrase", "spark join",
+      "--out", outP), spark)
+    val ph = spark.read.parquet(outP).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ph == Set((1L, 1L)), s"phrase must hit doc 1 once: $ph")
+    // batch serving: two queries, one pass — per-query sets equal the
+    // single-query serves
+    val qs = outDir("cli-bm25-queries")
+    Seq((1L, "spark"), (2L, "hash lookup")).toDF("query_id", "query")
+      .write.mode("overwrite").parquet(qs)
+    val outB = outDir("cli-bm25-outb")
+    Main.run(Seq("bm25-batch", "--path", ixEp, "--queries", qs,
+      "--out", outB), spark)
+    val batch = spark.read.parquet(outB).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch == Set((1L, 1L), (1L, 3L), (2L, 2L)),
+      s"batch per-query hits diverge: $batch")
   }
 
   test("span-index lifecycle CLI: build → filter → merge → filter — the " +

@@ -282,6 +282,29 @@ class TextIndexSpec extends SparkSpec {
     assert(noPd == out)
   }
 
+  test("streamed ingest cold start: first batch bootstraps a fresh path") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-cold").toFile
+    dir.deleteOnExit()
+    val path = new java.io.File(dir, "ix").getAbsolutePath // never built
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(graft.streaming.TextIndexIngest.sink(path, "doc_id", "text",
+        termPartitions = 2))
+      .start()
+    in.addData((1L, "spark join spark"), (2L, "hash table"))
+    q.processAllAvailable()
+    in.addData((3L, "spark stream"))
+    q.processAllAvailable()
+    q.stop()
+    val ix = TextIndex.read(spark, path)
+    assert(ix.nDocs == 3L, "cold-start stream must have bootstrapped the index")
+    assert(TextIndex.bm25(ix, "doc_id", "spark").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
   test("write/read round-trips; crashed write (no meta) refuses to load") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toFile
     dir.deleteOnExit()

@@ -220,6 +220,39 @@ class TrainingOpsSpec extends SparkSpec {
       Similarity.semDedup(emb, "vec_id", "embedding", cents, 0.0) }
   }
 
+  test("semDedup centroid-dist rule: farthest-from-centroid survives, " +
+    "exact ties fall back to id, id rule unchanged") {
+    def v(deg: Double) = Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    val emb = Seq((1L, v(0)), (2L, v(8)), (3L, v(16)), (4L, v(44)), (5L, v(46)))
+      .toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val tau = math.cos(math.toRadians(10))
+    // same chain as the id-rule test, priority INVERTED along it: 16° is
+    // farthest from centroid (1,0), so 3 dominates 2 dominates 1 — the
+    // paper keeps the cluster's most marginal point, and the answer is
+    // demonstrably different from the id rule's {1,4,5}
+    val kept = Similarity.semDedup(emb, "vec_id", "embedding", cents, tau,
+        keepBy = "centroid_dist")
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(kept == Set(3L, 4L, 5L), s"farthest must win the chain: $kept")
+    // schema parity with the id rule: the helper's dist column is dropped
+    val out = Similarity.withSemDupFlag(emb, "vec_id", "embedding", cents,
+      tau, keepBy = "centroid_dist")
+    assert(out.columns.toSeq == Seq("vec_id", "embedding", "coarse", "kept"))
+    // v(8) and v(-8) sit at the BIT-EXACT same squared distance to
+    // (1, 0) ((−sin8)² ≡ sin8², same summation order) → dominance falls
+    // to the smaller id
+    val tie = Seq((10L, v(8)), (11L, v(-8))).toDF("vec_id", "embedding")
+    val tieKept = Similarity.semDedup(tie, "vec_id", "embedding",
+        Array(Array(1.0, 0.0)), math.cos(math.toRadians(20)),
+        keepBy = "centroid_dist")
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(tieKept == Set(10L), s"exact tie must fall back to id: $tieKept")
+    intercept[IllegalArgumentException] {
+      Similarity.semDedup(emb, "vec_id", "embedding", cents, tau,
+        keepBy = "farthest") }
+  }
+
   test("semDedup LSH path: sized geometry ≡ exact; starved geometry only " +
     "ever keeps MORE (missed candidates leave docs standing)") {
     // planted near-dups in 8 dims: base vectors + tiny-perturbation
