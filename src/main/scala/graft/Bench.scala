@@ -882,15 +882,36 @@ object Bench {
       val rareM = matched
       val (_, rareUnsortedMb) = serve(unsorted, rareQuery)
       require(matched == rareM, s"rare-query layout answers diverge at ${n}x")
+      // PHRASE serve over the positional postings: adjacency reads only
+      // the phrase terms' slices (positions included) from the sorted
+      // layout — the pruning claim extended to the positional schema
+      def servePhrase(path: String): (Long, Double) = {
+        val runs = (0 until reps).map { _ =>
+          dropState()
+          listener.reset()
+          val r = TextIndex.bm25Phrase(TextIndex.read(spark, path),
+              "doc_id", "hash join")
+            .agg(count(lit(1)), coalesce(sum("n_occurrences"), lit(0L))).head()
+          Thread.sleep(150)
+          (r.getLong(0), listener.inputBytes.get / mb)
+        }
+        (runs.head._1, runs.map(_._2).sorted.apply(reps / 2))
+      }
+      val (phraseM, phraseSortedMb) = servePhrase(sorted)
+      val (phraseMu, phraseUnsortedMb) = servePhrase(unsorted)
+      require(phraseM == phraseMu,
+        s"phrase layout answers diverge at ${n}x: $phraseM vs $phraseMu")
       dropState()
-      (n, m1, sm1, diskMb, sMb, uMb, sSecs, uSecs, rareM, rareSortedMb, rareUnsortedMb)
+      (n, m1, sm1, diskMb, sMb, uMb, sSecs, uSecs, rareM, rareSortedMb,
+        rareUnsortedMb, phraseM, phraseSortedMb, phraseUnsortedMb)
     }
     val base = rows.head
     rows.foreach { r =>
       require(r._2 == base._2 * r._1 && r._3 == base._3 * r._1 &&
-        r._9 == base._9 * r._1,
+        r._9 == base._9 * r._1 && r._12 == base._12 * r._1,
         s"matched docs must be replica-linear at ${r._1}x: " +
-          s"(${r._2},${r._3},${r._9}) vs 1x (${base._2},${base._3},${base._9})")
+          s"(${r._2},${r._3},${r._9},${r._12}) vs 1x " +
+          s"(${base._2},${base._3},${base._9},${base._12})")
     }
     // BATCH-SERVE economics at the largest ladder size: N queries scored
     // in ONE bm25Batch pass vs N sequential single-query serves of the
@@ -926,7 +947,7 @@ object Bench {
     require(batchRows == singleRows,
       s"batch serve must score exactly the per-query rows: $batchRows vs $singleRows")
     type R = (Int, Long, Long, Double, Double, Double, Double, Double,
-      Long, Double, Double)
+      Long, Double, Double, Long, Double, Double)
     def arr[T](f: R => T): String = jsonArr(rows)(f)
     val line =
       f"""{"metric":"bm25_serving_scale","reps":$reps,"query_terms":4,""" +
@@ -940,6 +961,9 @@ object Bench {
         f""""rare_matched_docs":${arr(_._9)},""" +
         f""""rare_read_sorted_mb":${arr(r => f"${r._10}%.2f")},""" +
         f""""rare_read_unsorted_mb":${arr(r => f"${r._11}%.2f")},""" +
+        f""""phrase_matched_docs":${arr(_._12)},""" +
+        f""""phrase_read_sorted_mb":${arr(r => f"${r._13}%.2f")},""" +
+        f""""phrase_read_unsorted_mb":${arr(r => f"${r._14}%.2f")},""" +
         f""""batch":{"n_queries":${batchQueries.size},"scored_rows":$batchRows,""" +
         f""""batch_secs":$batchSecs%.3f,"sum_single_secs":$sumSingleSecs%.3f},""" +
         f""""sf":"$sfDir"}"""

@@ -1233,6 +1233,32 @@ object SparkEntry {
       .select(col("doc_id"), col("n_bigrams"), rq(col("xent"), 6).as("xent"))
   }
 
+  /** On-disk PRUNED INTERPOLATED model for `dir`'s corpus (minCount = 2),
+    * written once per JVM — [[lmModelPath]]'s interpolated sibling, so
+    * prune + writeInterpolated/readInterpolated + floor-backoff scoring
+    * all sit under the hash gate, not just the spec. */
+  private val lmInterpModelCache = collection.concurrent.TrieMap.empty[String, String]
+  private def lmInterpModelPath(s: SparkSession, dir: String): String =
+    lmInterpModelCache.getOrElseUpdate(dir, {
+      val p = new java.io.File(s"target/q-lm-interp-model/${dirKey(dir)}").getAbsolutePath
+      LanguageModel.writeInterpolated(
+        LanguageModel.pruneInterpolated(
+          LanguageModel.trainInterpolated(tbl(s, dir, "documents"), "text"),
+          minCount = 2), p)
+      p
+    })
+
+  /** The SERVING twin of [[qLmXentInterp]]: score against the persisted
+    * PRUNED interpolated model. Pruned-away singleton bigrams fall to
+    * the unseen-bigram floor INSIDE the mixture — the unigram leg is
+    * untouched (it IS the vocabulary), so the backoff still
+    * discriminates by word frequency where the plain pruned model
+    * flattens to the uniform-ish floor. */
+  private def qLmXentInterpServed(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.crossEntropyInterpolated(tbl(s, dir, "documents"), "doc_id",
+        "text", LanguageModel.readInterpolated(s, lmInterpModelPath(s, dir)))
+      .select(col("doc_id"), col("n_bigrams"), rq(col("xent"), 6).as("xent"))
+
   /** On-disk PRUNED model for `dir`'s corpus (minCount = 2, the KenLM
     * deployment shape), written once per JVM — the serve-not-build
     * pattern: [[qLmXentServed]] times SCORING against the persisted
@@ -1765,6 +1791,7 @@ object SparkEntry {
     "q_lm_xent" -> qLmXent,
     "q_lm_xent_served" -> qLmXentServed,
     "q_lm_xent_interp" -> qLmXentInterp,
+    "q_lm_xent_interp_served" -> qLmXentInterpServed,
     "q_sample_stratified" -> qSampleStratified,
     "q_sample_temperature" -> qSampleTemperature,
     "q_sample_budget" -> qSampleBudget,
@@ -2574,6 +2601,35 @@ object SparkEntry {
         |         ln(0.7 * ((c12.n12 + 0.5) / (c1.n1 + 0.5 * v.vs))
         |          + (1 - 0.7) * ((uni.nw + 0.5) / (v.tt + 0.5 * v.vs))) AS logp
         |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        |  JOIN uni ON uni.token = bg.w2 CROSS JOIN v),
+        | pd AS (SELECT doc_id, count(*) AS n_bigrams, -avg(logp) AS xent
+        |        FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams,
+        |       floor(pd.xent*1000000.0 + 0.5)/1000000.0 AS xent
+        |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin,
+    // the served PRUNED interpolated model: bigrams below count 2 fall
+    // to the unseen floor inside the mixture's P2 leg (LEFT JOIN +
+    // coalesce); the unigram leg never prunes, so backoff still ranks
+    // by word frequency
+    "q_lm_xent_interp_served" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        | tok AS (SELECT unnest(w) AS token FROM d),
+        | uni AS (SELECT token, count(*) AS nw FROM tok GROUP BY 1),
+        | v AS (SELECT count(*) AS vs, CAST(sum(nw) AS DOUBLE) AS tt FROM uni),
+        | bg AS (
+        |  SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i+1 AS INT)] AS w2
+        |  FROM d, LATERAL unnest(range(1, greatest(len(w), 1))) AS t(i)),
+        | c12 AS (SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY 1, 2),
+        | c12p AS (SELECT * FROM c12 WHERE n12 >= 2),
+        | c1 AS (SELECT w1, sum(n12) AS n1 FROM c12 GROUP BY 1),
+        | sc AS (
+        |  SELECT bg.doc_id,
+        |         ln(0.7 * ((coalesce(c12p.n12, 0) + 0.5) / (c1.n1 + 0.5 * v.vs))
+        |          + (1 - 0.7) * ((uni.nw + 0.5) / (v.tt + 0.5 * v.vs))) AS logp
+        |  FROM bg LEFT JOIN c12p USING (w1, w2) JOIN c1 USING (w1)
         |  JOIN uni ON uni.token = bg.w2 CROSS JOIN v),
         | pd AS (SELECT doc_id, count(*) AS n_bigrams, -avg(logp) AS xent
         |        FROM sc GROUP BY doc_id)

@@ -211,6 +211,50 @@ class PlanSpec extends SparkSpec {
       s"the top-50 cut must fuse — no global sort of the pair table:\n$phys")
   }
 
+  test("q_lm_xent_interp: all three model tables broadcast into one score scan") {
+    val p = executed(SparkEntry.queries("q_lm_xent_interp")(spark, sf))
+    val phys = p.toString
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoopJoin"),
+      s"interpolated scoring must stay on (w1,w2)/(w1)/(w2) equi-joins:\n$phys")
+    assert(countBroadcasts(p) >= 3,
+      s"expected bigram, context AND unigram tables to broadcast:\n$phys")
+  }
+
+  test("q_bm25_phrase: phrase terms push into the postings scan; the only " +
+    "nested-loop is the deliberate 1-row df broadcast") {
+    val df = SparkEntry.queries("q_bm25_phrase")(spark, sf)
+    val p = executed(df)
+    val phys = p.toString
+    assert(phys.contains("PushedFilters") && phys.contains("In(term"),
+      s"the phrase's distinct terms must reach the postings scan:\n$phys")
+    assert(!phys.contains("CartesianProduct"), s"no cartesian:\n$phys")
+    // the df-phrase scalar rides a BroadcastNestedLoopJoin by design —
+    // its build side is ONE row (the count aggregate), never data-scale;
+    // there must be exactly that one
+    val bnlj = flatten(p).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+    assert(bnlj == 1, s"expected exactly the one 1-row broadcast join, got $bnlj:\n$phys")
+  }
+
+  test("q_bm25_batch: query terms broadcast AND push down — the postings " +
+    "side never shuffles for the candidate set") {
+    val p = executed(SparkEntry.queries("q_bm25_batch")(spark, sf))
+    val phys = p.toString
+    assert(phys.contains("PushedFilters") && phys.contains("In(term"),
+      s"pushdownTerms must reach the postings scan as a literal filter:\n$phys")
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoopJoin"),
+      s"batch serve must stay on term equi-joins:\n$phys")
+    assert(countBroadcasts(p) >= 2,
+      s"expected the (query_id, term) pairs and docFreq to broadcast:\n$phys")
+  }
+
+  test("q_semdedup_cdist: the non-id priority still plans the cluster-keyed " +
+    "equi-join — no cartesian from the dominance tuple") {
+    val phys = executed(SparkEntry.queries("q_semdedup_cdist")(spark, sf)).toString
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoopJoin"),
+      s"the (dist, id) priority is a join FILTER, never a join relaxation:\n$phys")
+  }
+
   test("q_interval_join_auto: the optimizer rule fired — bucket Generate present, no nested loop") {
     val df = SparkEntry.queries("q_interval_join_auto")(spark, sf)
     val gens = df.queryExecution.optimizedPlan.collect {
