@@ -1188,6 +1188,23 @@ object SparkEntry {
         "doc_id", "hash join")
       .select(col("doc_id"), col("n_occurrences"), rq(col("score"), 6).as("score"))
 
+  /** BATCH exact-phrase matching — three phrases verified against the
+    * persisted positional postings in ONE pass
+    * ([[graft.operators.TextIndex.bm25PhraseBatch]]): the
+    * decontamination-forensics shape, N eval sentences ≠ N corpus
+    * scans. The oracle replays each phrase's adjacency from the raw
+    * token arrays and the per-phrase df scoring. */
+  private def qBm25PhraseBatch(s: SparkSession, dir: String): DataFrame = {
+    val phrases = s.createDataFrame(Seq(
+      (1L, "hash join"), (2L, "sort merge"), (3L, "the fast")))
+      .toDF("phrase_id", "phrase")
+    graft.operators.TextIndex.bm25PhraseBatch(
+        graft.operators.TextIndex.read(s, textIndexPath(s, dir)),
+        "doc_id", phrases, "phrase_id", "phrase")
+      .select(col("phrase_id"), col("doc_id"), col("n_occurrences"),
+        rq(col("score"), 6).as("score"))
+  }
+
   /** BATCH BM25 — three queries scored in ONE pass over the persisted
     * index ([[graft.operators.TextIndex.bm25Batch]]): the
     * decontamination shape, N eval strings ≠ N corpus scans. Query 1 is
@@ -1786,6 +1803,7 @@ object SparkEntry {
     "q_bm25" -> qBm25,
     "q_bm25_served" -> qBm25Served,
     "q_bm25_phrase" -> qBm25Phrase,
+    "q_bm25_phrase_batch" -> qBm25PhraseBatch,
     "q_bm25_batch" -> qBm25Batch,
     "q_vocab" -> qVocab,
     "q_lm_xent" -> qLmXent,
@@ -2481,6 +2499,32 @@ object SparkEntry {
         |              (n_occurrences + 1.2 * (1 - 0.75 + 0.75 * dl / stats.avgdl))
         |             )*1000000.0 + 0.5)/1000000.0 AS score
         |FROM m CROSS JOIN dfp CROSS JOIN stats""".stripMargin,
+    // batch phrase matching: the oracle replays each VALUES phrase's
+    // adjacency on the raw token arrays and the per-phrase df scoring —
+    // the one-pass batch algebra ≡ per-phrase singles, hash-checked
+    "q_bm25_phrase_batch" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        | stats AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM d),
+        | q(phrase_id, t0, t1) AS (VALUES
+        |   (1, 'hash', 'join'), (2, 'sort', 'merge'), (3, 'the', 'fast')),
+        | occ AS (
+        |  SELECT q.phrase_id, d.doc_id, len(d.w) AS dl,
+        |         len(list_filter(range(1, len(d.w)),
+        |             i -> d.w[CAST(i AS INT)] = q.t0
+        |              AND d.w[CAST(i+1 AS INT)] = q.t1)) AS n_occurrences
+        |  FROM d CROSS JOIN q),
+        | m AS (SELECT * FROM occ WHERE n_occurrences > 0),
+        | dfp AS (SELECT phrase_id, count(*) AS dfp FROM m GROUP BY 1)
+        |SELECT CAST(m.phrase_id AS BIGINT) AS phrase_id,
+        |       CAST(m.doc_id AS BIGINT) AS doc_id, m.n_occurrences,
+        |       floor((ln(1 + (stats.n - dfp.dfp + 0.5) / (dfp.dfp + 0.5)) *
+        |              (m.n_occurrences * (1.2 + 1)) /
+        |              (m.n_occurrences + 1.2 * (1 - 0.75 + 0.75 * m.dl / stats.avgdl))
+        |             )*1000000.0 + 0.5)/1000000.0 AS score
+        |FROM m JOIN dfp USING (phrase_id) CROSS JOIN stats""".stripMargin,
     // batch serve: one pass, N queries — the oracle scores each VALUES
     // query with the single-query arithmetic (per-query distinct terms),
     // so batch ≡ per-query algebra is hash-checked

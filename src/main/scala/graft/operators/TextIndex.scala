@@ -170,6 +170,68 @@ object TextIndex {
       .select(col(idCol), col("n_occurrences"), (idf * tfNorm).as("score"))
   }
 
+  /** BATCH exact-phrase matching — a TABLE of phrases `(phraseIdCol,
+    * phraseTextCol)` verified against the positional postings in ONE
+    * pass: the decontamination-forensics primitive ("which training
+    * documents contain ANY of these N eval sentences verbatim") at one
+    * postings scan, not N. Output: `(phraseIdCol, idCol, n_occurrences,
+    * score)` — [[bm25Phrase]]'s contract per phrase, scored
+    * phrase-as-one-term with per-phrase df.
+    *
+    * Plan shape: each phrase explodes to `(phrase_id, offset, term)`
+    * units (duplicate terms keep their per-offset rows), BROADCAST into
+    * a hash join against the postings scan — with `pushdownTerms`
+    * (default) the union of phrase terms additionally pushes into the
+    * scan as the literal `isin`, the [[bm25Batch]] contract. One
+    * shuffle groups the surviving (phrase, doc) rows; a doc survives
+    * only when EVERY phrase offset matched (`count == phrase_len` —
+    * postings are unique per (doc, term), so each offset contributes
+    * exactly one row), then adjacency is the per-row `forall` over the
+    * collected (offset, positions) structs. Empty-token phrases vanish;
+    * a 1-phrase table reproduces [[bm25Phrase]] (spec-pinned, the two
+    * independent implementations cross-validating). */
+  def bm25PhraseBatch(index: InvertedIndex, idCol: String, phrases: DataFrame,
+                      phraseIdCol: String, phraseTextCol: String,
+                      k1: Double = 1.2, b: Double = 0.75,
+                      pushdownTerms: Boolean = true): DataFrame = {
+    require(k1 > 0 && b >= 0 && b <= 1, s"need k1 > 0, b in [0,1]: k1=$k1 b=$b")
+    val toks = TextAnalysis.tokens(col(phraseTextCol))
+    val units = phrases
+      .select(col(phraseIdCol), size(toks).as("__plen"),
+        posexplode(TextAnalysis.tokens(col(phraseTextCol))).as(Seq("__off", "term")))
+    val pruned =
+      if (pushdownTerms) {
+        val termSet = units.select("term").distinct().collect()
+          .map(_.getString(0)).toSeq
+        if (termSet.isEmpty) index.postings.where(lit(false))
+        else index.postings.filter(col("term").isin(termSet.map(lit): _*))
+      } else index.postings
+    val perDoc = pruned
+      .join(broadcast(units), Seq("term"))
+      .groupBy(col(phraseIdCol), col(idCol), col("dl"), col("__plen"))
+      .agg(collect_list(struct(col("__off"), col("positions"))).as("__ops"),
+        count(lit(1)).as("__nu"))
+      .filter(col("__nu") === col("__plen"))
+    val firstPositions = element_at(
+      filter(col("__ops"), s => s.getField("__off") === 0), 1).getField("positions")
+    val occurrences = size(filter(firstPositions, p =>
+      forall(col("__ops"), s =>
+        array_contains(s.getField("positions"), p + s.getField("__off")))))
+    val matches = perDoc
+      .select(col(phraseIdCol), col(idCol), col("dl"),
+        occurrences.cast("long").as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+    val dfPhrase = matches.groupBy(phraseIdCol)
+      .agg(count(lit(1)).as("df_phrase"))
+    val idf = log(lit(1.0) +
+      (lit(index.nDocs.toDouble) - col("df_phrase") + 0.5) / (col("df_phrase") + 0.5))
+    val tfNorm = (col("n_occurrences") * (k1 + 1)) /
+      (col("n_occurrences") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / index.avgdl))
+    matches.join(broadcast(dfPhrase), Seq(phraseIdCol))
+      .select(col(phraseIdCol), col(idCol), col("n_occurrences"),
+        (idf * tfNorm).as("score"))
+  }
+
   /** BATCH BM25 — score a whole TABLE of queries `(queryIdCol,
     * queryTextCol)` in ONE pass over the index: decontaminating N eval
     * phrases costs one postings scan, not N ([[bm25]] is the 1-row

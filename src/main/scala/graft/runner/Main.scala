@@ -117,6 +117,7 @@ object Main {
       |  bm25-search --path <index-dir> --query '<terms>' --out <dir>
       |  bm25-phrase --path <index-dir> --phrase '<exact phrase>' --out <dir>
       |  bm25-batch  --path <index-dir> --queries <queries-parquet> --out <dir>
+      |  bm25-phrase-batch --path <index-dir> --phrases <phrases-parquet> --out <dir>
       |          [--id doc_id] [--k1 1.2] [--b 0.75] [--topk 20]
       |  span-index-build  --in <docs-parquet> --path <dir>
       |          [--id doc_id] [--text text] [--span-n 8]
@@ -428,6 +429,21 @@ object Main {
         .orderBy(org.apache.spark.sql.functions.col("score").desc,
           org.apache.spark.sql.functions.col(opt.getOrElse("id", "doc_id")))
         .limit(opt.getOrElse("topk", "20").toInt)
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(req(opt, "out"))
+
+    case Some("bm25-phrase-batch") =>
+      // N eval phrases verified verbatim in one pass — the
+      // decontamination-forensics loop's bulk form
+      val (opt, _) = parse(args.tail)
+      graft.operators.TextIndex.bm25PhraseBatch(
+          graft.operators.TextIndex.read(spark, req(opt, "path")),
+          opt.getOrElse("id", "doc_id"),
+          spark.read.parquet(req(opt, "phrases")),
+          opt.getOrElse("phrase-id", "phrase_id"),
+          opt.getOrElse("phrase-text", "phrase"),
+          k1 = opt.getOrElse("k1", "1.2").toDouble,
+          b = opt.getOrElse("b", "0.75").toDouble)
         .write.mode("overwrite").option("compression", "zstd")
         .parquet(req(opt, "out"))
 

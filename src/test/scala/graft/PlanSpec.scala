@@ -248,6 +248,18 @@ class PlanSpec extends SparkSpec {
       s"expected the (query_id, term) pairs and docFreq to broadcast:\n$phys")
   }
 
+  test("q_bm25_phrase_batch: phrase units broadcast + push down; per-phrase " +
+    "df joins hash on the phrase key — no nested loop anywhere") {
+    val p = executed(SparkEntry.queries("q_bm25_phrase_batch")(spark, sf))
+    val phys = p.toString
+    assert(phys.contains("PushedFilters") && phys.contains("In(term"),
+      s"the union of phrase terms must reach the postings scan:\n$phys")
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoopJoin"),
+      s"batch phrase serve joins on term and phrase_id only:\n$phys")
+    assert(countBroadcasts(p) >= 2,
+      s"expected phrase units AND per-phrase df to broadcast:\n$phys")
+  }
+
   test("q_semdedup_cdist: the non-id priority still plans the cluster-keyed " +
     "equi-join — no cartesian from the dominance tuple") {
     val phys = executed(SparkEntry.queries("q_semdedup_cdist")(spark, sf)).toString

@@ -316,6 +316,17 @@ class RunnerSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(batch == Set((1L, 1L), (1L, 3L), (2L, 2L)),
       s"batch per-query hits diverge: $batch")
+    // batch phrase verification: "spark join" verbatim only in doc 1,
+    // "hash table" only in doc 2
+    val ps = outDir("cli-bm25-phrases")
+    Seq((1L, "spark join"), (2L, "hash table")).toDF("phrase_id", "phrase")
+      .write.mode("overwrite").parquet(ps)
+    val outPB = outDir("cli-bm25-outpb")
+    Main.run(Seq("bm25-phrase-batch", "--path", ixEp, "--phrases", ps,
+      "--out", outPB), spark)
+    val pb = spark.read.parquet(outPB).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pb == Set((1L, 1L), (2L, 2L)), s"batch phrase hits diverge: $pb")
   }
 
   test("span-index lifecycle CLI: build → filter → merge → filter — the " +

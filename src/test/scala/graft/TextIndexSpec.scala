@@ -258,6 +258,48 @@ class TextIndexSpec extends SparkSpec {
       "epoch-grown phrase answers must equal the one-shot build's")
   }
 
+  test("bm25PhraseBatch ≡ per-phrase bm25Phrase across mixed lengths; " +
+    "empty phrase vanishes") {
+    val pdocs = Seq(
+      (1L, "hash join hash join x"),
+      (2L, "join hash"),
+      (3L, "hash x join sort merge"),
+      (4L, "hash join sort"),
+      (5L, "other words only x")
+    ).toDF("doc_id", "text")
+    val pix = TextIndex.build(pdocs, "doc_id", "text")
+    val phrases = Seq((10L, "hash join"), (20L, "x"), (30L, "hash join sort"),
+      (40L, "sort merge"), (50L, "absent phrase"), (60L, "  "))
+      .toDF("phrase_id", "phrase")
+    val batch = TextIndex.bm25PhraseBatch(pix, "doc_id", phrases,
+        "phrase_id", "phrase").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // cross-validate against the independent single-phrase implementation
+    val singles = Seq(10L -> "hash join", 20L -> "x", 30L -> "hash join sort",
+      40L -> "sort merge").flatMap { case (pid, ph) =>
+      TextIndex.bm25Phrase(pix, "doc_id", ph).collect()
+        .map(r => (pid, r.getLong(0)) -> ((r.getLong(1), r.getDouble(2))))
+    }.toMap
+    assert(batch.keySet == singles.keySet,
+      s"batch must equal per-phrase serves: ${batch.keySet} vs ${singles.keySet}")
+    singles.foreach { case (k, (n, s)) =>
+      assert(batch(k)._1 == n && math.abs(batch(k)._2 - s) < 1e-12, s"$k")
+    }
+    // spot-check the hand facts: "hash join" hits docs 1 (×2) and 4;
+    // the 3-term phrase only doc 4; the absent/empty phrases nothing
+    assert(batch((10L, 1L))._1 == 2L && batch((10L, 4L))._1 == 1L)
+    assert(!batch.contains((10L, 2L)) && !batch.contains((10L, 3L)))
+    assert(batch.keys.filter(_._1 == 30L).map(_._2).toSet == Set(4L))
+    assert(!batch.keys.exists(k => k._1 == 50L || k._1 == 60L))
+    // no-pushdown twin answers identically
+    val noPd = TextIndex.bm25PhraseBatch(pix, "doc_id", phrases,
+        "phrase_id", "phrase", pushdownTerms = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(noPd == batch)
+  }
+
   test("bm25Batch ≡ per-query bm25; empty-term query vanishes; pushdown plan") {
     val queries = Seq((10L, "spark hash spark"), (20L, "the"), (30L, "zzz"),
       (40L, "   ")).toDF("query_id", "query")
