@@ -2449,7 +2449,7 @@ object SparkEntry {
       s"""WITH d AS (
         |  SELECT event_id,
         |         list_filter(regexp_extract_all(props, '[A-Za-z0-9]+|[^A-Za-z0-9]'),
-        |                     x -> trim(x) <> '') AS w
+        |                     x -> NOT regexp_matches(x, '^\\s*$$')) AS w
         |  FROM events),
         | t AS (
         |  SELECT event_id, i AS pos, w[CAST(i AS INT)] AS token

@@ -196,9 +196,11 @@ object LanguageModel {
         col("xent"))
   }
 
-  /** Persist an interpolated model: the wrapped base via [[write]] plus
-    * `unigrams/` and an `interp_meta/` 1-row table (total_tokens,
-    * lambda) written LAST — the same commit-marker discipline. */
+  /** Persist an interpolated model: the wrapped base via [[write]]
+    * (which clears any existing layout first — so a stale `interp_meta`
+    * can never outlive its tables) plus `unigrams/` and an
+    * `interp_meta/` 1-row table (total_tokens, lambda) written LAST —
+    * the same commit-marker discipline. */
   def writeInterpolated(lm: InterpolatedLm, path: String): Unit = {
     write(lm.base, path)
     lm.unigrams.write.mode("overwrite").parquet(s"$path/unigrams")
@@ -264,11 +266,18 @@ object LanguageModel {
     * carrying (vocab_size, alpha) — written LAST, the same
     * commit-marker role as the index families' `_meta`: a crashed write
     * leaves no meta and [[read]] fails loudly instead of serving a
-    * partial model. */
+    * partial model. Any EXISTING layout at `path` is removed first
+    * ([[TextIndex.write]]'s rebuild semantics): without this, a crashed
+    * RE-write would leave the old commit marker standing over a mix of
+    * new and old tables — a "committed" Frankenstein model [[read]]
+    * would happily serve. For an always-servable rebuild of a LIVE
+    * model, write to a side dir and rename. */
   def write(lm: BigramLm, path: String): Unit = {
+    val spark = lm.bigrams.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     lm.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
     lm.contexts.write.mode("overwrite").parquet(s"$path/contexts")
-    val spark = lm.bigrams.sparkSession
     spark.createDataFrame(Seq((lm.vocabSize, lm.alpha)))
       .toDF("vocab_size", "alpha")
       .write.mode("overwrite").parquet(s"$path/meta")

@@ -22,9 +22,16 @@ object TextAnalysis {
     * [[TextIndex.bm25]] and friends). One definition, property-pinned
     * equal to the Column form (TextIndexSpec), so a future change to
     * [[tokens]] (lowercasing, filtering) can never silently
-    * desynchronize query terms from index terms. */
+    * desynchronize query terms from index terms. Deliberately NO
+    * `String.trim`: Java trim strips every char ≤ U+0020 while Spark's
+    * `trim` strips only spaces, so a leading control character (kept
+    * inside the first term by BOTH split definitions) would
+    * desynchronize the two sides; split + drop-empties alone is exactly
+    * the Column semantics (split's leading/trailing empty fragments are
+    * the only artifacts trimming ever prevented, and the filter removes
+    * them). */
   def tokenizeDriver(text: String): Seq[String] =
-    text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    text.split("\\s+").filter(_.nonEmpty).toSeq
 
   /** GPT-2-style PRE-tokens: maximal alphanumeric runs plus each
     * non-alphanumeric character as its own token, whitespace dropped —
@@ -32,14 +39,17 @@ object TextAnalysis {
     * where "word," decomposes to "word" + "," instead of hiding the
     * comma inside one unit. Lookaround split: a break before AND after
     * every non-alphanumeric character, so punctuation never glues to a
-    * word or to other punctuation. Shared by [[withTokenCounts]]'s
-    * `n_bpeish` and [[Bpe]]'s `pretokenize` option; equivalently (and
-    * lookaround-free, for the DuckDB oracle)
+    * word or to other punctuation. ALL whitespace drops — the filter is
+    * a `\s`-regex test, not `trim` (Spark trim strips only spaces, which
+    * would have let a tab or CR survive as a learnable "word" and
+    * silently contradict this contract on code/JSON corpora). Shared by
+    * [[withTokenCounts]]'s `n_bpeish` and [[Bpe]]'s `pretokenize`
+    * option; equivalently (and lookaround-free, for the DuckDB oracle)
     * `regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9]')` minus
-    * whitespace tokens. */
+    * `^\s*$` tokens. */
   def preTokens(text: Column): Column =
     filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
-      t => length(trim(t)) > 0)
+      t => !(t rlike "^\\s*$"))
 
   /** Token count (whitespace) plus a BPE-ish subword-regex count: words,
     * numbers, and single punctuation marks counted separately. */

@@ -101,6 +101,41 @@ object TextIndex {
     InvertedIndex(postings, docFreq, stats.getLong(0), stats.getLong(1))
   }
 
+  /** The "+1"-smoothed always-positive idf — ONE definition for every
+    * serve form (single, phrase, batch): a smoothing change applied in
+    * one place cannot desynchronize batch from single-query scoring. */
+  private def bm25Idf(nDocs: Long, df: Column): Column =
+    log(lit(1.0) + (lit(nDocs.toDouble) - df + 0.5) / (df + 0.5))
+
+  /** The tf saturation/length-normalization term, shared likewise
+    * (phrase scoring passes its occurrence count as `tf`). */
+  private def bm25TfNorm(tf: Column, dl: Column, avgdl: Double,
+                         k1: Double, b: Double): Column =
+    (tf * (k1 + 1)) / (tf + lit(k1) * (lit(1 - b) + lit(b) * dl / avgdl))
+
+  /** The postings scan under a literal term pushdown — shared by every
+    * serve form. An empty term set short-circuits to an empty scan
+    * rather than an empty `isin` (which Spark rejects). */
+  private def prunedPostings(index: InvertedIndex, terms: Seq[String],
+                             pushdown: Boolean): DataFrame =
+    if (!pushdown) index.postings
+    else if (terms.isEmpty) index.postings.where(lit(false))
+    else index.postings.filter(col("term").isin(terms.map(lit): _*))
+
+  /** Collect a (small, caller-contract) query/phrase unit frame ONCE
+    * and rebuild it as a local relation: one evaluation serves both the
+    * literal pushdown and the broadcast joins. Without this, a
+    * non-deterministic query source (sample(), a re-read directory)
+    * would be evaluated separately for the pushdown and the join — a
+    * term present in one evaluation but not the other silently drops
+    * its matches instead of failing. */
+  private def localizedUnits(units: DataFrame): (DataFrame, Seq[String]) = {
+    val rows = units.collect()
+    val local = units.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), units.schema)
+    (local, rows.map(_.getAs[String]("term")).distinct.toSeq)
+  }
+
   /** BM25 over the index for one query string (tokenized with the
     * shared [[TextAnalysis.tokens]] definition, distinct terms).
     * Output: `(idCol, n_matched, score)` for every doc sharing ≥ 1
@@ -110,12 +145,9 @@ object TextIndex {
     require(k1 > 0 && b >= 0 && b <= 1, s"need k1 > 0, b in [0,1]: k1=$k1 b=$b")
     val terms = TextAnalysis.tokenizeDriver(query).distinct
     require(terms.nonEmpty, "bm25: empty query")
-    val idf = log(lit(1.0) +
-      (lit(index.nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
-    val tfNorm = (col("tf") * (k1 + 1)) /
-      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / index.avgdl))
-    index.postings
-      .filter(col("term").isin(terms.map(lit): _*))
+    val idf = bm25Idf(index.nDocs, col("df"))
+    val tfNorm = bm25TfNorm(col("tf"), col("dl"), index.avgdl, k1, b)
+    prunedPostings(index, terms, pushdown = true)
       .join(broadcast(index.docFreq.filter(col("term").isin(terms.map(lit): _*))),
         Seq("term"))
       .groupBy(idCol)
@@ -148,8 +180,7 @@ object TextIndex {
     val terms = TextAnalysis.tokenizeDriver(phrase)
     require(terms.nonEmpty, "bm25Phrase: empty phrase")
     val distinctTerms = terms.distinct
-    val perDoc = index.postings
-      .filter(col("term").isin(distinctTerms.map(lit): _*))
+    val perDoc = prunedPostings(index, distinctTerms, pushdown = true)
       .groupBy(col(idCol), col("dl"))
       .agg(map_from_entries(collect_list(struct(col("term"), col("positions"))))
         .as("tpos"), count(lit(1)).as("n_terms"))
@@ -162,10 +193,8 @@ object TextIndex {
       .select(col(idCol), col("dl"), occurrences.cast("long").as("n_occurrences"))
       .filter(col("n_occurrences") > 0)
     val dfPhrase = matches.agg(count(lit(1)).as("df_phrase"))
-    val idf = log(lit(1.0) +
-      (lit(index.nDocs.toDouble) - col("df_phrase") + 0.5) / (col("df_phrase") + 0.5))
-    val tfNorm = (col("n_occurrences") * (k1 + 1)) /
-      (col("n_occurrences") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / index.avgdl))
+    val idf = bm25Idf(index.nDocs, col("df_phrase"))
+    val tfNorm = bm25TfNorm(col("n_occurrences"), col("dl"), index.avgdl, k1, b)
     matches.crossJoin(broadcast(dfPhrase))
       .select(col(idCol), col("n_occurrences"), (idf * tfNorm).as("score"))
   }
@@ -196,17 +225,13 @@ object TextIndex {
                       pushdownTerms: Boolean = true): DataFrame = {
     require(k1 > 0 && b >= 0 && b <= 1, s"need k1 > 0, b in [0,1]: k1=$k1 b=$b")
     val toks = TextAnalysis.tokens(col(phraseTextCol))
-    val units = phrases
+    val unitsRaw = phrases
       .select(col(phraseIdCol), size(toks).as("__plen"),
         posexplode(TextAnalysis.tokens(col(phraseTextCol))).as(Seq("__off", "term")))
-    val pruned =
-      if (pushdownTerms) {
-        val termSet = units.select("term").distinct().collect()
-          .map(_.getString(0)).toSeq
-        if (termSet.isEmpty) index.postings.where(lit(false))
-        else index.postings.filter(col("term").isin(termSet.map(lit): _*))
-      } else index.postings
-    val perDoc = pruned
+    // ONE evaluation of the phrase table feeds both pushdown and join
+    val (units, termSet) =
+      if (pushdownTerms) localizedUnits(unitsRaw) else (unitsRaw, Seq.empty)
+    val perDoc = prunedPostings(index, termSet, pushdownTerms)
       .join(broadcast(units), Seq("term"))
       .groupBy(col(phraseIdCol), col(idCol), col("dl"), col("__plen"))
       .agg(collect_list(struct(col("__off"), col("positions"))).as("__ops"),
@@ -223,10 +248,8 @@ object TextIndex {
       .filter(col("n_occurrences") > 0)
     val dfPhrase = matches.groupBy(phraseIdCol)
       .agg(count(lit(1)).as("df_phrase"))
-    val idf = log(lit(1.0) +
-      (lit(index.nDocs.toDouble) - col("df_phrase") + 0.5) / (col("df_phrase") + 0.5))
-    val tfNorm = (col("n_occurrences") * (k1 + 1)) /
-      (col("n_occurrences") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / index.avgdl))
+    val idf = bm25Idf(index.nDocs, col("df_phrase"))
+    val tfNorm = bm25TfNorm(col("n_occurrences"), col("dl"), index.avgdl, k1, b)
     matches.join(broadcast(dfPhrase), Seq(phraseIdCol))
       .select(col(phraseIdCol), col(idCol), col("n_occurrences"),
         (idf * tfNorm).as("score"))
@@ -257,20 +280,14 @@ object TextIndex {
                 k1: Double = 1.2, b: Double = 0.75,
                 pushdownTerms: Boolean = true): DataFrame = {
     require(k1 > 0 && b >= 0 && b <= 1, s"need k1 > 0, b in [0,1]: k1=$k1 b=$b")
-    val qTerms = queries.select(col(queryIdCol),
+    val qTermsRaw = queries.select(col(queryIdCol),
       explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as("term"))
-    val pruned =
-      if (pushdownTerms) {
-        val termSet = qTerms.select("term").distinct().collect()
-          .map(_.getString(0)).toSeq
-        if (termSet.isEmpty) index.postings.where(lit(false))
-        else index.postings.filter(col("term").isin(termSet.map(lit): _*))
-      } else index.postings
-    val idf = log(lit(1.0) +
-      (lit(index.nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
-    val tfNorm = (col("tf") * (k1 + 1)) /
-      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / index.avgdl))
-    pruned
+    // ONE evaluation of the query table feeds both pushdown and joins
+    val (qTerms, termSet) =
+      if (pushdownTerms) localizedUnits(qTermsRaw) else (qTermsRaw, Seq.empty)
+    val idf = bm25Idf(index.nDocs, col("df"))
+    val tfNorm = bm25TfNorm(col("tf"), col("dl"), index.avgdl, k1, b)
+    prunedPostings(index, termSet, pushdownTerms)
       .join(broadcast(qTerms), Seq("term"))
       .join(broadcast(index.docFreq.join(
         broadcast(qTerms.select("term").distinct()), Seq("term"))), Seq("term"))
@@ -359,18 +376,42 @@ object TextIndex {
                   termPartitions: Int = 32,
                   allowReplace: Boolean = false): Unit = {
     checkEpoch(epoch)
-    val committed = committedEpochs(batch.sparkSession, path)
+    val spark = batch.sparkSession
+    val committed = committedEpochs(spark, path)
     if (committed.isEmpty) {
-      val hc = batch.sparkSession.sparkContext.hadoopConfiguration
-      val residue = Seq(path + "_old", path + "_staging").filter { p =>
+      val hc = spark.sparkContext.hadoopConfiguration
+      def exists(p: String) = {
         val hp = new org.apache.hadoop.fs.Path(p)
         hp.getFileSystem(hc).exists(hp)
       }
+      val residue = Seq(path + "_old", path + "_staging").filter(exists)
       require(residue.isEmpty,
         s"appendEpoch: no committed index at $path but swap residue exists " +
           s"(${residue.mkString(", ")}) — an earlier replaceIndex crashed; " +
           "recover the side dir back to the live path instead of " +
           "bootstrapping a one-batch index over it")
+      // a meta dir with no committed epochs is NOT a fresh path: it is a
+      // pre-epoch flat layout (or a crashed build) — bootstrapping epoch
+      // dirs into it would mix root files with partition dirs and
+      // corrupt the existing index, the exact state read() refuses with
+      // a migration message
+      require(!exists(s"$path/meta"),
+        s"appendEpoch: $path holds an existing layout with no committed " +
+          "epochs (a pre-epoch flat index or a crashed build) — rebuild " +
+          "via TextIndex.write / bm25-build to migrate instead of " +
+          "bootstrapping epoch dirs into it")
+    } else {
+      // schema guard against MIXED epochs: an index persisted before the
+      // positional-postings schema carries no `positions` column; landing
+      // a positional epoch next to it would either null out old epochs'
+      // positions (silently dropping their docs from every phrase query)
+      // or lose the column at compaction, depending on which schema the
+      // reader samples. Refuse and name the migration.
+      val baseCols = spark.read.parquet(s"$path/postings").schema.fieldNames
+      require(baseCols.contains("positions"),
+        s"appendEpoch: the committed index at $path predates positional " +
+          "postings (no `positions` column) — rebuild it via " +
+          "TextIndex.write / bm25-build before appending positional epochs")
     }
     require(allowReplace || !committed.contains(epoch),
       s"appendEpoch: epoch '$epoch' already committed at $path — a re-land " +

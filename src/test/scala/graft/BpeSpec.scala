@@ -125,6 +125,12 @@ class BpeSpec extends SparkSpec {
       .select(graft.operators.TextAnalysis.preTokens(c("t")))
       .head().getSeq[String](0).toVector
     assert(toks == Vector("{", "\"", "k", "\"", ":", "87", "}"), toks.toString)
+    // ALL whitespace drops — tab/newline too, not just the spaces a
+    // bare trim() would have caught (a tab must never become a word)
+    val ws = Seq((1L, "ab\tcd\ne f")).toDF("id", "t")
+      .select(graft.operators.TextAnalysis.preTokens(c("t")))
+      .head().getSeq[String](0).toVector
+    assert(ws == Vector("ab", "cd", "e", "f"), ws.toString)
     // the pretokenized word table sees units the whitespace table can't:
     // "ab," under whitespace is ONE word; under pretokenize "ab" + ","
     val docs = Seq((1L, "ab, ab, ab."), (2L, "ab ab")).toDF("doc_id", "text")

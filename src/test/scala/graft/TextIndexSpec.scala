@@ -139,6 +139,30 @@ class TextIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextIndex.appendEpoch(rest, crashedSwap, "doc_id", "text", "b9")
     }
+    // a path with an EXISTING layout but no committed epochs (pre-epoch
+    // flat index / crashed build) is NOT fresh — bootstrapping epoch
+    // dirs into it would corrupt it; refuse with the migration message
+    val legacy = new java.io.File(dir, "legacy").getAbsolutePath
+    docs.limit(1).write.parquet(s"$legacy/meta") // meta w/o epoch column
+    val exLegacy = intercept[IllegalArgumentException] {
+      TextIndex.appendEpoch(rest, legacy, "doc_id", "text", "b0")
+    }
+    assert(exLegacy.getMessage.contains("pre-epoch"), exLegacy.getMessage)
+    // a committed base WITHOUT the positions column (persisted by a
+    // pre-positional release) refuses positional appends — mixed epochs
+    // would silently drop old docs from phrase queries
+    val prePos = new java.io.File(dir, "prepos").getAbsolutePath
+    val built = TextIndex.build(first, "doc_id", "text")
+    built.postings.drop("positions")
+      .write.parquet(s"$prePos/postings/epoch=e0")
+    built.docFreq.write.parquet(s"$prePos/docfreq/epoch=e0")
+    spark.createDataFrame(Seq((built.nDocs, built.totalDl)))
+      .toDF("n_docs", "total_dl")
+      .write.parquet(s"$prePos/meta/epoch=e0")
+    val exPos = intercept[IllegalArgumentException] {
+      TextIndex.appendEpoch(rest, prePos, "doc_id", "text", "b1")
+    }
+    assert(exPos.getMessage.contains("positional"), exPos.getMessage)
     // compaction: one committed epoch, orphan GC'd, scores unchanged
     TextIndex.compact(spark, path, termPartitions = 2)
     val afterCompact = TextIndex.read(spark, path)
@@ -201,7 +225,12 @@ class TextIndexSpec extends SparkSpec {
 
   test("driver tokenizer ≡ the Column tokenizer on adversarial strings") {
     val cases = Seq("a b  c", "  leading", "trailing  ", "\tmixed \n ws\r x",
-      "", "   ", "one", "a b", "p-u.n,c! t")
+      "", "   ", "one", "a b", "p-u.n,c! t",
+      // control chars: NOT \s, NOT stripped by Spark's space-only trim —
+      // they stay inside the adjacent term on both sides (Java
+      // String.trim would have stripped them, the desynchronization the
+      // driver twin deliberately avoids by not trimming at all)
+      "\u0001hash join", "tail\u0002 ", " \u0001alone", "\u0003")
     val colSide = cases.toDF("t")
       .select(graft.operators.TextAnalysis.tokens($"t").as("w"))
       .collect().map(_.getSeq[String](0).toSeq)
