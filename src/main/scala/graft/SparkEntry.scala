@@ -1188,6 +1188,17 @@ object SparkEntry {
         "doc_id", "hash join")
       .select(col("doc_id"), col("n_occurrences"), rq(col("score"), 6).as("score"))
 
+  /** WINDOWED co-occurrence from the same persisted layout: every doc
+    * where "hash" and "join" co-occur within 3 tokens of a "hash"
+    * anchor, any order — the near-verbatim decontamination shape
+    * ([[graft.operators.TextIndex.bm25Window]]); the oracle replays the
+    * anchor/window arithmetic from the raw token arrays. */
+  private def qBm25Window(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.bm25Window(
+        graft.operators.TextIndex.read(s, textIndexPath(s, dir)),
+        "doc_id", "hash join", window = 3)
+      .select(col("doc_id"), col("n_occurrences"), rq(col("score"), 6).as("score"))
+
   /** BATCH exact-phrase matching — three phrases verified against the
     * persisted positional postings in ONE pass
     * ([[graft.operators.TextIndex.bm25PhraseBatch]]): the
@@ -1803,6 +1814,7 @@ object SparkEntry {
     "q_bm25" -> qBm25,
     "q_bm25_served" -> qBm25Served,
     "q_bm25_phrase" -> qBm25Phrase,
+    "q_bm25_window" -> qBm25Window,
     "q_bm25_phrase_batch" -> qBm25PhraseBatch,
     "q_bm25_batch" -> qBm25Batch,
     "q_vocab" -> qVocab,
@@ -2499,6 +2511,35 @@ object SparkEntry {
         |              (n_occurrences + 1.2 * (1 - 0.75 + 0.75 * dl / stats.avgdl))
         |             )*1000000.0 + 0.5)/1000000.0 AS score
         |FROM m CROSS JOIN dfp CROSS JOIN stats""".stripMargin,
+    // windowed co-occurrence: anchor = each 'hash' position; a doc
+    // counts the anchors with a 'join' within |q−p| ≤ 3 (any order,
+    // boundary inclusive), scored match-as-one-term with df = |docs|
+    "q_bm25_window" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        | stats AS (SELECT count(*) AS n, avg(len(w)) AS avgdl FROM d),
+        | pos AS (
+        |  SELECT doc_id, len(w) AS dl,
+        |         list_filter(range(1, len(w) + 1),
+        |                     i -> w[CAST(i AS INT)] = 'hash') AS hp,
+        |         list_filter(range(1, len(w) + 1),
+        |                     i -> w[CAST(i AS INT)] = 'join') AS jp
+        |  FROM d),
+        | occ AS (
+        |  SELECT doc_id, dl,
+        |         len(list_filter(hp,
+        |             p -> len(list_filter(jp, q -> abs(q - p) <= 3)) > 0)) AS n_occurrences
+        |  FROM pos),
+        | m AS (SELECT * FROM occ WHERE n_occurrences > 0),
+        | dfw AS (SELECT count(*) AS dfw FROM m)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_occurrences,
+        |       floor((ln(1 + (stats.n - dfw.dfw + 0.5) / (dfw.dfw + 0.5)) *
+        |              (n_occurrences * (1.2 + 1)) /
+        |              (n_occurrences + 1.2 * (1 - 0.75 + 0.75 * dl / stats.avgdl))
+        |             )*1000000.0 + 0.5)/1000000.0 AS score
+        |FROM m CROSS JOIN dfw CROSS JOIN stats""".stripMargin,
     // batch phrase matching: the oracle replays each VALUES phrase's
     // adjacency on the raw token arrays and the per-phrase df scoring —
     // the one-pass batch algebra ≡ per-phrase singles, hash-checked

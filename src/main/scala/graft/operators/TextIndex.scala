@@ -199,6 +199,46 @@ object TextIndex {
       .select(col(idCol), col("n_occurrences"), (idf * tfNorm).as("score"))
   }
 
+  /** WINDOWED co-occurrence retrieval — the middle ground between
+    * [[bm25]]'s bag-of-words and [[bm25Phrase]]'s verbatim adjacency:
+    * docs where EVERY query term occurs within `window` tokens of an
+    * anchor occurrence of the first term, in ANY order. The
+    * near-verbatim decontamination shape: a lightly edited eval
+    * sentence (word swapped, insertion) defeats exact-phrase matching
+    * but not a small window. Output: `(idCol, n_occurrences, score)` —
+    * `n_occurrences` counts anchor positions of the FIRST query term
+    * whose window covers all other terms, scored match-as-one-term like
+    * the phrase form. Same plan shape as [[bm25Phrase]]: pushed-down
+    * term filter, one shuffle to the per-doc term→positions map, then a
+    * per-row `exists`-within-window check per term — the window test is
+    * `|q − p| ≤ window` against the anchor, so a single-term query
+    * degenerates to tf. */
+  def bm25Window(index: InvertedIndex, idCol: String, query: String,
+                 window: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k1 > 0 && b >= 0 && b <= 1, s"need k1 > 0, b in [0,1]: k1=$k1 b=$b")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val terms = TextAnalysis.tokenizeDriver(query).distinct
+    require(terms.nonEmpty, "bm25Window: empty query")
+    val perDoc = prunedPostings(index, terms, pushdown = true)
+      .groupBy(col(idCol), col("dl"))
+      .agg(map_from_entries(collect_list(struct(col("term"), col("positions"))))
+        .as("tpos"), count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === terms.size)
+    val occurrences = size(filter(element_at(col("tpos"), terms.head), p =>
+      terms.tail
+        .map(t => exists(element_at(col("tpos"), t),
+          q => abs(q - p) <= window))
+        .reduceOption(_ && _).getOrElse(lit(true))))
+    val matches = perDoc
+      .select(col(idCol), col("dl"), occurrences.cast("long").as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+    val dfW = matches.agg(count(lit(1)).as("df_w"))
+    val idf = bm25Idf(index.nDocs, col("df_w"))
+    val tfNorm = bm25TfNorm(col("n_occurrences"), col("dl"), index.avgdl, k1, b)
+    matches.crossJoin(broadcast(dfW))
+      .select(col(idCol), col("n_occurrences"), (idf * tfNorm).as("score"))
+  }
+
   /** BATCH exact-phrase matching — a TABLE of phrases `(phraseIdCol,
     * phraseTextCol)` verified against the positional postings in ONE
     * pass: the decontamination-forensics primitive ("which training

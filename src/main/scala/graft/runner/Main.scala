@@ -118,6 +118,7 @@ object Main {
       |  bm25-phrase --path <index-dir> --phrase '<exact phrase>' --out <dir>
       |  bm25-batch  --path <index-dir> --queries <queries-parquet> --out <dir>
       |  bm25-phrase-batch --path <index-dir> --phrases <phrases-parquet> --out <dir>
+      |  bm25-window --path <index-dir> --query '<terms>' [--window 5] --out <dir>
       |          [--id doc_id] [--k1 1.2] [--b 0.75] [--topk 20]
       |  span-index-build  --in <docs-parquet> --path <dir>
       |          [--id doc_id] [--text text] [--span-n 8]
@@ -424,6 +425,22 @@ object Main {
       graft.operators.TextIndex.bm25Phrase(
           graft.operators.TextIndex.read(spark, req(opt, "path")),
           opt.getOrElse("id", "doc_id"), req(opt, "phrase"),
+          k1 = opt.getOrElse("k1", "1.2").toDouble,
+          b = opt.getOrElse("b", "0.75").toDouble)
+        .orderBy(org.apache.spark.sql.functions.col("score").desc,
+          org.apache.spark.sql.functions.col(opt.getOrElse("id", "doc_id")))
+        .limit(opt.getOrElse("topk", "20").toInt)
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(req(opt, "out"))
+
+    case Some("bm25-window") =>
+      // near-verbatim decontamination: all query terms within --window
+      // tokens of the first term, any order
+      val (opt, _) = parse(args.tail)
+      graft.operators.TextIndex.bm25Window(
+          graft.operators.TextIndex.read(spark, req(opt, "path")),
+          opt.getOrElse("id", "doc_id"), req(opt, "query"),
+          window = opt.getOrElse("window", "5").toInt,
           k1 = opt.getOrElse("k1", "1.2").toDouble,
           b = opt.getOrElse("b", "0.75").toDouble)
         .orderBy(org.apache.spark.sql.functions.col("score").desc,

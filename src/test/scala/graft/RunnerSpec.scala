@@ -327,6 +327,21 @@ class RunnerSpec extends SparkSpec {
     val pb = spark.read.parquet(outPB).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pb == Set((1L, 1L), (2L, 2L)), s"batch phrase hits diverge: $pb")
+    // windowed near-verbatim: "spark stream" never adjacent, but within
+    // a 2-token window in doc 3 ("spark stream windows" — adjacent) and
+    // nowhere else
+    val outW = outDir("cli-bm25-outw")
+    Main.run(Seq("bm25-window", "--path", ixEp, "--query", "join stream",
+      "--window", "9", "--out", outW), spark)
+    val wn = spark.read.parquet(outW).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wn.isEmpty, s"join and stream never share a doc here: $wn")
+    val outW2 = outDir("cli-bm25-outw2")
+    Main.run(Seq("bm25-window", "--path", ixEp, "--query", "spark stream",
+      "--window", "2", "--out", outW2), spark)
+    val wn2 = spark.read.parquet(outW2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wn2 == Set((3L, 1L)), s"windowed hits diverge: $wn2")
   }
 
   test("span-index lifecycle CLI: build → filter → merge → filter — the " +

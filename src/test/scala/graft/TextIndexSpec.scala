@@ -287,6 +287,37 @@ class TextIndexSpec extends SparkSpec {
       "epoch-grown phrase answers must equal the one-shot build's")
   }
 
+  test("bm25Window: order-free within-window co-occurrence, boundary " +
+    "inclusive, supersets the exact phrase") {
+    val wdocs = Seq(
+      (1L, "hash join x"),         // adjacent, in order
+      (2L, "join y hash"),         // distance 2, reversed
+      (3L, "hash a b c join"),     // distance 4
+      (4L, "hash only here"),
+      (5L, "join only here")
+    ).toDF("doc_id", "text")
+    val wix = TextIndex.build(wdocs, "doc_id", "text")
+    def hits(w: Int) = TextIndex.bm25Window(wix, "doc_id", "hash join", w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // window 1: adjacency either order — doc 1 only
+    assert(hits(1) == Map(1L -> 1L))
+    // window 2: doc 2's reversed pair at distance 2 enters (boundary
+    // INCLUSIVE); window 4 admits doc 3
+    assert(hits(2) == Map(1L -> 1L, 2L -> 1L))
+    assert(hits(4) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // single-term window query degenerates to tf (every hash-bearing doc)
+    assert(TextIndex.bm25Window(wix, "doc_id", "hash", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // the window form keeps a SUPERSET of the exact phrase's docs at any
+    // window ≥ 1 (order relaxed, gaps allowed)
+    val phraseDocs = TextIndex.bm25Phrase(wix, "doc_id", "hash join")
+      .collect().map(_.getLong(0)).toSet
+    assert(phraseDocs.subsetOf(hits(1).keySet))
+    intercept[IllegalArgumentException](
+      TextIndex.bm25Window(wix, "doc_id", "hash join", 0))
+  }
+
   test("bm25PhraseBatch ≡ per-phrase bm25Phrase across mixed lengths; " +
     "empty phrase vanishes") {
     val pdocs = Seq(
