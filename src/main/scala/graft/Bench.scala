@@ -298,14 +298,24 @@ object Bench {
     System.err.println(s"""[bench] spread: $spread""")
     val contractLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qsShort,"sf":"$sfDir"}"""
-    // the driver tail-captures ~2000 bytes of stdout: warn LOUDLY while
-    // there is still headroom — past the cap the driver records
-    // parsed:null with no other symptom (it did in r08/r09 and r12)
-    if (contractLine.length > 1900)
-      System.err.println(s"[bench] WARNING: contract line ${contractLine.length}" +
-        " bytes, nearing the driver's ~2000-byte tail capture — shorten " +
-        "query names or reduce stdout precision before adding more queries")
-    println(contractLine)
+    // the driver tail-captures ~2000 bytes of stdout: past the cap it
+    // records parsed:null with no other symptom (it did in r08/r09 and
+    // r12). DEGRADE DETERMINISTICALLY instead of overflowing: a
+    // parseable headline without the per-query map (which lives in
+    // bench_full.json regardless) strictly beats an unparseable line.
+    // 1980: the capture clips at ~2000 (r12's 2084-byte line lost its
+    // head); the newline is the only other byte on the final line
+    val safeLine =
+      if (contractLine.length <= 1980) contractLine
+      else {
+        System.err.println(s"[bench] contract line ${contractLine.length} B " +
+          "exceeds the ~2000-byte tail capture — emitting the headline " +
+          "without the per-query map (full map in bench_full.json)")
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,""" +
+          f""""n_queries":${results.size},"queries":{},""" +
+          f""""queries_file":"bench_full.json","sf":"$sfDir"}"""
+      }
+    println(safeLine)
     spark.stop()
   }
 

@@ -441,12 +441,23 @@ object SparkEntry {
 
   /** Span sketch for `dir`'s documents corpus, built once per JVM —
     * deterministic (spec-pinned bit-identical rebuilds), so the fixture
-    * dump and the query agree across JVMs by construction. */
+    * dump and the query agree across JVMs by construction. SIZED by the
+    * executable rule ([[Dedup.sketchGeometryFor]] over the persisted
+    * span index's N₁) rather than the fixed default width, which
+    * SATURATES at sf0.1's span population (the `kept_sketch_fixed_w16`
+    * disclosure in bench_scale_span_index.json) — per-corpus sizing
+    * keeps the profile faithful at every dir this JVM serves; depth
+    * from errorProb 1/16 = the family's historical depth 4. */
   private val spanSketchCache =
     collection.concurrent.TrieMap.empty[String, graft.operators.Dedup.SpanSketch]
   private def spanSketch(s: SparkSession, dir: String): graft.operators.Dedup.SpanSketch =
-    spanSketchCache.getOrElseUpdate(dir,
-      Dedup.buildSpanSketch(tbl(s, dir, "documents"), "doc_id", "text", n = 8))
+    spanSketchCache.getOrElseUpdate(dir, {
+      val index = s.read.parquet(spanIndexPath(s, dir))
+      val n1 = index.agg(sum("span_docs")).head().getLong(0)
+      val (w, d) = Dedup.sketchGeometryFor(n1, targetOvercount = 1L,
+        errorProb = 1.0 / 16)
+      Dedup.spanSketchFromIndex(index, width = w, depth = d)
+    })
 
   /** Encoded-word fixture for q_bpe_encode — the [[SimhashFixture]]
     * pattern: BPE TRAINING is engine-bound (an iterative argmax loop no
@@ -968,11 +979,14 @@ object SparkEntry {
 
   /** The COUNT-MIN-SKETCH form of the boilerplate gate
     * ([[Dedup.spanStatsAgainstSketch]]): the same batch profiled against
-    * a ~2 MB sketch of the corpus span index — no join, no shuffle, one
-    * narrow pass (`depth` array probes per span). The sub-linear-memory
-    * serving shape for 100 TB, where even the exact span index is
-    * corpus-scale; estimates only overcount (spec-pinned vs the exact
-    * index), and at this corpus/width the profile is exact. Oracle:
+    * a [[Dedup.sketchGeometryFor]]-sized sketch of the corpus span
+    * index — no join, no shuffle, one narrow pass (`depth` array probes
+    * per span). The sub-linear-memory serving shape for 100 TB, where
+    * even the exact span index is corpus-scale; estimates only
+    * overcount (spec-pinned vs the exact index), and at the SIZED
+    * geometry the overcount bound stays below the threshold — the
+    * fixed default width would saturate at sf0.1 (the
+    * `kept_sketch_fixed_w16` disclosure). Oracle:
     * DuckDB replays the threshold test, per-doc counting and fraction
     * from the dumped per-span estimates ([[SpanSketchFixture]]). */
   private def qDedupSpansSketch(s: SparkSession, dir: String): DataFrame =
