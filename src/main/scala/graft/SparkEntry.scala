@@ -453,9 +453,17 @@ object SparkEntry {
   private def spanSketch(s: SparkSession, dir: String): graft.operators.Dedup.SpanSketch =
     spanSketchCache.getOrElseUpdate(dir, {
       val index = s.read.parquet(spanIndexPath(s, dir))
-      val n1 = index.agg(sum("span_docs")).head().getLong(0)
-      val (w, d) = Dedup.sketchGeometryFor(n1, targetOvercount = 1L,
-        errorProb = 1.0 / 16)
+      // coalesce: sum over an empty index is null — let the builder's
+      // own "empty index" require fire, not a bare NPE here
+      val n1 = index.agg(coalesce(sum("span_docs"), lit(0L))).head().getLong(0)
+      // width CAPPED at 2^22 (134 MB at depth 4): exactness at
+      // minDocs=1 inherently costs width ∝ N₁, so past the cap the
+      // profile gracefully overcounts instead of demanding a
+      // corpus-proportional driver array — the sub-linear-memory
+      // contract beats last-ulp exactness for a coarse first gate, and
+      // the oracle replays the engine's estimates at any geometry
+      val (w, d) = Dedup.sketchGeometryFor(math.min(n1, 1L << 21),
+        targetOvercount = 1L, errorProb = 1.0 / 16)
       Dedup.spanSketchFromIndex(index, width = w, depth = d)
     })
 

@@ -154,89 +154,94 @@ object TextIndex {
       .agg(count(lit(1)).as("n_matched"), sum(idf * tfNorm).as("score"))
   }
 
+  /** Shared scaffold of the ANCHORED match forms ([[bm25Phrase]],
+    * [[bm25Window]]): pushed-down term filter → one shuffle to the
+    * per-doc term→positions map (`tpos`) with the all-terms-present
+    * filter → the caller's per-anchor occurrence count → the
+    * match-as-one-term scoring tail (tf = occurrences, df = |matching
+    * docs| from a 1-row aggregate broadcast back, never a
+    * single-partition window). ONE copy of the tail, so a scoring
+    * change cannot desynchronize phrase from window serving — the same
+    * rule as [[bm25Idf]]/[[bm25TfNorm]] for the bag-of-words forms. The
+    * match set is read twice (df scalar + scoring) — two passes over
+    * the pruned slice, the price of not single-partitioning the
+    * corpus-scale match set. */
+  private def scoreAnchoredMatches(index: InvertedIndex, idCol: String,
+                                   distinctTerms: Seq[String],
+                                   occurrences: Column,
+                                   k1: Double, b: Double): DataFrame = {
+    val perDoc = prunedPostings(index, distinctTerms, pushdown = true)
+      .groupBy(col(idCol), col("dl"))
+      .agg(map_from_entries(collect_list(struct(col("term"), col("positions"))))
+        .as("tpos"), count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === distinctTerms.size) // every term present
+    val matches = perDoc
+      .select(col(idCol), col("dl"), occurrences.cast("long").as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+    val dfm = matches.agg(count(lit(1)).as("df_m"))
+    val idf = bm25Idf(index.nDocs, col("df_m"))
+    val tfNorm = bm25TfNorm(col("n_occurrences"), col("dl"), index.avgdl, k1, b)
+    matches.crossJoin(broadcast(dfm))
+      .select(col(idCol), col("n_occurrences"), (idf * tfNorm).as("score"))
+  }
+
   /** EXACT-PHRASE retrieval over the positional postings — the
     * decontamination-forensics query ("which training documents contain
     * this eval sentence verbatim") bag-of-words BM25 cannot answer.
     * Output: `(idCol, n_occurrences, score)` for every doc containing
     * the phrase at least once, where `n_occurrences` counts verbatim
-    * occurrences and `score` is BM25 treating THE PHRASE AS ONE TERM —
-    * tf = occurrence count, df = |docs containing the phrase| (computed
-    * from the match set itself: a 1-row aggregate broadcast back, never
-    * a single-partition window).
+    * occurrences and `score` is BM25 treating THE PHRASE AS ONE TERM.
     *
-    * Plan shape: the phrase's distinct terms push into the postings
-    * scan as the same literal `isin` as [[bm25]] (term-sorted layouts
-    * prune to the query terms' row groups); one shuffle groups the
-    * surviving postings per doc into a term→positions map; adjacency is
-    * then a PER-ROW higher-order filter over the first term's position
-    * list (`p` starts an occurrence iff term_i's list contains `p + i`
-    * for all i — duplicate phrase terms just look up the same map entry
-    * at two offsets), all codegen'd built-ins. The match set is read
-    * twice (df scalar + scoring) — two passes over the pruned slice,
-    * the price of not single-partitioning the corpus-scale match set. */
+    * Plan shape: [[scoreAnchoredMatches]] with adjacency as the
+    * PER-ROW higher-order filter over the first term's position list
+    * (`p` starts an occurrence iff term_i's list contains `p + i` for
+    * all i — duplicate phrase terms just look up the same map entry at
+    * two offsets), all codegen'd built-ins. */
   def bm25Phrase(index: InvertedIndex, idCol: String, phrase: String,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k1 > 0 && b >= 0 && b <= 1, s"need k1 > 0, b in [0,1]: k1=$k1 b=$b")
     val terms = TextAnalysis.tokenizeDriver(phrase)
     require(terms.nonEmpty, "bm25Phrase: empty phrase")
-    val distinctTerms = terms.distinct
-    val perDoc = prunedPostings(index, distinctTerms, pushdown = true)
-      .groupBy(col(idCol), col("dl"))
-      .agg(map_from_entries(collect_list(struct(col("term"), col("positions"))))
-        .as("tpos"), count(lit(1)).as("n_terms"))
-      .filter(col("n_terms") === distinctTerms.size) // every phrase term present
     val occurrences = size(filter(element_at(col("tpos"), terms.head), p =>
       terms.zipWithIndex.tail
         .map { case (t, i) => array_contains(element_at(col("tpos"), t), p + i) }
         .reduceOption(_ && _).getOrElse(lit(true))))
-    val matches = perDoc
-      .select(col(idCol), col("dl"), occurrences.cast("long").as("n_occurrences"))
-      .filter(col("n_occurrences") > 0)
-    val dfPhrase = matches.agg(count(lit(1)).as("df_phrase"))
-    val idf = bm25Idf(index.nDocs, col("df_phrase"))
-    val tfNorm = bm25TfNorm(col("n_occurrences"), col("dl"), index.avgdl, k1, b)
-    matches.crossJoin(broadcast(dfPhrase))
-      .select(col(idCol), col("n_occurrences"), (idf * tfNorm).as("score"))
+    scoreAnchoredMatches(index, idCol, terms.distinct, occurrences, k1, b)
   }
 
   /** WINDOWED co-occurrence retrieval — the middle ground between
     * [[bm25]]'s bag-of-words and [[bm25Phrase]]'s verbatim adjacency:
     * docs where EVERY query term occurs within `window` tokens of an
-    * anchor occurrence of the first term, in ANY order. The
-    * near-verbatim decontamination shape: a lightly edited eval
-    * sentence (word swapped, insertion) defeats exact-phrase matching
-    * but not a small window. Output: `(idCol, n_occurrences, score)` —
-    * `n_occurrences` counts anchor positions of the FIRST query term
-    * whose window covers all other terms, scored match-as-one-term like
-    * the phrase form. Same plan shape as [[bm25Phrase]]: pushed-down
-    * term filter, one shuffle to the per-doc term→positions map, then a
-    * per-row `exists`-within-window check per term — the window test is
-    * `|q − p| ≤ window` against the anchor, so a single-term query
-    * degenerates to tf. */
+    * ANCHOR occurrence of the FIRST query term. The near-verbatim
+    * decontamination shape: a lightly edited eval sentence (word
+    * swapped, insertion) defeats exact-phrase matching but not a small
+    * window.
+    *
+    * Semantics, precisely: `n_occurrences` counts positions `p` of the
+    * first query term such that every other term has some occurrence
+    * `q` with `|q − p| ≤ window`. The anchor is the FIRST term BY
+    * DESIGN — pick the rarest/most distinctive term first; reordering
+    * the query can change the matched set for 3+-term queries (the
+    * non-anchor terms are order-free AROUND the anchor, on either
+    * side). Containment guarantee: a verbatim occurrence of an L-term
+    * phrase places its last term at distance L−1 from the anchor, so
+    * the window form SUPERSETS [[bm25Phrase]]'s docs exactly when
+    * `window ≥ L − 1` (spec-pinned both ways — at window < L−1 a
+    * verbatim doc can be missed, which is the reason the phrase form
+    * exists). A single-term query degenerates to tf. Output and plan
+    * shape: [[scoreAnchoredMatches]]. */
   def bm25Window(index: InvertedIndex, idCol: String, query: String,
                  window: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k1 > 0 && b >= 0 && b <= 1, s"need k1 > 0, b in [0,1]: k1=$k1 b=$b")
     require(window >= 1, s"window must be >= 1, got $window")
     val terms = TextAnalysis.tokenizeDriver(query).distinct
     require(terms.nonEmpty, "bm25Window: empty query")
-    val perDoc = prunedPostings(index, terms, pushdown = true)
-      .groupBy(col(idCol), col("dl"))
-      .agg(map_from_entries(collect_list(struct(col("term"), col("positions"))))
-        .as("tpos"), count(lit(1)).as("n_terms"))
-      .filter(col("n_terms") === terms.size)
     val occurrences = size(filter(element_at(col("tpos"), terms.head), p =>
       terms.tail
         .map(t => exists(element_at(col("tpos"), t),
           q => abs(q - p) <= window))
         .reduceOption(_ && _).getOrElse(lit(true))))
-    val matches = perDoc
-      .select(col(idCol), col("dl"), occurrences.cast("long").as("n_occurrences"))
-      .filter(col("n_occurrences") > 0)
-    val dfW = matches.agg(count(lit(1)).as("df_w"))
-    val idf = bm25Idf(index.nDocs, col("df_w"))
-    val tfNorm = bm25TfNorm(col("n_occurrences"), col("dl"), index.avgdl, k1, b)
-    matches.crossJoin(broadcast(dfW))
-      .select(col(idCol), col("n_occurrences"), (idf * tfNorm).as("score"))
+    scoreAnchoredMatches(index, idCol, terms, occurrences, k1, b)
   }
 
   /** BATCH exact-phrase matching — a TABLE of phrases `(phraseIdCol,

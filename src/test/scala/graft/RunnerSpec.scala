@@ -327,21 +327,28 @@ class RunnerSpec extends SparkSpec {
     val pb = spark.read.parquet(outPB).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pb == Set((1L, 1L), (2L, 2L)), s"batch phrase hits diverge: $pb")
-    // windowed near-verbatim: "spark stream" never adjacent, but within
-    // a 2-token window in doc 3 ("spark stream windows" — adjacent) and
-    // nowhere else
+    // windowed near-verbatim through the CLI: terms that never share a
+    // doc stay empty at any window...
     val outW = outDir("cli-bm25-outw")
     Main.run(Seq("bm25-window", "--path", ixEp, "--query", "join stream",
       "--window", "9", "--out", outW), spark)
     val wn = spark.read.parquet(outW).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(wn.isEmpty, s"join and stream never share a doc here: $wn")
+    // ...and a REVERSED query ("stream spark" vs doc 3's "spark stream
+    // windows") still hits — the windowed form matches around the
+    // anchor where bm25-phrase would demand verbatim order
     val outW2 = outDir("cli-bm25-outw2")
-    Main.run(Seq("bm25-window", "--path", ixEp, "--query", "spark stream",
+    Main.run(Seq("bm25-window", "--path", ixEp, "--query", "stream spark",
       "--window", "2", "--out", outW2), spark)
     val wn2 = spark.read.parquet(outW2).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(wn2 == Set((3L, 1L)), s"windowed hits diverge: $wn2")
+    assert(wn2 == Set((3L, 1L)), s"reversed windowed hits diverge: $wn2")
+    val outP2 = outDir("cli-bm25-outp2")
+    Main.run(Seq("bm25-phrase", "--path", ixEp, "--phrase", "stream spark",
+      "--out", outP2), spark)
+    assert(spark.read.parquet(outP2).count() == 0,
+      "the exact-phrase form must NOT match the reversed order")
   }
 
   test("span-index lifecycle CLI: build → filter → merge → filter — the " +

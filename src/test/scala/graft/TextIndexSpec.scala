@@ -309,11 +309,28 @@ class TextIndexSpec extends SparkSpec {
     assert(TextIndex.bm25Window(wix, "doc_id", "hash", 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
-    // the window form keeps a SUPERSET of the exact phrase's docs at any
-    // window ≥ 1 (order relaxed, gaps allowed)
+    // containment guarantee, BOTH directions: the window form supersets
+    // the exact phrase's docs exactly when window ≥ L−1 (an L-term
+    // verbatim occurrence puts its last term at L−1 from the anchor)...
     val phraseDocs = TextIndex.bm25Phrase(wix, "doc_id", "hash join")
       .collect().map(_.getLong(0)).toSet
-    assert(phraseDocs.subsetOf(hits(1).keySet))
+    assert(phraseDocs.subsetOf(hits(1).keySet), "L=2 ⇒ window 1 suffices")
+    // ...and BELOW that bound a verbatim doc IS missed — the documented
+    // reason the phrase form exists (3-term phrase, window 1: 'x' sits
+    // at distance 2 from the 'hash' anchor in doc 1)
+    val phrase3 = TextIndex.bm25Phrase(wix, "doc_id", "hash join x")
+      .collect().map(_.getLong(0)).toSet
+    assert(phrase3 == Set(1L))
+    assert(TextIndex.bm25Window(wix, "doc_id", "hash join x", 1).count() == 0,
+      "window < L−1 must be allowed to miss the verbatim doc")
+    assert(TextIndex.bm25Window(wix, "doc_id", "hash join x", 2)
+      .collect().map(_.getLong(0)).toSet.contains(1L),
+      "window = L−1 restores the containment guarantee")
+    // anchor-order contract: the FIRST term anchors, the others are
+    // order-free around it — reordering 2-term queries never changes
+    // the matched set (|q−p| is symmetric)
+    assert(TextIndex.bm25Window(wix, "doc_id", "join hash", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == hits(2))
     intercept[IllegalArgumentException](
       TextIndex.bm25Window(wix, "doc_id", "hash join", 0))
   }
