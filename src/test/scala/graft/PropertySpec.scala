@@ -836,6 +836,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("retrieval family on random corpora: phrase ≡ driver reference, " +
+    "batch ≡ per-phrase singles, window(L−1) ⊇ phrase") {
+    import graft.operators.TextIndex
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val doc = Gen.chooseNum(0, 9).flatMap(len => Gen.listOfN(len, word))
+    val phraseGen = Gen.chooseNum(1, 3).flatMap(len => Gen.listOfN(len, word))
+      .map(_.mkString(" "))
+    forAll(Gen.zip(Gen.listOfN(7, doc), Gen.listOfN(3, phraseGen)), n = 4) {
+      case (docs, phrasesRaw) =>
+        val phrases = phrasesRaw.distinct
+        val cdf = docs.indices.map(_.toLong).zip(docs.map(_.mkString(" ")))
+          .toDF("doc_id", "text")
+        whenever(docs.exists(_.nonEmpty)) {
+          val ix = TextIndex.build(cdf, "doc_id", "text")
+          // driver-side reference: sliding-window verbatim containment
+          def refOcc(d: List[String], ph: Seq[String]): Long =
+            if (d.size < ph.size) 0L
+            else d.sliding(ph.size).count(_ == ph.toList).toLong
+          phrases.foreach { ph =>
+            val terms = ph.split(" ").toSeq
+            val want = docs.zipWithIndex
+              .map { case (d, i) => i.toLong -> refOcc(d, terms) }
+              .filter(_._2 > 0).toMap
+            val got = TextIndex.bm25Phrase(ix, "doc_id", ph).collect()
+              .map(r => r.getLong(0) -> r.getLong(1)).toMap
+            assert(got == want, s"phrase '$ph' over $docs: $got vs $want")
+            // window(L−1) must keep every phrase-matching doc standing
+            if (terms.size > 1) {
+              val wdocs = TextIndex.bm25Window(ix, "doc_id",
+                terms.distinct.mkString(" "), window = terms.size - 1)
+                .collect().map(_.getLong(0)).toSet
+              assert(want.keySet.subsetOf(wdocs),
+                s"window(L-1) missed phrase docs for '$ph': $wdocs vs ${want.keySet}")
+            }
+          }
+          // batch ≡ per-phrase singles, including occurrence counts
+          val pdf = phrases.zipWithIndex
+            .map { case (p, i) => (i.toLong, p) }.toDF("phrase_id", "phrase")
+          val batch = TextIndex.bm25PhraseBatch(ix, "doc_id", pdf,
+              "phrase_id", "phrase").collect()
+            .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+          val singles = phrases.zipWithIndex.flatMap { case (p, i) =>
+            TextIndex.bm25Phrase(ix, "doc_id", p).collect()
+              .map(r => (i.toLong, r.getLong(0)) -> r.getLong(1))
+          }.toMap
+          assert(batch == singles,
+            s"batch diverged from singles over $docs / $phrases")
+        }
+    }
+  }
+
   test("ensureColumns: arbitrary column subsets conform to the full schema") {
     forAll(Gen.someOf(Schemas.mem.fieldNames.toSeq)) { keep =>
       whenever(keep.nonEmpty) {

@@ -1814,6 +1814,20 @@ class TrainingOpsSpec extends SparkSpec {
     // targets: w = (1800^.5, 200^.5) -> shares ~ (0.75, 0.25); md5
     // cutoffs realize them within binomial noise
     assert(math.abs(bySrc("big") - 750) < 90 && math.abs(bySrc("small") - 250) < 60)
+    // null strata: excluded from the weight computation instead of
+    // NPE-ing as a null map key (they can never be sampled — the cutoff
+    // filter's equality never matches null), and the non-null strata
+    // sample exactly as if the null rows were absent
+    val withNull = docs.withColumn("src",
+      when(col("doc_id") % 10 === 0, lit(null: String)).otherwise(col("src")))
+    val keptNull = sampleByTemperature(withNull, "doc_id", "src", 0.5, 1000L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(keptNull.forall(_._2 != null), "null-stratum rows never sampled")
+    val reference = sampleByTemperature(withNull.filter(col("src").isNotNull),
+        "doc_id", "src", 0.5, 1000L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(keptNull.sorted.toSeq == reference.sorted.toSeq,
+      "null rows must not perturb the non-null strata's sample")
   }
 
   test("Pipeline.curate lmGate: the reference-LM stage drops improbable-bigram " +
