@@ -278,6 +278,14 @@ object Bench {
       "q_embed_lsh_pairs" -> ((0.60, 1.60)),
       "q_interval_join_auto" -> ((0.20, 0.65)))
     val medians = results.map(r => r._1 -> r._2).toMap
+    // a band whose query vanished from the suite is a LOST gate, not a
+    // pass — surface it loudly instead of silently omitting the entry
+    expectedBands.collect { case (k, _) if !medians.contains(k) => k } match {
+      case missing if missing.nonEmpty =>
+        System.err.println(s"[bench] WARNING: banded queries missing from " +
+          s"this run (renamed/dropped?): ${missing.mkString(", ")}")
+      case _ =>
+    }
     val bands = expectedBands.collect {
       case (k, (lo, hi)) if medians.contains(k) =>
         val m = medians(k)

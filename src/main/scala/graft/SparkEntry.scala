@@ -799,15 +799,15 @@ object SparkEntry {
       .write.mode("overwrite").parquet(SpanFixture)
     Dedup.hashedWordShingles(dedupIndexBatch(s, dir), "doc_id", "text", k = 8)
       .write.mode("overwrite").parquet(SpanBatchFixture)
-    dedupIndexBatch(s, dir).select(col("doc_id").as("sh_id"),
-        posexplode_outer(graft.functions.ShingleHashes
-          .shingleHashes(col("text"), 8)).as(Seq("pos", "shingle")))
-      // the null-shingle sentinel must carry a NULL estimate: Spark's
-      // hash functions SKIP null arguments (xxhash64(d, null) ==
-      // xxhash64(d)), so an unguarded probe would hand the zero-span
-      // sentinel a real counter value and the oracle a phantom hit
-      .withColumn("est", when(col("shingle").isNotNull,
-        Dedup.spanSketchEstimate(spanSketch(s, dir), col("shingle"))))
+    // broadcast-backed estimates (SpanSketchValue): the sized sketch's
+    // counter matrix must never ride the task binaries as a typedLit —
+    // the null-shingle sentinel keeps its NULL estimate through the
+    // expression's own null propagation (no hash-skip hazard)
+    Dedup.withSpanSketchEstimates(
+        dedupIndexBatch(s, dir).select(col("doc_id").as("sh_id"),
+          posexplode_outer(graft.functions.ShingleHashes
+            .shingleHashes(col("text"), 8)).as(Seq("pos", "shingle"))),
+        spanSketch(s, dir), "shingle", "est")
       .select("sh_id", "shingle", "est")
       .write.mode("overwrite").parquet(SpanSketchFixture)
     // posexplode_OUTER on both positional fixtures: a doc whose text

@@ -1355,15 +1355,23 @@ object Dedup {
       * product over rows of the fraction of counters ≥ minDocs. Exact
       * arithmetic over the matrix already in driver memory (one
       * `depth · width` pass), no probabilistic assumptions beyond the
-      * hash uniformity the sketch already relies on. */
+      * hash uniformity the sketch already relies on. MEMOIZED per
+      * threshold: the counters are immutable and the gate checks the
+      * same (sketch, minDocs) once per micro-batch through
+      * [[graft.streaming.SpanIngest.sink]] — rescanning a
+      * multi-million-counter matrix per batch would put seconds of
+      * driver work on the hot path for a constant. */
+    @transient private lazy val passRateCache =
+      scala.collection.concurrent.TrieMap.empty[Long, Double]
     def absentPassRate(minDocs: Long): Double =
-      (0 until depth).map { d =>
-        var hot = 0
-        var i = d * width
-        val end = i + width
-        while (i < end) { if (counts(i) >= minDocs) hot += 1; i += 1 }
-        hot.toDouble / width
-      }.product
+      passRateCache.getOrElseUpdate(minDocs,
+        (0 until depth).map { d =>
+          var hot = 0
+          var i = d * width
+          val end = i + width
+          while (i < end) { if (counts(i) >= minDocs) hot += 1; i += 1 }
+          hot.toDouble / width
+        }.product)
 
     /** A sketch is SATURATED for a gate threshold when an absent span
       * would pass it more often than `maxAbsentPassRate` — at that point
@@ -1443,6 +1451,21 @@ object Dedup {
       element_at(flat, (lit(d * sketch.width) +
         pmod(xxhash64(lit(d), h), lit(sketch.width.toLong))).cast("int") + 1)
     }: _*)
+  }
+
+  /** Attach each row's count-min estimate for `hashCol` as `outCol`,
+    * with the counter matrix on a REAL broadcast (the native
+    * [[graft.functions.SpanSketchValue]] expression) — the form fixture
+    * dumps and estimate-reporting pipelines should use at
+    * [[sketchGeometryFor]]-sized geometries, where
+    * [[spanSketchEstimate]]'s `typedLit` matrix would ride every task
+    * binary. Null hashes yield null estimates (the zero-span sentinel
+    * contract). Bit-equal to the literal form, spec-pinned. */
+  def withSpanSketchEstimates(df: DataFrame, sketch: SpanSketch,
+                              hashCol: String, outCol: String): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(sketch.counts)
+    df.withColumn(outCol, graft.functions.SpanSketchValue.estimate(
+      col(hashCol), bc, sketch.width, sketch.depth))
   }
 
   /** [[spanStatsAgainstIndex]] served from a [[SpanSketch]]: per batch

@@ -438,21 +438,26 @@ object Similarity {
     // "a dominates b" under the chosen priority; both orders of a pair
     // appear under centroid_dist (no a<b pre-filter), so the join sees
     // each unordered pair twice there — the price of a non-id priority,
-    // still an equi-join on the cluster key
+    // still an equi-join on the cluster key. Self-pairs need no extra
+    // filter: id-order excludes equality, and an exact dist tie falls
+    // to the id comparison, which a self-pair fails.
     val dominates =
       if (byDist) col("__da") > col("__db") ||
         (col("__da") === col("__db") && col("__id_a") < col("__id_b"))
       else col("__id_a") < col("__id_b")
     val losers = a.join(b, Seq("coarse"))
-      .filter(col("__id_a") =!= col("__id_b"))
       .filter(dominates)
       .filter(cosine(col("va"), col("vb"), col("na"), col("nb")) >= minCosine)
       .select(col("__id_b").as(idCol)).distinct()
       .withColumn("__loser", lit(true))
+    // the helper's dist column is internal — drop it for schema parity
+    // with the id rule, UNLESS the caller's input already carried one
+    // (then it stays, recomputed against these centroids)
+    val dropDist = byDist && !df.columns.contains("centroid_dist")
     labeled.join(losers, Seq(idCol), "left")
       .withColumn("kept", col("__loser").isNull)
       .drop("__loser")
-      .drop((if (byDist) Seq("centroid_dist") else Seq.empty[String]): _*)
+      .drop((if (dropDist) Seq("centroid_dist") else Seq.empty[String]): _*)
   }
 
   /** The filter form of [[withSemDupFlag]]: only the semantic-dedup

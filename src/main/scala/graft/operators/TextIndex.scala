@@ -273,9 +273,13 @@ object TextIndex {
     val unitsRaw = phrases
       .select(col(phraseIdCol), size(toks).as("__plen"),
         posexplode(TextAnalysis.tokens(col(phraseTextCol))).as(Seq("__off", "term")))
-    // ONE evaluation of the phrase table feeds both pushdown and join
+    // ONE evaluation of the phrase table feeds both pushdown and join;
+    // the no-pushdown path (huge tables, no driver collect) MATERIALIZES
+    // instead — its two join references would otherwise re-evaluate a
+    // non-deterministic source, the same hazard localizedUnits closes
     val (units, termSet) =
-      if (pushdownTerms) localizedUnits(unitsRaw) else (unitsRaw, Seq.empty)
+      if (pushdownTerms) localizedUnits(unitsRaw)
+      else (Materialize.eagerCheckpoint(unitsRaw), Seq.empty)
     val perDoc = prunedPostings(index, termSet, pushdownTerms)
       .join(broadcast(units), Seq("term"))
       .groupBy(col(phraseIdCol), col(idCol), col("dl"), col("__plen"))
@@ -327,9 +331,12 @@ object TextIndex {
     require(k1 > 0 && b >= 0 && b <= 1, s"need k1 > 0, b in [0,1]: k1=$k1 b=$b")
     val qTermsRaw = queries.select(col(queryIdCol),
       explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as("term"))
-    // ONE evaluation of the query table feeds both pushdown and joins
+    // ONE evaluation of the query table feeds both pushdown and joins;
+    // the no-pushdown path materializes for the same single-evaluation
+    // guarantee without a driver collect (see bm25PhraseBatch)
     val (qTerms, termSet) =
-      if (pushdownTerms) localizedUnits(qTermsRaw) else (qTermsRaw, Seq.empty)
+      if (pushdownTerms) localizedUnits(qTermsRaw)
+      else (Materialize.eagerCheckpoint(qTermsRaw), Seq.empty)
     val idf = bm25Idf(index.nDocs, col("df"))
     val tfNorm = bm25TfNorm(col("tf"), col("dl"), index.avgdl, k1, b)
     prunedPostings(index, termSet, pushdownTerms)
@@ -451,8 +458,13 @@ object TextIndex {
       // a positional epoch next to it would either null out old epochs'
       // positions (silently dropping their docs from every phrase query)
       // or lose the column at compaction, depending on which schema the
-      // reader samples. Refuse and name the migration.
-      val baseCols = spark.read.parquet(s"$path/postings").schema.fieldNames
+      // reader samples. Refuse and name the migration. ONE committed
+      // epoch dir answers the question — epochs share one schema by
+      // construction, and probing the whole tree would pay a full
+      // partition listing per append (per MICRO-BATCH through the
+      // streaming sink).
+      val baseCols = spark.read
+        .parquet(s"$path/postings/epoch=${committed.head}").schema.fieldNames
       require(baseCols.contains("positions"),
         s"appendEpoch: the committed index at $path predates positional " +
           "postings (no `positions` column) — rebuild it via " +

@@ -115,11 +115,17 @@ object Main {
       |          [--id doc_id] [--text text] [--term-partitions 32]
       |  bm25-compact --path <index-dir> [--term-partitions 32]
       |  bm25-search --path <index-dir> --query '<terms>' --out <dir>
+      |          [--id doc_id] [--k1 1.2] [--b 0.75] [--topk 20]
       |  bm25-phrase --path <index-dir> --phrase '<exact phrase>' --out <dir>
-      |  bm25-batch  --path <index-dir> --queries <queries-parquet> --out <dir>
-      |  bm25-phrase-batch --path <index-dir> --phrases <phrases-parquet> --out <dir>
+      |          [--id doc_id] [--k1 1.2] [--b 0.75] [--topk 20]
       |  bm25-window --path <index-dir> --query '<terms>' [--window 5] --out <dir>
       |          [--id doc_id] [--k1 1.2] [--b 0.75] [--topk 20]
+      |  bm25-batch  --path <index-dir> --queries <queries-parquet> --out <dir>
+      |          [--id doc_id] [--query-id query_id] [--query-text query]
+      |          [--k1 1.2] [--b 0.75]  (full per-query scored sets; no top-k)
+      |  bm25-phrase-batch --path <index-dir> --phrases <phrases-parquet> --out <dir>
+      |          [--id doc_id] [--phrase-id phrase_id] [--phrase-text phrase]
+      |          [--k1 1.2] [--b 0.75]  (full per-phrase match sets; no top-k)
       |  span-index-build  --in <docs-parquet> --path <dir>
       |          [--id doc_id] [--text text] [--span-n 8]
       |  span-index-merge  --path <index-dir> --in <docs-parquet> --out <dir>

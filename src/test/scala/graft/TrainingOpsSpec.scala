@@ -2045,6 +2045,21 @@ class TrainingOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaW8Native == viaW8Hof,
       s"native probe diverged from the Column form: $viaW8Native vs $viaW8Hof")
+    // the broadcast-backed SCALAR estimate (the fixture dump's
+    // transport) is bit-equal to the literal form per hash, and a null
+    // hash keeps a NULL estimate (the zero-span sentinel contract)
+    val hashes = Dedup.hashedWordShingles(corpus, "doc_id", "text", n)
+      .select($"shingle").distinct()
+      .unionByName(Seq(Tuple1(Option.empty[Long])).toDF("shingle"))
+    val both = Dedup.withSpanSketchEstimates(
+        hashes.withColumn("lit", Dedup.spanSketchEstimate(w8, $"shingle")),
+        w8, "shingle", "bcv")
+      .collect()
+    both.foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(2), "null hash must keep NULL estimate")
+      else assert(r.getLong(1) == r.getLong(2),
+        s"broadcast estimate diverged at hash ${r.getLong(0)}")
+    }
     // the gate's plan is NARROW: scanning the batch through the sketch
     // filter plans no exchange at all — the whole point at 100 TB
     val gated = Dedup.filterAgainstSpanSketch(batch, ample, "doc_id", "text")
