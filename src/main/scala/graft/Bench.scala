@@ -276,7 +276,10 @@ object Bench {
       "q_ngram_jaccard" -> ((1.30, 4.00)),
       "q_interval_join_bucketed" -> ((1.00, 2.30)),
       "q_embed_lsh_pairs" -> ((0.60, 1.60)),
-      "q_interval_join_auto" -> ((0.20, 0.65)))
+      "q_interval_join_auto" -> ((0.20, 0.65)),
+      // r12 0.82 / r13 1.06 on an unchanged plan — the r13 verdict's
+      // largest unexplained mover; banded so its drift is adjudicable
+      "q_semdedup_lsh" -> ((0.55, 1.60)))
     val medians = results.map(r => r._1 -> r._2).toMap
     // a band whose query vanished from the suite is a LOST gate, not a
     // pass — surface it loudly instead of silently omitting the entry
@@ -292,9 +295,47 @@ object Bench {
         f""""$k":{"lo":$lo%.2f,"hi":$hi%.2f,"median":$m%.4f,"in_band":${m >= lo && m <= hi}}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // ATTRIBUTION for q_bm25 (the r13 verdict's ask): its timed body is
+    // build + serve in one plan — the positional postings land their
+    // sort_array/collect_list cost in the BUILD half, invisible in the
+    // single number. Measure the halves separately (median-of-reps,
+    // same isolation) so a build-side schema tax can never masquerade
+    // as a serving regression. Untimed by the suite: runs after the
+    // timed loop, and only when q_bm25 itself ran.
+    val attribution =
+      if (!medians.contains("q_bm25")) "{}"
+      else {
+        import org.apache.spark.sql.functions.{col, count, lit, sum}
+        import graft.operators.TextIndex
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text")
+        def med(drop: Boolean)(body: () => Unit): Double =
+          (0 until reps).map { _ =>
+            if (drop) dropPersistedState()
+            else { System.gc(); Thread.sleep(200) } // settle without
+            // unpersisting (the serve half reads the build's checkpoint)
+            val t0 = System.nanoTime()
+            body()
+            (System.nanoTime() - t0) / 1e9
+          }.sorted.apply(reps / 2)
+        val buildSecs = med(drop = true) { () =>
+          // build() eagerly materializes the postings aggregate and runs
+          // the scalar pass — the build half, exactly as q_bm25 pays it
+          TextIndex.build(docs, "doc_id", "text"); ()
+        }
+        val ix = TextIndex.build(docs, "doc_id", "text")
+        val serveSecs = med(drop = false) { () =>
+          TextIndex.bm25(ix, "doc_id", "spark hash join stream")
+            .agg(count(lit(1)), sum("score")).head(); ()
+        }
+        dropPersistedState()
+        f"""{"q_bm25":{"build_secs":$buildSecs%.4f,"serve_secs":$serveSecs%.4f,""" +
+          f""""note":"timed q_bm25 = build + serve in one body; the positional sort_array/collect_list tax lands in build_secs"}}"""
+      }
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
-        s""""queries":$qs,"spread":$spread,"io":$io,"bands":$bands,"sf":"$sfDir"}"""
+        s""""queries":$qs,"spread":$spread,"io":$io,"bands":$bands,""" +
+        s""""attribution":$attribution,"sf":"$sfDir"}"""
     // full record (timings + io) goes to DISK so no tail-capture of stdout
     // can ever clip it; stdout keeps the contract's ONE compact JSON line,
     // printed LAST so a tail capture always retains it (io metrics live in

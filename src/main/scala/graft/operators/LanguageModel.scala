@@ -266,16 +266,25 @@ object LanguageModel {
     * carrying (vocab_size, alpha) — written LAST, the same
     * commit-marker role as the index families' `_meta`: a crashed write
     * leaves no meta and [[read]] fails loudly instead of serving a
-    * partial model. Any EXISTING layout at `path` is removed first
+    * partial model. Any EXISTING LM LAYOUT at `path` is removed first
     * ([[TextIndex.write]]'s rebuild semantics): without this, a crashed
     * RE-write would leave the old commit marker standing over a mix of
     * new and old tables — a "committed" Frankenstein model [[read]]
-    * would happily serve. For an always-servable rebuild of a LIVE
-    * model, write to a side dir and rename. */
+    * would happily serve. The pre-delete is scoped to the KNOWN layout
+    * subdirs (bigrams/contexts/meta plus the interpolated form's
+    * unigrams/interp_meta, so a plain re-write over an interpolated
+    * layout can never leave a stale `interp_meta` standing over fresh
+    * tables) — a recursive delete of the whole path would destroy
+    * unrelated data a caller happened to co-locate under it, turning a
+    * config slip into data loss. For an always-servable rebuild of a
+    * LIVE model, write to a side dir and rename. */
   def write(lm: BigramLm, path: String): Unit = {
     val spark = lm.bigrams.sparkSession
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val hc = spark.sparkContext.hadoopConfiguration
+    Seq("bigrams", "contexts", "meta", "unigrams", "interp_meta").foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$d")
+      p.getFileSystem(hc).delete(p, true)
+    }
     lm.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
     lm.contexts.write.mode("overwrite").parquet(s"$path/contexts")
     spark.createDataFrame(Seq((lm.vocabSize, lm.alpha)))

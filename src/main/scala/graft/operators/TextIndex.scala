@@ -122,15 +122,35 @@ object TextIndex {
     else if (terms.isEmpty) index.postings.where(lit(false))
     else index.postings.filter(col("term").isin(terms.map(lit): _*))
 
+  /** The executable bound on [[localizedUnits]]'s driver collect — the
+    * serving contract (eval-suite-scale query tables) made a runtime
+    * guard, in the [[graft.operators.Dedup.sketchGeometryFor]] spirit:
+    * past it the pushdown path would OOM the driver, so it fails loudly
+    * and names the `pushdownTerms = false` escape, which materializes
+    * the unit table distributedly instead. A million units is far past
+    * any eval suite and still only ~tens of MB of driver heap, so the
+    * guard never fires on the contract's intended callers. */
+  val MaxPushdownUnits: Int = 1000000
+
   /** Collect a (small, caller-contract) query/phrase unit frame ONCE
     * and rebuild it as a local relation: one evaluation serves both the
     * literal pushdown and the broadcast joins. Without this, a
     * non-deterministic query source (sample(), a re-read directory)
     * would be evaluated separately for the pushdown and the join — a
     * term present in one evaluation but not the other silently drops
-    * its matches instead of failing. */
+    * its matches instead of failing. The collect is capped at
+    * [[MaxPushdownUnits]] (via `limit`, so an oversized table never
+    * lands on the driver before the check) — the one evaluation the
+    * single-evaluation guarantee rides on is the limited one, and in
+    * the passing case `limit(cap + 1)` returns every row. */
   private def localizedUnits(units: DataFrame): (DataFrame, Seq[String]) = {
-    val rows = units.collect()
+    val rows = units.limit(MaxPushdownUnits + 1).collect()
+    require(rows.length <= MaxPushdownUnits,
+      s"bm25 batch serve: the query/phrase unit table exceeds " +
+        s"$MaxPushdownUnits rows — the term-pushdown path collects it to " +
+        "the driver (the eval-suite-scale serving contract); pass " +
+        "pushdownTerms = false (CLI: --no-pushdown) to materialize it " +
+        "distributedly instead")
     val local = units.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), units.schema)
     (local, rows.map(_.getAs[String]("term")).distinct.toSeq)
@@ -408,17 +428,23 @@ object TextIndex {
     * parts under `epoch=<key>`, meta last. No existing file is read or
     * touched, so appends cost the batch, never the index. Guards, all
     * BEFORE any batch scan runs: the epoch key validates first; the
-    * target must hold a committed base OR be a genuinely FRESH path —
-    * no committed epochs AND no `_old`/`_staging` crash residue — in
-    * which case the batch bootstraps the index as its first epoch (the
-    * streaming sink's cold-start: [[graft.streaming.TextIndexIngest]]
-    * starts against an empty dir with no prior bm25-build step). A path
-    * with swap residue is NOT fresh: a crashed [[replaceIndex]] leaves
-    * the live dir missing while the real index sits at `_old`, and
-    * bootstrapping there would fabricate a one-batch "index" out of a
-    * recoverable crash — that state still fails loudly with the
-    * recovery instructions. A key colliding with a committed epoch is
-    * refused unless
+    * target must hold a committed base, UNLESS the caller passes
+    * `bootstrap = true` AND the path is genuinely FRESH — no committed
+    * epochs AND no `_old`/`_staging` crash residue — in which case the
+    * batch bootstraps the index as its first epoch (the streaming
+    * sink's cold-start: [[graft.streaming.TextIndexIngest]] starts
+    * against an empty dir with no prior bm25-build step, and passes the
+    * flag). Bootstrap is OPT-IN because a bare append to a missing
+    * index is far more often a mistyped `--path` than a deliberate cold
+    * start — silently creating a one-batch "index" there would serve
+    * confidently-wrong results forever, so the CLI's `bm25-append`
+    * stays fail-loud and only the sink (whose checkpoint pins the path)
+    * opts in. A path with swap residue is NOT fresh even under the
+    * flag: a crashed [[replaceIndex]] leaves the live dir missing while
+    * the real index sits at `_old`, and bootstrapping there would
+    * fabricate a one-batch "index" out of a recoverable crash — that
+    * state still fails loudly with the recovery instructions. A key
+    * colliding with a committed epoch is refused unless
     * `allowReplace` — the deliberate replay semantics
     * [[graft.streaming.TextIndexIngest]] opts into with its batch-id
     * keys, where same key ⇒ same rows and the overwrite is idempotent
@@ -426,11 +452,18 @@ object TextIndex {
   def appendEpoch(batch: DataFrame, path: String, idCol: String,
                   textCol: String, epoch: String,
                   termPartitions: Int = 32,
-                  allowReplace: Boolean = false): Unit = {
+                  allowReplace: Boolean = false,
+                  bootstrap: Boolean = false): Unit = {
     checkEpoch(epoch)
     val spark = batch.sparkSession
     val committed = committedEpochs(spark, path)
     if (committed.isEmpty) {
+      require(bootstrap,
+        s"appendEpoch: no committed index at $path — a bare append to a " +
+          "missing index is usually a mistyped path, and bootstrapping a " +
+          "one-batch index there would serve wrong results silently; run " +
+          "TextIndex.write / bm25-build first, or pass bootstrap = true " +
+          "for a deliberate cold start (the streaming sink's contract)")
       val hc = spark.sparkContext.hadoopConfiguration
       def exists(p: String) = {
         val hp = new org.apache.hadoop.fs.Path(p)
@@ -452,7 +485,7 @@ object TextIndex {
           "epochs (a pre-epoch flat index or a crashed build) — rebuild " +
           "via TextIndex.write / bm25-build to migrate instead of " +
           "bootstrapping epoch dirs into it")
-    } else {
+    } else if (!positionalChecked.contains(path)) {
       // schema guard against MIXED epochs: an index persisted before the
       // positional-postings schema carries no `positions` column; landing
       // a positional epoch next to it would either null out old epochs'
@@ -462,13 +495,17 @@ object TextIndex {
       // epoch dir answers the question — epochs share one schema by
       // construction, and probing the whole tree would pay a full
       // partition listing per append (per MICRO-BATCH through the
-      // streaming sink).
+      // streaming sink). The verdict is CACHED per path per JVM (the
+      // spanSketch/lmModel cache pattern): positionality cannot change
+      // after the first successful positional append, so re-reading a
+      // parquet footer per micro-batch would be a pure driver tax.
       val baseCols = spark.read
         .parquet(s"$path/postings/epoch=${committed.head}").schema.fieldNames
       require(baseCols.contains("positions"),
         s"appendEpoch: the committed index at $path predates positional " +
           "postings (no `positions` column) — rebuild it via " +
           "TextIndex.write / bm25-build before appending positional epochs")
+      positionalChecked.put(path, ())
     }
     require(allowReplace || !committed.contains(epoch),
       s"appendEpoch: epoch '$epoch' already committed at $path — a re-land " +
@@ -476,6 +513,14 @@ object TextIndex {
         "idempotent same-rows replays)")
     writeEpoch(build(batch, idCol, textCol), path, epoch, termPartitions)
   }
+
+  /** Paths whose committed layout already passed [[appendEpoch]]'s
+    * positional-schema probe this JVM — positionality is monotone (every
+    * current writer emits it), so one pass settles the question and
+    * later appends (per micro-batch, through the streaming sink) skip
+    * the footer read. */
+  private val positionalChecked =
+    collection.concurrent.TrieMap.empty[String, Unit]
 
   /** The committed epoch keys at `path` (empty when nothing is
     * committed or the meta table does not exist yet) — one bounded

@@ -122,10 +122,13 @@ object Main {
       |          [--id doc_id] [--k1 1.2] [--b 0.75] [--topk 20]
       |  bm25-batch  --path <index-dir> --queries <queries-parquet> --out <dir>
       |          [--id doc_id] [--query-id query_id] [--query-text query]
-      |          [--k1 1.2] [--b 0.75]  (full per-query scored sets; no top-k)
+      |          [--k1 1.2] [--b 0.75] [--no-pushdown]
+      |          (full per-query scored sets; no top-k; --no-pushdown for
+      |           query tables past the driver-collect bound)
       |  bm25-phrase-batch --path <index-dir> --phrases <phrases-parquet> --out <dir>
       |          [--id doc_id] [--phrase-id phrase_id] [--phrase-text phrase]
-      |          [--k1 1.2] [--b 0.75]  (full per-phrase match sets; no top-k)
+      |          [--k1 1.2] [--b 0.75] [--no-pushdown]
+      |          (full per-phrase match sets; no top-k)
       |  span-index-build  --in <docs-parquet> --path <dir>
       |          [--id doc_id] [--text text] [--span-n 8]
       |  span-index-merge  --path <index-dir> --in <docs-parquet> --out <dir>
@@ -457,8 +460,10 @@ object Main {
 
     case Some("bm25-phrase-batch") =>
       // N eval phrases verified verbatim in one pass — the
-      // decontamination-forensics loop's bulk form
-      val (opt, _) = parse(args.tail)
+      // decontamination-forensics loop's bulk form. --no-pushdown routes
+      // a huge phrase table through the distributed-materialization path
+      // (the MaxPushdownUnits driver-collect guard names this flag)
+      val (opt, flags) = parse(args.tail)
       graft.operators.TextIndex.bm25PhraseBatch(
           graft.operators.TextIndex.read(spark, req(opt, "path")),
           opt.getOrElse("id", "doc_id"),
@@ -466,15 +471,16 @@ object Main {
           opt.getOrElse("phrase-id", "phrase_id"),
           opt.getOrElse("phrase-text", "phrase"),
           k1 = opt.getOrElse("k1", "1.2").toDouble,
-          b = opt.getOrElse("b", "0.75").toDouble)
+          b = opt.getOrElse("b", "0.75").toDouble,
+          pushdownTerms = !flags("no-pushdown"))
         .write.mode("overwrite").option("compression", "zstd")
         .parquet(req(opt, "out"))
 
     case Some("bm25-batch") =>
       // the decontamination shape: a parquet TABLE of queries scored in
       // one pass over the index (full scored sets — batch callers apply
-      // their own per-query cuts downstream)
-      val (opt, _) = parse(args.tail)
+      // their own per-query cuts downstream); --no-pushdown as above
+      val (opt, flags) = parse(args.tail)
       graft.operators.TextIndex.bm25Batch(
           graft.operators.TextIndex.read(spark, req(opt, "path")),
           opt.getOrElse("id", "doc_id"),
@@ -482,7 +488,8 @@ object Main {
           opt.getOrElse("query-id", "query_id"),
           opt.getOrElse("query-text", "query"),
           k1 = opt.getOrElse("k1", "1.2").toDouble,
-          b = opt.getOrElse("b", "0.75").toDouble)
+          b = opt.getOrElse("b", "0.75").toDouble,
+          pushdownTerms = !flags("no-pushdown"))
         .write.mode("overwrite").option("compression", "zstd")
         .parquet(req(opt, "out"))
 
@@ -625,7 +632,7 @@ object Main {
 
   /** `--key value` options and bare `--flag` switches. */
   private def parse(args: Seq[String]): (Map[String, String], String => Boolean) = {
-    val bareFlags = Set("overwrite", "once", "drop-unscored")
+    val bareFlags = Set("overwrite", "once", "drop-unscored", "no-pushdown")
     val (opts, flags) = args.foldLeft((Map.empty[String, String], Set.empty[String], Option.empty[String])) {
       case ((_, _, Some(key)), v) if v.startsWith("--") =>
         // another option where a value was expected: fail loudly instead of

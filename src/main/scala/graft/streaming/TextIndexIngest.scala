@@ -11,10 +11,12 @@ import graft.operators.TextIndex
   *
   * Cold start needs no prior `bm25-build` step: the first non-empty
   * batch against a FRESH path bootstraps the index as its first epoch
-  * ([[graft.operators.TextIndex.appendEpoch]]'s bootstrap rule — a
-  * path with `_old`/`_staging` swap residue still fails loudly with
-  * the recovery instructions rather than papering over a crashed
-  * compaction).
+  * (the sink passes [[graft.operators.TextIndex.appendEpoch]]'s
+  * `bootstrap = true` — opt-in there, because for a bare CLI append a
+  * missing index is usually a mistyped path, while the sink's
+  * checkpoint pins this one; a path with `_old`/`_staging` swap
+  * residue still fails loudly with the recovery instructions rather
+  * than papering over a crashed compaction).
   *
   * Each micro-batch lands as ONE committed epoch
   * ([[graft.operators.TextIndex.appendEpoch]] — the batch is indexed
@@ -54,9 +56,12 @@ object TextIndexIngest {
         // allowReplace: a replayed batch id carries the SAME source rows
         // (Structured Streaming replays the offset range), so re-landing
         // its epoch is idempotent re-delivery, not data replacement
+        // bootstrap: the sink's cold-start contract — its checkpoint pins
+        // the path, so "no index here yet" really is a first batch, not
+        // the mistyped-path hazard that keeps bare appendEpoch fail-loud
         TextIndex.appendEpoch(batch, indexPath, idCol, textCol,
           epoch = s"b$batchId", termPartitions = termPartitions,
-          allowReplace = true)
+          allowReplace = true, bootstrap = true)
         ()
       }
 }

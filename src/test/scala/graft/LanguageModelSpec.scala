@@ -114,6 +114,19 @@ class LanguageModelSpec extends SparkSpec {
     lm.bigrams.write.parquet(s"$crashed/bigrams")
     lm.contexts.write.parquet(s"$crashed/contexts")
     intercept[Exception] { LanguageModel.read(spark, crashed) }
+    // the rebuild pre-delete is scoped to the LM layout subdirs: a
+    // caller who co-located unrelated data under the model path must
+    // not lose it to a re-write (stale interp_meta still clears)
+    val unrelated = new java.io.File(path, "unrelated-data/keep.txt")
+    unrelated.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(unrelated.toPath, "precious")
+    java.nio.file.Files.createDirectories(
+      new java.io.File(path, "interp_meta").toPath) // stale marker husk
+    LanguageModel.write(lm, path)
+    assert(unrelated.exists, "re-write must not delete unrelated data")
+    assert(!new java.io.File(path, "interp_meta").exists,
+      "a stale interp_meta must not survive a plain re-write")
+    assert(LanguageModel.read(spark, path).vocabSize == lm.vocabSize)
   }
 
   test("interpolated LM: hand-computed mixture, λ = 1 degenerates to the " +

@@ -124,28 +124,39 @@ class TextIndexSpec extends SparkSpec {
     TextIndex.appendEpoch(rest, path, "doc_id", "text", "b1",
       termPartitions = 2, allowReplace = true)
     assert(scores(TextIndex.read(spark, path)) == scores(oneShot))
-    // appending into a FRESH path bootstraps the index (the streaming
-    // cold start) — but a path with swap residue is NOT fresh: there the
-    // real index sits at the side dirs and must surface, not be papered
-    // over by a one-batch "index"
+    // appending into a FRESH path bootstraps the index ONLY under the
+    // explicit bootstrap flag (the streaming cold start): a bare append
+    // to a missing index is usually a mistyped --path, so it fails
+    // loudly instead of fabricating a one-batch "index"
     val fresh = new java.io.File(dir, "fresh").getAbsolutePath
+    val exBare = intercept[IllegalArgumentException] {
+      TextIndex.appendEpoch(rest, fresh, "doc_id", "text", "b0",
+        termPartitions = 2)
+    }
+    assert(exBare.getMessage.contains("bootstrap = true"), exBare.getMessage)
     TextIndex.appendEpoch(rest, fresh, "doc_id", "text", "b0",
-      termPartitions = 2)
+      termPartitions = 2, bootstrap = true)
     assert(TextIndex.read(spark, fresh).nDocs == 2L,
       "first epoch against a fresh path must bootstrap the index")
+    // ...but a path with swap residue is NOT fresh even under the flag:
+    // there the real index sits at the side dirs and must surface, not
+    // be papered over by a one-batch "index"
     val crashedSwap = new java.io.File(dir, "crashed-swap").getAbsolutePath
     TextIndex.write(TextIndex.build(first, "doc_id", "text"),
       crashedSwap + "_old", termPartitions = 2)
-    intercept[IllegalArgumentException] {
-      TextIndex.appendEpoch(rest, crashedSwap, "doc_id", "text", "b9")
+    val exSwap = intercept[IllegalArgumentException] {
+      TextIndex.appendEpoch(rest, crashedSwap, "doc_id", "text", "b9",
+        bootstrap = true)
     }
+    assert(exSwap.getMessage.contains("replaceIndex"), exSwap.getMessage)
     // a path with an EXISTING layout but no committed epochs (pre-epoch
     // flat index / crashed build) is NOT fresh — bootstrapping epoch
     // dirs into it would corrupt it; refuse with the migration message
     val legacy = new java.io.File(dir, "legacy").getAbsolutePath
     docs.limit(1).write.parquet(s"$legacy/meta") // meta w/o epoch column
     val exLegacy = intercept[IllegalArgumentException] {
-      TextIndex.appendEpoch(rest, legacy, "doc_id", "text", "b0")
+      TextIndex.appendEpoch(rest, legacy, "doc_id", "text", "b0",
+        bootstrap = true)
     }
     assert(exLegacy.getMessage.contains("pre-epoch"), exLegacy.getMessage)
     // a committed base WITHOUT the positions column (persisted by a
@@ -399,6 +410,20 @@ class TextIndexSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
       .toMap
     assert(noPd == out)
+  }
+
+  test("pushdown driver-collect bound: an oversized unit table fails " +
+    "loudly and names the no-pushdown escape") {
+    // 1M+1 distinct single-term queries — past MaxPushdownUnits, the
+    // eval-suite-scale contract's executable edge. The guard must fire
+    // BEFORE any postings scan and point at pushdownTerms = false.
+    val huge = spark.range(TextIndex.MaxPushdownUnits + 1L)
+      .selectExpr("id AS query_id", "concat('t', id) AS query")
+    val ex = intercept[IllegalArgumentException] {
+      TextIndex.bm25Batch(ix, "doc_id", huge, "query_id", "query")
+    }
+    assert(ex.getMessage.contains("pushdownTerms = false") &&
+      ex.getMessage.contains("no-pushdown"), ex.getMessage)
   }
 
   test("streamed ingest cold start: first batch bootstraps a fresh path") {
