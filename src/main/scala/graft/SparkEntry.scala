@@ -1309,6 +1309,47 @@ object SparkEntry {
         "text", LanguageModel.readInterpolated(s, lmInterpModelPath(s, dir)))
       .select(col("doc_id"), col("n_bigrams"), rq(col("xent"), 6).as("xent"))
 
+  /** Kneser-Ney cross-entropy per document (discount 0.75, continuation
+    * floor 0.5) — the deployed-gate smoothing family
+    * ([[graft.operators.LanguageModel.trainKneserNey]]), train + score
+    * in the timed body like [[qLmXent]]. Self-scoring keeps every
+    * bigram and context seen, so what the hash gate pins is the full
+    * discount + fan-out + continuation arithmetic on the seen path
+    * (the unseen legs are spec territory and the SERVED twin's pruned
+    * oracle). */
+  private def qLmXentKn(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val lm = LanguageModel.trainKneserNey(docs, "text")
+    LanguageModel.crossEntropyKneserNey(docs, "doc_id", "text", lm)
+      .select(col("doc_id"), col("n_bigrams"), rq(col("xent"), 6).as("xent"))
+  }
+
+  /** On-disk PRUNED KN model for `dir`'s corpus (minCount = 2) —
+    * [[lmModelPath]]'s KN sibling, written once per JVM. */
+  private val lmKnModelCache = collection.concurrent.TrieMap.empty[String, String]
+  private def lmKnModelPath(s: SparkSession, dir: String): String =
+    lmKnModelCache.getOrElseUpdate(dir, {
+      val p = new java.io.File(s"target/q-lm-kn-model/${dirKey(dir)}").getAbsolutePath
+      LanguageModel.writeKneserNey(
+        LanguageModel.pruneKneserNey(
+          LanguageModel.trainKneserNey(tbl(s, dir, "documents"), "text"),
+          minCount = 2), p)
+      p
+    })
+
+  /** The SERVING twin of [[qLmXentKn]]: score against the persisted
+    * PRUNED model. Pruned singleton bigrams drop their discounted
+    * first term and fall to the discounted-backoff leg alone — the
+    * continuation distribution (unpruned, like the interpolated form's
+    * unigram leg) still ranks them by context diversity, and the
+    * oracle replays exactly that coalesce-to-backoff arithmetic, so
+    * prune + write/read + the backoff path all sit under the hash
+    * gate. */
+  private def qLmXentKnServed(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.crossEntropyKneserNey(tbl(s, dir, "documents"), "doc_id",
+        "text", LanguageModel.readKneserNey(s, lmKnModelPath(s, dir)))
+      .select(col("doc_id"), col("n_bigrams"), rq(col("xent"), 6).as("xent"))
+
   /** On-disk PRUNED model for `dir`'s corpus (minCount = 2, the KenLM
     * deployment shape), written once per JVM — the serve-not-build
     * pattern: [[qLmXentServed]] times SCORING against the persisted
@@ -1844,6 +1885,8 @@ object SparkEntry {
     "q_lm_xent_served" -> qLmXentServed,
     "q_lm_xent_interp" -> qLmXentInterp,
     "q_lm_xent_interp_served" -> qLmXentInterpServed,
+    "q_lm_xent_kn" -> qLmXentKn,
+    "q_lm_xent_kn_served" -> qLmXentKnServed,
     "q_sample_stratified" -> qSampleStratified,
     "q_sample_temperature" -> qSampleTemperature,
     "q_sample_budget" -> qSampleBudget,
@@ -2738,6 +2781,70 @@ object SparkEntry {
         |          + (1 - 0.7) * ((uni.nw + 0.5) / (v.tt + 0.5 * v.vs))) AS logp
         |  FROM bg LEFT JOIN c12p USING (w1, w2) JOIN c1 USING (w1)
         |  JOIN uni ON uni.token = bg.w2 CROSS JOIN v),
+        | pd AS (SELECT doc_id, count(*) AS n_bigrams, -avg(logp) AS xent
+        |        FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams,
+        |       floor(pd.xent*1000000.0 + 0.5)/1000000.0 AS xent
+        |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin,
+    // Kneser-Ney bigram LM (D = 0.75, continuation floor β = 0.5),
+    // self-scored: the discounted first term, the D·fanout/n1 backoff
+    // weight, and the continuation distribution N1+(·w2)/N1+(··) are
+    // all replayed with the same literal IEEE association as the
+    // engine — self-scoring keeps every joined count seen, so inner
+    // joins on the DuckDB side
+    "q_lm_xent_kn" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        | tok AS (SELECT unnest(w) AS token FROM d),
+        | v AS (SELECT count(DISTINCT token) AS vs FROM tok),
+        | bg AS (
+        |  SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i+1 AS INT)] AS w2
+        |  FROM d, LATERAL unnest(range(1, greatest(len(w), 1))) AS t(i)),
+        | c12 AS (SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY 1, 2),
+        | c1 AS (SELECT w1, sum(n12) AS n1, count(*) AS fo FROM c12 GROUP BY 1),
+        | ct AS (SELECT w2, count(*) AS nct FROM c12 GROUP BY 1),
+        | nt AS (SELECT count(*) AS nbt FROM c12),
+        | sc AS (
+        |  SELECT bg.doc_id,
+        |         ln(greatest(c12.n12 - 0.75, 0.0) / c1.n1
+        |          + (0.75 * c1.fo / c1.n1)
+        |            * ((ct.nct + 0.5) / (nt.nbt + 0.5 * v.vs))) AS logp
+        |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        |  JOIN ct ON ct.w2 = bg.w2 CROSS JOIN nt CROSS JOIN v),
+        | pd AS (SELECT doc_id, count(*) AS n_bigrams, -avg(logp) AS xent
+        |        FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams,
+        |       floor(pd.xent*1000000.0 + 0.5)/1000000.0 AS xent
+        |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin,
+    // the served PRUNED KN model: bigrams below count 2 lose their
+    // discounted first term (LEFT JOIN + coalesce → greatest(·,0) = 0)
+    // and fall to the discounted-backoff leg alone; contexts,
+    // continuation counts and the totals keep describing the full
+    // corpus, so pruned xent upper-bounds exact
+    "q_lm_xent_kn_served" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        | tok AS (SELECT unnest(w) AS token FROM d),
+        | v AS (SELECT count(DISTINCT token) AS vs FROM tok),
+        | bg AS (
+        |  SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i+1 AS INT)] AS w2
+        |  FROM d, LATERAL unnest(range(1, greatest(len(w), 1))) AS t(i)),
+        | c12 AS (SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY 1, 2),
+        | c12p AS (SELECT * FROM c12 WHERE n12 >= 2),
+        | c1 AS (SELECT w1, sum(n12) AS n1, count(*) AS fo FROM c12 GROUP BY 1),
+        | ct AS (SELECT w2, count(*) AS nct FROM c12 GROUP BY 1),
+        | nt AS (SELECT count(*) AS nbt FROM c12),
+        | sc AS (
+        |  SELECT bg.doc_id,
+        |         ln(greatest(coalesce(c12p.n12, 0) - 0.75, 0.0) / c1.n1
+        |          + (0.75 * c1.fo / c1.n1)
+        |            * ((ct.nct + 0.5) / (nt.nbt + 0.5 * v.vs))) AS logp
+        |  FROM bg LEFT JOIN c12p USING (w1, w2) JOIN c1 USING (w1)
+        |  JOIN ct ON ct.w2 = bg.w2 CROSS JOIN nt CROSS JOIN v),
         | pd AS (SELECT doc_id, count(*) AS n_bigrams, -avg(logp) AS xent
         |        FROM sc GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams,

@@ -219,6 +219,149 @@ object LanguageModel {
       meta.getAs[Long]("total_tokens"), meta.getAs[Double]("lambda"))
   }
 
+  /** An interpolated KNESER-NEY bigram model (Kneser & Ney 1995;
+    * Chen & Goodman 1999's formulation) — the fidelity step past
+    * Jelinek-Mercer that deployed LM gates actually run (KenLM's
+    * default smoothing family): instead of backing off to how often a
+    * word OCCURS, back off to how many distinct contexts it FOLLOWS
+    * ("San Francisco" makes "Francisco" frequent but nearly
+    * single-context, so KN correctly refuses to predict it after
+    * arbitrary words — the failure mode raw-unigram backoff has).
+    *
+    *   P(w2|w1) = max(c(w1,w2) − D, 0) / c(w1·)
+    *            + (D · N1+(w1·) / c(w1·)) · Pcont(w2)
+    *   Pcont(w2) = (N1+(·w2) + β) / (N1+(··) + β·V)
+    *
+    * with D the absolute discount, N1+(w1·) the context's fan-out
+    * (distinct continuations — exactly the mass the discount freed, so
+    * the distribution stays normalized), N1+(·w2) the continuation
+    * count, N1+(··) the distinct-bigram-type total, and an add-β floor
+    * on the continuation distribution (the closed-form stand-in for
+    * KN's own OOV epsilon: a w2 never seen as a continuation gets a
+    * finite floor instead of log 0, the same role α plays in the add-α
+    * family). An UNSEEN context (c(w1·) = 0) backs off wholly to
+    * `Pcont` — the standard stupid-backoff-free handling that keeps
+    * every probability finite, so foreign corpora score without
+    * division by zero. Everything is two exact distributed
+    * aggregations over the bigram table plus scalars — closed-form,
+    * DuckDB-replayable (`q_lm_xent_kn`), unlike the KenLM binary.
+    *
+    * Tables: `bigrams` = (w1, w2, n12); `contexts` = (w1, n1 = Σ n12,
+    * fanout = N1+(w1·)); `contTypes` = (w2, nct = N1+(·w2));
+    * `nBigramTypes` = N1+(··); V rides as `vocabSize`. */
+  final case class KneserNeyLm(bigrams: DataFrame, contexts: DataFrame,
+                               contTypes: DataFrame, vocabSize: Long,
+                               nBigramTypes: Long, discount: Double,
+                               beta: Double) {
+    require(vocabSize > 0, s"KN LM needs a non-empty vocabulary, got $vocabSize")
+    require(nBigramTypes > 0,
+      s"KN LM needs at least one bigram type, got $nBigramTypes")
+    require(discount > 0.0 && discount < 1.0,
+      s"absolute discount must be in (0,1), got $discount")
+    require(beta > 0.0, s"continuation floor beta must be > 0, got $beta")
+  }
+
+  /** Train a [[KneserNeyLm]] — the same two corpus scans as [[train]]
+    * (bigram explode + vocab distinct); contexts, continuation counts
+    * and the type total all derive from the one materialized bigram
+    * table (vocabulary-scale inputs, never a corpus rescan). D = 0.75
+    * is the classic fixed discount (Chen & Goodman's D = n₁/(n₁+2n₂)
+    * estimate lands near it on natural text); β mirrors [[train]]'s
+    * default α. */
+  def trainKneserNey(docs: DataFrame, textCol: String,
+                     discount: Double = 0.75,
+                     beta: Double = 0.5): KneserNeyLm = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val bigrams = Materialize.eagerCheckpoint(docs
+      .select(explode(bigramStructs(toks)).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n12")))
+    val contexts = bigrams.groupBy("w1")
+      .agg(sum("n12").as("n1"), count(lit(1)).as("fanout"))
+    val contTypes = bigrams.groupBy("w2").agg(count(lit(1)).as("nct"))
+    val nBigramTypes = bigrams.count()
+    val vocabSize = docs.select(explode(toks).as("t"))
+      .agg(count_distinct(col("t"))).head().getLong(0)
+    KneserNeyLm(bigrams, contexts, contTypes, vocabSize, nBigramTypes,
+      discount, beta)
+  }
+
+  /** [[prune]] for the KN form: bigram pruning only — contexts,
+    * continuation counts and the totals keep describing the FULL
+    * corpus, so a pruned bigram's first term falls to zero and only
+    * the discounted-backoff leg survives. Dropping a non-negative term
+    * can only shrink P, so pruned KN xent pointwise dominates exact —
+    * the same never-understate-badness gate direction as [[prune]] /
+    * [[pruneInterpolated]]. */
+  def pruneKneserNey(lm: KneserNeyLm, minCount: Long): KneserNeyLm = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    lm.copy(bigrams = lm.bigrams.filter(col("n12") >= minCount))
+  }
+
+  /** Per-document cross-entropy under a [[KneserNeyLm]] — the
+    * [[crossEntropy]] scan shape with one more vocabulary-scale
+    * broadcast join (w2 against `contTypes`); same output contract,
+    * same single per-doc-aggregate shuffle. Every arithmetic step
+    * mirrors the oracle's literal IEEE ops (association and literal
+    * placement included), the suite-wide bit-identity discipline. */
+  def crossEntropyKneserNey(docs: DataFrame, idCol: String, textCol: String,
+                            lm: KneserNeyLm,
+                            broadcastModel: Boolean = true): DataFrame = {
+    val hinted: DataFrame => DataFrame =
+      if (broadcastModel) broadcast(_) else identity
+    val exploded = docs
+      .select(col(idCol),
+        explode(bigramStructs(TextAnalysis.tokens(col(textCol)))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val pcont = (coalesce(col("nct"), lit(0L)) + lm.beta) /
+      (lit(lm.nBigramTypes.toDouble) + lm.beta * lm.vocabSize)
+    val pSeen =
+      greatest(coalesce(col("n12"), lit(0L)) - lm.discount, lit(0.0)) / col("n1") +
+        (lit(lm.discount) * col("fanout") / col("n1")) * pcont
+    val logp = log(when(col("n1").isNull, pcont).otherwise(pSeen))
+    val perDoc = exploded
+      .join(hinted(lm.bigrams), Seq("w1", "w2"), "left")
+      .join(hinted(lm.contexts), Seq("w1"), "left")
+      .join(hinted(lm.contTypes.withColumnRenamed("w2", "__w2c")),
+        col("w2") === col("__w2c"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), (-avg(logp)).as("xent"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("xent"))
+  }
+
+  /** Persist a KN model: the three count tables plus a 1-row `kn_meta/`
+    * (vocab_size, n_bigram_types, discount, beta) written LAST — the
+    * commit-marker discipline of [[write]]; the scoped pre-delete
+    * covers every LM-layout subdir, so a KN re-write over a plain or
+    * interpolated layout can never leave that layout's commit marker
+    * standing over mixed tables. */
+  def writeKneserNey(lm: KneserNeyLm, path: String): Unit = {
+    val spark = lm.bigrams.sparkSession
+    deleteLayoutSubdirs(spark, path)
+    lm.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
+    lm.contexts.write.mode("overwrite").parquet(s"$path/contexts")
+    lm.contTypes.write.mode("overwrite").parquet(s"$path/conttypes")
+    spark.createDataFrame(
+        Seq((lm.vocabSize, lm.nBigramTypes, lm.discount, lm.beta)))
+      .toDF("vocab_size", "n_bigram_types", "discount", "beta")
+      .write.mode("overwrite").parquet(s"$path/kn_meta")
+  }
+
+  /** Load a persisted KN model (fails loudly on any other layout — no
+    * `kn_meta` commit marker there). */
+  def readKneserNey(spark: SparkSession, path: String): KneserNeyLm = {
+    val meta = spark.read.parquet(s"$path/kn_meta").head()
+    KneserNeyLm(
+      spark.read.parquet(s"$path/bigrams"),
+      spark.read.parquet(s"$path/contexts"),
+      spark.read.parquet(s"$path/conttypes"),
+      meta.getAs[Long]("vocab_size"), meta.getAs[Long]("n_bigram_types"),
+      meta.getAs[Double]("discount"), meta.getAs[Double]("beta"))
+  }
+
   /** Per-document cross-entropy under `lm`: output is
     * `(idCol, n_bigrams, xent)` for EVERY input document —
     * `n_bigrams = 0` and NULL `xent` for docs with < 2 tokens. `xent`
@@ -278,13 +421,23 @@ object LanguageModel {
     * unrelated data a caller happened to co-locate under it, turning a
     * config slip into data loss. For an always-servable rebuild of a
     * LIVE model, write to a side dir and rename. */
-  def write(lm: BigramLm, path: String): Unit = {
-    val spark = lm.bigrams.sparkSession
+  /** The scoped rebuild pre-delete shared by every LM writer: exactly
+    * the known layout subdirs of ALL the model forms (plain /
+    * interpolated / Kneser-Ney), so re-writing one form over another
+    * clears the other's commit marker too, while unrelated co-located
+    * data survives. */
+  private def deleteLayoutSubdirs(spark: SparkSession, path: String): Unit = {
     val hc = spark.sparkContext.hadoopConfiguration
-    Seq("bigrams", "contexts", "meta", "unigrams", "interp_meta").foreach { d =>
+    Seq("bigrams", "contexts", "meta", "unigrams", "interp_meta",
+        "conttypes", "kn_meta").foreach { d =>
       val p = new org.apache.hadoop.fs.Path(s"$path/$d")
       p.getFileSystem(hc).delete(p, true)
     }
+  }
+
+  def write(lm: BigramLm, path: String): Unit = {
+    val spark = lm.bigrams.sparkSession
+    deleteLayoutSubdirs(spark, path)
     lm.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
     lm.contexts.write.mode("overwrite").parquet(s"$path/contexts")
     spark.createDataFrame(Seq((lm.vocabSize, lm.alpha)))

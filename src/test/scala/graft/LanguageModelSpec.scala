@@ -175,6 +175,75 @@ class LanguageModelSpec extends SparkSpec {
     intercept[IllegalArgumentException](ilm.copy(totalTokens = 0L))
   }
 
+  test("Kneser-Ney: hand-computed discount/backoff/continuation values, " +
+    "unseen legs, prune dominance, round-trip") {
+    val kn = LanguageModel.trainKneserNey(docs, "text")
+    // tallies: contexts a(n1=3, fanout=2) b(1,1) c(1,1);
+    // continuations a←{b,c}=2, b←{a}=1, c←{a}=1; 4 bigram types, V=3
+    assert(kn.nBigramTypes == 4L && kn.vocabSize == 3L)
+    val ctx = kn.contexts.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(ctx == Map("a" -> ((3L, 2L)), "b" -> ((1L, 1L)), "c" -> ((1L, 1L))))
+    val ct = kn.contTypes.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ct == Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
+    def pcont(nct: Long) = (nct + 0.5) / (4 + 0.5 * 3)
+    def pkn(n12: Long, n1: Long, fo: Long, nct: Long) =
+      math.max(n12 - 0.75, 0.0) / n1 + (0.75 * fo / n1) * pcont(nct)
+    def xents(out: org.apache.spark.sql.DataFrame) = out.collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    val out = xents(LanguageModel.crossEntropyKneserNey(docs, "doc_id", "text", kn))
+    assert(math.abs(out(1L).get - (-math.log(pkn(2, 3, 2, 1)))) < 1e-12) // a→b
+    val x2 = -(math.log(pkn(2, 3, 2, 1)) + math.log(pkn(1, 1, 1, 2)) +
+      math.log(pkn(1, 3, 2, 1))) / 3 // (a,b) (b,a) (a,c)
+    assert(math.abs(out(2L).get - x2) < 1e-12)
+    assert(math.abs(out(5L).get - (-math.log(pkn(1, 1, 1, 2)))) < 1e-12) // c→a
+    assert(out(3L).isEmpty && out(4L).isEmpty, "unscorable docs stay NULL")
+    // unseen CONTEXT backs off wholly to the floored continuation;
+    // unseen BIGRAM under a seen context keeps only the backoff leg
+    val foreign = Seq((8L, "z z"), (9L, "a a")).toDF("doc_id", "text")
+    val f = xents(LanguageModel.crossEntropyKneserNey(foreign, "doc_id", "text", kn))
+    assert(math.abs(f(8L).get - (-math.log(pcont(0)))) < 1e-12)
+    assert(math.abs(f(9L).get - (-math.log((0.75 * 2 / 3) * pcont(2)))) < 1e-12)
+    // prune: contexts/continuations/totals keep describing the full
+    // corpus; pruned xent pointwise dominates exact
+    val pruned = LanguageModel.pruneKneserNey(kn, minCount = 2)
+    val pOut = xents(LanguageModel.crossEntropyKneserNey(docs, "doc_id", "text",
+      pruned))
+    out.foreach {
+      case (id, Some(a)) => assert(pOut(id).get >= a - 1e-12, s"doc $id")
+      case (id, None) => assert(pOut(id).isEmpty)
+    }
+    assert(math.abs(pOut(1L).get - out(1L).get) < 1e-12,
+      "doc 1 only uses the surviving bigram")
+    assert(pOut(5L).get > out(5L).get + 1e-9, "doc 5 lost its bigram")
+    // persistence round-trips; a plain-write layout refuses loudly; the
+    // broadcast/shuffle serving forms agree exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft-knlm").toFile
+    dir.deleteOnExit()
+    val path = new java.io.File(dir, "m").getAbsolutePath
+    LanguageModel.writeKneserNey(kn, path)
+    val back = LanguageModel.readKneserNey(spark, path)
+    assert(back.discount == 0.75 && back.beta == 0.5 &&
+      back.nBigramTypes == 4L && back.vocabSize == 3L)
+    assert(xents(LanguageModel.crossEntropyKneserNey(docs, "doc_id", "text",
+      back)) == out)
+    val plainPath = new java.io.File(dir, "plain").getAbsolutePath
+    LanguageModel.write(lm, plainPath)
+    intercept[Exception](LanguageModel.readKneserNey(spark, plainPath))
+    // a KN re-write over the plain layout clears its commit marker
+    LanguageModel.writeKneserNey(kn, plainPath)
+    intercept[Exception](LanguageModel.read(spark, plainPath))
+    assert(xents(LanguageModel.crossEntropyKneserNey(docs, "doc_id", "text",
+      LanguageModel.readKneserNey(spark, plainPath))) == out)
+    val shuffled = xents(LanguageModel.crossEntropyKneserNey(docs, "doc_id",
+      "text", kn, broadcastModel = false))
+    assert(shuffled == out)
+    intercept[IllegalArgumentException](kn.copy(discount = 1.0))
+    intercept[IllegalArgumentException](kn.copy(beta = 0.0))
+    intercept[IllegalArgumentException](kn.copy(nBigramTypes = 0L))
+  }
+
   test("degenerate models are rejected at construction") {
     intercept[IllegalArgumentException] {
       BigramLm(lm.bigrams, lm.contexts, vocabSize = 0L, alpha = 0.5)
