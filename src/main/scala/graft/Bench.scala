@@ -931,6 +931,10 @@ object Bench {
       val sorted = s"$work/sorted$n"; val unsorted = s"$work/unsorted$n"
       TextIndex.write(ix, sorted)
       writeUnsorted(ix, unsorted)
+      // the impact-blocked top-k layout, derived untimed like the others
+      // — BEFORE any serve: serve()'s dropState unpersists ix's
+      // checkpointed postings, after which ix is no longer computable
+      TextIndex.writeTopK(ix, s"$work/topk$n")
       val diskMb = dirBytes(s"$sorted/postings") / mb
       val (sSecs, sMb) = serve(sorted, query)
       val (m1, sm1) = (matched, sumMatched)
@@ -1005,6 +1009,64 @@ object Bench {
     }.sorted.apply(reps / 2)
     require(batchRows == singleRows,
       s"batch serve must score exactly the per-query rows: $batchRows vs $singleRows")
+    // TOP-K serving economics — the block-max claim as measured fact.
+    // Claim columns are PHASE VOLUMES (TopKServeDiag row counts), the
+    // span-harness discipline: at this corpus size parquet row-group /
+    // footer accounting drowns byte metrics, while the postings a phase
+    // touches translate directly to 100 TB IO. What must hold:
+    // `candidates` (the docs the expensive rescore pays for) tracks k
+    // and the refined threshold, NOT df — on BOTH query shapes; and on
+    // the single-term shape `kept_postings` additionally collapses to
+    // the top impact buckets (the term-sum test degenerates to
+    // ub ≥ θ), while the 4-term uniform-idf shape is the WAND term-sum
+    // worst case where kept ≈ total is the honest outcome and the
+    // doc-level θ₂ bound carries the pruning. Wall secs ride as
+    // context. Every point is cross-checked EXACT against exhaustive
+    // scoring + the same rounded k-cut, so no volume win can come from
+    // a wrong answer.
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * 1000000.0 + 0.5) / 1000000.0
+    def topkRows(path: String, q: String, k: Int): Seq[(Long, Double)] =
+      TextIndex.bm25TopK(TextIndex.readTopK(spark, path), "doc_id", q, k)
+        .select(col("doc_id"), r6(col("score")).as("s"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def exhaustiveRows(path: String, q: String, k: Int): Seq[(Long, Double)] =
+      TextIndex.bm25(TextIndex.read(spark, path), "doc_id", q)
+        .orderBy(r6(col("score")).desc, col("doc_id")).limit(k)
+        .select(col("doc_id"), r6(col("score")).as("s"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // (median secs, kept, total, candidates) of a diagnosed serve
+    def serveTopK(path: String, q: String, k: Int): (Double, Long, Long, Long) = {
+      var d: TextIndex.TopKServeDiag = null
+      val secs = (0 until reps).map { _ =>
+        dropState()
+        val t0 = System.nanoTime()
+        val (df, dd) = TextIndex.bm25TopKDiag(
+          TextIndex.readTopK(spark, path), "doc_id", q, k)
+        df.collect(); d = dd
+        (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(reps / 2)
+      (secs, d.keptPostings, d.totalPostings, d.nCandidates)
+    }
+    val topkK = 10
+    val singleTerm = "spark"
+    val topkPerSize = sizes.map { n =>
+      for (q <- Seq(query, singleTerm))
+        require(topkRows(s"$work/topk$n", q, topkK) ==
+          exhaustiveRows(s"$work/sorted$n", q, topkK),
+          s"top-k pruned serve diverges from exhaustive at ${n}x for '$q'")
+      val c4 = serveTopK(s"$work/topk$n", query, topkK)
+      val s1 = serveTopK(s"$work/topk$n", singleTerm, topkK)
+      (n, c4, s1)
+    }
+    val kSweep = Seq(5, 10, 25, 50, 100).map { k =>
+      val largestTopk = s"$work/topk${sizes.last}"
+      for (q <- Seq(query, singleTerm))
+        require(topkRows(largestTopk, q, k) ==
+          exhaustiveRows(s"$work/sorted${sizes.last}", q, k),
+          s"top-k pruned serve diverges from exhaustive at k=$k for '$q'")
+      (k, serveTopK(largestTopk, query, k), serveTopK(largestTopk, singleTerm, k))
+    }
     type R = (Int, Long, Long, Double, Double, Double, Double, Double,
       Long, Double, Double, Long, Double, Double)
     def arr[T](f: R => T): String = jsonArr(rows)(f)
@@ -1025,6 +1087,21 @@ object Bench {
         f""""phrase_read_unsorted_mb":${arr(r => f"${r._14}%.2f")},""" +
         f""""batch":{"n_queries":${batchQueries.size},"scored_rows":$batchRows,""" +
         f""""batch_secs":$batchSecs%.3f,"sum_single_secs":$sumSingleSecs%.3f},""" +
+        f""""topk":{"k":$topkK,"exact_vs_exhaustive":true,""" +
+        f""""sizes":${jsonArr(topkPerSize)(_._1)},""" +
+        f""""common4":{"secs":${jsonArr(topkPerSize)(r => f"${r._2._1}%.3f")},""" +
+        f""""kept_postings":${jsonArr(topkPerSize)(_._2._2)},""" +
+        f""""total_postings":${jsonArr(topkPerSize)(_._2._3)},""" +
+        f""""candidates":${jsonArr(topkPerSize)(_._2._4)}},""" +
+        f""""single":{"secs":${jsonArr(topkPerSize)(r => f"${r._3._1}%.3f")},""" +
+        f""""kept_postings":${jsonArr(topkPerSize)(_._3._2)},""" +
+        f""""total_postings":${jsonArr(topkPerSize)(_._3._3)},""" +
+        f""""candidates":${jsonArr(topkPerSize)(_._3._4)}},""" +
+        f""""by_k":{"ks":${jsonArr(kSweep)(_._1)},""" +
+        f""""common4_kept":${jsonArr(kSweep)(_._2._2)},""" +
+        f""""common4_candidates":${jsonArr(kSweep)(_._2._4)},""" +
+        f""""single_kept":${jsonArr(kSweep)(_._3._2)},""" +
+        f""""single_candidates":${jsonArr(kSweep)(_._3._4)}}},""" +
         f""""sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_scale_bm25.json"),
       (line + "\n").getBytes("UTF-8"))
@@ -1690,10 +1767,41 @@ object Bench {
         prunedSecs, fullSecs, prunedMb, fullMb)
     }
     spark.sparkContext.removeSparkListener(listener)
+    // MEMORY-PER-VECTOR economics at the largest ladder size: the same
+    // labeled corpus persisted three ways — fp32 vectors, int8 codes
+    // (+ scale), and PQ codes (m = 8 × ksub = 16, 8 bytes of payload) —
+    // with both the THEORETICAL payload bytes/vector (what an in-memory
+    // serving tier holds) and the measured parquet bytes/vector (disk,
+    // encoding overheads included). PQ's 32× vs fp32 / 9× vs int8 is
+    // what fits a billion-vector resident set into executor memory.
+    val memVec = {
+      val n = sizes.last
+      val corpus = (0 until n).map(replica).reduce(_ unionByName _)
+      val nVecs = corpus.count()
+      val cents = Similarity.kmeansFit(corpus, "vec_id", "embedding",
+        k = 32, iters = 2)
+      val labeled = Similarity.withCoarseLabel(corpus, "embedding", cents)
+        .select(col("vec_id"), col("coarse"),
+          col("embedding").cast("array<float>").as("embedding"))
+      labeled.write.mode("overwrite").parquet(s"$work/mem_fp32")
+      Similarity.buildQuantizedIndex(labeled, "vec_id", "embedding", "coarse")
+        .write.mode("overwrite").parquet(s"$work/mem_int8")
+      val cb = Similarity.trainPq(labeled, "vec_id", "embedding",
+        m = 8, ksub = 16, iters = 2)
+      Similarity.buildPqIndex(labeled, "vec_id", "embedding", "coarse", cb)
+        .write.mode("overwrite").parquet(s"$work/mem_pq")
+      def perVec(dir: String): Double =
+        dirBytes(new java.io.File(s"$work/$dir")).toDouble / nVecs
+      f""""memory_per_vector":{"n_vecs":$nVecs,"dims":64,""" +
+        f""""payload_bytes":{"fp32":256,"int8":72,"pq":8},""" +
+        f""""disk_bytes":{"fp32":${perVec("mem_fp32")}%.1f,""" +
+        f""""int8":${perVec("mem_int8")}%.1f,"pq":${perVec("mem_pq")}%.1f},""" +
+        f""""pq_vs_fp32":32.0,"pq_vs_int8":9.0}"""
+    }
     type R = (Int, Long, Long, Int, Int, Double, Double, Double, Double, Double, Double)
     def arr[T](f: R => T): String = jsonArr(rows)(f)
     val line =
-      f"""{"metric":"ivf_pruned_serving","reps":$reps,"k":32,"nprobe":2,""" +
+      f"""{"metric":"ivf_pruned_serving","reps":$reps,"k":32,"nprobe":2,$memVec,""" +
         f""""sizes":${arr(_._1)},"vecs":${arr(_._2)},""" +
         f""""probed_cells":${arr(_._3)},"probed_files":${arr(_._4)},""" +
         f""""index_files":${arr(_._5)},""" +

@@ -633,6 +633,40 @@ object SparkEntry {
       }
     })
 
+  /** PQ codebooks for `dir`'s embeddings (m = 8 subspaces × ksub = 16
+    * centroids over the 64-dim column) — [[kmeansCentroids]]'s product-
+    * quantization sibling, with the same persistence contract: the
+    * per-subspace Lloyd fits are refit-deterministic per layout but
+    * carry no cross-JVM bit-identity promise, so a Verify fixture dump
+    * and a later serve share the matrix by PERSISTENCE
+    * ([[prepareOracleFixtures]] writes the per-dir store), never by
+    * re-derivation. */
+  private val pqCache =
+    collection.concurrent.TrieMap.empty[String, Similarity.PqCodebooks]
+  private def pqCodebooks(s: SparkSession, dir: String): Similarity.PqCodebooks =
+    pqCache.getOrElseUpdate(dir, {
+      val persisted = new java.io.File(s"$KmeansFixture/pq_store/${dirKey(dir)}")
+      if (!persisted.exists())
+        Similarity.trainPq(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          m = 8, ksub = 16)
+      else {
+        require(new java.io.File(persisted, "_SUCCESS").exists(),
+          s"pqCodebooks: ${persisted} exists without _SUCCESS - crashed " +
+            "fixture dump; re-run Verify (prepareOracleFixtures) for this dir")
+        val rows = s.read.parquet(persisted.getAbsolutePath)
+          .filter(col("dir") === dir)
+          .select("j", "c", "centroid").collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        require(rows.nonEmpty,
+          s"pqCodebooks: ${persisted} holds no rows for dir=$dir - corrupt " +
+            "fixture dump; re-run Verify for this dir")
+        val byJ = rows.groupBy(_._1)
+        Similarity.PqCodebooks((0 until byJ.size).toArray.map { j =>
+          byJ(j).sortBy(_._2).map(_._3)
+        })
+      }
+    })
+
   /** The (index, new-batch) construction shared by q_dedup_index and its
     * fixture dump: index over the whole documents table; the batch is
     * every 10th doc re-id'd (+1,000,000) with a tail appended — near-dups
@@ -874,6 +908,19 @@ object SparkEntry {
     Similarity.withCoarseLabel(augmentedEmbeddings(emb), "embedding", cents)
       .select("vec_id", "coarse")
       .write.mode("overwrite").parquet(s"$KmeansFixture/semcorpus")
+    // PQ codebooks for q_ann_pq: persisted per-dir (the kmeansCentroids
+    // cross-JVM contract) AND dumped flat for the oracle, which replays
+    // code ASSIGNMENT and ADC from the codebooks alone — only the Lloyd
+    // fits themselves are engine-bound
+    val cbq = pqCodebooks(s, dir)
+    val cbRows = for (j <- cbq.codebooks.indices; c <- cbq.codebooks(j).indices)
+      yield (j, c, cbq.codebooks(j)(c).toSeq, dir)
+    s.createDataFrame(cbRows).toDF("j", "c", "centroid", "dir")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$KmeansFixture/pq_store/${dirKey(dir)}")
+    s.createDataFrame(cbRows).toDF("j", "c", "centroid", "dir")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$KmeansFixture/pq_codebooks")
   }
 
   /** Incremental dedup serving: a new batch against the prebuilt MinHash
@@ -1221,6 +1268,34 @@ object SparkEntry {
         "doc_id", "hash join", window = 3)
       .select(col("doc_id"), col("n_occurrences"), rq(col("score"), 6).as("score"))
 
+  /** On-disk TOP-K (impact-blocked) layout for `dir`'s documents —
+    * [[textIndexPath]]'s block-max sibling, derived once per JVM
+    * outside the timed body: a deployment refreshes it on the
+    * compaction cadence and serves every k-cut query from it. */
+  private val topkIxCache = collection.concurrent.TrieMap.empty[String, String]
+  private def topkIndexPath(s: SparkSession, dir: String): String =
+    topkIxCache.getOrElseUpdate(dir, {
+      val p = new java.io.File(s"target/q-bm25-topk/${dirKey(dir)}").getAbsolutePath
+      graft.operators.TextIndex.writeTopK(
+        graft.operators.TextIndex.build(tbl(s, dir, "documents"), "doc_id", "text"),
+        p)
+      p
+    })
+
+  /** TOP-K BM25 with block-max pruning
+    * ([[graft.operators.TextIndex.bm25TopK]]): the 25 best docs for
+    * [[qBm25]]'s exact query, served from the impact-blocked layout —
+    * threshold from the best blocks, per-term kept prefixes, exact
+    * rescore of the candidates. The oracle is full scoring + the SAME
+    * rounded k-cut (ORDER BY rounded score, doc_id, LIMIT k), so the
+    * hash gate pins the pruned path's top-k equal to exhaustive
+    * scoring's — the operator's whole claim. */
+  private def qBm25TopK(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.bm25TopK(
+        graft.operators.TextIndex.readTopK(s, topkIndexPath(s, dir)),
+        "doc_id", "spark hash join stream", k = 25)
+      .select(col("doc_id"), col("n_matched"), rq(col("score"), 6).as("score"))
+
   /** BATCH exact-phrase matching — three phrases verified against the
     * persisted positional postings in ONE pass
     * ([[graft.operators.TextIndex.bm25PhraseBatch]]): the
@@ -1236,6 +1311,26 @@ object SparkEntry {
         "doc_id", phrases, "phrase_id", "phrase")
       .select(col("phrase_id"), col("doc_id"), col("n_occurrences"),
         rq(col("score"), 6).as("score"))
+  }
+
+  /** The DECONTAMINATION CAPSTONE over the retrieval family: the
+    * documents corpus minus every doc containing ANY of the three eval
+    * phrases verbatim ([[graft.operators.TextIndex
+    * .decontaminatePhrases]] — one postings scan over the persisted
+    * positional layout, broadcast anti-join of the hit ids). The
+    * oracle replays each phrase's adjacency from the raw token arrays
+    * and complements the hit set, so the whole gate — batch positional
+    * verification AND the drop — is hash-checked end to end. */
+  private def qDecontaminatePhrase(s: SparkSession, dir: String): DataFrame = {
+    val phrases = s.createDataFrame(Seq(
+      (1L, "hash join"), (2L, "sort merge"), (3L, "the fast")))
+      .toDF("phrase_id", "phrase")
+    graft.operators.TextIndex.decontaminatePhrases(
+        tbl(s, dir, "documents"),
+        graft.operators.TextIndex.read(s, textIndexPath(s, dir)),
+        "doc_id", phrases, "phrase_id", "phrase")
+      .select(col("doc_id"),
+        size(graft.operators.TextAnalysis.tokens(col("text"))).as("n_tokens"))
   }
 
   /** BATCH BM25 — three queries scored in ONE pass over the persisted
@@ -1425,6 +1520,23 @@ object SparkEntry {
     val e = tbl(s, dir, "embeddings")
     Similarity.ivfTopKQuantized(e, e.filter(col("vec_id") < 20), "vec_id",
         "embedding", "label", 3, candidateFactor = 4)
+      .withColumn("cosine", rq(col("cosine"), 6))
+  }
+
+  /** IVF-PQ top-3: product-quantized codes (m = 8 × ksub = 16 — 8
+    * bytes/vector, the 32×-vs-fp32 ANN memory story), ADC shortlist
+    * within the coarse cell, exact-cosine re-scoring
+    * ([[Similarity.ivfTopKPq]]). The oracle replays code ASSIGNMENT
+    * (per-subspace argmin against the dumped codebooks) and the ADC
+    * arithmetic itself, so the whole product-quantization path — not
+    * just its end answer — sits under the hash gate. */
+  private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    val cb = pqCodebooks(s, dir)
+    Similarity.ivfTopKPq(
+        Similarity.buildPqIndex(e, "vec_id", "embedding", "label", cb),
+        e, e.filter(col("vec_id") < 20), "vec_id", "embedding", "label",
+        cb, 3, candidateFactor = 4)
       .withColumn("cosine", rq(col("cosine"), 6))
   }
 
@@ -1880,6 +1992,8 @@ object SparkEntry {
     "q_bm25_window" -> qBm25Window,
     "q_bm25_phrase_batch" -> qBm25PhraseBatch,
     "q_bm25_batch" -> qBm25Batch,
+    "q_bm25_topk" -> qBm25TopK,
+    "q_decontaminate_phrase" -> qDecontaminatePhrase,
     "q_vocab" -> qVocab,
     "q_lm_xent" -> qLmXent,
     "q_lm_xent_served" -> qLmXentServed,
@@ -1896,6 +2010,7 @@ object SparkEntry {
     "q_ann_ivf" -> qAnnIvf,
     "q_ann_ivf_q8" -> qAnnIvfQ8,
     "q_ann_ivf_pruned" -> qAnnIvfPruned,
+    "q_ann_pq" -> qAnnPq,
     "q_ann_kmeans" -> qAnnKmeans,
     "q_ann_serve" -> qAnnServe,
     "q_ann_ingest" -> qAnnIngest,
@@ -2631,6 +2746,31 @@ object SparkEntry {
         |              (m.n_occurrences + 1.2 * (1 - 0.75 + 0.75 * m.dl / stats.avgdl))
         |             )*1000000.0 + 0.5)/1000000.0 AS score
         |FROM m JOIN dfp USING (phrase_id) CROSS JOIN stats""".stripMargin,
+    // the decontamination capstone: verbatim adjacency replayed per
+    // VALUES phrase on the raw token arrays, hit set complemented —
+    // survivors with their token counts
+    "q_decontaminate_phrase" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        | q(t0, t1) AS (VALUES ('hash', 'join'), ('sort', 'merge'), ('the', 'fast')),
+        | hit AS (
+        |  SELECT DISTINCT d.doc_id
+        |  FROM d CROSS JOIN q
+        |  WHERE len(list_filter(range(1, len(d.w)),
+        |        i -> d.w[CAST(i AS INT)] = q.t0
+        |         AND d.w[CAST(i+1 AS INT)] = q.t1)) > 0)
+        |SELECT doc_id, CAST(len(w) AS INT) AS n_tokens
+        |FROM d WHERE doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin,
+    // top-k with block-max pruning: the oracle is EXHAUSTIVE scoring
+    // (bm25Sql verbatim) plus the same rounded k-cut — ORDER BY the
+    // 6-decimal-rounded score then doc_id, LIMIT 25 — so the hash gate
+    // pins pruned serving's top-k equal to full scoring's
+    "q_bm25_topk" ->
+      s"""SELECT doc_id, n_matched, score FROM (
+        |$bm25Sql
+        |) ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
     // batch serve: one pass, N queries — the oracle scores each VALUES
     // query with the single-query arithmetic (per-query distinct terms),
     // so batch ≡ per-query algebra is hash-checked
@@ -2889,6 +3029,48 @@ object SparkEntry {
     "q_ann_ivf" -> annIvfSql,
     "q_ann_ivf_q8" -> annIvfSql, // quantized index + exact re-score ≡ exact by design
     "q_ann_ivf_pruned" -> annIvfSql, // partition pruning is exact — same answer from disk
+    // IVF-PQ: given ONLY the dumped codebooks (the engine-bound Lloyd
+    // fits), the oracle re-derives every corpus vector's PQ codes
+    // (per-subspace squared-L2 argmin, ties to the lower code — the
+    // same sequential IEEE sums), replays the asymmetric-distance
+    // shortlist (k·factor = 12 per query, ADC rounded to 6 decimals
+    // before ranking on BOTH sides — Σ-over-subspaces is aggregation-
+    // order-sensitive at the ulp), and exact-rescores the shortlist —
+    // the full product-quantization serving path in SQL
+    "q_ann_pq" ->
+      s"""WITH cb AS (SELECT j, c, CAST(centroid AS DOUBLE[]) AS cent
+        |            FROM read_parquet('$KmeansFixture/pq_codebooks/*.parquet')),
+        | e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | dist AS (
+        |  SELECT e.vec_id, cb.j, cb.c,
+        |         list_sum(list_transform(range(1, 9),
+        |           i -> (e.v[CAST(cb.j*8 + i AS INT)] - cb.cent[CAST(i AS INT)])
+        |              * (e.v[CAST(cb.j*8 + i AS INT)] - cb.cent[CAST(i AS INT)]))) AS d
+        |  FROM e CROSS JOIN cb),
+        | code AS (
+        |  SELECT vec_id, j, c FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) = 1),
+        | q AS (SELECT vec_id, label, v FROM e WHERE vec_id < 20),
+        | pairsub AS (
+        |  SELECT q.vec_id AS query_id, ce.vec_id AS nn_id, co.j,
+        |         list_sum(list_transform(range(1, 9),
+        |           i -> (q.v[CAST(co.j*8 + i AS INT)] - cb.cent[CAST(i AS INT)])
+        |              * (q.v[CAST(co.j*8 + i AS INT)] - cb.cent[CAST(i AS INT)]))) AS dj
+        |  FROM q JOIN e ce ON ce.label = q.label AND ce.vec_id <> q.vec_id
+        |  JOIN code co ON co.vec_id = ce.vec_id
+        |  JOIN cb ON cb.j = co.j AND cb.c = co.c),
+        | adc AS (SELECT query_id, nn_id, sum(dj) AS adc FROM pairsub GROUP BY 1, 2),
+        | short AS (
+        |  SELECT query_id, nn_id FROM adc
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY floor(adc*1000000.0 + 0.5)/1000000.0, nn_id) <= 12),
+        | scored AS (
+        |  SELECT s.query_id, s.nn_id, list_cosine_similarity(eq.v, ec.v) AS cos
+        |  FROM short s JOIN e eq ON eq.vec_id = s.query_id
+        |  JOIN e ec ON ec.vec_id = s.nn_id)
+        |SELECT query_id, nn_id, floor((cos)*1000000.0 + 0.5)/1000000.0 AS cosine,
+        |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS INT) AS rank
+        |FROM scored QUALIFY rank <= 3""".stripMargin,
     // learned IVF: the engine dumps the labels its centroids induce
     // (corpus = one cell each, queries = nprobe=2 fan-out); the oracle
     // replays the cell-restricted candidate join + exact-cosine ranking.

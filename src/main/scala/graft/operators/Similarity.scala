@@ -667,6 +667,168 @@ object Similarity {
             x => floor(x / col("q8_scale") + 0.5).cast("int"))))
   }
 
+  // ---------------------------------------------------------------------
+  // PRODUCT QUANTIZATION (Jégou, Douze & Schmid 2011, "Product
+  // Quantization for Nearest Neighbor Search") — the ANN memory play
+  // past int8: split each vector into M subvectors, k-means a codebook
+  // per subspace, store ONE code byte per subvector. At M = 8 over
+  // 64-dim floats that is 8 bytes/vector vs 256 (fp32) / 72 (int8 +
+  // scale) — the compression that makes billion-vector serving fit an
+  // executor's memory budget. Serving is ASYMMETRIC DISTANCE (ADC):
+  // the query stays full-precision and meets each corpus vector only
+  // through its code's centroids, so accuracy degrades with corpus
+  // quantization only, never query quantization.
+  // ---------------------------------------------------------------------
+
+  /** Per-subspace codebooks: `codebooks(j)(c)` = subspace j's centroid
+    * c, every subspace `dsub`-dimensional. Trained by [[trainPq]];
+    * rides the serving path as one `typedlit` (m·ksub·dsub doubles —
+    * KBs, the [[distStructs]] plan-size discipline). */
+  final case class PqCodebooks(codebooks: Array[Array[Array[Double]]]) {
+    require(codebooks.nonEmpty, "PQ needs at least one subspace")
+    val m: Int = codebooks.length
+    val ksub: Int = codebooks.head.length
+    val dsub: Int = codebooks.head.head.length
+    require(ksub >= 1 && dsub >= 1 &&
+      codebooks.forall(b => b.length == ksub && b.forall(_.length == dsub)),
+      "PQ codebooks must be rectangular: m x ksub x dsub")
+    require(ksub <= 256, s"PQ codes are byte-ranged: ksub <= 256, got $ksub")
+    def dims: Int = m * dsub
+  }
+
+  /** Train PQ codebooks: one [[kmeansFit]] per subspace over the sliced
+    * embedding column — M reuses of the existing deterministic Lloyd
+    * machinery (same md5 seeding, same refit determinism per layout),
+    * so the codebooks need no new clustering code or randomness story.
+    * Cost: M × (one TakeOrdered seeding scan + `iters` assignment
+    * aggregations) over the corpus — the offline train step of a PQ
+    * deployment, paid once per rebuild like the coarse quantizer's fit.
+    * `dims` must split evenly into `m` subspaces (pad or project
+    * upstream otherwise — silent ragged splits would corrupt every
+    * code). */
+  def trainPq(df: DataFrame, idCol: String, embCol: String,
+              m: Int = 8, ksub: Int = 16, iters: Int = 5): PqCodebooks = {
+    require(m >= 1, s"m must be positive, got $m")
+    require(ksub >= 2 && ksub <= 256, s"ksub must be in [2, 256], got $ksub")
+    val v = col(embCol).cast("array<double>")
+    val head = df.select(size(v).as("d")).limit(1).collect()
+    require(head.nonEmpty, "trainPq: empty corpus")
+    val dims = head.head.getInt(0)
+    require(dims % m == 0,
+      s"trainPq: dims $dims must split evenly into m=$m subspaces " +
+        "(project or pad the embedding upstream)")
+    val dsub = dims / m
+    PqCodebooks((0 until m).toArray.map { j =>
+      kmeansFit(
+        df.select(col(idCol), slice(v, j * dsub + 1, dsub).as("__sub")),
+        idCol, "__sub", ksub, iters)
+    })
+  }
+
+  /** Attach the PQ code vector (`pq_codes`, array<tinyint>-ranged ints,
+    * length m): per subspace the nearest codebook centroid
+    * ([[assignExpr]] — squared-L2 argmin, ties to the lower code).
+    * Null/empty/ragged embeddings fail loudly, the library's
+    * dense-vector policy. */
+  def encodePq(df: DataFrame, embCol: String, cb: PqCodebooks): DataFrame = {
+    val v = guardedVec(embCol, cb.dims, "encode_pq")
+    df.withColumn("pq_codes", array((0 until cb.m).map { j =>
+      assignExpr(slice(v, j * cb.dsub + 1, cb.dsub), cb.codebooks(j))
+    }: _*))
+  }
+
+  /** The PQ index as a persistable frame: `(idCol, partCol, pq_codes)`
+    * — [[buildQuantizedIndex]]'s product-quantized sibling, 8
+    * bytes/vector of payload at the M = 8 default instead of int8's
+    * dims + 8. Codes are integers, so the parquet round-trip is exact. */
+  def buildPqIndex(df: DataFrame, idCol: String, embCol: String,
+                   partCol: String, cb: PqCodebooks): DataFrame =
+    encodePq(df, embCol, cb)
+      .select(col(idCol), col(partCol), col("pq_codes"))
+
+  /** Asymmetric squared-L2 distance of a full-precision query vector to
+    * a PQ-coded corpus vector: Σ_j ‖q_j − centroid_j(code_j)‖². The
+    * codebook matrix rides as ONE typedlit; sums run sequentially
+    * (inner over dims ascending, outer over subspaces ascending), the
+    * replayable-order discipline the oracles rely on. */
+  private def adcSqDist(qv: Column, codes: Column, cb: PqCodebooks): Column = {
+    val cbLit = typedlit(cb.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    aggregate(
+      zip_with(codes, sequence(lit(0), lit(cb.m - 1)), (code, j) =>
+        aggregate(
+          zip_with(slice(qv, j * cb.dsub + 1, lit(cb.dsub)),
+            element_at(element_at(cbLit, j + 1), code + 1),
+            (a, c) => (a - c) * (a - c)),
+          lit(0.0), (acc, x) => acc + x)),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** One full-precision vector per query id, with duplicate-id conflict
+    * detection — the re-scoring contract shared by [[ivfTopKQuantized]]
+    * and [[ivfTopKPq]]: duplicate ids are only legal as a probe
+    * fan-out (identical vector per id); genuinely different vectors
+    * under one id raise instead of silently serving an arbitrary one. */
+  private def uniqueQueryVectors(queries: DataFrame, idCol: String,
+                                 embCol: String): DataFrame = {
+    val vq = xxhash64(col(embCol).cast("array<double>"))
+    withNorm(queries.groupBy(col(idCol))
+        .agg(first(col(embCol)).as(embCol),
+          (min(vq) =!= max(vq)).as("__conflict"))
+        .select(col(idCol),
+          when(col("__conflict"), raise_error(concat(
+            lit("ivf_top_k: conflicting vectors for duplicate query id "),
+            col(idCol).cast("string"),
+            lit(" - duplicate ids are only legal as the with_probe_labels " +
+              "fan-out (identical vector per id)"))))
+            .otherwise(col(embCol)).as(embCol)), embCol)
+      .select(col(idCol).as("query_id"), col("vec").as("qv"), col("norm").as("qn"))
+  }
+
+  /** IVF top-k over a PQ index with exact re-scoring — [[
+    * ivfTopKQuantized]]'s product form. Stage 1 ranks each query's
+    * coarse cell by ASYMMETRIC distance to the code vectors (the
+    * resident set is `pq_codes` — 8 bytes/vector at the default
+    * geometry, the 32×-vs-fp32 memory story) and keeps the
+    * `k·candidateFactor` shortlist; stage 2 joins ONLY the shortlist
+    * back to the full-precision corpus vectors and returns the
+    * exact-cosine top k — quantization error affects which candidates
+    * are CONSIDERED, never the returned scores.
+    *
+    * DETERMINISM: the shortlist cut orders by the ADC distance ROUNDED
+    * to 6 decimals (ties to the lower id) — Σ-over-subspaces is
+    * aggregation-order-sensitive at the ulp, the same reason
+    * [[graft.operators.TextIndex.bm25TopK]] rounds its k-cut. Output
+    * contract matches the other top-k forms: `(query_id, nn_id,
+    * cosine, rank)`. */
+  def ivfTopKPq(index: DataFrame, corpus: DataFrame, queries: DataFrame,
+                idCol: String, embCol: String, partCol: String,
+                cb: PqCodebooks, k: Int,
+                candidateFactor: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(candidateFactor >= 1,
+      s"candidateFactor must be positive, got $candidateFactor")
+    val q = queries.select(col(partCol).as("part"),
+      col(idCol).as("query_id"),
+      guardedVec(embCol, cb.dims, "ivf_top_k_pq").as("qv"))
+    val c = index.select(col(partCol).as("part"), col(idCol).as("nn_id"),
+      col("pq_codes"))
+    val adcR = floor(adcSqDist(col("qv"), col("pq_codes"), cb) * 1000000.0
+      + 0.5) / 1000000.0
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__adc"), col("nn_id"))
+    val shortlist = q.join(c, Seq("part"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"), adcR.as("__adc"))
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= k * candidateFactor)
+      .select("query_id", "nn_id").distinct() // probe fan-out dedup
+    val cx = withNorm(corpus, embCol)
+      .select(col(idCol).as("nn_id"), col("vec").as("cv"), col("norm").as("cn"))
+    rankTopK(shortlist
+      .join(uniqueQueryVectors(queries, idCol, embCol), "query_id")
+      .join(cx, "nn_id"), k)
+  }
+
   /** IVF top-k over the int8-quantized index with exact re-scoring — the
     * quantizer's product form. Stage 1 ranks each query's coarse partition
     * by the cosine of the CODE vectors (for symmetric per-vector scaling

@@ -324,6 +324,45 @@ object TextIndex {
         (idf * tfNorm).as("score"))
   }
 
+  /** Per-document verbatim-phrase contamination profile — the
+    * FORENSICS pass the retrieval family exists for, as one operator:
+    * "which training documents contain ANY of these N eval sentences
+    * verbatim, and how hard are they hit". One [[bm25PhraseBatch]]
+    * pass (one postings scan for all N phrases) folded per doc:
+    * `(idCol, n_phrases_hit, n_occurrences)` for every CONTAMINATED
+    * doc — clean docs don't appear (at corpus scale the hit set is the
+    * small side; materialize the complement with [[
+    * decontaminatePhrases]]). */
+  def phraseContamination(index: InvertedIndex, idCol: String,
+                          phrases: DataFrame, phraseIdCol: String,
+                          phraseTextCol: String,
+                          pushdownTerms: Boolean = true): DataFrame =
+    bm25PhraseBatch(index, idCol, phrases, phraseIdCol, phraseTextCol,
+        pushdownTerms = pushdownTerms)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_phrases_hit"),
+        sum("n_occurrences").as("n_occurrences"))
+
+  /** The DROP form — the decontamination capstone: `docs` minus every
+    * document containing ANY of the eval phrases verbatim, verified
+    * against the positional index in ONE postings scan. This is the
+    * eval-leakage gate composed end to end: phrase table → batch
+    * positional verification → broadcast anti-join (the hit set is
+    * ids-only and eval-suite-bounded, so the corpus side never
+    * shuffles). Near-verbatim leakage (edited sentences) is
+    * [[bm25Window]]'s territory; n-gram-overlap leakage is
+    * [[graft.operators.Dedup.decontaminate]]'s — this form is the
+    * exact-match member of that family. */
+  def decontaminatePhrases(docs: DataFrame, index: InvertedIndex,
+                           idCol: String, phrases: DataFrame,
+                           phraseIdCol: String, phraseTextCol: String,
+                           pushdownTerms: Boolean = true): DataFrame =
+    docs.join(
+      broadcast(bm25PhraseBatch(index, idCol, phrases, phraseIdCol,
+          phraseTextCol, pushdownTerms = pushdownTerms)
+        .select(col(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+
   /** BATCH BM25 — score a whole TABLE of queries `(queryIdCol,
     * queryTextCol)` in ONE pass over the index: decontaminating N eval
     * phrases costs one postings scan, not N ([[bm25]] is the 1-row
@@ -365,6 +404,379 @@ object TextIndex {
         broadcast(qTerms.select("term").distinct()), Seq("term"))), Seq("term"))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(count(lit(1)).as("n_matched"), sum(idf * tfNorm).as("score"))
+  }
+
+  // ---------------------------------------------------------------------
+  // TOP-K serving: the block-max layout (Broder 2003 WAND / Ding & Suel
+  // 2011 Block-Max WAND, re-expressed for a batch shuffle engine)
+  // ---------------------------------------------------------------------
+
+  /** Blocks-per-e-fold of the quantized impact proxy — 8 buckets per
+    * factor-e of score decay, plenty of pruning resolution while keeping
+    * the per-term block count ≤ [[MaxImpactBlock]]+1. */
+  private val BlocksPerEFold = 8.0
+
+  /** Hard cap on the quantized block id. The cap is the SCALE design:
+    * blocks are defined by QUANTIZED IMPACT, not by row count, so (a)
+    * assignment is per-row arithmetic — no per-term `row_number` window,
+    * which for a common term at 100 TB would be a df-sized single-task
+    * sequential pass, the classic skew killer — and (b) a query's whole
+    * block-metadata slice is ≤ 257·|terms| rows REGARDLESS of corpus
+    * size, so the serve-time pruning computation is a driver collect
+    * bounded by construction, not by contract. Row-counted blocks have
+    * df/B metadata rows per term — millions for a common term at scale,
+    * exactly the unbounded-collect class this library forbids. */
+  private val MaxImpactBlock = 256
+
+  /** The impact-ordered serving layout [[writeTopK]] persists and
+    * [[bm25TopK]] serves: `blocks` = the postings with their quantized
+    * impact-block id, term-sorted then block-sorted (a serve's pruned
+    * read is a per-term block-id PREFIX — contiguous row groups);
+    * `blockMeta` = per (term, blk) the bound ingredients (max_tf,
+    * min_dl, n); `fwd` = the same postings DOC-sorted (the forward
+    * lookup exact rescoring pushes candidate ids into); `docFreq` and
+    * the scalars as in [[InvertedIndex]]. */
+  final case class TopKLayout(blocks: DataFrame, blockMeta: DataFrame,
+                              fwd: DataFrame, docFreq: DataFrame,
+                              nDocs: Long, totalDl: Long,
+                              k1Write: Double, bWrite: Double) {
+    require(nDocs > 0, "top-k layout needs a non-empty corpus")
+    def avgdl: Double = totalDl.toDouble / nDocs
+  }
+
+  /** The quantized impact-block id of a posting: `blk = floor(−ln(p /
+    * (k1+1)) · 8)` capped at [[MaxImpactBlock]], where `p` is the
+    * posting's [[bm25TfNorm]] under the WRITE-time geometry. High
+    * impact → block 0. The write-time (k1, b, avgdl) only ORDER the
+    * blocks — a serve under different parameters still gets correct
+    * results, because its upper bounds are recomputed from each block's
+    * stored (max_tf, min_dl), monotone envelopes of tfNorm under ANY
+    * admissible (k1, b): tfNorm rises in tf and falls in dl, so
+    * tfNorm(max_tf, min_dl) dominates every member. Mis-ordered blocks
+    * cost pruning efficiency, never correctness. */
+  private def impactBlock(tf: Column, dl: Column, avgdl: Double,
+                          k1: Double, b: Double): Column =
+    least(lit(MaxImpactBlock),
+      floor(-log(bm25TfNorm(tf, dl, avgdl, k1, b) / (k1 + 1))
+        * BlocksPerEFold)).cast("int")
+
+  /** Persist `index` in the TOP-K serving layout — the impact-blocked
+    * sibling of [[write]], derived the same way a [[compact]] snapshot
+    * is: a full rebuild of a committed index into a layout optimized
+    * for one access pattern (k-cut retrieval), refreshed on the
+    * compaction cadence. Impact-ordered indexes are rebuild-derived in
+    * the native engines too (BMW/WAND are static-index techniques);
+    * incremental growth stays with the epoch layout this one is
+    * derived FROM. Positions are dropped — phrase queries serve from
+    * the epoch layout; this one exists to make the k-cut cheap.
+    *
+    * Commit discipline: `meta` written LAST; [[readTopK]] refuses a
+    * path without it. Blocks sort (term, blk) so a pruned serve reads
+    * a contiguous per-term prefix; `fwd` sorts by doc id so exact
+    * rescoring's candidate-id pushdown skips row groups. */
+  def writeTopK(index: InvertedIndex, path: String,
+                termPartitions: Int = 32,
+                k1: Double = 1.2, b: Double = 0.75,
+                rowGroupBytes: Int = 8 << 20): Unit = {
+    require(termPartitions >= 1, s"termPartitions must be positive: $termPartitions")
+    require(k1 > 0 && b >= 0 && b <= 1, s"need k1 > 0, b in [0,1]: k1=$k1 b=$b")
+    require(rowGroupBytes >= 4096, s"rowGroupBytes too small: $rowGroupBytes")
+    val spark = index.postings.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val idCol = index.postings.columns.head // (id, term, dl, tf, ...) order
+    val rows = index.postings.select(col(idCol), col("term"), col("tf"),
+      col("dl").cast("long").as("dl"),
+      impactBlock(col("tf"), col("dl"), index.avgdl, k1, b).as("blk"))
+    // row groups deliberately SMALLER than parquet's 128 MB default:
+    // row-group stats are the skip granularity of every pruned serve —
+    // a (term, blk) prefix read skips whole groups, and 8 MB keeps
+    // sequential-scan throughput while skipping 16× finer. (Splitting
+    // into more FILES instead would multiply per-file footer reads —
+    // measured to drown the pruning win at small scale, and file-count
+    // pressure is real at large scale too.)
+    def grouped(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =
+      w.option("parquet.block.size", rowGroupBytes.toString)
+        .option("parquet.page.size",
+          math.max(4096, rowGroupBytes / 8).toString)
+    grouped(rows
+      .repartitionByRange(termPartitions, col("term"), col("blk"))
+      .sortWithinPartitions("term", "blk")
+      .write.mode("overwrite")).parquet(s"$path/blocks")
+    rows.groupBy("term", "blk")
+      .agg(max("tf").as("max_tf"), min("dl").as("min_dl"),
+        count(lit(1)).as("n"))
+      .repartitionByRange(math.max(1, termPartitions / 4), col("term"))
+      .sortWithinPartitions("term", "blk")
+      .write.mode("overwrite").parquet(s"$path/block_meta")
+    grouped(rows.select(col(idCol), col("term"), col("tf"), col("dl"))
+      .repartitionByRange(termPartitions, col(idCol))
+      .sortWithinPartitions(idCol, "term")
+      .write.mode("overwrite")).parquet(s"$path/fwd")
+    index.docFreq.write.mode("overwrite").parquet(s"$path/docfreq")
+    // the write-time geometry rides in meta: a serve under the SAME
+    // (k1, b) may use the tight bucket-edge bound (see bm25TopK)
+    spark.createDataFrame(Seq((index.nDocs, index.totalDl, k1, b)))
+      .toDF("n_docs", "total_dl", "k1", "b")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[writeTopK]] layout (fails loudly without its meta commit
+    * marker — a crashed write must not serve). */
+  def readTopK(spark: SparkSession, path: String): TopKLayout = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    TopKLayout(
+      spark.read.parquet(s"$path/blocks"),
+      spark.read.parquet(s"$path/block_meta"),
+      spark.read.parquet(s"$path/fwd"),
+      spark.read.parquet(s"$path/docfreq"),
+      meta.getAs[Long]("n_docs"), meta.getAs[Long]("total_dl"),
+      meta.getAs[Double]("k1"), meta.getAs[Double]("b"))
+  }
+
+  /** Bound on [[bm25TopK]]'s candidate-id driver collect (ids only —
+    * tens of MB at the cap). Candidates are the kept-block postings'
+    * docs, which the threshold keeps proportional to the k-cut, not to
+    * df; a query degenerate enough to blow the cap (huge k on a corpus
+    * of near-ties) fails loudly naming the full-scoring fallback. */
+  val MaxTopKCandidates: Int = 4 << 20
+
+  /** TOP-K BM25 with BLOCK-MAX pruning — the serving form whose cost
+    * tracks `k` and the score threshold instead of document frequency:
+    * at 100 TB a common query term's posting slice is corpus-scale, and
+    * [[bm25]]'s exhaustive scoring pays it in full on every serve;
+    * this operator reads only the impact blocks that could still reach
+    * the k-th score. The document-at-a-time WAND loop does not map onto
+    * a shuffle engine, so the algorithm is re-expressed as bounded
+    * batch phases — candidate-generate-then-verify, the same shape as
+    * the LSH and IVF serving paths:
+    *
+    *  1. THRESHOLD: score each term's smallest impact-block prefix
+    *     holding ≥ k postings (sized from the stored block counts — a
+    *     k-bounded pushed-down read) and take the k-th best per-doc
+    *     PARTIAL score θ. Partials lower-bound true scores, so θ
+    *     lower-bounds the true k-th best score.
+    *  2. PRUNE at two granularities. (a) BLOCKS, by the WAND term-sum
+    *     test (driver arithmetic over the ≤ 257·m collected meta
+    *     rows): keep (t, blk) iff `ub(t, blk) + Σ_{t'≠t} maxUb(t') ≥
+    *     θ − margin`, `ub` = idf(t) · tfNorm(max_tf, min_dl) — a doc
+    *     whose every posting sits in dropped blocks provably misses
+    *     the cut, so the kept-prefix read (`term = t AND blk ≤
+    *     cutoff(t)`, pushed into the (term, blk)-sorted parquet) loses
+    *     no answer. (b) DOCS, from the kept-block aggregation: each
+    *     doc's exact kept impacts give a partial (lower bound) and,
+    *     plus the best-unkept-block slack of its uncovered terms, an
+    *     upper BOUND; the k-th best exact partial then REFINES θ (θ₂),
+    *     and only docs whose bound reaches θ₂ survive. The refinement
+    *     is what keeps the expensive phase k-bounded even in the
+    *     term-sum test's worst case — all query terms common at
+    *     similar idf, where (a) can barely prune but partials are
+    *     near-exact scores and θ₂ ≈ the true k-th best.
+    *  3. RESCORE: the surviving candidate ids (collected,
+    *     [[MaxTopKCandidates]]-bounded) push into the doc-sorted `fwd`
+    *     table and each candidate is scored EXACTLY over all its query
+    *     terms — a pruned-out block's contributions are recovered here,
+    *     which is what makes pruning affect IO only, never scores.
+    *
+    * DETERMINISM CONTRACT: the k-cut compares scores ROUNDED to 6
+    * decimals (ties to the lower id). An ulp-level cut would be
+    * nondeterministic — per-doc partial sums depend on aggregation
+    * order, so two mathematically-tied docs can differ in their last
+    * bits run to run — the same reason the bag-of-words oracles compare
+    * rounded scores. The pruning margin (2e-6) makes step 2 exact UNDER
+    * that contract: a pruned doc's rounded score is strictly below the
+    * rounded k-th score, so no rounded-tie at the boundary can point at
+    * a pruned doc. Output: `(idCol, n_matched, score)` for the top `k`
+    * docs, score exact (round it for cross-engine comparison). */
+  def bm25TopK(layout: TopKLayout, idCol: String, query: String, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKImpl(layout, idCol, query, k, k1, b, diag = false)._1
+
+  /** Per-phase volume diagnostics of one [[bm25TopK]] serve — the scale
+    * harness's claim columns: ROW counts per phase are granularity-
+    * independent (parquet row-group/footer accounting at toy corpus
+    * sizes says nothing about 100 TB IO; the postings a phase touches
+    * translate directly). `keptPostings` vs `totalPostings` is the
+    * block-level pruning ratio; `nCandidates` vs matched docs is the
+    * doc-level θ₂ trim — the quantity that must track k, not df. */
+  private[graft] final case class TopKServeDiag(
+    p1Postings: Long, keptPostings: Long, totalPostings: Long,
+    nCandidates: Long, theta: Double, theta2: Double)
+
+  /** [[bm25TopK]] plus its [[TopKServeDiag]] (two extra count jobs —
+    * harness use, not the serving path). */
+  private[graft] def bm25TopKDiag(layout: TopKLayout, idCol: String,
+                                  query: String, k: Int,
+                                  k1: Double = 1.2, b: Double = 0.75)
+      : (DataFrame, TopKServeDiag) = {
+    val (df, d) = bm25TopKImpl(layout, idCol, query, k, k1, b, diag = true)
+    (df, d.get)
+  }
+
+  private def bm25TopKImpl(layout: TopKLayout, idCol: String, query: String,
+                           k: Int, k1: Double, b: Double, diag: Boolean)
+      : (DataFrame, Option[TopKServeDiag]) = {
+    require(k1 > 0 && b >= 0 && b <= 1, s"need k1 > 0, b in [0,1]: k1=$k1 b=$b")
+    require(k >= 1, s"k must be positive, got $k")
+    val terms = TextAnalysis.tokenizeDriver(query).distinct
+    require(terms.nonEmpty, "bm25TopK: empty query")
+    val spark = layout.blocks.sparkSession
+    def inTerms(c: Column) = c.isin(terms.map(lit): _*)
+    // per-term df — m rows; terms absent from the index drop out here
+    val dfRows = layout.docFreq.filter(inTerms(col("term"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = terms.filter(dfRows.contains)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        layout.fwd.schema(idCol),
+        org.apache.spark.sql.types.StructField("n_matched",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType, nullable = true))))
+    val emptyDiag =
+      if (diag) Some(TopKServeDiag(0L, 0L, 0L, 0L, Double.NaN, Double.NaN))
+      else None
+    if (present.isEmpty) return (empty, emptyDiag)
+    def idfOf(t: String): Double = {
+      val df = dfRows(t).toDouble
+      math.log(1.0 + (layout.nDocs.toDouble - df + 0.5) / (df + 0.5))
+    }
+    def tfNormOf(tf: Long, dl: Long): Double =
+      (tf * (k1 + 1)) / (tf + k1 * ((1 - b) + b * dl / layout.avgdl))
+    // the bounded meta slice: ≤ (MaxImpactBlock+1)·|terms| rows by the
+    // quantized-block construction — see MaxImpactBlock
+    val meta = layout.blockMeta.filter(inTerms(col("term"))).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // per-block upper bound: under the WRITE-time geometry the bucket's
+    // own upper edge `(k1+1)·e^(−blk/8)` bounds every member's tfNorm
+    // BY CONSTRUCTION — tight regardless of how heterogeneous the
+    // block's (tf, dl) mix is. The (max_tf, min_dl) envelope stays as
+    // the fallback for serves under a DIFFERENT (k1, b), where the
+    // bucket edges mean nothing — valid either way, just looser (a
+    // deep block holding both (high tf, high dl) and (low tf, low dl)
+    // rows envelopes to a fictitious high-tf/low-dl member).
+    val sameGeometry = k1 == layout.k1Write && b == layout.bWrite
+    val ub = meta.map { case (t, blk, maxTf, minDl, _) =>
+      (t, blk) -> (idfOf(t) * (
+        if (sameGeometry)
+          (k1 + 1) * math.exp(-blk / BlocksPerEFold)
+        else tfNormOf(maxTf, minDl)))
+    }.toMap
+    val maxUb = ub.groupMapReduce(_._1._1)(_._2)(math.max)
+    val sumMaxUb = present.map(maxUb).sum
+    val dfFrame = broadcast(spark.createDataFrame(
+      dfRows.toSeq.map { case (t, d) => (t, d) }).toDF("term", "df"))
+    val idf = bm25Idf(layout.nDocs, col("df"))
+    val tfn = bm25TfNorm(col("tf"), col("dl"), layout.avgdl, k1, b)
+    // phase 1: θ from each term's smallest impact-block PREFIX holding
+    // ≥ k postings (the stored per-block counts size it) — k-bounded
+    // reads whose per-doc partials lower-bound true scores, so the
+    // k-th best partial lower-bounds the true k-th best score
+    val p1Cut = present.map { t =>
+      val blks = meta.filter(_._1 == t).sortBy(_._2)
+      var cum = 0L; var cut = blks.head._2
+      blks.foreach { case (_, blk, _, _, n) =>
+        if (cum < k) { cut = blk; cum += n } }
+      t -> cut
+    }.toMap
+    val p1Pred = present.map(t => col("term") === t && col("blk") <= p1Cut(t))
+      .reduce(_ || _)
+    val p1 = layout.blocks.filter(p1Pred)
+      .join(dfFrame, Seq("term"))
+      .groupBy(idCol).agg(sum(idf * tfn).as("partial"))
+      .orderBy(col("partial").desc).limit(k)
+      .collect()
+    val theta = if (p1.length < k) Double.NegativeInfinity
+                else p1.last.getAs[Double]("partial")
+    // phase 2a: per-term kept-block prefix under the WAND term-sum test
+    // (with the rounded-cut margin). This is the block-level bound —
+    // weak by nature when every query term is common at similar idf
+    // (any doc COULD pair this block with the other terms' maxima), in
+    // which case most blocks stay kept and the doc-level bound below is
+    // what keeps the expensive phase k-bounded.
+    val thetaP = theta - 2e-6
+    val cutoff = present.flatMap { t =>
+      val rest = sumMaxUb - maxUb(t)
+      val kept = meta.collect {
+        case (`t`, blk, _, _, _) if ub((t, blk)) + rest >= thetaP => blk
+      }
+      if (kept.isEmpty) None else Some(t -> kept.max)
+    }.toMap
+    val keptPred = cutoff.map { case (t, c) =>
+      col("term") === t && col("blk") <= c
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    // phase 2b: ONE pass over the kept blocks builds per-doc
+    // `partial` (the EXACT impacts of the doc's kept postings — a
+    // lower bound on its score) and `bound` = partial + the unkept
+    // slack Σ over terms the doc did NOT cover of that term's best
+    // UNKEPT block ub (an upper bound: a doc has at most one posting
+    // per term, so an uncovered term contributes at most its best
+    // unkept block's envelope). Docs below θ on the bound can never
+    // make the cut; docs absent from every kept block were already
+    // proven out by the block-level test.
+    val ubUnkept = present.map { t =>
+      val u = meta.collect {
+        case (`t`, blk, _, _, _) if blk > cutoff.getOrElse(t, -1) => ub((t, blk))
+      }
+      t -> (if (u.isEmpty) 0.0 else u.max)
+    }.toMap
+    val sumUnkept = present.map(ubUnkept).sum
+    val slackFrame = broadcast(spark.createDataFrame(
+      present.map(t => (t, ubUnkept(t)))).toDF("term", "__slack"))
+    // the aggregation runs TWICE (θ₂ refinement, then the candidate
+    // emit) rather than once over a checkpoint: the intermediate is
+    // doc-scale when θ is still weak, and re-serving it from block
+    // storage costs more than re-reading the pushed-down columnar
+    // kept slice — both runs are k-bounded driver actions
+    def cand = layout.blocks.filter(keptPred)
+      .join(dfFrame, Seq("term")).join(slackFrame, Seq("term"))
+      .groupBy(idCol)
+      .agg(sum(idf * tfn).as("__partial"), sum(col("__slack")).as("__cov"))
+      .select(col(idCol), col("__partial"),
+        (col("__partial") + (lit(sumUnkept) - col("__cov"))).as("__bound"))
+      .filter(col("__bound") >= thetaP)
+    // phase 2c: REFINE the threshold from the exact partials — when the
+    // block test kept everything (the uniform-idf worst case), partials
+    // ARE exact scores and θ₂ becomes the true k-th best, collapsing
+    // the rescore set to ~k + rounding ties; when blocks were pruned,
+    // the k-th partial is still a valid lower bound (same argument as
+    // phase 1). This is what makes the expensive phase track k even
+    // where the WAND block bound cannot prune.
+    val p2 = cand.orderBy(col("__partial").desc).limit(k).collect()
+    val theta2 =
+      if (p2.length < k) theta
+      else math.max(theta, p2.last.getAs[Double]("__partial"))
+    val candidates = cand.filter(col("__bound") >= theta2 - 2e-6)
+      .select(col(idCol))
+      .limit(MaxTopKCandidates + 1).collect().map(_.get(0))
+    require(candidates.length <= MaxTopKCandidates,
+      s"bm25TopK: over $MaxTopKCandidates candidate docs survive block " +
+        "pruning (huge k, or a corpus of near-tied scores) - serve this " +
+        "query via exhaustive bm25 + orderBy(score).limit(k) instead")
+    // harness counters only — two extra jobs, never on the serving path
+    val diagOut =
+      if (!diag) None
+      else Some(TopKServeDiag(
+        layout.blocks.filter(p1Pred).count(),
+        layout.blocks.filter(keptPred).count(),
+        present.map(dfRows).sum,
+        candidates.length.toLong, theta, theta2))
+    if (candidates.isEmpty) return (empty, diagOut)
+    // phase 3: exact rescore of the candidates from the doc-sorted
+    // forward table — candidate-id pushdown prunes row groups, and the
+    // final cut compares 6-decimal-rounded scores (ties to the lower id)
+    val scored = layout.fwd
+      .filter(col(idCol).isin(candidates.toSeq.map(lit): _*) &&
+        inTerms(col("term")))
+      .join(dfFrame, Seq("term"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_matched"), sum(idf * tfn).as("score"))
+    (scored
+      .orderBy((floor(col("score") * 1000000.0 + 0.5) / 1000000.0).desc,
+        col(idCol))
+      .limit(k), diagOut)
   }
 
   /** Additive growth — the span-index algebra on the retrieval side:

@@ -129,6 +129,10 @@ object Main {
       |          [--id doc_id] [--phrase-id phrase_id] [--phrase-text phrase]
       |          [--k1 1.2] [--b 0.75] [--no-pushdown]
       |          (full per-phrase match sets; no top-k)
+      |  decontaminate-phrase --in <docs-parquet> --path <index-dir>
+      |          --phrases <phrases-parquet> --out <dir>
+      |          [--id doc_id] [--phrase-id phrase_id] [--phrase-text phrase]
+      |          [--no-pushdown]  (drops docs containing any phrase verbatim)
       |  span-index-build  --in <docs-parquet> --path <dir>
       |          [--id doc_id] [--text text] [--span-n 8]
       |  span-index-merge  --path <index-dir> --in <docs-parquet> --out <dir>
@@ -455,6 +459,23 @@ object Main {
         .orderBy(org.apache.spark.sql.functions.col("score").desc,
           org.apache.spark.sql.functions.col(opt.getOrElse("id", "doc_id")))
         .limit(opt.getOrElse("topk", "20").toInt)
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(req(opt, "out"))
+
+    case Some("decontaminate-phrase") =>
+      // the eval-leakage gate: drop every training doc containing ANY of
+      // the eval phrases verbatim, verified against the positional index
+      // in one postings scan (the n-gram-overlap sibling is `curate`'s
+      // Dedup.decontaminate; the near-verbatim dial is bm25-window)
+      val (opt, flags) = parse(args.tail)
+      graft.operators.TextIndex.decontaminatePhrases(
+          spark.read.parquet(req(opt, "in")),
+          graft.operators.TextIndex.read(spark, req(opt, "path")),
+          opt.getOrElse("id", "doc_id"),
+          spark.read.parquet(req(opt, "phrases")),
+          opt.getOrElse("phrase-id", "phrase_id"),
+          opt.getOrElse("phrase-text", "phrase"),
+          pushdownTerms = !flags("no-pushdown"))
         .write.mode("overwrite").option("compression", "zstd")
         .parquet(req(opt, "out"))
 

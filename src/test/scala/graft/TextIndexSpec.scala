@@ -281,6 +281,32 @@ class TextIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException](TextIndex.bm25Phrase(pix, "doc_id", " "))
   }
 
+  test("decontaminatePhrases drops exactly the verbatim-hit docs; " +
+    "phraseContamination profiles them") {
+    val pdocs = Seq(
+      (1L, "hash join hash join x"), // hits phrase 1 twice
+      (2L, "join hash"),             // wrong order: clean
+      (3L, "sort merge now"),        // hits phrase 2
+      (4L, "hash join sort merge"),  // hits both
+      (5L, "other words only")
+    ).toDF("doc_id", "text")
+    val pix = TextIndex.build(pdocs, "doc_id", "text")
+    val phrases = Seq((1L, "hash join"), (2L, "sort merge"))
+      .toDF("phrase_id", "phrase")
+    val kept = TextIndex.decontaminatePhrases(pdocs, pix, "doc_id",
+      phrases, "phrase_id", "phrase").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 5L), s"survivors: $kept")
+    val prof = TextIndex.phraseContamination(pix, "doc_id", phrases,
+        "phrase_id", "phrase")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(prof == Map(1L -> ((1L, 2L)), 3L -> ((1L, 1L)), 4L -> ((2L, 2L))),
+      s"contamination profile: $prof")
+    // no-pushdown twin agrees
+    assert(TextIndex.decontaminatePhrases(pdocs, pix, "doc_id", phrases,
+        "phrase_id", "phrase", pushdownTerms = false)
+      .collect().map(_.getLong(0)).toSet == kept)
+  }
+
   test("bm25Phrase: phrase survives the persisted epoch lifecycle") {
     val pdocs = Seq((1L, "hash join tail"), (2L, "hash x"), (3L, "a hash join"))
       .toDF("doc_id", "text")
@@ -447,6 +473,54 @@ class TextIndexSpec extends SparkSpec {
     assert(ix.nDocs == 3L, "cold-start stream must have bootstrapped the index")
     assert(TextIndex.bm25(ix, "doc_id", "spark").collect()
       .map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
+  test("bm25TopK ≡ exhaustive scoring + rounded k-cut across k, missing " +
+    "terms, and k past the match count; quantized blocks stay bounded") {
+    import org.apache.spark.sql.functions.{col, floor}
+    // 200 docs with spread tf/dl so the score distribution has real
+    // tiers AND exact ties — the k-cut exercises both the pruning and
+    // the rounded tie-break
+    val corpus = spark.range(200).selectExpr("id AS doc_id",
+      "concat(repeat('spark ', 1 + cast(id % 5 AS INT)), " +
+        "repeat('hash ', cast(id % 3 AS INT)), " +
+        "repeat('pad ', cast(id % 11 AS INT)), 'tail') AS text")
+    val full = TextIndex.build(corpus, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-topk").toFile
+    dir.deleteOnExit()
+    val path = new java.io.File(dir, "topk").getAbsolutePath
+    TextIndex.writeTopK(full, path, termPartitions = 4)
+    val layout = TextIndex.readTopK(spark, path)
+    val r6 = (c: org.apache.spark.sql.Column) =>
+      floor(c * 1000000.0 + 0.5) / 1000000.0
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("n_matched"), r6(col("score")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    for (q <- Seq("spark hash", "spark", "hash pad zzz");
+         k <- Seq(1, 3, 10, 50, 1000)) {
+      val pruned = rows(TextIndex.bm25TopK(layout, "doc_id", q, k))
+      val exhaustive = rows(TextIndex.bm25(full, "doc_id", q)
+        .orderBy(r6(col("score")).desc, col("doc_id")).limit(k))
+      assert(pruned == exhaustive, s"q='$q' k=$k")
+    }
+    // a query of only absent terms returns the empty frame, same schema
+    val none = TextIndex.bm25TopK(layout, "doc_id", "zzz qqq", 5)
+    assert(none.columns.toSeq == Seq("doc_id", "n_matched", "score") &&
+      none.count() == 0)
+    // the quantized-block construction bounds per-term metadata by
+    // design — the serve-time collect is bounded for ANY corpus size
+    val perTerm = layout.blockMeta.groupBy("term").count()
+      .collect().map(_.getLong(1))
+    assert(perTerm.forall(_ <= 257L))
+    // degenerate parameters refused
+    intercept[IllegalArgumentException] {
+      TextIndex.bm25TopK(layout, "doc_id", "spark", 0) }
+    intercept[IllegalArgumentException] {
+      TextIndex.bm25TopK(layout, "doc_id", "   ", 5) }
+    // a crashed writeTopK (no meta) refuses to load
+    val crashed = new java.io.File(dir, "crashed").getAbsolutePath
+    layout.blocks.write.parquet(s"$crashed/blocks")
+    intercept[Exception] { TextIndex.readTopK(spark, crashed) }
   }
 
   test("write/read round-trips; crashed write (no meta) refuses to load") {

@@ -437,6 +437,88 @@ class TrainingOpsSpec extends SparkSpec {
       "served top-k must be bit-identical to the inline quantized path")
   }
 
+  test("IVF-PQ: codebook geometry, byte-ranged codes, ADC shortlist + " +
+    "exact re-scoring reproduces exact top-k, parquet round-trip, guards") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = Similarity.trainPq(real, "vec_id", "embedding", m = 8, ksub = 16,
+      iters = 3)
+    assert(cb.m == 8 && cb.ksub == 16 && cb.dsub == 8 && cb.dims == 64)
+    val enc = Similarity.encodePq(real, "embedding", cb)
+      .select("pq_codes").collect().map(_.getSeq[Int](0))
+    assert(enc.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)),
+      "codes must be one byte-ranged entry per subspace")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("nn_id"), math.rint(r.getAs[Double]("cosine") * 1e9)))).toMap
+    // ZERO-QUANTIZATION-ERROR fixture: every subspace's subvectors come
+    // from an alphabet of exactly ksub entries, so the per-subspace
+    // codebooks reproduce the inputs EXACTLY and ADC equals the true
+    // squared-L2 — the algebra of shortlist + re-scoring is then pinned
+    // with no recall slack, even at candidateFactor = 1
+    // unit-norm alphabet → every planted vector has norm √2, so the
+    // squared-L2 shortlist order coincides with the cosine rescore
+    // order (d² = 2·(√2)²·(1 − cos)/... monotone) — the equal-norm
+    // regime where ADC exactness transfers to the cosine top-k
+    val alphabet = Seq((1.0, 0.0), (0.0, 1.0), (0.6, 0.8), (-1.0, 0.0))
+    val planted = (for (a <- alphabet.indices; b <- alphabet.indices
+                        if a != 3 || b != 3) yield {
+      val (x1, x2) = alphabet(a); val (y1, y2) = alphabet(b)
+      ((a * 4 + b).toLong, Array(x1, x2, y1, y2), 0)
+    }).toDF("vec_id", "embedding", "label")
+    val cbP = Similarity.trainPq(planted, "vec_id", "embedding", m = 2,
+      ksub = 4, iters = 3)
+    val plantedQ = planted.filter($"vec_id" < 6)
+    val exactP = asMap(Similarity.ivfTopK(planted, plantedQ, "vec_id",
+      "embedding", "label", 3))
+    val pqP = asMap(Similarity.ivfTopKPq(
+      Similarity.buildPqIndex(planted, "vec_id", "embedding", "label", cbP),
+      planted, plantedQ, "vec_id", "embedding", "label", cbP, 3,
+      candidateFactor = 1))
+    assert(pqP == exactP,
+      "zero-error codebooks must make the PQ path reproduce exact top-k " +
+        "with no shortlist slack")
+    // real near-random embeddings: a corpus-covering shortlist makes the
+    // PQ path degenerate to exact (the rescore-tail equivalence)...
+    val queries = real.filter($"vec_id" < 20)
+    val exact = asMap(Similarity.ivfTopK(real, queries, "vec_id", "embedding",
+      "label", 3))
+    val ix = Similarity.buildPqIndex(real, "vec_id", "embedding", "label", cb)
+    val pqWide = asMap(Similarity.ivfTopKPq(ix, real, queries, "vec_id",
+      "embedding", "label", cb, 3, candidateFactor = 64))
+    assert(pqWide == exact,
+      "a corpus-covering shortlist must degenerate PQ serving to exact top-k")
+    // ...and at the tight default factor recall is the honest PQ story:
+    // near-random vectors have rank-3 cosine gaps below the quantization
+    // error, so candidateFactor (and nprobe) are the accuracy dials, not
+    // free exactness — assert a floor, not perfection
+    def neighbors(m: Map[(Long, Int), (Long, Double)]) =
+      m.toSeq.groupMap(_._1._1)(_._2._1).view.mapValues(_.toSet).toMap
+    val pqTight = neighbors(asMap(Similarity.ivfTopKPq(ix, real, queries,
+      "vec_id", "embedding", "label", cb, 3, candidateFactor = 4)))
+    val exactN = neighbors(exact)
+    val recall = exactN.map { case (q, nns) =>
+      (pqTight.getOrElse(q, Set.empty) & nns).size.toDouble / nns.size
+    }.sum / exactN.size
+    assert(recall >= 0.5, f"recall@3 $recall%.2f collapsed - PQ shortlist broken")
+    // the deployment shape: codes persisted once, served from parquet —
+    // integer codes round-trip exactly, so serving is bit-identical
+    val ixPath = java.nio.file.Files.createTempDirectory("graft-pqix")
+      .toString + "/ix"
+    ix.write.parquet(ixPath)
+    val served = asMap(Similarity.ivfTopKPq(spark.read.parquet(ixPath), real,
+      queries, "vec_id", "embedding", "label", cb, 3, candidateFactor = 64))
+    assert(served == pqWide)
+    // geometry guards: non-dividing m, byte-overflowing ksub, ragged input
+    intercept[IllegalArgumentException] {
+      Similarity.trainPq(real, "vec_id", "embedding", m = 7) }
+    intercept[IllegalArgumentException] {
+      Similarity.trainPq(real, "vec_id", "embedding", ksub = 300) }
+    val ragged = Seq((1L, Array(1.0, 2.0))).toDF("vec_id", "embedding")
+    val eRagged = intercept[Exception] {
+      Similarity.encodePq(ragged, "embedding", cb).collect() }
+    assert(messages(eRagged).contains("encode_pq"), messages(eRagged))
+  }
+
   test("sampleStratified: per-stratum fractions, determinism, null strata, salt re-deal") {
     val d = (0L until 400L).map(i =>
       (i, if (i % 4 == 3) null else s"s${i % 4}")).toDF("doc_id", "source")
