@@ -2104,26 +2104,41 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.sorted
       var nClusters = 0L; var ccRounds = 0
+      var ccTrace = Seq.empty[Long]
       val e2eTimes = (0 until reps).map { _ =>
         dropState()
         val t1 = System.nanoTime()
-        val (clusters, r) = Dedup.duplicateClustersWithRounds(
+        val (clusters, r, trace) = Dedup.duplicateClustersWithTrace(
           Dedup.minhashDuplicates(sh, 0.8))
         nClusters = clusters.count()
-        ccRounds = r
+        ccRounds = r; ccTrace = trace
         (System.nanoTime() - t1) / 1e9
       }.sorted
+      // the trace must CONTRACT monotonically to the star edge set —
+      // an intermediate blow-up would be the hidden quadratic the
+      // rounds-flat headline could mask
+      ccTrace.sliding(2).foreach {
+        case Seq(a, b) => require(b <= a,
+          s"CC edge volume grew mid-alternation at ${n}x: $ccTrace")
+        case _ =>
+      }
       dropState()
       (n, nDocs, nPairs, nClusters,
         pairTimes(pairTimes.size / 2), pairTimes.head, pairTimes.last,
-        e2eTimes(e2eTimes.size / 2), e2eTimes.head, e2eTimes.last, ccRounds)
+        e2eTimes(e2eTimes.size / 2), e2eTimes.head, e2eTimes.last, ccRounds,
+        ccTrace)
     }
-    type R = (Int, Long, Long, Long, Double, Double, Double, Double, Double, Double, Int)
+    type R = (Int, Long, Long, Long, Double, Double, Double, Double, Double,
+      Double, Int, Seq[Long])
     def slope(ys: Seq[Double]): Double = logLogSlope(sizes, ys)
     def arr[T](f: R => T): String = jsonArr(rows)(f)
     // cc_rounds: large/small-star rounds to the fixed point per size — the
     // empirical side of the O(log n) convergence claim (flat-ish growth
-    // across 16× replicas, never proportional to size)
+    // across 16× replicas, never proportional to size). cc_edge_trace
+    // pins the per-round EDGE VOLUME alongside (monotone contraction to
+    // the star set, require-checked above): rounds staying flat while an
+    // intermediate round ballooned would be a hidden quadratic — the
+    // trace makes that unconstructable silently.
     val line =
       f"""{"metric":"lsh_scale_slope","reps":$reps,"sizes":${arr(_._1)},"docs":${arr(_._2)},""" +
         f""""pairs":${arr(_._3)},"clusters":${arr(_._4)},""" +
@@ -2132,6 +2147,7 @@ object Bench {
         f""""e2e_secs":${arr(r => f"${r._8}%.3f")},""" +
         f""""e2e_secs_min":${arr(r => f"${r._9}%.3f")},"e2e_secs_max":${arr(r => f"${r._10}%.3f")},""" +
         f""""cc_rounds":${arr(_._11)},""" +
+        f""""cc_edge_trace":${arr(_._12.mkString("[", ",", "]"))},""" +
         f""""slope_pairs":${slope(rows.map(_._5))}%.3f,""" +
         f""""slope_e2e":${slope(rows.map(_._8))}%.3f,""" +
         f""""segment_slopes_pairs":${segmentSlopesJson(sizes, rows.map(_._5))},""" +

@@ -826,11 +826,27 @@ object Dedup {
     * counterpart of the O(log n) convergence claim (bench_scale.json
     * reports it per replica size). */
   def duplicateClustersWithRounds(pairs0: DataFrame): (DataFrame, Int) = {
+    val (df, rounds, _) = duplicateClustersWithTrace(pairs0)
+    (df, rounds)
+  }
+
+  /** [[duplicateClustersWithRounds]] plus the PER-ROUND edge counts
+    * (input set first, then after each large+small round) — the
+    * signature's count component, so the trace costs nothing extra.
+    * This is the 100×-story evidence beyond "rounds stay flat": each
+    * round's edge volume must contract toward one edge per non-root
+    * member (the per-component star), never balloon through an
+    * intermediate blow-up — Kiveris et al.'s potential argument as a
+    * measured fact (bench_scale.json commits the trace per replica
+    * size). */
+  private[graft] def duplicateClustersWithTrace(pairs0: DataFrame)
+      : (DataFrame, Int, Seq[Long]) = {
     var (edges, sig) = checkpointWithSignature(pairs0
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct())
+    val trace = collection.mutable.ArrayBuffer(sig._1)
     var converged = sig._1 == 0L // no edges ⇒ no clusters
     var rounds = 0
     while (!converged) {
@@ -843,11 +859,13 @@ object Dedup {
       sig = nextSig
       edges = next
       rounds += 1
+      trace += sig._1
     }
     // at the fixed point every edge is (member, component-min root)
     (edges.select(col("u").as("doc_id"), col("v").as("cluster_rep"))
       .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_rep")))
-      .groupBy("doc_id").agg(min("cluster_rep").as("cluster_rep")), rounds)
+      .groupBy("doc_id").agg(min("cluster_rep").as("cluster_rep")),
+      rounds, trace.toSeq)
   }
 
   /** Train-eval decontamination (the n-gram-overlap leakage check of

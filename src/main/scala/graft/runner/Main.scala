@@ -116,6 +116,11 @@ object Main {
       |  bm25-compact --path <index-dir> [--term-partitions 32]
       |  bm25-search --path <index-dir> --query '<terms>' --out <dir>
       |          [--id doc_id] [--k1 1.2] [--b 0.75] [--topk 20]
+      |  bm25-topk-build --path <index-dir> --out <topk-dir>
+      |          [--term-partitions 32] [--k1 1.2] [--b 0.75]
+      |  bm25-topk   --path <topk-dir> --query '<terms>' --out <dir>
+      |          [--id doc_id] [--k 10] [--k1 1.2] [--b 0.75]
+      |          (block-max pruned top-k; rounded deterministic cut)
       |  bm25-phrase --path <index-dir> --phrase '<exact phrase>' --out <dir>
       |          [--id doc_id] [--k1 1.2] [--b 0.75] [--topk 20]
       |  bm25-window --path <index-dir> --query '<terms>' [--window 5] --out <dir>
@@ -417,6 +422,30 @@ object Main {
       val (opt, _) = parse(args.tail)
       graft.operators.TextIndex.compact(spark, req(opt, "path"),
         termPartitions = opt.getOrElse("term-partitions", "32").toInt)
+
+    case Some("bm25-topk-build") =>
+      // derive the impact-blocked top-k serving layout from a committed
+      // epoch index — the compaction-cadence rebuild (block-max layouts
+      // are static-index artifacts; incremental growth stays with the
+      // epoch layout this one is derived from)
+      val (opt, _) = parse(args.tail)
+      graft.operators.TextIndex.writeTopK(
+        graft.operators.TextIndex.read(spark, req(opt, "path")),
+        req(opt, "out"),
+        termPartitions = opt.getOrElse("term-partitions", "32").toInt,
+        k1 = opt.getOrElse("k1", "1.2").toDouble,
+        b = opt.getOrElse("b", "0.75").toDouble)
+
+    case Some("bm25-topk") =>
+      val (opt, _) = parse(args.tail)
+      graft.operators.TextIndex.bm25TopK(
+          graft.operators.TextIndex.readTopK(spark, req(opt, "path")),
+          opt.getOrElse("id", "doc_id"), req(opt, "query"),
+          k = opt.getOrElse("k", "10").toInt,
+          k1 = opt.getOrElse("k1", "1.2").toDouble,
+          b = opt.getOrElse("b", "0.75").toDouble)
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(req(opt, "out"))
 
     case Some("bm25-search") =>
       val (opt, _) = parse(args.tail)

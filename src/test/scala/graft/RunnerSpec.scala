@@ -349,6 +349,25 @@ class RunnerSpec extends SparkSpec {
       "--out", outP2), spark)
     assert(spark.read.parquet(outP2).count() == 0,
       "the exact-phrase form must NOT match the reversed order")
+    // top-k loop: derive the impact-blocked layout from the committed
+    // index, serve the pruned k-cut — equal to bm25-search's top slice
+    val topkDir = outDir("cli-bm25-topkix") + "/topk"
+    Main.run(Seq("bm25-topk-build", "--path", ixEp, "--out", topkDir,
+      "--term-partitions", "2"), spark)
+    val outT = outDir("cli-bm25-outt")
+    Main.run(Seq("bm25-topk", "--path", topkDir, "--query", "spark",
+      "--k", "1", "--out", outT), spark)
+    val tk = spark.read.parquet(outT).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(tk == Seq((1L -> 1L)), s"pruned top-1 diverges: $tk")
+    // decontamination capstone: drop the docs containing 'spark join'
+    // verbatim (doc 1), keep the rest
+    val outD = outDir("cli-bm25-outd")
+    Main.run(Seq("decontaminate-phrase", "--in", all, "--path", ixEp,
+      "--phrases", ps, "--out", outD), spark)
+    assert(spark.read.parquet(outD).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(3L),
+      "docs 1 ('spark join') and 2 ('hash table') must be dropped")
   }
 
   test("span-index lifecycle CLI: build → filter → merge → filter — the " +
