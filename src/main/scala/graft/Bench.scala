@@ -247,13 +247,16 @@ object Bench {
       .mkString("{", ",", "}")
     // stdout twin of `qs`, COMPACTED to fit the driver's ~2000-byte tail
     // capture: 69 queries at full precision was ~2.9 KB (r08/r09
-    // `parsed: null`), and by r12 even 3-decimal full names overflowed
-    // again (2084 bytes — BENCH_r12 `parsed: null`). The headline map
-    // therefore strips the uniform `q_` prefix and rounds to 10 ms
-    // (87 queries ≈ 1.82 KB, headroom for ~8 more); full names, full
-    // precision, spread/io/bands all stay in bench_full.json.
+    // `parsed: null`), r12's 3-decimal full names overflowed again
+    // (2084 B), and r14's 97 queries overflowed the 2-decimal form too
+    // (2042 B — one run fell back to the no-map headline). The map now
+    // strips the uniform `q_` prefix and rounds to 100 ms (97 queries
+    // ≈ 1.95 KB); full names, full precision, spread/io/bands all stay
+    // in bench_full.json, which is the record of note — the stdout map
+    // exists only so the driver's tail capture parses SOMETHING
+    // per-query.
     val qsShort = results.map { case (k, v, _, _, _, _) =>
-      f""""${k.stripPrefix("q_")}":$v%.2f"""
+      f""""${k.stripPrefix("q_")}":$v%.1f"""
     }.mkString("{", ",", "}")
     val spread = results.map { case (k, _, mn, mx, n, _) =>
       f""""$k":{"min":$mn%.4f,"max":$mx%.4f,"runs":$n}"""
