@@ -1540,6 +1540,34 @@ object SparkEntry {
       .withColumn("cosine", rq(col("cosine"), 6))
   }
 
+  /** On-disk PQ index for `dir`'s embeddings (codes partitioned with
+    * their cells ride as plain columns — integer codes round-trip
+    * parquet exactly), written once per JVM: [[qAnnPqServed]] serves
+    * every query batch from the read-back frame, the deployment steady
+    * state, under the SAME oracle as the inline path. */
+  private val pqIxCache = collection.concurrent.TrieMap.empty[String, String]
+  private def pqIndexPath(s: SparkSession, dir: String): String =
+    pqIxCache.getOrElseUpdate(dir, {
+      val p = new java.io.File(s"target/q-ann-pq/${dirKey(dir)}").getAbsolutePath
+      Similarity.buildPqIndex(tbl(s, dir, "embeddings"), "vec_id",
+          "embedding", "label", pqCodebooks(s, dir))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** [[qAnnPq]]'s SERVING twin: the ADC shortlist answers from the
+    * PERSISTED code table — quantize once, serve every batch — and
+    * must hash-match the inline path's oracle (codes are integers, so
+    * the parquet round-trip is exact; the suite's serve-not-build
+    * pattern on the PQ side). */
+  private def qAnnPqServed(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    Similarity.ivfTopKPq(s.read.parquet(pqIndexPath(s, dir)),
+        e, e.filter(col("vec_id") < 20), "vec_id", "embedding", "label",
+        pqCodebooks(s, dir), 3, candidateFactor = 4)
+      .withColumn("cosine", rq(col("cosine"), 6))
+  }
+
   /** q_ann_ivf_q8's answer served from the ON-DISK partition-pruned
     * layout ([[Similarity.writeIvfIndex]] + [[Similarity.ivfTopKQuantizedPruned]])
     * under the SAME oracle — the layout changes which files are listed
@@ -2011,6 +2039,7 @@ object SparkEntry {
     "q_ann_ivf_q8" -> qAnnIvfQ8,
     "q_ann_ivf_pruned" -> qAnnIvfPruned,
     "q_ann_pq" -> qAnnPq,
+    "q_ann_pq_served" -> qAnnPqServed,
     "q_ann_kmeans" -> qAnnKmeans,
     "q_ann_serve" -> qAnnServe,
     "q_ann_ingest" -> qAnnIngest,
@@ -2231,6 +2260,45 @@ object SparkEntry {
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, count(*) AS n_matched,
         |       floor(sum(part)*1000000.0 + 0.5)/1000000.0 AS score
         |FROM sc GROUP BY doc_id""".stripMargin
+
+  /** Shared by q_ann_pq (inline codes) and q_ann_pq_served (persisted
+    * code table): given ONLY the dumped codebooks, DuckDB re-derives
+    * every corpus vector's PQ codes, replays the rounded ADC shortlist,
+    * and exact-rescores it. */
+  private lazy val annPqSql: String =
+    s"""WITH cb AS (SELECT j, c, CAST(centroid AS DOUBLE[]) AS cent
+        |            FROM read_parquet('$KmeansFixture/pq_codebooks/*.parquet')),
+        | e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | dist AS (
+        |  SELECT e.vec_id, cb.j, cb.c,
+        |         list_sum(list_transform(range(1, 9),
+        |           i -> (e.v[CAST(cb.j*8 + i AS INT)] - cb.cent[CAST(i AS INT)])
+        |              * (e.v[CAST(cb.j*8 + i AS INT)] - cb.cent[CAST(i AS INT)]))) AS d
+        |  FROM e CROSS JOIN cb),
+        | code AS (
+        |  SELECT vec_id, j, c FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) = 1),
+        | q AS (SELECT vec_id, label, v FROM e WHERE vec_id < 20),
+        | pairsub AS (
+        |  SELECT q.vec_id AS query_id, ce.vec_id AS nn_id, co.j,
+        |         list_sum(list_transform(range(1, 9),
+        |           i -> (q.v[CAST(co.j*8 + i AS INT)] - cb.cent[CAST(i AS INT)])
+        |              * (q.v[CAST(co.j*8 + i AS INT)] - cb.cent[CAST(i AS INT)]))) AS dj
+        |  FROM q JOIN e ce ON ce.label = q.label AND ce.vec_id <> q.vec_id
+        |  JOIN code co ON co.vec_id = ce.vec_id
+        |  JOIN cb ON cb.j = co.j AND cb.c = co.c),
+        | adc AS (SELECT query_id, nn_id, sum(dj) AS adc FROM pairsub GROUP BY 1, 2),
+        | short AS (
+        |  SELECT query_id, nn_id FROM adc
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY floor(adc*1000000.0 + 0.5)/1000000.0, nn_id) <= 12),
+        | scored AS (
+        |  SELECT s.query_id, s.nn_id, list_cosine_similarity(eq.v, ec.v) AS cos
+        |  FROM short s JOIN e eq ON eq.vec_id = s.query_id
+        |  JOIN e ec ON ec.vec_id = s.nn_id)
+        |SELECT query_id, nn_id, floor((cos)*1000000.0 + 0.5)/1000000.0 AS cosine,
+        |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS INT) AS rank
+        |FROM scored QUALIFY rank <= 3""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_tpch_q1" ->
@@ -3037,40 +3105,11 @@ object SparkEntry {
     // before ranking on BOTH sides — Σ-over-subspaces is aggregation-
     // order-sensitive at the ulp), and exact-rescores the shortlist —
     // the full product-quantization serving path in SQL
-    "q_ann_pq" ->
-      s"""WITH cb AS (SELECT j, c, CAST(centroid AS DOUBLE[]) AS cent
-        |            FROM read_parquet('$KmeansFixture/pq_codebooks/*.parquet')),
-        | e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        | dist AS (
-        |  SELECT e.vec_id, cb.j, cb.c,
-        |         list_sum(list_transform(range(1, 9),
-        |           i -> (e.v[CAST(cb.j*8 + i AS INT)] - cb.cent[CAST(i AS INT)])
-        |              * (e.v[CAST(cb.j*8 + i AS INT)] - cb.cent[CAST(i AS INT)]))) AS d
-        |  FROM e CROSS JOIN cb),
-        | code AS (
-        |  SELECT vec_id, j, c FROM dist
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) = 1),
-        | q AS (SELECT vec_id, label, v FROM e WHERE vec_id < 20),
-        | pairsub AS (
-        |  SELECT q.vec_id AS query_id, ce.vec_id AS nn_id, co.j,
-        |         list_sum(list_transform(range(1, 9),
-        |           i -> (q.v[CAST(co.j*8 + i AS INT)] - cb.cent[CAST(i AS INT)])
-        |              * (q.v[CAST(co.j*8 + i AS INT)] - cb.cent[CAST(i AS INT)]))) AS dj
-        |  FROM q JOIN e ce ON ce.label = q.label AND ce.vec_id <> q.vec_id
-        |  JOIN code co ON co.vec_id = ce.vec_id
-        |  JOIN cb ON cb.j = co.j AND cb.c = co.c),
-        | adc AS (SELECT query_id, nn_id, sum(dj) AS adc FROM pairsub GROUP BY 1, 2),
-        | short AS (
-        |  SELECT query_id, nn_id FROM adc
-        |  QUALIFY row_number() OVER (PARTITION BY query_id
-        |    ORDER BY floor(adc*1000000.0 + 0.5)/1000000.0, nn_id) <= 12),
-        | scored AS (
-        |  SELECT s.query_id, s.nn_id, list_cosine_similarity(eq.v, ec.v) AS cos
-        |  FROM short s JOIN e eq ON eq.vec_id = s.query_id
-        |  JOIN e ec ON ec.vec_id = s.nn_id)
-        |SELECT query_id, nn_id, floor((cos)*1000000.0 + 0.5)/1000000.0 AS cosine,
-        |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS INT) AS rank
-        |FROM scored QUALIFY rank <= 3""".stripMargin,
+    "q_ann_pq" -> annPqSql,
+    // the persisted-code serving twin answers the SAME replay: integer
+    // codes round-trip parquet exactly, so the served shortlist and the
+    // inline one are the same shortlist
+    "q_ann_pq_served" -> annPqSql,
     // learned IVF: the engine dumps the labels its centroids induce
     // (corpus = one cell each, queries = nprobe=2 fan-out); the oracle
     // replays the cell-restricted candidate join + exact-cosine ranking.

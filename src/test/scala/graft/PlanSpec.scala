@@ -331,6 +331,78 @@ class PlanSpec extends SparkSpec {
       s"deleted ANN serve must stay pruned with a tombstone anti-join:\n$pAnnD")
   }
 
+  test("q_bm25_topk: candidate ids AND query terms push into the fwd scan; " +
+    "the k-cut fuses — rescore cost tracks the candidate set, not df") {
+    val p = executed(SparkEntry.queries("q_bm25_topk")(spark, sf))
+    val phys = p.toString
+    // phase 3's whole claim: only the surviving candidates' row groups
+    // are read — the id In-list AND the term In-list must reach the
+    // doc-sorted fwd scan. The plan STRING truncates PushedFilters at
+    // ~100 chars (the candidate list swallows the term entry), so
+    // assert on the scan's dataFilters field, not the rendering.
+    val fwdScans = flatten(p).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.toString.contains("q-bm25-topk") => s
+    }
+    assert(fwdScans.nonEmpty, s"expected a fwd-layout scan:\n$phys")
+    val filterCols = fwdScans.flatMap(_.dataFilters)
+      .flatMap(_.references.map(_.name)).toSet
+    assert(filterCols.contains("doc_id"),
+      s"candidate ids must push into the fwd scan, got $filterCols:\n$phys")
+    assert(filterCols.contains("term"),
+      s"query terms must push into the fwd scan, got $filterCols:\n$phys")
+    assert(phys.contains("TakeOrderedAndProject"),
+      s"the k-cut must fuse — no global sort of candidate scores:\n$phys")
+    assert(!phys.contains("CartesianProduct") &&
+      !phys.contains("BroadcastNestedLoopJoin"),
+      s"rescore stays on the term equi-join:\n$phys")
+    assert(countBroadcasts(p) >= 1,
+      s"expected the per-term df frame to broadcast:\n$phys")
+  }
+
+  test("q_decontaminate_phrase: phrase hits apply as a broadcast anti-join — " +
+    "the corpus never shuffles for the drop") {
+    val p = executed(SparkEntry.queries("q_decontaminate_phrase")(spark, sf))
+    val phys = p.toString
+    assert(phys.contains("LeftAnti"),
+      s"contaminated ids must drop via an anti-join:\n$phys")
+    assert(!phys.contains("CartesianProduct"), s"no cartesian:\n$phys")
+    assert(countBroadcasts(p) >= 1,
+      s"expected the hit-id set to broadcast against the corpus:\n$phys")
+    // the corpus side reads and filters map-side; shuffles belong to the
+    // phrase-verification side (postings agg), never the corpus scan
+    val corpusShuffles = flatten(p).count {
+      case s: ShuffleExchangeLike =>
+        s.toString.contains("documents.parquet")
+      case _ => false
+    }
+    assert(corpusShuffles == 0,
+      s"the documents scan must not shuffle for the drop:\n$phys")
+  }
+
+  test("q_lm_xent_kn: all three KN model tables broadcast into one score scan") {
+    val p = executed(SparkEntry.queries("q_lm_xent_kn")(spark, sf))
+    val phys = p.toString
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoopJoin"),
+      s"KN scoring must stay on (w1,w2)/(w1)/(w2) equi-joins:\n$phys")
+    assert(countBroadcasts(p) >= 3,
+      s"expected bigram, context AND continuation tables to broadcast:\n$phys")
+  }
+
+  test("q_ann_pq: the ADC shortlist joins on the coarse cell and rescores by " +
+    "id — codebooks ride as a literal, never a join side") {
+    val p = executed(SparkEntry.queries("q_ann_pq")(spark, sf))
+    val phys = p.toString
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoopJoin"),
+      s"PQ serving is cell-bounded equi-joins end to end:\n$phys")
+    // the codebook matrix is a typedlit inside the ADC expression — the
+    // plan must contain NO scan of a codebooks table (2 leaves: corpus
+    // codes + corpus/query vectors, both the embeddings source)
+    val scans = p.collectLeaves().map(_.toString)
+    assert(scans.forall(!_.contains("pq_codebooks")),
+      s"codebooks must ride as a literal, not a scanned side:\n$phys")
+  }
+
   test("q_filter_project: predicates and projection reach the parquet scan") {
     val df = SparkEntry.queries("q_filter_project")(spark, sf)
     val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
