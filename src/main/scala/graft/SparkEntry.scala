@@ -1469,6 +1469,44 @@ object SparkEntry {
         LanguageModel.read(s, lmModelPath(s, dir)))
       .select(col("doc_id"), col("n_bigrams"), rq(col("xent"), 6).as("xent"))
 
+  /** Trigram Kneser-Ney cross-entropy (D = 0.75, β = 0.5) — the
+    * ORDER-RECURSIVE KN structure ([[LanguageModel.trainKneserNey3]]):
+    * raw-count discounting at the top order, continuation-TYPE
+    * discounting at the middle, the floored continuation unigram at
+    * the bottom. Train + score in the timed body like [[qLmXentKn]];
+    * self-scoring keeps every leg's joined counts seen, so the hash
+    * gate pins the full three-level discount/backoff cascade. */
+  private def qLmXentKn3(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val lm = LanguageModel.trainKneserNey3(docs, "text")
+    LanguageModel.crossEntropyKneserNey3(docs, "doc_id", "text", lm)
+      .select(col("doc_id"), col("n_trigrams"), rq(col("xent"), 6).as("xent"))
+  }
+
+  /** On-disk PRUNED KN3 model for `dir`'s corpus (minCount = 2) —
+    * [[lmKnModelPath]]'s trigram sibling, written once per JVM. */
+  private val lmKn3ModelCache = collection.concurrent.TrieMap.empty[String, String]
+  private def lmKn3ModelPath(s: SparkSession, dir: String): String =
+    lmKn3ModelCache.getOrElseUpdate(dir, {
+      val p = new java.io.File(s"target/q-lm-kn3-model/${dirKey(dir)}").getAbsolutePath
+      LanguageModel.writeKneserNey3(
+        LanguageModel.pruneKneserNey3(
+          LanguageModel.trainKneserNey3(tbl(s, dir, "documents"), "text"),
+          minCount = 2), p)
+      p
+    })
+
+  /** The SERVING twin of [[qLmXentKn3]]: score against the persisted
+    * PRUNED trigram model. Pruned singleton trigrams lose their
+    * discounted first term and fall to the continuation-backoff
+    * cascade — which stays unpruned and full-corpus, so the oracle
+    * replays exactly the coalesce-to-backoff arithmetic and prune +
+    * write/read + all three backoff legs sit under the hash gate. */
+  private def qLmXentKn3Served(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.crossEntropyKneserNey3(tbl(s, dir, "documents"), "doc_id",
+        "text", LanguageModel.readKneserNey3(s, lmKn3ModelPath(s, dir)))
+      .select(col("doc_id"), col("n_trigrams"), rq(col("xent"), 6).as("xent"))
+
   /** Deterministic stratified sampling by `source` (corpus mixing): keep
     * src0 wholesale, src1 at 1/2, src2 at 1/4, everything else at 1/10 —
     * the oracle reproduces the md5-cutoff membership row for row. */
@@ -2029,6 +2067,8 @@ object SparkEntry {
     "q_lm_xent_interp_served" -> qLmXentInterpServed,
     "q_lm_xent_kn" -> qLmXentKn,
     "q_lm_xent_kn_served" -> qLmXentKnServed,
+    "q_lm_xent_kn3" -> qLmXentKn3,
+    "q_lm_xent_kn3_served" -> qLmXentKn3Served,
     "q_sample_stratified" -> qSampleStratified,
     "q_sample_temperature" -> qSampleTemperature,
     "q_sample_budget" -> qSampleBudget,
@@ -3056,6 +3096,84 @@ object SparkEntry {
         | pd AS (SELECT doc_id, count(*) AS n_bigrams, -avg(logp) AS xent
         |        FROM sc GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams,
+        |       floor(pd.xent*1000000.0 + 0.5)/1000000.0 AS xent
+        |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin,
+    // trigram Kneser-Ney (D = 0.75, β = 0.5), self-scored: the full
+    // order recursion replayed — raw-count discounting over the
+    // trigram table, continuation-TYPE discounting over the per-(w2,w3)
+    // distinct-left-context table derived from it, the floored
+    // continuation unigram at the bottom — with the engine's literal
+    // IEEE association at every level
+    "q_lm_xent_kn3" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        | tok AS (SELECT unnest(w) AS token FROM d),
+        | v AS (SELECT count(DISTINCT token) AS vs FROM tok),
+        | tg AS (
+        |  SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i+1 AS INT)] AS w2,
+        |         w[CAST(i+2 AS INT)] AS w3
+        |  FROM d, LATERAL unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
+        | c123 AS (SELECT w1, w2, w3, count(*) AS n123 FROM tg GROUP BY 1, 2, 3),
+        | c12 AS (SELECT w1, w2, sum(n123) AS n12, count(*) AS f12
+        |         FROM c123 GROUP BY 1, 2),
+        | ct23 AS (SELECT w2, w3, count(*) AS nct FROM c123 GROUP BY 1, 2),
+        | c2 AS (SELECT w2, sum(nct) AS s2, count(*) AS f2 FROM ct23 GROUP BY 1),
+        | c3 AS (SELECT w3, count(*) AS ncu FROM ct23 GROUP BY 1),
+        | nt AS (SELECT count(*) AS nct2 FROM ct23),
+        | sc AS (
+        |  SELECT tg.doc_id,
+        |         ln(greatest(c123.n123 - 0.75, 0.0) / c12.n12
+        |          + (0.75 * c12.f12 / c12.n12)
+        |            * (greatest(ct23.nct - 0.75, 0.0) / c2.s2
+        |             + (0.75 * c2.f2 / c2.s2)
+        |               * ((c3.ncu + 0.5) / (nt.nct2 + 0.5 * v.vs)))) AS logp
+        |  FROM tg JOIN c123 USING (w1, w2, w3) JOIN c12 USING (w1, w2)
+        |  JOIN ct23 ON ct23.w2 = tg.w2 AND ct23.w3 = tg.w3
+        |  JOIN c2 ON c2.w2 = tg.w2
+        |  JOIN c3 ON c3.w3 = tg.w3 CROSS JOIN nt CROSS JOIN v),
+        | pd AS (SELECT doc_id, count(*) AS n_trigrams, -avg(logp) AS xent
+        |        FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(pd.n_trigrams, 0) AS n_trigrams,
+        |       floor(pd.xent*1000000.0 + 0.5)/1000000.0 AS xent
+        |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin,
+    // the served PRUNED KN3 model: trigrams below count 2 lose their
+    // discounted first term (LEFT JOIN + coalesce) and fall to the
+    // continuation cascade, which keeps describing the full corpus
+    "q_lm_xent_kn3_served" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        | tok AS (SELECT unnest(w) AS token FROM d),
+        | v AS (SELECT count(DISTINCT token) AS vs FROM tok),
+        | tg AS (
+        |  SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i+1 AS INT)] AS w2,
+        |         w[CAST(i+2 AS INT)] AS w3
+        |  FROM d, LATERAL unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
+        | c123 AS (SELECT w1, w2, w3, count(*) AS n123 FROM tg GROUP BY 1, 2, 3),
+        | c123p AS (SELECT * FROM c123 WHERE n123 >= 2),
+        | c12 AS (SELECT w1, w2, sum(n123) AS n12, count(*) AS f12
+        |         FROM c123 GROUP BY 1, 2),
+        | ct23 AS (SELECT w2, w3, count(*) AS nct FROM c123 GROUP BY 1, 2),
+        | c2 AS (SELECT w2, sum(nct) AS s2, count(*) AS f2 FROM ct23 GROUP BY 1),
+        | c3 AS (SELECT w3, count(*) AS ncu FROM ct23 GROUP BY 1),
+        | nt AS (SELECT count(*) AS nct2 FROM ct23),
+        | sc AS (
+        |  SELECT tg.doc_id,
+        |         ln(greatest(coalesce(c123p.n123, 0) - 0.75, 0.0) / c12.n12
+        |          + (0.75 * c12.f12 / c12.n12)
+        |            * (greatest(ct23.nct - 0.75, 0.0) / c2.s2
+        |             + (0.75 * c2.f2 / c2.s2)
+        |               * ((c3.ncu + 0.5) / (nt.nct2 + 0.5 * v.vs)))) AS logp
+        |  FROM tg LEFT JOIN c123p USING (w1, w2, w3) JOIN c12 USING (w1, w2)
+        |  JOIN ct23 ON ct23.w2 = tg.w2 AND ct23.w3 = tg.w3
+        |  JOIN c2 ON c2.w2 = tg.w2
+        |  JOIN c3 ON c3.w3 = tg.w3 CROSS JOIN nt CROSS JOIN v),
+        | pd AS (SELECT doc_id, count(*) AS n_trigrams, -avg(logp) AS xent
+        |        FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(pd.n_trigrams, 0) AS n_trigrams,
         |       floor(pd.xent*1000000.0 + 0.5)/1000000.0 AS xent
         |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin,
     // bigram LM, add-0.5 smoothing, self-scored: contexts derive from

@@ -81,6 +81,22 @@ object LanguageModel {
         slice(toks, lit(2), size(toks) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2"))))
 
+  /** Adjacent-token trigrams as (w1, w2, w3) structs — empty below 3
+    * tokens. Same constant-evaluation shape as [[bigramStructs]]: the
+    * nested `zip_with` over three slices evaluates `toks` a constant
+    * number of times per row, never per element. */
+  private[graft] def trigramStructs(toks: Column): Column =
+    when(size(toks) < 3,
+      array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+      .otherwise(zip_with(
+        zip_with(
+          slice(toks, lit(1), size(toks) - 2),
+          slice(toks, lit(2), size(toks) - 2),
+          (a, b) => struct(a.as("w1"), b.as("w2"))),
+        slice(toks, lit(3), size(toks) - 2),
+        (ab, c) => struct(ab.getField("w1").as("w1"),
+          ab.getField("w2").as("w2"), c.as("w3"))))
+
   /** Train a bigram LM over `docs(textCol)`. The bigram table is
     * MATERIALIZED ([[Materialize.eagerCheckpoint]] — lineage-truncated,
     * reliable-checkpoint-aware like every iterating pipeline here), so
@@ -362,6 +378,162 @@ object LanguageModel {
       meta.getAs[Double]("discount"), meta.getAs[Double]("beta"))
   }
 
+  /** An interpolated Kneser-Ney TRIGRAM model — the ORDER-RECURSIVE
+    * structure that makes KN the deployed smoothing family (KenLM is
+    * this recursion at order 5): the highest order discounts RAW
+    * counts; every lower order discounts CONTINUATION TYPE counts
+    * derived from the types one order above (Chen & Goodman 1999's
+    * formulation — "how many distinct contexts precede this n-gram",
+    * not "how often it occurs"):
+    *
+    *   P₃(w3|w1,w2) = max(c(w1w2w3) − D, 0)/c(w1w2·)
+    *                + (D · N1+(w1w2·)/c(w1w2·)) · P₂(w3|w2)
+    *   P₂(w3|w2)   = max(N1+(·w2w3) − D, 0)/N1+(·w2·)
+    *                + (D · N1+(w2**)/N1+(·w2·)) · P₁(w3)
+    *   P₁(w3)      = (N1+(··w3) + β) / (N1+(···) + β·V)
+    *
+    * where N1+(·w2w3) = |{w1 : c(w1w2w3) > 0}| (distinct left contexts
+    * of the bigram — by construction, the per-(w2,w3) TYPE count of the
+    * trigram table), N1+(·w2·) its sum over w3, N1+(w2**) the distinct
+    * continuations of w2 in that type table, N1+(··w3) = |{w2 :
+    * N1+(·w2w3) > 0}| and N1+(···) the type total — ALL of them
+    * aggregations of the one trigram count table, which is the whole
+    * reason the recursion stays two-corpus-scan closed-form and
+    * DuckDB-replayable (`q_lm_xent_kn3`) at any order. An unseen
+    * (w1,w2) context backs off wholly to P₂; an unseen w2 context
+    * wholly to P₁ — every probability finite on foreign corpora.
+    *
+    * Tables: `trigrams` = (w1,w2,w3,n123); `ctx12` = (w1,w2, n12 =
+    * Σ n123, f12 = N1+(w1w2·)); `cont23` = (w2,w3, nct = N1+(·w2w3));
+    * `ctx2` = (w2, s2 = N1+(·w2·), f2 = N1+(w2**)); `cont3` = (w3,
+    * ncu = N1+(··w3)); `nContTypes` = N1+(···). */
+  final case class KneserNey3Lm(trigrams: DataFrame, ctx12: DataFrame,
+                                cont23: DataFrame, ctx2: DataFrame,
+                                cont3: DataFrame, vocabSize: Long,
+                                nContTypes: Long, discount: Double,
+                                beta: Double) {
+    require(vocabSize > 0, s"KN3 LM needs a non-empty vocabulary, got $vocabSize")
+    require(nContTypes > 0,
+      s"KN3 LM needs at least one continuation type, got $nContTypes")
+    require(discount > 0.0 && discount < 1.0,
+      s"absolute discount must be in (0,1), got $discount")
+    require(beta > 0.0, s"continuation floor beta must be > 0, got $beta")
+  }
+
+  /** Train a [[KneserNey3Lm]]: two corpus scans (trigram explode +
+    * vocab distinct), exactly like the lower orders — ctx12 derives
+    * from the materialized trigram table and the whole continuation
+    * cascade (cont23 → ctx2/cont3/type total) from the materialized
+    * per-(w2,w3) type table, so no aggregation ever rescans the
+    * corpus. */
+  def trainKneserNey3(docs: DataFrame, textCol: String,
+                      discount: Double = 0.75,
+                      beta: Double = 0.5): KneserNey3Lm = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val trigrams = Materialize.eagerCheckpoint(docs
+      .select(explode(trigramStructs(toks)).as("tg"))
+      .select(col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n123")))
+    val ctx12 = trigrams.groupBy("w1", "w2")
+      .agg(sum("n123").as("n12"), count(lit(1)).as("f12"))
+    // trigram rows are distinct (w1,w2,w3), so count(*) per (w2,w3) IS
+    // the distinct-left-context count N1+(·w2w3); materialized because
+    // three tables and a scalar derive from it
+    val cont23 = Materialize.eagerCheckpoint(
+      trigrams.groupBy("w2", "w3").agg(count(lit(1)).as("nct")))
+    val ctx2 = cont23.groupBy("w2")
+      .agg(sum("nct").as("s2"), count(lit(1)).as("f2"))
+    val cont3 = cont23.groupBy("w3").agg(count(lit(1)).as("ncu"))
+    val nContTypes = cont23.count()
+    val vocabSize = docs.select(explode(toks).as("t"))
+      .agg(count_distinct(col("t"))).head().getLong(0)
+    KneserNey3Lm(trigrams, ctx12, cont23, ctx2, cont3, vocabSize,
+      nContTypes, discount, beta)
+  }
+
+  /** [[pruneKneserNey]] at order 3: trigram pruning only — the
+    * continuation cascade and the context tables keep describing the
+    * full corpus, so a pruned trigram loses its discounted first term
+    * and falls to the backoff leg alone; pruned xent pointwise
+    * dominates exact, the family-wide gate direction. */
+  def pruneKneserNey3(lm: KneserNey3Lm, minCount: Long): KneserNey3Lm = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    lm.copy(trigrams = lm.trigrams.filter(col("n123") >= minCount))
+  }
+
+  /** Per-document cross-entropy under a [[KneserNey3Lm]]: one corpus
+    * scan exploding to trigram positions, FIVE vocabulary-scale
+    * broadcast joins (trigram, (w1,w2) context, (w2,w3) continuation,
+    * w2 context, w3 continuation), one per-doc-aggregate shuffle —
+    * the [[crossEntropyKneserNey]] shape one order up. Output:
+    * `(idCol, n_trigrams, xent)`; docs under 3 tokens score 0/NULL.
+    * Every arithmetic step mirrors the oracle's literal IEEE ops. */
+  def crossEntropyKneserNey3(docs: DataFrame, idCol: String, textCol: String,
+                             lm: KneserNey3Lm,
+                             broadcastModel: Boolean = true): DataFrame = {
+    val hinted: DataFrame => DataFrame =
+      if (broadcastModel) broadcast(_) else identity
+    val exploded = docs
+      .select(col(idCol),
+        explode(trigramStructs(TextAnalysis.tokens(col(textCol)))).as("tg"))
+      .select(col(idCol), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+    val p1 = (coalesce(col("ncu"), lit(0L)) + lm.beta) /
+      (lit(lm.nContTypes.toDouble) + lm.beta * lm.vocabSize)
+    val p2Seen =
+      greatest(coalesce(col("nct"), lit(0L)) - lm.discount, lit(0.0)) / col("s2") +
+        (lit(lm.discount) * col("f2") / col("s2")) * p1
+    val p2 = when(col("s2").isNull, p1).otherwise(p2Seen)
+    val p3Seen =
+      greatest(coalesce(col("n123"), lit(0L)) - lm.discount, lit(0.0)) / col("n12") +
+        (lit(lm.discount) * col("f12") / col("n12")) * p2
+    val logp = log(when(col("n12").isNull, p2).otherwise(p3Seen))
+    val perDoc = exploded
+      .join(hinted(lm.trigrams), Seq("w1", "w2", "w3"), "left")
+      .join(hinted(lm.ctx12), Seq("w1", "w2"), "left")
+      .join(hinted(lm.cont23), Seq("w2", "w3"), "left")
+      .join(hinted(lm.ctx2), Seq("w2"), "left")
+      .join(hinted(lm.cont3), Seq("w3"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_trigrams"), (-avg(logp)).as("xent"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"), col("xent"))
+  }
+
+  /** Persist a KN3 model: five count tables plus a 1-row `kn3_meta/`
+    * written LAST — the commit-marker discipline of [[write]], under
+    * the same scoped layout pre-delete. */
+  def writeKneserNey3(lm: KneserNey3Lm, path: String): Unit = {
+    val spark = lm.trigrams.sparkSession
+    deleteLayoutSubdirs(spark, path)
+    lm.trigrams.write.mode("overwrite").parquet(s"$path/trigrams")
+    lm.ctx12.write.mode("overwrite").parquet(s"$path/ctx12")
+    lm.cont23.write.mode("overwrite").parquet(s"$path/cont23")
+    lm.ctx2.write.mode("overwrite").parquet(s"$path/ctx2")
+    lm.cont3.write.mode("overwrite").parquet(s"$path/cont3")
+    spark.createDataFrame(
+        Seq((lm.vocabSize, lm.nContTypes, lm.discount, lm.beta)))
+      .toDF("vocab_size", "n_cont_types", "discount", "beta")
+      .write.mode("overwrite").parquet(s"$path/kn3_meta")
+  }
+
+  /** Load a persisted KN3 model (fails loudly on any other layout — no
+    * `kn3_meta` commit marker there). */
+  def readKneserNey3(spark: SparkSession, path: String): KneserNey3Lm = {
+    val meta = spark.read.parquet(s"$path/kn3_meta").head()
+    KneserNey3Lm(
+      spark.read.parquet(s"$path/trigrams"),
+      spark.read.parquet(s"$path/ctx12"),
+      spark.read.parquet(s"$path/cont23"),
+      spark.read.parquet(s"$path/ctx2"),
+      spark.read.parquet(s"$path/cont3"),
+      meta.getAs[Long]("vocab_size"), meta.getAs[Long]("n_cont_types"),
+      meta.getAs[Double]("discount"), meta.getAs[Double]("beta"))
+  }
+
   /** Per-document cross-entropy under `lm`: output is
     * `(idCol, n_bigrams, xent)` for EVERY input document —
     * `n_bigrams = 0` and NULL `xent` for docs with < 2 tokens. `xent`
@@ -429,7 +601,8 @@ object LanguageModel {
   private def deleteLayoutSubdirs(spark: SparkSession, path: String): Unit = {
     val hc = spark.sparkContext.hadoopConfiguration
     Seq("bigrams", "contexts", "meta", "unigrams", "interp_meta",
-        "conttypes", "kn_meta").foreach { d =>
+        "conttypes", "kn_meta",
+        "trigrams", "ctx12", "cont23", "ctx2", "cont3", "kn3_meta").foreach { d =>
       val p = new org.apache.hadoop.fs.Path(s"$path/$d")
       p.getFileSystem(hc).delete(p, true)
     }

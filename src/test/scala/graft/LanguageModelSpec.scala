@@ -244,6 +244,79 @@ class LanguageModelSpec extends SparkSpec {
     intercept[IllegalArgumentException](kn.copy(nBigramTypes = 0L))
   }
 
+  test("trigram Kneser-Ney: hand-computed order recursion, all three " +
+    "backoff legs, prune dominance, round-trip") {
+    val kn = LanguageModel.trainKneserNey3(docs, "text")
+    // only doc 2 ("a b a c") has trigrams: (a,b,a), (b,a,c).
+    // c123: both 1. ctx12: (a,b)->(1,1), (b,a)->(1,1).
+    // cont23 (distinct left contexts): (b,a)->1, (a,c)->1.
+    // ctx2: b->(1,1), a->(1,1). cont3: a->1, c->1. 2 types, V=3.
+    assert(kn.nContTypes == 2L && kn.vocabSize == 3L)
+    val tg = kn.trigrams.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    assert(tg == Map(("a", "b", "a") -> 1L, ("b", "a", "c") -> 1L))
+    val ct23 = kn.cont23.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(ct23 == Map(("b", "a") -> 1L, ("a", "c") -> 1L))
+    def p1(ncu: Long) = (ncu + 0.5) / (2 + 0.5 * 3)
+    def p2(nct: Long, s2: Long, f2: Long, ncu: Long) =
+      math.max(nct - 0.75, 0.0) / s2 + (0.75 * f2 / s2) * p1(ncu)
+    def p3(n123: Long, n12: Long, f12: Long, p2v: Double) =
+      math.max(n123 - 0.75, 0.0) / n12 + (0.75 * f12 / n12) * p2v
+    def xents(out: org.apache.spark.sql.DataFrame) = out.collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    val out = xents(LanguageModel.crossEntropyKneserNey3(docs, "doc_id", "text", kn))
+    // both of doc 2's trigrams score identically by symmetry
+    val pTri = p3(1, 1, 1, p2(1, 1, 1, 1))
+    assert(math.abs(out(2L).get - (-math.log(pTri))) < 1e-12)
+    assert(out(1L).isEmpty && out(3L).isEmpty && out(4L).isEmpty &&
+      out(5L).isEmpty, "docs under 3 tokens stay NULL")
+    // the three backoff legs, each isolated by a foreign trigram:
+    // unseen w2 context -> wholly P1; seen (w1,w2) + unseen trigram ->
+    // backoff to P2; unseen (w1,w2) -> wholly P2
+    val foreign = Seq((8L, "z z z"), (9L, "a b c"), (10L, "c a b"))
+      .toDF("doc_id", "text")
+    val f = xents(LanguageModel.crossEntropyKneserNey3(foreign, "doc_id", "text", kn))
+    assert(math.abs(f(8L).get - (-math.log(p1(0)))) < 1e-12)
+    assert(math.abs(f(9L).get -
+      (-math.log((0.75 * 1 / 1.0) * p2(0, 1, 1, 1)))) < 1e-12)
+    // "b" never appears as a trigram continuation, so its P1 uses ncu=0
+    assert(math.abs(f(10L).get - (-math.log(p2(0, 1, 1, 0)))) < 1e-12)
+    // prune: minCount 2 drops BOTH singleton trigrams; the continuation
+    // cascade keeps describing the full corpus, so pruned xent dominates
+    val pruned = LanguageModel.pruneKneserNey3(kn, minCount = 2)
+    val pOut = xents(LanguageModel.crossEntropyKneserNey3(docs, "doc_id", "text",
+      pruned))
+    assert(math.abs(pOut(2L).get -
+      (-math.log((0.75 * 1 / 1.0) * p2(1, 1, 1, 1)))) < 1e-12)
+    assert(pOut(2L).get > out(2L).get + 1e-9, "pruned dominates exact")
+    // persistence round-trips; cross-layout writes clear each other's
+    // commit markers; broadcast and shuffle serving forms agree exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft-kn3lm").toFile
+    dir.deleteOnExit()
+    val path = new java.io.File(dir, "m").getAbsolutePath
+    LanguageModel.writeKneserNey3(kn, path)
+    val back = LanguageModel.readKneserNey3(spark, path)
+    assert(back.discount == 0.75 && back.beta == 0.5 &&
+      back.nContTypes == 2L && back.vocabSize == 3L)
+    assert(xents(LanguageModel.crossEntropyKneserNey3(docs, "doc_id", "text",
+      back)) == out)
+    val knPath = new java.io.File(dir, "kn").getAbsolutePath
+    LanguageModel.writeKneserNey(LanguageModel.trainKneserNey(docs, "text"), knPath)
+    intercept[Exception](LanguageModel.readKneserNey3(spark, knPath))
+    LanguageModel.writeKneserNey3(kn, knPath)
+    intercept[Exception](LanguageModel.readKneserNey(spark, knPath))
+    assert(xents(LanguageModel.crossEntropyKneserNey3(docs, "doc_id", "text",
+      LanguageModel.readKneserNey3(spark, knPath))) == out)
+    val shuffled = xents(LanguageModel.crossEntropyKneserNey3(docs, "doc_id",
+      "text", kn, broadcastModel = false))
+    assert(shuffled == out)
+    intercept[IllegalArgumentException](kn.copy(discount = 1.0))
+    intercept[IllegalArgumentException](kn.copy(nContTypes = 0L))
+    intercept[IllegalArgumentException](LanguageModel.pruneKneserNey3(kn, 0))
+  }
+
   test("degenerate models are rejected at construction") {
     intercept[IllegalArgumentException] {
       BigramLm(lm.bigrams, lm.contexts, vocabSize = 0L, alpha = 0.5)

@@ -389,6 +389,15 @@ class PlanSpec extends SparkSpec {
       s"expected bigram, context AND continuation tables to broadcast:\n$phys")
   }
 
+  test("q_lm_xent_kn3: all five KN3 model tables broadcast into one score scan") {
+    val p = executed(SparkEntry.queries("q_lm_xent_kn3")(spark, sf))
+    val phys = p.toString
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoopJoin"),
+      s"KN3 scoring must stay on the n-gram-key equi-joins:\n$phys")
+    assert(countBroadcasts(p) >= 5,
+      s"expected trigram, ctx12, cont23, ctx2 AND cont3 tables to broadcast:\n$phys")
+  }
+
   test("q_ann_pq: the ADC shortlist joins on the coarse cell and rescores by " +
     "id — codebooks ride as a literal, never a join side") {
     val p = executed(SparkEntry.queries("q_ann_pq")(spark, sf))
