@@ -335,10 +335,42 @@ object Bench {
         f"""{"q_bm25":{"build_secs":$buildSecs%.4f,"serve_secs":$serveSecs%.4f,""" +
           f""""note":"timed q_bm25 = build + serve in one body; the positional sort_array/collect_list tax lands in build_secs"}}"""
       }
+    // same discipline for the suite's most expensive query: q_ann_pq's
+    // timed body is corpus ENCODE (per-subspace argmin against the
+    // cached codebooks — training rides the pre-warm, outside every
+    // timed body) + the ADC serve. The encode half is measured here;
+    // the serve half is already pinned by q_ann_pq_served's median
+    // (same oracle from the persisted code table), referenced so the
+    // split is adjudicable from this one artifact.
+    val attributionPq =
+      if (!medians.contains("q_ann_pq")) "{}"
+      else {
+        import org.apache.spark.sql.functions.col
+        import graft.operators.Similarity
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val cb = Similarity.trainPq(e, "vec_id", "embedding", m = 8, ksub = 16)
+        val encodeSecs = (0 until reps).map { _ =>
+          dropPersistedState()
+          val t0 = System.nanoTime()
+          Similarity.buildPqIndex(e, "vec_id", "embedding", "label", cb)
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1))).head()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted.apply(reps / 2)
+        dropPersistedState()
+        val servedMed = medians.getOrElse("q_ann_pq_served", -1.0)
+        f"""{"q_ann_pq":{"encode_secs":$encodeSecs%.4f,""" +
+          f""""serve_twin_secs":$servedMed%.4f,""" +
+          f""""note":"timed q_ann_pq = encode + ADC serve over the LAZY code frame (codebook training rides the pre-warm cache; lazy codes re-derive inside the cell join); encode_secs is the one-pass encode cost and q_ann_pq_served the steady-state serve from persisted codes - the q_ann_pq median exceeding their sum is the lazy-plan re-derivation tax the persisted layout removes"}}"""
+      }
+    val attributionAll =
+      if (attribution == "{}") attributionPq
+      else if (attributionPq == "{}") attribution
+      else attribution.dropRight(1) + "," + attributionPq.drop(1)
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
         s""""queries":$qs,"spread":$spread,"io":$io,"bands":$bands,""" +
-        s""""attribution":$attribution,"sf":"$sfDir"}"""
+        s""""attribution":$attributionAll,"sf":"$sfDir"}"""
     // full record (timings + io) goes to DISK so no tail-capture of stdout
     // can ever clip it; stdout keeps the contract's ONE compact JSON line,
     // printed LAST so a tail capture always retains it (io metrics live in

@@ -798,6 +798,78 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("crossEntropyKneserNey3 ≡ driver-side trigram-KN reference on random " +
+    "corpora, foreign docs exercising every backoff leg") {
+    import graft.operators.LanguageModel
+    val word = Gen.oneOf("a", "b", "c", "dd", "ee")
+    val doc = Gen.listOf(word).map(_.take(12).mkString(" "))
+    // small shared alphabet: foreign docs mix seen/unseen trigram,
+    // (w1,w2) and w2 contexts, so all three recursion legs fire
+    forAll(Gen.zip(Gen.listOfN(6, doc), Gen.listOfN(4, doc)), n = 4) {
+      case (texts, ftexts) =>
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val toks = texts.map(_.split("\\s+").filter(_.nonEmpty).toVector)
+        whenever(toks.exists(_.length >= 3)) {
+          val kn = LanguageModel.trainKneserNey3(docs, "text")
+          // driver-side tallies, straight from the definition
+          val tris = toks.flatMap(ts =>
+            ts.indices.dropRight(2).map(i => (ts(i), ts(i + 1), ts(i + 2))))
+          val c123 = tris.groupBy(identity).view.mapValues(_.size.toLong).toMap
+          val ctx12 = c123.keys.toSeq.groupBy(k => (k._1, k._2)).view
+            .mapValues(ks => (ks.map(c123).sum, ks.size.toLong)).toMap
+          val cont23 = c123.keys.toSeq.map(k => (k._2, k._3))
+            .groupBy(identity).view.mapValues(_.size.toLong).toMap
+          val ctx2 = cont23.keys.toSeq.groupBy(_._1).view
+            .mapValues(ks => (ks.map(cont23).sum, ks.size.toLong)).toMap
+          val cont3 = cont23.keys.toSeq.groupBy(_._2).view
+            .mapValues(_.size.toLong).toMap
+          val nTypes = cont23.size.toLong
+          val v = toks.flatten.distinct.size
+          assert(kn.nContTypes == nTypes && kn.vocabSize == v)
+          def p1(w3: String) =
+            (cont3.getOrElse(w3, 0L) + 0.5) / (nTypes + 0.5 * v)
+          def p2(w2: String, w3: String) = ctx2.get(w2) match {
+            case None => p1(w3)
+            case Some((s2, f2)) =>
+              math.max(cont23.getOrElse((w2, w3), 0L) - 0.75, 0.0) / s2 +
+                (0.75 * f2 / s2) * p1(w3)
+          }
+          def p3(w1: String, w2: String, w3: String) =
+            ctx12.get((w1, w2)) match {
+              case None => p2(w2, w3)
+              case Some((n12, f12)) =>
+                math.max(c123.getOrElse((w1, w2, w3), 0L) - 0.75, 0.0) / n12 +
+                  (0.75 * f12 / n12) * p2(w2, w3)
+            }
+          def check(ts: Seq[Vector[String]], base: Long,
+                    got: Map[Long, (Long, Option[Double])]): Unit =
+            ts.zipWithIndex.foreach { case (t, i) =>
+              val grams = t.indices.dropRight(2).map(j => (t(j), t(j + 1), t(j + 2)))
+              if (grams.isEmpty) assert(got(base + i) == ((0L, None)))
+              else {
+                val xent = -grams.map { case (a, b, c) =>
+                  math.log(p3(a, b, c))
+                }.sum / grams.length
+                assert(got(base + i)._1 == grams.length.toLong)
+                assert(math.abs(got(base + i)._2.get - xent) < 1e-9,
+                  s"doc ${base + i}: got ${got(base + i)._2.get} want $xent")
+              }
+            }
+          def score(df: org.apache.spark.sql.DataFrame) =
+            LanguageModel.crossEntropyKneserNey3(df, "doc_id", "text", kn)
+              .collect().map(r => r.getLong(0) ->
+                ((r.getLong(1),
+                  if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+          check(toks, 0L, score(docs))
+          val fdocs = ftexts.zipWithIndex
+            .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+          val ftoks = ftexts.map(_.split("\\s+").filter(_.nonEmpty).toVector)
+          check(ftoks, 100L, score(fdocs))
+        }
+    }
+  }
+
   test("semDedup ≡ driver-side dominated-rule reference on random vectors") {
     import graft.operators.Similarity
     val cents = Array(Array(1.0, 0.0, 0.0), Array(-1.0, 0.0, 0.0),
