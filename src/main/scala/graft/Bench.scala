@@ -352,16 +352,19 @@ object Bench {
         val encodeSecs = (0 until reps).map { _ =>
           dropPersistedState()
           val t0 = System.nanoTime()
+          // xxhash64 over the code array forces the FULL encode per row
+          // (a bare count() would let column pruning drop the codes and
+          // time an empty scan); bit_xor aggregates the hashes without
+          // the long overflow a sum() hits under ANSI mode
           Similarity.buildPqIndex(e, "vec_id", "embedding", "label", cb)
-            .agg(org.apache.spark.sql.functions.count(
-              org.apache.spark.sql.functions.lit(1))).head()
+            .selectExpr("bit_xor(xxhash64(pq_codes)) AS h").head()
           (System.nanoTime() - t0) / 1e9
         }.sorted.apply(reps / 2)
         dropPersistedState()
         val servedMed = medians.getOrElse("q_ann_pq_served", -1.0)
         f"""{"q_ann_pq":{"encode_secs":$encodeSecs%.4f,""" +
           f""""serve_twin_secs":$servedMed%.4f,""" +
-          f""""note":"timed q_ann_pq = encode + ADC serve over the LAZY code frame (codebook training rides the pre-warm cache; lazy codes re-derive inside the cell join); encode_secs is the one-pass encode cost and q_ann_pq_served the steady-state serve from persisted codes - the q_ann_pq median exceeding their sum is the lazy-plan re-derivation tax the persisted layout removes"}}"""
+          f""""note":"timed q_ann_pq = corpus encode (native nearest_centroid loop; codebook training rides the pre-warm cache) + ADC serve; q_ann_pq_served pins the steady-state serve half from the persisted code table"}}"""
       }
     val attributionAll =
       if (attribution == "{}") attributionPq

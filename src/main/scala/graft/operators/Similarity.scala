@@ -254,15 +254,15 @@ object Similarity {
         i.as("i")))
 
   /** Nearest-centroid id (squared-L2 argmin, ties to the lower id) against
-    * literal centroids — per-row, shuffle-free. `array_min` over `(dist,
-    * id)` structs: struct ordering compares fields left to right, so the
-    * minimum IS the argmin with ties to the lower id, in an expression
-    * tree of size O(1) given the single-literal matrix. (The once-obvious
-    * fold of nested `when`s references the running best twice per step —
-    * an O(2^k) tree that serialized to multi-MB task binaries by k=8 and
-    * would be fatal at the k=1024 cap.) */
+    * literal centroids — per-row, shuffle-free, as the NATIVE codegen'd
+    * [[graft.functions.NearestCentroid]] loop (identical semantics to
+    * the former `array_min` over `(dist, id)` structs, bit for bit — see
+    * that expression's scaladoc; the interpreted-HOF form evaluated
+    * three lambdas per (row, centroid, dim) and dominated kmeansFit's
+    * assignment scans and the PQ encode). The matrix rides as ONE
+    * reference object, the [[distStructs]] plan-size discipline. */
   private def assignExpr(v: Column, centroids: Array[Array[Double]]): Column =
-    array_min(distStructs(v, centroids)).getField("i")
+    graft.functions.NearestCentroid.nearest(v, centroids)
 
   /** [[kmeansFit]]'s dense-vector fail-fast, reused by the serving-side
     * labelers: a null/empty/null-element or ragged embedding would
@@ -799,7 +799,14 @@ object Similarity {
     * aggregation-order-sensitive at the ulp, the same reason
     * [[graft.operators.TextIndex.bm25TopK]] rounds its k-cut. Output
     * contract matches the other top-k forms: `(query_id, nn_id,
-    * cosine, rank)`. */
+    * cosine, rank)`.
+    *
+    * A lazy [[buildPqIndex]] `index` is fine for a one-shot: the encode
+    * is the native [[graft.functions.NearestCentroid]] loop (cheap, and
+    * evaluated once per corpus row — the projection sits below the cell
+    * join). A deployment still persists the code table and serves from
+    * it ([[qAnnPqServed]]'s shape) so the corpus is encoded once, not
+    * once per query batch. */
   def ivfTopKPq(index: DataFrame, corpus: DataFrame, queries: DataFrame,
                 idCol: String, embCol: String, partCol: String,
                 cb: PqCodebooks, k: Int,

@@ -870,6 +870,53 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("NearestCentroid ≡ driver-side sequential-sum argmin on random " +
+    "vectors; duplicate-centroid ties keep the lower id; guards raise") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.NearestCentroid
+    // centroid 2 duplicates centroid 0: any vector tying between them
+    // must land on 0 — the (d, i)-struct-minimum tie rule
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0))
+    def ref(v: Vector[Double]): Int = {
+      var best = 0.0; var bestI = 0
+      cents.indices.foreach { c =>
+        var s = 0.0
+        v.indices.foreach { i => val t = v(i) - cents(c)(i); s += t * t }
+        if (c == 0 || java.lang.Double.compare(s, best) < 0) { best = s; bestI = c }
+      }
+      bestI
+    }
+    val vec = Gen.listOfN(2, Gen.chooseNum(-2.0, 2.0)).map(_.toVector)
+    forAll(Gen.listOfN(10, vec), n = 4) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val got = df.select(col("vec_id"),
+          NearestCentroid.nearest(
+            col("embedding").cast("array<double>"), cents).as("cid"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      vs.zipWithIndex.foreach { case (v, i) =>
+        assert(got(i.toLong) == ref(v), s"vector $v")
+        assert(got(i.toLong) != 2, "ties must keep the lower duplicate id")
+      }
+    }
+    // exact tie on the duplicated centroid value itself
+    val tied = Seq((0L, Vector(1.0, 0.0))).toDF("vec_id", "embedding")
+    assert(tied.select(NearestCentroid.nearest(
+        col("embedding").cast("array<double>"), cents))
+      .head().getInt(0) == 0)
+    // dims mismatch and null elements fail loudly (the dense-vector policy)
+    val ragged = Seq((0L, Vector(1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val eRagged = intercept[Exception](ragged.select(
+      NearestCentroid.nearest(col("embedding").cast("array<double>"), cents))
+      .head())
+    assert(eRagged.getMessage != null)
+    val withNull = Seq((0L, Seq[java.lang.Double](1.0, null)))
+      .toDF("vec_id", "embedding")
+    intercept[Exception](withNull.select(
+      NearestCentroid.nearest(col("embedding").cast("array<double>"), cents))
+      .head())
+  }
+
   test("semDedup ≡ driver-side dominated-rule reference on random vectors") {
     import graft.operators.Similarity
     val cents = Array(Array(1.0, 0.0, 0.0), Array(-1.0, 0.0, 0.0),
