@@ -747,21 +747,16 @@ object Similarity {
       .select(col(idCol), col(partCol), col("pq_codes"))
 
   /** Asymmetric squared-L2 distance of a full-precision query vector to
-    * a PQ-coded corpus vector: Σ_j ‖q_j − centroid_j(code_j)‖². The
-    * codebook matrix rides as ONE typedlit; sums run sequentially
-    * (inner over dims ascending, outer over subspaces ascending), the
-    * replayable-order discipline the oracles rely on. */
-  private def adcSqDist(qv: Column, codes: Column, cb: PqCodebooks): Column = {
-    val cbLit = typedlit(cb.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
-    aggregate(
-      zip_with(codes, sequence(lit(0), lit(cb.m - 1)), (code, j) =>
-        aggregate(
-          zip_with(slice(qv, j * cb.dsub + 1, lit(cb.dsub)),
-            element_at(element_at(cbLit, j + 1), code + 1),
-            (a, c) => (a - c) * (a - c)),
-          lit(0.0), (acc, x) => acc + x)),
-      lit(0.0), (acc, x) => acc + x)
-  }
+    * a PQ-coded corpus vector: Σ_j ‖q_j − centroid_j(code_j)‖², as the
+    * NATIVE codegen'd [[graft.functions.AdcSqDist]] loop (identical
+    * sequential-sum IEEE order to the former nested HOF form — inner
+    * over dims ascending, outer over subspaces ascending — the
+    * replayable-order discipline the oracles rely on; see that
+    * expression's scaladoc for why native: this runs per candidate
+    * PAIR, the serving hot loop). The codebook tensor rides as ONE
+    * reference object. */
+  private def adcSqDist(qv: Column, codes: Column, cb: PqCodebooks): Column =
+    graft.functions.AdcSqDist.adc(qv, codes.cast("array<int>"), cb.codebooks)
 
   /** One full-precision vector per query id, with duplicate-id conflict
     * detection — the re-scoring contract shared by [[ivfTopKQuantized]]

@@ -870,6 +870,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("AdcSqDist ≡ driver-side two-level sequential sum on random vectors; " +
+    "bad codes and ragged queries raise instead of silently NULL-ranking") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.AdcSqDist
+    // m=2 subspaces, ksub=2, dsub=2
+    val cb = Array(
+      Array(Array(0.0, 0.0), Array(1.0, 1.0)),
+      Array(Array(2.0, 0.0), Array(0.0, 2.0)))
+    def ref(q: Vector[Double], codes: Seq[Int]): Double = {
+      var total = 0.0
+      codes.indices.foreach { j =>
+        val cent = cb(j)(codes(j))
+        var s = 0.0
+        (0 until 2).foreach { i => val t = q(j * 2 + i) - cent(i); s += t * t }
+        total += s
+      }
+      total
+    }
+    val gen = Gen.zip(
+      Gen.listOfN(4, Gen.chooseNum(-3.0, 3.0)).map(_.toVector),
+      Gen.listOfN(2, Gen.chooseNum(0, 1)))
+    forAll(Gen.listOfN(8, gen), n = 4) { rows =>
+      val df = rows.zipWithIndex.map { case ((q, c), i) => (i.toLong, q, c) }
+        .toDF("id", "q", "codes")
+      val got = df.select(col("id"),
+          AdcSqDist.adc(col("q").cast("array<double>"),
+            col("codes").cast("array<int>"), cb).as("d"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      rows.zipWithIndex.foreach { case ((q, c), i) =>
+        assert(got(i.toLong) == ref(q, c), s"q=$q codes=$c")
+      }
+    }
+    def one(q: Seq[java.lang.Double], c: Seq[java.lang.Integer]) =
+      Seq((0L, q, c)).toDF("id", "q", "codes")
+        .select(AdcSqDist.adc(col("q").cast("array<double>"),
+          col("codes").cast("array<int>"), cb))
+        .head()
+    // out-of-range code, wrong code length, ragged query, null code:
+    // each raises with a named message — the HOF form's silent NULL
+    // distance would have ranked FIRST under an ascending window order
+    intercept[Exception](one(Seq(0.0, 0.0, 0.0, 0.0), Seq(0, 2)))
+    intercept[Exception](one(Seq(0.0, 0.0, 0.0, 0.0), Seq(0)))
+    intercept[Exception](one(Seq(0.0, 0.0, 0.0), Seq(0, 1)))
+    intercept[Exception](one(Seq(0.0, 0.0, 0.0, 0.0), Seq(null, 1)))
+  }
+
   test("NearestCentroid ≡ driver-side sequential-sum argmin on random " +
     "vectors; duplicate-centroid ties keep the lower id; guards raise") {
     import org.apache.spark.sql.functions.col
