@@ -806,7 +806,15 @@ object Bench {
     * learned merge SEQUENCE is identical at every k with pair counts
     * exactly k· the 1× counts (the vocabulary an 8× corpus learns IS
     * the 1× vocabulary). Encoding stays corpus-linear; its slope and
-    * the (exactly linear) encoded-token totals are reported. */
+    * the (exactly linear) encoded-token totals are reported.
+    *
+    * KN3 columns (same rotated-replica axis as the LM section): the
+    * trigram Kneser-Ney twin's claim is that the ORDER-3 recursion
+    * keeps the order-2 economics — train is still the one corpus
+    * explode plus vocabulary-scale derivations (trigram TYPE count
+    * replica-linear, REQUIRED exact), score one corpus scan with five
+    * broadcast joins (scored rows doc-linear, REQUIRED). Train/score
+    * slopes reported alongside the bigram ones. */
   private def scaleLmBpe(spark: SparkSession, sfDir: String,
                          dropState: () => Unit): Unit = {
     import org.apache.spark.sql.functions._
@@ -841,6 +849,25 @@ object Bench {
         scored = LanguageModel.crossEntropy(corpus, "doc_id", "text", lm).count()
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      // trigram Kneser-Ney twin columns: same replica corpus, so the
+      // rotation-isolation invariants below apply verbatim (trigram
+      // types and scored docs must be replica-linear)
+      var triRows = 0L
+      val kn3TrainTimes = (0 until reps).map { _ =>
+        dropState()
+        val t0 = System.nanoTime()
+        triRows = LanguageModel.trainKneserNey3(corpus, "text").trigrams.count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val kn3 = LanguageModel.trainKneserNey3(corpus, "text")
+      var kn3Scored = 0L
+      val kn3ScoreTimes = (0 until reps).map { _ =>
+        dropState()
+        val t0 = System.nanoTime()
+        kn3Scored = LanguageModel
+          .crossEntropyKneserNey3(corpus, "doc_id", "text", kn3).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
       val plain = (0 until n).map(plainReplica).reduce(_ unionByName _)
       var merges: Seq[Bpe.Merge] = Nil
       val bpeTimes = (0 until reps).map { _ =>
@@ -861,7 +888,9 @@ object Bench {
       (n, nDocs, vocab, bigRows, ctxRows, scored,
         trainTimes(trainTimes.size / 2), scoreTimes(scoreTimes.size / 2),
         bpeTimes(bpeTimes.size / 2), encTimes(encTimes.size / 2),
-        merges, encTokens)
+        merges, encTokens, triRows, kn3Scored,
+        kn3TrainTimes(kn3TrainTimes.size / 2),
+        kn3ScoreTimes(kn3ScoreTimes.size / 2))
     }
     val base = rows.head
     rows.foreach { r =>
@@ -878,9 +907,14 @@ object Bench {
       require(r._12 == base._12 * r._1,
         s"encoded token total must be replica-linear at ${r._1}x: " +
           s"${r._12} vs 1x ${base._12}")
+      require(r._13 == base._13 * r._1,
+        s"trigram types must be replica-linear at ${r._1}x (rotation " +
+          s"isolation): ${r._13} vs 1x ${base._13}")
+      require(r._14 == base._14 * r._1,
+        s"KN3-scored rows must be doc-linear at ${r._1}x: ${r._14} vs 1x ${base._14}")
     }
     type R = (Int, Long, Long, Long, Long, Long, Double, Double, Double,
-      Double, Seq[Bpe.Merge], Long)
+      Double, Seq[Bpe.Merge], Long, Long, Long, Double, Double)
     def arr[T](f: R => T): String = jsonArr(rows)(f)
     val line =
       f"""{"metric":"lm_bpe_scale","reps":$reps,"bpe_merges":16,""" +
@@ -896,6 +930,11 @@ object Bench {
         f""""bpe_train_slope":${logLogSlope(sizes, rows.map(_._9))}%.3f,""" +
         f""""bpe_encode_slope":${logLogSlope(sizes, rows.map(_._10))}%.3f,""" +
         f""""lm_train_segment_slopes":${segmentSlopesJson(sizes, rows.map(_._7))},""" +
+        f""""trigram_rows":${arr(_._13)},"kn3_scored_docs":${arr(_._14)},""" +
+        f""""kn3_train_secs":${arr(r => f"${r._15}%.3f")},""" +
+        f""""kn3_score_secs":${arr(r => f"${r._16}%.3f")},""" +
+        f""""kn3_train_slope":${logLogSlope(sizes, rows.map(_._15))}%.3f,""" +
+        f""""kn3_score_slope":${logLogSlope(sizes, rows.map(_._16))}%.3f,""" +
         f""""sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_scale_lm.json"),
       (line + "\n").getBytes("UTF-8"))

@@ -1507,6 +1507,44 @@ object SparkEntry {
         "text", LanguageModel.readKneserNey3(s, lmKn3ModelPath(s, dir)))
       .select(col("doc_id"), col("n_trigrams"), rq(col("xent"), 6).as("xent"))
 
+  /** 5-gram Kneser-Ney cross-entropy (D = 0.75, β = 0.5) — the
+    * [[LanguageModel.trainKneserNeyN]] recursion at the CCNet/KenLM
+    * deployment order. Train + score in the timed body like
+    * [[qLmXentKn3]]; the oracle replays all FIVE discount/backoff
+    * levels ([[knNOracleSql]] generates the CTE cascade for any order,
+    * so the SQL is the same recursion the engine runs, not a
+    * hand-transcribed approximation of it). */
+  private def qLmXentKn5(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val lm = LanguageModel.trainKneserNeyN(docs, "text", order = 5)
+    LanguageModel.crossEntropyKneserNeyN(docs, "doc_id", "text", lm)
+      .select(col("doc_id"), col("n_ngrams"), rq(col("xent"), 6).as("xent"))
+  }
+
+  /** On-disk PRUNED KN5 model for `dir`'s corpus (minCount = 2) —
+    * [[lmKn3ModelPath]]'s order-5 sibling, written once per JVM. */
+  private val lmKn5ModelCache = collection.concurrent.TrieMap.empty[String, String]
+  private def lmKn5ModelPath(s: SparkSession, dir: String): String =
+    lmKn5ModelCache.getOrElseUpdate(dir, {
+      val p = new java.io.File(s"target/q-lm-kn5-model/${dirKey(dir)}").getAbsolutePath
+      LanguageModel.writeKneserNeyN(
+        LanguageModel.pruneKneserNeyN(
+          LanguageModel.trainKneserNeyN(tbl(s, dir, "documents"), "text",
+            order = 5), minCount = 2), p)
+      p
+    })
+
+  /** The SERVING twin of [[qLmXentKn5]]: score against the persisted
+    * PRUNED order-5 model. Pruned singleton 5-grams lose their
+    * discounted first term and fall to the four-level continuation
+    * cascade (which stays unpruned and full-corpus), so prune +
+    * write/read + every backoff leg of the deployment order sit under
+    * the hash gate. */
+  private def qLmXentKn5Served(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.crossEntropyKneserNeyN(tbl(s, dir, "documents"), "doc_id",
+        "text", LanguageModel.readKneserNeyN(s, lmKn5ModelPath(s, dir)))
+      .select(col("doc_id"), col("n_ngrams"), rq(col("xent"), 6).as("xent"))
+
   /** Deterministic stratified sampling by `source` (corpus mixing): keep
     * src0 wholesale, src1 at 1/2, src2 at 1/4, everything else at 1/10 —
     * the oracle reproduces the md5-cutoff membership row for row. */
@@ -2069,6 +2107,8 @@ object SparkEntry {
     "q_lm_xent_kn_served" -> qLmXentKnServed,
     "q_lm_xent_kn3" -> qLmXentKn3,
     "q_lm_xent_kn3_served" -> qLmXentKn3Served,
+    "q_lm_xent_kn5" -> qLmXentKn5,
+    "q_lm_xent_kn5_served" -> qLmXentKn5Served,
     "q_sample_stratified" -> qSampleStratified,
     "q_sample_temperature" -> qSampleTemperature,
     "q_sample_budget" -> qSampleBudget,
@@ -2339,6 +2379,75 @@ object SparkEntry {
         |SELECT query_id, nn_id, floor((cos)*1000000.0 + 0.5)/1000000.0 AS cosine,
         |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS INT) AS rank
         |FROM scored QUALIFY rank <= 3""".stripMargin
+
+  /** Generate the order-N Kneser-Ney oracle: the SAME CTE cascade at
+    * any order (N-gram counts → top context → continuation TYPE tables
+    * each grouped from the one above → the floored unigram), with the
+    * engine's literal IEEE association at every level — the KN3 oracle
+    * generalized mechanically, so adding an order never hand-transcribes
+    * the recursion. `pruned` replays the served twins' coalesce-to-
+    * backoff arithmetic (top-order table filtered at minCount 2, LEFT
+    * JOIN + coalesce; the cascade stays full-corpus). */
+  private def knNOracleSql(order: Int, pruned: Boolean): String = {
+    val ws = (1 to order).map(i => s"w$i")
+    def groupBy(k: Int) = (1 to k).map(_.toString).mkString(", ")
+    val ngSel = ws.zipWithIndex.map { case (w, j) =>
+      if (j == 0) s"w[CAST(i AS INT)] AS $w" else s"w[CAST(i+$j AS INT)] AS $w"
+    }.mkString(", ")
+    // cont_k keyed by the LAST k positions, ctx_k by positions
+    // (order-k .. order-1) — [[LanguageModel.trainKneserNeyN]]'s layout
+    def contKey(k: Int) = ws.drop(order - k)
+    def ctxKey(k: Int) = ws.slice(order - k - 1, order - 1)
+    val cascade = ((order - 2) to 1 by -1).flatMap { k =>
+      Seq(
+        s" ctx$k AS (SELECT ${ctxKey(k).mkString(", ")}, sum(nct${k + 1}) AS s$k, " +
+          s"count(*) AS f$k FROM cont${k + 1} GROUP BY ${groupBy(k)}),",
+        s" cont$k AS (SELECT ${contKey(k).mkString(", ")}, count(*) AS nct$k " +
+          s"FROM cont${k + 1} GROUP BY ${groupBy(k)}),")
+    }.mkString("\n")
+    def pexpr(k: Int): String =
+      if (k == 1) "((cont1.nct1 + 0.5) / (nt.ntt + 0.5 * v.vs))"
+      else s"(greatest(cont$k.nct$k - 0.75, 0.0) / ctx${k - 1}.s${k - 1} + " +
+        s"(0.75 * ctx${k - 1}.f${k - 1} / ctx${k - 1}.s${k - 1}) * ${pexpr(k - 1)})"
+    val cntRef = if (pruned) "coalesce(cgp.cnt, 0)" else "cg.cnt"
+    val top = s"greatest($cntRef - 0.75, 0.0) / ctop.tot + " +
+      s"(0.75 * ctop.types / ctop.tot) * ${pexpr(order - 1)}"
+    val gramJoin =
+      if (pruned) s"LEFT JOIN cgp USING (${ws.mkString(", ")})"
+      else s"JOIN cg USING (${ws.mkString(", ")})"
+    def onJoin(t: String, key: Seq[String]) =
+      s"JOIN $t ON " + key.map(w => s"$t.$w = ng.$w").mkString(" AND ")
+    val scoreJoins = ((order - 1) to 2 by -1).flatMap { k =>
+      Seq(onJoin(s"cont$k", contKey(k)), onJoin(s"ctx${k - 1}", ctxKey(k - 1)))
+    }.mkString("\n  ") + "\n  " + onJoin("cont1", Seq(ws.last))
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+       |  FROM documents),
+       | tok AS (SELECT unnest(w) AS token FROM d),
+       | v AS (SELECT count(DISTINCT token) AS vs FROM tok),
+       | ng AS (
+       |  SELECT doc_id, $ngSel
+       |  FROM d, LATERAL unnest(range(1, greatest(len(w) - ${order - 2}, 1))) AS t(i)),
+       | cg AS (SELECT ${ws.mkString(", ")}, count(*) AS cnt FROM ng
+       |        GROUP BY ${groupBy(order)}),
+       |${if (pruned) " cgp AS (SELECT * FROM cg WHERE cnt >= 2),\n" else ""} ctop AS (SELECT ${ws.init.mkString(", ")}, sum(cnt) AS tot, count(*) AS types
+       |        FROM cg GROUP BY ${groupBy(order - 1)}),
+       | cont${order - 1} AS (SELECT ${ws.tail.mkString(", ")}, count(*) AS nct${order - 1}
+       |        FROM cg GROUP BY ${groupBy(order - 1)}),
+       |$cascade
+       | nt AS (SELECT count(*) AS ntt FROM cont2),
+       | sc AS (
+       |  SELECT ng.doc_id,
+       |         ln($top) AS logp
+       |  FROM ng $gramJoin JOIN ctop USING (${ws.init.mkString(", ")})
+       |  $scoreJoins CROSS JOIN nt CROSS JOIN v),
+       | pd AS (SELECT doc_id, count(*) AS n_ngrams, -avg(logp) AS xent
+       |        FROM sc GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(pd.n_ngrams, 0) AS n_ngrams,
+       |       floor(pd.xent*1000000.0 + 0.5)/1000000.0 AS xent
+       |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_tpch_q1" ->
@@ -3176,6 +3285,12 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(pd.n_trigrams, 0) AS n_trigrams,
         |       floor(pd.xent*1000000.0 + 0.5)/1000000.0 AS xent
         |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin,
+    // 5-gram Kneser-Ney (D = 0.75, β = 0.5), self-scored / served
+    // pruned: the SAME recursion as kn3, mechanically generated at
+    // order 5 by knNOracleSql — five discount/backoff levels, the
+    // engine's literal IEEE association at each
+    "q_lm_xent_kn5" -> knNOracleSql(5, pruned = false),
+    "q_lm_xent_kn5_served" -> knNOracleSql(5, pruned = true),
     // bigram LM, add-0.5 smoothing, self-scored: contexts derive from
     // the bigram table (Σ n12 per w1, NOT unigram occurrence counts),
     // V = distinct corpus tokens; every doc appears — 0 bigrams / NULL

@@ -75,27 +75,34 @@ object LanguageModel {
     * the document) PER ELEMENT — O(n²) string work per document,
     * measured ~15× slower at bench scale before this rewrite. */
   private[graft] def bigramStructs(toks: Column): Column =
-    when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
-      .otherwise(zip_with(
-        slice(toks, lit(1), size(toks) - 1),
-        slice(toks, lit(2), size(toks) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2"))))
+    ngramStructs(toks, 2)
 
   /** Adjacent-token trigrams as (w1, w2, w3) structs — empty below 3
-    * tokens. Same constant-evaluation shape as [[bigramStructs]]: the
-    * nested `zip_with` over three slices evaluates `toks` a constant
-    * number of times per row, never per element. */
+    * tokens. Same constant-evaluation shape as [[bigramStructs]]. */
   private[graft] def trigramStructs(toks: Column): Column =
-    when(size(toks) < 3,
-      array().cast("array<struct<w1:string,w2:string,w3:string>>"))
-      .otherwise(zip_with(
-        zip_with(
-          slice(toks, lit(1), size(toks) - 2),
-          slice(toks, lit(2), size(toks) - 2),
-          (a, b) => struct(a.as("w1"), b.as("w2"))),
-        slice(toks, lit(3), size(toks) - 2),
-        (ab, c) => struct(ab.getField("w1").as("w1"),
-          ab.getField("w2").as("w2"), c.as("w3"))))
+    ngramStructs(toks, 3)
+
+  /** Adjacent-token n-grams as (w1..wn) structs — empty below n tokens
+    * (a bare sequence over negative bounds would raise). The bigram
+    * shape generalized by folding one `zip_with` per extra position:
+    * `toks` is still evaluated a CONSTANT number of times per row (n
+    * slices), never per element — the O(n²)-tokenizer trap documented
+    * on [[bigramStructs]] applies at every order. */
+  private[graft] def ngramStructs(toks: Column, n: Int): Column = {
+    require(n >= 2, s"ngramStructs needs order >= 2, got $n")
+    val win = size(toks) - (n - 1)
+    val base = zip_with(
+      slice(toks, lit(1), win), slice(toks, lit(2), win),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val full = (3 to n).foldLeft(base) { (acc, i) =>
+      zip_with(acc, slice(toks, lit(i), win), (prev, c) =>
+        struct((1 until i).map(j => prev.getField(s"w$j").as(s"w$j")) :+
+          c.as(s"w$i"): _*))
+    }
+    val schema = (1 to n).map(i => s"w$i:string").mkString(",")
+    when(size(toks) < n, array().cast(s"array<struct<$schema>>"))
+      .otherwise(full)
+  }
 
   /** Train a bigram LM over `docs(textCol)`. The bigram table is
     * MATERIALIZED ([[Materialize.eagerCheckpoint]] — lineage-truncated,
@@ -534,6 +541,188 @@ object LanguageModel {
       meta.getAs[Double]("discount"), meta.getAs[Double]("beta"))
   }
 
+  /** An order-N interpolated Kneser-Ney model — [[KneserNey3Lm]]'s
+    * recursion generalized to ANY order ≥ 3 (order 5 is the CCNet /
+    * KenLM deployment shape). Same estimation discipline at every
+    * level: the TOP order discounts raw counts; each lower order k
+    * discounts the continuation TYPE counts derived from the type set
+    * one order above; the base is the floored continuation unigram.
+    *
+    * Tables (position-aligned column names, wi = the i-th word of the
+    * top-order window, so every serve join is a plain USING join):
+    *  - `grams`  = (w1..wN, cnt) — raw N-gram counts
+    *  - `ctxTop` = (w1..w_{N-1}, tot = Σ cnt, types = N1+(u·))
+    *  - `conts(k-1)` = cont_k, keyed by the LAST k positions
+    *    (w_{N-k+1}..wN), value `nctk` = N1+(· suffix) — derived from
+    *    the TYPE SET of cont_{k+1} (cont_{N-1} from `grams`), the Chen
+    *    & Goodman 1999 "count the distinct left contexts" cascade
+    *  - `ctxs(k-1)` = ctx_k, keyed by (w_{N-k}..w_{N-1}), values
+    *    `sk` = Σ nct_{k+1} (the P_{k+1} normalizer) and `fk` = its
+    *    distinct-continuation type count
+    * `nContTypes` = N1+(··) (the cont_2 row count) and V close the
+    * unigram floor. Every table is a distributed aggregation of the
+    * one materialized N-gram table — closed-form and DuckDB-replayable
+    * at any order (`q_lm_xent_kn5`), which is exactly why the engine
+    * stops at counts and never needs KenLM's binary trie. */
+  final case class KneserNeyNLm(order: Int, grams: DataFrame,
+                                ctxTop: DataFrame,
+                                conts: IndexedSeq[DataFrame],
+                                ctxs: IndexedSeq[DataFrame],
+                                vocabSize: Long, nContTypes: Long,
+                                discount: Double, beta: Double) {
+    require(order >= 3,
+      s"KneserNeyNLm needs order >= 3 (order 2 is trainKneserNey), got $order")
+    require(conts.length == order - 1,
+      s"expected ${order - 1} continuation tables, got ${conts.length}")
+    require(ctxs.length == order - 2,
+      s"expected ${order - 2} context tables, got ${ctxs.length}")
+    require(vocabSize > 0, s"KN-N LM needs a non-empty vocabulary, got $vocabSize")
+    require(nContTypes > 0,
+      s"KN-N LM needs at least one continuation type, got $nContTypes")
+    require(discount > 0.0 && discount < 1.0,
+      s"absolute discount must be in (0,1), got $discount")
+    require(beta > 0.0, s"continuation floor beta must be > 0, got $beta")
+  }
+
+  /** Train a [[KneserNeyNLm]] at `order`: two corpus scans (N-gram
+    * explode + vocab distinct) — identical economics to every lower
+    * order, because the whole continuation cascade derives from the
+    * one materialized N-gram table, each level an aggregation of the
+    * (vocabulary-scale, eagerly checkpointed) level above, never a
+    * corpus rescan. At order 3 this is [[trainKneserNey3]] table for
+    * table (spec-pinned bit-identical scores). */
+  def trainKneserNeyN(docs: DataFrame, textCol: String, order: Int,
+                      discount: Double = 0.75,
+                      beta: Double = 0.5): KneserNeyNLm = {
+    require(order >= 3,
+      s"trainKneserNeyN needs order >= 3 (order 2 is trainKneserNey), got $order")
+    val ws = (1 to order).map(i => s"w$i")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val grams = Materialize.eagerCheckpoint(docs
+      .select(explode(ngramStructs(toks, order)).as("g"))
+      .select(ws.map(w => col(s"g.$w").as(w)): _*)
+      .groupBy(ws.map(col): _*).agg(count(lit(1)).as("cnt")))
+    val ctxTop = grams.groupBy(ws.init.map(col): _*)
+      .agg(sum("cnt").as("tot"), count(lit(1)).as("types"))
+    // continuation cascade: grams' rows are distinct N-grams, so
+    // count(*) per suffix IS the distinct-left-context count; each
+    // lower level groups the TYPE SET one above by its own suffix
+    val conts = new Array[DataFrame](order - 1)
+    conts(order - 2) = Materialize.eagerCheckpoint(
+      grams.groupBy(ws.tail.map(col): _*)
+        .agg(count(lit(1)).as(s"nct${order - 1}")))
+    val ctxs = new Array[DataFrame](order - 2)
+    for (k <- (order - 2) to 1 by -1) {
+      val upperKey = ws.drop(order - k - 1) // cont_{k+1}'s key, length k+1
+      ctxs(k - 1) = conts(k).groupBy(upperKey.init.map(col): _*)
+        .agg(sum(s"nct${k + 1}").as(s"s$k"), count(lit(1)).as(s"f$k"))
+      conts(k - 1) = Materialize.eagerCheckpoint(
+        conts(k).groupBy(upperKey.tail.map(col): _*)
+          .agg(count(lit(1)).as(s"nct$k")))
+    }
+    val nContTypes = conts(1).count()
+    val vocabSize = docs.select(explode(toks).as("t"))
+      .agg(count_distinct(col("t"))).head().getLong(0)
+    KneserNeyNLm(order, grams, ctxTop, conts.toIndexedSeq, ctxs.toIndexedSeq,
+      vocabSize, nContTypes, discount, beta)
+  }
+
+  /** [[pruneKneserNey3]] at any order: top-order pruning only — the
+    * continuation cascade and context tables keep describing the full
+    * corpus, so a pruned N-gram loses its discounted first term and
+    * falls to the backoff cascade; pruned xent pointwise dominates
+    * exact, the family-wide gate direction. */
+  def pruneKneserNeyN(lm: KneserNeyNLm, minCount: Long): KneserNeyNLm = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    lm.copy(grams = lm.grams.filter(col("cnt") >= minCount))
+  }
+
+  /** Per-document cross-entropy under a [[KneserNeyNLm]]: one corpus
+    * scan exploding to N-gram positions, 2N−1 vocabulary-scale
+    * broadcast joins (the [[crossEntropyKneserNey3]] shape at any
+    * order — five joins at N = 3, nine at N = 5), one
+    * per-doc-aggregate shuffle. Output: `(idCol, n_ngrams, xent)`;
+    * docs under N tokens score 0/NULL. The probability expression is
+    * built bottom-up with exactly the lower orders' IEEE association,
+    * so the order-3 instance is bit-identical to
+    * [[crossEntropyKneserNey3]] and every order is oracle-replayable. */
+  def crossEntropyKneserNeyN(docs: DataFrame, idCol: String, textCol: String,
+                             lm: KneserNeyNLm,
+                             broadcastModel: Boolean = true): DataFrame = {
+    val hinted: DataFrame => DataFrame =
+      if (broadcastModel) broadcast(_) else identity
+    val ws = (1 to lm.order).map(i => s"w$i")
+    val exploded = docs
+      .select(col(idCol),
+        explode(ngramStructs(TextAnalysis.tokens(col(textCol)), lm.order))
+          .as("g"))
+      .select(col(idCol) +: ws.map(w => col(s"g.$w").as(w)): _*)
+    var p: Column = (coalesce(col("nct1"), lit(0L)) + lm.beta) /
+      (lit(lm.nContTypes.toDouble) + lm.beta * lm.vocabSize)
+    for (k <- 2 until lm.order) {
+      val prev = p
+      val pSeen = greatest(coalesce(col(s"nct$k"), lit(0L)) - lm.discount,
+        lit(0.0)) / col(s"s${k - 1}") +
+        (lit(lm.discount) * col(s"f${k - 1}") / col(s"s${k - 1}")) * prev
+      p = when(col(s"s${k - 1}").isNull, prev).otherwise(pSeen)
+    }
+    val pTopSeen =
+      greatest(coalesce(col("cnt"), lit(0L)) - lm.discount, lit(0.0)) /
+        col("tot") + (lit(lm.discount) * col("types") / col("tot")) * p
+    val logp = log(when(col("tot").isNull, p).otherwise(pTopSeen))
+    var joined = exploded
+      .join(hinted(lm.grams), ws, "left")
+      .join(hinted(lm.ctxTop), ws.init, "left")
+    for (k <- (lm.order - 1) to 2 by -1) {
+      joined = joined
+        .join(hinted(lm.conts(k - 1)), ws.drop(lm.order - k), "left")
+        .join(hinted(lm.ctxs(k - 2)), ws.drop(lm.order - k).init, "left")
+    }
+    joined = joined.join(hinted(lm.conts(0)), Seq(ws.last), "left")
+    val perDoc = joined.groupBy(idCol)
+      .agg(count(lit(1)).as("n_ngrams"), (-avg(logp)).as("xent"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"), col("xent"))
+  }
+
+  /** Persist a KN-N model: `ngrams/`, `ctx_top/`, the numbered
+    * `cont_k/` / `ctx_k/` cascade, then a 1-row `knn_meta/` (carrying
+    * the ORDER, so [[readKneserNeyN]] knows how many tables to load)
+    * written LAST — the commit-marker discipline of [[write]], under
+    * the same scoped layout pre-delete. */
+  def writeKneserNeyN(lm: KneserNeyNLm, path: String): Unit = {
+    val spark = lm.grams.sparkSession
+    deleteLayoutSubdirs(spark, path)
+    lm.grams.write.mode("overwrite").parquet(s"$path/ngrams")
+    lm.ctxTop.write.mode("overwrite").parquet(s"$path/ctx_top")
+    (1 until lm.order).foreach { k =>
+      lm.conts(k - 1).write.mode("overwrite").parquet(s"$path/cont_$k")
+    }
+    (1 to lm.order - 2).foreach { k =>
+      lm.ctxs(k - 1).write.mode("overwrite").parquet(s"$path/ctx_$k")
+    }
+    spark.createDataFrame(
+        Seq((lm.order, lm.vocabSize, lm.nContTypes, lm.discount, lm.beta)))
+      .toDF("order", "vocab_size", "n_cont_types", "discount", "beta")
+      .write.mode("overwrite").parquet(s"$path/knn_meta")
+  }
+
+  /** Load a persisted KN-N model (fails loudly on any other layout — no
+    * `knn_meta` commit marker there). */
+  def readKneserNeyN(spark: SparkSession, path: String): KneserNeyNLm = {
+    val meta = spark.read.parquet(s"$path/knn_meta").head()
+    val order = meta.getAs[Int]("order")
+    KneserNeyNLm(order,
+      spark.read.parquet(s"$path/ngrams"),
+      spark.read.parquet(s"$path/ctx_top"),
+      (1 until order).map(k => spark.read.parquet(s"$path/cont_$k")),
+      (1 to order - 2).map(k => spark.read.parquet(s"$path/ctx_$k")),
+      meta.getAs[Long]("vocab_size"), meta.getAs[Long]("n_cont_types"),
+      meta.getAs[Double]("discount"), meta.getAs[Double]("beta"))
+  }
+
   /** Per-document cross-entropy under `lm`: output is
     * `(idCol, n_bigrams, xent)` for EVERY input document —
     * `n_bigrams = 0` and NULL `xent` for docs with < 2 tokens. `xent`
@@ -602,9 +791,20 @@ object LanguageModel {
     val hc = spark.sparkContext.hadoopConfiguration
     Seq("bigrams", "contexts", "meta", "unigrams", "interp_meta",
         "conttypes", "kn_meta",
-        "trigrams", "ctx12", "cont23", "ctx2", "cont3", "kn3_meta").foreach { d =>
+        "trigrams", "ctx12", "cont23", "ctx2", "cont3", "kn3_meta",
+        "ngrams", "ctx_top", "knn_meta").foreach { d =>
       val p = new org.apache.hadoop.fs.Path(s"$path/$d")
       p.getFileSystem(hc).delete(p, true)
+    }
+    // the KN-N cascade dirs are numbered by order (cont_1..cont_{N-1},
+    // ctx_1..ctx_{N-2}), so the scoped delete matches the NAME PATTERN
+    // rather than guessing an order — still never touches co-located
+    // non-layout data
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hc)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      if (st.getPath.getName.matches("(cont|ctx)_\\d+"))
+        fs.delete(st.getPath, true)
     }
   }
 

@@ -317,6 +317,80 @@ class LanguageModelSpec extends SparkSpec {
     intercept[IllegalArgumentException](LanguageModel.pruneKneserNey3(kn, 0))
   }
 
+  test("order-N Kneser-Ney: the order-3 instance is BIT-IDENTICAL to " +
+    "trainKneserNey3, higher orders round-trip / prune-dominate / agree " +
+    "across serving forms, and guards raise") {
+    // richer corpus so orders 4-5 have seen and backoff n-grams
+    val corp = Seq(
+      (1L, "a b a c a b a"),
+      (2L, "b a c a b"),
+      (3L, "a b a c d"),
+      (4L, "c"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    def xents(out: org.apache.spark.sql.DataFrame) = out.collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    // order 3 ≡ the hand-pinned KN3 implementation, bit for bit —
+    // the generic recursion inherits KN3's hand-computed value pins
+    val kn3 = LanguageModel.trainKneserNey3(corp, "text")
+    val knN3 = LanguageModel.trainKneserNeyN(corp, "text", order = 3)
+    assert(knN3.vocabSize == kn3.vocabSize &&
+      knN3.nContTypes == kn3.nContTypes)
+    val ref3 = LanguageModel.crossEntropyKneserNey3(corp, "doc_id", "text", kn3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    val gen3 = xents(
+      LanguageModel.crossEntropyKneserNeyN(corp, "doc_id", "text", knN3))
+    assert(gen3.view.mapValues(_._2).toMap ==
+      ref3.view.mapValues(_._2).toMap, "order-3 scores must be bit-identical")
+    assert(gen3.view.mapValues(_._1).toMap == ref3.view.mapValues(_._1).toMap)
+    // pruned twins agree too (coalesce-to-backoff leg)
+    assert(xents(LanguageModel.crossEntropyKneserNeyN(corp, "doc_id", "text",
+        LanguageModel.pruneKneserNeyN(knN3, 2))).view.mapValues(_._2).toMap ==
+      LanguageModel.crossEntropyKneserNey3(corp, "doc_id", "text",
+          LanguageModel.pruneKneserNey3(kn3, 2))
+        .collect().map(r => r.getLong(0) ->
+          Option(r.get(2)).map(_.asInstanceOf[Double])).toMap)
+    // order 5: docs under 5 tokens stay NULL; foreign docs hit every
+    // backoff leg finitely; prune dominates; round-trip + shuffle form
+    val kn5 = LanguageModel.trainKneserNeyN(corp, "text", order = 5)
+    val out5 = xents(
+      LanguageModel.crossEntropyKneserNeyN(corp, "doc_id", "text", kn5))
+    assert(out5(1L)._1 == 3L && out5(2L)._1 == 1L && out5(3L)._1 == 1L)
+    assert(out5(4L) == ((0L, None)) && out5(5L) == ((0L, None)))
+    val foreign = Seq((9L, "z z z z z"), (10L, "d c a b a")).toDF("doc_id", "text")
+    val f5 = xents(
+      LanguageModel.crossEntropyKneserNeyN(foreign, "doc_id", "text", kn5))
+    assert(f5(9L)._2.get > 0 && java.lang.Double.isFinite(f5(9L)._2.get))
+    assert(f5(10L)._2.get > 0 && java.lang.Double.isFinite(f5(10L)._2.get))
+    val p5 = xents(LanguageModel.crossEntropyKneserNeyN(corp, "doc_id", "text",
+      LanguageModel.pruneKneserNeyN(kn5, 2)))
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(p5(id)._2.get >= out5(id)._2.get - 1e-12,
+        s"pruned must dominate exact for doc $id")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-knnlm").toFile
+    dir.deleteOnExit()
+    val path = new java.io.File(dir, "m").getAbsolutePath
+    LanguageModel.writeKneserNeyN(kn5, path)
+    val back = LanguageModel.readKneserNeyN(spark, path)
+    assert(back.order == 5 && back.vocabSize == kn5.vocabSize &&
+      back.nContTypes == kn5.nContTypes)
+    assert(xents(LanguageModel.crossEntropyKneserNeyN(corp, "doc_id", "text",
+      back)) == out5)
+    // cross-layout: a KN3 write over the KN-N layout clears knn_meta
+    LanguageModel.writeKneserNey3(kn3, path)
+    intercept[Exception](LanguageModel.readKneserNeyN(spark, path))
+    assert(xents(LanguageModel.crossEntropyKneserNeyN(corp, "doc_id", "text",
+      kn5, broadcastModel = false)) == out5)
+    intercept[IllegalArgumentException](
+      LanguageModel.trainKneserNeyN(corp, "text", order = 2))
+    intercept[IllegalArgumentException](kn5.copy(discount = 1.0))
+    intercept[IllegalArgumentException](kn5.copy(conts = kn5.conts.tail))
+    intercept[IllegalArgumentException](LanguageModel.pruneKneserNeyN(kn5, 0))
+  }
+
   test("degenerate models are rejected at construction") {
     intercept[IllegalArgumentException] {
       BigramLm(lm.bigrams, lm.contexts, vocabSize = 0L, alpha = 0.5)

@@ -398,6 +398,17 @@ class PlanSpec extends SparkSpec {
       s"expected trigram, ctx12, cont23, ctx2 AND cont3 tables to broadcast:\n$phys")
   }
 
+  test("q_lm_xent_kn5: all nine order-5 KN model tables broadcast into one " +
+    "score scan") {
+    val p = executed(SparkEntry.queries("q_lm_xent_kn5")(spark, sf))
+    val phys = p.toString
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoopJoin"),
+      s"KN5 scoring must stay on the n-gram-key equi-joins:\n$phys")
+    assert(countBroadcasts(p) >= 9,
+      s"expected the 5-gram table, top context, and the full cont/ctx " +
+        s"cascade (2N-1 = 9 tables) to broadcast:\n$phys")
+  }
+
   test("q_ann_pq: the ADC shortlist joins on the coarse cell and rescores by " +
     "id — codebooks ride as a literal, never a join side") {
     val p = executed(SparkEntry.queries("q_ann_pq")(spark, sf))
