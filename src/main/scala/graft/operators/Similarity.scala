@@ -746,17 +746,16 @@ object Similarity {
     encodePq(df, embCol, cb)
       .select(col(idCol), col(partCol), col("pq_codes"))
 
-  /** Asymmetric squared-L2 distance of a full-precision query vector to
-    * a PQ-coded corpus vector: Σ_j ‖q_j − centroid_j(code_j)‖², as the
-    * NATIVE codegen'd [[graft.functions.AdcSqDist]] loop (identical
-    * sequential-sum IEEE order to the former nested HOF form — inner
-    * over dims ascending, outer over subspaces ascending — the
-    * replayable-order discipline the oracles rely on; see that
-    * expression's scaladoc for why native: this runs per candidate
-    * PAIR, the serving hot loop). The codebook tensor rides as ONE
-    * reference object. */
-  private def adcSqDist(qv: Column, codes: Column, cb: PqCodebooks): Column =
-    graft.functions.AdcSqDist.adc(qv, codes.cast("array<int>"), cb.codebooks)
+  // Asymmetric squared-L2 distance is served TABLE-DRIVEN (Jégou 2011
+  // §V-A): graft.functions.AdcTable precomputes, once per query row
+  // BELOW the cell join, the m·ksub table of subvector-to-centroid
+  // distances; graft.functions.AdcTableLookup then scores each
+  // (query, corpus-code) pair with m array reads instead of m·dsub
+  // multiply-adds — the serving hot loop at corpus scale. Identical
+  // sequential-sum IEEE order to the fused per-pair loop it replaced
+  // (inner over dims ascending, outer over subspaces ascending), the
+  // replayable-order discipline the q_ann_pq oracle relies on; the
+  // codebook tensor rides as ONE reference object.
 
   /** One full-precision vector per query id, with duplicate-id conflict
     * detection — the re-scoring contract shared by [[ivfTopKQuantized]]
@@ -783,7 +782,10 @@ object Similarity {
     * ivfTopKQuantized]]'s product form. Stage 1 ranks each query's
     * coarse cell by ASYMMETRIC distance to the code vectors (the
     * resident set is `pq_codes` — 8 bytes/vector at the default
-    * geometry, the 32×-vs-fp32 memory story) and keeps the
+    * geometry, the 32×-vs-fp32 memory story), TABLE-DRIVEN: the
+    * [[graft.functions.AdcTable]] precompute runs once per query row
+    * below the cell join and the pair loop is m lookups
+    * ([[graft.functions.AdcTableLookup]]) — and keeps the
     * `k·candidateFactor` shortlist; stage 2 joins ONLY the shortlist
     * back to the full-precision corpus vectors and returns the
     * exact-cosine top k — quantization error affects which candidates
@@ -809,12 +811,19 @@ object Similarity {
     require(k >= 1, s"k must be positive, got $k")
     require(candidateFactor >= 1,
       s"candidateFactor must be positive, got $candidateFactor")
+    // the per-query ADC table materializes in THIS projection, below
+    // the cell join (the join's exchange is the materialization
+    // boundary), so the m·ksub·dsub arithmetic runs once per query row
+    // and the pair loop is m lookups — PlanSpec pins the shape
     val q = queries.select(col(partCol).as("part"),
       col(idCol).as("query_id"),
-      guardedVec(embCol, cb.dims, "ivf_top_k_pq").as("qv"))
+      graft.functions.Adc.table(
+        guardedVec(embCol, cb.dims, "ivf_top_k_pq"), cb.codebooks)
+        .as("__adc_tab"))
     val c = index.select(col(partCol).as("part"), col(idCol).as("nn_id"),
       col("pq_codes"))
-    val adcR = floor(adcSqDist(col("qv"), col("pq_codes"), cb) * 1000000.0
+    val adcR = floor(graft.functions.Adc.lookup(col("__adc_tab"),
+      col("pq_codes").cast("array<int>"), cb.m, cb.ksub) * 1000000.0
       + 0.5) / 1000000.0
     val w1 = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("__adc"), col("nn_id"))

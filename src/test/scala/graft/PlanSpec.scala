@@ -423,6 +423,30 @@ class PlanSpec extends SparkSpec {
       s"codebooks must ride as a literal, not a scanned side:\n$phys")
   }
 
+  test("q_ann_pq: the per-query ADC table materializes below the cell join " +
+    "— per-pair work is m lookups, never m·dsub arithmetic") {
+    import graft.functions.{AdcTable, AdcTableLookup}
+    val p = executed(SparkEntry.queries("q_ann_pq")(spark, sf))
+    def hasExpr(n: SparkPlan, pred: org.apache.spark.sql.catalyst.expressions.Expression => Boolean) =
+      n.expressions.exists(_.exists(pred))
+    val tableNodes = flatten(p).filter(hasExpr(_, _.isInstanceOf[AdcTable]))
+    assert(tableNodes.nonEmpty, s"expected an adc_table projection:\n$p")
+    tableNodes.foreach { n =>
+      // below every join: the node's own subtree must contain no join —
+      // a post-join adc_table would recompute the m·ksub·dsub table per
+      // candidate PAIR, the exact cost the table split exists to remove
+      assert(!flatten(n).exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+        s"adc_table computed above a join (per-pair, not per-query):\n$p")
+      // and never fused with the per-pair lookup into one projection
+      assert(!hasExpr(n, _.isInstanceOf[AdcTableLookup]),
+        s"adc_table and adc_lookup share a node — the table is not " +
+          s"materialized per query row:\n$p")
+    }
+    assert(flatten(p).exists(hasExpr(_, _.isInstanceOf[AdcTableLookup])),
+      s"expected the per-pair adc_lookup in the shortlist stage:\n$p")
+  }
+
   test("q_filter_project: predicates and projection reach the parquet scan") {
     val df = SparkEntry.queries("q_filter_project")(spark, sf)
     val scan = df.queryExecution.executedPlan.collectLeaves().head.toString

@@ -870,14 +870,19 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("AdcSqDist ≡ driver-side two-level sequential sum on random vectors; " +
-    "bad codes and ragged queries raise instead of silently NULL-ranking") {
+  test("AdcTable∘AdcTableLookup ≡ driver-side two-level sequential sum on " +
+    "random vectors; bad codes and ragged queries raise instead of " +
+    "silently NULL-ranking") {
     import org.apache.spark.sql.functions.col
-    import graft.functions.AdcSqDist
+    import graft.functions.Adc
     // m=2 subspaces, ksub=2, dsub=2
     val cb = Array(
       Array(Array(0.0, 0.0), Array(1.0, 1.0)),
       Array(Array(2.0, 0.0), Array(0.0, 2.0)))
+    // the fused per-pair reference: inner sum dims ascending, outer sum
+    // subspaces ascending — the table path must reproduce it BIT FOR BIT
+    // (same doubles added in the same order), so shortlist ranks cannot
+    // move between the fused and table-driven forms
     def ref(q: Vector[Double], codes: Seq[Int]): Double = {
       var total = 0.0
       codes.indices.foreach { j =>
@@ -895,8 +900,8 @@ class PropertySpec extends SparkSpec {
       val df = rows.zipWithIndex.map { case ((q, c), i) => (i.toLong, q, c) }
         .toDF("id", "q", "codes")
       val got = df.select(col("id"),
-          AdcSqDist.adc(col("q").cast("array<double>"),
-            col("codes").cast("array<int>"), cb).as("d"))
+          Adc.lookup(Adc.table(col("q").cast("array<double>"), cb),
+            col("codes").cast("array<int>"), 2, 2).as("d"))
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       rows.zipWithIndex.foreach { case ((q, c), i) =>
         assert(got(i.toLong) == ref(q, c), s"q=$q codes=$c")
@@ -904,16 +909,21 @@ class PropertySpec extends SparkSpec {
     }
     def one(q: Seq[java.lang.Double], c: Seq[java.lang.Integer]) =
       Seq((0L, q, c)).toDF("id", "q", "codes")
-        .select(AdcSqDist.adc(col("q").cast("array<double>"),
-          col("codes").cast("array<int>"), cb))
+        .select(Adc.lookup(Adc.table(col("q").cast("array<double>"), cb),
+          col("codes").cast("array<int>"), 2, 2))
         .head()
-    // out-of-range code, wrong code length, ragged query, null code:
-    // each raises with a named message — the HOF form's silent NULL
-    // distance would have ranked FIRST under an ascending window order
+    // out-of-range code, wrong code length, ragged query, null code,
+    // wrong table width: each raises with a named message — a silent
+    // NULL distance would rank FIRST under an ascending window order
     intercept[Exception](one(Seq(0.0, 0.0, 0.0, 0.0), Seq(0, 2)))
     intercept[Exception](one(Seq(0.0, 0.0, 0.0, 0.0), Seq(0)))
     intercept[Exception](one(Seq(0.0, 0.0, 0.0), Seq(0, 1)))
     intercept[Exception](one(Seq(0.0, 0.0, 0.0, 0.0), Seq(null, 1)))
+    intercept[Exception](Seq((0L, Seq(0.0, 0.0, 0.0), Seq(0, 1)))
+      .toDF("id", "tab", "codes")
+      .select(Adc.lookup(col("tab").cast("array<double>"),
+        col("codes").cast("array<int>"), 2, 2))
+      .head())
   }
 
   test("NearestCentroid ≡ driver-side sequential-sum argmin on random " +
