@@ -1893,13 +1893,43 @@ object Bench {
         m = 8, ksub = 16, iters = 2)
       Similarity.buildPqIndex(labeled, "vec_id", "embedding", "coarse", cb)
         .write.mode("overwrite").parquet(s"$work/mem_pq")
+      // the residual twin at IDENTICAL geometry: same bytes/vector (the
+      // cell id already travels with every index form here), and the
+      // own-code ADC (= squared reconstruction error) measured for both
+      // — the Jégou §V-C claim as an artifact fact at the ladder top,
+      // deterministic (seeded fits), also spec-pinned at sf0.001
+      val cbRes = Similarity.trainPqResidual(labeled, "vec_id", "embedding",
+        cents, m = 8, ksub = 16, iters = 2)
+      Similarity.buildPqIndexResidual(labeled, "vec_id", "embedding",
+          cents, cbRes)
+        .write.mode("overwrite").parquet(s"$work/mem_pq_res")
+      val centLit = typedlit(cents.map(_.toSeq).toSeq)
+      val resFrame = labeled.withColumn("__res",
+        zip_with(col("embedding").cast("array<double>"),
+          element_at(centLit, col("coarse").cast("int") + 1), (a, b) => a - b))
+      def distortion(df: org.apache.spark.sql.DataFrame, vcol: String,
+                     cbX: Similarity.PqCodebooks): Double =
+        Similarity.encodePq(df, vcol, cbX)
+          .select(graft.functions.Adc.lookup(
+            graft.functions.Adc.table(col(vcol).cast("array<double>"),
+              cbX.codebooks),
+            col("pq_codes").cast("array<int>"), cbX.m, cbX.ksub).as("d"))
+          .agg(avg(col("d"))).head().getDouble(0)
+      val dPq = distortion(labeled, "embedding", cb)
+      val dRes = distortion(resFrame, "__res", cbRes)
+      require(dRes < dPq,
+        f"residual codebooks must cut reconstruction error at identical " +
+          f"geometry: residual $dRes%.4f vs raw $dPq%.4f")
       def perVec(dir: String): Double =
         dirBytes(new java.io.File(s"$work/$dir")).toDouble / nVecs
       f""""memory_per_vector":{"n_vecs":$nVecs,"dims":64,""" +
-        f""""payload_bytes":{"fp32":256,"int8":72,"pq":8},""" +
+        f""""payload_bytes":{"fp32":256,"int8":72,"pq":8,"pq_res":8},""" +
         f""""disk_bytes":{"fp32":${perVec("mem_fp32")}%.1f,""" +
-        f""""int8":${perVec("mem_int8")}%.1f,"pq":${perVec("mem_pq")}%.1f},""" +
-        f""""pq_vs_fp32":32.0,"pq_vs_int8":9.0}"""
+        f""""int8":${perVec("mem_int8")}%.1f,"pq":${perVec("mem_pq")}%.1f,""" +
+        f""""pq_res":${perVec("mem_pq_res")}%.1f},""" +
+        f""""pq_vs_fp32":32.0,"pq_vs_int8":9.0,""" +
+        f""""distortion":{"pq":$dPq%.5f,"pq_res":$dRes%.5f,""" +
+        f""""res_vs_pq":${dRes / dPq}%.3f}}"""
     }
     type R = (Int, Long, Long, Int, Int, Double, Double, Double, Double, Double, Double)
     def arr[T](f: R => T): String = jsonArr(rows)(f)

@@ -667,6 +667,37 @@ object SparkEntry {
       }
     })
 
+  /** RESIDUAL PQ codebooks for `dir`'s embeddings — [[pqCodebooks]]'
+    * production-semantics sibling (codes quantize `v − centroid(coarse)`,
+    * the FAISS IVFPQ default), same persistence contract: fixture dump
+    * and any later serve share the matrix by PERSISTENCE
+    * (`pq_res_store`), never by re-derivation. */
+  private val pqResCache =
+    collection.concurrent.TrieMap.empty[String, Similarity.PqCodebooks]
+  private def pqResCodebooks(s: SparkSession, dir: String): Similarity.PqCodebooks =
+    pqResCache.getOrElseUpdate(dir, {
+      val persisted = new java.io.File(s"$KmeansFixture/pq_res_store/${dirKey(dir)}")
+      if (!persisted.exists())
+        Similarity.trainPqResidual(tbl(s, dir, "embeddings"), "vec_id",
+          "embedding", kmeansCentroids(s, dir), m = 8, ksub = 16)
+      else {
+        require(new java.io.File(persisted, "_SUCCESS").exists(),
+          s"pqResCodebooks: ${persisted} exists without _SUCCESS - crashed " +
+            "fixture dump; re-run Verify (prepareOracleFixtures) for this dir")
+        val rows = s.read.parquet(persisted.getAbsolutePath)
+          .filter(col("dir") === dir)
+          .select("j", "c", "centroid").collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        require(rows.nonEmpty,
+          s"pqResCodebooks: ${persisted} holds no rows for dir=$dir - corrupt " +
+            "fixture dump; re-run Verify for this dir")
+        val byJ = rows.groupBy(_._1)
+        Similarity.PqCodebooks((0 until byJ.size).toArray.map { j =>
+          byJ(j).sortBy(_._2).map(_._3)
+        })
+      }
+    })
+
   /** The (index, new-batch) construction shared by q_dedup_index and its
     * fixture dump: index over the whole documents table; the batch is
     * every 10th doc re-id'd (+1,000,000) with a tail appended — near-dups
@@ -921,6 +952,23 @@ object SparkEntry {
     s.createDataFrame(cbRows).toDF("j", "c", "centroid", "dir")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$KmeansFixture/pq_codebooks")
+    // flat matrix dump for the residual-PQ oracle: the residual
+    // arithmetic (v − centroid[coarse]) needs the centroid VALUES, not
+    // just the labels they induce — same "Lloyd is engine-bound, the
+    // arithmetic it parameterizes is not" line as pq_codebooks
+    s.createDataFrame(cents.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) })
+      .toDF("cid", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$KmeansFixture/centroids_flat")
+    val cbr = pqResCodebooks(s, dir)
+    val cbrRows = for (j <- cbr.codebooks.indices; c <- cbr.codebooks(j).indices)
+      yield (j, c, cbr.codebooks(j)(c).toSeq, dir)
+    s.createDataFrame(cbrRows).toDF("j", "c", "centroid", "dir")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$KmeansFixture/pq_res_store/${dirKey(dir)}")
+    s.createDataFrame(cbrRows).toDF("j", "c", "centroid", "dir")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$KmeansFixture/pq_codebooks_res")
   }
 
   /** Incremental dedup serving: a new batch against the prebuilt MinHash
@@ -1644,6 +1692,52 @@ object SparkEntry {
       .withColumn("cosine", rq(col("cosine"), 6))
   }
 
+  /** RESIDUAL IVF-PQ top-3 — [[qAnnPq]] at production IVF-PQ semantics
+    * (Jégou 2011 §V-C, the FAISS `IVFPQ` default): codes quantize each
+    * vector's RESIDUAL to its learned coarse centroid, queries
+    * multi-probe their 2 nearest cells, and within each probed cell the
+    * ADC runs between the query's residual TO THAT CELL and the
+    * candidates' residual codes. The oracle replays the whole path from
+    * the dumped centroid matrix + residual codebooks: residual
+    * subtraction, per-subspace code assignment, per-cell query
+    * residuals over the dumped probe fan-out, rounded ADC shortlist,
+    * exact re-scoring. */
+  private def qAnnPqRes(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    val cents = kmeansCentroids(s, dir)
+    val cb = pqResCodebooks(s, dir)
+    Similarity.ivfTopKPqResidual(
+        Similarity.buildPqIndexResidual(e, "vec_id", "embedding", cents, cb),
+        e, e.filter(col("vec_id") < 20), "vec_id", "embedding", cents,
+        cb, 3, nprobe = 2, candidateFactor = 4)
+      .withColumn("cosine", rq(col("cosine"), 6))
+  }
+
+  /** On-disk residual-PQ index for `dir`'s embeddings — (vec_id, coarse,
+    * pq_codes): the cell id travels with the codes (a residual code is
+    * meaningless without its centroid), written once per JVM. */
+  private val pqResIxCache = collection.concurrent.TrieMap.empty[String, String]
+  private def pqResIndexPath(s: SparkSession, dir: String): String =
+    pqResIxCache.getOrElseUpdate(dir, {
+      val p = new java.io.File(s"target/q-ann-pq-res/${dirKey(dir)}").getAbsolutePath
+      Similarity.buildPqIndexResidual(tbl(s, dir, "embeddings"), "vec_id",
+          "embedding", kmeansCentroids(s, dir), pqResCodebooks(s, dir))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** [[qAnnPqRes]]'s SERVING twin: encode once, serve every query batch
+    * from the persisted residual code table — same oracle (integer
+    * codes round-trip parquet exactly). */
+  private def qAnnPqResServed(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    Similarity.ivfTopKPqResidual(s.read.parquet(pqResIndexPath(s, dir)),
+        e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        kmeansCentroids(s, dir), pqResCodebooks(s, dir), 3, nprobe = 2,
+        candidateFactor = 4)
+      .withColumn("cosine", rq(col("cosine"), 6))
+  }
+
   /** q_ann_ivf_q8's answer served from the ON-DISK partition-pruned
     * layout ([[Similarity.writeIvfIndex]] + [[Similarity.ivfTopKQuantizedPruned]])
     * under the SAME oracle — the layout changes which files are listed
@@ -2120,6 +2214,8 @@ object SparkEntry {
     "q_ann_ivf_pruned" -> qAnnIvfPruned,
     "q_ann_pq" -> qAnnPq,
     "q_ann_pq_served" -> qAnnPqServed,
+    "q_ann_pq_res" -> qAnnPqRes,
+    "q_ann_pq_res_served" -> qAnnPqResServed,
     "q_ann_kmeans" -> qAnnKmeans,
     "q_ann_serve" -> qAnnServe,
     "q_ann_ingest" -> qAnnIngest,
@@ -2365,6 +2461,60 @@ object SparkEntry {
         |           i -> (q.v[CAST(co.j*8 + i AS INT)] - cb.cent[CAST(i AS INT)])
         |              * (q.v[CAST(co.j*8 + i AS INT)] - cb.cent[CAST(i AS INT)]))) AS dj
         |  FROM q JOIN e ce ON ce.label = q.label AND ce.vec_id <> q.vec_id
+        |  JOIN code co ON co.vec_id = ce.vec_id
+        |  JOIN cb ON cb.j = co.j AND cb.c = co.c),
+        | adc AS (SELECT query_id, nn_id, sum(dj) AS adc FROM pairsub GROUP BY 1, 2),
+        | short AS (
+        |  SELECT query_id, nn_id FROM adc
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY floor(adc*1000000.0 + 0.5)/1000000.0, nn_id) <= 12),
+        | scored AS (
+        |  SELECT s.query_id, s.nn_id, list_cosine_similarity(eq.v, ec.v) AS cos
+        |  FROM short s JOIN e eq ON eq.vec_id = s.query_id
+        |  JOIN e ec ON ec.vec_id = s.nn_id)
+        |SELECT query_id, nn_id, floor((cos)*1000000.0 + 0.5)/1000000.0 AS cosine,
+        |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS INT) AS rank
+        |FROM scored QUALIFY rank <= 3""".stripMargin
+
+  /** Shared by q_ann_pq_res (inline) and q_ann_pq_res_served (persisted
+    * residual code table): given the dumped coarse-centroid matrix, the
+    * residual codebooks, the corpus labels, and the probe fan-out,
+    * DuckDB re-derives every corpus vector's residual and its codes,
+    * every query's PER-PROBED-CELL residual, replays the rounded ADC
+    * shortlist across both probed cells, and exact-rescores it. */
+  private lazy val annPqResSql: String =
+    s"""WITH cb AS (SELECT j, c, CAST(centroid AS DOUBLE[]) AS cent
+        |            FROM read_parquet('$KmeansFixture/pq_codebooks_res/*.parquet')),
+        | cents AS (SELECT cid, CAST(centroid AS DOUBLE[]) AS cv
+        |           FROM read_parquet('$KmeansFixture/centroids_flat/*.parquet')),
+        | lab AS (SELECT vec_id, coarse
+        |         FROM read_parquet('$KmeansFixture/corpus/*.parquet')),
+        | e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | r AS (SELECT lab.vec_id, lab.coarse,
+        |         list_transform(range(1, 65),
+        |           i -> e.v[CAST(i AS INT)] - cents.cv[CAST(i AS INT)]) AS rv
+        |       FROM lab JOIN e USING (vec_id) JOIN cents ON cents.cid = lab.coarse),
+        | dist AS (
+        |  SELECT r.vec_id, cb.j, cb.c,
+        |         list_sum(list_transform(range(1, 9),
+        |           i -> (r.rv[CAST(cb.j*8 + i AS INT)] - cb.cent[CAST(i AS INT)])
+        |              * (r.rv[CAST(cb.j*8 + i AS INT)] - cb.cent[CAST(i AS INT)]))) AS d
+        |  FROM r CROSS JOIN cb),
+        | code AS (
+        |  SELECT vec_id, j, c FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) = 1),
+        | p AS (SELECT vec_id, coarse
+        |       FROM read_parquet('$KmeansFixture/probes/*.parquet')),
+        | qr AS (SELECT p.vec_id, p.coarse,
+        |          list_transform(range(1, 65),
+        |            i -> e.v[CAST(i AS INT)] - cents.cv[CAST(i AS INT)]) AS qv
+        |        FROM p JOIN e USING (vec_id) JOIN cents ON cents.cid = p.coarse),
+        | pairsub AS (
+        |  SELECT qr.vec_id AS query_id, ce.vec_id AS nn_id, co.j,
+        |         list_sum(list_transform(range(1, 9),
+        |           i -> (qr.qv[CAST(co.j*8 + i AS INT)] - cb.cent[CAST(i AS INT)])
+        |              * (qr.qv[CAST(co.j*8 + i AS INT)] - cb.cent[CAST(i AS INT)]))) AS dj
+        |  FROM qr JOIN r ce ON ce.coarse = qr.coarse AND ce.vec_id <> qr.vec_id
         |  JOIN code co ON co.vec_id = ce.vec_id
         |  JOIN cb ON cb.j = co.j AND cb.c = co.c),
         | adc AS (SELECT query_id, nn_id, sum(dj) AS adc FROM pairsub GROUP BY 1, 2),
@@ -3339,6 +3489,8 @@ object SparkEntry {
     // order-sensitive at the ulp), and exact-rescores the shortlist —
     // the full product-quantization serving path in SQL
     "q_ann_pq" -> annPqSql,
+    "q_ann_pq_res" -> annPqResSql,
+    "q_ann_pq_res_served" -> annPqResSql,
     // the persisted-code serving twin answers the SAME replay: integer
     // codes round-trip parquet exactly, so the served shortlist and the
     // inline one are the same shortlist

@@ -746,6 +746,100 @@ object Similarity {
     encodePq(df, embCol, cb)
       .select(col(idCol), col(partCol), col("pq_codes"))
 
+  /** The row's residual to its coarse centroid: `v − centroid(coarse)`,
+    * element-wise over the literal centroid matrix (rides the plan as
+    * one small array literal; exact IEEE subtraction per element, so
+    * the oracle's replay from the dumped matrix is bit-identical).
+    * Residuals are what a production IVF-PQ quantizes (Jégou 2011
+    * §V-C, the FAISS `IVFPQ` default): within one Voronoi cell the
+    * residual cloud is centered and far tighter than the raw vectors,
+    * so the SAME codebook budget spends its centroids on the
+    * within-cell structure instead of re-describing cell positions —
+    * lower distortion at identical bytes/vector. */
+  private def residualExpr(v: Column, coarse: Column,
+                           centroids: Array[Array[Double]]): Column = {
+    val centLit = typedlit(centroids.map(_.toSeq).toSeq)
+    zip_with(v, element_at(centLit, coarse.cast("int") + 1), (a, b) => a - b)
+  }
+
+  /** Train PQ codebooks over coarse-cell RESIDUALS — [[trainPq]] on
+    * `v − centroid(coarse(v))` with labels induced by `centroids`.
+    * Shares all of [[trainPq]]'s machinery and determinism story; the
+    * only addition is the residual projection below the per-subspace
+    * Lloyd fits. */
+  def trainPqResidual(df: DataFrame, idCol: String, embCol: String,
+                      centroids: Array[Array[Double]],
+                      m: Int = 8, ksub: Int = 16, iters: Int = 5): PqCodebooks = {
+    val dims = checkCentroids(centroids)
+    val labeled = withCoarseLabel(df, embCol, centroids)
+      .withColumn("__res",
+        residualExpr(guardedVec(embCol, dims, "train_pq_residual"),
+          col("coarse"), centroids))
+    trainPq(labeled, idCol, "__res", m, ksub, iters)
+  }
+
+  /** The residual-PQ index: `(idCol, coarse, pq_codes)` where the codes
+    * quantize the row's RESIDUAL to its coarse centroid. The cell id
+    * must travel with the codes — a residual code is meaningless
+    * without knowing which centroid it is relative to. */
+  def buildPqIndexResidual(df: DataFrame, idCol: String, embCol: String,
+                           centroids: Array[Array[Double]],
+                           cb: PqCodebooks): DataFrame = {
+    val labeled = withCoarseLabel(df, embCol, centroids)
+      .withColumn("__res",
+        residualExpr(guardedVec(embCol, cb.dims, "build_pq_index_residual"),
+          col("coarse"), centroids))
+    encodePq(labeled, "__res", cb)
+      .select(col(idCol), col("coarse"), col("pq_codes"))
+  }
+
+  /** IVF top-k over a RESIDUAL-PQ index with multi-probe fan-out and
+    * exact re-scoring — [[ivfTopKPq]] at production IVF-PQ semantics:
+    * each query probes its `nprobe` nearest cells
+    * ([[withProbeLabels]]), and within each probed cell the ADC runs
+    * between the QUERY'S RESIDUAL TO THAT CELL and the candidates'
+    * residual codes — the [[graft.functions.AdcTable]] precompute is
+    * per (query, probed cell) row, still below the cell join, still m
+    * lookups per candidate pair. Candidates from all probed cells rank
+    * in ONE per-query shortlist (rounded ADC, ties to the lower id,
+    * the [[ivfTopKPq]] determinism contract), then stage 2 re-scores
+    * the shortlist against the full-precision corpus vectors. */
+  def ivfTopKPqResidual(index: DataFrame, corpus: DataFrame,
+                        queries: DataFrame, idCol: String, embCol: String,
+                        centroids: Array[Array[Double]], cb: PqCodebooks,
+                        k: Int, nprobe: Int = 2,
+                        candidateFactor: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(candidateFactor >= 1,
+      s"candidateFactor must be positive, got $candidateFactor")
+    require(checkCentroids(centroids) == cb.dims,
+      s"centroid dims ${centroids.head.length} != codebook dims ${cb.dims}")
+    val q = withProbeLabels(queries, embCol, centroids, nprobe)
+      .select(col("coarse").as("part"), col(idCol).as("query_id"),
+        graft.functions.Adc.table(
+          residualExpr(guardedVec(embCol, cb.dims, "ivf_top_k_pq_residual"),
+            col("coarse"), centroids),
+          cb.codebooks).as("__adc_tab"))
+    val c = index.select(col("coarse").as("part"), col(idCol).as("nn_id"),
+      col("pq_codes"))
+    val adcR = floor(graft.functions.Adc.lookup(col("__adc_tab"),
+      col("pq_codes").cast("array<int>"), cb.m, cb.ksub) * 1000000.0
+      + 0.5) / 1000000.0
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__adc"), col("nn_id"))
+    val shortlist = q.join(c, Seq("part"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"), adcR.as("__adc"))
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= k * candidateFactor)
+      .select("query_id", "nn_id").distinct() // probe fan-out dedup
+    val cx = withNorm(corpus, embCol)
+      .select(col(idCol).as("nn_id"), col("vec").as("cv"), col("norm").as("cn"))
+    rankTopK(shortlist
+      .join(uniqueQueryVectors(queries, idCol, embCol), "query_id")
+      .join(cx, "nn_id"), k)
+  }
+
   // Asymmetric squared-L2 distance is served TABLE-DRIVEN (Jégou 2011
   // §V-A): graft.functions.AdcTable precomputes, once per query row
   // BELOW the cell join, the m·ksub table of subvector-to-centroid

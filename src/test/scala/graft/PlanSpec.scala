@@ -447,6 +447,27 @@ class PlanSpec extends SparkSpec {
       s"expected the per-pair adc_lookup in the shortlist stage:\n$p")
   }
 
+  test("q_ann_pq_res: residual serving keeps the table-below-join shape — " +
+    "the per-(query, probed-cell) residual table is never per-pair work") {
+    import graft.functions.{AdcTable, AdcTableLookup}
+    val p = executed(SparkEntry.queries("q_ann_pq_res")(spark, sf))
+    val phys = p.toString
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoopJoin"),
+      s"residual-PQ serving is cell-bounded equi-joins end to end:\n$phys")
+    def hasExpr(n: SparkPlan, pred: org.apache.spark.sql.catalyst.expressions.Expression => Boolean) =
+      n.expressions.exists(_.exists(pred))
+    val tableNodes = flatten(p).filter(hasExpr(_, _.isInstanceOf[AdcTable]))
+    assert(tableNodes.nonEmpty, s"expected an adc_table projection:\n$p")
+    tableNodes.foreach { n =>
+      assert(!flatten(n).exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+        s"residual adc_table computed above a join (per-pair, not " +
+          s"per-(query, cell)):\n$p")
+      assert(!hasExpr(n, _.isInstanceOf[AdcTableLookup]),
+        s"adc_table and adc_lookup share a node:\n$p")
+    }
+  }
+
   test("q_filter_project: predicates and projection reach the parquet scan") {
     val df = SparkEntry.queries("q_filter_project")(spark, sf)
     val scan = df.queryExecution.executedPlan.collectLeaves().head.toString

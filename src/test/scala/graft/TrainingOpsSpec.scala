@@ -519,6 +519,82 @@ class TrainingOpsSpec extends SparkSpec {
     assert(messages(eRagged).contains("encode_pq"), messages(eRagged))
   }
 
+  test("residual IVF-PQ: origin-centroid degeneracy to plain PQ, all-cell " +
+    "probing + corpus-covering shortlist = brute-force exact, lower " +
+    "distortion than raw codebooks at identical geometry, dims guard") {
+    import org.apache.spark.sql.functions.{element_at, lit, typedlit, zip_with}
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = real.filter($"vec_id" < 10)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("nn_id"), r.getAs[Double]("cosine")))).toMap
+    // 1) ONE centroid at the origin: residuals ARE the raw vectors, so
+    //    the per-subspace fits see identical values under identical seeds
+    //    (md5 of vec_id) — codebooks, codes, and the whole served answer
+    //    must be BIT-identical to the plain-PQ path over one cell
+    val origin = Array(Array.fill(64)(0.0))
+    val cbRaw = Similarity.trainPq(real, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 3)
+    val cbRes = Similarity.trainPqResidual(real, "vec_id", "embedding",
+      origin, m = 8, ksub = 16, iters = 3)
+    assert(cbRes.codebooks.flatten.flatten.toSeq ==
+      cbRaw.codebooks.flatten.flatten.toSeq,
+      "origin-centroid residual fits must reproduce the raw-vector codebooks")
+    val one = real.withColumn("one", lit(0))
+    val plain = asMap(Similarity.ivfTopKPq(
+      Similarity.buildPqIndex(one, "vec_id", "embedding", "one", cbRaw),
+      one, one.filter($"vec_id" < 10), "vec_id", "embedding", "one",
+      cbRaw, 3, candidateFactor = 4))
+    val degen = asMap(Similarity.ivfTopKPqResidual(
+      Similarity.buildPqIndexResidual(real, "vec_id", "embedding", origin, cbRes),
+      real, queries, "vec_id", "embedding", origin, cbRes, 3,
+      nprobe = 1, candidateFactor = 4))
+    assert(degen == plain,
+      "origin-centroid residual serving must be bit-identical to plain PQ")
+    // 2) learned cells, probing EVERY cell with a corpus-covering
+    //    shortlist: quantization then affects nothing — the exact-cosine
+    //    rescore of all candidates IS brute force (rescore-tail
+    //    equivalence, the residual twin of the plain-PQ pin above)
+    val cents = Similarity.kmeansFit(real, "vec_id", "embedding", k = 4, iters = 3)
+    val cbR = Similarity.trainPqResidual(real, "vec_id", "embedding", cents,
+      m = 8, ksub = 16, iters = 3)
+    val ix = Similarity.buildPqIndexResidual(real, "vec_id", "embedding",
+      cents, cbR)
+    val wide = asMap(Similarity.ivfTopKPqResidual(ix, real, queries,
+      "vec_id", "embedding", cents, cbR, 3, nprobe = 4,
+      candidateFactor = 200))
+    val exact = asMap(Similarity.bruteForceTopK(real, queries, "vec_id",
+      "embedding", 3))
+    assert(wide == exact,
+      "all-cell probing with a corpus-covering shortlist must degenerate " +
+        "residual-PQ serving to brute-force exact top-k")
+    // 3) the Jégou 2011 §V-C claim, measured: mean own-code ADC (= squared
+    //    reconstruction error) must be LOWER with residual codebooks than
+    //    with raw-vector codebooks at identical m/ksub — the cell
+    //    positions stop consuming codebook budget
+    val centLit = typedlit(cents.map(_.toSeq).toSeq)
+    val labeled = Similarity.withCoarseLabel(real, "embedding", cents)
+      .withColumn("__res", zip_with($"embedding".cast("array<double>"),
+        element_at(centLit, $"coarse".cast("int") + 1), (a, b) => a - b))
+    def distortion(df: org.apache.spark.sql.DataFrame, vcol: String,
+                   cb: Similarity.PqCodebooks): Double =
+      Similarity.encodePq(df, vcol, cb)
+        .select(graft.functions.Adc.lookup(
+          graft.functions.Adc.table(org.apache.spark.sql.functions.col(vcol)
+            .cast("array<double>"), cb.codebooks),
+          $"pq_codes".cast("array<int>"), cb.m, cb.ksub).as("d"))
+        .agg(org.apache.spark.sql.functions.avg($"d")).head().getDouble(0)
+    val rawDist = distortion(real, "embedding", cbRaw)
+    val resDist = distortion(labeled, "__res", cbR)
+    assert(resDist < rawDist,
+      f"residual codebooks must cut distortion: residual $resDist%.4f " +
+        f"vs raw $rawDist%.4f at identical geometry")
+    // 4) centroid/codebook dims mismatch fails loudly before any scan
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKPqResidual(ix, real, queries, "vec_id", "embedding",
+        Array(Array.fill(32)(0.0)), cbR, 3) }
+  }
+
   test("sampleStratified: per-stratum fractions, determinism, null strata, salt re-deal") {
     val d = (0L until 400L).map(i =>
       (i, if (i % 4 == 3) null else s"s${i % 4}")).toDF("doc_id", "source")
