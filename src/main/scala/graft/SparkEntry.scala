@@ -1738,6 +1738,34 @@ object SparkEntry {
       .withColumn("cosine", rq(col("cosine"), 6))
   }
 
+  /** On-disk LEARNED residual-PQ layout for `dir`
+    * ([[Similarity.writeLearnedPqIndex]]: codes partitioned by cell,
+    * BOTH quantizers riding with the index, epoch-committed), built once
+    * per JVM from the SAME persisted centroid matrix + residual
+    * codebooks the oracle dumps replay. */
+  private val pqLayoutCache = collection.concurrent.TrieMap.empty[String, String]
+  private def pqLayoutPath(s: SparkSession, dir: String): String =
+    pqLayoutCache.getOrElseUpdate(dir, {
+      val p = new java.io.File(s"target/q-ann-pq-layout/${dirKey(dir)}").getAbsolutePath
+      Similarity.writeLearnedPqIndex(tbl(s, dir, "embeddings"), "vec_id",
+        "embedding", p, kmeansCentroids(s, dir), pqResCodebooks(s, dir))
+      p
+    })
+
+  /** [[qAnnPqRes]] answered from the PARTITION-PRUNED on-disk layout
+    * ([[Similarity.servePqIndex]]: quantizers loaded from the path,
+    * probed cells pruned into the file listing, committed-epoch filter)
+    * under the SAME oracle — the layout changes which files are listed
+    * and scanned, never the answer (pruning is exact: the ADC join is
+    * on the cell). The PQ counterpart of q_ann_ivf_pruned. */
+  private def qAnnPqResPruned(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    Similarity.servePqIndex(pqLayoutPath(s, dir), e,
+        e.filter(col("vec_id") < 20), "vec_id", "embedding", 3, nprobe = 2,
+        candidateFactor = 4)
+      .withColumn("cosine", rq(col("cosine"), 6))
+  }
+
   /** q_ann_ivf_q8's answer served from the ON-DISK partition-pruned
     * layout ([[Similarity.writeIvfIndex]] + [[Similarity.ivfTopKQuantizedPruned]])
     * under the SAME oracle — the layout changes which files are listed
@@ -2216,6 +2244,7 @@ object SparkEntry {
     "q_ann_pq_served" -> qAnnPqServed,
     "q_ann_pq_res" -> qAnnPqRes,
     "q_ann_pq_res_served" -> qAnnPqResServed,
+    "q_ann_pq_res_pruned" -> qAnnPqResPruned,
     "q_ann_kmeans" -> qAnnKmeans,
     "q_ann_serve" -> qAnnServe,
     "q_ann_ingest" -> qAnnIngest,
@@ -3491,6 +3520,7 @@ object SparkEntry {
     "q_ann_pq" -> annPqSql,
     "q_ann_pq_res" -> annPqResSql,
     "q_ann_pq_res_served" -> annPqResSql,
+    "q_ann_pq_res_pruned" -> annPqResSql,
     // the persisted-code serving twin answers the SAME replay: integer
     // codes round-trip parquet exactly, so the served shortlist and the
     // inline one are the same shortlist

@@ -809,12 +809,28 @@ object Similarity {
                         centroids: Array[Array[Double]], cb: PqCodebooks,
                         k: Int, nprobe: Int = 2,
                         candidateFactor: Int = 4): DataFrame = {
+    require(checkCentroids(centroids) == cb.dims,
+      s"centroid dims ${centroids.head.length} != codebook dims ${cb.dims}")
+    pqResidualServe(index, corpus,
+      withProbeLabels(queries, embCol, centroids, nprobe),
+      idCol, embCol, centroids, cb, k, candidateFactor)
+  }
+
+  /** The shared residual-PQ serving tail: `probed` carries one row per
+    * (query, probed cell) — [[withProbeLabels]] output — and each row
+    * gets its own per-cell residual ADC table below the cell join.
+    * [[uniqueQueryVectors]] handles the probe fan-out on the re-score
+    * side (identical vector per id; conflicting vectors raise). */
+  private def pqResidualServe(index: DataFrame, corpus: DataFrame,
+                              probed: DataFrame, idCol: String,
+                              embCol: String,
+                              centroids: Array[Array[Double]],
+                              cb: PqCodebooks, k: Int,
+                              candidateFactor: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(candidateFactor >= 1,
       s"candidateFactor must be positive, got $candidateFactor")
-    require(checkCentroids(centroids) == cb.dims,
-      s"centroid dims ${centroids.head.length} != codebook dims ${cb.dims}")
-    val q = withProbeLabels(queries, embCol, centroids, nprobe)
+    val q = probed
       .select(col("coarse").as("part"), col(idCol).as("query_id"),
         graft.functions.Adc.table(
           residualExpr(guardedVec(embCol, cb.dims, "ivf_top_k_pq_residual"),
@@ -836,8 +852,160 @@ object Similarity {
     val cx = withNorm(corpus, embCol)
       .select(col(idCol).as("nn_id"), col("vec").as("cv"), col("norm").as("cn"))
     rankTopK(shortlist
-      .join(uniqueQueryVectors(queries, idCol, embCol), "query_id")
+      .join(uniqueQueryVectors(probed, idCol, embCol), "query_id")
       .join(cx, "nn_id"), k)
+  }
+
+  /** [[writeLearnedIvfIndex]]'s residual-PQ sibling: the corpus is
+    * labeled by its nearest centroid, residual-encoded
+    * ([[buildPqIndexResidual]]), written partitioned by the coarse cell,
+    * and BOTH quantizers ride with the index — `_centroids` (the coarse
+    * matrix) and `_pq_codebooks` (the per-subspace residual codebooks),
+    * each under its own `_SUCCESS`, with the `_epochs` commit table
+    * written LAST. Serving ([[servePqIndex]]) derives everything from
+    * the path, so the quantizer-mismatch class — codes decoded against
+    * codebooks they were not built from, which produces silently
+    * garbage distances — is unconstructable through this API. A crash
+    * between the writes refuses loudly at load (all four markers
+    * required); rebuild-in-place makes the index unavailable-until-
+    * rerun, never wrong. Training stays the caller's step
+    * ([[trainPqResidual]]) — same division as [[writeLearnedIvfIndex]]
+    * taking its centroids. */
+  def writeLearnedPqIndex(corpus: DataFrame, idCol: String, embCol: String,
+                          path: String, centroids: Array[Array[Double]],
+                          cb: PqCodebooks): Unit = {
+    require(checkCentroids(centroids) == cb.dims,
+      s"centroid dims ${centroids.head.length} != codebook dims ${cb.dims}")
+    val epoch = System.nanoTime()
+    writeIvfIndex(
+      buildPqIndexResidual(corpus, idCol, embCol, centroids, cb)
+        .withColumn("build_id", lit(epoch)),
+      path, "coarse")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_centroids")
+    (for (j <- cb.codebooks.indices; c <- cb.codebooks(j).indices)
+        yield (j, c, cb.codebooks(j)(c).toSeq))
+      .toDF("j", "c", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_pq_codebooks")
+    Seq((epoch, Option.empty[String])).toDF("build_id", "key")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_epochs")
+  }
+
+  /** Both riding quantizers of a [[writeLearnedPqIndex]] path. Refuses
+    * any missing commit marker loudly — a half-rebuilt layout must
+    * never serve. */
+  def loadPqQuantizers(spark: org.apache.spark.sql.SparkSession,
+                       path: String): (Array[Array[Double]], PqCodebooks) = {
+    requireCommitMarker(spark, path, "load_pq_quantizers",
+      "re-run writeLearnedPqIndex before serving")
+    requireCommitMarker(spark, s"$path/_centroids", "load_pq_quantizers",
+      "the index data committed but its coarse quantizer did not - " +
+        "re-run writeLearnedPqIndex")
+    requireCommitMarker(spark, s"$path/_pq_codebooks", "load_pq_quantizers",
+      "the index data committed but its residual codebooks did not - " +
+        "re-run writeLearnedPqIndex")
+    val cents = spark.read.parquet(s"$path/_centroids")
+      .orderBy("cid").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+    require(cents.nonEmpty, s"load_pq_quantizers: empty centroid table at $path")
+    val rows = spark.read.parquet(s"$path/_pq_codebooks")
+      .select("j", "c", "centroid").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    require(rows.nonEmpty, s"load_pq_quantizers: empty codebook table at $path")
+    val byJ = rows.groupBy(_._1)
+    (cents, PqCodebooks((0 until byJ.size).toArray.map { j =>
+      byJ(j).sortBy(_._2).map(_._3)
+    }))
+  }
+
+  /** Serve a [[writeLearnedPqIndex]] path end to end: both quantizers
+    * load from the index itself, queries fan out to their `nprobe`
+    * nearest cells, the probed cells are partition-pruned into the
+    * index read (only their files are listed and scanned — exact, not a
+    * recall trade: the ADC join is on the cell), rows filter to the
+    * committed `_epochs` (a crashed [[appendToPqIndex]]'s orphans are
+    * invisible), the per-cell residual ADC shortlist runs on the code
+    * payload, and the shortlist re-scores exact against `corpus`'s
+    * full-precision vectors. The whole production IVF-PQ serving story
+    * in one call, nothing for the caller to keep consistent. */
+  def servePqIndex(indexPath: String, corpus: DataFrame, queries: DataFrame,
+                   idCol: String, embCol: String, k: Int, nprobe: Int = 2,
+                   candidateFactor: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val (cents, cb) = loadPqQuantizers(spark, indexPath)
+    val committed = committedIvfEpochs(spark, indexPath, "serve_pq_index",
+      rebuilder = "writeLearnedPqIndex")
+    // the probed frame is read twice (cells probe + serve); materialize
+    // so the k·dims labeling runs once — the ivfTopKQuantizedPruned
+    // rationale
+    val probed = Materialize.eagerCheckpoint(
+      withProbeLabels(queries, embCol, cents, nprobe))
+    val cells = probed.select(col("coarse")).distinct().collect().map(_.get(0))
+    require(cells.nonEmpty, "servePqIndex: empty query batch")
+    val index = antiJoinTombstones(
+      spark.read.parquet(indexPath)
+        .filter(col("coarse").isin(cells.toSeq: _*))
+        .filter(col("build_id").isin(committed: _*)),
+      committedTombstones(spark, indexPath, committed), idCol)
+    pqResidualServe(index, corpus, probed, idCol, embCol, cents, cb, k,
+      candidateFactor)
+  }
+
+  /** Takedown and compaction of a [[writeLearnedPqIndex]] layout: the
+    * epoch/tombstone protocol is PAYLOAD-AGNOSTIC — data rows are
+    * `(id, coarse, <payload>, build_id)` partitioned by cell whatever
+    * the payload, and [[deleteFromIvfIndex]] / [[compactIvfIndex]]
+    * operate purely on that protocol (tombstones by id, merge committed
+    * epochs by rewriting rows, never touching the payload or the
+    * quantizer sidecars) — so the PQ forms validate the PQ markers
+    * first (errors name the right rebuilder) and delegate. Compaction
+    * collects the crashed-append orphans and makes deletions physical,
+    * exactly as on the int8 layout. */
+  def deleteFromPqIndex(ids: DataFrame, indexPath: String,
+                        idCol: String): Unit = {
+    loadPqQuantizers(ids.sparkSession, indexPath)
+    deleteFromIvfIndex(ids, indexPath, idCol)
+  }
+
+  /** See [[deleteFromPqIndex]]. */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String, idCol: String): Unit = {
+    loadPqQuantizers(spark, indexPath)
+    compactIvfIndex(spark, indexPath, idCol)
+  }
+
+  /** Incremental growth of a [[writeLearnedPqIndex]] layout: encode the
+    * new vectors with the index's OWN riding quantizers and append them
+    * into the per-cell partitions under a fresh committed epoch — the
+    * [[appendToIvfIndex]] contract, residual-PQ payload. Data files land
+    * first, the `_epochs` append is the commit point: a crash before it
+    * leaves orphan rows at an unlisted epoch (invisible to
+    * [[servePqIndex]]) and a retry re-appends exactly-once. `newRows`
+    * must be NEW ids (the [[appendToIvfIndex]] precondition). Appended
+    * rows are consistent with the served layout by construction — codes
+    * come from the committed codebooks, labels from the committed
+    * centroids. */
+  def appendToPqIndex(newRows: DataFrame, indexPath: String, idCol: String,
+                      embCol: String): Unit = {
+    val spark = newRows.sparkSession
+    val (cents, cb) = loadPqQuantizers(spark, indexPath)
+    committedIvfEpochs(spark, indexPath, "append_to_pq_index",
+      rebuilder = "writeLearnedPqIndex")
+    val epoch = System.nanoTime()
+    buildPqIndexResidual(newRows, idCol, embCol, cents, cb)
+      .withColumn("build_id", lit(epoch))
+      .repartition(col("coarse"))
+      .write.mode("append").partitionBy("coarse").parquet(indexPath)
+    import spark.implicits._
+    Seq((epoch, Option.empty[String])).toDF("build_id", "key")
+      .coalesce(1)
+      .write.mode("append").parquet(s"$indexPath/_epochs")
   }
 
   // Asymmetric squared-L2 distance is served TABLE-DRIVEN (Jégou 2011
@@ -1192,18 +1360,18 @@ object Similarity {
     * marker-less or empty commit table loudly: that is a crashed rebuild
     * (or a pre-epoch layout), not an empty index. */
   private def committedIvfEpochs(spark: org.apache.spark.sql.SparkSession,
-                                 path: String, op: String): Seq[Long] = {
+                                 path: String, op: String,
+                                 rebuilder: String = "writeLearnedIvfIndex")
+      : Seq[Long] = {
     requireCommitMarker(spark, s"$path/_epochs", op,
       "the index has no committed-epochs record (crashed rebuild, or a " +
-        "path not written by writeLearnedIvfIndex) - re-run " +
-        "writeLearnedIvfIndex")
+        s"path not written by $rebuilder) - re-run $rebuilder")
     // distinct: after a compaction the table holds one row per surviving
     // idempotency key, all pointing at the one merged epoch
     val eps = spark.read.parquet(s"$path/_epochs")
       .select("build_id").distinct().collect().map(_.getLong(0)).toSeq
     require(eps.nonEmpty,
-      s"$op: _epochs at $path lists no committed builds - re-run " +
-        "writeLearnedIvfIndex")
+      s"$op: _epochs at $path lists no committed builds - re-run $rebuilder")
     eps
   }
 

@@ -61,6 +61,14 @@ import graft.streaming.Compactor
   *    the count warrants. `ivf-ingest` is the continuous form of the
   *    append step: a landing-dir stream appended per micro-batch,
   *    exactly-once ([[graft.streaming.IvfIngest]]).
+  *  - `pq-build` / `pq-query` / `pq-append` / `pq-compact` / `pq-delete`:
+  *    the learned residual IVF-PQ lifecycle
+  *    ([[graft.operators.Similarity.writeLearnedPqIndex]] family) — fit
+  *    the coarse quantizer, train per-subspace residual codebooks, write
+  *    the partition-pruned code layout (BOTH quantizers ride with it),
+  *    serve query batches (per-cell residual ADC shortlist + exact
+  *    rescore), grow/takedown/compact under the same epoch-commit and
+  *    tombstone protocol as the int8 index.
   *
   * Usage:
   * {{{
@@ -157,7 +165,19 @@ object Main {
       |  ivf-compact --path <dir> [--id vec_id]
       |  ivf-delete  --in <ids-parquet> --path <dir> [--id vec_id]
       |  ivf-ingest  --landing <dir> --path <dir> --checkpoint <dir>
-      |          [--id vec_id] [--embedding embedding] [--once]""".stripMargin
+      |          [--id vec_id] [--embedding embedding] [--once]
+      |  pq-build    --in <embeddings-parquet> --path <dir>
+      |          [--id vec_id] [--embedding embedding] [--k 32] [--m 8]
+      |          [--ksub 16] [--iters 5]
+      |          (learned residual IVF-PQ: coarse k-means + per-subspace
+      |           residual codebooks, both riding with the index)
+      |  pq-query    --in <queries-parquet> --corpus <embeddings-parquet>
+      |          --path <dir> --out <dir> [--id vec_id] [--embedding embedding]
+      |          [--topk 10] [--nprobe 2] [--factor 4]
+      |  pq-append   --in <embeddings-parquet> --path <dir>
+      |          [--id vec_id] [--embedding embedding]
+      |  pq-compact  --path <dir> [--id vec_id]
+      |  pq-delete   --in <ids-parquet> --path <dir> [--id vec_id]""".stripMargin
 
   def main(args: Array[String]): Unit = {
     // the ivf-refresh trajectory line is a grep contract ("drift=0.1234");
@@ -664,6 +684,55 @@ object Main {
         .option("checkpointLocation", ckpt)
         .trigger(trigger).start()
       q.awaitTermination() // AvailableNow self-terminates after the drain
+
+    // learned residual IVF-PQ lifecycle: build (coarse fit + residual
+    // codebook train + epoch-committed layout), serve (partition-pruned,
+    // quantizers from the path), append (encode with the riding
+    // quantizers, fresh committed epoch)
+    case Some("pq-build") =>
+      val (opt, _) = parse(args.tail)
+      val (in, path) = (req(opt, "in"), req(opt, "path"))
+      val corpus = spark.read.parquet(in)
+      val (idCol, embCol) = (opt.getOrElse("id", "vec_id"),
+        opt.getOrElse("embedding", "embedding"))
+      val iters = opt.getOrElse("iters", "5").toInt
+      val cents = graft.operators.Similarity.kmeansFit(corpus, idCol, embCol,
+        k = opt.getOrElse("k", "32").toInt, iters = iters)
+      graft.operators.Similarity.writeLearnedPqIndex(corpus, idCol, embCol,
+        path, cents,
+        graft.operators.Similarity.trainPqResidual(corpus, idCol, embCol,
+          cents, m = opt.getOrElse("m", "8").toInt,
+          ksub = opt.getOrElse("ksub", "16").toInt, iters = iters))
+
+    case Some("pq-query") =>
+      val (opt, _) = parse(args.tail)
+      val (in, corpusIn, path, out) =
+        (req(opt, "in"), req(opt, "corpus"), req(opt, "path"), req(opt, "out"))
+      graft.operators.Similarity.servePqIndex(path,
+          spark.read.parquet(corpusIn), spark.read.parquet(in),
+          opt.getOrElse("id", "vec_id"), opt.getOrElse("embedding", "embedding"),
+          k = opt.getOrElse("topk", "10").toInt,
+          nprobe = opt.getOrElse("nprobe", "2").toInt,
+          candidateFactor = opt.getOrElse("factor", "4").toInt)
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(out)
+
+    case Some("pq-append") =>
+      val (opt, _) = parse(args.tail)
+      graft.operators.Similarity.appendToPqIndex(
+        spark.read.parquet(req(opt, "in")), req(opt, "path"),
+        opt.getOrElse("id", "vec_id"), opt.getOrElse("embedding", "embedding"))
+
+    case Some("pq-compact") =>
+      val (opt, _) = parse(args.tail)
+      graft.operators.Similarity.compactPqIndex(spark, req(opt, "path"),
+        opt.getOrElse("id", "vec_id"))
+
+    case Some("pq-delete") =>
+      val (opt, _) = parse(args.tail)
+      graft.operators.Similarity.deleteFromPqIndex(
+        spark.read.parquet(req(opt, "in")), req(opt, "path"),
+        opt.getOrElse("id", "vec_id"))
 
     case Some("index-filter") =>
       val (opt, _) = parse(args.tail)

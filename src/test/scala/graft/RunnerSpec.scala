@@ -534,6 +534,66 @@ class RunnerSpec extends SparkSpec {
       "deleted ids must not serve as neighbors")
   }
 
+  test("residual-PQ CLI: pq-build → pq-query → pq-append — the learned " +
+    "IVF-PQ deployment loop") {
+    import spark.implicits._
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val ix = outDir("cli-pq-ix") + "/ix"
+    val hits = outDir("cli-pq-hits")
+    val queries = outDir("cli-pq-q")
+    spark.read.parquet(emb).filter($"vec_id" < 6)
+      .select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(queries)
+    val base = outDir("cli-pq-base")
+    spark.read.parquet(emb).select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(base)
+    Main.run(Seq("pq-build", "--in", base, "--path", ix, "--k", "4",
+      "--iters", "3"), spark)
+    Main.run(Seq("pq-query", "--in", queries, "--corpus", base, "--path", ix,
+      "--out", hits, "--topk", "3", "--nprobe", "2"), spark)
+    val served = spark.read.parquet(hits)
+    assert(served.select("query_id").distinct().as[Long].collect().toSet
+      == (0L until 6L).toSet, "every query must answer")
+    assert(served.groupBy("query_id").count().select("count").as[Long]
+      .collect().forall(_ == 3), "top-3 per query")
+    // append new ids: they become servable as neighbors immediately
+    val extra = outDir("cli-pq-extra")
+    spark.read.parquet(queries)
+      .select(($"vec_id" + 5000L).as("vec_id"), $"embedding")
+      .write.mode("overwrite").parquet(extra)
+    Main.run(Seq("pq-append", "--in", extra, "--path", ix), spark)
+    val corpus2 = outDir("cli-pq-corpus2")
+    spark.read.parquet(base).union(spark.read.parquet(extra))
+      .write.mode("overwrite").parquet(corpus2)
+    Main.run(Seq("pq-query", "--in", queries, "--corpus", corpus2,
+      "--path", ix, "--out", hits, "--topk", "3", "--nprobe", "2"), spark)
+    // each appended row is its query's exact duplicate — with its cell
+    // probed (identical vector → same nearest cells) it must surface as
+    // the rank-1 neighbor at cosine 1
+    val top = spark.read.parquet(hits).filter($"rank" === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("nn_id")).toMap
+    (0L until 6L).foreach { q =>
+      assert(top(q) == q + 5000L,
+        s"appended duplicate of $q must serve at rank 1, got ${top(q)}") }
+    // takedown + compact close the loop: the appended duplicates stop
+    // serving, and the answers survive the physical rewrite
+    val takedown = outDir("cli-pq-takedown")
+    (5000L until 5006L).toDF("vec_id").write.mode("overwrite").parquet(takedown)
+    Main.run(Seq("pq-delete", "--in", takedown, "--path", ix), spark)
+    Main.run(Seq("pq-query", "--in", queries, "--corpus", corpus2,
+      "--path", ix, "--out", hits, "--topk", "3", "--nprobe", "2"), spark)
+    val afterDelete = spark.read.parquet(hits).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(afterDelete.forall(_._2 < 5000L),
+      "deleted ids must not serve as neighbors")
+    Main.run(Seq("pq-compact", "--path", ix), spark)
+    Main.run(Seq("pq-query", "--in", queries, "--corpus", corpus2,
+      "--path", ix, "--out", hits, "--topk", "3", "--nprobe", "2"), spark)
+    assert(spark.read.parquet(hits).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      == afterDelete, "serve after pq-compact must equal serve before")
+  }
+
   private def dropTables(): Unit =
     Seq("_bands", "_sigs", "_meta", "_tombs").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS cli_ix$s"))

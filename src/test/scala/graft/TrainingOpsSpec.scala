@@ -595,6 +595,85 @@ class TrainingOpsSpec extends SparkSpec {
         Array(Array.fill(32)(0.0)), cbR, 3) }
   }
 
+  test("learned residual-PQ layout: pruned serving ≡ inline, appends are " +
+    "epoch-committed and crashed appends invisible, missing commit " +
+    "markers refuse loudly") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = real.filter($"vec_id" < 10)
+    val cents = Similarity.kmeansFit(real, "vec_id", "embedding", k = 4,
+      iters = 3)
+    val cb = Similarity.trainPqResidual(real, "vec_id", "embedding", cents,
+      m = 8, ksub = 16, iters = 3)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("nn_id"), r.getAs[Double]("cosine")))).toMap
+    val oldRows = real.filter($"vec_id" % 2 === 0)
+    val newRows = real.filter($"vec_id" % 2 =!= 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-pq-layout").toString + "/ix"
+    Similarity.writeLearnedPqIndex(oldRows, "vec_id", "embedding", path,
+      cents, cb)
+    // pruned, epoch-filtered, quantizers-from-the-path serving must be
+    // BIT-identical to the inline frame path over the same rows (codes
+    // are integers; pruning is exact — the ADC join is on the cell)
+    val served = asMap(Similarity.servePqIndex(path, real, queries,
+      "vec_id", "embedding", 3, nprobe = 2, candidateFactor = 4))
+    val inline = asMap(Similarity.ivfTopKPqResidual(
+      Similarity.buildPqIndexResidual(oldRows, "vec_id", "embedding",
+        cents, cb),
+      real, queries, "vec_id", "embedding", cents, cb, 3, nprobe = 2,
+      candidateFactor = 4))
+    assert(served == inline,
+      "layout serving must be bit-identical to the inline residual path")
+    // append the other half under a fresh committed epoch: serving now
+    // answers exactly as an inline index over the FULL corpus
+    Similarity.appendToPqIndex(newRows, path, "vec_id", "embedding")
+    val servedAll = asMap(Similarity.servePqIndex(path, real, queries,
+      "vec_id", "embedding", 3, nprobe = 2, candidateFactor = 4))
+    val inlineAll = asMap(Similarity.ivfTopKPqResidual(
+      Similarity.buildPqIndexResidual(real, "vec_id", "embedding", cents, cb),
+      real, queries, "vec_id", "embedding", cents, cb, 3, nprobe = 2,
+      candidateFactor = 4))
+    assert(servedAll == inlineAll,
+      "appended rows must serve exactly as a full inline index")
+    // a crashed append = data files at an epoch _epochs never listed —
+    // rows must be INVISIBLE to serving, and a retry is exactly-once
+    Similarity.buildPqIndexResidual(
+        real.select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"),
+        "vec_id", "embedding", cents, cb)
+      .withColumn("build_id", lit(424242L))
+      .repartition(col("coarse"))
+      .write.mode("append").partitionBy("coarse").parquet(path)
+    assert(asMap(Similarity.servePqIndex(path, real, queries, "vec_id",
+        "embedding", 3, nprobe = 2, candidateFactor = 4)) == servedAll,
+      "orphan rows from a crashed append must not serve")
+    // takedown: a tombstoned id stops serving as a neighbor immediately
+    val victim = servedAll((0L, 1))._1
+    Similarity.deleteFromPqIndex(Seq(victim).toDF("vec_id"), path, "vec_id")
+    val afterDelete = asMap(Similarity.servePqIndex(path, real, queries,
+      "vec_id", "embedding", 3, nprobe = 2, candidateFactor = 4))
+    assert(!afterDelete.values.exists(_._1 == victim),
+      s"tombstoned id $victim must not serve as a neighbor")
+    // compaction: answers unchanged, the deletion and the orphans become
+    // PHYSICAL (no uncommitted build_id, no tombstoned/orphan id left in
+    // any data file), the quantizer sidecars survive
+    Similarity.compactPqIndex(spark, path, "vec_id")
+    assert(asMap(Similarity.servePqIndex(path, real, queries, "vec_id",
+        "embedding", 3, nprobe = 2, candidateFactor = 4)) == afterDelete,
+      "serve after compaction must equal serve before")
+    val survivors = spark.read.parquet(path)
+    assert(survivors.filter($"build_id" === 424242L).isEmpty &&
+      survivors.filter($"vec_id" === victim).isEmpty &&
+      survivors.filter($"vec_id" >= 1000000L).isEmpty,
+      "compaction must GC orphans and make the deletion physical")
+    // a half-committed layout refuses loudly: kill the codebook marker
+    assert(new java.io.File(s"$path/_pq_codebooks/_SUCCESS").delete())
+    val e = intercept[Exception] {
+      Similarity.servePqIndex(path, real, queries, "vec_id", "embedding", 3) }
+    assert(messages(e).contains("residual codebooks did not"), messages(e))
+  }
+
   test("sampleStratified: per-stratum fractions, determinism, null strata, salt re-deal") {
     val d = (0L until 400L).map(i =>
       (i, if (i % 4 == 3) null else s"s${i % 4}")).toDF("doc_id", "source")
