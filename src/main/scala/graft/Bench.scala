@@ -2082,7 +2082,14 @@ object Bench {
     * which is the measured justification for serving real corpora at
     * small nprobe. Both curves share one artifact so the contrast is a
     * fact, not prose; the planted point is REQUIRED to dominate the
-    * uniform one at nprobe=1. */
+    * uniform one at nprobe=1.
+    *
+    * Each corpus also carries the RESIDUAL-PQ recall ladder
+    * (`pq_recall` / `planted_pq_recall`): the same cells served from a
+    * [[graft.operators.Similarity.writeLearnedPqIndex]] layout — 8-byte
+    * codes vs int8's 72 — so the recall COST of the further 9×
+    * compression is an artifact fact beside the int8 curve it trades
+    * against (recall deterministic, seeded fits). */
   private def scaleRecallNprobe(spark: SparkSession, sfDir: String,
                                 dropState: () => Unit): Unit = {
     import org.apache.spark.sql.functions._
@@ -2124,9 +2131,10 @@ object Bench {
       ts(ts.size / 2)
     }
     /** One corpus's full curve: build+index untimed, exact baseline,
-      * then the probes ladder. Returns (exactSecs, per-probe rows). */
-    def curve(corpus: org.apache.spark.sql.DataFrame,
-              tag: String): (Double, Seq[(Int, Double, Double)]) = {
+      * then the probes ladder. Returns (exactSecs, per-probe int8 rows,
+      * per-probe residual-PQ recall). */
+    def curve(corpus: org.apache.spark.sql.DataFrame, tag: String)
+        : (Double, Seq[(Int, Double, Double)], Seq[(Int, Double)]) = {
       // planted vectors are derived per-read; materialize once so index
       // build, exact baseline and every serve see identical bytes
       // without recomputing the blend per pass
@@ -2136,8 +2144,18 @@ object Bench {
       val c = spark.read.parquet(s"$frozen/corpus")
       val queries = c.filter(col("vec_id") < 100)
       val path = s"$frozen/ix"
-      Similarity.writeLearnedIvfIndex(c, "vec_id", "embedding", path,
-        Similarity.kmeansFit(c, "vec_id", "embedding", k = kCells, iters = 3))
+      val cents = Similarity.kmeansFit(c, "vec_id", "embedding",
+        k = kCells, iters = 3)
+      Similarity.writeLearnedIvfIndex(c, "vec_id", "embedding", path, cents)
+      // the residual-PQ twin of the same corpus at the same cells: the
+      // 8-byte-code serving tier's recall ladder beside int8's, so the
+      // recall COST of the extra 9x compression is an artifact fact
+      // (recall is deterministic — seeded fits — and is the claim; the
+      // int8 ladder's secs already carry the timing context)
+      val pqPath = s"$frozen/pqix"
+      Similarity.writeLearnedPqIndex(c, "vec_id", "embedding", pqPath, cents,
+        Similarity.trainPqResidual(c, "vec_id", "embedding", cents,
+          m = 8, ksub = 16, iters = 3))
       val exactDf = Similarity.bruteForceTopK(c, queries, "vec_id",
         "embedding", topK)
       val exactSecs = medianSecs(() => exactDf.count())
@@ -2168,17 +2186,29 @@ object Bench {
       require(byProbe(kCells) >= byProbe(1) - 0.05,
         s"[$tag] probing every cell must not recall (materially) less " +
           s"than one cell: $rows")
+      val pqRows = probes.map { np =>
+        val got = pairs(Similarity.servePqIndex(pqPath, c, queries,
+          "vec_id", "embedding", k = topK, nprobe = np))
+        (np, got.intersect(exact).size.toDouble / exact.size)
+      }
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(frozen))
-      (exactSecs, rows)
+      (exactSecs, rows, pqRows)
     }
-    val (exactSecs, rows) = curve(uniform, "uniform")
-    val (plantedExactSecs, plantedRows) = curve(planted, "planted")
+    val (exactSecs, rows, pqRows) = curve(uniform, "uniform")
+    val (plantedExactSecs, plantedRows, plantedPqRows) = curve(planted, "planted")
     // the cross-corpus claim: cluster structure is what low-nprobe
     // serving feeds on — at nprobe=1 the planted corpus must beat the
     // uniform one outright (0.175 vs ~1.0 at the committed geometry)
     require(plantedRows.head._2 > rows.head._2,
       s"planted clusters did not lift nprobe=1 recall: " +
         s"planted ${plantedRows.head._2} vs uniform ${rows.head._2}")
+    // gross-breakage pin for the 8-byte tier: on the clustered corpus
+    // residual-PQ must stay NEAR the int8 curve (0.932 vs 1.0 at the
+    // committed geometry — the measured cost of the further 9×
+    // compression); a collapse means the residual encode or the ADC
+    // shortlist broke, not that the trade moved
+    require(plantedPqRows.head._2 >= 0.8,
+      s"clustered-corpus residual-PQ recall collapsed: $plantedPqRows")
     type R = (Int, Double, Double)
     def arr[T](f: R => T): String = jsonArr(rows)(f)
     def parr[T](f: R => T): String = jsonArr(plantedRows)(f)
@@ -2192,7 +2222,10 @@ object Bench {
         f""""planted_eps":$eps%.2f,""" +
         f""""planted_recall":${parr(r => f"${r._2}%.4f")},""" +
         f""""planted_secs":${parr(r => f"${r._3}%.3f")},""" +
-        f""""planted_exact_secs":$plantedExactSecs%.3f,"sf":"$sfDir"}"""
+        f""""planted_exact_secs":$plantedExactSecs%.3f,""" +
+        f""""pq_recall":${jsonArr(pqRows)(r => f"${r._2}%.4f")},""" +
+        f""""planted_pq_recall":${jsonArr(plantedPqRows)(r => f"${r._2}%.4f")},""" +
+        f""""sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_scale_recall.json"),
       (line + "\n").getBytes("UTF-8"))
