@@ -329,6 +329,14 @@ class PlanSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*coarse".r.findFirstIn(pAnnD).isDefined &&
       pAnnD.contains("LeftAnti"),
       s"deleted ANN serve must stay pruned with a tombstone anti-join:\n$pAnnD")
+    // residual-PQ side: the learned code layout serves with the probed
+    // cells pruned into the file listing and the committed-epoch
+    // predicate pushed into the scan, exactly like the int8 layout
+    val pPq = annPlan("q_ann_pq_res_pruned")
+    assert("PartitionFilters: \\[[^\\]]*coarse".r.findFirstIn(pPq).isDefined,
+      s"PQ layout serve must prune by cell:\n$pPq")
+    assert("PushedFilters: \\[[^\\]]*build_id".r.findFirstIn(pPq).isDefined,
+      s"PQ layout serve must push the epoch filter:\n$pPq")
   }
 
   test("q_bm25_topk: candidate ids AND query terms push into the fwd scan; " +
