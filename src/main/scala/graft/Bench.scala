@@ -366,10 +366,36 @@ object Bench {
           f""""serve_twin_secs":$servedMed%.4f,""" +
           f""""note":"timed q_ann_pq = corpus encode (native nearest_centroid loop; codebook training rides the pre-warm cache) + ADC serve; q_ann_pq_served pins the steady-state serve half from the persisted code table"}}"""
       }
-    val attributionAll =
-      if (attribution == "{}") attributionPq
-      else if (attributionPq == "{}") attribution
-      else attribution.dropRight(1) + "," + attributionPq.drop(1)
+    // ...and for the suite's most expensive query outright: q_lm_xent_kn5
+    // trains the order-5 model (the materialized 5-gram table, the
+    // continuation cascade, and two corpus-scan counts) then self-scores
+    // in one timed body. The train half is measured here; the score half
+    // is pinned by q_lm_xent_kn5_served's median (the persisted pruned
+    // model, same oracle family), referenced so the split is adjudicable
+    // from this one artifact.
+    val attributionKn5 =
+      if (!medians.contains("q_lm_xent_kn5")) "{}"
+      else {
+        import graft.operators.LanguageModel
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val trainSecs = (0 until reps).map { _ =>
+          dropPersistedState()
+          val t0 = System.nanoTime()
+          LanguageModel.trainKneserNeyN(docs, "text", order = 5)
+          (System.nanoTime() - t0) / 1e9
+        }.sorted.apply(reps / 2)
+        dropPersistedState()
+        val servedMed = medians.getOrElse("q_lm_xent_kn5_served", -1.0)
+        f"""{"q_lm_xent_kn5":{"train_secs":$trainSecs%.4f,""" +
+          f""""score_twin_secs":$servedMed%.4f,""" +
+          f""""note":"timed q_lm_xent_kn5 = order-5 train (materialized 5-gram table + continuation cascade + two corpus-scan counts) + self-score; q_lm_xent_kn5_served pins the score half against the persisted pruned model"}}"""
+      }
+    val attributionAll = {
+      val parts = Seq(attribution, attributionPq, attributionKn5)
+        .filter(_ != "{}")
+      if (parts.isEmpty) "{}"
+      else parts.map(p => p.drop(1).dropRight(1)).mkString("{", ",", "}")
+    }
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
         s""""queries":$qs,"spread":$spread,"io":$io,"bands":$bands,""" +
