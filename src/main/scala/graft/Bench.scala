@@ -280,9 +280,17 @@ object Bench {
       "q_interval_join_bucketed" -> ((1.00, 2.30)),
       "q_embed_lsh_pairs" -> ((0.60, 1.60)),
       "q_interval_join_auto" -> ((0.20, 0.65)),
-      // r12 0.82 / r13 1.06 on an unchanged plan — the r13 verdict's
-      // largest unexplained mover; banded so its drift is adjudicable
-      "q_semdedup_lsh" -> ((0.55, 1.60)))
+      // banded in r14 at (0.55, 1.60); the NearestCentroid codegen then
+      // pulled the median to 0.51 — BELOW the old lo, an improvement the
+      // in_band flag mis-read as drift. lo re-based to the new plan
+      // (r15 medians ~0.5); hi stays the regression gate.
+      "q_semdedup_lsh" -> ((0.30, 1.30)),
+      // the two KN heavies, banded per the r14 verdict: kn3 now serves
+      // through the generic KN-N cascade (one code path with kn5), so
+      // both bands describe the SAME train+self-score plan shape at
+      // orders 3 and 5 (r15 measured medians ~2.8 s / ~5.5 s)
+      "q_lm_xent_kn3" -> ((1.20, 5.00)),
+      "q_lm_xent_kn5" -> ((3.00, 9.00)))
     val medians = results.map(r => r._1 -> r._2).toMap
     // a band whose query vanished from the suite is a LOST gate, not a
     // pass — surface it loudly instead of silently omitting the entry
@@ -390,8 +398,30 @@ object Bench {
           f""""score_twin_secs":$servedMed%.4f,""" +
           f""""note":"timed q_lm_xent_kn5 = order-5 train (materialized 5-gram table + continuation cascade + two corpus-scan counts) + self-score; q_lm_xent_kn5_served pins the score half against the persisted pruned model"}}"""
       }
+    // ...and its order-3 sibling (the r14 verdict's #1: kn3 was the
+    // suite's most expensive AND most volatile query, unattributed).
+    // Since r15 kn3 serves through the generic KN-N cascade — one code
+    // path with kn5 — and gets the same train/score split: the train
+    // half measured here, the score half pinned by the served twin.
+    val attributionKn3 =
+      if (!medians.contains("q_lm_xent_kn3")) "{}"
+      else {
+        import graft.operators.LanguageModel
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val trainSecs = (0 until reps).map { _ =>
+          dropPersistedState()
+          val t0 = System.nanoTime()
+          LanguageModel.trainKneserNeyN(docs, "text", order = 3)
+          (System.nanoTime() - t0) / 1e9
+        }.sorted.apply(reps / 2)
+        dropPersistedState()
+        val servedMed = medians.getOrElse("q_lm_xent_kn3_served", -1.0)
+        f"""{"q_lm_xent_kn3":{"train_secs":$trainSecs%.4f,""" +
+          f""""score_twin_secs":$servedMed%.4f,""" +
+          f""""note":"timed q_lm_xent_kn3 = order-3 train (generic KN-N cascade since r15 — one code path with kn5) + self-score; q_lm_xent_kn3_served pins the score half against the persisted pruned model"}}"""
+      }
     val attributionAll = {
-      val parts = Seq(attribution, attributionPq, attributionKn5)
+      val parts = Seq(attribution, attributionPq, attributionKn3, attributionKn5)
         .filter(_ != "{}")
       if (parts.isEmpty) "{}"
       else parts.map(p => p.drop(1).dropRight(1)).mkString("{", ",", "}")
@@ -877,21 +907,24 @@ object Bench {
       }.sorted
       // trigram Kneser-Ney twin columns: same replica corpus, so the
       // rotation-isolation invariants below apply verbatim (trigram
-      // types and scored docs must be replica-linear)
+      // types and scored docs must be replica-linear). Measured on the
+      // SERVING path — the generic KN-N cascade at order 3 (r15 unified;
+      // the bespoke KN3 survives only as the spec's bit-identity witness)
       var triRows = 0L
       val kn3TrainTimes = (0 until reps).map { _ =>
         dropState()
         val t0 = System.nanoTime()
-        triRows = LanguageModel.trainKneserNey3(corpus, "text").trigrams.count()
+        triRows = LanguageModel.trainKneserNeyN(corpus, "text", order = 3)
+          .grams.count()
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      val kn3 = LanguageModel.trainKneserNey3(corpus, "text")
+      val kn3 = LanguageModel.trainKneserNeyN(corpus, "text", order = 3)
       var kn3Scored = 0L
       val kn3ScoreTimes = (0 until reps).map { _ =>
         dropState()
         val t0 = System.nanoTime()
         kn3Scored = LanguageModel
-          .crossEntropyKneserNey3(corpus, "doc_id", "text", kn3).count()
+          .crossEntropyKneserNeyN(corpus, "doc_id", "text", kn3).count()
         (System.nanoTime() - t0) / 1e9
       }.sorted
       val plain = (0 until n).map(plainReplica).reduce(_ unionByName _)
@@ -1142,17 +1175,23 @@ object Bench {
     // Claim columns are PHASE VOLUMES (TopKServeDiag row counts), the
     // span-harness discipline: at this corpus size parquet row-group /
     // footer accounting drowns byte metrics, while the postings a phase
-    // touches translate directly to 100 TB IO. What must hold:
-    // `candidates` (the docs the expensive rescore pays for) tracks k
-    // and the refined threshold, NOT df — on BOTH query shapes; and on
-    // the single-term shape `kept_postings` additionally collapses to
-    // the top impact buckets (the term-sum test degenerates to
-    // ub ≥ θ), while the 4-term uniform-idf shape is the WAND term-sum
-    // worst case where kept ≈ total is the honest outcome and the
-    // doc-level θ₂ bound carries the pruning. Wall secs ride as
-    // context. Every point is cross-checked EXACT against exhaustive
-    // scoring + the same rounded k-cut, so no volume win can come from
-    // a wrong answer.
+    // touches translate directly to 100 TB IO. What must hold: on the
+    // single-term shape `kept_postings` collapses to the top impact
+    // buckets and `candidates` tracks k outright; on the 4-term
+    // uniform-idf shape — the WAND term-sum worst case, where r14's
+    // kept == total was the honest outcome — the r15 MaxScore split
+    // makes kept < total at every size (`essential_terms` < 4 is the
+    // mechanism), at the measured price of a wider candidate band:
+    // skipping a term's scan leaves its maxUb as per-doc bound slack,
+    // so candidates = the docs within that slack of the θ₃-refined cut
+    // (k-proportional at serving k's on this corpus, wider at k ≥ 50;
+    // uniform-idf maximizes the slack — on Zipfian queries the skipped
+    // terms are the LOW-impact ones and the band collapses toward k).
+    // The θ₃ refinement (exact rescore of the top-k by bound) is what
+    // keeps the band from ballooning to df-scale — measured 10× on
+    // this shape. Wall secs ride as context. Every point is
+    // cross-checked EXACT against exhaustive scoring + the same
+    // rounded k-cut, so no volume win can come from a wrong answer.
     def r6(c: org.apache.spark.sql.Column) =
       floor(c * 1000000.0 + 0.5) / 1000000.0
     def topkRows(path: String, q: String, k: Int): Seq[(Long, Double)] =
@@ -1164,8 +1203,12 @@ object Bench {
         .orderBy(r6(col("score")).desc, col("doc_id")).limit(k)
         .select(col("doc_id"), r6(col("score")).as("s"))
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    // (median secs, kept, total, candidates) of a diagnosed serve
-    def serveTopK(path: String, q: String, k: Int): (Double, Long, Long, Long) = {
+    // (median secs, kept, total, candidates, essential terms) of a
+    // diagnosed serve — `essential` is the MaxScore split's claim
+    // column: on the uniform-idf 4-term shape it must drop below the
+    // query's term count, which is exactly what makes kept < total
+    // there (the WAND block test alone keeps everything on that shape)
+    def serveTopK(path: String, q: String, k: Int): (Double, Long, Long, Long, Int) = {
       var d: TextIndex.TopKServeDiag = null
       val secs = (0 until reps).map { _ =>
         dropState()
@@ -1175,7 +1218,7 @@ object Bench {
         df.collect(); d = dd
         (System.nanoTime() - t0) / 1e9
       }.sorted.apply(reps / 2)
-      (secs, d.keptPostings, d.totalPostings, d.nCandidates)
+      (secs, d.keptPostings, d.totalPostings, d.nCandidates, d.nEssential)
     }
     val topkK = 10
     val singleTerm = "spark"
@@ -1221,7 +1264,8 @@ object Bench {
         f""""common4":{"secs":${jsonArr(topkPerSize)(r => f"${r._2._1}%.3f")},""" +
         f""""kept_postings":${jsonArr(topkPerSize)(_._2._2)},""" +
         f""""total_postings":${jsonArr(topkPerSize)(_._2._3)},""" +
-        f""""candidates":${jsonArr(topkPerSize)(_._2._4)}},""" +
+        f""""candidates":${jsonArr(topkPerSize)(_._2._4)},""" +
+        f""""essential_terms":${jsonArr(topkPerSize)(_._2._5)}},""" +
         f""""single":{"secs":${jsonArr(topkPerSize)(r => f"${r._3._1}%.3f")},""" +
         f""""kept_postings":${jsonArr(topkPerSize)(_._3._2)},""" +
         f""""total_postings":${jsonArr(topkPerSize)(_._3._3)},""" +
@@ -1229,6 +1273,7 @@ object Bench {
         f""""by_k":{"ks":${jsonArr(kSweep)(_._1)},""" +
         f""""common4_kept":${jsonArr(kSweep)(_._2._2)},""" +
         f""""common4_candidates":${jsonArr(kSweep)(_._2._4)},""" +
+        f""""common4_essential":${jsonArr(kSweep)(_._2._5)},""" +
         f""""single_kept":${jsonArr(kSweep)(_._3._2)},""" +
         f""""single_candidates":${jsonArr(kSweep)(_._3._4)}}},""" +
         f""""sf":"$sfDir"}"""
@@ -2235,6 +2280,37 @@ object Bench {
     // shortlist broke, not that the trade moved
     require(plantedPqRows.head._2 >= 0.8,
       s"clustered-corpus residual-PQ recall collapsed: $plantedPqRows")
+    // PQ DIAL (r14 verdict stretch #7): the m / candidateFactor sweep
+    // that turns the unstructured corpus's honest-but-low PQ recall
+    // into a DIAL the serving API can cite — more code bytes (m) and a
+    // deeper ADC shortlist (candidateFactor) buy recall back, and the
+    // artifact shows by how much, point by point, beside the committed
+    // geometry (m=8, cf=4). Recall is deterministic (seeded fits), so
+    // the points are claims, not weather.
+    val dialNprobe = 8
+    val dialDir = java.nio.file.Files.createTempDirectory("pq-dial").toString
+    val dQueries = uniform.filter(col("vec_id") < 100)
+    val dCents = Similarity.kmeansFit(uniform, "vec_id", "embedding",
+      k = kCells, iters = 3)
+    val dExact = pairs(Similarity.bruteForceTopK(uniform, dQueries,
+      "vec_id", "embedding", topK))
+    val dial = Seq(4, 8, 16).flatMap { m =>
+      val p = s"$dialDir/ix_m$m"
+      Similarity.writeLearnedPqIndex(uniform, "vec_id", "embedding", p, dCents,
+        Similarity.trainPqResidual(uniform, "vec_id", "embedding", dCents,
+          m = m, ksub = 16, iters = 3))
+      Seq(4, 16).map { cf =>
+        val got = pairs(Similarity.servePqIndex(p, uniform, dQueries,
+          "vec_id", "embedding", k = topK, nprobe = dialNprobe,
+          candidateFactor = cf))
+        (m, cf, got.intersect(dExact).size.toDouble / dExact.size)
+      }
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dialDir))
+    // gross-breakage pin: the dial must point the right way — the
+    // largest geometry cannot recall less than the smallest
+    require(dial.last._3 >= dial.head._3 - 0.02,
+      s"PQ dial inverted (m=16/cf=16 under m=4/cf=4): $dial")
     type R = (Int, Double, Double)
     def arr[T](f: R => T): String = jsonArr(rows)(f)
     def parr[T](f: R => T): String = jsonArr(plantedRows)(f)
@@ -2251,6 +2327,10 @@ object Bench {
         f""""planted_exact_secs":$plantedExactSecs%.3f,""" +
         f""""pq_recall":${jsonArr(pqRows)(r => f"${r._2}%.4f")},""" +
         f""""planted_pq_recall":${jsonArr(plantedPqRows)(r => f"${r._2}%.4f")},""" +
+        f""""pq_dial":{"nprobe":$dialNprobe,"m":${jsonArr(dial)(_._1)},""" +
+        f""""cf":${jsonArr(dial)(_._2)},""" +
+        f""""bytes_per_vec":${jsonArr(dial)(_._1)},""" +
+        f""""recall":${jsonArr(dial)(r => f"${r._3}%.4f")}},""" +
         f""""sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_scale_recall.json"),

@@ -1518,29 +1518,36 @@ object SparkEntry {
       .select(col("doc_id"), col("n_bigrams"), rq(col("xent"), 6).as("xent"))
 
   /** Trigram Kneser-Ney cross-entropy (D = 0.75, β = 0.5) — the
-    * ORDER-RECURSIVE KN structure ([[LanguageModel.trainKneserNey3]]):
-    * raw-count discounting at the top order, continuation-TYPE
-    * discounting at the middle, the floored continuation unigram at
-    * the bottom. Train + score in the timed body like [[qLmXentKn]];
-    * self-scoring keeps every leg's joined counts seen, so the hash
-    * gate pins the full three-level discount/backoff cascade. */
+    * ORDER-RECURSIVE KN structure served by the GENERIC cascade
+    * ([[LanguageModel.trainKneserNeyN]] at order 3): raw-count
+    * discounting at the top order, continuation-TYPE discounting at
+    * the middle, the floored continuation unigram at the bottom.
+    * The bespoke [[LanguageModel.trainKneserNey3]] remains ONLY as
+    * the spec's bit-identity witness (LanguageModelSpec pins the two
+    * paths' scores equal bit for bit); serving goes through the one
+    * order-generic code path so kn3 and kn5 share every physical-plan
+    * and materialization decision. Train + score in the timed body
+    * like [[qLmXentKn]]; self-scoring keeps every leg's joined counts
+    * seen, so the hash gate pins the full three-level
+    * discount/backoff cascade. */
   private def qLmXentKn3(s: SparkSession, dir: String): DataFrame = {
     val docs = tbl(s, dir, "documents")
-    val lm = LanguageModel.trainKneserNey3(docs, "text")
-    LanguageModel.crossEntropyKneserNey3(docs, "doc_id", "text", lm)
-      .select(col("doc_id"), col("n_trigrams"), rq(col("xent"), 6).as("xent"))
+    val lm = LanguageModel.trainKneserNeyN(docs, "text", order = 3)
+    LanguageModel.crossEntropyKneserNeyN(docs, "doc_id", "text", lm)
+      .select(col("doc_id"), col("n_ngrams"), rq(col("xent"), 6).as("xent"))
   }
 
   /** On-disk PRUNED KN3 model for `dir`'s corpus (minCount = 2) —
-    * [[lmKnModelPath]]'s trigram sibling, written once per JVM. */
+    * [[lmKnModelPath]]'s trigram sibling, written once per JVM, in
+    * the generic KN-N layout ([[LanguageModel.writeKneserNeyN]]). */
   private val lmKn3ModelCache = collection.concurrent.TrieMap.empty[String, String]
   private def lmKn3ModelPath(s: SparkSession, dir: String): String =
     lmKn3ModelCache.getOrElseUpdate(dir, {
       val p = new java.io.File(s"target/q-lm-kn3-model/${dirKey(dir)}").getAbsolutePath
-      LanguageModel.writeKneserNey3(
-        LanguageModel.pruneKneserNey3(
-          LanguageModel.trainKneserNey3(tbl(s, dir, "documents"), "text"),
-          minCount = 2), p)
+      LanguageModel.writeKneserNeyN(
+        LanguageModel.pruneKneserNeyN(
+          LanguageModel.trainKneserNeyN(tbl(s, dir, "documents"), "text",
+            order = 3), minCount = 2), p)
       p
     })
 
@@ -1551,9 +1558,9 @@ object SparkEntry {
     * replays exactly the coalesce-to-backoff arithmetic and prune +
     * write/read + all three backoff legs sit under the hash gate. */
   private def qLmXentKn3Served(s: SparkSession, dir: String): DataFrame =
-    LanguageModel.crossEntropyKneserNey3(tbl(s, dir, "documents"), "doc_id",
-        "text", LanguageModel.readKneserNey3(s, lmKn3ModelPath(s, dir)))
-      .select(col("doc_id"), col("n_trigrams"), rq(col("xent"), 6).as("xent"))
+    LanguageModel.crossEntropyKneserNeyN(tbl(s, dir, "documents"), "doc_id",
+        "text", LanguageModel.readKneserNeyN(s, lmKn3ModelPath(s, dir)))
+      .select(col("doc_id"), col("n_ngrams"), rq(col("xent"), 6).as("xent"))
 
   /** 5-gram Kneser-Ney cross-entropy (D = 0.75, β = 0.5) — the
     * [[LanguageModel.trainKneserNeyN]] recursion at the CCNet/KenLM
@@ -1591,6 +1598,49 @@ object SparkEntry {
   private def qLmXentKn5Served(s: SparkSession, dir: String): DataFrame =
     LanguageModel.crossEntropyKneserNeyN(tbl(s, dir, "documents"), "doc_id",
         "text", LanguageModel.readKneserNeyN(s, lmKn5ModelPath(s, dir)))
+      .select(col("doc_id"), col("n_ngrams"), rq(col("xent"), 6).as("xent"))
+
+  /** MODIFIED Kneser-Ney cross-entropy at order 3 (Chen & Goodman
+    * 1999): per-level D₁/D₂/D₃₊ estimated from count-of-counts instead
+    * of [[qLmXentKn3]]'s fixed D = 0.75 — the discount fidelity step
+    * production CCNet-style gates actually deploy
+    * ([[LanguageModel.trainModifiedKneserNeyN]]). Train + score in the
+    * timed body; the oracle ([[mknOracleSql]]) independently
+    * recomputes the count-of-counts, the Chen-Goodman estimates AND
+    * the three-bucket backoff weights as SQL CTEs, so the discount
+    * estimation itself sits under the hash gate, not just the scan. */
+  private def qLmXentMkn(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val lm = LanguageModel.trainModifiedKneserNeyN(docs, "text", order = 3)
+    LanguageModel.crossEntropyModifiedKneserNeyN(docs, "doc_id", "text", lm)
+      .select(col("doc_id"), col("n_ngrams"), rq(col("xent"), 6).as("xent"))
+  }
+
+  /** On-disk PRUNED modified-KN model for `dir`'s corpus (minCount =
+    * 2) — [[lmKn3ModelPath]]'s modified sibling; the train-time
+    * discount estimates persist with the model, so the served scan
+    * never re-derives them. */
+  private val lmMknModelCache = collection.concurrent.TrieMap.empty[String, String]
+  private def lmMknModelPath(s: SparkSession, dir: String): String =
+    lmMknModelCache.getOrElseUpdate(dir, {
+      val p = new java.io.File(s"target/q-lm-mkn-model/${dirKey(dir)}").getAbsolutePath
+      LanguageModel.writeModifiedKneserNeyN(
+        LanguageModel.pruneModifiedKneserNeyN(
+          LanguageModel.trainModifiedKneserNeyN(tbl(s, dir, "documents"),
+            "text", order = 3), minCount = 2), p)
+      p
+    })
+
+  /** The SERVING twin of [[qLmXentMkn]]: score against the persisted
+    * PRUNED modified-KN model. Pruned singleton grams lose their
+    * D₁-discounted first term and fall to the backoff cascade — whose
+    * bucket weights and discounts keep describing the FULL corpus
+    * (they persisted with the model), exactly what the oracle
+    * replays. */
+  private def qLmXentMknServed(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.crossEntropyModifiedKneserNeyN(tbl(s, dir, "documents"),
+        "doc_id", "text",
+        LanguageModel.readModifiedKneserNeyN(s, lmMknModelPath(s, dir)))
       .select(col("doc_id"), col("n_ngrams"), rq(col("xent"), 6).as("xent"))
 
   /** Deterministic stratified sampling by `source` (corpus mixing): keep
@@ -2074,6 +2124,40 @@ object SparkEntry {
         md5(col("redacted").cast("binary")).as("red_md5"))
   }
 
+  /** Capstone curation pipeline v3 — the STREAMING-curation capstone's
+    * batch equivalent (a one-batch
+    * [[graft.streaming.StreamingCurate.idempotentCurateSemanticSink]]
+    * over the whole corpus produces exactly this keep set, spec-pinned
+    * in StreamingCurateSpec — with exact 3-gram decontamination in
+    * place of the stream's Bloom probe, the one stage a SQL oracle
+    * cannot replay probabilistically): eval holdout carve-out →
+    * decontamination → quality filter → PII redaction → hash split →
+    * SEMANTIC dedup over the survivors' embeddings (within-cell id
+    * rule at the fixture centroids, the [[graft.operators.Similarity
+    * .semDedup]] one-batch semantics). The oracle recomputes every
+    * stage including the within-cell cosine scan restricted to the
+    * survivor set, so the seam this adds over q_curate_full — the
+    * semantic gate seeing only curation survivors — sits under the
+    * hash gate. */
+  private def qCurateSemantic(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val evalSet = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val train = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    val kept = TextAnalysis.withQuality(
+        Dedup.decontaminate(train, evalSet, "doc_id", "text", 3), "text")
+      .filter(col("quality_score") >= 0.5)
+    val gated = TextAnalysis.hashSplit(
+      TextAnalysis.withPiiRedaction(kept, "text"), "doc_id")
+    val embs = tbl(s, dir, "embeddings")
+      .join(gated.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val admitted = Similarity.semDedup(embs, "vec_id", "embedding",
+        kmeansCentroids(s, dir), minCosine = 0.4)
+      .select(col("vec_id").as("doc_id"), col("coarse"))
+    gated.join(admitted, Seq("doc_id"))
+      .select(col("doc_id"), col("coarse"), col("lang"),
+        rq(col("quality_score"), 6).as("quality_score"), col("split"))
+  }
+
   /** Composed FRESCO pipeline — IntervalJoin → BucketAggregate → Finalize
     * (the real `Pipeline.step2`/`step3` operators), oracle-checked END TO
     * END rather than per-part: synthesizes a FRESCO-long metric stream and
@@ -2190,6 +2274,7 @@ object SparkEntry {
     "q_fresco_pipeline" -> qFrescoPipeline,
     "q_curate" -> qCurate,
     "q_curate_full" -> qCurateFull,
+    "q_curate_semantic" -> qCurateSemantic,
     "q_dedup_rep" -> qDedupRep,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_dedup_minhash" -> qDedupMinhash,
@@ -2231,6 +2316,8 @@ object SparkEntry {
     "q_lm_xent_kn3_served" -> qLmXentKn3Served,
     "q_lm_xent_kn5" -> qLmXentKn5,
     "q_lm_xent_kn5_served" -> qLmXentKn5Served,
+    "q_lm_xent_mkn" -> qLmXentMkn,
+    "q_lm_xent_mkn_served" -> qLmXentMknServed,
     "q_sample_stratified" -> qSampleStratified,
     "q_sample_temperature" -> qSampleTemperature,
     "q_sample_budget" -> qSampleBudget,
@@ -2628,6 +2715,110 @@ object SparkEntry {
        |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin
   }
 
+  /** Generate the MODIFIED Kneser-Ney oracle ([[knNOracleSql]]'s
+    * sibling for [[LanguageModel.trainModifiedKneserNeyN]]): the same
+    * CTE cascade with the context tables' type count split into the
+    * three D₁/D₂/D₃₊ buckets, one count-of-counts + Chen-Goodman
+    * discount CTE per level (the exact IEEE association the engine's
+    * driver-side `estimateDiscounts` computes), count-selected
+    * discounts in the score expression, and three-bucket backoff
+    * weights — so the oracle independently re-derives the DISCOUNT
+    * ESTIMATION, not just the scan. `pruned` replays the served
+    * twin's coalesce-to-backoff arithmetic (top table filtered at
+    * minCount 2; cascade, buckets and discounts stay full-corpus,
+    * exactly as they persist with the model). */
+  private def mknOracleSql(order: Int, pruned: Boolean): String = {
+    val ws = (1 to order).map(i => s"w$i")
+    def groupBy(k: Int) = (1 to k).map(_.toString).mkString(", ")
+    val ngSel = ws.zipWithIndex.map { case (w, j) =>
+      if (j == 0) s"w[CAST(i AS INT)] AS $w" else s"w[CAST(i+$j AS INT)] AS $w"
+    }.mkString(", ")
+    def contKey(k: Int) = ws.drop(order - k)
+    def ctxKey(k: Int) = ws.slice(order - k - 1, order - 1)
+    // cascade with bucketed context tables: ctx_k carries s_k plus the
+    // f1/f2/f3 bucket counts the modified backoff weight needs
+    val cascade = ((order - 2) to 1 by -1).flatMap { k =>
+      Seq(
+        s" ctx$k AS (SELECT ${ctxKey(k).mkString(", ")}, sum(nct${k + 1}) AS s$k, " +
+          s"count(*) FILTER (WHERE nct${k + 1} = 1) AS f1_$k, " +
+          s"count(*) FILTER (WHERE nct${k + 1} = 2) AS f2_$k, " +
+          s"count(*) FILTER (WHERE nct${k + 1} >= 3) AS f3_$k " +
+          s"FROM cont${k + 1} GROUP BY ${groupBy(k)}),",
+        s" cont$k AS (SELECT ${contKey(k).mkString(", ")}, count(*) AS nct$k " +
+          s"FROM cont${k + 1} GROUP BY ${groupBy(k)}),")
+    }.mkString("\n")
+    // one Chen-Goodman discount CTE per level — the engine's literal
+    // driver arithmetic: y = n1/(n1 + 2.0*n2), d1 = 1.0 - (2.0*y*n2)/n1 …
+    def discountCte(name: String, tbl: String, c: String) =
+      s""" $name AS (
+         |  SELECT 1.0 - (2.0 * y * n2) / n1 AS d1,
+         |         2.0 - (3.0 * y * n3) / n2 AS d2,
+         |         3.0 - (4.0 * y * n4) / n3 AS d3
+         |  FROM (SELECT n1 / (n1 + 2.0 * n2) AS y, n1, n2, n3, n4
+         |        FROM (SELECT count(*) FILTER (WHERE $c = 1) AS n1,
+         |                     count(*) FILTER (WHERE $c = 2) AS n2,
+         |                     count(*) FILTER (WHERE $c = 3) AS n3,
+         |                     count(*) FILTER (WHERE $c = 4) AS n4 FROM $tbl)))""".stripMargin
+    val discountCtes = ((2 until order).map(k =>
+      discountCte(s"dl$k", s"cont$k", s"nct$k")) :+
+      discountCte("dtop", "cg", "cnt")).mkString(",\n")
+    def pexpr(k: Int): String =
+      if (k == 1) "((cont1.nct1 + 0.5) / (nt.ntt + 0.5 * v.vs))"
+      else {
+        val dsel = s"(CASE WHEN cont$k.nct$k >= 3 THEN dl$k.d3 " +
+          s"WHEN cont$k.nct$k = 2 THEN dl$k.d2 ELSE dl$k.d1 END)"
+        s"(greatest(cont$k.nct$k - $dsel, 0.0) / ctx${k - 1}.s${k - 1} + " +
+          s"((dl$k.d1 * ctx${k - 1}.f1_${k - 1} + dl$k.d2 * ctx${k - 1}.f2_${k - 1} + " +
+          s"dl$k.d3 * ctx${k - 1}.f3_${k - 1}) / ctx${k - 1}.s${k - 1}) * ${pexpr(k - 1)})"
+      }
+    val cntRef = if (pruned) "coalesce(cgp.cnt, 0)" else "cg.cnt"
+    val dtopSel = s"(CASE WHEN $cntRef >= 3 THEN dtop.d3 " +
+      s"WHEN $cntRef = 2 THEN dtop.d2 ELSE dtop.d1 END)"
+    val top = s"greatest($cntRef - $dtopSel, 0.0) / ctop.tot + " +
+      s"((dtop.d1 * ctop.t1 + dtop.d2 * ctop.t2 + dtop.d3 * ctop.t3) / ctop.tot) * ${pexpr(order - 1)}"
+    val gramJoin =
+      if (pruned) s"LEFT JOIN cgp USING (${ws.mkString(", ")})"
+      else s"JOIN cg USING (${ws.mkString(", ")})"
+    def onJoin(t: String, key: Seq[String]) =
+      s"JOIN $t ON " + key.map(w => s"$t.$w = ng.$w").mkString(" AND ")
+    val scoreJoins = ((order - 1) to 2 by -1).flatMap { k =>
+      Seq(onJoin(s"cont$k", contKey(k)), onJoin(s"ctx${k - 1}", ctxKey(k - 1)))
+    }.mkString("\n  ") + "\n  " + onJoin("cont1", Seq(ws.last))
+    val discountCrossJoins = ((2 until order).map(k => s"CROSS JOIN dl$k") :+
+      "CROSS JOIN dtop").mkString(" ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+       |  FROM documents),
+       | tok AS (SELECT unnest(w) AS token FROM d),
+       | v AS (SELECT count(DISTINCT token) AS vs FROM tok),
+       | ng AS (
+       |  SELECT doc_id, $ngSel
+       |  FROM d, LATERAL unnest(range(1, greatest(len(w) - ${order - 2}, 1))) AS t(i)),
+       | cg AS (SELECT ${ws.mkString(", ")}, count(*) AS cnt FROM ng
+       |        GROUP BY ${groupBy(order)}),
+       |${if (pruned) " cgp AS (SELECT * FROM cg WHERE cnt >= 2),\n" else ""} ctop AS (SELECT ${ws.init.mkString(", ")}, sum(cnt) AS tot,
+       |        count(*) FILTER (WHERE cnt = 1) AS t1,
+       |        count(*) FILTER (WHERE cnt = 2) AS t2,
+       |        count(*) FILTER (WHERE cnt >= 3) AS t3
+       |        FROM cg GROUP BY ${groupBy(order - 1)}),
+       | cont${order - 1} AS (SELECT ${ws.tail.mkString(", ")}, count(*) AS nct${order - 1}
+       |        FROM cg GROUP BY ${groupBy(order - 1)}),
+       |$cascade
+       | nt AS (SELECT count(*) AS ntt FROM cont2),
+       |$discountCtes,
+       | sc AS (
+       |  SELECT ng.doc_id,
+       |         ln($top) AS logp
+       |  FROM ng $gramJoin JOIN ctop USING (${ws.init.mkString(", ")})
+       |  $scoreJoins CROSS JOIN nt CROSS JOIN v $discountCrossJoins),
+       | pd AS (SELECT doc_id, count(*) AS n_ngrams, -avg(logp) AS xent
+       |        FROM sc GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(pd.n_ngrams, 0) AS n_ngrams,
+       |       floor(pd.xent*1000000.0 + 0.5)/1000000.0 AS xent
+       |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2783,6 +2974,55 @@ object SparkEntry {
          |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
          |  AND qs >= 0.5
          |  AND doc_id NOT IN (SELECT doc_id FROM dup_losers)""".stripMargin,
+    // the streaming-curation capstone's batch equivalent: the
+    // q_curate_full stages (minus MinHash near-dup, plus the semantic
+    // gate) with the within-cell cosine scan restricted to CURATION
+    // SURVIVORS — the seam this query exists to pin. Labels from the
+    // kmeans fixture, exactly as q_semdedup.
+    "q_curate_semantic" ->
+      s"""WITH toks0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id, array_to_string(w[CAST(i AS INT):CAST(i+2 AS INT)], ' ') AS s
+         |        FROM toks0, LATERAL unnest(range(1, greatest(len(w)-1, 2))) AS t(i)),
+         |ev AS (SELECT DISTINCT s FROM sh0 WHERE doc_id % 97 = 0),
+         |contaminated AS (SELECT DISTINCT sh0.doc_id FROM sh0 JOIN ev ON sh0.s = ev.s
+         |                 WHERE sh0.doc_id % 97 <> 0),
+         |q AS (
+         |  SELECT doc_id, lang,
+         |         string_split_regex(trim(text), '\\s+') AS toks,
+         |         (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))*1.0
+         |           / greatest(length(text), 1) AS pr,
+         |         len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |             w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+         |                        'on','for','with','as','at','by','from','that','this')))*1.0
+         |           / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS sr
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |         least(greatest(0.4 * least(len(toks)/64.0, 1.0) + 0.4 * least(sr*4.0, 1.0)
+         |           + 0.2 * (1.0 - least(pr*5.0, 1.0)), 0.0), 1.0) AS qs
+         |  FROM q),
+         |survivors AS (
+         |  SELECT doc_id, lang, qs,
+         |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+         |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM scored
+         |  WHERE doc_id % 97 <> 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |    AND qs >= 0.5),
+         |c AS (SELECT * FROM read_parquet('$KmeansFixture/corpus/*.parquet')),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sc AS (SELECT c.vec_id, c.coarse FROM c JOIN survivors s ON s.doc_id = c.vec_id),
+         |losers AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM sc a JOIN sc b ON a.coarse = b.coarse AND a.vec_id < b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id
+         |  JOIN e eb ON eb.vec_id = b.vec_id
+         |  WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4)
+         |SELECT s.doc_id, sc.coarse, s.lang,
+         |       floor((s.qs)*1000000.0 + 0.5)/1000000.0 AS quality_score, s.split
+         |FROM survivors s JOIN sc ON sc.vec_id = s.doc_id
+         |WHERE s.doc_id NOT IN (SELECT vec_id FROM losers)""".stripMargin,
     "q_dedup_rep" ->
       """SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
@@ -3392,84 +3632,26 @@ object SparkEntry {
     // distinct-left-context table derived from it, the floored
     // continuation unigram at the bottom — with the engine's literal
     // IEEE association at every level
-    "q_lm_xent_kn3" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
-        |  FROM documents),
-        | tok AS (SELECT unnest(w) AS token FROM d),
-        | v AS (SELECT count(DISTINCT token) AS vs FROM tok),
-        | tg AS (
-        |  SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i+1 AS INT)] AS w2,
-        |         w[CAST(i+2 AS INT)] AS w3
-        |  FROM d, LATERAL unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
-        | c123 AS (SELECT w1, w2, w3, count(*) AS n123 FROM tg GROUP BY 1, 2, 3),
-        | c12 AS (SELECT w1, w2, sum(n123) AS n12, count(*) AS f12
-        |         FROM c123 GROUP BY 1, 2),
-        | ct23 AS (SELECT w2, w3, count(*) AS nct FROM c123 GROUP BY 1, 2),
-        | c2 AS (SELECT w2, sum(nct) AS s2, count(*) AS f2 FROM ct23 GROUP BY 1),
-        | c3 AS (SELECT w3, count(*) AS ncu FROM ct23 GROUP BY 1),
-        | nt AS (SELECT count(*) AS nct2 FROM ct23),
-        | sc AS (
-        |  SELECT tg.doc_id,
-        |         ln(greatest(c123.n123 - 0.75, 0.0) / c12.n12
-        |          + (0.75 * c12.f12 / c12.n12)
-        |            * (greatest(ct23.nct - 0.75, 0.0) / c2.s2
-        |             + (0.75 * c2.f2 / c2.s2)
-        |               * ((c3.ncu + 0.5) / (nt.nct2 + 0.5 * v.vs)))) AS logp
-        |  FROM tg JOIN c123 USING (w1, w2, w3) JOIN c12 USING (w1, w2)
-        |  JOIN ct23 ON ct23.w2 = tg.w2 AND ct23.w3 = tg.w3
-        |  JOIN c2 ON c2.w2 = tg.w2
-        |  JOIN c3 ON c3.w3 = tg.w3 CROSS JOIN nt CROSS JOIN v),
-        | pd AS (SELECT doc_id, count(*) AS n_trigrams, -avg(logp) AS xent
-        |        FROM sc GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(pd.n_trigrams, 0) AS n_trigrams,
-        |       floor(pd.xent*1000000.0 + 0.5)/1000000.0 AS xent
-        |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin,
-    // the served PRUNED KN3 model: trigrams below count 2 lose their
-    // discounted first term (LEFT JOIN + coalesce) and fall to the
-    // continuation cascade, which keeps describing the full corpus
-    "q_lm_xent_kn3_served" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
-        |  FROM documents),
-        | tok AS (SELECT unnest(w) AS token FROM d),
-        | v AS (SELECT count(DISTINCT token) AS vs FROM tok),
-        | tg AS (
-        |  SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i+1 AS INT)] AS w2,
-        |         w[CAST(i+2 AS INT)] AS w3
-        |  FROM d, LATERAL unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
-        | c123 AS (SELECT w1, w2, w3, count(*) AS n123 FROM tg GROUP BY 1, 2, 3),
-        | c123p AS (SELECT * FROM c123 WHERE n123 >= 2),
-        | c12 AS (SELECT w1, w2, sum(n123) AS n12, count(*) AS f12
-        |         FROM c123 GROUP BY 1, 2),
-        | ct23 AS (SELECT w2, w3, count(*) AS nct FROM c123 GROUP BY 1, 2),
-        | c2 AS (SELECT w2, sum(nct) AS s2, count(*) AS f2 FROM ct23 GROUP BY 1),
-        | c3 AS (SELECT w3, count(*) AS ncu FROM ct23 GROUP BY 1),
-        | nt AS (SELECT count(*) AS nct2 FROM ct23),
-        | sc AS (
-        |  SELECT tg.doc_id,
-        |         ln(greatest(coalesce(c123p.n123, 0) - 0.75, 0.0) / c12.n12
-        |          + (0.75 * c12.f12 / c12.n12)
-        |            * (greatest(ct23.nct - 0.75, 0.0) / c2.s2
-        |             + (0.75 * c2.f2 / c2.s2)
-        |               * ((c3.ncu + 0.5) / (nt.nct2 + 0.5 * v.vs)))) AS logp
-        |  FROM tg LEFT JOIN c123p USING (w1, w2, w3) JOIN c12 USING (w1, w2)
-        |  JOIN ct23 ON ct23.w2 = tg.w2 AND ct23.w3 = tg.w3
-        |  JOIN c2 ON c2.w2 = tg.w2
-        |  JOIN c3 ON c3.w3 = tg.w3 CROSS JOIN nt CROSS JOIN v),
-        | pd AS (SELECT doc_id, count(*) AS n_trigrams, -avg(logp) AS xent
-        |        FROM sc GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(pd.n_trigrams, 0) AS n_trigrams,
-        |       floor(pd.xent*1000000.0 + 0.5)/1000000.0 AS xent
-        |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin,
+    // trigram Kneser-Ney (D = 0.75, β = 0.5), self-scored / served
+    // pruned: since r15 the engine serves order 3 through the generic
+    // KN-N cascade, so the oracle is knNOracleSql(3, …) — the same
+    // mechanically-generated recursion as kn5, never a second
+    // hand-transcription of it (the bespoke KN3 path survives only as
+    // LanguageModelSpec's bit-identity witness)
+    "q_lm_xent_kn3" -> knNOracleSql(3, pruned = false),
+    "q_lm_xent_kn3_served" -> knNOracleSql(3, pruned = true),
     // 5-gram Kneser-Ney (D = 0.75, β = 0.5), self-scored / served
     // pruned: the SAME recursion as kn3, mechanically generated at
     // order 5 by knNOracleSql — five discount/backoff levels, the
     // engine's literal IEEE association at each
     "q_lm_xent_kn5" -> knNOracleSql(5, pruned = false),
     "q_lm_xent_kn5_served" -> knNOracleSql(5, pruned = true),
+    // MODIFIED Kneser-Ney (Chen & Goodman count-of-counts discounts)
+    // at order 3, self-scored / served pruned: the oracle re-derives
+    // the per-level D1/D2/D3+ estimates from the count histograms in
+    // SQL — the discount estimation sits under the hash gate too
+    "q_lm_xent_mkn" -> mknOracleSql(3, pruned = false),
+    "q_lm_xent_mkn_served" -> mknOracleSql(3, pruned = true),
     // bigram LM, add-0.5 smoothing, self-scored: contexts derive from
     // the bigram table (Σ n12 per w1, NOT unigram occurrence counts),
     // V = distinct corpus tokens; every doc appears — 0 bigrams / NULL

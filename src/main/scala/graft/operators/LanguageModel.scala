@@ -52,6 +52,45 @@ import org.apache.spark.sql.functions._
   */
 object LanguageModel {
 
+  /** Executable bound on the score-side `broadcastModel = true`
+    * default. The vocabulary-scale tables (unigrams, contexts,
+    * continuation counts) broadcast safely at any corpus size, but
+    * the TOP-ORDER gram table grows with DISTINCT n-grams — at order
+    * ≥ 3 that is ≈ corpus positions, so a default broadcast of it at
+    * 100× corpus scale is a driver/executor OOM with no warning. Every
+    * `crossEntropy*` therefore SIZES the largest model table before
+    * honoring the broadcast request (one bounded `count()` over an
+    * already-materialized aggregate, or a parquet-metadata count on a
+    * served model — never a corpus scan) and auto-falls back to the
+    * shuffle-join serving form above this bound, naming the flag on
+    * stderr. The same executable-bound discipline as
+    * [[TextIndex.MaxPushdownUnits]] and `Dedup.sketchGeometryFor`:
+    * the default must not silently grow with the data. Callers who
+    * know their executors pass a higher `maxBroadcastRows` (or
+    * `broadcastModel = false` to skip the probe entirely). */
+  val MaxBroadcastModelRows: Long = 30L * 1000 * 1000
+
+  /** Resolve the effective broadcast decision for a score scan:
+    * `broadcastModel` requested AND the largest model table fits the
+    * bound. The count is bounded by construction — `largest` is always
+    * a (checkpointed or persisted) COUNT table, vocabulary- to
+    * distinct-n-gram-scale, never the corpus. */
+  private def resolveBroadcast(largest: DataFrame, broadcastModel: Boolean,
+                               maxBroadcastRows: Long, what: String): Boolean =
+    broadcastModel && {
+      require(maxBroadcastRows >= 0,
+        s"maxBroadcastRows must be >= 0, got $maxBroadcastRows")
+      val n = largest.count()
+      val fits = n <= maxBroadcastRows
+      if (!fits) System.err.println(
+        s"[graft.lm] $what has $n rows > maxBroadcastRows=$maxBroadcastRows; " +
+          "broadcastModel=true would broadcast a corpus-growing table — " +
+          "falling back to the shuffle-join serving form. Pass " +
+          "broadcastModel=false to silence this probe, or raise " +
+          "maxBroadcastRows if the executors can hold the table.")
+      fits
+    }
+
   /** A trained bigram LM: `bigrams` = (w1, w2, n12), `contexts` =
     * (w1, n1 = Σ n12), `vocabSize` = |distinct corpus tokens|, and the
     * smoothing mass α baked at train time (scoring with a different α
@@ -194,9 +233,11 @@ object LanguageModel {
     * per-doc aggregate. Output contract matches [[crossEntropy]]. */
   def crossEntropyInterpolated(docs: DataFrame, idCol: String, textCol: String,
                                lm: InterpolatedLm,
-                               broadcastModel: Boolean = true): DataFrame = {
+                               broadcastModel: Boolean = true,
+                               maxBroadcastRows: Long = MaxBroadcastModelRows): DataFrame = {
     val hinted: DataFrame => DataFrame =
-      if (broadcastModel) broadcast(_) else identity
+      if (resolveBroadcast(lm.base.bigrams, broadcastModel, maxBroadcastRows,
+        "interpolated-LM bigram table")) broadcast(_) else identity
     val base = lm.base
     val exploded = docs
       .select(col(idCol),
@@ -329,9 +370,11 @@ object LanguageModel {
     * placement included), the suite-wide bit-identity discipline. */
   def crossEntropyKneserNey(docs: DataFrame, idCol: String, textCol: String,
                             lm: KneserNeyLm,
-                            broadcastModel: Boolean = true): DataFrame = {
+                            broadcastModel: Boolean = true,
+                            maxBroadcastRows: Long = MaxBroadcastModelRows): DataFrame = {
     val hinted: DataFrame => DataFrame =
-      if (broadcastModel) broadcast(_) else identity
+      if (resolveBroadcast(lm.bigrams, broadcastModel, maxBroadcastRows,
+        "KN bigram table")) broadcast(_) else identity
     val exploded = docs
       .select(col(idCol),
         explode(bigramStructs(TextAnalysis.tokens(col(textCol)))).as("bg"))
@@ -478,9 +521,11 @@ object LanguageModel {
     * Every arithmetic step mirrors the oracle's literal IEEE ops. */
   def crossEntropyKneserNey3(docs: DataFrame, idCol: String, textCol: String,
                              lm: KneserNey3Lm,
-                             broadcastModel: Boolean = true): DataFrame = {
+                             broadcastModel: Boolean = true,
+                             maxBroadcastRows: Long = MaxBroadcastModelRows): DataFrame = {
     val hinted: DataFrame => DataFrame =
-      if (broadcastModel) broadcast(_) else identity
+      if (resolveBroadcast(lm.trigrams, broadcastModel, maxBroadcastRows,
+        "KN3 trigram table")) broadcast(_) else identity
     val exploded = docs
       .select(col(idCol),
         explode(trigramStructs(TextAnalysis.tokens(col(textCol)))).as("tg"))
@@ -648,9 +693,11 @@ object LanguageModel {
     * [[crossEntropyKneserNey3]] and every order is oracle-replayable. */
   def crossEntropyKneserNeyN(docs: DataFrame, idCol: String, textCol: String,
                              lm: KneserNeyNLm,
-                             broadcastModel: Boolean = true): DataFrame = {
+                             broadcastModel: Boolean = true,
+                             maxBroadcastRows: Long = MaxBroadcastModelRows): DataFrame = {
     val hinted: DataFrame => DataFrame =
-      if (broadcastModel) broadcast(_) else identity
+      if (resolveBroadcast(lm.grams, broadcastModel, maxBroadcastRows,
+        s"KN-${lm.order} gram table")) broadcast(_) else identity
     val ws = (1 to lm.order).map(i => s"w$i")
     val exploded = docs
       .select(col(idCol),
@@ -723,6 +770,263 @@ object LanguageModel {
       meta.getAs[Double]("discount"), meta.getAs[Double]("beta"))
   }
 
+  /** A MODIFIED Kneser-Ney model (Chen & Goodman 1999, the smoothing
+    * KenLM actually ships as its default): [[KneserNeyNLm]]'s
+    * recursion with the single fixed discount D replaced, at EVERY
+    * level, by three count-dependent discounts D₁/D₂/D₃₊ estimated
+    * from that level's count-of-counts:
+    *
+    *   Y  = n₁ / (n₁ + 2·n₂)
+    *   D₁ = 1 − 2Y·n₂/n₁,  D₂ = 2 − 3Y·n₃/n₂,  D₃₊ = 3 − 4Y·n₄/n₃
+    *
+    * (nᵢ = how many grams at that level have count exactly i — raw
+    * counts at the top order, continuation TYPE counts below). The
+    * backoff weight frees exactly the discounted mass,
+    * γ(ctx) = (D₁·N₁(ctx·) + D₂·N₂(ctx·) + D₃₊·N₃₊(ctx·)) / c(ctx·),
+    * so the distribution stays normalized as long as 0 ≤ D₁ ≤ 1,
+    * 0 ≤ D₂ ≤ 2, 0 ≤ D₃₊ ≤ 3 — which the estimator guarantees on the
+    * upper side by construction and [[trainModifiedKneserNeyN]]
+    * `require`s on the lower (a corpus adversarial enough to drive an
+    * estimate negative should fail loudly, not silently mis-smooth).
+    *
+    * Tables are [[KneserNeyNLm]]'s with the context tables' single
+    * type count split into the three buckets the weights need:
+    * `ctxTop` = (w1..w_{N-1}, tot, t1, t2, t3); `ctxs(k-1)` = ctx_k =
+    * (key, s_k, f1_k, f2_k, f3_k). `discounts(k-2)` = level k's
+    * (D₁, D₂, D₃₊) for k in 2..order (top order last) — DRIVER
+    * scalars estimated at train time from bounded count-of-counts
+    * probes, persisted with the model, so serving never re-estimates.
+    * Still two corpus scans to train, still closed-form and
+    * DuckDB-replayable (`q_lm_xent_mkn` generates the full
+    * count-of-counts + discount arithmetic as SQL CTEs). */
+  final case class ModifiedKneserNeyNLm(order: Int, grams: DataFrame,
+                                        ctxTop: DataFrame,
+                                        conts: IndexedSeq[DataFrame],
+                                        ctxs: IndexedSeq[DataFrame],
+                                        vocabSize: Long, nContTypes: Long,
+                                        discounts: IndexedSeq[(Double, Double, Double)],
+                                        beta: Double) {
+    require(order >= 3,
+      s"ModifiedKneserNeyNLm needs order >= 3, got $order")
+    require(conts.length == order - 1,
+      s"expected ${order - 1} continuation tables, got ${conts.length}")
+    require(ctxs.length == order - 2,
+      s"expected ${order - 2} context tables, got ${ctxs.length}")
+    require(discounts.length == order - 1,
+      s"expected ${order - 1} discount triples (levels 2..$order), got ${discounts.length}")
+    require(vocabSize > 0, s"MKN LM needs a non-empty vocabulary, got $vocabSize")
+    require(nContTypes > 0,
+      s"MKN LM needs at least one continuation type, got $nContTypes")
+    discounts.zipWithIndex.foreach { case ((d1, d2, d3), i) =>
+      require(d1 >= 0.0 && d1 <= 1.0 && d2 >= 0.0 && d2 <= 2.0 &&
+        d3 >= 0.0 && d3 <= 3.0,
+        s"level ${i + 2} discounts out of the normalization-safe range: " +
+          s"D1=$d1 (need [0,1]), D2=$d2 ([0,2]), D3=$d3 ([0,3])")
+    }
+    require(beta > 0.0, s"continuation floor beta must be > 0, got $beta")
+  }
+
+  /** Chen & Goodman discount estimates for one level from its
+    * count-of-counts — a single bounded aggregation over an
+    * already-materialized count table (n₁..n₄ are four conditional
+    * sums in one pass), then pure driver arithmetic. Fails loudly when
+    * the level's count histogram is too thin for the estimator (some
+    * nᵢ = 0 ⇒ a division by zero) — the caller's remedy is the
+    * fixed-discount [[trainKneserNeyN]], named in the message. */
+  private def estimateDiscounts(counts: DataFrame, cntCol: String,
+                                level: String): (Double, Double, Double) = {
+    val r = counts.agg(
+      sum(when(col(cntCol) === 1, 1L).otherwise(0L)),
+      sum(when(col(cntCol) === 2, 1L).otherwise(0L)),
+      sum(when(col(cntCol) === 3, 1L).otherwise(0L)),
+      sum(when(col(cntCol) === 4, 1L).otherwise(0L))).head()
+    val (n1, n2, n3, n4) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    require(n1 > 0 && n2 > 0 && n3 > 0,
+      s"modified-KN discount estimation at $level needs count-of-counts " +
+        s"n1..n3 > 0, got n1=$n1 n2=$n2 n3=$n3 n4=$n4 — the corpus is too " +
+        "small or too uniform for Chen-Goodman estimates; use " +
+        "trainKneserNeyN's fixed discount instead")
+    // the exact IEEE association the generated DuckDB oracle replays
+    val y = n1 / (n1 + 2.0 * n2)
+    val d1 = 1.0 - (2.0 * y * n2) / n1
+    val d2 = 2.0 - (3.0 * y * n3) / n2
+    val d3 = 3.0 - (4.0 * y * n4) / n3
+    require(d1 >= 0.0 && d2 >= 0.0 && d3 >= 0.0,
+      s"Chen-Goodman estimates went negative at $level (D1=$d1 D2=$d2 " +
+        s"D3=$d3 from n1=$n1 n2=$n2 n3=$n3 n4=$n4) — the count histogram " +
+        "is adversarial; use trainKneserNeyN's fixed discount instead")
+    (d1, d2, d3)
+  }
+
+  /** Train a [[ModifiedKneserNeyNLm]] at `order`: the
+    * [[trainKneserNeyN]] economics verbatim — two corpus scans, every
+    * cascade level an aggregation of the materialized level above —
+    * plus one bounded count-of-counts probe per level (order − 1
+    * short jobs over the already-checkpointed count tables) for the
+    * discount estimates. */
+  def trainModifiedKneserNeyN(docs: DataFrame, textCol: String, order: Int,
+                              beta: Double = 0.5): ModifiedKneserNeyNLm = {
+    require(order >= 3,
+      s"trainModifiedKneserNeyN needs order >= 3, got $order")
+    val ws = (1 to order).map(i => s"w$i")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val grams = Materialize.eagerCheckpoint(docs
+      .select(explode(ngramStructs(toks, order)).as("g"))
+      .select(ws.map(w => col(s"g.$w").as(w)): _*)
+      .groupBy(ws.map(col): _*).agg(count(lit(1)).as("cnt")))
+    val ctxTop = grams.groupBy(ws.init.map(col): _*)
+      .agg(sum("cnt").as("tot"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("t1"),
+        sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("t2"),
+        sum(when(col("cnt") >= 3, 1L).otherwise(0L)).as("t3"))
+    val conts = new Array[DataFrame](order - 1)
+    conts(order - 2) = Materialize.eagerCheckpoint(
+      grams.groupBy(ws.tail.map(col): _*)
+        .agg(count(lit(1)).as(s"nct${order - 1}")))
+    val ctxs = new Array[DataFrame](order - 2)
+    for (k <- (order - 2) to 1 by -1) {
+      val upperKey = ws.drop(order - k - 1) // cont_{k+1}'s key, length k+1
+      ctxs(k - 1) = conts(k).groupBy(upperKey.init.map(col): _*)
+        .agg(sum(s"nct${k + 1}").as(s"s$k"),
+          sum(when(col(s"nct${k + 1}") === 1, 1L).otherwise(0L)).as(s"f1_$k"),
+          sum(when(col(s"nct${k + 1}") === 2, 1L).otherwise(0L)).as(s"f2_$k"),
+          sum(when(col(s"nct${k + 1}") >= 3, 1L).otherwise(0L)).as(s"f3_$k"))
+      conts(k - 1) = Materialize.eagerCheckpoint(
+        conts(k).groupBy(upperKey.tail.map(col): _*)
+          .agg(count(lit(1)).as(s"nct$k")))
+    }
+    val nContTypes = conts(1).count()
+    val vocabSize = docs.select(explode(toks).as("t"))
+      .agg(count_distinct(col("t"))).head().getLong(0)
+    val discounts = ((2 until order).map(k =>
+      estimateDiscounts(conts(k - 1), s"nct$k",
+        s"level $k (continuation types)")) :+
+      estimateDiscounts(grams, "cnt", s"level $order (raw counts)"))
+      .toIndexedSeq
+    ModifiedKneserNeyNLm(order, grams, ctxTop, conts.toIndexedSeq,
+      ctxs.toIndexedSeq, vocabSize, nContTypes, discounts, beta)
+  }
+
+  /** [[pruneKneserNeyN]] for the modified form: top-order pruning
+    * only — the cascade, the context buckets AND the persisted
+    * train-time discounts keep describing the full corpus, so a
+    * pruned gram loses its discounted first term and falls to the
+    * backoff cascade; pruned xent pointwise dominates exact, the
+    * family-wide gate direction. */
+  def pruneModifiedKneserNeyN(lm: ModifiedKneserNeyNLm,
+                              minCount: Long): ModifiedKneserNeyNLm = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    lm.copy(grams = lm.grams.filter(col("cnt") >= minCount))
+  }
+
+  /** Per-document cross-entropy under a [[ModifiedKneserNeyNLm]] —
+    * [[crossEntropyKneserNeyN]]'s exact scan and join shape (one
+    * corpus explode, 2N−1 vocabulary-scale broadcast joins, one
+    * per-doc-aggregate shuffle); only the probability expression
+    * differs: the discount is SELECTED per joined count (D₁/D₂/D₃₊ by
+    * whether the count is 1, 2, or ≥ 3) and the backoff weight sums
+    * the three bucket masses. Same broadcast-size guard, same output
+    * contract `(idCol, n_ngrams, xent)`. */
+  def crossEntropyModifiedKneserNeyN(docs: DataFrame, idCol: String,
+                                     textCol: String,
+                                     lm: ModifiedKneserNeyNLm,
+                                     broadcastModel: Boolean = true,
+                                     maxBroadcastRows: Long = MaxBroadcastModelRows): DataFrame = {
+    val hinted: DataFrame => DataFrame =
+      if (resolveBroadcast(lm.grams, broadcastModel, maxBroadcastRows,
+        s"modified-KN-${lm.order} gram table")) broadcast(_) else identity
+    val ws = (1 to lm.order).map(i => s"w$i")
+    val exploded = docs
+      .select(col(idCol),
+        explode(ngramStructs(TextAnalysis.tokens(col(textCol)), lm.order))
+          .as("g"))
+      .select(col(idCol) +: ws.map(w => col(s"g.$w").as(w)): _*)
+    var p: Column = (coalesce(col("nct1"), lit(0L)) + lm.beta) /
+      (lit(lm.nContTypes.toDouble) + lm.beta * lm.vocabSize)
+    for (k <- 2 until lm.order) {
+      val (d1, d2, d3) = lm.discounts(k - 2)
+      val prev = p
+      val dsel = when(col(s"nct$k") >= 3, lit(d3))
+        .when(col(s"nct$k") === 2, lit(d2)).otherwise(lit(d1))
+      val pSeen = greatest(coalesce(col(s"nct$k"), lit(0L)) - dsel,
+        lit(0.0)) / col(s"s${k - 1}") +
+        ((lit(d1) * col(s"f1_${k - 1}") + lit(d2) * col(s"f2_${k - 1}") +
+          lit(d3) * col(s"f3_${k - 1}")) / col(s"s${k - 1}")) * prev
+      p = when(col(s"s${k - 1}").isNull, prev).otherwise(pSeen)
+    }
+    val (td1, td2, td3) = lm.discounts(lm.order - 2)
+    val dtop = when(col("cnt") >= 3, lit(td3))
+      .when(col("cnt") === 2, lit(td2)).otherwise(lit(td1))
+    val pTopSeen =
+      greatest(coalesce(col("cnt"), lit(0L)) - dtop, lit(0.0)) / col("tot") +
+        ((lit(td1) * col("t1") + lit(td2) * col("t2") +
+          lit(td3) * col("t3")) / col("tot")) * p
+    val logp = log(when(col("tot").isNull, p).otherwise(pTopSeen))
+    var joined = exploded
+      .join(hinted(lm.grams), ws, "left")
+      .join(hinted(lm.ctxTop), ws.init, "left")
+    for (k <- (lm.order - 1) to 2 by -1) {
+      joined = joined
+        .join(hinted(lm.conts(k - 1)), ws.drop(lm.order - k), "left")
+        .join(hinted(lm.ctxs(k - 2)), ws.drop(lm.order - k).init, "left")
+    }
+    joined = joined.join(hinted(lm.conts(0)), Seq(ws.last), "left")
+    val perDoc = joined.groupBy(idCol)
+      .agg(count(lit(1)).as("n_ngrams"), (-avg(logp)).as("xent"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"), col("xent"))
+  }
+
+  /** Persist a modified-KN model: [[writeKneserNeyN]]'s table layout
+    * plus a `mkn_discounts/` table (level, d1, d2, d3 — the persisted
+    * train-time estimates, so serving never re-derives them) and a
+    * 1-row `mkn_meta/` commit marker written LAST, under the same
+    * scoped layout pre-delete. */
+  def writeModifiedKneserNeyN(lm: ModifiedKneserNeyNLm, path: String): Unit = {
+    val spark = lm.grams.sparkSession
+    deleteLayoutSubdirs(spark, path)
+    lm.grams.write.mode("overwrite").parquet(s"$path/ngrams")
+    lm.ctxTop.write.mode("overwrite").parquet(s"$path/ctx_top")
+    (1 until lm.order).foreach { k =>
+      lm.conts(k - 1).write.mode("overwrite").parquet(s"$path/cont_$k")
+    }
+    (1 to lm.order - 2).foreach { k =>
+      lm.ctxs(k - 1).write.mode("overwrite").parquet(s"$path/ctx_$k")
+    }
+    spark.createDataFrame(
+        lm.discounts.zipWithIndex.map { case ((d1, d2, d3), i) =>
+          (i + 2, d1, d2, d3)
+        })
+      .toDF("level", "d1", "d2", "d3")
+      .write.mode("overwrite").parquet(s"$path/mkn_discounts")
+    spark.createDataFrame(
+        Seq((lm.order, lm.vocabSize, lm.nContTypes, lm.beta)))
+      .toDF("order", "vocab_size", "n_cont_types", "beta")
+      .write.mode("overwrite").parquet(s"$path/mkn_meta")
+  }
+
+  /** Load a persisted modified-KN model (fails loudly on any other
+    * layout — no `mkn_meta` commit marker there). */
+  def readModifiedKneserNeyN(spark: SparkSession,
+                             path: String): ModifiedKneserNeyNLm = {
+    val meta = spark.read.parquet(s"$path/mkn_meta").head()
+    val order = meta.getAs[Int]("order")
+    val discounts = spark.read.parquet(s"$path/mkn_discounts")
+      .collect().sortBy(_.getAs[Int]("level"))
+      .map(r => (r.getAs[Double]("d1"), r.getAs[Double]("d2"),
+        r.getAs[Double]("d3"))).toIndexedSeq
+    ModifiedKneserNeyNLm(order,
+      spark.read.parquet(s"$path/ngrams"),
+      spark.read.parquet(s"$path/ctx_top"),
+      (1 until order).map(k => spark.read.parquet(s"$path/cont_$k")),
+      (1 to order - 2).map(k => spark.read.parquet(s"$path/ctx_$k")),
+      meta.getAs[Long]("vocab_size"), meta.getAs[Long]("n_cont_types"),
+      discounts, meta.getAs[Double]("beta"))
+  }
+
   /** Per-document cross-entropy under `lm`: output is
     * `(idCol, n_bigrams, xent)` for EVERY input document —
     * `n_bigrams = 0` and NULL `xent` for docs with < 2 tokens. `xent`
@@ -730,9 +1034,11 @@ object LanguageModel {
     * amplifies ulp noise; perplexity is `exp(xent)` when a human wants
     * it). */
   def crossEntropy(docs: DataFrame, idCol: String, textCol: String,
-                   lm: BigramLm, broadcastModel: Boolean = true): DataFrame = {
+                   lm: BigramLm, broadcastModel: Boolean = true,
+                   maxBroadcastRows: Long = MaxBroadcastModelRows): DataFrame = {
     val hinted: DataFrame => DataFrame =
-      if (broadcastModel) broadcast(_) else identity
+      if (resolveBroadcast(lm.bigrams, broadcastModel, maxBroadcastRows,
+        "bigram model table")) broadcast(_) else identity
     val exploded = docs
       .select(col(idCol), explode(bigramStructs(TextAnalysis.tokens(col(textCol)))).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
@@ -792,7 +1098,8 @@ object LanguageModel {
     Seq("bigrams", "contexts", "meta", "unigrams", "interp_meta",
         "conttypes", "kn_meta",
         "trigrams", "ctx12", "cont23", "ctx2", "cont3", "kn3_meta",
-        "ngrams", "ctx_top", "knn_meta").foreach { d =>
+        "ngrams", "ctx_top", "knn_meta",
+        "mkn_discounts", "mkn_meta").foreach { d =>
       val p = new org.apache.hadoop.fs.Path(s"$path/$d")
       p.getFileSystem(hc).delete(p, true)
     }

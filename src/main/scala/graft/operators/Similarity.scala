@@ -1762,4 +1762,56 @@ object Similarity {
       IvfRefresh(drift, rebuilt = true)
     } else IvfRefresh(drift, rebuilt = false)
   }
+
+  /** [[refreshIvfIndex]] for the residual-PQ layout — the drift
+    * lifecycle of the 8-byte serving tier. Drift is measured on the
+    * COARSE assignment (cell labels are what go stale as the corpus
+    * distribution moves; the residual codebooks are CONDITIONED on the
+    * centroids, so a coarse refit invalidates both quantizers at
+    * once), against a fresh fit at the index's own cell count unless
+    * `k` overrides. Above `driftTolerance` the rebuild retrains the
+    * residual codebooks on the new centroids (at the index's own
+    * m/ksub unless overridden) and RE-ENCODES the whole corpus via
+    * [[writeLearnedPqIndex]]. Re-encode is not an implementation
+    * shortcut, it is the only sound refresh: PQ codes are derived data
+    * — cell-conditional residual quantizations — and patching stored
+    * codes against moved centroids would decode them with codebooks
+    * they were not built from, exactly the silent-garbage-distance
+    * mismatch class this layout makes unconstructable. Below the
+    * tolerance nothing is touched and serving continues uninterrupted
+    * (the appends-encode-with-committed-quantizers invariant holds
+    * either way). Same single-writer discipline as every rebuild. */
+  def refreshPqIndex(indexPath: String, corpus: DataFrame, idCol: String,
+                     embCol: String, k: Int = 0, m: Int = 0, ksub: Int = 0,
+                     iters: Int = 5, driftTolerance: Double = 0.1,
+                     sampleRows: Int = 10000): IvfRefresh = {
+    require(driftTolerance >= 0.0 && driftTolerance <= 1.0,
+      s"driftTolerance must be in [0, 1], got $driftTolerance")
+    require(k >= 0, s"k must be 0 (keep the index's cell count) or positive, got $k")
+    require(m >= 0 && ksub >= 0,
+      s"m/ksub must be 0 (keep the index's geometry) or positive, got m=$m ksub=$ksub")
+    val spark = corpus.sparkSession
+    val (storedCents, storedCb) = loadPqQuantizers(spark, indexPath)
+    val committed = committedIvfEpochs(spark, indexPath, "refresh_pq_index",
+      rebuilder = "writeLearnedPqIndex")
+    val cents = kmeansFit(corpus, idCol, embCol,
+      if (k == 0) storedCents.length else k, iters)
+    val stored = antiJoinTombstones(
+        spark.read.parquet(indexPath)
+          .filter(col("build_id").isin(committed: _*)),
+        committedTombstones(spark, indexPath, committed), idCol)
+      .select(col(idCol), col("coarse"))
+    val sampled = stored.join(corpus.select(col(idCol), col(embCol)),
+      Seq(idCol))
+    val drift = assignmentDrift(sampled, idCol, embCol, "coarse", cents,
+      sampleRows)
+    if (drift > driftTolerance) {
+      writeLearnedPqIndex(corpus, idCol, embCol, indexPath, cents,
+        trainPqResidual(corpus, idCol, embCol, cents,
+          m = if (m == 0) storedCb.codebooks.length else m,
+          ksub = if (ksub == 0) storedCb.codebooks.head.length else ksub,
+          iters = iters))
+      IvfRefresh(drift, rebuilt = true)
+    } else IvfRefresh(drift, rebuilt = false)
+  }
 }

@@ -556,22 +556,30 @@ object TextIndex {
     *     k-bounded pushed-down read) and take the k-th best per-doc
     *     PARTIAL score θ. Partials lower-bound true scores, so θ
     *     lower-bounds the true k-th best score.
-    *  2. PRUNE at two granularities. (a) BLOCKS, by the WAND term-sum
-    *     test (driver arithmetic over the ≤ 257·m collected meta
-    *     rows): keep (t, blk) iff `ub(t, blk) + Σ_{t'≠t} maxUb(t') ≥
-    *     θ − margin`, `ub` = idf(t) · tfNorm(max_tf, min_dl) — a doc
-    *     whose every posting sits in dropped blocks provably misses
-    *     the cut, so the kept-prefix read (`term = t AND blk ≤
-    *     cutoff(t)`, pushed into the (term, blk)-sorted parquet) loses
-    *     no answer. (b) DOCS, from the kept-block aggregation: each
-    *     doc's exact kept impacts give a partial (lower bound) and,
-    *     plus the best-unkept-block slack of its uncovered terms, an
-    *     upper BOUND; the k-th best exact partial then REFINES θ (θ₂),
-    *     and only docs whose bound reaches θ₂ survive. The refinement
-    *     is what keeps the expensive phase k-bounded even in the
-    *     term-sum test's worst case — all query terms common at
-    *     similar idf, where (a) can barely prune but partials are
-    *     near-exact scores and θ₂ ≈ the true k-th best.
+    *  2. PRUNE at three granularities. (a) TERMS, by the MaxScore
+    *     essential split (Turtle & Flood 1995): the maximal
+    *     ascending-maxUb prefix whose summed bounds stay below θ is
+    *     LOOKUP-ONLY — a doc containing only those terms provably
+    *     misses the cut, so their posting lists are never scanned;
+    *     their contributions ride in candidate bounds as maxUb and
+    *     are recovered exactly in the rescore. This is the lever on
+    *     the WAND worst case (all terms common at similar idf), where
+    *     the term-sum test below keeps every block but θ makes 1–2 of
+    *     4 lists non-essential. (b) BLOCKS of the essential terms, by
+    *     the WAND term-sum test (driver arithmetic over the ≤ 257·m
+    *     collected meta rows): keep (t, blk) iff `ub(t, blk) +
+    *     Σ_{t'≠t} maxUb(t') ≥ θ − margin`, `ub` = idf(t) ·
+    *     tfNorm(max_tf, min_dl) — a doc whose every essential posting
+    *     sits in dropped blocks provably misses the cut, so the
+    *     kept-prefix read (`term = t AND blk ≤ cutoff(t)`, pushed
+    *     into the (term, blk)-sorted parquet) loses no answer.
+    *     (c) DOCS, from the kept-block aggregation: each doc's exact
+    *     kept impacts give a partial (lower bound) and, plus the
+    *     best-unkept-block slack of its uncovered essential terms and
+    *     maxUb of the non-essential ones, an upper BOUND; the k-th
+    *     best exact partial then REFINES θ (θ₂), and only docs whose
+    *     bound reaches θ₂ survive. The refinement keeps the expensive
+    *     phase k-bounded even where the block test cannot prune.
     *  3. RESCORE: the surviving candidate ids (collected,
     *     [[MaxTopKCandidates]]-bounded) push into the doc-sorted `fwd`
     *     table and each candidate is scored EXACTLY over all its query
@@ -601,7 +609,8 @@ object TextIndex {
     * doc-level θ₂ trim — the quantity that must track k, not df. */
   private[graft] final case class TopKServeDiag(
     p1Postings: Long, keptPostings: Long, totalPostings: Long,
-    nCandidates: Long, theta: Double, theta2: Double)
+    nCandidates: Long, theta: Double, theta2: Double,
+    nEssential: Int, nQueryTerms: Int)
 
   /** [[bm25TopK]] plus its [[TopKServeDiag]] (two extra count jobs —
     * harness use, not the serving path). */
@@ -635,7 +644,8 @@ object TextIndex {
         org.apache.spark.sql.types.StructField("score",
           org.apache.spark.sql.types.DoubleType, nullable = true))))
     val emptyDiag =
-      if (diag) Some(TopKServeDiag(0L, 0L, 0L, 0L, Double.NaN, Double.NaN))
+      if (diag) Some(TopKServeDiag(0L, 0L, 0L, 0L, Double.NaN, Double.NaN,
+        0, terms.size))
       else None
     if (present.isEmpty) return (empty, emptyDiag)
     def idfOf(t: String): Double = {
@@ -690,14 +700,43 @@ object TextIndex {
       .collect()
     val theta = if (p1.length < k) Double.NegativeInfinity
                 else p1.last.getAs[Double]("partial")
-    // phase 2a: per-term kept-block prefix under the WAND term-sum test
-    // (with the rounded-cut margin). This is the block-level bound —
-    // weak by nature when every query term is common at similar idf
-    // (any doc COULD pair this block with the other terms' maxima), in
-    // which case most blocks stay kept and the doc-level bound below is
-    // what keeps the expensive phase k-bounded.
+    // phase 2a-0: MAXSCORE essential-terms split (Turtle & Flood 1995,
+    // the standard companion to WAND): sort terms by maxUb ascending
+    // and peel off the maximal prefix whose summed upper bounds stay
+    // BELOW θ — a doc containing ONLY those terms provably misses the
+    // cut, so their posting lists never need scanning at all. They
+    // become LOOKUP-ONLY: absent from the kept-block scan, their
+    // possible contribution rides in every candidate's upper bound as
+    // maxUb (never covered, so never subtracted), and their ACTUAL
+    // contribution is recovered exactly in the phase-3 forward rescore,
+    // which always scores all query terms. This is what prunes the
+    // WAND term-sum worst case (all terms common at similar idf): the
+    // term-sum block test keeps everything there, but θ ≈ 3–4 terms'
+    // worth of impact makes 1–2 of the 4 lists non-essential, so
+    // kept_postings < total_postings even on that shape. At least one
+    // term is always essential (θ never exceeds Σ maxUb; the guard is
+    // belt-and-braces against fp edge cases).
     val thetaP = theta - 2e-6
-    val cutoff = present.flatMap { t =>
+    val nonEssential = {
+      var cum = 0.0
+      val ne = scala.collection.mutable.Set.empty[String]
+      present.sortBy(maxUb).foreach { t =>
+        if (ne.size < present.size - 1 && cum + maxUb(t) < thetaP) {
+          cum += maxUb(t); ne += t
+        }
+      }
+      ne.toSet
+    }
+    val essential = present.filterNot(nonEssential)
+    // phase 2a: per-ESSENTIAL-term kept-block prefix under the WAND
+    // term-sum test (with the rounded-cut margin); `rest` keeps summing
+    // over ALL other terms — non-essential ones could still co-occur,
+    // so their maxima stay in the bound. This is the block-level
+    // test — weak when every query term is common at similar idf (any
+    // doc COULD pair this block with the other terms' maxima), in
+    // which case the essential split above and the doc-level bound
+    // below are what keep the expensive phase k-bounded.
+    val cutoff = essential.flatMap { t =>
       val rest = sumMaxUb - maxUb(t)
       val kept = meta.collect {
         case (`t`, blk, _, _, _) if ub((t, blk)) + rest >= thetaP => blk
@@ -710,21 +749,23 @@ object TextIndex {
     // phase 2b: ONE pass over the kept blocks builds per-doc
     // `partial` (the EXACT impacts of the doc's kept postings — a
     // lower bound on its score) and `bound` = partial + the unkept
-    // slack Σ over terms the doc did NOT cover of that term's best
-    // UNKEPT block ub (an upper bound: a doc has at most one posting
-    // per term, so an uncovered term contributes at most its best
-    // unkept block's envelope). Docs below θ on the bound can never
-    // make the cut; docs absent from every kept block were already
-    // proven out by the block-level test.
-    val ubUnkept = present.map { t =>
+    // slack: Σ over ESSENTIAL terms the doc did NOT cover of that
+    // term's best UNKEPT block ub, plus Σ over NON-ESSENTIAL terms of
+    // maxUb (their lists are never scanned, so coverage is unknown and
+    // the full envelope stays in the bound — an upper bound either
+    // way: a doc has at most one posting per term). Docs below θ on
+    // the bound can never make the cut; docs absent from every kept
+    // block were proven out by the block test + the essential split.
+    val ubUnkept = essential.map { t =>
       val u = meta.collect {
         case (`t`, blk, _, _, _) if blk > cutoff.getOrElse(t, -1) => ub((t, blk))
       }
       t -> (if (u.isEmpty) 0.0 else u.max)
     }.toMap
-    val sumUnkept = present.map(ubUnkept).sum
+    val sumUnkept = essential.map(ubUnkept).sum +
+      nonEssential.toSeq.map(maxUb).sum
     val slackFrame = broadcast(spark.createDataFrame(
-      present.map(t => (t, ubUnkept(t)))).toDF("term", "__slack"))
+      essential.map(t => (t, ubUnkept(t)))).toDF("term", "__slack"))
     // the aggregation runs TWICE (θ₂ refinement, then the candidate
     // emit) rather than once over a checkpoint: the intermediate is
     // doc-scale when θ is still weak, and re-serving it from block
@@ -748,7 +789,37 @@ object TextIndex {
     val theta2 =
       if (p2.length < k) theta
       else math.max(theta, p2.last.getAs[Double]("__partial"))
-    val candidates = cand.filter(col("__bound") >= theta2 - 2e-6)
+    // phase 2d (only when the MaxScore split skipped terms): partials
+    // now under-state true scores by the whole non-essential
+    // contribution, so θ₂ alone would let the candidate set balloon by
+    // sumNE — measured 1000× on the uniform-idf shape. Refine with the
+    // EXACT scores of the top k docs BY BOUND: one k-bounded fwd
+    // rescore (the same id-pushdown as phase 3) recovers the skipped
+    // terms' actual contributions for k real docs, and their k-th best
+    // exact score θ₃ is a valid cut lower bound (≥ k docs score ≥ it).
+    // The candidate set then shrinks to docs whose bound slack —
+    // (sumNE − actual) plus the essential unkept slack — reaches θ₃,
+    // i.e. ~k plus the near-tie band, which is what restores the
+    // "candidates track k, not df" economics the split's IO win must
+    // not cost.
+    val theta3 =
+      if (nonEssential.isEmpty) theta2
+      else {
+        val topByBound = cand.orderBy(col("__bound").desc).limit(k)
+          .collect().map(_.get(0))
+        if (topByBound.isEmpty) theta2
+        else {
+          val exact = layout.fwd
+            .filter(col(idCol).isin(topByBound.toSeq.map(lit): _*) &&
+              inTerms(col("term")))
+            .join(dfFrame, Seq("term"))
+            .groupBy(idCol).agg(sum(idf * tfn).as("__s"))
+            .orderBy(col("__s").desc).limit(k).collect()
+          if (exact.length < k) theta2
+          else math.max(theta2, exact.last.getAs[Double]("__s"))
+        }
+      }
+    val candidates = cand.filter(col("__bound") >= theta3 - 2e-6)
       .select(col(idCol))
       .limit(MaxTopKCandidates + 1).collect().map(_.get(0))
     require(candidates.length <= MaxTopKCandidates,
@@ -762,7 +833,8 @@ object TextIndex {
         layout.blocks.filter(p1Pred).count(),
         layout.blocks.filter(keptPred).count(),
         present.map(dfRows).sum,
-        candidates.length.toLong, theta, theta2))
+        candidates.length.toLong, theta, theta2,
+        essential.size, present.size))
     if (candidates.isEmpty) return (empty, diagOut)
     // phase 3: exact rescore of the candidates from the doc-sorted
     // forward table — candidate-id pushdown prunes row groups, and the

@@ -95,6 +95,15 @@ object Main {
       |  curate-stream --landing <dir> --eval <eval-parquet> --out <dir> --checkpoint <dir>
       |          [--id doc_id] [--text text] [--ts ts] [--watermark '10 minutes']
       |          [--quality 0.5] [--shingle-k 8] [--once]
+      |  semgate-init --in <embeddings-parquet> --path <state-dir>
+      |          [--id vec_id] [--embedding embedding] [--k 64] [--iters 5]
+      |          (fit the frozen quantizer and create the semantic-gate state)
+      |  curate-stream-semantic --landing <dir> --eval <eval-parquet> --out <dir>
+      |          --state <semgate-dir> --checkpoint <dir>
+      |          [--id doc_id] [--text text] [--embedding embedding]
+      |          [--cosine 0.95] [--quality 0.5] [--shingle-k 8] [--once]
+      |          (the full streaming curation capstone: quality gates +
+      |           semantic dedup gate, exactly-once on both legs)
       |  index-build  --in <docs-parquet> --name <table>
       |          [--id doc_id] [--text text] [--buckets 256] [--bands 32]
       |          [--shingle-k 3] [--hashes 128]
@@ -174,6 +183,12 @@ object Main {
       |  pq-query    --in <queries-parquet> --corpus <embeddings-parquet>
       |          --path <dir> --out <dir> [--id vec_id] [--embedding embedding]
       |          [--topk 10] [--nprobe 2] [--factor 4]
+      |  pq-refresh  --in <embeddings-parquet> --path <dir>
+      |          [--id vec_id] [--embedding embedding] [--k <index's k>]
+      |          [--m <index's m>] [--ksub <index's ksub>] [--iters 5]
+      |          [--tolerance 0.1]
+      |          (coarse-drift check; above tolerance retrains BOTH
+      |           quantizers and re-encodes — codes are derived data)
       |  pq-append   --in <embeddings-parquet> --path <dir>
       |          [--id vec_id] [--embedding embedding]
       |  pq-compact  --path <dir> [--id vec_id]
@@ -283,6 +298,46 @@ object Main {
         .option("path", out).option("checkpointLocation", ckpt)
         .outputMode("append").trigger(trigger).start()
       q.awaitTermination() // AvailableNow self-terminates after the drain
+
+    case Some("semgate-init") =>
+      val (opt, _) = parse(args.tail)
+      val (in, path) = (req(opt, "in"), req(opt, "path"))
+      graft.streaming.SemDedupIngest.init(spark, path,
+        graft.operators.Similarity.kmeansFit(spark.read.parquet(in),
+          opt.getOrElse("id", "vec_id"),
+          opt.getOrElse("embedding", "embedding"),
+          k = opt.getOrElse("k", "64").toInt,
+          iters = opt.getOrElse("iters", "5").toInt))
+
+    case Some("curate-stream-semantic") =>
+      // the FULL streaming curation capstone: per micro-batch, the per-row
+      // quality gates plus the SEMANTIC dedup gate against the persisted
+      // kept set at --state (semgate-init first), admitted docs landing
+      // batch-keyed — exactly-once on both legs, replays no-op
+      // (StreamingCurate.idempotentCurateSemanticSink)
+      val (opt, flags) = parse(args.tail)
+      val (landing, evalIn, out, state, ckpt) =
+        (req(opt, "landing"), req(opt, "eval"), req(opt, "out"),
+          req(opt, "state"), req(opt, "checkpoint"))
+      val (idCol, textCol) =
+        (opt.getOrElse("id", "doc_id"), opt.getOrElse("text", "text"))
+      val bloom = graft.streaming.StreamingCurate.evalShingleBloom(
+        spark.read.parquet(evalIn), idCol, textCol,
+        k = opt.getOrElse("shingle-k", "8").toInt)
+      val schema = spark.read.parquet(landing).schema
+      val trigger =
+        if (flags("once")) Trigger.AvailableNow()
+        else Trigger.ProcessingTime("5 seconds")
+      val q = spark.readStream.schema(schema).parquet(landing)
+        .writeStream
+        .foreachBatch(graft.streaming.StreamingCurate
+          .idempotentCurateSemanticSink(out, state, idCol, textCol,
+            opt.getOrElse("embedding", "embedding"), bloom,
+            minCosine = opt.getOrElse("cosine", "0.95").toDouble,
+            minQuality = opt.getOrElse("quality", "0.5").toDouble))
+        .option("checkpointLocation", ckpt)
+        .trigger(trigger).start()
+      q.awaitTermination()
 
     // the incremental-ingest loop as CLI: build the banded dedup index
     // once over the landed corpus, then per ingest cycle `index-filter`
@@ -716,6 +771,20 @@ object Main {
           candidateFactor = opt.getOrElse("factor", "4").toInt)
         .write.mode("overwrite").option("compression", "zstd")
         .parquet(out)
+
+    case Some("pq-refresh") =>
+      val (opt, _) = parse(args.tail)
+      val r = graft.operators.Similarity.refreshPqIndex(req(opt, "path"),
+        spark.read.parquet(req(opt, "in")),
+        opt.getOrElse("id", "vec_id"), opt.getOrElse("embedding", "embedding"),
+        // defaults 0 = keep the index's own cell count and PQ geometry
+        k = opt.getOrElse("k", "0").toInt,
+        m = opt.getOrElse("m", "0").toInt,
+        ksub = opt.getOrElse("ksub", "0").toInt,
+        iters = opt.getOrElse("iters", "5").toInt,
+        driftTolerance = opt.getOrElse("tolerance", "0.1").toDouble)
+      // the one-line trajectory record a scheduler greps for
+      println(f"pq-refresh: drift=${r.drift}%.4f rebuilt=${r.rebuilt}")
 
     case Some("pq-append") =>
       val (opt, _) = parse(args.tail)

@@ -123,6 +123,16 @@ object SemDedupIngest {
       .filter(col("build_id").isin(committed: _*)).drop("build_id")
   }
 
+  /** True iff a [[gateBatch]]/[[gateBatchWith]] under `key` already
+    * committed — public so COMPOSING sinks (the streaming-curation
+    * capstone) can skip their whole upstream recompute on a replay,
+    * not just the gate. */
+  def keyCommitted(spark: SparkSession, path: String, key: String): Boolean = {
+    requireMarker(spark, s"$path/_epochs")
+    spark.read.parquet(s"$path/_epochs").filter(col("key") === key)
+      .limit(1).collect().nonEmpty
+  }
+
   /** Gate one batch idempotently under `key`: returns false (no-op) if
     * the key is already committed, true after landing the batch's
     * survivors as a fresh committed epoch. The exactly-once argument is
@@ -131,7 +141,25 @@ object SemDedupIngest {
     * retry recomputes the SAME survivors (the kept set it gates against
     * is unchanged — orphans are invisible to it too). */
   def gateBatch(batch: DataFrame, path: String, idCol: String,
-                embCol: String, minCosine: Double, key: String): Boolean = {
+                embCol: String, minCosine: Double, key: String): Boolean =
+    gateBatchWith(batch, path, idCol, embCol, minCosine, key)(_ => ())
+
+  /** [[gateBatch]] with a DELIVERY leg: `land` receives the batch's
+    * survivors `(idCol, embCol, coarse)` — MATERIALIZED, so the
+    * delivery and the state append read one computation, never two
+    * possibly-diverging evaluations — and runs BEFORE the `_epochs`
+    * commit. One delivery token covers both legs, the
+    * [[StreamingCurate.idempotentCurateIngestSink]] discipline: a
+    * committed key means the survivors were both delivered and added
+    * to the kept set; a crash at any earlier point (including inside
+    * `land`) leaves the key uncommitted and the replay recomputes the
+    * SAME survivors (orphan state rows are invisible to the gate) and
+    * re-runs the delivery, which must therefore be idempotent itself
+    * (e.g. [[StreamingCurate.writeBatchIdempotent]]'s batch-keyed
+    * overwrite). */
+  def gateBatchWith(batch: DataFrame, path: String, idCol: String,
+                    embCol: String, minCosine: Double, key: String)
+                   (land: DataFrame => Unit): Boolean = {
     require(minCosine > 0.0 && minCosine <= 1.0,
       s"minCosine must be in (0, 1], got $minCosine")
     val spark = batch.sparkSession
@@ -174,10 +202,14 @@ object SemDedupIngest {
           survivors.join(broadcast(dead), Seq(idCol), "left_anti")
         }
       }
+    // survivors materialized ONCE — the delivery leg and the state
+    // append must read the same rows, not two evaluations of the plan
+    val survived = graft.operators.Materialize.eagerCheckpoint(
+      out.select(col(idCol), col(embCol), col("coarse")))
+    land(survived)
     // data first, the tiny _epochs append LAST — the commit point
     val epoch = System.nanoTime()
-    val landed = out.select(col(idCol), col(embCol), col("coarse"))
-      .withColumn("build_id", lit(epoch))
+    val landed = survived.withColumn("build_id", lit(epoch))
     if (landed.limit(1).collect().nonEmpty)
       landed.repartition(col("coarse"))
         .write.mode("append").partitionBy("coarse").parquet(path)

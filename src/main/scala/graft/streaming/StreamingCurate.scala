@@ -251,6 +251,57 @@ object StreamingCurate {
     * leaves the key uncommitted, and the re-run is then byte-identical:
     * the index state the filter sees excludes the crashed append's
     * invisible orphans, so the keep set recomputes exactly. */
+  /** The FULL streaming-curation capstone: quality gates + SEMANTIC
+    * gate in ONE `foreachBatch` lifecycle — the production shape the
+    * operators' scaladocs advertise. Per micro-batch:
+    *  1. per-row curation (Bloom decontamination against `evalBloom`,
+    *     quality ≥ `minQuality`, PII redaction, split) — the
+    *     [[curateStream]] stages 2–5 (run [[dedupedStream]] upstream
+    *     on the stream for stage 1, which must see across batches);
+    *  2. SEMANTIC admission ([[SemDedupIngest]]): the curated
+    *     survivors' embeddings (`embCol` must ride the stream rows)
+    *     are gated against the persisted kept set at `statePath` —
+    *     within-batch dedup by the id rule, cross-batch arrival-wins —
+    *     and the admitted vectors JOIN that kept set, so the next
+    *     batch gates against them;
+    *  3. the admitted docs (FULL curated rows, quality/redaction/split
+    *     columns included) land at `outDir/batch_id=N`.
+    * Exactly-once end to end with ONE delivery token: the landing
+    * write runs inside [[SemDedupIngest.gateBatchWith]]'s delivery
+    * leg, BEFORE the `_epochs` commit — a committed batch key means
+    * curated + landed + kept-set-appended all happened, a replayed
+    * key no-ops the whole sink (recomputing the curation against the
+    * batch's own kept-set copies would empty the keep set — the
+    * [[idempotentCurateIngestSink]] data-loss class), and a crash at
+    * any earlier point replays byte-identically (orphan state rows
+    * are invisible, the landing dir overwrites itself). The curated
+    * frame is materialized once; the semantic gate and the landing
+    * join read one computation. A one-batch stream of the whole
+    * corpus ≡ the batch composition `q_curate_semantic` runs
+    * (spec-pinned, StreamingCurateSpec). */
+  def idempotentCurateSemanticSink(outDir: String, statePath: String,
+                                   idCol: String, textCol: String,
+                                   embCol: String, evalBloom: ShingleBloom,
+                                   minCosine: Double = 0.95,
+                                   minQuality: Double = 0.5)
+      : (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val key = s"batch_$batchId"
+      if (!SemDedupIngest.keyCommitted(batch.sparkSession, statePath, key) &&
+          batch.limit(1).collect().nonEmpty) {
+        val curated = graft.operators.Materialize.eagerCheckpoint(
+          perRowStages(batch, idCol, textCol, evalBloom, minQuality))
+        SemDedupIngest.gateBatchWith(
+          curated.select(col(idCol), col(embCol)), statePath, idCol, embCol,
+          minCosine, key) { admitted =>
+          writeBatchIdempotent(
+            curated.join(admitted.select(idCol), Seq(idCol), "left_semi"),
+            outDir, batchId)
+        }
+        ()
+      }
+    }
+
   def idempotentCurateIngestSink(outDir: String, name: String, idCol: String,
                                  textCol: String, evalBloom: ShingleBloom,
                                  minJaccard: Double = 0.8,

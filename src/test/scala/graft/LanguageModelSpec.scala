@@ -391,6 +391,168 @@ class LanguageModelSpec extends SparkSpec {
     intercept[IllegalArgumentException](LanguageModel.pruneKneserNeyN(kn5, 0))
   }
 
+  test("modified Kneser-Ney: scores match an independent plain-Scala " +
+    "reference, prune dominates, round-trip persists the discounts, and " +
+    "thin corpora fail loudly") {
+    // deterministic two-tier corpus (LCG so the shape is reproducible and
+    // was pre-validated): 5 common + 30 rare words over 60 docs of 12
+    // tokens populates count-of-counts n1..n3 at BOTH levels (top-level
+    // raw counts: 559/19/1; level-2 type counts: 258/64/25/8); four
+    // copies of a filler trigram add the top level's n4
+    var lcg = 1L
+    def nextLcg(): Long = {
+      lcg = lcg * 6364136223846793005L + 1442695040888963407L; lcg
+    }
+    val corpus = (1L to 60L).map { id =>
+      (id, Seq.fill(12) {
+        val r = nextLcg()
+        if (((r >>> 33) % 2) == 0) s"c${java.lang.Long.remainderUnsigned(r >>> 12, 5)}"
+        else f"r${java.lang.Long.remainderUnsigned(r >>> 12, 30)}%02d"
+      }.mkString(" "))
+    } ++ (61L to 64L).map(id => (id, "p1 p2 p3")) ++
+      (65L to 67L).map(id => (id, "q1 q2 q3")) // n3 += 1 keeps D3 ≥ 0
+    val corp = corpus.toDF("doc_id", "text")
+    val lm = LanguageModel.trainModifiedKneserNeyN(corp, "text", order = 3)
+    // ---- independent reference: the same estimator and recursion over
+    // plain Scala collections (no Spark, no SQL) ----
+    val toks = corpus.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toSeq
+    }.toMap
+    val tris = toks.values.flatMap(
+      _.sliding(3).filter(_.size == 3).map(s => (s(0), s(1), s(2)))).toSeq
+    val cnt = tris.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def buckets(cs: Iterable[Long]) = (cs.sum, cs.count(_ == 1L).toLong,
+      cs.count(_ == 2L).toLong, cs.count(_ >= 3L).toLong)
+    val ctxTop = cnt.groupBy { case ((a, b, _), _) => (a, b) }
+      .view.mapValues(m => buckets(m.values)).toMap
+    val cont2 = cnt.keys.groupBy { case (_, b, c) => (b, c) }
+      .view.mapValues(_.size.toLong).toMap
+    val ctx1 = cont2.groupBy(_._1._1)
+      .view.mapValues(m => buckets(m.values)).toMap
+    val cont1 = cont2.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val ntt = cont2.size.toLong
+    val vocab = toks.values.flatten.toSet.size
+    def disc(hist: Iterable[Long]) = {
+      val n1 = hist.count(_ == 1L); val n2 = hist.count(_ == 2L)
+      val n3 = hist.count(_ == 3L); val n4 = hist.count(_ == 4L)
+      assert(n1 > 0 && n2 > 0 && n3 > 0, "test corpus must populate n1..n3")
+      val y = n1 / (n1 + 2.0 * n2)
+      (1.0 - (2.0 * y * n2) / n1, 2.0 - (3.0 * y * n3) / n2,
+        3.0 - (4.0 * y * n4) / n3)
+    }
+    val dl2 = disc(cont2.values); val dtop = disc(cnt.values)
+    assert(lm.discounts == IndexedSeq(dl2, dtop),
+      "train-time estimates must equal the reference estimator")
+    def dsel(c: Long, d: (Double, Double, Double)) =
+      if (c >= 3) d._3 else if (c == 2) d._2 else d._1
+    def p1(w3: String) = (cont1.getOrElse(w3, 0L) + 0.5) / (ntt.toDouble + 0.5 * vocab)
+    def p2(w2: String, w3: String) = ctx1.get(w2) match {
+      case None => p1(w3)
+      case Some((s1, f1, f2, f3)) =>
+        val n = cont2.getOrElse((w2, w3), 0L)
+        math.max(n - dsel(n, dl2), 0.0) / s1 +
+          ((dl2._1 * f1 + dl2._2 * f2 + dl2._3 * f3) / s1) * p1(w3)
+    }
+    def p3(a: String, b: String, c: String) = ctxTop.get((a, b)) match {
+      case None => p2(b, c)
+      case Some((tot, t1, t2, t3)) =>
+        val n = cnt.getOrElse((a, b, c), 0L)
+        math.max(n - dsel(n, dtop), 0.0) / tot +
+          ((dtop._1 * t1 + dtop._2 * t2 + dtop._3 * t3) / tot) * p2(b, c)
+    }
+    val expected = toks.view.mapValues { t =>
+      val ts = t.sliding(3).filter(_.size == 3).toSeq
+      if (ts.isEmpty) None
+      else Some(-ts.map(s => math.log(p3(s(0), s(1), s(2)))).sum / ts.size)
+    }.toMap
+    def xents(out: org.apache.spark.sql.DataFrame) = out.collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    val got = xents(
+      LanguageModel.crossEntropyModifiedKneserNeyN(corp, "doc_id", "text", lm))
+    expected.foreach { case (id, e) =>
+      (e, got(id)) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-12, s"doc $id")
+        case (a, b) => assert(a == b, s"doc $id")
+      }
+    }
+    // foreign docs: every leg finite
+    val foreign = Seq((901L, "z z z z"), (902L, "a b z c a")).toDF("doc_id", "text")
+    xents(LanguageModel.crossEntropyModifiedKneserNeyN(
+      foreign, "doc_id", "text", lm)).foreach { case (id, x) =>
+      assert(x.exists(v => v > 0 && java.lang.Double.isFinite(v)), s"doc $id")
+    }
+    // prune dominance: discounts and cascade stay full-corpus
+    val pruned = LanguageModel.pruneModifiedKneserNeyN(lm, minCount = 2)
+    assert(pruned.discounts == lm.discounts)
+    val pOut = xents(
+      LanguageModel.crossEntropyModifiedKneserNeyN(corp, "doc_id", "text", pruned))
+    got.foreach {
+      case (id, Some(a)) => assert(pOut(id).get >= a - 1e-12, s"doc $id")
+      case (id, None) => assert(pOut(id).isEmpty)
+    }
+    // round-trip: discounts persist; scores identical; foreign layouts refuse
+    val dir = java.nio.file.Files.createTempDirectory("graft-mknlm").toFile
+    dir.deleteOnExit()
+    val path = new java.io.File(dir, "m").getAbsolutePath
+    LanguageModel.writeModifiedKneserNeyN(lm, path)
+    val back = LanguageModel.readModifiedKneserNeyN(spark, path)
+    assert(back.order == 3 && back.discounts == lm.discounts &&
+      back.vocabSize == lm.vocabSize && back.nContTypes == lm.nContTypes)
+    assert(xents(LanguageModel.crossEntropyModifiedKneserNeyN(corp, "doc_id",
+      "text", back)) == got)
+    intercept[Exception](LanguageModel.readKneserNeyN(spark, path))
+    LanguageModel.writeKneserNeyN(
+      LanguageModel.trainKneserNeyN(corp, "text", order = 3), path)
+    intercept[Exception](LanguageModel.readModifiedKneserNeyN(spark, path))
+    // broadcast and shuffle serving forms agree exactly
+    assert(xents(LanguageModel.crossEntropyModifiedKneserNeyN(corp, "doc_id",
+      "text", lm, broadcastModel = false)) == got)
+    // a corpus too thin for Chen-Goodman fails loudly, naming the remedy
+    val thin = intercept[IllegalArgumentException](
+      LanguageModel.trainModifiedKneserNeyN(docs, "text", order = 3))
+    assert(thin.getMessage.contains("trainKneserNeyN"),
+      s"the failure must name the fixed-discount fallback: ${thin.getMessage}")
+    // construction guards
+    intercept[IllegalArgumentException](
+      lm.copy(discounts = lm.discounts.updated(0, (1.5, 1.0, 1.0))))
+    intercept[IllegalArgumentException](lm.copy(discounts = lm.discounts.tail))
+    intercept[IllegalArgumentException](
+      LanguageModel.pruneModifiedKneserNeyN(lm, 0))
+  }
+
+  test("broadcastModel auto-falls back to the shuffle join above " +
+    "maxBroadcastRows — the guard on the one corpus-growing default") {
+    // bound of 0: even this tiny model exceeds it, so the requested
+    // broadcast HINT must be withheld and the scores must not change.
+    // The assertion is on the logical hint, not the physical join: AQE
+    // is still free to auto-broadcast a table its OWN size check says
+    // fits (that check is size-aware, which is the whole point — the
+    // danger was only the unconditional hint that overrides it).
+    def hinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains("strategy=broadcast")
+    val b = LanguageModel.crossEntropy(docs, "doc_id", "text", lm)
+    val bRows = b.orderBy("doc_id").collect().toSeq
+    assert(hinted(b), "under the bound, the model tables carry the hint")
+    val g = LanguageModel.crossEntropy(docs, "doc_id", "text", lm,
+      broadcastModel = true, maxBroadcastRows = 0L)
+    val gRows = g.orderBy("doc_id").collect().toSeq
+    assert(gRows == bRows, "the fallback form must score identically")
+    assert(!hinted(g),
+      "above the bound, the requested broadcast hint is refused: " +
+        g.queryExecution.optimizedPlan.toString)
+    // the same guard rides every family member
+    val kn = LanguageModel.trainKneserNey(docs, "text")
+    val knB = LanguageModel.crossEntropyKneserNey(docs, "doc_id", "text", kn)
+      .orderBy("doc_id").collect().toSeq
+    val knG = LanguageModel.crossEntropyKneserNey(docs, "doc_id", "text", kn,
+      broadcastModel = true, maxBroadcastRows = 0L)
+    assert(knG.orderBy("doc_id").collect().toSeq == knB)
+    assert(!hinted(knG))
+    intercept[IllegalArgumentException](
+      LanguageModel.crossEntropy(docs, "doc_id", "text", lm,
+        maxBroadcastRows = -1L).collect())
+  }
+
   test("degenerate models are rejected at construction") {
     intercept[IllegalArgumentException] {
       BigramLm(lm.bigrams, lm.contexts, vocabSize = 0L, alpha = 0.5)

@@ -592,6 +592,49 @@ class RunnerSpec extends SparkSpec {
     assert(spark.read.parquet(hits).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
       == afterDelete, "serve after pq-compact must equal serve before")
+    // pq-refresh on the index's own build corpus: deterministic refit ⇒
+    // zero drift, no rebuild — and the greppable trajectory line
+    val refreshOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(refreshOut)(Main.run(Seq("pq-refresh", "--in", base,
+      "--path", ix, "--iters", "3"), spark))
+    assert(refreshOut.toString.contains("rebuilt=false") &&
+      refreshOut.toString.contains("drift=0.0000"), refreshOut.toString)
+  }
+
+  test("curate-stream-semantic --once: semgate-init then the capstone sink — " +
+    "semantic near-dups gated across the landing backlog") {
+    import spark.implicits._
+    val landing = outDir("cli-sem-docs"); val ev = outDir("cli-sem-eval")
+    val out = outDir("cli-sem-out"); val ckpt = outDir("cli-sem-ckpt")
+    val state = outDir("cli-sem-state") + "/gate"
+    val seed = outDir("cli-sem-seed")
+    val A: Seq[Float] = Seq.fill(6)(9.0f)
+    val nearA: Seq[Float] = 9.3f +: Seq.fill(5)(9.0f)
+    val B: Seq[Float] = Seq.fill(6)(-9.0f)
+    Seq((100L, A), (101L, B)).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(seed)
+    Main.run(Seq("semgate-init", "--in", seed, "--path", state,
+      "--k", "2", "--iters", "3"), spark)
+    Seq(
+      (1L, "a completely new report about the harvest with plenty of the " +
+        "usual words in it for the quality gate to like and to keep", A),
+      // semantic near-dup of doc 1 (the id rule gates the higher id)
+      (2L, "another genuinely novel piece of text with plenty of ordinary " +
+        "words in it to pass the quality gate comfortably", nearA),
+      (3L, "a third sufficiently long and ordinary piece of writing with " +
+        "plenty of the usual words for the quality gate to keep", B)
+    ).toDF("doc_id", "text", "embedding")
+      .write.mode("overwrite").parquet(landing)
+    Seq((100L, "unique eval sequence words here")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(ev)
+    Main.run(Seq("curate-stream-semantic", "--landing", landing, "--eval", ev,
+      "--out", out, "--state", state, "--checkpoint", ckpt,
+      "--shingle-k", "3", "--once"), spark)
+    val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), s"kept: $kept")
+    // the admitted vectors joined the gate's kept set
+    assert(graft.streaming.SemDedupIngest.keptSet(spark, state)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
   }
 
   private def dropTables(): Unit =

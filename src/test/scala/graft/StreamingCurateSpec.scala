@@ -561,6 +561,93 @@ class StreamingCurateSpec extends SparkSpec {
       minJaccard = 0.5).count() == 1, "the stale index is exactly what misses it")
   }
 
+  test("idempotentCurateSemanticSink: quality gates + semantic gate in one " +
+    "lifecycle — within-batch and cross-batch embedding near-dups gated, " +
+    "replays no-op both legs, one-batch ≡ the batch composition") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Similarity, TextAnalysis}
+    import graft.streaming.SemDedupIngest
+    val bloom = StreamingCurate.evalShingleBloom(evalDocs, "doc_id", "text", k = 8)
+    val centroids = Array(Array.fill(6)(9.0), Array.fill(6)(-9.0))
+    val A: Seq[Float] = Seq.fill(6)(9.0f)
+    val nearA: Seq[Float] = 9.3f +: Seq.fill(5)(9.0f) // cosine ≈ 0.9999 to A
+    val nearA2: Seq[Float] = 8.7f +: Seq.fill(5)(9.0f)
+    val B: Seq[Float] = Seq.fill(6)(-9.0f)
+    val batch0 = Seq(
+      // contaminated vs the eval corpus: Bloom drops it BEFORE the gate —
+      // its embedding must never enter the kept set
+      (10L, "intro words alpha beta gamma delta epsilon zeta eta theta " +
+        "iota kappa end", A),
+      // novel, good quality: admitted, joins the kept set
+      (11L, "a completely new report about the harvest with plenty of the " +
+        "usual words in it for the quality gate to like and to keep", A),
+      // WITHIN-batch semantic near-dup of 11 (higher id loses, the id rule)
+      (12L, "another genuinely novel piece of text with plenty of ordinary " +
+        "words in it to pass the quality gate comfortably", nearA),
+      (13L, "!!! ??? ### $$$", B)) // low quality: dropped pre-gate
+    val batch1 = Seq(
+      // CROSS-batch semantic near-dup of admitted 11: arrival wins
+      (20L, "a third sufficiently long and ordinary piece of writing with " +
+        "plenty of the usual words for the quality gate to keep", nearA2),
+      // distinct cluster: admitted
+      (21L, "a fourth sufficiently long and ordinary piece of writing with " +
+        "plenty of the usual words for the quality gate to keep", B))
+    val statePath = java.nio.file.Files.createTempDirectory("semcur-state").toString + "/gate"
+    val out = java.nio.file.Files.createTempDirectory("semcur-out").toString
+    SemDedupIngest.init(spark, statePath, centroids)
+    val sink = StreamingCurate.idempotentCurateSemanticSink(out, statePath,
+      "doc_id", "text", "embedding", bloom, minCosine = 0.95)
+    val in = MemoryStream[(Long, String, Seq[Float])]
+    val q = in.toDF().toDF("doc_id", "text", "embedding")
+      .writeStream.foreachBatch(sink).start()
+    in.addData(batch0: _*)
+    q.processAllAvailable()
+    in.addData(batch1: _*)
+    q.processAllAvailable()
+    q.stop()
+    def landed() = spark.read.parquet(out)
+    assert(landed().select("doc_id").as[Long].collect().toSet == Set(11L, 21L),
+      "10 contaminated, 13 low-quality, 12 within-batch near-dup, " +
+        "20 cross-batch near-dup of the admitted 11")
+    // the landed rows are the CURATED rows (quality/redaction/split ride)
+    val r11 = landed().filter($"doc_id" === 11L).collect().head
+    assert(r11.getAs[Double]("quality_score") >= 0.5)
+    assert(Set("train", "val", "test").contains(r11.getAs[String]("split")))
+    // the kept-set state is exactly the admitted vectors
+    assert(SemDedupIngest.keptSet(spark, statePath)
+      .select("doc_id").as[Long].collect().toSet == Set(11L, 21L))
+    // replay batch 0: ONE delivery token covers both legs — no landing
+    // rewrite, no new epoch, kept set unchanged
+    val epochsBefore = spark.read.parquet(s"$statePath/_epochs").count()
+    sink(batch0.toDF("doc_id", "text", "embedding"), 0L)
+    assert(landed().select("doc_id").as[Long].collect().toSet == Set(11L, 21L))
+    assert(spark.read.parquet(s"$statePath/_epochs").count() == epochsBefore,
+      "a replayed batch must not commit a new epoch")
+    assert(landed().groupBy("doc_id").count()
+      .filter(col("count") > 1).count() == 0, "no doc may land twice")
+    // ONE-BATCH EQUIVALENCE (the q_curate_semantic claim): a single batch
+    // of the whole corpus lands exactly what the batch composition keeps —
+    // per-row gates, then semDedup over the survivors' embeddings
+    val all = batch0 ++ batch1
+    val statePath2 = java.nio.file.Files.createTempDirectory("semcur-st2").toString + "/gate"
+    val out2 = java.nio.file.Files.createTempDirectory("semcur-out2").toString
+    SemDedupIngest.init(spark, statePath2, centroids)
+    StreamingCurate.idempotentCurateSemanticSink(out2, statePath2,
+      "doc_id", "text", "embedding", bloom, minCosine = 0.95)(
+      all.toDF("doc_id", "text", "embedding"), 0L)
+    val survivors = TextAnalysis.withQuality(
+        all.toDF("doc_id", "text", "embedding")
+          .filter(!StreamingCurate.contaminated(col("text"), bloom)), "text")
+      .filter(col("quality_score") >= 0.5)
+    val batchKept = Similarity.semDedup(
+        survivors.select(col("doc_id").as("vec_id"), col("embedding")),
+        "vec_id", "embedding", centroids, minCosine = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(spark.read.parquet(out2).select("doc_id").as[Long].collect().toSet
+      == batchKept, "one-batch stream must equal the batch composition")
+    assert(batchKept == Set(11L, 21L), "fixture sanity")
+  }
+
   test("curateStream: dedup within watermark, Bloom decontamination, quality, " +
     "redaction, split — append stream") {
     implicit val sqlCtx = spark.sqlContext

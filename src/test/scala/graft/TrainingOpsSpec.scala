@@ -674,6 +674,67 @@ class TrainingOpsSpec extends SparkSpec {
     assert(messages(e).contains("residual codebooks did not"), messages(e))
   }
 
+  test("refreshPqIndex: coarse drift detection on the residual-PQ layout — " +
+    "no-op under tolerance, above it retrains BOTH quantizers at the " +
+    "index's own geometry and re-encodes the corpus") {
+    val rnd = new scala.util.Random(17)
+    val centers = Seq(Array.fill(8)(9.0), Array.fill(8)(-9.0),
+      Array.tabulate(8)(i => if (i % 2 == 0) 9.0 else -9.0))
+    def cloud(ctr: Array[Double]): Seq[Float] =
+      ctr.map(x => (x + rnd.nextGaussian() * 0.3).toFloat).toSeq
+    val corpus = (0 until 90).map(i => (i.toLong, cloud(centers(i % 3))))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(corpus, "vec_id", "embedding", k = 3,
+      iters = 4)
+    val cb = Similarity.trainPqResidual(corpus, "vec_id", "embedding", cents,
+      m = 4, ksub = 8, iters = 3)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pq-refresh").toString + "/ix"
+    Similarity.writeLearnedPqIndex(corpus, "vec_id", "embedding", dir, cents, cb)
+    // unchanged corpus: deterministic refit ⇒ zero drift, no rewrite
+    val r1 = Similarity.refreshPqIndex(dir, corpus, "vec_id", "embedding",
+      iters = 4, driftTolerance = 0.05)
+    assert(r1 == Similarity.IvfRefresh(0.0, rebuilt = false),
+      s"an unchanged corpus must read zero drift and skip the rebuild: $r1")
+    // migration (the refreshIvfIndex scenario): a third of cloud 2's rows
+    // move into cloud 0's location — cell membership changes
+    val shifted = (0 until 90).map { i =>
+      val c = if (i % 3 == 2 && i < 30) centers(0) else centers(i % 3)
+      (i.toLong, cloud(c))
+    }.toDF("vec_id", "embedding")
+    val r2 = Similarity.refreshPqIndex(dir, shifted, "vec_id", "embedding",
+      iters = 4, driftTolerance = 0.05)
+    assert(r2.rebuilt && r2.drift >= 0.1,
+      s"10/90 rows moved cells - drift must cross the 0.05 tolerance: $r2")
+    // the rebuild kept the index's own PQ geometry and re-encoded: serving
+    // is bit-identical to an inline residual index at the refit quantizers
+    val (newCents, newCb) = Similarity.loadPqQuantizers(spark, dir)
+    assert(newCb.codebooks.length == 4 && newCb.codebooks.head.length == 8,
+      "refresh must keep the index's own m/ksub geometry")
+    val queries = shifted.filter($"vec_id" < 6)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("nn_id"), r.getAs[Double]("cosine")))).toMap
+    val served = asMap(Similarity.servePqIndex(dir, shifted, queries,
+      "vec_id", "embedding", 3, nprobe = 2, candidateFactor = 4))
+    val inline = asMap(Similarity.ivfTopKPqResidual(
+      Similarity.buildPqIndexResidual(shifted, "vec_id", "embedding",
+        newCents, newCb),
+      shifted, queries, "vec_id", "embedding", newCents, newCb, 3,
+      nprobe = 2, candidateFactor = 4))
+    assert(served == inline,
+      "post-refresh serving must answer from the refit quantizers, re-encoded")
+    // the rebuild converged: a second refresh on the same corpus is clean
+    val r3 = Similarity.refreshPqIndex(dir, shifted, "vec_id", "embedding",
+      iters = 4, driftTolerance = 0.05)
+    assert(r3 == Similarity.IvfRefresh(0.0, rebuilt = false),
+      s"refresh after rebuild must be a no-op: $r3")
+    intercept[IllegalArgumentException](Similarity.refreshPqIndex(dir,
+      shifted, "vec_id", "embedding", driftTolerance = 1.5))
+    intercept[IllegalArgumentException](Similarity.refreshPqIndex(dir,
+      shifted, "vec_id", "embedding", m = -1))
+  }
+
   test("sampleStratified: per-stratum fractions, determinism, null strata, salt re-deal") {
     val d = (0L until 400L).map(i =>
       (i, if (i % 4 == 3) null else s"s${i % 4}")).toDF("doc_id", "source")
