@@ -468,13 +468,31 @@ object Bench {
         f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
           f""""names":"nosep","queries":$m,"sf":"$sfBase"}"""
       }
+    // level-3 compaction (r15: 108 queries overflow the nosep map too —
+    // 2039 B): abbreviate every `_`-separated name token to its first 3
+    // chars (q_lm_xent_kn3_served → lmxenkn3ser), collision-checked
+    // against the canonical list (skipped on any collision); ~1.55 KB at
+    // 108 queries. "names":"abbrev3" marks the transformation in-band.
+    val abbrev3 = results.map { case (k, v, _, _, _, _) =>
+      k.stripPrefix("q_").split('_').map(_.take(3)).mkString -> v
+    }
+    val compactLine3 =
+      if (abbrev3.map(_._1).distinct.size != abbrev3.size) None
+      else Some {
+        val m = abbrev3.map { case (k, v) => f""""$k":$v%.1f""" }
+          .mkString("{", ",", "}")
+        val sfBase = new java.io.File(sfDir).getName
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+          f""""names":"abbrev3","queries":$m,"sf":"$sfBase"}"""
+      }
     val safeLine =
       if (contractLine.length <= 1980) contractLine
-      else compactLine2.filter(_.length <= 1980) match {
+      else (compactLine2.filter(_.length <= 1980) orElse
+        compactLine3.filter(_.length <= 1980)) match {
         case Some(l2) =>
           System.err.println(s"[bench] contract line ${contractLine.length} B " +
             s"exceeds the ~2000-byte tail capture — emitting the ${l2.length} B " +
-            "separator-stripped map (full names in bench_full.json)")
+            "compacted map (full names in bench_full.json)")
           l2
         case None =>
           System.err.println(s"[bench] contract line ${contractLine.length} B " +

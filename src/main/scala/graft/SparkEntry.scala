@@ -2748,13 +2748,19 @@ object SparkEntry {
           s"FROM cont${k + 1} GROUP BY ${groupBy(k)}),")
     }.mkString("\n")
     // one Chen-Goodman discount CTE per level — the engine's literal
-    // driver arithmetic: y = n1/(n1 + 2.0*n2), d1 = 1.0 - (2.0*y*n2)/n1 …
+    // driver arithmetic: y = n1/(n1 + 2.0*n2), d1 = 1.0 - (2.0*y*n2)/n1,
+    // each estimate CLAMPED into its normalization-safe range, and the
+    // whole level falling back to the fixed 0.75 when its histogram
+    // cannot feed the estimator (n1, n2 or n3 = 0 — real on dense
+    // corpora) — exactly LanguageModel.estimateDiscounts' rules
     def discountCte(name: String, tbl: String, c: String) =
       s""" $name AS (
-         |  SELECT 1.0 - (2.0 * y * n2) / n1 AS d1,
-         |         2.0 - (3.0 * y * n3) / n2 AS d2,
-         |         3.0 - (4.0 * y * n4) / n3 AS d3
-         |  FROM (SELECT n1 / (n1 + 2.0 * n2) AS y, n1, n2, n3, n4
+         |  SELECT CASE WHEN ok THEN least(greatest(1.0 - (2.0 * y * n2) / n1, 0.0), 1.0) ELSE 0.75 END AS d1,
+         |         CASE WHEN ok THEN least(greatest(2.0 - (3.0 * y * n3) / n2, 0.0), 2.0) ELSE 0.75 END AS d2,
+         |         CASE WHEN ok THEN least(greatest(3.0 - (4.0 * y * n4) / n3, 0.0), 3.0) ELSE 0.75 END AS d3
+         |  FROM (SELECT n1 > 0 AND n2 > 0 AND n3 > 0 AS ok,
+         |               CASE WHEN n1 > 0 THEN n1 / (n1 + 2.0 * n2) ELSE 0.0 END AS y,
+         |               n1, n2, n3, n4
          |        FROM (SELECT count(*) FILTER (WHERE $c = 1) AS n1,
          |                     count(*) FILTER (WHERE $c = 2) AS n2,
          |                     count(*) FILTER (WHERE $c = 3) AS n3,

@@ -784,10 +784,15 @@ object LanguageModel {
     * backoff weight frees exactly the discounted mass,
     * γ(ctx) = (D₁·N₁(ctx·) + D₂·N₂(ctx·) + D₃₊·N₃₊(ctx·)) / c(ctx·),
     * so the distribution stays normalized as long as 0 ≤ D₁ ≤ 1,
-    * 0 ≤ D₂ ≤ 2, 0 ≤ D₃₊ ≤ 3 — which the estimator guarantees on the
-    * upper side by construction and [[trainModifiedKneserNeyN]]
-    * `require`s on the lower (a corpus adversarial enough to drive an
-    * estimate negative should fail loudly, not silently mis-smooth).
+    * 0 ≤ D₂ ≤ 2, 0 ≤ D₃₊ ≤ 3 — the estimator guarantees the upper
+    * bounds by construction and [[estimateDiscounts]] CLAMPS the lower
+    * (adversarial histograms can cross zero); a level whose histogram
+    * cannot feed the estimator at all falls back to the fixed
+    * [[FallbackDiscount]] for that level (SRILM's behavior — real on
+    * dense corpora, where a low continuation level may have NO
+    * count-1 types), and with every level on the fallback the model
+    * is bit-identical to the fixed-discount [[KneserNeyNLm]]
+    * (spec-pinned degeneracy).
     *
     * Tables are [[KneserNeyNLm]]'s with the context tables' single
     * type count split into the three buckets the weights need:
@@ -826,13 +831,27 @@ object LanguageModel {
     require(beta > 0.0, s"continuation floor beta must be > 0, got $beta")
   }
 
+  /** The per-level fallback discount when a level's count histogram is
+    * too thin for the Chen-Goodman estimator — the classic fixed D
+    * (and [[trainKneserNeyN]]'s default). 0.75 = 3/4 is exactly
+    * representable, so an all-fallback modified model is BIT-identical
+    * to the fixed-discount [[KneserNeyNLm]] (0.75·f₁ + 0.75·f₂ +
+    * 0.75·f₃ ≡ 0.75·f exactly in binary) — spec-pinned. */
+  val FallbackDiscount: Double = 0.75
+
   /** Chen & Goodman discount estimates for one level from its
     * count-of-counts — a single bounded aggregation over an
     * already-materialized count table (n₁..n₄ are four conditional
-    * sums in one pass), then pure driver arithmetic. Fails loudly when
-    * the level's count histogram is too thin for the estimator (some
-    * nᵢ = 0 ⇒ a division by zero) — the caller's remedy is the
-    * fixed-discount [[trainKneserNeyN]], named in the message. */
+    * sums in one pass), then pure driver arithmetic. A level whose
+    * histogram cannot feed the estimator (some of n₁..n₃ = 0 — REAL on
+    * dense corpora: at a low continuation level every suffix can have
+    * many distinct contexts, leaving no count-1 types at all) falls
+    * back to the fixed [[FallbackDiscount]] at THAT level, SRILM's
+    * behavior, noted on stderr; usable estimates are CLAMPED into the
+    * normalization-safe ranges ([0,1]/[0,2]/[0,3] — the upper bounds
+    * hold by construction, the lower can be crossed by adversarial
+    * histograms). Both rules are pure arithmetic on the four counts,
+    * so the generated DuckDB oracle replays them exactly. */
   private def estimateDiscounts(counts: DataFrame, cntCol: String,
                                 level: String): (Double, Double, Double) = {
     val r = counts.agg(
@@ -842,21 +861,20 @@ object LanguageModel {
       sum(when(col(cntCol) === 4, 1L).otherwise(0L))).head()
     val (n1, n2, n3, n4) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    require(n1 > 0 && n2 > 0 && n3 > 0,
-      s"modified-KN discount estimation at $level needs count-of-counts " +
-        s"n1..n3 > 0, got n1=$n1 n2=$n2 n3=$n3 n4=$n4 — the corpus is too " +
-        "small or too uniform for Chen-Goodman estimates; use " +
-        "trainKneserNeyN's fixed discount instead")
-    // the exact IEEE association the generated DuckDB oracle replays
-    val y = n1 / (n1 + 2.0 * n2)
-    val d1 = 1.0 - (2.0 * y * n2) / n1
-    val d2 = 2.0 - (3.0 * y * n3) / n2
-    val d3 = 3.0 - (4.0 * y * n4) / n3
-    require(d1 >= 0.0 && d2 >= 0.0 && d3 >= 0.0,
-      s"Chen-Goodman estimates went negative at $level (D1=$d1 D2=$d2 " +
-        s"D3=$d3 from n1=$n1 n2=$n2 n3=$n3 n4=$n4) — the count histogram " +
-        "is adversarial; use trainKneserNeyN's fixed discount instead")
-    (d1, d2, d3)
+    if (n1 == 0 || n2 == 0 || n3 == 0) {
+      System.err.println(
+        s"[graft.lm] $level count-of-counts too thin for Chen-Goodman " +
+          s"(n1=$n1 n2=$n2 n3=$n3 n4=$n4) — using the fixed " +
+          s"$FallbackDiscount discounts at this level")
+      (FallbackDiscount, FallbackDiscount, FallbackDiscount)
+    } else {
+      // the exact IEEE association the generated DuckDB oracle replays
+      val y = n1 / (n1 + 2.0 * n2)
+      val d1 = math.min(math.max(1.0 - (2.0 * y * n2) / n1, 0.0), 1.0)
+      val d2 = math.min(math.max(2.0 - (3.0 * y * n3) / n2, 0.0), 2.0)
+      val d3 = math.min(math.max(3.0 - (4.0 * y * n4) / n3, 0.0), 3.0)
+      (d1, d2, d3)
+    }
   }
 
   /** Train a [[ModifiedKneserNeyNLm]] at `order`: the

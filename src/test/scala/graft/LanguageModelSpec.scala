@@ -393,7 +393,7 @@ class LanguageModelSpec extends SparkSpec {
 
   test("modified Kneser-Ney: scores match an independent plain-Scala " +
     "reference, prune dominates, round-trip persists the discounts, and " +
-    "thin corpora fail loudly") {
+    "thin levels degrade bit-identically to the fixed-discount cascade") {
     // deterministic two-tier corpus (LCG so the shape is reproducible and
     // was pre-validated): 5 common + 30 rare words over 60 docs of 12
     // tokens populates count-of-counts n1..n3 at BOTH levels (top-level
@@ -437,8 +437,9 @@ class LanguageModelSpec extends SparkSpec {
       val n3 = hist.count(_ == 3L); val n4 = hist.count(_ == 4L)
       assert(n1 > 0 && n2 > 0 && n3 > 0, "test corpus must populate n1..n3")
       val y = n1 / (n1 + 2.0 * n2)
-      (1.0 - (2.0 * y * n2) / n1, 2.0 - (3.0 * y * n3) / n2,
-        3.0 - (4.0 * y * n4) / n3)
+      (math.min(math.max(1.0 - (2.0 * y * n2) / n1, 0.0), 1.0),
+        math.min(math.max(2.0 - (3.0 * y * n3) / n2, 0.0), 2.0),
+        math.min(math.max(3.0 - (4.0 * y * n4) / n3, 0.0), 3.0))
     }
     val dl2 = disc(cont2.values); val dtop = disc(cnt.values)
     assert(lm.discounts == IndexedSeq(dl2, dtop),
@@ -507,11 +508,19 @@ class LanguageModelSpec extends SparkSpec {
     // broadcast and shuffle serving forms agree exactly
     assert(xents(LanguageModel.crossEntropyModifiedKneserNeyN(corp, "doc_id",
       "text", lm, broadcastModel = false)) == got)
-    // a corpus too thin for Chen-Goodman fails loudly, naming the remedy
-    val thin = intercept[IllegalArgumentException](
-      LanguageModel.trainModifiedKneserNeyN(docs, "text", order = 3))
-    assert(thin.getMessage.contains("trainKneserNeyN"),
-      s"the failure must name the fixed-discount fallback: ${thin.getMessage}")
+    // a corpus too thin for Chen-Goodman at EVERY level falls back to
+    // the fixed 0.75 discounts per level — and with all levels on the
+    // fallback the modified model is BIT-identical to the
+    // fixed-discount KN-N (0.75·f1 + 0.75·f2 + 0.75·f3 ≡ 0.75·f
+    // exactly in binary): the documented degeneracy, pinned
+    val thinLm = LanguageModel.trainModifiedKneserNeyN(docs, "text", order = 3)
+    assert(thinLm.discounts.forall(_ == ((0.75, 0.75, 0.75))),
+      s"thin levels must use the fixed fallback: ${thinLm.discounts}")
+    assert(xents(LanguageModel.crossEntropyModifiedKneserNeyN(docs, "doc_id",
+        "text", thinLm)) ==
+      xents(LanguageModel.crossEntropyKneserNeyN(docs, "doc_id", "text",
+        LanguageModel.trainKneserNeyN(docs, "text", order = 3))),
+      "all-fallback modified KN must be bit-identical to fixed-discount KN")
     // construction guards
     intercept[IllegalArgumentException](
       lm.copy(discounts = lm.discounts.updated(0, (1.5, 1.0, 1.0))))
