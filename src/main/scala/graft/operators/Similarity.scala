@@ -933,7 +933,17 @@ object Similarity {
     * invisible), the per-cell residual ADC shortlist runs on the code
     * payload, and the shortlist re-scores exact against `corpus`'s
     * full-precision vectors. The whole production IVF-PQ serving story
-    * in one call, nothing for the caller to keep consistent. */
+    * in one call, nothing for the caller to keep consistent.
+    *
+    * RECALL GUIDANCE (measured, bench_scale_recall.json): on clustered
+    * corpora the committed m=8/ksub=16 geometry recalls ~0.93@10 at
+    * the default `candidateFactor` — near the int8 tier at 9× less
+    * memory. On UNSTRUCTURED (near-uniform) vectors 8 bytes over 64
+    * dims is honestly lossy (~0.44@10 probing every cell); the
+    * artifact's `pq_dial` table is the dial — more code bytes (m) and
+    * a deeper shortlist (`candidateFactor` 4 → 16) buy recall back at
+    * rescore cost — so pick the (m, candidateFactor) point from the
+    * measured ladder rather than guessing. */
   def servePqIndex(indexPath: String, corpus: DataFrame, queries: DataFrame,
                    idCol: String, embCol: String, k: Int, nprobe: Int = 2,
                    candidateFactor: Int = 4): DataFrame = {
