@@ -1198,18 +1198,22 @@ object Bench {
     // buckets and `candidates` tracks k outright; on the 4-term
     // uniform-idf shape — the WAND term-sum worst case, where r14's
     // kept == total was the honest outcome — the r15 MaxScore split
-    // makes kept < total at every size (`essential_terms` < 4 is the
-    // mechanism), at the measured price of a wider candidate band:
-    // skipping a term's scan leaves its maxUb as per-doc bound slack,
-    // so candidates = the docs within that slack of the θ₃-refined cut
-    // (k-proportional at serving k's on this corpus, wider at k ≥ 50;
-    // uniform-idf maximizes the slack — on Zipfian queries the skipped
-    // terms are the LOW-impact ones and the band collapses toward k).
-    // The θ₃ refinement (exact rescore of the top-k by bound) is what
-    // keeps the band from ballooning to df-scale — measured 10× on
-    // this shape. Wall secs ride as context. Every point is
-    // cross-checked EXACT against exhaustive scoring + the same
-    // rounded k-cut, so no volume win can come from a wrong answer.
+    // makes kept < total WHEREVER ITS OWN VOLUME RULE SAYS THE SPLIT
+    // PAYS (`essential_terms` < 4 marks those points): skipping a
+    // term's scan leaves its maxUb as per-doc bound slack, so the
+    // candidate band widens (θ₃-contained — exact rescore of the
+    // top-k by bound, measured 10× tighter than θ₂ alone), and the
+    // serve falls back to the all-essential pass exactly where
+    // candidates × |terms| would exceed the postings the split saved
+    // (toy 1× at k=10, and k ≥ 50 — where candidates snap back to ~k
+    // and kept back to total). Asymptotically the split wins this
+    // shape: saved grows ∝ df while the band stays a ~7%-of-df
+    // near-tie fringe, so every larger size keeps 75%. On Zipfian
+    // queries the skipped terms are the LOW-impact ones and the band
+    // collapses toward k with no fallback needed. Wall secs ride as
+    // context. Every point is cross-checked EXACT against exhaustive
+    // scoring + the same rounded k-cut, so no volume win can come
+    // from a wrong answer.
     def r6(c: org.apache.spark.sql.Column) =
       floor(c * 1000000.0 + 0.5) / 1000000.0
     def topkRows(path: String, q: String, k: Int): Seq[(Long, Double)] =

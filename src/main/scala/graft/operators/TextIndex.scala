@@ -565,7 +565,15 @@ object TextIndex {
     *     are recovered exactly in the rescore. This is the lever on
     *     the WAND worst case (all terms common at similar idf), where
     *     the term-sum test below keeps every block but θ makes 1–2 of
-    *     4 lists non-essential. (b) BLOCKS of the essential terms, by
+    *     4 lists non-essential. The split is ADAPTIVE by its own
+    *     accounting: it saves exactly the skipped lists' Σdf postings
+    *     and costs exactly candidates × |terms| rescore lookups, so
+    *     the split pass's candidate collect is capped at break-even
+    *     and overflowing it re-runs the phase with every term
+    *     essential (exact partials, candidates ~k) — which is also
+    *     what keeps a corpus-scale uniform-idf query from failing the
+    *     [[MaxTopKCandidates]] bound the full scan never hits.
+    *     (b) BLOCKS of the essential terms, by
     *     the WAND term-sum test (driver arithmetic over the ≤ 257·m
     *     collected meta rows): keep (t, blk) iff `ub(t, blk) +
     *     Σ_{t'≠t} maxUb(t') ≥ θ − margin`, `ub` = idf(t) ·
@@ -727,114 +735,144 @@ object TextIndex {
       }
       ne.toSet
     }
-    val essential = present.filterNot(nonEssential)
-    // phase 2a: per-ESSENTIAL-term kept-block prefix under the WAND
-    // term-sum test (with the rounded-cut margin); `rest` keeps summing
-    // over ALL other terms — non-essential ones could still co-occur,
-    // so their maxima stay in the bound. This is the block-level
-    // test — weak when every query term is common at similar idf (any
-    // doc COULD pair this block with the other terms' maxima), in
-    // which case the essential split above and the doc-level bound
-    // below are what keep the expensive phase k-bounded.
-    val cutoff = essential.flatMap { t =>
-      val rest = sumMaxUb - maxUb(t)
-      val kept = meta.collect {
-        case (`t`, blk, _, _, _) if ub((t, blk)) + rest >= thetaP => blk
-      }
-      if (kept.isEmpty) None else Some(t -> kept.max)
-    }.toMap
-    val keptPred = cutoff.map { case (t, c) =>
-      col("term") === t && col("blk") <= c
-    }.reduceOption(_ || _).getOrElse(lit(false))
-    // phase 2b: ONE pass over the kept blocks builds per-doc
-    // `partial` (the EXACT impacts of the doc's kept postings — a
-    // lower bound on its score) and `bound` = partial + the unkept
-    // slack: Σ over ESSENTIAL terms the doc did NOT cover of that
-    // term's best UNKEPT block ub, plus Σ over NON-ESSENTIAL terms of
-    // maxUb (their lists are never scanned, so coverage is unknown and
-    // the full envelope stays in the bound — an upper bound either
-    // way: a doc has at most one posting per term). Docs below θ on
-    // the bound can never make the cut; docs absent from every kept
-    // block were proven out by the block test + the essential split.
-    val ubUnkept = essential.map { t =>
-      val u = meta.collect {
-        case (`t`, blk, _, _, _) if blk > cutoff.getOrElse(t, -1) => ub((t, blk))
-      }
-      t -> (if (u.isEmpty) 0.0 else u.max)
-    }.toMap
-    val sumUnkept = essential.map(ubUnkept).sum +
-      nonEssential.toSeq.map(maxUb).sum
-    val slackFrame = broadcast(spark.createDataFrame(
-      essential.map(t => (t, ubUnkept(t)))).toDF("term", "__slack"))
-    // the aggregation runs TWICE (θ₂ refinement, then the candidate
-    // emit) rather than once over a checkpoint: the intermediate is
-    // doc-scale when θ is still weak, and re-serving it from block
-    // storage costs more than re-reading the pushed-down columnar
-    // kept slice — both runs are k-bounded driver actions
-    def cand = layout.blocks.filter(keptPred)
-      .join(dfFrame, Seq("term")).join(slackFrame, Seq("term"))
-      .groupBy(idCol)
-      .agg(sum(idf * tfn).as("__partial"), sum(col("__slack")).as("__cov"))
-      .select(col(idCol), col("__partial"),
-        (col("__partial") + (lit(sumUnkept) - col("__cov"))).as("__bound"))
-      .filter(col("__bound") >= thetaP)
-    // phase 2c: REFINE the threshold from the exact partials — when the
-    // block test kept everything (the uniform-idf worst case), partials
-    // ARE exact scores and θ₂ becomes the true k-th best, collapsing
-    // the rescore set to ~k + rounding ties; when blocks were pruned,
-    // the k-th partial is still a valid lower bound (same argument as
-    // phase 1). This is what makes the expensive phase track k even
-    // where the WAND block bound cannot prune.
-    val p2 = cand.orderBy(col("__partial").desc).limit(k).collect()
-    val theta2 =
-      if (p2.length < k) theta
-      else math.max(theta, p2.last.getAs[Double]("__partial"))
-    // phase 2d (only when the MaxScore split skipped terms): partials
-    // now under-state true scores by the whole non-essential
-    // contribution, so θ₂ alone would let the candidate set balloon by
-    // sumNE — measured 1000× on the uniform-idf shape. Refine with the
-    // EXACT scores of the top k docs BY BOUND: one k-bounded fwd
-    // rescore (the same id-pushdown as phase 3) recovers the skipped
-    // terms' actual contributions for k real docs, and their k-th best
-    // exact score θ₃ is a valid cut lower bound (≥ k docs score ≥ it).
-    // The candidate set then shrinks to docs whose bound slack —
-    // (sumNE − actual) plus the essential unkept slack — reaches θ₃,
-    // i.e. ~k plus the near-tie band, which is what restores the
-    // "candidates track k, not df" economics the split's IO win must
-    // not cost.
-    val theta3 =
-      if (nonEssential.isEmpty) theta2
-      else {
-        val topByBound = cand.orderBy(col("__bound").desc).limit(k)
-          .collect().map(_.get(0))
-        if (topByBound.isEmpty) theta2
-        else {
-          val exact = layout.fwd
-            .filter(col(idCol).isin(topByBound.toSeq.map(lit): _*) &&
-              inTerms(col("term")))
-            .join(dfFrame, Seq("term"))
-            .groupBy(idCol).agg(sum(idf * tfn).as("__s"))
-            .orderBy(col("__s").desc).limit(k).collect()
-          if (exact.length < k) theta2
-          else math.max(theta2, exact.last.getAs[Double]("__s"))
+    // phases 2a–2d, parameterized by the non-essential set: run once
+    // WITH the MaxScore split, and — when the split's candidate band
+    // would cost more rescore volume than the skipped lists saved —
+    // once more with every term essential (exact partials, tight θ₂,
+    // candidates ~k: the pre-split shape). `candidateCap` bounds the
+    // pass's driver collect; overflowing it returns None (the caller's
+    // signal to fall back or fail).
+    final case class Phase2Out(essential: Seq[String], keptPred: Column,
+                               theta2: Double, candidates: Array[Any])
+    def phase2(nonEssential: Set[String], candidateCap: Int): Option[Phase2Out] = {
+      val essential = present.filterNot(nonEssential)
+      // phase 2a: per-ESSENTIAL-term kept-block prefix under the WAND
+      // term-sum test (with the rounded-cut margin); `rest` keeps
+      // summing over ALL other terms — non-essential ones could still
+      // co-occur, so their maxima stay in the bound. This is the
+      // block-level test — weak when every query term is common at
+      // similar idf (any doc COULD pair this block with the other
+      // terms' maxima), in which case the essential split and the
+      // doc-level bound below are what keep the expensive phase
+      // k-bounded.
+      val cutoff = essential.flatMap { t =>
+        val rest = sumMaxUb - maxUb(t)
+        val kept = meta.collect {
+          case (`t`, blk, _, _, _) if ub((t, blk)) + rest >= thetaP => blk
         }
+        if (kept.isEmpty) None else Some(t -> kept.max)
+      }.toMap
+      val keptPred = cutoff.map { case (t, c) =>
+        col("term") === t && col("blk") <= c
+      }.reduceOption(_ || _).getOrElse(lit(false))
+      // phase 2b: ONE pass over the kept blocks builds per-doc
+      // `partial` (the EXACT impacts of the doc's kept postings — a
+      // lower bound on its score) and `bound` = partial + the unkept
+      // slack: Σ over ESSENTIAL terms the doc did NOT cover of that
+      // term's best UNKEPT block ub, plus Σ over NON-ESSENTIAL terms
+      // of maxUb (their lists are never scanned, so coverage is
+      // unknown and the full envelope stays in the bound — an upper
+      // bound either way: a doc has at most one posting per term).
+      // Docs below θ on the bound can never make the cut; docs absent
+      // from every kept block were proven out by the block test + the
+      // essential split.
+      val ubUnkept = essential.map { t =>
+        val u = meta.collect {
+          case (`t`, blk, _, _, _) if blk > cutoff.getOrElse(t, -1) => ub((t, blk))
+        }
+        t -> (if (u.isEmpty) 0.0 else u.max)
+      }.toMap
+      val sumUnkept = essential.map(ubUnkept).sum +
+        nonEssential.toSeq.map(maxUb).sum
+      val slackFrame = broadcast(spark.createDataFrame(
+        essential.map(t => (t, ubUnkept(t)))).toDF("term", "__slack"))
+      // the aggregation runs per phase (θ₂ refinement, then the
+      // candidate emit) rather than once over a checkpoint: the
+      // intermediate is doc-scale when θ is still weak, and re-serving
+      // it from block storage costs more than re-reading the
+      // pushed-down columnar kept slice — every run is a k-bounded
+      // driver action
+      def cand = layout.blocks.filter(keptPred)
+        .join(dfFrame, Seq("term")).join(slackFrame, Seq("term"))
+        .groupBy(idCol)
+        .agg(sum(idf * tfn).as("__partial"), sum(col("__slack")).as("__cov"))
+        .select(col(idCol), col("__partial"),
+          (col("__partial") + (lit(sumUnkept) - col("__cov"))).as("__bound"))
+        .filter(col("__bound") >= thetaP)
+      // phase 2c: REFINE the threshold from the exact partials — when
+      // the block test kept everything (the uniform-idf worst case),
+      // partials ARE exact scores and θ₂ becomes the true k-th best,
+      // collapsing the rescore set to ~k + rounding ties; when blocks
+      // were pruned, the k-th partial is still a valid lower bound
+      // (same argument as phase 1).
+      val p2 = cand.orderBy(col("__partial").desc).limit(k).collect()
+      val theta2 =
+        if (p2.length < k) theta
+        else math.max(theta, p2.last.getAs[Double]("__partial"))
+      // phase 2d (only when the split skipped terms): partials now
+      // under-state true scores by the whole non-essential
+      // contribution, so θ₂ alone would let the candidate set balloon
+      // by sumNE — measured 1000× on the uniform-idf shape. Refine
+      // with the EXACT scores of the top k docs BY BOUND: one
+      // k-bounded fwd rescore recovers the skipped terms' actual
+      // contributions for k real docs, and their k-th best exact
+      // score θ₃ is a valid cut lower bound (≥ k docs score ≥ it).
+      val theta3 =
+        if (nonEssential.isEmpty) theta2
+        else {
+          val topByBound = cand.orderBy(col("__bound").desc).limit(k)
+            .collect().map(_.get(0))
+          if (topByBound.isEmpty) theta2
+          else {
+            val exact = layout.fwd
+              .filter(col(idCol).isin(topByBound.toSeq.map(lit): _*) &&
+                inTerms(col("term")))
+              .join(dfFrame, Seq("term"))
+              .groupBy(idCol).agg(sum(idf * tfn).as("__s"))
+              .orderBy(col("__s").desc).limit(k).collect()
+            if (exact.length < k) theta2
+            else math.max(theta2, exact.last.getAs[Double]("__s"))
+          }
+        }
+      val candidates = cand.filter(col("__bound") >= theta3 - 2e-6)
+        .select(col(idCol))
+        .limit(candidateCap + 1).collect().map(_.get(0))
+      if (candidates.length > candidateCap) None
+      else Some(Phase2Out(essential, keptPred, theta2, candidates))
+    }
+    // ADAPTIVE split (the volume rule, no magic constants): the split
+    // saves exactly the non-essential lists' postings (Σ df, known) and
+    // costs exactly the extra rescore volume (candidates × |terms|).
+    // Cap the split pass's candidate collect at the break-even point —
+    // past it the split is a net loss BY ITS OWN ACCOUNTING — and fall
+    // back to the all-essential pass (exact partials, θ₂ = true k-th,
+    // candidates ~k) when it overflows. This is also the robustness
+    // guard: on a uniform-idf query at corpus scale the split's
+    // candidate band grows with df, and without the fallback it would
+    // hit MaxTopKCandidates and fail a query the full scan serves fine.
+    val savedPostings = nonEssential.toSeq.map(dfRows).map(_.toLong).sum
+    val splitCap = math.min(MaxTopKCandidates.toLong,
+      math.max(k.toLong, savedPostings / math.max(1, present.size))).toInt
+    val out = (if (nonEssential.isEmpty) None
+               else phase2(nonEssential, splitCap))
+      .getOrElse {
+        val full = phase2(Set.empty, MaxTopKCandidates)
+        require(full.isDefined,
+          s"bm25TopK: over $MaxTopKCandidates candidate docs survive block " +
+            "pruning (huge k, or a corpus of near-tied scores) - serve this " +
+            "query via exhaustive bm25 + orderBy(score).limit(k) instead")
+        full.get
       }
-    val candidates = cand.filter(col("__bound") >= theta3 - 2e-6)
-      .select(col(idCol))
-      .limit(MaxTopKCandidates + 1).collect().map(_.get(0))
-    require(candidates.length <= MaxTopKCandidates,
-      s"bm25TopK: over $MaxTopKCandidates candidate docs survive block " +
-        "pruning (huge k, or a corpus of near-tied scores) - serve this " +
-        "query via exhaustive bm25 + orderBy(score).limit(k) instead")
+    val candidates = out.candidates
     // harness counters only — two extra jobs, never on the serving path
     val diagOut =
       if (!diag) None
       else Some(TopKServeDiag(
         layout.blocks.filter(p1Pred).count(),
-        layout.blocks.filter(keptPred).count(),
+        layout.blocks.filter(out.keptPred).count(),
         present.map(dfRows).sum,
-        candidates.length.toLong, theta, theta2,
-        essential.size, present.size))
+        candidates.length.toLong, theta, out.theta2,
+        out.essential.size, present.size))
     if (candidates.isEmpty) return (empty, diagOut)
     // phase 3: exact rescore of the candidates from the doc-sorted
     // forward table — candidate-id pushdown prunes row groups, and the
