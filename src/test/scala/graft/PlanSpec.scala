@@ -417,6 +417,27 @@ class PlanSpec extends SparkSpec {
         s"cascade (2N-1 = 9 tables) to broadcast:\n$phys")
   }
 
+  test("q_lm_xent_mkn: the modified-KN score scan keeps the KN-3 shape — " +
+    "all five model tables broadcast, no cartesian") {
+    val p = executed(SparkEntry.queries("q_lm_xent_mkn")(spark, sf))
+    val phys = p.toString
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoopJoin"),
+      s"modified-KN scoring must stay on the n-gram-key equi-joins:\n$phys")
+    assert(countBroadcasts(p) >= 5,
+      s"expected gram, top-context, and the bucketed cont/ctx cascade " +
+        s"to broadcast (the count-dependent discounts ride as literals, " +
+        s"never a join side):\n$phys")
+  }
+
+  test("q_curate_semantic: the semantic gate joins on the coarse cell over " +
+    "curation survivors — no cartesian anywhere in the composition") {
+    val p = executed(SparkEntry.queries("q_curate_semantic")(spark, sf))
+    val phys = p.toString
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoopJoin"),
+      s"the capstone must stay on equi-joins (decontaminate shingle join, " +
+        s"survivor semi-join, within-cell pair join on coarse):\n$phys")
+  }
+
   test("q_ann_pq: the ADC shortlist joins on the coarse cell and rescores by " +
     "id — codebooks ride as a literal, never a join side") {
     val p = executed(SparkEntry.queries("q_ann_pq")(spark, sf))
