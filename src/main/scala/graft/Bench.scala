@@ -279,7 +279,8 @@ object Bench {
       "q_ngram_jaccard" -> ((1.30, 4.00)),
       "q_interval_join_bucketed" -> ((1.00, 2.30)),
       "q_embed_lsh_pairs" -> ((0.60, 1.60)),
-      "q_interval_join_auto" -> ((0.20, 0.65)),
+      // lo re-based r15: an idle host pulls the median to 0.197
+      "q_interval_join_auto" -> ((0.12, 0.65)),
       // banded in r14 at (0.55, 1.60); the NearestCentroid codegen then
       // pulled the median to 0.51 — BELOW the old lo, an improvement the
       // in_band flag mis-read as drift. lo re-based to the new plan
@@ -289,8 +290,10 @@ object Bench {
       // through the generic KN-N cascade (one code path with kn5), so
       // both bands describe the SAME train+self-score plan shape at
       // orders 3 and 5 (r15 measured medians ~2.8 s / ~5.5 s)
-      "q_lm_xent_kn3" -> ((1.20, 5.00)),
-      "q_lm_xent_kn5" -> ((3.00, 9.00)))
+      // lows generous (idle-host medians 1.33 / 2.81); the hi edges are
+      // the volatility gates the r14 verdict asked for
+      "q_lm_xent_kn3" -> ((0.80, 5.00)),
+      "q_lm_xent_kn5" -> ((1.80, 9.00)))
     val medians = results.map(r => r._1 -> r._2).toMap
     // a band whose query vanished from the suite is a LOST gate, not a
     // pass — surface it loudly instead of silently omitting the entry

@@ -870,6 +870,100 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("crossEntropyModifiedKneserNeyN ≡ driver-side modified-KN reference " +
+    "on random corpora — the Chen-Goodman estimator, the range clamps and " +
+    "the per-level fixed fallback all replayed from the definition") {
+    import graft.operators.LanguageModel
+    val word = Gen.oneOf("a", "b", "c", "dd", "ee")
+    val doc = Gen.listOf(word).map(_.take(12).mkString(" "))
+    // tiny random corpora keep most level histograms THIN (the fixed
+    // fallback is the common path here); repeated words occasionally
+    // populate n1..n3 and fire the estimator — both rules covered
+    forAll(Gen.zip(Gen.listOfN(8, doc), Gen.listOfN(3, doc)), n = 4) {
+      case (texts, ftexts) =>
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val toks = texts.map(_.split("\\s+").filter(_.nonEmpty).toVector)
+        whenever(toks.exists(_.length >= 3)) {
+          val lm = LanguageModel.trainModifiedKneserNeyN(docs, "text", order = 3)
+          val tris = toks.flatMap(ts =>
+            ts.indices.dropRight(2).map(i => (ts(i), ts(i + 1), ts(i + 2))))
+          val c123 = tris.groupBy(identity).view.mapValues(_.size.toLong).toMap
+          def buckets(cs: Iterable[Long]) = (cs.sum, cs.count(_ == 1L).toLong,
+            cs.count(_ == 2L).toLong, cs.count(_ >= 3L).toLong)
+          val ctxTop = c123.groupBy { case ((a, b, _), _) => (a, b) }
+            .view.mapValues(m => buckets(m.values)).toMap
+          val cont23 = c123.keys.toSeq.map(k => (k._2, k._3))
+            .groupBy(identity).view.mapValues(_.size.toLong).toMap
+          val ctx1 = cont23.groupBy(_._1._1)
+            .view.mapValues(m => buckets(m.values)).toMap
+          val cont1 = cont23.keys.toSeq.groupBy(_._2)
+            .view.mapValues(_.size.toLong).toMap
+          val nTypes = cont23.size.toLong
+          val v = toks.flatten.distinct.size
+          assert(lm.nContTypes == nTypes && lm.vocabSize == v)
+          // the estimator EXACTLY as estimateDiscounts defines it:
+          // thin histogram → fixed 0.75s; else clamped Chen-Goodman
+          def disc(hist: Iterable[Long]) = {
+            val n1 = hist.count(_ == 1L); val n2 = hist.count(_ == 2L)
+            val n3 = hist.count(_ == 3L); val n4 = hist.count(_ == 4L)
+            if (n1 == 0 || n2 == 0 || n3 == 0) (0.75, 0.75, 0.75)
+            else {
+              val y = n1 / (n1 + 2.0 * n2)
+              (math.min(math.max(1.0 - (2.0 * y * n2) / n1, 0.0), 1.0),
+                math.min(math.max(2.0 - (3.0 * y * n3) / n2, 0.0), 2.0),
+                math.min(math.max(3.0 - (4.0 * y * n4) / n3, 0.0), 3.0))
+            }
+          }
+          val dl2 = disc(cont23.values); val dt = disc(c123.values)
+          assert(lm.discounts == IndexedSeq(dl2, dt),
+            s"train-time estimates must equal the reference: ${lm.discounts}")
+          def dsel(c: Long, d: (Double, Double, Double)) =
+            if (c >= 3) d._3 else if (c == 2) d._2 else d._1
+          def p1(w3: String) =
+            (cont1.getOrElse(w3, 0L) + 0.5) / (nTypes + 0.5 * v)
+          def p2(w2: String, w3: String) = ctx1.get(w2) match {
+            case None => p1(w3)
+            case Some((s1, f1, f2, f3)) =>
+              val n = cont23.getOrElse((w2, w3), 0L)
+              math.max(n - dsel(n, dl2), 0.0) / s1 +
+                ((dl2._1 * f1 + dl2._2 * f2 + dl2._3 * f3) / s1) * p1(w3)
+          }
+          def p3(a: String, b: String, c: String) = ctxTop.get((a, b)) match {
+            case None => p2(b, c)
+            case Some((tot, t1, t2, t3)) =>
+              val n = c123.getOrElse((a, b, c), 0L)
+              math.max(n - dsel(n, dt), 0.0) / tot +
+                ((dt._1 * t1 + dt._2 * t2 + dt._3 * t3) / tot) * p2(b, c)
+          }
+          def check(ts: Seq[Vector[String]], base: Long,
+                    got: Map[Long, (Long, Option[Double])]): Unit =
+            ts.zipWithIndex.foreach { case (t, i) =>
+              val grams = t.indices.dropRight(2).map(j => (t(j), t(j + 1), t(j + 2)))
+              if (grams.isEmpty) assert(got(base + i) == ((0L, None)))
+              else {
+                val xent = -grams.map { case (a, b, c) =>
+                  math.log(p3(a, b, c))
+                }.sum / grams.length
+                assert(got(base + i)._1 == grams.length.toLong)
+                assert(math.abs(got(base + i)._2.get - xent) < 1e-9,
+                  s"doc ${base + i}: got ${got(base + i)._2.get} want $xent")
+              }
+            }
+          def score(df: org.apache.spark.sql.DataFrame) =
+            LanguageModel.crossEntropyModifiedKneserNeyN(df, "doc_id", "text", lm)
+              .collect().map(r => r.getLong(0) ->
+                ((r.getLong(1),
+                  if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+          check(toks, 0L, score(docs))
+          val fdocs = ftexts.zipWithIndex
+            .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+          val ftoks = ftexts.map(_.split("\\s+").filter(_.nonEmpty).toVector)
+          check(ftoks, 100L, score(fdocs))
+        }
+    }
+  }
+
   test("AdcTable∘AdcTableLookup ≡ driver-side two-level sequential sum on " +
     "random vectors; bad codes and ragged queries raise instead of " +
     "silently NULL-ranking") {
