@@ -556,13 +556,27 @@ object SparkEntry {
 
   /** Fixture parquet the DuckDB oracle reads back for
     * q_multimodal_features — same pattern as [[SimhashFixture]]: the
-    * stubbed decode is deterministic in the payload bytes but engine-bound
-    * (no DuckDB equivalent), so the Verify harness dumps the full feature
+    * byte-histogram features are deterministic in the payload bytes but
+    * their float normalization is engine-bound (no bit-exact DuckDB
+    * float32 equivalent), so the Verify harness dumps the full feature
     * vectors here and the oracle reproduces the query's downstream
     * projection (dimension count, first-element extraction, rounding)
-    * from them in plain SQL. */
+    * from them in plain SQL. The pixel DECODE itself is oracle-replayed
+    * for real by q_multimodal_pixels over [[BmpFixture]]. */
   private lazy val MultimodalFixture =
     new java.io.File("target/verify-fixtures/multimodal_features").getAbsolutePath
+
+  /** Fixture parquet of the synthesized uncompressed-BMP payloads for
+    * q_multimodal_pixels: the engine query re-synthesizes the SAME
+    * payloads inline ([[bmpPayload]] — deterministic column arithmetic
+    * over doc_id, so dump and query agree byte for byte) and decodes
+    * them with the REAL `javax.imageio` codec; the oracle never sees
+    * the codec — it slices the pixel bytes out of these blobs at the
+    * header-declared data offset and recomputes the channel sums from
+    * first principles, so the decode path itself sits under the hash
+    * gate. */
+  private lazy val BmpFixture =
+    new java.io.File("target/verify-fixtures/bmp_payloads").getAbsolutePath
 
   /** Fixture dir for q_dedup_index — the MinHash signatures and banded
     * frames are engine-bound (seeded xxhash64), but GIVEN them, the
@@ -894,6 +908,9 @@ object SparkEntry {
     Multimodal.extractFeatures(
         Multimodal.toAssets(tbl(s, dir, "documents"), "doc_id", "text", "text/plain"), 16)
       .write.mode("overwrite").parquet(MultimodalFixture)
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), bmpPayload(col("doc_id")).as("img"))
+      .write.mode("overwrite").parquet(BmpFixture)
     Bpe.encodeWords(
         Bpe.wordTable(tbl(s, dir, "documents"), "text"), bpeMerges(s, dir))
       .select("word", "syms")
@@ -969,7 +986,68 @@ object SparkEntry {
     s.createDataFrame(cbrRows).toDF("j", "c", "centroid", "dir")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$KmeansFixture/pq_codebooks_res")
+    // OPQ: the learned rotation AND the rotated-space codebooks both
+    // persist per-dir (cross-JVM contract) and dump flat for the oracle,
+    // which replays rotation, code assignment and ADC from the matrices
+    // alone — only the Jacobi/Procrustes/Lloyd fits are engine-bound
+    val (opqRot, opqCb) = opqModel(s, dir)
+    val rotRows = opqRot.zipWithIndex.map { case (r, i) => (i, r.toSeq, dir) }
+    s.createDataFrame(rotRows.toSeq).toDF("i", "rowv", "dir")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$KmeansFixture/opq_rot_store/${dirKey(dir)}")
+    s.createDataFrame(rotRows.toSeq).toDF("i", "rowv", "dir")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$KmeansFixture/opq_rotation")
+    val cboRows = for (j <- opqCb.codebooks.indices; c <- opqCb.codebooks(j).indices)
+      yield (j, c, opqCb.codebooks(j)(c).toSeq, dir)
+    s.createDataFrame(cboRows).toDF("j", "c", "centroid", "dir")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$KmeansFixture/opq_cb_store/${dirKey(dir)}")
+    s.createDataFrame(cboRows).toDF("j", "c", "centroid", "dir")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$KmeansFixture/pq_codebooks_opq")
   }
+
+  /** OPQ model (learned rotation + rotated-space codebooks) for `dir`'s
+    * embeddings — [[pqCodebooks]]' optimized sibling
+    * ([[Similarity.trainOpq]], Ge et al. 2013), same persistence
+    * contract: the Jacobi/Procrustes/Lloyd fits are deterministic per
+    * layout but carry no cross-JVM bit-identity promise, so fixture
+    * dump and any later serve share BOTH matrices by PERSISTENCE
+    * (`opq_rot_store` + `opq_cb_store`), never by re-derivation. */
+  private val opqCache = collection.concurrent.TrieMap
+    .empty[String, (Array[Array[Double]], Similarity.PqCodebooks)]
+  private def opqModel(s: SparkSession, dir: String): (Array[Array[Double]], Similarity.PqCodebooks) =
+    opqCache.getOrElseUpdate(dir, {
+      val rotStore = new java.io.File(s"$KmeansFixture/opq_rot_store/${dirKey(dir)}")
+      val cbStore = new java.io.File(s"$KmeansFixture/opq_cb_store/${dirKey(dir)}")
+      if (!rotStore.exists() || !cbStore.exists())
+        Similarity.trainOpq(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          m = 8, ksub = 16)
+      else {
+        Seq(rotStore, cbStore).foreach { p =>
+          require(new java.io.File(p, "_SUCCESS").exists(),
+            s"opqModel: ${p} exists without _SUCCESS - crashed fixture " +
+              "dump; re-run Verify (prepareOracleFixtures) for this dir")
+        }
+        val rotRows = s.read.parquet(rotStore.getAbsolutePath)
+          .filter(col("dir") === dir)
+          .select("i", "rowv").collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        val cbRows = s.read.parquet(cbStore.getAbsolutePath)
+          .filter(col("dir") === dir)
+          .select("j", "c", "centroid").collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        require(rotRows.nonEmpty && cbRows.nonEmpty,
+          s"opqModel: persisted OPQ store holds no rows for dir=$dir - " +
+            "corrupt fixture dump; re-run Verify for this dir")
+        val byJ = cbRows.groupBy(_._1)
+        (rotRows.sortBy(_._1).map(_._2),
+          Similarity.PqCodebooks((0 until byJ.size).toArray.map { j =>
+            byJ(j).sortBy(_._2).map(_._3)
+          }))
+      }
+    })
 
   /** Incremental dedup serving: a new batch against the prebuilt MinHash
     * signature index — band-collision candidates (batch × index only)
@@ -1643,6 +1721,46 @@ object SparkEntry {
         LanguageModel.readModifiedKneserNeyN(s, lmMknModelPath(s, dir)))
       .select(col("doc_id"), col("n_ngrams"), rq(col("xent"), 6).as("xent"))
 
+  /** MODIFIED Kneser-Ney at ORDER 5 — [[qLmXentMkn]] at the CCNet/KenLM
+    * deployment order (Chen & Goodman 1999's headline configuration):
+    * four continuation levels below the raw 5-gram counts, each with
+    * its own count-of-counts-estimated D₁/D₂/D₃₊ (or the per-level
+    * thin-histogram fallback — at order 5 the low continuation levels
+    * routinely trip it on dense corpora, so the fallback is exercised
+    * under the hash gate, not just in specs). Same machinery as order
+    * 3 ([[LanguageModel.trainModifiedKneserNeyN]] is
+    * order-parameterized); the oracle ([[mknOracleSql]]) generates the
+    * full five-level cascade mechanically. */
+  private def qLmXentMkn5(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val lm = LanguageModel.trainModifiedKneserNeyN(docs, "text", order = 5)
+    LanguageModel.crossEntropyModifiedKneserNeyN(docs, "doc_id", "text", lm)
+      .select(col("doc_id"), col("n_ngrams"), rq(col("xent"), 6).as("xent"))
+  }
+
+  /** On-disk PRUNED order-5 modified-KN model (minCount = 2) —
+    * [[lmMknModelPath]]'s order-5 sibling, written once per JVM. */
+  private val lmMkn5ModelCache = collection.concurrent.TrieMap.empty[String, String]
+  private def lmMkn5ModelPath(s: SparkSession, dir: String): String =
+    lmMkn5ModelCache.getOrElseUpdate(dir, {
+      val p = new java.io.File(s"target/q-lm-mkn5-model/${dirKey(dir)}").getAbsolutePath
+      LanguageModel.writeModifiedKneserNeyN(
+        LanguageModel.pruneModifiedKneserNeyN(
+          LanguageModel.trainModifiedKneserNeyN(tbl(s, dir, "documents"),
+            "text", order = 5), minCount = 2), p)
+      p
+    })
+
+  /** The SERVING twin of [[qLmXentMkn5]]: score against the persisted
+    * PRUNED order-5 modified-KN model — pruned singleton 5-grams fall
+    * to the four-level cascade whose bucket weights and train-time
+    * discount estimates persisted with the model. */
+  private def qLmXentMkn5Served(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.crossEntropyModifiedKneserNeyN(tbl(s, dir, "documents"),
+        "doc_id", "text",
+        LanguageModel.readModifiedKneserNeyN(s, lmMkn5ModelPath(s, dir)))
+      .select(col("doc_id"), col("n_ngrams"), rq(col("xent"), 6).as("xent"))
+
   /** Deterministic stratified sampling by `source` (corpus mixing): keep
     * src0 wholesale, src1 at 1/2, src2 at 1/4, everything else at 1/10 —
     * the oracle reproduces the md5-cutoff membership row for row. */
@@ -1739,6 +1857,52 @@ object SparkEntry {
     Similarity.ivfTopKPq(s.read.parquet(pqIndexPath(s, dir)),
         e, e.filter(col("vec_id") < 20), "vec_id", "embedding", "label",
         pqCodebooks(s, dir), 3, candidateFactor = 4)
+      .withColumn("cosine", rq(col("cosine"), 6))
+  }
+
+  /** OPQ top-3 (Ge et al. 2013): [[qAnnPq]] behind the LEARNED rotation —
+    * codes and ADC both live in the rotated space, exact re-scoring in
+    * the original one. The oracle replays the WHOLE optimized path from
+    * the dumped matrices: every corpus vector's rotation (the
+    * sequential-fold dot products DuckDB's list_sum reproduces
+    * bit-identically), per-subspace code assignment in rotated space,
+    * the query's rotated ADC table, the rounded shortlist, exact
+    * re-scoring — so the rotation arithmetic itself sits under the hash
+    * gate, not just its end answer. */
+  private def qAnnOpq(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    val (rot, cb) = opqModel(s, dir)
+    Similarity.ivfTopKOpq(
+        Similarity.buildOpqIndex(e, "vec_id", "embedding", "label", rot, cb),
+        e, e.filter(col("vec_id") < 20), "vec_id", "embedding", "label",
+        rot, cb, 3, candidateFactor = 4)
+      .withColumn("cosine", rq(col("cosine"), 6))
+  }
+
+  /** On-disk OPQ index for `dir`'s embeddings (rotated-space codes ride
+    * as integer columns — exact parquet round-trip), written once per
+    * JVM; [[qAnnOpqServed]] serves every batch from the read-back frame
+    * under the SAME oracle as the inline path. */
+  private val opqIxCache = collection.concurrent.TrieMap.empty[String, String]
+  private def opqIndexPath(s: SparkSession, dir: String): String =
+    opqIxCache.getOrElseUpdate(dir, {
+      val p = new java.io.File(s"target/q-ann-opq/${dirKey(dir)}").getAbsolutePath
+      val (rot, cb) = opqModel(s, dir)
+      Similarity.buildOpqIndex(tbl(s, dir, "embeddings"), "vec_id",
+          "embedding", "label", rot, cb)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** [[qAnnOpq]]'s SERVING twin: the rotated-space ADC shortlist answers
+    * from the PERSISTED code table — rotate + quantize once, serve every
+    * batch — and must hash-match the inline path's oracle. */
+  private def qAnnOpqServed(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+    val (rot, cb) = opqModel(s, dir)
+    Similarity.ivfTopKOpq(s.read.parquet(opqIndexPath(s, dir)),
+        e, e.filter(col("vec_id") < 20), "vec_id", "embedding", "label",
+        rot, cb, 3, candidateFactor = 4)
       .withColumn("cosine", rq(col("cosine"), 6))
   }
 
@@ -2069,11 +2233,81 @@ object SparkEntry {
       col("meta.height").as("height"))
   }
 
-  /** Multimodal feature extraction (stubbed decode, real batch plumbing).
-    * Oracle-checked via [[MultimodalFixture]]: the Verify harness dumps
-    * the deterministic feature vectors and DuckDB reproduces the
-    * dimension-count/first-element/rounding projection from them — the
-    * same given-the-engine-bound-values pattern as q_dedup_simhash. */
+  /** A complete uncompressed 24-bit bottom-up BMP synthesized per
+    * document from its doc_id with byte-construction built-ins — REAL
+    * image files (54-byte BITMAPINFOHEADER container, 4-byte-padded
+    * rows), w = doc_id%8+1, h = doc_id%6+1, and planted per-pixel
+    * channels r/g/b = linear functions of (doc_id, x, y) mod 256. The
+    * pixel array is built as a hex string (one `lpad(hex(v),2)` per
+    * byte under a single `transform`) and `unhex`ed — all codegen'd
+    * built-ins, no UDF. Shared by [[qMultimodalPixels]] (inline) and
+    * [[prepareOracleFixtures]] (the [[BmpFixture]] dump), so the oracle
+    * replays the EXACT bytes the engine decodes. */
+  private def bmpPayload(id: Column): Column = {
+    def byteAt(v: Column, i: Int): Column =
+      unhex(lpad(hex(shiftright(v, 8 * i).bitwiseAND(lit(255L))), 2, "0"))
+    def le16(v: Column) = concat(byteAt(v, 0), byteAt(v, 1))
+    def le32(v: Column) = concat(byteAt(v, 0), byteAt(v, 1), byteAt(v, 2), byteAt(v, 3))
+    val w = pmod(id, lit(8L)) + 1
+    val h = pmod(id, lit(6L)) + 1
+    // row stride padded to 4 bytes: floor((3w+3)/4)*4 = (3w+3) − ((3w+3) mod 4)
+    val stride = (w * 3 + 3) - pmod(w * 3 + 3, lit(4L))
+    val dataLen = stride * h
+    val header = concat(
+      lit("BM".getBytes("US-ASCII")), le32(dataLen + 54), le32(lit(0L)),
+      le32(lit(54L)), // pixel-data offset — the oracle READS this field
+      le32(lit(40L)), le32(w), le32(h), le16(lit(1L)), le16(lit(24L)),
+      le32(lit(0L)), le32(dataLen), le32(lit(2835L)), le32(lit(2835L)),
+      le32(lit(0L)), le32(lit(0L)))
+    val pixHex = concat_ws("", transform(sequence(lit(0L), dataLen - 1), i => {
+      val fr = floor(i / stride).cast("long") // file row (bottom-up)
+      val o = i - fr * stride                 // byte offset within the row
+      val y = h - 1 - fr                      // image row (top-down)
+      val x = floor(o / 3).cast("long")
+      val c = o - x * 3                       // 0=B, 1=G, 2=R (BMP order)
+      val v = when(o >= w * 3, lit(0L))       // row padding
+        .when(c === 0, pmod(id * 3 + x * 7 + y * 13, lit(256L)))
+        .when(c === 1, pmod(id * 5 + x * 11 + y * 3, lit(256L)))
+        .otherwise(pmod(id * 7 + x * 5 + y * 17, lit(256L)))
+      lpad(hex(v), 2, "0")
+    }))
+    concat(header, unhex(pixHex))
+  }
+
+  /** REAL pixel decode under the hash gate: synthesize a complete
+    * uncompressed BMP per document ([[bmpPayload]]), decode it with the
+    * JDK's `javax.imageio` codec ([[Multimodal.decodePixels]] — real
+    * pixels, not a fake), and reduce each raster to exact integer
+    * channel sums. The oracle gets the SAME payload bytes
+    * ([[BmpFixture]]) but no codec: it reads the header's data-offset /
+    * width / height fields out of the blob, slices every pixel byte at
+    * its computed (row-padded, bottom-up) position, and recomputes the
+    * sums — a full independent replay of the decode arithmetic, the
+    * q_multimodal_dims discipline extended from headers to pixels. */
+  private def qMultimodalPixels(s: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.toAssets(
+      tbl(s, dir, "documents").select(col("doc_id"),
+        bmpPayload(col("doc_id")).as("img")),
+      "doc_id", "img", "image/bmp")
+    def chanSum(shift: Int) = aggregate(
+      transform(col("pixels"),
+        p => shiftright(p, shift).bitwiseAND(lit(255)).cast("long")),
+      lit(0L), (a, x) => a + x)
+    Multimodal.decodePixels(assets).select(
+      col("asset_id"), col("width"), col("height"),
+      size(col("pixels")).as("n_px"),
+      chanSum(16).as("sum_r"), chanSum(8).as("sum_g"), chanSum(0).as("sum_b"))
+  }
+
+  /** Multimodal feature extraction — text payloads take the REAL
+    * byte-histogram featurizer ([[Multimodal.extractFeatures]]'s
+    * non-image path; the image path's `javax.imageio` decode sits under
+    * q_multimodal_pixels' gate). Oracle-checked via
+    * [[MultimodalFixture]]: the float32 normalization is engine-bound,
+    * so the Verify harness dumps the feature vectors and DuckDB
+    * reproduces the dimension-count/first-element/rounding projection
+    * from them — the same given-the-engine-bound-values pattern as
+    * q_dedup_simhash. */
   private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val assets = Multimodal.toAssets(tbl(s, dir, "documents"), "doc_id", "text", "text/plain")
     Multimodal.extractFeatures(assets, 16)
@@ -2318,6 +2552,8 @@ object SparkEntry {
     "q_lm_xent_kn5_served" -> qLmXentKn5Served,
     "q_lm_xent_mkn" -> qLmXentMkn,
     "q_lm_xent_mkn_served" -> qLmXentMknServed,
+    "q_lm_xent_mkn5" -> qLmXentMkn5,
+    "q_lm_xent_mkn5_served" -> qLmXentMkn5Served,
     "q_sample_stratified" -> qSampleStratified,
     "q_sample_temperature" -> qSampleTemperature,
     "q_sample_budget" -> qSampleBudget,
@@ -2329,6 +2565,8 @@ object SparkEntry {
     "q_ann_ivf_pruned" -> qAnnIvfPruned,
     "q_ann_pq" -> qAnnPq,
     "q_ann_pq_served" -> qAnnPqServed,
+    "q_ann_opq" -> qAnnOpq,
+    "q_ann_opq_served" -> qAnnOpqServed,
     "q_ann_pq_res" -> qAnnPqRes,
     "q_ann_pq_res_served" -> qAnnPqResServed,
     "q_ann_pq_res_pruned" -> qAnnPqResPruned,
@@ -2347,6 +2585,7 @@ object SparkEntry {
     "q_pii_redact" -> qPiiRedact,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_dims" -> qMultimodalDims,
+    "q_multimodal_pixels" -> qMultimodalPixels,
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_filter_project" -> qFilterProject,
     "q_agg_sum" -> qAggSum,
@@ -2592,6 +2831,57 @@ object SparkEntry {
         |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS INT) AS rank
         |FROM scored QUALIFY rank <= 3""".stripMargin
 
+  /** Shared by q_ann_opq (inline) and q_ann_opq_served (persisted code
+    * table): given ONLY the dumped rotation matrix and rotated-space
+    * codebooks, DuckDB re-derives every corpus vector's ROTATED form
+    * (list_sum over the per-output-row products — the engine's exact
+    * sequential-fold IEEE association), its rotated-space PQ codes, the
+    * query's rotated ADC table, replays the rounded shortlist, and
+    * exact-rescores it against the ORIGINAL vectors. */
+  private lazy val annOpqSql: String =
+    s"""WITH rt AS (SELECT i, CAST(rowv AS DOUBLE[]) AS rv
+        |            FROM read_parquet('$KmeansFixture/opq_rotation/*.parquet')),
+        | cb AS (SELECT j, c, CAST(centroid AS DOUBLE[]) AS cent
+        |            FROM read_parquet('$KmeansFixture/pq_codebooks_opq/*.parquet')),
+        | e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | e AS (
+        |  SELECT e0.vec_id,
+        |         list(list_sum(list_transform(range(1, 65),
+        |           jj -> rt.rv[CAST(jj AS INT)] * e0.v[CAST(jj AS INT)]))
+        |           ORDER BY rt.i) AS v
+        |  FROM e0 CROSS JOIN rt GROUP BY e0.vec_id),
+        | dist AS (
+        |  SELECT e.vec_id, cb.j, cb.c,
+        |         list_sum(list_transform(range(1, 9),
+        |           i -> (e.v[CAST(cb.j*8 + i AS INT)] - cb.cent[CAST(i AS INT)])
+        |              * (e.v[CAST(cb.j*8 + i AS INT)] - cb.cent[CAST(i AS INT)]))) AS d
+        |  FROM e CROSS JOIN cb),
+        | code AS (
+        |  SELECT vec_id, j, c FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) = 1),
+        | q AS (SELECT e.vec_id, e0.label, e.v
+        |       FROM e JOIN e0 USING (vec_id) WHERE vec_id < 20),
+        | pairsub AS (
+        |  SELECT q.vec_id AS query_id, c0.vec_id AS nn_id, co.j,
+        |         list_sum(list_transform(range(1, 9),
+        |           i -> (q.v[CAST(co.j*8 + i AS INT)] - cb.cent[CAST(i AS INT)])
+        |              * (q.v[CAST(co.j*8 + i AS INT)] - cb.cent[CAST(i AS INT)]))) AS dj
+        |  FROM q JOIN e0 c0 ON c0.label = q.label AND c0.vec_id <> q.vec_id
+        |  JOIN code co ON co.vec_id = c0.vec_id
+        |  JOIN cb ON cb.j = co.j AND cb.c = co.c),
+        | adc AS (SELECT query_id, nn_id, sum(dj) AS adc FROM pairsub GROUP BY 1, 2),
+        | short AS (
+        |  SELECT query_id, nn_id FROM adc
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY floor(adc*1000000.0 + 0.5)/1000000.0, nn_id) <= 12),
+        | scored AS (
+        |  SELECT s.query_id, s.nn_id, list_cosine_similarity(eq.v, ec.v) AS cos
+        |  FROM short s JOIN e0 eq ON eq.vec_id = s.query_id
+        |  JOIN e0 ec ON ec.vec_id = s.nn_id)
+        |SELECT query_id, nn_id, floor((cos)*1000000.0 + 0.5)/1000000.0 AS cosine,
+        |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS INT) AS rank
+        |FROM scored QUALIFY rank <= 3""".stripMargin
+
   /** Shared by q_ann_pq_res (inline) and q_ann_pq_res_served (persisted
     * residual code table): given the dumped coarse-centroid matrix, the
     * residual codebooks, the corpus labels, and the probe fan-out,
@@ -2751,14 +3041,15 @@ object SparkEntry {
     // driver arithmetic: y = n1/(n1 + 2.0*n2), d1 = 1.0 - (2.0*y*n2)/n1,
     // each estimate CLAMPED into its normalization-safe range, and the
     // whole level falling back to the fixed 0.75 when its histogram
-    // cannot feed the estimator (n1, n2 or n3 = 0 — real on dense
-    // corpora) — exactly LanguageModel.estimateDiscounts' rules
+    // cannot feed the estimator (n1, n2, n3 or n4 = 0 — real on dense
+    // corpora; n4 = 0 would clamp D3+ to a degenerate 3.0) — exactly
+    // LanguageModel.estimateDiscounts' rules
     def discountCte(name: String, tbl: String, c: String) =
       s""" $name AS (
          |  SELECT CASE WHEN ok THEN least(greatest(1.0 - (2.0 * y * n2) / n1, 0.0), 1.0) ELSE 0.75 END AS d1,
          |         CASE WHEN ok THEN least(greatest(2.0 - (3.0 * y * n3) / n2, 0.0), 2.0) ELSE 0.75 END AS d2,
          |         CASE WHEN ok THEN least(greatest(3.0 - (4.0 * y * n4) / n3, 0.0), 3.0) ELSE 0.75 END AS d3
-         |  FROM (SELECT n1 > 0 AND n2 > 0 AND n3 > 0 AS ok,
+         |  FROM (SELECT n1 > 0 AND n2 > 0 AND n3 > 0 AND n4 > 0 AS ok,
          |               CASE WHEN n1 > 0 THEN n1 / (n1 + 2.0 * n2) ELSE 0.0 END AS y,
          |               n1, n2, n3, n4
          |        FROM (SELECT count(*) FILTER (WHERE $c = 1) AS n1,
@@ -3658,6 +3949,8 @@ object SparkEntry {
     // SQL — the discount estimation sits under the hash gate too
     "q_lm_xent_mkn" -> mknOracleSql(3, pruned = false),
     "q_lm_xent_mkn_served" -> mknOracleSql(3, pruned = true),
+    "q_lm_xent_mkn5" -> mknOracleSql(5, pruned = false),
+    "q_lm_xent_mkn5_served" -> mknOracleSql(5, pruned = true),
     // bigram LM, add-0.5 smoothing, self-scored: contexts derive from
     // the bigram table (Σ n12 per w1, NOT unigram occurrence counts),
     // V = distinct corpus tokens; every doc appears — 0 bigrams / NULL
@@ -3706,6 +3999,8 @@ object SparkEntry {
     // order-sensitive at the ulp), and exact-rescores the shortlist —
     // the full product-quantization serving path in SQL
     "q_ann_pq" -> annPqSql,
+    "q_ann_opq" -> annOpqSql,
+    "q_ann_opq_served" -> annOpqSql,
     "q_ann_pq_res" -> annPqResSql,
     "q_ann_pq_res_served" -> annPqResSql,
     "q_ann_pq_res_pruned" -> annPqResSql,
@@ -3873,6 +4168,29 @@ object SparkEntry {
         |       CAST(doc_id % 1920 + 1 AS INTEGER) AS width,
         |       CAST(doc_id % 1080 + 1 AS INTEGER) AS height
         |FROM documents""".stripMargin,
+    // no codec on the oracle side: every header field and pixel byte is
+    // sliced out of the BMP blob via its hex dump (DuckDB v1.0 has no
+    // direct blob subscript) — hx[2k+1..2k+2] is byte k, '0x'-cast to int
+    "q_multimodal_pixels" ->
+      s"""WITH b AS (SELECT doc_id, hex(img) AS hx
+        |            FROM read_parquet('$BmpFixture/*.parquet')),
+        | hdr AS (
+        |  SELECT doc_id, hx,
+        |         ${(0 to 3).map(k => s"CAST(concat('0x', substring(hx, ${2 * (10 + k) + 1}, 2)) AS BIGINT) * ${1L << (8 * k)}").mkString(" + ")} AS off,
+        |         ${(0 to 3).map(k => s"CAST(concat('0x', substring(hx, ${2 * (18 + k) + 1}, 2)) AS BIGINT) * ${1L << (8 * k)}").mkString(" + ")} AS w,
+        |         ${(0 to 3).map(k => s"CAST(concat('0x', substring(hx, ${2 * (22 + k) + 1}, 2)) AS BIGINT) * ${1L << (8 * k)}").mkString(" + ")} AS h
+        |  FROM b),
+        | px AS (
+        |  SELECT doc_id, w, h,
+        |         CAST(concat('0x', substring(hx, CAST(2*(off + (h-1 - t.i//w)*((3*w+3) - (3*w+3)%4) + 3*(t.i%w) + 2)+1 AS INT), 2)) AS BIGINT) AS r,
+        |         CAST(concat('0x', substring(hx, CAST(2*(off + (h-1 - t.i//w)*((3*w+3) - (3*w+3)%4) + 3*(t.i%w) + 1)+1 AS INT), 2)) AS BIGINT) AS g,
+        |         CAST(concat('0x', substring(hx, CAST(2*(off + (h-1 - t.i//w)*((3*w+3) - (3*w+3)%4) + 3*(t.i%w))+1 AS INT), 2)) AS BIGINT) AS bl
+        |  FROM hdr, LATERAL unnest(range(w*h)) AS t(i))
+        |SELECT doc_id AS asset_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(w*h AS INT) AS n_px,
+        |       CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+        |       CAST(sum(bl) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, w, h""".stripMargin,
     "q_multimodal_features" ->
       s"""SELECT asset_id, CAST(len(feature) AS INT) AS feat_dim,
         |       floor((CAST(feature[1] AS DOUBLE))*1000000.0 + 0.5)/1000000.0 AS feat0

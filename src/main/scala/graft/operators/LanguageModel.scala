@@ -72,15 +72,16 @@ object LanguageModel {
 
   /** Resolve the effective broadcast decision for a score scan:
     * `broadcastModel` requested AND the largest model table fits the
-    * bound. The count is bounded by construction — `largest` is always
-    * a (checkpointed or persisted) COUNT table, vocabulary- to
-    * distinct-n-gram-scale, never the corpus. */
-  private def resolveBroadcast(largest: DataFrame, broadcastModel: Boolean,
+    * bound. `largestRows` is the MEMOIZED count carried by the model
+    * ([[LargestTableRows.largestRows]]) — seeded at train/persist/load
+    * time, so a served scoring path pays ZERO extra jobs here and
+    * repeated scoring against one model instance never re-probes. */
+  private def resolveBroadcast(largestRows: => Long, broadcastModel: Boolean,
                                maxBroadcastRows: Long, what: String): Boolean =
     broadcastModel && {
       require(maxBroadcastRows >= 0,
         s"maxBroadcastRows must be >= 0, got $maxBroadcastRows")
-      val n = largest.count()
+      val n = largestRows
       val fits = n <= maxBroadcastRows
       if (!fits) System.err.println(
         s"[graft.lm] $what has $n rows > maxBroadcastRows=$maxBroadcastRows; " +
@@ -91,15 +92,47 @@ object LanguageModel {
       fits
     }
 
+  /** Mixed into every LM model class: the row count of the model's
+    * LARGEST table (the top-order gram table — the only one that grows
+    * with distinct n-grams rather than vocabulary), memoized PER
+    * INSTANCE so the [[MaxBroadcastModelRows]] guard costs at most one
+    * bounded job per model, never one per scoring call. Trainers SEED
+    * it while training already runs jobs (free where the count already
+    * exists, e.g. [[trainKneserNey]]'s `nBigramTypes`); the persisted
+    * layouts carry it in their 1-row meta table so the `read*` loaders
+    * seed it with ZERO extra jobs; a caller-constructed model pays one
+    * bounded `count()` on FIRST scoring only (and recomputes its whole
+    * plan then if unmaterialized — materialize or seed explicitly for
+    * hot scoring loops). `prune*`'s `copy` drops the memo on purpose:
+    * the pruned table's count is a different number. */
+  sealed trait LargestTableRows {
+    /** The broadcast-guard subject: the model's largest count table. */
+    protected def largestTable: DataFrame
+    private val largestMemo = new java.util.concurrent.atomic.AtomicLong(-1L)
+    private[graft] def seedLargestRows(n: Long): this.type = {
+      require(n >= 0, s"largest-table row count must be >= 0, got $n")
+      largestMemo.set(n); this
+    }
+    /** Memoized largest-table row count (thread-safe; a benign race
+      * recounts the same deterministic number). */
+    def largestRows: Long = {
+      val c = largestMemo.get()
+      if (c >= 0L) c
+      else { val n = largestTable.count(); largestMemo.set(n); n }
+    }
+  }
+
   /** A trained bigram LM: `bigrams` = (w1, w2, n12), `contexts` =
     * (w1, n1 = Σ n12), `vocabSize` = |distinct corpus tokens|, and the
     * smoothing mass α baked at train time (scoring with a different α
     * than the model was validated with is a config smell; rebake
     * explicitly via `copy`). */
   final case class BigramLm(bigrams: DataFrame, contexts: DataFrame,
-                            vocabSize: Long, alpha: Double) {
+                            vocabSize: Long, alpha: Double)
+      extends LargestTableRows {
     require(vocabSize > 0, s"bigram LM needs a non-empty vocabulary, got $vocabSize")
     require(alpha > 0.0, s"smoothing alpha must be > 0, got $alpha")
+    override protected def largestTable: DataFrame = bigrams
   }
 
   /** Adjacent-token bigrams of a token array as (w1, w2) structs —
@@ -162,7 +195,11 @@ object LanguageModel {
     val contexts = bigrams.groupBy("w1").agg(sum("n12").as("n1"))
     val vocabSize = docs.select(explode(toks).as("t"))
       .agg(count_distinct(col("t"))).head().getLong(0)
+    // seed the broadcast-guard count at train time (one bounded job over
+    // the checkpointed table, amortized into training) so scoring — and
+    // every RE-scoring — pays zero probe jobs
     BigramLm(bigrams, contexts, vocabSize, alpha)
+      .seedLargestRows(bigrams.count())
   }
 
   /** KenLM-style count pruning: drop bigrams below `minCount`. Contexts
@@ -214,7 +251,9 @@ object LanguageModel {
       .groupBy("w").agg(count(lit(1)).as("nw")))
     val stats = unigrams
       .agg(count(lit(1)), coalesce(sum("nw"), lit(0L))).head()
-    InterpolatedLm(BigramLm(bigrams, contexts, stats.getLong(0), alpha),
+    InterpolatedLm(
+      BigramLm(bigrams, contexts, stats.getLong(0), alpha)
+        .seedLargestRows(bigrams.count()),
       unigrams, stats.getLong(1), lambda)
   }
 
@@ -236,7 +275,7 @@ object LanguageModel {
                                broadcastModel: Boolean = true,
                                maxBroadcastRows: Long = MaxBroadcastModelRows): DataFrame = {
     val hinted: DataFrame => DataFrame =
-      if (resolveBroadcast(lm.base.bigrams, broadcastModel, maxBroadcastRows,
+      if (resolveBroadcast(lm.base.largestRows, broadcastModel, maxBroadcastRows,
         "interpolated-LM bigram table")) broadcast(_) else identity
     val base = lm.base
     val exploded = docs
@@ -316,7 +355,9 @@ object LanguageModel {
   final case class KneserNeyLm(bigrams: DataFrame, contexts: DataFrame,
                                contTypes: DataFrame, vocabSize: Long,
                                nBigramTypes: Long, discount: Double,
-                               beta: Double) {
+                               beta: Double)
+      extends LargestTableRows {
+    override protected def largestTable: DataFrame = bigrams
     require(vocabSize > 0, s"KN LM needs a non-empty vocabulary, got $vocabSize")
     require(nBigramTypes > 0,
       s"KN LM needs at least one bigram type, got $nBigramTypes")
@@ -346,8 +387,10 @@ object LanguageModel {
     val nBigramTypes = bigrams.count()
     val vocabSize = docs.select(explode(toks).as("t"))
       .agg(count_distinct(col("t"))).head().getLong(0)
+    // nBigramTypes IS the bigram-table row count: the broadcast-guard
+    // seed is free here
     KneserNeyLm(bigrams, contexts, contTypes, vocabSize, nBigramTypes,
-      discount, beta)
+      discount, beta).seedLargestRows(nBigramTypes)
   }
 
   /** [[prune]] for the KN form: bigram pruning only — contexts,
@@ -373,7 +416,7 @@ object LanguageModel {
                             broadcastModel: Boolean = true,
                             maxBroadcastRows: Long = MaxBroadcastModelRows): DataFrame = {
     val hinted: DataFrame => DataFrame =
-      if (resolveBroadcast(lm.bigrams, broadcastModel, maxBroadcastRows,
+      if (resolveBroadcast(lm.largestRows, broadcastModel, maxBroadcastRows,
         "KN bigram table")) broadcast(_) else identity
     val exploded = docs
       .select(col(idCol),
@@ -411,21 +454,23 @@ object LanguageModel {
     lm.contexts.write.mode("overwrite").parquet(s"$path/contexts")
     lm.contTypes.write.mode("overwrite").parquet(s"$path/conttypes")
     spark.createDataFrame(
-        Seq((lm.vocabSize, lm.nBigramTypes, lm.discount, lm.beta)))
-      .toDF("vocab_size", "n_bigram_types", "discount", "beta")
+        Seq((lm.vocabSize, lm.nBigramTypes, lm.discount, lm.beta,
+          lm.largestRows)))
+      .toDF("vocab_size", "n_bigram_types", "discount", "beta", "n_largest")
       .write.mode("overwrite").parquet(s"$path/kn_meta")
   }
 
   /** Load a persisted KN model (fails loudly on any other layout — no
-    * `kn_meta` commit marker there). */
+    * `kn_meta` commit marker there). Broadcast-guard count seeded from
+    * the meta row — zero probe jobs at serve. */
   def readKneserNey(spark: SparkSession, path: String): KneserNeyLm = {
     val meta = spark.read.parquet(s"$path/kn_meta").head()
-    KneserNeyLm(
+    seedFromMeta(meta, KneserNeyLm(
       spark.read.parquet(s"$path/bigrams"),
       spark.read.parquet(s"$path/contexts"),
       spark.read.parquet(s"$path/conttypes"),
       meta.getAs[Long]("vocab_size"), meta.getAs[Long]("n_bigram_types"),
-      meta.getAs[Double]("discount"), meta.getAs[Double]("beta"))
+      meta.getAs[Double]("discount"), meta.getAs[Double]("beta")))
   }
 
   /** An interpolated Kneser-Ney TRIGRAM model — the ORDER-RECURSIVE
@@ -461,7 +506,9 @@ object LanguageModel {
                                 cont23: DataFrame, ctx2: DataFrame,
                                 cont3: DataFrame, vocabSize: Long,
                                 nContTypes: Long, discount: Double,
-                                beta: Double) {
+                                beta: Double)
+      extends LargestTableRows {
+    override protected def largestTable: DataFrame = trigrams
     require(vocabSize > 0, s"KN3 LM needs a non-empty vocabulary, got $vocabSize")
     require(nContTypes > 0,
       s"KN3 LM needs at least one continuation type, got $nContTypes")
@@ -500,6 +547,7 @@ object LanguageModel {
       .agg(count_distinct(col("t"))).head().getLong(0)
     KneserNey3Lm(trigrams, ctx12, cont23, ctx2, cont3, vocabSize,
       nContTypes, discount, beta)
+      .seedLargestRows(trigrams.count())
   }
 
   /** [[pruneKneserNey]] at order 3: trigram pruning only — the
@@ -524,7 +572,7 @@ object LanguageModel {
                              broadcastModel: Boolean = true,
                              maxBroadcastRows: Long = MaxBroadcastModelRows): DataFrame = {
     val hinted: DataFrame => DataFrame =
-      if (resolveBroadcast(lm.trigrams, broadcastModel, maxBroadcastRows,
+      if (resolveBroadcast(lm.largestRows, broadcastModel, maxBroadcastRows,
         "KN3 trigram table")) broadcast(_) else identity
     val exploded = docs
       .select(col(idCol),
@@ -567,23 +615,25 @@ object LanguageModel {
     lm.ctx2.write.mode("overwrite").parquet(s"$path/ctx2")
     lm.cont3.write.mode("overwrite").parquet(s"$path/cont3")
     spark.createDataFrame(
-        Seq((lm.vocabSize, lm.nContTypes, lm.discount, lm.beta)))
-      .toDF("vocab_size", "n_cont_types", "discount", "beta")
+        Seq((lm.vocabSize, lm.nContTypes, lm.discount, lm.beta,
+          lm.largestRows)))
+      .toDF("vocab_size", "n_cont_types", "discount", "beta", "n_largest")
       .write.mode("overwrite").parquet(s"$path/kn3_meta")
   }
 
   /** Load a persisted KN3 model (fails loudly on any other layout — no
-    * `kn3_meta` commit marker there). */
+    * `kn3_meta` commit marker there). Broadcast-guard count seeded from
+    * the meta row — zero probe jobs at serve. */
   def readKneserNey3(spark: SparkSession, path: String): KneserNey3Lm = {
     val meta = spark.read.parquet(s"$path/kn3_meta").head()
-    KneserNey3Lm(
+    seedFromMeta(meta, KneserNey3Lm(
       spark.read.parquet(s"$path/trigrams"),
       spark.read.parquet(s"$path/ctx12"),
       spark.read.parquet(s"$path/cont23"),
       spark.read.parquet(s"$path/ctx2"),
       spark.read.parquet(s"$path/cont3"),
       meta.getAs[Long]("vocab_size"), meta.getAs[Long]("n_cont_types"),
-      meta.getAs[Double]("discount"), meta.getAs[Double]("beta"))
+      meta.getAs[Double]("discount"), meta.getAs[Double]("beta")))
   }
 
   /** An order-N interpolated Kneser-Ney model — [[KneserNey3Lm]]'s
@@ -614,7 +664,9 @@ object LanguageModel {
                                 conts: IndexedSeq[DataFrame],
                                 ctxs: IndexedSeq[DataFrame],
                                 vocabSize: Long, nContTypes: Long,
-                                discount: Double, beta: Double) {
+                                discount: Double, beta: Double)
+      extends LargestTableRows {
+    override protected def largestTable: DataFrame = grams
     require(order >= 3,
       s"KneserNeyNLm needs order >= 3 (order 2 is trainKneserNey), got $order")
     require(conts.length == order - 1,
@@ -670,6 +722,7 @@ object LanguageModel {
       .agg(count_distinct(col("t"))).head().getLong(0)
     KneserNeyNLm(order, grams, ctxTop, conts.toIndexedSeq, ctxs.toIndexedSeq,
       vocabSize, nContTypes, discount, beta)
+      .seedLargestRows(grams.count())
   }
 
   /** [[pruneKneserNey3]] at any order: top-order pruning only — the
@@ -696,7 +749,7 @@ object LanguageModel {
                              broadcastModel: Boolean = true,
                              maxBroadcastRows: Long = MaxBroadcastModelRows): DataFrame = {
     val hinted: DataFrame => DataFrame =
-      if (resolveBroadcast(lm.grams, broadcastModel, maxBroadcastRows,
+      if (resolveBroadcast(lm.largestRows, broadcastModel, maxBroadcastRows,
         s"KN-${lm.order} gram table")) broadcast(_) else identity
     val ws = (1 to lm.order).map(i => s"w$i")
     val exploded = docs
@@ -751,23 +804,26 @@ object LanguageModel {
       lm.ctxs(k - 1).write.mode("overwrite").parquet(s"$path/ctx_$k")
     }
     spark.createDataFrame(
-        Seq((lm.order, lm.vocabSize, lm.nContTypes, lm.discount, lm.beta)))
-      .toDF("order", "vocab_size", "n_cont_types", "discount", "beta")
+        Seq((lm.order, lm.vocabSize, lm.nContTypes, lm.discount, lm.beta,
+          lm.largestRows)))
+      .toDF("order", "vocab_size", "n_cont_types", "discount", "beta",
+        "n_largest")
       .write.mode("overwrite").parquet(s"$path/knn_meta")
   }
 
   /** Load a persisted KN-N model (fails loudly on any other layout — no
-    * `knn_meta` commit marker there). */
+    * `knn_meta` commit marker there). Broadcast-guard count seeded from
+    * the meta row — zero probe jobs at serve. */
   def readKneserNeyN(spark: SparkSession, path: String): KneserNeyNLm = {
     val meta = spark.read.parquet(s"$path/knn_meta").head()
     val order = meta.getAs[Int]("order")
-    KneserNeyNLm(order,
+    seedFromMeta(meta, KneserNeyNLm(order,
       spark.read.parquet(s"$path/ngrams"),
       spark.read.parquet(s"$path/ctx_top"),
       (1 until order).map(k => spark.read.parquet(s"$path/cont_$k")),
       (1 to order - 2).map(k => spark.read.parquet(s"$path/ctx_$k")),
       meta.getAs[Long]("vocab_size"), meta.getAs[Long]("n_cont_types"),
-      meta.getAs[Double]("discount"), meta.getAs[Double]("beta"))
+      meta.getAs[Double]("discount"), meta.getAs[Double]("beta")))
   }
 
   /** A MODIFIED Kneser-Ney model (Chen & Goodman 1999, the smoothing
@@ -810,7 +866,9 @@ object LanguageModel {
                                         ctxs: IndexedSeq[DataFrame],
                                         vocabSize: Long, nContTypes: Long,
                                         discounts: IndexedSeq[(Double, Double, Double)],
-                                        beta: Double) {
+                                        beta: Double)
+      extends LargestTableRows {
+    override protected def largestTable: DataFrame = grams
     require(order >= 3,
       s"ModifiedKneserNeyNLm needs order >= 3, got $order")
     require(conts.length == order - 1,
@@ -850,8 +908,13 @@ object LanguageModel {
     * behavior, noted on stderr; usable estimates are CLAMPED into the
     * normalization-safe ranges ([0,1]/[0,2]/[0,3] — the upper bounds
     * hold by construction, the lower can be crossed by adversarial
-    * histograms). Both rules are pure arithmetic on the four counts,
-    * so the generated DuckDB oracle replays them exactly. */
+    * histograms). The gate includes n₄ = 0 (ADVICE r15): without
+    * count-4 grams the D₃₊ estimate clamps to exactly 3.0, zeroing the
+    * discounted first term of every count-3 gram at that level — a
+    * silent quality cliff SRILM also treats as estimator failure, so
+    * the whole level falls back rather than ship a degenerate D₃₊.
+    * Both rules are pure arithmetic on the four counts, so the
+    * generated DuckDB oracle replays them exactly. */
   private def estimateDiscounts(counts: DataFrame, cntCol: String,
                                 level: String): (Double, Double, Double) = {
     val r = counts.agg(
@@ -861,7 +924,7 @@ object LanguageModel {
       sum(when(col(cntCol) === 4, 1L).otherwise(0L))).head()
     val (n1, n2, n3, n4) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    if (n1 == 0 || n2 == 0 || n3 == 0) {
+    if (n1 == 0 || n2 == 0 || n3 == 0 || n4 == 0) {
       System.err.println(
         s"[graft.lm] $level count-of-counts too thin for Chen-Goodman " +
           s"(n1=$n1 n2=$n2 n3=$n3 n4=$n4) — using the fixed " +
@@ -924,6 +987,7 @@ object LanguageModel {
       .toIndexedSeq
     ModifiedKneserNeyNLm(order, grams, ctxTop, conts.toIndexedSeq,
       ctxs.toIndexedSeq, vocabSize, nContTypes, discounts, beta)
+      .seedLargestRows(grams.count())
   }
 
   /** [[pruneKneserNeyN]] for the modified form: top-order pruning
@@ -952,7 +1016,7 @@ object LanguageModel {
                                      broadcastModel: Boolean = true,
                                      maxBroadcastRows: Long = MaxBroadcastModelRows): DataFrame = {
     val hinted: DataFrame => DataFrame =
-      if (resolveBroadcast(lm.grams, broadcastModel, maxBroadcastRows,
+      if (resolveBroadcast(lm.largestRows, broadcastModel, maxBroadcastRows,
         s"modified-KN-${lm.order} gram table")) broadcast(_) else identity
     val ws = (1 to lm.order).map(i => s"w$i")
     val exploded = docs
@@ -1021,13 +1085,15 @@ object LanguageModel {
       .toDF("level", "d1", "d2", "d3")
       .write.mode("overwrite").parquet(s"$path/mkn_discounts")
     spark.createDataFrame(
-        Seq((lm.order, lm.vocabSize, lm.nContTypes, lm.beta)))
-      .toDF("order", "vocab_size", "n_cont_types", "beta")
+        Seq((lm.order, lm.vocabSize, lm.nContTypes, lm.beta,
+          lm.largestRows)))
+      .toDF("order", "vocab_size", "n_cont_types", "beta", "n_largest")
       .write.mode("overwrite").parquet(s"$path/mkn_meta")
   }
 
   /** Load a persisted modified-KN model (fails loudly on any other
-    * layout — no `mkn_meta` commit marker there). */
+    * layout — no `mkn_meta` commit marker there). Broadcast-guard count
+    * seeded from the meta row — zero probe jobs at serve. */
   def readModifiedKneserNeyN(spark: SparkSession,
                              path: String): ModifiedKneserNeyNLm = {
     val meta = spark.read.parquet(s"$path/mkn_meta").head()
@@ -1036,13 +1102,13 @@ object LanguageModel {
       .collect().sortBy(_.getAs[Int]("level"))
       .map(r => (r.getAs[Double]("d1"), r.getAs[Double]("d2"),
         r.getAs[Double]("d3"))).toIndexedSeq
-    ModifiedKneserNeyNLm(order,
+    seedFromMeta(meta, ModifiedKneserNeyNLm(order,
       spark.read.parquet(s"$path/ngrams"),
       spark.read.parquet(s"$path/ctx_top"),
       (1 until order).map(k => spark.read.parquet(s"$path/cont_$k")),
       (1 to order - 2).map(k => spark.read.parquet(s"$path/ctx_$k")),
       meta.getAs[Long]("vocab_size"), meta.getAs[Long]("n_cont_types"),
-      discounts, meta.getAs[Double]("beta"))
+      discounts, meta.getAs[Double]("beta")))
   }
 
   /** Per-document cross-entropy under `lm`: output is
@@ -1055,7 +1121,7 @@ object LanguageModel {
                    lm: BigramLm, broadcastModel: Boolean = true,
                    maxBroadcastRows: Long = MaxBroadcastModelRows): DataFrame = {
     val hinted: DataFrame => DataFrame =
-      if (resolveBroadcast(lm.bigrams, broadcastModel, maxBroadcastRows,
+      if (resolveBroadcast(lm.largestRows, broadcastModel, maxBroadcastRows,
         "bigram model table")) broadcast(_) else identity
     val exploded = docs
       .select(col(idCol), explode(bigramStructs(TextAnalysis.tokens(col(textCol)))).as("bg"))
@@ -1138,20 +1204,33 @@ object LanguageModel {
     deleteLayoutSubdirs(spark, path)
     lm.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
     lm.contexts.write.mode("overwrite").parquet(s"$path/contexts")
-    spark.createDataFrame(Seq((lm.vocabSize, lm.alpha)))
-      .toDF("vocab_size", "alpha")
+    spark.createDataFrame(Seq((lm.vocabSize, lm.alpha, lm.largestRows)))
+      .toDF("vocab_size", "alpha", "n_largest")
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Load a persisted model. The meta probe is one row (bounded driver
     * read); the count tables stay lazy parquet scans, so a serve that
-    * broadcasts them reads them exactly once. */
+    * broadcasts them reads them exactly once. The broadcast-guard count
+    * rides the meta row ([[LargestTableRows]]) — serving a loaded model
+    * runs zero probe jobs (pre-`n_largest` layouts fall back to one
+    * bounded parquet count on first scoring). */
   def read(spark: SparkSession, path: String): BigramLm = {
     val meta = spark.read.parquet(s"$path/meta").head()
-    BigramLm(
+    seedFromMeta(meta, BigramLm(
       spark.read.parquet(s"$path/bigrams"),
       spark.read.parquet(s"$path/contexts"),
       meta.getAs[Long]("vocab_size"),
-      meta.getAs[Double]("alpha"))
+      meta.getAs[Double]("alpha")))
+  }
+
+  /** Seed [[LargestTableRows]] from a persisted meta row when the
+    * layout carries `n_largest`; older layouts (pre-r16) lack the
+    * column and keep the lazy-count fallback. */
+  private def seedFromMeta[M <: LargestTableRows](
+      meta: org.apache.spark.sql.Row, lm: M): M = {
+    if (meta.schema.fieldNames.contains("n_largest"))
+      lm.seedLargestRows(meta.getAs[Long]("n_largest"))
+    lm
   }
 }

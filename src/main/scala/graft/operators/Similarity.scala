@@ -856,6 +856,332 @@ object Similarity {
       .join(cx, "nn_id"), k)
   }
 
+  // ---------------------------------------------------------------------
+  // OPQ — Optimized Product Quantization (Ge, He, Ke & Sun, CVPR 2013):
+  // learn an orthogonal rotation R of the embedding space BEFORE the
+  // subspace split, so the PQ codebook budget stops being spent on
+  // whatever correlated/unbalanced axes the raw coordinates happen to
+  // have. Plain PQ's subspaces are the raw coordinate blocks — on
+  // unstructured embeddings (no axis-aligned cluster structure) that is
+  // the known recall ceiling; OPQ's rotation decorrelates the subspaces
+  // (parametric init: PCA + eigenvalue allocation, Ge §4.2) and then
+  // alternately refines R against the trained codebooks (non-parametric
+  // iterations: orthogonal Procrustes, Ge §4.1), reusing the SAME
+  // distributed Lloyd machinery ([[trainPq]]) for every codebook fit.
+  // At serve time the rotation is one matrix-vector product per row —
+  // encode and ADC both run in the rotated space, the exact re-scoring
+  // stays in the ORIGINAL space (R is orthogonal, so the true cosine is
+  // unchanged; re-scoring original vectors keeps the returned scores
+  // bit-comparable with every other ANN family here).
+  // ---------------------------------------------------------------------
+
+  /** `R · v` as a column: one row of the rotation per output dimension,
+    * each a sequential-fold dot product (the [[distStructs]] IEEE
+    * association — `((0+x₁)+x₂)+…` — which DuckDB's `list_sum` replays
+    * exactly, so the oracle recomputes rotated vectors bit-identically
+    * from the dumped matrix). The matrix rides the plan as ONE
+    * `typedlit` (d² doubles — 32 KB at d = 64), the [[distStructs]]
+    * plan-size discipline. */
+  def rotateExpr(v: Column, rotation: Array[Array[Double]]): Column =
+    transform(typedlit(rotation.map(_.toSeq).toSeq), (row, _) =>
+      aggregate(zip_with(v, row, (a, b) => a * b), lit(0.0), (acc, x) => acc + x))
+
+  /** The bounded md5-ordered driver sample [[kmeansFit]] seeds from,
+    * shared by the OPQ trainer: deterministic (md5 of the id, driver
+    * re-sort belt-and-braces), guarded by [[MaxSeedSampleBytes]] before
+    * collecting. */
+  private def md5Sample(df: DataFrame, idCol: String, embCol: String,
+                        cap: Int, ctx: String): Array[Array[Double]] = {
+    val vRaw = col(embCol).cast("array<double>")
+    val v = when(
+      vRaw.isNull || size(vRaw) === 0 || exists(vRaw, _.isNull),
+      raise_error(lit(s"$ctx: null or empty embedding"))).otherwise(vRaw)
+    df.select(size(v).as("d")).limit(1).collect().headOption.foreach { r =>
+      val dims0 = r.getInt(0)
+      val bytes = cap.toLong * dims0 * 8L
+      require(bytes <= MaxSeedSampleBytes,
+        f"$ctx: the driver-side sample would hold $cap rows x $dims0 dims " +
+          f"~= ${bytes / (1 << 20)} MiB of doubles " +
+          f"(cap ${MaxSeedSampleBytes / (1 << 20)} MiB) - lower sampleRows " +
+          "or project the embedding before training")
+    }
+    val sample = df
+      .select(v.as("v"), md5(col(idCol).cast("string").cast("binary")).as("h"))
+      .orderBy("h").limit(cap)
+      .collect().map(r => (r.getString(1), r.getSeq[Double](0).toArray))
+      .sortBy(_._1).map(_._2)
+    require(sample.nonEmpty, s"$ctx: empty corpus")
+    val dims = sample.head.length
+    sample.foreach(x => require(x.length == dims,
+      s"$ctx: ragged embedding (dims mismatch) in the sample"))
+    sample
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric d×d matrix —
+    * deterministic fixed sweep order, returns (eigenvalues,
+    * eigenvectors-as-ROWS). d is embedding width (≤ ~1k), so the O(d³)
+    * driver cost is microseconds-to-ms; no LAPACK dependency surface. */
+  private def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-14) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          off += apq * apq
+          if (math.abs(apq) > 1e-18) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vpk = v(p)(k); val vqk = v(q)(k)
+              v(p)(k) = c * vpk - s * vqk
+              v(q)(k) = s * vpk + c * vqk
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Ge et al.'s parametric initialization (OPQ-P, §4.2): eigenvalue
+    * allocation. Eigenpairs sorted by eigenvalue DESC are dealt greedily
+    * to the m subspace buckets — each to the non-full bucket with the
+    * smallest current log-variance product (ties to the lower bucket) —
+    * balancing the per-subspace variance products so no single codebook
+    * carries the whole spectrum. Returns the rotation: eigenvector rows
+    * ordered bucket by bucket. */
+  private def eigenAllocate(evals: Array[Double], evecs: Array[Array[Double]],
+                            m: Int): Array[Array[Double]] = {
+    val d = evals.length
+    val dsub = d / m
+    val order = evals.indices.sortBy(i => (-evals(i), i))
+    val logs = Array.fill(m)(0.0)
+    val buckets = Array.fill(m)(collection.mutable.ArrayBuffer.empty[Int])
+    order.foreach { i =>
+      var best = -1
+      var bestLog = Double.MaxValue
+      var b = 0
+      while (b < m) {
+        if (buckets(b).size < dsub && logs(b) < bestLog) {
+          best = b; bestLog = logs(b)
+        }
+        b += 1
+      }
+      buckets(best) += i
+      logs(best) += math.log(math.max(evals(i), 1e-300))
+    }
+    buckets.flatMap(_.iterator.map(evecs)).toArray
+  }
+
+  /** Train an OPQ model: the learned rotation + PQ codebooks fitted in
+    * the rotated space — [[trainPq]] with Ge et al. 2013's two stages
+    * in front of the subspace split:
+    *
+    *  1. PARAMETRIC init: second-moment matrix of a bounded md5 driver
+    *     sample → Jacobi eigendecomposition → eigenvalue allocation
+    *     ([[eigenAllocate]]) = R₀.
+    *  2. NON-PARAMETRIC refinement (`opqIters`): fit codebooks on the
+    *     ROTATED corpus with the existing distributed Lloyd
+    *     ([[trainPq]] — the codebook economics and determinism story
+    *     are unchanged), reconstruct the rotated sample from its codes,
+    *     and re-solve R by orthogonal Procrustes (SVD of the
+    *     sample×reconstruction correlation — breeze, on Spark's own
+    *     classpath) so the rotation chases the quantizer and vice
+    *     versa; a final [[trainPq]] re-fits codebooks under the final R.
+    *
+    * Cost: (opqIters + 1) × [[trainPq]] over the corpus plus O(sample·d²)
+    * driver arithmetic per iteration — an offline train step, paid per
+    * rebuild like every quantizer fit here. Returns `(rotation,
+    * codebooks)`; both persist with the index (the serving side derives
+    * nothing, the [[writeLearnedPqIndex]] quantizer-mismatch
+    * discipline). */
+  def trainOpq(df: DataFrame, idCol: String, embCol: String,
+               m: Int = 8, ksub: Int = 16, iters: Int = 5,
+               opqIters: Int = 2,
+               sampleRows: Int = 10000): (Array[Array[Double]], PqCodebooks) = {
+    require(m >= 1, s"m must be positive, got $m")
+    require(opqIters >= 0, s"opqIters must be >= 0, got $opqIters")
+    require(sampleRows >= 2, s"sampleRows must be >= 2, got $sampleRows")
+    val sample = md5Sample(df, idCol, embCol, sampleRows, "train_opq")
+    val d = sample.head.length
+    require(d % m == 0,
+      s"train_opq: dims $d must split evenly into m=$m subspaces")
+    // second moment C = Σ v vᵀ over the sample (uncentered, like the PQ
+    // it feeds: codes quantize vectors, not deviations)
+    val c = Array.ofDim[Double](d, d)
+    sample.foreach { x =>
+      var i = 0
+      while (i < d) {
+        var j = i
+        while (j < d) { c(i)(j) += x(i) * x(j); j += 1 }
+        i += 1
+      }
+    }
+    var i = 0
+    while (i < d) { var j = 0; while (j < i) { c(i)(j) = c(j)(i); j += 1 }; i += 1 }
+    val (evals, evecs) = jacobiEigen(c)
+    var rot = eigenAllocate(evals, evecs, m)
+    var cb = trainPqRotated(df, idCol, embCol, rot, m, ksub, iters)
+    var it = 0
+    while (it < opqIters) {
+      // Procrustes step on the driver sample: min_R Σ‖R·x − x̂‖² with
+      // x̂ the codebook reconstruction of R·x ⇒ R = U·Vᵀ from the SVD
+      // of M = Σ x̂ xᵀ
+      val mMat = breeze.linalg.DenseMatrix.zeros[Double](d, d)
+      sample.foreach { x =>
+        val rx = matVec(rot, x)
+        val xhat = reconstruct(rx, cb)
+        var a = 0
+        while (a < d) {
+          var b = 0
+          while (b < d) { mMat(a, b) += xhat(a) * x(b); b += 1 }
+          a += 1
+        }
+      }
+      val svd = breeze.linalg.svd(mMat)
+      val r = svd.U * svd.Vt
+      rot = Array.tabulate(d, d)((a, b) => r(a, b))
+      cb = trainPqRotated(df, idCol, embCol, rot, m, ksub, iters)
+      it += 1
+    }
+    (rot, cb)
+  }
+
+  private def matVec(m: Array[Array[Double]], x: Array[Double]): Array[Double] = {
+    val d = m.length
+    val out = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      var s = 0.0; var j = 0
+      while (j < x.length) { s += m(i)(j) * x(j); j += 1 }
+      out(i) = s; i += 1
+    }
+    out
+  }
+
+  /** Codebook reconstruction of a (rotated) vector: per subspace the
+    * nearest centroid's values — squared-L2 argmin, ties to the lower
+    * code, [[encodePq]]'s exact rule. */
+  private def reconstruct(rx: Array[Double], cb: PqCodebooks): Array[Double] = {
+    val out = new Array[Double](cb.dims)
+    var j = 0
+    while (j < cb.m) {
+      var bestC = 0; var bestD = Double.MaxValue
+      var cdx = 0
+      while (cdx < cb.ksub) {
+        var dd = 0.0; var t = 0
+        while (t < cb.dsub) {
+          val diff = rx(j * cb.dsub + t) - cb.codebooks(j)(cdx)(t)
+          dd += diff * diff; t += 1
+        }
+        if (dd < bestD) { bestD = dd; bestC = cdx }
+        cdx += 1
+      }
+      var t = 0
+      while (t < cb.dsub) {
+        out(j * cb.dsub + t) = cb.codebooks(j)(bestC)(t); t += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** [[trainPq]] in the rotated space: one distributed Lloyd per
+    * subspace over `R · v` — the rotation is a projection below the
+    * per-subspace fits, so the corpus-scan economics are [[trainPq]]'s
+    * verbatim. */
+  private def trainPqRotated(df: DataFrame, idCol: String, embCol: String,
+                             rot: Array[Array[Double]], m: Int, ksub: Int,
+                             iters: Int): PqCodebooks = {
+    val d = rot.length
+    val rotated = df.select(col(idCol),
+      rotateExpr(guardedVec(embCol, d, "train_opq"), rot).as("__rotv"))
+    trainPq(rotated, idCol, "__rotv", m, ksub, iters)
+  }
+
+  /** The OPQ index: `(idCol, partCol, pq_codes)` where the codes
+    * quantize the ROTATED vector — [[buildPqIndex]] behind the learned
+    * rotation. The rotation must travel with the index (codes in a
+    * rotated space are meaningless without R — the
+    * [[writeLearnedPqIndex]] quantizer-mismatch discipline). */
+  def buildOpqIndex(df: DataFrame, idCol: String, embCol: String,
+                    partCol: String, rotation: Array[Array[Double]],
+                    cb: PqCodebooks): DataFrame = {
+    require(rotation.length == cb.dims && rotation.forall(_.length == cb.dims),
+      s"rotation must be ${cb.dims}x${cb.dims} to match the codebooks")
+    val rotated = df.withColumn("__rotv",
+      rotateExpr(guardedVec(embCol, cb.dims, "build_opq_index"), rotation))
+    encodePq(rotated, "__rotv", cb)
+      .select(col(idCol), col(partCol), col("pq_codes"))
+  }
+
+  /** IVF top-k over an OPQ index with exact re-scoring — [[ivfTopKPq]]
+    * with both ADC sides in the ROTATED space: the per-query ADC table
+    * precomputes against `R·q` (below the cell join, once per query
+    * row), candidates carry rotated-space codes, and stage 2 re-scores
+    * the shortlist against the ORIGINAL full-precision vectors (R is
+    * orthogonal — the true cosine is rotation-invariant, and scoring
+    * originals keeps returned scores bit-comparable across the ANN
+    * families). Same rounded-ADC determinism contract and output
+    * `(query_id, nn_id, cosine, rank)`. */
+  def ivfTopKOpq(index: DataFrame, corpus: DataFrame, queries: DataFrame,
+                 idCol: String, embCol: String, partCol: String,
+                 rotation: Array[Array[Double]], cb: PqCodebooks, k: Int,
+                 candidateFactor: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(candidateFactor >= 1,
+      s"candidateFactor must be positive, got $candidateFactor")
+    require(rotation.length == cb.dims && rotation.forall(_.length == cb.dims),
+      s"rotation must be ${cb.dims}x${cb.dims} to match the codebooks")
+    val q = queries.select(col(partCol).as("part"),
+      col(idCol).as("query_id"),
+      graft.functions.Adc.table(
+        rotateExpr(guardedVec(embCol, cb.dims, "ivf_top_k_opq"), rotation),
+        cb.codebooks).as("__adc_tab"))
+    val c = index.select(col(partCol).as("part"), col(idCol).as("nn_id"),
+      col("pq_codes"))
+    val adcR = floor(graft.functions.Adc.lookup(col("__adc_tab"),
+      col("pq_codes").cast("array<int>"), cb.m, cb.ksub) * 1000000.0
+      + 0.5) / 1000000.0
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__adc"), col("nn_id"))
+    val shortlist = q.join(c, Seq("part"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"), adcR.as("__adc"))
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= k * candidateFactor)
+      .select("query_id", "nn_id").distinct()
+    val cx = withNorm(corpus, embCol)
+      .select(col(idCol).as("nn_id"), col("vec").as("cv"), col("norm").as("cn"))
+    rankTopK(shortlist
+      .join(uniqueQueryVectors(queries, idCol, embCol), "query_id")
+      .join(cx, "nn_id"), k)
+  }
+
   /** [[writeLearnedIvfIndex]]'s residual-PQ sibling: the corpus is
     * labeled by its nearest centroid, residual-encoded
     * ([[buildPqIndexResidual]]), written partitioned by the coarse cell,

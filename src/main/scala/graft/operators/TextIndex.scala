@@ -618,7 +618,14 @@ object TextIndex {
   private[graft] final case class TopKServeDiag(
     p1Postings: Long, keptPostings: Long, totalPostings: Long,
     nCandidates: Long, theta: Double, theta2: Double,
-    nEssential: Int, nQueryTerms: Int)
+    nEssential: Int, nQueryTerms: Int,
+    /** Which phase-2 path actually served: "split" (MaxScore split held),
+      * "all_essential" (no non-essential terms — θ never split the
+      * lists), or "fallback_all_essential" (split attempted, overflowed
+      * its break-even cap, re-ran all-essential). The artifact's
+      * decision bit (r15 verdict #3): a kept=total cell reads as an
+      * adaptive choice or a collapse only with this recorded. */
+    servedBy: String)
 
   /** [[bm25TopK]] plus its [[TopKServeDiag]] (two extra count jobs —
     * harness use, not the serving path). */
@@ -653,7 +660,7 @@ object TextIndex {
           org.apache.spark.sql.types.DoubleType, nullable = true))))
     val emptyDiag =
       if (diag) Some(TopKServeDiag(0L, 0L, 0L, 0L, Double.NaN, Double.NaN,
-        0, terms.size))
+        0, terms.size, "no_terms"))
       else None
     if (present.isEmpty) return (empty, emptyDiag)
     def idfOf(t: String): Double = {
@@ -850,11 +857,23 @@ object TextIndex {
     // guard: on a uniform-idf query at corpus scale the split's
     // candidate band grows with df, and without the fallback it would
     // hit MaxTopKCandidates and fail a query the full scan serves fine.
+    // Honest-accounting note: when the split overflows, the fallback
+    // RE-RUNS phase 2 from scratch (block cutoffs re-collected, three
+    // more driver actions over the cand aggregation) — roughly doubling
+    // serve latency on exactly the uniform-idf worst-case shape. The
+    // break-even cap counts rescore volume saved, not this re-run cost;
+    // the bench artifacts carry the served_by bit so a fallback cell's
+    // latency reads as the double-pass price, not split cost.
     val savedPostings = nonEssential.toSeq.map(dfRows).map(_.toLong).sum
     val splitCap = math.min(MaxTopKCandidates.toLong,
       math.max(k.toLong, savedPostings / math.max(1, present.size))).toInt
-    val out = (if (nonEssential.isEmpty) None
-               else phase2(nonEssential, splitCap))
+    val splitOut = if (nonEssential.isEmpty) None
+                   else phase2(nonEssential, splitCap)
+    val servedBy =
+      if (nonEssential.isEmpty) "all_essential"
+      else if (splitOut.isDefined) "split"
+      else "fallback_all_essential"
+    val out = splitOut
       .getOrElse {
         val full = phase2(Set.empty, MaxTopKCandidates)
         require(full.isDefined,
@@ -872,7 +891,7 @@ object TextIndex {
         layout.blocks.filter(out.keptPred).count(),
         present.map(dfRows).sum,
         candidates.length.toLong, theta, out.theta2,
-        out.essential.size, present.size))
+        out.essential.size, present.size, servedBy))
     if (candidates.isEmpty) return (empty, diagOut)
     // phase 3: exact rescore of the candidates from the doc-sorted
     // forward table — candidate-id pushdown prunes row groups, and the

@@ -188,7 +188,12 @@ object Main {
       |          [--m <index's m>] [--ksub <index's ksub>] [--iters 5]
       |          [--tolerance 0.1]
       |          (coarse-drift check; above tolerance retrains BOTH
-      |           quantizers and re-encodes — codes are derived data)
+      |           quantizers and re-encodes — codes are derived data.
+      |           COST NOTE: drift is measured against a FRESH coarse
+      |           fit, so every run — including the common no-op
+      |           refresh — pays one full k-means fit over the corpus;
+      |           schedule accordingly, it is the price of an honest
+      |           drift number rather than a stale-centroid heuristic)
       |  pq-append   --in <embeddings-parquet> --path <dir>
       |          [--id vec_id] [--embedding embedding]
       |  pq-compact  --path <dir> [--id vec_id]

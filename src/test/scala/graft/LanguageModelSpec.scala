@@ -435,7 +435,8 @@ class LanguageModelSpec extends SparkSpec {
     def disc(hist: Iterable[Long]) = {
       val n1 = hist.count(_ == 1L); val n2 = hist.count(_ == 2L)
       val n3 = hist.count(_ == 3L); val n4 = hist.count(_ == 4L)
-      assert(n1 > 0 && n2 > 0 && n3 > 0, "test corpus must populate n1..n3")
+      assert(n1 > 0 && n2 > 0 && n3 > 0 && n4 > 0,
+        "test corpus must populate n1..n4 (n4 = 0 now gates the fallback too)")
       val y = n1 / (n1 + 2.0 * n2)
       (math.min(math.max(1.0 - (2.0 * y * n2) / n1, 0.0), 1.0),
         math.min(math.max(2.0 - (3.0 * y * n3) / n2, 0.0), 2.0),
@@ -560,6 +561,103 @@ class LanguageModelSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       LanguageModel.crossEntropy(docs, "doc_id", "text", lm,
         maxBroadcastRows = -1L).collect())
+  }
+
+  test("broadcast probe memoized per model: train/read seed the count, " +
+    "a hand-built model counts once — serving pays zero probe jobs") {
+    val sc = spark.sparkContext
+    def groupJobs(g: String): Int = sc.statusTracker.getJobIdsForGroup(g).length
+    // the status store is fed async: poll until at least `atLeast` jobs of
+    // the group are visible. Jobs surface in submission order, so once a
+    // LATER-submitted marker job is visible, any probe job submitted
+    // before it would be visible too — "exactly the marker" is sound.
+    def await(g: String, atLeast: Int): Int = {
+      val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
+      while (groupJobs(g) < atLeast && System.nanoTime < deadline)
+        Thread.sleep(20)
+      groupJobs(g)
+    }
+    // 1) a SEEDED model never touches its table: the poison frame raises
+    // on any scan, so a probe job here would fail the test loudly
+    val poison = spark.range(1)
+      .filter(expr("isnull(raise_error('broadcast probe ran a job'))"))
+      .select(lit("a").as("w1"), lit("b").as("w2"), lit(1L).as("n12"))
+    assert(BigramLm(poison, poison, 3L, 0.5).seedLargestRows(7L)
+      .largestRows == 7L)
+    // 2) trained models come pre-seeded: largestRows answers jobless
+    val trained = lm // force the lazy train OUTSIDE the measured group
+    sc.setJobGroup("probe-trained", "probe-trained")
+    try {
+      assert(trained.largestRows == 4L) // 4 distinct bigrams, no job to answer
+      sc.parallelize(Seq(1)).count() // marker: exactly ONE job (no AQE stages)
+    } finally sc.clearJobGroup()
+    assert(await("probe-trained", 1) == 1,
+      "a trained model must answer largestRows without running a job")
+    // 3) persisted models seed from the meta row: zero probe jobs at serve
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm-probe").toFile
+    dir.deleteOnExit()
+    val path = new java.io.File(dir, "m").getAbsolutePath
+    LanguageModel.write(lm, path)
+    val back = LanguageModel.read(spark, path)
+    sc.setJobGroup("probe-served", "probe-served")
+    try {
+      assert(back.largestRows == 4L)
+      sc.parallelize(Seq(1)).count() // marker: exactly one job
+    } finally sc.clearJobGroup()
+    assert(await("probe-served", 1) == 1,
+      "a loaded model must answer largestRows without running a job " +
+        "(seeded by the meta row's n_largest)")
+    // 4) a hand-constructed model pays ONE bounded count, then memoizes
+    val hand = BigramLm(lm.bigrams, lm.contexts, 3L, 0.5)
+    sc.setJobGroup("probe-hand", "probe-hand")
+    try {
+      assert(hand.largestRows == 4L) // first call: >= 1 count job
+      sc.parallelize(Seq(1)).count() // marker: exactly one job
+    } finally sc.clearJobGroup()
+    val afterFirst = await("probe-hand", 2)
+    assert(afterFirst >= 2, "first largestRows on an unseeded model counts")
+    sc.setJobGroup("probe-hand", "probe-hand")
+    try {
+      assert(hand.largestRows == 4L) // memoized: no further job
+      sc.parallelize(Seq(1)).count() // marker: exactly one job
+    } finally sc.clearJobGroup()
+    assert(await("probe-hand", afterFirst + 1) == afterFirst + 1,
+      "repeated largestRows must not re-run the probe")
+  }
+
+  test("modified KN at ORDER 5: per-level thin-histogram fallback — the top " +
+    "level estimator-feeds, every continuation level falls back") {
+    // planted top-order histogram: one 5-gram each at count 4, 3, 2, 1 —
+    // n1..n4 = 1 at the top level, so Chen-Goodman feeds there. Every
+    // lower level sees only count-1 continuation types (all 5-grams are
+    // distinct per suffix), so n2..n4 = 0 and the level falls back.
+    val corpus = (
+      (1 to 4).map(i => (i.toLong, "p1 p2 p3 p4 p5")) ++
+      (5 to 7).map(i => (i.toLong, "q1 q2 q3 q4 q5")) ++
+      (8 to 9).map(i => (i.toLong, "r1 r2 r3 r4 r5")) :+
+      ((10L, "s1 s2 s3 s4 s5"))
+    ).toDF("doc_id", "text")
+    val lm5 = LanguageModel.trainModifiedKneserNeyN(corpus, "text", order = 5)
+    assert(lm5.order == 5 && lm5.discounts.length == 4)
+    // levels 2..4 (continuation types): all thin -> fixed fallback
+    (0 to 2).foreach { i =>
+      assert(lm5.discounts(i) == ((0.75, 0.75, 0.75)),
+        s"continuation level ${i + 2} must fall back: ${lm5.discounts(i)}")
+    }
+    // level 5 (raw counts): the exact Chen-Goodman estimate at n1..n4 = 1,
+    // written with estimateDiscounts' literal IEEE association
+    val y = 1 / (1 + 2.0 * 1)
+    val expect = (
+      math.min(math.max(1.0 - (2.0 * y * 1) / 1, 0.0), 1.0),
+      math.min(math.max(2.0 - (3.0 * y * 1) / 1, 0.0), 2.0),
+      math.min(math.max(3.0 - (4.0 * y * 1) / 1, 0.0), 3.0))
+    assert(lm5.discounts(3) == expect,
+      s"top level must estimator-feed: ${lm5.discounts(3)} vs $expect")
+    // and the model scores: every doc has exactly one 5-gram
+    val out = LanguageModel.crossEntropyModifiedKneserNeyN(
+      corpus, "doc_id", "text", lm5).collect()
+    assert(out.length == 10 &&
+      out.forall(r => r.getLong(1) == 1L && r.getDouble(2) > 0))
   }
 
   test("degenerate models are rejected at construction") {

@@ -907,7 +907,7 @@ class PropertySpec extends SparkSpec {
           def disc(hist: Iterable[Long]) = {
             val n1 = hist.count(_ == 1L); val n2 = hist.count(_ == 2L)
             val n3 = hist.count(_ == 3L); val n4 = hist.count(_ == 4L)
-            if (n1 == 0 || n2 == 0 || n3 == 0) (0.75, 0.75, 0.75)
+            if (n1 == 0 || n2 == 0 || n3 == 0 || n4 == 0) (0.75, 0.75, 0.75)
             else {
               val y = n1 / (n1 + 2.0 * n2)
               (math.min(math.max(1.0 - (2.0 * y * n2) / n1, 0.0), 1.0),

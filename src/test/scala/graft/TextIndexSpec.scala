@@ -523,6 +523,51 @@ class TextIndexSpec extends SparkSpec {
     intercept[Exception] { TextIndex.readTopK(spark, crashed) }
   }
 
+  test("bm25TopK phase-2 decision bit: split at selective k, all-essential " +
+    "on the k-collapse shape — recorded, and the answers stay exact") {
+    import org.apache.spark.sql.functions.{col, floor}
+    // 300 docs all carry the low-idf term; 20 also carry three
+    // high-idf terms. At small k the threshold sits in the
+    // high-scoring tier, the low-idf list is non-essential and the
+    // MaxScore split serves. Past the 20 rich docs (k = 100) the
+    // threshold falls into the common-only tier: no list's bound stays
+    // under θ, nothing is non-essential, and the serve must RECORD
+    // that it ran all-essential — the k-collapse cell the r15 verdict
+    // wanted adjudicable from the artifact.
+    val corpus = spark.range(300).selectExpr("id AS doc_id",
+      "concat(repeat('alpha ', 1 + cast(id % 4 AS INT)), " +
+        "CASE WHEN id < 20 THEN 'beta gamma delta ' ELSE '' END, " +
+        "repeat('pad ', cast(id % 7 AS INT)), 'tail') AS text")
+    val full = TextIndex.build(corpus, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-topk-split").toFile
+    dir.deleteOnExit()
+    val path = new java.io.File(dir, "topk").getAbsolutePath
+    TextIndex.writeTopK(full, path, termPartitions = 4)
+    val layout = TextIndex.readTopK(spark, path)
+    val q = "alpha beta gamma delta"
+    val r6 = (c: org.apache.spark.sql.Column) =>
+      floor(c * 1000000.0 + 0.5) / 1000000.0
+    def serve(k: Int) = TextIndex.bm25TopKDiag(layout, "doc_id", q, k)
+    val (df5, d5) = serve(5)
+    assert(d5.servedBy == "split",
+      s"selective k must serve via the MaxScore split: $d5")
+    assert(d5.nEssential < d5.nQueryTerms && d5.keptPostings < d5.totalPostings,
+      s"the split's whole point is essential < terms and kept < total: $d5")
+    val (df100, d100) = serve(100)
+    assert(d100.servedBy == "all_essential",
+      s"the k-collapse shape must RECORD the all-essential path: $d100")
+    assert(d100.nEssential == d100.nQueryTerms &&
+      d100.keptPostings == d100.totalPostings,
+      s"collapse means nothing was non-essential and no block pruned: $d100")
+    // the decision never changes the answer: both paths ≡ exhaustive
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), r6(col("score")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    for ((df, k) <- Seq((df5, 5), (df100, 100)))
+      assert(rows(df) == rows(TextIndex.bm25(full, "doc_id", q)
+        .orderBy(r6(col("score")).desc, col("doc_id")).limit(k)), s"k=$k")
+  }
+
   test("write/read round-trips; crashed write (no meta) refuses to load") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toFile
     dir.deleteOnExit()

@@ -519,6 +519,77 @@ class TrainingOpsSpec extends SparkSpec {
     assert(messages(eRagged).contains("encode_pq"), messages(eRagged))
   }
 
+  test("OPQ: learned rotation is orthogonal and refit-deterministic, cuts " +
+    "quantization error vs plain PQ, identity rotation degenerates the " +
+    "serve path to plain PQ bit-identically") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (rot, cb) = Similarity.trainOpq(real, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 3, opqIters = 2)
+    val d = 64
+    assert(rot.length == d && rot.forall(_.length == d) &&
+      cb.m == 8 && cb.ksub == 16 && cb.dims == d)
+    // orthogonality: R·Rᵀ = I (rows orthonormal) — the property that
+    // makes the true cosine rotation-invariant, so exact re-scoring in
+    // the original space stays correct
+    for (i <- 0 until d; j <- i until d) {
+      val dotv = (0 until d).map(k => rot(i)(k) * rot(j)(k)).sum
+      assert(math.abs(dotv - (if (i == j) 1.0 else 0.0)) < 1e-8,
+        s"R·Rᵀ is not I at ($i,$j): $dotv")
+    }
+    // refit determinism per layout — the kmeansFit contract extended
+    // through the Jacobi/Procrustes stages
+    val (rot2, cb2) = Similarity.trainOpq(real, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 3, opqIters = 2)
+    assert(rot2.zip(rot).forall { case (a, b) => a.sameElements(b) })
+    assert(cb2.codebooks.zip(cb.codebooks).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+    // quantization error (the Ge et al. objective): mean squared
+    // reconstruction error of R·v under the OPQ codebooks must not
+    // exceed plain PQ's on raw v — measured over the whole corpus with
+    // a plain-Scala codec (independent of the engine's encode exprs)
+    val cbP = Similarity.trainPq(real, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 3)
+    val vecs = real.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    def matVec(m: Array[Array[Double]], x: Array[Double]) =
+      m.map(row => row.zip(x).map { case (a, b) => a * b }.sum)
+    def mse(xs: Seq[Array[Double]], c: Similarity.PqCodebooks): Double = {
+      val errs = xs.map { x =>
+        (0 until c.m).map { j =>
+          val sub = x.slice(j * c.dsub, (j + 1) * c.dsub)
+          c.codebooks(j).map(cent =>
+            cent.zip(sub).map { case (a, b) => (a - b) * (a - b) }.sum).min
+        }.sum
+      }
+      errs.sum / errs.size
+    }
+    val msePq = mse(vecs.toSeq, cbP)
+    val mseOpq = mse(vecs.toSeq.map(matVec(rot, _)), cb)
+    assert(mseOpq <= msePq + 1e-12,
+      f"OPQ must not raise quantization error: opq $mseOpq%.6f vs pq $msePq%.6f")
+    // identity rotation: the OPQ serve path IS the plain-PQ path —
+    // bit-identical shortlist, cosines and ranks (pins the plumbing:
+    // rotation application, ADC table, rescore join)
+    val eye = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    val queries = real.filter($"vec_id" < 20)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("nn_id"), r.getAs[Double]("cosine"))).sortBy(t => (t._1, t._2))
+    val viaOpq = rows(Similarity.ivfTopKOpq(
+      Similarity.buildOpqIndex(real, "vec_id", "embedding", "label", eye, cbP),
+      real, queries, "vec_id", "embedding", "label", eye, cbP, 3))
+    val viaPq = rows(Similarity.ivfTopKPq(
+      Similarity.buildPqIndex(real, "vec_id", "embedding", "label", cbP),
+      real, queries, "vec_id", "embedding", "label", cbP, 3))
+    assert(viaOpq.sameElements(viaPq),
+      "identity-rotation OPQ serving must be bit-identical to plain PQ")
+    // guards: rotation/codebook dims must agree
+    intercept[IllegalArgumentException] {
+      Similarity.buildOpqIndex(real, "vec_id", "embedding", "label",
+        Array.tabulate(8, 8)((i, j) => if (i == j) 1.0 else 0.0), cbP)
+    }
+  }
+
   test("residual IVF-PQ: origin-centroid degeneracy to plain PQ, all-cell " +
     "probing + corpus-covering shortlist = brute-force exact, lower " +
     "distortion than raw codebooks at identical geometry, dims guard") {
@@ -2754,31 +2825,114 @@ class TrainingOpsSpec extends SparkSpec {
     assert(frames.count() >= 2)
   }
 
-  test("resizeImages: meta dims/bytes updated, mime preserved, deterministic, null-safe") {
+  /** A real uncompressed 24-bit bottom-up BMP with planted per-pixel
+    * channel values — built with ByteBuffer, independent of both the
+    * engine's column-expression builder and ImageIO's own writer, so
+    * decode tests check the codec against first principles. */
+  private def realBmp(w: Int, h: Int)(rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val stride = ((3 * w + 3) / 4) * 4
+    val b = ByteBuffer.allocate(54 + stride * h).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54 + stride * h)
+      .putInt(0).putInt(54)
+      .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(stride * h).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    for (fileRow <- 0 until h; x <- 0 until w) {
+      val y = h - 1 - fileRow // bottom-up row order
+      val (r, g, bl) = rgb(x, y)
+      b.position(54 + fileRow * stride + 3 * x)
+      b.put(bl.toByte).put(g.toByte).put(r.toByte)
+    }
+    b.array()
+  }
+
+  test("decodePixels: real javax.imageio decode returns planted BMP values exactly") {
+    val bmp = realBmp(5, 3) { (x, y) => (10 * x + y, 100 + x, 200 + y) }
+    val assets = Multimodal.toAssets(
+      Seq((1L, bmp), (2L, "not an image".getBytes("UTF-8")),
+        (3L, null.asInstanceOf[Array[Byte]])).toDF("id", "p"),
+      "id", "p", "image/bmp")
+    val out = Multimodal.decodePixels(assets).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getInt(1) == 5 && r1.getInt(2) == 3)
+    val px = r1.getSeq[Int](3)
+    assert(px.length == 15)
+    for (y <- 0 until 3; x <- 0 until 5) {
+      val p = px(y * 5 + x) // row-major TOP-DOWN despite bottom-up storage
+      assert(((p >> 16) & 0xFF) == 10 * x + y, s"r at ($x,$y)")
+      assert(((p >> 8) & 0xFF) == 100 + x, s"g at ($x,$y)")
+      assert((p & 0xFF) == 200 + y, s"b at ($x,$y)")
+    }
+    // non-decodable and null payloads keep their row, null fields
+    assert(out(2L).isNullAt(1) && out(2L).isNullAt(3))
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(3))
+    // and a JDK-encoded PNG round-trips through the same decode path
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    img.setRGB(0, 0, 0xFF112233); img.setRGB(1, 1, 0xFFAABBCC)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = Multimodal.decodePixels(Multimodal.toAssets(
+        Seq((7L, bos.toByteArray)).toDF("id", "p"), "id", "p", "image/png"))
+      .collect()(0)
+    assert(png.getInt(1) == 2 && (png.getSeq[Int](3)(0) & 0xFFFFFF) == 0x112233)
+  }
+
+  test("resizeImages: real decode+resample+re-encode; non-decodable -> null payload") {
+    // 4x2 source: left half red-ish, right half blue-ish — nearest-neighbor
+    // to 2x1 must pick src (0,0) and (2,0) exactly
+    val bmp = realBmp(4, 2) { (x, _) => if (x < 2) (200, 10, 20) else (30, 40, 250) }
     val assets = Multimodal.toAssets(Seq(
-      (1L, "payload one".getBytes("UTF-8")),
-      (2L, "a different payload".getBytes("UTF-8")),
+      (1L, bmp),
+      (2L, "not an image".getBytes("UTF-8")),
       (3L, null.asInstanceOf[Array[Byte]])
-    ).toDF("id", "payload"), "id", "payload", "image/sniffed")
-    def run() = Multimodal.resizeImages(assets, 32, 16).collect()
+    ).toDF("id", "payload"), "id", "payload", "image/bmp")
+    def run() = Multimodal.resizeImages(assets, 2, 1).collect()
       .map(r => r.getLong(0) -> r).toMap
     val out = run()
     assert(out.keySet == Set(1L, 2L, 3L))
     val m1 = out(1L).getStruct(2)
-    assert(m1.getString(0) == "image/sniffed") // mime preserved
-    assert(m1.getInt(2) == 32 && m1.getInt(3) == 16) // meta reflects target dims
+    assert(m1.getString(0) == "image/bmp") // re-encoded payload mime
+    assert(m1.getInt(2) == 2 && m1.getInt(3) == 1) // meta reflects target dims
     assert(m1.getLong(1) == out(1L).getAs[Array[Byte]](1).length.toLong)
-    // stub is deterministic in the bytes: same input, same payload; and
-    // different inputs diverge
+    // the re-encoded payload decodes back to the nearest-neighbor picks
+    val round = Multimodal.decodeImage(out(1L).getAs[Array[Byte]](1)).get
+    assert(round._1 == 2 && round._2 == 1)
+    assert((round._3(0) & 0xFFFFFF) == (200 << 16 | 10 << 8 | 20))
+    assert((round._3(1) & 0xFFFFFF) == (30 << 16 | 40 << 8 | 250))
+    // deterministic re-encode: same input, same payload bytes
     assert(out(1L).getAs[Array[Byte]](1).sameElements(run()(1L).getAs[Array[Byte]](1)))
-    assert(!out(1L).getAs[Array[Byte]](1).sameElements(out(2L).getAs[Array[Byte]](1)))
+    // non-decodable payload -> null payload, original mime kept, meta updated
+    assert(out(2L).isNullAt(1))
+    assert(out(2L).getStruct(2).getString(0) == "image/bmp")
+    assert(out(2L).getStruct(2).getInt(2) == 2 && out(2L).getStruct(2).isNullAt(1))
     // null payload stays null, metadata still updated
     assert(out(3L).isNullAt(1))
-    assert(out(3L).getStruct(2).getInt(2) == 32 && out(3L).getStruct(2).isNullAt(1))
+    assert(out(3L).getStruct(2).getInt(2) == 2 && out(3L).getStruct(2).isNullAt(1))
     intercept[IllegalArgumentException](Multimodal.resizeImages(assets, 0, 16))
     // Int raster overflow (65536*65536 wraps to 0) must be rejected, not
     // silently produce empty payloads
     intercept[IllegalArgumentException](Multimodal.resizeImages(assets, 65536, 65536))
+  }
+
+  test("extractFeatures: image path pools real luminance; byte path is the histogram") {
+    // uniform gray 4x4 at (r,g,b)=(100,100,100): every pooled chunk's mean
+    // luminance is exactly 100/255 under the BT.601 weights
+    val gray = realBmp(4, 4)((_, _) => (100, 100, 100))
+    val f = Multimodal.extractFeatures(Multimodal.toAssets(
+        Seq((1L, gray)).toDF("id", "p"), "id", "p", "image/bmp"), 4)
+      .collect()(0).getSeq[Float](1)
+    assert(f.length == 4)
+    f.foreach(v => assert(math.abs(v - 100.0 / 255.0) < 1e-6))
+    // byte path: histogram of "aaab" mod 4 — 'a'=97 (bucket 1) x3, 'b'=98
+    // (bucket 2) x1
+    val g = Multimodal.extractFeatures(Multimodal.toAssets(
+        Seq((2L, "aaab".getBytes("UTF-8"))).toDF("id", "p"), "id", "p",
+        "text/plain"), 4)
+      .collect()(0).getSeq[Float](1)
+    assert(g.toSeq == Seq(0.0f, 0.75f, 0.25f, 0.0f))
   }
 
   test("image header parsing: PNG/GIF/BMP/JPEG dims from real byte fixtures; mime-gated") {
