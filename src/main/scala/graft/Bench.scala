@@ -315,8 +315,13 @@ object Bench {
       "q_bm25" -> ((0.40, 2.60)),
       // r16 additions, banded from their first measured medians (see
       // COVERAGE.md "Band policy"): the order-5 modified-KN pair
+      // (2.89 / 1.2 s), OPQ inline build+serve (1.6 s — the serve twin
+      // is 0.5 s; the delta is the inline encode, the qAnnPq pattern),
+      // and the BMP synthesize+decode query (1.7 s)
       "q_lm_xent_mkn5" -> ((1.20, 8.00)),
-      "q_lm_xent_mkn5_served" -> ((0.30, 3.00)))
+      "q_lm_xent_mkn5_served" -> ((0.40, 3.00)),
+      "q_ann_opq" -> ((0.50, 4.00)),
+      "q_multimodal_pixels" -> ((0.60, 4.20)))
     val medians = results.map(r => r._1 -> r._2).toMap
     // a band whose query vanished from the suite is a LOST gate, not a
     // pass — surface it loudly instead of silently omitting the entry
@@ -496,11 +501,16 @@ object Bench {
       }
     // level-3 compaction (r15: 108 queries overflow the nosep map too —
     // 2039 B): abbreviate every `_`-separated name token to its first 3
-    // chars (q_lm_xent_kn3_served → lmxenkn3ser), collision-checked
-    // against the canonical list (skipped on any collision); ~1.55 KB at
-    // 108 queries. "names":"abbrev3" marks the transformation in-band.
+    // chars PLUS any trailing digits (q_lm_xent_kn3_served → lmxenkn3ser,
+    // q_lm_xent_mkn5 → lmxenmkn5 — r16: plain take(3) collapsed mkn5
+    // onto mkn and the collision check silently dropped the whole map
+    // to the no-map headline), collision-checked against the canonical
+    // list (skipped on any collision); ~1.6 KB at 113 queries.
+    // "names":"abbrev3" marks the transformation in-band — reversible by
+    // applying the same rule to the canonical query list.
     val abbrev3 = results.map { case (k, v, _, _, _, _) =>
-      k.stripPrefix("q_").split('_').map(_.take(3)).mkString -> v
+      k.stripPrefix("q_").split('_')
+        .map(t => t.take(3) + t.drop(3).filter(_.isDigit)).mkString -> v
     }
     val compactLine3 =
       if (abbrev3.map(_._1).distinct.size != abbrev3.size) None
@@ -974,6 +984,19 @@ object Bench {
           .crossEntropyKneserNeyN(corpus, "doc_id", "text", kn3).count()
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      // ORDER-5 train twin (r15 verdict stretch: "kn5 train" is one of
+      // the named heaviest families — ladder the deployment order
+      // itself, not just its order-3 proxy). Train-only: the score
+      // scan's scaling is pinned by the kn3 twin (order changes the
+      // cascade depth, never the one-corpus-scan shape).
+      var gram5Rows = 0L
+      val kn5TrainTimes = (0 until reps).map { _ =>
+        dropState()
+        val t0 = System.nanoTime()
+        gram5Rows = LanguageModel.trainKneserNeyN(corpus, "text", order = 5)
+          .largestRows
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
       val plain = (0 until n).map(plainReplica).reduce(_ unionByName _)
       var merges: Seq[Bpe.Merge] = Nil
       val bpeTimes = (0 until reps).map { _ =>
@@ -996,7 +1019,8 @@ object Bench {
         bpeTimes(bpeTimes.size / 2), encTimes(encTimes.size / 2),
         merges, encTokens, triRows, kn3Scored,
         kn3TrainTimes(kn3TrainTimes.size / 2),
-        kn3ScoreTimes(kn3ScoreTimes.size / 2))
+        kn3ScoreTimes(kn3ScoreTimes.size / 2),
+        gram5Rows, kn5TrainTimes(kn5TrainTimes.size / 2))
     }
     val base = rows.head
     rows.foreach { r =>
@@ -1018,9 +1042,12 @@ object Bench {
           s"isolation): ${r._13} vs 1x ${base._13}")
       require(r._14 == base._14 * r._1,
         s"KN3-scored rows must be doc-linear at ${r._1}x: ${r._14} vs 1x ${base._14}")
+      require(r._17 == base._17 * r._1,
+        s"5-gram types must be replica-linear at ${r._1}x (rotation " +
+          s"isolation): ${r._17} vs 1x ${base._17}")
     }
     type R = (Int, Long, Long, Long, Long, Long, Double, Double, Double,
-      Double, Seq[Bpe.Merge], Long, Long, Long, Double, Double)
+      Double, Seq[Bpe.Merge], Long, Long, Long, Double, Double, Long, Double)
     def arr[T](f: R => T): String = jsonArr(rows)(f)
     val line =
       f"""{"metric":"lm_bpe_scale","reps":$reps,"bpe_merges":16,""" +
@@ -1041,6 +1068,10 @@ object Bench {
         f""""kn3_score_secs":${arr(r => f"${r._16}%.3f")},""" +
         f""""kn3_train_slope":${logLogSlope(sizes, rows.map(_._15))}%.3f,""" +
         f""""kn3_score_slope":${logLogSlope(sizes, rows.map(_._16))}%.3f,""" +
+        f""""gram5_rows":${arr(_._17)},""" +
+        f""""kn5_train_secs":${arr(r => f"${r._18}%.3f")},""" +
+        f""""kn5_train_slope":${logLogSlope(sizes, rows.map(_._18))}%.3f,""" +
+        f""""kn5_train_segment_slopes":${segmentSlopesJson(sizes, rows.map(_._18))},""" +
         f""""sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_scale_lm.json"),
       (line + "\n").getBytes("UTF-8"))

@@ -876,15 +876,20 @@ object Similarity {
   // ---------------------------------------------------------------------
 
   /** `R · v` as a column: one row of the rotation per output dimension,
-    * each a sequential-fold dot product (the [[distStructs]] IEEE
-    * association — `((0+x₁)+x₂)+…` — which DuckDB's `list_sum` replays
-    * exactly, so the oracle recomputes rotated vectors bit-identically
-    * from the dumped matrix). The matrix rides the plan as ONE
-    * `typedlit` (d² doubles — 32 KB at d = 64), the [[distStructs]]
-    * plan-size discipline. */
+    * each a NATIVE [[graft.functions.DotProduct]] kernel call — the
+    * sequential-fold IEEE association (`((0+x₁)+x₂)+…`) DuckDB's
+    * `list_sum` replays exactly, so the oracle recomputes rotated
+    * vectors bit-identically from the dumped matrix, at a tight-loop
+    * cost instead of the interpreted `zip_with`+`aggregate` HOFs (which
+    * measured ~5× on the whole q_ann_opq serve before this swap). The
+    * matrix rides the plan as ONE `typedlit` (d² doubles — 32 KB at
+    * d = 64), the [[distStructs]] plan-size discipline. `v` is
+    * re-evaluated once per OUTPUT dimension by the `transform` lambda —
+    * pass a plain column reference (stage any guard/cast in a
+    * projection below), not a heavy expression. */
   def rotateExpr(v: Column, rotation: Array[Array[Double]]): Column =
     transform(typedlit(rotation.map(_.toSeq).toSeq), (row, _) =>
-      aggregate(zip_with(v, row, (a, b) => a * b), lit(0.0), (acc, x) => acc + x))
+      graft.functions.DotProduct.dot(v, row))
 
   /** The bounded md5-ordered driver sample [[kmeansFit]] seeds from,
     * shared by the OPQ trainer: deterministic (md5 of the id, driver
@@ -1118,8 +1123,11 @@ object Similarity {
                              rot: Array[Array[Double]], m: Int, ksub: Int,
                              iters: Int): PqCodebooks = {
     val d = rot.length
-    val rotated = df.select(col(idCol),
-      rotateExpr(guardedVec(embCol, d, "train_opq"), rot).as("__rotv"))
+    // guard staged in its own projection: rotateExpr re-evaluates its
+    // input once per output dimension
+    val rotated = df
+      .select(col(idCol), guardedVec(embCol, d, "train_opq").as("__gv"))
+      .select(col(idCol), rotateExpr(col("__gv"), rot).as("__rotv"))
     trainPq(rotated, idCol, "__rotv", m, ksub, iters)
   }
 
@@ -1133,8 +1141,9 @@ object Similarity {
                     cb: PqCodebooks): DataFrame = {
     require(rotation.length == cb.dims && rotation.forall(_.length == cb.dims),
       s"rotation must be ${cb.dims}x${cb.dims} to match the codebooks")
-    val rotated = df.withColumn("__rotv",
-      rotateExpr(guardedVec(embCol, cb.dims, "build_opq_index"), rotation))
+    val rotated = df
+      .withColumn("__gv", guardedVec(embCol, cb.dims, "build_opq_index"))
+      .withColumn("__rotv", rotateExpr(col("__gv"), rotation))
     encodePq(rotated, "__rotv", cb)
       .select(col(idCol), col(partCol), col("pq_codes"))
   }
@@ -1157,11 +1166,12 @@ object Similarity {
       s"candidateFactor must be positive, got $candidateFactor")
     require(rotation.length == cb.dims && rotation.forall(_.length == cb.dims),
       s"rotation must be ${cb.dims}x${cb.dims} to match the codebooks")
-    val q = queries.select(col(partCol).as("part"),
-      col(idCol).as("query_id"),
-      graft.functions.Adc.table(
-        rotateExpr(guardedVec(embCol, cb.dims, "ivf_top_k_opq"), rotation),
-        cb.codebooks).as("__adc_tab"))
+    val q = queries
+      .select(col(partCol).as("part"), col(idCol).as("query_id"),
+        guardedVec(embCol, cb.dims, "ivf_top_k_opq").as("__gv"))
+      .select(col("part"), col("query_id"),
+        graft.functions.Adc.table(rotateExpr(col("__gv"), rotation),
+          cb.codebooks).as("__adc_tab"))
     val c = index.select(col(partCol).as("part"), col(idCol).as("nn_id"),
       col("pq_codes"))
     val adcR = floor(graft.functions.Adc.lookup(col("__adc_tab"),

@@ -497,6 +497,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_ann_opq: rotation + ADC table both below the cell join — the " +
+    "rotated-space serve keeps the per-query (not per-pair) shape, and " +
+    "the rotation matrix rides as a literal") {
+    import graft.functions.{AdcTable, AdcTableLookup, DotProduct}
+    val p = executed(SparkEntry.queries("q_ann_opq")(spark, sf))
+    val phys = p.toString
+    assert(!phys.contains("CartesianProduct") && !phys.contains("BroadcastNestedLoopJoin"),
+      s"OPQ serving is cell-bounded equi-joins end to end:\n$phys")
+    // neither the rotation matrix nor the codebooks are a scanned side
+    val scans = p.collectLeaves().map(_.toString)
+    assert(scans.forall(s => !s.contains("opq_rot") && !s.contains("pq_codebooks")),
+      s"OPQ matrices must ride as literals, not scanned sides:\n$phys")
+    def hasExpr(n: SparkPlan, pred: org.apache.spark.sql.catalyst.expressions.Expression => Boolean) =
+      n.expressions.exists(_.exists(pred))
+    // the rotation runs as the native dot_product kernel (the zip_with/
+    // aggregate HOF form measured ~5x slower on the whole serve)
+    assert(flatten(p).exists(hasExpr(_, _.isInstanceOf[DotProduct])),
+      s"expected the native dot_product rotation kernel:\n$p")
+    val tableNodes = flatten(p).filter(hasExpr(_, _.isInstanceOf[AdcTable]))
+    assert(tableNodes.nonEmpty, s"expected an adc_table projection:\n$p")
+    tableNodes.foreach { n =>
+      assert(!flatten(n).exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+        s"rotated adc_table computed above a join (per-pair, not per-query):\n$p")
+      assert(!hasExpr(n, _.isInstanceOf[AdcTableLookup]),
+        s"adc_table and adc_lookup share a node:\n$p")
+    }
+  }
+
   test("q_filter_project: predicates and projection reach the parquet scan") {
     val df = SparkEntry.queries("q_filter_project")(spark, sf)
     val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
