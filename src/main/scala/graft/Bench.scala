@@ -321,7 +321,12 @@ object Bench {
       "q_lm_xent_mkn5" -> ((1.20, 8.00)),
       "q_lm_xent_mkn5_served" -> ((0.40, 3.00)),
       "q_ann_opq" -> ((0.50, 4.00)),
-      "q_multimodal_pixels" -> ((0.60, 4.20)))
+      // re-based r16 (named cause: the BMP payloads moved to a per-dir
+      // persisted table, so the timed body is the DECODE — the operator
+      // under test — not the byte-construction synthesis; median
+      // 1.39 -> 0.17 s). Kept banded although now < 1 s: the codec path
+      // has no other timing gate.
+      "q_multimodal_pixels" -> ((0.05, 1.00)))
     val medians = results.map(r => r._1 -> r._2).toMap
     // a band whose query vanished from the suite is a LOST gate, not a
     // pass — surface it loudly instead of silently omitting the entry
@@ -451,8 +456,30 @@ object Bench {
           f""""score_twin_secs":$servedMed%.4f,""" +
           f""""note":"timed q_lm_xent_kn3 = order-3 train (generic KN-N cascade since r15 — one code path with kn5) + self-score; q_lm_xent_kn3_served pins the score half against the persisted pruned model"}}"""
       }
+    // ...and the r16 heaviest outright: q_lm_xent_mkn5 trains the
+    // order-5 MODIFIED model (the kn5 cascade plus bucketed context
+    // tables and five count-of-counts discount probes) then
+    // self-scores. Same train/score split discipline.
+    val attributionMkn5 =
+      if (!medians.contains("q_lm_xent_mkn5")) "{}"
+      else {
+        import graft.operators.LanguageModel
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val trainSecs = (0 until reps).map { _ =>
+          dropPersistedState()
+          val t0 = System.nanoTime()
+          LanguageModel.trainModifiedKneserNeyN(docs, "text", order = 5)
+          (System.nanoTime() - t0) / 1e9
+        }.sorted.apply(reps / 2)
+        dropPersistedState()
+        val servedMed = medians.getOrElse("q_lm_xent_mkn5_served", -1.0)
+        f"""{"q_lm_xent_mkn5":{"train_secs":$trainSecs%.4f,""" +
+          f""""score_twin_secs":$servedMed%.4f,""" +
+          f""""note":"timed q_lm_xent_mkn5 = order-5 modified-KN train (kn5 cascade + bucketed context tables + five bounded count-of-counts probes) + self-score; q_lm_xent_mkn5_served pins the score half against the persisted pruned model"}}"""
+      }
     val attributionAll = {
-      val parts = Seq(attribution, attributionPq, attributionKn3, attributionKn5)
+      val parts = Seq(attribution, attributionPq, attributionKn3,
+        attributionKn5, attributionMkn5)
         .filter(_ != "{}")
       if (parts.isEmpty) "{}"
       else parts.map(p => p.drop(1).dropRight(1)).mkString("{", ",", "}")

@@ -1192,6 +1192,189 @@ object Similarity {
       .join(cx, "nn_id"), k)
   }
 
+  /** The full production OPQ composition (FAISS's `OPQ..,IVF..,PQ..`
+    * factory string): rotate ([[rotateExpr]]) → coarse-assign in the
+    * ROTATED space → residual-encode with rotated-space codebooks →
+    * persist partitioned by cell with ALL THREE quantizers riding —
+    * `_rotation` + `_centroids` + `_pq_codebooks`, each under its own
+    * `_SUCCESS`, the `_epochs` commit table written LAST. Serving
+    * ([[serveOpqIndex]]) derives everything from the path, so the
+    * rotated-codes-served-unrotated mismatch class — silently garbage
+    * distances — is unconstructable through this API (and
+    * [[loadPqQuantizers]] refuses an OPQ layout loudly, see there).
+    * `centroids` and `cb` must live in the ROTATED space (train them on
+    * `rotateExpr`-projected vectors — [[trainOpq]] supplies the
+    * rotation; the coarse fit and [[trainPqResidual]] run on the
+    * rotated column). */
+  def writeLearnedOpqIndex(corpus: DataFrame, idCol: String, embCol: String,
+                           path: String, rotation: Array[Array[Double]],
+                           centroids: Array[Array[Double]],
+                           cb: PqCodebooks): Unit = {
+    require(rotation.length == cb.dims && rotation.forall(_.length == cb.dims),
+      s"rotation must be ${cb.dims}x${cb.dims} to match the codebooks")
+    require(checkCentroids(centroids) == cb.dims,
+      s"centroid dims ${centroids.head.length} != codebook dims ${cb.dims}")
+    val epoch = System.nanoTime()
+    val rotated = corpus
+      .withColumn("__gv", guardedVec(embCol, cb.dims, "write_learned_opq_index"))
+      .select(col(idCol), rotateExpr(col("__gv"), rotation).as("__rotv"))
+    writeIvfIndex(
+      buildPqIndexResidual(rotated, idCol, "__rotv", centroids, cb)
+        .withColumn("build_id", lit(epoch)),
+      path, "coarse")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_centroids")
+    (for (j <- cb.codebooks.indices; c <- cb.codebooks(j).indices)
+        yield (j, c, cb.codebooks(j)(c).toSeq))
+      .toDF("j", "c", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_pq_codebooks")
+    rotation.zipWithIndex.map { case (r, i) => (i, r.toSeq) }.toSeq
+      .toDF("i", "rowv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_rotation")
+    Seq((epoch, Option.empty[String])).toDF("build_id", "key")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_epochs")
+  }
+
+  /** All three riding quantizers of a [[writeLearnedOpqIndex]] path —
+    * refuses any missing commit marker loudly (a plain PQ layout has no
+    * `_rotation` and must be served by [[servePqIndex]], not silently
+    * treated as identity-rotated). */
+  def loadOpqQuantizers(spark: org.apache.spark.sql.SparkSession,
+                        path: String)
+      : (Array[Array[Double]], Array[Array[Double]], PqCodebooks) = {
+    requireCommitMarker(spark, s"$path/_rotation", "load_opq_quantizers",
+      "no committed rotation at this path - a plain (unrotated) PQ " +
+        "layout is served by servePqIndex; an OPQ layout is built by " +
+        "writeLearnedOpqIndex")
+    val (cents, cb) = loadPqQuantizersAnyLayout(spark, path)
+    val rot = spark.read.parquet(s"$path/_rotation")
+      .orderBy("i").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("rowv")).toArray)
+    require(rot.nonEmpty, s"load_opq_quantizers: empty rotation table at $path")
+    require(rot.length == cb.dims && rot.forall(_.length == cb.dims),
+      s"load_opq_quantizers: rotation is ${rot.length}x" +
+        s"${rot.headOption.map(_.length).getOrElse(0)}, codebooks need " +
+        s"${cb.dims}x${cb.dims}")
+    (rot, cents, cb)
+  }
+
+  /** Serve a [[writeLearnedOpqIndex]] path end to end — [[servePqIndex]]
+    * behind the learned rotation: queries rotate ONCE (checkpointed, so
+    * the d² arithmetic runs once per query, not once per read), probe
+    * their `nprobe` nearest ROTATED-space cells (partition-pruned into
+    * the index read), the per-cell residual ADC runs entirely in the
+    * rotated space against the code payload, and the shortlist
+    * re-scores EXACT against `corpus`'s ORIGINAL full-precision vectors
+    * (R is orthogonal — the true cosine is rotation-invariant, and
+    * original-space scores stay bit-comparable across the ANN
+    * families). Same determinism contract (rounded ADC, ties to the
+    * lower id) and output `(query_id, nn_id, cosine, rank)`. */
+  def serveOpqIndex(indexPath: String, corpus: DataFrame, queries: DataFrame,
+                    idCol: String, embCol: String, k: Int, nprobe: Int = 2,
+                    candidateFactor: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val (rot, cents, cb) = loadOpqQuantizers(spark, indexPath)
+    val committed = committedIvfEpochs(spark, indexPath, "serve_opq_index",
+      rebuilder = "writeLearnedOpqIndex")
+    val rotatedQ = queries
+      .withColumn("__gv", guardedVec(embCol, cb.dims, "serve_opq_index"))
+      .withColumn("__rotv", rotateExpr(col("__gv"), rot))
+      .drop("__gv")
+    val probed = Materialize.eagerCheckpoint(
+      withProbeLabels(rotatedQ, "__rotv", cents, nprobe))
+    val cells = probed.select(col("coarse")).distinct().collect().map(_.get(0))
+    require(cells.nonEmpty, "serveOpqIndex: empty query batch")
+    val index = antiJoinTombstones(
+      spark.read.parquet(indexPath)
+        .filter(col("coarse").isin(cells.toSeq: _*))
+        .filter(col("build_id").isin(committed: _*)),
+      committedTombstones(spark, indexPath, committed), idCol)
+    opqResidualServe(index, corpus, probed, idCol, embCol, cents, cb, k,
+      candidateFactor)
+  }
+
+  /** [[pqResidualServe]] with the ADC side in the ROTATED space: the
+    * probed frame carries `__rotv` (the query's rotated vector — the
+    * per-cell residual and ADC table come from it) AND the ORIGINAL
+    * `embCol`, which feeds the exact re-score join. The index side's
+    * codes already live in the rotated space by construction. */
+  private def opqResidualServe(index: DataFrame, corpus: DataFrame,
+                               probed: DataFrame, idCol: String,
+                               embCol: String,
+                               centroids: Array[Array[Double]],
+                               cb: PqCodebooks, k: Int,
+                               candidateFactor: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(candidateFactor >= 1,
+      s"candidateFactor must be positive, got $candidateFactor")
+    val q = probed
+      .select(col("coarse").as("part"), col(idCol).as("query_id"),
+        graft.functions.Adc.table(
+          residualExpr(col("__rotv"), col("coarse"), centroids),
+          cb.codebooks).as("__adc_tab"))
+    val c = index.select(col("coarse").as("part"), col(idCol).as("nn_id"),
+      col("pq_codes"))
+    val adcR = floor(graft.functions.Adc.lookup(col("__adc_tab"),
+      col("pq_codes").cast("array<int>"), cb.m, cb.ksub) * 1000000.0
+      + 0.5) / 1000000.0
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__adc"), col("nn_id"))
+    val shortlist = q.join(c, Seq("part"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"), adcR.as("__adc"))
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= k * candidateFactor)
+      .select("query_id", "nn_id").distinct() // probe fan-out dedup
+    val cx = withNorm(corpus, embCol)
+      .select(col(idCol).as("nn_id"), col("vec").as("cv"), col("norm").as("cn"))
+    rankTopK(shortlist
+      .join(uniqueQueryVectors(probed, idCol, embCol), "query_id")
+      .join(cx, "nn_id"), k)
+  }
+
+  /** Grow / take down / compact a [[writeLearnedOpqIndex]] layout: the
+    * epoch/tombstone protocol is payload-agnostic (see
+    * [[deleteFromPqIndex]]) — these validate the OPQ markers first so
+    * errors name the right rebuilder, then delegate; the append encodes
+    * new vectors with the index's OWN riding rotation + quantizers. */
+  def appendToOpqIndex(newRows: DataFrame, indexPath: String, idCol: String,
+                       embCol: String): Unit = {
+    val spark = newRows.sparkSession
+    val (rot, cents, cb) = loadOpqQuantizers(spark, indexPath)
+    committedIvfEpochs(spark, indexPath, "append_to_opq_index",
+      rebuilder = "writeLearnedOpqIndex")
+    val epoch = System.nanoTime()
+    val rotated = newRows
+      .withColumn("__gv", guardedVec(embCol, cb.dims, "append_to_opq_index"))
+      .select(col(idCol), rotateExpr(col("__gv"), rot).as("__rotv"))
+    buildPqIndexResidual(rotated, idCol, "__rotv", cents, cb)
+      .withColumn("build_id", lit(epoch))
+      .repartition(col("coarse"))
+      .write.mode("append").partitionBy("coarse").parquet(indexPath)
+    import spark.implicits._
+    Seq((epoch, Option.empty[String])).toDF("build_id", "key")
+      .coalesce(1)
+      .write.mode("append").parquet(s"$indexPath/_epochs")
+  }
+
+  /** See [[appendToOpqIndex]]. */
+  def deleteFromOpqIndex(ids: DataFrame, indexPath: String,
+                         idCol: String): Unit = {
+    loadOpqQuantizers(ids.sparkSession, indexPath)
+    deleteFromIvfIndex(ids, indexPath, idCol)
+  }
+
+  /** See [[appendToOpqIndex]]. */
+  def compactOpqIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String, idCol: String): Unit = {
+    loadOpqQuantizers(spark, indexPath)
+    compactIvfIndex(spark, indexPath, idCol)
+  }
+
   /** [[writeLearnedIvfIndex]]'s residual-PQ sibling: the corpus is
     * labeled by its nearest centroid, residual-encoded
     * ([[buildPqIndexResidual]]), written partitioned by the coarse cell,
@@ -1238,6 +1421,22 @@ object Similarity {
     * never serve. */
   def loadPqQuantizers(spark: org.apache.spark.sql.SparkSession,
                        path: String): (Array[Array[Double]], PqCodebooks) = {
+    // an OPQ layout's codes live in the ROTATED space: serving them
+    // through the unrotated path would compute silently-garbage ADC
+    // distances — the quantizer-mismatch class this family forbids
+    val rotMarker = new org.apache.hadoop.fs.Path(s"$path/_rotation/_SUCCESS")
+    require(!rotMarker.getFileSystem(spark.sessionState.newHadoopConf())
+        .exists(rotMarker),
+      s"load_pq_quantizers: $path carries a committed _rotation - this is " +
+        "an OPQ layout (writeLearnedOpqIndex); serve it with serveOpqIndex")
+    loadPqQuantizersAnyLayout(spark, path)
+  }
+
+  /** The marker checks + table loads shared by the plain and OPQ
+    * loaders — the rotation policy lives in the callers. */
+  private def loadPqQuantizersAnyLayout(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (Array[Array[Double]], PqCodebooks) = {
     requireCommitMarker(spark, path, "load_pq_quantizers",
       "re-run writeLearnedPqIndex before serving")
     requireCommitMarker(spark, s"$path/_centroids", "load_pq_quantizers",

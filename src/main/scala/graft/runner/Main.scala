@@ -61,6 +61,11 @@ import graft.streaming.Compactor
   *    the count warrants. `ivf-ingest` is the continuous form of the
   *    append step: a landing-dir stream appended per micro-batch,
   *    exactly-once ([[graft.streaming.IvfIngest]]).
+  *  - `opq-build` / `opq-query` / `opq-append`: the OPQ composition's
+  *    lifecycle ([[graft.operators.Similarity.writeLearnedOpqIndex]]
+  *    family) — learn the rotation (Ge et al. 2013), fit both residual
+  *    quantizers in the rotated space, persist all three with the
+  *    index, serve partition-pruned with exact original-space rescore.
   *  - `pq-build` / `pq-query` / `pq-append` / `pq-compact` / `pq-delete`:
   *    the learned residual IVF-PQ lifecycle
   *    ([[graft.operators.Similarity.writeLearnedPqIndex]] family) — fit
@@ -175,6 +180,14 @@ object Main {
       |  ivf-delete  --in <ids-parquet> --path <dir> [--id vec_id]
       |  ivf-ingest  --landing <dir> --path <dir> --checkpoint <dir>
       |          [--id vec_id] [--embedding embedding] [--once]
+      |  opq-build   --in <embeddings-parquet> --path <dir>
+      |          [--id vec_id] [--embedding embedding] [--k 32] [--m 8]
+      |          [--ksub 16] [--iters 5] [--opqiters 2]
+      |          (the OPQ composition: learned rotation + rotated-space
+      |           coarse + residual codebooks, all three riding)
+      |  opq-query   --in <queries-parquet> --corpus <embeddings-parquet>
+      |          --path <dir> --out <dir> [--topk 10] [--nprobe 2] [--factor 4]
+      |  opq-append  --in <embeddings-parquet> --path <dir>
       |  pq-build    --in <embeddings-parquet> --path <dir>
       |          [--id vec_id] [--embedding embedding] [--k 32] [--m 8]
       |          [--ksub 16] [--iters 5]
@@ -763,6 +776,54 @@ object Main {
         graft.operators.Similarity.trainPqResidual(corpus, idCol, embCol,
           cents, m = opt.getOrElse("m", "8").toInt,
           ksub = opt.getOrElse("ksub", "16").toInt, iters = iters))
+
+    // the OPQ composition's lifecycle (writeLearnedOpqIndex/serveOpqIndex
+    // /appendToOpqIndex): build trains the rotation FIRST (Ge et al.
+    // 2013 — eigenvalue allocation + Procrustes refinement), then the
+    // coarse and residual quantizers in the ROTATED space; all three
+    // ride with the index, so query/append derive everything from the
+    // path
+    case Some("opq-build") =>
+      val (opt, _) = parse(args.tail)
+      val (in, path) = (req(opt, "in"), req(opt, "path"))
+      val corpus = spark.read.parquet(in)
+      val (idCol, embCol) = (opt.getOrElse("id", "vec_id"),
+        opt.getOrElse("embedding", "embedding"))
+      val iters = opt.getOrElse("iters", "5").toInt
+      val m = opt.getOrElse("m", "8").toInt
+      val ksub = opt.getOrElse("ksub", "16").toInt
+      val (rot, _) = graft.operators.Similarity.trainOpq(corpus, idCol,
+        embCol, m = m, ksub = ksub, iters = iters,
+        opqIters = opt.getOrElse("opqiters", "2").toInt)
+      val rotated = corpus.select(org.apache.spark.sql.functions.col(idCol),
+        graft.operators.Similarity.rotateExpr(
+          org.apache.spark.sql.functions.col(embCol).cast("array<double>"),
+          rot).as("__rotv"))
+      val cents = graft.operators.Similarity.kmeansFit(rotated, idCol,
+        "__rotv", k = opt.getOrElse("k", "32").toInt, iters = iters)
+      graft.operators.Similarity.writeLearnedOpqIndex(corpus, idCol, embCol,
+        path, rot, cents,
+        graft.operators.Similarity.trainPqResidual(rotated, idCol, "__rotv",
+          cents, m = m, ksub = ksub, iters = iters))
+
+    case Some("opq-query") =>
+      val (opt, _) = parse(args.tail)
+      val (in, corpusIn, path, out) =
+        (req(opt, "in"), req(opt, "corpus"), req(opt, "path"), req(opt, "out"))
+      graft.operators.Similarity.serveOpqIndex(path,
+          spark.read.parquet(corpusIn), spark.read.parquet(in),
+          opt.getOrElse("id", "vec_id"), opt.getOrElse("embedding", "embedding"),
+          k = opt.getOrElse("topk", "10").toInt,
+          nprobe = opt.getOrElse("nprobe", "2").toInt,
+          candidateFactor = opt.getOrElse("factor", "4").toInt)
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(out)
+
+    case Some("opq-append") =>
+      val (opt, _) = parse(args.tail)
+      graft.operators.Similarity.appendToOpqIndex(
+        spark.read.parquet(req(opt, "in")), req(opt, "path"),
+        opt.getOrElse("id", "vec_id"), opt.getOrElse("embedding", "embedding"))
 
     case Some("pq-query") =>
       val (opt, _) = parse(args.tail)

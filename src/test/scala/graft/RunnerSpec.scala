@@ -534,6 +534,52 @@ class RunnerSpec extends SparkSpec {
       "deleted ids must not serve as neighbors")
   }
 
+  test("OPQ CLI: opq-build → opq-query → opq-append — the rotated " +
+    "composition's deployment loop, wrong-loader refusal included") {
+    import spark.implicits._
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val ix = outDir("cli-opq-ix") + "/ix"
+    val hits = outDir("cli-opq-hits")
+    val queries = outDir("cli-opq-q")
+    spark.read.parquet(emb).filter($"vec_id" < 6)
+      .select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(queries)
+    val base = outDir("cli-opq-base")
+    spark.read.parquet(emb).select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(base)
+    Main.run(Seq("opq-build", "--in", base, "--path", ix, "--k", "4",
+      "--iters", "3", "--opqiters", "1"), spark)
+    Main.run(Seq("opq-query", "--in", queries, "--corpus", base, "--path", ix,
+      "--out", hits, "--topk", "3", "--nprobe", "2"), spark)
+    val served = spark.read.parquet(hits)
+    assert(served.select("query_id").distinct().as[Long].collect().toSet
+      == (0L until 6L).toSet, "every query must answer")
+    assert(served.groupBy("query_id").count().select("count").as[Long]
+      .collect().forall(_ == 3), "top-3 per query")
+    // an OPQ layout refuses the unrotated serving path loudly
+    intercept[IllegalArgumentException] {
+      Main.run(Seq("pq-query", "--in", queries, "--corpus", base,
+        "--path", ix, "--out", hits), spark)
+    }
+    // append new ids: encoded with the riding rotation + quantizers,
+    // servable immediately as rank-1 exact duplicates
+    val extra = outDir("cli-opq-extra")
+    spark.read.parquet(queries)
+      .select(($"vec_id" + 5000L).as("vec_id"), $"embedding")
+      .write.mode("overwrite").parquet(extra)
+    Main.run(Seq("opq-append", "--in", extra, "--path", ix), spark)
+    val corpus2 = outDir("cli-opq-corpus2")
+    spark.read.parquet(base).union(spark.read.parquet(extra))
+      .write.mode("overwrite").parquet(corpus2)
+    Main.run(Seq("opq-query", "--in", queries, "--corpus", corpus2,
+      "--path", ix, "--out", hits, "--topk", "3", "--nprobe", "2"), spark)
+    val top = spark.read.parquet(hits).filter($"rank" === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("nn_id")).toMap
+    (0L until 6L).foreach { q =>
+      assert(top(q) == q + 5000L,
+        s"appended duplicate of $q must serve at rank 1, got ${top(q)}") }
+  }
+
   test("residual-PQ CLI: pq-build → pq-query → pq-append — the learned " +
     "IVF-PQ deployment loop") {
     import spark.implicits._

@@ -590,6 +590,61 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("learned OPQ layout: identity rotation ≡ the plain learned-PQ " +
+    "layout bit-for-bit, wrong-loader refusals both ways, appends grow " +
+    "the index with the riding quantizers") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val d = 64
+    val eye = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    val cents = Similarity.kmeansFit(real, "vec_id", "embedding", k = 4, iters = 3)
+    val cb = Similarity.trainPqResidual(real, "vec_id", "embedding", cents,
+      m = 8, ksub = 16, iters = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-opq-learned").toFile
+    dir.deleteOnExit()
+    val opqPath = new java.io.File(dir, "opq").getAbsolutePath
+    val pqPath = new java.io.File(dir, "pq").getAbsolutePath
+    // identity rotation: the rotated space IS the original space, so the
+    // OPQ layout must serve bit-identically to the plain learned-PQ
+    // layout built from the same quantizers (pins rotation application,
+    // probe labeling, residual ADC and the rescore join end to end)
+    Similarity.writeLearnedOpqIndex(real, "vec_id", "embedding", opqPath,
+      eye, cents, cb)
+    Similarity.writeLearnedPqIndex(real, "vec_id", "embedding", pqPath,
+      cents, cb)
+    val queries = real.filter($"vec_id" < 20)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("nn_id"), r.getAs[Double]("cosine"))).sortBy(t => (t._1, t._2))
+    val viaOpq = rows(Similarity.serveOpqIndex(opqPath, real, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2))
+    val viaPq = rows(Similarity.servePqIndex(pqPath, real, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2))
+    assert(viaOpq.sameElements(viaPq),
+      "identity-rotation OPQ layout must serve bit-identically to plain PQ")
+    // wrong-loader refusals, BOTH directions — the quantizer-mismatch
+    // class must be unconstructable: a plain layout has no rotation, an
+    // OPQ layout's codes are meaningless unrotated
+    intercept[IllegalArgumentException] {
+      Similarity.serveOpqIndex(pqPath, real, queries, "vec_id", "embedding", 3)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.servePqIndex(opqPath, real, queries, "vec_id", "embedding", 3)
+    }
+    // append with the riding quantizers: a clone of vector 0 under a new
+    // id must become vec 0's rank-1 neighbor (cosine 1)
+    val v0 = real.filter($"vec_id" === 0)
+      .select($"embedding").collect()(0).getSeq[Float](0)
+    Similarity.appendToOpqIndex(
+      Seq((90001L, v0)).toDF("vec_id", "embedding"), opqPath,
+      "vec_id", "embedding")
+    val corpusPlus = real.select($"vec_id", $"embedding")
+      .unionByName(Seq((90001L, v0)).toDF("vec_id", "embedding"))
+    val after = rows(Similarity.serveOpqIndex(opqPath, corpusPlus,
+      queries.filter($"vec_id" === 0), "vec_id", "embedding", k = 1, nprobe = 2))
+    assert(after.head._3 == 90001L && math.abs(after.head._4 - 1.0) < 1e-9,
+      s"appended clone must serve as the exact nearest neighbor: ${after.toSeq}")
+  }
+
   test("residual IVF-PQ: origin-centroid degeneracy to plain PQ, all-cell " +
     "probing + corpus-covering shortlist = brute-force exact, lower " +
     "distortion than raw codebooks at identical geometry, dims guard") {
