@@ -2359,4 +2359,66 @@ object Similarity {
       IvfRefresh(drift, rebuilt = true)
     } else IvfRefresh(drift, rebuilt = false)
   }
+
+  /** [[refreshPqIndex]] for a [[writeLearnedOpqIndex]] layout — the
+    * drift-gated rebuild cycle of the FULL composition. Drift is
+    * measured where the index's Voronoi cells live, the ROTATED space:
+    * the corpus is re-projected under the index's OWN riding rotation,
+    * a fresh coarse fit runs there, and [[assignmentDrift]] compares
+    * the stored cells against it over a bounded sample. Past tolerance
+    * the WHOLE quantizer stack retrains — rotation first
+    * ([[trainOpq]] at the index's PQ geometry; a drifted corpus has a
+    * drifted second-moment structure, so patching only the centroids
+    * under a stale rotation would rebuild on the wrong axes), then the
+    * rotated-space coarse + residual codebooks — and the corpus
+    * re-encodes from scratch (codes are derived data, the
+    * [[refreshPqIndex]] rule). Same cost note as the plain refresh:
+    * drift is measured against a FRESH fit, so even a no-op refresh
+    * pays one rotated-space k-means — the price of an honest drift
+    * number. */
+  def refreshOpqIndex(indexPath: String, corpus: DataFrame, idCol: String,
+                      embCol: String, k: Int = 0, m: Int = 0, ksub: Int = 0,
+                      iters: Int = 5, opqIters: Int = 2,
+                      driftTolerance: Double = 0.1,
+                      sampleRows: Int = 10000): IvfRefresh = {
+    require(driftTolerance >= 0.0 && driftTolerance <= 1.0,
+      s"driftTolerance must be in [0, 1], got $driftTolerance")
+    require(k >= 0, s"k must be 0 (keep the index's cell count) or positive, got $k")
+    require(m >= 0 && ksub >= 0,
+      s"m/ksub must be 0 (keep the index's geometry) or positive, got m=$m ksub=$ksub")
+    val spark = corpus.sparkSession
+    val (storedRot, storedCents, storedCb) = loadOpqQuantizers(spark, indexPath)
+    val committed = committedIvfEpochs(spark, indexPath, "refresh_opq_index",
+      rebuilder = "writeLearnedOpqIndex")
+    // drift check in the STORED rotation's space: the stored cells are
+    // only comparable to a fresh fit under the same projection
+    val rotated = corpus
+      .withColumn("__gv", guardedVec(embCol, storedCb.dims, "refresh_opq_index"))
+      .select(col(idCol), rotateExpr(col("__gv"), storedRot).as("__rotv"))
+    val cents = kmeansFit(rotated, idCol, "__rotv",
+      if (k == 0) storedCents.length else k, iters)
+    val stored = antiJoinTombstones(
+        spark.read.parquet(indexPath)
+          .filter(col("build_id").isin(committed: _*)),
+        committedTombstones(spark, indexPath, committed), idCol)
+      .select(col(idCol), col("coarse"))
+    val sampled = stored.join(rotated, Seq(idCol))
+    val drift = assignmentDrift(sampled, idCol, "__rotv", "coarse", cents,
+      sampleRows)
+    if (drift > driftTolerance) {
+      val mEff = if (m == 0) storedCb.codebooks.length else m
+      val ksubEff = if (ksub == 0) storedCb.codebooks.head.length else ksub
+      val (rot, _) = trainOpq(corpus, idCol, embCol, m = mEff, ksub = ksubEff,
+        iters = iters, opqIters = opqIters)
+      val rerotated = corpus
+        .withColumn("__gv", guardedVec(embCol, storedCb.dims, "refresh_opq_index"))
+        .select(col(idCol), rotateExpr(col("__gv"), rot).as("__rotv"))
+      val newCents = kmeansFit(rerotated, idCol, "__rotv",
+        if (k == 0) storedCents.length else k, iters)
+      writeLearnedOpqIndex(corpus, idCol, embCol, indexPath, rot, newCents,
+        trainPqResidual(rerotated, idCol, "__rotv", newCents,
+          m = mEff, ksub = ksubEff, iters = iters))
+      IvfRefresh(drift, rebuilt = true)
+    } else IvfRefresh(drift, rebuilt = false)
+  }
 }

@@ -61,11 +61,14 @@ import graft.streaming.Compactor
   *    the count warrants. `ivf-ingest` is the continuous form of the
   *    append step: a landing-dir stream appended per micro-batch,
   *    exactly-once ([[graft.streaming.IvfIngest]]).
-  *  - `opq-build` / `opq-query` / `opq-append`: the OPQ composition's
-  *    lifecycle ([[graft.operators.Similarity.writeLearnedOpqIndex]]
-  *    family) — learn the rotation (Ge et al. 2013), fit both residual
-  *    quantizers in the rotated space, persist all three with the
-  *    index, serve partition-pruned with exact original-space rescore.
+  *  - `opq-build` / `opq-query` / `opq-append` / `opq-refresh`: the OPQ
+  *    composition's lifecycle
+  *    ([[graft.operators.Similarity.writeLearnedOpqIndex]] family) —
+  *    learn the rotation (Ge et al. 2013), fit both residual quantizers
+  *    in the rotated space, persist all three with the index, serve
+  *    partition-pruned with exact original-space rescore, and run the
+  *    drift-gated refresh (measured in the stored rotation's space; a
+  *    rebuild retrains the rotation too).
   *  - `pq-build` / `pq-query` / `pq-append` / `pq-compact` / `pq-delete`:
   *    the learned residual IVF-PQ lifecycle
   *    ([[graft.operators.Similarity.writeLearnedPqIndex]] family) — fit
@@ -188,6 +191,12 @@ object Main {
       |  opq-query   --in <queries-parquet> --corpus <embeddings-parquet>
       |          --path <dir> --out <dir> [--topk 10] [--nprobe 2] [--factor 4]
       |  opq-append  --in <embeddings-parquet> --path <dir>
+      |  opq-refresh --in <embeddings-parquet> --path <dir>
+      |          [--tolerance 0.1] [--k/--m/--ksub <index's>] [--opqiters 2]
+      |          (drift measured in the STORED rotation's space against a
+      |           fresh rotated-space fit — every run pays that fit; past
+      |           tolerance the rotation AND both quantizers retrain and
+      |           the corpus re-encodes)
       |  pq-build    --in <embeddings-parquet> --path <dir>
       |          [--id vec_id] [--embedding embedding] [--k 32] [--m 8]
       |          [--ksub 16] [--iters 5]
@@ -824,6 +833,19 @@ object Main {
       graft.operators.Similarity.appendToOpqIndex(
         spark.read.parquet(req(opt, "in")), req(opt, "path"),
         opt.getOrElse("id", "vec_id"), opt.getOrElse("embedding", "embedding"))
+
+    case Some("opq-refresh") =>
+      val (opt, _) = parse(args.tail)
+      val r = graft.operators.Similarity.refreshOpqIndex(req(opt, "path"),
+        spark.read.parquet(req(opt, "in")),
+        opt.getOrElse("id", "vec_id"), opt.getOrElse("embedding", "embedding"),
+        k = opt.getOrElse("k", "0").toInt,
+        m = opt.getOrElse("m", "0").toInt,
+        ksub = opt.getOrElse("ksub", "0").toInt,
+        iters = opt.getOrElse("iters", "5").toInt,
+        opqIters = opt.getOrElse("opqiters", "2").toInt,
+        driftTolerance = opt.getOrElse("tolerance", "0.1").toDouble)
+      println(f"opq-refresh: drift=${r.drift}%.4f rebuilt=${r.rebuilt}")
 
     case Some("pq-query") =>
       val (opt, _) = parse(args.tail)

@@ -337,6 +337,14 @@ class PlanSpec extends SparkSpec {
       s"PQ layout serve must prune by cell:\n$pPq")
     assert("PushedFilters: \\[[^\\]]*build_id".r.findFirstIn(pPq).isDefined,
       s"PQ layout serve must push the epoch filter:\n$pPq")
+    // OPQ side: the learned rotated composition serves with the SAME
+    // scale shape — rotated-space probed cells pruned into the file
+    // listing, epoch predicate pushed into the scan
+    val pOpq = annPlan("q_ann_opq_res")
+    assert("PartitionFilters: \\[[^\\]]*coarse".r.findFirstIn(pOpq).isDefined,
+      s"OPQ layout serve must prune by rotated-space cell:\n$pOpq")
+    assert("PushedFilters: \\[[^\\]]*build_id".r.findFirstIn(pOpq).isDefined,
+      s"OPQ layout serve must push the epoch filter:\n$pOpq")
   }
 
   test("q_bm25_topk: candidate ids AND query terms push into the fwd scan; " +

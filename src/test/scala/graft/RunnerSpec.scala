@@ -578,6 +578,23 @@ class RunnerSpec extends SparkSpec {
     (0L until 6L).foreach { q =>
       assert(top(q) == q + 5000L,
         s"appended duplicate of $q must serve at rank 1, got ${top(q)}") }
+    // drift-gated refresh closes the loop: on the build corpus the
+    // refit is deterministic (zero drift -> no-op), and tolerance 0
+    // with the appended rows present forces the full retrain — rotation
+    // included — after which serving still answers (all three
+    // quantizers rebuilt consistently)
+    Main.run(Seq("opq-refresh", "--in", base, "--path", ix,
+      "--iters", "3", "--opqiters", "1"), spark)
+    Main.run(Seq("opq-refresh", "--in", corpus2, "--path", ix,
+      "--iters", "3", "--opqiters", "1", "--tolerance", "0.0"), spark)
+    Main.run(Seq("opq-query", "--in", queries, "--corpus", corpus2,
+      "--path", ix, "--out", hits, "--topk", "1", "--nprobe", "2"), spark)
+    val topAfter = spark.read.parquet(hits).filter($"rank" === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("nn_id")).toMap
+    (0L until 6L).foreach { q =>
+      assert(topAfter(q) == q + 5000L,
+        s"after the forced rebuild the exact duplicate must still be " +
+          s"rank 1 for $q, got ${topAfter(q)}") }
   }
 
   test("residual-PQ CLI: pq-build → pq-query → pq-append — the learned " +
