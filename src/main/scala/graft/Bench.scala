@@ -410,6 +410,28 @@ object Bench {
           f""""serve_twin_secs":$servedMed%.4f,""" +
           f""""note":"timed q_ann_pq = corpus encode (native nearest_centroid loop; codebook training rides the pre-warm cache) + ADC serve; q_ann_pq_served pins the steady-state serve half from the persisted code table"}}"""
       }
+    // ...its OPQ sibling: the rotate+encode half vs the persisted-codes
+    // serve half (the band comment's 1.4-vs-0.4 split, made a number)
+    val attributionOpq =
+      if (!medians.contains("q_ann_opq")) "{}"
+      else {
+        import graft.operators.Similarity
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val (rot, cbO) = Similarity.trainOpq(e, "vec_id", "embedding",
+          m = 8, ksub = 16)
+        val encodeSecs = (0 until reps).map { _ =>
+          dropPersistedState()
+          val t0 = System.nanoTime()
+          Similarity.buildOpqIndex(e, "vec_id", "embedding", "label", rot, cbO)
+            .selectExpr("bit_xor(xxhash64(pq_codes)) AS h").head()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted.apply(reps / 2)
+        dropPersistedState()
+        val servedMed = medians.getOrElse("q_ann_opq_served", -1.0)
+        f"""{"q_ann_opq":{"encode_secs":$encodeSecs%.4f,""" +
+          f""""serve_twin_secs":$servedMed%.4f,""" +
+          f""""note":"timed q_ann_opq = corpus rotate+encode (native dot_product rotation + nearest_centroid loop; rotation/codebook training rides the pre-warm cache) + rotated ADC serve; q_ann_opq_served pins the steady-state serve half from the persisted code table"}}"""
+      }
     // ...and for the suite's most expensive query outright: q_lm_xent_kn5
     // trains the order-5 model (the materialized 5-gram table, the
     // continuation cascade, and two corpus-scan counts) then self-scores
@@ -478,8 +500,8 @@ object Bench {
           f""""note":"timed q_lm_xent_mkn5 = order-5 modified-KN train (kn5 cascade + bucketed context tables + five bounded count-of-counts probes) + self-score; q_lm_xent_mkn5_served pins the score half against the persisted pruned model"}}"""
       }
     val attributionAll = {
-      val parts = Seq(attribution, attributionPq, attributionKn3,
-        attributionKn5, attributionMkn5)
+      val parts = Seq(attribution, attributionPq, attributionOpq,
+        attributionKn3, attributionKn5, attributionMkn5)
         .filter(_ != "{}")
       if (parts.isEmpty) "{}"
       else parts.map(p => p.drop(1).dropRight(1)).mkString("{", ",", "}")
