@@ -908,6 +908,8 @@ object SparkEntry {
     Multimodal.extractFeatures(
         Multimodal.toAssets(tbl(s, dir, "documents"), "doc_id", "text", "text/plain"), 16)
       .write.mode("overwrite").parquet(MultimodalFixture)
+    Multimodal.imageDHash(s.read.parquet(imageCorpusPath(s, dir)))
+      .write.mode("overwrite").parquet(ImageDhashFixture)
     tbl(s, dir, "documents")
       .select(col("doc_id"), bmpPayload(col("doc_id")).as("img"))
       .write.mode("overwrite").parquet(BmpFixture)
@@ -1083,9 +1085,11 @@ object SparkEntry {
       val cbStore = new java.io.File(s"$KmeansFixture/opq_res_cb_store/${dirKey(dir)}")
       if (!centStore.exists() || !cbStore.exists()) {
         val (rot, _) = opqModel(s, dir)
-        val rotated = tbl(s, dir, "embeddings").select(col("vec_id"),
-          Similarity.rotateExpr(col("embedding").cast("array<double>"), rot)
-            .as("__rotv"))
+        // cast staged in its own projection: rotateExpr re-evaluates its
+        // input once per output dimension (its documented contract)
+        val rotated = tbl(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("__v"))
+          .select(col("vec_id"), Similarity.rotateExpr(col("__v"), rot).as("__rotv"))
         val cents = Similarity.kmeansFit(rotated, "vec_id", "__rotv",
           k = 8, iters = 5)
         (cents, Similarity.trainPqResidual(rotated, "vec_id", "__rotv",
@@ -2342,7 +2346,7 @@ object SparkEntry {
     * built-ins, no UDF. Shared by [[qMultimodalPixels]] (inline) and
     * [[prepareOracleFixtures]] (the [[BmpFixture]] dump), so the oracle
     * replays the EXACT bytes the engine decodes. */
-  private def bmpPayload(id: Column): Column = {
+  private[graft] def bmpPayload(id: Column): Column = {
     def byteAt(v: Column, i: Int): Column =
       unhex(lpad(hex(shiftright(v, 8 * i).bitwiseAND(lit(255L))), 2, "0"))
     def le16(v: Column) = concat(byteAt(v, 0), byteAt(v, 1))
@@ -2388,6 +2392,115 @@ object SparkEntry {
         .write.mode("overwrite").parquet(p)
       p
     })
+
+  /** Grayscale luminance field for the q_image_dedup corpus, in RELATIVE
+    * coordinates `u = (x+0.5)/w, v = (y+0.5)/h`: a two-sinusoid sum whose
+    * six parameters (two frequency pairs + two phases) are drawn from the
+    * doc_id under six DISTINCT prime moduli (97/89/101 and 83/79/103), so
+    * two documents share a pattern only when their ids agree under all
+    * six — impossible within any testdata corpus (lcm ≈ 5.6·10¹¹). The
+    * relative-coordinate form is the point: the SAME field rendered at a
+    * different resolution pools to the same 9×8 dHash grid, so a planted
+    * rescaled copy collides in Hamming space while unrelated documents'
+    * fields (independent frequencies/phases) sit ~32 bits apart. */
+  private def synthLum(id: Column, x: Column, y: Column,
+                       w: Column, h: Column): Column = {
+    // each parameter mixes the id through its own large multiplier before
+    // the prime mod (a Knuth-style multiplicative scatter): without it,
+    // adjacent ids step ALL SIX parameters by one tiny correlated
+    // increment and render near-identical fields — measured as spurious
+    // hamming-<=3 collisions between consecutive doc_ids
+    def par(mult: Long, m: Int, lo: Double, span: Double): Column =
+      lit(lo) + lit(span) * pmod(id * mult, lit(m.toLong)).cast("double") / m.toDouble
+    val twoPi = 2.0 * math.Pi
+    val u = (x.cast("double") + 0.5) / w.cast("double")
+    val v = (y.cast("double") + 0.5) / h.cast("double")
+    val s1 = sin(lit(twoPi) * (par(2654435761L, 97, 0.7, 2.0) * u
+      + par(2246822519L, 89, 0.7, 2.0) * v) + par(3266489917L, 101, 0.0, twoPi))
+    val s2 = sin(lit(twoPi) * (par(668265263L, 83, 0.7, 2.0) * u
+      - par(374761393L, 79, 0.7, 2.0) * v) + par(2654435789L, 103, 0.0, twoPi))
+    greatest(lit(0L), least(lit(255L),
+      round(lit(128.0) + lit(45.0) * s1 + lit(45.0) * s2).cast("long")))
+  }
+
+  /** A complete uncompressed 24-bit bottom-up BMP rendering of
+    * [[synthLum]] at the document's own resolution (w = 64 + id%32,
+    * h = 52 + id%28 — boxes of 7-10 px per dHash grid cell, so the
+    * pooled means are stable against the copy's resample grid) — the [[bmpPayload]] byte-construction discipline
+    * (header + 4-byte-padded rows, all codegen'd built-ins, no UDF) with
+    * the pixel loop nested rows→pixels so the luminance evaluates once
+    * per PIXEL (grayscale: the three channel bytes repeat it), not once
+    * per byte. */
+  private[graft] def synthImagePayload(id: Column): Column = {
+    def byteAt(v: Column, i: Int): Column =
+      unhex(lpad(hex(shiftright(v, 8 * i).bitwiseAND(lit(255L))), 2, "0"))
+    def le16(v: Column) = concat(byteAt(v, 0), byteAt(v, 1))
+    def le32(v: Column) = concat(byteAt(v, 0), byteAt(v, 1), byteAt(v, 2), byteAt(v, 3))
+    val w = pmod(id, lit(32L)) + 64
+    val h = pmod(id, lit(28L)) + 52
+    val stride = (w * 3 + 3) - pmod(w * 3 + 3, lit(4L))
+    val dataLen = stride * h
+    val header = concat(
+      lit("BM".getBytes("US-ASCII")), le32(dataLen + 54), le32(lit(0L)),
+      le32(lit(54L)),
+      le32(lit(40L)), le32(w), le32(h), le16(lit(1L)), le16(lit(24L)),
+      le32(lit(0L)), le32(dataLen), le32(lit(2835L)), le32(lit(2835L)),
+      le32(lit(0L)), le32(lit(0L)))
+    // bottom-up file rows: file row fr renders image row y = h-1-fr;
+    // per-row zero padding to the 4-byte stride via left() on a literal
+    val pixHex = concat_ws("", transform(sequence(lit(0L), h - 1), fr =>
+      concat(
+        concat_ws("", transform(sequence(lit(0L), w - 1), x =>
+          repeat(lpad(hex(synthLum(id, x, h - 1 - fr, w, h)), 2, "0"), 3))),
+        left(lit("000000"), ((stride - w * 3) * 2).cast("int")))))
+    concat(header, unhex(pixHex))
+  }
+
+  /** Persisted q_image_dedup corpus for `dir`, written once per JVM: one
+    * base BMP per document ([[synthImagePayload]]) plus, for every fifth
+    * document, a PLANTED RESCALED COPY — the base asset run through the
+    * REAL [[Multimodal.resizeImages]] operator to a fixed 128×96 target
+    * (nearest-neighbor resample + `ImageIO` BMP re-encode at a DIFFERENT
+    * resolution and aspect ratio, so the copy shares no bytes with its
+    * base and byte-level exact dedup can never pair them), re-identified
+    * at `base_id + 10_000_000`. The timed query body is then decode +
+    * dHash + banded pairing — the operator under test — not synthesis. */
+  private[graft] val ImgCopyOffset = 10000000L
+  private val imgDedupCache = collection.concurrent.TrieMap.empty[String, String]
+  private def imageCorpusPath(s: SparkSession, dir: String): String =
+    imgDedupCache.getOrElseUpdate(dir, {
+      val p = new java.io.File(s"target/q-img-dedup/${dirKey(dir)}").getAbsolutePath
+      val base = Multimodal.toAssets(
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), synthImagePayload(col("doc_id")).as("img")),
+        "doc_id", "img", "image/bmp")
+      val copies = Multimodal.resizeImages(
+          base.filter(pmod(col("asset_id"), lit(5)) === 0), 128, 96)
+        .select((col("asset_id") + ImgCopyOffset).as("asset_id"),
+          col("content"), col("meta"))
+      base.unionByName(copies).write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** Image near-duplicate dedup ([[Dedup.imageNearDupPairs]]): dHash per
+    * decoded raster, then the SAME banded-Hamming machinery as
+    * q_dedup_simhash — the dedup story the multimodal pillar needs,
+    * because a rescaled/re-encoded copy of the same picture survives
+    * byte-level dedup (different bytes, different size, different aspect)
+    * and text dedup (no text), yet collides in dHash space. The corpus
+    * plants exactly that ([[imageCorpusPath]]). Oracle: the dHash itself
+    * is engine-bound (codec + float pooling), but GIVEN the per-image
+    * hashes ([[ImageDhashFixture]]), banding + `bit_count` pair
+    * derivation is plain SQL — the q_dedup_simhash pattern verbatim. */
+  private def qImageDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.imageNearDupPairs(s.read.parquet(imageCorpusPath(s, dir)))
+      .withColumn("hamming", col("hamming").cast("long"))
+
+  /** Fixture parquet of per-image dHashes for q_image_dedup's oracle —
+    * the [[SimhashFixture]] pattern: GIVEN the hashes, DuckDB replays
+    * banding + Hamming filtering. */
+  private lazy val ImageDhashFixture =
+    new java.io.File("target/verify-fixtures/image_dhash").getAbsolutePath
 
   /** REAL pixel decode under the hash gate: a complete uncompressed BMP
     * per document ([[bmpPayload]], persisted once per dir — the timed
@@ -2628,6 +2741,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
+    "q_image_dedup" -> qImageDedup,
     "q_dedup_spans" -> qDedupSpans,
     "q_dedup_spans_index" -> qDedupSpansIndex,
     "q_dedup_spans_index_bucketed" -> qDedupSpansIndexBucketed,
@@ -3519,6 +3633,24 @@ object SparkEntry {
       s"""WITH h AS (
         |  SELECT sh_id, simhash
         |  FROM read_parquet('$SimhashFixture/*.parquet')),
+        | b AS (
+        |  SELECT sh_id, simhash, c.chunk, (simhash >> (c.chunk*16)) & 65535 AS chunk_val
+        |  FROM h CROSS JOIN (SELECT unnest([0,1,2,3]) AS chunk) c),
+        | p AS (
+        |  SELECT DISTINCT a.sh_id AS id_a, b2.sh_id AS id_b,
+        |         bit_count(xor(a.simhash, b2.simhash)) AS hamming
+        |  FROM b a JOIN b b2 ON a.chunk = b2.chunk AND a.chunk_val = b2.chunk_val
+        |   AND a.sh_id < b2.sh_id)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM p WHERE hamming <= 3""".stripMargin,
+    // the q_dedup_simhash replay over per-IMAGE dHashes: the hash is
+    // engine-bound (codec decode + float grid pooling), but GIVEN the
+    // dumped hashes, banding + bit_count pairing is plain SQL; null
+    // dhash rows (unhashable images) are excluded on both sides
+    "q_image_dedup" ->
+      s"""WITH h AS (
+        |  SELECT asset_id AS sh_id, dhash AS simhash
+        |  FROM read_parquet('$ImageDhashFixture/*.parquet')
+        |  WHERE dhash IS NOT NULL),
         | b AS (
         |  SELECT sh_id, simhash, c.chunk, (simhash >> (c.chunk*16)) & 65535 AS chunk_val
         |  FROM h CROSS JOIN (SELECT unnest([0,1,2,3]) AS chunk) c),

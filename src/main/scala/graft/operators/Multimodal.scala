@@ -196,6 +196,78 @@ object Multimodal {
     }(enc)
   }
 
+  /** 64-bit difference hash (dHash, public domain) of a decoded raster:
+    * pool BT.601 luminance onto a 9×8 grid (proportional box means —
+    * the boxes live in RELATIVE coordinates, so the hash is invariant
+    * to rescaling and even aspect distortion of the same picture), then
+    * threshold horizontally adjacent cells: bit `gy*8+gx` is set iff
+    * `grid(gy, gx+1) > grid(gy, gx)`. Rasters smaller than the grid
+    * (w < 9 or h < 8) hash to `None` — an undersampled grid would
+    * compare empty boxes; callers treat such images as unhashable, the
+    * same honest degradation as a non-decodable payload. */
+  private[graft] def dhash64(w: Int, h: Int, px: Array[Int]): Option[Long] = {
+    if (w < 9 || h < 8) None
+    else {
+      val grid = Array.ofDim[Double](8, 9)
+      var gy = 0
+      while (gy < 8) {
+        // Long box-edge arithmetic: gx * w overflows Int for w near 2^31
+        val y0 = ((gy.toLong * h) / 8).toInt
+        val y1 = (((gy + 1).toLong * h) / 8).toInt
+        var gx = 0
+        while (gx < 9) {
+          val x0 = ((gx.toLong * w) / 9).toInt
+          val x1 = (((gx + 1).toLong * w) / 9).toInt
+          var s = 0.0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val p = px(y * w + x)
+              s += 0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) +
+                0.114 * (p & 0xFF)
+              x += 1
+            }
+            y += 1
+          }
+          grid(gy)(gx) = s / ((y1 - y0).toLong * (x1 - x0))
+          gx += 1
+        }
+        gy += 1
+      }
+      var bits = 0L
+      var b = 0
+      while (b < 64) {
+        if (grid(b / 8)(b % 8 + 1) > grid(b / 8)(b % 8)) bits |= 1L << b
+        b += 1
+      }
+      Some(bits)
+    }
+  }
+
+  /** Per-image dHash over asset batches: `(asset_id, dhash: long)` with
+    * null dhash for payloads no codec claims or rasters below the 9×8
+    * grid ([[dhash64]]) — reported, never dropped. Decode and hash run
+    * in ONE `mapPartitions` pass (the codec boundary), so the full
+    * raster never materializes in a DataFrame: 8 bytes leave per image
+    * regardless of resolution — the narrow-pass shape doc-level
+    * [[graft.functions.SimHash64]] has for text, which is what lets the
+    * downstream banded self-join scale on the hash table alone. */
+  def imageDHash(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("dhash", LongType)))
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    assets.select("asset_id", "content").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val hash = decodeImage(r.getAs[Array[Byte]](1))
+          .flatMap { case (w, h, px) => dhash64(w, h, px) }
+        Row(r.get(0), hash.map(Long.box).orNull)
+      }
+    }(enc)
+  }
+
   /** Featurize a decoded raster: mean luminance (ITU-R BT.601 weights,
     * double accumulation for order-stable sums) over `dim` contiguous
     * row-major chunks — a real mean-pooled grayscale descriptor. */
@@ -298,10 +370,15 @@ object Multimodal {
               width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
             var y = 0
             while (y < height) {
-              val sy = y * sh / height
+              // Long source-coordinate arithmetic: the 2^28 guard bounds
+              // the TARGET raster only — dst_coord * src_dim can pass
+              // 2^31 for a wide source (e.g. 1M-px source → width 10000)
+              // and an Int product would wrap to a negative index
+              val sy = ((y.toLong * sh) / height).toInt
               var x = 0
               while (x < width) {
-                dst.setRGB(x, y, px(sy * sw + x * sw / width)); x += 1
+                dst.setRGB(x, y, px(sy * sw + ((x.toLong * sw) / width).toInt))
+                x += 1
               }
               y += 1
             }

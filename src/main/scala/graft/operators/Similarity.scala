@@ -930,9 +930,20 @@ object Similarity {
     val d = a0.length
     val a = a0.map(_.clone())
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    // convergence is tested SCALE-RELATIVE: the input is an unnormalized
+    // second moment (entries grow with sampleRows × |v|²), so an absolute
+    // 1e-14 would never trigger and all 64 sweeps would always run
+    var frob = 0.0
+    var fi = 0
+    while (fi < d) {
+      var fj = 0
+      while (fj < d) { val x = a0(fi)(fj); frob += x * x; fj += 1 }
+      fi += 1
+    }
+    val tol = 1e-14 * math.max(frob, Double.MinPositiveValue)
     var sweep = 0
     var off = Double.MaxValue
-    while (sweep < 64 && off > 1e-14) {
+    while (sweep < 64 && off > tol) {
       off = 0.0
       var p = 0
       while (p < d - 1) {
@@ -1342,7 +1353,30 @@ object Similarity {
     * errors name the right rebuilder, then delegate; the append encodes
     * new vectors with the index's OWN riding rotation + quantizers. */
   def appendToOpqIndex(newRows: DataFrame, indexPath: String, idCol: String,
-                       embCol: String): Unit = {
+                       embCol: String): Unit =
+    doOpqAppend(newRows, indexPath, idCol, embCol, key = None)
+
+  /** [[appendToIvfIndexIdempotent]] for the learned-OPQ composition:
+    * the SAME key-commit/replay-no-op protocol on the same `_epochs.key`
+    * column — an at-least-once caller (`foreachBatch` after a restart)
+    * re-delivering a batch id reads it as already-committed and no-ops
+    * instead of double-indexing the rows; a key whose first attempt
+    * crashed pre-commit left only invisible orphans, so the retry lands
+    * the batch under a fresh physical epoch. Returns false on the
+    * no-op path. */
+  def appendToOpqIndexIdempotent(newRows: DataFrame, indexPath: String,
+                                 idCol: String, embCol: String,
+                                 key: String): Boolean = {
+    val spark = newRows.sparkSession
+    val done = spark.read.parquet(s"$indexPath/_epochs")
+    if (done.columns.contains("key") &&
+        done.filter(col("key") === key).limit(1).collect().nonEmpty) false
+    else { doOpqAppend(newRows, indexPath, idCol, embCol, Some(key)); true }
+  }
+
+  private def doOpqAppend(newRows: DataFrame, indexPath: String,
+                          idCol: String, embCol: String,
+                          key: Option[String]): Unit = {
     val spark = newRows.sparkSession
     val (rot, cents, cb) = loadOpqQuantizers(spark, indexPath)
     committedIvfEpochs(spark, indexPath, "append_to_opq_index",
@@ -1356,7 +1390,7 @@ object Similarity {
       .repartition(col("coarse"))
       .write.mode("append").partitionBy("coarse").parquet(indexPath)
     import spark.implicits._
-    Seq((epoch, Option.empty[String])).toDF("build_id", "key")
+    Seq((epoch, key)).toDF("build_id", "key")
       .coalesce(1)
       .write.mode("append").parquet(s"$indexPath/_epochs")
   }
@@ -2408,8 +2442,11 @@ object Similarity {
     if (drift > driftTolerance) {
       val mEff = if (m == 0) storedCb.codebooks.length else m
       val ksubEff = if (ksub == 0) storedCb.codebooks.head.length else ksub
+      // sampleRows threads through: a caller who lowered it to stay
+      // under MaxSeedSampleBytes must not trip the guard on the
+      // rebuild path via trainOpq's own default
       val (rot, _) = trainOpq(corpus, idCol, embCol, m = mEff, ksub = ksubEff,
-        iters = iters, opqIters = opqIters)
+        iters = iters, opqIters = opqIters, sampleRows = sampleRows)
       val rerotated = corpus
         .withColumn("__gv", guardedVec(embCol, storedCb.dims, "refresh_opq_index"))
         .select(col(idCol), rotateExpr(col("__gv"), rot).as("__rotv"))

@@ -804,10 +804,15 @@ object Main {
       val (rot, _) = graft.operators.Similarity.trainOpq(corpus, idCol,
         embCol, m = m, ksub = ksub, iters = iters,
         opqIters = opt.getOrElse("opqiters", "2").toInt)
-      val rotated = corpus.select(org.apache.spark.sql.functions.col(idCol),
-        graft.operators.Similarity.rotateExpr(
-          org.apache.spark.sql.functions.col(embCol).cast("array<double>"),
-          rot).as("__rotv"))
+      // cast staged in its own projection: rotateExpr re-evaluates its
+      // input once per output dimension (its documented contract)
+      val rotated = corpus
+        .select(org.apache.spark.sql.functions.col(idCol),
+          org.apache.spark.sql.functions.col(embCol).cast("array<double>")
+            .as("__v"))
+        .select(org.apache.spark.sql.functions.col(idCol),
+          graft.operators.Similarity.rotateExpr(
+            org.apache.spark.sql.functions.col("__v"), rot).as("__rotv"))
       val cents = graft.operators.Similarity.kmeansFit(rotated, idCol,
         "__rotv", k = opt.getOrElse("k", "32").toInt, iters = iters)
       graft.operators.Similarity.writeLearnedOpqIndex(corpus, idCol, embCol,
@@ -846,6 +851,28 @@ object Main {
         opqIters = opt.getOrElse("opqiters", "2").toInt,
         driftTolerance = opt.getOrElse("tolerance", "0.1").toDouble)
       println(f"opq-refresh: drift=${r.drift}%.4f rebuilt=${r.rebuilt}")
+
+    // ivf-ingest for the OPQ composition: the same generalized sink
+    // (IvfIngest.sink over the layout family) pointed at a learned-OPQ
+    // path — streamed rows rotate + residual-encode under the index's
+    // riding quantizers, exactly-once under restarts via the batch-id
+    // epoch key
+    case Some("opq-ingest") =>
+      val (opt, flags) = parse(args.tail)
+      val (landing, path, ckpt) =
+        (req(opt, "landing"), req(opt, "path"), req(opt, "checkpoint"))
+      val schema = spark.read.parquet(landing).schema
+      val trigger =
+        if (flags("once")) Trigger.AvailableNow()
+        else Trigger.ProcessingTime("5 seconds")
+      val q = spark.readStream.schema(schema).parquet(landing)
+        .writeStream
+        .foreachBatch(graft.streaming.IvfIngest.sink(path,
+          opt.getOrElse("id", "vec_id"), opt.getOrElse("embedding", "embedding"),
+          graft.streaming.IvfIngest.OpqLayout))
+        .option("checkpointLocation", ckpt)
+        .trigger(trigger).start()
+      q.awaitTermination()
 
     case Some("pq-query") =>
       val (opt, _) = parse(args.tail)

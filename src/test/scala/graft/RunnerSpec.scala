@@ -595,6 +595,30 @@ class RunnerSpec extends SparkSpec {
       assert(topAfter(q) == q + 5000L,
         s"after the forced rebuild the exact duplicate must still be " +
           s"rank 1 for $q, got ${topAfter(q)}") }
+    // streamed ingest into the SAME layout (the generalized sink): a
+    // drained backlog lands exactly once; a restart over the same
+    // backlog + checkpoint is a full no-op (keyed epochs)
+    val landing = outDir("cli-opq-landing")
+    val ckpt = outDir("cli-opq-ckpt")
+    spark.read.parquet(queries)
+      .select(($"vec_id" + 7000L).as("vec_id"), $"embedding")
+      .write.mode("overwrite").parquet(landing)
+    Main.run(Seq("opq-ingest", "--landing", landing, "--path", ix,
+      "--checkpoint", ckpt, "--once"), spark)
+    Main.run(Seq("opq-ingest", "--landing", landing, "--path", ix,
+      "--checkpoint", ckpt, "--once"), spark)
+    assert(spark.read.parquet(ix).filter($"vec_id" >= 7000L).count() == 6,
+      "streamed rows must be indexed exactly once")
+    val corpus3 = outDir("cli-opq-corpus3")
+    spark.read.parquet(corpus2).union(spark.read.parquet(landing))
+      .write.mode("overwrite").parquet(corpus3)
+    Main.run(Seq("opq-query", "--in", queries, "--corpus", corpus3,
+      "--path", ix, "--out", hits, "--topk", "2", "--nprobe", "2"), spark)
+    val nn = spark.read.parquet(hits).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nn_id"))).toSet
+    (0L until 6L).foreach { q =>
+      assert(nn.contains((q, q + 7000L)),
+        s"streamed duplicate of $q must serve in its top-2") }
   }
 
   test("residual-PQ CLI: pq-build → pq-query → pq-append — the learned " +

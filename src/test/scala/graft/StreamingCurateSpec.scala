@@ -475,6 +475,80 @@ class StreamingCurateSpec extends SparkSpec {
       "an empty batch must not commit an epoch")
   }
 
+  test("IvfIngest.sink over the OPQ layout: streamed rows rotate + encode " +
+    "exactly-once — replay no-ops, empty batches burn no epoch, streamed " +
+    "≡ rebuilt") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    import graft.streaming.IvfIngest
+    val rnd = new scala.util.Random(62)
+    val centers = Seq(Array.fill(6)(9.0), Array.fill(6)(-9.0))
+    def cloud(i: Int): Seq[Float] =
+      centers(i % 2).map(x => (x + rnd.nextGaussian() * 0.3).toFloat).toSeq
+    def mk(ids: Range) = ids.map(i => (i.toLong, cloud(i)))
+    val base = mk(0 until 40).toDF("vec_id", "embedding")
+    val batch0 = mk(40 until 50)
+    val batch1 = mk(50 until 60)
+    // a REAL (non-identity) rotation — the coordinate-reversal
+    // permutation: orthonormal and deterministic, so the test pins that
+    // streamed rows are rotated before encoding (an unrotated append
+    // would quantize against the wrong codebook geometry)
+    val d = 6
+    val rot = Array.tabulate(d, d)((i, j) => if (j == d - 1 - i) 1.0 else 0.0)
+    val rotated = base
+      .select($"vec_id", $"embedding".cast("array<double>").as("__v"))
+      .select($"vec_id", Similarity.rotateExpr($"__v", rot).as("rv"))
+    val cents = Similarity.kmeansFit(rotated, "vec_id", "rv", k = 2, iters = 4)
+    val cb = Similarity.trainPqResidual(rotated, "vec_id", "rv", cents,
+      m = 2, ksub = 8, iters = 3)
+    val dir = java.nio.file.Files.createTempDirectory("opq-stream").toString
+    Similarity.writeLearnedOpqIndex(base, "vec_id", "embedding", dir,
+      rot, cents, cb)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = in.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch(IvfIngest.sink(dir, "vec_id", "embedding",
+        IvfIngest.OpqLayout))
+      .start()
+    in.addData(batch0: _*)
+    q.processAllAvailable()
+    in.addData(batch1: _*)
+    q.processAllAvailable()
+    q.stop()
+    val all = base.union(batch0.toDF("vec_id", "embedding"))
+      .union(batch1.toDF("vec_id", "embedding"))
+    val queries = all.filter($"vec_id" >= 40 && $"vec_id" < 46)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("nn_id"))).toSet
+    val served = key(Similarity.serveOpqIndex(dir, all, queries,
+      "vec_id", "embedding", k = 3, nprobe = 2))
+    val rebuilt = java.nio.file.Files.createTempDirectory("opq-stream-rb").toString
+    Similarity.writeLearnedOpqIndex(all, "vec_id", "embedding", rebuilt,
+      rot, cents, cb)
+    assert(served == key(Similarity.serveOpqIndex(rebuilt, all, queries,
+        "vec_id", "embedding", k = 3, nprobe = 2)),
+      "streamed OPQ ingest must serve exactly what a batch rebuild serves")
+    // restart-retry: a replayed batch id reads as already-delivered
+    assert(!Similarity.appendToOpqIndexIdempotent(
+      batch0.toDF("vec_id", "embedding"), dir, "vec_id", "embedding",
+      key = "batch_0"), "replayed key must no-op")
+    IvfIngest.sink(dir, "vec_id", "embedding", IvfIngest.OpqLayout)(
+      batch0.toDF("vec_id", "embedding"), 0L)
+    assert(key(Similarity.serveOpqIndex(dir, all, queries,
+        "vec_id", "embedding", k = 3, nprobe = 2)) == served,
+      "a replayed batch must not change what serves")
+    assert(spark.read.parquet(dir).groupBy("vec_id").count()
+        .filter(col("count") > 1).count() == 0,
+      "no row may be indexed twice")
+    // empty batches never burn an epoch
+    val epochs = spark.read.parquet(s"$dir/_epochs").count()
+    IvfIngest.sink(dir, "vec_id", "embedding", IvfIngest.OpqLayout)(
+      base.filter($"vec_id" < 0), 99L)
+    assert(spark.read.parquet(s"$dir/_epochs").count() == epochs,
+      "an empty batch must not commit an epoch")
+  }
+
   test("lambda topology: landing dir → curate-stream (index-filtered) → " +
     "periodic batch compaction + index refresh ≡ the batch-only pipeline") {
     // the full loop the library's lambda split describes: ingest curates
