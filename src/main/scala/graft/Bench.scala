@@ -40,7 +40,9 @@ import org.apache.spark.sql.SparkSession
   * `compactIvfIndex`), and `SPARK_GRAFT_SCALE_RECALL=1`
   * measures the served IVF's recall@10 vs nprobe (with the all-cells
   * point isolating the quantization-only ceiling), and
-  * `SPARK_GRAFT_SCALE_LM=1` measures LM train/score economics over
+  * `SPARK_GRAFT_SCALE_OPQ=1` measures the learned OPQ composition's
+  * size ladder (encode linear, pruned serve-read flat, bytes/vector),
+  * and `SPARK_GRAFT_SCALE_LM=1` measures LM train/score economics over
   * rotated replicas plus BPE's vocab-not-corpus merge-loop claim over
   * plain replicas, and `SPARK_GRAFT_SCALE_BM25=1` measures the
   * term-sorted postings layout's row-group pruning against an unsorted
@@ -165,6 +167,11 @@ object Bench {
     }
     if (sys.env.contains("SPARK_GRAFT_SCALE_RECALL")) {
       scaleRecallNprobe(spark, sfDir, () => dropPersistedState())
+      spark.stop()
+      return
+    }
+    if (sys.env.contains("SPARK_GRAFT_SCALE_OPQ")) {
+      scaleSlopeOpq(spark, sfDir, () => dropPersistedState())
       spark.stop()
       return
     }
@@ -2020,6 +2027,119 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_scale_kmeans.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] bench_scale_kmeans.json: ${e.getMessage}") }
+    println(line)
+  }
+
+  /** OPQ composition size ladder — the learned `OPQ,IVF,PQ` layout's
+    * missing ECONOMICS artifact beside its recall evidence
+    * (bench_scale_recall.json `pq_dial.opq`): quantizers trained ONCE on
+    * the 1× corpus and FIXED across the ladder, then at each size the
+    * whole corpus is rotated + residual-encoded + written partitioned
+    * (`encode_secs` — must grow linearly: encoding is one projection +
+    * ADC-coding pass per row, no cross-row term) and a FIXED 5-query
+    * batch is served partition-pruned (`serve_secs` / `pruned_input_mb`
+    * — the probed cells hold only the replica-0 region the queries live
+    * in, so the pruned read must stay ~FLAT while the index grows 16×
+    * past it; sign-flipped replicas land in other cells, the
+    * bench_scale_ivf.json construction). `bytes_per_vec` rides along
+    * (8 B payload/vec at m=8; disk includes ids + cell + epoch columns),
+    * matching the IVF/PQ memory-economics convention. Writes
+    * `bench_scale_opq.json`. */
+  private def scaleSlopeOpq(spark: SparkSession, sfDir: String,
+                            dropState: () => Unit): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val listener = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    val mb = 1024.0 * 1024.0
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val idSpan = base.agg(max("vec_id")).head().getLong(0) + 1
+    def replica(k: Int) = {
+      val signs =
+        if (k == 0) transform(sequence(lit(1), lit(64)), _ => lit(1.0))
+        else transform(sequence(lit(1), lit(64)),
+          i => when(pmod(xxhash64(lit(k), i), lit(2)) === 0, 1.0).otherwise(-1.0))
+      base.select((col("vec_id") + lit(k * idSpan)).as("vec_id"),
+        zip_with(col("embedding").cast("array<double>"), signs,
+          (x, s) => x * s).as("embedding"))
+    }
+    val sizes = Seq(1, 2, 4, 8, 16)
+    val reps = repsFromEnv()
+    val work = java.nio.file.Files.createTempDirectory("opq-scale").toString
+    def dirBytes(d: java.io.File): Long =
+      Option(d.listFiles()).getOrElse(Array.empty).map(f =>
+        if (f.isDirectory) dirBytes(f)
+        else if (f.getName.endsWith(".parquet")) f.length else 0L).sum
+    // quantizers trained once at 1x and fixed: the ladder isolates
+    // encode + serve, never training (trained-quantizer reuse across
+    // corpus growth is exactly the deployment steady state the
+    // drift-gated refresh owns the exception to)
+    val (rot, _) = Similarity.trainOpq(replica(0), "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 2, opqIters = 1)
+    val rotated0 = replica(0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("__v"))
+      .select(col("vec_id"), Similarity.rotateExpr(col("__v"), rot).as("__rotv"))
+    val cents = Similarity.kmeansFit(rotated0, "vec_id", "__rotv",
+      k = 32, iters = 2)
+    val cb = Similarity.trainPqResidual(rotated0, "vec_id", "__rotv", cents,
+      m = 8, ksub = 16, iters = 2)
+    val queries = base.filter(col("vec_id") < 5)
+    val qCells = Similarity.withProbeLabels(
+        queries
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("__v"))
+          .select(col("vec_id"), Similarity.rotateExpr(col("__v"), rot).as("__rotv")),
+        "__rotv", cents, nprobe = 2)
+      .select("coarse").distinct().collect().map(_.get(0))
+    val rows = sizes.map { n =>
+      val corpus = (0 until n).map(replica).reduce(_ unionByName _)
+      val nVecs = corpus.count()
+      val path = s"$work/opq_$n"
+      // ENCODE: rotate + residual-code + partitioned write, one build per
+      // size (a rebuild per rep would only re-measure the committer)
+      dropState()
+      val t0 = System.nanoTime()
+      Similarity.writeLearnedOpqIndex(corpus, "vec_id", "embedding", path,
+        rot, cents, cb)
+      val encodeSecs = (System.nanoTime() - t0) / 1e9
+      val indexMb = dirBytes(new java.io.File(path)) / mb
+      val probedMb = qCells
+        .map(c => dirBytes(new java.io.File(s"$path/coarse=$c"))).sum / mb
+      var hits = 0L
+      val recs = (0 until reps).map { _ =>
+        dropState()
+        listener.reset()
+        val s0 = System.nanoTime()
+        hits = Similarity.serveOpqIndex(path, corpus, queries,
+          "vec_id", "embedding", k = 5, nprobe = 2).count()
+        val secs = (System.nanoTime() - s0) / 1e9
+        Thread.sleep(300) // let the async listener bus settle
+        (secs, listener.inputBytes.get / mb)
+      }.sortBy(_._1)
+      val (serveSecs, serveInputMb) = recs(recs.size / 2)
+      require(hits == 25, s"expected 5 queries x top-5 at ${n}x, got $hits")
+      dropState()
+      (n, nVecs, encodeSecs, indexMb, probedMb, serveSecs, serveInputMb,
+        dirBytes(new java.io.File(path)).toDouble / nVecs)
+    }
+    spark.sparkContext.removeSparkListener(listener)
+    type R = (Int, Long, Double, Double, Double, Double, Double, Double)
+    def arr[T](f: R => T): String = jsonArr(rows)(f)
+    val encodes = rows.map(_._3)
+    val line =
+      f"""{"metric":"opq_scale_ladder","reps":$reps,"k":32,"nprobe":2,""" +
+        f""""m":8,"ksub":16,"payload_bytes_per_vec":8,""" +
+        f""""sizes":${arr(_._1)},"vecs":${arr(_._2)},""" +
+        f""""encode_secs":${arr(r => f"${r._3}%.3f")},""" +
+        f""""encode_slope":${logLogSlope(sizes, encodes)}%.3f,""" +
+        f""""index_mb":${arr(r => f"${r._4}%.2f")},""" +
+        f""""probed_index_mb":${arr(r => f"${r._5}%.2f")},""" +
+        f""""serve_secs":${arr(r => f"${r._6}%.3f")},""" +
+        f""""serve_input_mb":${arr(r => f"${r._7}%.2f")},""" +
+        f""""disk_bytes_per_vec":${arr(r => f"${r._8}%.1f")},"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_scale_opq.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] bench_scale_opq.json: ${e.getMessage}") }
     println(line)
   }
 

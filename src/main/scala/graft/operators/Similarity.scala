@@ -2283,6 +2283,13 @@ object Similarity {
     * growth manifests as drift. A disjoint index/corpus (nothing to
     * sample) fails loudly rather than reading as "no drift".
     *
+    * Steady-state cost dial: by default the fresh fit scans the full
+    * corpus each Lloyd iteration; `fitSampleRows > 0` runs the
+    * drift-probe fit on a bounded md5 sample instead ([[fitInput]] —
+    * the no-op refresh then reads O(fitSampleRows + sampleRows) rows
+    * past the one sampling pass), while a triggered rebuild always
+    * refits on the full corpus.
+    *
     * Drift is a LAYOUT metric — it flags cell-membership change, not
     * in-place mutation of already-indexed vectors. A rigid translation
     * of a whole cloud reads as zero (membership is unchanged; relative
@@ -2307,7 +2314,8 @@ object Similarity {
   def refreshIvfIndex(indexPath: String, corpus: DataFrame, idCol: String,
                       embCol: String, k: Int = 0, iters: Int = 5,
                       driftTolerance: Double = 0.1,
-                      sampleRows: Int = 10000): IvfRefresh = {
+                      sampleRows: Int = 10000,
+                      fitSampleRows: Int = 0): IvfRefresh = {
     require(driftTolerance >= 0.0 && driftTolerance <= 1.0,
       s"driftTolerance must be in [0, 1], got $driftTolerance")
     require(k >= 0, s"k must be 0 (keep the index's cell count) or positive, got $k")
@@ -2322,8 +2330,9 @@ object Similarity {
     // new granularity in one cycle)
     val storedK = loadIvfCentroids(spark, indexPath).length
     val committed = committedIvfEpochs(spark, indexPath, "refresh_ivf_index")
-    val cents = kmeansFit(corpus, idCol, embCol,
-      if (k == 0) storedK else k, iters)
+    val kEff = if (k == 0) storedK else k
+    val cents = kmeansFit(fitInput(corpus, idCol, embCol, fitSampleRows),
+      idCol, embCol, kEff, iters)
     // committed, non-tombstoned rows only: a crashed append's orphan
     // labels must not leak into the drift sample any more than into a
     // serve, and a deleted row's stale label is not drift — it is gone
@@ -2337,9 +2346,43 @@ object Similarity {
     val drift = assignmentDrift(sampled, idCol, embCol, "coarse", cents,
       sampleRows)
     if (drift > driftTolerance) {
-      writeLearnedIvfIndex(corpus, idCol, embCol, indexPath, cents)
+      // the rare rebuild pays the FULL fit as before — the sampled fit
+      // is the cheap decision probe, never the layout a rebuild commits
+      val rebuildCents = if (fitSampleRows == 0) cents
+        else kmeansFit(corpus, idCol, embCol, kEff, iters)
+      writeLearnedIvfIndex(corpus, idCol, embCol, indexPath, rebuildCents)
       IvfRefresh(drift, rebuilt = true)
     } else IvfRefresh(drift, rebuilt = false)
+  }
+
+  /** The `fitSampleRows` dial shared by the refresh family: 0 = the fit
+    * scans the FULL corpus every Lloyd iteration (the historical
+    * behavior — an honest but expensive drift number: a scheduler
+    * running nightly no-op refreshes pays a full k-means each time to
+    * learn nothing changed); > 0 = the drift-probe's fresh fit runs on
+    * a bounded md5-prefix sample of the corpus (the [[kmeansFit]]
+    * seeding sample's own selection rule, materialized once so the
+    * Lloyd iterations never rescan the corpus). Deterministic per
+    * corpus, like everything downstream of it.
+    *
+    * The trade is a small LABEL-NOISE FLOOR: the stored index was built
+    * from a full fit, so a sampled refit's centroids sit slightly off
+    * and a few boundary rows read as drifted even on an unchanged
+    * corpus — size `driftTolerance` above that floor (well-separated
+    * corpora read 0.0 either way; the spec pins decision agreement on a
+    * planted migration). A rebuild, once triggered, always refits on
+    * the full corpus. */
+  private def fitInput(corpus: DataFrame, idCol: String, embCol: String,
+                       fitSampleRows: Int): DataFrame = {
+    require(fitSampleRows >= 0,
+      s"fitSampleRows must be 0 (full-corpus fit) or positive, got $fitSampleRows")
+    if (fitSampleRows == 0) corpus
+    else Materialize.eagerCheckpoint(
+      corpus
+        .select(col(idCol), col(embCol),
+          md5(col(idCol).cast("string").cast("binary")).as("__h"))
+        .orderBy("__h").limit(fitSampleRows)
+        .drop("__h"))
   }
 
   /** [[refreshIvfIndex]] for the residual-PQ layout — the drift
@@ -2363,7 +2406,8 @@ object Similarity {
   def refreshPqIndex(indexPath: String, corpus: DataFrame, idCol: String,
                      embCol: String, k: Int = 0, m: Int = 0, ksub: Int = 0,
                      iters: Int = 5, driftTolerance: Double = 0.1,
-                     sampleRows: Int = 10000): IvfRefresh = {
+                     sampleRows: Int = 10000,
+                     fitSampleRows: Int = 0): IvfRefresh = {
     require(driftTolerance >= 0.0 && driftTolerance <= 1.0,
       s"driftTolerance must be in [0, 1], got $driftTolerance")
     require(k >= 0, s"k must be 0 (keep the index's cell count) or positive, got $k")
@@ -2373,8 +2417,9 @@ object Similarity {
     val (storedCents, storedCb) = loadPqQuantizers(spark, indexPath)
     val committed = committedIvfEpochs(spark, indexPath, "refresh_pq_index",
       rebuilder = "writeLearnedPqIndex")
-    val cents = kmeansFit(corpus, idCol, embCol,
-      if (k == 0) storedCents.length else k, iters)
+    val kEff = if (k == 0) storedCents.length else k
+    val cents = kmeansFit(fitInput(corpus, idCol, embCol, fitSampleRows),
+      idCol, embCol, kEff, iters)
     val stored = antiJoinTombstones(
         spark.read.parquet(indexPath)
           .filter(col("build_id").isin(committed: _*)),
@@ -2385,8 +2430,13 @@ object Similarity {
     val drift = assignmentDrift(sampled, idCol, embCol, "coarse", cents,
       sampleRows)
     if (drift > driftTolerance) {
-      writeLearnedPqIndex(corpus, idCol, embCol, indexPath, cents,
-        trainPqResidual(corpus, idCol, embCol, cents,
+      // rebuild refits on the FULL corpus (see fitInput) — the residual
+      // codebooks are conditioned on whichever centroids the layout
+      // commits, so both come from the same full fit
+      val rebuildCents = if (fitSampleRows == 0) cents
+        else kmeansFit(corpus, idCol, embCol, kEff, iters)
+      writeLearnedPqIndex(corpus, idCol, embCol, indexPath, rebuildCents,
+        trainPqResidual(corpus, idCol, embCol, rebuildCents,
           m = if (m == 0) storedCb.codebooks.length else m,
           ksub = if (ksub == 0) storedCb.codebooks.head.length else ksub,
           iters = iters))
@@ -2407,14 +2457,17 @@ object Similarity {
     * rotated-space coarse + residual codebooks — and the corpus
     * re-encodes from scratch (codes are derived data, the
     * [[refreshPqIndex]] rule). Same cost note as the plain refresh:
-    * drift is measured against a FRESH fit, so even a no-op refresh
-    * pays one rotated-space k-means — the price of an honest drift
-    * number. */
+    * drift is measured against a FRESH fit, so a no-op refresh pays
+    * one rotated-space k-means — over the full corpus by default (the
+    * honest-drift maximum), or over a bounded md5 sample with
+    * `fitSampleRows` (see [[fitInput]]) so a scheduler's nightly no-op
+    * stays cheap. */
   def refreshOpqIndex(indexPath: String, corpus: DataFrame, idCol: String,
                       embCol: String, k: Int = 0, m: Int = 0, ksub: Int = 0,
                       iters: Int = 5, opqIters: Int = 2,
                       driftTolerance: Double = 0.1,
-                      sampleRows: Int = 10000): IvfRefresh = {
+                      sampleRows: Int = 10000,
+                      fitSampleRows: Int = 0): IvfRefresh = {
     require(driftTolerance >= 0.0 && driftTolerance <= 1.0,
       s"driftTolerance must be in [0, 1], got $driftTolerance")
     require(k >= 0, s"k must be 0 (keep the index's cell count) or positive, got $k")
@@ -2429,8 +2482,11 @@ object Similarity {
     val rotated = corpus
       .withColumn("__gv", guardedVec(embCol, storedCb.dims, "refresh_opq_index"))
       .select(col(idCol), rotateExpr(col("__gv"), storedRot).as("__rotv"))
-    val cents = kmeansFit(rotated, idCol, "__rotv",
-      if (k == 0) storedCents.length else k, iters)
+    // fitInput over the ROTATED frame: the sampled path pays one full
+    // rotation pass to draw the sample, then every Lloyd iteration runs
+    // on the bounded materialized rows
+    val cents = kmeansFit(fitInput(rotated, idCol, "__rotv", fitSampleRows),
+      idCol, "__rotv", if (k == 0) storedCents.length else k, iters)
     val stored = antiJoinTombstones(
         spark.read.parquet(indexPath)
           .filter(col("build_id").isin(committed: _*)),

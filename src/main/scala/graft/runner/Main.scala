@@ -176,13 +176,21 @@ object Main {
       |          [--topk 10] [--nprobe 2]
       |  ivf-refresh --in <embeddings-parquet> --path <dir>
       |          [--id vec_id] [--embedding embedding] [--k <index's k>]
-      |          [--iters 5] [--tolerance 0.1]
+      |          [--iters 5] [--tolerance 0.1] [--fitsample 0]
+      |          (--fitsample N bounds the drift-probe's fresh fit to an
+      |           N-row md5 sample — the cheap-no-op dial; a triggered
+      |           rebuild always refits on the full corpus)
       |  ivf-append  --in <embeddings-parquet> --path <dir>
       |          [--id vec_id] [--embedding embedding]
       |  ivf-compact --path <dir> [--id vec_id]
       |  ivf-delete  --in <ids-parquet> --path <dir> [--id vec_id]
       |  ivf-ingest  --landing <dir> --path <dir> --checkpoint <dir>
       |          [--id vec_id] [--embedding embedding] [--once]
+      |  opq-ingest  --landing <dir> --path <dir> --checkpoint <dir>
+      |          [--id vec_id] [--embedding embedding] [--once]
+      |          (ivf-ingest pointed at a learned-OPQ layout: the same
+      |           keyed exactly-once sink, rows rotate + encode under the
+      |           index's riding quantizers)
       |  opq-build   --in <embeddings-parquet> --path <dir>
       |          [--id vec_id] [--embedding embedding] [--k 32] [--m 8]
       |          [--ksub 16] [--iters 5] [--opqiters 2]
@@ -193,8 +201,10 @@ object Main {
       |  opq-append  --in <embeddings-parquet> --path <dir>
       |  opq-refresh --in <embeddings-parquet> --path <dir>
       |          [--tolerance 0.1] [--k/--m/--ksub <index's>] [--opqiters 2]
+      |          [--fitsample 0]
       |          (drift measured in the STORED rotation's space against a
-      |           fresh rotated-space fit — every run pays that fit; past
+      |           fresh rotated-space fit — every run pays that fit, full
+      |           corpus by default or --fitsample N rows; past
       |           tolerance the rotation AND both quantizers retrain and
       |           the corpus re-encodes)
       |  pq-build    --in <embeddings-parquet> --path <dir>
@@ -208,7 +218,7 @@ object Main {
       |  pq-refresh  --in <embeddings-parquet> --path <dir>
       |          [--id vec_id] [--embedding embedding] [--k <index's k>]
       |          [--m <index's m>] [--ksub <index's ksub>] [--iters 5]
-      |          [--tolerance 0.1]
+      |          [--tolerance 0.1] [--fitsample 0]
       |          (coarse-drift check; above tolerance retrains BOTH
       |           quantizers and re-encodes — codes are derived data.
       |           COST NOTE: drift is measured against a FRESH coarse
@@ -716,7 +726,10 @@ object Main {
         // mismatch would read as full drift and force a rebuild per cycle)
         k = opt.getOrElse("k", "0").toInt,
         iters = opt.getOrElse("iters", "5").toInt,
-        driftTolerance = opt.getOrElse("tolerance", "0.1").toDouble)
+        driftTolerance = opt.getOrElse("tolerance", "0.1").toDouble,
+        // 0 = full-corpus fit; a scheduler's nightly no-op cycle passes
+        // --fitsample to bound the drift-probe's k-means
+        fitSampleRows = opt.getOrElse("fitsample", "0").toInt)
       // the one-line trajectory record a scheduler greps for
       println(f"ivf-refresh: drift=${r.drift}%.4f rebuilt=${r.rebuilt}")
 
@@ -849,7 +862,8 @@ object Main {
         ksub = opt.getOrElse("ksub", "0").toInt,
         iters = opt.getOrElse("iters", "5").toInt,
         opqIters = opt.getOrElse("opqiters", "2").toInt,
-        driftTolerance = opt.getOrElse("tolerance", "0.1").toDouble)
+        driftTolerance = opt.getOrElse("tolerance", "0.1").toDouble,
+        fitSampleRows = opt.getOrElse("fitsample", "0").toInt)
       println(f"opq-refresh: drift=${r.drift}%.4f rebuilt=${r.rebuilt}")
 
     // ivf-ingest for the OPQ composition: the same generalized sink
@@ -897,7 +911,8 @@ object Main {
         m = opt.getOrElse("m", "0").toInt,
         ksub = opt.getOrElse("ksub", "0").toInt,
         iters = opt.getOrElse("iters", "5").toInt,
-        driftTolerance = opt.getOrElse("tolerance", "0.1").toDouble)
+        driftTolerance = opt.getOrElse("tolerance", "0.1").toDouble,
+        fitSampleRows = opt.getOrElse("fitsample", "0").toInt)
       // the one-line trajectory record a scheduler greps for
       println(f"pq-refresh: drift=${r.drift}%.4f rebuilt=${r.rebuilt}")
 

@@ -861,6 +861,112 @@ class TrainingOpsSpec extends SparkSpec {
       shifted, "vec_id", "embedding", m = -1))
   }
 
+  test("fitSampleRows: the sampled no-op refresh reads a bounded row " +
+    "count, rebuild decisions agree with the full fit on the planted " +
+    "migration, and a triggered rebuild commits the FULL-corpus fit") {
+    val rnd = new scala.util.Random(53)
+    val centers = Seq(Array.fill(6)(9.0), Array.fill(6)(-9.0),
+      Array.tabulate(6)(i => if (i % 2 == 0) 9.0 else -9.0))
+    def cloud(ctr: Array[Double]): Seq[Float] =
+      ctr.map(x => (x + rnd.nextGaussian() * 0.3).toFloat).toSeq
+    // parquet-backed corpus so inputMetrics.recordsRead observes every
+    // scan (a LocalTableScan reports none)
+    val tmp = java.nio.file.Files.createTempDirectory("fit-sample").toString
+    (0 until 90).map(i => (i.toLong, cloud(centers(i % 3))))
+      .toDF("vec_id", "embedding").write.parquet(s"$tmp/corpus")
+    val corpus = spark.read.parquet(s"$tmp/corpus")
+    val cents = Similarity.kmeansFit(corpus, "vec_id", "embedding", k = 3, iters = 4)
+    val dir = s"$tmp/ix"
+    Similarity.writeLearnedIvfIndex(corpus, "vec_id", "embedding", dir, cents)
+
+    def recordsRead(run: => Unit): Long = {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+      val n = new java.util.concurrent.atomic.AtomicLong(0)
+      val l = new SparkListener {
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+          Option(te.taskMetrics).foreach(m =>
+            n.addAndGet(m.inputMetrics.recordsRead))
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        run
+        // listener bus is async — wait until the event stream drains
+        var last = -1L; var stable = 0
+        while (stable < 5) {
+          Thread.sleep(100)
+          val cur = n.get()
+          if (cur == last) stable += 1 else { stable = 0; last = cur }
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+
+    // 1) no-op agreement at both dial positions, and the cost claim:
+    //    the full fit scans the corpus every Lloyd iteration; the
+    //    sampled fit pays one sampling pass then iterates on the
+    //    bounded materialized rows — decisively fewer records at iters=8
+    val fullReads = recordsRead {
+      val r = Similarity.refreshIvfIndex(dir, corpus, "vec_id", "embedding",
+        iters = 8, driftTolerance = 0.05)
+      assert(r == Similarity.IvfRefresh(0.0, rebuilt = false), s"$r")
+    }
+    val sampledReads = recordsRead {
+      val r = Similarity.refreshIvfIndex(dir, corpus, "vec_id", "embedding",
+        iters = 8, driftTolerance = 0.05, fitSampleRows = 30)
+      assert(r == Similarity.IvfRefresh(0.0, rebuilt = false),
+        s"well-separated clouds must read zero drift under the sampled fit: $r")
+    }
+    assert(sampledReads < fullReads,
+      s"the sampled no-op refresh must read fewer rows " +
+        s"(sampled=$sampledReads, full=$fullReads)")
+    // 2) planted migration: the sampled probe reaches the same rebuild
+    //    decision as the full fit, and the committed quantizer is the
+    //    FULL-corpus refit, not the probe's sample fit
+    (0 until 90).map { i =>
+      val c = if (i % 3 == 2 && i < 30) centers(0) else centers(i % 3)
+      (i.toLong, cloud(c))
+    }.toDF("vec_id", "embedding").write.parquet(s"$tmp/shifted")
+    val shifted = spark.read.parquet(s"$tmp/shifted")
+    val r2 = Similarity.refreshIvfIndex(dir, shifted, "vec_id", "embedding",
+      iters = 4, driftTolerance = 0.05, fitSampleRows = 30)
+    assert(r2.rebuilt && r2.drift >= 0.1,
+      s"the sampled probe must still flag the 10/90 migration: $r2")
+    assert(Similarity.loadIvfCentroids(spark, dir).map(_.toSeq).toSeq ==
+      Similarity.kmeansFit(shifted, "vec_id", "embedding", k = 3, iters = 4)
+        .map(_.toSeq).toSeq,
+      "a triggered rebuild must commit the full-corpus fit")
+    // 3) post-rebuild the sampled cycle is clean again
+    val r3 = Similarity.refreshIvfIndex(dir, shifted, "vec_id", "embedding",
+      iters = 4, driftTolerance = 0.05, fitSampleRows = 30)
+    assert(r3 == Similarity.IvfRefresh(0.0, rebuilt = false), s"$r3")
+    // 4) the dial exists on the whole refresh family: sampled no-ops on
+    //    the residual-PQ and OPQ layouts read clean too
+    val cb = Similarity.trainPqResidual(shifted, "vec_id", "embedding",
+      Similarity.loadIvfCentroids(spark, dir), m = 2, ksub = 8, iters = 3)
+    val pqDir = s"$tmp/pq"
+    Similarity.writeLearnedPqIndex(shifted, "vec_id", "embedding", pqDir,
+      Similarity.loadIvfCentroids(spark, dir), cb)
+    val rPq = Similarity.refreshPqIndex(pqDir, shifted, "vec_id", "embedding",
+      iters = 4, driftTolerance = 0.05, fitSampleRows = 30)
+    assert(rPq == Similarity.IvfRefresh(0.0, rebuilt = false), s"$rPq")
+    val d = 6
+    val rot = Array.tabulate(d, d)((i, j) => if (j == d - 1 - i) 1.0 else 0.0)
+    val rotated = shifted
+      .select($"vec_id", $"embedding".cast("array<double>").as("__v"))
+      .select($"vec_id", Similarity.rotateExpr($"__v", rot).as("rv"))
+    val rotCents = Similarity.kmeansFit(rotated, "vec_id", "rv", k = 3, iters = 4)
+    val rotCb = Similarity.trainPqResidual(rotated, "vec_id", "rv", rotCents,
+      m = 2, ksub = 8, iters = 3)
+    val opqDir = s"$tmp/opq"
+    Similarity.writeLearnedOpqIndex(shifted, "vec_id", "embedding", opqDir,
+      rot, rotCents, rotCb)
+    val rOpq = Similarity.refreshOpqIndex(opqDir, shifted, "vec_id", "embedding",
+      iters = 4, driftTolerance = 0.05, fitSampleRows = 30)
+    assert(rOpq == Similarity.IvfRefresh(0.0, rebuilt = false), s"$rOpq")
+    intercept[IllegalArgumentException](Similarity.refreshIvfIndex(dir,
+      shifted, "vec_id", "embedding", fitSampleRows = -1))
+  }
+
   test("sampleStratified: per-stratum fractions, determinism, null strata, salt re-deal") {
     val d = (0L until 400L).map(i =>
       (i, if (i % 4 == 3) null else s"s${i % 4}")).toDF("doc_id", "source")
