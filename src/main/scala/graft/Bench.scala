@@ -190,6 +190,12 @@ object Bench {
       spark.stop()
       return
     }
+    if (sys.env.contains("SPARK_GRAFT_SCALE_CONCURRENT")) {
+      // this harness needs a FAIR-scheduler context (creation-time-only
+      // config) — it stops the session it was handed and builds its own
+      scaleConcurrentServing(spark, sfDir, cpus)
+      return
+    }
 
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
     val ordered = only.fold(all)(f => all.filter(kv => f(kv._1)))
@@ -367,7 +373,11 @@ object Bench {
       "q_sql_frontend" -> ((0.18, 1.50)),        // 0.56
       // new this round: decode + dHash + banded Hamming pairing over
       // the 6000-asset image corpus (first measured median r17)
-      "q_image_dedup" -> ((0.15, 1.60)))
+      "q_image_dedup" -> ((0.15, 1.60)),
+      // audio twin (r17): fingerprint + banded pairing over the 7200-clip
+      // PCM corpus — banded from birth so the executable >1s gate can
+      // never trip on this query's first noisy-host measurement
+      "q_audio_dedup" -> ((0.10, 1.60)))
     val medians = results.map(r => r._1 -> r._2).toMap
     // EXECUTABLE band-coverage rule (r16 verdict "What's wrong #1"):
     // every query whose median exceeds 1 s must carry a band, so gate
@@ -2876,6 +2886,177 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_scale.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] bench_scale.json: ${e.getMessage}") }
+    println(line)
+  }
+
+  /** CONCURRENT-serving harness — `SPARK_GRAFT_SCALE_CONCURRENT` →
+    * `bench_scale_concurrent.json`. Every other number in the suite is
+    * serialized query-at-a-time; a production cluster serves many
+    * queries AT ONCE on one long-lived session. The claim under test:
+    * the persisted-layout serve paths (BM25, IVF/PQ/OPQ, pruned LM) are
+    * driver-light and partition-pruned enough that N of them in flight
+    * share the executor pool instead of convoying — wall-clock for N
+    * concurrent serves ≪ the sum of their serial latencies, and no
+    * single query's latency degrades unboundedly (p95 stays within a
+    * small factor of its solo median).
+    *
+    * Method: one FAIR-scheduler session (each query thread gets its own
+    * pool, so no job-level FIFO convoy — undeclared pools share fairly
+    * with weight 1); the 8 serve queries prewarm serially (persisted
+    * layouts + codegen, untimed), then `rounds` SERIAL rounds (each
+    * query once, back-to-back — the warm solo baseline) and `rounds`
+    * CONCURRENT rounds (all 8 launched simultaneously from 8 threads
+    * behind a start latch, each timed to its own finish; wall = latch
+    * release → last finish). Caches stay WARM throughout (that is the
+    * serving scenario — the cold-build cost is measured elsewhere);
+    * between rounds only a GC settle runs, off every timed window.
+    * Row counts are pinned to the prewarm answer on every timed run, so
+    * no concurrency win can come from a wrong or short-circuited
+    * answer. p50/p95 are nearest-rank over `rounds` samples (default 8
+    * — p95 ≈ max at that depth; raise SPARK_GRAFT_CONC_ROUNDS for a
+    * finer tail).
+    *
+    * A final NOISY-NEIGHBOR section times one serve per family while the
+    * kn5 train loops in a separate FAIR pool — the multi-tenant shape:
+    * `under_train.slowdown_p50` is the fair-share latency tax an
+    * interactive tenant pays next to a batch tenant. */
+  private def scaleConcurrentServing(spark0: SparkSession, sfDir: String,
+                                     cpus: String): Unit = {
+    spark0.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = Sessions.local(cpus, Map("spark.scheduler.mode" -> "FAIR"))
+    try scaleConcurrentBody(spark, sfDir)
+    finally spark.stop()
+  }
+
+  private def scaleConcurrentBody(spark: SparkSession, sfDir: String): Unit = {
+    // the serving mix: one query per persisted-layout family, all
+    // *_served twins (answered from an already-committed index/model —
+    // no build work inside the timed body)
+    val mix = Seq("q_bm25_served", "q_ann_serve", "q_ann_pq_served",
+      "q_ann_opq_served", "q_ann_pq_res_served", "q_lm_xent_served",
+      "q_lm_xent_kn5_served", "q_lm_xent_mkn5_served")
+    val fns = mix.map(n => n -> SparkEntry.queries(n))
+    val rounds = math.max(2, sys.env.get("SPARK_GRAFT_CONC_ROUNDS")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(8))
+    // prewarm twice: pass 1 builds the per-dir persisted layouts (the
+    // lazily-initialized per-JVM caches MUST be built serially — the
+    // concurrent phase would otherwise race 8 builders), pass 2 runs the
+    // steady-state serve plan so codegen is compiled before any timer
+    val expectRows: Map[String, Long] = fns.map { case (n, fn) =>
+      fn(spark, sfDir).count(); n -> fn(spark, sfDir).count()
+    }.toMap
+    def settle(): Unit = { System.gc(); Thread.sleep(200) }
+    def timedCount(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val rows = fn(spark, sfDir).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      require(rows == expectRows(name),
+        s"$name answered $rows rows under load, expected ${expectRows(name)}")
+      secs
+    }
+    // SERIAL rounds: warm solo latencies, one round = all 8 back-to-back
+    val serialLat = collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    val serialWalls = (0 until rounds).map { _ =>
+      settle()
+      val t0 = System.nanoTime()
+      fns.foreach { case (n, fn) => serialLat(n) = serialLat(n) :+ timedCount(n, fn) }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // CONCURRENT rounds: all 8 in flight on the one session, each thread
+    // in its own FAIR pool; a thread failure is recorded and rethrown
+    // after join (never swallowed into a fake timing)
+    val concLat = collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    val concWalls = (0 until rounds).map { _ =>
+      settle()
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val lats = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]
+      val threads = fns.map { case (n, fn) =>
+        val t = new Thread(() => {
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", n)
+          start.await()
+          try lats.put(n, timedCount(n, fn))
+          catch { case e: Throwable => errs.add(e) }
+        }, s"conc-$n")
+        t.start(); t
+      }
+      val t0 = System.nanoTime()
+      start.countDown()
+      threads.foreach(_.join())
+      val wall = (System.nanoTime() - t0) / 1e9
+      if (!errs.isEmpty) throw errs.peek()
+      fns.foreach { case (n, _) => concLat(n) = concLat(n) :+ lats.get(n).doubleValue() }
+      wall
+    }
+    def pct(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      s(math.min(s.size - 1, math.max(0, math.ceil(p * s.size).toInt - 1)))
+    }
+    val perQuery = mix.map { n =>
+      val sp50 = pct(serialLat(n), 0.50)
+      val cp50 = pct(concLat(n), 0.50); val cp95 = pct(concLat(n), 0.95)
+      f""""$n":{"serial_p50":$sp50%.3f,"conc_p50":$cp50%.3f,""" +
+        f""""conc_p95":$cp95%.3f,"slowdown_p50":${cp50 / sp50}%.2f,""" +
+        f""""rows":${expectRows(n)}}"""
+    }.mkString("{", ",", "}")
+    val serialSum = mix.map(n => pct(serialLat(n), 0.50)).sum
+    val sWall = pct(serialWalls, 0.50)
+    val cWall = pct(concWalls, 0.50); val cWall95 = pct(concWalls, 0.95)
+    // NOISY-NEIGHBOR section: one serve query per family timed while a
+    // HEAVY TRAIN (the kn5 cascade — the suite's most expensive job) runs
+    // uninterrupted in a different FAIR pool. The claim: fair sharing
+    // keeps interactive serve latency bounded next to a batch tenant —
+    // the multi-tenant cluster case the serial suite can never show.
+    // The train is re-launched per round so contention covers the whole
+    // serve window; its own completion time is NOT the measurement.
+    val nnMix = Seq("q_bm25_served", "q_ann_serve", "q_ann_opq_served",
+      "q_lm_xent_served")
+    val trainFn = SparkEntry.queries("q_lm_xent_kn5")
+    val nnLat = collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    (0 until rounds).foreach { _ =>
+      settle()
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val trainer = new Thread(() => {
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "train")
+        while (!stop.get())
+          try trainFn(spark, sfDir).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] neighbor train failed: ${e.getMessage}")
+            stop.set(true)
+          }
+      }, "conc-train")
+      trainer.start()
+      Thread.sleep(300) // let the train actually occupy the pool first
+      nnMix.foreach { case n =>
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "serve")
+        nnLat(n) = nnLat(n) :+ timedCount(n, SparkEntry.queries(n))
+      }
+      stop.set(true); trainer.join()
+    }
+    val underTrain = nnMix.map { n =>
+      val solo = pct(serialLat(n), 0.50)
+      val p50 = pct(nnLat(n), 0.50); val p95 = pct(nnLat(n), 0.95)
+      f""""$n":{"solo_p50":$solo%.3f,"under_train_p50":$p50%.3f,""" +
+        f""""under_train_p95":$p95%.3f,"slowdown_p50":${p50 / solo}%.2f}"""
+    }.mkString("{", ",", "}")
+    val line =
+      f"""{"metric":"concurrent_serving","n_concurrent":${mix.size},""" +
+        f""""rounds":$rounds,"scheduler":"FAIR","queries":$perQuery,""" +
+        f""""serial_sum_p50":$serialSum%.3f,"serial_wall_p50":$sWall%.3f,""" +
+        f""""concurrent_wall_p50":$cWall%.3f,"concurrent_wall_p95":$cWall95%.3f,""" +
+        f""""speedup_vs_serial_sum":${serialSum / cWall}%.2f,""" +
+        f""""under_train":{"neighbor":"q_lm_xent_kn5","queries":$underTrain},""" +
+        f""""sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_scale_concurrent.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_scale_concurrent.json: ${e.getMessage}") }
     println(line)
   }
 }

@@ -45,8 +45,14 @@ object Sessions {
       case (b, (k, v)) => b.config(k, v)
     }
 
-  def local(cpus: String): SparkSession = {
-    val s = SparkSession.builder()
+  def local(cpus: String): SparkSession = local(cpus, Map.empty)
+
+  /** [[local]] with caller-supplied extra configs layered on top — the
+    * concurrent-serving bench uses this to flip on the FAIR scheduler
+    * (`spark.scheduler.mode` is context-creation-time only, so it cannot
+    * be set on an existing session). */
+  def local(cpus: String, extraConf: Map[String, String]): SparkSession = {
+    val s = extraConf.foldLeft(SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -56,7 +62,7 @@ object Sessions {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false")) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -910,6 +910,8 @@ object SparkEntry {
       .write.mode("overwrite").parquet(MultimodalFixture)
     Multimodal.imageDHash(s.read.parquet(imageCorpusPath(s, dir)))
       .write.mode("overwrite").parquet(ImageDhashFixture)
+    Multimodal.audioFingerprints(s.read.parquet(audioCorpusPath(s, dir)))
+      .write.mode("overwrite").parquet(AudioFpFixture)
     tbl(s, dir, "documents")
       .select(col("doc_id"), bmpPayload(col("doc_id")).as("img"))
       .write.mode("overwrite").parquet(BmpFixture)
@@ -2502,6 +2504,87 @@ object SparkEntry {
   private lazy val ImageDhashFixture =
     new java.io.File("target/verify-fixtures/image_dhash").getAbsolutePath
 
+  /** Fake-PCM "waveform" sample for the q_audio_dedup corpus, in RELATIVE
+    * time `t = (i+0.5)/L` — the 1-D [[synthLum]]: a two-tone sum whose
+    * four parameters (two frequencies + two phases) scatter from the
+    * doc_id under four DISTINCT prime moduli (107/109/113/127, disjoint
+    * from the image corpus's six), each behind its own Knuth-style
+    * multiplier so adjacent ids share nothing. Frequencies sit HIGH
+    * (8–24 and 5–19 cycles per clip): the fingerprint pools the
+    * rectified envelope onto 65 frames, and a low-frequency envelope
+    * would hold its sign for long runs — low-entropy fingerprints and
+    * spurious small-Hamming collisions between unrelated documents. The
+    * relative-time form is the point: the SAME tone pair rendered at a
+    * different sample count pools to the same 65-frame energy curve, so
+    * a resampled copy collides in Hamming space. */
+  private def synthPcmSample(id: Column, i: Column, len: Column): Column = {
+    def par(mult: Long, m: Int, lo: Double, span: Double): Column =
+      lit(lo) + lit(span) * pmod(id * mult, lit(m.toLong)).cast("double") / m.toDouble
+    val twoPi = 2.0 * math.Pi
+    val t = (i.cast("double") + 0.5) / len.cast("double")
+    val s1 = sin(lit(twoPi) * par(2654435761L, 107, 8.0, 16.0) * t
+      + par(3266489917L, 109, 0.0, twoPi))
+    val s2 = sin(lit(twoPi) * par(2246822519L, 113, 5.0, 14.0) * t
+      + par(2654435789L, 127, 0.0, twoPi))
+    greatest(lit(0L), least(lit(255L),
+      round(lit(128.0) + lit(52.0) * s1 + lit(36.0) * s2).cast("long")))
+  }
+
+  /** A complete unsigned-8-bit PCM payload of [[synthPcmSample]] at the
+    * document's own length (4000 + id%257 samples — varying, so copies
+    * resampled to a FIXED length share a length with nothing) — the
+    * [[synthImagePayload]] byte-construction discipline (codegen'd
+    * built-ins, hex/unhex packing, no UDF). */
+  private[graft] def synthAudioPayload(id: Column): Column = {
+    val len = pmod(id, lit(257L)) + lit(4000L)
+    unhex(concat_ws("", transform(sequence(lit(0L), len - 1),
+      i => lpad(hex(synthPcmSample(id, i, len)), 2, "0"))))
+  }
+
+  /** Persisted q_audio_dedup corpus for `dir` — the [[imageCorpusPath]]
+    * recipe on the audio axis: one base PCM clip per document plus, for
+    * every fifth document, a PLANTED copy run through the REAL
+    * [[Multimodal.resamplePcm]] operator (nearest-neighbor resample to a
+    * fixed 3000 samples at half gain — different length, different byte
+    * values, so byte-level exact dedup can never pair it with its base),
+    * re-identified at `base_id + 20_000_000`. The timed query body is
+    * fingerprint + banded pairing — the operator under test — not
+    * synthesis. */
+  private[graft] val AudioCopyOffset = 20000000L
+  private val audioDedupCache = collection.concurrent.TrieMap.empty[String, String]
+  private def audioCorpusPath(s: SparkSession, dir: String): String =
+    audioDedupCache.getOrElseUpdate(dir, {
+      val p = new java.io.File(s"target/q-audio-dedup/${dirKey(dir)}").getAbsolutePath
+      val base = Multimodal.toAssets(
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), synthAudioPayload(col("doc_id")).as("pcm")),
+        "doc_id", "pcm", "audio/pcm-u8")
+      val copies = Multimodal.resamplePcm(
+          base.filter(pmod(col("asset_id"), lit(5)) === 0), 3000, gain = 0.5)
+        .select((col("asset_id") + AudioCopyOffset).as("asset_id"),
+          col("content"), col("meta"))
+      base.unionByName(copies).write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** Audio near-duplicate dedup ([[Dedup.audioNearDupPairs]]): the
+    * multimodal dedup story's third modality — a resampled/re-gained
+    * copy of the same clip survives byte-level dedup (different length,
+    * different bytes) and text dedup (no text), yet collides in
+    * energy-delta fingerprint space. The corpus plants exactly that
+    * ([[audioCorpusPath]]). Oracle: the fingerprint is engine-bound
+    * (byte framing + float energy pooling), but GIVEN the per-asset
+    * fingerprints ([[AudioFpFixture]]), banding + `bit_count` pair
+    * derivation is plain SQL — the q_image_dedup pattern verbatim. */
+  private def qAudioDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.audioNearDupPairs(s.read.parquet(audioCorpusPath(s, dir)))
+      .withColumn("hamming", col("hamming").cast("long"))
+
+  /** Fixture parquet of per-asset audio fingerprints for q_audio_dedup's
+    * oracle — the [[ImageDhashFixture]] pattern. */
+  private lazy val AudioFpFixture =
+    new java.io.File("target/verify-fixtures/audio_afp").getAbsolutePath
+
   /** REAL pixel decode under the hash gate: a complete uncompressed BMP
     * per document ([[bmpPayload]], persisted once per dir — the timed
     * body reads payloads and DECODES, the deployment steady state),
@@ -2742,6 +2825,7 @@ object SparkEntry {
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_image_dedup" -> qImageDedup,
+    "q_audio_dedup" -> qAudioDedup,
     "q_dedup_spans" -> qDedupSpans,
     "q_dedup_spans_index" -> qDedupSpansIndex,
     "q_dedup_spans_index_bucketed" -> qDedupSpansIndexBucketed,
@@ -3651,6 +3735,24 @@ object SparkEntry {
         |  SELECT asset_id AS sh_id, dhash AS simhash
         |  FROM read_parquet('$ImageDhashFixture/*.parquet')
         |  WHERE dhash IS NOT NULL),
+        | b AS (
+        |  SELECT sh_id, simhash, c.chunk, (simhash >> (c.chunk*16)) & 65535 AS chunk_val
+        |  FROM h CROSS JOIN (SELECT unnest([0,1,2,3]) AS chunk) c),
+        | p AS (
+        |  SELECT DISTINCT a.sh_id AS id_a, b2.sh_id AS id_b,
+        |         bit_count(xor(a.simhash, b2.simhash)) AS hamming
+        |  FROM b a JOIN b b2 ON a.chunk = b2.chunk AND a.chunk_val = b2.chunk_val
+        |   AND a.sh_id < b2.sh_id)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM p WHERE hamming <= 3""".stripMargin,
+    // same replay over per-CLIP energy-delta fingerprints: the
+    // fingerprint is engine-bound (byte framing + float pooling), but
+    // GIVEN the dumped values, banding + bit_count pairing is plain SQL;
+    // null afp rows (clips too short to frame) are excluded on both sides
+    "q_audio_dedup" ->
+      s"""WITH h AS (
+        |  SELECT asset_id AS sh_id, afp AS simhash
+        |  FROM read_parquet('$AudioFpFixture/*.parquet')
+        |  WHERE afp IS NOT NULL),
         | b AS (
         |  SELECT sh_id, simhash, c.chunk, (simhash >> (c.chunk*16)) & 65535 AS chunk_val
         |  FROM h CROSS JOIN (SELECT unnest([0,1,2,3]) AS chunk) c),

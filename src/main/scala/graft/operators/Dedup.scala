@@ -1738,4 +1738,32 @@ object Dedup {
         .filter(col("dhash").isNotNull)
         .select(col("asset_id").as("sh_id"), col("dhash").as("simhash")),
       maxHamming, bands)
+
+  /** Audio near-duplicate pairs — the [[imageNearDupPairs]] story for the
+    * third modality: energy-delta fingerprint per asset
+    * ([[Multimodal.audioFingerprints]] — gain- and resample-invariant by
+    * construction, so a re-encoded/resampled copy of the same clip
+    * collides where byte-level exact dedup misses it), then the SAME
+    * banded-Hamming candidate machinery as [[simhashPairs]]. Both are
+    * 64-bit content hashes, so the pigeonhole banding, bucket-space
+    * saturation math, and `bit_count` verification carry verbatim.
+    * Assets too short to frame carry a null fingerprint and are EXCLUDED
+    * from pairing (an unhashable clip cannot be a near-dup candidate);
+    * the null rows stay visible upstream via
+    * [[Multimodal.audioFingerprints]] itself. Returns
+    * `(id_a, id_b, hamming)` with `id_a < id_b`.
+    *
+    * Recall honesty (the [[imageNearDupPairs]] caveat, 1-D): the
+    * fingerprint is invariant up to POOLING and ROUNDING noise — a copy
+    * whose energy curve is flat where adjacent frames compare can drift
+    * past the radius. Widening `maxHamming` (with `bands` sized to cover
+    * it) trades bucket saturation for recall, same math as
+    * [[simhashPairs]]. */
+  def audioNearDupPairs(assets: DataFrame, maxHamming: Int = 3,
+                        bands: Int = 4): DataFrame =
+    simhashPairs(
+      Multimodal.audioFingerprints(assets)
+        .filter(col("afp").isNotNull)
+        .select(col("asset_id").as("sh_id"), col("afp").as("simhash")),
+      maxHamming, bands)
 }

@@ -416,4 +416,112 @@ object Multimodal {
       .otherwise(transform(sequence(lit(0), nFrames - 1),
         i => substring(content, lit(1) + i * step, lit(frameBytes))))
   }
+
+  // ---- audio: PCM fingerprinting + resampling at the codec boundary ----
+  // The payload model is unsigned 8-bit PCM — the honest fake for a
+  // container with no audio codec (the scheme of this file's header
+  // comment: a real deployment slots ffmpeg decode in at exactly this
+  // mapPartitions boundary; everything below the decode — relative
+  // framing, energy pooling, delta-sign packing — is codec-independent).
+
+  /** Energy-delta audio fingerprint — the one-band simplification of the
+    * Haitsma & Kalker (2002, "A Highly Robust Audio Fingerprinting
+    * System") energy-difference scheme, and the exact 1-D twin of
+    * [[dhash64]]: pool the stream's mean absolute deviation from the
+    * u8 midpoint onto 65 frames in RELATIVE coordinates (frame `k` covers
+    * bytes `[k·L/65, (k+1)·L/65)`), then bit `k` is set iff
+    * `energy(k+1) > energy(k)`. The two invariances that make it a
+    * NEAR-dup hash rather than a byte hash:
+    *  - GAIN: `s' = 128 + α(s−128)` scales every frame energy by α, so
+    *    the delta-sign pattern is unchanged (up to rounding noise, which
+    *    averages out over a frame);
+    *  - RESAMPLING: the frames live in relative time, so a copy at a
+    *    different length pools approximately the same energy curve.
+    * Payloads shorter than 65 bytes (a frame would be empty) fingerprint
+    * to `None` — unhashable, the [[dhash64]] degradation. */
+  private[graft] def audioFingerprint64(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.length < 65) None
+    else {
+      val len = bytes.length
+      val e = new Array[Double](65)
+      var k = 0
+      while (k < 65) {
+        // Long edge arithmetic: k * len overflows Int for multi-GiB clips
+        val b0 = ((k.toLong * len) / 65).toInt
+        val b1 = (((k + 1).toLong * len) / 65).toInt
+        var s = 0.0
+        var i = b0
+        while (i < b1) { s += math.abs((bytes(i) & 0xFF) - 128); i += 1 }
+        e(k) = s / (b1 - b0)
+        k += 1
+      }
+      var bits = 0L
+      var b = 0
+      while (b < 64) { if (e(b + 1) > e(b)) bits |= 1L << b; b += 1 }
+      Some(bits)
+    }
+  }
+
+  /** Per-asset audio fingerprints: `(asset_id, afp: long)` with null afp
+    * for payloads too short to frame ([[audioFingerprint64]]) — reported,
+    * never dropped. One `mapPartitions` pass, 8 bytes out per asset
+    * regardless of clip length — the [[imageDHash]] narrow-pass shape,
+    * which is what lets the downstream banded Hamming self-join scale on
+    * the fingerprint table alone. */
+  def audioFingerprints(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("afp", LongType)))
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    assets.select("asset_id", "content").mapPartitions { it =>
+      it.map { r =>
+        Row(r.get(0),
+          audioFingerprint64(r.getAs[Array[Byte]](1)).map(Long.box).orNull)
+      }
+    }(enc)
+  }
+
+  /** Resample a PCM-u8 payload to `targetLen` samples (nearest-neighbor,
+    * relative coordinates — the 1-D twin of [[resizeImages]]) with an
+    * optional GAIN applied around the u8 midpoint (clamped to [0, 255]).
+    * The transcode analog for audio: the output shares no byte prefix
+    * with its source at a different length, so byte-level exact dedup
+    * can never pair a resampled copy with its original — which is the
+    * gap [[audioFingerprints]] + banded Hamming pairing closes.
+    * Null/empty payloads resample to null (you cannot resample what you
+    * cannot read — reported, not invented); metadata keeps the source
+    * mime and duration, with `n_bytes` updated to the new length. */
+  def resamplePcm(assets: DataFrame, targetLen: Int,
+                  gain: Double = 1.0): DataFrame = {
+    require(targetLen >= 1, s"target length must be positive, got $targetLen")
+    require(targetLen <= (1 << 28),
+      s"target length $targetLen exceeds 2^28 samples")
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(assetSchema)
+    assets.select("asset_id", "content", "meta").mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val out: Array[Byte] =
+          if (bytes == null || bytes.isEmpty) null
+          else {
+            val len = bytes.length
+            val dst = new Array[Byte](targetLen)
+            var i = 0
+            while (i < targetLen) {
+              // Long source-index arithmetic, as in resizeImages
+              val s = (bytes(((i.toLong * len) / targetLen).toInt) & 0xFF) - 128
+              val v = 128 + math.round(gain * s).toInt
+              dst(i) = math.max(0, math.min(255, v)).toByte
+              i += 1
+            }
+            dst
+          }
+        val m = r.getStruct(2)
+        Row(r.get(0), out, Row(
+          if (m == null) null else m.get(0),
+          if (out == null) null else out.length.toLong,
+          null, null,
+          if (m == null) null else m.get(4)))
+      }
+    }(enc)
+  }
 }

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal}
+
+/** Audio near-duplicate dedup: energy-delta fingerprint invariance +
+  * banded Hamming pairing — the ImageDedupSpec story on the third
+  * modality.
+  *
+  * The corpus mirrors q_audio_dedup's construction at spec scale: base
+  * fake-PCM clips rendered from SparkEntry's relative-time two-tone
+  * field, planted copies produced by the REAL resample operator
+  * (nearest-neighbor resample to a different length at half gain), so the
+  * copies share no bytes with their bases — the exact pair class
+  * byte-level dedup misses and this operator exists to catch.
+  */
+class AudioDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val N = 60
+  private lazy val baseAssets = Multimodal.toAssets(
+    spark.range(N).toDF("doc_id")
+      .select(col("doc_id"), SparkEntry.synthAudioPayload(col("doc_id")).as("pcm")),
+    "doc_id", "pcm", "audio/pcm-u8")
+
+  private lazy val copies = Multimodal.resamplePcm(
+      baseAssets.filter(pmod(col("asset_id"), lit(5)) === 0), 3000, gain = 0.5)
+    .select((col("asset_id") + SparkEntry.AudioCopyOffset).as("asset_id"),
+      col("content"), col("meta"))
+
+  private lazy val corpus = baseAssets.unionByName(copies)
+
+  test("planted resampled half-gain copies collide in fingerprint space; unrelated clips do not") {
+    val fps = Multimodal.audioFingerprints(corpus).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(fps.size == N + N / 5)
+    assert(fps.values.forall(_.isDefined), "every synthesized clip fingerprints")
+    // planted copies land within (or near) the hamming radius: the
+    // fingerprint is gain/resample-INVARIANT up to pooling and rounding
+    // noise, not bit-exact — a copy can drift a bit past the radius when
+    // its energy curve is flat where adjacent frames compare (the dHash
+    // caveat, 1-D). Pin the measured floor, not a fiction of 100%.
+    val plantHams = (0 until N by 5).map { id =>
+      id -> java.lang.Long.bitCount(
+        fps(id.toLong).get ^ fps(id + SparkEntry.AudioCopyOffset).get)
+    }
+    assert(plantHams.count(_._2 <= 3) >= plantHams.size - 1,
+      s"planted pairs drifted past the hamming radius: $plantHams")
+    assert(plantHams.forall(_._2 <= 8),
+      s"a planted pair lost resample invariance entirely: $plantHams")
+    // unrelated bases sit far apart: no base-base pair within the radius
+    val baseIds = (0L until N).toArray
+    val cross = for {
+      i <- baseIds; j <- baseIds if i < j
+    } yield java.lang.Long.bitCount(fps(i).get ^ fps(j).get)
+    assert(cross.min > 3,
+      s"two unrelated synthesized clips collided (min hamming ${cross.min})")
+  }
+
+  test("audioNearDupPairs ≡ brute-force hamming: exactly the within-radius plants") {
+    val fps = Multimodal.audioFingerprints(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.audioNearDupPairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = fps.keys.toSeq.sorted
+    val brute = (for {
+      i <- all; j <- all if i < j
+      if java.lang.Long.bitCount(fps(i) ^ fps(j)) <= 3
+    } yield (i, j)).toSet
+    assert(pairs == brute)
+    val expected = (0 until N by 5)
+      .map(id => (id.toLong, id + SparkEntry.AudioCopyOffset))
+      .filter { case (a, b) =>
+        java.lang.Long.bitCount(fps(a) ^ fps(b)) <= 3 }.toSet
+    assert(pairs == expected && expected.size >= N / 5 - 1)
+  }
+
+  test("pure gain at unchanged length keeps the delta-sign pattern") {
+    // no resampling (asset 0's length is exactly 4000, the resample
+    // target, so source indices map to themselves): frame boundaries
+    // identical, energies scale by the gain uniformly — the delta-sign
+    // pattern must survive up to per-frame rounding noise (gain 0.5
+    // rounds each sample by <=0.5, averaging to ~0 over a 60+-sample
+    // frame)
+    val a0 = baseAssets.filter(col("asset_id") === 0)
+    assert(a0.select(length(col("content"))).head().getInt(0) == 4000)
+    val h1 = Multimodal.audioFingerprints(a0).head().getLong(1)
+    val h2 = Multimodal.audioFingerprints(
+      Multimodal.resamplePcm(a0, 4000, gain = 0.5)).head().getLong(1)
+    val d = java.lang.Long.bitCount(h1 ^ h2)
+    assert(d <= 2, s"same-length half-gain copy drifted to hamming $d")
+  }
+
+  test("copies share no bytes with their base (exact dedup provably misses them)") {
+    val byId = corpus.select(col("asset_id"), md5(col("content")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0 until N by 5).foreach { id =>
+      assert(byId(id.toLong) != byId(id + SparkEntry.AudioCopyOffset))
+    }
+  }
+
+  test("unhashable assets degrade to null fingerprint and are excluded from pairing") {
+    val junk = Seq(
+      (100L, "short".getBytes("UTF-8")),                 // < 65 bytes
+      (101L, Array.emptyByteArray),
+      (102L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "pcm")
+    val junkAssets = Multimodal.toAssets(junk, "doc_id", "pcm", "audio/pcm-u8")
+    val fps = Multimodal.audioFingerprints(junkAssets).collect()
+    assert(fps.length == 3 && fps.forall(_.isNullAt(1)))
+    assert(Dedup.audioNearDupPairs(junkAssets).count() == 0)
+    // exactly 65 bytes is the hashable floor: every frame holds one byte
+    val floor = Multimodal.audioFingerprints(Multimodal.toAssets(
+      Seq((103L, Array.fill[Byte](65)(7))).toDF("doc_id", "pcm"),
+      "doc_id", "pcm", "audio/pcm-u8")).collect()
+    assert(floor.forall(!_.isNullAt(1)))
+  }
+}
