@@ -229,7 +229,17 @@ object Main {
       |  pq-append   --in <embeddings-parquet> --path <dir>
       |          [--id vec_id] [--embedding embedding]
       |  pq-compact  --path <dir> [--id vec_id]
-      |  pq-delete   --in <ids-parquet> --path <dir> [--id vec_id]""".stripMargin
+      |  pq-delete   --in <ids-parquet> --path <dir> [--id vec_id]
+      |  quality-train --in <labeled-docs-parquet> --path <model-dir>
+      |          [--text text] [--label label] [--dim 65536] [--iters 12]
+      |          [--lr 0.5] [--l2 1e-6] [--sample 1.0]
+      |          (fasttext-style linear quality gate: distributed logreg
+      |           over hashed presence unigrams; persists the fixed-point
+      |           serving weights)
+      |  quality-score --in <docs-parquet> --path <model-dir> --out <dir>
+      |          [--id doc_id] [--text text] [--threshold <p>]
+      |          (serve: exact integer margins + sigmoid p per doc; with
+      |           --threshold keep only docs at p >= threshold)""".stripMargin
 
   def main(args: Array[String]): Unit = {
     // the ivf-refresh trajectory line is a grep contract ("drift=0.1234");
@@ -940,6 +950,33 @@ object Main {
           spark.read.parquet(in), name,
           opt.getOrElse("id", "doc_id"), opt.getOrElse("text", "text"),
           minJaccard = opt.getOrElse("jaccard", "0.8").toDouble)
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(out)
+
+    case Some("quality-train") =>
+      val (opt, _) = parse(args.tail)
+      val (in, path) = (req(opt, "in"), req(opt, "path"))
+      graft.operators.TextClassifier.save(
+        graft.operators.TextClassifier.train(
+          spark.read.parquet(in),
+          opt.getOrElse("text", "text"), opt.getOrElse("label", "label"),
+          dim = opt.getOrElse("dim", "65536").toInt,
+          iters = opt.getOrElse("iters", "12").toInt,
+          lr = opt.getOrElse("lr", "0.5").toDouble,
+          l2 = opt.getOrElse("l2", "1e-6").toDouble,
+          sampleFraction = opt.getOrElse("sample", "1.0").toDouble),
+        path, spark)
+
+    case Some("quality-score") =>
+      val (opt, _) = parse(args.tail)
+      val (in, path, out) = (req(opt, "in"), req(opt, "path"), req(opt, "out"))
+      val scored = graft.operators.TextClassifier.score(
+        spark.read.parquet(in), opt.getOrElse("id", "doc_id"),
+        opt.getOrElse("text", "text"),
+        graft.operators.TextClassifier.load(spark, path))
+      opt.get("threshold").map(_.toDouble)
+        .fold(scored)(t =>
+          scored.filter(org.apache.spark.sql.functions.col("p") >= t))
         .write.mode("overwrite").option("compression", "zstd")
         .parquet(out)
 

@@ -797,4 +797,45 @@ class RunnerSpec extends SparkSpec {
     intercept[IllegalArgumentException](Main.run(
       Seq("compact", "--landing", "l", "--out", "o", "--checkpoint", "--once"), spark))
   }
+
+  test("quality CLI: quality-train → quality-score — the trained gate loop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val labeled = (0 until 120).map { i =>
+      val y = i % 2
+      val cls = if (y == 1) "alpha bravo quality prose" else "omega zulu junk noise"
+      (i.toLong, s"$cls common token$i", y)
+    }.toDF("doc_id", "text", "label")
+    val in = outDir("qc-in"); val model = outDir("qc-model")
+    val out = outDir("qc-out"); val kept = outDir("qc-kept")
+    labeled.write.mode("overwrite").parquet(in)
+    Main.run(Seq("quality-train", "--in", in, "--path", model,
+      "--dim", "4096", "--iters", "25"), spark)
+    Main.run(Seq("quality-score", "--in", in, "--path", model,
+      "--out", out), spark)
+    val scored = spark.read.parquet(out)
+      .select("doc_id", "margin_q", "p").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(scored.length == 120)
+    scored.foreach { case (id, mq, p) =>
+      assert((mq > 0) == (id % 2 == 1), s"doc $id margin_q $mq")
+      assert((p > 0.5) == (id % 2 == 1), s"doc $id p $p")
+    }
+    // the gating form: --threshold keeps exactly the high-p half
+    Main.run(Seq("quality-score", "--in", in, "--path", model,
+      "--out", kept, "--threshold", "0.5"), spark)
+    val keptIds = spark.read.parquet(kept)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds == (0 until 120).filter(_ % 2 == 1).map(_.toLong).toSet)
+    // the served weights are the committed fixed-point form: scoring the
+    // same input twice is bit-identical (exact integer margins)
+    val again = outDir("qc-again")
+    Main.run(Seq("quality-score", "--in", in, "--path", model,
+      "--out", again), spark)
+    val a = spark.read.parquet(out).select("doc_id", "margin_q")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = spark.read.parquet(again).select("doc_id", "margin_q")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
 }

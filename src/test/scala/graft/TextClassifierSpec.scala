@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextClassifier
+
+/** Trained quality classifier: distributed logistic regression over
+  * hashed presence features + fixed-point serving. */
+class TextClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  // linearly separable two-class corpus: class tokens + shared noise
+  // tokens + a per-doc unique token (so the fit cannot memorize by id)
+  private def corpus(n: Int) = (0 until n).map { i =>
+    val y = i % 2
+    val cls = if (y == 1) "alpha bravo quality prose here"
+              else "omega zulu junk noise here"
+    (i.toLong, s"$cls the data common token$i", y)
+  }.toDF("doc_id", "text", "label")
+
+  private lazy val docs = corpus(200)
+  private lazy val model = TextClassifier.train(docs, "text", "label",
+    dim = 1 << 12, iters = 25, lr = 0.5)
+
+  test("train separates a separable corpus; served decisions match labels exactly") {
+    val scored = TextClassifier.score(docs, "doc_id", "text", model.quantize)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(scored.length == 200)
+    scored.foreach { case (id, marginQ, p) =>
+      val y = id % 2
+      assert((marginQ > 0) == (y == 1),
+        s"doc $id (label $y) served margin_q $marginQ")
+      // p is sigmoid(margin/scale): same side of 0.5 as the margin of 0
+      assert((p > 0.5) == (y == 1), s"doc $id p=$p disagrees with margin")
+    }
+  }
+
+  test("featureless doc serves exactly the quantized bias") {
+    val q = model.quantize
+    val out = TextClassifier.score(
+      Seq((9L, ""), (10L, "   ")).toDF("doc_id", "text"),
+      "doc_id", "text", q).collect()
+    assert(out.forall(_.getLong(1) == q.qbias),
+      s"blank docs must serve margin_q == qbias (${q.qbias}): " +
+        out.map(r => r.getLong(1)).mkString(","))
+  }
+
+  test("save/load round-trips the serving model bit-exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("qc-model").toString
+    TextClassifier.save(model, dir, spark)
+    val loaded = TextClassifier.load(spark, dir)
+    val q = model.quantize
+    assert(loaded.qbias == q.qbias && loaded.dim == q.dim)
+    assert(java.util.Arrays.equals(loaded.qweights, q.qweights))
+    // and the served margins are identical through the loaded model
+    val a = TextClassifier.score(docs, "doc_id", "text", q)
+      .select("doc_id", "margin_q").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = TextClassifier.score(docs, "doc_id", "text", loaded)
+      .select("doc_id", "margin_q").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
+  test("load refuses a torn or uncommitted save") {
+    val dir = java.nio.file.Files.createTempDirectory("qc-torn").toString
+    // no _meta at all: a save that never reached its commit point
+    intercept[IllegalArgumentException] {
+      TextClassifier.load(spark, dir)
+    }
+    TextClassifier.save(model, dir, spark)
+    // torn weights: the commit record names more rows than the table
+    // holds (a partial weights write under a stale/duplicated _meta)
+    val m = spark.read.parquet(s"$dir/_meta").head()
+    Seq((m.getLong(0), m.getInt(1), m.getInt(2), m.getLong(3) + 1))
+      .toDF("qbias", "dim", "quant_bits", "n_nonzero")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_meta")
+    intercept[IllegalArgumentException] {
+      TextClassifier.load(spark, dir)
+    }
+  }
+
+  test("sampled training still separates (the 100 TB dial)") {
+    val m = TextClassifier.train(corpus(400), "text", "label",
+      dim = 1 << 12, iters = 25, lr = 0.5, sampleFraction = 0.5)
+    val scored = TextClassifier.score(docs, "doc_id", "text", m.quantize)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(scored.forall { case (id, mq) => (mq > 0) == (id % 2 == 1) })
+  }
+
+  test("scoring plan is a single stage: no exchange, no join — one broadcast probe per row") {
+    val plan = TextClassifier.score(docs, "doc_id", "text", model.quantize)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
+    assert(!plan.toLowerCase.contains("join"), s"scoring must not join:\n$plan")
+  }
+
+  test("margin is an exact integer sum: repartitioning never moves it") {
+    val q = model.quantize
+    val once = TextClassifier.score(docs, "doc_id", "text", q)
+      .select("doc_id", "margin_q").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reparted = TextClassifier.score(docs.repartition(7), "doc_id",
+        "text", q)
+      .select("doc_id", "margin_q").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(once == reparted)
+  }
+}
