@@ -196,6 +196,16 @@ object Bench {
       scaleConcurrentServing(spark, sfDir, cpus)
       return
     }
+    if (sys.env.contains("SPARK_GRAFT_SCALE_QC")) {
+      scaleQualityClassifier(spark, sfDir, () => dropPersistedState())
+      spark.stop()
+      return
+    }
+    if (sys.env.contains("SPARK_GRAFT_SCALE_MM")) {
+      scaleMultimodalDedup(spark, sfDir, () => dropPersistedState())
+      spark.stop()
+      return
+    }
 
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
     val ordered = only.fold(all)(f => all.filter(kv => f(kv._1)))
@@ -377,7 +387,10 @@ object Bench {
       // audio twin (r17): fingerprint + banded pairing over the 7200-clip
       // PCM corpus — banded from birth so the executable >1s gate can
       // never trip on this query's first noisy-host measurement
-      "q_audio_dedup" -> ((0.10, 1.60)))
+      "q_audio_dedup" -> ((0.10, 1.60)),
+      // trained quality classifier SERVE (r17): one broadcast weight
+      // probe per doc, no shuffle — banded from birth, same rationale
+      "q_quality_classifier" -> ((0.03, 1.20)))
     val medians = results.map(r => r._1 -> r._2).toMap
     // EXECUTABLE band-coverage rule (r16 verdict "What's wrong #1"):
     // every query whose median exceeds 1 s must carry a band, so gate
@@ -2888,6 +2901,250 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] bench_scale.json: ${e.getMessage}") }
     println(line)
   }
+
+  /** Quality-classifier TRAIN/SERVE economics — `SPARK_GRAFT_SCALE_QC` →
+    * `bench_scale_qc.json`. Two claims measured per size (plain re-id'd
+    * 1–8× replicas of the documents table, labels from the heuristic
+    * gate exactly as q_quality_classifier distills them):
+    *  - TRAIN cost is linear in the corpus (each GD step is one margin
+    *    probe pass + one explode/aggregate pass, both single scans), and
+    *    the driver's footprint stays CONSTANT — the gradient collect is
+    *    bounded by `dim`, never by rows (nonzero-weight count recorded
+    *    per size as the bound's witness).
+    *  - SERVE is one broadcast probe per doc, no shuffle: scored rows/s
+    *    and shuffle-write MB (must be ~0) per size.
+    * REQUIRED exact per size: a replica copy of a document (same text,
+    * shifted id) serves the IDENTICAL integer margin as its base — the
+    * hashing/scoring path is content-deterministic by construction, so
+    * any drift is a bug, not weather. */
+  private def scaleQualityClassifier(spark: SparkSession, sfDir: String,
+                                     dropState: () => Unit): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{TextAnalysis, TextClassifier}
+    val listener = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      val idSpan = docs.agg(max("doc_id")).head().getLong(0) + 1
+      val labeled = TextAnalysis.withQuality(docs, "text")
+        .select(col("doc_id"), col("text"),
+          (col("quality_score") >= 0.5).cast("int").as("label"))
+      def replica(k: Int) = labeled.select(
+        (col("doc_id") + lit(k * idSpan)).as("doc_id"), col("text"), col("label"))
+      val sizes = Seq(1, 2, 4, 8)
+      val reps = repsFromEnv()
+      val mb = 1024.0 * 1024.0
+      val dim = 1 << 16
+      val rows = sizes.map { n =>
+        val corpus = (0 until n).map(replica).reduce(_ unionByName _)
+          .persist()
+        val nDocs = corpus.count()
+        var model: TextClassifier.Model = null
+        val trainSecs = (0 until reps).map { _ =>
+          dropState()
+          corpus.count() // re-materialize the persisted input, untimed
+          val t0 = System.nanoTime()
+          model = TextClassifier.train(corpus, "text", "label",
+            dim = dim, iters = 8, lr = 0.5)
+          (System.nanoTime() - t0) / 1e9
+        }.sorted.apply(reps / 2)
+        val q = model.quantize
+        val nNonzero = q.qweights.count(_ != 0L)
+        var servedRows = 0L
+        val (serveSecs, serveShuffleMb) = {
+          val runs = (0 until reps).map { _ =>
+            dropState()
+            corpus.count()
+            listener.reset()
+            val t0 = System.nanoTime()
+            servedRows = TextClassifier.score(corpus, "doc_id", "text", q).count()
+            val s = (System.nanoTime() - t0) / 1e9
+            Thread.sleep(150)
+            (s, listener.shuffleWrite.get / mb)
+          }
+          (runs.map(_._1).sorted.apply(reps / 2),
+            runs.map(_._2).sorted.apply(reps / 2))
+        }
+        require(servedRows == nDocs, s"serve must score every row at ${n}x")
+        // REQUIRED exact: replica copies serve identical margins — join
+        // each copy to its base by id offset, compare integer margins
+        if (n > 1) {
+          val scored = TextClassifier.score(corpus, "doc_id", "text", q)
+            .select(col("doc_id"), col("margin_q"))
+          val base = scored.filter(col("doc_id") < idSpan)
+            .select(col("doc_id").as("bid"), col("margin_q").as("bm"))
+          val drift = scored.filter(col("doc_id") >= idSpan)
+            .withColumn("bid", pmod(col("doc_id"), lit(idSpan)))
+            .join(base, "bid")
+            .filter(col("margin_q") =!= col("bm")).count()
+          require(drift == 0,
+            s"replica copies served $drift diverging margins at ${n}x")
+        }
+        corpus.unpersist()
+        (n, nDocs, trainSecs, nNonzero, serveSecs, servedRows, serveShuffleMb)
+      }
+      def arr(f: ((Int, Long, Double, Int, Double, Long, Double)) => Any) =
+        jsonArr(rows)(f)
+      val line =
+        f"""{"metric":"qc_scale","reps":$reps,"dim":$dim,"iters":8,""" +
+          f""""sizes":${arr(_._1)},"docs":${arr(_._2)},""" +
+          f""""train_secs":${arr(r => f"${r._3}%.3f")},""" +
+          f""""nonzero_weights":${arr(_._4)},""" +
+          f""""serve_secs":${arr(r => f"${r._5}%.3f")},""" +
+          f""""served_rows":${arr(_._6)},""" +
+          f""""serve_shuffle_mb":${arr(r => f"${r._7}%.2f")},""" +
+          f""""slope_train":${logLogSlope(sizes, rows.map(_._3))}%.3f,""" +
+          f""""slope_serve":${logLogSlope(sizes, rows.map(_._5))}%.3f,"sf":"$sfDir"}"""
+      try java.nio.file.Files.write(java.nio.file.Paths.get("bench_scale_qc.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] bench_scale_qc.json: ${e.getMessage}") }
+      println(line)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** Multimodal-dedup economics — `SPARK_GRAFT_SCALE_MM` →
+    * `bench_scale_multimodal.json`. The narrow-pass claim measured: the
+    * decode+hash pass reads the full payload bytes but emits 8 BYTES PER
+    * ASSET (hash rows), so the banded pairing downstream scales on the
+    * hash table alone, never the payloads. Per size (1–4× synthetic
+    * corpora of SparkEntry's image/audio generators at DISTINCT id
+    * ranges, every 5th asset planted as a real-operator transcode copy):
+    * decode+hash secs and input MB for BOTH modalities, payload MB on
+    * disk, pair counts split into PLANTED (id_b − id_a == the plant
+    * offset) and OTHER (honest dHash/fingerprint statistics: unrelated
+    * smooth fields occasionally land within the radius — measured, never
+    * hidden; plant recall rides as its own column). REQUIRED exact:
+    * hashes and banding are id-deterministic, so each ladder size's pair
+    * SET must CONTAIN the previous size's (the prefix ids are the same
+    * assets) — a vanished pair means nondeterminism, which is a bug. */
+  private def scaleMultimodalDedup(spark: SparkSession, sfDir: String,
+                                   dropState: () => Unit): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, Multimodal}
+    val listener = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    val work = java.nio.file.Files.createTempDirectory("mm-scale").toString
+    try {
+      val perReplica = 2000L
+      val sizes = Seq(1, 2, 4)
+      val reps = repsFromEnv()
+      val mb = 1024.0 * 1024.0
+      def dirBytes(p: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isFile) f.length
+          else Option(f.listFiles).getOrElse(Array.empty).map(walk).sum
+        walk(new java.io.File(p))
+      }
+      // persisted corpora per size, synthesis untimed (the q_image_dedup
+      // discipline: the measured body is decode+hash, not byte-building)
+      def buildCorpus(n: Int, img: Boolean): String = {
+        val path = s"$work/${if (img) "img" else "pcm"}$n"
+        val ids = spark.range(n * perReplica).toDF("doc_id")
+        val payload =
+          if (img) SparkEntry.synthImagePayload(col("doc_id"))
+          else SparkEntry.synthAudioPayload(col("doc_id"))
+        val base = Multimodal.toAssets(
+          ids.select(col("doc_id"), payload.as("pl")),
+          "doc_id", "pl", if (img) "image/bmp" else "audio/pcm-u8")
+        val copies = (
+          if (img) Multimodal.resizeImages(
+            base.filter(pmod(col("asset_id"), lit(5)) === 0), 128, 96)
+          else Multimodal.resamplePcm(
+            base.filter(pmod(col("asset_id"), lit(5)) === 0), 3000, gain = 0.5))
+          .select((col("asset_id") + lit(PlantOffset)).as("asset_id"),
+            col("content"), col("meta"))
+        base.unionByName(copies).write.mode("overwrite").parquet(path)
+        path
+      }
+      val rows = sizes.map { n =>
+        val imgPath = buildCorpus(n, img = true)
+        val pcmPath = buildCorpus(n, img = false)
+        val imgDiskMb = dirBytes(imgPath) / mb
+        val pcmDiskMb = dirBytes(pcmPath) / mb
+        def hashPass(path: String, img: Boolean): (Double, Double, Long) = {
+          val runs = (0 until reps).map { _ =>
+            dropState()
+            listener.reset()
+            val t0 = System.nanoTime()
+            val assets = spark.read.parquet(path)
+            val nHashes =
+              (if (img) Multimodal.imageDHash(assets)
+               else Multimodal.audioFingerprints(assets)).count()
+            val s = (System.nanoTime() - t0) / 1e9
+            Thread.sleep(150)
+            (s, listener.inputBytes.get / mb, nHashes)
+          }
+          (runs.map(_._1).sorted.apply(reps / 2),
+            runs.map(_._2).sorted.apply(reps / 2), runs.head._3)
+        }
+        val (imgSecs, imgReadMb, imgHashes) = hashPass(imgPath, img = true)
+        val (pcmSecs, pcmReadMb, pcmHashes) = hashPass(pcmPath, img = false)
+        def pairSet(path: String, img: Boolean): Set[(Long, Long)] = (
+          if (img) Dedup.imageNearDupPairs(spark.read.parquet(path))
+          else Dedup.audioNearDupPairs(spark.read.parquet(path)))
+          .select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val imgSet = pairSet(imgPath, img = true)
+        val pcmSet = pairSet(pcmPath, img = false)
+        dropState()
+        (n, n * perReplica, imgDiskMb, imgSecs, imgReadMb, imgHashes,
+          imgSet, pcmDiskMb, pcmSecs, pcmReadMb, pcmHashes, pcmSet)
+      }
+      // REQUIRED exact: id-determinism makes the ladder's pair sets
+      // prefix-monotone — a pair found at size k must be found at every
+      // larger size (same ids, same hashes, same bands)
+      rows.sliding(2).foreach {
+        case Seq(a, b) =>
+          require(a._7.subsetOf(b._7),
+            s"img pair set regressed ${a._1}x -> ${b._1}x: " +
+              s"${(a._7 -- b._7).take(3)}")
+          require(a._12.subsetOf(b._12),
+            s"pcm pair set regressed ${a._1}x -> ${b._1}x: " +
+              s"${(a._12 -- b._12).take(3)}")
+        case _ =>
+      }
+      def plants(s: Set[(Long, Long)]): Long =
+        s.count { case (x, y) => y - x == PlantOffset }.toLong
+      def others(s: Set[(Long, Long)]): Long = s.size - plants(s)
+      def recall(s: Set[(Long, Long)], n: Int): Double =
+        plants(s).toDouble / (n * perReplica / 5).toDouble
+      def arr(f: ((Int, Long, Double, Double, Double, Long, Set[(Long, Long)],
+        Double, Double, Double, Long, Set[(Long, Long)])) => Any) = jsonArr(rows)(f)
+      val line =
+        f"""{"metric":"multimodal_scale","reps":$reps,"per_replica":$perReplica,""" +
+          f""""sizes":${arr(_._1)},"assets_base":${arr(_._2)},""" +
+          f""""img_disk_mb":${arr(r => f"${r._3}%.2f")},""" +
+          f""""img_hash_secs":${arr(r => f"${r._4}%.3f")},""" +
+          f""""img_read_mb":${arr(r => f"${r._5}%.2f")},""" +
+          f""""img_hashes":${arr(_._6)},""" +
+          f""""img_plant_pairs":${arr(r => plants(r._7))},""" +
+          f""""img_other_pairs":${arr(r => others(r._7))},""" +
+          f""""img_plant_recall":${arr(r => f"${recall(r._7, r._1)}%.3f")},""" +
+          f""""pcm_disk_mb":${arr(r => f"${r._8}%.2f")},""" +
+          f""""pcm_hash_secs":${arr(r => f"${r._9}%.3f")},""" +
+          f""""pcm_read_mb":${arr(r => f"${r._10}%.2f")},""" +
+          f""""pcm_hashes":${arr(_._11)},""" +
+          f""""pcm_plant_pairs":${arr(r => plants(r._12))},""" +
+          f""""pcm_other_pairs":${arr(r => others(r._12))},""" +
+          f""""pcm_plant_recall":${arr(r => f"${recall(r._12, r._1)}%.3f")},""" +
+          f""""slope_img_hash":${logLogSlope(sizes, rows.map(_._4))}%.3f,""" +
+          f""""slope_pcm_hash":${logLogSlope(sizes, rows.map(_._9))}%.3f,"sf":"$sfDir"}"""
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_scale_multimodal.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] bench_scale_multimodal.json: ${e.getMessage}") }
+      println(line)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    }
+  }
+
+  /** Shared plant-copy id offset for the multimodal scale corpora. */
+  private val PlantOffset = 10000000L
 
   /** CONCURRENT-serving harness — `SPARK_GRAFT_SCALE_CONCURRENT` →
     * `bench_scale_concurrent.json`. Every other number in the suite is

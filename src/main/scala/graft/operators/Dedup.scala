@@ -1730,7 +1730,18 @@ object Dedup {
     * chunk width is 64/bands, so the per-chunk bucket space shrinks as
     * bands grow — the same pinned-width saturation math as
     * [[simhashPairs]], which is why the default stays at the width-16
-    * 4-band setting. */
+    * 4-band setting.
+    *
+    * Precision honesty (measured, bench_scale_multimodal.json): two
+    * UNRELATED images land within the radius with a small fixed
+    * probability (~9·10⁻⁶ per pair on the synthetic corpus — 21 spurious
+    * pairs among 2.9M at 2400 assets), so spurious pairs grow
+    * QUADRATICALLY in corpus size while plants grow linearly. At
+    * billion-image scale, treat this operator's output as CANDIDATES and
+    * verify each pair downstream (e.g. pooled-luminance grid distance or
+    * full-resolution compare) — the same candidate-generate-verify
+    * discipline as [[lshCandidatePairs]]; at the tested scales the
+    * within-radius set IS the answer the oracle replays. */
   def imageNearDupPairs(assets: DataFrame, maxHamming: Int = 3,
                         bands: Int = 4): DataFrame =
     simhashPairs(
