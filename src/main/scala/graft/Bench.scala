@@ -390,7 +390,12 @@ object Bench {
       "q_audio_dedup" -> ((0.10, 1.60)),
       // trained quality classifier SERVE (r17): one broadcast weight
       // probe per doc, no shuffle — banded from birth, same rationale
-      "q_quality_classifier" -> ((0.03, 1.20)))
+      "q_quality_classifier" -> ((0.03, 1.20)),
+      // verified multimodal pairs (r17): the candidate query's body plus
+      // one quantized-feature pass + a candidate-sized join — banded
+      // from birth at roughly candidate-band + feature-pass headroom
+      "q_image_dedup_verified" -> ((0.20, 3.50)),
+      "q_audio_dedup_verified" -> ((0.12, 2.20)))
     val medians = results.map(r => r._1 -> r._2).toMap
     // EXECUTABLE band-coverage rule (r16 verdict "What's wrong #1"):
     // every query whose median exceeds 1 s must carry a band, so gate

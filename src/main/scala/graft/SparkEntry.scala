@@ -912,6 +912,14 @@ object SparkEntry {
       .write.mode("overwrite").parquet(ImageDhashFixture)
     Multimodal.audioFingerprints(s.read.parquet(audioCorpusPath(s, dir)))
       .write.mode("overwrite").parquet(AudioFpFixture)
+    Multimodal.luminanceGridsQ(s.read.parquet(imageCorpusPath(s, dir)))
+      .filter(col("qgrid").isNotNull)
+      .select(col("asset_id"), posexplode(col("qgrid")).as(Seq("cell", "qv")))
+      .write.mode("overwrite").parquet(ImageGridFixture)
+    Multimodal.energyCurvesQ(s.read.parquet(audioCorpusPath(s, dir)))
+      .filter(col("qcurve").isNotNull)
+      .select(col("asset_id"), posexplode(col("qcurve")).as(Seq("cell", "qv")))
+      .write.mode("overwrite").parquet(AudioCurveFixture)
     // quality-classifier oracle inputs: the SERVED model's weight table
     // (nonzero quantized weights), its bias, and per-doc feature slots —
     // outer-exploded so featureless docs reach the oracle and serve
@@ -2604,6 +2612,63 @@ object SparkEntry {
   private lazy val AudioFpFixture =
     new java.io.File("target/verify-fixtures/audio_afp").getAbsolutePath
 
+  /** Multimodal near-dup VERIFIED pipelines ([[Dedup
+    * .imageNearDupPairsVerified]]/[[Dedup.audioNearDupPairsVerified]]):
+    * banded-Hamming candidates promoted only when the quantized content
+    * features agree — the candidate-generate-verify tail the precision
+    * note on the candidate operators calls for at scale. Oracle: GIVEN
+    * the dumped hashes AND the dumped quantized grids/curves, the whole
+    * pipeline — banding, bit_count radius, per-cell |Δ| integer sum,
+    * threshold — is plain SQL (the distances are fixed-point exact by
+    * construction, so no IEEE-order ceremony). */
+  private def qImageDedupVerified(s: SparkSession, dir: String): DataFrame =
+    Dedup.imageNearDupPairsVerified(s.read.parquet(imageCorpusPath(s, dir)))
+      .withColumn("hamming", col("hamming").cast("long"))
+
+  private def qAudioDedupVerified(s: SparkSession, dir: String): DataFrame =
+    Dedup.audioNearDupPairsVerified(s.read.parquet(audioCorpusPath(s, dir)))
+      .withColumn("hamming", col("hamming").cast("long"))
+
+  /** Exploded quantized-feature fixtures for the verified-pair oracles:
+    * `(asset_id, cell, qv)` rows, non-null features only. */
+  private lazy val ImageGridFixture =
+    new java.io.File("target/verify-fixtures/image_qgrid").getAbsolutePath
+  private lazy val AudioCurveFixture =
+    new java.io.File("target/verify-fixtures/audio_qcurve").getAbsolutePath
+
+  /** Generated DuckDB oracle for the verified multimodal pair queries:
+    * banding + Hamming radius over the dumped 64-bit hashes (the
+    * q_dedup_simhash replay), then the fixed-point feature distance per
+    * candidate (per-cell equi-join, ABS-diff integer SUM) thresholded
+    * exactly as the engine's `maxQDist`. */
+  private def mmVerifiedOracleSql(hashFixture: String, hashCol: String,
+                                  featFixture: String, maxQDist: Long): String =
+    s"""WITH h AS (
+      |  SELECT asset_id AS sh_id, $hashCol AS simhash
+      |  FROM read_parquet('$hashFixture/*.parquet')
+      |  WHERE $hashCol IS NOT NULL),
+      | b AS (
+      |  SELECT sh_id, simhash, c.chunk, (simhash >> (c.chunk*16)) & 65535 AS chunk_val
+      |  FROM h CROSS JOIN (SELECT unnest([0,1,2,3]) AS chunk) c),
+      | p AS (
+      |  SELECT DISTINCT a.sh_id AS id_a, b2.sh_id AS id_b,
+      |         bit_count(xor(a.simhash, b2.simhash)) AS hamming
+      |  FROM b a JOIN b b2 ON a.chunk = b2.chunk AND a.chunk_val = b2.chunk_val
+      |   AND a.sh_id < b2.sh_id),
+      | g AS (
+      |  SELECT asset_id, cell, qv FROM read_parquet('$featFixture/*.parquet')),
+      | d AS (
+      |  SELECT p.id_a, p.id_b, p.hamming,
+      |         SUM(ABS(ga.qv - gb.qv)) AS qdist
+      |  FROM p
+      |  JOIN g ga ON ga.asset_id = p.id_a
+      |  JOIN g gb ON gb.asset_id = p.id_b AND gb.cell = ga.cell
+      |  WHERE p.hamming <= 3
+      |  GROUP BY p.id_a, p.id_b, p.hamming)
+      |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming,
+      |       CAST(qdist AS BIGINT) AS qdist
+      |FROM d WHERE qdist <= $maxQDist""".stripMargin
+
   /** Trained-and-persisted quality classifier for `dir`, built once per
     * JVM — the served-layout cache pattern ([[ivfIndexPath]] rationale:
     * a deployment trains once and serves every batch from the committed
@@ -2895,7 +2960,9 @@ object SparkEntry {
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_image_dedup" -> qImageDedup,
+    "q_image_dedup_verified" -> qImageDedupVerified,
     "q_audio_dedup" -> qAudioDedup,
+    "q_audio_dedup_verified" -> qAudioDedupVerified,
     "q_quality_classifier" -> qQualityClassifier,
     "q_dedup_spans" -> qDedupSpans,
     "q_dedup_spans_index" -> qDedupSpansIndex,
@@ -3833,6 +3900,16 @@ object SparkEntry {
         |  FROM b a JOIN b b2 ON a.chunk = b2.chunk AND a.chunk_val = b2.chunk_val
         |   AND a.sh_id < b2.sh_id)
         |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM p WHERE hamming <= 3""".stripMargin,
+    // the verified-pair pipelines replayed END TO END from fixtures:
+    // banding + bit_count radius over the dumped hashes, then the
+    // fixed-point grid/curve distance (exact integer sum — no IEEE
+    // ceremony) joined per cell and thresholded exactly as the engine
+    "q_image_dedup_verified" ->
+      mmVerifiedOracleSql(ImageDhashFixture, "dhash", ImageGridFixture,
+        72L * 8 * 256),
+    "q_audio_dedup_verified" ->
+      mmVerifiedOracleSql(AudioFpFixture, "afp", AudioCurveFixture,
+        65L * 16),
     // served quality-classifier margins re-derived from the dumped
     // quantized weight table + bias + per-doc feature slots: the margin
     // is an exact integer sum (fixed-point weights — associative, so a

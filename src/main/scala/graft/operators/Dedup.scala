@@ -1777,4 +1777,62 @@ object Dedup {
         .filter(col("afp").isNotNull)
         .select(col("asset_id").as("sh_id"), col("afp").as("simhash")),
       maxHamming, bands)
+
+  /** Exact integer distance between two quantized feature arrays joined
+    * onto a candidate-pair frame, filtered at `maxQDist` — the VERIFY
+    * tail of the multimodal candidate-generate-verify pipelines. The
+    * pair side is the (small) candidate set; the feature table joins in
+    * twice keyed by asset id, AQE picks the join strategy. A candidate
+    * whose either side lacks a feature row (undecodable/silent asset)
+    * cannot be verified and is dropped — candidates are only PROMOTED by
+    * evidence, never waved through. */
+  private def verifyQuantPairs(cands: DataFrame, feats: DataFrame,
+                               maxQDist: Long): DataFrame =
+    cands
+      .join(feats.select(col("asset_id").as("id_a"), col("__q").as("__qa")), "id_a")
+      .join(feats.select(col("asset_id").as("id_b"), col("__q").as("__qb")), "id_b")
+      .withColumn("qdist",
+        aggregate(zip_with(col("__qa"), col("__qb"), (a, b) => abs(a - b)),
+          lit(0L), (acc, x) => acc + x))
+      .filter(col("qdist") <= maxQDist)
+      .select("id_a", "id_b", "hamming", "qdist")
+
+  /** [[imageNearDupPairs]] with the VERIFY pass the operator's own
+    * precision note calls for at large corpus sizes: banded-Hamming
+    * CANDIDATES, then each candidate pair's quantized 9×8 luminance
+    * grids ([[Multimodal.luminanceGridsQ]] — the SAME pooled field the
+    * dHash thresholds, fixed-point so the distance is an exact integer)
+    * compared at `maxQDist` (Σ per-cell |Δ| in 1/256-luma units; the
+    * default allows a mean of 8 luma per cell — measured plants sit well
+    * under it, spurious hash collisions well over). Spurious pairs grow
+    * quadratically with corpus size while their survival of THIS filter
+    * requires two unrelated fields to agree cell-by-cell — the verify
+    * turns a fixed per-pair false-positive rate into a vanishing one,
+    * the [[lshCandidatePairs]] candidate-generate-verify shape on the
+    * image axis. Returns `(id_a, id_b, hamming, qdist)`. */
+  def imageNearDupPairsVerified(assets: DataFrame, maxHamming: Int = 3,
+                                bands: Int = 4,
+                                maxQDist: Long = 72L * 8 * 256): DataFrame =
+    verifyQuantPairs(
+      imageNearDupPairs(assets, maxHamming, bands),
+      Multimodal.luminanceGridsQ(assets)
+        .filter(col("qgrid").isNotNull)
+        .select(col("asset_id"), col("qgrid").as("__q")),
+      maxQDist)
+
+  /** [[audioNearDupPairs]] with the verify pass — candidates compared on
+    * their quantized MEAN-NORMALIZED energy curves
+    * ([[Multimodal.energyCurvesQ]]: gain-invariant shape, fixed-point
+    * exact distance). The default `maxQDist` allows a mean per-frame
+    * shape deviation of 1/16 of the curve mean (16/256 units × 65
+    * frames). Returns `(id_a, id_b, hamming, qdist)`. */
+  def audioNearDupPairsVerified(assets: DataFrame, maxHamming: Int = 3,
+                                bands: Int = 4,
+                                maxQDist: Long = 65L * 16): DataFrame =
+    verifyQuantPairs(
+      audioNearDupPairs(assets, maxHamming, bands),
+      Multimodal.energyCurvesQ(assets)
+        .filter(col("qcurve").isNotNull)
+        .select(col("asset_id"), col("qcurve").as("__q")),
+      maxQDist)
 }

@@ -205,10 +205,24 @@ object Multimodal {
     * (w < 9 or h < 8) hash to `None` — an undersampled grid would
     * compare empty boxes; callers treat such images as unhashable, the
     * same honest degradation as a non-decodable payload. */
-  private[graft] def dhash64(w: Int, h: Int, px: Array[Int]): Option[Long] = {
+  private[graft] def dhash64(w: Int, h: Int, px: Array[Int]): Option[Long] =
+    lumGrid(w, h, px).map { grid =>
+      var bits = 0L
+      var b = 0
+      while (b < 64) {
+        if (grid(b / 8 * 9 + b % 8 + 1) > grid(b / 8 * 9 + b % 8)) bits |= 1L << b
+        b += 1
+      }
+      bits
+    }
+
+  /** The 9×8 relative-coordinate luminance grid [[dhash64]] thresholds,
+    * row-major (72 doubles, 0–255 scale) — shared by the hash and the
+    * candidate-VERIFY pass so both see the identical pooled field. */
+  private[graft] def lumGrid(w: Int, h: Int, px: Array[Int]): Option[Array[Double]] = {
     if (w < 9 || h < 8) None
     else {
-      val grid = Array.ofDim[Double](8, 9)
+      val grid = new Array[Double](72)
       var gy = 0
       while (gy < 8) {
         // Long box-edge arithmetic: gx * w overflows Int for w near 2^31
@@ -230,19 +244,36 @@ object Multimodal {
             }
             y += 1
           }
-          grid(gy)(gx) = s / ((y1 - y0).toLong * (x1 - x0))
+          grid(gy * 9 + gx) = s / ((y1 - y0).toLong * (x1 - x0))
           gx += 1
         }
         gy += 1
       }
-      var bits = 0L
-      var b = 0
-      while (b < 64) {
-        if (grid(b / 8)(b % 8 + 1) > grid(b / 8)(b % 8)) bits |= 1L << b
-        b += 1
-      }
-      Some(bits)
+      Some(grid)
     }
+  }
+
+  /** Per-image QUANTIZED luminance grids for candidate verification:
+    * `(asset_id, qgrid: array<long>)`, each cell `round(lum · 256)`
+    * (fixed-point 1/256-luma steps). Quantizing at the decode boundary
+    * makes every downstream distance an exact INTEGER sum — associative,
+    * replayable, oracle-friendly — the same fixed-point discipline as
+    * [[graft.operators.TextClassifier]] serving. Null qgrid for
+    * undecodable or under-grid payloads, as [[imageDHash]]. */
+  def luminanceGridsQ(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("qgrid", ArrayType(LongType))))
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    assets.select("asset_id", "content").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val g = decodeImage(r.getAs[Array[Byte]](1))
+          .flatMap { case (w, h, px) => lumGrid(w, h, px) }
+          .map(_.map(v => Long.box(math.round(v * 256.0))).toSeq)
+        Row(r.get(0), g.orNull)
+      }
+    }(enc)
   }
 
   /** Per-image dHash over asset batches: `(asset_id, dhash: long)` with
@@ -439,7 +470,18 @@ object Multimodal {
     *    different length pools approximately the same energy curve.
     * Payloads shorter than 65 bytes (a frame would be empty) fingerprint
     * to `None` — unhashable, the [[dhash64]] degradation. */
-  private[graft] def audioFingerprint64(bytes: Array[Byte]): Option[Long] = {
+  private[graft] def audioFingerprint64(bytes: Array[Byte]): Option[Long] =
+    energyCurve(bytes).map { e =>
+      var bits = 0L
+      var b = 0
+      while (b < 64) { if (e(b + 1) > e(b)) bits |= 1L << b; b += 1 }
+      bits
+    }
+
+  /** The 65-frame relative-time energy curve [[audioFingerprint64]]
+    * thresholds (mean absolute deviation from the u8 midpoint per frame)
+    * — shared by the fingerprint and the candidate-verify pass. */
+  private[graft] def energyCurve(bytes: Array[Byte]): Option[Array[Double]] = {
     if (bytes == null || bytes.length < 65) None
     else {
       val len = bytes.length
@@ -455,11 +497,34 @@ object Multimodal {
         e(k) = s / (b1 - b0)
         k += 1
       }
-      var bits = 0L
-      var b = 0
-      while (b < 64) { if (e(b + 1) > e(b)) bits |= 1L << b; b += 1 }
-      Some(bits)
+      Some(e)
     }
+  }
+
+  /** Per-clip QUANTIZED mean-normalized energy curves for candidate
+    * verification: `(asset_id, qcurve: array<long>)`, each frame
+    * `round(256 · e_k · 65 / Σe)` — dividing by the curve's own mean
+    * makes the SHAPE gain-invariant (a re-gained copy scales every
+    * frame equally), and the fixed-point rounding makes downstream
+    * distances exact integer sums (the [[luminanceGridsQ]] discipline).
+    * Null qcurve for clips too short to frame AND for silent clips
+    * (Σe = 0 — a shape-of-silence has no defined normalization; such
+    * clips cannot be VERIFIED as near-dups, the honest degradation). */
+  def energyCurvesQ(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("qcurve", ArrayType(LongType))))
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    assets.select("asset_id", "content").mapPartitions { it =>
+      it.map { r =>
+        val q = energyCurve(r.getAs[Array[Byte]](1)).flatMap { e =>
+          val total = e.sum
+          if (total <= 0.0) None
+          else Some(e.map(v => Long.box(math.round(v * 65.0 * 256.0 / total))).toSeq)
+        }
+        Row(r.get(0), q.orNull)
+      }
+    }(enc)
   }
 
   /** Per-asset audio fingerprints: `(asset_id, afp: long)` with null afp

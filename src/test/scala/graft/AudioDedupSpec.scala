@@ -100,6 +100,52 @@ class AudioDedupSpec extends SparkSpec {
     }
   }
 
+  test("verified pairs: plants survive the shape check; a same-fingerprint " +
+    "different-shape candidate is rejected") {
+    // engineered spurious candidate: two clips whose frame energies RISE
+    // monotonically (identical all-ones delta-sign fingerprint) but with
+    // different slopes — gently for A, steeply for B. The mean-normalized
+    // shapes disagree far beyond the per-frame tolerance, the exact pair
+    // class the sign pattern alone can never separate.
+    def rampClip(base: Int, step: Int): Array[Byte] = {
+      val perFrame = 64
+      val out = new Array[Byte](65 * perFrame)
+      var k = 0
+      while (k < 65) {
+        val d = base + step * k // constant |deviation| within frame k
+        var i = 0
+        while (i < perFrame) {
+          out(k * perFrame + i) =
+            (128 + (if (i % 2 == 0) d else -d)).toByte
+          i += 1
+        }
+        k += 1
+      }
+      out
+    }
+    val pairCorpus = Multimodal.toAssets(
+      // same +1 step keeps both sign patterns all-ones; the different
+      // BASES (30 vs 5) change the mean, so the normalized shapes
+      // diverge everywhere except the crossing at the mean frame
+      Seq((600L, rampClip(30, 1)), (601L, rampClip(5, 1)))
+        .toDF("doc_id", "pcm"),
+      "doc_id", "pcm", "audio/pcm-u8")
+    val fps = Multimodal.audioFingerprints(pairCorpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(600L) == fps(601L), "both ramps must fingerprint identically")
+    assert(Dedup.audioNearDupPairs(pairCorpus).count() == 1,
+      "the engineered pair must surface as a candidate")
+    assert(Dedup.audioNearDupPairsVerified(pairCorpus).count() == 0,
+      "the shape check must reject a same-fingerprint different-shape pair")
+    // and on the planted corpus, the verify keeps exactly the candidates
+    val cands = Dedup.audioNearDupPairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val kept = Dedup.audioNearDupPairsVerified(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept == cands,
+      s"true resampled copies must survive the verify: ${cands -- kept}")
+  }
+
   test("unhashable assets degrade to null fingerprint and are excluded from pairing") {
     val junk = Seq(
       (100L, "short".getBytes("UTF-8")),                 // < 65 bytes

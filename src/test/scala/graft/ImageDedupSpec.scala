@@ -87,6 +87,57 @@ class ImageDedupSpec extends SparkSpec {
     }
   }
 
+  test("verified pairs: plants survive the grid check; a same-hash different-image " +
+    "candidate is rejected") {
+    // engineered spurious candidate: two horizontal-gradient BMPs — every
+    // dHash bit compares grid[gx+1] > grid[gx], TRUE for both (hamming
+    // 0, a guaranteed candidate), but one is dark (0→100 luma) and one
+    // bright (150→250): the pooled grids disagree by ~150 luma per cell,
+    // the exact pair class the hash alone can never separate
+    def gradientBmp(lo: Int, hi: Int): Array[Byte] = {
+      val (w, h) = (36, 32)
+      val stride = (w * 3 + 3) / 4 * 4
+      val data = new Array[Byte](54 + stride * h)
+      val head = java.nio.ByteBuffer.wrap(data)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      head.put('B'.toByte).put('M'.toByte).putInt(data.length).putInt(0)
+        .putInt(54).putInt(40).putInt(w).putInt(h)
+        .putShort(1).putShort(24).putInt(0).putInt(stride * h)
+        .putInt(2835).putInt(2835).putInt(0).putInt(0)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = (lo + (hi - lo) * x / (w - 1)).toByte
+          val off = 54 + y * stride + x * 3
+          data(off) = v; data(off + 1) = v; data(off + 2) = v
+          x += 1
+        }
+        y += 1
+      }
+      data
+    }
+    val pairCorpus = Multimodal.toAssets(
+      Seq((500L, gradientBmp(0, 100)), (501L, gradientBmp(150, 250)))
+        .toDF("doc_id", "img"),
+      "doc_id", "img", "image/bmp")
+    val hams = Multimodal.imageDHash(pairCorpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hams(500L) == hams(501L), "gradients must collide in dHash space")
+    assert(Dedup.imageNearDupPairs(pairCorpus).count() == 1,
+      "the engineered pair must surface as a candidate")
+    assert(Dedup.imageNearDupPairsVerified(pairCorpus).count() == 0,
+      "the grid check must reject a same-hash different-image pair")
+    // and on the planted corpus, the verify pass keeps exactly the
+    // candidates (every candidate there IS a true rescaled copy)
+    val cands = Dedup.imageNearDupPairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val kept = Dedup.imageNearDupPairsVerified(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept == cands,
+      s"true rescaled copies must survive the verify: ${cands -- kept}")
+  }
+
   test("unhashable assets degrade to null dhash and are excluded from pairing") {
     val junk = Seq(
       (100L, "not an image at all".getBytes("UTF-8")),
