@@ -381,9 +381,14 @@ object Bench {
       "q_lm_xent_kn5_served" -> ((0.20, 1.60)),  // 0.63
       "q_sample_budget" -> ((0.20, 1.60)),       // 0.61
       "q_sql_frontend" -> ((0.18, 1.50)),        // 0.56
-      // new this round: decode + dHash + banded Hamming pairing over
-      // the 6000-asset image corpus (first measured median r17)
-      "q_image_dedup" -> ((0.15, 1.60)),
+      // decode + dHash + banded Hamming pairing over the 7200-asset
+      // image corpus. Re-based r17 (named cause: the original band was
+      // drawn before the query's first full-suite measurement; two
+      // independent r17 runs measured medians 1.55 and 1.77 s — the
+      // decode of 7200 BMPs IS the timed body — so hi moves to the
+      // house rule's 2.5× the ~1.55 s measured median, lo stays
+      // generous for idle hosts)
+      "q_image_dedup" -> ((0.40, 3.90)),
       // audio twin (r17): fingerprint + banded pairing over the 7200-clip
       // PCM corpus — banded from birth so the executable >1s gate can
       // never trip on this query's first noisy-host measurement
