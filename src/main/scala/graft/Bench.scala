@@ -402,6 +402,11 @@ object Bench {
       "q_image_dedup_verified" -> ((0.20, 3.50)),
       "q_audio_dedup_verified" -> ((0.12, 2.20)))
     val medians = results.map(r => r._1 -> r._2).toMap
+    val minsOf = results.map(r => r._1 -> r._3).toMap
+    // PRIOR medians from the last run's bench_full.json, read BEFORE this
+    // run overwrites it — the only history the floor-drift warning below
+    // can compare against without a separate state file.
+    val priorMedians = priorMediansFromFullRecord("bench_full.json")
     // SHOULDER FLOOR (r17): every query WITHOUT a curated band above
     // gets a synthesized (0.02, 2.50) band. Cause: the r16 executable
     // gate ("every >1 s median must be banded") fired on PURE WEATHER —
@@ -425,6 +430,32 @@ object Bench {
     val unbandedHot = medians.collect {
       case (k, m) if m > FloorHi && !expectedBands.exists(_._1 == k) => (k, m)
     }.toSeq.sortBy(-_._2)
+    // CURATED-band gate, re-armed weather-robustly (r17 verdict "What's
+    // wrong #1"): r17's gate could record a curated query outside its
+    // band in the JSON yet still exit 0 — six red bands shipped under
+    // rc=0. Gating on the MEDIAN would re-introduce the weather-brick
+    // the floor bands exist to prevent (a loaded host inflates every
+    // rep's median), so the gate fires on MIN-OF-REPS > hi: under
+    // transient load some rep still lands near true cost (r17's weather
+    // queries all had in-band minima, e.g. q_decontaminate_phrase min
+    // 1.29 / max 16.09), while a genuine plan regression keeps EVERY rep
+    // above the band. Distinct exit code (4) so the driver can tell
+    // "re-run on a quieter host / re-base with a named cause" from the
+    // unbanded-hot finding (3).
+    val curatedRed = curatedBandMinFailures(expectedBands, minsOf)
+    // Floor-DRIFT warning (r17 advice): the (0.02, 2.50) floor lets a
+    // sub-second query regress 10–50× silently as long as it stays under
+    // 2.5 s. Compare each floor-banded query's median against the
+    // previous run's — a WARNING, not an exit: a drift of this magnitude
+    // is a curation trigger (band it with a commit-named cause), and the
+    // prior record may itself be a loaded-host artifact.
+    floorDriftWarnings(floorBands.map(_._1), medians, priorMedians)
+      .foreach { case (k, now, prior) =>
+        System.err.println(f"[bench] WARNING: floor-banded $k median " +
+          f"$now%.2fs is ${now / prior}%.1fx its previous run's " +
+          f"$prior%.2fs - still under the ${FloorHi}%.1fs floor, but a " +
+          "drift this size deserves a curated band with a named cause")
+      }
     // a band whose query vanished from the suite is a LOST gate, not a
     // pass — surface it loudly instead of silently omitting the entry
     expectedBands.collect { case (k, _) if !medians.contains(k) => k } match {
@@ -689,6 +720,14 @@ object Bench {
     // the executable coverage gate fires AFTER the artifact printed and
     // the session closed cleanly: the record of the run survives, the
     // exit code carries the finding
+    if (curatedRed.nonEmpty)
+      System.err.println("[bench] FAIL: curated bands exceeded by EVERY " +
+        "rep (min-of-reps > hi - not weather; a loaded host leaves some " +
+        "rep near true cost): " +
+        curatedRed.map { case (k, mn, hi) => f"$k min=$mn%.2fs hi=$hi%.2fs" }
+          .mkString(", ") +
+        " - if a quiet re-run clears it, commit THAT artifact; if not, " +
+        "find the plan regression or re-base with a commit-named cause")
     if (unbandedHot.nonEmpty) {
       System.err.println("[bench] FAIL: queries past the 2.5 s shoulder " +
         "floor with no curated band (add one to expectedBands with a " +
@@ -696,7 +735,59 @@ object Bench {
         unbandedHot.map { case (k, m) => f"$k=$m%.2fs" }.mkString(", "))
       sys.exit(3)
     }
+    if (curatedRed.nonEmpty) sys.exit(4)
   }
+
+  /** The curated-band regression gate, pure so BenchGateSpec can pin its
+    * firing rule without running a bench: a curated query fails when its
+    * MIN-of-reps exceeds the band hi — the weather-robust form (transient
+    * load inflates medians but usually leaves one rep near true cost; a
+    * plan regression keeps every rep above the band). Queries whose every
+    * rep failed (min −1) are the correctness gate's finding, not this
+    * one's. Returns `(name, min, hi)` per failure. */
+  private[graft] def curatedBandMinFailures(
+      curated: Seq[(String, (Double, Double))],
+      mins: Map[String, Double]): Seq[(String, Double, Double)] =
+    curated.collect {
+      case (k, (_, hi)) if mins.get(k).exists(mn => mn >= 0 && mn > hi) =>
+        (k, mins(k), hi)
+    }
+
+  /** Floor-banded queries whose median drifted past `factor`× the
+    * previous run's median AND past `minAbs` seconds (sub-10 ms noise
+    * never warns) — pure, spec-pinned. Returns `(name, median, prior)`. */
+  private[graft] def floorDriftWarnings(
+      floorKeys: Seq[String], medians: Map[String, Double],
+      prior: Map[String, Double], factor: Double = 5.0,
+      minAbs: Double = 0.25): Seq[(String, Double, Double)] =
+    floorKeys.collect {
+      case k if prior.get(k).exists(p => p > 0 && medians.get(k).exists(m =>
+        m > p * factor && m > minAbs)) => (k, medians(k), prior(k))
+    }
+
+  /** Parse the per-query median map out of a previous run's
+    * bench_full.json (the `"queries":{...}` object — flat name→seconds,
+    * written by this same main). Absent/unreadable/malformed files give
+    * an empty history: the floor-drift warning silently disarms rather
+    * than failing a bench over its own telemetry. */
+  private[graft] def priorMediansFromFullRecord(path: String): Map[String, Double] =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val start = s.indexOf("\"queries\":{")
+        if (start < 0) Map.empty
+        else {
+          val body = s.substring(start + "\"queries\":{".length,
+            s.indexOf('}', start))
+          """"([A-Za-z0-9_]+)":(-?[0-9.eE+-]+)""".r.findAllMatchIn(body)
+            .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble)
+              .toOption)
+            .toMap
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
 
   /** Log-log least-squares slope, shared by the three scale harnesses so
     * their artifacts stay comparable by construction. */

@@ -59,9 +59,15 @@ object TextClassifier {
 
   /** Raw presence-feature hashes of a text column: distinct word-unigram
     * xxhash64 values (the [[graft.functions.ShingleHashes]] tokenizer —
-    * shared bit-for-bit with every dedup/LM surface in the engine). */
+    * shared bit-for-bit with every dedup/LM surface in the engine).
+    * A NULL text coalesces to the EMPTY feature set rather than
+    * propagating: a null-text doc is a featureless doc — it trains and
+    * serves exactly the bias, the same answer the oracle fixture's
+    * outer-exploded slots produce, instead of serving a NULL margin the
+    * oracle can never agree with. */
   def featureHashes(textCol: Column): Column =
-    Bridge.column(ShingleHashes(Bridge.expression(textCol), 1))
+    coalesce(Bridge.column(ShingleHashes(Bridge.expression(textCol), 1)),
+      array().cast("array<bigint>"))
 
   /** Bucketed feature slots `pmod(hash, dim)` — the exact indexes the
     * trainer aggregates, the server probes, and the oracle fixture
@@ -113,10 +119,26 @@ object TextClassifier {
                 .as("__slot"))
             .groupBy("__slot").agg(sum(col("__r")).as("__g"))
             .collect()
+          // L2 decay applied DENSELY before the sparse gradient step:
+          // every weight shrinks by (1 − lr·l2) each iteration, whether
+          // or not its slot appeared in this pass's gradient — under
+          // sampleFraction < 1 a lazily-decayed weight would regularize
+          // only when sampled, making the effective l2 sample-dependent.
+          // For slots in the gradient this is algebraically the fused
+          // update w −= lr·(g/n + l2·w) (up to one fp rounding order);
+          // full-batch runs touch the same live slots every iteration
+          // (untouched slots stay 0), so the fit is unchanged in
+          // substance — and serving exactness never rested on training
+          // bit-identity (the quantized weights ARE the contract).
+          if (l2 != 0.0) {
+            val decay = 1.0 - lr * l2
+            var i = 0
+            while (i < dim) { w(i) *= decay; i += 1 }
+          }
           var j = 0
           while (j < gw.length) {
             val slot = gw(j).getLong(0).toInt
-            w(slot) -= lr * (gw(j).getDouble(1) / n + l2 * w(slot))
+            w(slot) -= lr * (gw(j).getDouble(1) / n)
             j += 1
           }
           b -= lr * (gb / n)
@@ -127,6 +149,18 @@ object TextClassifier {
     } finally feats.unpersist()
   }
 
+  /** One broadcast per (live SparkContext, model instance), reused across
+    * [[score]] calls: a long-lived serving session scoring repeatedly
+    * (the bench's serve reps, a foreachBatch gate) would otherwise
+    * accumulate one executor-side broadcast block per call until driver
+    * GC happens to collect the references. Keys are WEAK on the model:
+    * when the caller drops its model the entry (and, via the
+    * ContextCleaner, the executor blocks) follows — no unbounded growth,
+    * no explicit lifecycle for callers to get wrong. Keyed by context id
+    * too, so a restarted session never serves a dead context's handle. */
+  private val bcCache = new java.util.WeakHashMap[QuantModel,
+    (String, org.apache.spark.broadcast.Broadcast[Array[Long]])]
+
   /** Score with the fixed-point serving weights: `(idCol, margin_q, p)`
     * where `margin_q` is the exact integer margin (qbias + Σ slot
     * weights) and `p = sigmoid(margin_q / 2^QuantBits)`. The margin is
@@ -134,7 +168,16 @@ object TextClassifier {
   def score(docs: DataFrame, idCol: String, textCol: String,
             model: QuantModel): DataFrame = {
     val spark = docs.sparkSession
-    val bc = spark.sparkContext.broadcast(model.qweights)
+    val ctxId = spark.sparkContext.applicationId
+    val bc = bcCache.synchronized {
+      bcCache.get(model) match {
+        case (id, cached) if id == ctxId => cached
+        case _ =>
+          val fresh = spark.sparkContext.broadcast(model.qweights)
+          bcCache.put(model, (ctxId, fresh))
+          fresh
+      }
+    }
     val marginQ = (Bridge.column(
       HashedWeightSumQ(Bridge.expression(col("__f")), bc))
       + lit(model.qbias)).as("margin_q")

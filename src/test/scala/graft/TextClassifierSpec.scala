@@ -44,6 +44,48 @@ class TextClassifierSpec extends SparkSpec {
         out.map(r => r.getLong(1)).mkString(","))
   }
 
+  test("NULL text serves exactly the bias too — never a NULL margin") {
+    // the r17 advice's latent divergence: a null text must coalesce to
+    // the EMPTY feature set (serving qbias, the same answer the oracle's
+    // outer-exploded fixture produces) rather than propagating to a NULL
+    // margin the oracle can never agree with
+    val q = model.quantize
+    val out = TextClassifier.score(
+      Seq((11L, null: String), (12L, "alpha bravo quality prose here"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", q).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(11L) == q.qbias, s"null text served ${out(11L)}, want qbias")
+    assert(out(12L) != q.qbias, "non-null doc should carry feature weight")
+  }
+
+  test("score() reuses ONE broadcast per model across repeated serves") {
+    // the r17 advice's leak: a long-lived serving session scoring
+    // repeatedly must not accumulate one executor weight broadcast per
+    // call. Pin it structurally: every score() plan for the same model
+    // instance must probe the SAME broadcast handle (block-count
+    // assertions would be confounded by per-job task-binary broadcasts).
+    val q = model.quantize
+    def weightBcId(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.analyzed
+        .flatMap(_.expressions.flatMap(_.collect {
+          case e: graft.functions.HashedWeightSumQ => e.qweights.id
+        })).head
+    val ids = (0 until 4).map { _ =>
+      weightBcId(TextClassifier.score(docs, "doc_id", "text", q))
+    }
+    assert(ids.distinct.size == 1,
+      s"4 serves used ${ids.distinct.size} distinct weight broadcasts: $ids")
+    // a DIFFERENT model instance must not alias the cached handle
+    val q2 = QuantModelCopy(q)
+    val other = weightBcId(TextClassifier.score(docs, "doc_id", "text", q2))
+    assert(other != ids.head, "distinct models must broadcast separately")
+  }
+
+  /** Fresh QuantModel with equal content but new array identity. */
+  private def QuantModelCopy(q: TextClassifier.QuantModel) =
+    TextClassifier.QuantModel(q.qweights.clone(), q.qbias)
+
   test("save/load round-trips the serving model bit-exactly") {
     val dir = java.nio.file.Files.createTempDirectory("qc-model").toString
     TextClassifier.save(model, dir, spark)
