@@ -400,7 +400,20 @@ object Bench {
       // one quantized-feature pass + a candidate-sized join — banded
       // from birth at roughly candidate-band + feature-pass headroom
       "q_image_dedup_verified" -> ((0.20, 3.50)),
-      "q_audio_dedup_verified" -> ((0.12, 2.20)))
+      "q_audio_dedup_verified" -> ((0.12, 2.20)),
+      // r18 additions, banded from birth (house rule: a query whose body
+      // includes the corpus decode passes can cross the 2.5 s floor on
+      // its first noisy-host measurement — never let the coverage gate
+      // trip on a new query's debut). Keep-set = the verified-pair body
+      // plus CC resolution; index-serve = one batch decode + bucketed
+      // joins; classified-curate = the q_curate shape with the heuristic
+      // swapped for the broadcast margin probe. His ~2.5x the expected
+      // medians from the sibling queries' r17 measurements; re-base to
+      // measured medians with a named cause once BENCH_r18 lands.
+      "q_image_dedup_keep" -> ((0.30, 5.00)),
+      "q_audio_dedup_keep" -> ((0.15, 3.00)),
+      "q_image_dedup_index" -> ((0.10, 2.50)),
+      "q_curate_classified" -> ((0.30, 3.40)))
     val medians = results.map(r => r._1 -> r._2).toMap
     val minsOf = results.map(r => r._1 -> r._3).toMap
     // PRIOR medians from the last run's bench_full.json, read BEFORE this

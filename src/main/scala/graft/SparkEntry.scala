@@ -910,6 +910,8 @@ object SparkEntry {
       .write.mode("overwrite").parquet(MultimodalFixture)
     Multimodal.imageDHash(s.read.parquet(imageCorpusPath(s, dir)))
       .write.mode("overwrite").parquet(ImageDhashFixture)
+    Multimodal.imageDHash(s.read.parquet(imageBatchPath(s, dir)))
+      .write.mode("overwrite").parquet(ImageBatchDhashFixture)
     Multimodal.audioFingerprints(s.read.parquet(audioCorpusPath(s, dir)))
       .write.mode("overwrite").parquet(AudioFpFixture)
     Multimodal.luminanceGridsQ(s.read.parquet(imageCorpusPath(s, dir)))
@@ -2636,13 +2638,104 @@ object SparkEntry {
   private lazy val AudioCurveFixture =
     new java.io.File("target/verify-fixtures/audio_qcurve").getAbsolutePath
 
+  /** NEW image batch for the hash-index serving queries: transcoded
+    * copies of every 7th document's base image (the REAL
+    * [[Multimodal.resizeImages]] operator to a 96×72 target — different
+    * resolution and aspect, no shared bytes), re-identified at
+    * `base_id + 30_000_000` — the ingest-batch twin of
+    * [[imageCorpusPath]]'s plants, persisted once per JVM so the timed
+    * body is hash + serve, never synthesis or transcode. */
+  private[graft] val ImgBatchOffset = 30000000L
+  private val imgBatchCache = collection.concurrent.TrieMap.empty[String, String]
+  private def imageBatchPath(s: SparkSession, dir: String): String =
+    imgBatchCache.getOrElseUpdate(dir, {
+      val p = new java.io.File(s"target/q-img-batch/${dirKey(dir)}").getAbsolutePath
+      val base = Multimodal.toAssets(
+        tbl(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select(col("doc_id"), synthImagePayload(col("doc_id")).as("img")),
+        "doc_id", "img", "image/bmp")
+      Multimodal.resizeImages(base, 96, 72)
+        .select((col("asset_id") + ImgBatchOffset).as("asset_id"),
+          col("content"), col("meta"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** Persisted image HASH-INDEX tables for `dir`, grown once per JVM
+    * through the FULL maintenance lifecycle ([[ingestBandedTable]]'s
+    * multimodal mirror): [[Dedup.writeHashIndex]] over a third of the
+    * corpus's dHashes, one plain append and one idempotent append (whose
+    * REPLAY no-ops — exercised right here, so every serve of this table
+    * also rides on the at-least-once protocol having held), every 50th
+    * asset tombstoned, then compacted (tombstones physical, keys
+    * re-pointed). The corpus is hashed ONCE (one decode pass,
+    * checkpointed 16 B/asset) for the whole cycle. */
+  private val imgHashIxCache = collection.concurrent.TrieMap.empty[String, String]
+  private def imageHashIndexTable(s: SparkSession, dir: String): String =
+    imgHashIxCache.getOrElseUpdate(dir, {
+      val name = "graft_q_img_hash_ix_" + dirKey(dir)
+      val assets = s.read.parquet(imageCorpusPath(s, dir))
+      val hashes = graft.operators.Materialize.eagerCheckpoint(
+        Dedup.imageHashes(assets))
+      def slice(r: Int) = hashes.filter(pmod(col("sh_id"), lit(3)) === r)
+      Dedup.writeHashIndex(slice(0), name, buckets = 32)
+      Dedup.appendToHashIndex(slice(1), name)
+      assert(Dedup.appendToHashIndexIdempotent(slice(2), name, "batch_0"))
+      assert(!Dedup.appendToHashIndexIdempotent(slice(2), name, "batch_0"),
+        s"$name: replayed append key must no-op")
+      Dedup.deleteFromHashIndex(
+        assets.filter(pmod(col("asset_id"), lit(50)) === 0).select("asset_id"),
+        name, "asset_id")
+      Dedup.compactHashIndex(s, name)
+      name
+    })
+
+  /** Incremental multimodal dedup serving ([[Dedup
+    * .pairsAgainstHashIndex]]): a NEW batch of transcoded image assets
+    * hashed once and paired against the PERSISTED banded dHash table —
+    * the ingest economics the batch self-join queries (q_image_dedup)
+    * cannot express: the corpus is never re-decoded or re-paired, only
+    * the batch moves. The served table was grown through the full
+    * lifecycle (build → appends with a replayed idempotency key → delete
+    * → compact, [[imageHashIndexTable]]), so this one oracle pins every
+    * maintenance path's contents. Oracle: GIVEN the dumped corpus and
+    * batch dHashes, banding + `bit_count` radius + the deletion
+    * predicate are plain SQL. */
+  private def qImageDedupIndex(s: SparkSession, dir: String): DataFrame =
+    Dedup.imagePairsAgainstHashIndex(
+        s.read.parquet(imageBatchPath(s, dir)),
+        imageHashIndexTable(s, dir))
+      .withColumn("hamming", col("hamming").cast("long"))
+
+  /** Fixture parquet of the NEW batch's dHashes for q_image_dedup_index's
+    * oracle — the [[ImageDhashFixture]] pattern on the batch side. */
+  private lazy val ImageBatchDhashFixture =
+    new java.io.File("target/verify-fixtures/image_batch_dhash").getAbsolutePath
+
+  /** Multimodal KEEP-SET resolution ([[Dedup.imageNearDupKeep]]): the
+    * verified near-dup pairs resolved to connected components, one
+    * representative (min asset id) kept per cluster, unpaired assets
+    * kept — the end state a curation pipeline consumes (drop all but one
+    * of each near-dup group), composing the multimodal pair machinery
+    * with the SAME cluster resolution q_dedup_clusters pins for text.
+    * Oracle: the verified-pair replay ([[mmVerifiedOracleSql]]) extended
+    * by a recursive-CTE connected components + min-rep keep rule — the
+    * q_dedup_clusters SQL pattern verbatim. */
+  private def qImageDedupKeep(s: SparkSession, dir: String): DataFrame =
+    Dedup.imageNearDupKeep(s.read.parquet(imageCorpusPath(s, dir)))
+
+  private def qAudioDedupKeep(s: SparkSession, dir: String): DataFrame =
+    Dedup.audioNearDupKeep(s.read.parquet(audioCorpusPath(s, dir)))
+
   /** Generated DuckDB oracle for the verified multimodal pair queries:
     * banding + Hamming radius over the dumped 64-bit hashes (the
     * q_dedup_simhash replay), then the fixed-point feature distance per
     * candidate (per-cell equi-join, ABS-diff integer SUM) thresholded
     * exactly as the engine's `maxQDist`. */
   private def mmVerifiedOracleSql(hashFixture: String, hashCol: String,
-                                  featFixture: String, maxQDist: Long): String =
+                                  featFixture: String, maxQDist: Long): String = {
+    val maxHamming = Dedup.MmMaxHamming
     s"""WITH h AS (
       |  SELECT asset_id AS sh_id, $hashCol AS simhash
       |  FROM read_parquet('$hashFixture/*.parquet')
@@ -2663,11 +2756,36 @@ object SparkEntry {
       |  FROM p
       |  JOIN g ga ON ga.asset_id = p.id_a
       |  JOIN g gb ON gb.asset_id = p.id_b AND gb.cell = ga.cell
-      |  WHERE p.hamming <= 3
+      |  WHERE p.hamming <= $maxHamming
       |  GROUP BY p.id_a, p.id_b, p.hamming)
       |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming,
       |       CAST(qdist AS BIGINT) AS qdist
       |FROM d WHERE qdist <= $maxQDist""".stripMargin
+  }
+
+  /** Generated DuckDB oracle for the multimodal KEEP-SET queries: the
+    * verified-pair replay ([[mmVerifiedOracleSql]], nested as a CTE)
+    * resolved by the q_dedup_clusters recursive-CTE connected components,
+    * each member keeping its component minimum — every asset (null-hash
+    * ones included: unhashable assets are never candidates, so they
+    * always survive) minus the non-representative members. */
+  private def mmKeepOracleSql(hashFixture: String, hashCol: String,
+                              featFixture: String, maxQDist: Long): String =
+    s"""WITH pairs AS (
+      |${mmVerifiedOracleSql(hashFixture, hashCol, featFixture, maxQDist)}),
+      | e AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |       UNION SELECT id_b, id_a FROM pairs),
+      | r AS (
+      |   WITH RECURSIVE reach(u, v) AS (
+      |     SELECT u, v FROM e
+      |     UNION
+      |     SELECT reach.u, e.v FROM reach JOIN e ON reach.v = e.u)
+      |   SELECT u, v FROM reach),
+      | losers AS (
+      |   SELECT u AS member FROM r GROUP BY u
+      |   HAVING u <> least(u, min(v)))
+      |SELECT asset_id FROM read_parquet('$hashFixture/*.parquet')
+      |WHERE asset_id NOT IN (SELECT member FROM losers)""".stripMargin
 
   /** Trained-and-persisted quality classifier for `dir`, built once per
     * JVM — the served-layout cache pattern ([[ivfIndexPath]] rationale:
@@ -2777,6 +2895,29 @@ object SparkEntry {
       .filter(col("quality_score") >= 0.5)
       .join(dupLosers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), rq(col("quality_score"), 6).as("quality_score"))
+  }
+
+  /** q_curate with the TRAINED gate ([[TextClassifier]]) in place of the
+    * fixed heuristic — the composition a real pipeline runs once it has
+    * distilled (or hand-labeled) a seed set: the model is trained and
+    * persisted OUTSIDE the timed body ([[qcModel]], the `_served`
+    * convention — a deployment trains once and serves every batch), the
+    * timed body SCORES (one broadcast integer probe per doc, no shuffle)
+    * and removes near-dup losers. The gate is `margin_q >= 0` (⇔
+    * p ≥ 0.5, exact in integer space — no float threshold to disagree
+    * over). Oracle: margins re-derived from the dumped quantized weight
+    * table exactly as q_quality_classifier; losers from the shared
+    * n-gram replay. */
+  private def qCurateClassified(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val dupLosers = Dedup.minhashDuplicates(
+        Dedup.hashedWordShingles(docs, "doc_id", "text"), 0.8)
+      .select(col("id_b").as("doc_id"))
+    TextClassifier.score(docs, "doc_id", "text", qcModel(s, dir))
+      .filter(col("margin_q") >= 0)
+      .join(dupLosers, Seq("doc_id"), "left_anti")
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("margin_q"))
   }
 
   /** Capstone curation pipeline v2 — the FULL composition a training-data
@@ -2961,9 +3102,13 @@ object SparkEntry {
     "q_dedup_simhash" -> qDedupSimhash,
     "q_image_dedup" -> qImageDedup,
     "q_image_dedup_verified" -> qImageDedupVerified,
+    "q_image_dedup_index" -> qImageDedupIndex,
+    "q_image_dedup_keep" -> qImageDedupKeep,
     "q_audio_dedup" -> qAudioDedup,
     "q_audio_dedup_verified" -> qAudioDedupVerified,
+    "q_audio_dedup_keep" -> qAudioDedupKeep,
     "q_quality_classifier" -> qQualityClassifier,
+    "q_curate_classified" -> qCurateClassified,
     "q_dedup_spans" -> qDedupSpans,
     "q_dedup_spans_index" -> qDedupSpansIndex,
     "q_dedup_spans_index_bucketed" -> qDedupSpansIndexBucketed,
@@ -3846,6 +3991,24 @@ object SparkEntry {
          |       floor((s.qs)*1000000.0 + 0.5)/1000000.0 AS quality_score, s.split
          |FROM survivors s JOIN sc ON sc.vec_id = s.doc_id
          |WHERE s.doc_id NOT IN (SELECT vec_id FROM losers)""".stripMargin,
+    // the trained-gate curation capstone: served margins re-derived from
+    // the dumped quantized weight table (the q_quality_classifier
+    // replay), the integer gate margin_q >= 0, near-dup losers from the
+    // shared n-gram replay, lang joined from the corpus
+    "q_curate_classified" ->
+      s"""WITH dup_losers AS (SELECT id_b AS doc_id FROM ($ngramJaccardSql)),
+         | f AS (SELECT doc_id, widx FROM read_parquet('$QcFeatFixture/*.parquet')),
+         | w AS (SELECT widx, qw FROM read_parquet('$QcWeightsFixture/*.parquet')),
+         | mt AS (SELECT qbias FROM read_parquet('$QcMetaFixture/*.parquet')),
+         | m AS (
+         |  SELECT f.doc_id,
+         |         CAST(mt.qbias + COALESCE(SUM(w.qw), 0) AS BIGINT) AS margin_q
+         |  FROM f LEFT JOIN w ON f.widx = w.widx CROSS JOIN mt
+         |  GROUP BY f.doc_id, mt.qbias)
+         |SELECT m.doc_id, d.lang, m.margin_q
+         |FROM m JOIN documents d ON d.doc_id = m.doc_id
+         |WHERE m.margin_q >= 0
+         |  AND m.doc_id NOT IN (SELECT doc_id FROM dup_losers)""".stripMargin,
     "q_dedup_rep" ->
       """SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
@@ -3906,10 +4069,44 @@ object SparkEntry {
     // ceremony) joined per cell and thresholded exactly as the engine
     "q_image_dedup_verified" ->
       mmVerifiedOracleSql(ImageDhashFixture, "dhash", ImageGridFixture,
-        72L * 8 * 256),
+        Dedup.ImageMaxQDist),
     "q_audio_dedup_verified" ->
       mmVerifiedOracleSql(AudioFpFixture, "afp", AudioCurveFixture,
-        65L * 16),
+        Dedup.AudioMaxQDist),
+    // hash-index SERVING replay: batch dHashes banded against the corpus
+    // dHashes minus the tombstoned ids (asset_id % 50 — the lifecycle
+    // builder's deletion predicate), exact bit_count radius. The engine
+    // answers from the lifecycle-grown bucketed tables (build → appends
+    // with a replayed key → delete → compact); the oracle derives the
+    // same pairs from the dumped hashes alone — layout changes the plan,
+    // never the answer (the q_dedup_index convention).
+    "q_image_dedup_index" ->
+      s"""WITH ih AS (
+        |  SELECT asset_id AS sh_id, dhash AS simhash
+        |  FROM read_parquet('$ImageDhashFixture/*.parquet')
+        |  WHERE dhash IS NOT NULL AND asset_id % 50 <> 0),
+        | nh AS (
+        |  SELECT asset_id AS sh_id, dhash AS simhash
+        |  FROM read_parquet('$ImageBatchDhashFixture/*.parquet')
+        |  WHERE dhash IS NOT NULL),
+        | ib AS (
+        |  SELECT sh_id, simhash, c.chunk, (simhash >> (c.chunk*16)) & 65535 AS chunk_val
+        |  FROM ih CROSS JOIN (SELECT unnest([0,1,2,3]) AS chunk) c),
+        | nb AS (
+        |  SELECT sh_id, simhash, c.chunk, (simhash >> (c.chunk*16)) & 65535 AS chunk_val
+        |  FROM nh CROSS JOIN (SELECT unnest([0,1,2,3]) AS chunk) c),
+        | p AS (
+        |  SELECT DISTINCT nb.sh_id AS new_id, ib.sh_id AS index_id,
+        |         bit_count(xor(nb.simhash, ib.simhash)) AS hamming
+        |  FROM nb JOIN ib ON nb.chunk = ib.chunk AND nb.chunk_val = ib.chunk_val)
+        |SELECT new_id, index_id, CAST(hamming AS BIGINT) AS hamming
+        |FROM p WHERE hamming <= ${Dedup.MmMaxHamming}""".stripMargin,
+    "q_image_dedup_keep" ->
+      mmKeepOracleSql(ImageDhashFixture, "dhash", ImageGridFixture,
+        Dedup.ImageMaxQDist),
+    "q_audio_dedup_keep" ->
+      mmKeepOracleSql(AudioFpFixture, "afp", AudioCurveFixture,
+        Dedup.AudioMaxQDist),
     // served quality-classifier margins re-derived from the dumped
     // quantized weight table + bias + per-doc feature slots: the margin
     // is an exact integer sum (fixed-point weights — associative, so a

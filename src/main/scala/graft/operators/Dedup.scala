@@ -1708,6 +1708,19 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Default Hamming radius / band count of the multimodal near-dup
+    * candidate pipelines, and the verify pass's fixed-point distance
+    * ceilings — EXPOSED so the oracle SQL builders and CLI reference the
+    * same values the engine defaults to: a default changed here without
+    * these constants would silently desync the DuckDB replay from the
+    * engine query. `ImageMaxQDist` allows a mean of 8 luma (×256
+    * fixed-point) per 9×8-grid cell; `AudioMaxQDist` a mean per-frame
+    * shape deviation of 1/16 of the 65-frame curve mean. */
+  val MmMaxHamming = 3
+  val MmBands = 4
+  val ImageMaxQDist: Long = 72L * 8 * 256
+  val AudioMaxQDist: Long = 65L * 16
+
   /** Image near-duplicate pairs: dHash per asset
     * ([[Multimodal.imageDHash]] — rescale- and aspect-invariant by
     * construction, so re-encoded/resized copies of the same picture
@@ -1742,13 +1755,24 @@ object Dedup {
     * full-resolution compare) — the same candidate-generate-verify
     * discipline as [[lshCandidatePairs]]; at the tested scales the
     * within-radius set IS the answer the oracle replays. */
-  def imageNearDupPairs(assets: DataFrame, maxHamming: Int = 3,
-                        bands: Int = 4): DataFrame =
-    simhashPairs(
-      Multimodal.imageDHash(assets)
-        .filter(col("dhash").isNotNull)
-        .select(col("asset_id").as("sh_id"), col("dhash").as("simhash")),
-      maxHamming, bands)
+  def imageNearDupPairs(assets: DataFrame, maxHamming: Int = MmMaxHamming,
+                        bands: Int = MmBands): DataFrame =
+    simhashPairs(imageHashes(assets), maxHamming, bands)
+
+  /** Per-asset image dHashes in the `(sh_id, simhash)` shape every
+    * 64-bit-hash surface here consumes (pairing, the persisted hash
+    * index, the streaming ingest gate) — unhashable assets (null dhash)
+    * excluded, as everywhere: they cannot be candidates. */
+  def imageHashes(assets: DataFrame): DataFrame =
+    Multimodal.imageDHash(assets)
+      .filter(col("dhash").isNotNull)
+      .select(col("asset_id").as("sh_id"), col("dhash").as("simhash"))
+
+  /** [[imageHashes]] for the audio fingerprint. */
+  def audioHashes(assets: DataFrame): DataFrame =
+    Multimodal.audioFingerprints(assets)
+      .filter(col("afp").isNotNull)
+      .select(col("asset_id").as("sh_id"), col("afp").as("simhash"))
 
   /** Audio near-duplicate pairs — the [[imageNearDupPairs]] story for the
     * third modality: energy-delta fingerprint per asset
@@ -1770,13 +1794,9 @@ object Dedup {
     * past the radius. Widening `maxHamming` (with `bands` sized to cover
     * it) trades bucket saturation for recall, same math as
     * [[simhashPairs]]. */
-  def audioNearDupPairs(assets: DataFrame, maxHamming: Int = 3,
-                        bands: Int = 4): DataFrame =
-    simhashPairs(
-      Multimodal.audioFingerprints(assets)
-        .filter(col("afp").isNotNull)
-        .select(col("asset_id").as("sh_id"), col("afp").as("simhash")),
-      maxHamming, bands)
+  def audioNearDupPairs(assets: DataFrame, maxHamming: Int = MmMaxHamming,
+                        bands: Int = MmBands): DataFrame =
+    simhashPairs(audioHashes(assets), maxHamming, bands)
 
   /** Exact integer distance between two quantized feature arrays joined
     * onto a candidate-pair frame, filtered at `maxQDist` — the VERIFY
@@ -1810,9 +1830,10 @@ object Dedup {
     * turns a fixed per-pair false-positive rate into a vanishing one,
     * the [[lshCandidatePairs]] candidate-generate-verify shape on the
     * image axis. Returns `(id_a, id_b, hamming, qdist)`. */
-  def imageNearDupPairsVerified(assets: DataFrame, maxHamming: Int = 3,
-                                bands: Int = 4,
-                                maxQDist: Long = 72L * 8 * 256): DataFrame =
+  def imageNearDupPairsVerified(assets: DataFrame,
+                                maxHamming: Int = MmMaxHamming,
+                                bands: Int = MmBands,
+                                maxQDist: Long = ImageMaxQDist): DataFrame =
     verifyQuantPairs(
       imageNearDupPairs(assets, maxHamming, bands),
       Multimodal.luminanceGridsQ(assets)
@@ -1826,13 +1847,262 @@ object Dedup {
     * exact distance). The default `maxQDist` allows a mean per-frame
     * shape deviation of 1/16 of the curve mean (16/256 units × 65
     * frames). Returns `(id_a, id_b, hamming, qdist)`. */
-  def audioNearDupPairsVerified(assets: DataFrame, maxHamming: Int = 3,
-                                bands: Int = 4,
-                                maxQDist: Long = 65L * 16): DataFrame =
+  def audioNearDupPairsVerified(assets: DataFrame,
+                                maxHamming: Int = MmMaxHamming,
+                                bands: Int = MmBands,
+                                maxQDist: Long = AudioMaxQDist): DataFrame =
     verifyQuantPairs(
       audioNearDupPairs(assets, maxHamming, bands),
       Multimodal.energyCurvesQ(assets)
         .filter(col("qcurve").isNotNull)
         .select(col("asset_id"), col("qcurve").as("__q")),
       maxQDist)
+
+  // ──────────────── persisted 64-bit hash index lifecycle ────────────────
+  // The multimodal counterpart of the MinHash banded index
+  // (writeBandedIndex..dedupAgainstBandedIndex): imageNearDupPairs /
+  // audioNearDupPairs recompute every hash and re-pair the FULL corpus
+  // per run, but a 100 TB multimodal ingest dedups NEW assets against an
+  // EXISTING hash table incrementally — hash each asset once at ingest
+  // (the expensive decode), persist 8 bytes, and serve every later batch
+  // from the banded layout. The signature being one long (vs the MinHash
+  // 128-int array) only simplifies the machinery: the banding is
+  // [[simhashBandJoin]]'s pigeonhole chunking, the verify is `bit_count`,
+  // and the epoch-commit / tombstone / compaction protocol carries from
+  // the MinHash layout VERBATIM (same `_bands`/`_sigs`/`_meta`/`_tombs`
+  // tables, same bucket keys), so the crash-consistency story is one
+  // story, not two. Reference anchor: the incremental-append requirement
+  // (step-1/appender.py:215-323) extended to the binary-column model.
+
+  /** `(bh, sh_id)` banding of a `(sh_id, simhash)` frame for the
+    * PERSISTED layout: the [[simhashBandJoin]] chunking (width 64/bands,
+    * pigeonhole-complete at distance ≤ bands−1) with the chunk key
+    * hashed to one collision column `bh = xxhash64(chunk, chunk_val)` —
+    * the [[writeBandedIndex]] trick that makes the bucketed join key
+    * exactly the bucket column. A bh collision between different chunks
+    * (~2⁻⁶⁴) only adds a spurious CANDIDATE; membership is decided by
+    * the exact Hamming verify either way. */
+  private def hashBandRows(hashes: DataFrame, bands: Int): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0,
+      s"bands must divide 64 evenly, got $bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val chunks = posexplode(array((0 until bands).map(i =>
+      shiftright(col("simhash"), i * width).bitwiseAND(mask)): _*))
+    hashes.select(col("sh_id"), chunks)
+      .select(xxhash64(col("pos"), col("col")).as("bh"), col("sh_id"))
+  }
+
+  /** Null-free `(sh_id, simhash)` projection, materialized ONCE (16
+    * bytes/asset) — every write/append/serve scans its hash frame twice
+    * (band rows + signature rows), and for multimodal hashes the
+    * upstream is a full DECODE pass per scan; unlike the ~1 KB/doc
+    * MinHash signatures, a hash frame is always cheap enough to pin. */
+  private def cleanHashes(hashes: DataFrame): DataFrame =
+    eagerCheckpoint(
+      hashes.select(col("sh_id"), col("simhash"))
+        .filter(col("simhash").isNotNull))
+
+  /** Persist a `(sh_id, simhash)` hash frame in the SERVING layout —
+    * [[writeBandedIndex]] for 64-bit content hashes (image dHash, audio
+    * fingerprint, text simhash alike): `<name>_bands` = the pre-banded
+    * collision rows bucketed AND sorted by `bh`, `<name>_sigs` = the
+    * hashes themselves bucketed by `sh_id` with the band count riding as
+    * `n_bands` (geometry-with-the-data, the `sig_k` rule), `<name>_meta`
+    * = the epoch commit table written LAST. Crash story, append/delete/
+    * compaction protocol, and the bucket-aligned-repartition rationale
+    * are the [[writeBandedIndex]] ones verbatim. Null hashes are
+    * excluded (an unhashable asset cannot be a candidate); `hashes` is
+    * materialized internally, so an expensive upstream (a decode pass)
+    * runs once. */
+  def writeHashIndex(hashes: DataFrame, name: String,
+                     buckets: Int = 256, bands: Int = MmBands): Unit = {
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    val clean = cleanHashes(hashes)
+    val epoch = System.nanoTime()
+    hashBandRows(clean, bands)
+      .withColumn("build_id", lit(epoch))
+      .repartition(buckets, col("bh"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "bh").sortBy("bh")
+      .saveAsTable(s"${name}_bands")
+    clean.withColumn("n_bands", lit(bands))
+      .withColumn("build_id", lit(epoch))
+      .repartition(buckets, col("sh_id"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "sh_id").sortBy("sh_id")
+      .saveAsTable(s"${name}_sigs")
+    metaRow(hashes.sparkSession, epoch, None)
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
+  }
+
+  /** Incremental GROWTH of a [[writeHashIndex]] layout — the ingest
+    * shape: hash the new batch once, append its band rows and hashes
+    * under a fresh committed epoch. Band count and bucket count are read
+    * FROM the tables (appends are geometry-consistent by construction);
+    * one new file per bucket per call, reclaimed by
+    * [[compactHashIndex]]. */
+  def appendToHashIndex(newHashes: DataFrame, name: String): Unit =
+    doHashAppend(newHashes, name, key = None)
+
+  /** [[appendToHashIndex]] keyed for AT-LEAST-ONCE callers — the
+    * multimodal mirror of [[appendToBandedIndexIdempotent]], same `_meta`
+    * key protocol (replays no-op and return false; keys survive
+    * compaction re-pointed at the merged epoch). */
+  def appendToHashIndexIdempotent(newHashes: DataFrame, name: String,
+                                  key: String): Boolean =
+    if (bandedIndexKeyCommitted(newHashes.sparkSession, name, key)) false
+    else { doHashAppend(newHashes, name, Some(key)); true }
+
+  private def doHashAppend(newHashes: DataFrame, name: String,
+                           key: Option[String]): Unit = {
+    val spark = newHashes.sparkSession
+    val committed = committedEpochs(spark, name)
+    require(committed.nonEmpty,
+      s"appendToHashIndex: ${name}_meta lists no committed builds - run writeHashIndex first")
+    val head = spark.table(s"${name}_sigs")
+      .filter(col("build_id").isin(committed: _*))
+      .select(col("n_bands")).limit(1).collect()
+    require(head.nonEmpty,
+      s"appendToHashIndex: no committed rows in ${name}_sigs (crashed rebuild?) - re-run writeHashIndex")
+    val bands = head.head.getInt(0)
+    val buckets = tableBuckets(spark, s"${name}_sigs")
+    val epoch = System.nanoTime()
+    val clean = cleanHashes(newHashes)
+    hashBandRows(clean, bands)
+      .withColumn("build_id", lit(epoch))
+      .repartition(buckets, col("bh"))
+      .write.mode("append")
+      .bucketBy(buckets, "bh").sortBy("bh")
+      .saveAsTable(s"${name}_bands")
+    clean.withColumn("n_bands", lit(bands))
+      .withColumn("build_id", lit(epoch))
+      .repartition(buckets, col("sh_id"))
+      .write.mode("append")
+      .bucketBy(buckets, "sh_id").sortBy("sh_id")
+      .saveAsTable(s"${name}_sigs")
+    metaRow(spark, epoch, key)
+      .write.mode("append").saveAsTable(s"${name}_meta")
+  }
+
+  /** DELETE assets from a [[writeHashIndex]] layout — the tombstone
+    * protocol of [[deleteFromBandedIndex]] operates on ids and the
+    * shared `_tombs`/`_meta` tables only (deletion never hashes), so the
+    * same operation serves both layout families; see that method for
+    * the epoch-scoping and crash story. */
+  def deleteFromHashIndex(ids: DataFrame, name: String,
+                          idCol: String): Unit =
+    deleteFromBandedIndex(ids, name, idCol)
+
+  /** COMPACTION of a [[writeHashIndex]] layout — [[compactBandedIndex]]
+    * carries verbatim: identical table names and bucket keys (`bh`,
+    * `sh_id`), schema-agnostic merge, same epoch swap / key re-point /
+    * tombstone-physicalization / GC. */
+  def compactHashIndex(spark: org.apache.spark.sql.SparkSession,
+                       name: String): Unit =
+    compactBandedIndex(spark, name)
+
+  /** Near-dup pairs of a NEW batch's hashes against a [[writeHashIndex]]
+    * layout — the serving shape: batch band rows join the bucket-aligned
+    * `_bands` table on `bh` alone (one-sided shuffle: only the batch and
+    * the candidate set ever exchange), candidates verified by the exact
+    * `bit_count` Hamming distance against the committed, tombstone-
+    * filtered `_sigs` rows. Band count comes from the tables; the
+    * pigeonhole guarantee requires `maxHamming ≤ bands−1`, enforced.
+    * Batch-internal duplicates are out of scope exactly as in
+    * [[dedupAgainstIndex]] — pair the (small) batch with
+    * [[simhashPairs]] for those. Output `(new_id, index_id, hamming)`. */
+  def pairsAgainstHashIndex(newHashes: DataFrame, name: String,
+                            maxHamming: Int = MmMaxHamming): DataFrame = {
+    val spark = newHashes.sparkSession
+    val committed = committedEpochs(spark, name)
+    require(committed.nonEmpty,
+      s"pairsAgainstHashIndex: ${name}_meta lists no committed builds - run writeHashIndex")
+    val sigs = spark.table(s"${name}_sigs")
+      .filter(col("build_id").isin(committed: _*))
+    val head = sigs.select(col("n_bands")).limit(1).collect()
+    require(head.nonEmpty,
+      s"pairsAgainstHashIndex: no committed rows in ${name}_sigs " +
+        "(crashed writeHashIndex rebuild?) - re-run writeHashIndex")
+    val bands = head.head.getInt(0)
+    require(maxHamming <= bands - 1,
+      s"$bands-band pigeonhole guarantees recall only for distance <= ${bands - 1}")
+    val bandsCommitted = spark.table(s"${name}_bands")
+      .filter(col("build_id").isin(committed: _*))
+    require(bandsCommitted.select(lit(1)).limit(1).collect().nonEmpty,
+      s"pairsAgainstHashIndex: no committed rows in ${name}_bands " +
+        "(crashed writeHashIndex rebuild?) - re-run writeHashIndex")
+    val newClean = cleanHashes(newHashes)
+    val nb = hashBandRows(newClean, bands)
+      .withColumnRenamed("sh_id", "new_id")
+    // join key = the bucket column and nothing else, the
+    // dedupAgainstBandedIndex rule: a residual chunk equality would
+    // misalign the join keys with the bucketing and force the index-side
+    // exchange this layout exists to avoid
+    val cands = nb.join(bandsCommitted.select("bh", "sh_id"), Seq("bh"))
+      .select(col("new_id"), col("sh_id").as("index_id")).distinct()
+    // tombstoned assets anti-joined on the signature side — their band
+    // rows may still surface candidates, which die here; compaction
+    // reclaims the residual candidate traffic
+    val sigsChecked = antiTomb(sigs, committedTombs(spark, name, committed))
+      .select(col("sh_id").as("index_id"), col("simhash").as("sim_i"))
+    cands
+      .join(newClean.select(col("sh_id").as("new_id"),
+        col("simhash").as("sim_n")), "new_id")
+      .join(sigsChecked, "index_id")
+      .select(col("new_id"), col("index_id"),
+        bit_count(col("sim_n").bitwiseXOR(col("sim_i"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** [[pairsAgainstHashIndex]] over a new IMAGE batch: decode + dHash
+    * once (the narrow pass), serve from the persisted table. */
+  def imagePairsAgainstHashIndex(newAssets: DataFrame, name: String,
+                                 maxHamming: Int = MmMaxHamming): DataFrame =
+    pairsAgainstHashIndex(imageHashes(newAssets), name, maxHamming)
+
+  /** [[pairsAgainstHashIndex]] over a new AUDIO batch. */
+  def audioPairsAgainstHashIndex(newAssets: DataFrame, name: String,
+                                 maxHamming: Int = MmMaxHamming): DataFrame =
+    pairsAgainstHashIndex(audioHashes(newAssets), name, maxHamming)
+
+  // ───────────────────────── keep-set resolution ─────────────────────────
+
+  /** Representative KEEP list from a near-dup pair frame: resolve pairs
+    * into connected components ([[duplicateClusters]]), keep each
+    * cluster's minimum id, drop the other members — the `q_dedup_rep`
+    * convention applied to any pair relation. Ids in no pair survive
+    * untouched (a singleton is its own representative). `ids` must be
+    * one row per entity carrying `idCol`; pairs carry `(id_a, id_b)`.
+    * The loser set is cluster-members-minus-reps — candidate-pair-sized,
+    * so the anti-join broadcasts under AQE at any corpus size where the
+    * pair relation itself is tractable. */
+  def keepSetFromPairs(ids: DataFrame, idCol: String,
+                       pairs: DataFrame): DataFrame = {
+    val losers = duplicateClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_rep"))
+      .select(col("doc_id").as(idCol))
+    ids.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** The multimodal pipeline's end state — what a curation run actually
+    * consumes: VERIFIED image near-dup pairs resolved to clusters, one
+    * representative (min asset id) kept per cluster, every unpaired
+    * asset kept. Composes [[imageNearDupPairsVerified]] (so a spurious
+    * hash collision cannot evict a real asset) with [[keepSetFromPairs]].
+    * Output: `(asset_id)` — the keep list. */
+  def imageNearDupKeep(assets: DataFrame,
+                       maxHamming: Int = MmMaxHamming,
+                       bands: Int = MmBands,
+                       maxQDist: Long = ImageMaxQDist): DataFrame =
+    keepSetFromPairs(assets.select("asset_id"), "asset_id",
+      imageNearDupPairsVerified(assets, maxHamming, bands, maxQDist))
+
+  /** [[imageNearDupKeep]] for the audio modality. */
+  def audioNearDupKeep(assets: DataFrame,
+                       maxHamming: Int = MmMaxHamming,
+                       bands: Int = MmBands,
+                       maxQDist: Long = AudioMaxQDist): DataFrame =
+    keepSetFromPairs(assets.select("asset_id"), "asset_id",
+      audioNearDupPairsVerified(assets, maxHamming, bands, maxQDist))
 }

@@ -239,7 +239,26 @@ object Main {
       |  quality-score --in <docs-parquet> --path <model-dir> --out <dir>
       |          [--id doc_id] [--text text] [--threshold <p>]
       |          (serve: exact integer margins + sigmoid p per doc; with
-      |           --threshold keep only docs at p >= threshold)""".stripMargin
+      |           --threshold keep only docs at p >= threshold)
+      |  mm-index-build  --in <assets-parquet> --name <table>
+      |          [--modality image|audio] [--buckets 256] [--bands 4]
+      |          (decode + hash each asset ONCE — 8 bytes out — and
+      |           persist the banded 64-bit hash table; the multimodal
+      |           near-dup index)
+      |  mm-index-append --in <assets-parquet> --name <table>
+      |          [--modality image|audio]
+      |  mm-index-delete --in <ids-parquet> --name <table> [--id asset_id]
+      |  mm-index-compact --name <table>
+      |  mm-index-pairs  --in <assets-parquet> --name <table> --out <dir>
+      |          [--modality image|audio] [--hamming 3]
+      |          (serve: near-dup pairs of the new batch against the
+      |           persisted hash table; only the batch is decoded)
+      |  mm-index-ingest --landing <dir> --name <table> --checkpoint <dir>
+      |          [--modality image|audio] [--once]
+      |          (continuous ingest: per micro-batch idempotent append)
+      |  mm-keep --in <assets-parquet> --out <dir> [--modality image|audio]
+      |          (batch keep-set: verified near-dup pairs -> connected
+      |           components -> keep min asset id per cluster)""".stripMargin
 
   def main(args: Array[String]): Unit = {
     // the ivf-refresh trajectory line is a grep contract ("drift=0.1234");
@@ -980,10 +999,95 @@ object Main {
         .write.mode("overwrite").option("compression", "zstd")
         .parquet(out)
 
+    // multimodal hash-index lifecycle: persist 64-bit content hashes
+    // (image dHash / audio fingerprint) in the banded serving layout,
+    // grow per ingest batch, tombstone takedowns, compact, serve
+    // near-dup pairs of a new batch — assets are decoded ONCE at ingest,
+    // never re-decoded at serve time
+    case Some("mm-index-build") =>
+      val (opt, _) = parse(args.tail)
+      graft.operators.Dedup.writeHashIndex(
+        mmHashes(spark.read.parquet(req(opt, "in")), opt),
+        req(opt, "name"),
+        buckets = opt.getOrElse("buckets", "256").toInt,
+        bands = opt.getOrElse("bands",
+          graft.operators.Dedup.MmBands.toString).toInt)
+
+    case Some("mm-index-append") =>
+      val (opt, _) = parse(args.tail)
+      graft.operators.Dedup.appendToHashIndex(
+        mmHashes(spark.read.parquet(req(opt, "in")), opt), req(opt, "name"))
+
+    case Some("mm-index-delete") =>
+      val (opt, _) = parse(args.tail)
+      graft.operators.Dedup.deleteFromHashIndex(
+        spark.read.parquet(req(opt, "in")), req(opt, "name"),
+        opt.getOrElse("id", "asset_id"))
+
+    case Some("mm-index-compact") =>
+      val (opt, _) = parse(args.tail)
+      graft.operators.Dedup.compactHashIndex(spark, req(opt, "name"))
+
+    case Some("mm-index-pairs") =>
+      val (opt, _) = parse(args.tail)
+      graft.operators.Dedup.pairsAgainstHashIndex(
+          mmHashes(spark.read.parquet(req(opt, "in")), opt),
+          req(opt, "name"),
+          maxHamming = opt.getOrElse("hamming",
+            graft.operators.Dedup.MmMaxHamming.toString).toInt)
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(req(opt, "out"))
+
+    case Some("mm-index-ingest") =>
+      val (opt, flags) = parse(args.tail)
+      val (landing, name, ckpt) =
+        (req(opt, "landing"), req(opt, "name"), req(opt, "checkpoint"))
+      val schema = spark.read.parquet(landing).schema
+      val trigger =
+        if (flags("once")) Trigger.AvailableNow()
+        else Trigger.ProcessingTime("5 seconds")
+      val q = spark.readStream.schema(schema).parquet(landing)
+        .writeStream
+        .foreachBatch(graft.streaming.HashIndexIngest.sink(name,
+          mmModality(opt)))
+        .option("checkpointLocation", ckpt)
+        .trigger(trigger).start()
+      q.awaitTermination() // AvailableNow self-terminates after the drain
+
+    case Some("mm-keep") =>
+      val (opt, _) = parse(args.tail)
+      val assets = spark.read.parquet(req(opt, "in"))
+      val kept = opt.getOrElse("modality", "image") match {
+        case "image" => graft.operators.Dedup.imageNearDupKeep(assets)
+        case "audio" => graft.operators.Dedup.audioNearDupKeep(assets)
+        case other => throw new IllegalArgumentException(
+          s"unknown --modality $other (image|audio)\n$Usage")
+      }
+      kept.write.mode("overwrite").option("compression", "zstd")
+        .parquet(req(opt, "out"))
+
     case other =>
       throw new IllegalArgumentException(
         s"unknown command ${other.getOrElse("<none>")}\n$Usage")
   }
+
+  /** `--modality image|audio` → the matching narrow-pass hasher. */
+  private def mmHashes(assets: org.apache.spark.sql.DataFrame,
+                       opt: Map[String, String]): org.apache.spark.sql.DataFrame =
+    mmModality(opt) match {
+      case graft.streaming.HashIndexIngest.ImageAssets =>
+        graft.operators.Dedup.imageHashes(assets)
+      case graft.streaming.HashIndexIngest.AudioAssets =>
+        graft.operators.Dedup.audioHashes(assets)
+    }
+
+  private def mmModality(opt: Map[String, String]): graft.streaming.HashIndexIngest.Modality =
+    opt.getOrElse("modality", "image") match {
+      case "image" => graft.streaming.HashIndexIngest.ImageAssets
+      case "audio" => graft.streaming.HashIndexIngest.AudioAssets
+      case other => throw new IllegalArgumentException(
+        s"unknown --modality $other (image|audio)\n$Usage")
+    }
 
   /** `--key value` options and bare `--flag` switches. */
   private def parse(args: Seq[String]): (Map[String, String], String => Boolean) = {

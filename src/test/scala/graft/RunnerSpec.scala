@@ -728,6 +728,78 @@ class RunnerSpec extends SparkSpec {
     Seq("_bands", "_sigs", "_meta", "_tombs").foreach(s =>
       spark.sql(s"DROP TABLE IF EXISTS cli_ix$s"))
 
+  test("mm-index lifecycle CLI: build → append → ingest → delete → " +
+    "compact → pairs; mm-keep") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    Seq("_bands", "_sigs", "_meta", "_tombs").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS cli_mmix$s"))
+    val N = 24
+    def assetsOf(ids: Seq[Long], dir: String): String = {
+      val p = outDir(dir)
+      graft.operators.Multimodal.toAssets(
+        ids.toDF("doc_id")
+          .select(col("doc_id"),
+            SparkEntry.synthImagePayload(col("doc_id")).as("img")),
+        "doc_id", "img", "image/bmp")
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    val first = assetsOf(0L until 8L, "cli-mm-a")
+    val second = assetsOf(8L until 16L, "cli-mm-b")
+    val third = assetsOf(16L until N.toLong, "cli-mm-c")
+    Main.run(Seq("mm-index-build", "--in", first, "--name", "cli_mmix",
+      "--buckets", "4"), spark)
+    Main.run(Seq("mm-index-append", "--in", second, "--name", "cli_mmix"), spark)
+    Main.run(Seq("mm-index-ingest", "--landing", third, "--name", "cli_mmix",
+      "--checkpoint", outDir("cli-mm-ckpt"), "--once"), spark)
+    // the probe batch: REAL transcoded copies of every 4th base
+    val batch = outDir("cli-mm-batch")
+    graft.operators.Multimodal.resizeImages(
+        spark.read.parquet(first).unionByName(
+          spark.read.parquet(second)).unionByName(
+          spark.read.parquet(third))
+          .filter(pmod(col("asset_id"), lit(4)) === 0), 96, 72)
+      .select((col("asset_id") + 1000L).as("asset_id"), col("content"),
+        col("meta"))
+      .write.mode("overwrite").parquet(batch)
+    val out1 = outDir("cli-mm-pairs")
+    Main.run(Seq("mm-index-pairs", "--in", batch, "--name", "cli_mmix",
+      "--out", out1), spark)
+    val hits1 = spark.read.parquet(out1)
+      .select("new_id", "index_id").as[(Long, Long)].collect().toSet
+    assert(hits1.exists { case (n, i) => n == i + 1000L },
+      s"a transcoded copy must hit its indexed base: $hits1")
+    // delete base 0 → its copy stops matching it
+    val ids = outDir("cli-mm-del")
+    Seq(0L).toDF("asset_id").write.mode("overwrite").parquet(ids)
+    Main.run(Seq("mm-index-delete", "--in", ids, "--name", "cli_mmix"), spark)
+    Main.run(Seq("mm-index-compact", "--name", "cli_mmix"), spark)
+    val out2 = outDir("cli-mm-pairs2")
+    Main.run(Seq("mm-index-pairs", "--in", batch, "--name", "cli_mmix",
+      "--out", out2), spark)
+    val hits2 = spark.read.parquet(out2)
+      .select("new_id", "index_id").as[(Long, Long)].collect().toSet
+    assert(hits2 == hits1.filterNot(_._2 == 0L),
+      "the tombstoned base must stop matching, everything else unchanged")
+    // mm-keep over a corpus with a planted transcode copy
+    val keepIn = outDir("cli-mm-keepin")
+    spark.read.parquet(first).unionByName(
+        graft.operators.Multimodal.resizeImages(
+          spark.read.parquet(first).filter(col("asset_id") === 5), 128, 96)
+          .select((col("asset_id") + 500L).as("asset_id"), col("content"),
+            col("meta")))
+      .write.mode("overwrite").parquet(keepIn)
+    val keepOut = outDir("cli-mm-keep")
+    Main.run(Seq("mm-keep", "--in", keepIn, "--out", keepOut), spark)
+    val kept = spark.read.parquet(keepOut).as[Long].collect().toSet
+    assert(kept.contains(5L) && !kept.contains(505L),
+      s"the planted copy must be dropped, its base kept: $kept")
+    assert((0L until 8L).forall(kept.contains), s"bases survive: $kept")
+    Seq("_bands", "_sigs", "_meta", "_tombs").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS cli_mmix$s"))
+  }
+
   test("curate-stream --once: landing backlog curated through the streaming flow") {
     import spark.implicits._
     val landing = outDir("cli-stream-docs"); val ev = outDir("cli-stream-eval")
