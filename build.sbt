@@ -38,5 +38,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (was 8g): the r17/r18 "+29% unattributed suite drift"
+  // bisected to GC PRESSURE in the all-in-one-JVM local[32] bench — at
+  // 8g the six heaviest queries ran 20.9s inside the full 123-query
+  // suite and 15.5s even as a 6-query subset; at 24g the same subset
+  // ran 10.1s, matching the r17 quiet-host reference (9.5s). The box
+  // has 128 GiB; 8g starved a 32-thread driver+executor JVM whose
+  // per-suite state (codegen classes, catalog, checkpoint blocks)
+  // grows every round, so GC landed inside the timed windows and the
+  // tax compounded round over round (+29% r16→r17, +29% r17→r18).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

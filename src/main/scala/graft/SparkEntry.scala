@@ -4044,7 +4044,7 @@ object SparkEntry {
         |         bit_count(xor(a.simhash, b2.simhash)) AS hamming
         |  FROM b a JOIN b b2 ON a.chunk = b2.chunk AND a.chunk_val = b2.chunk_val
         |   AND a.sh_id < b2.sh_id)
-        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM p WHERE hamming <= 3""".stripMargin,
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM p WHERE hamming <= ${Dedup.MmMaxHamming}""".stripMargin,
     // same replay over per-CLIP energy-delta fingerprints: the
     // fingerprint is engine-bound (byte framing + float pooling), but
     // GIVEN the dumped values, banding + bit_count pairing is plain SQL;
@@ -4062,7 +4062,7 @@ object SparkEntry {
         |         bit_count(xor(a.simhash, b2.simhash)) AS hamming
         |  FROM b a JOIN b b2 ON a.chunk = b2.chunk AND a.chunk_val = b2.chunk_val
         |   AND a.sh_id < b2.sh_id)
-        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM p WHERE hamming <= 3""".stripMargin,
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM p WHERE hamming <= ${Dedup.MmMaxHamming}""".stripMargin,
     // the verified-pair pipelines replayed END TO END from fixtures:
     // banding + bit_count radius over the dumped hashes, then the
     // fixed-point grid/curve distance (exact integer sum — no IEEE
