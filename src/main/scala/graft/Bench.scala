@@ -415,7 +415,21 @@ object Bench {
       "q_image_dedup_keep" -> ((0.40, 8.00)),
       "q_audio_dedup_keep" -> ((0.15, 5.00)),
       "q_image_dedup_index" -> ((0.10, 2.80)),
-      "q_curate_classified" -> ((0.30, 3.80)))
+      "q_curate_classified" -> ((0.30, 3.80)),
+      // r18 video pillar + LM-gated curation, banded from birth (house
+      // rule: a decode-bodied or multi-stage query must never meet the
+      // floor gate on its first noisy-host measurement). Estimated from
+      // siblings — video decodes 4 frames/clip at ~half the image
+      // corpus's pixels (2001 clips at sf0.1), verified/keep add a
+      // second decode pass + CC; curate_lm = served-LM scoring + the
+      // q_curate minhash body. First full-suite measured medians (the
+      // debut run, quiet host): video_dedup 1.23, verified 2.04,
+      // keep 2.89, curate_lm 1.73 — all comfortably inside; re-base to
+      // the first TWO medians next round per the band policy.
+      "q_video_dedup" -> ((0.15, 2.80)),
+      "q_video_dedup_verified" -> ((0.25, 4.50)),
+      "q_video_dedup_keep" -> ((0.30, 5.50)),
+      "q_curate_lm" -> ((0.30, 4.00)))
     val medians = results.map(r => r._1 -> r._2).toMap
     val minsOf = results.map(r => r._1 -> r._3).toMap
     // PRIOR medians from the last run's bench_full.json, read BEFORE this
@@ -3154,10 +3168,10 @@ object Bench {
     * decode+hash pass reads the full payload bytes but emits 8 BYTES PER
     * ASSET (hash rows), so the banded pairing downstream scales on the
     * hash table alone, never the payloads. Per size (1–4× synthetic
-    * corpora of SparkEntry's image/audio generators at DISTINCT id
-    * ranges, every 5th asset planted as a real-operator transcode copy):
-    * decode+hash secs and input MB for BOTH modalities, payload MB on
-    * disk, pair counts split into PLANTED (id_b − id_a == the plant
+    * corpora of SparkEntry's image/audio/video generators, every 5th
+    * asset planted as a real-operator transcode copy):
+    * decode+hash secs and input MB for ALL THREE modalities, payload MB
+    * on disk, pair counts split into PLANTED (id_b − id_a == the plant
     * offset) and OTHER (honest dHash/fingerprint statistics: unrelated
     * smooth fields occasionally land within the radius — measured, never
     * hidden; plant recall rides as its own column). REQUIRED exact:
@@ -3183,71 +3197,73 @@ object Bench {
         walk(new java.io.File(p))
       }
       // persisted corpora per size, synthesis untimed (the q_image_dedup
-      // discipline: the measured body is decode+hash, not byte-building)
-      def buildCorpus(n: Int, img: Boolean): String = {
-        val path = s"$work/${if (img) "img" else "pcm"}$n"
+      // discipline: the measured body is decode+hash, not byte-building).
+      // One measurement shape per modality — image, audio, and (r18)
+      // video, whose hash pass decodes only the SAMPLED frames per clip.
+      case class Mod(diskMb: Double, secs: Double, readMb: Double,
+                     hashes: Long, pairs: Set[(Long, Long)])
+      def buildCorpus(n: Int, kind: String): String = {
+        val path = s"$work/$kind$n"
         val ids = spark.range(n * perReplica).toDF("doc_id")
-        val payload =
-          if (img) SparkEntry.synthImagePayload(col("doc_id"))
-          else SparkEntry.synthAudioPayload(col("doc_id"))
+        val (payload, mime) = kind match {
+          case "img" => (SparkEntry.synthImagePayload(col("doc_id")), "image/bmp")
+          case "pcm" => (SparkEntry.synthAudioPayload(col("doc_id")), "audio/pcm-u8")
+          case _ => (SparkEntry.synthVideoPayload(col("doc_id")), "video/x-graft-bmpseq")
+        }
         val base = Multimodal.toAssets(
-          ids.select(col("doc_id"), payload.as("pl")),
-          "doc_id", "pl", if (img) "image/bmp" else "audio/pcm-u8")
-        val copies = (
-          if (img) Multimodal.resizeImages(
-            base.filter(pmod(col("asset_id"), lit(5)) === 0), 128, 96)
-          else Multimodal.resamplePcm(
-            base.filter(pmod(col("asset_id"), lit(5)) === 0), 3000, gain = 0.5))
-          .select((col("asset_id") + lit(PlantOffset)).as("asset_id"),
-            col("content"), col("meta"))
+          ids.select(col("doc_id"), payload.as("pl")), "doc_id", "pl", mime)
+        val planted = base.filter(pmod(col("asset_id"), lit(5)) === 0)
+        val copies = (kind match {
+          case "img" => Multimodal.resizeImages(planted, 128, 96)
+          case "pcm" => Multimodal.resamplePcm(planted, 3000, gain = 0.5)
+          case _ => Multimodal.transcodeVideo(planted,
+            Multimodal.VideoSampleFrames, 96, 72)
+        }).select((col("asset_id") + lit(PlantOffset)).as("asset_id"),
+          col("content"), col("meta"))
         base.unionByName(copies).write.mode("overwrite").parquet(path)
         path
       }
-      val rows = sizes.map { n =>
-        val imgPath = buildCorpus(n, img = true)
-        val pcmPath = buildCorpus(n, img = false)
-        val imgDiskMb = dirBytes(imgPath) / mb
-        val pcmDiskMb = dirBytes(pcmPath) / mb
-        def hashPass(path: String, img: Boolean): (Double, Double, Long) = {
-          val runs = (0 until reps).map { _ =>
-            dropState()
-            listener.reset()
-            val t0 = System.nanoTime()
-            val assets = spark.read.parquet(path)
-            val nHashes =
-              (if (img) Multimodal.imageDHash(assets)
-               else Multimodal.audioFingerprints(assets)).count()
-            val s = (System.nanoTime() - t0) / 1e9
-            Thread.sleep(150)
-            (s, listener.inputBytes.get / mb, nHashes)
-          }
-          (runs.map(_._1).sorted.apply(reps / 2),
-            runs.map(_._2).sorted.apply(reps / 2), runs.head._3)
+      def measure(n: Int, kind: String): Mod = {
+        val path = buildCorpus(n, kind)
+        def hashed(assets: org.apache.spark.sql.DataFrame) = kind match {
+          case "img" => Multimodal.imageDHash(assets)
+          case "pcm" => Multimodal.audioFingerprints(assets)
+          case _ => Multimodal.videoDHash(assets)
         }
-        val (imgSecs, imgReadMb, imgHashes) = hashPass(imgPath, img = true)
-        val (pcmSecs, pcmReadMb, pcmHashes) = hashPass(pcmPath, img = false)
-        def pairSet(path: String, img: Boolean): Set[(Long, Long)] = (
-          if (img) Dedup.imageNearDupPairs(spark.read.parquet(path))
-          else Dedup.audioNearDupPairs(spark.read.parquet(path)))
-          .select("id_a", "id_b").collect()
+        val runs = (0 until reps).map { _ =>
+          dropState()
+          listener.reset()
+          val t0 = System.nanoTime()
+          val nHashes = hashed(spark.read.parquet(path)).count()
+          val s = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(150)
+          (s, listener.inputBytes.get / mb, nHashes)
+        }
+        val pairs = (kind match {
+          case "img" => Dedup.imageNearDupPairs(spark.read.parquet(path))
+          case "pcm" => Dedup.audioNearDupPairs(spark.read.parquet(path))
+          case _ => Dedup.videoNearDupPairs(spark.read.parquet(path))
+        }).select("id_a", "id_b").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
-        val imgSet = pairSet(imgPath, img = true)
-        val pcmSet = pairSet(pcmPath, img = false)
         dropState()
-        (n, n * perReplica, imgDiskMb, imgSecs, imgReadMb, imgHashes,
-          imgSet, pcmDiskMb, pcmSecs, pcmReadMb, pcmHashes, pcmSet)
+        Mod(dirBytes(path) / mb,
+          runs.map(_._1).sorted.apply(reps / 2),
+          runs.map(_._2).sorted.apply(reps / 2),
+          runs.head._3, pairs)
+      }
+      val kinds = Seq("img", "pcm", "vid")
+      val rows = sizes.map { n =>
+        (n, n * perReplica, kinds.map(k => k -> measure(n, k)).toMap)
       }
       // REQUIRED exact: id-determinism makes the ladder's pair sets
       // prefix-monotone — a pair found at size k must be found at every
       // larger size (same ids, same hashes, same bands)
       rows.sliding(2).foreach {
-        case Seq(a, b) =>
-          require(a._7.subsetOf(b._7),
-            s"img pair set regressed ${a._1}x -> ${b._1}x: " +
-              s"${(a._7 -- b._7).take(3)}")
-          require(a._12.subsetOf(b._12),
-            s"pcm pair set regressed ${a._1}x -> ${b._1}x: " +
-              s"${(a._12 -- b._12).take(3)}")
+        case Seq(a, b) => kinds.foreach { k =>
+          require(a._3(k).pairs.subsetOf(b._3(k).pairs),
+            s"$k pair set regressed ${a._1}x -> ${b._1}x: " +
+              s"${(a._3(k).pairs -- b._3(k).pairs).take(3)}")
+        }
         case _ =>
       }
       def plants(s: Set[(Long, Long)]): Long =
@@ -3255,27 +3271,22 @@ object Bench {
       def others(s: Set[(Long, Long)]): Long = s.size - plants(s)
       def recall(s: Set[(Long, Long)], n: Int): Double =
         plants(s).toDouble / (n * perReplica / 5).toDouble
-      def arr(f: ((Int, Long, Double, Double, Double, Long, Set[(Long, Long)],
-        Double, Double, Double, Long, Set[(Long, Long)])) => Any) = jsonArr(rows)(f)
+      def arr(f: ((Int, Long, Map[String, Mod])) => Any) = jsonArr(rows)(f)
+      def block(k: String, tag: String): String =
+        f""""${tag}_disk_mb":${arr(r => f"${r._3(k).diskMb}%.2f")},""" +
+          f""""${tag}_hash_secs":${arr(r => f"${r._3(k).secs}%.3f")},""" +
+          f""""${tag}_read_mb":${arr(r => f"${r._3(k).readMb}%.2f")},""" +
+          f""""${tag}_hashes":${arr(_._3(k).hashes)},""" +
+          f""""${tag}_plant_pairs":${arr(r => plants(r._3(k).pairs))},""" +
+          f""""${tag}_other_pairs":${arr(r => others(r._3(k).pairs))},""" +
+          f""""${tag}_plant_recall":${arr(r => f"${recall(r._3(k).pairs, r._1)}%.3f")},"""
       val line =
         f"""{"metric":"multimodal_scale","reps":$reps,"per_replica":$perReplica,""" +
           f""""sizes":${arr(_._1)},"assets_base":${arr(_._2)},""" +
-          f""""img_disk_mb":${arr(r => f"${r._3}%.2f")},""" +
-          f""""img_hash_secs":${arr(r => f"${r._4}%.3f")},""" +
-          f""""img_read_mb":${arr(r => f"${r._5}%.2f")},""" +
-          f""""img_hashes":${arr(_._6)},""" +
-          f""""img_plant_pairs":${arr(r => plants(r._7))},""" +
-          f""""img_other_pairs":${arr(r => others(r._7))},""" +
-          f""""img_plant_recall":${arr(r => f"${recall(r._7, r._1)}%.3f")},""" +
-          f""""pcm_disk_mb":${arr(r => f"${r._8}%.2f")},""" +
-          f""""pcm_hash_secs":${arr(r => f"${r._9}%.3f")},""" +
-          f""""pcm_read_mb":${arr(r => f"${r._10}%.2f")},""" +
-          f""""pcm_hashes":${arr(_._11)},""" +
-          f""""pcm_plant_pairs":${arr(r => plants(r._12))},""" +
-          f""""pcm_other_pairs":${arr(r => others(r._12))},""" +
-          f""""pcm_plant_recall":${arr(r => f"${recall(r._12, r._1)}%.3f")},""" +
-          f""""slope_img_hash":${logLogSlope(sizes, rows.map(_._4))}%.3f,""" +
-          f""""slope_pcm_hash":${logLogSlope(sizes, rows.map(_._9))}%.3f,"sf":"$sfDir"}"""
+          block("img", "img") + block("pcm", "pcm") + block("vid", "vid") +
+          f""""slope_img_hash":${logLogSlope(sizes, rows.map(_._3("img").secs))}%.3f,""" +
+          f""""slope_pcm_hash":${logLogSlope(sizes, rows.map(_._3("pcm").secs))}%.3f,""" +
+          f""""slope_vid_hash":${logLogSlope(sizes, rows.map(_._3("vid").secs))}%.3f,"sf":"$sfDir"}"""
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_scale_multimodal.json"),
         (line + "\n").getBytes("UTF-8"))

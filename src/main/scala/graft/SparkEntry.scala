@@ -922,6 +922,14 @@ object SparkEntry {
       .filter(col("qcurve").isNotNull)
       .select(col("asset_id"), posexplode(col("qcurve")).as(Seq("cell", "qv")))
       .write.mode("overwrite").parquet(AudioCurveFixture)
+    s.read.parquet(videoCorpusPath(s, dir)).select("asset_id", "content")
+      .write.mode("overwrite").parquet(VideoPayloadFixture)
+    Multimodal.videoDHash(s.read.parquet(videoCorpusPath(s, dir)))
+      .write.mode("overwrite").parquet(VideoHashFixture)
+    Multimodal.videoGridsQ(s.read.parquet(videoCorpusPath(s, dir)))
+      .filter(col("qgrid").isNotNull)
+      .select(col("asset_id"), posexplode(col("qgrid")).as(Seq("cell", "qv")))
+      .write.mode("overwrite").parquet(VideoGridFixture)
     // quality-classifier oracle inputs: the SERVED model's weight table
     // (nonzero quantized weights), its bias, and per-doc feature slots —
     // outer-exploded so featureless docs reach the oracle and serve
@@ -2638,6 +2646,163 @@ object SparkEntry {
   private lazy val AudioCurveFixture =
     new java.io.File("target/verify-fixtures/audio_qcurve").getAbsolutePath
 
+  /** Per-frame amplitude-modulated luminance for the video corpus —
+    * [[synthLum]]'s field (same six-prime parameter scatter, so
+    * unrelated documents render unrelated fields) scaled around the u8
+    * midpoint by `amp`: `128 + amp·(45·s1 + 45·s2)`. Frames of one clip
+    * share the spatial field and differ by a smooth temporal amplitude
+    * ramp — REAL temporal variation (the per-frame grids differ by up to
+    * ~30%) that the temporal-mean dHash is exactly invariant to
+    * (positive scaling preserves every adjacent-delta sign), so the
+    * recall story is pinned by construction while the verify distances
+    * stay genuinely frame-aligned. Max |amp·90| at amp 1.15 is 103.5 <
+    * 127: the clamp never binds and scaling stays exact. */
+  private def synthVideoLum(id: Column, x: Column, y: Column,
+                            w: Column, h: Column, amp: Column): Column = {
+    def par(mult: Long, m: Int, lo: Double, span: Double): Column =
+      lit(lo) + lit(span) * pmod(id * mult, lit(m.toLong)).cast("double") / m.toDouble
+    val twoPi = 2.0 * math.Pi
+    val u = (x.cast("double") + 0.5) / w.cast("double")
+    val v = (y.cast("double") + 0.5) / h.cast("double")
+    val s1 = sin(lit(twoPi) * (par(2654435761L, 97, 0.7, 2.0) * u
+      + par(2246822519L, 89, 0.7, 2.0) * v) + par(3266489917L, 101, 0.0, twoPi))
+    val s2 = sin(lit(twoPi) * (par(668265263L, 83, 0.7, 2.0) * u
+      - par(374761393L, 79, 0.7, 2.0) * v) + par(2654435789L, 103, 0.0, twoPi))
+    greatest(lit(0L), least(lit(255L),
+      round(lit(128.0) + amp * (lit(45.0) * s1 + lit(45.0) * s2)).cast("long")))
+  }
+
+  /** HEX string of one complete uncompressed 24-bit bottom-up BMP frame
+    * of the video corpus ([[synthVideoLum]] at amplitude
+    * `0.85 + 0.3·(f+0.5)/nf` — a smooth ramp over the clip), rendered at
+    * the clip's own resolution (w = 48 + id%16, h = 40 + id%12 — 5-7 px
+    * per dHash grid cell; smaller than the image corpus because each
+    * clip decodes several frames). Hex (not binary) so frames compose
+    * under a variable-count `transform` + one trailing `unhex` —
+    * otherwise the [[synthImagePayload]] byte-construction discipline
+    * (codegen'd built-ins, no UDF). */
+  private def synthVideoFrameHex(id: Column, f: Column, nf: Column): Column = {
+    def byteHex(v: Column, i: Int): Column =
+      lpad(hex(shiftright(v, 8 * i).bitwiseAND(lit(255L))), 2, "0")
+    def le16(v: Column) = concat(byteHex(v, 0), byteHex(v, 1))
+    def le32(v: Column) = concat(byteHex(v, 0), byteHex(v, 1),
+      byteHex(v, 2), byteHex(v, 3))
+    val w = pmod(id, lit(16L)) + 48
+    val h = pmod(id, lit(12L)) + 40
+    val stride = (w * 3 + 3) - pmod(w * 3 + 3, lit(4L))
+    val dataLen = stride * h
+    val amp = lit(0.85) + lit(0.3) * (f.cast("double") + 0.5) / nf.cast("double")
+    val header = concat(
+      lit("424D"), le32(dataLen + 54), le32(lit(0L)), le32(lit(54L)),
+      le32(lit(40L)), le32(w), le32(h), le16(lit(1L)), le16(lit(24L)),
+      le32(lit(0L)), le32(dataLen), le32(lit(2835L)), le32(lit(2835L)),
+      le32(lit(0L)), le32(lit(0L)))
+    val pixHex = concat_ws("", transform(sequence(lit(0L), h - 1), fr =>
+      concat(
+        concat_ws("", transform(sequence(lit(0L), w - 1), x =>
+          repeat(lpad(hex(synthVideoLum(id, x, h - 1 - fr, w, h, amp)), 2, "0"), 3))),
+        left(lit("000000"), ((stride - w * 3) * 2).cast("int")))))
+    concat(header, pixHex)
+  }
+
+  /** A complete concatenated-BMP video payload: `3 + (id/3)%3` frames
+    * (3-5 — id is always a multiple of 3 in the corpus, so the count
+    * must scatter off id/3) of [[synthVideoFrameHex]] back to back,
+    * plus — for every 11th clip — a MALFORMED TAIL ("BM" + a size field
+    * claiming ~10 MB + 48 zero bytes: magic and header length check out,
+    * the declared extent does not), so the frame walk's honest-stop rule
+    * sits inside the oracle-replayed corpus, not just the spec. */
+  private[graft] def synthVideoPayload(id: Column): Column = {
+    val nf = pmod(floor(id / 3).cast("long"), lit(3L)) + 3
+    val frames = concat_ws("",
+      transform(sequence(lit(0L), nf - 1), f => synthVideoFrameHex(id, f, nf)))
+    val tail = when(pmod(id, lit(33L)) === 0,
+      lit("424D" + "7F969800" + "00" * 48)).otherwise(lit(""))
+    unhex(concat(frames, tail))
+  }
+
+  /** Persisted q_video_dedup corpus for `dir` — the [[imageCorpusPath]]
+    * recipe on the video axis: one base clip per every-3rd document
+    * (bounding the suite's per-frame decode volume) plus, for every
+    * fifth clip, a PLANTED copy run through the REAL
+    * [[Multimodal.transcodeVideo]] operator (temporal resample to a
+    * fixed 4 frames + spatial resample to 96×72 + re-encode — different
+    * frame count, resolution, aspect, and bytes, so byte-level exact
+    * dedup can never pair it with its base), re-identified at
+    * `base_id + 40_000_000`. targetFrames equals the fingerprint's
+    * sample count, so the copy's sampled frames land on exactly the
+    * base frames the base's own sampling reads (floor-composition — see
+    * [[Multimodal.VideoSampleFrames]]) and the only plant noise is
+    * spatial pooling, the image-corpus regime. */
+  private[graft] val VideoCopyOffset = 40000000L
+  private val videoDedupCache = collection.concurrent.TrieMap.empty[String, String]
+  private def videoCorpusPath(s: SparkSession, dir: String): String =
+    videoDedupCache.getOrElseUpdate(dir, {
+      val p = new java.io.File(s"target/q-video-dedup/${dirKey(dir)}").getAbsolutePath
+      val base = Multimodal.toAssets(
+        tbl(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(3)) === 0)
+          .select(col("doc_id"), synthVideoPayload(col("doc_id")).as("vid")),
+        "doc_id", "vid", "video/x-graft-bmpseq")
+      val copies = Multimodal.transcodeVideo(
+          base.filter(pmod(col("asset_id"), lit(15)) === 0),
+          Multimodal.VideoSampleFrames, 96, 72)
+        .select((col("asset_id") + VideoCopyOffset).as("asset_id"),
+          col("content"), col("meta"))
+      base.unionByName(copies).write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** Video frame-walk metadata ([[Multimodal.videoFrameMeta]]): the REAL
+    * container parse — each frame found via its own header's size field,
+    * per-frame dims read from its BITMAPINFOHEADER, the walk stopping
+    * honestly at the planted malformed tails. Oracle: the walk is
+    * replayed FROM THE PAYLOAD BYTES in DuckDB — a recursive CTE over
+    * the blob's hex dump reads the same size fields, applies the same
+    * magic/extent guards, and emits the same per-frame rows (the
+    * q_multimodal_pixels no-codec-on-the-oracle-side discipline extended
+    * from fixed offsets to a data-dependent walk). */
+  private def qVideoFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoFrameMeta(s.read.parquet(videoCorpusPath(s, dir)))
+
+  /** Fixture parquet of the raw video payloads for q_video_frames's
+    * oracle walk (asset_id + content only — the oracle parses bytes). */
+  private lazy val VideoPayloadFixture =
+    new java.io.File("target/verify-fixtures/video_payloads").getAbsolutePath
+
+  /** Video near-duplicate dedup ([[Dedup.videoNearDupPairs]]): the
+    * multimodal dedup story's fourth modality — a transcoded copy of the
+    * same clip (fewer frames, smaller resolution, different aspect)
+    * survives byte-level dedup and per-image dedup (no single frame's
+    * bytes repeat), yet collides in temporal-mean dHash space. The
+    * corpus plants exactly that ([[videoCorpusPath]]). Oracle: the hash
+    * is engine-bound (codec + float pooling over sampled frames), but
+    * GIVEN the per-clip hashes ([[VideoHashFixture]]), banding +
+    * `bit_count` pair derivation is plain SQL — the q_image_dedup
+    * pattern verbatim. */
+  private def qVideoDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.videoNearDupPairs(s.read.parquet(videoCorpusPath(s, dir)))
+      .withColumn("hamming", col("hamming").cast("long"))
+
+  /** Fixture parquet of per-clip temporal-mean dHashes for
+    * q_video_dedup's oracle — the [[ImageDhashFixture]] pattern. */
+  private lazy val VideoHashFixture =
+    new java.io.File("target/verify-fixtures/video_vhash").getAbsolutePath
+
+  private def qVideoDedupVerified(s: SparkSession, dir: String): DataFrame =
+    Dedup.videoNearDupPairsVerified(s.read.parquet(videoCorpusPath(s, dir)))
+      .withColumn("hamming", col("hamming").cast("long"))
+
+  /** Exploded quantized temporally-aligned grid fixture for the video
+    * verified-pair oracle: `(asset_id, cell, qv)` with cell = j·72 + c —
+    * [[mmVerifiedOracleSql]] carries verbatim because the temporal
+    * alignment is IN the cell key. */
+  private lazy val VideoGridFixture =
+    new java.io.File("target/verify-fixtures/video_qgrid").getAbsolutePath
+
+  private def qVideoDedupKeep(s: SparkSession, dir: String): DataFrame =
+    Dedup.videoNearDupKeep(s.read.parquet(videoCorpusPath(s, dir)))
+
   /** NEW image batch for the hash-index serving queries: transcoded
     * copies of every 7th document's base image (the REAL
     * [[Multimodal.resizeImages]] operator to a 96×72 target — different
@@ -2787,6 +2952,54 @@ object SparkEntry {
       |SELECT asset_id FROM read_parquet('$hashFixture/*.parquet')
       |WHERE asset_id NOT IN (SELECT member FROM losers)""".stripMargin
 
+  /** Generated DuckDB oracle for q_video_frames: the concatenated-BMP
+    * frame walk replayed FROM THE PAYLOAD BYTES — a recursive CTE over
+    * each blob's hex dump reads the size field at the current offset,
+    * applies the engine's guards (magic "BM", 54-byte header present,
+    * declared size ≥ 54 and within the payload), advances, and emits
+    * per-frame dims from each frame's own BITMAPINFOHEADER. Assets whose
+    * walk yields no frames keep one null row (LEFT JOIN), matching the
+    * engine's reported-never-dropped rule. No codec, no fixture of
+    * engine outputs — the oracle input is the raw bytes. */
+  private def videoFramesOracleSql(payloadFixture: String): String = {
+    // byte at 0-based offset `p` (a SQL expression) of hex dump `hx`
+    def byteAt(hx: String, p: String) =
+      s"CAST(concat('0x', substring($hx, CAST(2*($p)+1 AS INT), 2)) AS BIGINT)"
+    def leU32(hx: String, p: String) =
+      (0 to 3).map(k => s"${byteAt(hx, s"($p)+$k")} * ${1L << (8 * k)}")
+        .mkString("(", " + ", ")")
+    // signed LE i32 → |value| (BMP height may be negative = top-down)
+    def absI32(hx: String, p: String) =
+      s"CAST(ABS(CASE WHEN ${leU32(hx, p)} >= 2147483648 " +
+        s"THEN ${leU32(hx, p)} - 4294967296 ELSE ${leU32(hx, p)} END) AS INT)"
+    // the size field lives at frame offset + 2 (after the "BM" magic)
+    val sz0 = leU32("hx", "2")
+    val szN = leU32("v.hx", "w.off + w.sz + 2")
+    s"""WITH RECURSIVE v AS (
+      |  SELECT asset_id, hex(content) AS hx, octet_length(content) AS n
+      |  FROM read_parquet('$payloadFixture/*.parquet')),
+      | w(asset_id, frame_idx, off, sz) AS (
+      |  SELECT asset_id, 0, CAST(0 AS BIGINT), $sz0
+      |  FROM v
+      |  WHERE n >= 54 AND substring(hx, 1, 4) = '424D'
+      |    AND $sz0 >= 54 AND $sz0 <= n
+      |  UNION ALL
+      |  SELECT w.asset_id, w.frame_idx + 1, w.off + w.sz, $szN
+      |  FROM w JOIN v USING (asset_id)
+      |  WHERE w.off + w.sz + 54 <= v.n
+      |    AND substring(v.hx, CAST(2*(w.off + w.sz)+1 AS INT), 4) = '424D'
+      |    AND $szN >= 54 AND w.off + w.sz + $szN <= v.n),
+      | f AS (
+      |  SELECT w.asset_id, CAST(w.frame_idx AS INT) AS frame_idx,
+      |         w.off AS frame_off, w.sz AS frame_bytes,
+      |         ${absI32("v.hx", "w.off + 18")} AS width,
+      |         ${absI32("v.hx", "w.off + 22")} AS height
+      |  FROM w JOIN v USING (asset_id))
+      |SELECT v.asset_id, f.frame_idx, f.frame_off, f.frame_bytes,
+      |       f.width, f.height
+      |FROM v LEFT JOIN f USING (asset_id)""".stripMargin
+  }
+
   /** Trained-and-persisted quality classifier for `dir`, built once per
     * JVM — the served-layout cache pattern ([[ivfIndexPath]] rationale:
     * a deployment trains once and serves every batch from the committed
@@ -2918,6 +3131,43 @@ object SparkEntry {
       .join(dupLosers, Seq("doc_id"), "left_anti")
       .join(docs.select("doc_id", "lang"), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("margin_q"))
+  }
+
+  /** q_curate with a PERPLEXITY gate in place of the fixed heuristic —
+    * the CCNet-shaped composition (Wenzek et al. 2020: keep the
+    * low-perplexity stratum under a language model trained on trusted
+    * text): documents are scored against the PERSISTED pruned bigram LM
+    * ([[lmModelPath]], trained outside the timed body — the `_served`
+    * convention), kept when their 6-decimal-rounded cross-entropy is at
+    * most [[LmCurateMaxXent]], then near-dup losers are removed. Gating
+    * on the ROUNDED value is deliberate: the hash gate proves the
+    * rounded xent identical between engine and oracle (q_lm_xent_served),
+    * so the threshold compare can never straddle an ulp disagreement.
+    * Docs with zero bigrams carry a NULL xent and are dropped by the
+    * gate on both sides — a doc the model cannot score is not "low
+    * perplexity". Oracle: the q_lm_xent_served pruned-model replay CTE
+    * + the shared n-gram loser replay + the same rounded threshold.
+    *
+    * The cutoff is a CALIBRATION CONSTANT, the CCNet deployment shape
+    * (their head/middle/tail boundaries are fixed numbers computed once
+    * offline, then applied verbatim to every shard): 3.39 is the
+    * sf0.01 corpus's median served xent (measured distribution
+    * 3.26-3.61, σ 0.035), so the gate keeps roughly the low-perplexity
+    * half there — re-calibrate the constant, not the operator, for a
+    * different corpus. */
+  private[graft] val LmCurateMaxXent = 3.39
+  private def qCurateLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val dupLosers = Dedup.minhashDuplicates(
+        Dedup.hashedWordShingles(docs, "doc_id", "text"), 0.8)
+      .select(col("id_b").as("doc_id"))
+    LanguageModel.crossEntropy(docs, "doc_id", "text",
+        LanguageModel.read(s, lmModelPath(s, dir)))
+      .withColumn("xent", rq(col("xent"), 6))
+      .filter(col("xent") <= LmCurateMaxXent)
+      .join(dupLosers, Seq("doc_id"), "left_anti")
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("xent"))
   }
 
   /** Capstone curation pipeline v2 — the FULL composition a training-data
@@ -3107,8 +3357,13 @@ object SparkEntry {
     "q_audio_dedup" -> qAudioDedup,
     "q_audio_dedup_verified" -> qAudioDedupVerified,
     "q_audio_dedup_keep" -> qAudioDedupKeep,
+    "q_video_frames" -> qVideoFrames,
+    "q_video_dedup" -> qVideoDedup,
+    "q_video_dedup_verified" -> qVideoDedupVerified,
+    "q_video_dedup_keep" -> qVideoDedupKeep,
     "q_quality_classifier" -> qQualityClassifier,
     "q_curate_classified" -> qCurateClassified,
+    "q_curate_lm" -> qCurateLm,
     "q_dedup_spans" -> qDedupSpans,
     "q_dedup_spans_index" -> qDedupSpansIndex,
     "q_dedup_spans_index_bucketed" -> qDedupSpansIndexBucketed,
@@ -4009,6 +4264,37 @@ object SparkEntry {
          |FROM m JOIN documents d ON d.doc_id = m.doc_id
          |WHERE m.margin_q >= 0
          |  AND m.doc_id NOT IN (SELECT doc_id FROM dup_losers)""".stripMargin,
+    // perplexity-gated curation: the q_lm_xent_served pruned-model replay
+    // (same CTE chain — the whole bigram model re-derived in SQL, prune
+    // included) scored per doc, thresholded on the ROUNDED xent both
+    // sides compute identically, minus the shared n-gram loser replay.
+    // Zero-bigram docs have no pd row and are dropped by construction,
+    // matching the engine's NULL-fails-the-gate semantics.
+    "q_curate_lm" ->
+      s"""WITH dup_losers AS (SELECT id_b AS doc_id FROM ($ngramJaccardSql)),
+        | d AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        | tok AS (SELECT unnest(w) AS token FROM d),
+        | v AS (SELECT count(DISTINCT token) AS vs FROM tok),
+        | bg AS (
+        |  SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i+1 AS INT)] AS w2
+        |  FROM d, LATERAL unnest(range(1, greatest(len(w), 1))) AS t(i)),
+        | c12 AS (SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY 1, 2),
+        | c12p AS (SELECT * FROM c12 WHERE n12 >= 2),
+        | c1 AS (SELECT w1, sum(n12) AS n1 FROM c12 GROUP BY 1),
+        | sc AS (
+        |  SELECT bg.doc_id,
+        |         ln((coalesce(c12p.n12, 0) + 0.5) / (c1.n1 + 0.5 * v.vs)) AS logp
+        |  FROM bg LEFT JOIN c12p USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+        | pd AS (SELECT doc_id, count(*) AS n_bigrams,
+        |               floor(-avg(logp)*1000000.0 + 0.5)/1000000.0 AS xent
+        |        FROM sc GROUP BY doc_id)
+        |SELECT pd.doc_id, docs.lang, pd.n_bigrams, pd.xent
+        |FROM pd JOIN documents docs ON docs.doc_id = pd.doc_id
+        |WHERE pd.xent <= $LmCurateMaxXent
+        |  AND pd.doc_id NOT IN (SELECT doc_id FROM dup_losers)""".stripMargin,
     "q_dedup_rep" ->
       """SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
@@ -4107,6 +4393,32 @@ object SparkEntry {
     "q_audio_dedup_keep" ->
       mmKeepOracleSql(AudioFpFixture, "afp", AudioCurveFixture,
         Dedup.AudioMaxQDist),
+    // the video modality rides the same three replays verbatim — the
+    // temporal alignment lives in the qgrid cell key (j·72 + c), so the
+    // generic banding + bit_count + Σ|Δ| SQL needs no video-specific
+    // arithmetic — plus the frame-walk oracle, which parses the raw
+    // payload bytes with no engine-derived fixture at all
+    "q_video_frames" -> videoFramesOracleSql(VideoPayloadFixture),
+    "q_video_dedup" ->
+      s"""WITH h AS (
+        |  SELECT asset_id AS sh_id, vhash AS simhash
+        |  FROM read_parquet('$VideoHashFixture/*.parquet')
+        |  WHERE vhash IS NOT NULL),
+        | b AS (
+        |  SELECT sh_id, simhash, c.chunk, (simhash >> (c.chunk*16)) & 65535 AS chunk_val
+        |  FROM h CROSS JOIN (SELECT unnest([0,1,2,3]) AS chunk) c),
+        | p AS (
+        |  SELECT DISTINCT a.sh_id AS id_a, b2.sh_id AS id_b,
+        |         bit_count(xor(a.simhash, b2.simhash)) AS hamming
+        |  FROM b a JOIN b b2 ON a.chunk = b2.chunk AND a.chunk_val = b2.chunk_val
+        |   AND a.sh_id < b2.sh_id)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM p WHERE hamming <= ${Dedup.MmMaxHamming}""".stripMargin,
+    "q_video_dedup_verified" ->
+      mmVerifiedOracleSql(VideoHashFixture, "vhash", VideoGridFixture,
+        Dedup.VideoMaxQDist),
+    "q_video_dedup_keep" ->
+      mmKeepOracleSql(VideoHashFixture, "vhash", VideoGridFixture,
+        Dedup.VideoMaxQDist),
     // served quality-classifier margins re-derived from the dumped
     // quantized weight table + bias + per-doc feature slots: the margin
     // is an exact integer sum (fixed-point weights — associative, so a

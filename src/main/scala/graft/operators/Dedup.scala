@@ -1721,6 +1721,13 @@ object Dedup {
   val ImageMaxQDist: Long = 72L * 8 * 256
   val AudioMaxQDist: Long = 65L * 16
 
+  /** `VideoMaxQDist` is the image budget per sampled frame — the video
+    * verify distance sums |Δ| over `VideoSampleFrames`·72 temporally
+    * aligned cells, so the allowance is the same mean 8 luma (×256
+    * fixed-point) per cell per frame. */
+  val VideoMaxQDist: Long =
+    Multimodal.VideoSampleFrames.toLong * ImageMaxQDist
+
   /** Image near-duplicate pairs: dHash per asset
     * ([[Multimodal.imageDHash]] — rescale- and aspect-invariant by
     * construction, so re-encoded/resized copies of the same picture
@@ -1798,6 +1805,37 @@ object Dedup {
                         bands: Int = MmBands): DataFrame =
     simhashPairs(audioHashes(assets), maxHamming, bands)
 
+  /** [[imageHashes]] for the temporal-mean video dHash. */
+  def videoHashes(assets: DataFrame): DataFrame =
+    Multimodal.videoDHash(assets)
+      .filter(col("vhash").isNotNull)
+      .select(col("asset_id").as("sh_id"), col("vhash").as("simhash"))
+
+  /** Video near-duplicate pairs — the [[imageNearDupPairs]] story for
+    * the fourth modality: temporal-mean dHash per clip
+    * ([[Multimodal.videoDHash]] — frame-rate-, rescale-, and
+    * aspect-invariant by construction, so a transcoded copy at a
+    * different frame count AND resolution collides where byte-level
+    * exact dedup misses it), then the SAME banded-Hamming candidate
+    * machinery as [[simhashPairs]]. 64-bit hash ⇒ the pigeonhole
+    * banding, bucket-space saturation math, `bit_count` verification,
+    * AND the persisted hash-index lifecycle
+    * ([[writeHashIndex]]..[[pairsAgainstHashIndex]] — generic over any
+    * `(sh_id, simhash)` source, pinned by the image queries) all carry
+    * verbatim. Clips with no decodable sampled frames carry a null
+    * vhash and are EXCLUDED from pairing; the null rows stay visible
+    * upstream via [[Multimodal.videoDHash]] itself.
+    *
+    * Recall/precision honesty: the [[imageNearDupPairs]] caveats apply
+    * per sampled frame, plus one video-specific slack — the temporal
+    * MEAN is order-blind, so a reordered cut of the same footage
+    * collides here by design; the verify pass
+    * ([[videoNearDupPairsVerified]], temporally ALIGNED distances)
+    * separates true transcodes from reorderings. */
+  def videoNearDupPairs(assets: DataFrame, maxHamming: Int = MmMaxHamming,
+                        bands: Int = MmBands): DataFrame =
+    simhashPairs(videoHashes(assets), maxHamming, bands)
+
   /** Exact integer distance between two quantized feature arrays joined
     * onto a candidate-pair frame, filtered at `maxQDist` — the VERIFY
     * tail of the multimodal candidate-generate-verify pipelines. The
@@ -1856,6 +1894,26 @@ object Dedup {
       Multimodal.energyCurvesQ(assets)
         .filter(col("qcurve").isNotNull)
         .select(col("asset_id"), col("qcurve").as("__q")),
+      maxQDist)
+
+  /** [[videoNearDupPairs]] with the verify pass — candidates compared on
+    * their quantized TEMPORALLY ALIGNED sampled grids
+    * ([[Multimodal.videoGridsQ]]: cell `j·72+c` of one clip against cell
+    * `j·72+c` of the other, fixed-point exact distance), so the
+    * order-blind temporal-mean hash's one structural false-positive
+    * class — same footage, different frame ORDER — dies here along with
+    * the generic spurious-collision class. Default `maxQDist` allows a
+    * mean 8 luma per cell per sampled frame ([[VideoMaxQDist]]).
+    * Returns `(id_a, id_b, hamming, qdist)`. */
+  def videoNearDupPairsVerified(assets: DataFrame,
+                                maxHamming: Int = MmMaxHamming,
+                                bands: Int = MmBands,
+                                maxQDist: Long = VideoMaxQDist): DataFrame =
+    verifyQuantPairs(
+      videoNearDupPairs(assets, maxHamming, bands),
+      Multimodal.videoGridsQ(assets)
+        .filter(col("qgrid").isNotNull)
+        .select(col("asset_id"), col("qgrid").as("__q")),
       maxQDist)
 
   // ──────────────── persisted 64-bit hash index lifecycle ────────────────
@@ -2066,6 +2124,13 @@ object Dedup {
                                  maxHamming: Int = MmMaxHamming): DataFrame =
     pairsAgainstHashIndex(audioHashes(newAssets), name, maxHamming)
 
+  /** [[pairsAgainstHashIndex]] over a new VIDEO batch: frame walk +
+    * temporal-mean dHash once (sampled frames only), serve from the
+    * persisted table. */
+  def videoPairsAgainstHashIndex(newAssets: DataFrame, name: String,
+                                 maxHamming: Int = MmMaxHamming): DataFrame =
+    pairsAgainstHashIndex(videoHashes(newAssets), name, maxHamming)
+
   // ───────────────────────── keep-set resolution ─────────────────────────
 
   /** Representative KEEP list from a near-dup pair frame: resolve pairs
@@ -2105,4 +2170,12 @@ object Dedup {
                        maxQDist: Long = AudioMaxQDist): DataFrame =
     keepSetFromPairs(assets.select("asset_id"), "asset_id",
       audioNearDupPairsVerified(assets, maxHamming, bands, maxQDist))
+
+  /** [[imageNearDupKeep]] for the video modality. */
+  def videoNearDupKeep(assets: DataFrame,
+                       maxHamming: Int = MmMaxHamming,
+                       bands: Int = MmBands,
+                       maxQDist: Long = VideoMaxQDist): DataFrame =
+    keepSetFromPairs(assets.select("asset_id"), "asset_id",
+      videoNearDupPairsVerified(assets, maxHamming, bands, maxQDist))
 }

@@ -381,14 +381,7 @@ object Multimodal {
     * this method used to be. Same `mapPartitions` codec-amortization
     * boundary as [[extractFeatures]]. */
   def resizeImages(assets: DataFrame, width: Int, height: Int): DataFrame = {
-    require(width >= 1 && height >= 1,
-      s"target dimensions must be positive, got ${width}x$height")
-    // Int raster arithmetic: 65536x65536 would wrap to 0 (silent empty
-    // payloads) and 65536x49152 to a NegativeArraySizeException per task;
-    // 2^28 elements (~1 GiB of ARGB) is already past any sane per-row
-    // decode target
-    require(width.toLong * height.toLong <= (1L << 28),
-      s"target raster ${width}x$height exceeds 2^28 elements")
+    requireRasterTarget(width, height)
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(assetSchema)
     assets.select("asset_id", "content", "meta").mapPartitions { it =>
       // per-partition setup (codec init) would happen here once
@@ -396,26 +389,7 @@ object Multimodal {
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](1)
         val resized: Array[Byte] = decodeImage(bytes) match {
-          case Some((sw, sh, px)) =>
-            val dst = new java.awt.image.BufferedImage(
-              width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-            var y = 0
-            while (y < height) {
-              // Long source-coordinate arithmetic: the 2^28 guard bounds
-              // the TARGET raster only — dst_coord * src_dim can pass
-              // 2^31 for a wide source (e.g. 1M-px source → width 10000)
-              // and an Int product would wrap to a negative index
-              val sy = ((y.toLong * sh) / height).toInt
-              var x = 0
-              while (x < width) {
-                dst.setRGB(x, y, px(sy * sw + ((x.toLong * sw) / width).toInt))
-                x += 1
-              }
-              y += 1
-            }
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(dst, "bmp", bos)
-            bos.toByteArray
+          case Some((sw, sh, px)) => resampleRasterToBmp(sw, sh, px, width, height)
           case None => null
         }
         val m = r.getStruct(2)
@@ -427,6 +401,45 @@ object Multimodal {
           if (m == null) null else m.get(4)))
       }
     }(enc)
+  }
+
+  /** Int raster arithmetic guard shared by the resample targets:
+    * 65536x65536 would wrap to 0 (silent empty payloads) and 65536x49152
+    * to a NegativeArraySizeException per task; 2^28 elements (~1 GiB of
+    * ARGB) is already past any sane per-row decode target. */
+  private def requireRasterTarget(width: Int, height: Int): Unit = {
+    require(width >= 1 && height >= 1,
+      s"target dimensions must be positive, got ${width}x$height")
+    require(width.toLong * height.toLong <= (1L << 28),
+      s"target raster ${width}x$height exceeds 2^28 elements")
+  }
+
+  /** Nearest-neighbor resample of a decoded raster to `width`x`height`
+    * and re-encode as uncompressed 24-bit BMP — the shared core of
+    * [[resizeImages]] and [[transcodeVideo]] (`src = floor(dst · srcDim
+    * / dstDim)`, deterministic integer arithmetic, no interpolation-
+    * kernel variance). */
+  private def resampleRasterToBmp(sw: Int, sh: Int, px: Array[Int],
+                                  width: Int, height: Int): Array[Byte] = {
+    val dst = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      // Long source-coordinate arithmetic: the 2^28 guard bounds the
+      // TARGET raster only — dst_coord * src_dim can pass 2^31 for a
+      // wide source (e.g. 1M-px source → width 10000) and an Int product
+      // would wrap to a negative index
+      val sy = ((y.toLong * sh) / height).toInt
+      var x = 0
+      while (x < width) {
+        dst.setRGB(x, y, px(sy * sw + ((x.toLong * sw) / width).toInt))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(dst, "bmp", bos)
+    bos.toByteArray
   }
 
   /** Frame sampling stub for video-like assets: emit every `stride`-th
@@ -542,6 +555,251 @@ object Multimodal {
       it.map { r =>
         Row(r.get(0),
           audioFingerprint64(r.getAs[Array[Byte]](1)).map(Long.box).orNull)
+      }
+    }(enc)
+  }
+
+  // ---- video: concatenated-BMP container + temporal fingerprinting ----
+  // The payload model is a back-to-back sequence of complete BMP frames —
+  // the honest fake for a container with no video codec (the header
+  // comment's scheme: a real deployment slots ffmpeg demux+decode in at
+  // exactly the mapPartitions boundary below; everything past the frame
+  // boundary — relative-TIME sampling, per-frame grid pooling, temporal
+  // mean, delta-sign packing — is codec-independent). The container is
+  // SELF-DESCRIBING: each BMP header carries its own file size (LE u32 at
+  // offset 2, written by both the synth builder and `ImageIO`'s encoder),
+  // so the frame walk is real container parsing, not fixed-stride slicing
+  // ([[sampleFrames]] remains the generic raw slicer for formats with no
+  // frame directory).
+
+  /** Default temporal sample count of the video fingerprint surfaces:
+    * [[videoDHash]]/[[videoGridsQ]]/[[transcodeVideo]] agree on it so a
+    * transcoded copy's sampled frames land on the SAME source frames as
+    * the base's (floor(j·F/K) composes exactly when targetFrames = K). */
+  val VideoSampleFrames = 4
+
+  /** Walk a concatenated-BMP payload into its frames via each header's
+    * own file-size field: a frame is emitted only when its magic ("BM"),
+    * declared size (≥ the 54-byte header), and extent (fits the payload)
+    * all check out; the walk STOPS at the first violation — a malformed
+    * tail degrades to "no more frames", never to invented ones. Null or
+    * short payloads yield zero frames. */
+  private[graft] def splitBmpFrames(bytes: Array[Byte]): Array[(Int, Array[Byte])] = {
+    if (bytes == null) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+    var off = 0
+    var ok = true
+    while (ok && off + 54 <= bytes.length &&
+        bytes(off) == 'B'.toByte && bytes(off + 1) == 'M'.toByte) {
+      val size = leU32(bytes, off + 2)
+      if (size < 54 || off + size > bytes.length) ok = false
+      else {
+        out += ((off, java.util.Arrays.copyOfRange(bytes, off, (off + size).toInt)))
+        off = (off + size).toInt
+      }
+    }
+    out.toArray
+  }
+
+  /** Little-endian u32 at `off` as a Long (no sign wrap for sizes past
+    * 2^31 — a hostile header must fail the bounds check, not index
+    * negatively). */
+  private def leU32(bytes: Array[Byte], off: Int): Long =
+    (bytes(off) & 0xFFL) | ((bytes(off + 1) & 0xFFL) << 8) |
+      ((bytes(off + 2) & 0xFFL) << 16) | ((bytes(off + 3) & 0xFFL) << 24)
+
+  /** Little-endian SIGNED i32 at `off` (BITMAPINFOHEADER dims; height may
+    * be negative = top-down row order, callers take |.|). */
+  private def leI32(bytes: Array[Byte], off: Int): Int =
+    (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
+      ((bytes(off + 2) & 0xFF) << 16) | ((bytes(off + 3) & 0xFF) << 24)
+
+  /** Per-frame container metadata of concatenated-BMP video assets:
+    * `(asset_id, frame_idx, frame_off, frame_bytes, width, height)` from
+    * the REAL frame walk ([[splitBmpFrames]]) plus each frame's own
+    * BITMAPINFOHEADER dims — header reads only, no decode. Assets with
+    * zero valid frames (null, non-video, malformed-from-byte-0 payloads)
+    * keep ONE row with null frame fields — reported, never dropped. */
+  def videoFrameMeta(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame_off", LongType),
+      StructField("frame_bytes", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    assets.select("asset_id", "content").mapPartitions { it =>
+      it.flatMap { r =>
+        val frames = splitBmpFrames(r.getAs[Array[Byte]](1))
+        if (frames.isEmpty) Iterator.single(Row(r.get(0), null, null, null, null, null))
+        else frames.iterator.zipWithIndex.map { case ((off, f), i) =>
+          Row(r.get(0), i, off.toLong, f.length.toLong,
+            math.abs(leI32(f, 18)), math.abs(leI32(f, 22)))
+        }
+      }
+    }(enc)
+  }
+
+  /** Decode `k` temporally sampled frames of a concatenated-BMP payload
+    * to their 9×8 luminance grids ([[lumGrid]]). Sampling lives in
+    * RELATIVE time — sample `j` reads frame `floor(j·F/k)` — so a copy
+    * at a different frame count pools approximately the same grids; the
+    * spatial grid is [[dhash64]]'s relative-coordinate pooling, so a
+    * copy at a different resolution does too. `None` when the payload
+    * has no valid frames or ANY sampled frame fails to decode/grid — a
+    * signature over a partial sample would compare different time
+    * points across assets. */
+  private[graft] def videoSampledGrids(bytes: Array[Byte],
+                                       k: Int): Option[Array[Array[Double]]] = {
+    val frames = splitBmpFrames(bytes)
+    if (frames.isEmpty) None
+    else {
+      val grids = new Array[Array[Double]](k)
+      var j = 0
+      var ok = true
+      while (ok && j < k) {
+        val f = frames(((j.toLong * frames.length) / k).toInt)._2
+        decodeImage(f).flatMap { case (w, h, px) => lumGrid(w, h, px) } match {
+          case Some(g) => grids(j) = g
+          case None => ok = false
+        }
+        j += 1
+      }
+      if (ok) Some(grids) else None
+    }
+  }
+
+  /** 64-bit temporal-mean video dHash: mean the `k` sampled frames' 9×8
+    * luminance grids cell-by-cell (fixed j = 0..k−1 summation order),
+    * then threshold horizontally adjacent cells — [[dhash64]] over the
+    * clip's TEMPORAL MEAN FRAME. Invariant to frame-rate changes
+    * (relative-time sampling), spatial rescale/aspect (relative grid),
+    * and any monotone per-frame contrast scaling around a shared mean
+    * (adjacent-delta signs survive positive scaling). Temporal
+    * REORDERING invariance is deliberate slack in the hash — the
+    * candidate-verify pass ([[videoGridsQ]] distances, which ARE
+    * temporally aligned) restores order sensitivity. */
+  private[graft] def videoSignature64(bytes: Array[Byte], k: Int): Option[Long] =
+    videoSampledGrids(bytes, k).map { grids =>
+      val mean = new Array[Double](72)
+      var j = 0
+      while (j < k) {
+        var c = 0
+        while (c < 72) { mean(c) += grids(j)(c); c += 1 }
+        j += 1
+      }
+      var c = 0
+      while (c < 72) { mean(c) /= k; c += 1 }
+      var bits = 0L
+      var b = 0
+      while (b < 64) {
+        if (mean(b / 8 * 9 + b % 8 + 1) > mean(b / 8 * 9 + b % 8)) bits |= 1L << b
+        b += 1
+      }
+      bits
+    }
+
+  /** Per-asset temporal-mean video hashes: `(asset_id, vhash: long)`,
+    * null vhash for assets with no decodable sampled frames — reported,
+    * never dropped. One `mapPartitions` pass over the codec boundary;
+    * 8 bytes leave per clip regardless of length or resolution — the
+    * [[imageDHash]] narrow-pass shape, so the downstream banded Hamming
+    * self-join scales on the hash table alone. */
+  def videoDHash(assets: DataFrame,
+                 k: Int = VideoSampleFrames): DataFrame = {
+    require(k >= 1, s"sample count must be positive, got $k")
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("vhash", LongType)))
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    assets.select("asset_id", "content").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        Row(r.get(0),
+          videoSignature64(r.getAs[Array[Byte]](1), k).map(Long.box).orNull)
+      }
+    }(enc)
+  }
+
+  /** Per-asset QUANTIZED temporally-aligned grids for candidate
+    * verification: `(asset_id, qgrid: array<long>)` of k·72 cells, cell
+    * `j·72 + c` = `round(lum_j(c) · 256)` — the [[luminanceGridsQ]]
+    * fixed-point discipline extended along time, so the verify distance
+    * (exact integer Σ|Δ|) compares frame j against frame j and a
+    * temporally REORDERED clip that slipped past the order-blind hash
+    * fails here. Null qgrid exactly when [[videoDHash]] is null. */
+  def videoGridsQ(assets: DataFrame,
+                  k: Int = VideoSampleFrames): DataFrame = {
+    require(k >= 1, s"sample count must be positive, got $k")
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("qgrid", ArrayType(LongType))))
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    assets.select("asset_id", "content").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val q = videoSampledGrids(r.getAs[Array[Byte]](1), k).map { grids =>
+          grids.flatMap(_.map(v => Long.box(math.round(v * 256.0)))).toSeq
+        }
+        Row(r.get(0), q.orNull)
+      }
+    }(enc)
+  }
+
+  /** Video transcode — the [[resizeImages]]/[[resamplePcm]] analog for
+    * the third modality, REAL end to end: walk the source frames
+    * ([[splitBmpFrames]]), temporally resample to `targetFrames` in
+    * relative time (output frame j reads source frame
+    * `floor(j·F/targetFrames)` — the nearest-neighbor rule of both
+    * siblings), spatially resample each selected frame to
+    * `width`×`height` and re-encode ([[resampleRasterToBmp]]), then
+    * re-concatenate. The output shares no bytes with its source
+    * (different frame count, resolution, aspect, and encoder), so
+    * byte-level exact dedup can never pair a transcoded copy with its
+    * original — the gap [[videoDHash]] + banded Hamming pairing closes.
+    * Payloads with no valid frames (or any undecodable selected frame)
+    * transcode to a null payload with metadata still updated — you
+    * cannot resample frames no codec claims; inventing them would be a
+    * stub. */
+  def transcodeVideo(assets: DataFrame, targetFrames: Int,
+                     width: Int, height: Int): DataFrame = {
+    require(targetFrames >= 1,
+      s"target frame count must be positive, got $targetFrames")
+    requireRasterTarget(width, height)
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(assetSchema)
+    assets.select("asset_id", "content", "meta").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val frames = splitBmpFrames(r.getAs[Array[Byte]](1))
+        val out: Array[Byte] =
+          if (frames.isEmpty) null
+          else {
+            val encoded = new Array[Array[Byte]](targetFrames)
+            var j = 0
+            var ok = true
+            while (ok && j < targetFrames) {
+              val src = frames(((j.toLong * frames.length) / targetFrames).toInt)._2
+              decodeImage(src) match {
+                case Some((sw, sh, px)) =>
+                  encoded(j) = resampleRasterToBmp(sw, sh, px, width, height)
+                case None => ok = false
+              }
+              j += 1
+            }
+            if (!ok) null
+            else {
+              val bos = new java.io.ByteArrayOutputStream()
+              encoded.foreach(bos.write)
+              bos.toByteArray
+            }
+          }
+        val m = r.getStruct(2)
+        Row(r.get(0), out, Row(
+          if (m == null) null else m.get(0),
+          if (out == null) null else out.length.toLong,
+          width, height,
+          if (m == null) null else m.get(4)))
       }
     }(enc)
   }

@@ -241,22 +241,22 @@ object Main {
       |          (serve: exact integer margins + sigmoid p per doc; with
       |           --threshold keep only docs at p >= threshold)
       |  mm-index-build  --in <assets-parquet> --name <table>
-      |          [--modality image|audio] [--buckets 256] [--bands 4]
+      |          [--modality image|audio|video] [--buckets 256] [--bands 4]
       |          (decode + hash each asset ONCE — 8 bytes out — and
       |           persist the banded 64-bit hash table; the multimodal
       |           near-dup index)
       |  mm-index-append --in <assets-parquet> --name <table>
-      |          [--modality image|audio]
+      |          [--modality image|audio|video]
       |  mm-index-delete --in <ids-parquet> --name <table> [--id asset_id]
       |  mm-index-compact --name <table>
       |  mm-index-pairs  --in <assets-parquet> --name <table> --out <dir>
-      |          [--modality image|audio] [--hamming 3]
+      |          [--modality image|audio|video] [--hamming 3]
       |          (serve: near-dup pairs of the new batch against the
       |           persisted hash table; only the batch is decoded)
       |  mm-index-ingest --landing <dir> --name <table> --checkpoint <dir>
-      |          [--modality image|audio] [--once]
+      |          [--modality image|audio|video] [--once]
       |          (continuous ingest: per micro-batch idempotent append)
-      |  mm-keep --in <assets-parquet> --out <dir> [--modality image|audio]
+      |  mm-keep --in <assets-parquet> --out <dir> [--modality image|audio|video]
       |          (batch keep-set: verified near-dup pairs -> connected
       |           components -> keep min asset id per cluster)""".stripMargin
 
@@ -1060,8 +1060,9 @@ object Main {
       val kept = opt.getOrElse("modality", "image") match {
         case "image" => graft.operators.Dedup.imageNearDupKeep(assets)
         case "audio" => graft.operators.Dedup.audioNearDupKeep(assets)
+        case "video" => graft.operators.Dedup.videoNearDupKeep(assets)
         case other => throw new IllegalArgumentException(
-          s"unknown --modality $other (image|audio)\n$Usage")
+          s"unknown --modality $other (image|audio|video)\n$Usage")
       }
       kept.write.mode("overwrite").option("compression", "zstd")
         .parquet(req(opt, "out"))
@@ -1071,7 +1072,7 @@ object Main {
         s"unknown command ${other.getOrElse("<none>")}\n$Usage")
   }
 
-  /** `--modality image|audio` → the matching narrow-pass hasher. */
+  /** `--modality image|audio|video` → the matching narrow-pass hasher. */
   private def mmHashes(assets: org.apache.spark.sql.DataFrame,
                        opt: Map[String, String]): org.apache.spark.sql.DataFrame =
     mmModality(opt) match {
@@ -1079,14 +1080,17 @@ object Main {
         graft.operators.Dedup.imageHashes(assets)
       case graft.streaming.HashIndexIngest.AudioAssets =>
         graft.operators.Dedup.audioHashes(assets)
+      case graft.streaming.HashIndexIngest.VideoAssets =>
+        graft.operators.Dedup.videoHashes(assets)
     }
 
   private def mmModality(opt: Map[String, String]): graft.streaming.HashIndexIngest.Modality =
     opt.getOrElse("modality", "image") match {
       case "image" => graft.streaming.HashIndexIngest.ImageAssets
       case "audio" => graft.streaming.HashIndexIngest.AudioAssets
+      case "video" => graft.streaming.HashIndexIngest.VideoAssets
       case other => throw new IllegalArgumentException(
-        s"unknown --modality $other (image|audio)\n$Usage")
+        s"unknown --modality $other (image|audio|video)\n$Usage")
     }
 
   /** `--key value` options and bare `--flag` switches. */

@@ -43,6 +43,9 @@ object HashIndexIngest {
   /** Hash via [[graft.operators.Dedup.audioHashes]] (energy-delta
     * fingerprint). */
   case object AudioAssets extends Modality
+  /** Hash via [[graft.operators.Dedup.videoHashes]] (frame walk +
+    * temporal-mean dHash). */
+  case object VideoAssets extends Modality
 
   /** The `foreachBatch` sink: hash this micro-batch once, append under
     * its batch-id key. Empty batches are skipped without burning an
@@ -53,6 +56,7 @@ object HashIndexIngest {
         val hashes = modality match {
           case ImageAssets => Dedup.imageHashes(batch)
           case AudioAssets => Dedup.audioHashes(batch)
+          case VideoAssets => Dedup.videoHashes(batch)
         }
         Dedup.appendToHashIndexIdempotent(hashes, name,
           key = s"batch_$batchId")

@@ -155,6 +155,55 @@ class HashIndexSpec extends SparkSpec {
     dropIx("hix_stream"); dropIx("hix_stream_rebuild")
   }
 
+  test("streamed ingest: video modality through the SAME sink (third " +
+    "modality, same protocol)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    dropIx("hix_vstream"); dropIx("hix_vstream_rebuild")
+    def clips(ids: Seq[Long]): DataFrame =
+      ids.toDF("doc_id")
+        .select(col("doc_id"),
+          SparkEntry.synthVideoPayload(col("doc_id")).as("vid"))
+        .select(col("doc_id").as("asset_id"), col("vid").as("content"))
+    // transcoded near-dup copies of the first clips, streamed later
+    val copiesV = Multimodal.transcodeVideo(
+        Multimodal.toAssets(
+          spark.range(5).toDF("i").select((col("i") * 3).as("doc_id"))
+            .select(col("doc_id"),
+              SparkEntry.synthVideoPayload(col("doc_id")).as("vid")),
+          "doc_id", "vid", "video/x-graft-bmpseq"),
+        Multimodal.VideoSampleFrames, 96, 72)
+      .select((col("asset_id") + SparkEntry.VideoCopyOffset).as("asset_id"),
+        col("content"))
+    val ids = (0L until 15L).map(_ * 3)
+    Dedup.writeHashIndex(
+      Dedup.videoHashes(clips(ids.take(5))), "hix_vstream", buckets = 4)
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = in.toDF().toDF("asset_id", "content")
+      .writeStream
+      .foreachBatch(HashIndexIngest.sink("hix_vstream",
+        HashIndexIngest.VideoAssets))
+      .start()
+    in.addData(clips(ids.drop(5)).as[(Long, Array[Byte])].collect().toIndexedSeq)
+    q.processAllAvailable()
+    in.addData(copiesV.as[(Long, Array[Byte])].collect().toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val all = clips(ids).unionByName(copiesV.select(col("asset_id"), col("content")))
+    Dedup.writeHashIndex(Dedup.videoHashes(all), "hix_vstream_rebuild",
+      buckets = 4)
+    val probe = clips(ids.take(5))
+    def pairs(name: String) =
+      Dedup.videoPairsAgainstHashIndex(probe, name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val streamed = pairs("hix_vstream")
+    assert(streamed == pairs("hix_vstream_rebuild"),
+      "streamed appends must serve exactly what a rebuild serves")
+    assert(streamed.exists(_._2 >= SparkEntry.VideoCopyOffset),
+      "a streamed transcoded copy must collide with its base clip")
+    dropIx("hix_vstream"); dropIx("hix_vstream_rebuild")
+  }
+
   test("keep-set: each verified near-dup cluster keeps exactly its min " +
     "id; unpaired assets all survive") {
     val pairs = Dedup.imageNearDupPairsVerified(corpus).collect()

@@ -22,6 +22,27 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q_curate_lm composition: kept ≡ (served rounded xent ≤ cutoff) minus " +
+    "near-dup losers; unscoreable docs never pass the gate") {
+    import org.apache.spark.sql.functions._
+    val served = SparkEntry.queries("q_lm_xent_served")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val losers = graft.operators.Dedup.minhashDuplicates(
+        graft.operators.Dedup.hashedWordShingles(
+          SparkEntry.tbl(spark, sf, "documents"), "doc_id", "text"), 0.8)
+      .select(col("id_b")).collect().map(_.getLong(0)).toSet
+    val expected = served.collect {
+      case (id, Some(x)) if x <= SparkEntry.LmCurateMaxXent => id
+    }.toSet -- losers
+    val kept = SparkEntry.queries("q_curate_lm")(spark, sf).collect()
+    assert(kept.map(_.getLong(0)).toSet == expected)
+    // the gate compares the ROUNDED value (the hash-gate-proven quantity),
+    // so every surfaced xent sits at or under the cutoff exactly
+    assert(kept.forall(r => !r.isNullAt(3) &&
+      r.getDouble(3) <= SparkEntry.LmCurateMaxXent))
+  }
+
   test("tbl normalizes TIMESTAMP_NTZ reads to session-zoned µs timestamps") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
