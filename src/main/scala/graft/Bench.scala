@@ -416,20 +416,25 @@ object Bench {
       "q_audio_dedup_keep" -> ((0.15, 5.00)),
       "q_image_dedup_index" -> ((0.10, 2.80)),
       "q_curate_classified" -> ((0.30, 3.80)),
-      // r18 video pillar + LM-gated curation, banded from birth (house
-      // rule: a decode-bodied or multi-stage query must never meet the
-      // floor gate on its first noisy-host measurement). Estimated from
-      // siblings — video decodes 4 frames/clip at ~half the image
+      // r18 video pillar + LM-gated curation + hybrid RRF, banded from
+      // birth at sibling estimates (house rule: a decode-bodied or
+      // multi-stage query must never meet the floor gate on its first
+      // noisy-host measurement), then RE-BASED within the round to the
+      // first TWO quiet-host full-suite medians under the 2.5× rule
+      // (named cause, per the band policy): video_dedup 1.23/1.18,
+      // verified 2.04/2.10, keep 2.89/2.59, curate_lm 1.73/1.91,
+      // hybrid_rrf 1.69 quiet (2.23 on the one loaded run — the min
+      // gate carries loaded medians; hi = 2.5× the quiet median).
+      // Bodies: video decodes 4 sampled frames/clip at ~half the image
       // corpus's pixels (2001 clips at sf0.1), verified/keep add a
       // second decode pass + CC; curate_lm = served-LM scoring + the
-      // q_curate minhash body. First full-suite measured medians (the
-      // debut run, quiet host): video_dedup 1.23, verified 2.04,
-      // keep 2.89, curate_lm 1.73 — all comfortably inside; re-base to
-      // the first TWO medians next round per the band policy.
-      "q_video_dedup" -> ((0.15, 2.80)),
-      "q_video_dedup_verified" -> ((0.25, 4.50)),
-      "q_video_dedup_keep" -> ((0.30, 5.50)),
-      "q_curate_lm" -> ((0.30, 4.00)))
+      // q_curate minhash body; hybrid = BM25 inline build + one
+      // feature pass + two TakeOrdered cuts.
+      "q_video_dedup" -> ((0.15, 3.00)),
+      "q_video_dedup_verified" -> ((0.25, 5.20)),
+      "q_video_dedup_keep" -> ((0.30, 6.80)),
+      "q_curate_lm" -> ((0.30, 4.60)),
+      "q_hybrid_rrf" -> ((0.25, 4.20)))
     val medians = results.map(r => r._1 -> r._2).toMap
     val minsOf = results.map(r => r._1 -> r._3).toMap
     // PRIOR medians from the last run's bench_full.json, read BEFORE this

@@ -924,6 +924,8 @@ object SparkEntry {
       .write.mode("overwrite").parquet(AudioCurveFixture)
     s.read.parquet(videoCorpusPath(s, dir)).select("asset_id", "content")
       .write.mode("overwrite").parquet(VideoPayloadFixture)
+    hybridCosines(s, dir)
+      .write.mode("overwrite").parquet(HybridCosFixture)
     Multimodal.videoDHash(s.read.parquet(videoCorpusPath(s, dir)))
       .write.mode("overwrite").parquet(VideoHashFixture)
     Multimodal.videoGridsQ(s.read.parquet(videoCorpusPath(s, dir)))
@@ -3092,6 +3094,98 @@ object SparkEntry {
         rq(element_at(col("feature"), 1).cast("double"), 6).as("feat0"))
   }
 
+  /** Hybrid-retrieval fusion constants: RRF's K (Cormack, Clarke &
+    * Buettcher 2009 — 60 is the paper's value), the shared query text,
+    * and the per-leg ranking depth. */
+  private val RrfK = 60
+  private val HybridQuery = "spark hash join stream"
+  private[graft] val HybridTopN = 50
+
+  /** Per-doc feature cosine against [[HybridQuery]]'s own feature
+    * vector — the semantic leg of q_hybrid_rrf, shared by the query and
+    * the fixture dump. Features are the engine's real (if simple)
+    * byte-histogram featurizer ([[Multimodal.extractFeatures]] over
+    * text payloads — the honest stand-in at exactly the boundary where
+    * a deployment slots a learned encoder); the cosine is ROUNDED to 6
+    * decimals at birth (the rq discipline) so the rank order downstream
+    * is a function of values the oracle consumes verbatim. Zero-norm
+    * sides (empty text) yield a NULL cosine — reported, never ranked. */
+  private def hybridCosines(s: SparkSession, dir: String): DataFrame = {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.toAssets(tbl(s, dir, "documents"), "doc_id", "text",
+        "text/plain"), 16)
+      .select(col("asset_id").as("doc_id"), col("feature"))
+    import s.implicits._
+    val qf = Multimodal.extractFeatures(
+      Multimodal.toAssets(Seq((-1L, HybridQuery)).toDF("doc_id", "text"),
+        "doc_id", "text", "text/plain"), 16)
+      .select(col("feature").as("qfeat"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+    feats.crossJoin(broadcast(qf))
+      .withColumn("__num", dot(col("feature"), col("qfeat")))
+      .withColumn("__den",
+        sqrt(dot(col("feature"), col("feature"))) *
+          sqrt(dot(col("qfeat"), col("qfeat"))))
+      .select(col("doc_id"),
+        when(col("__den") > 0, rq(col("__num") / col("__den"), 6)).as("cos_r"))
+  }
+
+  /** Fixture parquet of the engine-computed per-doc query cosines for
+    * q_hybrid_rrf's oracle (float featurizer + dot products are
+    * engine-bound; GIVEN the rounded cosines, ranking + fusion is plain
+    * SQL — the [[MultimodalFixture]] discipline). */
+  private lazy val HybridCosFixture =
+    new java.io.File("target/verify-fixtures/hybrid_cos").getAbsolutePath
+
+  /** Top-`n` ranking of a scored leg, scale-right: the cut is a
+    * `TakeOrderedAndProject` (orderBy + limit — distributed, never a
+    * global single-partition window over the corpus), and only the ≤ n
+    * surviving rows pay the row_number window (bounded by construction).
+    * Rank order is (rounded score DESC, doc_id) — both components exact,
+    * so engine and oracle rank identically. */
+  private def rankTop(leg: DataFrame, scoreCol: String, n: Int,
+                      rankName: String): DataFrame =
+    leg.orderBy(col(scoreCol).desc, col("doc_id")).limit(n)
+      .withColumn(rankName,
+        row_number().over(Window.orderBy(col(scoreCol).desc, col("doc_id")))
+          .cast("int"))
+      .select(col("doc_id"), col(rankName))
+
+  /** HYBRID RETRIEVAL — Reciprocal Rank Fusion (Cormack et al. 2009) of
+    * a lexical and a semantic ranking for ONE query: BM25 top-50 over
+    * the corpus index fused with feature-cosine top-50 against the
+    * query's own feature vector, `rrf(d) = Σ_legs 1/(K + rank_leg(d))`,
+    * top 20 fused docs returned. The mining composition a training-data
+    * pipeline runs to pull targeted subsets out of a corpus (lexical
+    * match alone misses paraphrases; embedding match alone misses exact
+    * terms — RRF needs no score calibration between legs, which is why
+    * it is the deployed default). Every fusion input is exact (integer
+    * ranks over 6-decimal-rounded scores, doc_id tie-break), and the
+    * per-doc RRF sum is two IEEE divisions + one add with identical
+    * operands on both sides — so the whole fusion, cut included, sits
+    * under the hash gate. Oracle: the q_bm25 score replay CTE ranked the
+    * same way, the dumped cosines ([[HybridCosFixture]]) ranked the same
+    * way, same fusion arithmetic, same (rrf DESC, doc_id) cut. */
+  private def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val bm = graft.operators.TextIndex.bm25(
+        graft.operators.TextIndex.build(tbl(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", HybridQuery)
+      .select(col("doc_id"), rq(col("score"), 6).as("s"))
+    val bmR = rankTop(bm, "s", HybridTopN, "r_bm25")
+    val cosR = rankTop(hybridCosines(s, dir).filter(col("cos_r").isNotNull),
+      "cos_r", HybridTopN, "r_emb")
+    bmR.join(cosR, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + col("r_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_emb")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("r_bm25"), col("r_emb"),
+        rq(col("rrf"), 9).as("rrf"))
+  }
+
   /** Capstone curation pipeline: quality-filter the corpus and drop the
     * HIGHER-id'd member of every near-duplicate pair (pairs carry
     * id_a < id_b, so keeping id_a keeps the min-id representative) — the
@@ -3364,6 +3458,7 @@ object SparkEntry {
     "q_quality_classifier" -> qQualityClassifier,
     "q_curate_classified" -> qCurateClassified,
     "q_curate_lm" -> qCurateLm,
+    "q_hybrid_rrf" -> qHybridRrf,
     "q_dedup_spans" -> qDedupSpans,
     "q_dedup_spans_index" -> qDedupSpansIndex,
     "q_dedup_spans_index_bucketed" -> qDedupSpansIndexBucketed,
@@ -4702,6 +4797,25 @@ object SparkEntry {
     // replayable in SQL; df comes from the FULL postings (then filtered
     // to the query terms), dl/avgdl count every corpus doc
     "q_bm25" -> bm25Sql,
+    // RRF fusion replay: the q_bm25 score CTE and the dumped cosines each
+    // ranked (rounded score DESC, doc_id) with a LIMIT-50 cut, fused by
+    // 1/(60+rank) sums (two IEEE divisions + one add — identical operands
+    // both sides), top 20 by (rrf DESC, doc_id)
+    "q_hybrid_rrf" ->
+      s"""WITH b AS ($bm25Sql),
+        | bt AS (SELECT doc_id, score FROM b ORDER BY score DESC, doc_id LIMIT $HybridTopN),
+        | br AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS r_bm25 FROM bt),
+        | c AS (SELECT doc_id, cos_r FROM read_parquet('$HybridCosFixture/*.parquet')
+        |       WHERE cos_r IS NOT NULL),
+        | ct AS (SELECT doc_id, cos_r FROM c ORDER BY cos_r DESC, doc_id LIMIT $HybridTopN),
+        | cr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos_r DESC, doc_id) AS INT) AS r_emb FROM ct),
+        | f AS (
+        |  SELECT coalesce(br.doc_id, cr.doc_id) AS doc_id, br.r_bm25, cr.r_emb,
+        |         coalesce(CAST(1.0 AS DOUBLE)/($RrfK + br.r_bm25), 0) + coalesce(CAST(1.0 AS DOUBLE)/($RrfK + cr.r_emb), 0) AS rrf
+        |  FROM br FULL OUTER JOIN cr ON br.doc_id = cr.doc_id)
+        |SELECT doc_id, r_bm25, r_emb,
+        |       floor(rrf*1000000000.0 + 0.5)/1000000000.0 AS rrf
+        |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     // the epoch-grown persisted layout answers the SAME oracle: counts,
     // df, N and Σdl are additive over the id-disjoint thirds and avgdl
     // derives from exact integer sums, so growth reproduces the
