@@ -451,7 +451,7 @@ object SparkEntry {
   private val spanSketchCache =
     collection.concurrent.TrieMap.empty[String, graft.operators.Dedup.SpanSketch]
   private def spanSketch(s: SparkSession, dir: String): graft.operators.Dedup.SpanSketch =
-    spanSketchCache.getOrElseUpdate(dir, {
+    cached(spanSketchCache, dir, {
       val index = s.read.parquet(spanIndexPath(s, dir))
       // coalesce: sum over an empty index is null — let the builder's
       // own "empty index" require fire, not a bare NPE here
@@ -484,8 +484,19 @@ object SparkEntry {
   private val bpeMergesCache =
     collection.concurrent.TrieMap.empty[String, Seq[Bpe.Merge]]
   private def bpeMerges(s: SparkSession, dir: String): Seq[Bpe.Merge] =
-    bpeMergesCache.getOrElseUpdate(dir,
-      Bpe.train(tbl(s, dir, "documents"), "text", numMerges = 64))
+    cached(bpeMergesCache, dir, {
+      // persist-once across JVMs: training is deterministic (tie-breaks
+      // pinned by BpeSpec) and the merge list round-trips parquet
+      // exactly (strings + integers), so a reused list is bit-identical
+      // to a retrain — but the retrain is ~64 driver-looped rounds of
+      // jobs per JVM, the single heaviest fixture build Verify paid
+      val p = new java.io.File(s"target/q-bpe-merges/${dirKey(dir)}").getAbsolutePath
+      reusableLayout(p) {
+        Bpe.writeMerges(s,
+          Bpe.train(tbl(s, dir, "documents"), "text", numMerges = 64), p)
+      }
+      Bpe.readMerges(s, p)
+    })
 
   /** PRE-TOKENIZED merges over the events table's JSON `props` strings —
     * the corpus where the GPT-2-style pre-tokenizer actually bites: the
@@ -496,9 +507,16 @@ object SparkEntry {
   private val bpePreMergesCache =
     collection.concurrent.TrieMap.empty[String, Seq[Bpe.Merge]]
   private def bpePreMerges(s: SparkSession, dir: String): Seq[Bpe.Merge] =
-    bpePreMergesCache.getOrElseUpdate(dir,
-      Bpe.train(tbl(s, dir, "events"), "props", numMerges = 32,
-        pretokenize = true))
+    cached(bpePreMergesCache, dir, {
+      // the [[bpeMerges]] persist-once contract, pre-tokenized corpus
+      val p = new java.io.File(s"target/q-bpe-pre-merges/${dirKey(dir)}").getAbsolutePath
+      reusableLayout(p) {
+        Bpe.writeMerges(s,
+          Bpe.train(tbl(s, dir, "events"), "props", numMerges = 32,
+            pretokenize = true), p)
+      }
+      Bpe.readMerges(s, p)
+    })
 
   private lazy val BpePreFixture =
     new java.io.File("target/verify-fixtures/bpe_pre_words").getAbsolutePath
@@ -521,15 +539,16 @@ object SparkEntry {
     * parquet, the serving contract. */
   private val spanIxCache = collection.concurrent.TrieMap.empty[String, String]
   private def spanIndexPath(s: SparkSession, dir: String): String =
-    spanIxCache.getOrElseUpdate(dir, {
+    cached(spanIxCache, dir, {
       val p = new java.io.File(s"target/q-span-index/${dirKey(dir)}").getAbsolutePath
+        reusableLayout(p) {
       val docs = tbl(s, dir, "documents")
       def half(r: Int) = docs.filter(pmod(col("doc_id"), lit(2)) === r)
       Dedup.mergeSpanIndexes(
           Dedup.buildSpanIndex(half(0), "doc_id", "text", n = 8),
           Dedup.buildSpanIndex(half(1), "doc_id", "text", n = 8))
         .write.mode("overwrite").parquet(p)
-      p
+        }
     })
 
   /** BUCKETED span-index tables for `dir`'s documents corpus, grown
@@ -542,7 +561,7 @@ object SparkEntry {
     * split is measured in bench_scale_span_index.json. */
   private val spanBucketedCache = collection.concurrent.TrieMap.empty[String, String]
   private def bucketedSpanTable(s: SparkSession, dir: String): String =
-    spanBucketedCache.getOrElseUpdate(dir, {
+    cached(spanBucketedCache, dir, {
       val name = "graft_q_span_ix_" + dirKey(dir)
       val docs = tbl(s, dir, "documents")
       def slice(r: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === r)
@@ -616,10 +635,59 @@ object SparkEntry {
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  /** Exactly-once per (cache, key) computation. `TrieMap.getOrElseUpdate`
+    * may run its thunk TWICE under concurrent first access — for these
+    * caches that is two racing overwrite writes of one persisted layout
+    * (the r18 ADVICE finding) — so every cache site routes through this
+    * per-key lock instead. The lock map is keyed by cache identity + key;
+    * the fast path (already cached) takes no lock. This is what makes the
+    * caches safe for [[Verify]]'s PARALLEL dump loop. */
+  private val cacheLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def cached[V](cache: collection.concurrent.TrieMap[String, V],
+                        key: String, build: => V): V =
+    cache.getOrElse(key, {
+      val lk = cacheLocks.computeIfAbsent(
+        s"${System.identityHashCode(cache)}|$key", _ => new Object)
+      lk.synchronized(cache.getOrElseUpdate(key, build))
+    })
+
+  /** Fixture-recipe epoch: bump whenever any persisted corpus / model /
+    * layout RECIPE changes, so cross-JVM reuse can never serve a stale
+    * build of a changed recipe. Recorded inside every completion marker. */
+  private[graft] val FixtureEpoch = "r19-1"
+
+  /** Cross-JVM fixture reuse is ON only when asked for: [[Verify]] turns
+    * it on by default (the correctness gate re-derives nothing whose
+    * persisted copy already exists — the r18 t2-cost finding), while
+    * [[Bench]] leaves it off so every bench invocation computes its
+    * layouts from the parquet inputs in-JVM, as the timing contract
+    * requires. Env `SPARK_GRAFT_FIXTURE_REUSE` overrides both ways. */
+  private def fixtureReuse: Boolean =
+    sys.env.get("SPARK_GRAFT_FIXTURE_REUSE")
+      .orElse(sys.props.get("graft.fixtureReuse")).contains("1")
+
+  /** Persist-once layout build: when reuse is enabled and `p` carries a
+    * completion marker from the SAME fixture epoch, skip `build` and
+    * serve the existing files; otherwise build and write the marker LAST
+    * (a crashed build leaves no marker → next run rebuilds). The marker
+    * is epoch-stamped so a recipe change (new [[FixtureEpoch]]) invalidates
+    * every prior layout at once. */
+  private def reusableLayout(p: String)(build: => Unit): String = {
+    val marker = new java.io.File(p, "_GRAFT_COMPLETE")
+    def fresh = marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == FixtureEpoch
+    if (!(fixtureReuse && fresh)) {
+      build
+      new java.io.File(p).mkdirs()
+      java.nio.file.Files.write(marker.toPath, FixtureEpoch.getBytes("UTF-8"))
+    }
+    p
+  }
+
   private val kmeansCache =
     collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
   private def kmeansCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
-    kmeansCache.getOrElseUpdate(dir, {
+    cached(kmeansCache, dir, {
       // one subdirectory PER dir (not one overwritten table): dumping
       // fixtures for a second sf dir must never destroy the first's
       // persisted matrix — that would silently revert that dir to
@@ -658,7 +726,7 @@ object SparkEntry {
   private val pqCache =
     collection.concurrent.TrieMap.empty[String, Similarity.PqCodebooks]
   private def pqCodebooks(s: SparkSession, dir: String): Similarity.PqCodebooks =
-    pqCache.getOrElseUpdate(dir, {
+    cached(pqCache, dir, {
       val persisted = new java.io.File(s"$KmeansFixture/pq_store/${dirKey(dir)}")
       if (!persisted.exists())
         Similarity.trainPq(tbl(s, dir, "embeddings"), "vec_id", "embedding",
@@ -689,7 +757,7 @@ object SparkEntry {
   private val pqResCache =
     collection.concurrent.TrieMap.empty[String, Similarity.PqCodebooks]
   private def pqResCodebooks(s: SparkSession, dir: String): Similarity.PqCodebooks =
-    pqResCache.getOrElseUpdate(dir, {
+    cached(pqResCache, dir, {
       val persisted = new java.io.File(s"$KmeansFixture/pq_res_store/${dirKey(dir)}")
       if (!persisted.exists())
         Similarity.trainPqResidual(tbl(s, dir, "embeddings"), "vec_id",
@@ -742,7 +810,7 @@ object SparkEntry {
     * table name is dir-keyed so sf dirs never collide within a JVM. */
   private val bandedIxCache = collection.concurrent.TrieMap.empty[String, String]
   private def bandedIndexTable(s: SparkSession, dir: String): String =
-    bandedIxCache.getOrElseUpdate(dir, {
+    cached(bandedIxCache, dir, {
       val name = "graft_q_banded_ix_" + dirKey(dir)
       val (index, _) = dedupIndexParts(s, dir)
       Dedup.writeBandedIndex(index, name, buckets = 32)
@@ -759,7 +827,7 @@ object SparkEntry {
     * serving answers the SAME oracle. */
   private val ingestBandedCache = collection.concurrent.TrieMap.empty[String, String]
   private def ingestBandedTable(s: SparkSession, dir: String): String =
-    ingestBandedCache.getOrElseUpdate(dir, {
+    cached(ingestBandedCache, dir, {
       val name = "graft_q_banded_ing_" + dirKey(dir)
       val docs = tbl(s, dir, "documents")
       def slice(r: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === r)
@@ -779,7 +847,7 @@ object SparkEntry {
     * the same ids). */
   private val deletedBandedCache = collection.concurrent.TrieMap.empty[String, String]
   private def deletedBandedTable(s: SparkSession, dir: String): String =
-    deletedBandedCache.getOrElseUpdate(dir, {
+    cached(deletedBandedCache, dir, {
       val name = "graft_q_banded_del_" + dirKey(dir)
       val (index, _) = dedupIndexParts(s, dir)
       Dedup.writeBandedIndex(index, name, buckets = 32)
@@ -799,14 +867,15 @@ object SparkEntry {
     * path is dir-keyed so sf dirs never collide within a JVM. */
   private val ivfIxCache = collection.concurrent.TrieMap.empty[String, String]
   private def ivfIndexPath(s: SparkSession, dir: String): String =
-    ivfIxCache.getOrElseUpdate(dir, {
+    cached(ivfIxCache, dir, {
       val path = new java.io.File("target/bench-ivf-index/" +
         dirKey(dir)).getAbsolutePath
+        reusableLayout(path) {
       Similarity.writeIvfIndex(
         Similarity.buildQuantizedIndex(tbl(s, dir, "embeddings"),
           "vec_id", "embedding", "label"),
         path, "label")
-      path
+        }
     })
 
   /** LEARNED on-disk IVF index for `dir`'s embeddings: cells induced by
@@ -817,12 +886,13 @@ object SparkEntry {
     * the timed body, like every other serving-layout cache here. */
   private val learnedIvfCache = collection.concurrent.TrieMap.empty[String, String]
   private def learnedIvfPath(s: SparkSession, dir: String): String =
-    learnedIvfCache.getOrElseUpdate(dir, {
+    cached(learnedIvfCache, dir, {
       val path = new java.io.File("target/bench-ivf-learned/" +
         dirKey(dir)).getAbsolutePath
+        reusableLayout(path) {
       Similarity.writeLearnedIvfIndex(tbl(s, dir, "embeddings"),
         "vec_id", "embedding", path, kmeansCentroids(s, dir))
-      path
+        }
     })
 
   /** [[learnedIvfPath]]'s INGEST twin: the same index CONTENT reached
@@ -835,9 +905,10 @@ object SparkEntry {
     * timed body, like every serving-layout cache here. */
   private val ingestIvfCache = collection.concurrent.TrieMap.empty[String, String]
   private def ingestIvfPath(s: SparkSession, dir: String): String =
-    ingestIvfCache.getOrElseUpdate(dir, {
+    cached(ingestIvfCache, dir, {
       val path = new java.io.File("target/bench-ivf-ingest/" +
         dirKey(dir)).getAbsolutePath
+        reusableLayout(path) {
       val e = tbl(s, dir, "embeddings")
       Similarity.writeLearnedIvfIndex(
         e.filter(pmod(col("vec_id"), lit(3)) === 0),
@@ -846,7 +917,7 @@ object SparkEntry {
         e.filter(pmod(col("vec_id"), lit(3)) === 1), path, "vec_id", "embedding")
       Similarity.appendToIvfIndex(
         e.filter(pmod(col("vec_id"), lit(3)) === 2), path, "vec_id", "embedding")
-      path
+        }
     })
 
   /** [[learnedIvfPath]]'s DELETION twin: the full learned index with
@@ -856,22 +927,38 @@ object SparkEntry {
     * oracle replays (the fixture corpus filtered by the same predicate). */
   private val deletedIvfCache = collection.concurrent.TrieMap.empty[String, String]
   private def deletedIvfPath(s: SparkSession, dir: String): String =
-    deletedIvfCache.getOrElseUpdate(dir, {
+    cached(deletedIvfCache, dir, {
       val path = new java.io.File("target/bench-ivf-deleted/" +
         dirKey(dir)).getAbsolutePath
+        reusableLayout(path) {
       val e = tbl(s, dir, "embeddings")
       Similarity.writeLearnedIvfIndex(e, "vec_id", "embedding", path,
         kmeansCentroids(s, dir))
       Similarity.deleteFromIvfIndex(
         e.filter(pmod(col("vec_id"), lit(5)) === 0).select("vec_id"),
         path, "vec_id")
-      path
+        }
     })
 
   /** Oracle-side fixture dump, called by the Verify harness (NOT by the
     * queries themselves — the bench must time operators, not fixture
     * I/O). Written distributed; DuckDB globs the part files. */
   def prepareOracleFixtures(s: SparkSession, dir: String): Unit = {
+    // Persist-once across JVMs (the r18 t2-cost fix): the fixture tree
+    // describes exactly ONE dir, so the completion marker records
+    // (epoch, dir) and a re-run for the SAME dir under reuse skips the
+    // whole dump — every fixture here is deterministic in (recipe, dir),
+    // and the model stores the dump writes are exactly what the
+    // cross-JVM model caches re-load. A different dir (or epoch bump)
+    // rebuilds everything; the marker is deleted first so a crashed
+    // rebuild can never leave a stale marker standing over mixed
+    // fixtures.
+    val fixturesMarker = new java.io.File("target/verify-fixtures/_GRAFT_COMPLETE")
+    val stamp = s"$FixtureEpoch $dir"
+    if (fixtureReuse && fixturesMarker.exists() &&
+        new String(java.nio.file.Files.readAllBytes(fixturesMarker.toPath),
+          "UTF-8") == stamp) return
+    java.nio.file.Files.deleteIfExists(fixturesMarker.toPath)
     Dedup.simhash(tbl(s, dir, "documents"), "doc_id", "text")
       .write.mode("overwrite").parquet(SimhashFixture)
     Dedup.hashedWordShingles(tbl(s, dir, "documents"), "doc_id", "text", k = 8)
@@ -1069,6 +1156,9 @@ object SparkEntry {
     s.createDataFrame(orRows).toDF("j", "c", "centroid", "dir")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$KmeansFixture/pq_codebooks_opq_res")
+    // completion marker LAST: only a fully-written fixture tree is reusable
+    fixturesMarker.getParentFile.mkdirs()
+    java.nio.file.Files.write(fixturesMarker.toPath, stamp.getBytes("UTF-8"))
   }
 
   /** OPQ model (learned rotation + rotated-space codebooks) for `dir`'s
@@ -1081,7 +1171,7 @@ object SparkEntry {
   private val opqCache = collection.concurrent.TrieMap
     .empty[String, (Array[Array[Double]], Similarity.PqCodebooks)]
   private def opqModel(s: SparkSession, dir: String): (Array[Array[Double]], Similarity.PqCodebooks) =
-    opqCache.getOrElseUpdate(dir, {
+    cached(opqCache, dir, {
       val rotStore = new java.io.File(s"$KmeansFixture/opq_rot_store/${dirKey(dir)}")
       val cbStore = new java.io.File(s"$KmeansFixture/opq_cb_store/${dirKey(dir)}")
       if (!rotStore.exists() || !cbStore.exists())
@@ -1121,7 +1211,7 @@ object SparkEntry {
     .empty[String, (Array[Array[Double]], Similarity.PqCodebooks)]
   private def opqResModel(s: SparkSession, dir: String)
       : (Array[Array[Double]], Similarity.PqCodebooks) =
-    opqResCache.getOrElseUpdate(dir, {
+    cached(opqResCache, dir, {
       val centStore = new java.io.File(s"$KmeansFixture/opq_res_cent_store/${dirKey(dir)}")
       val cbStore = new java.io.File(s"$KmeansFixture/opq_res_cb_store/${dirKey(dir)}")
       if (!centStore.exists() || !cbStore.exists()) {
@@ -1165,13 +1255,14 @@ object SparkEntry {
     * from it, the deployment steady state. */
   private val opqLearnedCache = collection.concurrent.TrieMap.empty[String, String]
   private def opqLearnedIndexPath(s: SparkSession, dir: String): String =
-    opqLearnedCache.getOrElseUpdate(dir, {
+    cached(opqLearnedCache, dir, {
       val p = new java.io.File(s"target/q-ann-opq-learned/${dirKey(dir)}").getAbsolutePath
+        reusableLayout(p) {
       val (rot, _) = opqModel(s, dir)
       val (cents, cb) = opqResModel(s, dir)
       Similarity.writeLearnedOpqIndex(tbl(s, dir, "embeddings"), "vec_id",
         "embedding", p, rot, cents, cb)
-      p
+        }
     })
 
   /** Incremental dedup serving: a new batch against the prebuilt MinHash
@@ -1188,11 +1279,12 @@ object SparkEntry {
     * [[DedupIndexFixture]]. */
   private val flatIxCache = collection.concurrent.TrieMap.empty[String, String]
   private def flatIndexPath(s: SparkSession, dir: String): String =
-    flatIxCache.getOrElseUpdate(dir, {
+    cached(flatIxCache, dir, {
       val p = new java.io.File(s"target/q-flat-index/${dirKey(dir)}").getAbsolutePath
+        reusableLayout(p) {
       val (index, _) = dedupIndexParts(s, dir)
       index.write.mode("overwrite").parquet(p)
-      p
+        }
     })
   private def qDedupIndex(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupAgainstIndex(dedupIndexBatch(s, dir),
@@ -1469,8 +1561,9 @@ object SparkEntry {
     * grown index's statistics EQUAL the one-shot build's bit for bit. */
   private val textIxCache = collection.concurrent.TrieMap.empty[String, String]
   private def textIndexPath(s: SparkSession, dir: String): String =
-    textIxCache.getOrElseUpdate(dir, {
+    cached(textIxCache, dir, {
       val p = new java.io.File(s"target/q-bm25-index/${dirKey(dir)}").getAbsolutePath
+        reusableLayout(p) {
       val d = tbl(s, dir, "documents")
       graft.operators.TextIndex.write(
         graft.operators.TextIndex.build(
@@ -1479,7 +1572,7 @@ object SparkEntry {
         d.filter(pmod(col("doc_id"), lit(3)) === 1), p, "doc_id", "text", "a1")
       graft.operators.TextIndex.appendEpoch(
         d.filter(pmod(col("doc_id"), lit(3)) === 2), p, "doc_id", "text", "a2")
-      p
+        }
     })
 
   /** [[qBm25]]'s SERVING twin — same oracle, different path: the query
@@ -1525,12 +1618,13 @@ object SparkEntry {
     * compaction cadence and serves every k-cut query from it. */
   private val topkIxCache = collection.concurrent.TrieMap.empty[String, String]
   private def topkIndexPath(s: SparkSession, dir: String): String =
-    topkIxCache.getOrElseUpdate(dir, {
+    cached(topkIxCache, dir, {
       val p = new java.io.File(s"target/q-bm25-topk/${dirKey(dir)}").getAbsolutePath
+        reusableLayout(p) {
       graft.operators.TextIndex.writeTopK(
         graft.operators.TextIndex.build(tbl(s, dir, "documents"), "doc_id", "text"),
         p)
-      p
+        }
     })
 
   /** TOP-K BM25 with block-max pruning
@@ -1635,13 +1729,14 @@ object SparkEntry {
     * all sit under the hash gate, not just the spec. */
   private val lmInterpModelCache = collection.concurrent.TrieMap.empty[String, String]
   private def lmInterpModelPath(s: SparkSession, dir: String): String =
-    lmInterpModelCache.getOrElseUpdate(dir, {
+    cached(lmInterpModelCache, dir, {
       val p = new java.io.File(s"target/q-lm-interp-model/${dirKey(dir)}").getAbsolutePath
+        reusableLayout(p) {
       LanguageModel.writeInterpolated(
         LanguageModel.pruneInterpolated(
           LanguageModel.trainInterpolated(tbl(s, dir, "documents"), "text"),
           minCount = 2), p)
-      p
+        }
     })
 
   /** The SERVING twin of [[qLmXentInterp]]: score against the persisted
@@ -1674,13 +1769,14 @@ object SparkEntry {
     * [[lmModelPath]]'s KN sibling, written once per JVM. */
   private val lmKnModelCache = collection.concurrent.TrieMap.empty[String, String]
   private def lmKnModelPath(s: SparkSession, dir: String): String =
-    lmKnModelCache.getOrElseUpdate(dir, {
+    cached(lmKnModelCache, dir, {
       val p = new java.io.File(s"target/q-lm-kn-model/${dirKey(dir)}").getAbsolutePath
+        reusableLayout(p) {
       LanguageModel.writeKneserNey(
         LanguageModel.pruneKneserNey(
           LanguageModel.trainKneserNey(tbl(s, dir, "documents"), "text"),
           minCount = 2), p)
-      p
+        }
     })
 
   /** The SERVING twin of [[qLmXentKn]]: score against the persisted
@@ -1702,12 +1798,13 @@ object SparkEntry {
     * model, the per-ingest-batch steady state. */
   private val lmModelCache = collection.concurrent.TrieMap.empty[String, String]
   private def lmModelPath(s: SparkSession, dir: String): String =
-    lmModelCache.getOrElseUpdate(dir, {
+    cached(lmModelCache, dir, {
       val p = new java.io.File(s"target/q-lm-model/${dirKey(dir)}").getAbsolutePath
+        reusableLayout(p) {
       LanguageModel.write(
         LanguageModel.prune(LanguageModel.train(tbl(s, dir, "documents"), "text"),
           minCount = 2), p)
-      p
+        }
     })
 
   /** The SERVING twin of [[qLmXent]]: score against the persisted
@@ -1745,13 +1842,14 @@ object SparkEntry {
     * the generic KN-N layout ([[LanguageModel.writeKneserNeyN]]). */
   private val lmKn3ModelCache = collection.concurrent.TrieMap.empty[String, String]
   private def lmKn3ModelPath(s: SparkSession, dir: String): String =
-    lmKn3ModelCache.getOrElseUpdate(dir, {
+    cached(lmKn3ModelCache, dir, {
       val p = new java.io.File(s"target/q-lm-kn3-model/${dirKey(dir)}").getAbsolutePath
+        reusableLayout(p) {
       LanguageModel.writeKneserNeyN(
         LanguageModel.pruneKneserNeyN(
           LanguageModel.trainKneserNeyN(tbl(s, dir, "documents"), "text",
             order = 3), minCount = 2), p)
-      p
+        }
     })
 
   /** The SERVING twin of [[qLmXentKn3]]: score against the persisted
@@ -1783,13 +1881,14 @@ object SparkEntry {
     * [[lmKn3ModelPath]]'s order-5 sibling, written once per JVM. */
   private val lmKn5ModelCache = collection.concurrent.TrieMap.empty[String, String]
   private def lmKn5ModelPath(s: SparkSession, dir: String): String =
-    lmKn5ModelCache.getOrElseUpdate(dir, {
+    cached(lmKn5ModelCache, dir, {
       val p = new java.io.File(s"target/q-lm-kn5-model/${dirKey(dir)}").getAbsolutePath
+        reusableLayout(p) {
       LanguageModel.writeKneserNeyN(
         LanguageModel.pruneKneserNeyN(
           LanguageModel.trainKneserNeyN(tbl(s, dir, "documents"), "text",
             order = 5), minCount = 2), p)
-      p
+        }
     })
 
   /** The SERVING twin of [[qLmXentKn5]]: score against the persisted
@@ -1825,13 +1924,14 @@ object SparkEntry {
     * never re-derives them. */
   private val lmMknModelCache = collection.concurrent.TrieMap.empty[String, String]
   private def lmMknModelPath(s: SparkSession, dir: String): String =
-    lmMknModelCache.getOrElseUpdate(dir, {
+    cached(lmMknModelCache, dir, {
       val p = new java.io.File(s"target/q-lm-mkn-model/${dirKey(dir)}").getAbsolutePath
+        reusableLayout(p) {
       LanguageModel.writeModifiedKneserNeyN(
         LanguageModel.pruneModifiedKneserNeyN(
           LanguageModel.trainModifiedKneserNeyN(tbl(s, dir, "documents"),
             "text", order = 3), minCount = 2), p)
-      p
+        }
     })
 
   /** The SERVING twin of [[qLmXentMkn]]: score against the persisted
@@ -1867,13 +1967,14 @@ object SparkEntry {
     * [[lmMknModelPath]]'s order-5 sibling, written once per JVM. */
   private val lmMkn5ModelCache = collection.concurrent.TrieMap.empty[String, String]
   private def lmMkn5ModelPath(s: SparkSession, dir: String): String =
-    lmMkn5ModelCache.getOrElseUpdate(dir, {
+    cached(lmMkn5ModelCache, dir, {
       val p = new java.io.File(s"target/q-lm-mkn5-model/${dirKey(dir)}").getAbsolutePath
+        reusableLayout(p) {
       LanguageModel.writeModifiedKneserNeyN(
         LanguageModel.pruneModifiedKneserNeyN(
           LanguageModel.trainModifiedKneserNeyN(tbl(s, dir, "documents"),
             "text", order = 5), minCount = 2), p)
-      p
+        }
     })
 
   /** The SERVING twin of [[qLmXentMkn5]]: score against the persisted
@@ -1964,12 +2065,13 @@ object SparkEntry {
     * state, under the SAME oracle as the inline path. */
   private val pqIxCache = collection.concurrent.TrieMap.empty[String, String]
   private def pqIndexPath(s: SparkSession, dir: String): String =
-    pqIxCache.getOrElseUpdate(dir, {
+    cached(pqIxCache, dir, {
       val p = new java.io.File(s"target/q-ann-pq/${dirKey(dir)}").getAbsolutePath
+        reusableLayout(p) {
       Similarity.buildPqIndex(tbl(s, dir, "embeddings"), "vec_id",
           "embedding", "label", pqCodebooks(s, dir))
         .write.mode("overwrite").parquet(p)
-      p
+        }
     })
 
   /** [[qAnnPq]]'s SERVING twin: the ADC shortlist answers from the
@@ -2010,13 +2112,14 @@ object SparkEntry {
     * under the SAME oracle as the inline path. */
   private val opqIxCache = collection.concurrent.TrieMap.empty[String, String]
   private def opqIndexPath(s: SparkSession, dir: String): String =
-    opqIxCache.getOrElseUpdate(dir, {
+    cached(opqIxCache, dir, {
       val p = new java.io.File(s"target/q-ann-opq/${dirKey(dir)}").getAbsolutePath
+        reusableLayout(p) {
       val (rot, cb) = opqModel(s, dir)
       Similarity.buildOpqIndex(tbl(s, dir, "embeddings"), "vec_id",
           "embedding", "label", rot, cb)
         .write.mode("overwrite").parquet(p)
-      p
+        }
     })
 
   /** [[qAnnOpq]]'s SERVING twin: the rotated-space ADC shortlist answers
@@ -2076,12 +2179,13 @@ object SparkEntry {
     * meaningless without its centroid), written once per JVM. */
   private val pqResIxCache = collection.concurrent.TrieMap.empty[String, String]
   private def pqResIndexPath(s: SparkSession, dir: String): String =
-    pqResIxCache.getOrElseUpdate(dir, {
+    cached(pqResIxCache, dir, {
       val p = new java.io.File(s"target/q-ann-pq-res/${dirKey(dir)}").getAbsolutePath
+        reusableLayout(p) {
       Similarity.buildPqIndexResidual(tbl(s, dir, "embeddings"), "vec_id",
           "embedding", kmeansCentroids(s, dir), pqResCodebooks(s, dir))
         .write.mode("overwrite").parquet(p)
-      p
+        }
     })
 
   /** [[qAnnPqRes]]'s SERVING twin: encode once, serve every query batch
@@ -2103,11 +2207,12 @@ object SparkEntry {
     * codebooks the oracle dumps replay. */
   private val pqLayoutCache = collection.concurrent.TrieMap.empty[String, String]
   private def pqLayoutPath(s: SparkSession, dir: String): String =
-    pqLayoutCache.getOrElseUpdate(dir, {
+    cached(pqLayoutCache, dir, {
       val p = new java.io.File(s"target/q-ann-pq-layout/${dirKey(dir)}").getAbsolutePath
+        reusableLayout(p) {
       Similarity.writeLearnedPqIndex(tbl(s, dir, "embeddings"), "vec_id",
         "embedding", p, kmeansCentroids(s, dir), pqResCodebooks(s, dir))
-      p
+        }
     })
 
   /** [[qAnnPqRes]] answered from the PARTITION-PRUNED on-disk layout
@@ -2426,12 +2531,13 @@ object SparkEntry {
     * [[bmpPayload]] column arithmetic over the same doc_ids). */
   private val bmpCache = collection.concurrent.TrieMap.empty[String, String]
   private def bmpPayloadPath(s: SparkSession, dir: String): String =
-    bmpCache.getOrElseUpdate(dir, {
+    cached(bmpCache, dir, {
       val p = new java.io.File(s"target/q-mm-bmp/${dirKey(dir)}").getAbsolutePath
+        reusableLayout(p) {
       tbl(s, dir, "documents")
         .select(col("doc_id"), bmpPayload(col("doc_id")).as("img"))
         .write.mode("overwrite").parquet(p)
-      p
+        }
     })
 
   /** Grayscale luminance field for the q_image_dedup corpus, in RELATIVE
@@ -2509,8 +2615,9 @@ object SparkEntry {
   private[graft] val ImgCopyOffset = 10000000L
   private val imgDedupCache = collection.concurrent.TrieMap.empty[String, String]
   private def imageCorpusPath(s: SparkSession, dir: String): String =
-    imgDedupCache.getOrElseUpdate(dir, {
+    cached(imgDedupCache, dir, {
       val p = new java.io.File(s"target/q-img-dedup/${dirKey(dir)}").getAbsolutePath
+        reusableLayout(p) {
       val base = Multimodal.toAssets(
         tbl(s, dir, "documents")
           .select(col("doc_id"), synthImagePayload(col("doc_id")).as("img")),
@@ -2520,7 +2627,7 @@ object SparkEntry {
         .select((col("asset_id") + ImgCopyOffset).as("asset_id"),
           col("content"), col("meta"))
       base.unionByName(copies).write.mode("overwrite").parquet(p)
-      p
+        }
     })
 
   /** Image near-duplicate dedup ([[Dedup.imageNearDupPairs]]): dHash per
@@ -2592,8 +2699,9 @@ object SparkEntry {
   private[graft] val AudioCopyOffset = 20000000L
   private val audioDedupCache = collection.concurrent.TrieMap.empty[String, String]
   private def audioCorpusPath(s: SparkSession, dir: String): String =
-    audioDedupCache.getOrElseUpdate(dir, {
+    cached(audioDedupCache, dir, {
       val p = new java.io.File(s"target/q-audio-dedup/${dirKey(dir)}").getAbsolutePath
+        reusableLayout(p) {
       val base = Multimodal.toAssets(
         tbl(s, dir, "documents")
           .select(col("doc_id"), synthAudioPayload(col("doc_id")).as("pcm")),
@@ -2603,7 +2711,7 @@ object SparkEntry {
         .select((col("asset_id") + AudioCopyOffset).as("asset_id"),
           col("content"), col("meta"))
       base.unionByName(copies).write.mode("overwrite").parquet(p)
-      p
+        }
     })
 
   /** Audio near-duplicate dedup ([[Dedup.audioNearDupPairs]]): the
@@ -2739,8 +2847,9 @@ object SparkEntry {
   private[graft] val VideoCopyOffset = 40000000L
   private val videoDedupCache = collection.concurrent.TrieMap.empty[String, String]
   private def videoCorpusPath(s: SparkSession, dir: String): String =
-    videoDedupCache.getOrElseUpdate(dir, {
+    cached(videoDedupCache, dir, {
       val p = new java.io.File(s"target/q-video-dedup/${dirKey(dir)}").getAbsolutePath
+        reusableLayout(p) {
       val base = Multimodal.toAssets(
         tbl(s, dir, "documents")
           .filter(pmod(col("doc_id"), lit(3)) === 0)
@@ -2752,7 +2861,7 @@ object SparkEntry {
         .select((col("asset_id") + VideoCopyOffset).as("asset_id"),
           col("content"), col("meta"))
       base.unionByName(copies).write.mode("overwrite").parquet(p)
-      p
+        }
     })
 
   /** Video frame-walk metadata ([[Multimodal.videoFrameMeta]]): the REAL
@@ -2815,8 +2924,9 @@ object SparkEntry {
   private[graft] val ImgBatchOffset = 30000000L
   private val imgBatchCache = collection.concurrent.TrieMap.empty[String, String]
   private def imageBatchPath(s: SparkSession, dir: String): String =
-    imgBatchCache.getOrElseUpdate(dir, {
+    cached(imgBatchCache, dir, {
       val p = new java.io.File(s"target/q-img-batch/${dirKey(dir)}").getAbsolutePath
+        reusableLayout(p) {
       val base = Multimodal.toAssets(
         tbl(s, dir, "documents")
           .filter(pmod(col("doc_id"), lit(7)) === 0)
@@ -2826,7 +2936,7 @@ object SparkEntry {
         .select((col("asset_id") + ImgBatchOffset).as("asset_id"),
           col("content"), col("meta"))
         .write.mode("overwrite").parquet(p)
-      p
+        }
     })
 
   /** Persisted image HASH-INDEX tables for `dir`, grown once per JVM
@@ -2840,7 +2950,7 @@ object SparkEntry {
     * checkpointed 16 B/asset) for the whole cycle. */
   private val imgHashIxCache = collection.concurrent.TrieMap.empty[String, String]
   private def imageHashIndexTable(s: SparkSession, dir: String): String =
-    imgHashIxCache.getOrElseUpdate(dir, {
+    cached(imgHashIxCache, dir, {
       val name = "graft_q_img_hash_ix_" + dirKey(dir)
       val assets = s.read.parquet(imageCorpusPath(s, dir))
       val hashes = graft.operators.Materialize.eagerCheckpoint(
@@ -2964,16 +3074,29 @@ object SparkEntry {
     * engine's reported-never-dropped rule. No codec, no fixture of
     * engine outputs — the oracle input is the raw bytes. */
   private def videoFramesOracleSql(payloadFixture: String): String = {
-    // byte at 0-based offset `p` (a SQL expression) of hex dump `hx`
+    // byte at 0-based offset `p` (a SQL expression) of hex dump `hx`.
+    // TRY_CAST, not CAST: at the walk's natural stop (off+sz = n) the
+    // size-field read lands past the payload end — substring yields ''
+    // and a plain CAST of '0x' raises; the query only survived because
+    // DuckDB happened to evaluate the bounds conjunct first (r18 ADVICE).
+    // TRY_CAST's NULL fails the >= 54 guard harmlessly under ANY filter
+    // evaluation order, and equals CAST wherever the bytes exist.
     def byteAt(hx: String, p: String) =
-      s"CAST(concat('0x', substring($hx, CAST(2*($p)+1 AS INT), 2)) AS BIGINT)"
+      s"TRY_CAST(concat('0x', substring($hx, CAST(2*($p)+1 AS INT), 2)) AS BIGINT)"
     def leU32(hx: String, p: String) =
       (0 to 3).map(k => s"${byteAt(hx, s"($p)+$k")} * ${1L << (8 * k)}")
         .mkString("(", " + ", ")")
-    // signed LE i32 → |value| (BMP height may be negative = top-down)
-    def absI32(hx: String, p: String) =
-      s"CAST(ABS(CASE WHEN ${leU32(hx, p)} >= 2147483648 " +
-        s"THEN ${leU32(hx, p)} - 4294967296 ELSE ${leU32(hx, p)} END) AS INT)"
+    // signed LE i32 → |value| (BMP height may be negative = top-down).
+    // The i32-minimum corner is pinned to the ENGINE's semantics
+    // (math.abs(Int.MinValue) = Int.MinValue, surfaced as-is): a hostile
+    // 0x80000000 dim yields -2147483648 on both sides instead of an
+    // out-of-range error from CAST(2147483648 AS INT) (r18 ADVICE).
+    def absI32(hx: String, p: String) = {
+      val signed = s"(CASE WHEN ${leU32(hx, p)} >= 2147483648 " +
+        s"THEN ${leU32(hx, p)} - 4294967296 ELSE ${leU32(hx, p)} END)"
+      s"(CASE WHEN $signed = -2147483648 THEN CAST(-2147483648 AS INT) " +
+        s"ELSE CAST(ABS($signed) AS INT) END)"
+    }
     // the size field lives at frame offset + 2 (after the "BM" magic)
     val sz0 = leU32("hx", "2")
     val szN = leU32("v.hx", "w.off + w.sz + 2")
@@ -3013,16 +3136,22 @@ object SparkEntry {
   private val qcModelCache =
     collection.concurrent.TrieMap.empty[String, TextClassifier.QuantModel]
   private def qcModel(s: SparkSession, dir: String): TextClassifier.QuantModel =
-    qcModelCache.getOrElseUpdate(dir, {
+    cached(qcModelCache, dir, {
       val path = new java.io.File(s"target/q-quality-model/${dirKey(dir)}")
         .getAbsolutePath
-      val labeled = TextAnalysis.withQuality(tbl(s, dir, "documents"), "text")
-        .select(col("doc_id"), col("text"),
-          (col("quality_score") >= 0.5).cast("int").as("label"))
-      TextClassifier.save(
-        TextClassifier.train(labeled, "text", "label",
-          dim = QcDim, iters = 12, lr = 0.5),
-        path, s)
+      // persist-once across JVMs: GD training is deterministic per layout
+      // but carries no cross-JVM bit-identity promise, so under reuse a
+      // completed saved model is LOADED, never refit — the same
+      // persistence contract as kmeansCentroids, now epoch-marked
+      reusableLayout(path) {
+        val labeled = TextAnalysis.withQuality(tbl(s, dir, "documents"), "text")
+          .select(col("doc_id"), col("text"),
+            (col("quality_score") >= 0.5).cast("int").as("label"))
+        TextClassifier.save(
+          TextClassifier.train(labeled, "text", "label",
+            dim = QcDim, iters = 12, lr = 0.5),
+          path, s)
+      }
       TextClassifier.load(s, path)
     })
   private val QcDim = 1 << 16
@@ -3977,9 +4106,9 @@ object SparkEntry {
     def ctxKey(k: Int) = ws.slice(order - k - 1, order - 1)
     val cascade = ((order - 2) to 1 by -1).flatMap { k =>
       Seq(
-        s" ctx$k AS (SELECT ${ctxKey(k).mkString(", ")}, sum(nct${k + 1}) AS s$k, " +
+        s" ctx$k AS MATERIALIZED (SELECT ${ctxKey(k).mkString(", ")}, sum(nct${k + 1}) AS s$k, " +
           s"count(*) AS f$k FROM cont${k + 1} GROUP BY ${groupBy(k)}),",
-        s" cont$k AS (SELECT ${contKey(k).mkString(", ")}, count(*) AS nct$k " +
+        s" cont$k AS MATERIALIZED (SELECT ${contKey(k).mkString(", ")}, count(*) AS nct$k " +
           s"FROM cont${k + 1} GROUP BY ${groupBy(k)}),")
     }.mkString("\n")
     def pexpr(k: Int): String =
@@ -3997,20 +4126,20 @@ object SparkEntry {
     val scoreJoins = ((order - 1) to 2 by -1).flatMap { k =>
       Seq(onJoin(s"cont$k", contKey(k)), onJoin(s"ctx${k - 1}", ctxKey(k - 1)))
     }.mkString("\n  ") + "\n  " + onJoin("cont1", Seq(ws.last))
-    s"""WITH d AS (
+    s"""WITH d AS MATERIALIZED (
        |  SELECT doc_id,
        |         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
        |  FROM documents),
        | tok AS (SELECT unnest(w) AS token FROM d),
        | v AS (SELECT count(DISTINCT token) AS vs FROM tok),
-       | ng AS (
+       | ng AS MATERIALIZED (
        |  SELECT doc_id, $ngSel
        |  FROM d, LATERAL unnest(range(1, greatest(len(w) - ${order - 2}, 1))) AS t(i)),
-       | cg AS (SELECT ${ws.mkString(", ")}, count(*) AS cnt FROM ng
+       | cg AS MATERIALIZED (SELECT ${ws.mkString(", ")}, count(*) AS cnt FROM ng
        |        GROUP BY ${groupBy(order)}),
-       |${if (pruned) " cgp AS (SELECT * FROM cg WHERE cnt >= 2),\n" else ""} ctop AS (SELECT ${ws.init.mkString(", ")}, sum(cnt) AS tot, count(*) AS types
+       |${if (pruned) " cgp AS (SELECT * FROM cg WHERE cnt >= 2),\n" else ""} ctop AS MATERIALIZED (SELECT ${ws.init.mkString(", ")}, sum(cnt) AS tot, count(*) AS types
        |        FROM cg GROUP BY ${groupBy(order - 1)}),
-       | cont${order - 1} AS (SELECT ${ws.tail.mkString(", ")}, count(*) AS nct${order - 1}
+       | cont${order - 1} AS MATERIALIZED (SELECT ${ws.tail.mkString(", ")}, count(*) AS nct${order - 1}
        |        FROM cg GROUP BY ${groupBy(order - 1)}),
        |$cascade
        | nt AS (SELECT count(*) AS ntt FROM cont2),
@@ -4050,12 +4179,12 @@ object SparkEntry {
     // f1/f2/f3 bucket counts the modified backoff weight needs
     val cascade = ((order - 2) to 1 by -1).flatMap { k =>
       Seq(
-        s" ctx$k AS (SELECT ${ctxKey(k).mkString(", ")}, sum(nct${k + 1}) AS s$k, " +
+        s" ctx$k AS MATERIALIZED (SELECT ${ctxKey(k).mkString(", ")}, sum(nct${k + 1}) AS s$k, " +
           s"count(*) FILTER (WHERE nct${k + 1} = 1) AS f1_$k, " +
           s"count(*) FILTER (WHERE nct${k + 1} = 2) AS f2_$k, " +
           s"count(*) FILTER (WHERE nct${k + 1} >= 3) AS f3_$k " +
           s"FROM cont${k + 1} GROUP BY ${groupBy(k)}),",
-        s" cont$k AS (SELECT ${contKey(k).mkString(", ")}, count(*) AS nct$k " +
+        s" cont$k AS MATERIALIZED (SELECT ${contKey(k).mkString(", ")}, count(*) AS nct$k " +
           s"FROM cont${k + 1} GROUP BY ${groupBy(k)}),")
     }.mkString("\n")
     // one Chen-Goodman discount CTE per level — the engine's literal
@@ -4104,23 +4233,23 @@ object SparkEntry {
     }.mkString("\n  ") + "\n  " + onJoin("cont1", Seq(ws.last))
     val discountCrossJoins = ((2 until order).map(k => s"CROSS JOIN dl$k") :+
       "CROSS JOIN dtop").mkString(" ")
-    s"""WITH d AS (
+    s"""WITH d AS MATERIALIZED (
        |  SELECT doc_id,
        |         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
        |  FROM documents),
        | tok AS (SELECT unnest(w) AS token FROM d),
        | v AS (SELECT count(DISTINCT token) AS vs FROM tok),
-       | ng AS (
+       | ng AS MATERIALIZED (
        |  SELECT doc_id, $ngSel
        |  FROM d, LATERAL unnest(range(1, greatest(len(w) - ${order - 2}, 1))) AS t(i)),
-       | cg AS (SELECT ${ws.mkString(", ")}, count(*) AS cnt FROM ng
+       | cg AS MATERIALIZED (SELECT ${ws.mkString(", ")}, count(*) AS cnt FROM ng
        |        GROUP BY ${groupBy(order)}),
-       |${if (pruned) " cgp AS (SELECT * FROM cg WHERE cnt >= 2),\n" else ""} ctop AS (SELECT ${ws.init.mkString(", ")}, sum(cnt) AS tot,
+       |${if (pruned) " cgp AS (SELECT * FROM cg WHERE cnt >= 2),\n" else ""} ctop AS MATERIALIZED (SELECT ${ws.init.mkString(", ")}, sum(cnt) AS tot,
        |        count(*) FILTER (WHERE cnt = 1) AS t1,
        |        count(*) FILTER (WHERE cnt = 2) AS t2,
        |        count(*) FILTER (WHERE cnt >= 3) AS t3
        |        FROM cg GROUP BY ${groupBy(order - 1)}),
-       | cont${order - 1} AS (SELECT ${ws.tail.mkString(", ")}, count(*) AS nct${order - 1}
+       | cont${order - 1} AS MATERIALIZED (SELECT ${ws.tail.mkString(", ")}, count(*) AS nct${order - 1}
        |        FROM cg GROUP BY ${groupBy(order - 1)}),
        |$cascade
        | nt AS (SELECT count(*) AS ntt FROM cont2),

@@ -1855,6 +1855,30 @@ object Dedup {
       .filter(col("qdist") <= maxQDist)
       .select("id_a", "id_b", "hamming", "qdist")
 
+  /** Shared single-decode core of the three `*NearDupPairsVerified`
+    * pipelines: ONE combined `(asset_id, <hash>, <qfeat>)` extractor
+    * pass over the codec boundary, materialized once, then the banded
+    * candidate machinery reads the 8-byte hashes and the verify joins
+    * read the quantized features from the SAME materialized frame. The
+    * two-pass form paid the decode THREE times — once for the hash
+    * frame and once per side of [[verifyQuantPairs]]' two feature joins
+    * (unmaterialized, each join side re-evaluated the full decode scan)
+    * — and the decode dominates every multimodal query, so this is the
+    * §8 "decide with small rows, move heavy bytes once" shape applied
+    * to CPU: decode once, serve every downstream consumer from the
+    * ≤600 B/asset combined frame. */
+  private def verifiedPairsOnePass(hashGrids: DataFrame, hashCol: String,
+                                   qCol: String, maxHamming: Int, bands: Int,
+                                   maxQDist: Long): DataFrame = {
+    val hg = Materialize.eagerCheckpoint(hashGrids)
+    verifyQuantPairs(
+      simhashPairs(hg.filter(col(hashCol).isNotNull)
+        .select(col("asset_id").as("sh_id"), col(hashCol).as("simhash")),
+        maxHamming, bands),
+      hg.filter(col(qCol).isNotNull).select(col("asset_id"), col(qCol).as("__q")),
+      maxQDist)
+  }
+
   /** [[imageNearDupPairs]] with the VERIFY pass the operator's own
     * precision note calls for at large corpus sizes: banded-Hamming
     * CANDIDATES, then each candidate pair's quantized 9×8 luminance
@@ -1872,12 +1896,8 @@ object Dedup {
                                 maxHamming: Int = MmMaxHamming,
                                 bands: Int = MmBands,
                                 maxQDist: Long = ImageMaxQDist): DataFrame =
-    verifyQuantPairs(
-      imageNearDupPairs(assets, maxHamming, bands),
-      Multimodal.luminanceGridsQ(assets)
-        .filter(col("qgrid").isNotNull)
-        .select(col("asset_id"), col("qgrid").as("__q")),
-      maxQDist)
+    verifiedPairsOnePass(Multimodal.imageHashGridsQ(assets),
+      "dhash", "qgrid", maxHamming, bands, maxQDist)
 
   /** [[audioNearDupPairs]] with the verify pass — candidates compared on
     * their quantized MEAN-NORMALIZED energy curves
@@ -1889,12 +1909,8 @@ object Dedup {
                                 maxHamming: Int = MmMaxHamming,
                                 bands: Int = MmBands,
                                 maxQDist: Long = AudioMaxQDist): DataFrame =
-    verifyQuantPairs(
-      audioNearDupPairs(assets, maxHamming, bands),
-      Multimodal.energyCurvesQ(assets)
-        .filter(col("qcurve").isNotNull)
-        .select(col("asset_id"), col("qcurve").as("__q")),
-      maxQDist)
+    verifiedPairsOnePass(Multimodal.audioHashCurvesQ(assets),
+      "afp", "qcurve", maxHamming, bands, maxQDist)
 
   /** [[videoNearDupPairs]] with the verify pass — candidates compared on
     * their quantized TEMPORALLY ALIGNED sampled grids
@@ -1909,12 +1925,8 @@ object Dedup {
                                 maxHamming: Int = MmMaxHamming,
                                 bands: Int = MmBands,
                                 maxQDist: Long = VideoMaxQDist): DataFrame =
-    verifyQuantPairs(
-      videoNearDupPairs(assets, maxHamming, bands),
-      Multimodal.videoGridsQ(assets)
-        .filter(col("qgrid").isNotNull)
-        .select(col("asset_id"), col("qgrid").as("__q")),
-      maxQDist)
+    verifiedPairsOnePass(Multimodal.videoHashGridsQ(assets),
+      "vhash", "qgrid", maxHamming, bands, maxQDist)
 
   // ──────────────── persisted 64-bit hash index lifecycle ────────────────
   // The multimodal counterpart of the MinHash banded index

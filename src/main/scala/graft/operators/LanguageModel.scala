@@ -176,6 +176,21 @@ object LanguageModel {
       .otherwise(full)
   }
 
+  /** One row per n-gram position of `docs(textCol)`: the token array is
+    * projected ONCE (`__toks`) in a staging projection and the
+    * [[ngramStructs]] slices read the projected attribute — without the
+    * staging step the tokenizer EXPRESSION (regex split + filter over
+    * the whole document) is referenced n+2 times per row (n slices + 2
+    * size guards) and Generate's codegen evaluates each reference,
+    * tokenizing every document n+2 times; CollapseProject keeps the
+    * staging projection because `__toks` is non-cheap and multiply
+    * referenced (the [[Multimodal.toAssets]] `__dims` discipline).
+    * `keep` columns (e.g. the doc id for scoring scans) ride along. */
+  private def ngramRows(docs: DataFrame, textCol: String, n: Int,
+                        alias: String, keep: Column*): DataFrame =
+    docs.select(keep :+ TextAnalysis.tokens(col(textCol)).as("__toks"): _*)
+      .select(keep :+ explode(ngramStructs(col("__toks"), n)).as(alias): _*)
+
   /** Train a bigram LM over `docs(textCol)`. The bigram table is
     * MATERIALIZED ([[Materialize.eagerCheckpoint]] — lineage-truncated,
     * reliable-checkpoint-aware like every iterating pipeline here), so
@@ -188,8 +203,7 @@ object LanguageModel {
     * bigram), so training costs two corpus scans total. */
   def train(docs: DataFrame, textCol: String, alpha: Double = 0.5): BigramLm = {
     val toks = TextAnalysis.tokens(col(textCol))
-    val bigrams = Materialize.eagerCheckpoint(docs
-      .select(explode(bigramStructs(toks)).as("bg"))
+    val bigrams = Materialize.eagerCheckpoint(ngramRows(docs, textCol, 2, "bg")
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("n12")))
     val contexts = bigrams.groupBy("w1").agg(sum("n12").as("n1"))
@@ -241,8 +255,7 @@ object LanguageModel {
                         alpha: Double = 0.5,
                         lambda: Double = 0.7): InterpolatedLm = {
     val toks = TextAnalysis.tokens(col(textCol))
-    val bigrams = Materialize.eagerCheckpoint(docs
-      .select(explode(bigramStructs(toks)).as("bg"))
+    val bigrams = Materialize.eagerCheckpoint(ngramRows(docs, textCol, 2, "bg")
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("n12")))
     val contexts = bigrams.groupBy("w1").agg(sum("n12").as("n1"))
@@ -278,9 +291,7 @@ object LanguageModel {
       if (resolveBroadcast(lm.base.largestRows, broadcastModel, maxBroadcastRows,
         "interpolated-LM bigram table")) broadcast(_) else identity
     val base = lm.base
-    val exploded = docs
-      .select(col(idCol),
-        explode(bigramStructs(TextAnalysis.tokens(col(textCol)))).as("bg"))
+    val exploded = ngramRows(docs, textCol, 2, "bg", col(idCol))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val p2 = (coalesce(col("n12"), lit(0L)) + base.alpha) /
       (coalesce(col("n1"), lit(0L)) + base.alpha * base.vocabSize)
@@ -377,8 +388,7 @@ object LanguageModel {
                      discount: Double = 0.75,
                      beta: Double = 0.5): KneserNeyLm = {
     val toks = TextAnalysis.tokens(col(textCol))
-    val bigrams = Materialize.eagerCheckpoint(docs
-      .select(explode(bigramStructs(toks)).as("bg"))
+    val bigrams = Materialize.eagerCheckpoint(ngramRows(docs, textCol, 2, "bg")
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("n12")))
     val contexts = bigrams.groupBy("w1")
@@ -418,9 +428,7 @@ object LanguageModel {
     val hinted: DataFrame => DataFrame =
       if (resolveBroadcast(lm.largestRows, broadcastModel, maxBroadcastRows,
         "KN bigram table")) broadcast(_) else identity
-    val exploded = docs
-      .select(col(idCol),
-        explode(bigramStructs(TextAnalysis.tokens(col(textCol)))).as("bg"))
+    val exploded = ngramRows(docs, textCol, 2, "bg", col(idCol))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val pcont = (coalesce(col("nct"), lit(0L)) + lm.beta) /
       (lit(lm.nBigramTypes.toDouble) + lm.beta * lm.vocabSize)
@@ -527,8 +535,8 @@ object LanguageModel {
                       discount: Double = 0.75,
                       beta: Double = 0.5): KneserNey3Lm = {
     val toks = TextAnalysis.tokens(col(textCol))
-    val trigrams = Materialize.eagerCheckpoint(docs
-      .select(explode(trigramStructs(toks)).as("tg"))
+    val trigrams = Materialize.eagerCheckpoint(
+      ngramRows(docs, textCol, 3, "tg")
       .select(col("tg.w1").as("w1"), col("tg.w2").as("w2"),
         col("tg.w3").as("w3"))
       .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n123")))
@@ -574,9 +582,7 @@ object LanguageModel {
     val hinted: DataFrame => DataFrame =
       if (resolveBroadcast(lm.largestRows, broadcastModel, maxBroadcastRows,
         "KN3 trigram table")) broadcast(_) else identity
-    val exploded = docs
-      .select(col(idCol),
-        explode(trigramStructs(TextAnalysis.tokens(col(textCol)))).as("tg"))
+    val exploded = ngramRows(docs, textCol, 3, "tg", col(idCol))
       .select(col(idCol), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
         col("tg.w3").as("w3"))
     val p1 = (coalesce(col("ncu"), lit(0L)) + lm.beta) /
@@ -695,8 +701,8 @@ object LanguageModel {
       s"trainKneserNeyN needs order >= 3 (order 2 is trainKneserNey), got $order")
     val ws = (1 to order).map(i => s"w$i")
     val toks = TextAnalysis.tokens(col(textCol))
-    val grams = Materialize.eagerCheckpoint(docs
-      .select(explode(ngramStructs(toks, order)).as("g"))
+    val grams = Materialize.eagerCheckpoint(
+      ngramRows(docs, textCol, order, "g")
       .select(ws.map(w => col(s"g.$w").as(w)): _*)
       .groupBy(ws.map(col): _*).agg(count(lit(1)).as("cnt")))
     val ctxTop = grams.groupBy(ws.init.map(col): _*)
@@ -752,10 +758,7 @@ object LanguageModel {
       if (resolveBroadcast(lm.largestRows, broadcastModel, maxBroadcastRows,
         s"KN-${lm.order} gram table")) broadcast(_) else identity
     val ws = (1 to lm.order).map(i => s"w$i")
-    val exploded = docs
-      .select(col(idCol),
-        explode(ngramStructs(TextAnalysis.tokens(col(textCol)), lm.order))
-          .as("g"))
+    val exploded = ngramRows(docs, textCol, lm.order, "g", col(idCol))
       .select(col(idCol) +: ws.map(w => col(s"g.$w").as(w)): _*)
     var p: Column = (coalesce(col("nct1"), lit(0L)) + lm.beta) /
       (lit(lm.nContTypes.toDouble) + lm.beta * lm.vocabSize)
@@ -952,8 +955,8 @@ object LanguageModel {
       s"trainModifiedKneserNeyN needs order >= 3, got $order")
     val ws = (1 to order).map(i => s"w$i")
     val toks = TextAnalysis.tokens(col(textCol))
-    val grams = Materialize.eagerCheckpoint(docs
-      .select(explode(ngramStructs(toks, order)).as("g"))
+    val grams = Materialize.eagerCheckpoint(
+      ngramRows(docs, textCol, order, "g")
       .select(ws.map(w => col(s"g.$w").as(w)): _*)
       .groupBy(ws.map(col): _*).agg(count(lit(1)).as("cnt")))
     val ctxTop = grams.groupBy(ws.init.map(col): _*)
@@ -1019,10 +1022,7 @@ object LanguageModel {
       if (resolveBroadcast(lm.largestRows, broadcastModel, maxBroadcastRows,
         s"modified-KN-${lm.order} gram table")) broadcast(_) else identity
     val ws = (1 to lm.order).map(i => s"w$i")
-    val exploded = docs
-      .select(col(idCol),
-        explode(ngramStructs(TextAnalysis.tokens(col(textCol)), lm.order))
-          .as("g"))
+    val exploded = ngramRows(docs, textCol, lm.order, "g", col(idCol))
       .select(col(idCol) +: ws.map(w => col(s"g.$w").as(w)): _*)
     var p: Column = (coalesce(col("nct1"), lit(0L)) + lm.beta) /
       (lit(lm.nContTypes.toDouble) + lm.beta * lm.vocabSize)
@@ -1123,8 +1123,7 @@ object LanguageModel {
     val hinted: DataFrame => DataFrame =
       if (resolveBroadcast(lm.largestRows, broadcastModel, maxBroadcastRows,
         "bigram model table")) broadcast(_) else identity
-    val exploded = docs
-      .select(col(idCol), explode(bigramStructs(TextAnalysis.tokens(col(textCol)))).as("bg"))
+    val exploded = ngramRows(docs, textCol, 2, "bg", col(idCol))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val logp = log(
       (coalesce(col("n12"), lit(0L)) + lm.alpha) /

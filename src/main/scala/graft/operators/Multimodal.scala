@@ -206,15 +206,21 @@ object Multimodal {
     * compare empty boxes; callers treat such images as unhashable, the
     * same honest degradation as a non-decodable payload. */
   private[graft] def dhash64(w: Int, h: Int, px: Array[Int]): Option[Long] =
-    lumGrid(w, h, px).map { grid =>
-      var bits = 0L
-      var b = 0
-      while (b < 64) {
-        if (grid(b / 8 * 9 + b % 8 + 1) > grid(b / 8 * 9 + b % 8)) bits |= 1L << b
-        b += 1
-      }
-      bits
+    lumGrid(w, h, px).map(dhashOfGrid)
+
+  /** The adjacent-cell threshold loop of [[dhash64]] over an
+    * already-pooled grid — factored so the single-decode combined
+    * extractor ([[imageHashGridsQ]]) derives the hash from the SAME
+    * pooled field it quantizes, bit-identical to the two-pass form. */
+  private[graft] def dhashOfGrid(grid: Array[Double]): Long = {
+    var bits = 0L
+    var b = 0
+    while (b < 64) {
+      if (grid(b / 8 * 9 + b % 8 + 1) > grid(b / 8 * 9 + b % 8)) bits |= 1L << b
+      b += 1
     }
+    bits
+  }
 
   /** The 9×8 relative-coordinate luminance grid [[dhash64]] thresholds,
     * row-major (72 doubles, 0–255 scale) — shared by the hash and the
@@ -295,6 +301,36 @@ object Multimodal {
         val hash = decodeImage(r.getAs[Array[Byte]](1))
           .flatMap { case (w, h, px) => dhash64(w, h, px) }
         Row(r.get(0), hash.map(Long.box).orNull)
+      }
+    }(enc)
+  }
+
+  /** dHash AND quantized verify grid in ONE decode pass:
+    * `(asset_id, dhash: long, qgrid: array<long>)` — the columns
+    * [[imageDHash]] and [[luminanceGridsQ]] produce, derived from a
+    * SINGLE [[decodeImage]]+[[lumGrid]] evaluation per asset (the codec
+    * is the dominant cost of every image-dedup pass; the two-pass form
+    * decodes the corpus once per extractor). Null hash/grid exactly as
+    * the separate extractors: both are null precisely when the payload
+    * is undecodable or the raster undersamples the 9×8 grid, and both
+    * values are bit-identical to the separate passes by construction
+    * (same pooled double field thresholded / quantized). */
+  def imageHashGridsQ(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("dhash", LongType),
+      StructField("qgrid", ArrayType(LongType))))
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    assets.select("asset_id", "content").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        decodeImage(r.getAs[Array[Byte]](1))
+          .flatMap { case (w, h, px) => lumGrid(w, h, px) } match {
+          case Some(grid) =>
+            Row(r.get(0), Long.box(dhashOfGrid(grid)),
+              grid.map(v => Long.box(math.round(v * 256.0))).toSeq)
+          case None => Row(r.get(0), null, null)
+        }
       }
     }(enc)
   }
@@ -484,12 +520,17 @@ object Multimodal {
     * Payloads shorter than 65 bytes (a frame would be empty) fingerprint
     * to `None` — unhashable, the [[dhash64]] degradation. */
   private[graft] def audioFingerprint64(bytes: Array[Byte]): Option[Long] =
-    energyCurve(bytes).map { e =>
-      var bits = 0L
-      var b = 0
-      while (b < 64) { if (e(b + 1) > e(b)) bits |= 1L << b; b += 1 }
-      bits
-    }
+    energyCurve(bytes).map(fingerprintOfCurve)
+
+  /** The delta-sign packing loop of [[audioFingerprint64]] over an
+    * already-pooled curve — factored so [[audioHashCurvesQ]] derives
+    * the fingerprint from the SAME curve it quantizes. */
+  private[graft] def fingerprintOfCurve(e: Array[Double]): Long = {
+    var bits = 0L
+    var b = 0
+    while (b < 64) { if (e(b + 1) > e(b)) bits |= 1L << b; b += 1 }
+    bits
+  }
 
   /** The 65-frame relative-time energy curve [[audioFingerprint64]]
     * thresholds (mean absolute deviation from the u8 midpoint per frame)
@@ -536,6 +577,35 @@ object Multimodal {
           else Some(e.map(v => Long.box(math.round(v * 65.0 * 256.0 / total))).toSeq)
         }
         Row(r.get(0), q.orNull)
+      }
+    }(enc)
+  }
+
+  /** Fingerprint AND quantized verify curve in ONE pass:
+    * `(asset_id, afp: long, qcurve: array<long>)` — the columns
+    * [[audioFingerprints]] and [[energyCurvesQ]] produce, derived from
+    * a SINGLE [[energyCurve]] pooling per clip. Null semantics match
+    * the separate extractors exactly: afp is null when the clip is too
+    * short to frame; qcurve additionally nulls for SILENT clips
+    * (Σe = 0 — hashable but unverifiable, the [[energyCurvesQ]]
+    * contract). Values bit-identical to the separate passes (same
+    * pooled curve thresholded / normalized). */
+  def audioHashCurvesQ(assets: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("afp", LongType),
+      StructField("qcurve", ArrayType(LongType))))
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    assets.select("asset_id", "content").mapPartitions { it =>
+      it.map { r =>
+        energyCurve(r.getAs[Array[Byte]](1)) match {
+          case Some(e) =>
+            val total = e.sum
+            val q = if (total <= 0.0) null
+              else e.map(v => Long.box(math.round(v * 65.0 * 256.0 / total))).toSeq
+            Row(r.get(0), Long.box(fingerprintOfCurve(e)), q)
+          case None => Row(r.get(0), null, null)
+        }
       }
     }(enc)
   }
@@ -681,24 +751,30 @@ object Multimodal {
     * candidate-verify pass ([[videoGridsQ]] distances, which ARE
     * temporally aligned) restores order sensitivity. */
   private[graft] def videoSignature64(bytes: Array[Byte], k: Int): Option[Long] =
-    videoSampledGrids(bytes, k).map { grids =>
-      val mean = new Array[Double](72)
-      var j = 0
-      while (j < k) {
-        var c = 0
-        while (c < 72) { mean(c) += grids(j)(c); c += 1 }
-        j += 1
-      }
+    videoSampledGrids(bytes, k).map(signatureOfGrids(_, k))
+
+  /** The temporal-mean + threshold tail of [[videoSignature64]] over
+    * already-sampled grids — factored so [[videoHashGridsQ]] derives
+    * the signature from the SAME grids it quantizes (fixed j = 0..k−1
+    * summation order preserved, bit-identical to the two-pass form). */
+  private[graft] def signatureOfGrids(grids: Array[Array[Double]], k: Int): Long = {
+    val mean = new Array[Double](72)
+    var j = 0
+    while (j < k) {
       var c = 0
-      while (c < 72) { mean(c) /= k; c += 1 }
-      var bits = 0L
-      var b = 0
-      while (b < 64) {
-        if (mean(b / 8 * 9 + b % 8 + 1) > mean(b / 8 * 9 + b % 8)) bits |= 1L << b
-        b += 1
-      }
-      bits
+      while (c < 72) { mean(c) += grids(j)(c); c += 1 }
+      j += 1
     }
+    var c = 0
+    while (c < 72) { mean(c) /= k; c += 1 }
+    var bits = 0L
+    var b = 0
+    while (b < 64) {
+      if (mean(b / 8 * 9 + b % 8 + 1) > mean(b / 8 * 9 + b % 8)) bits |= 1L << b
+      b += 1
+    }
+    bits
+  }
 
   /** Per-asset temporal-mean video hashes: `(asset_id, vhash: long)`,
     * null vhash for assets with no decodable sampled frames — reported,
@@ -743,6 +819,35 @@ object Multimodal {
           grids.flatMap(_.map(v => Long.box(math.round(v * 256.0)))).toSeq
         }
         Row(r.get(0), q.orNull)
+      }
+    }(enc)
+  }
+
+  /** Temporal-mean hash AND quantized aligned grids in ONE decode pass:
+    * `(asset_id, vhash: long, qgrid: array<long>)` — the columns
+    * [[videoDHash]] and [[videoGridsQ]] produce, derived from a SINGLE
+    * [[videoSampledGrids]] evaluation per clip (the k per-frame
+    * `ImageIO` decodes are the dominant cost; the two-pass form pays
+    * them once per extractor). Both columns null exactly when the clip
+    * has no decodable sampled frames — the shared contract of the
+    * separate extractors — and both values bit-identical to them. */
+  def videoHashGridsQ(assets: DataFrame,
+                      k: Int = VideoSampleFrames): DataFrame = {
+    require(k >= 1, s"sample count must be positive, got $k")
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("vhash", LongType),
+      StructField("qgrid", ArrayType(LongType))))
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(outSchema)
+    assets.select("asset_id", "content").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        videoSampledGrids(r.getAs[Array[Byte]](1), k) match {
+          case Some(grids) =>
+            Row(r.get(0), Long.box(signatureOfGrids(grids, k)),
+              grids.flatMap(_.map(v => Long.box(math.round(v * 256.0)))).toSeq)
+          case None => Row(r.get(0), null, null)
+        }
       }
     }(enc)
   }

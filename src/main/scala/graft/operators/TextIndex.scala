@@ -86,19 +86,27 @@ object TextIndex {
     // (sort_array: collect_list order is partition-nondeterministic) —
     // positions are per-doc facts, so the epoch algebra (id-disjoint
     // additivity) is untouched, and bag-of-words serves never read the
-    // column (Catalyst prunes it out of the scan)
+    // column (Catalyst prunes it out of the scan).
+    // The token ARRAY is projected once (`__toks`) and both `dl` and the
+    // explode read the projected column: the previous shape evaluated
+    // the regex tokenizer twice per document (once for size, once for
+    // the generator input) — the expensive expression in this scan.
     val postings = Materialize.eagerCheckpoint(docs
-      .select(col(idCol), col(textCol), size(toks).as("dl"))
-      .select(col(idCol), col("dl"),
-        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "term")))
+      .select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), size(col("__toks")).as("dl"),
+        posexplode(col("__toks")).as(Seq("pos", "term")))
       .groupBy(col(idCol), col("term"), col("dl"))
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("pos"))).as("positions")))
     val docFreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = docs
-      .agg(count(lit(1)), coalesce(sum(size(toks).cast("long")), lit(0L)))
-      .head()
-    InvertedIndex(postings, docFreq, stats.getLong(0), stats.getLong(1))
+    // N is a plain row count (no tokenization); Σdl = Σ tf over the
+    // already-materialized postings — every token lands in exactly one
+    // (doc, term) tf, and tokenless/null-text docs contribute 0 on both
+    // forms — so the stats pass no longer re-tokenizes the corpus (the
+    // old shape's THIRD tokenizer evaluation per document).
+    val nDocs = docs.count()
+    val totalDl = postings.agg(coalesce(sum("tf"), lit(0L))).head().getLong(0)
+    InvertedIndex(postings, docFreq, nDocs, totalDl)
   }
 
   /** The "+1"-smoothed always-positive idf — ONE definition for every

@@ -146,6 +146,29 @@ class AudioDedupSpec extends SparkSpec {
       s"true resampled copies must survive the verify: ${cands -- kept}")
   }
 
+  test("audioHashCurvesQ ≡ audioFingerprints + energyCurvesQ (single-pass combined)") {
+    // corpus + a too-short clip (both null) + a SILENT clip (hashable
+    // fingerprint, null curve — the asymmetric null case)
+    val withEdge = corpus.unionByName(Multimodal.toAssets(
+      Seq((900L, "tiny".getBytes("UTF-8")),
+          (901L, Array.fill[Byte](200)(128.toByte))).toDF("doc_id", "pcm"),
+      "doc_id", "pcm", "audio/pcm-u8"))
+    val combined = Multimodal.audioHashCurvesQ(withEdge).collect()
+      .map(r => r.getLong(0) -> ((r.get(1), r.get(2)))).toMap
+    val fps = Multimodal.audioFingerprints(withEdge).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    val curves = Multimodal.energyCurvesQ(withEdge).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(combined.keySet == fps.keySet && combined.keySet == curves.keySet)
+    combined.foreach { case (id, (h, q)) =>
+      assert(h == fps(id), s"fingerprint diverged for asset $id")
+      assert(q == curves(id), s"qcurve diverged for asset $id")
+    }
+    assert(combined(900L) == ((null, null)), "short clip: both null")
+    assert(combined(901L)._1 == 0L && combined(901L)._2 == null,
+      "silent clip: zero fingerprint, null curve")
+  }
+
   test("unhashable assets degrade to null fingerprint and are excluded from pairing") {
     val junk = Seq(
       (100L, "short".getBytes("UTF-8")),                 // < 65 bytes

@@ -138,6 +138,25 @@ class ImageDedupSpec extends SparkSpec {
       s"true rescaled copies must survive the verify: ${cands -- kept}")
   }
 
+  test("imageHashGridsQ ≡ imageDHash + luminanceGridsQ (single-decode combined pass)") {
+    // corpus + an undecodable payload, so the null path is compared too
+    val withJunk = corpus.unionByName(Multimodal.toAssets(
+      Seq((999L, "not an image at all")).toDF("doc_id", "img"),
+      "doc_id", "img", "image/bmp"))
+    val combined = Multimodal.imageHashGridsQ(withJunk).collect()
+      .map(r => r.getLong(0) -> ((r.get(1), r.get(2)))).toMap
+    val hashes = Multimodal.imageDHash(withJunk).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    val grids = Multimodal.luminanceGridsQ(withJunk).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(combined.keySet == hashes.keySet && combined.keySet == grids.keySet)
+    combined.foreach { case (id, (h, g)) =>
+      assert(h == hashes(id), s"dhash diverged for asset $id")
+      assert(g == grids(id), s"qgrid diverged for asset $id")
+    }
+    assert(combined(999L) == ((null, null)), "undecodable payload: both null")
+  }
+
   test("unhashable assets degrade to null dhash and are excluded from pairing") {
     val junk = Seq(
       (100L, "not an image at all".getBytes("UTF-8")),

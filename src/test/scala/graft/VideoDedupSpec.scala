@@ -188,6 +188,24 @@ class VideoDedupSpec extends SparkSpec {
     assert(nulled.length == 1 && nulled.head.isNullAt(1))
   }
 
+  test("videoHashGridsQ ≡ videoDHash + videoGridsQ (single-decode combined pass)") {
+    val withJunk = corpus.unionByName(Multimodal.toAssets(
+      Seq((900L, "not frames".getBytes("UTF-8"))).toDF("doc_id", "vid"),
+      "doc_id", "vid", "video/x-graft-bmpseq"))
+    val combined = Multimodal.videoHashGridsQ(withJunk).collect()
+      .map(r => r.getLong(0) -> ((r.get(1), r.get(2)))).toMap
+    val hashes = Multimodal.videoDHash(withJunk).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    val grids = Multimodal.videoGridsQ(withJunk).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(combined.keySet == hashes.keySet && combined.keySet == grids.keySet)
+    combined.foreach { case (id, (h, g)) =>
+      assert(h == hashes(id), s"vhash diverged for asset $id")
+      assert(g == grids(id), s"qgrid diverged for asset $id")
+    }
+    assert(combined(900L) == ((null, null)), "frameless payload: both null")
+  }
+
   test("keep-set: each planted group keeps exactly its min id; unpaired clips " +
     "all survive") {
     val kept = Dedup.videoNearDupKeep(corpus).collect().map(_.getLong(0)).toSet
